@@ -1,0 +1,53 @@
+"""Data-quality flags and score (reference conversions.py:227-271, :955-962).
+
+Flags are declarative QA markers folded into a ``flags array<string>``
+column; the data-quality score ``dqs`` is
+``(Σ include_in_score over non-null typed fields − #flags) / maxscore``
+(A8, conversions.py:264-271). Everything is native expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def flag_when(name: str, cond: Column) -> Column:
+    """A single conditional flag: value `name` when cond else null."""
+    return F.when(cond, F.lit(name))
+
+
+def fold_flags(*flag_cols: Column) -> Column:
+    """F17 — collect non-null flags into a compact array (conversions.py:955-962)."""
+    return F.array_compact(F.array(*flag_cols))
+
+
+def standard_coord_flags(lat: Column, lon: Column) -> list[Column]:
+    """The declarative coordinate flags (conversions.py:235-261):
+    `0_coord` (both zero) and `similar_coord` (|lat| == |lon|)."""
+    return [
+        flag_when("0_coord", (lat == 0) & (lon == 0)),
+        flag_when("similar_coord", F.abs(lat) == F.abs(lon)),
+    ]
+
+
+def dqs_score(
+    scored_fields: dict[str, int], flags_col: Column, maxscore: float
+) -> Column:
+    """A8/F18 — data-quality score (conversions.py:264-271).
+
+    scored_fields maps column name -> include_in_score weight (0/1 in the
+    reference's schema table, conversions.py:35-188).
+    """
+    present = [
+        F.col(name).isNotNull().cast("int") * F.lit(w)
+        for name, w in scored_fields.items()
+        if w
+    ]
+    total = sum(present[1:], present[0]) if present else F.lit(0)
+    raw = (total - F.size(flags_col)) / F.lit(float(maxscore))
+    return F.greatest(raw, F.lit(0.0))
+
+
+def with_flags(df: DataFrame, *flag_cols: Column, out: str = "flags") -> DataFrame:
+    return df.withColumn(out, fold_flags(*flag_cols))

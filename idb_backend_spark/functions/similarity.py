@@ -1,0 +1,152 @@
+"""Similarity kernels for near-duplicate detection and ANN search.
+
+Scale-first design notes:
+  * MinHash signatures are computed natively: one xxhash64 per shingle,
+    then the (a*x + b) mod p universal-hash family is applied with
+    `transform`/`array_min` — no Python in the loop, no shuffle until the
+    LSH band explode.
+  * SimHash is a vectorized Arrow pandas_udf (numpy bit-twiddling) — the
+    64 per-bit accumulations are a poor fit for per-element Column
+    expressions but are a single matrix op in numpy.
+  * Cosine similarity is a native zip_with/aggregate fold — JVM-side,
+    deterministic left-to-right summation (reproducible across engines).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+# Mersenne prime 2^61 - 1: universal hashing modulus. Fits in a long and
+# (a*x + b) stays within int128 in numpy / within Decimal-free long math in
+# the JVM when x is first reduced mod p.
+MERSENNE_P = (1 << 61) - 1
+
+
+def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MERSENNE_P, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, MERSENNE_P, size=num_hashes, dtype=np.int64)
+    return list(zip(a.tolist(), b.tolist()))
+
+
+def minhash_signature(
+    shingle_col: Column, num_hashes: int = 64, seed: int = 42
+) -> Column:
+    """MinHash signature (array<long>, length num_hashes) of a distinct
+    shingle array, entirely with native expressions.
+
+    base_i = xxhash64(shingle) mod p  (computed once per shingle)
+    sig_j  = min_i ((a_j * base_i + b_j) mod p)
+
+    The multiply is done in two 31-bit halves to avoid 64-bit overflow
+    changing results between engines; overflow-free math keeps the
+    signature deterministic and portable.
+    """
+    base = F.transform(
+        shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P))
+    )
+    sigs = []
+    for a, b in _hash_params(num_hashes, seed):
+        a_lo, a_hi = a & 0x7FFFFFFF, a >> 31
+        # (a*x) mod p  ==  ((a_hi*x mod p) * 2^31 + a_lo*x) mod p, with each
+        # product < 2^61 * 2^31 — still overflows 64-bit, so reduce eagerly:
+        def perm(x, a_lo=a_lo, a_hi=a_hi, b=b):
+            hi = F.pmod(F.lit(a_hi) * x, F.lit(MERSENNE_P))
+            hi = F.pmod(
+                F.pmod(hi * F.lit(1 << 31), F.lit(MERSENNE_P))
+                + F.pmod(F.lit(a_lo) * x, F.lit(MERSENNE_P))
+                + F.lit(b),
+                F.lit(MERSENNE_P),
+            )
+            return hi
+        sigs.append(F.array_min(F.transform(shingle_col, perm)))
+    return F.array(*sigs)
+
+
+def lsh_band_keys(sig_col: Column, bands: int, rows_per_band: int) -> Column:
+    """Split a signature into bands and hash each band -> array<struct
+    (band int, key long)>. Explode + groupBy(key) buckets candidate pairs;
+    two docs land in the same bucket iff a whole band matches (the standard
+    banding amplification of Jaccard similarity)."""
+    entries = []
+    for bi in range(bands):
+        band = F.slice(sig_col, bi * rows_per_band + 1, rows_per_band)
+        entries.append(
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(F.concat_ws("_", *[
+                    F.element_at(band, j + 1).cast("string")
+                    for j in range(rows_per_band)
+                ])).alias("key"),
+            )
+        )
+    return F.array(*entries)
+
+
+@F.pandas_udf(LongType())
+def simhash64(tokens: pd.Series) -> pd.Series:
+    """64-bit SimHash over a token array column (Arrow-batched numpy).
+
+    For each doc: hash every token to 64 bits; each bit contributes +1/-1
+    to its lane; the sign vector is the fingerprint. Near-dups have small
+    Hamming distance. Uses a fixed FNV-1a-based token hash so results are
+    stable across runs/engines.
+    """
+    def fnv1a64(s: str) -> int:
+        h = 0xCBF29CE484222325
+        for ch in s.encode("utf8"):
+            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    out = []
+    bit_idx = np.arange(64, dtype=np.uint64)
+    for toks in tokens:
+        if toks is None or len(toks) == 0:
+            out.append(0)
+            continue
+        hs = np.fromiter((fnv1a64(t) for t in toks), dtype=np.uint64)
+        bits = (hs[:, None] >> bit_idx[None, :]) & np.uint64(1)
+        counts = bits.sum(axis=0).astype(np.int64)
+        sign = counts * 2 > len(hs)
+        val = 0
+        for i in range(64):
+            if sign[i]:
+                val |= 1 << i
+        # store as signed 64-bit
+        out.append(val - (1 << 64) if val >= (1 << 63) else val)
+    return pd.Series(out, dtype="int64")
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two signed-64-bit fingerprints, natively."""
+    x = a.bitwiseXOR(b)
+    return F.bit_count(x)
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float/double> columns as a native
+    zip_with + aggregate fold (deterministic sequential summation)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return F.when((na > 0) & (nb > 0), dot / (na * nb))

@@ -1,0 +1,145 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+All native Column expressions (JVM-side, codegen-friendly): token counting,
+quality scoring, language-ID heuristic, and document fingerprinting. These
+are the per-document operators a 100 TB corpus pipeline runs before dedup
+and filtering — keeping them out of Python is the difference between a
+CPU-bound scan and an Arrow-serialization bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WS_RE = r"\s+"
+
+#: tiny per-language marker lexicons for the n-gram/stopword language-ID
+#: heuristic. Real deployments swap in fastText/CLD3 via mapInPandas; the
+#: heuristic is the native-expression fallback that needs no model file.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def normalize_text(c: Column | str) -> Column:
+    """Canonical text form: lowercase, collapse whitespace, trim."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.trim(F.regexp_replace(F.lower(c), WS_RE, " "))
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokenization of normalized text -> array<string>."""
+    return F.split(normalize_text(c), " ")
+
+
+def token_count(c: Column | str) -> Column:
+    """Whitespace token count (the `wc -w` definition)."""
+    t = tokens(c)
+    return F.when(F.length(normalize_text(c)) == 0, F.lit(0)).otherwise(F.size(t))
+
+
+def bpe_ish_token_count(c: Column | str) -> Column:
+    """Sub-word-ish token count: splits on word/number/punct boundaries,
+    approximating a BPE tokenizer's granularity without a vocab file."""
+    c = F.col(c) if isinstance(c, str) else c
+    pieces = F.regexp_extract_all(
+        F.lower(c), F.lit(r"([a-z]+|\d+|[^\sa-z\d])"), 1
+    )
+    return F.size(pieces)
+
+
+def punct_ratio(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    n = F.length(c)
+    npunct = F.length(F.regexp_replace(c, r"[^!-/:-@\[-`{-~]", ""))
+    return F.when(n > 0, npunct.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(c: Column | str, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or LANG_MARKERS["en"]
+    t = tokens(c)
+    hits = F.size(F.filter(t, lambda x: x.isin(sw)))
+    return F.when(F.size(t) > 0, hits.cast("double") / F.size(t)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_score(c: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Composite document-quality heuristic in [0, 1]: rewards reasonable
+    length and stopword presence, penalizes punctuation soup. The shape
+    (length/punct/stopword ratios) follows common LLM-corpus filters
+    (C4/Gopher-style rules)."""
+    n = F.length(F.col(c) if isinstance(c, str) else c)
+    len_score = F.least(n.cast("double") / F.lit(500.0), F.lit(1.0))
+    sw_score = F.least(stopword_ratio(c, stopwords) * 5.0, F.lit(1.0))
+    p_penalty = F.least(punct_ratio(c) * 4.0, F.lit(1.0))
+    return F.round(
+        0.5 * len_score + 0.5 * sw_score - 0.25 * p_penalty, 6
+    )
+
+
+def lang_scores(c: Column | str, markers: dict[str, list[str]] | None = None) -> Column:
+    """Per-language marker-hit counts -> map<lang, int>."""
+    markers = markers or LANG_MARKERS
+    t = tokens(c)
+    entries = [
+        F.struct(
+            F.lit(lang).alias("key"),
+            F.size(F.filter(t, lambda x: x.isin(words))).alias("value"),
+        )
+        for lang, words in markers.items()
+    ]
+    return F.map_from_entries(F.array(*entries))
+
+
+def lang_id(c: Column | str, markers: dict[str, list[str]] | None = None) -> Column:
+    """Argmax language by marker hits; deterministic tie-break by language
+    code ascending; 'und' when no marker matches."""
+    markers = markers or LANG_MARKERS
+    t = tokens(c)
+    best = None
+    for lang in sorted(markers):
+        hits = F.size(F.filter(t, lambda x, w=markers[lang]: x.isin(w)))
+        entry = F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
+        best = entry if best is None else F.when(
+            entry["hits"] > best["hits"], entry
+        ).otherwise(best)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(c: Column | str) -> Column:
+    """Document fingerprint: md5 of the normalized text. Content-addressed
+    identity for exact dedup (the text analog of the record etag, F19)."""
+    return F.md5(normalize_text(c).cast("binary"))
+
+
+def shingles(c: Column | str, k: int = 3) -> Column:
+    """Distinct word k-shingles of the normalized text -> array<string>.
+
+    Built natively: tokenize, then slide a k-window via transform over
+    index sequence. Rows with < k tokens yield the whole-text singleton so
+    short docs still participate in similarity."""
+    t = tokens(c)
+    n = F.size(t)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    win = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.array_distinct(F.when(n >= k, win).otherwise(F.array(normalize_text(c))))
+
+
+def char_ngrams(c: Column | str, n: int = 5) -> Column:
+    """Distinct character n-grams of normalized text -> array<string>."""
+    s = normalize_text(c)
+    ln = F.length(s)
+    idx = F.sequence(F.lit(1), F.greatest(ln - n + 1, F.lit(1)))
+    grams = F.transform(idx, lambda i: s.substr(i, F.lit(n)))
+    return F.array_distinct(grams)

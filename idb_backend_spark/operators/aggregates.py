@@ -1,0 +1,138 @@
+"""Aggregation patterns A1-A11 (SURVEY §2.4) as DataFrame builders.
+
+All are single-pass hash aggregations with map-side partial aggregation
+(Spark does the partial/final split automatically); top-N orderings ride on
+the agg output, which is tiny relative to the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hit_counts(df: DataFrame, pred: Column | None, key: str) -> DataFrame:
+    """A1 — per-group hit counts (citation counts; ES terms agg,
+    download.py:81-131), sorted count desc then key for determinism."""
+    if pred is not None:
+        df = df.filter(pred)
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.col(key))
+    )
+
+
+def unique_values(df: DataFrame, field: str) -> DataFrame:
+    """A3 — unique values with counts, desc; nulls become the empty-string
+    bucket (download.py:166-198)."""
+    val = F.coalesce(F.col(field).cast("string"), F.lit("")).alias("value")
+    return (
+        df.select(val)
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.col("value"))
+    )
+
+
+def max_watermark(df: DataFrame, ts_col: str, by: list[str] | None = None) -> DataFrame:
+    """A5 — incremental watermark: max(modified) [per type]
+    (index_from_postgres.py:71-89)."""
+    if by:
+        return df.groupBy(*by).agg(F.max(ts_col).alias("watermark"))
+    return df.agg(F.max(ts_col).alias("watermark"))
+
+
+def collection_counts(
+    df: DataFrame, parent: str, type_col: str, types: list[str]
+) -> DataFrame:
+    """A6 — GROUP BY parent,type pivoted to one count column per type
+    (collect.py:233-247)."""
+    aggs = [
+        F.sum((F.col(type_col) == t).cast("long")).alias(f"{t}_count")
+        for t in types
+    ]
+    return df.groupBy(parent).agg(*aggs)
+
+
+def stats_rollup(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    value_col: str | None = None,
+) -> DataFrame:
+    """A7 (core shape) — daily usage rollup: count + total per
+    (day, *group_cols) (collect.py:88-119)."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date").alias("day")
+    aggs = [F.count(F.lit(1)).alias("count")]
+    if value_col:
+        aggs.append(F.round(F.sum(value_col), 2).alias("total"))
+    return df.groupBy(day, *group_cols).agg(*aggs)
+
+
+def stats_rollup_nested(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    term_col: str,
+) -> DataFrame:
+    """A7 (full shape) — rollup plus within-group term frequency map
+    (collect.py:132-217): two grouped aggs, the finer one folded into a
+    sorted array<struct(term,count)> per group."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    fine = (
+        df.withColumn("day", day)
+        .groupBy("day", *group_cols, term_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return fine.groupBy("day", *group_cols).agg(
+        F.sum("n").alias("count"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct(F.col(term_col), F.col("n"))))
+        ).alias("items"),
+    )
+
+
+def duplicate_groups(df: DataFrame, keys: list[str]) -> DataFrame:
+    """A10/U4 — duplicate detection: key groups occurring more than once
+    (db_check.py:270-297)."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .orderBy(F.desc("n"), *keys)
+    )
+
+
+def majority_vote(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """A11 — most-common value per key, deterministic tie-break on value
+    ascending (license vote, conversions.py:699-706)."""
+    counts = df.groupBy(*keys, value_col).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy(*keys).orderBy(F.desc("n"), F.col(value_col))
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*keys, F.col(value_col).alias("winner"), F.col("n").alias("votes"))
+    )
+
+
+def paginate(
+    df: DataFrame, order_col: str, limit: int = 100, offset: int = 0
+) -> DataFrame:
+    """O1 — ORDER BY <key> LIMIT/OFFSET listings (db.py:357-379).
+
+    Spark has no OFFSET pushdown in DataFrame API; a global row_number over
+    a single ordered partition would serialize, so for small offsets (the
+    API default is limit 100) we take offset+limit rows and slice. For deep
+    pagination use keyset continuation (filter key > last_seen) instead —
+    that is the scalable path and what the reference's uuid-ordered listing
+    enables."""
+    rows = df.orderBy(order_col).limit(offset + limit)
+    if offset:
+        w = Window.orderBy(order_col)
+        rows = (
+            rows.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > offset)
+            .drop("__rn")
+        )
+    return rows

@@ -1,0 +1,99 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Baseline: brute-force cosine top-k — a single scan with a native
+zip_with/aggregate dot product (no UDF), then a tiny top-k sort. This is
+the exact oracle and is already shuffle-free except the final top-k
+(Spark's `orderBy().limit(k)` compiles to TakeOrderedAndProject — each
+partition keeps k rows, the driver merges; no full sort).
+
+Scale path: IVF — partition vectors into nlist buckets by nearest
+centroid (KMeans-lite with deterministic seeded init), probe the nprobe
+nearest buckets at query time. Bucket assignment is a one-off batch job;
+queries scan ~nprobe/nlist of the data with partition pruning when the
+table is written partitioned by bucket id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from idb_backend_spark.functions.similarity import cosine_similarity
+
+
+def _vec_lit(vec) -> "F.Column":
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector."""
+    sim = cosine_similarity(F.col(vec_col), _vec_lit(query_vec))
+    return (
+        df.select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_build(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nlist: int = 16,
+    sample_seed: int = 42,
+) -> tuple[DataFrame, list]:
+    """Assign each vector to its nearest of nlist centroids.
+
+    Centroids are a deterministic sample (seeded) — one Lloyd iteration is
+    usually enough for bucketing quality; full KMeans can refine offline.
+    Returns (assigned_df with `bucket` column, centroids list).
+    """
+    sample = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("string"), F.lit(sample_seed)))
+        .limit(nlist)
+        .collect()
+    )
+    centroids = [list(r[vec_col]) for r in sample]
+    best = None
+    for i, c in enumerate(centroids):
+        sim = cosine_similarity(F.col(vec_col), _vec_lit(c))
+        entry = F.struct(sim.alias("s"), F.lit(i).alias("b"))
+        best = entry if best is None else F.when(entry["s"] > best["s"], entry).otherwise(best)
+    assigned = df.withColumn("bucket", best["b"])
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list,
+    query_vec,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe the nprobe buckets whose centroids are nearest the query."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=float)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    sims = []
+    for i, c in enumerate(centroids):
+        cv = np.asarray(c, dtype=float)
+        n = np.linalg.norm(cv)
+        sims.append((float(np.dot(qn, cv / n)) if n else -1.0, i))
+    probe = [i for _, i in sorted(sims, reverse=True)[:nprobe]]
+    sim = cosine_similarity(F.col(vec_col), _vec_lit(query_vec))
+    return (
+        assigned.filter(F.col("bucket").isin(probe))
+        .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )

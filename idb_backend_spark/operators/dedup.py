@@ -1,0 +1,243 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, increasing recall / cost:
+  exact          — hash groupBy on a content fingerprint (one shuffle)
+  ngram_jaccard  — exact Jaccard on shingle sets via an inverted-index
+                   self-join (no pairwise cross product: pairs only form
+                   when they share a shingle)
+  minhash_lsh    — MinHash signatures + banded LSH bucketing; candidate
+                   pairs only within buckets, verified by signature
+                   similarity. The 100 TB path: cost is O(n · sig) + bucket
+                   joins, never O(n²).
+  simhash        — 64-bit fingerprints; near-dups = small Hamming distance,
+                   bucketed by fingerprint chunks (pigeonhole: two fingerprints
+                   within distance d share at least one of d+1 chunks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from idb_backend_spark.functions.similarity import (
+    hamming64,
+    lsh_band_keys,
+    minhash_signature,
+    simhash64,
+)
+from idb_backend_spark.functions.text import fingerprint, shingles, tokens
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Exact dedup groups: one row per distinct content fingerprint with
+    the keeper (min id) and the duplicate count."""
+    return (
+        df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keeper"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup_keep_first(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The filtered corpus: keep the min-id representative of each group."""
+    keepers = exact_dedup(df, text_col, id_col).select(
+        F.col("keeper").alias(id_col)
+    )
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
+
+    Inverted-index pattern: explode distinct shingles, self-join on the
+    shingle (pairs form only via shared shingles), count shared, then
+    |A∪B| = |A| + |B| - shared. Output: (id_a, id_b, jaccard) with
+    id_a < id_b and jaccard >= threshold.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")
+    )
+    sizes = sh.select("id", F.size("sh").alias("sz"))
+    inv = sh.select("id", F.explode("sh").alias("g"))
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), on="g")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        pairs.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH candidate generation + signature-similarity verification.
+
+    Returns (id_a, id_b, est_jaccard) for candidate pairs whose estimated
+    Jaccard (fraction of matching signature lanes) >= threshold. Candidates
+    only form inside LSH buckets: the self-join key is (band, band_hash), so
+    the shuffle is bounded by bucket sizes, not n².
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(shingles(text_col, shingle_k), num_hashes, seed).alias(
+            "sig"
+        ),
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bk"),
+    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda m: m,
+        )
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming radius.
+
+    Pigeonhole bucketing: split the 64-bit fingerprint into max_hamming+1
+    chunks; any pair within the radius agrees on >=1 chunk, so the
+    self-join runs per chunk value — no cross product.
+    """
+    n_chunks = max_hamming + 1
+    chunk_bits = 64 // n_chunks
+    fp = df.select(
+        F.col(id_col).alias("id"), simhash64(tokens(text_col)).alias("fp")
+    )
+    chunks = []
+    for i in range(n_chunks):
+        chunks.append(
+            fp.select(
+                "id",
+                "fp",
+                F.lit(i).alias("chunk"),
+                F.shiftrightunsigned(F.col("fp"), i * chunk_bits)
+                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                .alias("ckey"),
+            )
+        )
+    banded = chunks[0]
+    for c in chunks[1:]:
+        banded = banded.union(c)
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["chunk", "ckey"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.fp"), F.col("b.fp")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-dup via random-hyperplane LSH bucketing.
+
+    Vectors are bucketed by the sign pattern of n_planes random projections
+    (deterministic seeded planes); exact cosine is computed only within
+    buckets. Recall can be raised by probing multiple band subsets; this
+    single-band variant is the cheap first pass.
+    """
+    import numpy as np
+
+    from idb_backend_spark.functions.similarity import cosine_similarity
+
+    first = df.select(F.size(vec_col).alias("d")).first()
+    dim = first["d"]
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    sign_bits = []
+    for p in range(n_planes):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in planes[p]]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sign_bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
+    bucket = sum(sign_bits[1:], sign_bits[0]).alias("bucket")
+    b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket)
+    return (
+        b.alias("a")
+        .join(b.alias("b"), on="bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(
+                cosine_similarity(F.col("a.v"), F.col("b.v")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

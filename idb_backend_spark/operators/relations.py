@@ -1,0 +1,90 @@
+"""Relation/link operators: identifier aggregation, sibling symmetrization,
+record↔media cross-filtering (reference db.py:50-78, download.py:359-430).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def aggregate_identifiers(
+    entities: DataFrame,
+    identifiers: DataFrame,
+    key: str = "uuid",
+    id_key: str = "uuids_id",
+    id_val: str = "identifier",
+) -> DataFrame:
+    """J2 — attach sorted identifier arrays per entity (db.py:50-56).
+
+    Sorted for determinism (the reference's array_agg order is whatever
+    Postgres yields; we pin it)."""
+    agg = identifiers.groupBy(F.col(id_key).alias(key)).agg(
+        F.sort_array(F.collect_set(id_val)).alias("recordids")
+    )
+    return entities.join(agg, on=key, how="left")
+
+
+def symmetrize_edges(edges: DataFrame, r1: str = "r1", r2: str = "r2") -> DataFrame:
+    """U1/J3 — undirected edge list -> both directions (db.py:62-66)."""
+    fwd = edges.select(F.col(r1).alias("src"), F.col(r2).alias("dst"))
+    rev = edges.select(F.col(r2).alias("src"), F.col(r1).alias("dst"))
+    return fwd.union(rev)
+
+
+def sibling_map(
+    edges: DataFrame,
+    uuids: DataFrame,
+    r1: str = "r1",
+    r2: str = "r2",
+    key: str = "uuid",
+    type_col: str = "type",
+) -> DataFrame:
+    """J3 — per-entity map<type, array<uuid>> of its (non-deleted) siblings
+    (db.py:58-73): symmetrize, join the registry for the *other* side's
+    type, group, and build the rel->uuids map."""
+    sym = symmetrize_edges(edges, r1, r2)
+    typed = sym.join(
+        uuids.select(F.col(key).alias("dst"), F.col(type_col)),
+        on="dst",
+        how="inner",
+    )
+    per_type = typed.groupBy("src", type_col).agg(
+        F.sort_array(F.collect_set("dst")).alias("sibs")
+    )
+    return per_type.groupBy(F.col("src").alias(key)).agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct(F.col(type_col), F.col("sibs"))))
+        ).alias("siblings")
+    )
+
+
+def cross_filter(
+    records: DataFrame,
+    media: DataFrame,
+    record_pred: Column | None,
+    media_pred: Column | None,
+    link: tuple[str, str] = ("uuid", "record_uuid"),
+) -> tuple[DataFrame, DataFrame]:
+    """J5 — record↔media cross-filtering (ES has_child/has_parent,
+    download.py:359-430) as semi-joins.
+
+    Returns (records', media'): records satisfying record_pred AND having at
+    least one media row satisfying media_pred, and symmetrically for media.
+    Semi-joins keep only the key column on the build side — no payload
+    shuffle — and AQE turns the filtered side into a broadcast when small.
+    """
+    rkey, mkey = link
+    r = records.filter(record_pred) if record_pred is not None else records
+    m = media.filter(media_pred) if media_pred is not None else media
+    r_out = r
+    if media_pred is not None:
+        r_out = r.join(
+            m.select(F.col(mkey).alias(rkey)).distinct(), on=rkey, how="left_semi"
+        )
+    m_out = m
+    if record_pred is not None:
+        m_out = m.join(
+            r.select(F.col(rkey).alias(mkey)).distinct(), on=mkey, how="left_semi"
+        )
+    return r_out, m_out

@@ -1,0 +1,105 @@
+"""Versioned-store operators: latest-per-key, version assignment, merge.
+
+The reference keeps an append-only version history (uuids_data,
+db.py:280-286) and resolves "latest" with a LATERAL top-1-per-uuid join
+(db.py:37-44). In Spark that is a window rank — AQE handles key skew, and
+when the store is bucketed by the key the window needs no extra shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from idb_backend_spark.functions.etags import TOMBSTONE_ETAG
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column],
+    rank_col: str = "__rn",
+) -> DataFrame:
+    """J1/W1 — top-1 row per key by ordering (reference db.py:37-44).
+
+    ``order_by`` should end with a unique tie-breaker for determinism.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) == 1)
+        .drop(rank_col)
+    )
+
+
+def with_version_numbers(
+    df: DataFrame, keys: list[str], order_by: list[Column], out: str = "version"
+) -> DataFrame:
+    """W2 — monotonically increasing version per key (db.py:144-155 keeps
+    ``max(version)+1``; replayed over history this is a dense rank from 0)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn(out, F.row_number().over(w) - 1)
+
+
+def merge_batch(
+    latest: DataFrame,
+    batch: DataFrame,
+    key: str = "uuid",
+    etag_col: str = "etag",
+) -> DataFrame:
+    """Etag-gated upsert (X5 + W2): new version rows only where the content
+    hash changed (reference _upsert_uuid_data_query, db.py:144-155).
+
+    ``latest`` has (key, etag, version); ``batch`` has (key, etag, ...).
+    Returns the rows of ``batch`` that must be appended, with assigned
+    version numbers. The no-change case is filtered *before* any shuffle of
+    record bodies — at 100 TB the common case (unchanged record) costs one
+    broadcast/bucketed join probe, not a write.
+    """
+    cur = latest.select(
+        F.col(key),
+        F.col(etag_col).alias("__cur_etag"),
+        F.col("version").alias("__cur_version"),
+    )
+    joined = batch.join(cur, on=key, how="left")
+    changed = joined.filter(
+        F.col("__cur_etag").isNull() | (F.col("__cur_etag") != F.col(etag_col))
+    )
+    return changed.withColumn(
+        "version", F.coalesce(F.col("__cur_version") + 1, F.lit(0))
+    ).drop("__cur_etag", "__cur_version")
+
+
+def tombstones_for_deletes(
+    latest: DataFrame,
+    seen: DataFrame,
+    key: str = "uuid",
+    modified: Column | None = None,
+) -> DataFrame:
+    """U2 — delete detection: keys present in the store but absent from the
+    new harvest batch get a tombstone version (db_check.py:441-454,
+    tombstone etag db.py:33)."""
+    gone = latest.join(seen.select(key).distinct(), on=key, how="left_anti")
+    out = gone.select(
+        key, (F.col("version") + 1).alias("version")
+    ).withColumn("etag", F.lit(TOMBSTONE_ETAG))
+    if modified is not None:
+        out = out.withColumn("modified", modified)
+    return out
+
+
+def reconcile_skip_set(
+    index_side: DataFrame, store_side: DataFrame, key: str = "uuid",
+    etag_col: str = "etag",
+) -> DataFrame:
+    """U3 — resume reconciliation: rows whose store etag differs from the
+    index etag (or missing on either side) need reindexing
+    (index_from_postgres.py:188-222)."""
+    a = index_side.select(F.col(key), F.col(etag_col).alias("__idx_etag"))
+    b = store_side.select(F.col(key), F.col(etag_col).alias("__pg_etag"))
+    full = a.join(b, on=key, how="full_outer")
+    return full.filter(
+        F.col("__idx_etag").isNull()
+        | F.col("__pg_etag").isNull()
+        | (F.col("__idx_etag") != F.col("__pg_etag"))
+    ).select(key)

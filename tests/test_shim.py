@@ -1,0 +1,179 @@
+"""Shim-compiler golden tests (style of reference
+tests/idb/test_helpers_query_shim.py — assert exact predicate semantics for
+every predicate type)."""
+
+import pytest
+from pyspark.sql import Row
+
+from idb_backend_spark.query.shim import (
+    ShimError,
+    compile_shim,
+    parse_distance_km,
+    shim_to_sql,
+)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [
+        Row(genus="Acer", stateprovince="florida", lat=29.6, lon=-82.3,
+            count=5, name="acer rubrum", fulltext="acer rubrum florida herp",
+            geopoint=Row(lat=29.6, lon=-82.3)),
+        Row(genus="quercus", stateprovince="georgia", lat=33.7, lon=-84.4,
+            count=12, name="quercus alba", fulltext="quercus alba georgia",
+            geopoint=Row(lat=33.7, lon=-84.4)),
+        Row(genus=None, stateprovince="florida", lat=0.0, lon=0.0,
+            count=None, name="unknown", fulltext="unknown florida",
+            geopoint=Row(lat=0.0, lon=0.0)),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def _genera(df, shim):
+    return sorted(
+        r.name for r in df.filter(compile_shim(shim)).select("name").collect()
+    )
+
+
+def test_term_case_insensitive(df):
+    # P1: query-side and store-side case folding agree (query_shim.py:93-105)
+    assert _genera(df, {"genus": "ACER"}) == ["acer rubrum"]
+    assert _genera(df, {"genus": "acer"}) == ["acer rubrum"]
+
+
+def test_terms_or(df):
+    assert _genera(df, {"genus": ["acer", "Quercus"]}) == [
+        "acer rubrum",
+        "quercus alba",
+    ]
+
+
+def test_conjunction(df):
+    assert _genera(df, {"genus": "acer", "stateprovince": "florida"}) == [
+        "acer rubrum"
+    ]
+    assert _genera(df, {"genus": "acer", "stateprovince": "georgia"}) == []
+
+
+def test_empty_shim_match_all(df):
+    assert len(_genera(df, {})) == 3
+    assert len(_genera(df, None)) == 3
+
+
+def test_exists_missing(df):
+    assert _genera(df, {"genus": {"type": "exists"}}) == [
+        "acer rubrum",
+        "quercus alba",
+    ]
+    assert _genera(df, {"genus": {"type": "missing"}}) == ["unknown"]
+
+
+def test_range(df):
+    assert _genera(df, {"count": {"type": "range", "gte": 5, "lt": 12}}) == [
+        "acer rubrum"
+    ]
+    assert _genera(df, {"count": {"gte": 5}}) == ["acer rubrum", "quercus alba"]
+
+
+def test_prefix(df):
+    assert _genera(df, {"name": {"type": "prefix", "value": "ACER"}}) == [
+        "acer rubrum"
+    ]
+
+
+def test_fulltext_and_semantics(df):
+    assert _genera(df, {"data": {"type": "fulltext", "value": "alba georgia"}}) == [
+        "quercus alba"
+    ]
+    assert _genera(df, {"data": {"type": "fulltext", "value": "alba florida"}}) == []
+
+
+def test_geo_bounding_box(df):
+    shim = {
+        "geopoint": {
+            "type": "geo_bounding_box",
+            "top_left": {"lat": 31.0, "lon": -85.0},
+            "bottom_right": {"lat": 28.0, "lon": -80.0},
+        }
+    }
+    assert _genera(df, shim) == ["acer rubrum"]
+
+
+def test_geo_distance(df):
+    shim = {
+        "geopoint": {
+            "type": "geo_distance",
+            "lat": 29.65,
+            "lon": -82.32,
+            "distance": "50km",
+        }
+    }
+    assert _genera(df, shim) == ["acer rubrum"]
+
+
+def test_geo_polygon(df):
+    shim = {
+        "geopoint": {
+            "type": "geo_polygon",
+            "points": [[-85.0, 28.0], [-80.0, 28.0], [-80.0, 31.0], [-85.0, 31.0]],
+        }
+    }
+    assert _genera(df, shim) == ["acer rubrum"]
+
+
+def test_geo_shape_polygon_with_hole(df):
+    shim = {
+        "geopoint": {
+            "type": "geo_shape",
+            "shape": {
+                "type": "polygon",
+                "coordinates": [
+                    [[-90.0, 25.0], [-75.0, 25.0], [-75.0, 36.0], [-90.0, 36.0]],
+                    # hole around the acer point
+                    [[-83.0, 29.0], [-81.0, 29.0], [-81.0, 30.0], [-83.0, 30.0]],
+                ],
+            },
+        }
+    }
+    assert _genera(df, shim) == ["quercus alba"]
+
+
+def test_distance_units():
+    assert parse_distance_km("50km") == 50.0
+    assert parse_distance_km("5000m") == 5.0
+    assert parse_distance_km(10) == 10.0
+    assert parse_distance_km("1mi") == pytest.approx(1.609344)
+
+
+def test_unknown_predicate_raises(df):
+    with pytest.raises(ShimError):
+        compile_shim({"genus": {"type": "bogus"}})
+
+
+def test_sql_emission_matches_spark(spark, df):
+    """The emitted SQL must select the same rows as the compiled Column."""
+    import duckdb
+
+    pdf = df.drop("geopoint").toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    shims = [
+        {"genus": "ACER"},
+        {"genus": ["acer", "Quercus"]},
+        {"count": {"type": "range", "gte": 5, "lt": 12}},
+        {"name": {"type": "prefix", "value": "que"}},
+        {"genus": {"type": "missing"}},
+        {"fulltext": {"type": "fulltext", "value": "alba georgia"}},
+        {},
+    ]
+    for shim in shims:
+        spark_names = sorted(
+            r.name for r in df.filter(compile_shim(shim)).select("name").collect()
+        )
+        sql_names = sorted(
+            r[0]
+            for r in con.execute(
+                f"SELECT name FROM t WHERE {shim_to_sql(shim)}"
+            ).fetchall()
+        )
+        assert spark_names == sql_names, shim
