@@ -1,38 +1,47 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (the reference's canonical e2e
+export query shape: shim filter -> citation counts,
+tests/idigbio_workers/lib/test_download.py:13-15) on sf0.001.
+``queries()`` / ``oracle_sql()`` expose the full operator catalog from
+idb_backend_spark.plans.catalog, one entry per implemented operator from
+SURVEY.md §2 plus the training-data-pipeline operators.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from idb_backend_spark.plans.catalog import ORACLE, Q
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: shim-compiled filter + per-recordset citation counts
+    (the reference's dataset-download path, SURVEY §3.1) on sf0.001."""
+    from pyspark.sql import functions as F
+
+    from idb_backend_spark.operators.aggregates import hit_counts
+    from idb_backend_spark.query.shim import compile_shim
+
+    sf_dir = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pred = compile_shim(
+        {"o_orderstatus": "O", "o_totalprice": {"gte": 50000}}
+    )
+    return hit_counts(
+        orders.withColumn("recordset", F.col("o_custkey")), pred, "recordset"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(Q)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE)

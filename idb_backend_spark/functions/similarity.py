@@ -20,10 +20,10 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-# Mersenne prime 2^61 - 1: universal hashing modulus. Fits in a long and
-# (a*x + b) stays within int128 in numpy / within Decimal-free long math in
-# the JVM when x is first reduced mod p.
-MERSENNE_P = (1 << 61) - 1
+# Mersenne prime 2^31 - 1: universal hashing modulus. With a, b, x all < p,
+# a*x + b < 2^62 — safely inside a signed 64-bit long, so the JVM-side
+# modular arithmetic is exact (no silent overflow wrap).
+MERSENNE_P = (1 << 31) - 1
 
 
 def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -49,21 +49,15 @@ def minhash_signature(
     base = F.transform(
         shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P))
     )
-    sigs = []
-    for a, b in _hash_params(num_hashes, seed):
-        a_lo, a_hi = a & 0x7FFFFFFF, a >> 31
-        # (a*x) mod p  ==  ((a_hi*x mod p) * 2^31 + a_lo*x) mod p, with each
-        # product < 2^61 * 2^31 — still overflows 64-bit, so reduce eagerly:
-        def perm(x, a_lo=a_lo, a_hi=a_hi, b=b):
-            hi = F.pmod(F.lit(a_hi) * x, F.lit(MERSENNE_P))
-            hi = F.pmod(
-                F.pmod(hi * F.lit(1 << 31), F.lit(MERSENNE_P))
-                + F.pmod(F.lit(a_lo) * x, F.lit(MERSENNE_P))
-                + F.lit(b),
-                F.lit(MERSENNE_P),
-            )
-            return hi
-        sigs.append(F.array_min(F.transform(shingle_col, perm)))
+    def _perm(a: int, b: int):
+        # Single-arg lambda factory (extra default args would be bound to
+        # the higher-order function's index parameter). a*x + b < 2^62: exact.
+        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MERSENNE_P))
+
+    sigs = [
+        F.array_min(F.transform(base, _perm(a, b)))
+        for a, b in _hash_params(num_hashes, seed)
+    ]
     return F.array(*sigs)
 
 

@@ -102,9 +102,15 @@ def lang_id(c: Column | str, markers: dict[str, list[str]] | None = None) -> Col
     code ascending; 'und' when no marker matches."""
     markers = markers or LANG_MARKERS
     t = tokens(c)
+
+    def _pred(words):
+        # single-arg lambda factory: a default-arg closure would make PySpark
+        # bind the second parameter to the array index
+        return lambda x: x.isin(words)
+
     best = None
     for lang in sorted(markers):
-        hits = F.size(F.filter(t, lambda x, w=markers[lang]: x.isin(w)))
+        hits = F.size(F.filter(t, _pred(markers[lang])))
         entry = F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
         best = entry if best is None else F.when(
             entry["hits"] > best["hits"], entry

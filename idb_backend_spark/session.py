@@ -39,6 +39,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic time semantics (oracle parity with naive timestamps).
         .config("spark.sql.session.timeZone", "UTC")
+        # Parquet TIMESTAMP(NANOS) columns (events.ts) read as long nanos;
+        # sources/store.py converts to microsecond timestamps.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Bound scan partition size so a 100 TB table still yields
         # executor-memory-sized tasks.
         .config("spark.sql.files.maxPartitionBytes", "128m")
