@@ -1,0 +1,78 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set exercises the scale-critical plan shapes: window
+top-1-per-key over the fact table, symmetrized-union aggregation, semi-join
+cross-filter, hash aggregations, exact + MinHash-LSH dedup, and brute-force
+cosine top-k.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "shim_term_terms",
+    "latest_object_per_url",
+    "version_numbering",
+    "sibling_symmetrize",
+    "crossfilter_semi_join",
+    "citation_counts",
+    "stats_daily_rollup",
+    "majority_vote",
+    "exact_dedup",
+    "token_count_quality",
+    "lang_id_heuristic",
+    "minhash_lsh_pairs",
+    "ann_cosine_topk",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1
+
+    from idb_backend_spark.plans.catalog import Q
+    from idb_backend_spark.session import get_spark
+
+    spark = get_spark("idb-backend-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen path once on a trivial job so the first measured
+    # query doesn't pay session startup
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = Q[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        dt = time.time() - t0
+        times[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -33,22 +33,33 @@ def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     return list(zip(a.tolist(), b.tolist()))
 
 
+def hash_base(shingle_col: Column) -> Column:
+    """base_i = xxhash64(shingle_i) mod p — computed ONCE per shingle.
+
+    Keep this in its own projection (select/withColumn boundary) so the
+    signature lanes reference an attribute instead of re-evaluating the
+    shingle hashing per lane."""
+    return F.transform(
+        shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P))
+    )
+
+
 def minhash_signature(
     shingle_col: Column, num_hashes: int = 64, seed: int = 42
 ) -> Column:
-    """MinHash signature (array<long>, length num_hashes) of a distinct
-    shingle array, entirely with native expressions.
+    """MinHash signature (array<long>, length num_hashes) from a shingle or
+    pre-hashed base array, entirely with native expressions.
 
-    base_i = xxhash64(shingle) mod p  (computed once per shingle)
-    sig_j  = min_i ((a_j * base_i + b_j) mod p)
+    base_i = xxhash64(shingle_i) mod p;  sig_j = min_i ((a_j*base_i + b_j) mod p)
+    With a, b, base < p < 2^31 the arithmetic is overflow-exact in 64-bit —
+    deterministic and portable.
 
-    The multiply is done in two 31-bit halves to avoid 64-bit overflow
-    changing results between engines; overflow-free math keeps the
-    signature deterministic and portable.
+    IMPORTANT at scale: pass ``hash_base(...)`` through its own projection
+    boundary (withColumn/select) and call this on the resulting *attribute*;
+    inlining the shingle expression here would re-evaluate it once per lane.
     """
-    base = F.transform(
-        shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P))
-    )
+    base = shingle_col
+
     def _perm(a: int, b: int):
         # Single-arg lambda factory (extra default args would be bound to
         # the higher-order function's index parameter). a*x + b < 2^62: exact.

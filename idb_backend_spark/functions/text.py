@@ -124,13 +124,15 @@ def fingerprint(c: Column | str) -> Column:
     return F.md5(normalize_text(c).cast("binary"))
 
 
-def shingles(c: Column | str, k: int = 3) -> Column:
-    """Distinct word k-shingles of the normalized text -> array<string>.
+def shingles_from_tokens(t: Column, norm: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles from a token-array *attribute* column.
 
-    Built natively: tokenize, then slide a k-window via transform over
-    index sequence. Rows with < k tokens yield the whole-text singleton so
-    short docs still participate in similarity."""
-    t = tokens(c)
+    ``t`` and ``norm`` MUST be attribute references (pass them through a
+    select/withColumn boundary first): the windowing lambda evaluates
+    ``element_at(t, ...)`` k times per position, so an inlined tokenization
+    expression would be re-executed O(k·n) times per row — measured 20x
+    slowdown at sf0.1. Rows with < k tokens yield the whole-text singleton
+    so short docs still participate in similarity."""
     n = F.size(t)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     win = F.transform(
@@ -139,7 +141,16 @@ def shingles(c: Column | str, k: int = 3) -> Column:
             " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(k)]
         ),
     )
-    return F.array_distinct(F.when(n >= k, win).otherwise(F.array(normalize_text(c))))
+    return F.array_distinct(F.when(n >= k, win).otherwise(F.array(norm)))
+
+
+def shingles(c: Column | str, k: int = 3) -> Column:
+    """Distinct word k-shingles of the normalized text -> array<string>.
+
+    Convenience form that inlines tokenization — fine for tests/small data;
+    hot paths must stage `tokens()` + `normalize_text()` through a
+    projection and use `shingles_from_tokens` (see its docstring)."""
+    return shingles_from_tokens(tokens(c), normalize_text(c), k)
 
 
 def char_ngrams(c: Column | str, n: int = 5) -> Column:

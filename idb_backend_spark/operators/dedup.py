@@ -21,11 +21,42 @@ from pyspark.sql import functions as F
 
 from idb_backend_spark.functions.similarity import (
     hamming64,
+    hash_base,
     lsh_band_keys,
     minhash_signature,
     simhash64,
 )
-from idb_backend_spark.functions.text import fingerprint, shingles, tokens
+from idb_backend_spark.functions.text import (
+    fingerprint,
+    normalize_text,
+    shingles_from_tokens,
+    tokens,
+)
+
+
+def _spread(df: DataFrame, n_partitions: int | None) -> DataFrame:
+    """Repartition before per-row heavy map work. A small parquet file
+    arrives as one partition; without this, signature computation runs as a
+    single task regardless of cores. At real scale the scan already yields
+    many partitions and the default (parallelism) is a no-op-ish round
+    robin of similar width."""
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
+def _shingle_df(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, sh) with tokenization staged through projection boundaries so
+    the shingle window reads attributes, not re-evaluated expressions."""
+    staged = _spread(df.select(F.col(id_col), F.col(text_col)), None).select(
+        F.col(id_col).alias("id"),
+        tokens(text_col).alias("__t"),
+        normalize_text(text_col).alias("__norm"),
+    )
+    return staged.select(
+        "id", shingles_from_tokens(F.col("__t"), F.col("__norm"), k).alias("sh")
+    )
 
 
 def exact_dedup(
@@ -65,11 +96,14 @@ def ngram_jaccard_pairs(
     |A∪B| = |A| + |B| - shared. Output: (id_a, id_b, jaccard) with
     id_a < id_b and jaccard >= threshold.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")
-    )
+    sh = _shingle_df(df, text_col, id_col, k)
     sizes = sh.select("id", F.size("sh").alias("sz"))
-    inv = sh.select("id", F.explode("sh").alias("g"))
+    # explode_outer, not explode: InferFiltersFromGenerate would add a
+    # size(sh) > 0 filter and push it below the projection boundaries,
+    # re-inlining the whole shingle expression per row (measured 7x cost).
+    # Shingle arrays are never empty (whole-text fallback), so they are
+    # semantically identical here.
+    inv = sh.select("id", F.explode_outer("sh").alias("g"))
     pairs = (
         inv.alias("a")
         .join(inv.alias("b"), on="g")
@@ -108,38 +142,71 @@ def minhash_lsh_pairs(
     only form inside LSH buckets: the self-join key is (band, band_hash), so
     the shuffle is bounded by bucket sizes, not n².
     """
+    from idb_backend_spark.functions.similarity import MERSENNE_P, _hash_params
+
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(shingles(text_col, shingle_k), num_hashes, seed).alias(
-            "sig"
-        ),
+    params = _hash_params(num_hashes, seed)
+
+    # Signature as ONE hash aggregation: explode the distinct shingles to an
+    # inverted index, hash each shingle once, then take 64 per-lane min()
+    # aggregates. Map-side partial aggregation makes this a single bounded
+    # shuffle keyed by doc id — the formulation that survives 100 TB (the
+    # nested 64-lane array-expression alternative falls out of codegen and
+    # runs interpreted, ~20x slower measured at sf0.1).
+    # explode_outer: see ngram_jaccard_pairs — avoids the inferred
+    # size()>0 filter that re-inlines the shingle expression.
+    inv = (
+        _shingle_df(df, text_col, id_col, shingle_k)
+        .select("id", F.explode_outer("sh").alias("g"))
+        .select("id", F.pmod(F.xxhash64("g"), F.lit(MERSENNE_P)).alias("h"))
     )
+    lane_aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE_P))).alias(
+            f"m{j}"
+        )
+        for j, (a, b) in enumerate(params)
+    ]
+    sig = inv.groupBy("id").agg(*lane_aggs)
+
+    # Band keys straight off the lane columns; candidates carry only ids.
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"m{bi * rows_per_band + j}").cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                )
+            ).alias("key"),
+        )
+        for bi in range(bands)
+    ]
     banded = sig.select(
-        "id",
-        "sig",
-        F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bk"),
-    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        "id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), on=["band", "key"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    # Verify candidates by signature-lane agreement (only candidate pairs
+    # rejoin the signatures — a tiny fraction of n²).
+    sig_arr = sig.select(
+        "id", F.array(*[F.col(f"m{j}") for j in range(num_hashes)]).alias("sig")
     )
     est = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-            lambda m: m,
-        )
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
     ) / F.lit(float(num_hashes))
     return (
-        cand.withColumn("est_jaccard", F.round(est, 6))
+        cand.join(sig_arr.withColumnsRenamed({"id": "id_a", "sig": "sig_a"}), "id_a")
+        .join(sig_arr.withColumnsRenamed({"id": "id_b", "sig": "sig_b"}), "id_b")
+        .withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
@@ -159,7 +226,7 @@ def simhash_pairs(
     """
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
-    fp = df.select(
+    fp = _spread(df.select(F.col(id_col), F.col(text_col)), None).select(
         F.col(id_col).alias("id"), simhash64(tokens(text_col)).alias("fp")
     )
     chunks = []
