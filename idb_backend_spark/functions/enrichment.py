@@ -1,0 +1,398 @@
+"""Row-level enrichment library — the ETL parity core (SURVEY §2.8).
+
+Re-expresses the reference's enrichment pipeline (idb/helpers/
+conversions.py `grabAll`, :932-964) as native Column expressions wherever
+the semantics allow, so the hot path stays inside WholeStageCodegen. Only
+the permissive date parse (F8) needs Python (dateutil) and is an
+Arrow-batched pandas UDF.
+
+The reference spends ~1.33 ms/record in single-core Python here
+(conversions.py:915-930); the native-expression formulation is dominated
+by scan cost instead.
+
+Flag discipline (F17, conversions.py:955-962): every normalizer returns
+its value column plus zero or more conditional flag columns built with
+``flags.flag_when``; callers fold them with ``flags.fold_flags``.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from idb_backend_spark.functions.flags import flag_when
+from idb_backend_spark.functions.grabbers import decimal_exponent, getfield
+
+# --------------------------------------------------------------------------
+# F6 — geoGrabber: lat/lon parse, auto-flip, bounds check, precision flag
+# (reference conversions.py:446-564). The CRS datum transform and the
+# reverse-geocode flip search live in geo.py (UDF kernels); the coordinate
+# normalization below is the pure-expression part.
+# --------------------------------------------------------------------------
+
+
+def geo_normalize(lat_raw: Column, lon_raw: Column) -> dict[str, Column]:
+    """Coordinate normalization with the reference's flag semantics:
+
+    * auto-flip when lat is out of ±90 but plausible as a lon while the
+      stated lon fits ±90 (flag ``geopoint_pre_flip``, conversions.py:460-465)
+    * bounds check after the flip → null point + ``geopoint_bounds`` flag
+      (conversions.py:467-475)
+    * ``geopoint_low_precision`` when either verbatim coordinate has ≤2
+      decimal places (conversions.py:457-477 via getExponent, :246-251)
+
+    Returns {"lat", "lon", "flag_pre_flip", "flag_bounds", "flag_low_precision"}.
+    """
+    # try_cast: unparseable coordinate -> null point, no exception — the
+    # reference's bare-except contract (conversions.py:478-480)
+    lat0 = getfield(lat_raw).try_cast("double")
+    lon0 = getfield(lon_raw).try_cast("double")
+    have = lat0.isNotNull() & lon0.isNotNull()
+
+    flip = (
+        have
+        & (((lat0 >= -180) & (lat0 < -90)) | ((lat0 > 90) & (lat0 <= 180)))
+        & (lon0 >= -90)
+        & (lon0 <= 90)
+    )
+    lat1 = F.when(flip, lon0).otherwise(lat0)
+    lon1 = F.when(flip, lat0).otherwise(lon0)
+
+    oob = have & (
+        (lat1 < -90) | (lat1 > 90) | (lon1 < -180) | (lon1 > 180)
+    )
+    ok = have & ~oob
+    low_prec = ok & (
+        (decimal_exponent(lat_raw) <= 2) | (decimal_exponent(lon_raw) <= 2)
+    )
+    return {
+        "lat": F.when(ok, lat1),
+        "lon": F.when(ok, lon1),
+        "flag_pre_flip": flag_when("geopoint_pre_flip", flip & ~oob),
+        "flag_bounds": flag_when("geopoint_bounds", oob),
+        "flag_low_precision": flag_when("geopoint_low_precision", low_prec),
+    }
+
+
+# --------------------------------------------------------------------------
+# F8 — date handling. The permissive free-text parse is a pandas UDF
+# (date_parse_udf in dates.py); the structured year/month/day fallback
+# assembly (conversions.py:604-624) and startdayofyear derivation (:626-627)
+# are native.
+# --------------------------------------------------------------------------
+
+
+def date_fallback(
+    eventdate: Column, year: Column, month: Column, day: Column,
+    startdayofyear: Column | None = None,
+) -> Column:
+    """Assemble datecollected from parts when the eventDate parse failed:
+    year+month+day → date; year+startDayOfYear → Jan 1 + (n-1) days;
+    year+month → first of month; year → Jan 1 (conversions.py:604-624)."""
+    y = year.cast("int")
+    m = month.cast("int")
+    d = day.cast("int")
+    sdoy = startdayofyear.cast("int") if startdayofyear is not None else F.lit(None)
+
+    def mkdate(yy: Column, mm: Column, dd: Column) -> Column:
+        # try_to_date: null on invalid parts even under ANSI mode
+        return F.try_to_date(
+            F.concat_ws(
+                "-", yy.cast("string"), mm.cast("string"), dd.cast("string")
+            ),
+            "y-M-d",
+        )
+
+    from_parts = F.when(
+        m.isNotNull() & d.isNotNull(), mkdate(y, m, d)
+    ).when(
+        m.isNull() & sdoy.isNotNull(),
+        F.date_add(mkdate(y, F.lit(1), F.lit(1)), sdoy - 1),
+    ).when(
+        m.isNotNull(), mkdate(y, m, F.lit(1))
+    ).otherwise(mkdate(y, F.lit(1), F.lit(1)))
+    return F.coalesce(eventdate, F.when(y.isNotNull(), from_parts))
+
+
+def date_bounds_flag(
+    d: Column, lower: str = "1500-01-02", name: str = "datecollected_bounds"
+) -> Column:
+    """checkBounds (conversions.py:227-243): flag dates outside
+    [1500-01-02, now]."""
+    return flag_when(
+        name,
+        d.isNotNull() & ((d < F.lit(lower).cast("date")) | (d > F.current_date())),
+    )
+
+
+# --------------------------------------------------------------------------
+# F10 — license canonicalization + majority vote (conversions.py:683-708;
+# tables idb/data_tables/rights_strings.py). The translation table is data:
+# URL/text variants → canonical license code. A representative subset —
+# the full production table loads the same way (broadcast map).
+# --------------------------------------------------------------------------
+
+_CC_VERSIONS = {"4.0": "CC4", "3.0": "CC3"}
+_CC_KINDS = ["by-nc-sa", "by-sa", "by-nc", "by"]
+
+LICENSE_TRANS: dict[str, str] = {}
+for _scheme in ("http", "https"):
+    for _v, _code in _CC_VERSIONS.items():
+        for _k in _CC_KINDS:
+            for _slash in ("/", ""):
+                LICENSE_TRANS[
+                    f"{_scheme}://creativecommons.org/licenses/{_k}/{_v}{_slash}"
+                ] = f"{_code} {_k.upper()}"
+    for _slash in ("/", ""):
+        LICENSE_TRANS[
+            f"{_scheme}://creativecommons.org/publicdomain/zero/1.0{_slash}"
+        ] = "CC0"
+LICENSE_TRANS.update({"cc0": "CC0", "cc by": "CC4 BY", "cc by-nc": "CC4 BY-NC"})
+
+#: Rights fields scanned in order (conversions.py:686-695).
+LICENSE_FIELDS = [
+    "dcterms:rights", "dc:rights", "xmpRights:UsageTerms",
+    "xmpRights:WebStatement", "dcterms:license",
+]
+
+
+def license_lookup(c: Column) -> Column:
+    """Map a rights string through the canonical-license table (broadcast-
+    size literal map; unknown → null)."""
+    mapping = F.create_map(
+        *[F.lit(x) for kv in LICENSE_TRANS.items() for x in kv]
+    )
+    return mapping[c]
+
+
+# --------------------------------------------------------------------------
+# F11 — media URL precedence + media type (conversions.py:711-738)
+# --------------------------------------------------------------------------
+
+_FORMAT_BUCKETS = {
+    "image/jpeg": "images", "image/png": "images", "image/gif": "images",
+    "image/tiff": "images", "image/jp2": "images", "image/bmp": "images",
+    "audio/mpeg": "sounds", "audio/wav": "sounds", "audio/x-wav": "sounds",
+    "audio/ogg": "sounds", "video/mp4": "videos", "video/quicktime": "videos",
+    "text/html": "debugfile", "application/pdf": "debugfile",
+}
+
+
+def access_uri(
+    accessuri: Column, best_quality: Column, dcterms_id: Column, dc_id: Column,
+    has_ac_keys: Column,
+) -> Column:
+    """accessuri precedence: ac:accessURI > ac:bestQualityAccessURI >
+    (identifiers, only when NO ac: key is present) — conversions.py:711-723."""
+    ident = F.when(~has_ac_keys, F.coalesce(dcterms_id, dc_id))
+    return F.coalesce(accessuri, best_quality, ident)
+
+
+def media_type(format_col: Column) -> tuple[Column, Column]:
+    """(format, mediatype): normalized format string and its storage bucket
+    (conversions.py:725-738; idb/helpers/media_validation.py buckets)."""
+    fmt = F.lower(F.trim(format_col))
+    mapping = F.create_map(
+        *[F.lit(x) for kv in _FORMAT_BUCKETS.items() for x in kv]
+    )
+    return fmt, mapping[fmt]
+
+
+# --------------------------------------------------------------------------
+# F13 — basisOfRecord → controlled vocabulary (conversions.py:856-893).
+# Substring rules in reference order; invalid → null + flags.
+# --------------------------------------------------------------------------
+
+BOR_RULES: list[tuple[str, str]] = [
+    ("preserved", "preservedspecimen"),
+    ("fossil", "fossilspecimen"),
+    ("living", "livingspecimen"),
+    ("material", "materialsample"),
+    ("specimen", "preservedspecimen"),
+    # "machine"+"observation" handled explicitly below before "observation"
+    ("observation", "humanobservation"),
+    ("occurrence", "occurrence"),
+]
+
+
+def fix_basis_of_record(bor: Column) -> dict[str, Column]:
+    """Returns {"value", "flag_removed", "flag_invalid"} with the
+    reference's rule order, including the machine+observation special case."""
+    v = getfield(bor)
+    filled = v.isNotNull() & (v != "")
+    expr = F.when(
+        v.contains("machine") & v.contains("observation"),
+        F.lit("machineobservation"),
+    )
+    for needle, out in BOR_RULES:
+        expr = expr.when(v.contains(needle), F.lit(out))
+    matched = expr  # else: NULL
+    value = F.when(filled, matched)
+    removed = filled & matched.isNull()
+    return {
+        "value": value,
+        "flag_removed": flag_when("dwc_basisofrecord_removed", removed),
+        "flag_invalid": flag_when(
+            "dwc_basisofrecord_invalid", removed | ~filled
+        ),
+    }
+
+
+# --------------------------------------------------------------------------
+# F14 — taxonrank normalization (conversions.py:895-913; tables
+# idb/data_tables/taxon_rank.py). Representative mapping subset + the GBIF
+# acceptable-rank vocabulary; production loads the full table identically.
+# --------------------------------------------------------------------------
+
+TAXON_RANK_ACCEPTABLE = {
+    "domain", "kingdom", "subkingdom", "superphylum", "phylum", "subphylum",
+    "superclass", "class", "subclass", "cohort", "superorder", "order",
+    "suborder", "infraorder", "superfamily", "family", "subfamily", "tribe",
+    "subtribe", "genus", "subgenus", "section", "series", "species",
+    "subspecies", "variety", "subvariety", "form", "subform", "cultivar",
+    "strain",
+}
+
+TAXON_RANK_MAPPING: dict[str, str | None] = {
+    "class": "class", "classe": "class", "division": "phylum",
+    "espece": "species", "especie": "species", "f.": "form",
+    "family": "family", "familia": "family", "fm.": "family",
+    "gen.": "genus", "genero": "genus", "genre": "genus", "genus": "genus",
+    "order": "order", "orden": "order", "ordre": "order",
+    "sp.": "species", "specie": "species", "species": "species",
+    "ssp.": "subspecies", "subsp.": "subspecies", "var.": "variety",
+    "unknown": None, "unranked": None, "not specified": None,
+}
+
+
+def fix_taxon_rank(rank: Column) -> dict[str, Column]:
+    """Returns {"value", "flag_replaced", "flag_removed", "flag_invalid"}
+    (conversions.py:895-913): mapped → replacement (flag when different;
+    None mapping removes); unmapped and not acceptable → removed."""
+    v = getfield(rank)
+    filled = v.isNotNull() & (v != "")
+    map_pairs = [
+        x
+        for k, tgt in TAXON_RANK_MAPPING.items()
+        for x in (F.lit(k), F.lit(tgt))
+    ]
+    mapped = F.create_map(*map_pairs)[v]
+    in_mapping = v.isin(list(TAXON_RANK_MAPPING.keys()))
+    acceptable = v.isin(list(TAXON_RANK_ACCEPTABLE))
+    value = F.when(
+        filled & in_mapping, mapped
+    ).when(filled & acceptable, v)
+    replaced = filled & in_mapping & mapped.isNotNull() & (mapped != v)
+    removed = filled & (
+        (in_mapping & mapped.isNull()) | (~in_mapping & ~acceptable)
+    )
+    return {
+        "value": value,
+        "flag_replaced": flag_when("dwc_taxonrank_replaced", replaced),
+        "flag_removed": flag_when("dwc_taxonrank_removed", removed),
+        "flag_invalid": flag_when("dwc_taxonrank_invalid", removed),
+    }
+
+
+# --------------------------------------------------------------------------
+# F12 — genus/specificepithet ↔ scientificname crossfill
+# (conversions.py:745-768). The assembly direction is native; the parse
+# direction (scientificname → genus/species) needs a name parser and is in
+# names.py as a heuristic expression (the reference calls an external
+# service — a non-public dependency we replace with binomial heuristics).
+# --------------------------------------------------------------------------
+
+
+def scientificname_fill(
+    scientificname: Column, genus: Column, epithet: Column
+) -> dict[str, Column]:
+    """genus [+ specificepithet] → scientificname when missing
+    (conversions.py:758-768); flag scientificname_added."""
+    assembled = F.when(
+        genus.isNotNull(),
+        F.concat_ws(" ", genus, epithet),
+    )
+    fill = scientificname.isNull() & genus.isNotNull()
+    return {
+        "value": F.coalesce(scientificname, assembled),
+        "flag_added": flag_when("scientificname_added", fill),
+    }
+
+
+def genus_species_parse(scientificname: Column) -> dict[str, Column]:
+    """Heuristic binomial split: first token → genus (when capitalized-word
+    shaped), second lowercase token → specificepithet. Replaces the
+    reference's external name-parser service (conversions.py:745-752)."""
+    sn = F.trim(scientificname)
+    toks = F.split(sn, r"\s+")
+    # try_element_at: null (not an error) past the end under ANSI mode
+    first = F.try_element_at(toks, F.lit(1))
+    second = F.try_element_at(toks, F.lit(2))
+    genus = F.when(first.rlike(r"^[A-Za-z][a-z-]+$"), F.lower(first))
+    species = F.when(
+        genus.isNotNull() & second.rlike(r"^[a-z-]+$"), F.lower(second)
+    )
+    return {"genus": genus, "specificepithet": species}
+
+
+# --------------------------------------------------------------------------
+# F22 — strip NULs / identifier munging (db_check.py:44-45, :60-61, :170-179)
+# --------------------------------------------------------------------------
+
+
+def strip_nuls(c: Column) -> Column:
+    return F.regexp_replace(c, "\x00", "")
+
+
+def munge_identifier(c: Column) -> Column:
+    """BOM strip + trim + lowercase (db_check.py:60-61)."""
+    return F.lower(F.trim(F.regexp_replace(c, "﻿", "")))
+
+
+# --------------------------------------------------------------------------
+# A4 — deterministic surrogate ids (idigbio_workers/lib/identification.py:6-21
+# uses uuid5 over a namespace + value string).
+# --------------------------------------------------------------------------
+
+IDIGBIO_NAMESPACE = uuid.UUID("fb4e501e-cbf4-477d-8b5c-bd9e66c57d48")
+
+
+def uuid5_expr(name: Column, namespace: uuid.UUID = IDIGBIO_NAMESPACE) -> Column:
+    """RFC-4122 v5 UUID as a *native* expression: sha1(namespace_bytes ||
+    utf8(name)), then version/variant nibble surgery on the hex string.
+    Matches Python's uuid.uuid5 byte-for-byte."""
+    h = F.sha1(F.concat(F.lit(namespace.bytes), name.cast("binary")))
+    variant_nibble = F.lower(
+        F.conv(
+            (
+                F.conv(F.substring(h, 17, 1), 16, 10).cast("int") % 4 + 8
+            ).cast("string"),
+            10,
+            16,
+        )
+    )
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.concat(F.lit("5"), F.substring(h, 14, 3)),
+        F.concat(variant_nibble, F.substring(h, 18, 3)),
+        F.substring(h, 21, 12),
+    )
+
+
+def stable_id_md5(name: Column, namespace: str = "idigbio") -> Column:
+    """md5-based stable surrogate id (uuid-shaped) — the cross-engine-
+    portable alternative (SURVEY A4): md5 is available in every engine the
+    oracle might run on, sha1 is not."""
+    h = F.md5(F.concat(F.lit(namespace + ":"), name))
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )

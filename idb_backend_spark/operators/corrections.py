@@ -1,0 +1,99 @@
+"""J10 — the corrections engine: data-driven rewrite rules
+(reference idb/corrections/record_corrector.py:186-255).
+
+The reference's model: a ``corrections`` table of (key-tuple values →
+replacement values) rules. For each record, each key tuple (e.g.
+``(dwc:genus,)`` or ``(dwc:country, dwc:stateprovince)``) is probed with
+the record's lowercased values; a hit rewrites the replacement fields and
+raises ``flag_<field>_replaced`` / ``_added`` / ``_removed`` flags. Key
+tuples apply in ``sorted(keytups, key=len)`` order — later (longer) rules
+see earlier rewrites (record_corrector.py:210).
+
+Spark formulation: one **broadcast left join per key tuple** against that
+tuple's rule partition, then when/otherwise column rewrites. The rules
+table is a dimension (thousands of rows vs 10^9 records): broadcasting it
+keeps the fact table's partitioning untouched through the whole chain —
+zero shuffles added at any scale.
+
+The protected-kingdom guard (record_corrector.py:221-228): a correction
+that would overwrite one of the protected kingdom values applies a
+``dwc_kingdom_suspect`` flag instead of rewriting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+PROTECTED_KINGDOMS = {"animalia", "plantae", "fungi", "protista"}
+
+
+def apply_correction_rules(
+    df: DataFrame,
+    rules: DataFrame,
+    key_fields: list[str],
+    set_field: str,
+    flag_prefix: str | None = None,
+    protect_kingdom: bool = False,
+) -> DataFrame:
+    """Apply one key-tuple's rules: ``rules`` has columns ``key_fields``
+    (already lowercased match values) and ``__set`` (replacement for
+    ``set_field``; null = removal).
+
+    Returns df with ``set_field`` rewritten and a ``flag_<set_field>_*``
+    string column (null when no rule hit / no change).
+    """
+    flag_base = (flag_prefix or set_field).replace(":", "_").lower()
+    probe = [F.lower(F.trim(F.col(k))).alias(f"__k_{i}") for i, k in enumerate(key_fields)]
+    rule_side = rules.select(
+        *[F.col(k).alias(f"__k_{i}") for i, k in enumerate(key_fields)],
+        F.col("__set"),
+        F.lit(True).alias("__hit"),
+    )
+    joined = df.select("*", *probe).join(
+        broadcast(rule_side), on=[f"__k_{i}" for i in range(len(key_fields))],
+        how="left",
+    )
+
+    cur = F.col(set_field)
+    new = F.col("__set")
+    hit = F.col("__hit").isNotNull()
+    differs = hit & (
+        (F.lower(F.coalesce(cur, F.lit("\0"))) != F.coalesce(new, F.lit("\0")))
+    )
+
+    if protect_kingdom and set_field.lower().endswith("kingdom"):
+        protected = differs & F.lower(cur).isin(list(PROTECTED_KINGDOMS))
+        flag = F.when(protected, F.lit("dwc_kingdom_suspect")).when(
+            differs & new.isNull(), F.lit(f"{flag_base}_removed")
+        ).when(
+            differs & cur.isNotNull(), F.lit(f"{flag_base}_replaced")
+        ).when(differs, F.lit(f"{flag_base}_added"))
+        value = F.when(protected | ~differs, cur).otherwise(new)
+    else:
+        flag = F.when(differs & new.isNull(), F.lit(f"{flag_base}_removed")).when(
+            differs & cur.isNotNull(), F.lit(f"{flag_base}_replaced")
+        ).when(differs, F.lit(f"{flag_base}_added"))
+        value = F.when(differs, new).otherwise(cur)
+
+    # withColumns resolves BOTH expressions against the pre-rewrite row —
+    # sequential withColumn would make the flag expression read the already
+    # rewritten value and never fire.
+    out = joined.withColumns({set_field: value, f"flag_{flag_base}": flag})
+    drop = [f"__k_{i}" for i in range(len(key_fields))] + ["__set", "__hit"]
+    return out.drop(*drop)
+
+
+def apply_corrections(
+    df: DataFrame,
+    rule_sets: list[tuple[list[str], str, DataFrame]],
+) -> DataFrame:
+    """Chain rule sets in the reference's order: sorted by key-tuple length
+    (record_corrector.py:210), so single-key rules apply before compound
+    keys and later probes see earlier rewrites."""
+    for key_fields, set_field, rules in sorted(
+        rule_sets, key=lambda t: len(t[0])
+    ):
+        df = apply_correction_rules(df, rules, key_fields, set_field)
+    return df

@@ -1,0 +1,97 @@
+"""J10 corrections-engine tests (reference record_corrector.py:186-255)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from idb_backend_spark.operators.corrections import (
+    apply_correction_rules,
+    apply_corrections,
+)
+
+
+def _records(spark):
+    return spark.createDataFrame(
+        [
+            Row(i=0, genus="acer", country="usa", kingdom="Plantae"),
+            Row(i=1, genus="ACER ", country="u.s.a.", kingdom="Plantae"),
+            Row(i=2, genus="quercus", country=None, kingdom="Plantae"),
+            Row(i=3, genus=None, country="brasil", kingdom="Animalia"),
+        ]
+    )
+
+
+def test_single_key_replacement(spark):
+    rules = spark.createDataFrame(
+        [Row(country="u.s.a.", __set="united states"),
+         Row(country="brasil", __set="brazil")]
+    )
+    out = (
+        apply_correction_rules(_records(spark), rules, ["country"], "country")
+        .orderBy("i")
+        .collect()
+    )
+    assert [r.country for r in out] == ["usa", "united states", None, "brazil"]
+    assert [r.flag_country for r in out] == [
+        None, "country_replaced", None, "country_replaced",
+    ]
+
+
+def test_case_insensitive_probe_and_removal(spark):
+    # probe values are lowercased+trimmed before matching ("ACER " hits)
+    rules = spark.createDataFrame(
+        [("acer", None)], "genus string, __set string"
+    )
+    out = (
+        apply_correction_rules(_records(spark), rules, ["genus"], "genus")
+        .orderBy("i")
+        .collect()
+    )
+    assert [r.genus for r in out] == [None, None, "quercus", None]
+    assert out[0].flag_genus == "genus_removed"
+    assert out[2].flag_genus is None
+
+
+def test_protected_kingdom_guard(spark):
+    # a correction overwriting a protected kingdom flags instead of rewriting
+    rules = spark.createDataFrame([Row(kingdom="plantae", __set="fungi")])
+    out = (
+        apply_correction_rules(
+            _records(spark), rules, ["kingdom"], "kingdom", protect_kingdom=True
+        )
+        .orderBy("i")
+        .collect()
+    )
+    assert [r.kingdom for r in out] == ["Plantae", "Plantae", "Plantae", "Animalia"]
+    assert out[0].flag_kingdom == "dwc_kingdom_suspect"
+    assert out[3].flag_kingdom is None
+
+
+def test_keytuple_ordering(spark):
+    # single-key rule rewrites country; the compound rule keyed on the NEW
+    # value then fires — proving sorted-by-length sequential application
+    r1 = spark.createDataFrame([Row(country="u.s.a.", __set="united states")])
+    r2 = spark.createDataFrame(
+        [Row(country="united states", genus="acer", __set="north america")]
+    )
+    out = (
+        apply_corrections(
+            _records(spark),
+            [
+                (["country", "genus"], "country", r2),
+                (["country"], "country", r1),
+            ],
+        )
+        .orderBy("i")
+        .collect()
+    )
+    assert out[1].country == "north america"
+
+
+def test_broadcast_join_in_plan(spark):
+    rules = spark.createDataFrame([Row(country="u.s.a.", __set="united states")])
+    plan = apply_correction_rules(
+        _records(spark), rules, ["country"], "country"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

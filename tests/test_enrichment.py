@@ -1,0 +1,357 @@
+"""Golden-expectation tests for the enrichment library (SURVEY §2.8),
+modeled on the reference's tabulated input→expected style
+(tests/idb/test_helpers_conversions.py)."""
+
+from __future__ import annotations
+
+import datetime
+import uuid
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from idb_backend_spark.functions import enrichment as E
+from idb_backend_spark.functions.dates import parse_date_py, parsed_date
+from idb_backend_spark.functions.flags import fold_flags
+from idb_backend_spark.functions.geo import (
+    DATUM_ALIASES,
+    GridGeocoder,
+    mangle_string,
+    rev_geocode_py,
+    rev_geocode_udf,
+)
+
+
+# --------------------------------------------------------------------------
+# F6 — geo normalization (flip / bounds / precision)
+# --------------------------------------------------------------------------
+
+GEO_CASES = [
+    # (lat_raw, lon_raw, exp_lat, exp_lon, exp_flags)
+    ("29.653", "-82.321", 29.653, -82.321, []),
+    # flip: lat out of ±90 but valid as lon, lon within ±90 ("120.5" has one
+    # decimal → the low-precision flag also fires, as in the reference)
+    ("120.5", "45.125", 45.125, 120.5,
+     ["geopoint_pre_flip", "geopoint_low_precision"]),
+    # bounds violation → null point + flag
+    ("95.0", "200.0", None, None, ["geopoint_bounds"]),
+    # low precision (≤2 decimals)
+    ("29.65", "-82.32", 29.65, -82.32, ["geopoint_low_precision"]),
+    (None, "-82.32", None, None, []),
+]
+
+
+def test_geo_normalize(spark):
+    df = spark.createDataFrame(
+        [Row(i=i, lat=c[0], lon=c[1]) for i, c in enumerate(GEO_CASES)]
+    )
+    g = E.geo_normalize(F.col("lat"), F.col("lon"))
+    out = (
+        df.select(
+            "i",
+            g["lat"].alias("olat"),
+            g["lon"].alias("olon"),
+            fold_flags(
+                g["flag_pre_flip"], g["flag_bounds"], g["flag_low_precision"]
+            ).alias("flags"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    for row, (_, _, elat, elon, eflags) in zip(out, GEO_CASES):
+        assert row.olat == pytest.approx(elat) if elat is not None else row.olat is None
+        assert row.olon == pytest.approx(elon) if elon is not None else row.olon is None
+        assert list(row.flags) == eflags
+
+
+# --------------------------------------------------------------------------
+# F8 — permissive date parse + fallback assembly
+# --------------------------------------------------------------------------
+
+DATE_CASES = [
+    ("2009-02-13", datetime.datetime(2009, 2, 13)),
+    ("2009-02-13T15:30:00Z", datetime.datetime(2009, 2, 13, 15, 30)),
+    ("Feb 13, 2009", datetime.datetime(2009, 2, 13)),
+    ("13 II 2009", None),  # roman-numeral month: dateutil rejects
+    ("2009", datetime.datetime(2009, 1, 1)),  # default fill-in
+    ("garbage", None),
+]
+
+
+def test_parse_date_py():
+    for raw, expected in DATE_CASES:
+        assert parse_date_py(raw) == expected, raw
+
+
+def test_parsed_date_udf(spark):
+    df = spark.createDataFrame(
+        [Row(i=i, s=c[0]) for i, c in enumerate(DATE_CASES)]
+    )
+    out = df.select("i", parsed_date("s").alias("d")).orderBy("i").collect()
+    for row, (_, expected) in zip(out, DATE_CASES):
+        assert row.d == expected
+
+
+def test_date_fallback(spark):
+    rows = [
+        # eventdate wins when present
+        Row(i=0, ed=datetime.date(1999, 9, 9), y="2000", m="5", d="17", sdoy=None),
+        Row(i=1, ed=None, y="2000", m="5", d="17", sdoy=None),
+        Row(i=2, ed=None, y="2000", m=None, d=None, sdoy="32"),  # Feb 1
+        Row(i=3, ed=None, y="2000", m="5", d=None, sdoy=None),
+        Row(i=4, ed=None, y="2000", m=None, d=None, sdoy=None),
+        Row(i=5, ed=None, y=None, m=None, d=None, sdoy=None),
+    ]
+    df = spark.createDataFrame(rows)
+    out = (
+        df.select(
+            "i",
+            E.date_fallback(
+                F.col("ed"), F.col("y"), F.col("m"), F.col("d"), F.col("sdoy")
+            ).alias("dc"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    expected = [
+        datetime.date(1999, 9, 9),
+        datetime.date(2000, 5, 17),
+        datetime.date(2000, 2, 1),
+        datetime.date(2000, 5, 1),
+        datetime.date(2000, 1, 1),
+        None,
+    ]
+    assert [r.dc for r in out] == expected
+
+
+# --------------------------------------------------------------------------
+# F13 — basisOfRecord controlled vocabulary
+# --------------------------------------------------------------------------
+
+BOR_CASES = [
+    ("PreservedSpecimen", "preservedspecimen", []),
+    ("Fossil Specimen", "fossilspecimen", []),
+    ("living plant", "livingspecimen", []),
+    ("MaterialSample", "materialsample", []),
+    ("weird specimen", "preservedspecimen", []),
+    ("machine observation", "machineobservation", []),
+    ("Human Observation", "humanobservation", []),
+    ("occurrence", "occurrence", []),
+    (
+        "Exsiccati",
+        None,
+        ["dwc_basisofrecord_removed", "dwc_basisofrecord_invalid"],
+    ),
+    (None, None, ["dwc_basisofrecord_invalid"]),
+]
+
+
+def test_fix_basis_of_record(spark):
+    df = spark.createDataFrame(
+        [Row(i=i, bor=c[0]) for i, c in enumerate(BOR_CASES)]
+    )
+    r = E.fix_basis_of_record(F.col("bor"))
+    out = (
+        df.select(
+            "i",
+            r["value"].alias("v"),
+            fold_flags(r["flag_removed"], r["flag_invalid"]).alias("flags"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    for row, (_, ev, eflags) in zip(out, BOR_CASES):
+        assert row.v == ev
+        assert list(row.flags) == eflags
+
+
+# --------------------------------------------------------------------------
+# F14 — taxon rank normalization
+# --------------------------------------------------------------------------
+
+RANK_CASES = [
+    ("species", "species", []),
+    ("Sp.", "species", ["dwc_taxonrank_replaced"]),
+    ("Division", "phylum", ["dwc_taxonrank_replaced"]),
+    ("unknown", None, ["dwc_taxonrank_removed", "dwc_taxonrank_invalid"]),
+    ("blahblah", None, ["dwc_taxonrank_removed", "dwc_taxonrank_invalid"]),
+    ("subtribe", "subtribe", []),  # acceptable but unmapped
+    (None, None, []),
+]
+
+
+def test_fix_taxon_rank(spark):
+    df = spark.createDataFrame(
+        [Row(i=i, tr=c[0]) for i, c in enumerate(RANK_CASES)]
+    )
+    r = E.fix_taxon_rank(F.col("tr"))
+    out = (
+        df.select(
+            "i",
+            r["value"].alias("v"),
+            fold_flags(
+                r["flag_replaced"], r["flag_removed"], r["flag_invalid"]
+            ).alias("flags"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    for row, (_, ev, eflags) in zip(out, RANK_CASES):
+        assert row.v == ev, row
+        assert list(row.flags) == eflags, row
+
+
+# --------------------------------------------------------------------------
+# F10/F11/F12 — license, media precedence, crossfill
+# --------------------------------------------------------------------------
+
+
+def test_license_lookup(spark):
+    df = spark.createDataFrame(
+        [
+            Row(i=0, r="http://creativecommons.org/licenses/by/4.0/"),
+            Row(i=1, r="https://creativecommons.org/publicdomain/zero/1.0"),
+            Row(i=2, r="all rights reserved"),
+        ]
+    )
+    out = df.select("i", E.license_lookup(F.col("r")).alias("lic")).orderBy("i").collect()
+    assert [r.lic for r in out] == ["CC4 BY", "CC0", None]
+
+
+def test_access_uri_precedence(spark):
+    rows = [
+        Row(i=0, au="a", bq="b", dct="c", dc="d", has_ac=True),
+        Row(i=1, au=None, bq="b", dct="c", dc="d", has_ac=True),
+        # ac: keys present → identifiers are NOT used as URL
+        Row(i=2, au=None, bq=None, dct="c", dc="d", has_ac=True),
+        Row(i=3, au=None, bq=None, dct="c", dc="d", has_ac=False),
+        Row(i=4, au=None, bq=None, dct=None, dc="d", has_ac=False),
+    ]
+    df = spark.createDataFrame(rows)
+    out = (
+        df.select(
+            "i",
+            E.access_uri(
+                F.col("au"), F.col("bq"), F.col("dct"), F.col("dc"), F.col("has_ac")
+            ).alias("u"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    assert [r.u for r in out] == ["a", "b", None, "c", "d"]
+
+
+def test_scientificname_crossfill(spark):
+    rows = [
+        Row(i=0, sn="Acer rubrum", g="acer", se="rubrum"),
+        Row(i=1, sn=None, g="acer", se="rubrum"),
+        Row(i=2, sn=None, g="acer", se=None),
+        Row(i=3, sn=None, g=None, se=None),
+    ]
+    df = spark.createDataFrame(rows)
+    r = E.scientificname_fill(F.col("sn"), F.col("g"), F.col("se"))
+    out = (
+        df.select("i", r["value"].alias("v"), r["flag_added"].alias("fl"))
+        .orderBy("i")
+        .collect()
+    )
+    assert [x.v for x in out] == ["Acer rubrum", "acer rubrum", "acer", None]
+    assert [x.fl for x in out] == [None, "scientificname_added", "scientificname_added", None]
+
+
+def test_genus_species_parse(spark):
+    rows = [
+        Row(i=0, sn="Acer rubrum"),
+        Row(i=1, sn="Acer rubrum var. trilobum"),
+        Row(i=2, sn="ACER"),  # all-caps first token: not genus-shaped
+        Row(i=3, sn="Quercus"),
+    ]
+    df = spark.createDataFrame(rows)
+    r = E.genus_species_parse(F.col("sn"))
+    out = (
+        df.select("i", r["genus"].alias("g"), r["specificepithet"].alias("s"))
+        .orderBy("i")
+        .collect()
+    )
+    assert [(x.g, x.s) for x in out] == [
+        ("acer", "rubrum"),
+        ("acer", "rubrum"),
+        (None, None),
+        ("quercus", None),
+    ]
+
+
+# --------------------------------------------------------------------------
+# A4 — uuid5 surrogate (byte-exact vs Python's uuid module)
+# --------------------------------------------------------------------------
+
+
+def test_uuid5_expr_matches_python(spark):
+    names = ["gainesville, fl", "Acer rubrum", "ACER", "ümläut-ünïcode", ""]
+    df = spark.createDataFrame([Row(i=i, n=n) for i, n in enumerate(names)])
+    out = (
+        df.select("i", E.uuid5_expr(F.col("n")).alias("u")).orderBy("i").collect()
+    )
+    for row, n in zip(out, names):
+        assert row.u == str(uuid.uuid5(E.IDIGBIO_NAMESPACE, n)), n
+
+
+# --------------------------------------------------------------------------
+# F7 — reverse geocoder: grid prefilter + flip search
+# --------------------------------------------------------------------------
+
+REGIONS = {
+    "US": [(-125.0, 24.0, -66.0, 49.0)],
+    "BR": [(-74.0, -34.0, -34.0, 5.0)],
+    "AU": [(113.0, -44.0, 154.0, -10.0)],
+}
+
+
+def test_rev_geocode_basic():
+    g = GridGeocoder(REGIONS)
+    assert g.lookup(-82.32, 29.65) == "US"
+    assert g.lookup(-47.9, -15.8) == "BR"
+    assert g.lookup(0.0, 0.0) is None
+
+
+def test_rev_geocode_flip_correction():
+    g = GridGeocoder(REGIONS)
+    # negated longitude: point claims US but sits at +82 lon
+    lon, lat, country, flags = rev_geocode_py(g, 82.32, 29.65, "US")
+    assert (lon, lat, country) == (-82.32, 29.65, "US")
+    assert "rev_geocode_lon_sign" in flags and "rev_geocode_corrected" in flags
+    # lat/lon swapped
+    lon, lat, country, flags = rev_geocode_py(g, 29.65, -82.32, "US")
+    assert (lon, lat) == (-82.32, 29.65)
+    assert "rev_geocode_flip" in flags
+    # honest mismatch with no recoverable flip
+    lon, lat, country, flags = rev_geocode_py(g, -47.9, -15.8, "US")
+    assert country == "BR" and "rev_geocode_mismatch" in flags
+    assert "rev_geocode_corrected" not in flags
+
+
+def test_rev_geocode_udf(spark):
+    g = GridGeocoder(REGIONS)
+    df = spark.createDataFrame(
+        [
+            Row(i=0, lon=-82.32, lat=29.65, iso="US"),
+            Row(i=1, lon=82.32, lat=29.65, iso="US"),
+            Row(i=2, lon=None, lat=None, iso=None),
+        ]
+    )
+    udf = rev_geocode_udf(g)
+    out = (
+        df.select("i", udf(F.col("lon"), F.col("lat"), F.col("iso")).alias("r"))
+        .select("i", "r.lon", "r.lat", "r.country", "r.flags")
+        .orderBy("i")
+        .collect()
+    )
+    assert out[0].country == "US" and out[0].flags is None
+    assert out[1].lon == -82.32 and "rev_geocode_corrected" in out[1].flags
+    assert out[2].country is None
+
+
+def test_mangle_and_datum_aliases():
+    assert mangle_string("World Geodetic System 1984") == "WORLDGEODETICSYSTEM1984"
+    assert DATUM_ALIASES[mangle_string("World Geodetic System 1984")] == "WGS84"
