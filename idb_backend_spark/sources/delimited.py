@@ -1,0 +1,117 @@
+"""S2/S3 — delimited (CSV/TSV) source with term canonicalization and
+per-row fault isolation (reference idigbio_ingestion/lib/delimited.py).
+
+Spark-first formulation: ``spark.read.csv`` in PERMISSIVE mode does the
+reference's per-row error recovery (bad lines land in a corrupt-record
+column instead of failing the batch — SURVEY §7.7 item 8); header
+canonicalization is a driver-side rename through the fieldnames registry;
+blank-string fields become nulls to match the reference's
+"dict of non-blank fields" contract (delimited.py:49-52).
+
+At scale the read is fully distributed: one task per input split,
+predicate/column pruning applies downstream, and the canonicalization is
+pure metadata (no data movement).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from idb_backend_spark.sources.fieldnames import get_canonical_name
+
+CORRUPT_COL = "__corrupt_record"
+
+
+def normalize_delimiter(d: str | None, default: str = ",") -> str:
+    """Delimiter normalization (delimited.py:63-125): words (``tab``),
+    backslash escapes, ``0x09`` hex, XML entities ``&#9;``/``&#x9;``,
+    quoted wrappers, and repeated-identical-char collapse."""
+    if d is None:
+        return default
+    if isinstance(d, (bytes, bytearray)):
+        d = bytes(d).decode("utf-8", errors="replace")
+    d = str(d).strip()
+    if len(d) >= 2 and d[0] == d[-1] and d[0] in ("'", '"'):
+        d = d[1:-1]
+    if d.lower() == "tab":
+        d = "\t"
+    if d in (r"\t", "\\t"):
+        d = "\t"
+    elif d in (r"\n", "\\n"):
+        d = "\n"
+    elif d in (r"\r", "\\r"):
+        d = "\r"
+    m = re.fullmatch(r"0x([0-9a-fA-F]+)", d)
+    if m:
+        d = chr(int(m.group(1), 16))
+    m = re.fullmatch(r"&#([0-9]+);", d)
+    if m:
+        d = chr(int(m.group(1), 10))
+    m = re.fullmatch(r"&#x([0-9a-fA-F]+);", d)
+    if m:
+        d = chr(int(m.group(1), 16))
+    if d == "":
+        return default
+    if len(d) != 1 and len(set(d)) == 1:
+        d = d[0]
+    if len(d) != 1:
+        raise ValueError(f"invalid delimiter {d!r} (expected 1 character)")
+    return d
+
+
+def read_delimited(
+    spark: SparkSession,
+    path: str,
+    sep: str | None = ",",
+    encoding: str = "utf-8",
+    header: bool = True,
+    quote: str = '"',
+    canonicalize: bool = True,
+    blank_as_null: bool = True,
+) -> DataFrame:
+    """Read a delimited file into a DataFrame with canonicalized CURIE
+    column names and a ``flag_corrupt_row`` marker column.
+
+    PERMISSIVE + columnNameOfCorruptRecord replaces the reference's
+    per-row try/except-log-skip loop (delimited.py:256-305): corrupt rows
+    survive with the flag set and all fields null — downstream decides.
+    """
+    reader = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("header", str(header).lower())
+        .option("sep", normalize_delimiter(sep))
+        .option("quote", quote)
+        .option("encoding", encoding)
+        .option("enforceSchema", "false")
+    )
+    df = reader.csv(path)
+    if CORRUPT_COL not in df.columns:
+        # a fully-clean read may omit the corrupt column; add it for a
+        # stable output contract
+        df = df.withColumn(CORRUPT_COL, F.lit(None).cast("string"))
+    if canonicalize and header:
+        renames = {}
+        for c in df.columns:
+            if c == CORRUPT_COL:
+                continue
+            term, _cls = get_canonical_name(c)
+            renames[c] = term
+        df = df.withColumnsRenamed(renames)
+    out_cols = [c for c in df.columns if c != CORRUPT_COL]
+    if blank_as_null:
+        df = df.select(
+            *[
+                F.when(F.trim(F.col(f"`{c}`")) == "", None)
+                .otherwise(F.col(f"`{c}`"))
+                .alias(c)
+                for c in out_cols
+            ],
+            F.col(CORRUPT_COL),
+        )
+    return df.withColumn(
+        "flag_corrupt_row", F.col(CORRUPT_COL).isNotNull()
+    ).drop(CORRUPT_COL)
