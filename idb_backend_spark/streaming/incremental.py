@@ -1,0 +1,212 @@
+"""§2.10 — Structured Streaming: incremental index refresh, watermarked
+rollups, and custom stateful sessionization.
+
+The reference's incremental loop (index_from_postgres.py:25-164) polls a
+``max(datemodified)`` watermark and replays every version newer than it
+**in ascending modified order** (the correctness note at :94-97), applying
+idempotent upserts keyed by uuid with etag-equality skip (:211-214). The
+Spark-native shape is a file/Delta stream with ``foreachBatch`` merge:
+Structured Streaming supplies exactly-once batch boundaries and the
+watermark bookkeeping the reference hand-rolls; the merge body reuses the
+batch operators (versioning.latest_per_key / merge_batch).
+
+Scale notes:
+* ``foreachBatch`` merge: the batch side is pre-shrunk to latest-per-key
+  before touching the store — the shuffle is bounded by distinct keys in
+  the micro-batch, not batch row count.
+* Watermark + window aggregation state lives in the state store, sized by
+  (group × open-window), independent of stream length.
+* ``applyInPandasWithState`` carries per-key session state (the engine's
+  custom-stateful extension point — the reference has no session concept).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from idb_backend_spark.operators.versioning import latest_per_key
+
+
+def stream_from_directory(
+    spark: SparkSession,
+    path: str,
+    schema,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a landing directory (the engine's analog of
+    the reference's poll loop — new files are the change feed)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def upsert_batch_into_store(
+    store_path: str,
+    batch: DataFrame,
+    key: str = "uuid",
+    modified_col: str = "modified",
+    etag_col: str = "etag",
+) -> None:
+    """One ``foreachBatch`` body: ordered replay + idempotent upsert.
+
+    1. Collapse the micro-batch to its newest version per key (the
+       ascending-modified replay collapses to last-writer-wins within the
+       batch boundary — O2, index_from_postgres.py:94-97).
+    2. Skip rows whose etag equals the store's current etag (X5).
+    3. Rewrite the store as (store ∖ batch-keys) ∪ batch-latest — the
+       Parquet stand-in for ``MERGE INTO``; on Delta this body becomes a
+       single MERGE statement with the same key/etag condition.
+    """
+    spark = batch.sparkSession
+    newest = latest_per_key(
+        batch, [key], [F.desc(modified_col)]
+    )
+    try:
+        store = spark.read.parquet(store_path)
+        exists = True
+    except Exception:
+        exists = False
+    if not exists:
+        newest.write.mode("overwrite").parquet(store_path)
+        return
+    changed = newest.join(
+        store.select(F.col(key), F.col(etag_col).alias("__cur_etag")),
+        on=key,
+        how="left",
+    ).filter(
+        F.col("__cur_etag").isNull() | (F.col("__cur_etag") != F.col(etag_col))
+    ).drop("__cur_etag")
+    merged = store.join(
+        changed.select(key).distinct(), on=key, how="left_anti"
+    ).unionByName(changed)
+    # write-then-swap (Parquet has no transactional merge; Delta would)
+    tmp = store_path + "__next"
+    merged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(store_path)
+
+
+def incremental_merge_query(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    key: str = "uuid",
+    modified_col: str = "modified",
+    etag_col: str = "etag",
+    available_now: bool = True,
+):
+    """Wire the stream into the merge loop (the Spark replacement for the
+    reference's sleep-600 polling daemon)."""
+    writer = (
+        stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(
+            lambda b, _eid: upsert_batch_into_store(
+                store_path, b, key, modified_col, etag_col
+            )
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_rollup(
+    stream: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    window: str = "1 day",
+    watermark: str = "1 hour",
+    value_col: str | None = None,
+) -> DataFrame:
+    """A7 as a streaming aggregation: watermarked tumbling-window rollup —
+    late rows inside the watermark still land in their window; older ones
+    are dropped deterministically (the reference reprocesses whole days
+    instead; the watermark bound is the streaming equivalent)."""
+    aggs = [F.count(F.lit(1)).alias("count")]
+    if value_col:
+        aggs.append(F.round(F.sum(value_col), 2).alias("total"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), *group_cols)
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("window_start"), *group_cols, *[
+                F.col(c) for c in (["count", "total"] if value_col else ["count"])
+            ]
+        )
+    )
+
+
+def sessionize(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+):
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    session assembly with an inactivity gap — the engine's extension point
+    for stateful logic Spark lacks natively (SURVEY §2.10).
+
+    Emits (key, session_start, session_end, n_events) per closed session;
+    open sessions flush when the processing-time timeout fires.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} string, session_start timestamp, session_end timestamp, "
+        "n_events long"
+    )
+    state_schema = "start long, end long, n long"
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            (start, end, n) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(end, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs))
+        ts = rows[ts_col].sort_values()
+        micros = (ts.astype("int64") // 1000).tolist()  # ns -> us
+        sessions = []
+        if state.exists:
+            start, end, n = state.get
+        else:
+            start = end = n = None
+        for t in micros:
+            if start is None:
+                start, end, n = t, t, 1
+            elif t - end <= gap_seconds * 1_000_000:
+                end, n = max(end, t), n + 1
+            else:
+                sessions.append((start, end, n))
+                start, end, n = t, t, 1
+        state.update((start, end, n))
+        state.setTimeoutDuration(gap_seconds * 1000)
+        if sessions:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(sessions),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in sessions],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in sessions],
+                    "n_events": [n for _, _, n in sessions],
+                }
+            )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -1,0 +1,140 @@
+"""§2.10 streaming tests: incremental foreachBatch merge (watermark
+replay + etag skip), watermarked windowed rollup, and stateful
+sessionization — all driven with Trigger.AvailableNow for determinism."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from idb_backend_spark.streaming import incremental as inc
+
+SCHEMA = StructType(
+    [
+        StructField("uuid", StringType()),
+        StructField("etag", StringType()),
+        StructField("modified", TimestampType()),
+        StructField("payload", StringType()),
+    ]
+)
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_incremental_merge(spark, tmp_path):
+    land = str(tmp_path / "landing")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = _rows(
+        spark,
+        [
+            ("a", "e1", _ts("2024-01-01T00:00:00"), "v1"),
+            ("b", "e2", _ts("2024-01-01T00:00:00"), "v1"),
+        ],
+    )
+    batch1.write.mode("append").parquet(land)
+    q = inc.incremental_merge_query(
+        inc.stream_from_directory(spark, land, SCHEMA), store, ckpt
+    )
+    q.awaitTermination(120)
+    got = {r["uuid"]: r for r in spark.read.parquet(store).collect()}
+    assert got["a"]["etag"] == "e1" and len(got) == 2
+
+    # batch 2: out-of-order versions of `a` (ordered replay must keep the
+    # newest), an unchanged-etag row for `b` (skip), and a new key `c`
+    batch2 = _rows(
+        spark,
+        [
+            ("a", "e9", _ts("2024-01-02T12:00:00"), "v3"),
+            ("a", "e5", _ts("2024-01-02T00:00:00"), "v2"),
+            ("b", "e2", _ts("2024-01-03T00:00:00"), "v1"),
+            ("c", "e7", _ts("2024-01-03T00:00:00"), "v1"),
+        ],
+    )
+    batch2.write.mode("append").parquet(land)
+    q = inc.incremental_merge_query(
+        inc.stream_from_directory(spark, land, SCHEMA), store, ckpt
+    )
+    q.awaitTermination(120)
+    got = {r["uuid"]: r for r in spark.read.parquet(store).collect()}
+    assert len(got) == 3
+    assert got["a"]["etag"] == "e9" and got["a"]["payload"] == "v3"
+    assert got["b"]["payload"] == "v1"
+    assert got["c"]["etag"] == "e7"
+
+
+def test_windowed_rollup(spark, tmp_path):
+    land = str(tmp_path / "landing")
+    _rows(
+        spark,
+        [
+            ("a", "x", _ts("2024-01-01T05:00:00"), "p"),
+            ("b", "x", _ts("2024-01-01T09:00:00"), "p"),
+            ("c", "x", _ts("2024-01-02T05:00:00"), "p"),
+        ],
+    ).write.mode("append").parquet(land)
+    stream = inc.stream_from_directory(spark, land, SCHEMA)
+    rolled = inc.windowed_rollup(stream, "modified", ["etag"], "1 day", "1 hour")
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("rollup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {
+        (r["window_start"].isoformat(), r["etag"]): r["count"]
+        for r in spark.sql("SELECT * FROM rollup_test").collect()
+    }
+    # append mode only emits windows closed by the watermark; day 1 closes
+    # once day 2's event advances the watermark past it
+    assert out.get(("2024-01-01T00:00:00", "x")) == 2
+
+
+def test_sessionize(spark, tmp_path):
+    land = str(tmp_path / "landing")
+    _rows(
+        spark,
+        [
+            ("u1", "e", _ts("2024-01-01T00:00:00"), "p"),
+            ("u1", "e", _ts("2024-01-01T00:10:00"), "p"),
+            # > 30 min gap: closes session 1 (2 events), opens session 2
+            ("u1", "e", _ts("2024-01-01T02:00:00"), "p"),
+            ("u2", "e", _ts("2024-01-01T00:00:00"), "p"),
+        ],
+    ).write.mode("append").parquet(land)
+    stream = inc.stream_from_directory(spark, land, SCHEMA)
+    sessions = inc.sessionize(stream, "uuid", "modified", gap_seconds=1800)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sessions_test").collect()
+    closed = {(r["uuid"], r["n_events"]) for r in rows}
+    # the first u1 session closed because a later event exceeded the gap;
+    # open sessions (u1 #2, u2) remain in state until timeout
+    assert ("u1", 2) in closed
+    assert rows[0]["session_end"] >= rows[0]["session_start"]
