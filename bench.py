@@ -33,6 +33,7 @@ HEADLINE = [
     "lang_id_heuristic",
     "minhash_lsh_pairs",
     "ann_cosine_topk",
+    "etl_enrichment_pipeline",
 ]
 
 
