@@ -1,0 +1,143 @@
+"""The versioned entity store — composition of the §1.2 storage semantics
+(reference idb/postgres_backend/db.py).
+
+Layout: one append-only history table
+``(uuid, type, parent, etag, version, modified, data)`` — the Spark
+analog of ``uuids`` + ``uuids_data`` + ``data`` (db.py:266-316) collapsed
+into a single columnar fact table. Identifiers and sibling edges are side
+tables, exactly as in the reference.
+
+Scale decisions:
+* History is append-only parquet/Delta partitioned by ``type`` (X2:
+  partition pruning on the hottest predicate) — writes never rewrite
+  history.
+* "Latest" is a window top-1 per uuid (J1) — computed per batch or
+  materialized; bucketing the table by uuid makes the window shuffle-free.
+* The enrichment to a typed analytical table (§3.3) happens from the
+  latest view, not history, so reindex cost scales with entity count,
+  not version count.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from idb_backend_spark.operators.relations import (
+    aggregate_identifiers,
+    sibling_map,
+)
+from idb_backend_spark.operators.versioning import (
+    latest_per_key,
+    merge_batch,
+    tombstones_for_deletes,
+)
+
+TOMBSTONE_ETAG = "9a4e35834eb80d9af64bcd07ed996b9ec0e60d92"
+
+HISTORY_COLS = ["uuid", "type", "parent", "etag", "version", "modified", "data"]
+
+
+def latest_view(history: DataFrame, include_deleted: bool = False) -> DataFrame:
+    """The ``idigbio_uuids_new`` equivalent (db.py:37-44, 244-264): newest
+    version per uuid; tombstoned entities dropped unless asked for."""
+    latest = latest_per_key(
+        history, ["uuid"], [F.desc("modified"), F.desc("version")]
+    )
+    if not include_deleted:
+        latest = latest.filter(F.col("etag") != TOMBSTONE_ETAG)
+    return latest
+
+
+def latest_with_relations(
+    history: DataFrame,
+    identifiers: DataFrame | None = None,
+    sibling_edges: DataFrame | None = None,
+) -> DataFrame:
+    """The full item view (db.py:75-108): latest version + ``recordids``
+    identifier array (J2) + ``siblings`` map<type, array<uuid>> (J3)."""
+    out = latest_view(history)
+    if identifiers is not None:
+        out = aggregate_identifiers(out, identifiers)
+    if sibling_edges is not None:
+        uuids = history.select("uuid", "type").distinct()
+        sibs = sibling_map(sibling_edges, uuids)
+        out = out.join(sibs, on="uuid", how="left")
+    return out
+
+
+@dataclass
+class BatchResult:
+    """Outcome of one harvest application (the A9 summary inputs)."""
+
+    appended: DataFrame  # new history rows (changed/new entities)
+    tombstones: DataFrame  # delete tombstone rows
+    summary: DataFrame  # (status, n): create/update/delete counters
+
+
+def apply_harvest_batch(
+    history: DataFrame,
+    batch: DataFrame,
+    modified: Column,
+    detect_deletes: bool = True,
+) -> BatchResult:
+    """One recordset harvest against the store (db_check.py main flow):
+
+    * etag-gated version assignment for new/changed entities (W2/X5)
+    * anti-join tombstones for entities absent from the batch (U2)
+    * create/update/delete counters for the commit gate
+      (db_check.py:515-538 applies thresholds to exactly these counts)
+
+    ``batch`` columns: uuid, type, parent, etag, data. The caller appends
+    ``appended`` + ``tombstones`` to history storage; nothing here mutates.
+    """
+    cur = latest_view(history, include_deleted=True)
+    appended = merge_batch(
+        cur.select("uuid", "etag", "version"), batch
+    ).withColumn("modified", modified)
+
+    if detect_deletes:
+        live = cur.filter(F.col("etag") != TOMBSTONE_ETAG)
+        tombs = tombstones_for_deletes(
+            live.select("uuid", "version"), batch, modified=modified
+        )
+    else:
+        tombs = history.sparkSession.createDataFrame(
+            [], "uuid string, version int, etag string, modified timestamp"
+        )
+
+    status = F.when(F.col("version") == 0, "create").otherwise("update")
+    summary = (
+        appended.select(status.alias("status"))
+        .unionByName(tombs.select(F.lit("delete").alias("status")))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return BatchResult(appended=appended, tombstones=tombs, summary=summary)
+
+
+def commit_gate(
+    summary_rows: list, existing_count: int,
+    create_threshold: float = 0.5, delete_threshold: float = 0.5,
+) -> bool:
+    """The reference's ingest commit gate (db_check.py:515-538): reject the
+    batch when creates or deletes exceed the given fraction of the existing
+    recordset (mass-change protection). ``summary_rows`` is the collected
+    A9 summary; empty stores always commit (commit_force, :695-697)."""
+    if existing_count == 0:
+        return True
+    counts = {r["status"]: r["n"] for r in summary_rows}
+    creates = counts.get("create", 0)
+    deletes = counts.get("delete", 0)
+    return (
+        creates <= create_threshold * existing_count
+        and deletes <= delete_threshold * existing_count
+    )
+
+
+def version_history(history: DataFrame, uuid: str) -> DataFrame:
+    """``version=all`` item lookup (db.py:322-342): every version of one
+    entity, ascending."""
+    return history.filter(F.col("uuid") == uuid).orderBy("version")

@@ -1,0 +1,117 @@
+"""Versioned-store lifecycle tests (reference db.py + db_check.py):
+harvest batches, etag skip, tombstones, latest view with relations,
+commit gate."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from idb_backend_spark.operators import store as st
+
+HIST_SCHEMA = (
+    "uuid string, type string, parent string, etag string, version int, "
+    "modified timestamp, data string"
+)
+BATCH_SCHEMA = "uuid string, type string, parent string, etag string, data string"
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def _history(spark):
+    return spark.createDataFrame(
+        [
+            ("a", "records", "rs1", "e1", 0, _ts("2024-01-01T00:00:00"), "a0"),
+            ("a", "records", "rs1", "e2", 1, _ts("2024-01-02T00:00:00"), "a1"),
+            ("b", "records", "rs1", "e3", 0, _ts("2024-01-01T00:00:00"), "b0"),
+            ("c", "records", "rs1", st.TOMBSTONE_ETAG, 1,
+             _ts("2024-01-03T00:00:00"), None),
+            ("c", "records", "rs1", "e4", 0, _ts("2024-01-01T00:00:00"), "c0"),
+        ],
+        HIST_SCHEMA,
+    )
+
+
+def test_latest_view(spark):
+    latest = {r["uuid"]: r for r in st.latest_view(_history(spark)).collect()}
+    assert set(latest) == {"a", "b"}  # c is tombstoned
+    assert latest["a"]["etag"] == "e2" and latest["a"]["version"] == 1
+    with_deleted = st.latest_view(_history(spark), include_deleted=True)
+    assert with_deleted.count() == 3
+
+
+def test_latest_with_relations(spark):
+    idents = spark.createDataFrame(
+        [("a", "urn:cat:1"), ("a", "urn:occ:1"), ("b", "urn:cat:2")],
+        "uuids_id string, identifier string",
+    )
+    edges = spark.createDataFrame(
+        [("a", "m1"), ("a", "m2")], "r1 string, r2 string"
+    )
+    # register media uuids so sibling typing resolves
+    hist = _history(spark).unionByName(
+        spark.createDataFrame(
+            [
+                ("m1", "mediarecords", "rs1", "m1e", 0,
+                 _ts("2024-01-01T00:00:00"), "m"),
+                ("m2", "mediarecords", "rs1", "m2e", 0,
+                 _ts("2024-01-01T00:00:00"), "m"),
+            ],
+            HIST_SCHEMA,
+        )
+    )
+    out = {r["uuid"]: r for r in
+           st.latest_with_relations(hist, idents, edges).collect()}
+    assert out["a"]["recordids"] == ["urn:cat:1", "urn:occ:1"]
+    assert out["a"]["siblings"]["mediarecords"] == ["m1", "m2"]
+    assert out["b"]["siblings"] is None
+
+
+def test_apply_harvest_batch(spark):
+    batch = spark.createDataFrame(
+        [
+            ("a", "records", "rs1", "e2", "a1"),     # unchanged -> skip
+            ("b", "records", "rs1", "e9", "b1"),     # changed -> version 1
+            ("d", "records", "rs1", "e5", "d0"),     # new -> version 0
+        ],
+        BATCH_SCHEMA,
+    )
+    res = st.apply_harvest_batch(
+        _history(spark), batch, modified=F.lit(_ts("2024-02-01T00:00:00"))
+    )
+    app = {r["uuid"]: r for r in res.appended.collect()}
+    assert set(app) == {"b", "d"}  # a skipped by etag equality
+    assert app["b"]["version"] == 1
+    assert app["d"]["version"] == 0
+    tombs = {r["uuid"]: r for r in res.tombstones.collect()}
+    # a,b present in batch; live entities are a,b => no deletes (c already
+    # tombstoned and excluded from delete detection)
+    assert set(tombs) == set()
+    summary = {r["status"]: r["n"] for r in res.summary.collect()}
+    assert summary == {"create": 1, "update": 1}
+
+
+def test_tombstone_generation_and_commit_gate(spark):
+    batch = spark.createDataFrame(
+        [("a", "records", "rs1", "e2", "a1")], BATCH_SCHEMA
+    )
+    res = st.apply_harvest_batch(
+        _history(spark), batch, modified=F.lit(_ts("2024-02-01T00:00:00"))
+    )
+    tombs = {r["uuid"]: r for r in res.tombstones.collect()}
+    assert set(tombs) == {"b"}  # live but absent from batch
+    assert tombs["b"]["etag"] == st.TOMBSTONE_ETAG
+    assert tombs["b"]["version"] == 1
+    rows = res.summary.collect()
+    # 1 delete of 2 existing = 50% → allowed at threshold, blocked below it
+    assert st.commit_gate(rows, existing_count=2)
+    assert not st.commit_gate(rows, existing_count=2, delete_threshold=0.4)
+    assert st.commit_gate(rows, existing_count=0)  # empty store force-commit
+
+
+def test_version_history(spark):
+    rows = st.version_history(_history(spark), "a").collect()
+    assert [r["version"] for r in rows] == [0, 1]
