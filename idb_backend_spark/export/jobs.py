@@ -1,0 +1,70 @@
+"""Download-job orchestration with params-hash dedup
+(reference idb/data_api/v2_download.py:20-106;
+idigbio_workers/tasks/download.py:83-122).
+
+The reference queues exports through Celery/Redis and dedups identical
+requests by a recursive hash of the params dict for 23 hours. Here the
+job layer is plain driver-side orchestration (Spark jobs are already
+async on the cluster): ``submit`` hashes the params (F19 objectHasher
+semantics), reuses a live result within the dedup window, and otherwise
+runs the export function.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from idb_backend_spark.functions.etags import object_hash
+
+#: identical query reuse window — 23 h (v2_download.py:20-22)
+DEDUP_SECONDS = 23 * 3600
+
+
+@dataclass
+class Job:
+    job_id: str
+    params: dict
+    status: str = "pending"  # pending | running | done | failed
+    result: object = None
+    created_at: float = field(default_factory=time.time)
+    error: str | None = None
+
+
+class DownloadJobManager:
+    """Query-hash-keyed job registry (the fakeredis-backed task store in
+    the reference's tests)."""
+
+    def __init__(self, dedup_seconds: float = DEDUP_SECONDS, clock=time.time):
+        self.dedup_seconds = dedup_seconds
+        self.clock = clock
+        self.jobs: dict[str, Job] = {}
+
+    def params_hash(self, params: dict) -> str:
+        """F19 — recursive sha1 of the params dict with sorted keys and
+        sorted arrays (objectHasher(..., sort_arrays=True),
+        v2_download.py:77-99)."""
+        return object_hash(params, "sha1", sort_arrays=True)
+
+    def submit(self, params: dict, run) -> Job:
+        """Run (or reuse) the export for ``params``. ``run(params)`` does
+        the actual work and returns the artifact descriptor."""
+        key = self.params_hash(params)
+        existing = self.jobs.get(key)
+        if existing is not None:
+            age = self.clock() - existing.created_at
+            if age < self.dedup_seconds and existing.status in ("pending", "running", "done"):
+                return existing
+        job = Job(job_id=key, params=params, status="running",
+                  created_at=self.clock())
+        self.jobs[key] = job
+        try:
+            job.result = run(params)
+            job.status = "done"
+        except Exception as e:  # per-job fault isolation
+            job.status = "failed"
+            job.error = str(e)
+        return job
+
+    def status(self, job_id: str) -> Job | None:
+        return self.jobs.get(job_id)

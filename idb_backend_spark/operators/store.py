@@ -30,7 +30,7 @@ from idb_backend_spark.operators.relations import (
     sibling_map,
 )
 from idb_backend_spark.operators.versioning import (
-    latest_per_key,
+    latest_per_key_agg,
     merge_batch,
     tombstones_for_deletes,
 )
@@ -43,9 +43,7 @@ HISTORY_COLS = ["uuid", "type", "parent", "etag", "version", "modified", "data"]
 def latest_view(history: DataFrame, include_deleted: bool = False) -> DataFrame:
     """The ``idigbio_uuids_new`` equivalent (db.py:37-44, 244-264): newest
     version per uuid; tombstoned entities dropped unless asked for."""
-    latest = latest_per_key(
-        history, ["uuid"], [F.desc("modified"), F.desc("version")]
-    )
+    latest = latest_per_key_agg(history, ["uuid"], ["modified", "version"])
     if not include_deleted:
         latest = latest.filter(F.col("etag") != TOMBSTONE_ETAG)
     return latest

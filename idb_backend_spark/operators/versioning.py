@@ -32,6 +32,33 @@ def latest_per_key(
     )
 
 
+def latest_per_key_agg(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[Column | str],
+) -> DataFrame:
+    """J1/W1 via hash aggregation instead of a window sort.
+
+    ``max_by(struct(*), struct(order_cols))`` computes top-1-per-key with
+    map-side partial aggregation — no per-partition sort, and the shuffle
+    carries one row per (key, map-partition) instead of every row. At 100
+    TB this is the difference between a bounded agg and a full-data sort
+    exchange; the window form remains for orderings that cannot be
+    expressed as a struct max (mixed asc/desc on non-negatable types).
+
+    ``order_cols``: columns whose natural descending max order IS the
+    "latest" order (e.g. modified, version, unique tie-breaker last).
+    """
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    picked = df.groupBy(*keys).agg(
+        F.max_by(payload, F.struct(*ocols)).alias("__row")
+    )
+    return picked.select(
+        *[F.col(f"__row.{c}").alias(c) for c in df.columns]
+    )
+
+
 def with_version_numbers(
     df: DataFrame, keys: list[str], order_by: list[Column], out: str = "version"
 ) -> DataFrame:

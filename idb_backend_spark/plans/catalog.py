@@ -223,9 +223,7 @@ def shim_geo_distance(spark, sf_dir):
 def latest_version_per_key(spark, sf_dir):
     """J1/W1 — LATERAL top-1-per-key (latest event per user)."""
     ev = _t(spark, sf_dir, "events")
-    out = versioning.latest_per_key(
-        ev, ["user_id"], [F.desc("ts"), F.desc("event_id")]
-    )
+    out = versioning.latest_per_key_agg(ev, ["user_id"], ["ts", "event_id"])
     return out.select("user_id", "event_id", "event_type").orderBy("user_id")
 
 
@@ -342,10 +340,9 @@ def anti_join_deletes(spark, sf_dir):
 def latest_object_per_url(spark, sf_dir):
     """J6 — DISTINCT ON (url) ... ORDER BY modified DESC pattern."""
     li = _t(spark, sf_dir, "lineitem")
-    out = versioning.latest_per_key(
-        li,
-        ["l_partkey", "l_suppkey"],
-        [F.desc("l_shipdate"), F.desc("l_orderkey"), F.desc("l_linenumber")],
+    out = versioning.latest_per_key_agg(
+        li, ["l_partkey", "l_suppkey"],
+        ["l_shipdate", "l_orderkey", "l_linenumber"],
     )
     return out.select(
         "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from idb_backend_spark.operators.versioning import latest_per_key
+from idb_backend_spark.operators.versioning import latest_per_key_agg
 
 
 def stream_from_directory(
@@ -61,9 +61,7 @@ def upsert_batch_into_store(
        single MERGE statement with the same key/etag condition.
     """
     spark = batch.sparkSession
-    newest = latest_per_key(
-        batch, [key], [F.desc(modified_col)]
-    )
+    newest = latest_per_key_agg(batch, [key], [modified_col])
     try:
         store = spark.read.parquet(store_path)
         exists = True

@@ -1,0 +1,157 @@
+"""The reference's canonical end-to-end acceptance path (SURVEY §3.1,
+tests/idigbio_workers/lib/test_download.py:12-50):
+
+DwC-A ingest -> versioned store -> enrichment -> shim query
+(genus=acer AND stateprovince=florida) -> DwC-A export with citation
+counts — plus the params-hash job dedup around it.
+"""
+
+from __future__ import annotations
+
+import datetime
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from idb_backend_spark.export import writers
+from idb_backend_spark.export.jobs import DownloadJobManager
+from idb_backend_spark.functions.grabbers import getfield
+from idb_backend_spark.operators import store as st
+from idb_backend_spark.query.shim import compile_shim
+from idb_backend_spark.sources.dwca import DwcaArchive
+
+META = b"""<?xml version="1.0"?>
+<archive xmlns="http://rs.tdwg.org/dwc/text/">
+  <core fieldsTerminatedBy="," ignoreHeaderLines="1"
+        rowType="http://rs.tdwg.org/dwc/terms/Occurrence">
+    <files><location>occurrence.csv</location></files>
+    <id index="0"/>
+    <field index="1" term="http://rs.tdwg.org/dwc/terms/genus"/>
+    <field index="2" term="http://rs.tdwg.org/dwc/terms/stateProvince"/>
+    <field index="3" term="http://portal.idigbio.org/terms/recordset"/>
+  </core>
+</archive>
+"""
+
+ROWS = """id,genus,state,rs
+r1,Acer,Florida,rs1
+r2,Acer,Florida,rs1
+r3,Acer,Georgia,rs1
+r4,Quercus,Florida,rs2
+r5,ACER,florida,rs2
+r6,Betula,Vermont,rs2
+"""
+
+
+@pytest.fixture()
+def archive(tmp_path):
+    p = tmp_path / "harvest.zip"
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("meta.xml", META)
+        z.writestr("occurrence.csv", ROWS)
+    return str(p)
+
+
+def test_flagship_end_to_end(spark, tmp_path, archive):
+    # 1. ingest the DwC-A into the versioned store
+    arch = DwcaArchive(archive, workdir=str(tmp_path / "x"))
+    core = arch.read_core(spark)
+    batch = core.select(
+        F.col("id").alias("uuid"),
+        F.lit("records").alias("type"),
+        F.col("idigbio:recordset").alias("parent"),
+        F.sha1(
+            F.concat_ws("\x1f", "id", "dwc:genus", "dwc:stateProvince")
+        ).alias("etag"),
+        F.to_json(F.struct("dwc:genus", "dwc:stateProvince")).alias("data"),
+        # typed columns ride along for the analytical table
+        getfield("dwc:genus").alias("genus"),
+        getfield("dwc:stateProvince").alias("stateprovince"),
+        F.col("idigbio:recordset").alias("recordset"),
+    )
+    empty_hist = spark.createDataFrame(
+        [], "uuid string, type string, parent string, etag string, "
+            "version int, modified timestamp, data string",
+    )
+    res = st.apply_harvest_batch(
+        empty_hist, batch.select("uuid", "type", "parent", "etag", "data"),
+        modified=F.lit(datetime.datetime(2024, 1, 1)),
+    )
+    assert res.appended.count() == 6
+    assert {r["status"]: r["n"] for r in res.summary.collect()} == {"create": 6}
+
+    # 2. typed analytical table (write-time case folding, X12)
+    typed = batch.select("uuid", "genus", "stateprovince", "recordset")
+
+    # 3. the canonical query through the shim compiler
+    rq = {"genus": "acer", "stateprovince": "florida"}
+    hits = typed.filter(compile_shim(rq, assume_lowercased=True))
+    got = {r["uuid"] for r in hits.collect()}
+    assert got == {"r1", "r2", "r5"}  # case-insensitive both sides
+
+    # 4. citation counts + DwC-A export
+    counts = writers.recordset_counts(hits, "recordset")
+    assert counts == [("rs1", 2), ("rs2", 1)]
+    out_zip = str(tmp_path / "export.zip")
+    writers.write_dwca(
+        out_zip,
+        core=(hits, "uuid", ["genus", "stateprovince"], "records"),
+        citations=writers.citation_text(counts, str(rq), 3),
+        workdir=str(tmp_path / "w"),
+    )
+    with zipfile.ZipFile(out_zip) as z:
+        assert {"meta.xml", "occurrence.csv", "citations.txt"} <= set(z.namelist())
+        occ = z.read("occurrence.csv").decode()
+        cit = z.read("citations.txt").decode()
+    assert occ.count("\n") == 4  # header + 3 hits
+    assert "rs1: 2" in cit and "Total records: 3" in cit
+    arch.close()
+
+
+def test_empty_result_export(spark, tmp_path, archive):
+    # the reference's empty-result path: archive still assembles
+    arch = DwcaArchive(archive, workdir=str(tmp_path / "x2"))
+    typed = arch.read_core(spark).select(
+        F.col("id").alias("uuid"),
+        getfield("dwc:genus").alias("genus"),
+        F.col("idigbio:recordset").alias("recordset"),
+    )
+    hits = typed.filter(compile_shim({"genus": "nonexistent"}))
+    out_zip = str(tmp_path / "empty.zip")
+    writers.write_dwca(
+        out_zip,
+        core=(hits, "uuid", ["genus"], "records"),
+        citations=writers.citation_text([], "genus=nonexistent", 0),
+        workdir=str(tmp_path / "w2"),
+    )
+    with zipfile.ZipFile(out_zip) as z:
+        occ = z.read("occurrence.csv").decode()
+    assert occ.strip().splitlines() == ["uuid,genus"]
+    arch.close()
+
+
+def test_job_dedup():
+    clock = [1000.0]
+    calls = []
+    mgr = DownloadJobManager(dedup_seconds=100, clock=lambda: clock[0])
+
+    def run(params):
+        calls.append(params)
+        return f"artifact-{len(calls)}"
+
+    params = {"rq": {"genus": "acer", "stateprovince": "florida"},
+              "form": "dwca-csv"}
+    j1 = mgr.submit(params, run)
+    # key order must not matter (objectHasher sorted keys)
+    j2 = mgr.submit(
+        {"form": "dwca-csv",
+         "rq": {"stateprovince": "florida", "genus": "acer"}}, run
+    )
+    assert j1.job_id == j2.job_id and len(calls) == 1
+    assert j2.result == "artifact-1"
+    clock[0] += 200  # outside the dedup window -> rerun
+    j3 = mgr.submit(params, run)
+    assert j3.result == "artifact-2" and len(calls) == 2
+    different = mgr.submit({"rq": {"genus": "quercus"}}, run)
+    assert different.job_id != j1.job_id
