@@ -1448,3 +1448,49 @@ def etl_enrichment_pipeline(spark, sf_dir):
         ),
     )
     return scored
+
+
+@query(
+    "raw_field_access",
+    # P13 — dual addressing: predicate on the raw open-schema map, output
+    # from the raw map ('data.' paths, download.py:245-253, :155-163)
+    "SELECT doc_id, lang AS lang_raw, source AS source_raw FROM documents "
+    "WHERE lang = 'en' AND n_chars >= 200 ORDER BY doc_id",
+)
+def raw_field_access(spark, sf_dir):
+    """P13 — records carry the verbatim body as map<string,string> `data`
+    beside typed columns; queries can address either. Here the raw map is
+    built from the table, then both filtered and projected through map
+    access only."""
+    docs = _t(spark, sf_dir, "documents")
+    with_raw = docs.select(
+        "doc_id",
+        "n_chars",
+        F.map_from_arrays(
+            F.array(F.lit("dc:language"), F.lit("dc:source")),
+            F.array(F.col("lang"), F.col("source")),
+        ).alias("data"),
+    )
+    return (
+        with_raw.filter(
+            (F.col("data")["dc:language"] == "en") & (F.col("n_chars") >= 200)
+        )
+        .select(
+            "doc_id",
+            F.col("data")["dc:language"].alias("lang_raw"),
+            F.col("data")["dc:source"].alias("source_raw"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("stats_rollup_nested")
+def stats_rollup_nested_q(spark, sf_dir):
+    """A7 (full shape) — daily rollup with within-group term frequency map
+    (collect.py:132-217). The map-typed payload is not portably hashable
+    across engines — rows-only check; values are covered by the flat
+    stats_daily_rollup oracle plus unit tests."""
+    ev = _t(spark, sf_dir, "events")
+    return agg.stats_rollup_nested(ev, "ts", ["event_type"], "user_id").orderBy(
+        "day", "event_type"
+    )

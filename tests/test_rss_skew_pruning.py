@@ -1,0 +1,131 @@
+"""S5 feed harvesting, skew-salted aggregation, and partition-pruning
+verification for the type-partitioned store layout (X2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from idb_backend_spark.operators import skew
+from idb_backend_spark.sources.rss import diff_feed_against_registry, parse_feed
+
+RSS = b"""<?xml version="1.0"?>
+<rss version="2.0" xmlns:ipt="http://ipt.gbif.org/">
+  <channel>
+    <title>Publisher feed</title>
+    <item>
+      <title>Recordset One</title>
+      <link>http://pub.example.org/archive/one.zip</link>
+      <pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate>
+      <guid>urn:rs:one</guid>
+      <ipt:eml>http://pub.example.org/eml/one.xml</ipt:eml>
+    </item>
+    <item>
+      <title>Recordset Two</title>
+      <link>http://pub.example.org/archive/two.zip</link>
+      <pubDate>Tue, 02 Jan 2024 00:00:00 GMT</pubDate>
+      <guid>urn:rs:two</guid>
+    </item>
+  </channel>
+</rss>
+"""
+
+ATOM = b"""<?xml version="1.0"?>
+<feed xmlns="http://www.w3.org/2005/Atom">
+  <entry>
+    <title>Atom Set</title>
+    <link href="http://pub.example.org/a.zip"/>
+    <updated>2024-03-01T00:00:00Z</updated>
+    <id>urn:rs:atom</id>
+  </entry>
+</feed>
+"""
+
+
+def test_parse_rss_and_atom():
+    entries = parse_feed(RSS)
+    assert len(entries) == 2
+    assert entries[0].title == "Recordset One"
+    assert entries[0].link == "http://pub.example.org/archive/one.zip"
+    assert entries[0].guid == "urn:rs:one"
+    assert entries[0].eml_link == "http://pub.example.org/eml/one.xml"
+    atom = parse_feed(ATOM)
+    assert atom[0].link == "http://pub.example.org/a.zip"
+    assert atom[0].guid == "urn:rs:atom"
+    assert atom[0].pub_date == "2024-03-01T00:00:00Z"
+
+
+def test_feed_diff():
+    entries = parse_feed(RSS)
+    registry = {"urn:rs:one": "Mon, 01 Jan 2024 00:00:00 GMT"}
+    new, updated = diff_feed_against_registry(entries, registry)
+    assert [e.guid for e in new] == ["urn:rs:two"]
+    assert updated == []
+    registry["urn:rs:one"] = "Sun, 31 Dec 2023 00:00:00 GMT"
+    _, updated = diff_feed_against_registry(entries, registry)
+    assert [e.guid for e in updated] == ["urn:rs:one"]
+
+
+def test_salted_count_matches_plain(spark):
+    # skewed: one key owns 90% of rows
+    df = spark.range(0, 10000).select(
+        F.when(F.col("id") % 10 != 0, "hot").otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 7).cast("string"))
+        ).alias("key")
+    )
+    plain = {r["key"]: r["count"] for r in
+             df.groupBy("key").count().collect()}
+    salted = {r["key"]: r["count"] for r in
+              skew.salted_count(df, ["key"], n_salts=8).collect()}
+    assert salted == plain
+
+
+def test_salted_agg_sum_min(spark):
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    )
+    out = {
+        r["k"]: (r["total"], r["lo"])
+        for r in skew.salted_agg(
+            df, ["k"],
+            partial_aggs=[F.sum("v").alias("__s"), F.min("v").alias("__m")],
+            final_aggs=[F.sum("__s").alias("total"), F.min("__m").alias("lo")],
+            n_salts=4,
+        ).collect()
+    }
+    expect = {
+        r["k"]: (r["total"], r["lo"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("total"), F.min("v").alias("lo"))
+        .collect()
+    }
+    assert out == expect
+
+
+def test_replicate_broadcast_join(spark):
+    skewed = spark.range(0, 5000).select(
+        F.lit("hot").alias("k"), F.col("id").alias("v")
+    )
+    small = spark.createDataFrame([("hot", "dim")], "k string, label string")
+    out = skew.replicate_broadcast_join(skewed, small, "k", n_salts=4)
+    assert out.count() == 5000
+    assert out.select("label").distinct().first()["label"] == "dim"
+
+
+def test_store_partition_pruning(spark, tmp_path):
+    """X2 — the history table partitioned by type must prune at scan time."""
+    import datetime
+
+    hist = spark.createDataFrame(
+        [
+            ("a", "records", "e1", 0, datetime.datetime(2024, 1, 1), "d"),
+            ("m", "mediarecords", "e2", 0, datetime.datetime(2024, 1, 1), "d"),
+        ],
+        "uuid string, type string, etag string, version int, "
+        "modified timestamp, data string",
+    )
+    path = str(tmp_path / "store")
+    hist.write.partitionBy("type").parquet(path)
+    scan = spark.read.parquet(path).filter(F.col("type") == "records")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(type" in plan
+    assert scan.count() == 1
