@@ -1,0 +1,170 @@
+"""F9/F16/F20/F23/P14 — the remaining enrichment tail: relations
+extraction, WKT geoshape parsing, identifier extraction precedence, and
+index-document finalization.
+
+All native expressions (regex + struct building); shapely-backed WKT
+containment would slot into the geo UDF kernel, but POINT/simple-POLYGON
+parsing is regex-expressible and covers the reference's actual usage
+(conversions.py:771-816 — the geoshape path is disabled in production).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from idb_backend_spark.functions.grabbers import grab_first_uuid
+
+# --------------------------------------------------------------------------
+# F9 — relationsGrabber (conversions.py:632-680): extract linked uuids from
+# idigbio:links-style URL lists; derive hasImage/hasMedia/hasSpecimen (P14).
+# --------------------------------------------------------------------------
+
+
+def related_uuids(links: Column) -> Column:
+    """array of first-UUIDs from an array of link URLs (grabFirstUUID,
+    conversions.py:319-331), nulls dropped."""
+    return F.array_compact(F.transform(links, lambda u: grab_first_uuid(u)))
+
+
+def media_presence_flags(
+    mediarecords: Column, records: Column
+) -> dict[str, Column]:
+    """P14 — hasImage/hasMedia/hasSpecimen booleans from the sibling link
+    arrays (conversions.py:674-678): media presence = non-empty media
+    links; specimen presence = non-empty record links."""
+    has_media = mediarecords.isNotNull() & (F.size(mediarecords) > 0)
+    has_specimen = records.isNotNull() & (F.size(records) > 0)
+    return {
+        "hasMedia": has_media,
+        "hasImage": has_media,  # refined by mediatype when available
+        "hasSpecimen": has_specimen,
+    }
+
+
+# --------------------------------------------------------------------------
+# F16 — WKT geoshape (conversions.py:771-816): POINT/POLYGON parse with the
+# bare-coordinate-list fallback; point-radius circle from uncertainty.
+# --------------------------------------------------------------------------
+
+_NUM = r"[+-]?\d+(?:\.\d+)?"
+
+
+def wkt_point(wkt: Column) -> Column:
+    """``POINT (lon lat)`` -> struct(lon, lat); null if not a point."""
+    lon = F.regexp_extract(wkt, rf"(?i)POINT\s*\(\s*({_NUM})\s+{_NUM}\s*\)", 1)
+    lat = F.regexp_extract(wkt, rf"(?i)POINT\s*\(\s*{_NUM}\s+({_NUM})\s*\)", 1)
+    ok = (lon != "") & (lat != "")
+    return F.when(
+        ok,
+        F.struct(
+            lon.cast("double").alias("lon"), lat.cast("double").alias("lat")
+        ),
+    )
+
+
+def wkt_polygon_ring(wkt: Column) -> Column:
+    """Outer ring of ``POLYGON ((x y, x y, ...))`` (or a bare ``x y, x y``
+    coordinate list — the reference's fallback, conversions.py:783-797) ->
+    array<struct(lon, lat)>."""
+    inner = F.regexp_extract(wkt, r"(?i)POLYGON\s*\(\s*\(([^)]*)\)", 1)
+    body = F.when(inner != "", inner).otherwise(wkt)
+    pairs = F.split(F.trim(body), r"\s*,\s*")
+    ring = F.transform(
+        pairs,
+        lambda p: F.struct(
+            F.regexp_extract(p, rf"^({_NUM})\s+{_NUM}$", 1)
+            .try_cast("double")
+            .alias("lon"),
+            F.regexp_extract(p, rf"^{_NUM}\s+({_NUM})$", 1)
+            .try_cast("double")
+            .alias("lat"),
+        ),
+    )
+    valid = F.filter(
+        ring, lambda s: s["lon"].isNotNull() & s["lat"].isNotNull()
+    )
+    return F.when(F.size(valid) >= 3, valid)
+
+
+def point_radius(geopoint: Column, uncertainty_m: Column) -> Column:
+    """Circle shape from geopoint + coordinateUncertaintyInMeters
+    (conversions.py:799-816; disabled in the reference pipeline at
+    :952-953 but part of the capability surface)."""
+    return F.when(
+        geopoint.isNotNull() & uncertainty_m.isNotNull(),
+        F.struct(
+            F.lit("circle").alias("type"),
+            geopoint.alias("center"),
+            uncertainty_m.cast("double").alias("radius_m"),
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# F23 — identifyRecord precedence (db_check.py:64-165): per-rowtype ordered
+# identifier extraction; all candidates lowercased/trimmed; occurrenceID
+# and bare id namespaced under the recordset.
+# --------------------------------------------------------------------------
+
+
+def record_identifiers(
+    rsid: Column,
+    occurrence_id: Column,
+    record_id: Column,
+    bare_id: Column,
+) -> Column:
+    """Candidate identifier array in the reference's precedence order:
+    dwc:occurrenceID (namespaced ``<rsid>\\<value>``), idigbio:recordId
+    (verbatim), bare ``id`` (namespaced). Nulls drop out; downstream
+    probing is J9 (identity_match)."""
+
+    def norm(c: Column) -> Column:
+        return F.lower(F.trim(c))
+
+    ns = lambda c: F.when(  # noqa: E731
+        c.isNotNull(), F.concat(rsid, F.lit("\\"), norm(c))
+    )
+    return F.array_compact(
+        F.array(ns(occurrence_id), norm(record_id), ns(bare_id))
+    )
+
+
+# --------------------------------------------------------------------------
+# F20 — prepForEs-equivalent finalization (indexer.py:50-89): the typed
+# index document — null/empty handling, geopoint struct, ISO dates.
+# --------------------------------------------------------------------------
+
+
+def finalize_index_document(
+    df: DataFrame,
+    lat: str = "lat",
+    lon: str = "lon",
+    date_cols: tuple[str, ...] = (),
+    drop_empty_strings: bool = True,
+) -> DataFrame:
+    """Shape the enriched frame for the analytical table: assemble the
+    ``geopoint`` struct {lon, lat} (ES geo_point order, indexer.py:72-75),
+    render dates as ISO strings alongside native columns, and null out
+    empty strings (prepForEs drops them, :56-66)."""
+    out = df
+    if lat in df.columns and lon in df.columns:
+        out = out.withColumn(
+            "geopoint",
+            F.when(
+                F.col(lat).isNotNull() & F.col(lon).isNotNull(),
+                F.struct(F.col(lon).alias("lon"), F.col(lat).alias("lat")),
+            ),
+        )
+    for c in date_cols:
+        out = out.withColumn(f"{c}_iso", F.date_format(F.col(c), "yyyy-MM-dd"))
+    if drop_empty_strings:
+        for field in out.schema.fields:
+            if field.dataType.simpleString() == "string":
+                out = out.withColumn(
+                    field.name,
+                    F.when(F.trim(F.col(field.name)) == "", None).otherwise(
+                        F.col(field.name)
+                    ),
+                )
+    return out

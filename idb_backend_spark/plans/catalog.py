@@ -1494,3 +1494,65 @@ def stats_rollup_nested_q(spark, sf_dir):
     return agg.stats_rollup_nested(ev, "ts", ["event_type"], "user_id").orderBy(
         "day", "event_type"
     )
+
+
+@query(
+    "media_presence_flags",
+    # F9/P14 — hasMedia/hasSpecimen from sibling-link arrays: orders with
+    # at least one qualifying lineitem "media" link
+    "WITH links AS (SELECT o.o_orderkey, "
+    "  (SELECT count(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey"
+    "   AND l.l_returnflag = 'R') AS n_media, "
+    "  (SELECT count(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey"
+    "   AND l.l_returnflag = 'N') AS n_spec "
+    "  FROM orders o) "
+    "SELECT o_orderkey, n_media > 0 AS hasMedia, n_spec > 0 AS hasSpecimen "
+    "FROM links ORDER BY o_orderkey",
+)
+def media_presence_flags_q(spark, sf_dir):
+    """F9/P14 — derive media/specimen presence booleans from collected
+    sibling-link arrays (conversions.py:632-680)."""
+    from idb_backend_spark.functions.finalize import media_presence_flags
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    media_links = li.filter(F.col("l_returnflag") == "R").groupBy(
+        F.col("l_orderkey").alias("o_orderkey")
+    ).agg(F.collect_list("l_linenumber").alias("mediarecords"))
+    spec_links = li.filter(F.col("l_returnflag") == "N").groupBy(
+        F.col("l_orderkey").alias("o_orderkey")
+    ).agg(F.collect_list("l_linenumber").alias("records"))
+    joined = orders.select("o_orderkey").join(media_links, "o_orderkey", "left").join(
+        spec_links, "o_orderkey", "left"
+    )
+    flags = media_presence_flags(F.col("mediarecords"), F.col("records"))
+    return joined.select(
+        "o_orderkey",
+        flags["hasMedia"].alias("hasMedia"),
+        flags["hasSpecimen"].alias("hasSpecimen"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "identifier_extraction",
+    # F23 — precedence-ordered candidate identifiers, namespaced + folded
+    "SELECT o_orderkey, ["
+    "'rs' || CAST(o_custkey % 10 AS VARCHAR(32)) || '\\' || "
+    "lower(trim('URN:CAT:' || CAST(o_orderkey AS VARCHAR(32)))), "
+    "lower(trim(o_orderpriority))"
+    "] AS ids FROM orders ORDER BY o_orderkey",
+)
+def identifier_extraction(spark, sf_dir):
+    """F23 — identifier extraction precedence: namespaced occurrenceID then
+    verbatim recordId (db_check.py:64-165)."""
+    from idb_backend_spark.functions.finalize import record_identifiers
+
+    orders = _t(spark, sf_dir, "orders")
+    rsid = F.concat(F.lit("rs"), (F.col("o_custkey") % 10).cast("string"))
+    occ = F.concat(F.lit("URN:CAT:"), F.col("o_orderkey").cast("string"))
+    return orders.select(
+        "o_orderkey",
+        record_identifiers(
+            rsid, occ, F.col("o_orderpriority"), F.lit(None).cast("string")
+        ).alias("ids"),
+    ).orderBy("o_orderkey")

@@ -1,0 +1,127 @@
+"""F9/F16/F20/F23/P14 tests — the enrichment tail."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from idb_backend_spark.functions import finalize as fin
+from idb_backend_spark.query.shim import point_in_polygon
+
+
+def test_related_uuids(spark):
+    df = spark.createDataFrame(
+        [
+            Row(
+                i=0,
+                links=[
+                    "http://api.example.org/v2/media/0000012b-9bb8-42f4-ad3b-c958cb22ae45?v=1",
+                    "not-a-uuid",
+                ],
+            ),
+            Row(i=1, links=[]),
+        ]
+    )
+    out = df.select("i", fin.related_uuids(F.col("links")).alias("u")).orderBy("i").collect()
+    assert out[0]["u"] == ["0000012b-9bb8-42f4-ad3b-c958cb22ae45"]
+    assert out[1]["u"] == []
+
+
+def test_media_presence_flags(spark):
+    df = spark.createDataFrame(
+        [
+            Row(i=0, mr=["m1"], rec=[]),
+            Row(i=1, mr=[], rec=["r1"]),
+            Row(i=2, mr=None, rec=None),
+        ]
+    )
+    flags = fin.media_presence_flags(F.col("mr"), F.col("rec"))
+    out = (
+        df.select("i", flags["hasMedia"].alias("hm"), flags["hasSpecimen"].alias("hs"))
+        .orderBy("i")
+        .collect()
+    )
+    assert [(r.hm, r.hs) for r in out] == [
+        (True, False), (False, True), (False, False),
+    ]
+
+
+def test_wkt_point_and_polygon(spark):
+    df = spark.createDataFrame(
+        [
+            Row(i=0, wkt="POINT (-82.32 29.65)"),
+            Row(i=1, wkt="polygon ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+            Row(i=2, wkt="0 0, 10 0, 5 10"),  # bare coordinate list fallback
+            Row(i=3, wkt="LINESTRING (0 0, 1 1)"),
+        ]
+    )
+    out = (
+        df.select(
+            "i",
+            fin.wkt_point(F.col("wkt")).alias("pt"),
+            fin.wkt_polygon_ring(F.col("wkt")).alias("ring"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    assert out[0]["pt"]["lon"] == -82.32 and out[0]["pt"]["lat"] == 29.65
+    assert out[1]["pt"] is None
+    assert len(out[1]["ring"]) == 5
+    assert [p["lon"] for p in out[2]["ring"]] == [0.0, 10.0, 5.0]
+    assert out[3]["pt"] is None and out[3]["ring"] is None
+
+    # parsed ring feeds the native point-in-polygon predicate (P10 path)
+    ring = [[p["lon"], p["lat"]] for p in out[1]["ring"]]
+    probe = spark.createDataFrame([Row(lat=5.0, lon=5.0), Row(lat=20.0, lon=5.0)])
+    hits = probe.filter(point_in_polygon(F.col("lat"), F.col("lon"), ring)).collect()
+    assert [(r.lat, r.lon) for r in hits] == [(5.0, 5.0)]
+
+
+def test_point_radius(spark):
+    df = spark.createDataFrame([Row(lat=29.65, lon=-82.32, unc="100")])
+    gp = F.struct(F.col("lon"), F.col("lat"))
+    out = df.select(fin.point_radius(gp, F.col("unc")).alias("c")).first()["c"]
+    assert out["type"] == "circle" and out["radius_m"] == 100.0
+
+
+def test_record_identifiers(spark):
+    df = spark.createDataFrame(
+        [
+            Row(i=0, occ="URN:CAT:1 ", rid="http://x/ABC", bid="row9"),
+            Row(i=1, occ=None, rid=None, bid=None),
+        ]
+    )
+    out = (
+        df.select(
+            "i",
+            fin.record_identifiers(
+                F.lit("rs1"), F.col("occ"), F.col("rid"), F.col("bid")
+            ).alias("ids"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    assert out[0]["ids"] == ["rs1\\urn:cat:1", "http://x/abc", "rs1\\row9"]
+    assert out[1]["ids"] == []
+
+
+def test_finalize_index_document(spark):
+    df = spark.createDataFrame(
+        [
+            Row(uuid="a", lat=29.65, lon=-82.32, note="  ",
+                dc=datetime.date(2020, 5, 17)),
+            Row(uuid="b", lat=None, lon=-82.32, note="keep",
+                dc=None),
+        ]
+    )
+    out = {
+        r["uuid"]: r
+        for r in fin.finalize_index_document(df, date_cols=("dc",)).collect()
+    }
+    assert out["a"]["geopoint"]["lon"] == -82.32
+    assert out["a"]["note"] is None  # empty string dropped
+    assert out["a"]["dc_iso"] == "2020-05-17"
+    assert out["b"]["geopoint"] is None
+    assert out["b"]["note"] == "keep"
