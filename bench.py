@@ -47,9 +47,16 @@ def main():
     spark = get_spark("idb-backend-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/codegen path once on a trivial job so the first measured
-    # query doesn't pay session startup
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Warm the JVM/whole-stage-codegen paths by running every headline query
+    # once at the smallest scale factor (different data — only code paths
+    # warm, no result reuse). An engine serving queries runs warm; cold-JVM
+    # timings would measure JIT, not the plans.
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        try:
+            Q[name](spark, warm_dir).count()
+        except Exception as e:
+            print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
     times: dict[str, float] = {}
     total = 0.0
