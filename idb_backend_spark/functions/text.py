@@ -118,6 +118,15 @@ def lang_id(c: Column | str, markers: dict[str, list[str]] | None = None) -> Col
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def fulltext_column(*cols: Column | str) -> Column:
+    """P7 write-time precompute — the engine's `_all` analog: lowercased
+    space-joined concatenation of every text column
+    (SURVEY §2.2 P7; query side is compile_shim's token conjunction).
+    concat_ws skips nulls, so sparse records don't produce 'null' tokens."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return F.lower(F.concat_ws(" ", *cs))
+
+
 def fingerprint(c: Column | str) -> Column:
     """Document fingerprint: md5 of the normalized text. Content-addressed
     identity for exact dedup (the text analog of the record etag, F19)."""

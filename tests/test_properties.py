@@ -1,0 +1,220 @@
+"""Property-based tests (hypothesis) for the deterministic kernels —
+going beyond the reference's golden-only strategy (SURVEY §5 notes it has
+no property testing). Pure-Python properties run per-example; Spark
+comparisons batch all generated cases into one DataFrame so the suite
+doesn't pay per-example session round-trips."""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from idb_backend_spark.export.jobs import DownloadJobManager
+from idb_backend_spark.functions.etags import calc_etag, object_hash
+from idb_backend_spark.functions.geo import GridGeocoder
+from idb_backend_spark.sources.delimited import normalize_delimiter
+
+# ---------------------------------------------------------------------------
+# F19 — canonical hashing
+# ---------------------------------------------------------------------------
+
+json_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**31), max_value=2**31),
+    st.text(max_size=40),
+)
+flat_records = st.dictionaries(st.text(min_size=1, max_size=20), st.text(max_size=40), max_size=8)
+
+
+@given(flat_records)
+@settings(max_examples=200, deadline=None)
+def test_calc_etag_is_key_order_invariant(record):
+    reordered = dict(reversed(list(record.items())))
+    assert calc_etag(record) == calc_etag(reordered)
+    # the spec: sha1 of compact JSON of the sorted flattened [k,v,...] array
+    import hashlib
+
+    flat = []
+    for k in sorted(record):
+        flat += [k, record[k]]
+    expected = hashlib.sha1(
+        json.dumps(flat, separators=(",", ":"), ensure_ascii=False).encode()
+    ).hexdigest()
+    assert calc_etag(record) == expected
+
+
+nested_values = st.recursive(
+    json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(min_size=1, max_size=10), children, max_size=4),
+    ),
+    max_leaves=12,
+)
+
+
+@given(nested_values)
+@settings(max_examples=200, deadline=None)
+def test_object_hash_deterministic_and_type_sensitive(v):
+    assert object_hash(v) == object_hash(v)
+    # sort_arrays makes list order irrelevant
+    if isinstance(v, list):
+        assert object_hash(list(reversed(v)), sort_arrays=True) == object_hash(
+            v, sort_arrays=True
+        )
+
+
+@given(st.dictionaries(st.text(min_size=1, max_size=10), json_scalars, max_size=6))
+@settings(max_examples=100, deadline=None)
+def test_params_hash_key_order_invariant(params):
+    mgr = DownloadJobManager()
+    assert mgr.params_hash(params) == mgr.params_hash(
+        dict(reversed(list(params.items())))
+    )
+
+
+# ---------------------------------------------------------------------------
+# S2 — delimiter normalization total on 1-char outputs
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.text(min_size=1, max_size=1).filter(
+        lambda c: not c.isspace() and c not in "'\""
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_normalize_delimiter_single_char_fixpoint(d):
+    # literal whitespace strips to the default (reference behavior: the
+    # tab delimiter arrives as the two-char sequence backslash-t); quote
+    # chars are wrapper syntax — both excluded from the fixpoint set
+    assert normalize_delimiter(d) == d
+    # repeated identical chars collapse
+    assert normalize_delimiter(d * 3) == d
+
+
+@given(st.integers(min_value=1, max_value=0x10FFFF - 1))
+@settings(max_examples=100, deadline=None)
+def test_normalize_delimiter_entity_forms(cp):
+    ch = chr(cp)
+    try:
+        assert normalize_delimiter(f"&#{cp};") == ch
+        assert normalize_delimiter(f"&#x{cp:x};") == ch
+    except ValueError:
+        pass  # chars the strip() removes (whitespace) legitimately reject
+
+
+# ---------------------------------------------------------------------------
+# F7 — grid geocoder: lookup agrees with brute-force box scan
+# ---------------------------------------------------------------------------
+
+boxes = st.tuples(
+    st.floats(min_value=-179, max_value=170, allow_nan=False),
+    st.floats(min_value=-89, max_value=80, allow_nan=False),
+    st.floats(min_value=0.5, max_value=9),
+    st.floats(min_value=0.5, max_value=9),
+)
+
+
+@given(
+    st.dictionaries(st.sampled_from(["AA", "BB", "CC"]), st.lists(boxes, min_size=1, max_size=3), min_size=1),
+    st.floats(min_value=-180, max_value=180, allow_nan=False),
+    st.floats(min_value=-90, max_value=90, allow_nan=False),
+)
+@settings(max_examples=150, deadline=None)
+def test_grid_geocoder_matches_bruteforce(region_spec, lon, lat):
+    regions = {
+        code: [(x, y, x + w, y + h) for (x, y, w, h) in bs]
+        for code, bs in region_spec.items()
+    }
+    g = GridGeocoder(regions)
+    got = g.lookup(lon, lat)
+    brute = None
+    for code in regions:  # insertion order, same as geocoder scan order
+        if any(x1 <= lon <= x2 and y1 <= lat <= y2 for (x1, y1, x2, y2) in regions[code]):
+            brute = code
+            break
+    assert got == brute
+
+
+# ---------------------------------------------------------------------------
+# Spark-side: uuid5 expression vs Python uuid5, batched into ONE DataFrame
+# ---------------------------------------------------------------------------
+
+
+def test_uuid5_expr_property_batch(spark):
+    from pyspark.sql import functions as F
+
+    from idb_backend_spark.functions.enrichment import (
+        IDIGBIO_NAMESPACE,
+        uuid5_expr,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abcXYZ0189 _-:/üé漢字🦜'\"\\"
+    names = list(
+        {
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30)))
+            for _ in range(200)
+        }
+    )
+    df = spark.createDataFrame([(n,) for n in names], "n string")
+    got = {
+        r["n"]: r["u"]
+        for r in df.select("n", uuid5_expr(F.col("n")).alias("u")).collect()
+    }
+    for n in names:
+        assert got[n] == str(uuid.uuid5(IDIGBIO_NAMESPACE, n)), repr(n)
+
+
+def test_point_in_polygon_property_batch(spark):
+    """Native unrolled ray-cast vs a pure-Python reference implementation
+    over generated convex/concave polygons and probe points."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from idb_backend_spark.query.shim import point_in_polygon
+
+    rng = random.Random(42)
+
+    def py_raycast(lat, lon, poly):
+        inside = False
+        n = len(poly)
+        for i in range(n):
+            x1, y1 = poly[i]
+            x2, y2 = poly[(i + 1) % n]
+            if y1 == y2:
+                continue
+            if ((y1 > lat) != (y2 > lat)) and lon < (lat - y1) * (x2 - x1) / (
+                y2 - y1
+            ) + x1:
+                inside = not inside
+        return inside
+
+    for trial in range(5):
+        k = rng.randint(3, 8)
+        poly = [
+            [rng.uniform(-170, 170), rng.uniform(-80, 80)] for _ in range(k)
+        ]
+        probes = [
+            (rng.uniform(-90, 90), rng.uniform(-180, 180)) for _ in range(200)
+        ]
+        df = spark.createDataFrame(probes, "lat double, lon double")
+        got = {
+            (r["lat"], r["lon"]): r["hit"]
+            for r in df.select(
+                "lat", "lon",
+                point_in_polygon(F.col("lat"), F.col("lon"), poly).alias("hit"),
+            ).collect()
+        }
+        for lat, lon in probes:
+            assert got[(lat, lon)] == py_raycast(lat, lon, poly), (
+                trial, lat, lon,
+            )
