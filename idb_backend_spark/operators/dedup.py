@@ -308,3 +308,77 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    vertices: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (id, cluster) where
+    ``cluster`` is the minimum member id — the step that turns pairwise
+    LSH/SimHash output into dedup groups.
+
+    Iterative min-label propagation: each round every vertex takes the min
+    of its own label and its neighbors' labels; converged when no label
+    changes. Rounds needed = graph diameter (near-dup graphs are shallow —
+    dup clusters are cliques or short chains, so 3-5 rounds typical).
+
+    Scale notes: each round is one shuffle (join on vertex) + one
+    aggregation; ``localCheckpoint`` truncates the lineage so round N's
+    plan doesn't replay rounds 1..N-1 (without it the plan doubles per
+    round and the job dies at ~15 iterations). The convergence probe is a
+    count over changed labels only.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    if vertices is not None:
+        verts = vertices.select(F.col(vertices.columns[0]).alias("id")).distinct()
+    else:
+        verts = sym.select(F.col("src").alias("id")).distinct()
+    labels = verts.select("id", F.col("id").alias("cluster"))
+    sym = sym.localCheckpoint()
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            labels.join(sym, labels["id"] == sym["src"])
+            .groupBy("dst")
+            .agg(F.min("cluster").alias("nmin"))
+            .withColumnRenamed("dst", "id")
+        )
+        updated = (
+            labels.join(neighbor_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
+                ).alias("new_cluster"),
+                F.col("cluster"),
+            )
+        ).localCheckpoint()
+        changed = updated.filter(F.col("new_cluster") != F.col("cluster")).count()
+        labels = updated.select("id", F.col("new_cluster").alias("cluster"))
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop near-duplicates: keep one row per cluster (the minimum id — a
+    deterministic canonical choice). Rows not in any pair survive
+    untouched; only clustered non-canonical rows are removed."""
+    clusters = duplicate_clusters(pairs, id_a=id_a, id_b=id_b)
+    losers = clusters.filter(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

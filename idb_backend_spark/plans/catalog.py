@@ -1556,3 +1556,22 @@ def identifier_extraction(spark, sf_dir):
             rsid, occ, F.col("o_orderpriority"), F.lit(None).cast("string")
         ).alias("ids"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "duplicate_clusters",
+    # chains of 5: edges (i, i+1) unless i%5==4 -> cluster = 5*floor(i/5)
+    "SELECT doc_id, CAST(doc_id // 5 * 5 AS BIGINT) AS cluster "
+    "FROM documents ORDER BY doc_id",
+)
+def duplicate_clusters_q(spark, sf_dir):
+    """Connected components over dup pairs (min-label propagation). The
+    synthetic edge set is chains of five consecutive doc_ids, so the
+    closed-form cluster id is an exact oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.filter(F.col("doc_id") % 5 != 4).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    verts = docs.select("doc_id")
+    out = dedup.duplicate_clusters(pairs, vertices=verts)
+    return out.select(F.col("id").alias("doc_id"), "cluster").orderBy("doc_id")

@@ -1,0 +1,57 @@
+"""Connected-components dedup clustering tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from idb_backend_spark.operators import dedup
+
+
+def test_duplicate_clusters_shapes(spark):
+    # two triangles + a chain + an isolate
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (1, 3),          # triangle {1,2,3}
+            (10, 11), (11, 12),              # chain {10,11,12}
+            (20, 21), (21, 22), (20, 22),    # triangle {20,21,22}
+        ],
+        "id_a long, id_b long",
+    )
+    verts = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 12, 20, 21, 22, 99]], "id long"
+    )
+    out = {
+        r["id"]: r["cluster"]
+        for r in dedup.duplicate_clusters(pairs, vertices=verts).collect()
+    }
+    assert out == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20, 22: 20,
+        99: 99,  # isolate keeps itself
+    }
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    # a 30-node path needs ~diameter rounds of propagation... but min-label
+    # moves one hop per round only in the worst direction; cap must hold
+    n = 30
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = dedup.duplicate_clusters(pairs, max_iterations=n)
+    assert out.filter(F.col("cluster") != 0).count() == 0
+
+
+def test_dedup_keep_canonical(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc{i}") for i in [1, 2, 3, 10, 99]], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_keep_canonical(df, pairs, "doc_id").collect()
+    )
+    assert kept == [1, 10, 99]  # 2 and 3 fold into cluster 1
