@@ -97,3 +97,51 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_write(
+    assigned: DataFrame, path: str, max_records_per_file: int = 1_000_000
+) -> None:
+    """Persist the IVF assignment bucket-partitioned: queries probing
+    nprobe buckets then scan only those hive partitions — the pruning is
+    visible as PartitionFilters in the plan and reads nprobe/nlist of the
+    data at any scale."""
+    (
+        assigned.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def ivf_topk_from_store(
+    spark,
+    path: str,
+    centroids: list,
+    query_vec,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe a bucket-partitioned IVF store: the bucket IN-list predicate
+    prunes partitions at the scan, so only nprobe/nlist of the files are
+    read."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=float)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    sims = []
+    for i, c in enumerate(centroids):
+        cv = np.asarray(c, dtype=float)
+        n = np.linalg.norm(cv)
+        sims.append((float(np.dot(qn, cv / n)) if n else -1.0, i))
+    probe = [i for _, i in sorted(sims, reverse=True)[:nprobe]]
+    store = spark.read.parquet(path)
+    sim = cosine_similarity(F.col(vec_col), _vec_lit(query_vec))
+    return (
+        store.filter(F.col("bucket").isin(probe))
+        .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )

@@ -55,3 +55,31 @@ def test_dedup_keep_canonical(spark):
         for r in dedup.dedup_keep_canonical(df, pairs, "doc_id").collect()
     )
     assert kept == [1, 10, 99]  # 2 and 3 fold into cluster 1
+
+
+def test_ivf_partitioned_store_prunes(spark, tmp_path):
+    """The IVF scale path: bucket-partitioned store + partition-pruned
+    probe, recall checked against brute force."""
+    from pyspark.sql import functions as F
+
+    from idb_backend_spark.operators import ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    assigned, centroids = ann.ivf_build(emb, nlist=8)
+    path = str(tmp_path / "ivf")
+    ann.ivf_write(assigned, path)
+
+    out = ann.ivf_topk_from_store(spark, path, centroids, qvec, k=10, nprobe=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # nprobe = nlist: identical to brute force
+    brute = ann.brute_force_topk(emb, qvec, k=10)
+    assert [r["vec_id"] for r in out.collect()] == [
+        r["vec_id"] for r in brute.collect()
+    ]
+    # nprobe < nlist: the query vector's own bucket must surface vec 0 first
+    pruned = ann.ivf_topk_from_store(
+        spark, path, centroids, qvec, k=10, nprobe=3
+    )
+    assert pruned.first()["vec_id"] == 0
