@@ -139,3 +139,41 @@ def version_history(history: DataFrame, uuid: str) -> DataFrame:
     """``version=all`` item lookup (db.py:322-342): every version of one
     entity, ascending."""
     return history.filter(F.col("uuid") == uuid).orderBy("version")
+
+
+def changed_since(history: DataFrame, watermark) -> DataFrame:
+    """X6 — incremental replay input: every version newer than the
+    watermark, ascending modified (the reference's correctness note:
+    index_from_postgres.py:94-97 — versions must apply in order; the
+    merge collapses them to last-writer-wins per uuid)."""
+    return history.filter(F.col("modified") > F.lit(watermark)).orderBy(
+        "modified"
+    )
+
+
+def incremental_reindex(
+    history: DataFrame,
+    watermark,
+    enrich,
+) -> tuple[DataFrame, DataFrame]:
+    """X6 composed — refresh the typed analytical table incrementally:
+
+    1. uuids touched since the watermark (tiny vs the full store),
+    2. their CURRENT latest rows (changed uuids only — a semi-join, so
+       enrichment cost scales with the delta, not the store),
+    3. ``enrich(latest_changed)`` recomputes typed rows; tombstoned uuids
+       come back as the delete set.
+
+    Returns (upserts, deletes): merge-ready frames for the index table.
+    """
+    touched = (
+        history.filter(F.col("modified") > F.lit(watermark))
+        .select("uuid")
+        .distinct()
+    )
+    current = latest_view(history, include_deleted=True).join(
+        touched, on="uuid", how="left_semi"
+    )
+    live = current.filter(F.col("etag") != TOMBSTONE_ETAG)
+    deletes = current.filter(F.col("etag") == TOMBSTONE_ETAG).select("uuid")
+    return enrich(live), deletes

@@ -115,3 +115,32 @@ def test_tombstone_generation_and_commit_gate(spark):
 def test_version_history(spark):
     rows = st.version_history(_history(spark), "a").collect()
     assert [r["version"] for r in rows] == [0, 1]
+
+
+def test_incremental_reindex(spark):
+    hist = _history(spark)
+    wm = _ts("2024-01-01T12:00:00")
+    # touched since watermark: a (v1 @ 01-02), c (tombstone @ 01-03)
+    enriched_inputs = []
+
+    def enrich(df):
+        out = df.withColumn("genus_typed", F.upper("data"))
+        enriched_inputs.append(df.count())
+        return out
+
+    from idb_backend_spark.operators.store import incremental_reindex
+
+    upserts, deletes = incremental_reindex(hist, wm, enrich)
+    up = {r["uuid"]: r for r in upserts.collect()}
+    assert set(up) == {"a"}  # only a's latest is live among touched
+    assert up["a"]["genus_typed"] == "A1"
+    assert [r["uuid"] for r in deletes.collect()] == ["c"]
+    assert enriched_inputs == [1]  # enrichment saw the delta, not the store
+
+
+def test_changed_since_orders_ascending(spark):
+    from idb_backend_spark.operators.store import changed_since
+
+    rows = changed_since(_history(spark), _ts("2023-12-31T00:00:00")).collect()
+    ts = [r["modified"] for r in rows]
+    assert ts == sorted(ts)
