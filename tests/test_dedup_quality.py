@@ -1,0 +1,98 @@
+"""Near-dup estimator quality: MinHash estimates vs exact Jaccard,
+LSH recall at threshold, SimHash Hamming behavior on perturbed docs."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from idb_backend_spark.operators import dedup
+
+
+def _corpus(spark, n_docs=40, vocab=400, doc_len=120, dup_every=4, seed=11):
+    """Synthetic docs where every dup_every-th doc is a light perturbation
+    of its predecessor (high Jaccard); others are independent (low)."""
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    docs = []
+    prev = None
+    for i in range(n_docs):
+        if prev is not None and i % dup_every == 1:
+            toks = list(prev)
+            for _ in range(max(1, doc_len // 20)):  # ~5% token swaps
+                toks[rng.randrange(doc_len)] = rng.choice(words)
+        else:
+            toks = [rng.choice(words) for _ in range(doc_len)]
+        docs.append((i, " ".join(toks)))
+        prev = toks
+    return spark.createDataFrame(docs, "doc_id long, text string")
+
+
+def _exact_jaccard(spark, df, k=3):
+    return {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, "text", "doc_id", k=k, threshold=0.0
+        ).collect()
+    }
+
+
+def test_minhash_estimates_track_exact_jaccard(spark):
+    df = _corpus(spark)
+    exact = _exact_jaccard(spark, df)
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            df, "text", "doc_id", shingle_k=3, num_hashes=64, bands=16,
+            threshold=0.0,
+        ).collect()
+    }
+    # every high-sim pair must be found, with estimate near truth
+    # (64 hashes -> se ~ sqrt(j(1-j)/64) <= 0.0625; allow 4 se)
+    high = {p: j for p, j in exact.items() if j >= 0.6}
+    assert high, "corpus must contain near-dup pairs"
+    for pair, j in high.items():
+        assert pair in est, f"LSH missed high-similarity pair {pair} (j={j})"
+        assert abs(est[pair] - j) <= 0.25, (pair, est[pair], j)
+
+
+def test_lsh_threshold_recall_and_precision(spark):
+    df = _corpus(spark)
+    exact = _exact_jaccard(spark, df)
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            df, "text", "doc_id", shingle_k=3, num_hashes=64, bands=16,
+            threshold=0.5,
+        ).collect()
+    }
+    should_find = {p for p, j in exact.items() if j >= 0.7}
+    must_not_find = {p for p, j in exact.items() if j <= 0.2}
+    assert should_find <= found  # full recall well above threshold
+    assert not (found & must_not_find)  # no gross false positives
+
+
+def test_simhash_separates_perturbed_from_independent(spark):
+    df = _corpus(spark)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(
+            df, "text", "doc_id", max_hamming=6
+        ).collect()
+    }
+    exact = _exact_jaccard(spark, df)
+    for p in pairs:
+        # anything within Hamming 6 must be genuinely similar
+        assert exact.get(p, 0.0) >= 0.3, (p, pairs[p], exact.get(p))
+
+
+def test_exact_dedup_identical_only(spark):
+    df = spark.createDataFrame(
+        [(1, "Same  Text here"), (2, "same text HERE"), (3, "different")],
+        "doc_id long, text string",
+    )
+    out = dedup.exact_dedup(df, "text", "doc_id")
+    groups = {r["keeper"]: r["n_copies"] for r in out.collect()}
+    # normalization folds case/whitespace: docs 1 and 2 collide
+    assert groups == {1: 2, 3: 1}
