@@ -133,7 +133,9 @@ def fingerprint(c: Column | str) -> Column:
     return F.md5(normalize_text(c).cast("binary"))
 
 
-def shingles_from_tokens(t: Column, norm: Column, k: int = 3) -> Column:
+def shingles_from_tokens(
+    t: Column, norm: Column, k: int = 3, distinct: bool = True
+) -> Column:
     """Distinct word k-shingles from a token-array *attribute* column.
 
     ``t`` and ``norm`` MUST be attribute references (pass them through a
@@ -141,7 +143,11 @@ def shingles_from_tokens(t: Column, norm: Column, k: int = 3) -> Column:
     ``element_at(t, ...)`` k times per position, so an inlined tokenization
     expression would be re-executed O(k·n) times per row — measured 20x
     slowdown at sf0.1. Rows with < k tokens yield the whole-text singleton
-    so short docs still participate in similarity."""
+    so short docs still participate in similarity.
+
+    ``distinct=False`` skips the array_distinct pass — correct for
+    consumers whose downstream aggregate is duplicate-insensitive (MinHash
+    lane mins), where the dedup is pure overhead."""
     n = F.size(t)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     win = F.transform(
@@ -150,7 +156,8 @@ def shingles_from_tokens(t: Column, norm: Column, k: int = 3) -> Column:
             " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(k)]
         ),
     )
-    return F.array_distinct(F.when(n >= k, win).otherwise(F.array(norm)))
+    sh = F.when(n >= k, win).otherwise(F.array(norm))
+    return F.array_distinct(sh) if distinct else sh
 
 
 def shingles(c: Column | str, k: int = 3) -> Column:

@@ -45,7 +45,7 @@ def _spread(df: DataFrame, n_partitions: int | None) -> DataFrame:
 
 
 def _shingle_df(
-    df: DataFrame, text_col: str, id_col: str, k: int
+    df: DataFrame, text_col: str, id_col: str, k: int, distinct: bool = True
 ) -> DataFrame:
     """(id, sh) with tokenization staged through projection boundaries so
     the shingle window reads attributes, not re-evaluated expressions."""
@@ -55,7 +55,10 @@ def _shingle_df(
         normalize_text(text_col).alias("__norm"),
     )
     return staged.select(
-        "id", shingles_from_tokens(F.col("__t"), F.col("__norm"), k).alias("sh")
+        "id",
+        shingles_from_tokens(F.col("__t"), F.col("__norm"), k, distinct).alias(
+            "sh"
+        ),
     )
 
 
@@ -155,8 +158,10 @@ def minhash_lsh_pairs(
     # runs interpreted, ~20x slower measured at sf0.1).
     # explode_outer: see ngram_jaccard_pairs — avoids the inferred
     # size()>0 filter that re-inlines the shingle expression.
+    # distinct=False: lane mins are duplicate-insensitive, so the per-row
+    # array_distinct pass is pure overhead here.
     inv = (
-        _shingle_df(df, text_col, id_col, shingle_k)
+        _shingle_df(df, text_col, id_col, shingle_k, distinct=False)
         .select("id", F.explode_outer("sh").alias("g"))
         .select("id", F.pmod(F.xxhash64("g"), F.lit(MERSENNE_P)).alias("h"))
     )
@@ -166,7 +171,12 @@ def minhash_lsh_pairs(
         )
         for j, (a, b) in enumerate(params)
     ]
-    sig = inv.groupBy("id").agg(*lane_aggs)
+    # Materialize the signature once: it feeds the banded self-join AND both
+    # verification joins; without this the shingle+agg subtree re-runs per
+    # consumer when exchange reuse misses. 5k-row/64-col signatures are tiny
+    # relative to the corpus, and at scale this is the natural
+    # persist-the-sketch point anyway.
+    sig = inv.groupBy("id").agg(*lane_aggs).localCheckpoint(eager=False)
 
     # Band keys straight off the lane columns; candidates carry only ids.
     band_structs = [

@@ -765,6 +765,7 @@ def ivf_ann_topk_q(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 from idb_backend_spark.functions import enrichment as E
+from idb_backend_spark.functions import finalize as FIN
 from idb_backend_spark.operators.corrections import apply_correction_rules
 
 _POLY = [[-100.0, 10.0], [-60.0, 10.0], [-80.0, 45.0]]  # [lon, lat] ring
@@ -940,6 +941,101 @@ def taxon_rank_normalize(spark, sf_dir):
             ",", r["flag_replaced"], r["flag_removed"], r["flag_invalid"]
         ).alias("flags"),
     ).orderBy("p_partkey")
+
+
+_SN_S = (
+    "CASE c_custkey % 5 WHEN 0 THEN 'Acer rubrum' WHEN 1 THEN 'Quercus' "
+    "WHEN 4 THEN 'X123 weird' ELSE NULL END"
+)
+_GEN_S = "CASE c_custkey % 5 WHEN 2 THEN 'Betula' WHEN 3 THEN NULL ELSE 'Tilia' END"
+_EPI_S = "CASE c_custkey % 5 WHEN 2 THEN 'nigra' ELSE NULL END"
+
+
+@query(
+    "name_crossfill",
+    "WITH g AS (SELECT c_custkey, " + _SN_S + " AS sn, " + _GEN_S + " AS gen, "
+    + _EPI_S + " AS epi FROM customer), "
+    "f AS (SELECT c_custkey, "
+    "  coalesce(sn, CASE WHEN gen IS NOT NULL THEN concat_ws(' ', gen, epi) END) AS sn2, "
+    "  CASE WHEN sn IS NULL AND gen IS NOT NULL THEN 'scientificname_added' END AS flag "
+    "  FROM g), "
+    "t AS (SELECT c_custkey, sn2, flag, "
+    "  string_split_regex(trim(sn2), '\\s+') AS toks FROM f), "
+    "p AS (SELECT c_custkey, sn2, flag, "
+    "  CASE WHEN regexp_matches(toks[1], '^[A-Za-z][a-z-]+$') THEN lower(toks[1]) END AS genus, "
+    "  toks[2] AS second FROM t) "
+    "SELECT c_custkey, sn2 AS scientificname, flag, genus, "
+    "CASE WHEN genus IS NOT NULL AND regexp_matches(second, '^[a-z-]+$') "
+    "  THEN lower(second) END AS specificepithet "
+    "FROM p ORDER BY c_custkey",
+)
+def name_crossfill(spark, sf_dir):
+    """F12 — genus+specificepithet → scientificname crossfill, then the
+    heuristic binomial parse back to genus/specificepithet
+    (conversions.py:745-768; the external name-parser service is replaced
+    by native expressions)."""
+    g = (
+        _t(spark, sf_dir, "customer")
+        .withColumn("sn", F.expr(_SN_S))
+        .withColumn("gen", F.expr(_GEN_S))
+        .withColumn("epi", F.expr(_EPI_S))
+    )
+    filled = E.scientificname_fill(F.col("sn"), F.col("gen"), F.col("epi"))
+    g = g.select(
+        "c_custkey",
+        filled["value"].alias("scientificname"),
+        filled["flag_added"].alias("flag"),
+    )
+    parsed = E.genus_species_parse(F.col("scientificname"))
+    return g.select(
+        "c_custkey",
+        "scientificname",
+        "flag",
+        parsed["genus"].alias("genus"),
+        parsed["specificepithet"].alias("specificepithet"),
+    ).orderBy("c_custkey")
+
+
+_WKT_S = (
+    "CASE s_suppkey % 5 WHEN 0 THEN 'POINT (-81.2 29.6)' "
+    "WHEN 1 THEN 'polygon ((0 0, 10 0, 10 10, 0 0))' "
+    "WHEN 2 THEN '1 1, 2 2, 3 1' "
+    "WHEN 3 THEN 'LINESTRING (0 0, 1 1)' ELSE NULL END"
+)
+
+
+@query(
+    "wkt_geoshape_parse",
+    # Golden-expectation oracle (SURVEY §5 style): the WKT input is a pure
+    # function of the key, so the expected parse is stated directly —
+    # replicating Spark's regex kernels in DuckDB's RE2 dialect would test
+    # the dialects, not the operator.
+    "SELECT s_suppkey, "
+    "CAST(CASE s_suppkey % 5 WHEN 0 THEN -81.2 END AS DOUBLE) AS pt_lon, "
+    "CAST(CASE s_suppkey % 5 WHEN 0 THEN 29.6 END AS DOUBLE) AS pt_lat, "
+    "CAST(CASE s_suppkey % 5 WHEN 1 THEN 4 WHEN 2 THEN 3 END AS INTEGER) AS ring_n, "
+    "CAST(CASE s_suppkey % 5 WHEN 1 THEN 0.0 WHEN 2 THEN 1.0 END AS DOUBLE) AS ring0_lon, "
+    "CAST(CASE s_suppkey % 5 WHEN 1 THEN 0.0 WHEN 2 THEN 1.0 END AS DOUBLE) AS ring0_lat "
+    "FROM supplier ORDER BY s_suppkey",
+)
+def wkt_geoshape_parse(spark, sf_dir):
+    """F16 — WKT POINT/POLYGON parse incl. the bare-coordinate-list
+    fallback (conversions.py:771-816), flattened to scalars for the
+    cross-engine compare."""
+    g = _t(spark, sf_dir, "supplier").withColumn("wkt", F.expr(_WKT_S))
+    pt = FIN.wkt_point(F.col("wkt"))
+    ring = FIN.wkt_polygon_ring(F.col("wkt"))
+    g = g.select("s_suppkey", pt.alias("pt"), ring.alias("ring"))
+    return g.select(
+        "s_suppkey",
+        F.col("pt.lon").alias("pt_lon"),
+        F.col("pt.lat").alias("pt_lat"),
+        F.when(F.col("ring").isNotNull(), F.size("ring"))
+        .cast("int")
+        .alias("ring_n"),
+        F.try_element_at("ring", F.lit(1))["lon"].alias("ring0_lon"),
+        F.try_element_at("ring", F.lit(1))["lat"].alias("ring0_lat"),
+    ).orderBy("s_suppkey")
 
 
 _LIC_S = (
