@@ -128,6 +128,44 @@ def ngram_jaccard_pairs(
     return out
 
 
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, m0..m{n-1}) MinHash signature lanes.
+
+    Signature as ONE hash aggregation: explode the shingles to an inverted
+    index, hash each shingle once, then take per-lane min() aggregates.
+    Map-side partial aggregation makes this a single bounded shuffle keyed
+    by doc id — the formulation that survives 100 TB (the nested 64-lane
+    array-expression alternative falls out of codegen and runs interpreted,
+    ~20x slower measured at sf0.1).
+
+    explode_outer: see ngram_jaccard_pairs — avoids the inferred size()>0
+    filter that re-inlines the shingle expression. distinct=False: lane
+    mins are duplicate-insensitive, so array_distinct is pure overhead.
+    """
+    from idb_backend_spark.functions.similarity import MERSENNE_P, _hash_params
+
+    params = _hash_params(num_hashes, seed)
+    inv = (
+        _shingle_df(df, text_col, id_col, shingle_k, distinct=False)
+        .select("id", F.explode_outer("sh").alias("g"))
+        .select("id", F.pmod(F.xxhash64("g"), F.lit(MERSENNE_P)).alias("h"))
+    )
+    lane_aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE_P))).alias(
+            f"m{j}"
+        )
+        for j, (a, b) in enumerate(params)
+    ]
+    return inv.groupBy("id").agg(*lane_aggs)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -145,38 +183,16 @@ def minhash_lsh_pairs(
     only form inside LSH buckets: the self-join key is (band, band_hash), so
     the shuffle is bounded by bucket sizes, not n².
     """
-    from idb_backend_spark.functions.similarity import MERSENNE_P, _hash_params
-
     rows_per_band = num_hashes // bands
-    params = _hash_params(num_hashes, seed)
 
-    # Signature as ONE hash aggregation: explode the distinct shingles to an
-    # inverted index, hash each shingle once, then take 64 per-lane min()
-    # aggregates. Map-side partial aggregation makes this a single bounded
-    # shuffle keyed by doc id — the formulation that survives 100 TB (the
-    # nested 64-lane array-expression alternative falls out of codegen and
-    # runs interpreted, ~20x slower measured at sf0.1).
-    # explode_outer: see ngram_jaccard_pairs — avoids the inferred
-    # size()>0 filter that re-inlines the shingle expression.
-    # distinct=False: lane mins are duplicate-insensitive, so the per-row
-    # array_distinct pass is pure overhead here.
-    inv = (
-        _shingle_df(df, text_col, id_col, shingle_k, distinct=False)
-        .select("id", F.explode_outer("sh").alias("g"))
-        .select("id", F.pmod(F.xxhash64("g"), F.lit(MERSENNE_P)).alias("h"))
-    )
-    lane_aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MERSENNE_P))).alias(
-            f"m{j}"
-        )
-        for j, (a, b) in enumerate(params)
-    ]
     # Materialize the signature once: it feeds the banded self-join AND both
     # verification joins; without this the shingle+agg subtree re-runs per
     # consumer when exchange reuse misses. 5k-row/64-col signatures are tiny
     # relative to the corpus, and at scale this is the natural
     # persist-the-sketch point anyway.
-    sig = inv.groupBy("id").agg(*lane_aggs).localCheckpoint(eager=False)
+    sig = minhash_signatures(
+        df, text_col, id_col, shingle_k, num_hashes, seed
+    ).localCheckpoint(eager=False)
 
     # Band keys straight off the lane columns; candidates carry only ids.
     band_structs = [

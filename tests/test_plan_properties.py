@@ -1,0 +1,155 @@
+"""Physical-plan assertions — the scale contract, checked in CI.
+
+Correctness tests prove the operators compute the right answer; these
+prove the *plans* are the ones that survive 100 TB: predicates reach the
+Parquet scan (PushedFilters), projections prune the read schema, small
+dimensions broadcast, aggregations have map-side partial phases, and the
+top-1-per-key hot path avoids a full-data sort exchange. A regression in
+any of these is invisible at sf0.001 wall-clock but fatal at scale, so
+they are locked in as string assertions on the formatted plan.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from idb_backend_spark.operators import dedup, versioning
+from idb_backend_spark.query.shim import compile_shim
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_shim_predicate_pushes_into_parquet_scan(spark):
+    """P1/X2: a compiled term predicate on a lowercased stored column must
+    appear in the scan's PushedFilters, not only in a post-scan Filter."""
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    q = cust.filter(
+        compile_shim({"c_mktsegment": "BUILDING"}, assume_lowercased=True)
+    )
+    p = plan_str(q)
+    assert "PushedFilters" in p
+    # the equality itself (not just IsNotNull) must be pushed
+    assert "EqualTo(c_mktsegment," in p
+
+
+def test_projection_prunes_read_schema(spark):
+    """X1: a two-column projection must read two columns, not the table."""
+    line = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = line.select("l_orderkey", "l_quantity")
+    p = plan_str(q)
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert rs, p
+    assert "l_orderkey" in rs[0] and "l_quantity" in rs[0]
+    assert "l_comment" not in rs[0]
+
+
+def test_range_predicate_pushdown(spark):
+    """P5: shim range predicates push as gt/lt filters."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    q = orders.filter(
+        compile_shim({"o_totalprice": {"gte": 1000, "lt": 5000}})
+    )
+    p = plan_str(q)
+    assert "GreaterThanOrEqual(o_totalprice" in p
+    assert "LessThan(o_totalprice" in p
+
+
+def test_crossfilter_is_semi_join(spark):
+    """J5: record↔media cross-filtering must be a semi join (key-only
+    shuffle), never an inner join + distinct."""
+    from idb_backend_spark.plans.catalog import Q
+
+    q = Q["crossfilter_semi_join"](spark, SF)
+    p = plan_str(q)
+    assert "LeftSemi" in p
+
+
+def test_exact_dedup_has_partial_aggregation(spark):
+    """A-series: groupBy aggregations must run a map-side partial phase so
+    the shuffle carries one row per (key, partition), not per input row."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_str(dedup.exact_dedup(docs, "text", "doc_id"))
+    assert "partial_" in p
+
+
+def test_minhash_signature_partial_min(spark):
+    """MinHash lane mins aggregate map-side: the inverted index never
+    crosses the wire un-combined. (Small signature so the plan string
+    isn't field-truncated.)"""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_str(
+        dedup.minhash_signatures(docs, "text", "doc_id", num_hashes=8),
+        "simple",
+    )
+    assert "partial_min" in p
+    assert p.count("Exchange") <= 2  # _spread round-robin + the sig agg
+
+
+def test_latest_per_key_agg_avoids_sort_exchange(spark):
+    """W1 hot path: max_by top-1-per-key must plan as hash aggregation —
+    no Window, no Sort over the full data."""
+    ud = spark.createDataFrame(
+        [(i % 100, i, f"e{i}") for i in range(1000)],
+        "uuid int, version int, etag string",
+    )
+    q = versioning.latest_per_key_agg(ud, ["uuid"], ["version"])
+    p = plan_str(q, "simple")
+    assert "Window" not in p
+    # map-side combine: the partial max_by runs BEFORE the exchange, so the
+    # shuffle carries one row per (key, map partition), not every version
+    partial = p.index("partial_max_by")
+    exchange = p.index("Exchange")
+    assert exchange < partial  # plans print top-down: exchange above partial
+
+
+def test_corrections_rules_broadcast(spark):
+    """J10: rule tables are dimensions — they must broadcast; the record
+    side's partitioning is never disturbed."""
+    from pyspark.sql import Row
+
+    from idb_backend_spark.operators.corrections import apply_correction_rules
+
+    recs = spark.createDataFrame(
+        [Row(i=1, country="u.s.a."), Row(i=2, country="canada")]
+    )
+    rules = spark.createDataFrame([Row(country="u.s.a.", __set="united states")])
+    q = apply_correction_rules(recs, rules, ["country"], "country")
+    p = plan_str(q)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_enrichment_pipeline_stays_in_codegen(spark):
+    """X13: the native-expression enrichment path must compile into
+    WholeStageCodegen spans with no Python evaluation nodes."""
+    from idb_backend_spark.plans.catalog import Q
+
+    q = Q["etl_enrichment_pipeline"](spark, SF)
+    p = plan_str(q, "simple")
+    # '*(N)' prefixes mark WholeStageCodegen spans in simple mode
+    assert "*(" in p
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+
+
+def test_fulltext_conjunction_not_udf(spark):
+    """P7: fulltext token conjunction is Contains expressions, pushable
+    string predicates — not a Python tokenizer."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "fulltext", F.lower(F.col("text"))
+    )
+    q = docs.filter(compile_shim({"fulltext": {"type": "fulltext", "value": "alpha beta"}}))
+    p = plan_str(q)
+    assert "EvalPython" not in p
+    assert "Contains" in p or "contains" in p
