@@ -40,6 +40,37 @@ TOMBSTONE_ETAG = "9a4e35834eb80d9af64bcd07ed996b9ec0e60d92"
 HISTORY_COLS = ["uuid", "type", "parent", "etag", "version", "modified", "data"]
 
 
+def write_bucketed_history(
+    history: DataFrame,
+    table: str,
+    num_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the history table hash-bucketed (and sorted) by uuid.
+
+    This is the layout decision that pays for itself at 100 TB: every
+    per-entity operation — the latest view's top-1-per-uuid, version
+    listings, identifier joins keyed by uuid — reads a bucketed scan whose
+    output partitioning already satisfies the operator's required
+    distribution, so Catalyst plans NO Exchange. The latest view over a
+    bucketed store is a zero-shuffle aggregation; a self-join or
+    store-to-store join on uuid is a co-located sort-merge join with no
+    shuffle on either side (asserted in tests/test_plan_properties.py).
+
+    Bucket count is a layout constant: choose it once per deployment so
+    that (table size / num_buckets) keeps per-task input in memory; at 100
+    TB with ~256 MB targets that is O(100k) buckets, still far below the
+    shuffle-partition counts the same queries would otherwise need.
+    """
+    (
+        history.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, "uuid")
+        .sortBy("uuid", "modified")
+        .saveAsTable(table)
+    )
+
+
 def latest_view(history: DataFrame, include_deleted: bool = False) -> DataFrame:
     """The ``idigbio_uuids_new`` equivalent (db.py:37-44, 244-264): newest
     version per uuid; tombstoned entities dropped unless asked for."""

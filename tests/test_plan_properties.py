@@ -143,6 +143,48 @@ def test_enrichment_pipeline_stays_in_codegen(spark):
     assert "ArrowEvalPython" not in p
 
 
+@pytest.fixture(scope="module")
+def bucketed_history(spark):
+    from idb_backend_spark.operators import store
+
+    hist = spark.createDataFrame(
+        [
+            (f"u{i % 50:03d}", "records", f"e{i}", i // 50, i)
+            for i in range(500)
+        ],
+        "uuid string, type string, etag string, version int, modified long",
+    )
+    store.write_bucketed_history(hist, "bucketed_hist_test", num_buckets=4)
+    yield spark.table("bucketed_hist_test")
+    spark.sql("DROP TABLE IF EXISTS bucketed_hist_test")
+
+
+def test_bucketed_latest_view_is_shuffle_free(spark, bucketed_history):
+    """Store layout: over a uuid-bucketed history table, the latest view's
+    top-1-per-uuid aggregation requires NO Exchange — the bucketed scan
+    already satisfies the aggregation's distribution."""
+    q = versioning.latest_per_key_agg(
+        bucketed_history, ["uuid"], ["modified", "version"]
+    )
+    p = plan_str(q, "simple")
+    assert "Exchange" not in p
+    assert "SelectedBucketsCount" in plan_str(q)
+
+
+def test_bucketed_self_join_is_colocated(spark, bucketed_history):
+    """Two scans of a uuid-bucketed table join on uuid with no shuffle on
+    either side (co-located join)."""
+    a = bucketed_history.groupBy("uuid").agg(F.max("version").alias("v"))
+    b = bucketed_history.select("uuid", "etag", "version")
+    # force the sort-merge strategy (at real scale neither side fits in a
+    # broadcast); the point is that SMJ over bucketed scans needs no
+    # shuffle exchange on either side
+    q = a.hint("merge").join(b, on="uuid")
+    p = plan_str(q, "simple")
+    assert "SortMergeJoin" in p
+    assert "Exchange" not in p
+
+
 def test_fulltext_conjunction_not_udf(spark):
     """P7: fulltext token conjunction is Contains expressions, pushable
     string predicates — not a Python tokenizer."""
