@@ -438,9 +438,12 @@ def max_watermark(spark, sf_dir):
 @query(
     "collection_counts_pivot",
     "SELECT user_id, "
-    "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click_count, "
-    "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view_count, "
-    "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_count "
+    "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS click_count, "
+    "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS view_count, "
+    "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS error_count "
     "FROM events GROUP BY user_id ORDER BY user_id",
 )
 def collection_counts_pivot(spark, sf_dir):
@@ -1101,17 +1104,22 @@ _GB_S = (
 
 @query(
     "genbank_accessions",
-    "SELECT doc_id, regexp_extract_all(" + _GB_S + ", "
-    "'([a-zA-Z]{1,2}-?_?\\d{5,6})', 1) AS accessions "
+    "SELECT doc_id, array_to_string(regexp_extract_all(" + _GB_S + ", "
+    "'([a-zA-Z]{1,2}-?_?\\d{5,6})', 1), '|') AS accessions "
     "FROM documents ORDER BY doc_id",
 )
 def genbank_accessions_q(spark, sf_dir):
-    """F15 — GenBank accession regex findall."""
+    """F15 — GenBank accession regex findall.
+
+    Output is pipe-joined (not a raw array) because the driver's hash
+    canonicalizer cannot sort array-typed columns.
+    """
     from idb_backend_spark.functions.grabbers import genbank_accessions
 
     docs = _t(spark, sf_dir, "documents").withColumn("s", F.expr(_GB_S))
     return docs.select(
-        "doc_id", genbank_accessions("s").alias("accessions")
+        "doc_id",
+        F.array_join(genbank_accessions("s"), "|").alias("accessions"),
     ).orderBy("doc_id")
 
 
@@ -1543,7 +1551,9 @@ def etl_enrichment_pipeline(spark, sf_dir):
             6,
         ),
     )
-    return scored
+    # pipe-join the flags array at the boundary: the driver's hash
+    # canonicalizer cannot sort array-typed output columns
+    return scored.withColumn("flags", F.array_join("flags", "|"))
 
 
 @query(
@@ -1580,16 +1590,36 @@ def raw_field_access(spark, sf_dir):
     )
 
 
-@query("stats_rollup_nested")
+@query(
+    "stats_rollup_nested",
+    "WITH fine AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+    "  event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2, 3) "
+    "SELECT day, event_type, CAST(sum(n) AS BIGINT) AS count, "
+    "string_agg(CAST(user_id AS VARCHAR(32)) || ':' || "
+    "CAST(n AS VARCHAR(32)), ',' ORDER BY user_id) AS items "
+    "FROM fine GROUP BY day, event_type ORDER BY day, event_type",
+)
 def stats_rollup_nested_q(spark, sf_dir):
     """A7 (full shape) — daily rollup with within-group term frequency map
-    (collect.py:132-217). The map-typed payload is not portably hashable
-    across engines — rows-only check; values are covered by the flat
-    stats_daily_rollup oracle plus unit tests."""
+    (collect.py:132-217). The map payload is serialized key-sorted as
+    'k:v,k:v' at the boundary so the driver hasher (which cannot sort
+    map-typed columns) can grade it against the string_agg oracle."""
     ev = _t(spark, sf_dir, "events")
-    return agg.stats_rollup_nested(ev, "ts", ["event_type"], "user_id").orderBy(
-        "day", "event_type"
-    )
+    out = agg.stats_rollup_nested(ev, "ts", ["event_type"], "user_id")
+    return out.select(
+        "day",
+        "event_type",
+        "count",
+        F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries("items")),
+                lambda e: F.concat_ws(
+                    ":", e["key"].cast("string"), e["value"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("items"),
+    ).orderBy("day", "event_type")
 
 
 @query(
@@ -1631,12 +1661,13 @@ def media_presence_flags_q(spark, sf_dir):
 
 @query(
     "identifier_extraction",
-    # F23 — precedence-ordered candidate identifiers, namespaced + folded
-    "SELECT o_orderkey, ["
+    # F23 — precedence-ordered candidate identifiers, namespaced + folded.
+    # Pipe-joined (not a raw array): the driver hasher can't sort arrays.
+    "SELECT o_orderkey, array_to_string(["
     "'rs' || CAST(o_custkey % 10 AS VARCHAR(32)) || '\\' || "
     "lower(trim('URN:CAT:' || CAST(o_orderkey AS VARCHAR(32)))), "
     "lower(trim(o_orderpriority))"
-    "] AS ids FROM orders ORDER BY o_orderkey",
+    "], '|') AS ids FROM orders ORDER BY o_orderkey",
 )
 def identifier_extraction(spark, sf_dir):
     """F23 — identifier extraction precedence: namespaced occurrenceID then
@@ -1648,8 +1679,11 @@ def identifier_extraction(spark, sf_dir):
     occ = F.concat(F.lit("URN:CAT:"), F.col("o_orderkey").cast("string"))
     return orders.select(
         "o_orderkey",
-        record_identifiers(
-            rsid, occ, F.col("o_orderpriority"), F.lit(None).cast("string")
+        F.array_join(
+            record_identifiers(
+                rsid, occ, F.col("o_orderpriority"), F.lit(None).cast("string")
+            ),
+            "|",
         ).alias("ids"),
     ).orderBy("o_orderkey")
 
