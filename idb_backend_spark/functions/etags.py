@@ -80,11 +80,16 @@ def object_hash(data, hash_type: str = "sha1", sort_arrays: bool = False,
 
 @F.pandas_udf(StringType())
 def etag_udf(data: pd.Series) -> pd.Series:
-    """Etag of a map<string,string> column (Arrow-batched)."""
+    """Etag of a map<string,string> column (Arrow-batched).
+
+    None-valued map entries serialize as JSON null, exactly like calcEtag
+    on a dict containing None — a present-but-null key and an absent key
+    hash differently, as in the reference.
+    """
     def one(d):
         if d is None:
             return None
-        return calc_etag({k: v for k, v in d.items() if v is not None})
+        return calc_etag(dict(d))
     return data.map(one)
 
 
@@ -97,12 +102,19 @@ def etag_expr(colmap: dict[str, Column | str]) -> Column:
     from the record, matching dict-absence in `calc_etag`.
     """
     def _json_str(c: Column) -> Column:
-        # JSON string escaping for the canonical encoding. Backslash first.
-        c = F.regexp_replace(c, r"\\", r"\\\\")
-        c = F.regexp_replace(c, '"', '\\\\"')
-        c = F.regexp_replace(c, "\n", "\\\\n")
-        c = F.regexp_replace(c, "\r", "\\\\r")
-        c = F.regexp_replace(c, "\t", "\\\\t")
+        # Full json.dumps string escaping (ensure_ascii=False): backslash
+        # first, then quote, the five two-char control escapes, and every
+        # remaining U+0000-U+001F as \u00xx — literal (non-regex) replaces
+        # so the whole chain stays a flat StringReplace pipeline in codegen.
+        c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+        c = F.replace(c, F.lit('"'), F.lit('\\"'))
+        for ch, esc in (("\b", "\\b"), ("\f", "\\f"), ("\n", "\\n"),
+                        ("\r", "\\r"), ("\t", "\\t")):
+            c = F.replace(c, F.lit(ch), F.lit(esc))
+        for cp in range(0x20):
+            if chr(cp) in "\b\f\n\r\t":
+                continue
+            c = F.replace(c, F.lit(chr(cp)), F.lit("\\u%04x" % cp))
         return F.concat(F.lit('"'), c, F.lit('"'))
 
     pieces = []

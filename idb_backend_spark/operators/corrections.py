@@ -26,7 +26,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-PROTECTED_KINGDOMS = {"animalia", "plantae", "fungi", "protista"}
+#: record_corrector.py:14 — the full six-kingdom protected set
+PROTECTED_KINGDOMS = {
+    "animalia", "plantae", "fungi", "chromista", "protista", "protozoa"
+}
 
 
 def apply_correction_rules(
@@ -91,9 +94,17 @@ def apply_corrections(
 ) -> DataFrame:
     """Chain rule sets in the reference's order: sorted by key-tuple length
     (record_corrector.py:210), so single-key rules apply before compound
-    keys and later probes see earlier rewrites."""
+    keys and later probes see earlier rewrites.
+
+    The protected-kingdom guard (record_corrector.py:221-228) is always
+    armed for kingdom-valued set fields — the reference applies it
+    unconditionally, so the chaining API does too.
+    """
     for key_fields, set_field, rules in sorted(
         rule_sets, key=lambda t: len(t[0])
     ):
-        df = apply_correction_rules(df, rules, key_fields, set_field)
+        df = apply_correction_rules(
+            df, rules, key_fields, set_field,
+            protect_kingdom=set_field.lower().endswith("kingdom"),
+        )
     return df

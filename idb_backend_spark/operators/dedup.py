@@ -357,6 +357,12 @@ def duplicate_clusters(
     plan doesn't replay rounds 1..N-1 (without it the plan doubles per
     round and the job dies at ~15 iterations). The convergence probe is a
     count over changed labels only.
+
+    Raises ``RuntimeError`` if labels are still changing after
+    ``max_iterations`` rounds — silently returning unconverged labels
+    would split one duplicate cluster into several "canonical" copies.
+    Raise ``max_iterations`` (rounds needed = graph diameter) if a
+    legitimate long-chain graph trips this.
     """
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
@@ -389,8 +395,12 @@ def duplicate_clusters(
         changed = updated.filter(F.col("new_cluster") != F.col("cluster")).count()
         labels = updated.select("id", F.col("new_cluster").alias("cluster"))
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"duplicate_clusters did not converge in {max_iterations} rounds "
+        f"({changed} labels still changing); the component diameter "
+        "exceeds max_iterations — raise it"
+    )
 
 
 def dedup_keep_canonical(

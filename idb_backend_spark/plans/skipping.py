@@ -14,15 +14,32 @@ Scale notes: the index is built with one distributed pass (explode
 tokens → distinct (file, bucket) → collect per file) and is ~KBs per
 file — thousands of files fit comfortably in driver memory. This is the
 same trick as Parquet bloom filters / Delta data skipping, specialized
-to tokenized text. Substring `contains` semantics (the shim's fulltext
-uses substring containment) only allow skipping for whole-token probes,
-so `fulltext_scan` prunes with whole tokens and keeps the exact residual
-predicate.
+to tokenized text.
+
+Matching semantics and pruning safety: the index records WHOLE tokens
+(whitespace tokenization, same `tokens()` as the build). Pruning by
+bucket membership is therefore exact only for whole-token matching — a
+substring probe ('cat' against a document containing only 'cats') would
+be wrongly pruned, because hash('cat') is not in the file's bucket set
+while `contains()` would match. `fulltext_scan` exposes both contracts
+explicitly:
+
+* ``mode='token'`` (default) — ES-analyzer-style conjunction of
+  whole-token matches (what the reference's `_all` match with
+  operator:and actually does, query_shim.py:123-133). Pruning is exact:
+  no false negatives possible.
+* ``mode='substring'`` — the shim language's substring `contains()`
+  semantics. The whole-token index CANNOT safely prune for substrings,
+  so this mode reads every file and applies the residual only; it exists
+  so callers who need shim parity never get silent row loss.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from functools import reduce
+from operator import and_
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from idb_backend_spark.functions.text import tokens
@@ -83,25 +100,52 @@ def prune_files(
     return [r["file"] for r in idx.filter(pred).select("file").collect()]
 
 
+def token_match(query: str, fulltext_col: str = "fulltext") -> Column:
+    """Whole-token conjunction predicate — ES `_all` match semantics.
+
+    A row matches iff EVERY query token appears as a whole token of the
+    (already-lowercased) fulltext column, under the same whitespace
+    tokenization the index build uses. By construction every matching
+    row's file carries all the query tokens' buckets, so whole-token-
+    index pruning admits a superset of the matching files (exact — no
+    false negatives).
+    """
+    toks = [t for t in query.lower().split() if t]
+    if not toks:
+        return F.lit(True)
+    tok_arr = tokens(fulltext_col)
+    return reduce(and_, [F.array_contains(tok_arr, t) for t in toks])
+
+
 def fulltext_scan(
     spark: SparkSession,
     table_path: str,
     index_path: str,
     query: str,
     fulltext_col: str = "fulltext",
+    mode: str = "token",
 ) -> DataFrame:
     """Fulltext query with file skipping + exact residual filter.
 
-    Returns exactly what a full scan with the P7 predicate would return,
-    reading only the files the index admits. Empty admissible set =>
-    empty frame without touching data files.
-    """
-    from idb_backend_spark.query.shim import compile_shim
+    ``mode='token'``: whole-token conjunction (see `token_match`); reads
+    only the files the index admits — exact, and an empty admissible set
+    returns an empty frame without touching data files.
 
+    ``mode='substring'``: the shim's substring `contains()` semantics
+    (P7 as compiled by `query.shim`); the whole-token index cannot prune
+    for substring probes without dropping true matches, so this mode
+    scans all files and applies the residual only.
+    """
+    base = spark.read.parquet(table_path)
+    if mode == "substring":
+        from idb_backend_spark.query.shim import compile_shim
+
+        shim = {fulltext_col: {"type": "fulltext", "value": query}}
+        return base.filter(compile_shim(shim, fulltext_col=fulltext_col))
+    if mode != "token":
+        raise ValueError(f"unknown fulltext_scan mode: {mode!r}")
     files = prune_files(spark, index_path, query.split())
-    shim = {fulltext_col: {"type": "fulltext", "value": query}}
     if not files:
-        base = spark.read.parquet(table_path)
         return base.filter(F.lit(False))
     pruned = spark.read.parquet(*files)
-    return pruned.filter(compile_shim(shim, fulltext_col=fulltext_col))
+    return pruned.filter(token_match(query, fulltext_col))

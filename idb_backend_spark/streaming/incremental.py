@@ -43,47 +43,108 @@ def stream_from_directory(
     return reader.load(path)
 
 
+#: layout constant for the merge store: uuid-hash directory partitions.
+#: Size it so (store size / buckets) stays a comfortable rewrite unit —
+#: each micro-batch rewrites only the buckets its keys hash into.
+N_MERGE_BUCKETS = 32
+
+
+def _bucket_of(key_col: str, n_buckets: int):
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+def _read_store(spark: SparkSession, store_path: str) -> DataFrame | None:
+    """Existence probe narrowed to path-not-found: any OTHER read failure
+    (permissions, corrupt footer, FS hiccup) propagates — treating it as
+    'store is empty' would silently replace the store with one batch."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(store_path)
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
+
+
 def upsert_batch_into_store(
     store_path: str,
     batch: DataFrame,
     key: str = "uuid",
     modified_col: str = "modified",
     etag_col: str = "etag",
+    n_buckets: int = N_MERGE_BUCKETS,
 ) -> None:
-    """One ``foreachBatch`` body: ordered replay + idempotent upsert.
+    """One ``foreachBatch`` body: ordered replay + idempotent upsert,
+    rewriting ONLY the key-hash buckets the micro-batch touches.
 
     1. Collapse the micro-batch to its newest version per key (the
        ascending-modified replay collapses to last-writer-wins within the
        batch boundary — O2, index_from_postgres.py:94-97).
     2. Skip rows whose etag equals the store's current etag (X5).
-    3. Rewrite the store as (store ∖ batch-keys) ∪ batch-latest — the
-       Parquet stand-in for ``MERGE INTO``; on Delta this body becomes a
-       single MERGE statement with the same key/etag condition.
+    3. Merge (touched-buckets ∖ batch-keys) ∪ batch-latest and commit via
+       dynamic partition overwrite: the store is laid out as
+       ``__bucket=N`` directories keyed by uuid hash, the merge reads only
+       the touched buckets (partition pruning), and the overwrite replaces
+       only those directories. IO per batch is O(touched buckets), not
+       O(store) — the property that keeps a 100 TB store mergeable.
+
+    Parquet has no cross-partition transaction: each partition directory
+    swap is Spark's commit-protocol rename, so a crash can leave a touched
+    bucket mid-commit (Delta's ``MERGE INTO`` is the transactional
+    upgrade); untouched buckets are never at risk.
     """
     spark = batch.sparkSession
-    newest = latest_per_key_agg(batch, [key], [modified_col])
+    newest = latest_per_key_agg(batch, [key], [modified_col]).withColumn(
+        "__bucket", _bucket_of(key, n_buckets)
+    )
+    store = _read_store(spark, store_path)
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        store = spark.read.parquet(store_path)
-        exists = True
-    except Exception:
-        exists = False
-    if not exists:
-        newest.write.mode("overwrite").parquet(store_path)
-        return
-    changed = newest.join(
-        store.select(F.col(key), F.col(etag_col).alias("__cur_etag")),
-        on=key,
-        how="left",
-    ).filter(
-        F.col("__cur_etag").isNull() | (F.col("__cur_etag") != F.col(etag_col))
-    ).drop("__cur_etag")
-    merged = store.join(
-        changed.select(key).distinct(), on=key, how="left_anti"
-    ).unionByName(changed)
-    # write-then-swap (Parquet has no transactional merge; Delta would)
-    tmp = store_path + "__next"
-    merged.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(store_path)
+        if store is None:
+            newest.write.mode("overwrite").partitionBy("__bucket").parquet(
+                store_path
+            )
+            return
+        legacy = "__bucket" not in store.columns
+        if legacy:
+            # one-time migration of a legacy flat store into bucket layout:
+            # merge against the FULL store and rewrite it statically —
+            # dynamic overwrite would leave the old root-level files beside
+            # the new partition directories
+            store = store.withColumn("__bucket", _bucket_of(key, n_buckets))
+            scoped = store
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+        else:
+            touched = [
+                r["__bucket"]
+                for r in newest.select("__bucket").distinct().collect()
+            ]
+            scoped = store.filter(F.col("__bucket").isin(touched))
+        changed = newest.join(
+            scoped.select(F.col(key), F.col(etag_col).alias("__cur_etag")),
+            on=key,
+            how="left",
+        ).filter(
+            F.col("__cur_etag").isNull()
+            | (F.col("__cur_etag") != F.col(etag_col))
+        ).drop("__cur_etag")
+        merged = scoped.join(
+            changed.select(key).distinct(), on=key, how="left_anti"
+        ).unionByName(changed)
+        # rows must be materialized before the overwrite deletes their
+        # source files — localCheckpoint cuts the self-referential lineage
+        merged.localCheckpoint().write.mode("overwrite").partitionBy(
+            "__bucket"
+        ).parquet(store_path)
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_mode
+        )
 
 
 def incremental_merge_query(

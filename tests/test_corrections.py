@@ -68,6 +68,35 @@ def test_protected_kingdom_guard(spark):
     assert out[3].flag_kingdom is None
 
 
+def test_chained_rule_set_arms_kingdom_guard(spark):
+    # the guard must be reachable through the chaining API: a kingdom rule
+    # in apply_corrections flags protected values instead of rewriting,
+    # including the reference's chromista/protozoa (record_corrector.py:14)
+    recs = spark.createDataFrame(
+        [
+            Row(i=0, kingdom="Chromista"),
+            Row(i=1, kingdom="Protozoa"),
+            Row(i=2, kingdom="Viruses"),
+        ]
+    )
+    rules = spark.createDataFrame(
+        [
+            Row(kingdom="chromista", __set="fungi"),
+            Row(kingdom="protozoa", __set="animalia"),
+            Row(kingdom="viruses", __set="bacteria"),
+        ]
+    )
+    out = (
+        apply_corrections(recs, [(["kingdom"], "kingdom", rules)])
+        .orderBy("i")
+        .collect()
+    )
+    assert [r.kingdom for r in out] == ["Chromista", "Protozoa", "bacteria"]
+    assert [r.flag_kingdom for r in out] == [
+        "dwc_kingdom_suspect", "dwc_kingdom_suspect", "kingdom_replaced",
+    ]
+
+
 def test_keytuple_ordering(spark):
     # single-key rule rewrites country; the compound rule keyed on the NEW
     # value then fires — proving sorted-by-length sequential application

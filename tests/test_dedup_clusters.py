@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from idb_backend_spark.operators import dedup
@@ -41,6 +42,16 @@ def test_duplicate_clusters_long_chain_converges(spark):
     )
     out = dedup.duplicate_clusters(pairs, max_iterations=n)
     assert out.filter(F.col("cluster") != 0).count() == 0
+
+
+def test_duplicate_clusters_raises_when_unconverged(spark):
+    # a chain longer than max_iterations must raise, not silently return
+    # split clusters
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(14)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(pairs, max_iterations=3)
 
 
 def test_dedup_keep_canonical(spark):

@@ -66,12 +66,15 @@ def test_etag_udf_matches_python(spark):
         ({"dwc:genus": "acer", "dwc:country": "united states"},),
         ({"k": "v", "unicode": "ü"},),
         (None,),
+        ({"k": None, "other": "x"},),  # null value serializes, not drops
     ]
     df = spark.createDataFrame(rows, "data map<string,string>")
     got = [r[0] for r in df.select(etag_udf("data")).collect()]
     assert got[0] == calc_etag(rows[0][0])
     assert got[1] == calc_etag(rows[1][0])
     assert got[2] is None
+    assert got[3] == calc_etag({"k": None, "other": "x"})
+    assert got[3] != calc_etag({"other": "x"})
 
 
 def test_etag_expr_matches_python(spark):
@@ -91,3 +94,21 @@ def test_etag_expr_matches_python(spark):
     assert got[2] == calc_etag(
         {"dwc:genus": 'with"quote', "dwc:epithet": "tab\there"}
     )
+
+
+def test_etag_expr_control_chars(spark):
+    # every char json.dumps escapes must hash identically on the native
+    # path: the two-char escapes, \u00xx control chars, and backslash runs
+    tricky = [
+        ("bell\x07", "esc\x1b"),
+        ("back\bspace", "form\ffeed"),
+        ("nul\x00mid", "unit\x1fsep"),
+        ("back\\slash", '\\"mix\x01'),
+    ]
+    df = spark.createDataFrame(tricky, ["a", "b"])
+    got = [
+        r[0]
+        for r in df.select(etag_expr({"f:a": "a", "f:b": "b"})).collect()
+    ]
+    for g, (a, b) in zip(got, tricky):
+        assert g == calc_etag({"f:a": a, "f:b": b})

@@ -44,7 +44,7 @@ def test_prune_and_scan(spark, tmp_path):
     both = skipping.prune_files(spark, idx, ["common", "zebra"])
     assert set(both) == set(zfiles)
 
-    # pruned scan == full scan, for hit and miss queries
+    # pruned scan == unpruned whole-token scan, for hit and miss queries
     for q in ["zebra here", "common text", "nosuchtoken"]:
         got = sorted(
             r["doc_id"]
@@ -52,10 +52,7 @@ def test_prune_and_scan(spark, tmp_path):
         )
         expect = sorted(
             r["doc_id"]
-            for r in base.filter(
-                F.col("fulltext").contains(q.split()[0])
-                & F.col("fulltext").contains(q.split()[-1])
-            ).collect()
+            for r in base.filter(skipping.token_match(q)).collect()
         )
         assert got == expect, q
 
@@ -67,3 +64,34 @@ def test_missing_token_skips_all_files(spark, tmp_path):
     assert skipping.prune_files(spark, idx, ["qqqqq"]) == []
     out = skipping.fulltext_scan(spark, path, idx, "qqqqq")
     assert out.count() == 0
+
+
+def test_substring_probe_is_not_silently_pruned(spark, tmp_path):
+    """A query token that is a proper substring of an indexed token
+    ('zebr' ⊂ 'zebra') must not lose rows: token mode legitimately
+    returns nothing (no whole token 'zebr' exists), while substring mode
+    must return every contains() match despite the index lacking the
+    probe's bucket."""
+    path = _table(spark, tmp_path)
+    idx = str(tmp_path / "docs_tokidx3")
+    base = spark.read.parquet(path)
+    skipping.build_token_index(base, ["fulltext"], idx)
+
+    expect = sorted(
+        r["doc_id"]
+        for r in base.filter(F.col("fulltext").contains("zebr")).collect()
+    )
+    assert expect  # the fixture has a 'zebra' row — contains() does match
+
+    # token mode: 'zebr' is not a whole token anywhere -> empty, by contract
+    tok = skipping.fulltext_scan(spark, path, idx, "zebr", mode="token")
+    assert tok.count() == 0
+
+    # substring mode: full shim semantics, no pruning, no lost rows
+    sub = sorted(
+        r["doc_id"]
+        for r in skipping.fulltext_scan(
+            spark, path, idx, "zebr", mode="substring"
+        ).collect()
+    )
+    assert sub == expect

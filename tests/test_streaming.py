@@ -79,6 +79,77 @@ def test_incremental_merge(spark, tmp_path):
     assert got["c"]["etag"] == "e7"
 
 
+def _bucket_inventory(store_dir):
+    """{bucket_dir: {filename: sha256}} for every __bucket=N directory."""
+    import hashlib
+    import pathlib
+
+    inv = {}
+    for b in pathlib.Path(store_dir).glob("__bucket=*"):
+        inv[b.name] = {
+            f.name: hashlib.sha256(f.read_bytes()).hexdigest()
+            for f in b.glob("*.parquet")
+        }
+    return inv
+
+
+def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    store = str(tmp_path / "bstore")
+    seed = _rows(
+        spark,
+        [(k, f"e-{k}", _ts("2024-01-01T00:00:00"), "v1")
+         for k in "abcdefgh"],
+    )
+    inc.upsert_batch_into_store(store, seed, n_buckets=4)
+    before = _bucket_inventory(store)
+    assert len(before) > 1  # keys spread over multiple buckets
+
+    batch = _rows(spark, [("a", "e-a2", _ts("2024-01-02T00:00:00"), "v2")])
+    inc.upsert_batch_into_store(store, batch, n_buckets=4)
+    after = _bucket_inventory(store)
+
+    touched = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit("a")), F.lit(4)).cast("int").alias("b")
+    ).first()["b"]
+    touched_dir = f"__bucket={touched}"
+    assert after[touched_dir] != before[touched_dir]
+    for d, files in before.items():
+        if d != touched_dir:
+            # untouched bucket directories are byte-identical
+            assert after[d] == files, d
+
+    got = {r["uuid"]: r for r in spark.read.parquet(store).collect()}
+    assert len(got) == 8
+    assert got["a"]["etag"] == "e-a2" and got["a"]["payload"] == "v2"
+    assert got["b"]["etag"] == "e-b"
+
+
+def test_upsert_migrates_legacy_flat_store(spark, tmp_path):
+    store = str(tmp_path / "flatstore")
+    _rows(
+        spark, [("x", "e1", _ts("2024-01-01T00:00:00"), "v1")]
+    ).write.mode("overwrite").parquet(store)
+    batch = _rows(spark, [("y", "e2", _ts("2024-01-02T00:00:00"), "v1")])
+    inc.upsert_batch_into_store(store, batch, n_buckets=4)
+    got = {r["uuid"]: r["etag"] for r in spark.read.parquet(store).collect()}
+    assert got == {"x": "e1", "y": "e2"}
+    assert _bucket_inventory(store)  # now in bucket layout
+
+
+def test_read_store_propagates_non_missing_errors(spark, tmp_path):
+    # a corrupt store must raise, not be treated as empty and overwritten
+    import pytest as _pytest
+
+    bad = tmp_path / "corrupt"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"not a parquet file")
+    batch = _rows(spark, [("a", "e1", _ts("2024-01-01T00:00:00"), "v1")])
+    with _pytest.raises(Exception):
+        inc.upsert_batch_into_store(str(bad), batch)
+    # the garbage file is still there — nothing clobbered it
+    assert (bad / "part-00000.parquet").read_bytes() == b"not a parquet file"
+
+
 def test_windowed_rollup(spark, tmp_path):
     land = str(tmp_path / "landing")
     _rows(
