@@ -17,6 +17,7 @@ its value column plus zero or more conditional flag columns built with
 
 from __future__ import annotations
 
+import re
 import uuid
 
 from pyspark.sql import Column
@@ -129,27 +130,19 @@ def date_bounds_flag(
 
 # --------------------------------------------------------------------------
 # F10 — license canonicalization + majority vote (conversions.py:683-708;
-# tables idb/data_tables/rights_strings.py). The translation table is data:
-# URL/text variants → canonical license code. A representative subset —
-# the full production table loads the same way (broadcast map).
+# tables idb/data_tables/rights_strings.py). The FULL verbatim→tag table
+# (103 rows) lives in data/licenses.py; it compiles to a broadcast-size
+# literal map.
 # --------------------------------------------------------------------------
 
-_CC_VERSIONS = {"4.0": "CC4", "3.0": "CC3"}
-_CC_KINDS = ["by-nc-sa", "by-sa", "by-nc", "by"]
-
-LICENSE_TRANS: dict[str, str] = {}
-for _scheme in ("http", "https"):
-    for _v, _code in _CC_VERSIONS.items():
-        for _k in _CC_KINDS:
-            for _slash in ("/", ""):
-                LICENSE_TRANS[
-                    f"{_scheme}://creativecommons.org/licenses/{_k}/{_v}{_slash}"
-                ] = f"{_code} {_k.upper()}"
-    for _slash in ("/", ""):
-        LICENSE_TRANS[
-            f"{_scheme}://creativecommons.org/publicdomain/zero/1.0{_slash}"
-        ] = "CC0"
-LICENSE_TRANS.update({"cc0": "CC0", "cc by": "CC4 BY", "cc by-nc": "CC4 BY-NC"})
+from idb_backend_spark.data.licenses import (  # noqa: E402
+    LICENSE_TRANS,
+    LICENSES,
+    MANUAL_ASSIGNMENT,
+    RIGHTS_ORDER,
+    RIGHTS_STRINGS,
+    VERSION_STRINGS,
+)
 
 #: Rights fields scanned in order (conversions.py:686-695).
 LICENSE_FIELDS = [
@@ -165,6 +158,43 @@ def license_lookup(c: Column) -> Column:
         *[F.lit(x) for kv in LICENSE_TRANS.items() for x in kv]
     )
     return mapping[c]
+
+
+_RIGHTS_RE = re.compile(
+    r"((?:by(?:.?nc)?(?:.?sa)?(?:.?nd)?)|cc0|zero|(?:public.?domain))"
+    r".?(\d\.\d)?",
+    re.I,
+)
+_ALNUM_ONLY = re.compile("[^0-9a-zA-Z]+")
+
+
+def pick_license(s: str) -> str | None:
+    """Free-text rights blob → license tag (rights_strings.py:223-252):
+    scan every rights-shaped fragment and keep the LAST one in the
+    restrictiveness order (manual pins win outright). Driver-side helper
+    for rules/table maintenance; the distributed path is the
+    `license_lookup` map over the verbatim table."""
+    if s in MANUAL_ASSIGNMENT:
+        return MANUAL_ASSIGNMENT[s]
+    picked, best = None, -1
+    for frag, ver in _RIGHTS_RE.findall(s):
+        kind = _ALNUM_ONLY.sub("", frag).upper()
+        if kind not in RIGHTS_ORDER or RIGHTS_ORDER.index(kind) <= best:
+            continue
+        best = RIGHTS_ORDER.index(kind)
+        if kind in ("CC0", "ZERO", "PUBLICDOMAIN"):
+            picked = RIGHTS_STRINGS[kind]
+        elif ver in VERSION_STRINGS:
+            picked = VERSION_STRINGS[ver] + " " + RIGHTS_STRINGS[kind]
+        else:
+            best = -1 if picked is None else best
+    return picked
+
+
+def license_attributes(tag: str) -> dict[str, str]:
+    """Tag → (rights, licenselogourl, webstatement) attribute dict
+    (rights_strings.py get_rights_attributes)."""
+    return LICENSES[tag]
 
 
 # --------------------------------------------------------------------------
@@ -241,30 +271,15 @@ def fix_basis_of_record(bor: Column) -> dict[str, Column]:
 
 
 # --------------------------------------------------------------------------
-# F14 — taxonrank normalization (conversions.py:895-913; tables
-# idb/data_tables/taxon_rank.py). Representative mapping subset + the GBIF
-# acceptable-rank vocabulary; production loads the full table identically.
+# F14 — taxonrank normalization (conversions.py:895-913). The FULL
+# vocabulary (313 mapping rows incl. multilingual spellings, 38 GBIF
+# acceptable ranks) lives in data/taxon_ranks.py.
 # --------------------------------------------------------------------------
 
-TAXON_RANK_ACCEPTABLE = {
-    "domain", "kingdom", "subkingdom", "superphylum", "phylum", "subphylum",
-    "superclass", "class", "subclass", "cohort", "superorder", "order",
-    "suborder", "infraorder", "superfamily", "family", "subfamily", "tribe",
-    "subtribe", "genus", "subgenus", "section", "series", "species",
-    "subspecies", "variety", "subvariety", "form", "subform", "cultivar",
-    "strain",
-}
-
-TAXON_RANK_MAPPING: dict[str, str | None] = {
-    "class": "class", "classe": "class", "division": "phylum",
-    "espece": "species", "especie": "species", "f.": "form",
-    "family": "family", "familia": "family", "fm.": "family",
-    "gen.": "genus", "genero": "genus", "genre": "genus", "genus": "genus",
-    "order": "order", "orden": "order", "ordre": "order",
-    "sp.": "species", "specie": "species", "species": "species",
-    "ssp.": "subspecies", "subsp.": "subspecies", "var.": "variety",
-    "unknown": None, "unranked": None, "not specified": None,
-}
+from idb_backend_spark.data.taxon_ranks import (  # noqa: E402
+    ACCEPTABLE as TAXON_RANK_ACCEPTABLE,
+    MAPPING as TAXON_RANK_MAPPING,
+)
 
 
 def fix_taxon_rank(rank: Column) -> dict[str, Column]:

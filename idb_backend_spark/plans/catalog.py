@@ -1705,3 +1705,60 @@ def duplicate_clusters_q(spark, sf_dir):
     verts = docs.select("doc_id")
     out = dedup.duplicate_clusters(pairs, vertices=verts)
     return out.select(F.col("id").alias("doc_id"), "cluster").orderBy("doc_id")
+
+
+_TERM_CASE = (
+    "CASE o_orderkey % 7 WHEN 0 THEN 'Collector' WHEN 1 THEN 'MonthCollected' "
+    "WHEN 2 THEN 'dwc:catalogNumber' WHEN 3 THEN 'ac:accessURI' "
+    "WHEN 4 THEN 'Annotations' WHEN 5 THEN 'coreid' "
+    "ELSE 'SomethingNovel' END"
+)
+
+
+@query(
+    "term_canonicalize",
+    # golden expectations for each synthesized header, straight from the
+    # public standards registry (data/term_translate.py)
+    "WITH v AS (SELECT o_orderkey, " + _TERM_CASE + " AS verbatim FROM orders) "
+    "SELECT o_orderkey, verbatim, "
+    "CASE verbatim WHEN 'Collector' THEN 'dwc:recordedBy' "
+    "  WHEN 'MonthCollected' THEN 'dwc:month' "
+    "  WHEN 'dwc:catalogNumber' THEN 'dwc:catalogNumber' "
+    "  WHEN 'ac:accessURI' THEN 'ac:accessURI' "
+    "  WHEN 'Annotations' THEN NULL "
+    "  WHEN 'coreid' THEN 'coreid' ELSE verbatim END AS canonical, "
+    "CASE verbatim WHEN 'Collector' THEN 'dwc:Occurrence' "
+    "  WHEN 'MonthCollected' THEN 'dwc:Occurrence' "
+    "  WHEN 'dwc:catalogNumber' THEN 'dwc:Occurrence' "
+    "  WHEN 'ac:accessURI' THEN 'dwc:Multimedia' "
+    "  WHEN 'Annotations' THEN 'dwc:Multimedia' "
+    "  WHEN 'coreid' THEN 'dwc:Text:Extension' "
+    "  ELSE 'Unknown' END AS term_class "
+    "FROM v ORDER BY o_orderkey",
+)
+def term_canonicalize(spark, sf_dir):
+    """S3 distributed — verbatim provider headers canonicalized through the
+    FULL 496-row translate registry (fieldnames.py:92-589) compiled to a
+    broadcast-size literal map; the oracle pins golden expectations for
+    translate hits, identity rows, drop-marked rows, and unknown headers.
+    """
+    from idb_backend_spark.data.term_translate import TRANSLATE
+
+    canon_pairs, class_pairs = [], []
+    for raw, (canon, cls) in TRANSLATE.items():
+        canon_pairs += [F.lit(raw), F.lit(canon)]
+        class_pairs += [F.lit(raw), F.lit(cls)]
+    canon_map = F.create_map(*canon_pairs)
+    class_map = F.create_map(*class_pairs)
+
+    orders = _t(spark, sf_dir, "orders")
+    v = orders.select("o_orderkey", F.expr(_TERM_CASE).alias("verbatim"))
+    known = class_map[F.col("verbatim")]
+    return v.select(
+        "o_orderkey",
+        "verbatim",
+        F.when(known.isNotNull(), canon_map[F.col("verbatim")])
+        .otherwise(F.col("verbatim"))
+        .alias("canonical"),
+        F.coalesce(known, F.lit("Unknown")).alias("term_class"),
+    ).orderBy("o_orderkey")

@@ -94,13 +94,17 @@ def read_delimited(
         # stable output contract
         df = df.withColumn(CORRUPT_COL, F.lit(None).cast("string"))
     if canonicalize and header:
-        renames = {}
+        renames, drops = {}, []
         for c in df.columns:
             if c == CORRUPT_COL:
                 continue
             term, _cls = get_canonical_name(c)
-            renames[c] = term
-        df = df.withColumnsRenamed(renames)
+            if term is None:
+                # registry marks the column as provider bookkeeping — drop
+                drops.append(c)
+            elif term != c and term not in df.columns:
+                renames[c] = term
+        df = df.drop(*drops).withColumnsRenamed(renames)
     out_cols = [c for c in df.columns if c != CORRUPT_COL]
     if blank_as_null:
         df = df.select(
