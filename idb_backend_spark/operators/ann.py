@@ -41,18 +41,38 @@ def brute_force_topk(
     )
 
 
+def _assign(df: DataFrame, centroids: list, vec_col: str) -> DataFrame:
+    best = None
+    for i, c in enumerate(centroids):
+        sim = cosine_similarity(F.col(vec_col), _vec_lit(c))
+        entry = F.struct(sim.alias("s"), F.lit(i).alias("b"))
+        best = (
+            entry
+            if best is None
+            else F.when(entry["s"] > best["s"], entry).otherwise(best)
+        )
+    return df.withColumn("bucket", best["b"])
+
+
 def ivf_build(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     nlist: int = 16,
     sample_seed: int = 42,
+    iterations: int = 2,
 ) -> tuple[DataFrame, list]:
     """Assign each vector to its nearest of nlist centroids.
 
-    Centroids are a deterministic sample (seeded) — one Lloyd iteration is
-    usually enough for bucketing quality; full KMeans can refine offline.
+    Centroids start as a deterministic seeded sample, then ``iterations``
+    Lloyd rounds refine them: each round is one distributed mean per
+    (bucket, dimension) — a single bounded groupBy over nlist·dim cells —
+    followed by reassignment. Two rounds markedly tighten buckets (higher
+    probe recall at the same nprobe); full KMeans can refine offline.
     Returns (assigned_df with `bucket` column, centroids list).
+
+    The sample uses a global orderBy(hash).limit — fine for nlist ≤ ~256;
+    switch to TABLESAMPLE + local top when sampling wider codebooks.
     """
     sample = (
         df.select(vec_col)
@@ -61,13 +81,26 @@ def ivf_build(
         .collect()
     )
     centroids = [list(r[vec_col]) for r in sample]
-    best = None
-    for i, c in enumerate(centroids):
-        sim = cosine_similarity(F.col(vec_col), _vec_lit(c))
-        entry = F.struct(sim.alias("s"), F.lit(i).alias("b"))
-        best = entry if best is None else F.when(entry["s"] > best["s"], entry).otherwise(best)
-    assigned = df.withColumn("bucket", best["b"])
-    return assigned, centroids
+    for _ in range(max(0, iterations)):
+        assigned = _assign(df, centroids, vec_col)
+        means = (
+            assigned.select(
+                "bucket", F.posexplode(vec_col).alias("pos", "x")
+            )
+            .groupBy("bucket", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_bucket: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_bucket.setdefault(r["bucket"], {})[r["pos"]] = r["m"]
+        centroids = [
+            [by_bucket[b][p] for p in sorted(by_bucket[b])]
+            if b in by_bucket
+            else centroids[b]  # empty bucket keeps its seed centroid
+            for b in range(nlist)
+        ]
+    return _assign(df, centroids, vec_col), centroids
 
 
 def ivf_topk(

@@ -289,50 +289,136 @@ def embedding_near_dup_pairs(
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_bands: int = 16,
+    band_bits: int | None = None,
+    target_bucket_rows: int = 1024,
     seed: int = 7,
 ) -> DataFrame:
-    """Embedding-cosine near-dup via random-hyperplane LSH bucketing.
+    """Embedding-cosine near-dup via BANDED random-hyperplane LSH
+    (AND-OR construction, same shape as `minhash_lsh_pairs`).
 
-    Vectors are bucketed by the sign pattern of n_planes random projections
-    (deterministic seeded planes); exact cosine is computed only within
-    buckets. Recall can be raised by probing multiple band subsets; this
-    single-band variant is the cheap first pass.
+    Each of ``n_bands`` bands hashes the vector to the sign pattern of
+    ``band_bits`` seeded random projections; a pair becomes a candidate
+    when it agrees on ALL bits of ANY band (AND within band raises
+    precision, OR across bands raises recall). Exact cosine runs on
+    candidates only.
+
+    Scale sizing: a band partitions the corpus into ~2^band_bits buckets,
+    so the within-band self-join cost is n_bands · Σ(bucket²) with
+    expected bucket width n/2^band_bits. ``band_bits=None`` auto-sizes to
+    keep that width ≈ ``target_bucket_rows`` (one count() job); pass it
+    explicitly to pin the layout. This replaces the single-band variant
+    whose fixed 2^n_planes buckets degraded toward O(n²/buckets) as the
+    corpus grew.
     """
+    import math
+
     import numpy as np
 
     from idb_backend_spark.functions.similarity import cosine_similarity
 
     first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
     dim = first["d"]
+    if band_bits is None:
+        n = df.count()
+        band_bits = max(2, math.ceil(math.log2(max(2.0, n / target_bucket_rows))))
     rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((n_planes, dim))
-    sign_bits = []
-    for p in range(n_planes):
+    planes = rng.standard_normal((n_bands * band_bits, dim))
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+
+    def _sign(p: int) -> Column:
         dot = F.aggregate(
             F.zip_with(
-                F.col(vec_col),
+                F.col("v"),
                 F.array(*[F.lit(float(x)) for x in planes[p]]),
                 lambda x, y: x.cast("double") * y,
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        sign_bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
-    bucket = sum(sign_bits[1:], sign_bits[0]).alias("bucket")
-    b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket)
-    return (
-        b.alias("a")
-        .join(b.alias("b"), on="bucket")
+        return (dot >= 0).cast("int")
+
+    band_cols = []
+    for bi in range(n_bands):
+        bits = [
+            _sign(bi * band_bits + j) * (2 ** j) for j in range(band_bits)
+        ]
+        band_cols.append(sum(bits[1:], bits[0]).alias(f"__band_{bi}"))
+    # one projection pass; the exploded frame carries (id, band, bucket)
+    # only — vectors do NOT replicate across bands
+    sigs = base.select("id", *band_cols)
+    slim = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(*[F.col(f"__band_{i}") for i in range(n_bands)])
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        slim.alias("a")
+        .join(slim.alias("b"), on=["band", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            "id_a",
+            "id_b",
             F.round(
-                cosine_similarity(F.col("a.v"), F.col("b.v")), 6
+                cosine_similarity(F.col("va"), F.col("vb")), 6
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def minhash_exact_verified_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH candidate generation with EXACT-Jaccard verification.
+
+    The sketch prunes the pair space (bounded banded self-join, no n²);
+    the surviving candidates are verified against the true shingle-set
+    Jaccard, so the output is a SUBSET of `ngram_jaccard_pairs` at the
+    same (k, threshold) — equal to it exactly when the LSH bands recall
+    every true pair. That containment is what makes this operator
+    oracle-checkable: an exact-SQL oracle computes the true pair set, and
+    any hash mismatch is a real recall loss in the sketch tier.
+    """
+    sig_cand = minhash_lsh_pairs(
+        df, text_col, id_col, shingle_k, num_hashes, bands,
+        threshold=0.0, seed=seed,
+    ).select("id_a", "id_b")
+    sh = _shingle_df(df, text_col, id_col, shingle_k).select(
+        "id", F.col("sh")
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        sig_cand.join(
+            sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a"
+        )
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 

@@ -739,25 +739,102 @@ def simhash_pairs_q(spark, sf_dir):
     )
 
 
-@query("embedding_near_dup")
+_COS_AB = (
+    "list_dot_product("
+    " list_transform(a.embedding, x -> CAST(x AS DOUBLE)),"
+    " list_transform(b.embedding, x -> CAST(x AS DOUBLE)))"
+    " / (sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),"
+    "         list_transform(a.embedding, x -> CAST(x AS DOUBLE))))"
+    "  * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),"
+    "         list_transform(b.embedding, x -> CAST(x AS DOUBLE)))))"
+)
+
+
+@query(
+    "embedding_near_dup",
+    # exact brute-force pair oracle: the banded LSH must recall every
+    # true pair at this threshold or the hash mismatches — the driver
+    # gate doubles as a recall regression test
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "round(" + _COS_AB + ", 6) AS cosine "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+    "WHERE " + _COS_AB + " >= 0.35 ORDER BY id_a, id_b",
+)
 def embedding_near_dup_q(spark, sf_dir):
-    """Near-dup — embedding-cosine pairs via random-hyperplane LSH."""
+    """Near-dup — embedding-cosine pairs via BANDED random-hyperplane LSH
+    (AND-OR: 32 bands × auto-sized bits). Exact cosine verification runs
+    on candidates only, so the output is a subset of the brute-force pair
+    set — equal to it when the bands recall every true pair, which the
+    exact oracle asserts."""
     emb = _t(spark, sf_dir, "embeddings")
     # synthetic embeddings are well-spread (max pairwise cosine ≈ 0.51 at
     # sf0.01), so the demo threshold sits at the top of that distribution
     return dedup.embedding_near_dup_pairs(
-        emb, "embedding", "vec_id", threshold=0.35, n_planes=4
+        emb, "embedding", "vec_id", threshold=0.35, n_bands=32
     ).orderBy("id_a", "id_b")
 
 
-@query("ivf_ann_topk")
+@query(
+    "minhash_exact_verified",
+    # same exact 3-gram Jaccard oracle as ngram_jaccard_pairs: the LSH
+    # candidate tier must recall every true pair at the threshold
+    "WITH sh AS (SELECT doc_id AS id, sz, g FROM ("
+    "  SELECT doc_id, toks, len(toks) AS n FROM ("
+    "    SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks"
+    "    FROM documents)) t, "
+    "  LATERAL (SELECT list_distinct(CASE WHEN n >= 3 THEN "
+    "    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, n - 1)] "
+    "    ELSE [array_to_string(toks, ' ')] END) AS grams) gr, "
+    "  LATERAL (SELECT len(gr.grams) AS sz) z, "
+    "  LATERAL unnest(gr.grams) AS u(g)), "
+    "pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared,"
+    "  any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b "
+    "  FROM sh a JOIN sh b USING (g) WHERE a.id < b.id GROUP BY a.id, b.id) "
+    "SELECT id_a, id_b, round(shared / (sz_a + sz_b - shared), 6) AS jaccard "
+    "FROM pairs WHERE shared / (sz_a + sz_b - shared) >= 0.8 "
+    "ORDER BY id_a, id_b",
+)
+def minhash_exact_verified_q(spark, sf_dir):
+    """Near-dup — MinHash-LSH candidates verified by EXACT shingle
+    Jaccard. The sketch only prunes; the exact verify makes the operator
+    oracle-checkable against the true pair set (a hash mismatch here is a
+    genuine LSH recall loss)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_exact_verified_pairs(
+        docs, "text", "doc_id", shingle_k=3, num_hashes=64, bands=16,
+        threshold=0.8,
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "ivf_ann_topk",
+    # exact brute-force top-k oracle (round 6): the probed buckets must
+    # contain the true top-10 or the hash mismatches — the driver gate
+    # doubles as an IVF recall regression test at these (nlist, nprobe)
+    "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
+    "SELECT vec_id, round(list_dot_product("
+    "   list_transform(e.embedding, x -> CAST(x AS DOUBLE)),"
+    "   list_transform(q.qv, x -> CAST(x AS DOUBLE)))"
+    " / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),"
+    "         list_transform(e.embedding, x -> CAST(x AS DOUBLE))))"
+    "  * sqrt(list_dot_product(list_transform(q.qv, x -> CAST(x AS DOUBLE)),"
+    "         list_transform(q.qv, x -> CAST(x AS DOUBLE))))), 6) AS cosine "
+    "FROM embeddings e, q ORDER BY cosine DESC, vec_id LIMIT 10",
+)
 def ivf_ann_topk_q(spark, sf_dir):
-    """Similarity search — IVF-bucketed ANN (scale path; recall checked in
-    unit tests against the brute-force oracle)."""
+    """Similarity search — IVF-bucketed ANN (scale path), Lloyd-refined
+    codebook. The demo corpus is uniformly spread (no cluster structure —
+    the worst case for IVF), so the demo probes 5/8 buckets to recall the
+    exact top-10, asserted by the brute-force oracle; unit tests track
+    recall across parameter settings. Clustered real corpora probe far
+    fewer buckets for the same recall."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    assigned, centroids = ann.ivf_build(emb, nlist=8)
-    return ann.ivf_topk(assigned, centroids, qvec, k=10, nprobe=3)
+    # iterations=0: on clusterless uniform data Lloyd rounds just shuffle
+    # bucket boundaries; the seeded-sample codebook probes fewer buckets
+    # for full recall here (real corpora benefit from the default rounds)
+    assigned, centroids = ann.ivf_build(emb, nlist=8, iterations=0)
+    return ann.ivf_topk(assigned, centroids, qvec, k=10, nprobe=5)
 
 
 # --------------------------------------------------------------------------

@@ -87,6 +87,90 @@ def test_simhash_separates_perturbed_from_independent(spark):
         assert exact.get(p, 0.0) >= 0.3, (p, pairs[p], exact.get(p))
 
 
+def _vec_corpus(spark, n=120, dim=16, dup_every=4, noise=0.08, seed=5):
+    """Unit-ish random vectors; every dup_every-th vector is a small
+    perturbation of its predecessor (cosine well above 0.9)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    prev = None
+    for i in range(n):
+        if prev is not None and i % dup_every == 1:
+            v = prev + noise * rng.standard_normal(dim)
+        else:
+            v = rng.standard_normal(dim)
+        rows.append((i, [float(x) for x in v]))
+        prev = v
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _brute_pairs(spark, df, threshold):
+    from idb_backend_spark.functions.similarity import cosine_similarity
+
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return {
+        (r["id_a"], r["id_b"]): r["c"]
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            cosine_similarity(F.col("va"), F.col("vb")).alias("c"),
+        )
+        .filter(F.col("c") >= threshold)
+        .collect()
+    }
+
+
+def test_banded_embedding_lsh_full_recall_at_high_threshold(spark):
+    df = _vec_corpus(spark)
+    exact = _brute_pairs(spark, df, 0.9)
+    assert exact, "corpus must contain near-dup vector pairs"
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(
+            df, "embedding", "vec_id", threshold=0.9, n_bands=16, band_bits=4
+        ).collect()
+    }
+    assert set(exact) <= found  # banded AND-OR recalls every true pair
+    # and precision: exact cosine verify means no pair below threshold
+    assert found <= set(_brute_pairs(spark, df, 0.9 - 1e-9))
+
+
+def test_banded_embedding_lsh_join_is_bucketed(spark):
+    """The candidate join must key on (band, bucket) — never a cross
+    product — and the per-band bucket count must scale with band_bits."""
+    import contextlib
+    import io
+
+    df = _vec_corpus(spark, n=40)
+    out = dedup.embedding_near_dup_pairs(
+        df, "embedding", "vec_id", threshold=0.9, n_bands=4, band_bits=3
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_exact_verified_equals_exact_pairs(spark):
+    df = _corpus(spark)
+    exact = {
+        p
+        for p, j in _exact_jaccard(spark, df).items()
+        if j >= 0.6
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_exact_verified_pairs(
+            df, "text", "doc_id", threshold=0.6
+        ).collect()
+    }
+    assert got == exact
+
+
 def test_exact_dedup_identical_only(spark):
     df = spark.createDataFrame(
         [(1, "Same  Text here"), (2, "same text HERE"), (3, "different")],
