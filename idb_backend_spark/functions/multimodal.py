@@ -1,5 +1,5 @@
-"""Multimodal binary columns: media validation, decode plumbing,
-derivative stubs (reference idb/helpers/media_validation.py — F24;
+"""Multimodal binary columns: media validation, decode, derivatives
+(reference idb/helpers/media_validation.py — F24;
 idigbio_ingestion/mediaing/derivatives.py — F25).
 
 Model: media content is an opaque ``binary`` column beside typed metadata
@@ -7,17 +7,20 @@ Model: media content is an opaque ``binary`` column beside typed metadata
 ``mapInPandas`` so a 100 TB media table streams batch-wise through
 executors without ever materializing per-row Python objects.
 
-Magic-byte sniffing (the reference's validation core) is real logic here;
-pixel decode / resize / spectrogram need imaging libraries not present in
-this container, so ``decode_image`` is STUBBED: with ``fake=True`` it
-produces deterministic pseudo-dimensions (hash-derived) so the plumbing —
-schema, batching, partitioning — is fully exercised and tested; with
-``fake=False`` it raises NotImplementedError where PIL would be called.
+Magic-byte sniffing (the reference's validation core) is native logic.
+Pixel decode/resize is PIL-GATED, same pattern as pyproj in geo.py:
+when Pillow is importable the real kernel runs (RGB convert, BILINEAR
+downscale to the 260/600 derivative widths, JPEG quality-95 encode —
+derivatives.py:24-27, :284-305); when absent, ``fake=True`` produces
+deterministic hash-derived stand-ins so the Spark plumbing — schema,
+batching, partitioning — is fully exercised either way. Installing
+pillow lights up the real path with no code change.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import pandas as pd
@@ -30,6 +33,18 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+try:  # import-gated imaging kernel (pillow is optional)
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover - exercised where pillow absent
+    _PILImage = None
+    HAS_PIL = False
+
+#: derivative widths (derivatives.py:24-27); fullsize passes through
+WIDTHS = {"thumbnail": 260, "webview": 600}
+DTYPES = ("thumbnail", "fullsize", "webview")
 
 #: magic-byte prefixes -> (mime, bucket) (media_validation.py sniff table)
 _MAGIC: list[tuple[bytes, str, str]] = [
@@ -121,27 +136,72 @@ DECODE_SCHEMA = StructType(
 )
 
 
+def _load_rgb(b: bytes):
+    """Real decode kernel (derivatives.py load_img): open, force-load,
+    convert to RGB."""
+    img = _PILImage.open(io.BytesIO(b))
+    img.load()
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    return img
+
+
+def _resize_to_width(img, width: int):
+    """Proportional BILINEAR downscale; never upscales
+    (derivatives.py:293-305)."""
+    if img.size[0] > width:
+        h = int(float(img.size[1]) * (width / float(img.size[0])))
+        return img.resize((width, h), _PILImage.BILINEAR)
+    return img
+
+
+def _to_jpeg(img) -> bytes:
+    """JPEG quality-95 encode (derivatives.py img_to_buffer)."""
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG", quality=95)
+    return buf.getvalue()
+
+
+def _resolve_fake(fake: bool | None) -> bool:
+    """None = auto: real kernel when pillow is importable, else fake.
+    ``fake=False`` demands the real kernel and raises without pillow."""
+    if fake is None:
+        return not HAS_PIL
+    if fake is False and not HAS_PIL:
+        raise NotImplementedError(
+            "real image decode requires pillow; install it or pass "
+            "fake=True/None"
+        )
+    return fake
+
+
 def decode_image(
     df: DataFrame,
     content_col: str = "content",
     id_col: str = "id",
-    fake: bool = True,
+    fake: bool | None = None,
 ) -> DataFrame:
     """F25 (decode step) — image decode via mapInPandas.
 
-    STUB: real pixel decode requires PIL (absent here); ``fake=True``
-    yields deterministic hash-derived dimensions so schema/batch plumbing
-    is real and tested. Plug PIL into ``_decode_one`` for production.
+    PIL-gated: the real kernel reports actual (width, height, mode);
+    the fake kernel yields deterministic hash-derived dimensions so the
+    schema/batch plumbing is identical with or without pillow. Decode
+    failures (truncated/corrupt blobs) yield null dims, mode='error' —
+    the reference logs-and-skips the same way (derivatives.py:165-178).
     """
+    use_fake = _resolve_fake(fake)
     out_schema = StructType([df.schema[id_col], *DECODE_SCHEMA.fields])
 
-    def _decode_one(b: bytes) -> tuple[int, int, str]:
-        if fake:
+    def _decode_one(b: bytes) -> tuple[int | None, int | None, str | None]:
+        if use_fake:
             w, h = _fake_dims(b)
             return w, h, "RGB"
-        raise NotImplementedError(
-            "image decode requires PIL; install pillow and replace this stub"
-        )
+        try:
+            img = _PILImage.open(io.BytesIO(b))
+            img.load()
+            return img.size[0], img.size[1], img.mode
+        except Exception:
+            return None, None, "error"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -154,6 +214,81 @@ def decode_image(
                 rows.append((_id, w, h, mode))
             yield pd.DataFrame(
                 rows, columns=[id_col, "width", "height", "mode"]
+            )
+
+    return df.select(id_col, content_col).mapInPandas(batches, out_schema)
+
+
+DERIVATIVE_SCHEMA = StructType(
+    [
+        StructField("dtype", StringType()),
+        StructField("content", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def generate_derivatives(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "id",
+    dtypes: tuple[str, ...] = DTYPES,
+    fake: bool | None = None,
+) -> DataFrame:
+    """F25 — thumbnail/webview/fullsize derivative generation
+    (derivatives.py generate_all/build_deriv): one output row per
+    (blob, dtype); fullsize copies JPEG sources through unchanged and
+    re-encodes everything else; sized derivatives downscale
+    proportionally (never upscale) and encode JPEG q95.
+
+    PIL-gated like `decode_image`: the fake kernel emits deterministic
+    pseudo-JPEG bytes with the same sizing arithmetic, so partitioning,
+    schema, and the explode shape are real in any environment. Undecodable
+    blobs produce no rows (reference skips them).
+    """
+    use_fake = _resolve_fake(fake)
+    out_schema = StructType([df.schema[id_col], *DERIVATIVE_SCHEMA.fields])
+
+    def _fake_rows(_id, b: bytes):
+        w, h = _fake_dims(b)
+        for d in dtypes:
+            if d == "fullsize":
+                is_jpeg = b.startswith(b"\xff\xd8\xff")
+                blob = b if is_jpeg else b"\xff\xd8\xff\xe0" + hashlib.sha1(b).digest()
+                yield (_id, d, blob, w, h)
+            else:
+                tw = WIDTHS[d]
+                ow, oh = (tw, int(h * tw / w)) if w > tw else (w, h)
+                marker = hashlib.sha1(b + d.encode()).digest()
+                yield (_id, d, b"\xff\xd8\xff\xe0" + marker, ow, oh)
+
+    def _real_rows(_id, b: bytes):
+        try:
+            img = _load_rgb(b)
+        except Exception:
+            return  # undecodable: no derivative rows (reference skips)
+        src_is_jpeg = b.startswith(b"\xff\xd8\xff")
+        for d in dtypes:
+            if d == "fullsize":
+                blob = b if src_is_jpeg else _to_jpeg(img)
+                yield (_id, d, blob, img.size[0], img.size[1])
+            else:
+                out = _resize_to_width(img, WIDTHS[d])
+                yield (_id, d, _to_jpeg(out), out.size[0], out.size[1])
+
+    row_gen = _fake_rows if use_fake else _real_rows
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _id, blob in zip(pdf[id_col], pdf[content_col]):
+                if blob is None:
+                    continue
+                rows.extend(row_gen(_id, bytes(blob)))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "dtype", "content", "width", "height"],
             )
 
     return df.select(id_col, content_col).mapInPandas(batches, out_schema)

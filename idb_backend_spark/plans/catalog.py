@@ -892,6 +892,51 @@ def shim_geo_polygon(spark, sf_dir):
     )
 
 
+_HOLE = [[-85.0, 15.0], [-75.0, 15.0], [-80.0, 25.0]]  # inside _POLY
+_ENV = [[-90.0, 40.0], [-70.0, 20.0]]  # GeoJSON envelope [tl, br] corners
+
+
+@query(
+    "shim_geo_shape",
+    "SELECT c_custkey, lat, lon, "
+    "(lat <= 40.0 AND lat >= 20.0 AND lon >= -90.0 AND lon <= -70.0)"
+    " AS in_env FROM (SELECT c_custkey, "
+    f"{_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM customer) g "
+    f"WHERE ({_poly_crossing_sql('lat', 'lon', _POLY)}) "
+    f"AND NOT ({_poly_crossing_sql('lat', 'lon', _HOLE)}) "
+    "ORDER BY c_custkey",
+)
+def shim_geo_shape(spark, sf_dir):
+    """P10 — geo_shape dispatch: polygon-with-hole containment as the
+    filter (outer-ring parity AND NOT hole parity) plus an envelope
+    geo_shape as a projected flag — both through the shim compiler's
+    geo_shape branch (query_shim.py:85-86)."""
+    from idb_backend_spark.query.shim import single_filter
+
+    g = (
+        _t(spark, sf_dir, "customer")
+        .withColumn("lat", F.expr(_GEO_LAT))
+        .withColumn("lon", F.expr(_GEO_LON))
+        .withColumn("geopoint", F.struct(F.col("lat"), F.col("lon")))
+    )
+    poly_with_hole = single_filter(
+        "geopoint",
+        {
+            "type": "geo_shape",
+            "shape": {"type": "polygon", "coordinates": [_POLY, _HOLE]},
+        },
+    )
+    envelope = single_filter(
+        "geopoint",
+        {"type": "geo_shape", "shape": {"type": "envelope", "coordinates": _ENV}},
+    )
+    return (
+        g.filter(poly_with_hole)
+        .select("c_custkey", "lat", "lon", envelope.alias("in_env"))
+        .orderBy("c_custkey")
+    )
+
+
 # Synthesized verbatim coordinate strings: mostly 3-decimal in-range values,
 # with modulo classes for flip (%13), bounds (%17) and low-precision (%19).
 _LAT_S = (
@@ -1544,6 +1589,46 @@ def media_sniff_buckets(spark, sf_dir):
         meta.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc_nulls_first("bucket"))
+    )
+
+
+@query(
+    "media_derivatives",
+    # JPEG blobs (doc_id%4==0) pass fullsize through byte-identical; the
+    # derivative fan-out is one row per (decodable blob, dtype). The
+    # oracle pins the per-(dtype, jpeg-source) row counts; content bytes
+    # are hash-derived (not SQL-expressible) and covered by unit tests.
+    "WITH src AS (SELECT doc_id, doc_id % 4 = 0 AS is_jpeg FROM documents) "
+    "SELECT d.dtype, src.is_jpeg, count(*) AS n FROM src, "
+    "  (SELECT unnest(['fullsize','thumbnail','webview']) AS dtype) d "
+    "GROUP BY 1, 2 ORDER BY dtype, is_jpeg",
+)
+def media_derivatives(spark, sf_dir):
+    """F25 — derivative generation through the PIL-gated mapInPandas
+    kernel (fake kernel in this environment; identical plumbing either
+    way), aggregated per (dtype, source-is-jpeg)."""
+    from idb_backend_spark.functions.multimodal import generate_derivatives
+
+    docs = _t(spark, sf_dir, "documents")
+    blobs = docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat(
+            F.when(F.col("doc_id") % 4 == 0, F.lit(b"\xff\xd8\xff\xe0"))
+            .when(F.col("doc_id") % 4 == 1, F.lit(b"\x89PNG\r\n\x1a\n"))
+            .when(
+                F.col("doc_id") % 4 == 2,
+                F.lit(b"RIFF\x00\x00\x00\x00WAVE"),
+            )
+            .otherwise(F.lit(b"text")),
+            F.col("text").cast("binary"),
+        ).alias("content"),
+    )
+    dv = generate_derivatives(blobs, fake=True)
+    return (
+        dv.withColumn("is_jpeg", F.col("id") % 4 == 0)
+        .groupBy("dtype", "is_jpeg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("dtype", "is_jpeg")
     )
 
 

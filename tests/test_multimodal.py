@@ -46,10 +46,13 @@ def test_validate_media(spark):
 
 
 def test_decode_and_derivatives(spark):
-    decoded = mm.decode_image(_media_df(spark))
+    decoded = mm.decode_image(_media_df(spark), fake=True)
     out = {r["id"]: r for r in decoded.collect()}
     # deterministic fake dims: same input -> same dims
-    again = {r["id"]: r for r in mm.decode_image(_media_df(spark)).collect()}
+    again = {
+        r["id"]: r
+        for r in mm.decode_image(_media_df(spark), fake=True).collect()
+    }
     assert out["a"]["width"] == again["a"]["width"]
     assert 64 <= out["a"]["width"] <= 255
     assert out["e"]["width"] is None
@@ -60,7 +63,53 @@ def test_decode_and_derivatives(spark):
             assert r["deriv_260_height"] == round(r["height"] * 260 / r["width"])
 
 
-def test_decode_real_path_raises(spark):
+def test_generate_derivatives_fake_plumbing(spark):
+    rows = mm.generate_derivatives(_media_df(spark), fake=True).collect()
+    by = {(r["id"], r["dtype"]): r for r in rows}
+    # one row per (decodable blob, dtype); nulls produce nothing
+    assert {k[0] for k in by} == {"a", "b", "c", "d"}
+    assert {k[1] for k in by if k[0] == "a"} == set(mm.DTYPES)
+    # fullsize passes JPEG sources through byte-identical
+    assert bytes(by[("a", "fullsize")]["content"]) == JPEG
+    # sized derivatives: proportional, never upscaled
+    for _id in "abcd":
+        w0, h0 = by[(_id, "fullsize")]["width"], by[(_id, "fullsize")]["height"]
+        for d, tw in mm.WIDTHS.items():
+            r = by[(_id, d)]
+            if w0 > tw:
+                assert r["width"] == tw
+                assert r["height"] == int(h0 * tw / w0)
+            else:
+                assert (r["width"], r["height"]) == (w0, h0)
+            assert bytes(r["content"]).startswith(b"\xff\xd8\xff")
+
+
+@pytest.mark.skipif(mm.HAS_PIL, reason="pillow present: real path active")
+def test_decode_real_path_raises_without_pil(spark):
     with pytest.raises(Exception) as ei:
         mm.decode_image(_media_df(spark), fake=False).collect()
-    assert "NotImplementedError" in str(ei.value) or "PIL" in str(ei.value)
+    assert "NotImplementedError" in str(ei.value) or "pillow" in str(ei.value)
+
+
+@pytest.mark.skipif(not mm.HAS_PIL, reason="pillow not installed")
+def test_real_kernel_decodes_and_resizes(spark):
+    """Lights up automatically when pillow is installed — no code change."""
+    img = mm._PILImage.new("RGB", (800, 400), (10, 200, 30))
+    import io as _io
+
+    buf = _io.BytesIO()
+    img.save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame([("x", png)], "id string, content binary")
+
+    out = {r["id"]: r for r in mm.decode_image(df, fake=False).collect()}
+    assert (out["x"]["width"], out["x"]["height"]) == (800, 400)
+
+    dv = {
+        r["dtype"]: r
+        for r in mm.generate_derivatives(df, fake=False).collect()
+    }
+    assert (dv["thumbnail"]["width"], dv["thumbnail"]["height"]) == (260, 130)
+    assert (dv["webview"]["width"], dv["webview"]["height"]) == (600, 300)
+    # PNG source re-encodes to JPEG for fullsize
+    assert bytes(dv["fullsize"]["content"]).startswith(b"\xff\xd8\xff")
