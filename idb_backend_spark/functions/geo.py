@@ -116,41 +116,113 @@ def datum_transform_udf(
 # --------------------------------------------------------------------------
 
 
+try:  # pragma: no cover - optional exact-geometry backend
+    from shapely.geometry import Point as _ShpPoint
+    from shapely.geometry import Polygon as _ShpPolygon
+    from shapely.prepared import prep as _shp_prep
+
+    HAVE_SHAPELY = True
+except ImportError:
+    HAVE_SHAPELY = False
+
+
+def _ring_contains(ring: list[tuple[float, float]], lon: float, lat: float) -> bool:
+    """Even-odd ray cast over one [ (lon, lat), ... ] ring (pure Python —
+    the shapely-absent fallback; same crossing rule the shim's native
+    point_in_polygon expression unrolls)."""
+    inside = False
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        if y1 == y2:
+            continue
+        if (y1 > lat) != (y2 > lat) and lon < (lat - y1) * (x2 - x1) / (y2 - y1) + x1:
+            inside = not inside
+    return inside
+
+
+def box_ring(x1: float, y1: float, x2: float, y2: float) -> list[tuple[float, float]]:
+    """Rectangle as a ring (backward-compat for box-specified regions)."""
+    return [(x1, y1), (x2, y1), (x2, y2), (x1, y2)]
+
+
 class GridGeocoder:
     """Coarse-to-fine reverse geocoder (reference rg.py).
 
-    ``regions`` maps iso code -> list of rectangles (lon_min, lat_min,
-    lon_max, lat_max) — the stand-in for prepared country polygons. The 1°
-    bucket index replicates the reference's prefilter exactly: a candidate
-    set per integer (lon, lat) cell, exact containment only inside the
-    shortlist. With shapely installed, rectangles become prepared
-    geometries and `contains` replaces the box test; the index is the same.
+    ``regions`` maps iso code -> list of polygon rings (each a list of
+    (lon, lat) vertices); 4-tuples are accepted as rectangles for
+    backward compatibility. The 1° bucket index replicates the
+    reference's prefilter exactly: a candidate set per integer
+    (lon, lat) cell built from ring bounding boxes, exact containment
+    only inside the shortlist. With shapely installed the containment
+    test runs on prepared geometries; without it, a pure-Python even-odd
+    ray cast — identical semantics for simple rings.
 
     The instance is built on the driver and shipped to executors inside a
     pandas UDF closure (broadcast-sized: a few thousand floats even for a
     world map at this granularity).
     """
 
-    def __init__(self, regions: dict[str, list[tuple[float, float, float, float]]]):
-        self.regions = regions
+    def __init__(self, regions: dict[str, list]):
+        # shape = ("box", (x1, y1, x2, y2)) with inclusive-edge test, or
+        # ("ring", [(lon, lat), ...]) with even-odd ray cast
+        self.shapes: dict[str, list[tuple[str, object]]] = {}
         self.grid: dict[tuple[int, int], list[str]] = {}
-        for code, boxes in regions.items():
-            for (x1, y1, x2, y2) in boxes:
-                for gx in range(math.floor(x1), math.ceil(x2) + 1):
-                    for gy in range(math.floor(y1), math.ceil(y2) + 1):
+        self._prepared: dict[tuple[str, int], object] = {}
+        for code, shapes in regions.items():
+            parsed: list[tuple[str, object]] = []
+            for shape in shapes:
+                if (
+                    isinstance(shape, tuple)
+                    and len(shape) == 4
+                    and all(isinstance(v, (int, float)) for v in shape)
+                ):
+                    parsed.append(("box", tuple(float(v) for v in shape)))
+                    xs = (shape[0], shape[2])
+                    ys = (shape[1], shape[3])
+                else:
+                    ring = [(float(x), float(y)) for x, y in shape]
+                    parsed.append(("ring", ring))
+                    xs = [p[0] for p in ring]
+                    ys = [p[1] for p in ring]
+                for gx in range(math.floor(min(xs)), math.ceil(max(xs)) + 1):
+                    for gy in range(math.floor(min(ys)), math.ceil(max(ys)) + 1):
                         cell = self.grid.setdefault((gx, gy), [])
                         if code not in cell:
                             cell.append(code)
+            self.shapes[code] = parsed
+            if HAVE_SHAPELY:  # pragma: no cover - shapely optional
+                for i, (kind, geom) in enumerate(parsed):
+                    if kind == "ring":
+                        self._prepared[(code, i)] = _shp_prep(_ShpPolygon(geom))
+
+    def _contains(self, code: str, i: int, kind: str, geom, lon: float,
+                  lat: float) -> bool:
+        if kind == "box":
+            x1, y1, x2, y2 = geom
+            return x1 <= lon <= x2 and y1 <= lat <= y2
+        if HAVE_SHAPELY:  # pragma: no cover
+            return self._prepared[(code, i)].intersects(_ShpPoint(lon, lat))
+        return _ring_contains(geom, lon, lat)
 
     def lookup(self, lon: float, lat: float) -> str | None:
         cands = self.grid.get((math.floor(lon), math.floor(lat)))
         if not cands:
             return None
         for code in cands:
-            for (x1, y1, x2, y2) in self.regions[code]:
-                if x1 <= lon <= x2 and y1 <= lat <= y2:
+            for i, (kind, geom) in enumerate(self.shapes[code]):
+                if self._contains(code, i, kind, geom, lon, lat):
                     return code
         return None
+
+
+def default_geocoder() -> GridGeocoder:
+    """Geocoder over the packaged coarse world outlines
+    (data/world_regions.py)."""
+    from idb_backend_spark.data.world_regions import WORLD_REGIONS
+
+    return GridGeocoder(WORLD_REGIONS)
 
 
 #: The reference's 8-way sign/axis flip search (conversions.py:530-547):

@@ -1924,3 +1924,95 @@ def term_canonicalize(spark, sf_dir):
         .alias("canonical"),
         F.coalesce(known, F.lit("Unknown")).alias("term_class"),
     ).orderBy("o_orderkey")
+
+
+_RG_LON = (
+    "CASE WHEN c_custkey % 17 = 0 THEN -104.0 "
+    "WHEN c_custkey % 13 = 0 THEN -134.0 "
+    "WHEN c_custkey % 11 = 0 THEN -51.9 "
+    "WHEN c_custkey % 7 = 0 THEN 20.5 "
+    "WHEN c_custkey % 5 = 0 THEN -98.5 "
+    "WHEN c_custkey % 3 = 0 THEN 0.0 ELSE 104.0 END"
+)
+_RG_LAT = (
+    "CASE WHEN c_custkey % 17 = 0 THEN -35.0 "
+    "WHEN c_custkey % 13 = 0 THEN -25.0 "
+    "WHEN c_custkey % 11 = 0 THEN 14.2 "
+    "WHEN c_custkey % 7 = 0 THEN 78.9 "
+    "WHEN c_custkey % 5 = 0 THEN 39.8 "
+    "WHEN c_custkey % 3 = 0 THEN 0.0 ELSE 35.0 END"
+)
+_RG_ISO = (
+    "CASE WHEN c_custkey % 17 = 0 THEN 'CN' "
+    "WHEN c_custkey % 13 = 0 THEN 'AU' "
+    "WHEN c_custkey % 11 = 0 THEN 'BR' "
+    "WHEN c_custkey % 7 = 0 THEN 'IN' "
+    "WHEN c_custkey % 5 = 0 THEN 'CA' "
+    "WHEN c_custkey % 3 = 0 THEN NULL ELSE 'CN' END"
+)
+
+
+@query(
+    "rev_geocode",
+    # golden expectations per modulo class, validated against the
+    # packaged coarse world outlines (data/world_regions.py): sign/axis
+    # flip corrections, mismatch-no-correction, ocean failure, clean hit
+    "SELECT c_custkey, "
+    "CAST(CASE WHEN c_custkey % 17 = 0 THEN 104.0 "
+    " WHEN c_custkey % 13 = 0 THEN 134.0 "
+    " WHEN c_custkey % 11 = 0 THEN -51.9 "
+    " WHEN c_custkey % 7 = 0 THEN 78.9 "
+    " WHEN c_custkey % 5 = 0 THEN -98.5 "
+    " WHEN c_custkey % 3 = 0 THEN 0.0 ELSE 104.0 END AS DOUBLE) AS lon, "
+    "CAST(CASE WHEN c_custkey % 17 = 0 THEN 35.0 "
+    " WHEN c_custkey % 13 = 0 THEN -25.0 "
+    " WHEN c_custkey % 11 = 0 THEN -14.2 "
+    " WHEN c_custkey % 7 = 0 THEN 20.5 "
+    " WHEN c_custkey % 5 = 0 THEN 39.8 "
+    " WHEN c_custkey % 3 = 0 THEN 0.0 ELSE 35.0 END AS DOUBLE) AS lat, "
+    "CASE WHEN c_custkey % 17 = 0 THEN 'CN' "
+    " WHEN c_custkey % 13 = 0 THEN 'AU' "
+    " WHEN c_custkey % 11 = 0 THEN 'BR' "
+    " WHEN c_custkey % 7 = 0 THEN 'IN' "
+    " WHEN c_custkey % 5 = 0 THEN 'US' "
+    " WHEN c_custkey % 3 = 0 THEN NULL ELSE 'CN' END AS country, "
+    "CASE WHEN c_custkey % 17 = 0 THEN "
+    "  'rev_geocode_failure,rev_geocode_both_sign,rev_geocode_corrected' "
+    " WHEN c_custkey % 13 = 0 THEN "
+    "  'rev_geocode_failure,rev_geocode_lon_sign,rev_geocode_corrected' "
+    " WHEN c_custkey % 11 = 0 THEN "
+    "  'rev_geocode_failure,rev_geocode_lat_sign,rev_geocode_corrected' "
+    " WHEN c_custkey % 7 = 0 THEN "
+    "  'rev_geocode_failure,rev_geocode_flip,rev_geocode_corrected' "
+    " WHEN c_custkey % 5 = 0 THEN 'rev_geocode_mismatch' "
+    " WHEN c_custkey % 3 = 0 THEN 'rev_geocode_failure' "
+    " ELSE NULL END AS flags "
+    "FROM customer ORDER BY c_custkey",
+)
+def rev_geocode_q(spark, sf_dir):
+    """F7 — reverse geocode + 8-way flip correction loop
+    (conversions.py:513-563) over the packaged coarse country outlines,
+    1°-grid prefiltered, as an Arrow-batched pandas UDF. Synthesized
+    coordinate classes exercise: both-sign / lon-sign / lat-sign / axis
+    flips (each corrected to the stated country), a mismatch that no flip
+    can fix (flag only, coordinates kept), an ocean failure with no
+    stated country (no flip attempted), and a clean in-country hit."""
+    from idb_backend_spark.functions.geo import default_geocoder, rev_geocode_udf
+
+    cust = _t(spark, sf_dir, "customer")
+    inp = cust.select(
+        "c_custkey",
+        F.expr(f"CAST(({_RG_LON}) AS DOUBLE)").alias("in_lon"),
+        F.expr(f"CAST(({_RG_LAT}) AS DOUBLE)").alias("in_lat"),
+        F.expr(_RG_ISO).alias("iso"),
+    )
+    out = inp.withColumn(
+        "rg", rev_geocode_udf(default_geocoder())("in_lon", "in_lat", "iso")
+    )
+    return out.select(
+        "c_custkey",
+        F.col("rg.lon").alias("lon"),
+        F.col("rg.lat").alias("lat"),
+        F.col("rg.country").alias("country"),
+        F.col("rg.flags").alias("flags"),
+    ).orderBy("c_custkey")

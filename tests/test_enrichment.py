@@ -355,3 +355,41 @@ def test_rev_geocode_udf(spark):
 def test_mangle_and_datum_aliases():
     assert mangle_string("World Geodetic System 1984") == "WORLDGEODETICSYSTEM1984"
     assert DATUM_ALIASES[mangle_string("World Geodetic System 1984")] == "WGS84"
+
+
+def test_grid_geocoder_polygon_rings():
+    from idb_backend_spark.functions.geo import GridGeocoder, default_geocoder
+
+    # a triangle ring (not a box): ray-cast containment, grid prefilter
+    tri = {"XX": [[(0.0, 0.0), (10.0, 0.0), (5.0, 8.0)]]}
+    g = GridGeocoder(tri)
+    assert g.lookup(5.0, 2.0) == "XX"       # inside
+    assert g.lookup(0.5, 7.0) is None       # in bbox cell, outside ring
+    assert g.lookup(50.0, 50.0) is None     # no grid cell
+
+    # packaged world outlines: interior points hit, borders stay safe
+    world = default_geocoder()
+    for code, (lo, la) in {
+        "US": (-98.5, 39.8), "BR": (-51.9, -14.2), "AU": (134.0, -25.0),
+        "IN": (78.9, 20.5), "CN": (104.0, 35.0), "EG": (30.0, 26.0),
+        "JP": (138.0, 36.5), "NZ": (172.0, -43.5),
+    }.items():
+        assert world.lookup(lo, la) == code, code
+    assert world.lookup(0.0, 0.0) is None  # gulf of guinea
+    assert world.lookup(-140.0, -30.0) is None  # south pacific
+
+
+def test_rev_geocode_flip_loop_on_world_outlines():
+    from idb_backend_spark.functions.geo import default_geocoder, rev_geocode_py
+
+    g = default_geocoder()
+    # axis flip corrected to stated country (conversions.py:530-547)
+    lon, lat, country, flags = rev_geocode_py(g, 20.5, 78.9, "IN")
+    assert (lon, lat, country) == (78.9, 20.5, "IN")
+    assert flags == [
+        "rev_geocode_failure", "rev_geocode_flip", "rev_geocode_corrected",
+    ]
+    # mismatch that no flip fixes: flag only, coordinates unchanged
+    lon, lat, country, flags = rev_geocode_py(g, -98.5, 39.8, "CA")
+    assert (lon, lat, country) == (-98.5, 39.8, "US")
+    assert flags == ["rev_geocode_mismatch"]
