@@ -1,0 +1,829 @@
+"""§2.8 enrichment parity + §2.3 J9/J10 + F6/F7 geo kernels + S3
+term-canonicalization entries. Inputs are synthesized deterministically
+from integer keys — identical literal arithmetic on both engines."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F
+
+from idb_backend_spark.operators import aggregates as agg  # noqa: F401
+from idb_backend_spark.operators import (  # noqa: F401
+    ann,
+    dedup,
+    relations,
+    versioning,
+)
+from idb_backend_spark.functions import grabbers, text  # noqa: F401
+from idb_backend_spark.plans.registry import _t, query
+from idb_backend_spark.query.shim import compile_shim, shim_to_sql  # noqa: F401
+from idb_backend_spark.plans.synth import GEO_LAT as _GEO_LAT
+from idb_backend_spark.plans.synth import GEO_LON as _GEO_LON
+
+
+# §2.8 enrichment parity + §2.3 J9/J10 — added with the enrichment library.
+# Inputs are synthesized deterministically from integer keys (identical
+# literal arithmetic on both sides) since the TPC-H-ish tables carry no
+# biodiversity fields; the operators under test are the engine's.
+# --------------------------------------------------------------------------
+
+from idb_backend_spark.functions import enrichment as E
+from idb_backend_spark.functions import finalize as FIN
+from idb_backend_spark.operators.corrections import apply_correction_rules
+
+_POLY = [[-100.0, 10.0], [-60.0, 10.0], [-80.0, 45.0]]  # [lon, lat] ring
+
+
+def _poly_crossing_sql(lat: str, lon: str, poly) -> str:
+    """The same unrolled ray-cast crossing test the shim compiler emits
+    (edge-by-edge XOR), as SQL: crossing-count parity."""
+    terms = []
+    pts = poly[:-1] if poly[0] == poly[-1] else poly
+    n = len(pts)
+    for i in range(n):
+        x1, y1 = pts[i]
+        x2, y2 = pts[(i + 1) % n]
+        if y1 == y2:
+            continue
+        terms.append(
+            f"CAST((({y1} > {lat}) != ({y2} > {lat})) AND "
+            f"({lon} < ({lat} - ({y1})) * ({(x2 - x1) / (y2 - y1)!r}) + ({x1})) AS INT)"
+        )
+    return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
+@query(
+    "shim_geo_polygon",
+    "SELECT c_custkey, lat, lon FROM (SELECT c_custkey, "
+    f"{_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM customer) g "
+    f"WHERE {_poly_crossing_sql('lat', 'lon', _POLY)} "
+    "ORDER BY c_custkey",
+)
+def shim_geo_polygon(spark, sf_dir):
+    """P10/P11 — geo_polygon via the native unrolled ray-cast expression."""
+    g = (
+        _t(spark, sf_dir, "customer")
+        .withColumn("lat", F.expr(_GEO_LAT))
+        .withColumn("lon", F.expr(_GEO_LON))
+        .withColumn("geopoint", F.struct(F.col("lat"), F.col("lon")))
+    )
+    shim = {"geopoint": {"type": "geo_polygon", "points": _POLY}}
+    return (
+        g.filter(compile_shim(shim))
+        .select("c_custkey", "lat", "lon")
+        .orderBy("c_custkey")
+    )
+
+
+_HOLE = [[-85.0, 15.0], [-75.0, 15.0], [-80.0, 25.0]]  # inside _POLY
+_ENV = [[-90.0, 40.0], [-70.0, 20.0]]  # GeoJSON envelope [tl, br] corners
+
+
+@query(
+    "shim_geo_shape",
+    "SELECT c_custkey, lat, lon, "
+    "(lat <= 40.0 AND lat >= 20.0 AND lon >= -90.0 AND lon <= -70.0)"
+    " AS in_env FROM (SELECT c_custkey, "
+    f"{_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM customer) g "
+    f"WHERE ({_poly_crossing_sql('lat', 'lon', _POLY)}) "
+    f"AND NOT ({_poly_crossing_sql('lat', 'lon', _HOLE)}) "
+    "ORDER BY c_custkey",
+)
+def shim_geo_shape(spark, sf_dir):
+    """P10 — geo_shape dispatch: polygon-with-hole containment as the
+    filter (outer-ring parity AND NOT hole parity) plus an envelope
+    geo_shape as a projected flag — both through the shim compiler's
+    geo_shape branch (query_shim.py:85-86)."""
+    from idb_backend_spark.query.shim import single_filter
+
+    g = (
+        _t(spark, sf_dir, "customer")
+        .withColumn("lat", F.expr(_GEO_LAT))
+        .withColumn("lon", F.expr(_GEO_LON))
+        .withColumn("geopoint", F.struct(F.col("lat"), F.col("lon")))
+    )
+    poly_with_hole = single_filter(
+        "geopoint",
+        {
+            "type": "geo_shape",
+            "shape": {"type": "polygon", "coordinates": [_POLY, _HOLE]},
+        },
+    )
+    envelope = single_filter(
+        "geopoint",
+        {"type": "geo_shape", "shape": {"type": "envelope", "coordinates": _ENV}},
+    )
+    return (
+        g.filter(poly_with_hole)
+        .select("c_custkey", "lat", "lon", envelope.alias("in_env"))
+        .orderBy("c_custkey")
+    )
+
+
+# Synthesized verbatim coordinate strings: mostly 3-decimal in-range values,
+# with modulo classes for flip (%13), bounds (%17) and low-precision (%19).
+_LAT_S = (
+    "CASE WHEN c_custkey % 13 = 0 THEN '120.5' "
+    "WHEN c_custkey % 17 = 0 THEN '95.0' "
+    "WHEN c_custkey % 19 = 0 THEN CAST((c_custkey * 7) % 160 - 80 AS VARCHAR(32)) || '.25' "
+    "ELSE CAST((c_custkey * 7) % 160 - 80 AS VARCHAR(32)) || '.125' END"
+)
+_LON_S = (
+    "CASE WHEN c_custkey % 13 = 0 THEN '45.125' "
+    "WHEN c_custkey % 17 = 0 THEN '200.0' "
+    "ELSE CAST((c_custkey * 13) % 360 - 180 AS VARCHAR(32)) || '.125' END"
+)
+
+
+@query(
+    "geo_normalize_flags",
+    "WITH g AS (SELECT c_custkey, "
+    f"{_LAT_S} AS lat_s, {_LON_S} AS lon_s FROM customer), "
+    "p AS (SELECT c_custkey, lat_s, lon_s, "
+    "  CAST(lat_s AS DOUBLE) AS lat0, CAST(lon_s AS DOUBLE) AS lon0, "
+    "  length(regexp_extract(lat_s, '\\.(\\d+)', 1)) AS latexp, "
+    "  length(regexp_extract(lon_s, '\\.(\\d+)', 1)) AS lonexp FROM g), "
+    "f AS (SELECT *, ((lat0 >= -180 AND lat0 < -90) OR (lat0 > 90 AND lat0 <= 180))"
+    "  AND lon0 BETWEEN -90 AND 90 AS flip FROM p), "
+    "v AS (SELECT c_custkey, latexp, lonexp, flip, "
+    "  CASE WHEN flip THEN lon0 ELSE lat0 END AS lat1, "
+    "  CASE WHEN flip THEN lat0 ELSE lon0 END AS lon1 FROM f), "
+    "b AS (SELECT *, lat1 < -90 OR lat1 > 90 OR lon1 < -180 OR lon1 > 180 AS oob FROM v) "
+    "SELECT c_custkey, "
+    "CASE WHEN oob THEN NULL ELSE lat1 END AS lat, "
+    "CASE WHEN oob THEN NULL ELSE lon1 END AS lon, "
+    "concat_ws(',', CASE WHEN flip AND NOT oob THEN 'geopoint_pre_flip' END, "
+    "CASE WHEN oob THEN 'geopoint_bounds' END, "
+    "CASE WHEN NOT oob AND (latexp <= 2 OR lonexp <= 2) THEN 'geopoint_low_precision' END"
+    ") AS flags FROM b ORDER BY c_custkey",
+)
+def geo_normalize_flags(spark, sf_dir):
+    """F6 (expression part) — coordinate flip/bounds/precision with flags."""
+    g = (
+        _t(spark, sf_dir, "customer")
+        .withColumn("lat_s", F.expr(_LAT_S))
+        .withColumn("lon_s", F.expr(_LON_S))
+    )
+    r = E.geo_normalize(F.col("lat_s"), F.col("lon_s"))
+    return g.select(
+        "c_custkey",
+        r["lat"].alias("lat"),
+        r["lon"].alias("lon"),
+        F.concat_ws(
+            ",", r["flag_pre_flip"], r["flag_bounds"], r["flag_low_precision"]
+        ).alias("flags"),
+    ).orderBy("c_custkey")
+
+
+_BOR_S = (
+    "CASE c_custkey % 10 WHEN 0 THEN 'PreservedSpecimen' WHEN 1 THEN 'fossil' "
+    "WHEN 2 THEN 'Living Specimen' WHEN 3 THEN 'material sample' "
+    "WHEN 4 THEN 'some weird specimen' WHEN 5 THEN 'machine observation' "
+    "WHEN 6 THEN 'Human Observation' WHEN 7 THEN 'occurrence records' "
+    "WHEN 8 THEN 'Exsiccati' ELSE NULL END"
+)
+
+
+@query(
+    "bor_normalize",
+    "WITH g AS (SELECT c_custkey, lower(trim(" + _BOR_S + ")) AS v FROM customer), "
+    "m AS (SELECT c_custkey, v, v IS NOT NULL AND v != '' AS filled, "
+    "  CASE WHEN contains(v, 'machine') AND contains(v, 'observation') THEN 'machineobservation' "
+    "  WHEN contains(v, 'preserved') THEN 'preservedspecimen' "
+    "  WHEN contains(v, 'fossil') THEN 'fossilspecimen' "
+    "  WHEN contains(v, 'living') THEN 'livingspecimen' "
+    "  WHEN contains(v, 'material') THEN 'materialsample' "
+    "  WHEN contains(v, 'specimen') THEN 'preservedspecimen' "
+    "  WHEN contains(v, 'observation') THEN 'humanobservation' "
+    "  WHEN contains(v, 'occurrence') THEN 'occurrence' END AS matched FROM g) "
+    "SELECT c_custkey, CASE WHEN filled THEN matched END AS basisofrecord, "
+    "concat_ws(',', CASE WHEN filled AND matched IS NULL THEN 'dwc_basisofrecord_removed' END, "
+    "CASE WHEN (filled AND matched IS NULL) OR NOT filled THEN 'dwc_basisofrecord_invalid' END"
+    ") AS flags FROM m ORDER BY c_custkey",
+)
+def bor_normalize(spark, sf_dir):
+    """F13 — basisOfRecord controlled-vocabulary normalization + flags."""
+    g = _t(spark, sf_dir, "customer").withColumn("bor", F.expr(_BOR_S))
+    r = E.fix_basis_of_record(F.col("bor"))
+    return g.select(
+        "c_custkey",
+        r["value"].alias("basisofrecord"),
+        F.concat_ws(",", r["flag_removed"], r["flag_invalid"]).alias("flags"),
+    ).orderBy("c_custkey")
+
+
+_RANK_S = (
+    "CASE p_partkey % 9 WHEN 0 THEN 'species' WHEN 1 THEN 'Sp.' "
+    "WHEN 2 THEN 'Division' WHEN 3 THEN 'unknown' WHEN 4 THEN 'blahblah' "
+    "WHEN 5 THEN 'subtribe' WHEN 6 THEN 'family' WHEN 7 THEN 'var.' "
+    "ELSE NULL END"
+)
+
+
+@query(
+    "taxon_rank_normalize",
+    "WITH g AS (SELECT p_partkey, lower(trim(" + _RANK_S + ")) AS v FROM part), "
+    "m AS (SELECT p_partkey, v, v IS NOT NULL AND v != '' AS filled, "
+    "  v IN ('species','sp.','division','unknown','family','var.') AS in_mapping, "
+    "  CASE v WHEN 'species' THEN 'species' WHEN 'sp.' THEN 'species' "
+    "    WHEN 'division' THEN 'phylum' WHEN 'family' THEN 'family' "
+    "    WHEN 'var.' THEN 'variety' END AS mapped, "
+    "  v IN ('species','subtribe','family','variety','phylum') AS acceptable FROM g) "
+    "SELECT p_partkey, "
+    "CASE WHEN filled AND in_mapping THEN mapped "
+    "  WHEN filled AND acceptable THEN v END AS taxonrank, "
+    "concat_ws(',', "
+    "CASE WHEN filled AND in_mapping AND mapped IS NOT NULL AND mapped != v THEN 'dwc_taxonrank_replaced' END, "
+    "CASE WHEN filled AND ((in_mapping AND mapped IS NULL) OR (NOT in_mapping AND NOT acceptable)) THEN 'dwc_taxonrank_removed' END, "
+    "CASE WHEN filled AND ((in_mapping AND mapped IS NULL) OR (NOT in_mapping AND NOT acceptable)) THEN 'dwc_taxonrank_invalid' END"
+    ") AS flags FROM m ORDER BY p_partkey",
+)
+def taxon_rank_normalize(spark, sf_dir):
+    """F14 — taxonrank mapping/acceptable-vocabulary normalization."""
+    g = _t(spark, sf_dir, "part").withColumn("tr", F.expr(_RANK_S))
+    r = E.fix_taxon_rank(F.col("tr"))
+    return g.select(
+        "p_partkey",
+        r["value"].alias("taxonrank"),
+        F.concat_ws(
+            ",", r["flag_replaced"], r["flag_removed"], r["flag_invalid"]
+        ).alias("flags"),
+    ).orderBy("p_partkey")
+
+
+_SN_S = (
+    "CASE c_custkey % 5 WHEN 0 THEN 'Acer rubrum' WHEN 1 THEN 'Quercus' "
+    "WHEN 4 THEN 'X123 weird' ELSE NULL END"
+)
+_GEN_S = "CASE c_custkey % 5 WHEN 2 THEN 'Betula' WHEN 3 THEN NULL ELSE 'Tilia' END"
+_EPI_S = "CASE c_custkey % 5 WHEN 2 THEN 'nigra' ELSE NULL END"
+
+
+@query(
+    "name_crossfill",
+    "WITH g AS (SELECT c_custkey, " + _SN_S + " AS sn, " + _GEN_S + " AS gen, "
+    + _EPI_S + " AS epi FROM customer), "
+    "f AS (SELECT c_custkey, "
+    "  coalesce(sn, CASE WHEN gen IS NOT NULL THEN concat_ws(' ', gen, epi) END) AS sn2, "
+    "  CASE WHEN sn IS NULL AND gen IS NOT NULL THEN 'scientificname_added' END AS flag "
+    "  FROM g), "
+    "t AS (SELECT c_custkey, sn2, flag, "
+    "  string_split_regex(trim(sn2), '\\s+') AS toks FROM f), "
+    "p AS (SELECT c_custkey, sn2, flag, "
+    "  CASE WHEN regexp_matches(toks[1], '^[A-Za-z][a-z-]+$') THEN lower(toks[1]) END AS genus, "
+    "  toks[2] AS second FROM t) "
+    "SELECT c_custkey, sn2 AS scientificname, flag, genus, "
+    "CASE WHEN genus IS NOT NULL AND regexp_matches(second, '^[a-z-]+$') "
+    "  THEN lower(second) END AS specificepithet "
+    "FROM p ORDER BY c_custkey",
+)
+def name_crossfill(spark, sf_dir):
+    """F12 — genus+specificepithet → scientificname crossfill, then the
+    heuristic binomial parse back to genus/specificepithet
+    (conversions.py:745-768; the external name-parser service is replaced
+    by native expressions)."""
+    g = (
+        _t(spark, sf_dir, "customer")
+        .withColumn("sn", F.expr(_SN_S))
+        .withColumn("gen", F.expr(_GEN_S))
+        .withColumn("epi", F.expr(_EPI_S))
+    )
+    filled = E.scientificname_fill(F.col("sn"), F.col("gen"), F.col("epi"))
+    g = g.select(
+        "c_custkey",
+        filled["value"].alias("scientificname"),
+        filled["flag_added"].alias("flag"),
+    )
+    parsed = E.genus_species_parse(F.col("scientificname"))
+    return g.select(
+        "c_custkey",
+        "scientificname",
+        "flag",
+        parsed["genus"].alias("genus"),
+        parsed["specificepithet"].alias("specificepithet"),
+    ).orderBy("c_custkey")
+
+
+_WKT_S = (
+    "CASE s_suppkey % 5 WHEN 0 THEN 'POINT (-81.2 29.6)' "
+    "WHEN 1 THEN 'polygon ((0 0, 10 0, 10 10, 0 0))' "
+    "WHEN 2 THEN '1 1, 2 2, 3 1' "
+    "WHEN 3 THEN 'LINESTRING (0 0, 1 1)' ELSE NULL END"
+)
+
+
+@query(
+    "wkt_geoshape_parse",
+    # Golden-expectation oracle (SURVEY §5 style): the WKT input is a pure
+    # function of the key, so the expected parse is stated directly —
+    # replicating Spark's regex kernels in DuckDB's RE2 dialect would test
+    # the dialects, not the operator.
+    "SELECT s_suppkey, "
+    "CAST(CASE s_suppkey % 5 WHEN 0 THEN -81.2 END AS DOUBLE) AS pt_lon, "
+    "CAST(CASE s_suppkey % 5 WHEN 0 THEN 29.6 END AS DOUBLE) AS pt_lat, "
+    "CAST(CASE s_suppkey % 5 WHEN 1 THEN 4 WHEN 2 THEN 3 END AS INTEGER) AS ring_n, "
+    "CAST(CASE s_suppkey % 5 WHEN 1 THEN 0.0 WHEN 2 THEN 1.0 END AS DOUBLE) AS ring0_lon, "
+    "CAST(CASE s_suppkey % 5 WHEN 1 THEN 0.0 WHEN 2 THEN 1.0 END AS DOUBLE) AS ring0_lat "
+    "FROM supplier ORDER BY s_suppkey",
+)
+def wkt_geoshape_parse(spark, sf_dir):
+    """F16 — WKT POINT/POLYGON parse incl. the bare-coordinate-list
+    fallback (conversions.py:771-816), flattened to scalars for the
+    cross-engine compare."""
+    g = _t(spark, sf_dir, "supplier").withColumn("wkt", F.expr(_WKT_S))
+    pt = FIN.wkt_point(F.col("wkt"))
+    ring = FIN.wkt_polygon_ring(F.col("wkt"))
+    g = g.select("s_suppkey", pt.alias("pt"), ring.alias("ring"))
+    return g.select(
+        "s_suppkey",
+        F.col("pt.lon").alias("pt_lon"),
+        F.col("pt.lat").alias("pt_lat"),
+        F.when(F.col("ring").isNotNull(), F.size("ring"))
+        .cast("int")
+        .alias("ring_n"),
+        F.try_element_at("ring", F.lit(1))["lon"].alias("ring0_lon"),
+        F.try_element_at("ring", F.lit(1))["lat"].alias("ring0_lat"),
+    ).orderBy("s_suppkey")
+
+
+_LIC_S = (
+    "CASE o_orderkey % 7 WHEN 0 THEN 'http://creativecommons.org/licenses/by/4.0/' "
+    "WHEN 1 THEN 'https://creativecommons.org/publicdomain/zero/1.0' "
+    "WHEN 2 THEN 'http://creativecommons.org/licenses/by-nc/3.0' "
+    "WHEN 3 THEN 'http://creativecommons.org/licenses/by/4.0/' "
+    "WHEN 4 THEN 'all rights reserved' ELSE NULL END"
+)
+_LIC_MAP_SQL = (
+    "CASE r WHEN 'http://creativecommons.org/licenses/by/4.0/' THEN 'CC4 BY' "
+    "WHEN 'https://creativecommons.org/publicdomain/zero/1.0' THEN 'CC0' "
+    "WHEN 'http://creativecommons.org/licenses/by-nc/3.0' THEN 'CC3 BY-NC' END"
+)
+
+
+@query(
+    "license_majority",
+    "WITH g AS (SELECT o_custkey, " + _LIC_S + " AS r FROM orders), "
+    "c AS (SELECT o_custkey, " + _LIC_MAP_SQL + " AS code FROM g), "
+    "n AS (SELECT o_custkey, code, count(*) AS votes FROM c "
+    "      WHERE code IS NOT NULL GROUP BY 1, 2), "
+    "w AS (SELECT o_custkey, code AS license, votes, row_number() OVER ("
+    "  PARTITION BY o_custkey ORDER BY votes DESC, code) AS rn FROM n) "
+    "SELECT o_custkey, license, votes FROM w WHERE rn = 1 ORDER BY o_custkey",
+)
+def license_majority(spark, sf_dir):
+    """F10/A11 — rights-string canonicalization + per-entity majority vote."""
+    g = _t(spark, sf_dir, "orders").withColumn("r", F.expr(_LIC_S))
+    coded = g.select(
+        "o_custkey", E.license_lookup(F.col("r")).alias("code")
+    ).filter(F.col("code").isNotNull())
+    out = agg.majority_vote(coded, ["o_custkey"], "code")
+    return out.select(
+        "o_custkey", F.col("winner").alias("license"), F.col("votes")
+    ).orderBy("o_custkey")
+
+
+@query(
+    "stable_surrogate_id",
+    "SELECT c_custkey, "
+    "substring(h, 1, 8) || '-' || substring(h, 9, 4) || '-' || "
+    "substring(h, 13, 4) || '-' || substring(h, 17, 4) || '-' || "
+    "substring(h, 21, 12) AS sid "
+    "FROM (SELECT c_custkey, md5('idigbio:' || c_name) AS h FROM customer) "
+    "ORDER BY c_custkey",
+)
+def stable_surrogate_id(spark, sf_dir):
+    """A4 — deterministic surrogate id per unique value (uuid-shaped md5;
+    the byte-exact RFC-4122 uuid5 variant is unit-tested against Python's
+    uuid module — sha1 is not portable to every oracle engine)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey", E.stable_id_md5(F.col("c_name")).alias("sid")
+    ).orderBy("c_custkey")
+
+
+_GB_S = (
+    "'voucher AB' || CAST(doc_id * 37 % 90000 + 10000 AS VARCHAR(32)) || "
+    "' and XY-' || CAST(doc_id * 101 % 900000 + 100000 AS VARCHAR(32)) || ' end'"
+)
+
+
+@query(
+    "genbank_accessions",
+    "SELECT doc_id, array_to_string(regexp_extract_all(" + _GB_S + ", "
+    "'([a-zA-Z]{1,2}-?_?\\d{5,6})', 1), '|') AS accessions "
+    "FROM documents ORDER BY doc_id",
+)
+def genbank_accessions_q(spark, sf_dir):
+    """F15 — GenBank accession regex findall.
+
+    Output is pipe-joined (not a raw array) because the driver's hash
+    canonicalizer cannot sort array-typed columns.
+    """
+    from idb_backend_spark.functions.grabbers import genbank_accessions
+
+    docs = _t(spark, sf_dir, "documents").withColumn("s", F.expr(_GB_S))
+    return docs.select(
+        "doc_id",
+        F.array_join(genbank_accessions("s"), "|").alias("accessions"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "date_fallback_assembly",
+    "WITH g AS (SELECT o_orderkey, "
+    "  CASE WHEN o_orderkey % 5 = 0 THEN o_orderdate END AS ed, "
+    "  year(o_orderdate) AS y, "
+    "  CASE WHEN o_orderkey % 3 != 0 THEN month(o_orderdate) END AS m, "
+    "  CASE WHEN o_orderkey % 3 = 1 THEN day(o_orderdate) END AS d, "
+    "  CASE WHEN o_orderkey % 2 = 0 THEN dayofyear(o_orderdate) END AS sdoy "
+    "  FROM orders) "
+    "SELECT o_orderkey, CASE WHEN ed IS NOT NULL THEN ed "
+    "WHEN m IS NOT NULL AND d IS NOT NULL THEN make_date(y, m, d) "
+    "WHEN m IS NULL AND sdoy IS NOT NULL THEN make_date(y, 1, 1) + CAST(sdoy - 1 AS INTEGER) "
+    "WHEN m IS NOT NULL THEN make_date(y, m, 1) "
+    "ELSE make_date(y, 1, 1) END AS datecollected "
+    "FROM g ORDER BY o_orderkey",
+)
+def date_fallback_assembly(spark, sf_dir):
+    """F8 (fallback path) — datecollected assembly from year/month/day/
+    startDayOfYear parts (conversions.py:604-624)."""
+    g = (
+        _t(spark, sf_dir, "orders")
+        .withColumn(
+            "ed", F.when(F.col("o_orderkey") % 5 == 0, F.col("o_orderdate"))
+        )
+        .withColumn("y", F.year("o_orderdate"))
+        .withColumn(
+            "m", F.when(F.col("o_orderkey") % 3 != 0, F.month("o_orderdate"))
+        )
+        .withColumn(
+            "d", F.when(F.col("o_orderkey") % 3 == 1, F.dayofmonth("o_orderdate"))
+        )
+        .withColumn(
+            "sdoy",
+            F.when(F.col("o_orderkey") % 2 == 0, F.dayofyear("o_orderdate")),
+        )
+    )
+    return g.select(
+        "o_orderkey",
+        E.date_fallback(
+            F.col("ed"), F.col("y"), F.col("m"), F.col("d"), F.col("sdoy")
+        ).alias("datecollected"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "media_url_precedence",
+    "WITH g AS (SELECT p_partkey, "
+    "  CASE WHEN p_partkey % 4 = 0 THEN 'http://a/' || CAST(p_partkey AS VARCHAR(32)) END AS au, "
+    "  CASE WHEN p_partkey % 3 = 0 THEN 'http://b/' || CAST(p_partkey AS VARCHAR(32)) END AS bq, "
+    "  'http://dct/' || CAST(p_partkey AS VARCHAR(32)) AS dct, "
+    "  'http://dc/' || CAST(p_partkey AS VARCHAR(32)) AS dc, "
+    "  p_partkey % 2 = 0 AS has_ac FROM part) "
+    "SELECT p_partkey, coalesce(au, bq, "
+    "CASE WHEN NOT has_ac THEN coalesce(dct, dc) END) AS accessuri "
+    "FROM g ORDER BY p_partkey",
+)
+def media_url_precedence(spark, sf_dir):
+    """F11 — media URL selection precedence incl. the any-ac:-key guard."""
+    pk = F.col("p_partkey")
+    g = (
+        _t(spark, sf_dir, "part")
+        .withColumn(
+            "au", F.when(pk % 4 == 0, F.concat(F.lit("http://a/"), pk.cast("string")))
+        )
+        .withColumn(
+            "bq", F.when(pk % 3 == 0, F.concat(F.lit("http://b/"), pk.cast("string")))
+        )
+        .withColumn("dct", F.concat(F.lit("http://dct/"), pk.cast("string")))
+        .withColumn("dc", F.concat(F.lit("http://dc/"), pk.cast("string")))
+        .withColumn("has_ac", pk % 2 == 0)
+    )
+    return g.select(
+        "p_partkey",
+        E.access_uri(
+            F.col("au"), F.col("bq"), F.col("dct"), F.col("dc"), F.col("has_ac")
+        ).alias("accessuri"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "corrections_apply",
+    "SELECT c_custkey, "
+    "CASE WHEN lower(trim(c_mktsegment)) = 'building' THEN 'bldg' "
+    "WHEN lower(trim(c_mktsegment)) = 'machinery' THEN NULL "
+    "ELSE c_mktsegment END AS c_mktsegment, "
+    "CASE WHEN lower(trim(c_mktsegment)) = 'building' THEN 'c_mktsegment_replaced' "
+    "WHEN lower(trim(c_mktsegment)) = 'machinery' THEN 'c_mktsegment_removed' "
+    "END AS flag_c_mktsegment "
+    "FROM customer ORDER BY c_custkey",
+)
+def corrections_apply(spark, sf_dir):
+    """J10 — data-driven correction rules via broadcast join + rewrite
+    (replacement and removal rules with provenance flags)."""
+    cust = _t(spark, sf_dir, "customer")
+    rules = cust.sparkSession.createDataFrame(
+        [("building", "bldg"), ("machinery", None)],
+        "c_mktsegment string, __set string",
+    )
+    out = apply_correction_rules(cust, rules, ["c_mktsegment"], "c_mktsegment")
+    return out.select(
+        "c_custkey", "c_mktsegment", "flag_c_mktsegment"
+    ).orderBy("c_custkey")
+
+
+@query(
+    "identity_match",
+    "WITH cand AS (SELECT o_orderkey, ident FROM orders, "
+    "  UNNEST(['c' || CAST(o_custkey AS VARCHAR(32)), "
+    "    CASE WHEN o_orderkey % 5 = 0 THEN 'c' || CAST(o_custkey + 1 AS VARCHAR(32)) END"
+    "  ]) AS u(ident) WHERE ident IS NOT NULL), "
+    "hits AS (SELECT cand.o_orderkey, c.c_custkey FROM cand "
+    "  JOIN customer c ON cand.ident = 'c' || CAST(c.c_custkey AS VARCHAR(32))) "
+    "SELECT o_orderkey, count(DISTINCT c_custkey) AS n_matched, "
+    "min(c_custkey) AS matched_uuid, count(DISTINCT c_custkey) > 1 AS conflict "
+    "FROM hits GROUP BY o_orderkey ORDER BY o_orderkey",
+)
+def identity_match(spark, sf_dir):
+    """J9 — ingest identity matching: candidate identifiers probed against
+    the existing-identifier table; cross-record conflict detection
+    (db_check.py:302-339)."""
+    ok = F.col("o_orderkey")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    cand = (
+        orders.select(
+            ok,
+            F.array(
+                F.concat(F.lit("c"), F.col("o_custkey").cast("string")),
+                F.when(
+                    ok % 5 == 0,
+                    F.concat(F.lit("c"), (F.col("o_custkey") + 1).cast("string")),
+                ),
+            ).alias("ids"),
+        )
+        .select(ok, F.explode("ids").alias("ident"))
+        .filter(F.col("ident").isNotNull())
+    )
+    existing = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("ident"),
+        F.col("c_custkey"),
+    )
+    hits = cand.join(existing, "ident")
+    return (
+        hits.groupBy("o_orderkey")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_matched"),
+            F.min("c_custkey").alias("matched_uuid"),
+            (F.countDistinct("c_custkey") > 1).alias("conflict"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "ingest_summary",
+    "WITH store AS (SELECT o_orderkey AS id, o_orderstatus AS etag FROM orders"
+    "  WHERE o_orderkey % 3 != 0), "
+    "batch AS (SELECT o_orderkey AS id, "
+    "  CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS etag"
+    "  FROM orders WHERE o_orderkey % 2 != 0) "
+    "SELECT CASE WHEN s.id IS NULL THEN 'create' "
+    "WHEN b.id IS NULL THEN 'delete' "
+    "WHEN s.etag != b.etag THEN 'update' ELSE 'unchanged' END AS status, "
+    "count(*) AS n FROM store s FULL OUTER JOIN batch b ON s.id = b.id "
+    "GROUP BY 1 ORDER BY status",
+)
+def ingest_summary(spark, sf_dir):
+    """A9 — ingest run summary: create/update/delete/unchanged counters
+    from the store↔batch reconciliation (db_check.py:216-247)."""
+    orders = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    store = orders.filter(ok % 3 != 0).select(
+        ok.alias("id"), F.col("o_orderstatus").alias("s_etag")
+    )
+    batch = orders.filter(ok % 2 != 0).select(
+        ok.alias("id"),
+        F.when(ok % 5 == 0, "X").otherwise(F.col("o_orderstatus")).alias("b_etag"),
+    )
+    full = store.join(batch, "id", "full_outer")
+    status = (
+        F.when(F.col("s_etag").isNull(), "create")
+        .when(F.col("b_etag").isNull(), "delete")
+        .when(F.col("s_etag") != F.col("b_etag"), "update")
+        .otherwise("unchanged")
+    )
+    return (
+        full.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+    )
+
+
+@query(
+    "text_quality_metrics",
+    "WITH t AS (SELECT doc_id, text, "
+    "  regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks"
+    "  FROM documents) "
+    "SELECT doc_id, len(toks) AS n_tokens, "
+    "round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))"
+    " / length(text), 6) AS punct_ratio, "
+    "round(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is')))"
+    " / len(toks), 6) AS stopword_ratio "
+    "FROM t ORDER BY doc_id",
+)
+def text_quality_metrics(spark, sf_dir):
+    """Text analysis — quality scoring signals: token count, punctuation
+    ratio, stopword ratio."""
+    from idb_backend_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", tokens("text").alias("toks")
+    )
+    stop = ["the", "and", "of", "to", "a", "in", "is"]
+    n_tok = F.size("toks")
+    punct = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", "[.,;:!?]", ""))
+    ) / F.length("text")
+    stop_ratio = (
+        F.size(F.filter("toks", lambda x: x.isin(stop))) / n_tok
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(punct, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "bpe_token_count",
+    "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))"
+    " AS n_bpe FROM documents ORDER BY doc_id",
+)
+def bpe_token_count(spark, sf_dir):
+    """Text analysis — BPE-ish regex token counting (word pieces +
+    standalone punctuation)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0
+            )
+        ).alias("n_bpe"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+
+
+_TERM_CASE = (
+    "CASE o_orderkey % 7 WHEN 0 THEN 'Collector' WHEN 1 THEN 'MonthCollected' "
+    "WHEN 2 THEN 'dwc:catalogNumber' WHEN 3 THEN 'ac:accessURI' "
+    "WHEN 4 THEN 'Annotations' WHEN 5 THEN 'coreid' "
+    "ELSE 'SomethingNovel' END"
+)
+
+
+@query(
+    "term_canonicalize",
+    # golden expectations for each synthesized header, straight from the
+    # public standards registry (data/term_translate.py)
+    "WITH v AS (SELECT o_orderkey, " + _TERM_CASE + " AS verbatim FROM orders) "
+    "SELECT o_orderkey, verbatim, "
+    "CASE verbatim WHEN 'Collector' THEN 'dwc:recordedBy' "
+    "  WHEN 'MonthCollected' THEN 'dwc:month' "
+    "  WHEN 'dwc:catalogNumber' THEN 'dwc:catalogNumber' "
+    "  WHEN 'ac:accessURI' THEN 'ac:accessURI' "
+    "  WHEN 'Annotations' THEN NULL "
+    "  WHEN 'coreid' THEN 'coreid' ELSE verbatim END AS canonical, "
+    "CASE verbatim WHEN 'Collector' THEN 'dwc:Occurrence' "
+    "  WHEN 'MonthCollected' THEN 'dwc:Occurrence' "
+    "  WHEN 'dwc:catalogNumber' THEN 'dwc:Occurrence' "
+    "  WHEN 'ac:accessURI' THEN 'dwc:Multimedia' "
+    "  WHEN 'Annotations' THEN 'dwc:Multimedia' "
+    "  WHEN 'coreid' THEN 'dwc:Text:Extension' "
+    "  ELSE 'Unknown' END AS term_class "
+    "FROM v ORDER BY o_orderkey",
+)
+def term_canonicalize(spark, sf_dir):
+    """S3 distributed — verbatim provider headers canonicalized through the
+    FULL 496-row translate registry (fieldnames.py:92-589) compiled to a
+    broadcast-size literal map; the oracle pins golden expectations for
+    translate hits, identity rows, drop-marked rows, and unknown headers.
+    """
+    from idb_backend_spark.data.term_translate import TRANSLATE
+
+    canon_pairs, class_pairs = [], []
+    for raw, (canon, cls) in TRANSLATE.items():
+        canon_pairs += [F.lit(raw), F.lit(canon)]
+        class_pairs += [F.lit(raw), F.lit(cls)]
+    canon_map = F.create_map(*canon_pairs)
+    class_map = F.create_map(*class_pairs)
+
+    orders = _t(spark, sf_dir, "orders")
+    v = orders.select("o_orderkey", F.expr(_TERM_CASE).alias("verbatim"))
+    known = class_map[F.col("verbatim")]
+    return v.select(
+        "o_orderkey",
+        "verbatim",
+        F.when(known.isNotNull(), canon_map[F.col("verbatim")])
+        .otherwise(F.col("verbatim"))
+        .alias("canonical"),
+        F.coalesce(known, F.lit("Unknown")).alias("term_class"),
+    ).orderBy("o_orderkey")
+
+
+_RG_LON = (
+    "CASE WHEN c_custkey % 17 = 0 THEN -104.0 "
+    "WHEN c_custkey % 13 = 0 THEN -134.0 "
+    "WHEN c_custkey % 11 = 0 THEN -51.9 "
+    "WHEN c_custkey % 7 = 0 THEN 20.5 "
+    "WHEN c_custkey % 5 = 0 THEN -98.5 "
+    "WHEN c_custkey % 3 = 0 THEN 0.0 ELSE 104.0 END"
+)
+_RG_LAT = (
+    "CASE WHEN c_custkey % 17 = 0 THEN -35.0 "
+    "WHEN c_custkey % 13 = 0 THEN -25.0 "
+    "WHEN c_custkey % 11 = 0 THEN 14.2 "
+    "WHEN c_custkey % 7 = 0 THEN 78.9 "
+    "WHEN c_custkey % 5 = 0 THEN 39.8 "
+    "WHEN c_custkey % 3 = 0 THEN 0.0 ELSE 35.0 END"
+)
+_RG_ISO = (
+    "CASE WHEN c_custkey % 17 = 0 THEN 'CN' "
+    "WHEN c_custkey % 13 = 0 THEN 'AU' "
+    "WHEN c_custkey % 11 = 0 THEN 'BR' "
+    "WHEN c_custkey % 7 = 0 THEN 'IN' "
+    "WHEN c_custkey % 5 = 0 THEN 'CA' "
+    "WHEN c_custkey % 3 = 0 THEN NULL ELSE 'CN' END"
+)
+
+
+@query(
+    "rev_geocode",
+    # golden expectations per modulo class, validated against the
+    # packaged coarse world outlines (data/world_regions.py): sign/axis
+    # flip corrections, mismatch-no-correction, ocean failure, clean hit
+    "SELECT c_custkey, "
+    "CAST(CASE WHEN c_custkey % 17 = 0 THEN 104.0 "
+    " WHEN c_custkey % 13 = 0 THEN 134.0 "
+    " WHEN c_custkey % 11 = 0 THEN -51.9 "
+    " WHEN c_custkey % 7 = 0 THEN 78.9 "
+    " WHEN c_custkey % 5 = 0 THEN -98.5 "
+    " WHEN c_custkey % 3 = 0 THEN 0.0 ELSE 104.0 END AS DOUBLE) AS lon, "
+    "CAST(CASE WHEN c_custkey % 17 = 0 THEN 35.0 "
+    " WHEN c_custkey % 13 = 0 THEN -25.0 "
+    " WHEN c_custkey % 11 = 0 THEN -14.2 "
+    " WHEN c_custkey % 7 = 0 THEN 20.5 "
+    " WHEN c_custkey % 5 = 0 THEN 39.8 "
+    " WHEN c_custkey % 3 = 0 THEN 0.0 ELSE 35.0 END AS DOUBLE) AS lat, "
+    "CASE WHEN c_custkey % 17 = 0 THEN 'CN' "
+    " WHEN c_custkey % 13 = 0 THEN 'AU' "
+    " WHEN c_custkey % 11 = 0 THEN 'BR' "
+    " WHEN c_custkey % 7 = 0 THEN 'IN' "
+    " WHEN c_custkey % 5 = 0 THEN 'US' "
+    " WHEN c_custkey % 3 = 0 THEN NULL ELSE 'CN' END AS country, "
+    "CASE WHEN c_custkey % 17 = 0 THEN "
+    "  'rev_geocode_failure,rev_geocode_both_sign,rev_geocode_corrected' "
+    " WHEN c_custkey % 13 = 0 THEN "
+    "  'rev_geocode_failure,rev_geocode_lon_sign,rev_geocode_corrected' "
+    " WHEN c_custkey % 11 = 0 THEN "
+    "  'rev_geocode_failure,rev_geocode_lat_sign,rev_geocode_corrected' "
+    " WHEN c_custkey % 7 = 0 THEN "
+    "  'rev_geocode_failure,rev_geocode_flip,rev_geocode_corrected' "
+    " WHEN c_custkey % 5 = 0 THEN 'rev_geocode_mismatch' "
+    " WHEN c_custkey % 3 = 0 THEN 'rev_geocode_failure' "
+    " ELSE NULL END AS flags "
+    "FROM customer ORDER BY c_custkey",
+)
+def rev_geocode_q(spark, sf_dir):
+    """F7 — reverse geocode + 8-way flip correction loop
+    (conversions.py:513-563) over the packaged coarse country outlines,
+    1°-grid prefiltered, as an Arrow-batched pandas UDF. Synthesized
+    coordinate classes exercise: both-sign / lon-sign / lat-sign / axis
+    flips (each corrected to the stated country), a mismatch that no flip
+    can fix (flag only, coordinates kept), an ocean failure with no
+    stated country (no flip attempted), and a clean in-country hit."""
+    from idb_backend_spark.functions.geo import default_geocoder, rev_geocode_udf
+
+    cust = _t(spark, sf_dir, "customer")
+    inp = cust.select(
+        "c_custkey",
+        F.expr(f"CAST(({_RG_LON}) AS DOUBLE)").alias("in_lon"),
+        F.expr(f"CAST(({_RG_LAT}) AS DOUBLE)").alias("in_lat"),
+        F.expr(_RG_ISO).alias("iso"),
+    )
+    out = inp.withColumn(
+        "rg", rev_geocode_udf(default_geocoder())("in_lon", "in_lat", "iso")
+    )
+    return out.select(
+        "c_custkey",
+        F.col("rg.lon").alias("lon"),
+        F.col("rg.lat").alias("lat"),
+        F.col("rg.country").alias("country"),
+        F.col("rg.flags").alias("flags"),
+    ).orderBy("c_custkey")

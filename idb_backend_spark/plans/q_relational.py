@@ -1,0 +1,399 @@
+"""§2.3 joins / §2.5 windows / §2.7 set ops / §2.4 aggregations /
+§2.6 sorts / §2.8 scalar-function entries."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F
+
+from idb_backend_spark.operators import aggregates as agg  # noqa: F401
+from idb_backend_spark.operators import (  # noqa: F401
+    ann,
+    dedup,
+    relations,
+    versioning,
+)
+from idb_backend_spark.functions import grabbers, text  # noqa: F401
+from idb_backend_spark.plans.registry import _t, query
+from idb_backend_spark.query.shim import compile_shim, shim_to_sql  # noqa: F401
+
+
+# --------------------------------------------------------------------------
+# §2.3 joins / §2.5 windows / §2.7 set ops
+# --------------------------------------------------------------------------
+
+
+@query(
+    "latest_version_per_key",
+    "SELECT user_id, event_id, event_type FROM ("
+    "  SELECT user_id, event_id, event_type,"
+    "         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn"
+    "  FROM events) WHERE rn = 1 ORDER BY user_id",
+)
+def latest_version_per_key(spark, sf_dir):
+    """J1/W1 — LATERAL top-1-per-key (latest event per user)."""
+    ev = _t(spark, sf_dir, "events")
+    out = versioning.latest_per_key_agg(ev, ["user_id"], ["ts", "event_id"])
+    return out.select("user_id", "event_id", "event_type").orderBy("user_id")
+
+
+@query(
+    "version_numbering",
+    "SELECT event_id, user_id, "
+    "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS version "
+    "FROM events ORDER BY event_id",
+)
+def version_numbering(spark, sf_dir):
+    """W2 — monotonically increasing version per key."""
+    ev = _t(spark, sf_dir, "events")
+    out = versioning.with_version_numbers(
+        ev, ["user_id"], [F.asc("ts"), F.asc("event_id")]
+    )
+    return out.select("event_id", "user_id", "version").orderBy("event_id")
+
+
+@query(
+    "identifier_aggregation",
+    "SELECT c.c_custkey, count(o.o_orderkey) AS n_ids, "
+    "coalesce(min(o.o_orderkey), -1) AS first_id "
+    "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+    "GROUP BY c.c_custkey ORDER BY c.c_custkey",
+)
+def identifier_aggregation(spark, sf_dir):
+    """J2 — per-entity identifier aggregation (array_agg shape, projected to
+    count+min for hash-stable comparison)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    agg_df = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count("o_orderkey").alias("n_ids"),
+        F.min("o_orderkey").alias("first_id"),
+    )
+    return (
+        cust.join(agg_df, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.coalesce("n_ids", F.lit(0)).alias("n_ids"),
+            F.coalesce("first_id", F.lit(-1)).alias("first_id"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "sibling_symmetrize",
+    "WITH edges AS (SELECT DISTINCT l_orderkey AS r1, l_partkey AS r2 FROM lineitem), "
+    "sym AS (SELECT r1 AS src, r2 AS dst FROM edges "
+    "        UNION ALL SELECT r2, r1 FROM edges) "
+    "SELECT src, count(DISTINCT dst) AS n_siblings FROM sym "
+    "GROUP BY src ORDER BY src",
+)
+def sibling_symmetrize(spark, sf_dir):
+    """J3/U1 — undirected edge symmetrization + per-node degree."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_orderkey").alias("r1"), F.col("l_partkey").alias("r2")
+    ).distinct()
+    sym = relations.symmetrize_edges(edges)
+    return (
+        sym.groupBy("src")
+        .agg(F.countDistinct("dst").alias("n_siblings"))
+        .orderBy("src")
+    )
+
+
+@query(
+    "crossfilter_semi_join",
+    "SELECT o_orderkey, o_totalprice FROM orders o "
+    "WHERE o.o_orderstatus = 'O' AND EXISTS ("
+    "  SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey"
+    "  AND l.l_returnflag = 'N' AND l.l_quantity >= 45) "
+    "ORDER BY o_orderkey",
+)
+def crossfilter_semi_join(spark, sf_dir):
+    """J5 — has_child cross-filter as a left-semi join."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    r_out, _ = relations.cross_filter(
+        orders,
+        li,
+        record_pred=F.col("o_orderstatus") == "O",
+        media_pred=(F.col("l_returnflag") == "N") & (F.col("l_quantity") >= 45),
+        link=("o_orderkey", "l_orderkey"),
+    )
+    return r_out.select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+
+
+@query(
+    "anti_join_deletes",
+    "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS ("
+    "  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) "
+    "ORDER BY c_custkey",
+)
+def anti_join_deletes(spark, sf_dir):
+    """U2 — delete detection: entities absent from the incoming batch."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    gone = cust.join(orders.distinct(), "c_custkey", "left_anti")
+    return gone.select("c_custkey", "c_name").orderBy("c_custkey")
+
+
+@query(
+    "latest_object_per_url",
+    "SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber FROM ("
+    "  SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,"
+    "         row_number() OVER (PARTITION BY l_partkey, l_suppkey"
+    "           ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn"
+    "  FROM lineitem) WHERE rn = 1 ORDER BY l_partkey, l_suppkey",
+)
+def latest_object_per_url(spark, sf_dir):
+    """J6 — DISTINCT ON (url) ... ORDER BY modified DESC pattern."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = versioning.latest_per_key_agg(
+        li, ["l_partkey", "l_suppkey"],
+        ["l_shipdate", "l_orderkey", "l_linenumber"],
+    )
+    return out.select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber"
+    ).orderBy("l_partkey", "l_suppkey")
+
+
+@query(
+    "reconcile_etag_diff",
+    "WITH idx AS (SELECT o_orderkey AS id, o_orderstatus AS etag FROM orders"
+    "             WHERE o_orderkey % 3 != 0), "
+    "store AS (SELECT o_orderkey AS id, "
+    "          CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS etag"
+    "          FROM orders) "
+    "SELECT coalesce(idx.id, store.id) AS id FROM idx FULL OUTER JOIN store"
+    " ON idx.id = store.id "
+    "WHERE idx.etag IS NULL OR store.etag IS NULL OR idx.etag != store.etag "
+    "ORDER BY id",
+)
+def reconcile_etag_diff(spark, sf_dir):
+    """U3 — resume reconciliation: full-outer etag mismatch set."""
+    orders = _t(spark, sf_dir, "orders")
+    idx = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("id"), F.col("o_orderstatus").alias("etag")
+    )
+    store = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.when(F.col("o_orderkey") % 5 == 0, "X")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("etag"),
+    )
+    out = versioning.reconcile_skip_set(idx, store, key="id")
+    return out.orderBy("id")
+
+
+# --------------------------------------------------------------------------
+# §2.4 aggregations / §2.6 sorts
+# --------------------------------------------------------------------------
+
+
+@query(
+    "citation_counts",
+    "SELECT o_custkey AS recordset, count(*) AS count FROM orders "
+    "WHERE o_totalprice >= 150000 GROUP BY o_custkey "
+    "ORDER BY count DESC, recordset",
+)
+def citation_counts(spark, sf_dir):
+    """A1/S11/O3 — per-recordset hit counts, desc (citation file shape)."""
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "recordset"
+    )
+    return agg.hit_counts(orders, F.col("o_totalprice") >= 150000, "recordset")
+
+
+@query(
+    "total_count",
+    "SELECT count(*) AS total FROM lineitem "
+    "WHERE lower(l_returnflag) = 'r' AND l_quantity >= 25",
+)
+def total_count(spark, sf_dir):
+    """A2 — filtered total count via the shim compiler."""
+    li = _t(spark, sf_dir, "lineitem")
+    pred = compile_shim({"l_returnflag": "R", "l_quantity": {"gte": 25}})
+    return li.filter(pred).agg(F.count(F.lit(1)).alias("total"))
+
+
+@query(
+    "unique_values_counts",
+    "SELECT coalesce(CAST(p_brand AS VARCHAR(32)), '') AS value, count(*) AS count "
+    "FROM part GROUP BY 1 ORDER BY count DESC, value",
+)
+def unique_values_counts(spark, sf_dir):
+    """A3 — uniquevals export: value histogram desc with empty-string
+    null bucket."""
+    return agg.unique_values(_t(spark, sf_dir, "part"), "p_brand")
+
+
+@query(
+    "max_watermark",
+    "SELECT event_type, epoch_ms(max(ts)) AS watermark_ms FROM events "
+    "GROUP BY event_type ORDER BY event_type",
+)
+def max_watermark(spark, sf_dir):
+    """A5 — incremental watermark per type (epoch-ms projected for
+    engine-portable comparison)."""
+    ev = _t(spark, sf_dir, "events")
+    wm = agg.max_watermark(ev, "ts", by=["event_type"])
+    return wm.select(
+        "event_type",
+        F.expr("unix_micros(watermark) div 1000").alias("watermark_ms"),
+    ).orderBy("event_type")
+
+
+@query(
+    "collection_counts_pivot",
+    "SELECT user_id, "
+    "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS click_count, "
+    "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS view_count, "
+    "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS error_count "
+    "FROM events GROUP BY user_id ORDER BY user_id",
+)
+def collection_counts_pivot(spark, sf_dir):
+    """A6 — GROUP BY parent,type pivoted to per-type count columns."""
+    ev = _t(spark, sf_dir, "events")
+    out = agg.collection_counts(ev, "user_id", "event_type",
+                                ["click", "view", "error"])
+    return out.orderBy("user_id")
+
+
+@query(
+    "stats_daily_rollup",
+    "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, "
+    "count(*) AS count, round(sum(value), 2) AS total "
+    "FROM events GROUP BY 1, 2 ORDER BY day, event_type",
+)
+def stats_daily_rollup(spark, sf_dir):
+    """A7 — usage-stats daily rollup (count + total)."""
+    ev = _t(spark, sf_dir, "events")
+    return agg.stats_rollup(ev, "ts", ["event_type"], "value").orderBy(
+        "day", "event_type"
+    )
+
+
+@query(
+    "duplicate_detection",
+    "SELECT l_partkey, l_suppkey, count(*) AS n FROM lineitem "
+    "GROUP BY 1, 2 HAVING count(*) > 1 ORDER BY n DESC, l_partkey, l_suppkey",
+)
+def duplicate_detection(spark, sf_dir):
+    """A10/U4 — in-batch duplicate key detection."""
+    li = _t(spark, sf_dir, "lineitem")
+    return agg.duplicate_groups(li, ["l_partkey", "l_suppkey"])
+
+
+@query(
+    "majority_vote",
+    "SELECT o_custkey, winner, votes FROM ("
+    "  SELECT o_custkey, o_orderpriority AS winner, count(*) AS votes,"
+    "         row_number() OVER (PARTITION BY o_custkey"
+    "           ORDER BY count(*) DESC, o_orderpriority) AS rn"
+    "  FROM orders GROUP BY o_custkey, o_orderpriority) "
+    "WHERE rn = 1 ORDER BY o_custkey",
+)
+def majority_vote(spark, sf_dir):
+    """A11 — most-common value per key with deterministic tie-break
+    (license vote pattern)."""
+    orders = _t(spark, sf_dir, "orders")
+    return agg.majority_vote(orders, ["o_custkey"], "o_orderpriority").orderBy(
+        "o_custkey"
+    )
+
+
+@query(
+    "dqs_score",
+    "SELECT doc_id, round(("
+    "  CAST(n_chars >= 100 AS INT) + CAST(lang IS NOT NULL AS INT)"
+    "  + CAST(source IS NOT NULL AS INT)"
+    "  + CAST(length(text) - length(replace(text, ' ', '')) + 1 >= 20 AS INT)"
+    ") / 4.0, 6) AS dqs FROM documents ORDER BY doc_id",
+)
+def dqs_score(spark, sf_dir):
+    """A8/F18 — data-quality score: weighted presence of scored fields."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = (
+        F.length(F.col("text"))
+        - F.length(F.regexp_replace(F.col("text"), " ", ""))
+        + 1
+    )
+    score = (
+        (F.col("n_chars") >= 100).cast("int")
+        + F.col("lang").isNotNull().cast("int")
+        + F.col("source").isNotNull().cast("int")
+        + (n_tokens >= 20).cast("int")
+    ) / 4.0
+    return docs.select(
+        "doc_id", F.round(score, 6).alias("dqs")
+    ).orderBy("doc_id")
+
+
+@query(
+    "keyset_pagination",
+    "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey "
+    "LIMIT 50 OFFSET 100",
+)
+def keyset_pagination(spark, sf_dir):
+    """O1 — ordered LIMIT/OFFSET listing page."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return agg.paginate(cust, "c_custkey", limit=50, offset=100)
+
+
+# --------------------------------------------------------------------------
+# §2.8 scalar functions
+# --------------------------------------------------------------------------
+
+
+@query(
+    "grab_first_number",
+    "SELECT event_id, "
+    "CAST(replace(regexp_extract(props, '([+-]?\\d+(?:,\\d{3})*(?:\\.\\d*)?)', 1), ',', '') AS DOUBLE) AS num "
+    "FROM events WHERE props IS NOT NULL ORDER BY event_id",
+)
+def grab_first_number_q(spark, sf_dir):
+    """F3/F4 — locale-aware first-number grab from a string field."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    return ev.select(
+        "event_id", grabbers.grab_first_number("props").alias("num")
+    ).orderBy("event_id")
+
+
+@query(
+    "date_features",
+    "SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m, "
+    "dayofyear(o_orderdate) AS startdayofyear FROM orders ORDER BY o_orderkey",
+)
+def date_features(spark, sf_dir):
+    """F8 (derived features) — year/month/startdayofyear extraction
+    (conversions.py:626-627)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofyear("o_orderdate").alias("startdayofyear"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "case_fold_discipline",
+    "SELECT lower(trim(p_type)) AS p_type_folded, count(*) AS count "
+    "FROM part GROUP BY 1 ORDER BY count DESC, p_type_folded",
+)
+def case_fold_discipline(spark, sf_dir):
+    """F1/X12 — write-time case folding + keyword histogram."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select(grabbers.getfield("p_type").alias("p_type_folded"))
+        .groupBy("p_type_folded")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), "p_type_folded")
+    )
+
+

@@ -1,0 +1,175 @@
+"""§2.2 — the iDigBio query-format (shim) predicate entries."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F
+
+from idb_backend_spark.operators import aggregates as agg  # noqa: F401
+from idb_backend_spark.operators import (  # noqa: F401
+    ann,
+    dedup,
+    relations,
+    versioning,
+)
+from idb_backend_spark.functions import grabbers, text  # noqa: F401
+from idb_backend_spark.plans.registry import _t, query
+from idb_backend_spark.query.shim import compile_shim, shim_to_sql  # noqa: F401
+from idb_backend_spark.plans.synth import GEO_LAT as _GEO_LAT
+from idb_backend_spark.plans.synth import GEO_LON as _GEO_LON
+
+
+# --------------------------------------------------------------------------
+# §2.2 — the iDigBio query format (shim) predicates
+# --------------------------------------------------------------------------
+
+_SHIM_TERM = {"c_mktsegment": "BUILDING", "c_nationkey": [1, 5, 9]}
+
+
+@query(
+    "shim_term_terms",
+    f"SELECT c_custkey, c_name, c_nationkey FROM customer "
+    f"WHERE {shim_to_sql(_SHIM_TERM)} ORDER BY c_custkey",
+)
+def shim_term_terms(spark, sf_dir):
+    """P1/P2/P12 — term + terms + conjunction via the shim compiler."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(compile_shim(_SHIM_TERM))
+        .select("c_custkey", "c_name", "c_nationkey")
+        .orderBy("c_custkey")
+    )
+
+
+_SHIM_RANGE = {
+    "o_totalprice": {"type": "range", "gte": 100000, "lt": 200000},
+    "o_orderpriority": {"type": "prefix", "value": "1"},
+}
+
+
+@query(
+    "shim_range_prefix",
+    f"SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders "
+    f"WHERE {shim_to_sql(_SHIM_RANGE)} ORDER BY o_orderkey",
+)
+def shim_range_prefix(spark, sf_dir):
+    """P5/P6 — range + prefix predicates."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(compile_shim(_SHIM_RANGE))
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+_SHIM_EXISTS = {
+    "props": {"type": "exists"},
+    "event_type": ["click", "view"],
+    "value": {"gte": 5.0},
+}
+
+
+@query(
+    "shim_exists_range",
+    f"SELECT event_id, event_type, value FROM events "
+    f"WHERE {shim_to_sql(_SHIM_EXISTS)} ORDER BY event_id",
+)
+def shim_exists_range(spark, sf_dir):
+    """P3/P4 — exists/missing combined with terms + range."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(compile_shim(_SHIM_EXISTS))
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+_SHIM_FULLTEXT = {"fulltext": {"type": "fulltext", "value": "spark window merge"}}
+
+
+@query(
+    "shim_fulltext",
+    "SELECT doc_id FROM (SELECT doc_id, lower(text) AS fulltext FROM documents) "
+    f"WHERE {shim_to_sql(_SHIM_FULLTEXT)} ORDER BY doc_id",
+)
+def shim_fulltext(spark, sf_dir):
+    """P7 — fulltext AND-of-tokens over the precomputed fulltext column."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "fulltext", F.lower(F.col("text"))
+    )
+    return docs.filter(compile_shim(_SHIM_FULLTEXT)).select("doc_id").orderBy("doc_id")
+
+
+# Geo predicates: the synthetic tables carry no coordinates, so we derive a
+# deterministic geopoint per customer (integer arithmetic — exact in both
+# engines) and filter it with the shim geo predicates.
+
+_SHIM_BBOX = {
+    "geopoint": {
+        "type": "geo_bounding_box",
+        "top_left": {"lat": 40.0, "lon": -100.0},
+        "bottom_right": {"lat": 10.0, "lon": -60.0},
+    }
+}
+
+
+@query(
+    "shim_geo_bounding_box",
+    "SELECT c_custkey, lat, lon FROM (SELECT c_custkey, "
+    f"{_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM customer) g "
+    "WHERE (lat <= 40.0 AND lat >= 10.0) AND (lon >= -100.0 AND lon <= -60.0) "
+    "ORDER BY c_custkey",
+)
+def shim_geo_bbox(spark, sf_dir):
+    """P8 — geo_bounding_box over the engine's geopoint struct."""
+    g = (
+        _t(spark, sf_dir, "customer")
+        .withColumn("lat", F.expr(_GEO_LAT))
+        .withColumn("lon", F.expr(_GEO_LON))
+        .withColumn("geopoint", F.struct(F.col("lat"), F.col("lon")))
+    )
+    return (
+        g.filter(compile_shim(_SHIM_BBOX))
+        .select("c_custkey", "lat", "lon")
+        .orderBy("c_custkey")
+    )
+
+
+_SHIM_GEODIST = {
+    "geopoint": {"type": "geo_distance", "lat": 29.65, "lon": -82.32,
+                 "distance": "2000km"}
+}
+
+
+@query(
+    "shim_geo_distance",
+    "SELECT c_custkey, round(2 * 6371.0088 * asin(sqrt("
+    "pow(sin(radians(lat - (29.65)) / 2), 2)"
+    " + cos(radians(29.65)) * cos(radians(lat))"
+    " * pow(sin(radians(lon - (-82.32)) / 2), 2))), 1) AS dist_km "
+    "FROM (SELECT c_custkey, "
+    f"{_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM customer) g "
+    "WHERE 2 * 6371.0088 * asin(sqrt(pow(sin(radians(lat - (29.65)) / 2), 2)"
+    " + cos(radians(29.65)) * cos(radians(lat))"
+    " * pow(sin(radians(lon - (-82.32)) / 2), 2))) <= 2000 "
+    "ORDER BY c_custkey",
+)
+def shim_geo_distance(spark, sf_dir):
+    """P9 — geo_distance (haversine, native expression)."""
+    from idb_backend_spark.query.shim import haversine_km
+
+    g = (
+        _t(spark, sf_dir, "customer")
+        .withColumn("lat", F.expr(_GEO_LAT))
+        .withColumn("lon", F.expr(_GEO_LON))
+        .withColumn("geopoint", F.struct(F.col("lat"), F.col("lon")))
+    )
+    dist = haversine_km(
+        F.col("lat"), F.col("lon"), F.lit(29.65), F.lit(-82.32)
+    )
+    return (
+        g.filter(compile_shim(_SHIM_GEODIST))
+        .select("c_custkey", F.round(dist, 1).alias("dist_km"))
+        .orderBy("c_custkey")
+    )
+

@@ -1,0 +1,395 @@
+"""Versioned store (§2.3 J1 / §2.5 W2 / §2.7 U2 / X5), multimodal
+(F24/F25), raw-map addressing (P13), and the composed ETL pipeline."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F
+
+from idb_backend_spark.operators import aggregates as agg  # noqa: F401
+from idb_backend_spark.operators import (  # noqa: F401
+    ann,
+    dedup,
+    relations,
+    versioning,
+)
+from idb_backend_spark.functions import enrichment as E
+from idb_backend_spark.functions import grabbers, text  # noqa: F401
+from idb_backend_spark.plans.registry import _t, query
+from idb_backend_spark.query.shim import compile_shim, shim_to_sql  # noqa: F401
+
+
+# Versioned store (§2.3 J1 / §2.5 W2 / §2.7 U2 / X5) and multimodal (F24)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "versioned_merge",
+    # store = latest version per key; batch = new harvest. Append rows only
+    # where the etag changed; new keys start at version 0, changed keys at
+    # version+1 (reference db.py:144-155).
+    "WITH store AS (SELECT o_orderkey AS uuid, o_orderstatus AS etag, "
+    "  CAST(o_orderkey % 4 AS INT) AS version FROM orders WHERE o_orderkey % 3 != 0), "
+    "batch AS (SELECT o_orderkey AS uuid, "
+    "  CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS etag "
+    "  FROM orders WHERE o_orderkey % 2 != 0) "
+    "SELECT b.uuid, b.etag, "
+    "CASE WHEN s.uuid IS NULL THEN 0 ELSE s.version + 1 END AS version "
+    "FROM batch b LEFT JOIN store s ON b.uuid = s.uuid "
+    "WHERE s.uuid IS NULL OR s.etag != b.etag ORDER BY b.uuid",
+)
+def versioned_merge(spark, sf_dir):
+    """W2/X5 — etag-gated merge: version assignment for changed rows only
+    (the common unchanged case is filtered before any write)."""
+    orders = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    store = orders.filter(ok % 3 != 0).select(
+        ok.alias("uuid"),
+        F.col("o_orderstatus").alias("etag"),
+        (ok % 4).cast("int").alias("version"),
+    )
+    batch = orders.filter(ok % 2 != 0).select(
+        ok.alias("uuid"),
+        F.when(ok % 5 == 0, "X").otherwise(F.col("o_orderstatus")).alias("etag"),
+    )
+    out = versioning.merge_batch(store, batch, key="uuid", etag_col="etag")
+    return out.select("uuid", "etag", "version").orderBy("uuid")
+
+
+@query(
+    "tombstone_deletes",
+    "WITH store AS (SELECT o_orderkey AS uuid, o_orderstatus AS etag, "
+    "  CAST(o_orderkey % 4 AS INT) AS version FROM orders), "
+    "seen AS (SELECT o_orderkey AS uuid FROM orders WHERE o_orderkey % 7 != 0) "
+    "SELECT s.uuid, s.version + 1 AS version, "
+    "'9a4e35834eb80d9af64bcd07ed996b9ec0e60d92' AS etag "
+    "FROM store s LEFT JOIN seen ON s.uuid = seen.uuid "
+    "WHERE seen.uuid IS NULL ORDER BY s.uuid",
+)
+def tombstone_deletes(spark, sf_dir):
+    """U2 — anti-join delete detection emitting tombstone versions with the
+    reference's fixed tombstone etag (db.py:33, db_check.py:441-454)."""
+    orders = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    store = orders.select(
+        ok.alias("uuid"),
+        F.col("o_orderstatus").alias("etag"),
+        (ok % 4).cast("int").alias("version"),
+    )
+    seen = orders.filter(ok % 7 != 0).select(ok.alias("uuid"))
+    out = versioning.tombstones_for_deletes(store, seen, key="uuid")
+    return out.select("uuid", "version", "etag").orderBy("uuid")
+
+
+@query(
+    "media_sniff_buckets",
+    # binary blobs synthesized per doc with magic-byte prefixes by doc_id%4:
+    # JPEG / PNG / WAV / junk — the oracle knows the expected bucket directly
+    "SELECT CASE doc_id % 4 WHEN 0 THEN 'images' WHEN 1 THEN 'images' "
+    "WHEN 2 THEN 'sounds' ELSE NULL END AS bucket, count(*) AS n "
+    "FROM documents GROUP BY 1 ORDER BY n DESC, bucket NULLS FIRST",
+)
+def media_sniff_buckets(spark, sf_dir):
+    """F24 — magic-byte media validation through the mapInPandas pipeline,
+    aggregated to per-bucket counts."""
+    from idb_backend_spark.functions.multimodal import validate_media
+
+    docs = _t(spark, sf_dir, "documents")
+    blobs = docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat(
+            F.when(F.col("doc_id") % 4 == 0, F.lit(b"\xff\xd8\xff\xe0"))
+            .when(F.col("doc_id") % 4 == 1, F.lit(b"\x89PNG\r\n\x1a\n"))
+            .when(
+                F.col("doc_id") % 4 == 2,
+                F.lit(b"RIFF\x00\x00\x00\x00WAVE"),
+            )
+            .otherwise(F.lit(b"text")),
+            F.col("text").cast("binary"),
+        ).alias("content"),
+    )
+    meta = validate_media(blobs)
+    return (
+        meta.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc_nulls_first("bucket"))
+    )
+
+
+@query(
+    "media_derivatives",
+    # JPEG blobs (doc_id%4==0) pass fullsize through byte-identical; the
+    # derivative fan-out is one row per (decodable blob, dtype). The
+    # oracle pins the per-(dtype, jpeg-source) row counts; content bytes
+    # are hash-derived (not SQL-expressible) and covered by unit tests.
+    "WITH src AS (SELECT doc_id, doc_id % 4 = 0 AS is_jpeg FROM documents) "
+    "SELECT d.dtype, src.is_jpeg, count(*) AS n FROM src, "
+    "  (SELECT unnest(['fullsize','thumbnail','webview']) AS dtype) d "
+    "GROUP BY 1, 2 ORDER BY dtype, is_jpeg",
+)
+def media_derivatives(spark, sf_dir):
+    """F25 — derivative generation through the PIL-gated mapInPandas
+    kernel (fake kernel in this environment; identical plumbing either
+    way), aggregated per (dtype, source-is-jpeg)."""
+    from idb_backend_spark.functions.multimodal import generate_derivatives
+
+    docs = _t(spark, sf_dir, "documents")
+    blobs = docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat(
+            F.when(F.col("doc_id") % 4 == 0, F.lit(b"\xff\xd8\xff\xe0"))
+            .when(F.col("doc_id") % 4 == 1, F.lit(b"\x89PNG\r\n\x1a\n"))
+            .when(
+                F.col("doc_id") % 4 == 2,
+                F.lit(b"RIFF\x00\x00\x00\x00WAVE"),
+            )
+            .otherwise(F.lit(b"text")),
+            F.col("text").cast("binary"),
+        ).alias("content"),
+    )
+    dv = generate_derivatives(blobs, fake=True)
+    return (
+        dv.withColumn("is_jpeg", F.col("id") % 4 == 0)
+        .groupBy("dtype", "is_jpeg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("dtype", "is_jpeg")
+    )
+
+
+@query("etl_enrichment_pipeline")
+def etl_enrichment_pipeline(spark, sf_dir):
+    """§3.3 composed — the full enrichment hot path over the fact table:
+    verbatim projection, typed grabbers, geo normalization + flags, date
+    fallback + bounds flag, BOR + taxon-rank vocabularies, license lookup,
+    flag folding, and dqs scoring — entirely native expressions (the
+    reference's 1.33 ms/record Python loop, conversions.py:915-930).
+
+    No SQL oracle: each component is oracle-checked individually above;
+    this entry exists for end-to-end shape and the benchmark. Throughput
+    comparison against the reference's 750 rec/s/core figure comes from
+    bench.py timing of this query at sf0.1 (~600k rows).
+    """
+    from idb_backend_spark.functions.flags import dqs_score, fold_flags
+    from idb_backend_spark.functions.grabbers import (
+        grab_first_number,
+        int_grabber,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    lk = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    # synthesized verbatim fields (the reference reads these from raw DwC)
+    raw = li.select(
+        lk.alias("rowid"),
+        F.concat((F.col("l_partkey") % 160 - 80).cast("string"), F.lit(".125"))
+        .alias("lat_s"),
+        F.concat((F.col("l_suppkey") % 360 - 180).cast("string"), F.lit(".25"))
+        .alias("lon_s"),
+        F.col("l_shipdate").alias("eventdate"),
+        F.year("l_shipdate").cast("string").alias("year_s"),
+        F.month("l_shipdate").cast("string").alias("month_s"),
+        F.concat(F.col("l_quantity").cast("string"), F.lit(" m")).alias("elev_s"),
+        F.expr(
+            "CASE l_linenumber % 5 WHEN 0 THEN 'PreservedSpecimen' "
+            "WHEN 1 THEN 'fossil' WHEN 2 THEN 'machine observation' "
+            "WHEN 3 THEN 'Exsiccati' ELSE NULL END"
+        ).alias("bor_s"),
+        F.expr(
+            "CASE l_linenumber % 4 WHEN 0 THEN 'species' WHEN 1 THEN 'Sp.' "
+            "WHEN 2 THEN 'blah' ELSE NULL END"
+        ).alias("rank_s"),
+        F.expr(
+            "CASE l_linenumber % 3 WHEN 0 THEN "
+            "'http://creativecommons.org/licenses/by/4.0/' ELSE NULL END"
+        ).alias("rights_s"),
+    )
+    geo = E.geo_normalize(F.col("lat_s"), F.col("lon_s"))
+    bor = E.fix_basis_of_record(F.col("bor_s"))
+    rank = E.fix_taxon_rank(F.col("rank_s"))
+    dc = E.date_fallback(
+        F.col("eventdate"), F.col("year_s"), F.col("month_s"),
+        F.lit(None), F.lit(None),
+    )
+    enriched = raw.select(
+        "rowid",
+        geo["lat"].alias("lat"),
+        geo["lon"].alias("lon"),
+        dc.alias("datecollected"),
+        int_grabber("elev_s").alias("minelevation"),
+        grab_first_number("elev_s").alias("elev_f"),
+        bor["value"].alias("basisofrecord"),
+        rank["value"].alias("taxonrank"),
+        E.license_lookup(F.col("rights_s")).alias("license"),
+        fold_flags(
+            geo["flag_pre_flip"], geo["flag_bounds"], geo["flag_low_precision"],
+            E.date_bounds_flag(dc), bor["flag_removed"], bor["flag_invalid"],
+            rank["flag_replaced"], rank["flag_removed"],
+        ).alias("flags"),
+    )
+    scored = enriched.withColumn(
+        "dqs",
+        F.round(
+            dqs_score(
+                {"lat": 1, "datecollected": 1, "basisofrecord": 1,
+                 "taxonrank": 1, "license": 1, "minelevation": 1},
+                F.col("flags"),
+                maxscore=6.0,
+            ),
+            6,
+        ),
+    )
+    # pipe-join the flags array at the boundary: the driver's hash
+    # canonicalizer cannot sort array-typed output columns
+    return scored.withColumn("flags", F.array_join("flags", "|"))
+
+
+@query(
+    "raw_field_access",
+    # P13 — dual addressing: predicate on the raw open-schema map, output
+    # from the raw map ('data.' paths, download.py:245-253, :155-163)
+    "SELECT doc_id, lang AS lang_raw, source AS source_raw FROM documents "
+    "WHERE lang = 'en' AND n_chars >= 200 ORDER BY doc_id",
+)
+def raw_field_access(spark, sf_dir):
+    """P13 — records carry the verbatim body as map<string,string> `data`
+    beside typed columns; queries can address either. Here the raw map is
+    built from the table, then both filtered and projected through map
+    access only."""
+    docs = _t(spark, sf_dir, "documents")
+    with_raw = docs.select(
+        "doc_id",
+        "n_chars",
+        F.map_from_arrays(
+            F.array(F.lit("dc:language"), F.lit("dc:source")),
+            F.array(F.col("lang"), F.col("source")),
+        ).alias("data"),
+    )
+    return (
+        with_raw.filter(
+            (F.col("data")["dc:language"] == "en") & (F.col("n_chars") >= 200)
+        )
+        .select(
+            "doc_id",
+            F.col("data")["dc:language"].alias("lang_raw"),
+            F.col("data")["dc:source"].alias("source_raw"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "stats_rollup_nested",
+    "WITH fine AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+    "  event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2, 3) "
+    "SELECT day, event_type, CAST(sum(n) AS BIGINT) AS count, "
+    "string_agg(CAST(user_id AS VARCHAR(32)) || ':' || "
+    "CAST(n AS VARCHAR(32)), ',' ORDER BY user_id) AS items "
+    "FROM fine GROUP BY day, event_type ORDER BY day, event_type",
+)
+def stats_rollup_nested_q(spark, sf_dir):
+    """A7 (full shape) — daily rollup with within-group term frequency map
+    (collect.py:132-217). The map payload is serialized key-sorted as
+    'k:v,k:v' at the boundary so the driver hasher (which cannot sort
+    map-typed columns) can grade it against the string_agg oracle."""
+    ev = _t(spark, sf_dir, "events")
+    out = agg.stats_rollup_nested(ev, "ts", ["event_type"], "user_id")
+    return out.select(
+        "day",
+        "event_type",
+        "count",
+        F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries("items")),
+                lambda e: F.concat_ws(
+                    ":", e["key"].cast("string"), e["value"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("items"),
+    ).orderBy("day", "event_type")
+
+
+@query(
+    "media_presence_flags",
+    # F9/P14 — hasMedia/hasSpecimen from sibling-link arrays: orders with
+    # at least one qualifying lineitem "media" link
+    "WITH links AS (SELECT o.o_orderkey, "
+    "  (SELECT count(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey"
+    "   AND l.l_returnflag = 'R') AS n_media, "
+    "  (SELECT count(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey"
+    "   AND l.l_returnflag = 'N') AS n_spec "
+    "  FROM orders o) "
+    "SELECT o_orderkey, n_media > 0 AS hasMedia, n_spec > 0 AS hasSpecimen "
+    "FROM links ORDER BY o_orderkey",
+)
+def media_presence_flags_q(spark, sf_dir):
+    """F9/P14 — derive media/specimen presence booleans from collected
+    sibling-link arrays (conversions.py:632-680)."""
+    from idb_backend_spark.functions.finalize import media_presence_flags
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    media_links = li.filter(F.col("l_returnflag") == "R").groupBy(
+        F.col("l_orderkey").alias("o_orderkey")
+    ).agg(F.collect_list("l_linenumber").alias("mediarecords"))
+    spec_links = li.filter(F.col("l_returnflag") == "N").groupBy(
+        F.col("l_orderkey").alias("o_orderkey")
+    ).agg(F.collect_list("l_linenumber").alias("records"))
+    joined = orders.select("o_orderkey").join(media_links, "o_orderkey", "left").join(
+        spec_links, "o_orderkey", "left"
+    )
+    flags = media_presence_flags(F.col("mediarecords"), F.col("records"))
+    return joined.select(
+        "o_orderkey",
+        flags["hasMedia"].alias("hasMedia"),
+        flags["hasSpecimen"].alias("hasSpecimen"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "identifier_extraction",
+    # F23 — precedence-ordered candidate identifiers, namespaced + folded.
+    # Pipe-joined (not a raw array): the driver hasher can't sort arrays.
+    "SELECT o_orderkey, array_to_string(["
+    "'rs' || CAST(o_custkey % 10 AS VARCHAR(32)) || '\\' || "
+    "lower(trim('URN:CAT:' || CAST(o_orderkey AS VARCHAR(32)))), "
+    "lower(trim(o_orderpriority))"
+    "], '|') AS ids FROM orders ORDER BY o_orderkey",
+)
+def identifier_extraction(spark, sf_dir):
+    """F23 — identifier extraction precedence: namespaced occurrenceID then
+    verbatim recordId (db_check.py:64-165)."""
+    from idb_backend_spark.functions.finalize import record_identifiers
+
+    orders = _t(spark, sf_dir, "orders")
+    rsid = F.concat(F.lit("rs"), (F.col("o_custkey") % 10).cast("string"))
+    occ = F.concat(F.lit("URN:CAT:"), F.col("o_orderkey").cast("string"))
+    return orders.select(
+        "o_orderkey",
+        F.array_join(
+            record_identifiers(
+                rsid, occ, F.col("o_orderpriority"), F.lit(None).cast("string")
+            ),
+            "|",
+        ).alias("ids"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "duplicate_clusters",
+    # chains of 5: edges (i, i+1) unless i%5==4 -> cluster = 5*floor(i/5)
+    "SELECT doc_id, CAST(doc_id // 5 * 5 AS BIGINT) AS cluster "
+    "FROM documents ORDER BY doc_id",
+)
+def duplicate_clusters_q(spark, sf_dir):
+    """Connected components over dup pairs (min-label propagation). The
+    synthetic edge set is chains of five consecutive doc_ids, so the
+    closed-form cluster id is an exact oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.filter(F.col("doc_id") % 5 != 4).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    verts = docs.select("doc_id")
+    out = dedup.duplicate_clusters(pairs, vertices=verts)
+    return out.select(F.col("id").alias("doc_id"), "cluster").orderBy("doc_id")
+
+

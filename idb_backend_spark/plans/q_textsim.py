@@ -1,0 +1,269 @@
+"""Training-data pipeline entries: dedup tiers, text analysis,
+similarity search (north-star operators)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F
+
+from idb_backend_spark.operators import aggregates as agg  # noqa: F401
+from idb_backend_spark.operators import (  # noqa: F401
+    ann,
+    dedup,
+    relations,
+    versioning,
+)
+from idb_backend_spark.functions import grabbers, text  # noqa: F401
+from idb_backend_spark.plans.registry import _t, query
+from idb_backend_spark.query.shim import compile_shim, shim_to_sql  # noqa: F401
+
+
+# Training-data pipeline operators (north star: dedup / text / similarity)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "exact_dedup",
+    "SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp, "
+    "min(doc_id) AS keeper, count(*) AS n_copies "
+    "FROM documents GROUP BY 1 ORDER BY fp",
+)
+def exact_dedup_q(spark, sf_dir):
+    """Exact dedup by content fingerprint (hash groupBy)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "text", "doc_id").orderBy("fp")
+
+
+@query(
+    "token_count_quality",
+    "SELECT doc_id, "
+    "len(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_tokens "
+    "FROM documents ORDER BY doc_id",
+)
+def token_count_quality(spark, sf_dir):
+    """Text analysis — whitespace token counting."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.token_count("text").alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+@query(
+    "doc_fingerprint",
+    "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "
+    "FROM documents ORDER BY doc_id",
+)
+def doc_fingerprint(spark, sf_dir):
+    """Text analysis — content-addressed document fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.fingerprint("text").alias("fp")
+    ).orderBy("doc_id")
+
+
+@query(
+    "lang_id_heuristic",
+    # marker-hit argmax, tie-broken by language code ascending; the SQL
+    # mirrors the engine's marker lexicons exactly
+    "WITH toks AS (SELECT doc_id, "
+    "  regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t"
+    "  FROM documents), "
+    "scores AS (SELECT doc_id, "
+    "  len(list_filter(t, x -> x IN ('the','and','of','to','a'))) AS s_en, "
+    "  len(list_filter(t, x -> x IN ('el','la','de','que','y'))) AS s_es, "
+    "  len(list_filter(t, x -> x IN ('le','la','et','les','des'))) AS s_fr, "
+    "  len(list_filter(t, x -> x IN ('der','die','und','das','ist'))) AS s_de, "
+    "  len(list_filter(t, x -> x IN ('的','是','了','在','我'))) AS s_zh "
+    "  FROM toks) "
+    "SELECT doc_id, CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und' "
+    " WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de' "
+    " WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en' "
+    " WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es' "
+    " WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_pred "
+    "FROM scores ORDER BY doc_id",
+)
+def lang_id_heuristic(spark, sf_dir):
+    """Text analysis — marker-lexicon language ID (argmax, deterministic
+    tie-break by language code)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.lang_id("text").alias("lang_pred")
+    ).orderBy("doc_id")
+
+
+@query(
+    "ngram_jaccard_pairs",
+    "WITH sh AS (SELECT doc_id AS id, sz, g FROM ("
+    "  SELECT doc_id, toks, len(toks) AS n FROM ("
+    "    SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks"
+    "    FROM documents)) t, "
+    "  LATERAL (SELECT list_distinct(CASE WHEN n >= 3 THEN "
+    "    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, n - 1)] "
+    "    ELSE [array_to_string(toks, ' ')] END) AS grams) gr, "
+    "  LATERAL (SELECT len(gr.grams) AS sz) z, "
+    "  LATERAL unnest(gr.grams) AS u(g)), "
+    "pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared,"
+    "  any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b "
+    "  FROM sh a JOIN sh b USING (g) WHERE a.id < b.id GROUP BY a.id, b.id) "
+    "SELECT id_a, id_b, round(shared / (sz_a + sz_b - shared), 6) AS jaccard "
+    "FROM pairs WHERE shared / (sz_a + sz_b - shared) >= 0.8 "
+    "ORDER BY id_a, id_b",
+)
+def ngram_jaccard_pairs_q(spark, sf_dir):
+    """Near-dup — exact word-3-gram Jaccard via inverted-index self-join."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", k=3,
+                                     threshold=0.8).orderBy("id_a", "id_b")
+
+
+@query(
+    "ann_cosine_topk",
+    "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
+    "SELECT vec_id, round(list_dot_product("
+    "   list_transform(e.embedding, x -> CAST(x AS DOUBLE)),"
+    "   list_transform(q.qv, x -> CAST(x AS DOUBLE)))"
+    " / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),"
+    "         list_transform(e.embedding, x -> CAST(x AS DOUBLE))))"
+    "  * sqrt(list_dot_product(list_transform(q.qv, x -> CAST(x AS DOUBLE)),"
+    "         list_transform(q.qv, x -> CAST(x AS DOUBLE))))), 4) AS cosine "
+    "FROM embeddings e, q ORDER BY cosine DESC, vec_id LIMIT 10",
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Similarity search — brute-force cosine top-k (exact baseline).
+
+    Rounded to 4 decimals on both sides; ordering computed on the rounded
+    value so both engines break ties identically by vec_id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    from idb_backend_spark.functions.similarity import cosine_similarity
+
+    sim = cosine_similarity(F.col("embedding"), ann._vec_lit(qvec))
+    return (
+        emb.select("vec_id", F.round(sim, 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+
+
+# Non-SQL-expressible operators — registered without oracles (the driver
+# records rows-only checks; SURVEY §2 notes which).
+
+
+@query("minhash_lsh_pairs")
+def minhash_lsh_pairs_q(spark, sf_dir):
+    """Near-dup — MinHash+LSH candidate pairs (hash-family not expressible
+    in ANSI SQL; verified by unit tests against exact Jaccard)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", shingle_k=3, num_hashes=64, bands=16,
+        threshold=0.5,
+    ).orderBy("id_a", "id_b")
+
+
+@query("simhash_pairs")
+def simhash_pairs_q(spark, sf_dir):
+    """Near-dup — SimHash fingerprints within Hamming radius 3."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_COS_AB = (
+    "list_dot_product("
+    " list_transform(a.embedding, x -> CAST(x AS DOUBLE)),"
+    " list_transform(b.embedding, x -> CAST(x AS DOUBLE)))"
+    " / (sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),"
+    "         list_transform(a.embedding, x -> CAST(x AS DOUBLE))))"
+    "  * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),"
+    "         list_transform(b.embedding, x -> CAST(x AS DOUBLE)))))"
+)
+
+
+@query(
+    "embedding_near_dup",
+    # exact brute-force pair oracle: the banded LSH must recall every
+    # true pair at this threshold or the hash mismatches — the driver
+    # gate doubles as a recall regression test
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "round(" + _COS_AB + ", 6) AS cosine "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+    "WHERE " + _COS_AB + " >= 0.35 ORDER BY id_a, id_b",
+)
+def embedding_near_dup_q(spark, sf_dir):
+    """Near-dup — embedding-cosine pairs via BANDED random-hyperplane LSH
+    (AND-OR: 32 bands × auto-sized bits). Exact cosine verification runs
+    on candidates only, so the output is a subset of the brute-force pair
+    set — equal to it when the bands recall every true pair, which the
+    exact oracle asserts."""
+    emb = _t(spark, sf_dir, "embeddings")
+    # synthetic embeddings are well-spread (max pairwise cosine ≈ 0.51 at
+    # sf0.01), so the demo threshold sits at the top of that distribution
+    return dedup.embedding_near_dup_pairs(
+        emb, "embedding", "vec_id", threshold=0.35, n_bands=32
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "minhash_exact_verified",
+    # same exact 3-gram Jaccard oracle as ngram_jaccard_pairs: the LSH
+    # candidate tier must recall every true pair at the threshold
+    "WITH sh AS (SELECT doc_id AS id, sz, g FROM ("
+    "  SELECT doc_id, toks, len(toks) AS n FROM ("
+    "    SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks"
+    "    FROM documents)) t, "
+    "  LATERAL (SELECT list_distinct(CASE WHEN n >= 3 THEN "
+    "    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, n - 1)] "
+    "    ELSE [array_to_string(toks, ' ')] END) AS grams) gr, "
+    "  LATERAL (SELECT len(gr.grams) AS sz) z, "
+    "  LATERAL unnest(gr.grams) AS u(g)), "
+    "pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared,"
+    "  any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b "
+    "  FROM sh a JOIN sh b USING (g) WHERE a.id < b.id GROUP BY a.id, b.id) "
+    "SELECT id_a, id_b, round(shared / (sz_a + sz_b - shared), 6) AS jaccard "
+    "FROM pairs WHERE shared / (sz_a + sz_b - shared) >= 0.8 "
+    "ORDER BY id_a, id_b",
+)
+def minhash_exact_verified_q(spark, sf_dir):
+    """Near-dup — MinHash-LSH candidates verified by EXACT shingle
+    Jaccard. The sketch only prunes; the exact verify makes the operator
+    oracle-checkable against the true pair set (a hash mismatch here is a
+    genuine LSH recall loss)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_exact_verified_pairs(
+        docs, "text", "doc_id", shingle_k=3, num_hashes=64, bands=16,
+        threshold=0.8,
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "ivf_ann_topk",
+    # exact brute-force top-k oracle (round 6): the probed buckets must
+    # contain the true top-10 or the hash mismatches — the driver gate
+    # doubles as an IVF recall regression test at these (nlist, nprobe)
+    "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
+    "SELECT vec_id, round(list_dot_product("
+    "   list_transform(e.embedding, x -> CAST(x AS DOUBLE)),"
+    "   list_transform(q.qv, x -> CAST(x AS DOUBLE)))"
+    " / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),"
+    "         list_transform(e.embedding, x -> CAST(x AS DOUBLE))))"
+    "  * sqrt(list_dot_product(list_transform(q.qv, x -> CAST(x AS DOUBLE)),"
+    "         list_transform(q.qv, x -> CAST(x AS DOUBLE))))), 6) AS cosine "
+    "FROM embeddings e, q ORDER BY cosine DESC, vec_id LIMIT 10",
+)
+def ivf_ann_topk_q(spark, sf_dir):
+    """Similarity search — IVF-bucketed ANN (scale path), Lloyd-refined
+    codebook. The demo corpus is uniformly spread (no cluster structure —
+    the worst case for IVF), so the demo probes 5/8 buckets to recall the
+    exact top-10, asserted by the brute-force oracle; unit tests track
+    recall across parameter settings. Clustered real corpora probe far
+    fewer buckets for the same recall."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    # iterations=0: on clusterless uniform data Lloyd rounds just shuffle
+    # bucket boundaries; the seeded-sample codebook probes fewer buckets
+    # for full recall here (real corpora benefit from the default rounds)
+    assigned, centroids = ann.ivf_build(emb, nlist=8, iterations=0)
+    return ann.ivf_topk(assigned, centroids, qvec, k=10, nprobe=5)
+
+

@@ -1,0 +1,38 @@
+"""Catalog registry: the (Q, ORACLE) maps the driver contract reads,
+the table loader, and the @query registration decorator."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Defensive for driver-owned sessions: nanosecond parquet timestamps are
+    # unreadable by Spark unless mapped to long (converted back below).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # integer div (not double: 1.7e18 exceeds double's 53-bit
+            # mantissa) nanos -> micros, matching DuckDB's ns->us truncation
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        Q[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+    return deco
+
