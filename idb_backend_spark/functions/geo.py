@@ -51,6 +51,119 @@ DATUM_ALIASES = {
 
 _KNOWN_DATUMS = {"WGS84", "WGS72", "NAD83", "NAD27"}
 
+# --------------------------------------------------------------------------
+# Abridged Molodensky datum shift → WGS84 (public parameters: DMA TR
+# 8350.2). This is the NATIVE path for the common datums — pure arithmetic
+# on trig built-ins, fully codegen'd, no Python in the hot loop. pyproj
+# (when present) remains the exact path for arbitrary CRS strings.
+# --------------------------------------------------------------------------
+
+#: WGS84 ellipsoid.
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+
+#: datum -> (a, f, dx, dy, dz, dlam_arcsec). dx/dy/dz are the
+#: source→WGS84 geocentric shifts in meters; dlam_arcsec carries WGS72's
+#: 0.554″ Z-axis rotation as the constant longitude term of the official
+#: DMA WGS72→WGS84 formula. NAD27 uses the CONUS mean shift.
+MOLODENSKY_PARAMS: dict[str, tuple[float, float, float, float, float, float]] = {
+    "NAD27": (6378206.4, 1.0 / 294.9786982, -8.0, 160.0, 176.0, 0.0),
+    "WGS72": (6378135.0, 1.0 / 298.26, 0.0, 0.0, 4.5, 0.554),
+}
+
+#: Datums treated as identical to WGS84 at this engine's precision
+#: (NAD83≈WGS84 within ~1-2 m; the reference also passes these through).
+IDENTITY_DATUMS = {"WGS84", "NAD83", "EPSG4326", "GRS80", "ETRS89"}
+
+
+def _molodensky_terms(datum: str) -> tuple[float, float, float, float, float, float, float, float]:
+    """Precompute the per-datum constants (e², aΔf+fΔa, …) once."""
+    a, f, dx, dy, dz, dlam_sec = MOLODENSKY_PARAMS[datum]
+    e2 = 2.0 * f - f * f
+    adf_fda = a * (WGS84_F - f) + f * (WGS84_A - a)
+    return a, e2, dx, dy, dz, adf_fda, dlam_sec, f
+
+
+def molodensky_shift_py(
+    lat: float, lon: float, datum: str
+) -> tuple[float, float]:
+    """One point through the abridged Molodensky shift (scalar reference
+    implementation — also the pyproj-absent UDF fallback). ``datum`` must
+    be a key of MOLODENSKY_PARAMS."""
+    a, e2, dx, dy, dz, adf_fda, dlam_sec, _f = _molodensky_terms(datum)
+    phi, lam = math.radians(lat), math.radians(lon)
+    sp, cp = math.sin(phi), math.cos(phi)
+    sl, cl = math.sin(lam), math.cos(lam)
+    w2 = 1.0 - e2 * sp * sp
+    w = math.sqrt(w2)
+    rm = a * (1.0 - e2) / (w2 * w)
+    rn = a / w
+    dphi = (-dx * sp * cl - dy * sp * sl + dz * cp + adf_fda * math.sin(2.0 * phi)) / rm
+    dlam = (-dx * sl + dy * cl) / (rn * cp) + math.radians(dlam_sec / 3600.0)
+    return lat + math.degrees(dphi), lon + math.degrees(dlam)
+
+
+def molodensky_shift_expr(
+    lat: Column, lon: Column, datum_norm: Column
+) -> dict[str, Column]:
+    """F6 datum transform as a NATIVE expression (conversions.py:485-509
+    semantics, abridged Molodensky arithmetic).
+
+    ``datum_norm`` is the already alias-normalized datum string (apply
+    ``mangle_string``/DATUM_ALIASES upstream, e.g. via normalize_datum_expr).
+    Returns {"lat", "lon", "flag"} where flag is
+    'geopoint_datum_missing' / 'geopoint_datum_error' / NULL and unknown or
+    missing datums pass coordinates through unchanged — the reference's
+    failure contract. Poles (|lat| = 90) pass through (Δλ undefined there).
+    """
+    lat_c, lon_c = lat.cast("double"), lon.cast("double")
+
+    def shifted(datum: str) -> tuple[Column, Column]:
+        a, e2, dx, dy, dz, adf_fda, dlam_sec, _f = _molodensky_terms(datum)
+        phi, lam = F.radians(lat_c), F.radians(lon_c)
+        sp, cp = F.sin(phi), F.cos(phi)
+        sl, cl = F.sin(lam), F.cos(lam)
+        w2 = F.lit(1.0) - F.lit(e2) * sp * sp
+        w = F.sqrt(w2)
+        rm = F.lit(a * (1.0 - e2)) / (w2 * w)
+        rn = F.lit(a) / w
+        dphi = (
+            F.lit(-dx) * sp * cl - F.lit(dy) * sp * sl + F.lit(dz) * cp
+            + F.lit(adf_fda) * F.sin(F.lit(2.0) * phi)
+        ) / rm
+        dlam = (F.lit(-dx) * sl + F.lit(dy) * cl) / (rn * cp) + F.lit(
+            math.radians(dlam_sec / 3600.0)
+        )
+        return lat_c + F.degrees(dphi), lon_c + F.degrees(dlam)
+
+    have = lat_c.isNotNull() & lon_c.isNotNull()
+    missing = datum_norm.isNull() | (F.trim(datum_norm) == "")
+    at_pole = F.abs(lat_c) >= 90.0
+    identity = datum_norm.isin(*sorted(IDENTITY_DATUMS))
+    known_shift = datum_norm.isin(*sorted(MOLODENSKY_PARAMS))
+
+    out_lat, out_lon = lat_c, lon_c
+    for d in sorted(MOLODENSKY_PARAMS):
+        la2, lo2 = shifted(d)
+        cond = have & ~at_pole & (datum_norm == d)
+        out_lat = F.when(cond, la2).otherwise(out_lat)
+        out_lon = F.when(cond, lo2).otherwise(out_lon)
+
+    flag = F.when(have & missing, "geopoint_datum_missing").when(
+        have & ~identity & ~known_shift, "geopoint_datum_error"
+    )
+    return {"lat": out_lat, "lon": out_lon, "flag": flag}
+
+
+def normalize_datum_expr(datum_raw: Column) -> Column:
+    """Native datum normalization: uppercase, strip non-alphanumerics,
+    resolve aliases (conversions.py:312-316, 423-430)."""
+    mangled = F.upper(F.regexp_replace(datum_raw, "[^A-Za-z0-9]", ""))
+    out = mangled
+    for verbose, short in DATUM_ALIASES.items():
+        out = F.when(mangled == verbose, short).otherwise(out)
+    return out
+
 
 def mangle_string(s: str) -> str:
     """Uppercase and strip non-alphanumerics (conversions.py:312-316)."""
@@ -73,9 +186,10 @@ def datum_transform_udf(
     """CRS transform to EPSG:4326 (conversions.py:485-509). Emits flag
     'geopoint_datum_missing' / 'geopoint_datum_error' / None.
 
-    Without pyproj, known datums pass through unchanged (WGS84-family
-    deltas are meters — below the engine's precision flags) and unknown
-    datums flag datum_error, matching the reference's failure contract.
+    Without pyproj, the WGS84-family identity datums pass through,
+    NAD27/WGS72 go through the abridged-Molodensky scalar kernel (same
+    arithmetic as the native molodensky_shift_expr), and unknown datums
+    flag datum_error, matching the reference's failure contract.
     """
     out_lon, out_lat, out_flag = [], [], []
     transformer_cache: dict = {}
@@ -103,7 +217,10 @@ def datum_transform_udf(
                 out_lon.append(lo), out_lat.append(la)
                 out_flag.append("geopoint_datum_error")
         else:
-            if norm in _KNOWN_DATUMS:
+            if norm in MOLODENSKY_PARAMS and abs(la) < 90.0:
+                la2, lo2 = molodensky_shift_py(la, lo, norm)
+                out_lon.append(lo2), out_lat.append(la2), out_flag.append(None)
+            elif norm in IDENTITY_DATUMS or norm in _KNOWN_DATUMS:
                 out_lon.append(lo), out_lat.append(la), out_flag.append(None)
             else:
                 out_lon.append(lo), out_lat.append(la)

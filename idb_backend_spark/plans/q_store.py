@@ -201,8 +201,20 @@ def etl_enrichment_pipeline(spark, sf_dir):
             "CASE l_linenumber % 3 WHEN 0 THEN "
             "'http://creativecommons.org/licenses/by/4.0/' ELSE NULL END"
         ).alias("rights_s"),
+        F.expr(
+            "CASE l_linenumber % 6 WHEN 0 THEN 'NAD27' WHEN 1 THEN 'WGS 72' "
+            "WHEN 2 THEN 'WGS84' WHEN 3 THEN 'Cape' ELSE NULL END"
+        ).alias("datum_s"),
     )
     geo = E.geo_normalize(F.col("lat_s"), F.col("lon_s"))
+    from idb_backend_spark.functions.geo import (
+        molodensky_shift_expr,
+        normalize_datum_expr,
+    )
+
+    datum = molodensky_shift_expr(
+        geo["lat"], geo["lon"], normalize_datum_expr(F.col("datum_s"))
+    )
     bor = E.fix_basis_of_record(F.col("bor_s"))
     rank = E.fix_taxon_rank(F.col("rank_s"))
     dc = E.date_fallback(
@@ -211,8 +223,8 @@ def etl_enrichment_pipeline(spark, sf_dir):
     )
     enriched = raw.select(
         "rowid",
-        geo["lat"].alias("lat"),
-        geo["lon"].alias("lon"),
+        datum["lat"].alias("lat"),
+        datum["lon"].alias("lon"),
         dc.alias("datecollected"),
         int_grabber("elev_s").alias("minelevation"),
         grab_first_number("elev_s").alias("elev_f"),
@@ -221,6 +233,7 @@ def etl_enrichment_pipeline(spark, sf_dir):
         E.license_lookup(F.col("rights_s")).alias("license"),
         fold_flags(
             geo["flag_pre_flip"], geo["flag_bounds"], geo["flag_low_precision"],
+            datum["flag"],
             E.date_bounds_flag(dc), bor["flag_removed"], bor["flag_invalid"],
             rank["flag_replaced"], rank["flag_removed"],
         ).alias("flags"),

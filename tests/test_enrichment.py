@@ -5,6 +5,7 @@ modeled on the reference's tabulated input→expected style
 from __future__ import annotations
 
 import datetime
+import math
 import uuid
 
 import pytest
@@ -393,3 +394,109 @@ def test_rev_geocode_flip_loop_on_world_outlines():
     lon, lat, country, flags = rev_geocode_py(g, -98.5, 39.8, "CA")
     assert (lon, lat, country) == (-98.5, 39.8, "US")
     assert flags == ["rev_geocode_mismatch"]
+
+
+# --------------------------------------------------------------------------
+# F6 native abridged-Molodensky datum shift (conversions.py:485-509;
+# public parameters DMA TR 8350.2)
+# --------------------------------------------------------------------------
+
+
+def test_molodensky_physical_sanity():
+    from idb_backend_spark.functions.geo import molodensky_shift_py
+
+    # NAD27 Los Angeles area: the published CONUS NAD27->WGS84 correction
+    # is a westward longitude shift of roughly 70-100 m and a small
+    # latitude shift — assert direction and magnitude bands.
+    lat2, lon2 = molodensky_shift_py(34.0, -118.25, "NAD27")
+    dlon_m = (lon2 - -118.25) * 111_320 * math.cos(math.radians(34.0))
+    dlat_m = (lat2 - 34.0) * 111_320
+    assert -120 < dlon_m < -50        # westward ~83 m
+    assert abs(dlat_m) < 15
+
+    # WGS72 -> WGS84: +0.554" constant longitude term ~= 1.54e-4 deg,
+    # latitude moves by only a few meters.
+    lat2, lon2 = molodensky_shift_py(10.0, 20.0, "WGS72")
+    assert abs((lon2 - 20.0) - 0.554 / 3600.0) < 2e-6
+    assert abs(lat2 - 10.0) * 111_320 < 10
+
+
+def test_molodensky_expr_matches_scalar_kernel(spark):
+    from idb_backend_spark.functions.geo import (
+        molodensky_shift_expr,
+        molodensky_shift_py,
+        normalize_datum_expr,
+    )
+
+    rows = []
+    for i, lat in enumerate([-75.0, -30.5, 0.25, 33.125, 68.0]):
+        for j, lon in enumerate([-170.0, -118.25, -1.5, 77.0, 179.25]):
+            rows.append(Row(i=i * 10 + j, lat=lat, lon=lon,
+                            datum="NAD27" if (i + j) % 2 else "WGS 72"))
+    df = spark.createDataFrame(rows)
+    r = molodensky_shift_expr(
+        F.col("lat"), F.col("lon"), normalize_datum_expr(F.col("datum"))
+    )
+    got = {
+        row["i"]: (row["la"], row["lo"])
+        for row in df.select("i", r["lat"].alias("la"), r["lon"].alias("lo")).collect()
+    }
+    for row in rows:
+        norm = "NAD27" if row.datum == "NAD27" else "WGS72"
+        exp_lat, exp_lon = molodensky_shift_py(row.lat, row.lon, norm)
+        assert abs(got[row.i][0] - exp_lat) < 1e-12, row
+        assert abs(got[row.i][1] - exp_lon) < 1e-12, row
+
+
+def test_molodensky_expr_flags_and_passthrough(spark):
+    from idb_backend_spark.functions.geo import (
+        molodensky_shift_expr,
+        normalize_datum_expr,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(i=0, lat=34.0, lon=-118.25, datum="WGS84"),
+            Row(i=1, lat=34.0, lon=-118.25, datum="North American Datum 1983"),
+            Row(i=2, lat=34.0, lon=-118.25, datum="Cape"),
+            Row(i=3, lat=34.0, lon=-118.25, datum=None),
+            Row(i=4, lat=90.0, lon=0.0, datum="NAD27"),      # pole passthrough
+            Row(i=5, lat=None, lon=None, datum="NAD27"),
+        ]
+    )
+    r = molodensky_shift_expr(
+        F.col("lat"), F.col("lon"), normalize_datum_expr(F.col("datum"))
+    )
+    out = {
+        row["i"]: row
+        for row in df.select(
+            "i", r["lat"].alias("la"), r["lon"].alias("lo"), r["flag"].alias("fl")
+        ).collect()
+    }
+    assert (out[0].la, out[0].lo, out[0].fl) == (34.0, -118.25, None)
+    assert (out[1].la, out[1].lo, out[1].fl) == (34.0, -118.25, None)
+    assert (out[2].la, out[2].lo, out[2].fl) == (34.0, -118.25, "geopoint_datum_error")
+    assert (out[3].la, out[3].fl) == (34.0, "geopoint_datum_missing")
+    assert (out[4].la, out[4].lo, out[4].fl) == (90.0, 0.0, None)
+    assert out[5].la is None and out[5].fl is None
+
+
+def test_datum_udf_fallback_uses_molodensky(spark):
+    from idb_backend_spark.functions.geo import (
+        HAVE_PYPROJ,
+        datum_transform_udf,
+        molodensky_shift_py,
+    )
+
+    if HAVE_PYPROJ:
+        pytest.skip("pyproj present: exact CRS path active")
+    df = spark.createDataFrame([Row(i=0, lon=-118.25, lat=34.0, datum="NAD27")])
+    out = (
+        df.select(datum_transform_udf("lon", "lat", "datum").alias("r"))
+        .select("r.lon", "r.lat", "r.flag")
+        .collect()[0]
+    )
+    exp_lat, exp_lon = molodensky_shift_py(34.0, -118.25, "NAD27")
+    assert abs(out.lon - exp_lon) < 1e-12
+    assert abs(out.lat - exp_lat) < 1e-12
+    assert out.flag is None
