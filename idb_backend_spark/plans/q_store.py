@@ -406,3 +406,187 @@ def duplicate_clusters_q(spark, sf_dir):
     return out.select(F.col("id").alias("doc_id"), "cluster").orderBy("doc_id")
 
 
+
+
+# --------------------------------------------------------------------------
+# S1/S2/S4/S9/S10 round-trips — the source readers and export writers
+# driven end-to-end INSIDE a driver-graded query: write an archive from
+# the parquet tables, read it back through the engine's readers, and let
+# the oracle be the plain projection of the original tables. Temp dirs
+# are intentionally not deleted in-function: the returned DataFrame reads
+# the extracted files lazily (collection happens in the caller).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dwca_roundtrip",
+    "SELECT c.c_custkey, c.c_name AS catalog_number, "
+    "c.c_mktsegment AS collection_code, "
+    "CAST(c.c_acctbal AS VARCHAR(32)) AS acctbal_s, "
+    "CAST(coalesce(o.n, 0) AS BIGINT) AS n_media "
+    "FROM customer c LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders "
+    "WHERE o_custkey <= 300 AND o_orderkey % 3 = 0 GROUP BY o_custkey) o "
+    "ON o.o_custkey = c.c_custkey WHERE c.c_custkey <= 300 "
+    "ORDER BY c.c_custkey",
+)
+def dwca_roundtrip(spark, sf_dir):
+    """S10→S1 (+J7 shape): write a DwC-A zip (core occurrence member +
+    multimedia extension + citations, generated meta.xml), re-open it with
+    DwcaArchive, read core and extension back, and left-join media counts
+    per core id — reference download.py:457-474 (writer) and dwca.py
+    (reader). The oracle sees only the original tables: any loss or
+    corruption in the CSV shaping, meta.xml term URIs, header handling, or
+    blank→null normalization breaks the value hash."""
+    import os
+    import tempfile
+
+    from idb_backend_spark.export.writers import write_dwca
+    from idb_backend_spark.sources.dwca import DwcaArchive
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    core = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("dwc:catalogNumber"),
+        F.col("c_mktsegment").alias("dwc:collectionCode"),
+        F.col("c_acctbal").cast("string").alias("dwc:decimalLatitude"),
+    )
+    ext = (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_custkey") <= 300) & (F.col("o_orderkey") % 3 == 0))
+        .select(
+            F.col("o_custkey").alias("coreid"),
+            F.col("o_orderstatus").alias("ac:accessURI"),
+        )
+    )
+    workdir = tempfile.mkdtemp(prefix="dwca_rt_")
+    zip_path = os.path.join(workdir, "archive.zip")
+    write_dwca(
+        zip_path,
+        (core, "id",
+         ["dwc:catalogNumber", "dwc:collectionCode", "dwc:decimalLatitude"],
+         "records"),
+        extensions=[(ext, "coreid", ["ac:accessURI"], "mediarecords")],
+        citations="dwca_roundtrip test archive",
+    )
+    arch = DwcaArchive(zip_path)
+    rcore = arch.read_core(spark)
+    n_media = (
+        arch.read_extension(spark)
+        .groupBy("coreid")
+        .agg(F.count(F.lit(1)).alias("n_media"))
+    )
+    return (
+        rcore.join(n_media, rcore["id"] == n_media["coreid"], "left")
+        .select(
+            rcore["id"].cast("bigint").alias("c_custkey"),
+            F.col("`dwc:catalogNumber`").alias("catalog_number"),
+            F.col("`dwc:collectionCode`").alias("collection_code"),
+            F.col("`dwc:decimalLatitude`").alias("acctbal_s"),
+            F.coalesce(F.col("n_media"), F.lit(0)).cast("bigint").alias("n_media"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "delimited_roundtrip",
+    "SELECT s_suppkey, s_name AS recorded_by, "
+    "CAST(s_acctbal AS VARCHAR(32)) AS lat_s, "
+    "CAST(s_nationkey AS VARCHAR(8)) AS country_s, "
+    "CAST(FALSE AS BOOLEAN) AS corrupt "
+    "FROM supplier ORDER BY s_suppkey",
+)
+def delimited_roundtrip(spark, sf_dir):
+    """S9→S2/S3/F21: export a TSV with VERBATIM provider headers
+    (``Collector``, ``DecimalLatitude``, ``Country``, plus an
+    ``Annotations`` bookkeeping column), then read it back through
+    read_delimited — which must canonicalize the headers through the full
+    term-translate table (Collector→dwc:recordedBy, …), DROP the
+    registry-flagged Annotations column, and mark zero corrupt rows
+    (reference delimited.py:256-305, fieldnames.py:594-631)."""
+    import os
+    import tempfile
+
+    from idb_backend_spark.export.writers import write_csv_member
+    from idb_backend_spark.sources.delimited import read_delimited
+
+    src = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("recorded_by"),
+        F.col("s_acctbal").cast("string").alias("lat_s"),
+        F.col("s_nationkey").cast("string").alias("country_s"),
+        F.lit("provider-junk").alias("notes"),
+    )
+    d = tempfile.mkdtemp(prefix="delim_rt_")
+    path = os.path.join(d, "provider.tsv")
+    write_csv_member(
+        src, path, "id",
+        ["recorded_by", "lat_s", "country_s", "notes"],
+        tsv=True,
+        header_names={
+            "recorded_by": "Collector",
+            "lat_s": "DecimalLatitude",
+            "country_s": "Country",
+            "notes": "Annotations",
+        },
+    )
+    back = read_delimited(spark, path, sep="\t")
+    assert "Annotations" not in back.columns and "notes" not in back.columns
+    return back.select(
+        F.col("id").cast("bigint").alias("s_suppkey"),
+        F.col("`dwc:recordedBy`").alias("recorded_by"),
+        F.col("`dwc:decimalLatitude`").alias("lat_s"),
+        F.col("`dwc:country`").alias("country_s"),
+        F.col("flag_corrupt_row").alias("corrupt"),
+    ).orderBy("s_suppkey")
+
+
+@query(
+    "eml_harvest",
+    "SELECT n_nationkey, 'Collection ' || n_name AS collection_name, "
+    "'Specimens from ' || n_name || '.' AS description, "
+    "'http://creativecommons.org/licenses/by/' || "
+    "CAST(n_nationkey % 5 AS VARCHAR(8)) || '.0/' AS rights, "
+    "'Curator' || CAST(n_nationkey AS VARCHAR(8)) AS contact_last "
+    "FROM nation ORDER BY n_nationkey",
+)
+def eml_harvest(spark, sf_dir):
+    """S4 — EML metadata harvest: one synthesized EML document per
+    recordset (nation row), parsed driver-side by parse_eml exactly like
+    the reference's per-recordset metadata fetch (eml.py; metadata is
+    KB-scale and per-publisher — a driver loop is the right shape, the
+    reference's is too), then assembled into a DataFrame. The oracle
+    reconstructs the expected parse fields in SQL."""
+    from idb_backend_spark.sources.eml import parse_eml
+
+    nations = (
+        _t(spark, sf_dir, "nation").select("n_nationkey", "n_name").collect()
+    )
+    rows = []
+    for r in sorted(nations, key=lambda x: x["n_nationkey"]):
+        xml = (
+            '<eml:eml xmlns:eml="eml://ecoinformatics.org/eml-2.1.1"><dataset>'
+            f"<title>Collection {r['n_name']}</title>"
+            "<creator><individualName>"
+            f"<surName>Curator{r['n_nationkey']}</surName>"
+            "</individualName></creator>"
+            f"<abstract><para>Specimens from {r['n_name']}.</para></abstract>"
+            "<intellectualRights><para><ulink>"
+            f"<url>http://creativecommons.org/licenses/by/{r['n_nationkey'] % 5}.0/</url>"
+            "</ulink></para></intellectualRights></dataset></eml:eml>"
+        )
+        md = parse_eml(xml)
+        rows.append(
+            (
+                int(r["n_nationkey"]),
+                md["collection_name"],
+                md["collection_description"],
+                md["data_rights"],
+                md["contacts"][0]["last_name"],
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "n_nationkey bigint, collection_name string, description string, "
+        "rights string, contact_last string",
+    ).orderBy("n_nationkey")

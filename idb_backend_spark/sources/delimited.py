@@ -33,7 +33,11 @@ def normalize_delimiter(d: str | None, default: str = ",") -> str:
         return default
     if isinstance(d, (bytes, bytearray)):
         d = bytes(d).decode("utf-8", errors="replace")
-    d = str(d).strip()
+    d = str(d)
+    if len(d) == 1 and d in ("\t", " "):
+        # a literal whitespace char IS the delimiter — don't strip it away
+        return d
+    d = d.strip()
     if len(d) >= 2 and d[0] == d[-1] and d[0] in ("'", '"'):
         d = d[1:-1]
     if d.lower() == "tab":

@@ -231,3 +231,9 @@ def test_canonical_names():
     assert fn.uri_to_curie("http://example.com/terms/foo") == "example:foo"
     assert fn.curie_to_uri("dwc:genus") == "http://rs.tdwg.org/dwc/terms/genus"
     assert fn.infer_row_type(["genus", "ac:accessURI", "locality"]) == "dwc:Occurrence"
+
+
+def test_normalize_delimiter_literal_whitespace():
+    # a literal tab/space must survive as-is, not strip to the default
+    assert normalize_delimiter("\t") == "\t"
+    assert normalize_delimiter(" ") == " "
