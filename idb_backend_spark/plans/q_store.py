@@ -590,3 +590,83 @@ def eml_harvest(spark, sf_dir):
         "n_nationkey bigint, collection_name string, description string, "
         "rights string, contact_last string",
     ).orderBy("n_nationkey")
+
+
+@query(
+    "object_store_roundtrip",
+    "SELECT doc_id, md5(text) AS retrieved_md5 FROM documents "
+    "WHERE doc_id <= 200 ORDER BY doc_id",
+)
+def object_store_roundtrip(spark, sf_dir):
+    """S12 — content-addressed media landing through the ObjectStore
+    (reference idb/helpers/storage.py): each partition puts its blobs via
+    put_media (key = md5 etag), then downloads them back with digest
+    verification. Runs DISTRIBUTED (mapInPandas, one store client per
+    batch — the executor-side shape the S3 backend needs); the oracle only
+    knows md5(text), so any loss in the store round-trip diverges."""
+    import pandas as pd  # noqa: F811
+    import tempfile
+
+    from idb_backend_spark.sources.objectstore import (
+        LocalFSBackend,
+        ObjectStore,
+        md5_hex,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") <= 200)
+        .select("doc_id", "text")
+    )
+    root = tempfile.mkdtemp(prefix="objstore_rt_")
+
+    def put_get(batches):
+        store = ObjectStore(LocalFSBackend(root))
+        for pdf in batches:
+            out = []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                data = str(txt).encode("utf-8")
+                ref = store.put_media(data, mtype="images")
+                back = store.get_bytes(ref.bucket, ref.key, md5=ref.etag)
+                out.append((int(did), md5_hex(back)))
+            yield pd.DataFrame(out, columns=["doc_id", "retrieved_md5"])
+
+    return docs.mapInPandas(
+        put_get, "doc_id bigint, retrieved_md5 string"
+    ).orderBy("doc_id")
+
+
+@query(
+    "index_sink_roundtrip",
+    "SELECT l_returnflag, count(*) AS n, "
+    "CAST(sum(l_quantity) AS DOUBLE) AS sum_qty "
+    "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+)
+def index_sink_roundtrip(spark, sf_dir):
+    """S8 — the partitioned/clustered analytical sink (the ES bulk-index
+    analog): write lineitem partitioned by l_returnflag and clustered by
+    l_orderkey via write_index_table, read the table back, and aggregate
+    per partition value. Any row lost or duplicated by the layout write
+    (repartition + sortWithinPartitions + partitionBy + bounded files)
+    breaks the count/sum oracle."""
+    import tempfile
+
+    from idb_backend_spark.export.sink import write_index_table
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    path = tempfile.mkdtemp(prefix="sink_rt_") + "/t"
+    write_index_table(
+        li, path, partition_by=["l_returnflag"], cluster_by=["l_orderkey"],
+        max_records_per_file=50_000,
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
