@@ -267,3 +267,81 @@ def ivf_ann_topk_q(spark, sf_dir):
     return ann.ivf_topk(assigned, centroids, qvec, k=10, nprobe=5)
 
 
+
+
+_LANG_CASE_SQL = (
+    "CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und' "
+    "WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de' "
+    "WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en' "
+    "WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es' "
+    "WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END"
+)
+
+
+@query(
+    "corpus_curation_pipeline",
+    # the full training-data prep chain in SQL: normalize -> lang-ID ->
+    # quality score (length/stopword/punct) -> threshold filter -> exact
+    # dedup keep-min-id -> per-language corpus stats. Decimal-cast sums
+    # keep the aggregates order-independent across engines.
+    "WITH t AS (SELECT doc_id, text, "
+    "  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents), "
+    "tok AS (SELECT *, regexp_split_to_array(norm, ' ') AS toks FROM t), "
+    "m AS (SELECT doc_id, text, norm, toks, "
+    "  CASE WHEN length(norm) = 0 THEN 0 ELSE len(toks) END AS n_tok, "
+    "  least(length(text) / 500.0, 1.0) AS len_score, "
+    "  len(list_filter(toks, x -> x IN ('the','and','of','to','a'))) "
+    "    / CAST(len(toks) AS DOUBLE) AS swr, "
+    "  CASE WHEN length(text) > 0 THEN "
+    "    length(regexp_replace(text, '[^!-/:-@[-`{-~]', '', 'g')) "
+    "      / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS pr, "
+    "  len(list_filter(toks, x -> x IN ('the','and','of','to','a'))) AS s_en, "
+    "  len(list_filter(toks, x -> x IN ('el','la','de','que','y'))) AS s_es, "
+    "  len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS s_fr, "
+    "  len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS s_de, "
+    "  len(list_filter(toks, x -> x IN ('的','是','了','在','我'))) AS s_zh "
+    "  FROM tok), "
+    "q AS (SELECT *, round(0.5 * len_score + 0.5 * least(swr * 5, 1.0) "
+    "  - 0.25 * least(pr * 4, 1.0), 6) AS q, " + _LANG_CASE_SQL + " AS lang "
+    "  FROM m), "
+    "f AS (SELECT * FROM q WHERE q >= 0.3 AND n_tok >= 5), "
+    "k AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(norm)) AS keeper FROM f) "
+    "SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens, "
+    "round(CAST(sum(CAST(q AS DECIMAL(12,6))) AS DOUBLE) / count(*), 6) "
+    "  AS avg_quality "
+    "FROM k WHERE doc_id = keeper GROUP BY lang ORDER BY lang",
+)
+def corpus_curation_pipeline(spark, sf_dir):
+    """Composed LLM-corpus curation — the end-to-end training-data prep
+    path: language ID, composite quality score, token counting, threshold
+    filtering, exact dedup (keep min-id representative), per-language
+    corpus statistics. Every stage is a native expression or a single
+    hash aggregation; at 100 TB the only shuffles are the dedup groupBy
+    on the content fingerprint and the final (tiny) per-language rollup.
+    Sums go through decimal so cross-engine float ordering can't diverge."""
+    from idb_backend_spark.functions import text as T
+    from idb_backend_spark.operators.dedup import exact_dedup_keep_first
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    enriched = docs.select(
+        "doc_id",
+        "text",
+        T.lang_id("text").alias("lang"),
+        T.quality_score("text").alias("q"),
+        T.token_count("text").alias("n_tok"),
+    )
+    filtered = enriched.filter((F.col("q") >= 0.3) & (F.col("n_tok") >= 5))
+    kept = exact_dedup_keep_first(filtered, "text", "doc_id")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.sum(F.col("q").cast("decimal(12,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
