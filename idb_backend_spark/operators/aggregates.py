@@ -136,3 +136,25 @@ def paginate(
             .drop("__rn")
         )
     return rows
+
+
+def ordered_group_rollup(
+    df: DataFrame, key: str, order_cols: list[str], value_col: str
+) -> DataFrame:
+    """W3 — ordered-stream group iteration (index_from_postgres.py:197-215:
+    ORDER BY parent then itertools.groupby over the sorted stream).
+
+    Spark-first inversion of the reference's sort-then-scan: one hash
+    aggregation collecting (order..., value) structs per key, sorted
+    *inside* each group by sort_array. No global sort, no single ordered
+    partition — each group's ordering is local to its aggregation buffer,
+    so the plan is a plain partial/final agg pair that scales with keys."""
+    ordered = F.sort_array(
+        F.collect_list(F.struct(*[F.col(c) for c in order_cols], F.col(value_col)))
+    )
+    return df.groupBy(key).agg(
+        F.array_join(
+            F.transform(ordered, lambda s: s[value_col].cast("string")), "|"
+        ).alias("ordered_values"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -59,6 +59,49 @@ def sibling_map(
     )
 
 
+def attach_harvest_file(
+    recordsets: DataFrame,
+    objects: DataFrame,
+    etag_col: str = "file_harvest_etag",
+    obj_etag: str = "etag",
+) -> DataFrame:
+    """J7 — recordset -> harvested file object (db.py:878-884:
+    ``LEFT JOIN objects ON recordsets.file_harvest_etag = objects.etag``).
+
+    Recordsets are a small dimension (thousands) while the object store is
+    large, so the scale-correct plan projects/dedupes the object side to
+    (etag, payload) first — the join then shuffles only the slim object
+    projection, and AQE broadcasts the recordset side when it fits."""
+    obj_cols = [c for c in objects.columns if c != obj_etag]
+    slim = objects.select(
+        F.col(obj_etag).alias(etag_col), *[F.col(c) for c in obj_cols]
+    ).dropDuplicates([etag_col])
+    return recordsets.join(slim, on=etag_col, how="left")
+
+
+def annotation_counts(
+    entities: DataFrame,
+    annotations: DataFrame,
+    key: str = "uuid",
+    ann_key: str = "uuids_id",
+    pred: Column | None = None,
+) -> DataFrame:
+    """J11 — per-entity annotation count (index_from_postgres.py:122-126:
+    LATERAL ``count(*)`` of approved annotations per uuid).
+
+    groupBy+count on the (filtered) annotation side first — one partial-agg
+    shuffle over (key, count) pairs only — then a left join so entities with
+    zero annotations keep a 0 instead of dropping out."""
+    anns = annotations.filter(pred) if pred is not None else annotations
+    counts = anns.groupBy(F.col(ann_key).alias(key)).agg(
+        F.count(F.lit(1)).alias("annotation_count")
+    )
+    joined = entities.join(counts, on=key, how="left")
+    return joined.withColumn(
+        "annotation_count", F.coalesce("annotation_count", F.lit(0))
+    )
+
+
 def cross_filter(
     records: DataFrame,
     media: DataFrame,

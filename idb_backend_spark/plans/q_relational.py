@@ -397,3 +397,76 @@ def case_fold_discipline(spark, sf_dir):
     )
 
 
+
+
+@query(
+    "recordset_file_join",
+    "WITH rs AS (SELECT s_suppkey AS recordset_id, "
+    "  CASE WHEN s_suppkey % 3 <> 0 THEN md5(CAST(s_suppkey AS VARCHAR)) END "
+    "    AS file_harvest_etag FROM supplier), "
+    "obj AS (SELECT md5(CAST(s_suppkey AS VARCHAR)) AS etag, "
+    "  'text/csv' AS detected_mime, CAST(s_acctbal AS DOUBLE) AS payload_size "
+    "  FROM supplier WHERE s_suppkey % 2 = 0) "
+    "SELECT r.recordset_id, r.file_harvest_etag, o.detected_mime, "
+    "o.payload_size FROM rs r LEFT JOIN obj o ON r.file_harvest_etag = o.etag "
+    "ORDER BY recordset_id",
+)
+def recordset_file_join(spark, sf_dir):
+    """J7 — recordset -> harvested file object left join
+    (db.py:878-884). Recordsets synthesized from supplier; every 3rd has
+    no harvest etag (never harvested), and the object store only holds
+    objects for even suppkeys, so the entry exercises both null-key and
+    unmatched-key left-join rows."""
+    sup = _t(spark, sf_dir, "supplier")
+    rs = sup.select(
+        F.col("s_suppkey").alias("recordset_id"),
+        F.when(
+            F.col("s_suppkey") % 3 != 0,
+            F.md5(F.col("s_suppkey").cast("string").cast("binary")),
+        ).alias("file_harvest_etag"),
+    )
+    obj = sup.filter(F.col("s_suppkey") % 2 == 0).select(
+        F.md5(F.col("s_suppkey").cast("string").cast("binary")).alias("etag"),
+        F.lit("text/csv").alias("detected_mime"),
+        F.col("s_acctbal").cast("double").alias("payload_size"),
+    )
+    out = relations.attach_harvest_file(rs, obj)
+    return out.select(
+        "recordset_id", "file_harvest_etag", "detected_mime", "payload_size"
+    ).orderBy("recordset_id")
+
+
+@query(
+    "annotation_count",
+    "SELECT o.o_orderkey AS uuid, coalesce(a.n, 0) AS annotation_count "
+    "FROM orders o LEFT JOIN (SELECT l_orderkey, count(*) AS n FROM lineitem "
+    "WHERE l_returnflag = 'R' GROUP BY l_orderkey) a "
+    "ON a.l_orderkey = o.o_orderkey ORDER BY uuid",
+)
+def annotation_count(spark, sf_dir):
+    """J11 — LATERAL count(*) of approved annotations per uuid
+    (index_from_postgres.py:122-126). Annotations synthesized from
+    lineitem ('R' returnflag = approved); orders with none keep 0."""
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("uuid"))
+    anns = _t(spark, sf_dir, "lineitem")
+    out = relations.annotation_counts(
+        orders, anns, key="uuid", ann_key="l_orderkey",
+        pred=F.col("l_returnflag") == "R",
+    )
+    return out.select("uuid", "annotation_count").orderBy("uuid")
+
+
+@query(
+    "ordered_group_iteration",
+    "SELECT user_id, string_agg(CAST(event_id AS VARCHAR), '|' "
+    "ORDER BY ts, event_id) AS ordered_values, count(*) AS n "
+    "FROM events GROUP BY user_id ORDER BY user_id",
+)
+def ordered_group_iteration(spark, sf_dir):
+    """W3 — ordered-stream group iteration (index_from_postgres.py:197-215:
+    ORDER BY parent then itertools.groupby). The Spark inversion sorts
+    inside each aggregation buffer (sort_array over collected structs)
+    instead of globally — no ordered-partition bottleneck."""
+    ev = _t(spark, sf_dir, "events")
+    out = agg.ordered_group_rollup(ev, "user_id", ["ts"], "event_id")
+    return out.select("user_id", "ordered_values", "n").orderBy("user_id")
