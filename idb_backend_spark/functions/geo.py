@@ -40,40 +40,94 @@ try:  # pragma: no cover - not present in this container
 except ImportError:
     HAVE_PYPROJ = False
 
-#: Datum alias normalization (conversions.py:423-430).
+#: Datum alias normalization (conversions.py:423-430, extended with the
+#: mangled verbose spellings providers actually write; keys are already
+#: mangle_string()-normalized — uppercase, alphanumerics only).
 DATUM_ALIASES = {
     "WORLDGEODETICSYSTEM1984": "WGS84",
     "WORLDGEODETICSYSTEM84": "WGS84",
     "WORLDGEODETICSYSTEM1972": "WGS72",
     "NORTHAMERICANDATUM1983": "NAD83",
     "NORTHAMERICANDATUM1927": "NAD27",
+    "EUROPEANDATUM1950": "ED50",
+    "EUROPEAN1950": "ED50",
+    "ED1950": "ED50",
+    "TOKYODATUM": "TOKYO",
+    "AUSTRALIANGEODETICDATUM1966": "AGD66",
+    "AUSTRALIANGEODETICDATUM1984": "AGD84",
+    "SOUTHAMERICANDATUM1969": "SAD69",
+    "ORDNANCESURVEYGREATBRITAIN1936": "OSGB36",
+    "OSGB1936": "OSGB36",
+    "PULKOVO1942": "PULKOVO42",
+    "NEWZEALANDGEODETICDATUM1949": "NZGD49",
+    "GEODETICDATUM1949": "NZGD49",
+    "IRELAND1965": "IRE65",
+    "DHDN": "POTSDAM",
+    "DEUTSCHESHAUPTDREIECKSNETZ": "POTSDAM",
+    "GREEKGEODETICREFERENCESYSTEM1987": "GGRS87",
 }
-
-_KNOWN_DATUMS = {"WGS84", "WGS72", "NAD83", "NAD27"}
 
 # --------------------------------------------------------------------------
 # Abridged Molodensky datum shift → WGS84 (public parameters: DMA TR
-# 8350.2). This is the NATIVE path for the common datums — pure arithmetic
-# on trig built-ins, fully codegen'd, no Python in the hot loop. pyproj
-# (when present) remains the exact path for arbitrary CRS strings.
+# 8350.2 mean three-parameter shifts; GGRS87/Carthage from the proj
+# datum registry). This is the NATIVE path for the datums the reference
+# reaches through proj's +datum= registry plus the other majors — pure
+# arithmetic on trig built-ins, fully codegen'd, no Python in the hot
+# loop. pyproj (when present) remains the exact path for arbitrary CRS
+# strings (7-parameter / grid-shift accuracy).
 # --------------------------------------------------------------------------
 
 #: WGS84 ellipsoid.
 WGS84_A = 6378137.0
 WGS84_F = 1.0 / 298.257223563
 
+# Source ellipsoids (public geodetic constants).
+_CLARKE_1866 = (6378206.4, 1.0 / 294.9786982)
+_INTL_1924 = (6378388.0, 1.0 / 297.0)
+_BESSEL_1841 = (6377397.155, 1.0 / 299.1528128)
+_AIRY_1830 = (6377563.396, 1.0 / 299.3249646)
+_AIRY_MOD = (6377340.189, 1.0 / 299.3249646)
+_AUSTRALIAN = (6378160.0, 1.0 / 298.25)
+_KRASSOVSKY = (6378245.0, 1.0 / 298.3)
+_CLARKE_1880 = (6378249.145, 1.0 / 293.465)
+_CLARKE_1880_IGN = (6378249.2, 1.0 / 293.466021)
+_GRS80 = (6378137.0, 1.0 / 298.257222101)
+
 #: datum -> (a, f, dx, dy, dz, dlam_arcsec). dx/dy/dz are the
-#: source→WGS84 geocentric shifts in meters; dlam_arcsec carries WGS72's
-#: 0.554″ Z-axis rotation as the constant longitude term of the official
-#: DMA WGS72→WGS84 formula. NAD27 uses the CONUS mean shift.
+#: source→WGS84 geocentric shifts in meters (DMA TR 8350.2 regional
+#: means); dlam_arcsec carries WGS72's 0.554″ Z-axis rotation as the
+#: constant longitude term of the official DMA WGS72→WGS84 formula.
+#: NAD27 uses the CONUS mean shift, ED50 mean Europe, OSGB36 mean GB,
+#: ARC1950 mean, SAD69 mean South America, PULKOVO42 Russia.
 MOLODENSKY_PARAMS: dict[str, tuple[float, float, float, float, float, float]] = {
-    "NAD27": (6378206.4, 1.0 / 294.9786982, -8.0, 160.0, 176.0, 0.0),
+    "NAD27": (*_CLARKE_1866, -8.0, 160.0, 176.0, 0.0),
     "WGS72": (6378135.0, 1.0 / 298.26, 0.0, 0.0, 4.5, 0.554),
+    "ED50": (*_INTL_1924, -87.0, -98.0, -121.0, 0.0),
+    "TOKYO": (*_BESSEL_1841, -148.0, 507.0, 685.0, 0.0),
+    "AGD66": (*_AUSTRALIAN, -133.0, -48.0, 148.0, 0.0),
+    "AGD84": (*_AUSTRALIAN, -134.0, -48.0, 149.0, 0.0),
+    "SAD69": (*_AUSTRALIAN, -57.0, 1.0, -41.0, 0.0),
+    "OSGB36": (*_AIRY_1830, 375.0, -111.0, 431.0, 0.0),
+    "IRE65": (*_AIRY_MOD, 506.0, -122.0, 611.0, 0.0),
+    "NZGD49": (*_INTL_1924, 84.0, -22.0, 209.0, 0.0),
+    "PULKOVO42": (*_KRASSOVSKY, 28.0, -130.0, -95.0, 0.0),
+    "CAPE": (*_CLARKE_1880, -136.0, -108.0, -292.0, 0.0),
+    "ARC1950": (*_CLARKE_1880, -143.0, -90.0, -294.0, 0.0),
+    "CARTHAGE": (*_CLARKE_1880_IGN, -263.0, 6.0, 431.0, 0.0),
+    "POTSDAM": (*_BESSEL_1841, 606.0, 23.0, 413.0, 0.0),
+    "HERMANNSKOGEL": (*_BESSEL_1841, 653.0, -212.0, 449.0, 0.0),
+    "GGRS87": (*_GRS80, -199.87, 74.79, 246.62, 0.0),
 }
 
 #: Datums treated as identical to WGS84 at this engine's precision
-#: (NAD83≈WGS84 within ~1-2 m; the reference also passes these through).
-IDENTITY_DATUMS = {"WGS84", "NAD83", "EPSG4326", "GRS80", "ETRS89"}
+#: (NAD83≈WGS84 within ~1-2 m; modern ITRF-aligned national datums
+#: likewise; the reference also passes these through).
+IDENTITY_DATUMS = {
+    "WGS84", "NAD83", "EPSG4326", "GRS80", "ETRS89",
+    "GDA94", "GDA2020", "JGD2000", "JGD2011", "SIRGAS2000", "ITRF",
+}
+
+_KNOWN_DATUMS = set(MOLODENSKY_PARAMS) | IDENTITY_DATUMS
 
 
 def _molodensky_terms(datum: str) -> tuple[float, float, float, float, float, float, float, float]:
@@ -118,23 +172,41 @@ def molodensky_shift_expr(
     """
     lat_c, lon_c = lat.cast("double"), lon.cast("double")
 
-    def shifted(datum: str) -> tuple[Column, Column]:
-        a, e2, dx, dy, dz, adf_fda, dlam_sec, _f = _molodensky_terms(datum)
-        phi, lam = F.radians(lat_c), F.radians(lon_c)
-        sp, cp = F.sin(phi), F.cos(phi)
-        sl, cl = F.sin(lam), F.cos(lam)
-        w2 = F.lit(1.0) - F.lit(e2) * sp * sp
-        w = F.sqrt(w2)
-        rm = F.lit(a * (1.0 - e2)) / (w2 * w)
-        rn = F.lit(a) / w
-        dphi = (
-            F.lit(-dx) * sp * cl - F.lit(dy) * sp * sl + F.lit(dz) * cp
-            + F.lit(adf_fda) * F.sin(F.lit(2.0) * phi)
-        ) / rm
-        dlam = (F.lit(-dx) * sl + F.lit(dy) * cl) / (rn * cp) + F.lit(
-            math.radians(dlam_sec / 3600.0)
-        )
-        return lat_c + F.degrees(dphi), lon_c + F.degrees(dlam)
+    # Hoist the per-datum constants into small CASE chains (one arm per
+    # datum, constants only) feeding ONE shared trig tree — the expression
+    # stays O(ops + datums), not O(ops × datums), so growing the datum
+    # table does not grow the codegen'd arithmetic.
+    def const(idx: int) -> Column:
+        c = None
+        for d in sorted(MOLODENSKY_PARAMS):
+            terms = _molodensky_terms(d)
+            vals = (
+                terms[0], terms[1], terms[2], terms[3], terms[4], terms[5],
+                math.radians(terms[6] / 3600.0),
+            )
+            arm = F.lit(vals[idx])
+            c = F.when(datum_norm == d, arm) if c is None else c.when(
+                datum_norm == d, arm
+            )
+        return c
+
+    p_a, p_e2 = const(0), const(1)
+    p_dx, p_dy, p_dz = const(2), const(3), const(4)
+    p_adf, p_dlam = const(5), const(6)
+
+    phi = F.radians(lat_c)
+    sp, cp = F.sin(phi), F.cos(phi)
+    lam = F.radians(lon_c)
+    sl, cl = F.sin(lam), F.cos(lam)
+    w2 = F.lit(1.0) - p_e2 * sp * sp
+    w = F.sqrt(w2)
+    rm = p_a * (F.lit(1.0) - p_e2) / (w2 * w)
+    rn = p_a / w
+    dphi = (
+        -p_dx * sp * cl - p_dy * sp * sl + p_dz * cp
+        + p_adf * F.sin(F.lit(2.0) * phi)
+    ) / rm
+    dlam = (-p_dx * sl + p_dy * cl) / (rn * cp) + p_dlam
 
     have = lat_c.isNotNull() & lon_c.isNotNull()
     missing = datum_norm.isNull() | (F.trim(datum_norm) == "")
@@ -142,12 +214,9 @@ def molodensky_shift_expr(
     identity = datum_norm.isin(*sorted(IDENTITY_DATUMS))
     known_shift = datum_norm.isin(*sorted(MOLODENSKY_PARAMS))
 
-    out_lat, out_lon = lat_c, lon_c
-    for d in sorted(MOLODENSKY_PARAMS):
-        la2, lo2 = shifted(d)
-        cond = have & ~at_pole & (datum_norm == d)
-        out_lat = F.when(cond, la2).otherwise(out_lat)
-        out_lon = F.when(cond, lo2).otherwise(out_lon)
+    apply_shift = have & ~at_pole & known_shift
+    out_lat = F.when(apply_shift, lat_c + F.degrees(dphi)).otherwise(lat_c)
+    out_lon = F.when(apply_shift, lon_c + F.degrees(dlam)).otherwise(lon_c)
 
     flag = F.when(have & missing, "geopoint_datum_missing").when(
         have & ~identity & ~known_shift, "geopoint_datum_error"
@@ -155,14 +224,109 @@ def molodensky_shift_expr(
     return {"lat": out_lat, "lon": out_lon, "flag": flag}
 
 
+def with_molodensky_shift(
+    df,
+    lat: Column,
+    lon: Column,
+    datum_raw: Column,
+    out_lat: str = "lat_wgs84",
+    out_lon: str = "lon_wgs84",
+    out_flag: str = "datum_flag",
+):
+    """Staged (DataFrame-level) form of the F6 shift — the form to use in
+    real pipelines.
+
+    molodensky_shift_expr composed inline re-inlines the normalized-datum
+    subtree at every constant site (~datums × 7), which breaches janino's
+    64 KB method limit and silently drops the stage out of whole-stage
+    codegen. Staging binds datum_norm and the seven per-datum constants
+    as real projected columns — each computed once — and Catalyst's
+    CollapseProject leaves them staged because they are non-cheap and
+    multi-referenced. Adds out_lat/out_lon/out_flag; temp columns dropped.
+    """
+    tmp = df.withColumns(
+        {
+            "__mg_lat": lat.cast("double"),
+            "__mg_lon": lon.cast("double"),
+            "__mg_datum": normalize_datum_expr(datum_raw),
+        }
+    )
+
+    dn = F.col("__mg_datum")
+
+    def const(idx: int) -> Column:
+        c = None
+        for d in sorted(MOLODENSKY_PARAMS):
+            terms = _molodensky_terms(d)
+            vals = (
+                terms[0], terms[1], terms[2], terms[3], terms[4], terms[5],
+                math.radians(terms[6] / 3600.0),
+            )
+            arm = F.lit(vals[idx])
+            c = F.when(dn == d, arm) if c is None else c.when(dn == d, arm)
+        return c
+
+    lat_c, lon_c = F.col("__mg_lat"), F.col("__mg_lon")
+    phi = F.radians(lat_c)
+    staged = tmp.withColumns(
+        {
+            "__mg_a": const(0), "__mg_e2": const(1), "__mg_dx": const(2),
+            "__mg_dy": const(3), "__mg_dz": const(4), "__mg_adf": const(5),
+            "__mg_dlamc": const(6),
+            "__mg_sp": F.sin(phi), "__mg_cp": F.cos(phi),
+            "__mg_sl": F.sin(F.radians(lon_c)),
+            "__mg_cl": F.cos(F.radians(lon_c)),
+        }
+    ).withColumns(
+        {"__mg_w2": F.lit(1.0) - F.col("__mg_e2") * F.col("__mg_sp") * F.col("__mg_sp")}
+    )
+
+    p_a, p_e2 = F.col("__mg_a"), F.col("__mg_e2")
+    p_dx, p_dy, p_dz = F.col("__mg_dx"), F.col("__mg_dy"), F.col("__mg_dz")
+    p_adf, p_dlam = F.col("__mg_adf"), F.col("__mg_dlamc")
+    sp, cp = F.col("__mg_sp"), F.col("__mg_cp")
+    sl, cl = F.col("__mg_sl"), F.col("__mg_cl")
+    w2 = F.col("__mg_w2")
+    w = F.sqrt(w2)
+    rm = p_a * (F.lit(1.0) - p_e2) / (w2 * w)
+    rn = p_a / w
+    dphi = (
+        -p_dx * sp * cl - p_dy * sp * sl + p_dz * cp
+        + p_adf * (F.lit(2.0) * sp * cp)
+    ) / rm
+    dlam = (-p_dx * sl + p_dy * cl) / (rn * cp) + p_dlam
+
+    have = lat_c.isNotNull() & lon_c.isNotNull()
+    missing = dn.isNull() | (F.trim(dn) == "")
+    at_pole = F.abs(lat_c) >= 90.0
+    identity = dn.isin(*sorted(IDENTITY_DATUMS))
+    apply_shift = have & ~at_pole & p_a.isNotNull()
+    flag = F.when(have & missing, "geopoint_datum_missing").when(
+        have & ~identity & p_a.isNull() & ~missing, "geopoint_datum_error"
+    )
+    out = staged.withColumns(
+        {
+            out_lat: F.when(apply_shift, lat_c + F.degrees(dphi)).otherwise(lat_c),
+            out_lon: F.when(apply_shift, lon_c + F.degrees(dlam)).otherwise(lon_c),
+            out_flag: flag,
+        }
+    )
+    return out.drop(*[c for c in out.columns if c.startswith("__mg_")])
+
+
 def normalize_datum_expr(datum_raw: Column) -> Column:
     """Native datum normalization: uppercase, strip non-alphanumerics,
-    resolve aliases (conversions.py:312-316, 423-430)."""
+    resolve aliases (conversions.py:312-316, 423-430).
+
+    The alias table is a single literal map lookup — NOT a per-alias CASE
+    chain, which would re-inline the regexp subtree once per alias and
+    blow the 64 KB codegen method limit when composed into the shift."""
     mangled = F.upper(F.regexp_replace(datum_raw, "[^A-Za-z0-9]", ""))
-    out = mangled
-    for verbose, short in DATUM_ALIASES.items():
-        out = F.when(mangled == verbose, short).otherwise(out)
-    return out
+    pairs = []
+    for verbose, short in sorted(DATUM_ALIASES.items()):
+        pairs.extend([F.lit(verbose), F.lit(short)])
+    # try_element_at: ANSI mode makes plain element_at throw on missing keys
+    return F.coalesce(F.try_element_at(F.create_map(*pairs), mangled), mangled)
 
 
 def mangle_string(s: str) -> str:

@@ -844,9 +844,12 @@ from idb_backend_spark.functions import geo as GEO
 _DATUM_LAT = "CAST(((c_custkey * 7) % 120) - 60 + 0.125 AS DOUBLE)"
 _DATUM_LON = "CAST(((c_custkey * 13) % 360) - 180 + 0.25 AS DOUBLE)"
 _DATUM_RAW = (
-    "CASE c_custkey % 6 WHEN 0 THEN 'NAD27' WHEN 1 THEN 'WGS 72' "
+    "CASE c_custkey % 12 WHEN 0 THEN 'NAD27' WHEN 1 THEN 'WGS 72' "
     "WHEN 2 THEN 'WGS84' WHEN 3 THEN 'North American Datum 1983' "
-    "WHEN 4 THEN 'Cape' ELSE NULL END"
+    "WHEN 4 THEN 'Cape' WHEN 5 THEN 'European Datum 1950' "
+    "WHEN 6 THEN 'Tokyo Datum' WHEN 7 THEN 'OSGB 1936' "
+    "WHEN 8 THEN 'Pulkovo 1942' WHEN 9 THEN 'GDA94' "
+    "WHEN 10 THEN 'Campo Inchauspe' ELSE NULL END"
 )
 
 
@@ -908,21 +911,24 @@ def _molodensky_oracle_sql() -> str:
 @query("datum_shift_molodensky", _molodensky_oracle_sql())
 def datum_shift_molodensky(spark, sf_dir):
     """F6 — datum→WGS84 transform as a native expression: abridged
-    Molodensky for NAD27 (CONUS mean) and WGS72 (incl. the 0.554″ Z-rotation
-    longitude term), identity for the WGS84 family, pass-through + flag for
-    missing/unknown datums (reference conversions.py:485-509 contract).
-    All trig is JVM-side builtin — no Python in the hot path."""
+    Molodensky over the 17-datum DMA TR 8350.2 table (NAD27, ED50, TOKYO,
+    OSGB36, AGD66/84, SAD69, PULKOVO42, CAPE, ... plus WGS72's 0.554″
+    Z-rotation longitude term), identity for the ITRF-aligned family,
+    pass-through + flag for missing/unknown datums (reference
+    conversions.py:485-509 contract). Staged so the per-datum constants
+    bind once — all trig is JVM-side builtin inside whole-stage codegen."""
     g = _t(spark, sf_dir, "customer").select(
         "c_custkey",
         F.expr(_DATUM_LAT).alias("lat"),
         F.expr(_DATUM_LON).alias("lon"),
         F.expr(_DATUM_RAW).alias("datum_raw"),
     )
-    norm = GEO.normalize_datum_expr(F.col("datum_raw"))
-    r = GEO.molodensky_shift_expr(F.col("lat"), F.col("lon"), norm)
-    return g.select(
+    shifted = GEO.with_molodensky_shift(
+        g, F.col("lat"), F.col("lon"), F.col("datum_raw")
+    )
+    return shifted.select(
         "c_custkey",
-        F.round(r["lat"], 6).alias("lat_wgs84"),
-        F.round(r["lon"], 6).alias("lon_wgs84"),
-        r["flag"].alias("flag"),
+        F.round("lat_wgs84", 6).alias("lat_wgs84"),
+        F.round("lon_wgs84", 6).alias("lon_wgs84"),
+        F.col("datum_flag").alias("flag"),
     ).orderBy("c_custkey")

@@ -207,13 +207,22 @@ def etl_enrichment_pipeline(spark, sf_dir):
         ).alias("datum_s"),
     )
     geo = E.geo_normalize(F.col("lat_s"), F.col("lon_s"))
-    from idb_backend_spark.functions.geo import (
-        molodensky_shift_expr,
-        normalize_datum_expr,
-    )
+    from idb_backend_spark.functions.geo import with_molodensky_shift
 
-    datum = molodensky_shift_expr(
-        geo["lat"], geo["lon"], normalize_datum_expr(F.col("datum_s"))
+    # staged shift (not molodensky_shift_expr inline): binds the geo-
+    # normalized coordinates and per-datum constants once as columns so
+    # the stage stays inside whole-stage codegen (janino 64 KB limit)
+    raw = raw.withColumns(
+        {
+            "__geo_lat": geo["lat"],
+            "__geo_lon": geo["lon"],
+            "__flag_pre_flip": geo["flag_pre_flip"],
+            "__flag_bounds": geo["flag_bounds"],
+            "__flag_low_precision": geo["flag_low_precision"],
+        }
+    )
+    raw = with_molodensky_shift(
+        raw, F.col("__geo_lat"), F.col("__geo_lon"), F.col("datum_s")
     )
     bor = E.fix_basis_of_record(F.col("bor_s"))
     rank = E.fix_taxon_rank(F.col("rank_s"))
@@ -223,8 +232,8 @@ def etl_enrichment_pipeline(spark, sf_dir):
     )
     enriched = raw.select(
         "rowid",
-        datum["lat"].alias("lat"),
-        datum["lon"].alias("lon"),
+        F.col("lat_wgs84").alias("lat"),
+        F.col("lon_wgs84").alias("lon"),
         dc.alias("datecollected"),
         int_grabber("elev_s").alias("minelevation"),
         grab_first_number("elev_s").alias("elev_f"),
@@ -232,8 +241,8 @@ def etl_enrichment_pipeline(spark, sf_dir):
         rank["value"].alias("taxonrank"),
         E.license_lookup(F.col("rights_s")).alias("license"),
         fold_flags(
-            geo["flag_pre_flip"], geo["flag_bounds"], geo["flag_low_precision"],
-            datum["flag"],
+            F.col("__flag_pre_flip"), F.col("__flag_bounds"),
+            F.col("__flag_low_precision"), F.col("datum_flag"),
             E.date_bounds_flag(dc), bor["flag_removed"], bor["flag_invalid"],
             rank["flag_replaced"], rank["flag_removed"],
         ).alias("flags"),

@@ -458,7 +458,7 @@ def test_molodensky_expr_flags_and_passthrough(spark):
         [
             Row(i=0, lat=34.0, lon=-118.25, datum="WGS84"),
             Row(i=1, lat=34.0, lon=-118.25, datum="North American Datum 1983"),
-            Row(i=2, lat=34.0, lon=-118.25, datum="Cape"),
+            Row(i=2, lat=34.0, lon=-118.25, datum="Campo Inchauspe"),
             Row(i=3, lat=34.0, lon=-118.25, datum=None),
             Row(i=4, lat=90.0, lon=0.0, datum="NAD27"),      # pole passthrough
             Row(i=5, lat=None, lon=None, datum="NAD27"),
@@ -479,6 +479,68 @@ def test_molodensky_expr_flags_and_passthrough(spark):
     assert (out[3].la, out[3].fl) == (34.0, "geopoint_datum_missing")
     assert (out[4].la, out[4].lo, out[4].fl) == (90.0, 0.0, None)
     assert out[5].la is None and out[5].fl is None
+
+
+def test_molodensky_new_datums_shift_plausibly():
+    """Each DMA TR 8350.2 datum shift moves a mid-latitude point by a
+    physically plausible amount (10 m .. 1.5 km) and flags nothing."""
+    from idb_backend_spark.functions.geo import (
+        MOLODENSKY_PARAMS,
+        molodensky_shift_py,
+    )
+
+    probe = {
+        "ED50": (48.0, 11.0), "TOKYO": (35.6, 139.7), "AGD66": (-33.8, 151.2),
+        "AGD84": (-31.9, 115.8), "SAD69": (-23.5, -46.6),
+        "OSGB36": (51.5, -0.1), "IRE65": (53.3, -6.2),
+        "NZGD49": (-41.3, 174.8), "PULKOVO42": (55.7, 37.6),
+        "CAPE": (-33.9, 18.4), "ARC1950": (-17.8, 31.0),
+        "CARTHAGE": (36.8, 10.2), "POTSDAM": (52.5, 13.4),
+        "HERMANNSKOGEL": (48.2, 16.4), "GGRS87": (38.0, 23.7),
+    }
+    assert set(probe) <= set(MOLODENSKY_PARAMS)
+    for datum, (la, lo) in probe.items():
+        la2, lo2 = molodensky_shift_py(la, lo, datum)
+        dist_m = (
+            ((la2 - la) * 111_320) ** 2
+            + ((lo2 - lo) * 111_320 * math.cos(math.radians(la))) ** 2
+        ) ** 0.5
+        assert 10.0 < dist_m < 1500.0, (datum, dist_m)
+
+
+def test_staged_shift_matches_inline_expr(spark):
+    """with_molodensky_shift (staged columns) computes the same numbers
+    as molodensky_shift_expr (inline tree) for every datum in the table."""
+    from idb_backend_spark.functions.geo import (
+        MOLODENSKY_PARAMS,
+        molodensky_shift_expr,
+        normalize_datum_expr,
+        with_molodensky_shift,
+    )
+
+    rows = [
+        Row(i=i, lat=10.0 + i, lon=-120.0 + 7 * i, datum=d)
+        for i, d in enumerate(sorted(MOLODENSKY_PARAMS))
+    ]
+    df = spark.createDataFrame(rows)
+    staged = {
+        r["i"]: r
+        for r in with_molodensky_shift(
+            df, F.col("lat"), F.col("lon"), F.col("datum")
+        ).collect()
+    }
+    expr = molodensky_shift_expr(
+        F.col("lat"), F.col("lon"), normalize_datum_expr(F.col("datum"))
+    )
+    inline = {
+        r["i"]: r
+        for r in df.select(
+            "i", expr["lat"].alias("la"), expr["lon"].alias("lo")
+        ).collect()
+    }
+    for i in staged:
+        assert abs(staged[i].lat_wgs84 - inline[i].la) < 1e-9
+        assert abs(staged[i].lon_wgs84 - inline[i].lo) < 1e-9
 
 
 def test_datum_udf_fallback_uses_molodensky(spark):
