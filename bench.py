@@ -34,6 +34,8 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "ann_cosine_topk",
     "etl_enrichment_pipeline",
+    "datum_shift_molodensky",
+    "corpus_curation_pipeline",
 ]
 
 

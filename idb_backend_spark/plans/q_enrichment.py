@@ -854,57 +854,24 @@ _DATUM_RAW = (
 
 
 def _molodensky_oracle_sql() -> str:
-    """DuckDB SQL for the abridged Molodensky shift, constants inlined
-    from geo.MOLODENSKY_PARAMS via exact round-trip string literals."""
-
-    def dbl(v: float) -> str:
-        return f"CAST('{v!r}' AS DOUBLE)"
-
-    def case_const(idx: int) -> str:
-        # per-datum constant column: (a, e2, dx, dy, dz, adf, dlam_rad)
-        arms = []
-        for d in sorted(GEO.MOLODENSKY_PARAMS):
-            a, e2, dx, dy, dz, adf, dlam_sec, _f = GEO._molodensky_terms(d)
-            vals = (a, e2, dx, dy, dz, adf, _math.radians(dlam_sec / 3600.0))
-            arms.append(f"WHEN '{d}' THEN {dbl(vals[idx])}")
-        return "CASE datum " + " ".join(arms) + " END"
-
-    alias_arms = " ".join(
-        f"WHEN '{verbose}' THEN '{short}'"
-        for verbose, short in sorted(GEO.DATUM_ALIASES.items())
+    """DuckDB SQL for the abridged Molodensky shift (shared CTE chain in
+    plans.synth, constants inlined from geo.MOLODENSKY_PARAMS)."""
+    from idb_backend_spark.plans.synth import (
+        MOLODENSKY_LAT_SQL,
+        MOLODENSKY_LON_SQL,
+        molodensky_cte_chain,
+        molodensky_flag_sql,
     )
-    identity_list = ", ".join(f"'{d}'" for d in sorted(GEO.IDENTITY_DATUMS))
-    shift_list = ", ".join(f"'{d}'" for d in sorted(GEO.MOLODENSKY_PARAMS))
+
     return (
         f"WITH g AS (SELECT c_custkey, {_DATUM_LAT} AS lat, "
         f"{_DATUM_LON} AS lon, {_DATUM_RAW} AS datum_raw FROM customer), "
-        "n AS (SELECT *, upper(regexp_replace(datum_raw, '[^A-Za-z0-9]', '', 'g')) "
-        "AS mangled FROM g), "
-        f"d AS (SELECT c_custkey, lat, lon, datum_raw, "
-        f"CASE mangled {alias_arms} ELSE mangled END AS datum FROM n), "
-        f"p AS (SELECT *, {case_const(0)} AS p_a, {case_const(1)} AS p_e2, "
-        f"{case_const(2)} AS p_dx, {case_const(3)} AS p_dy, "
-        f"{case_const(4)} AS p_dz, {case_const(5)} AS p_adf, "
-        f"{case_const(6)} AS p_dlam FROM d), "
-        "t AS (SELECT *, sin(radians(lat)) AS sp, cos(radians(lat)) AS cp, "
-        "sin(radians(lon)) AS sl, cos(radians(lon)) AS cl, "
-        "1 - p_e2 * sin(radians(lat)) * sin(radians(lat)) AS w2 FROM p), "
-        "s AS (SELECT *, "
-        "(-p_dx * sp * cl - p_dy * sp * sl + p_dz * cp "
-        " + p_adf * sin(2 * radians(lat))) / (p_a * (1 - p_e2) / (w2 * sqrt(w2))) "
-        "AS dphi, "
-        "(-p_dx * sl + p_dy * cl) / ((p_a / sqrt(w2)) * cp) + p_dlam AS dlam "
-        "FROM t) "
-        "SELECT c_custkey, "
-        "round(CASE WHEN p_a IS NOT NULL AND abs(lat) < 90 "
-        "THEN lat + degrees(dphi) ELSE lat END, 6) AS lat_wgs84, "
-        "round(CASE WHEN p_a IS NOT NULL AND abs(lat) < 90 "
-        "THEN lon + degrees(dlam) ELSE lon END, 6) AS lon_wgs84, "
-        "CASE WHEN datum IS NULL OR trim(datum) = '' "
-        "THEN 'geopoint_datum_missing' "
-        f"WHEN datum NOT IN ({identity_list}) AND datum NOT IN ({shift_list}) "
-        "THEN 'geopoint_datum_error' END AS flag "
-        "FROM s ORDER BY c_custkey"
+        + molodensky_cte_chain("g")
+        + " SELECT c_custkey, "
+        f"round({MOLODENSKY_LAT_SQL}, 6) AS lat_wgs84, "
+        f"round({MOLODENSKY_LON_SQL}, 6) AS lon_wgs84, "
+        f"{molodensky_flag_sql()} AS flag "
+        "FROM mgs ORDER BY c_custkey"
     )
 
 

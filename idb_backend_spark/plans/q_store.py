@@ -156,7 +156,89 @@ def media_derivatives(spark, sf_dir):
     )
 
 
-@query("etl_enrichment_pipeline")
+def _etl_oracle_sql() -> str:
+    """Full DuckDB replica of the composed ETL pipeline: geo normalize
+    (structural replica), Molodensky shift (shared numeric CTE chain from
+    plans.synth — real trig, hash-compared), and golden-CASE expectations
+    for the vocabulary stages whose inputs are pure functions of
+    l_linenumber (the blessed oracle style for table-lookup kernels)."""
+    from idb_backend_spark.plans.synth import (
+        MOLODENSKY_LAT_SQL,
+        MOLODENSKY_LON_SQL,
+        molodensky_cte_chain,
+        molodensky_flag_sql,
+    )
+
+    nflags = " + ".join(
+        f"CASE WHEN {c} IS NOT NULL THEN 1 ELSE 0 END"
+        for c in ["f1", "f2", "f3", "datum_flag", "f5", "f6", "f7", "f8", "f9"]
+    )
+    score = " + ".join(
+        f"CAST({c} IS NOT NULL AS INT)"
+        for c in ["lat_f", "datecollected", "basisofrecord", "taxonrank",
+                  "license", "minelevation"]
+    )
+    return (
+        "WITH src AS (SELECT "
+        "  l_orderkey * 10 + l_linenumber AS rowid, "
+        "  CAST((l_partkey % 160) - 80 AS VARCHAR(32)) || '.125' AS lat_s, "
+        "  CAST((l_suppkey % 360) - 180 AS VARCHAR(32)) || '.25' AS lon_s, "
+        "  l_shipdate AS eventdate, l_quantity AS qty, "
+        "  l_linenumber % 5 AS bm, l_linenumber % 4 AS rm, "
+        "  l_linenumber % 3 AS lm, "
+        "  CASE l_linenumber % 6 WHEN 0 THEN 'NAD27' WHEN 1 THEN 'WGS 72' "
+        "    WHEN 2 THEN 'WGS84' WHEN 3 THEN 'Cape' ELSE NULL END AS datum_raw "
+        "  FROM lineitem), "
+        "geo AS (SELECT *, CAST(lat_s AS DOUBLE) AS lat0, "
+        "  CAST(lon_s AS DOUBLE) AS lon0, "
+        "  length(regexp_extract(lat_s, '\\.(\\d+)', 1)) AS latexp, "
+        "  length(regexp_extract(lon_s, '\\.(\\d+)', 1)) AS lonexp FROM src), "
+        "gf AS (SELECT *, ((lat0 >= -180 AND lat0 < -90) OR (lat0 > 90 AND lat0 <= 180))"
+        "  AND lon0 BETWEEN -90 AND 90 AS flip FROM geo), "
+        "gv AS (SELECT *, CASE WHEN flip THEN lon0 ELSE lat0 END AS lat1, "
+        "  CASE WHEN flip THEN lat0 ELSE lon0 END AS lon1 FROM gf), "
+        "g AS (SELECT *, "
+        "  lat1 < -90 OR lat1 > 90 OR lon1 < -180 OR lon1 > 180 AS oob, "
+        "  CASE WHEN lat1 < -90 OR lat1 > 90 OR lon1 < -180 OR lon1 > 180 "
+        "    THEN NULL ELSE lat1 END AS lat, "
+        "  CASE WHEN lat1 < -90 OR lat1 > 90 OR lon1 < -180 OR lon1 > 180 "
+        "    THEN NULL ELSE lon1 END AS lon FROM gv), "
+        + molodensky_cte_chain("g")
+        + ", e AS (SELECT *, "
+        f"  round({MOLODENSKY_LAT_SQL}, 6) AS lat_f, "
+        f"  round({MOLODENSKY_LON_SQL}, 6) AS lon_f, "
+        # datum flags only apply when a geopoint survived normalization
+        # (the 'have' guard in geo.with_molodensky_shift)
+        "  CASE WHEN lat IS NOT NULL AND lon IS NOT NULL THEN "
+        f"({molodensky_flag_sql()}) END AS datum_flag, "
+        "  eventdate AS datecollected, "
+        "  CAST(qty AS BIGINT) AS minelevation, "
+        "  CAST(qty AS DOUBLE) AS elev_f, "
+        "  CASE bm WHEN 0 THEN 'preservedspecimen' WHEN 1 THEN 'fossilspecimen' "
+        "    WHEN 2 THEN 'machineobservation' END AS basisofrecord, "
+        "  CASE rm WHEN 0 THEN 'species' WHEN 1 THEN 'species' END AS taxonrank, "
+        "  CASE WHEN lm = 0 THEN 'CC4 BY' END AS license, "
+        "  CASE WHEN flip AND NOT oob THEN 'geopoint_pre_flip' END AS f1, "
+        "  CASE WHEN oob THEN 'geopoint_bounds' END AS f2, "
+        "  CASE WHEN NOT oob AND (latexp <= 2 OR lonexp <= 2) "
+        "    THEN 'geopoint_low_precision' END AS f3, "
+        "  CASE WHEN eventdate IS NOT NULL AND (eventdate < TIMESTAMP '1500-01-02 00:00:00' "
+        "    OR eventdate > now()) THEN 'datecollected_bounds' END AS f5, "
+        "  CASE WHEN bm = 3 THEN 'dwc_basisofrecord_removed' END AS f6, "
+        "  CASE WHEN bm IN (3, 4) THEN 'dwc_basisofrecord_invalid' END AS f7, "
+        "  CASE WHEN rm = 1 THEN 'dwc_taxonrank_replaced' END AS f8, "
+        "  CASE WHEN rm = 2 THEN 'dwc_taxonrank_removed' END AS f9 "
+        "  FROM mgs), "
+        f"ff AS (SELECT *, ({nflags}) AS nflags FROM e) "
+        "SELECT rowid, lat_f AS lat, lon_f AS lon, datecollected, "
+        "minelevation, elev_f, basisofrecord, taxonrank, license, "
+        "concat_ws('|', f1, f2, f3, datum_flag, f5, f6, f7, f8, f9) AS flags, "
+        f"round(greatest(({score} - nflags) / 6.0, 0), 6) AS dqs "
+        "FROM ff ORDER BY rowid"
+    )
+
+
+@query("etl_enrichment_pipeline", _etl_oracle_sql())
 def etl_enrichment_pipeline(spark, sf_dir):
     """§3.3 composed — the full enrichment hot path over the fact table:
     verbatim projection, typed grabbers, geo normalization + flags, date
@@ -164,8 +246,11 @@ def etl_enrichment_pipeline(spark, sf_dir):
     flag folding, and dqs scoring — entirely native expressions (the
     reference's 1.33 ms/record Python loop, conversions.py:915-930).
 
-    No SQL oracle: each component is oracle-checked individually above;
-    this entry exists for end-to-end shape and the benchmark. Throughput
+    The DuckDB oracle replicates the numeric path (geo normalize +
+    Molodensky trig via the shared plans.synth chain) structurally and
+    states golden expectations for the vocabulary lookups (inputs are
+    pure functions of l_linenumber). Coordinates are rounded to 6
+    decimals on both engines for cross-libm hash stability. Throughput
     comparison against the reference's 750 rec/s/core figure comes from
     bench.py timing of this query at sf0.1 (~600k rows).
     """
@@ -259,9 +344,16 @@ def etl_enrichment_pipeline(spark, sf_dir):
             6,
         ),
     )
-    # pipe-join the flags array at the boundary: the driver's hash
-    # canonicalizer cannot sort array-typed output columns
-    return scored.withColumn("flags", F.array_join("flags", "|"))
+    # pipe-join the flags array at the boundary (the driver's hash
+    # canonicalizer cannot sort array-typed output columns); round the
+    # shifted coordinates so JVM-vs-DuckDB libm ulp drift cannot surface
+    return scored.withColumns(
+        {
+            "flags": F.array_join("flags", "|"),
+            "lat": F.round("lat", 6),
+            "lon": F.round("lon", 6),
+        }
+    )
 
 
 @query(

@@ -3,3 +3,78 @@ the Spark and DuckDB sides; the TPC-H-ish tables carry no coordinates)."""
 
 GEO_LAT = "CAST((c_custkey * 7) % 160 - 80 AS DOUBLE) + 0.5"
 GEO_LON = "CAST((c_custkey * 13) % 360 - 180 AS DOUBLE) + 0.5"
+
+
+def molodensky_cte_chain(prev: str, p: str = "mg") -> str:
+    """DuckDB CTE chain for the abridged Molodensky shift, constants
+    inlined from geo.MOLODENSKY_PARAMS via exact round-trip literals.
+
+    Expects CTE ``prev`` to expose columns (…, lat, lon, datum_raw);
+    emits CTEs ``{p}n … {p}s`` where ``{p}s`` carries every input column
+    plus datum, p_a and dphi/dlam. Compose the final values with
+    MOLODENSKY_LAT_SQL / MOLODENSKY_LON_SQL / molodensky_flag_sql().
+    Both the datum_shift_molodensky oracle and the full-ETL oracle build
+    on this, so the SQL replica stays in lockstep with the Spark tables.
+    """
+    import math as _math
+
+    from idb_backend_spark.functions import geo as GEO
+
+    def dbl(v: float) -> str:
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    def case_const(idx: int) -> str:
+        arms = []
+        for d in sorted(GEO.MOLODENSKY_PARAMS):
+            t = GEO._molodensky_terms(d)
+            vals = (t[0], t[1], t[2], t[3], t[4], t[5],
+                    _math.radians(t[6] / 3600.0))
+            arms.append(f"WHEN '{d}' THEN {dbl(vals[idx])}")
+        return "CASE datum " + " ".join(arms) + " END"
+
+    alias_arms = " ".join(
+        f"WHEN '{verbose}' THEN '{short}'"
+        for verbose, short in sorted(GEO.DATUM_ALIASES.items())
+    )
+    return (
+        f"{p}n AS (SELECT *, upper(regexp_replace(datum_raw, "
+        f"'[^A-Za-z0-9]', '', 'g')) AS mangled FROM {prev}), "
+        f"{p}d AS (SELECT *, CASE mangled {alias_arms} ELSE mangled END "
+        f"AS datum FROM {p}n), "
+        f"{p}p AS (SELECT *, {case_const(0)} AS p_a, {case_const(1)} AS p_e2, "
+        f"{case_const(2)} AS p_dx, {case_const(3)} AS p_dy, "
+        f"{case_const(4)} AS p_dz, {case_const(5)} AS p_adf, "
+        f"{case_const(6)} AS p_dlam FROM {p}d), "
+        f"{p}t AS (SELECT *, sin(radians(lat)) AS sp, cos(radians(lat)) AS cp, "
+        "sin(radians(lon)) AS sl, cos(radians(lon)) AS cl, "
+        f"1 - p_e2 * sin(radians(lat)) * sin(radians(lat)) AS w2 FROM {p}p), "
+        f"{p}s AS (SELECT *, "
+        "(-p_dx * sp * cl - p_dy * sp * sl + p_dz * cp "
+        " + p_adf * 2 * sp * cp) / (p_a * (1 - p_e2) / (w2 * sqrt(w2))) "
+        "AS dphi, "
+        f"(-p_dx * sl + p_dy * cl) / ((p_a / sqrt(w2)) * cp) + p_dlam AS dlam "
+        f"FROM {p}t)"
+    )
+
+
+MOLODENSKY_LAT_SQL = (
+    "CASE WHEN p_a IS NOT NULL AND abs(lat) < 90 "
+    "THEN lat + degrees(dphi) ELSE lat END"
+)
+MOLODENSKY_LON_SQL = (
+    "CASE WHEN p_a IS NOT NULL AND abs(lat) < 90 "
+    "THEN lon + degrees(dlam) ELSE lon END"
+)
+
+
+def molodensky_flag_sql() -> str:
+    from idb_backend_spark.functions import geo as GEO
+
+    identity_list = ", ".join(f"'{d}'" for d in sorted(GEO.IDENTITY_DATUMS))
+    shift_list = ", ".join(f"'{d}'" for d in sorted(GEO.MOLODENSKY_PARAMS))
+    return (
+        "CASE WHEN datum IS NULL OR trim(datum) = '' "
+        "THEN 'geopoint_datum_missing' "
+        f"WHEN datum NOT IN ({identity_list}) AND datum NOT IN ({shift_list}) "
+        "THEN 'geopoint_datum_error' END"
+    )
