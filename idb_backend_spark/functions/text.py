@@ -60,13 +60,21 @@ def punct_ratio(c: Column | str) -> Column:
     return F.when(n > 0, npunct.cast("double") / n).otherwise(F.lit(0.0))
 
 
-def stopword_ratio(c: Column | str, stopwords: list[str] | None = None) -> Column:
+def stopword_ratio_from_tokens(
+    t: Column, stopwords: list[str] | None = None
+) -> Column:
+    """stopword_ratio over a pre-tokenized array column — stage tokens()
+    once per row when composing several token metrics (tokenization is a
+    regexp + split; recomputing it per metric dominates composed plans)."""
     sw = stopwords or LANG_MARKERS["en"]
-    t = tokens(c)
     hits = F.size(F.filter(t, lambda x: x.isin(sw)))
     return F.when(F.size(t) > 0, hits.cast("double") / F.size(t)).otherwise(
         F.lit(0.0)
     )
+
+
+def stopword_ratio(c: Column | str, stopwords: list[str] | None = None) -> Column:
+    return stopword_ratio_from_tokens(tokens(c), stopwords)
 
 
 def quality_score(c: Column | str, stopwords: list[str] | None = None) -> Column:
@@ -74,9 +82,16 @@ def quality_score(c: Column | str, stopwords: list[str] | None = None) -> Column
     length and stopword presence, penalizes punctuation soup. The shape
     (length/punct/stopword ratios) follows common LLM-corpus filters
     (C4/Gopher-style rules)."""
+    return quality_score_from_tokens(c, tokens(c), stopwords)
+
+
+def quality_score_from_tokens(
+    c: Column | str, t: Column, stopwords: list[str] | None = None
+) -> Column:
+    """quality_score with the token array staged by the caller."""
     n = F.length(F.col(c) if isinstance(c, str) else c)
     len_score = F.least(n.cast("double") / F.lit(500.0), F.lit(1.0))
-    sw_score = F.least(stopword_ratio(c, stopwords) * 5.0, F.lit(1.0))
+    sw_score = F.least(stopword_ratio_from_tokens(t, stopwords) * 5.0, F.lit(1.0))
     p_penalty = F.least(punct_ratio(c) * 4.0, F.lit(1.0))
     return F.round(
         0.5 * len_score + 0.5 * sw_score - 0.25 * p_penalty, 6
@@ -99,22 +114,39 @@ def lang_scores(c: Column | str, markers: dict[str, list[str]] | None = None) ->
 
 def lang_id(c: Column | str, markers: dict[str, list[str]] | None = None) -> Column:
     """Argmax language by marker hits; deterministic tie-break by language
-    code ascending; 'und' when no marker matches."""
+    code ascending; 'und' when no marker matches.
+
+    Single array_max over (hits, priority, lang) structs — a when-chain
+    argmax embeds the previous best twice per step (condition + otherwise),
+    duplicating the token-filter subtree 2^langs times; array_max keeps
+    the expression linear in the number of languages."""
     markers = markers or LANG_MARKERS
-    t = tokens(c)
+    return lang_id_from_tokens(tokens(c), markers)
+
+
+def lang_id_from_tokens(
+    t: Column, markers: dict[str, list[str]] | None = None
+) -> Column:
+    """lang_id with the token array staged by the caller."""
+    markers = markers or LANG_MARKERS
 
     def _pred(words):
         # single-arg lambda factory: a default-arg closure would make PySpark
         # bind the second parameter to the array index
         return lambda x: x.isin(words)
 
-    best = None
-    for lang in sorted(markers):
-        hits = F.size(F.filter(t, _pred(markers[lang])))
-        entry = F.struct(hits.alias("hits"), F.lit(lang).alias("lang"))
-        best = entry if best is None else F.when(
-            entry["hits"] > best["hits"], entry
-        ).otherwise(best)
+    langs = sorted(markers)
+    entries = [
+        F.struct(
+            F.size(F.filter(t, _pred(markers[lang]))).alias("hits"),
+            # higher priority = earlier language code, so struct-max
+            # tie-breaks toward the ascending-order winner
+            F.lit(len(langs) - 1 - i).alias("pri"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(langs)
+    ]
+    best = F.array_max(F.array(*entries))
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
