@@ -239,9 +239,15 @@ def max_watermark(spark, sf_dir):
     engine-portable comparison)."""
     ev = _t(spark, sf_dir, "events")
     wm = agg.max_watermark(ev, "ts", by=["event_type"])
+    # timestampdiff from the NTZ epoch = timezone-free epoch-ms; ts is
+    # TIMESTAMP_NTZ (parquet timestamp[us] without tz), where unix_micros
+    # would fail and an LTZ cast would drag the session timezone in.
     return wm.select(
         "event_type",
-        F.expr("unix_micros(watermark) div 1000").alias("watermark_ms"),
+        F.expr(
+            "timestampdiff(MILLISECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', watermark)"
+        ).alias("watermark_ms"),
     ).orderBy("event_type")
 
 

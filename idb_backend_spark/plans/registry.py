@@ -23,8 +23,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         if isinstance(df.schema["ts"].dataType, LongType):
             # integer div (not double: 1.7e18 exceeds double's 53-bit
-            # mantissa) nanos -> micros, matching DuckDB's ns->us truncation
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # mantissa) nanos -> micros, matching DuckDB's ns->us truncation.
+            # timestampadd from the NTZ epoch keeps the wall clock free of
+            # the session timezone, matching timestamp[us]-format data that
+            # Spark reads natively as TIMESTAMP_NTZ.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
     return df
 
 
