@@ -93,7 +93,10 @@ _SHIM_FULLTEXT = {"fulltext": {"type": "fulltext", "value": "spark window merge"
     f"WHERE {shim_to_sql(_SHIM_FULLTEXT)} ORDER BY doc_id",
 )
 def shim_fulltext(spark, sf_dir):
-    """P7 — fulltext AND-of-tokens over the precomputed fulltext column."""
+    """P7 — fulltext AND of whole-token matches over the precomputed
+    fulltext column (ES analyzed-`_all` + operator:and semantics,
+    reference query_shim.py:123-133; substring contains() is opt-in via
+    ``substring: true``)."""
     docs = _t(spark, sf_dir, "documents").withColumn(
         "fulltext", F.lower(F.col("text"))
     )

@@ -28,10 +28,11 @@ explicitly:
   whole-token matches (what the reference's `_all` match with
   operator:and actually does, query_shim.py:123-133). Pruning is exact:
   no false negatives possible.
-* ``mode='substring'`` — the shim language's substring `contains()`
-  semantics. The whole-token index CANNOT safely prune for substrings,
-  so this mode reads every file and applies the residual only; it exists
-  so callers who need shim parity never get silent row loss.
+* ``mode='substring'`` — substring `contains()` semantics (the shim's
+  opt-in ``substring: true`` flavor; the shim default is token mode
+  too). The whole-token index CANNOT safely prune for substrings, so
+  this mode reads every file and applies the residual only; it exists
+  so callers who need substring parity never get silent row loss.
 """
 
 from __future__ import annotations
@@ -140,7 +141,11 @@ def fulltext_scan(
     if mode == "substring":
         from idb_backend_spark.query.shim import compile_shim
 
-        shim = {fulltext_col: {"type": "fulltext", "value": query}}
+        shim = {
+            fulltext_col: {
+                "type": "fulltext", "value": query, "substring": True,
+            }
+        }
         return base.filter(compile_shim(shim, fulltext_col=fulltext_col))
     if mode != "token":
         raise ValueError(f"unknown fulltext_scan mode: {mode!r}")

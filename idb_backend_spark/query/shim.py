@@ -92,17 +92,26 @@ def _prefix(field: str, value: str, assume_lowercased: bool) -> Column:
     return _col_folded(field, True, assume_lowercased).startswith(_fold(value))
 
 
-def _fulltext(value: str, fulltext_col: str) -> Column:
+def _fulltext(value: str, fulltext_col: str, substring: bool = False) -> Column:
     # P7 — ES _all match with operator:and (query_shim.py:123-133).
     # The engine precomputes `fulltext` = lower(concat_ws(' ', *text_cols))
-    # at write time; the predicate is a conjunction of token containment.
-    # Divergence from ES analyzer tokenization is documented in SURVEY §7.7.
-    tokens = [t for t in value.lower().split() if t]
-    if not tokens:
+    # at write time. Default semantics: every query token must match a
+    # WHOLE token of the fulltext column (what ES's analyzed `_all` with
+    # operator:and does — query 'cat' does not match document 'cats'),
+    # identical to plans.skipping.token_match so the token index can prune
+    # for shim queries. ``substring: true`` in the spec opts into the
+    # legacy contains() semantics.
+    toks = [t for t in value.lower().split() if t]
+    if not toks:
         return F.lit(True)
-    return reduce(
-        operator.and_, [F.col(fulltext_col).contains(t) for t in tokens]
-    )
+    if substring:
+        return reduce(
+            operator.and_, [F.col(fulltext_col).contains(t) for t in toks]
+        )
+    from idb_backend_spark.functions.text import tokens as text_tokens
+
+    tok_arr = text_tokens(fulltext_col)
+    return reduce(operator.and_, [F.array_contains(tok_arr, t) for t in toks])
 
 
 def _geo_bounding_box(field: str, spec: dict) -> Column:
@@ -233,8 +242,12 @@ def _object_predicate(
         return _range(field, spec)
     if t == "prefix" or (t is None and set(spec) == {"prefix"}):
         return _prefix(field, spec.get("value", spec.get("prefix")), assume_lowercased)
-    if t == "fulltext" or (t is None and set(spec) == {"fulltext"}):
-        return _fulltext(spec.get("value", spec.get("fulltext")), fulltext_col)
+    if t == "fulltext" or (t is None and "fulltext" in spec):
+        return _fulltext(
+            spec.get("value", spec.get("fulltext")),
+            fulltext_col,
+            bool(spec.get("substring", False)),
+        )
     if t == "geo_bounding_box" or (
         t is None and set(spec) >= {"top_left", "bottom_right"}
     ):
@@ -321,12 +334,31 @@ def _sql_single(field: str, cond: Any, assume_lowercased: bool, fulltext_col: st
             v = _fold(cond.get("value", cond.get("prefix")))
             pat = v.replace("%", r"\%").replace("_", r"\_")
             return f"{_sql_col(field, True, assume_lowercased)} LIKE {_sql_lit(pat + '%')}"
-        if t == "fulltext" or set(cond) == {"fulltext"}:
+        if t == "fulltext" or "fulltext" in cond:
             toks = str(cond.get("value", cond.get("fulltext"))).lower().split()
+            if not toks:
+                return "TRUE"
+            if cond.get("substring"):
+                return (
+                    "("
+                    + " AND ".join(
+                        f"{fulltext_col} LIKE {_sql_lit('%' + tk + '%')}"
+                        for tk in toks
+                    )
+                    + ")"
+                )
+            # whole-token conjunction, same normalization as
+            # functions.text.tokens (lower, collapse whitespace, trim);
+            # list_contains/string_split are DuckDB's spellings (the
+            # oracle engine) — exact, no LIKE-escaping concerns
+            norm = (
+                f"string_split(trim(regexp_replace(lower({fulltext_col}),"
+                " '\\s+', ' ', 'g')), ' ')"
+            )
             return (
                 "("
                 + " AND ".join(
-                    f"{fulltext_col} LIKE {_sql_lit('%' + tk + '%')}" for tk in toks
+                    f"list_contains({norm}, {_sql_lit(tk)})" for tk in toks
                 )
                 + ")"
             )

@@ -88,6 +88,24 @@ def test_fulltext_and_semantics(df):
     assert _genera(df, {"data": {"type": "fulltext", "value": "alba florida"}}) == []
 
 
+def test_fulltext_whole_token_default(df):
+    # ES analyzed-_all semantics: a query token that is a proper substring
+    # of a document token must NOT match ('alb' vs 'alba', 'rubr' vs
+    # 'rubrum') — only substring: true opts into contains() semantics.
+    assert _genera(df, {"data": {"type": "fulltext", "value": "alb"}}) == []
+    assert _genera(df, {"data": {"type": "fulltext", "value": "rubr"}}) == []
+    assert _genera(
+        df, {"data": {"type": "fulltext", "value": "alb", "substring": True}}
+    ) == ["quercus alba"]
+    assert _genera(
+        df, {"data": {"type": "fulltext", "value": "rubr", "substring": True}}
+    ) == ["acer rubrum"]
+    # whole-token queries behave identically in both modes
+    assert _genera(
+        df, {"data": {"type": "fulltext", "value": "alba", "substring": True}}
+    ) == _genera(df, {"data": {"type": "fulltext", "value": "alba"}})
+
+
 def test_geo_bounding_box(df):
     shim = {
         "geopoint": {
@@ -164,6 +182,9 @@ def test_sql_emission_matches_spark(spark, df):
         {"name": {"type": "prefix", "value": "que"}},
         {"genus": {"type": "missing"}},
         {"fulltext": {"type": "fulltext", "value": "alba georgia"}},
+        {"fulltext": {"type": "fulltext", "value": "alb"}},
+        {"fulltext": {"type": "fulltext", "value": "alb", "substring": True}},
+        {"fulltext": {"type": "fulltext", "value": "rubrum florida"}},
         {},
     ]
     for shim in shims:
