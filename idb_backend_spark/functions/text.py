@@ -37,6 +37,39 @@ def tokens(c: Column | str) -> Column:
     return F.split(normalize_text(c), " ")
 
 
+#: letter/digit/underscore runs — the fulltext analyzer's token shape.
+#: Same pattern class in Java regex (Spark), RE2 (DuckDB), and Python `\w`
+#: so all three engines tokenize identically. Underscore joins words as in
+#: UAX#29 (ExtendNumLet), matching the ES standard tokenizer; the known
+#: divergence is mid-word apostrophes ("don't" -> ["don", "t"] here, one
+#: token in ES) — documented in SURVEY §7.7.
+ANALYZER_TOKEN_RE = r"[\p{L}\p{N}_]+"
+
+
+def analyzer_tokens(c: Column | str) -> Column:
+    """ES-standard-analyzer-style tokenization -> array<string>.
+
+    Lowercases, then extracts letter/digit/underscore runs, so punctuation
+    never glues to a token: a document containing 'florida,' yields token
+    'florida' and matches query token 'florida' (which plain whitespace
+    `tokens()` would miss — reference query_shim.py:123-133 matches via the
+    analyzed `_all` field where punctuation is stripped at index time).
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    return F.regexp_extract_all(F.lower(c), F.lit(ANALYZER_TOKEN_RE), 0)
+
+
+def analyzer_tokenize(s: str) -> list[str]:
+    """Python-side twin of `analyzer_tokens` for query strings.
+
+    Query-side and document-side tokenization MUST agree or whole-token
+    fulltext matching (and token-index pruning) silently diverges.
+    """
+    import re
+
+    return re.findall(r"\w+", s.lower(), re.UNICODE)
+
+
 def token_count(c: Column | str) -> Column:
     """Whitespace token count (the `wc -w` definition)."""
     t = tokens(c)

@@ -13,10 +13,16 @@ Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
 
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # Defensive for driver-owned sessions: nanosecond parquet timestamps are
-    # unreadable by Spark unless mapped to long (converted back below).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Defensive for driver-owned sessions (our own session.py sets this at
+    # construction): nanosecond parquet timestamps are unreadable by Spark
+    # unless mapped to long (converted back below). Guarded so the table
+    # loader does not repeatedly mutate shared session state per query.
+    if spark.conf.get(_NANOS_CONF, "false") != "true":
+        spark.conf.set(_NANOS_CONF, "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         from pyspark.sql.types import LongType

@@ -16,23 +16,24 @@ file — thousands of files fit comfortably in driver memory. This is the
 same trick as Parquet bloom filters / Delta data skipping, specialized
 to tokenized text.
 
-Matching semantics and pruning safety: the index records WHOLE tokens
-(whitespace tokenization, same `tokens()` as the build). Pruning by
-bucket membership is therefore exact only for whole-token matching — a
-substring probe ('cat' against a document containing only 'cats') would
-be wrongly pruned, because hash('cat') is not in the file's bucket set
-while `contains()` would match. `fulltext_scan` exposes both contracts
-explicitly:
+Matching semantics and pruning safety: the index records WHOLE analyzer
+tokens (`analyzer_tokens()` — lowercase + letter/digit/underscore runs,
+punctuation stripped; the same tokenization `query.shim` compiles P7
+against). Pruning by bucket membership is therefore exact only for
+whole-token matching — a substring probe ('cat' against a document
+containing only 'cats') would be wrongly pruned, because hash('cat') is
+not in the file's bucket set while `contains()` would match.
+`fulltext_scan` exposes both contracts explicitly:
 
 * ``mode='token'`` (default) — ES-analyzer-style conjunction of
   whole-token matches (what the reference's `_all` match with
   operator:and actually does, query_shim.py:123-133). Pruning is exact:
   no false negatives possible.
 * ``mode='substring'`` — substring `contains()` semantics (the shim's
-  opt-in ``substring: true`` flavor; the shim default is token mode
-  too). The whole-token index CANNOT safely prune for substrings, so
-  this mode reads every file and applies the residual only; it exists
-  so callers who need substring parity never get silent row loss.
+  opt-in ``substring: true`` flavor; plain P7 compiles to token mode).
+  The whole-token index CANNOT safely prune for substrings, so this
+  mode reads every file and applies the residual only; it exists so
+  callers who need substring parity never get silent row loss.
 """
 
 from __future__ import annotations
@@ -43,7 +44,7 @@ from operator import and_
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from idb_backend_spark.functions.text import tokens
+from idb_backend_spark.functions.text import analyzer_tokenize, analyzer_tokens
 
 #: bucket space for token hashes — 2^20 buckets keeps per-file sets exact
 #: enough that collisions are rare while the index stays tiny
@@ -59,7 +60,7 @@ def build_token_index(
     """
     toks = None
     for c in text_cols:
-        t = F.explode_outer(tokens(c)).alias("tok")
+        t = F.explode_outer(analyzer_tokens(c)).alias("tok")
         part = df.select(F.input_file_name().alias("file"), t)
         toks = part if toks is None else toks.unionByName(part)
     buckets = (
@@ -90,7 +91,9 @@ def prune_files(
     """Files whose bucket set contains EVERY query token's bucket (P7 is a
     conjunction). Runs as one filter over the KB-scale index table."""
     idx = spark.read.parquet(index_path)
-    toks = [t for t in {t.lower() for t in query_tokens} if t]
+    # re-tokenize through the analyzer so a caller-supplied token like
+    # 'florida,' probes the bucket the build side actually recorded
+    toks = sorted({t for raw in query_tokens for t in analyzer_tokenize(raw)})
     if not toks:
         return [r["file"] for r in idx.select("file").collect()]
     pred = None
@@ -104,17 +107,16 @@ def prune_files(
 def token_match(query: str, fulltext_col: str = "fulltext") -> Column:
     """Whole-token conjunction predicate — ES `_all` match semantics.
 
-    A row matches iff EVERY query token appears as a whole token of the
-    (already-lowercased) fulltext column, under the same whitespace
-    tokenization the index build uses. By construction every matching
-    row's file carries all the query tokens' buckets, so whole-token-
-    index pruning admits a superset of the matching files (exact — no
-    false negatives).
+    A row matches iff EVERY query token appears as a whole analyzer token
+    of the fulltext column, under the same `analyzer_tokens` tokenization
+    the index build uses. By construction every matching row's file
+    carries all the query tokens' buckets, so whole-token-index pruning
+    admits a superset of the matching files (exact — no false negatives).
     """
-    toks = [t for t in query.lower().split() if t]
+    toks = analyzer_tokenize(query)
     if not toks:
         return F.lit(True)
-    tok_arr = tokens(fulltext_col)
+    tok_arr = analyzer_tokens(fulltext_col)
     return reduce(and_, [F.array_contains(tok_arr, t) for t in toks])
 
 
@@ -132,10 +134,10 @@ def fulltext_scan(
     only the files the index admits — exact, and an empty admissible set
     returns an empty frame without touching data files.
 
-    ``mode='substring'``: the shim's substring `contains()` semantics
-    (P7 as compiled by `query.shim`); the whole-token index cannot prune
-    for substring probes without dropping true matches, so this mode
-    scans all files and applies the residual only.
+    ``mode='substring'``: the shim's opt-in ``substring: true`` flavor
+    (`query.shim` compiles plain P7 to token mode); the whole-token index
+    cannot prune for substring probes without dropping true matches, so
+    this mode scans all files and applies the residual only.
     """
     base = spark.read.parquet(table_path)
     if mode == "substring":
@@ -149,7 +151,7 @@ def fulltext_scan(
         return base.filter(compile_shim(shim, fulltext_col=fulltext_col))
     if mode != "token":
         raise ValueError(f"unknown fulltext_scan mode: {mode!r}")
-    files = prune_files(spark, index_path, query.split())
+    files = prune_files(spark, index_path, analyzer_tokenize(query))
     if not files:
         return base.filter(F.lit(False))
     pruned = spark.read.parquet(*files)

@@ -96,21 +96,26 @@ def _fulltext(value: str, fulltext_col: str, substring: bool = False) -> Column:
     # P7 — ES _all match with operator:and (query_shim.py:123-133).
     # The engine precomputes `fulltext` = lower(concat_ws(' ', *text_cols))
     # at write time. Default semantics: every query token must match a
-    # WHOLE token of the fulltext column (what ES's analyzed `_all` with
-    # operator:and does — query 'cat' does not match document 'cats'),
+    # WHOLE analyzer token of the fulltext column (what ES's analyzed
+    # `_all` with operator:and does — query 'cat' does not match document
+    # 'cats', but DOES match 'cat,' since the analyzer strips punctuation),
     # identical to plans.skipping.token_match so the token index can prune
     # for shim queries. ``substring: true`` in the spec opts into the
-    # legacy contains() semantics.
-    toks = [t for t in value.lower().split() if t]
-    if not toks:
-        return F.lit(True)
+    # legacy contains() semantics (whitespace query tokenization there, so
+    # punctuation in the query probes the raw text).
+    from idb_backend_spark.functions.text import analyzer_tokenize, analyzer_tokens
+
     if substring:
+        toks = [t for t in value.lower().split() if t]
+        if not toks:
+            return F.lit(True)
         return reduce(
             operator.and_, [F.col(fulltext_col).contains(t) for t in toks]
         )
-    from idb_backend_spark.functions.text import tokens as text_tokens
-
-    tok_arr = text_tokens(fulltext_col)
+    toks = analyzer_tokenize(value)
+    if not toks:
+        return F.lit(True)
+    tok_arr = analyzer_tokens(fulltext_col)
     return reduce(operator.and_, [F.array_contains(tok_arr, t) for t in toks])
 
 
@@ -242,7 +247,12 @@ def _object_predicate(
         return _range(field, spec)
     if t == "prefix" or (t is None and set(spec) == {"prefix"}):
         return _prefix(field, spec.get("value", spec.get("prefix")), assume_lowercased)
-    if t == "fulltext" or (t is None and "fulltext" in spec):
+    # Typeless fulltext shape is matched strictly (only analyzer/substring
+    # keys allowed) so a malformed spec mixing 'fulltext' with e.g. geo
+    # keys raises ShimError instead of silently compiling fulltext-only.
+    if t == "fulltext" or (
+        t is None and "fulltext" in spec and set(spec) <= {"fulltext", "substring"}
+    ):
         return _fulltext(
             spec.get("value", spec.get("fulltext")),
             fulltext_col,
@@ -334,11 +344,16 @@ def _sql_single(field: str, cond: Any, assume_lowercased: bool, fulltext_col: st
             v = _fold(cond.get("value", cond.get("prefix")))
             pat = v.replace("%", r"\%").replace("_", r"\_")
             return f"{_sql_col(field, True, assume_lowercased)} LIKE {_sql_lit(pat + '%')}"
-        if t == "fulltext" or "fulltext" in cond:
-            toks = str(cond.get("value", cond.get("fulltext"))).lower().split()
-            if not toks:
-                return "TRUE"
+        if t == "fulltext" or (
+            t is None
+            and "fulltext" in cond
+            and set(cond) <= {"fulltext", "substring"}
+        ):
+            value = str(cond.get("value", cond.get("fulltext")))
             if cond.get("substring"):
+                toks = value.lower().split()
+                if not toks:
+                    return "TRUE"
                 return (
                     "("
                     + " AND ".join(
@@ -347,13 +362,20 @@ def _sql_single(field: str, cond: Any, assume_lowercased: bool, fulltext_col: st
                     )
                     + ")"
                 )
-            # whole-token conjunction, same normalization as
-            # functions.text.tokens (lower, collapse whitespace, trim);
-            # list_contains/string_split are DuckDB's spellings (the
+            # whole-token conjunction, same tokenization as
+            # functions.text.analyzer_tokens (lower, extract letter/digit/
+            # underscore runs — punctuation stripped, matching the ES
+            # standard analyzer); RE2's \p classes mirror Java's, and
+            # list_contains/regexp_extract_all are DuckDB's spellings (the
             # oracle engine) — exact, no LIKE-escaping concerns
+            from idb_backend_spark.functions.text import analyzer_tokenize
+
+            toks = analyzer_tokenize(value)
+            if not toks:
+                return "TRUE"
             norm = (
-                f"string_split(trim(regexp_replace(lower({fulltext_col}),"
-                " '\\s+', ' ', 'g')), ' ')"
+                f"regexp_extract_all(lower({fulltext_col}),"
+                " '[\\p{L}\\p{N}_]+')"
             )
             return (
                 "("

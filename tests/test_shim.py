@@ -106,6 +106,45 @@ def test_fulltext_whole_token_default(df):
     ) == _genera(df, {"data": {"type": "fulltext", "value": "alba"}})
 
 
+def test_fulltext_analyzer_strips_punctuation(spark):
+    # ES standard-analyzer parity: 'florida,' in the document is token
+    # 'florida' — punctuation must not defeat whole-token matching
+    # (reference `_all` is analyzed at index time, query_shim.py:123-133).
+    pdf = spark.createDataFrame(
+        [
+            Row(name="a", fulltext="gainesville, florida. (herp dept)"),
+            Row(name="b", fulltext="macon georgia"),
+        ]
+    )
+    got = sorted(
+        r.name
+        for r in pdf.filter(
+            compile_shim({"d": {"type": "fulltext", "value": "florida herp"}})
+        ).collect()
+    )
+    assert got == ["a"]
+    # query-side punctuation is stripped by the same analyzer
+    got2 = sorted(
+        r.name
+        for r in pdf.filter(
+            compile_shim({"d": {"type": "fulltext", "value": "Florida, (herp)"}})
+        ).collect()
+    )
+    assert got2 == ["a"]
+
+
+def test_typeless_fulltext_mixed_keys_raises(df):
+    # a malformed typeless spec mixing 'fulltext' with foreign keys must
+    # raise, not silently compile fulltext-only
+    bad = {"fulltext": "acer", "top_left": {"lat": 1.0, "lon": 2.0}}
+    with pytest.raises(ShimError):
+        compile_shim({"geopoint": bad})
+    with pytest.raises(ShimError):
+        shim_to_sql({"geopoint": bad})
+    # the well-formed typeless shape still works
+    assert _genera(df, {"x": {"fulltext": "alba georgia"}}) == ["quercus alba"]
+
+
 def test_geo_bounding_box(df):
     shim = {
         "geopoint": {
@@ -185,6 +224,7 @@ def test_sql_emission_matches_spark(spark, df):
         {"fulltext": {"type": "fulltext", "value": "alb"}},
         {"fulltext": {"type": "fulltext", "value": "alb", "substring": True}},
         {"fulltext": {"type": "fulltext", "value": "rubrum florida"}},
+        {"fulltext": {"type": "fulltext", "value": "Alba, georgia!"}},
         {},
     ]
     for shim in shims:
