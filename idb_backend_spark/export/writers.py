@@ -56,13 +56,21 @@ def write_csv_member(
     fields: list[str],
     tsv: bool = False,
     header_names: dict[str, str] | None = None,
+    record_type: str | None = None,
 ) -> str:
     """Write one CSV/TSV member as a single file at ``out_path``.
 
     The data is written distributed to a part directory, then the driver
     concatenates parts under a single header row (long names when
-    ``header_names`` maps them — download.py:302-310).
+    ``header_names`` maps them — download.py:302-310). Passing
+    ``record_type`` instead reads the long names from the §1.4 typed-schema
+    table (data.typed_schema.longnames — the reference's
+    index_field_to_longname, conversions.py:205-215).
     """
+    if header_names is None and record_type is not None:
+        from idb_backend_spark.data.typed_schema import longnames
+
+        header_names = longnames(record_type)
     shaped = _stringify(df, id_col, fields)
     tmp = out_path + ".parts"
     sep = "\t" if tsv else ","

@@ -49,5 +49,22 @@ def dqs_score(
     return F.greatest(raw, F.lit(0.0))
 
 
+def dqs_score_for(
+    record_type: str, flags_col: Column, columns: list[str] | None = None
+) -> Column:
+    """A8/F18 schema-driven — weights and maxscore read from the §1.4
+    typed-schema table (data.typed_schema, mirroring conversions.py:218-224
+    + :264-271) instead of a per-call-site dict. Pass ``columns``
+    (e.g. ``df.columns``) to score only fields present in the frame — the
+    reference's ``f[0] in d`` presence check; absent fields contribute 0
+    either way, but referencing a non-existent column would not resolve."""
+    from idb_backend_spark.data.typed_schema import maxscore, scored_weights
+
+    weights = scored_weights(record_type)
+    if columns is not None:
+        weights = {k: w for k, w in weights.items() if k in set(columns)}
+    return dqs_score(weights, flags_col, maxscore(record_type))
+
+
 def with_flags(df: DataFrame, *flag_cols: Column, out: str = "flags") -> DataFrame:
     return df.withColumn(out, fold_flags(*flag_cols))

@@ -13,16 +13,19 @@ from __future__ import annotations
 from idb_backend_spark.plans.registry import ORACLE, Q, _t, query  # noqa: F401
 
 # Import order IS registration order IS the driver's grading order (the
-# driver grades the first 50 registered entries).  Rounds 1-2 graded
-# q_enrichment + q_relational + q_shim; round 3 rotates q_store and
-# q_textsim to the front so the source/sink round-trips and the whole
-# similarity tier earn driver-green rows.  Entries changed this round
-# (shim_fulltext token semantics, rev_geocode EEZ layer) stay inside the
-# window via q_shim / q_enrichment following immediately after.
+# driver grades the first 50 registered entries).  Round 3 graded q_store
+# + q_textsim + q_shim + the first 17 of q_enrichment; round 4 rotates the
+# complement forward so every entry is driver-graded in r3∪r4: the new
+# round-4 entries (q_parity), all of q_enrichment (includes rev_geocode,
+# changed this round), all of q_relational (last graded r2, includes
+# sibling_symmetrize, changed this round), then q_shim with shim_fulltext
+# (changed this round) registered first inside the module so it lands at
+# position ≤50.
 from idb_backend_spark.plans import (  # noqa: F401  (side-effect registration)
-    q_store,
-    q_textsim,
-    q_shim,
+    q_parity,
     q_enrichment,
     q_relational,
+    q_shim,
+    q_store,
+    q_textsim,
 )

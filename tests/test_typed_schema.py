@@ -1,0 +1,143 @@
+"""§1.4 typed-schema data module tests: table-derived longnames/weights/
+maxscore, schema-driven verbatim projection (F2), and writer headers.
+
+Golden expectations mirror the reference's derivations
+(conversions.py:205-215 longname rule, :218-224 maxscores, :274-294
+getfield/verbatimGrabber semantics).
+"""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from idb_backend_spark.data.typed_schema import (
+    FIELDS,
+    RECORD_TYPES,
+    longnames,
+    maxscore,
+    raw_fields,
+    scored_weights,
+    typed_struct,
+    verbatim_projection,
+)
+
+
+def test_table_shape():
+    assert set(RECORD_TYPES) == {
+        "records", "mediarecords", "publishers", "recordsets",
+    }
+    assert len(FIELDS["records"]) == 81
+    assert len(FIELDS["mediarecords"]) == 21
+    assert len(FIELDS["publishers"]) == 9
+    assert len(FIELDS["recordsets"]) == 14
+
+
+def test_maxscores_match_reference():
+    # Σ include_in_score per type, floored at 1.0 (conversions.py:218-224)
+    assert maxscore("records") == 69.0
+    assert maxscore("mediarecords") == 11.0
+    assert maxscore("publishers") == 1.0  # sum is 0 -> floor
+    assert maxscore("recordsets") == 1.0
+
+
+def test_longname_default_rule():
+    ln = longnames("records")
+    assert ln["uuid"] == "idigbio:uuid"  # from rawfield
+    assert ln["datemodified"] == "idigbio:dateModified"  # explicit
+    assert ln["genus"] == "dwc:genus"  # from rawfield
+    assert ln["commonnames"] == "idigbio:commonnames"  # fallback
+    assert ln["minelevation"] == "dwc:minimumElevationInMeters"  # explicit
+    assert longnames("recordsets")["name"] == "dwc:datasetName"
+
+
+def test_scored_weights_exclude_zero():
+    w = scored_weights("records")
+    assert "uuid" not in w and "flags" not in w and "dqs" not in w
+    assert w["genus"] == 1 and w["geopoint"] == 1
+    assert sum(w.values()) == 69
+
+
+def test_typed_struct_types():
+    s = typed_struct("records")
+    by_name = {f.name: f.dataType.simpleString() for f in s.fields}
+    assert by_name["genus"] == "string"
+    assert by_name["recordids"] == "array<string>"
+    assert by_name["version"] == "bigint"
+    assert by_name["dqs"] == "double"
+    assert by_name["hasImage"] == "boolean"
+    assert by_name["datecollected"] == "timestamp"
+    assert by_name["geopoint"] == "struct<lat:double,lon:double>"
+
+
+def test_raw_fields_only_raw_backed():
+    names = {n for n, _, _ in raw_fields("records")}
+    assert "genus" in names and "uuid" in names
+    # derived-only columns are not projected
+    assert "geopoint" not in names and "dqs" not in names
+
+
+def test_verbatim_projection_semantics(spark):
+    # F1/F2: lowercase+trim, case-insensitive key preference (lowercased
+    # key wins when both present), JSON list parsing with element folds
+    rows = [
+        Row(
+            id=1,
+            data={
+                "dwc:genus": "  ACER ",
+                # lowercased key variant must win over the verbatim key
+                "dwc:country": "IGNORED",
+                "dwc:country".lower(): "United States",
+                "idigbio:recordIds": '["CAT-1"," URN:X:9 "]',
+            },
+        ),
+        Row(id=2, data={"dwc:scientificName": "Quercus alba"}),
+    ]
+    df = spark.createDataFrame(rows)
+    out = verbatim_projection(df, "records", keep=["id"]).orderBy("id")
+    r1, r2 = out.collect()
+    assert r1["genus"] == "acer"
+    assert r1["country"] == "united states"
+    assert r1["recordids"] == ["cat-1", "urn:x:9"]
+    assert r1["scientificname"] is None
+    assert r2["scientificname"] == "quercus alba"
+    assert r2["genus"] is None
+    # one column per raw-backed schema row plus the keep column
+    assert len(out.columns) == 1 + len(raw_fields("records"))
+
+
+def test_writer_longname_headers(spark):
+    from idb_backend_spark.export.writers import write_csv_member
+
+    df = spark.createDataFrame(
+        [Row(uuid="u1", genus="acer", catalognumber="c1")]
+    )
+    d = tempfile.mkdtemp(prefix="ln_hdr_")
+    path = os.path.join(d, "occurrence.csv")
+    write_csv_member(
+        df, path, "uuid", ["genus", "catalognumber"], record_type="records"
+    )
+    with open(path, encoding="utf-8") as fh:
+        header = fh.readline().strip()
+    assert header == "idigbio:uuid,dwc:genus,dwc:catalogNumber"
+
+
+def test_dqs_score_for_matches_reference_fold(spark):
+    from idb_backend_spark.functions.flags import dqs_score_for
+
+    df = spark.createDataFrame(
+        [
+            Row(genus="acer", country="us", flags=["similar_coord"]),
+            Row(genus=None, country="us", flags=[]),
+        ]
+    )
+    out = df.select(
+        dqs_score_for(
+            "records", F.col("flags"), columns=["genus", "country"]
+        ).alias("dqs")
+    ).collect()
+    # (2 present - 1 flag)/69 ; (1 present - 0 flags)/69
+    assert out[0]["dqs"] == pytest.approx(1 / 69.0)
+    assert out[1]["dqs"] == pytest.approx(1 / 69.0)
