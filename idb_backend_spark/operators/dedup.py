@@ -257,14 +257,15 @@ def simhash_pairs(
     )
     chunks = []
     for i in range(n_chunks):
+        if chunk_bits >= 64:
+            ckey = F.col("fp")  # radius 0: the whole fingerprint is the key
+        else:
+            ckey = F.shiftrightunsigned(
+                F.col("fp"), i * chunk_bits
+            ).bitwiseAND(F.lit((1 << chunk_bits) - 1))
         chunks.append(
             fp.select(
-                "id",
-                "fp",
-                F.lit(i).alias("chunk"),
-                F.shiftrightunsigned(F.col("fp"), i * chunk_bits)
-                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-                .alias("ckey"),
+                "id", "fp", F.lit(i).alias("chunk"), ckey.alias("ckey")
             )
         )
     banded = chunks[0]
@@ -415,6 +416,43 @@ def minhash_exact_verified_pairs(
         sig_cand.join(
             sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a"
         )
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_exact_verified_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 10,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """SimHash candidate generation with EXACT-Jaccard verification — the
+    simhash mirror of `minhash_exact_verified_pairs`.
+
+    The pigeonhole-bucketed simhash radius prunes the pair space; the
+    surviving candidates are verified against the true shingle-set
+    Jaccard, so the output is a SUBSET of `ngram_jaccard_pairs` at the
+    same (k, threshold) — equal to it exactly when every true pair lies
+    within ``max_hamming`` of the 64-bit fingerprints. That containment
+    makes the simhash tier oracle-checkable: an exact-SQL oracle computes
+    the true pair set, and any hash mismatch is a genuine radius/recall
+    loss in the sketch (true near-dups landing farther than
+    ``max_hamming`` apart in simhash space).
+    """
+    cand = simhash_pairs(
+        df, text_col, id_col, max_hamming=max_hamming
+    ).select("id_a", "id_b")
+    sh = _shingle_df(df, text_col, id_col, shingle_k).select("id", "sh")
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
         .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)

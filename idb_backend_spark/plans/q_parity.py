@@ -129,3 +129,44 @@ def records_typed_projection(spark, sf_dir):
             "flags": F.array_join("flags", "|"),
         }
     ).orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------------
+# SimHash exact-verified — the last sketch tier becomes oracle-checkable
+# --------------------------------------------------------------------------
+
+#: exact word-3-gram Jaccard pair oracle (the same true pair set that
+#: grades ngram_jaccard_pairs / minhash_exact_verified in q_textsim)
+_EXACT_JACCARD_ORACLE = (
+    "WITH sh AS (SELECT doc_id AS id, sz, g FROM ("
+    "  SELECT doc_id, toks, len(toks) AS n FROM ("
+    "    SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks"
+    "    FROM documents)) t, "
+    "  LATERAL (SELECT list_distinct(CASE WHEN n >= 3 THEN "
+    "    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, n - 1)] "
+    "    ELSE [array_to_string(toks, ' ')] END) AS grams) gr, "
+    "  LATERAL (SELECT len(gr.grams) AS sz) z, "
+    "  LATERAL unnest(gr.grams) AS u(g)), "
+    "pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared,"
+    "  any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b "
+    "  FROM sh a JOIN sh b USING (g) WHERE a.id < b.id GROUP BY a.id, b.id) "
+    "SELECT id_a, id_b, round(shared / (sz_a + sz_b - shared), 6) AS jaccard "
+    "FROM pairs WHERE shared / (sz_a + sz_b - shared) >= 0.8 "
+    "ORDER BY id_a, id_b"
+)
+
+
+@query("simhash_exact_verified", _EXACT_JACCARD_ORACLE)
+def simhash_exact_verified(spark, sf_dir):
+    """Near-dup — SimHash pigeonhole candidates verified by EXACT shingle
+    Jaccard (mirror of minhash_exact_verified). The sketch only prunes;
+    the oracle computes the true Jaccard-0.8 pair set, so a hash mismatch
+    is a genuine simhash radius/recall loss. Radius 10 (11 chunks) holds
+    the corpus's true near-dup pairs (observed max Hamming 8 at sf0.01)
+    with margin; `simhash_pairs` stays the rows-only radius-3 flavor."""
+    from idb_backend_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_exact_verified_pairs(
+        docs, "text", "doc_id", max_hamming=10, shingle_k=3, threshold=0.8
+    ).orderBy("id_a", "id_b")

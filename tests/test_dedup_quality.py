@@ -171,6 +171,33 @@ def test_minhash_exact_verified_equals_exact_pairs(spark):
     assert got == exact
 
 
+def test_simhash_exact_verified_equals_exact_pairs(spark):
+    # mirror of the minhash test: at a wide-enough Hamming radius the
+    # pigeonhole candidates recall every true pair, and the exact-Jaccard
+    # verify makes the output equal the true pair set
+    df = _corpus(spark)
+    exact = {
+        p
+        for p, j in _exact_jaccard(spark, df).items()
+        if j >= 0.6
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_exact_verified_pairs(
+            df, "text", "doc_id", max_hamming=16, threshold=0.6
+        ).collect()
+    }
+    assert got == exact
+    # tight radius is a strict subset (precision side of the contract)
+    tight = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_exact_verified_pairs(
+            df, "text", "doc_id", max_hamming=0, threshold=0.6
+        ).collect()
+    }
+    assert tight <= exact
+
+
 def test_exact_dedup_identical_only(spark):
     df = spark.createDataFrame(
         [(1, "Same  Text here"), (2, "same text HERE"), (3, "different")],
