@@ -156,6 +156,96 @@ _EXACT_JACCARD_ORACLE = (
 )
 
 
+# --------------------------------------------------------------------------
+# §2.10 — a streaming query EXECUTED under the driver's oracle gate
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_windowed_rollup",
+    "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type, "
+    "count(*) AS n_events, round(sum(value), 2) AS total "
+    "FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+)
+def streaming_windowed_rollup(spark, sf_dir):
+    """§2.10 executed — the watermarked tumbling-window rollup runs as an
+    actual Structured Streaming query (file source over the events table,
+    ``Trigger.AvailableNow``, memory sink) and its final result is graded
+    against the batch-SQL oracle. Complete output mode makes the stream's
+    end-state deterministic regardless of micro-batch boundaries: every
+    window emits its final aggregate, late-data semantics inside the run
+    are governed by the declared watermark.
+
+    This is the same A7 rollup shape the batch entries grade
+    (stats_daily_rollup) — here the assertion is that the STREAMING
+    execution path (watermark bookkeeping, state store, incremental
+    aggregation) converges to the batch answer.
+    """
+    import uuid as _uuid
+
+    from pyspark.sql.types import LongType
+
+    from idb_backend_spark.streaming.incremental import windowed_rollup
+
+    import os
+    import shutil
+    import tempfile
+
+    path = f"{sf_dir}/events.parquet"
+    # _t sets the nanos conf + documents the ts conversion; reuse its
+    # reader for the schema so the stream sees exactly the batch layout
+    raw_schema = spark.read.parquet(path).schema
+    # the file source streams a DIRECTORY (its listing is the change
+    # feed); the test table is a single file, so stage it as a one-file
+    # landing directory — at real scale the landing dir is the natural
+    # layout and this copy disappears
+    landing = tempfile.mkdtemp(prefix="stream_rollup_")
+    if os.path.isdir(path):
+        for f_name in os.listdir(path):
+            if f_name.endswith(".parquet"):
+                shutil.copy(os.path.join(path, f_name), landing)
+    else:
+        shutil.copy(path, landing)
+    stream = spark.readStream.schema(raw_schema).parquet(landing)
+    # plain TIMESTAMP (not NTZ): watermarks only accept TIMESTAMP, and
+    # anchoring at the session-TZ epoch literal keeps the WALL CLOCK equal
+    # to the naive value for any session timezone (so date_trunc/window
+    # and the collected datetimes match DuckDB's naive timestamps)
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        stream = stream.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " TIMESTAMP '1970-01-01 00:00:00')"
+            ),
+        )
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    rolled = windowed_rollup(
+        stream, "ts", ["event_type"], window="1 day", watermark="1 hour",
+        value_col="value",
+    )
+    qname = "stream_rollup_" + _uuid.uuid4().hex[:8]
+    sq = (
+        rolled.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return (
+        spark.table(qname)
+        .select(
+            "window_start",
+            "event_type",
+            F.col("count").cast("bigint").alias("n_events"),
+            "total",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 @query("simhash_exact_verified", _EXACT_JACCARD_ORACLE)
 def simhash_exact_verified(spark, sf_dir):
     """Near-dup — SimHash pigeonhole candidates verified by EXACT shingle
