@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     IntegerType,
     StringType,
@@ -289,6 +290,140 @@ def generate_derivatives(
             yield pd.DataFrame(
                 rows,
                 columns=[id_col, "dtype", "content", "width", "height"],
+            )
+
+    return df.select(id_col, content_col).mapInPandas(batches, out_schema)
+
+
+# --------------------------------------------------------------------------
+# F25 (audio) — wave → waveform derivative
+# (derivatives.py:338-341 wave_to_img; lib/waveform.py)
+# --------------------------------------------------------------------------
+
+#: reference Waveform constants (waveform.py:17-18)
+AUDIO_BAR_COUNT = 107
+AUDIO_DB_CEILING = 60
+#: reference bar-image geometry (waveform.py:60-68)
+AUDIO_IMG_SIZE = (840, 150)
+
+
+def wav_rms_peaks(b: bytes) -> tuple[int, list[int]] | None:
+    """Decode a PCM WAV and compute the reference's normalized per-chunk
+    RMS peaks (waveform.py:28-42): split into ``bar_count`` chunks, take
+    each chunk's RMS, scale to ``db_ceiling`` by the max chunk RMS.
+
+    Real kernel with NO optional dependencies: stdlib ``wave`` parses the
+    RIFF container, numpy vectorizes the RMS. (The reference reaches all
+    formats through pydub+ffmpeg; compressed formats would gate on pydub
+    the way images gate on PIL.) Returns (duration_ms, peaks) or None for
+    undecodable blobs.
+    """
+    import wave as _wave
+
+    import numpy as np
+
+    try:
+        with _wave.open(io.BytesIO(b)) as w:
+            n_frames = w.getnframes()
+            rate = w.getframerate()
+            swidth = w.getsampwidth()
+            n_ch = w.getnchannels()
+            raw = w.readframes(n_frames)
+    except Exception:
+        return None
+    if rate <= 0 or n_frames == 0:
+        return None
+    dtype = {1: np.int8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(swidth)
+    if dtype is None:
+        return None
+    samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if n_ch > 1:  # average channels to mono before RMS
+        samples = samples.reshape(-1, n_ch).mean(axis=1)
+    duration_ms = int(round(n_frames * 1000 / rate))
+    chunk = len(samples) // AUDIO_BAR_COUNT
+    if chunk == 0:
+        return duration_ms, [0] * AUDIO_BAR_COUNT
+    trimmed = samples[: chunk * AUDIO_BAR_COUNT].reshape(AUDIO_BAR_COUNT, chunk)
+    # pydub AudioSegment.rms is an int — mirror the truncation
+    rms = np.sqrt((trimmed * trimmed).mean(axis=1)).astype(np.int64)
+    max_rms = int(rms.max())
+    if max_rms == 0:
+        return duration_ms, [0] * AUDIO_BAR_COUNT
+    return duration_ms, [
+        int(r * AUDIO_DB_CEILING / max_rms) for r in rms.tolist()
+    ]
+
+
+def waveform_image_bytes(peaks: list[int]) -> bytes | None:
+    """PIL-gated bar render (waveform.py:58-68 geometry: 840×150 canvas,
+    4-px bars every 8 px, bar height 2·peak). Returns PNG bytes, or None
+    without pillow — the peaks column stays the testable surface."""
+    if not HAS_PIL:
+        return None
+    im = _PILImage.new("RGB", AUDIO_IMG_SIZE, "#f5f5f5")
+    from PIL import ImageDraw
+
+    draw = ImageDraw.Draw(im)
+    for idx, value in enumerate(peaks):
+        if value <= 0:
+            continue
+        x = idx * 8 + 2
+        top = 64 - value
+        draw.rectangle([x, top, x + 3, top + max(1, value * 2)], fill="#424242")
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+AUDIO_WAVEFORM_SCHEMA = StructType(
+    [
+        StructField("duration_ms", IntegerType()),
+        StructField("peaks", ArrayType(IntegerType())),
+        StructField("waveform_png", BinaryType()),
+    ]
+)
+
+
+def audio_waveform(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "id",
+    fake: bool = False,
+) -> DataFrame:
+    """F25 (audio) — the wave→waveform derivative as a mapInPandas stage
+    (reference convert_media routes bucket='sounds' through
+    wave_to_img, derivatives.py:322-341).
+
+    One output row per blob: (id, duration_ms, peaks, waveform_png).
+    PCM WAV decodes for real (stdlib+numpy); undecodable/compressed blobs
+    yield NULL duration/peaks — the reference's log-and-skip contract.
+    ``fake=True`` substitutes deterministic hash-derived peaks (the
+    multimodal stub convention for environments without codecs).
+    """
+    out_schema = StructType([df.schema[id_col], *AUDIO_WAVEFORM_SCHEMA.fields])
+
+    def _one(b: bytes):
+        if fake:
+            h = hashlib.sha1(b).digest()
+            peaks = [h[i % 20] * AUDIO_DB_CEILING // 255 for i in range(AUDIO_BAR_COUNT)]
+            return len(b), peaks, None
+        got = wav_rms_peaks(b)
+        if got is None:
+            return None, None, None
+        duration_ms, peaks = got
+        return duration_ms, peaks, waveform_image_bytes(peaks)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _id, blob in zip(pdf[id_col], pdf[content_col]):
+                if blob is None:
+                    rows.append((_id, None, None, None))
+                    continue
+                rows.append((_id, *_one(bytes(blob))))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "duration_ms", "peaks", "waveform_png"],
             )
 
     return df.select(id_col, content_col).mapInPandas(batches, out_schema)

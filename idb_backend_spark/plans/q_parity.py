@@ -157,6 +157,88 @@ _EXACT_JACCARD_ORACLE = (
 
 
 # --------------------------------------------------------------------------
+# F25 (audio) — wave→waveform derivative with an analytic oracle
+# --------------------------------------------------------------------------
+
+
+@query(
+    "audio_waveform_peaks",
+    # Each doc gets a synthesized PCM WAV: 107 chunks of 10 samples at
+    # 1000 Hz (duration exactly 1070 ms), chunk i a ±A_i square wave with
+    # A_i = (1 + (doc_id + 13·i) % 8)·500 — so chunk RMS is exactly A_i,
+    # the max amplitude is always 4000 (13 mod 8 = 5 is coprime with 8 ⇒
+    # every residue occurs), and the reference's peak formula
+    # int(rms·60/max) reduces to floor((1 + (doc_id+13i) % 8)·7.5):
+    # closed-form, exact in both engines.
+    "SELECT doc_id, 1070 AS duration_ms, "
+    "array_to_string([CAST(floor((1 + (doc_id + 13*i) % 8) * 7.5) AS INT) "
+    "FOR i IN range(0, 107)], ',') AS peaks_csv "
+    "FROM documents ORDER BY doc_id",
+)
+def audio_waveform_peaks(spark, sf_dir):
+    """F25 (audio) — the wave→waveform-peaks derivative executed through
+    the REAL decode kernel (stdlib wave + numpy RMS — no codec deps), not
+    the fake path: synthesized PCM WAV blobs whose per-chunk RMS is known
+    in closed form, graded against the exact analytic oracle. Mirrors
+    reference wave_to_img (derivatives.py:338-341) + Waveform peaks
+    (waveform.py:28-42)."""
+    import io as _io
+    import wave as _wave
+    from collections.abc import Iterator as _Iterator
+
+    import numpy as _np
+    import pandas as _pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from idb_backend_spark.functions.multimodal import (
+        AUDIO_BAR_COUNT,
+        audio_waveform,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id"))
+
+    blob_schema = StructType(
+        [StructField("id", LongType()), StructField("content", BinaryType())]
+    )
+
+    def synth(it: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        # WAV synthesis is test-harness input generation (the corpus
+        # would already hold real blobs); the operator under test is
+        # audio_waveform below.
+        base = _np.tile([1.0, -1.0], 5)  # one 10-sample square chunk
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = _np.arange(AUDIO_BAR_COUNT)
+                amps = (1 + (int(doc_id) + 13 * i) % 8) * 500
+                samples = (base[None, :] * amps[:, None]).ravel()
+                buf = _io.BytesIO()
+                with _wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(1000)
+                    w.writeframes(
+                        samples.astype("<i2").tobytes()
+                    )
+                rows.append((int(doc_id), buf.getvalue()))
+            yield _pd.DataFrame(rows, columns=["id", "content"])
+
+    blobs = docs.mapInPandas(synth, blob_schema)
+    wf = audio_waveform(blobs, "content", "id")
+    return wf.select(
+        F.col("id").alias("doc_id"),
+        "duration_ms",
+        F.array_join(F.transform("peaks", lambda p: p.cast("string")), ",")
+        .alias("peaks_csv"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
 # §2.10 — a streaming query EXECUTED under the driver's oracle gate
 # --------------------------------------------------------------------------
 

@@ -113,3 +113,78 @@ def test_real_kernel_decodes_and_resizes(spark):
     assert (dv["webview"]["width"], dv["webview"]["height"]) == (600, 300)
     # PNG source re-encodes to JPEG for fullsize
     assert bytes(dv["fullsize"]["content"]).startswith(b"\xff\xd8\xff")
+
+
+def _wav_bytes(samples, rate=1000, width=2, channels=1):
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        dt = {1: "i1", 2: "<i2", 4: "<i4"}[width]
+        w.writeframes(np.asarray(samples).astype(dt).tobytes())
+    return buf.getvalue()
+
+
+def test_wav_rms_peaks_constant_amplitude():
+    import numpy as np
+
+    # 107 chunks x 10 samples of a +-1000 square wave: every chunk RMS is
+    # exactly 1000 -> normalized peaks are all db_ceiling (60)
+    samples = np.tile([1000.0, -1000.0], 5 * mm.AUDIO_BAR_COUNT)
+    duration, peaks = mm.wav_rms_peaks(_wav_bytes(samples))
+    assert duration == 1070
+    assert peaks == [mm.AUDIO_DB_CEILING] * mm.AUDIO_BAR_COUNT
+
+
+def test_wav_rms_peaks_silence_and_garbage():
+    import numpy as np
+
+    duration, peaks = mm.wav_rms_peaks(
+        _wav_bytes(np.zeros(10 * mm.AUDIO_BAR_COUNT))
+    )
+    assert duration == 1070
+    assert peaks == [0] * mm.AUDIO_BAR_COUNT
+    assert mm.wav_rms_peaks(b"not a wav at all") is None
+    assert mm.wav_rms_peaks(b"RIFF\x00\x00\x00\x00WAVEjunk") is None
+
+
+def test_wav_rms_peaks_stereo_averages_channels():
+    import numpy as np
+
+    # L = +-2000 square, R = exact negation -> mono mean is 0 everywhere
+    n = 10 * mm.AUDIO_BAR_COUNT
+    left = np.tile([2000.0, -2000.0], n // 2)
+    inter = np.empty(2 * n)
+    inter[0::2] = left
+    inter[1::2] = -left
+    duration, peaks = mm.wav_rms_peaks(_wav_bytes(inter, channels=2))
+    assert duration == 1070
+    assert peaks == [0] * mm.AUDIO_BAR_COUNT
+
+
+def test_audio_waveform_operator(spark):
+    import numpy as np
+
+    blobs = spark.createDataFrame(
+        [
+            (1, bytearray(_wav_bytes(np.tile([500.0, -500.0], 5 * mm.AUDIO_BAR_COUNT)))),
+            (2, bytearray(b"bogus")),
+            (3, None),
+        ],
+        "id long, content binary",
+    )
+    out = {r["id"]: r for r in mm.audio_waveform(blobs).collect()}
+    assert out[1]["duration_ms"] == 1070
+    assert out[1]["peaks"] == [mm.AUDIO_DB_CEILING] * mm.AUDIO_BAR_COUNT
+    # no pillow in this container -> render column stays null
+    assert out[1]["waveform_png"] is None or isinstance(
+        out[1]["waveform_png"], (bytes, bytearray)
+    )
+    assert out[2]["peaks"] is None  # undecodable: log-and-skip contract
+    assert out[3]["peaks"] is None
