@@ -1,0 +1,98 @@
+"""Coarse EEZ / territorial-waters bands for the reverse geocoder (F7
+marine layer) — the role the EEZ_land shapefile plays for the reference
+(rg.py:60-62; consulted when the land layer misses,
+conversions.py:514-519, and as the second pass of the flip search,
+conversions.py:548-550).
+
+Shapes are generous offshore boxes (x1, y1, x2, y2 = lon/lat bounds)
+hugging each country's coast out to roughly the 200-nm EEZ scale. The
+land layer is ALWAYS probed first, so a marine box overlapping a foreign
+coastline is harmless — the box only answers where no land ring
+contains the point. Between adjacent countries' waters the first match
+in insertion order wins (deterministic); boxes are drawn to keep such
+overlaps small.
+
+Like the EEZ_land source, a country's band may also cover its own land —
+redundant but harmless under land-first lookup order.
+"""
+
+from __future__ import annotations
+
+WORLD_EEZ: dict[str, list[tuple[float, float, float, float]]] = {
+    "US": [
+        (-130.0, 31.0, -123.5, 49.0),   # Pacific
+        (-97.8, 25.0, -81.0, 30.5),     # Gulf of Mexico
+        (-81.5, 24.0, -74.0, 36.0),     # Florida Straits + SE Atlantic
+        (-76.0, 35.0, -65.5, 45.0),     # mid/NE Atlantic
+    ],
+    "CA": [
+        (-135.0, 48.5, -125.0, 55.0),   # BC coast (north of US band)
+        (-66.0, 42.5, -48.0, 62.0),     # Atlantic / Labrador
+        (-141.0, 68.5, -120.0, 75.0),   # Beaufort
+    ],
+    "MX": [
+        (-118.0, 14.0, -92.0, 32.0),    # Pacific
+        (-97.5, 18.5, -94.0, 25.5),     # Bay of Campeche
+        (-92.0, 18.5, -86.0, 24.0),     # Yucatán shelf
+    ],
+    "BR": [
+        (-52.0, -35.0, -38.0, -24.0),   # south Atlantic shelf
+        (-41.0, -24.0, -31.0, -2.0),    # east / northeast shelf
+        (-51.0, -2.0, -42.0, 6.0),      # equatorial margin
+    ],
+    "AR": [(-68.5, -55.5, -52.0, -35.5)],
+    "CL": [(-80.0, -56.0, -69.0, -18.0)],
+    "PE": [(-86.0, -18.5, -70.5, -3.0)],
+    "EC": [(-84.0, -3.5, -80.0, 1.5)],
+    "CO": [(-79.5, 1.5, -76.5, 7.5), (-78.0, 8.0, -71.0, 13.5)],
+    "VE": [(-71.5, 10.5, -59.5, 15.5)],
+    "UY": [(-57.5, -37.5, -50.0, -33.0)],
+    "GB": [
+        (-11.0, 48.5, 2.5, 61.5),       # shelf around Great Britain
+    ],
+    "IE": [(-16.0, 49.0, -5.5, 56.5)],
+    "FR": [
+        (-6.5, 43.2, 0.0, 49.0),        # Biscay
+        (2.8, 41.2, 8.5, 43.6),         # Gulf of Lion / Ligurian
+    ],
+    "ES": [(-11.5, 35.5, -1.0, 44.5), (-1.0, 37.5, 2.5, 40.5)],
+    "PT": [(-13.0, 36.0, -8.7, 42.0)],
+    "NO": [(2.0, 56.5, 12.0, 71.5), (12.0, 68.0, 31.0, 74.0)],
+    "SE": [(10.5, 54.5, 19.5, 61.0)],
+    "DK": [(4.0, 53.5, 8.2, 57.8)],
+    "DE": [(6.0, 53.5, 9.0, 55.5)],
+    "NL": [(2.5, 51.5, 7.0, 55.5)],
+    "IT": [(8.0, 36.5, 19.0, 45.8)],
+    "GR": [(19.5, 33.5, 28.5, 41.0)],
+    "TR": [(25.0, 33.5, 36.5, 43.0)],
+    "RU": [(135.0, 42.0, 165.0, 60.0), (28.5, 59.5, 32.0, 61.0)],
+    "EG": [(24.5, 31.0, 34.5, 33.5), (33.0, 22.0, 39.0, 28.5)],
+    "ZA": [(14.0, -38.0, 33.0, -27.5)],
+    "NG": [(2.5, 2.0, 9.0, 6.5)],
+    "KE": [(39.5, -5.0, 45.0, -1.5)],
+    "TZ": [(38.5, -11.0, 44.0, -4.5)],
+    "MG": [(42.0, -27.0, 52.0, -11.5)],
+    "IN": [
+        (66.0, 6.0, 74.0, 24.0),        # Arabian Sea
+        (77.0, 4.0, 90.0, 21.5),        # Bay of Bengal
+    ],
+    "SA": [(33.8, 16.0, 40.5, 29.5), (48.5, 24.0, 52.5, 28.5)],
+    "IR": [(48.0, 23.5, 62.0, 30.5)],
+    "PK": [(60.5, 22.0, 68.5, 25.5)],
+    "TH": [(98.5, 5.5, 102.5, 13.5), (97.0, 6.0, 99.0, 13.0)],
+    "VN": [(102.5, 5.5, 112.5, 21.5)],
+    "MY": [(98.5, 1.0, 105.5, 7.5)],
+    "ID": [(93.0, -12.0, 120.0, 6.5)],
+    "PH": [(116.5, 4.5, 127.5, 21.0)],
+    "CN": [(105.5, 15.0, 126.0, 41.0)],
+    "KR": [(123.5, 32.0, 132.0, 39.0)],
+    "JP": [(128.0, 24.0, 148.0, 46.0)],
+    "AU": [
+        (105.0, -40.0, 129.0, -10.0),   # west / northwest
+        (129.0, -45.0, 160.0, -9.8),    # east / Coral + Tasman (PG waters
+                                        # north of -9.8 belong to PG below)
+    ],
+    "NZ": [(160.0, -52.0, 180.0, -32.0)],
+    "PG": [(140.5, -12.0, 156.0, 0.0)],
+    "CU": [(-86.0, 19.0, -73.5, 24.0)],
+}

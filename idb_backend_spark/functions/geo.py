@@ -506,6 +506,15 @@ def default_geocoder() -> GridGeocoder:
     return GridGeocoder(WORLD_REGIONS)
 
 
+def default_eez_geocoder() -> GridGeocoder:
+    """Geocoder over the packaged offshore EEZ bands (data/world_eez.py) —
+    the marine fallback layer (reference rg.py:60-62 get_rg_eez over the
+    EEZ_land shapefile)."""
+    from idb_backend_spark.data.world_eez import WORLD_EEZ
+
+    return GridGeocoder(WORLD_EEZ)
+
+
 #: The reference's 8-way sign/axis flip search (conversions.py:530-547):
 #: (lon, lat) candidates tried in order; flag name per slot.
 FLIP_QUERIES = [
@@ -524,11 +533,28 @@ def rev_geocode_py(
     lon: float,
     lat: float,
     stated_iso: str | None,
+    eez_geocoder: GridGeocoder | None = None,
 ) -> tuple[float, float, str | None, list[str]]:
     """One row of the reverse-geocode + flip-correction loop
-    (conversions.py:513-563). Returns (lon, lat, country, flags)."""
+    (conversions.py:513-563). Returns (lon, lat, country, flags).
+
+    Lookup order is land THEN EEZ (conversions.py:514-519): an offshore
+    specimen missing the land layer picks up its country from the marine
+    EEZ bands with flag ``rev_geocode_eez``. The flip search then runs
+    every candidate against the land layer first and the EEZ layer second
+    (the reference's ``results = land-flips + eez-flips`` list,
+    conversions.py:548-550); an EEZ-made correction adds
+    ``rev_geocode_eez_corrected``. When flips are tested with a stated
+    country the mismatch flag is set unconditionally
+    (conversions.py:530) — including the failure case.
+    """
     flags: list[str] = []
     country = geocoder.lookup(lon, lat)
+    if country is None and eez_geocoder is not None:
+        eez_hit = eez_geocoder.lookup(lon, lat)
+        if eez_hit is not None:
+            country = eez_hit
+            flags.append("rev_geocode_eez")
     test_flips = False
     if country is None:
         flags.append("rev_geocode_failure")
@@ -537,22 +563,35 @@ def rev_geocode_py(
         flags.append("rev_geocode_mismatch")
         test_flips = True
     if stated_iso and test_flips:
-        for fn, flag, needs_lat_range in FLIP_QUERIES:
-            if needs_lat_range and abs(lon) > 90.0:
+        if "rev_geocode_mismatch" not in flags:
+            flags.append("rev_geocode_mismatch")
+        done = False
+        for use_eez in (False, True):
+            gc = eez_geocoder if use_eez else geocoder
+            if gc is None or done:
                 continue
-            cand = fn(lon, lat)
-            got = geocoder.lookup(*cand)
-            if got is not None and got.lower() == stated_iso.lower():
-                lon, lat = cand
-                country = got
-                flags.append(flag)
-                flags.append("rev_geocode_corrected")
-                break
+            for fn, flag, needs_lat_range in FLIP_QUERIES:
+                if needs_lat_range and abs(lon) > 90.0:
+                    continue
+                cand = fn(lon, lat)
+                got = gc.lookup(*cand)
+                if got is not None and got.lower() == stated_iso.lower():
+                    lon, lat = cand
+                    country = got
+                    flags.append(flag)
+                    if use_eez:
+                        flags.append("rev_geocode_eez_corrected")
+                    flags.append("rev_geocode_corrected")
+                    done = True
+                    break
     return lon, lat, country, flags
 
 
-def rev_geocode_udf(geocoder: GridGeocoder):
-    """Build the pandas UDF bound to a driver-constructed geocoder."""
+def rev_geocode_udf(
+    geocoder: GridGeocoder, eez_geocoder: GridGeocoder | None = None
+):
+    """Build the pandas UDF bound to driver-constructed geocoders (land
+    layer required, marine EEZ layer optional)."""
     schema = StructType(
         [
             StructField("lon", DoubleType()),
@@ -570,7 +609,9 @@ def rev_geocode_udf(geocoder: GridGeocoder):
                 rows.append((None, None, None, None))
                 continue
             code = None if (code is None or (isinstance(code, float) and math.isnan(code))) else str(code)
-            lo2, la2, country, flags = rev_geocode_py(geocoder, lo, la, code)
+            lo2, la2, country, flags = rev_geocode_py(
+                geocoder, lo, la, code, eez_geocoder
+            )
             rows.append((lo2, la2, country, ",".join(flags) if flags else None))
         return pd.DataFrame(rows, columns=["lon", "lat", "country", "flags"])
 

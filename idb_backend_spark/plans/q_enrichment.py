@@ -787,14 +787,17 @@ _RG_ISO = (
     " WHEN c_custkey % 7 = 0 THEN 'IN' "
     " WHEN c_custkey % 5 = 0 THEN 'US' "
     " WHEN c_custkey % 3 = 0 THEN NULL ELSE 'CN' END AS country, "
+    # when a stated country triggers the flip search, the mismatch flag is
+    # set unconditionally (reference conversions.py:530) — including the
+    # failure cases
     "CASE WHEN c_custkey % 17 = 0 THEN "
-    "  'rev_geocode_failure,rev_geocode_both_sign,rev_geocode_corrected' "
+    "  'rev_geocode_failure,rev_geocode_mismatch,rev_geocode_both_sign,rev_geocode_corrected' "
     " WHEN c_custkey % 13 = 0 THEN "
-    "  'rev_geocode_failure,rev_geocode_lon_sign,rev_geocode_corrected' "
+    "  'rev_geocode_failure,rev_geocode_mismatch,rev_geocode_lon_sign,rev_geocode_corrected' "
     " WHEN c_custkey % 11 = 0 THEN "
-    "  'rev_geocode_failure,rev_geocode_lat_sign,rev_geocode_corrected' "
+    "  'rev_geocode_failure,rev_geocode_mismatch,rev_geocode_lat_sign,rev_geocode_corrected' "
     " WHEN c_custkey % 7 = 0 THEN "
-    "  'rev_geocode_failure,rev_geocode_flip,rev_geocode_corrected' "
+    "  'rev_geocode_failure,rev_geocode_mismatch,rev_geocode_flip,rev_geocode_corrected' "
     " WHEN c_custkey % 5 = 0 THEN 'rev_geocode_mismatch' "
     " WHEN c_custkey % 3 = 0 THEN 'rev_geocode_failure' "
     " ELSE NULL END AS flags "
@@ -808,7 +811,11 @@ def rev_geocode_q(spark, sf_dir):
     flips (each corrected to the stated country), a mismatch that no flip
     can fix (flag only, coordinates kept), an ocean failure with no
     stated country (no flip attempted), and a clean in-country hit."""
-    from idb_backend_spark.functions.geo import default_geocoder, rev_geocode_udf
+    from idb_backend_spark.functions.geo import (
+        default_eez_geocoder,
+        default_geocoder,
+        rev_geocode_udf,
+    )
 
     cust = _t(spark, sf_dir, "customer")
     inp = cust.select(
@@ -818,7 +825,10 @@ def rev_geocode_q(spark, sf_dir):
         F.expr(_RG_ISO).alias("iso"),
     )
     out = inp.withColumn(
-        "rg", rev_geocode_udf(default_geocoder())("in_lon", "in_lat", "iso")
+        "rg",
+        rev_geocode_udf(default_geocoder(), default_eez_geocoder())(
+            "in_lon", "in_lat", "iso"
+        ),
     )
     return out.select(
         "c_custkey",

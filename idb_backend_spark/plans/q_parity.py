@@ -157,6 +157,86 @@ _EXACT_JACCARD_ORACLE = (
 
 
 # --------------------------------------------------------------------------
+# F7 — reverse geocode with the marine EEZ fallback layer
+# --------------------------------------------------------------------------
+
+_RGO_LON = (
+    "CASE c_custkey % 4 WHEN 0 THEN -90.0 WHEN 1 THEN -155.0 "
+    "WHEN 2 THEN -69.2 ELSE 13.0 END"
+)
+_RGO_LAT = (
+    "CASE c_custkey % 4 WHEN 0 THEN 28.0 WHEN 1 THEN -20.0 "
+    "WHEN 2 THEN -44.6 ELSE 40.0 END"
+)
+_RGO_ISO = (
+    "CASE c_custkey % 4 WHEN 0 THEN 'US' WHEN 1 THEN 'AU' "
+    "WHEN 2 THEN 'US' ELSE NULL END"
+)
+
+
+@query(
+    "rev_geocode_offshore",
+    # golden per-class expectations for the land-then-EEZ lookup order
+    # (conversions.py:514-519) and the EEZ pass of the flip search
+    # (conversions.py:548-550):
+    #  %4=0  Gulf of Mexico point, stated US: land misses, EEZ supplies
+    #        the country (flag rev_geocode_eez, no failure, no nulling)
+    #  %4=1  south-Pacific point with negated longitude, stated AU: land
+    #        and EEZ miss, land flips miss, the EEZ flip pass corrects
+    #  %4=2  Patagonia point with negated latitude, stated US: the finer
+    #        land layer now RESOLVES it (AR) -> mismatch -> land flip
+    #        corrects to Maine (the old coarse map nulled this point)
+    #  else  Tyrrhenian Sea, no stated country: EEZ hit, no flip search
+    "SELECT c_custkey, "
+    "CAST(CASE c_custkey % 4 WHEN 0 THEN -90.0 WHEN 1 THEN 155.0 "
+    " WHEN 2 THEN -69.2 ELSE 13.0 END AS DOUBLE) AS lon, "
+    "CAST(CASE c_custkey % 4 WHEN 0 THEN 28.0 WHEN 1 THEN -20.0 "
+    " WHEN 2 THEN 44.6 ELSE 40.0 END AS DOUBLE) AS lat, "
+    "CASE c_custkey % 4 WHEN 0 THEN 'US' WHEN 1 THEN 'AU' "
+    " WHEN 2 THEN 'US' ELSE 'IT' END AS country, "
+    "CASE c_custkey % 4 WHEN 0 THEN 'rev_geocode_eez' "
+    " WHEN 1 THEN 'rev_geocode_failure,rev_geocode_mismatch,"
+    "rev_geocode_lon_sign,rev_geocode_eez_corrected,rev_geocode_corrected' "
+    " WHEN 2 THEN 'rev_geocode_mismatch,rev_geocode_lat_sign,"
+    "rev_geocode_corrected' "
+    " ELSE 'rev_geocode_eez' END AS flags "
+    "FROM customer ORDER BY c_custkey",
+)
+def rev_geocode_offshore(spark, sf_dir):
+    """F7 with the EEZ layer — offshore specimens resolve via the marine
+    bands instead of nulling out, and the flip search runs its second
+    (EEZ) pass when the land pass misses, matching the reference's
+    land-then-EEZ lookup and correction order (rg.py:60-79,
+    conversions.py:513-563)."""
+    from idb_backend_spark.functions.geo import (
+        default_eez_geocoder,
+        default_geocoder,
+        rev_geocode_udf,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    inp = cust.select(
+        "c_custkey",
+        F.expr(f"CAST(({_RGO_LON}) AS DOUBLE)").alias("in_lon"),
+        F.expr(f"CAST(({_RGO_LAT}) AS DOUBLE)").alias("in_lat"),
+        F.expr(_RGO_ISO).alias("iso"),
+    )
+    out = inp.withColumn(
+        "rg",
+        rev_geocode_udf(default_geocoder(), default_eez_geocoder())(
+            "in_lon", "in_lat", "iso"
+        ),
+    )
+    return out.select(
+        "c_custkey",
+        F.col("rg.lon").alias("lon"),
+        F.col("rg.lat").alias("lat"),
+        F.col("rg.country").alias("country"),
+        F.col("rg.flags").alias("flags"),
+    ).orderBy("c_custkey")
+
+
+# --------------------------------------------------------------------------
 # F25 (audio) — wave→waveform derivative with an analytic oracle
 # --------------------------------------------------------------------------
 

@@ -384,11 +384,14 @@ def test_rev_geocode_flip_loop_on_world_outlines():
     from idb_backend_spark.functions.geo import default_geocoder, rev_geocode_py
 
     g = default_geocoder()
-    # axis flip corrected to stated country (conversions.py:530-547)
+    # axis flip corrected to stated country (conversions.py:530-547);
+    # the mismatch flag is set unconditionally when flips are tested with
+    # a stated country (conversions.py:530) — failure case included
     lon, lat, country, flags = rev_geocode_py(g, 20.5, 78.9, "IN")
     assert (lon, lat, country) == (78.9, 20.5, "IN")
     assert flags == [
-        "rev_geocode_failure", "rev_geocode_flip", "rev_geocode_corrected",
+        "rev_geocode_failure", "rev_geocode_mismatch", "rev_geocode_flip",
+        "rev_geocode_corrected",
     ]
     # mismatch that no flip fixes: flag only, coordinates unchanged
     lon, lat, country, flags = rev_geocode_py(g, -98.5, 39.8, "CA")

@@ -1,0 +1,140 @@
+"""World-map data quality gates for the F7 reverse geocoder.
+
+Three invariants protect the packaged land + EEZ layers:
+* a golden city→country table (interior points must resolve on LAND);
+* offshore probes (land must miss, the EEZ band must supply the country
+  — the reference's land-then-EEZ order, conversions.py:514-519);
+* pairwise land-ring disjointness on a dense sample grid (overlapping
+  claims would make lookup order-dependent).
+"""
+
+from __future__ import annotations
+
+from idb_backend_spark.functions.geo import (
+    default_eez_geocoder,
+    default_geocoder,
+    rev_geocode_py,
+)
+
+#: (lon, lat, iso) — interior city points, one to four per country
+GOLDEN_CITIES = [
+    (-77.0, 38.9, "US"), (-87.6, 41.9, "US"), (-118.2, 34.1, "US"),
+    (-95.4, 29.8, "US"), (-82.3, 29.6, "US"), (-122.3, 47.6, "US"),
+    (-73.6, 45.5, "CA"), (-79.4, 43.7, "CA"), (-123.1, 49.3, "CA"),
+    (-113.5, 53.5, "CA"),
+    (-99.1, 19.4, "MX"), (-103.3, 20.7, "MX"),
+    (-90.5, 14.6, "GT"), (-82.4, 23.1, "CU"),
+    (-46.6, -23.5, "BR"), (-43.2, -22.9, "BR"), (-47.9, -15.8, "BR"),
+    (-60.0, -3.1, "BR"),
+    (-58.4, -34.6, "AR"), (-64.2, -31.4, "AR"), (-70.7, -33.5, "CL"),
+    (-74.1, 4.7, "CO"), (-75.6, 6.2, "CO"),
+    (-77.0, -12.0, "PE"), (-71.5, -13.5, "PE"), (-66.9, 10.5, "VE"),
+    (-78.5, -0.2, "EC"), (-68.1, -16.5, "BO"), (-63.2, -17.8, "BO"),
+    (-57.6, -25.3, "PY"), (-56.2, -34.8, "UY"),
+    (-0.1, 51.5, "GB"), (-2.2, 53.5, "GB"), (-3.2, 55.9, "GB"),
+    (-6.3, 53.3, "IE"),
+    (2.3, 48.9, "FR"), (5.4, 43.3, "FR"),
+    (-3.7, 40.4, "ES"), (-5.98, 37.4, "ES"),
+    (-9.1, 38.7, "PT"), (-8.6, 41.15, "PT"),
+    (13.4, 52.5, "DE"), (11.6, 48.1, "DE"),
+    (4.9, 52.4, "NL"), (4.4, 50.8, "BE"),
+    (7.4, 46.9, "CH"), (8.5, 47.4, "CH"), (16.4, 48.2, "AT"),
+    (21.0, 52.2, "PL"), (19.9, 50.1, "PL"), (14.4, 50.1, "CZ"),
+    (12.5, 41.9, "IT"), (9.2, 45.5, "IT"),
+    (18.1, 59.3, "SE"), (10.7, 59.9, "NO"), (24.9, 60.2, "FI"),
+    (9.0, 56.0, "DK"), (23.7, 38.0, "GR"),
+    (32.9, 39.9, "TR"), (28.9, 41.0, "TR"), (30.5, 50.45, "UA"),
+    (37.6, 55.8, "RU"), (60.6, 56.8, "RU"),
+    (31.2, 30.0, "EG"), (25.5, 25.0, "EG"),
+    (28.0, -26.2, "ZA"), (18.5, -33.9, "ZA"),
+    (7.5, 9.1, "NG"), (3.4, 6.6, "NG"),
+    (36.8, -1.3, "KE"), (39.3, -6.8, "TZ"), (47.5, -18.9, "MG"),
+    (77.2, 28.6, "IN"), (72.9, 19.1, "IN"), (88.4, 22.6, "IN"),
+    (80.2, 13.1, "IN"),
+    (116.4, 39.9, "CN"), (121.5, 31.2, "CN"), (104.1, 30.7, "CN"),
+    (114.1, 22.6, "CN"),
+    (139.7, 35.7, "JP"), (135.5, 34.7, "JP"),
+    (127.0, 37.5, "KR"), (129.1, 35.2, "KR"),
+    (100.5, 13.8, "TH"), (98.99, 18.8, "TH"),
+    (105.8, 21.0, "VN"), (106.7, 10.8, "VN"),
+    (101.7, 3.1, "MY"), (106.8, -6.2, "ID"), (121.0, 14.6, "PH"),
+    (151.2, -33.9, "AU"), (144.9, -37.8, "AU"), (115.9, -31.9, "AU"),
+    (153.0, -27.5, "AU"),
+    (174.8, -36.9, "NZ"), (172.6, -43.5, "NZ"), (147.2, -9.5, "PG"),
+    (46.7, 24.7, "SA"), (51.4, 35.7, "IR"),
+    (74.3, 31.5, "PK"), (67.0, 24.9, "PK"),
+]
+
+#: (lon, lat, iso) — open-water points: land misses, EEZ resolves
+OFFSHORE_PROBES = [
+    (-90.0, 28.0, "US"),    # Gulf of Mexico
+    (-79.0, 27.5, "US"),    # Atlantic off Florida
+    (1.8, 57.0, "GB"),      # North Sea
+    (155.0, -20.0, "AU"),   # Coral Sea
+    (-37.0, -14.5, "BR"),   # off Bahia
+    (134.0, 40.0, "JP"),    # Sea of Japan
+]
+
+
+def test_golden_cities_resolve_on_land():
+    g = default_geocoder()
+    misses = [
+        (lon, lat, iso, g.lookup(lon, lat))
+        for lon, lat, iso in GOLDEN_CITIES
+        if g.lookup(lon, lat) != iso
+    ]
+    assert not misses, misses
+
+
+def test_offshore_probes_resolve_via_eez():
+    g, ez = default_geocoder(), default_eez_geocoder()
+    for lon, lat, iso in OFFSHORE_PROBES:
+        assert g.lookup(lon, lat) is None, (lon, lat)
+        assert ez.lookup(lon, lat) == iso, (lon, lat, ez.lookup(lon, lat))
+
+
+def test_land_rings_disjoint_on_sample_grid():
+    g = default_geocoder()
+    overlaps = []
+    for (gx, gy), cands in g.grid.items():
+        if len(cands) < 2:
+            continue
+        for fx in (0.25, 0.75):
+            for fy in (0.25, 0.75):
+                lon, lat = gx + fx, gy + fy
+                hits = {
+                    c
+                    for c in cands
+                    for i, (kind, geom) in enumerate(g.shapes[c])
+                    if g._contains(c, i, kind, geom, lon, lat)
+                }
+                if len(hits) > 1:
+                    overlaps.append((lon, lat, sorted(hits)))
+    assert not overlaps, overlaps[:10]
+
+
+def test_eez_fallback_and_flip_flags():
+    g, ez = default_geocoder(), default_eez_geocoder()
+    # offshore + stated country: EEZ supplies it, no failure flag
+    lon, lat, country, flags = rev_geocode_py(g, -90.0, 28.0, "US", ez)
+    assert country == "US" and flags == ["rev_geocode_eez"]
+    # negated longitude offshore: only the EEZ pass of the flip search
+    # can correct it (reference conversions.py:548-550 runs land flips
+    # first, then EEZ flips)
+    lon, lat, country, flags = rev_geocode_py(g, -155.0, -20.0, "AU", ez)
+    assert (lon, lat, country) == (155.0, -20.0, "AU")
+    assert flags == [
+        "rev_geocode_failure", "rev_geocode_mismatch",
+        "rev_geocode_lon_sign", "rev_geocode_eez_corrected",
+        "rev_geocode_corrected",
+    ]
+    # mismatch resolved by a land flip: mismatch flag set exactly once
+    lon, lat, country, flags = rev_geocode_py(g, -69.2, -44.6, "US", ez)
+    assert (lon, lat, country) == (-69.2, 44.6, "US")
+    assert flags == [
+        "rev_geocode_mismatch", "rev_geocode_lat_sign",
+        "rev_geocode_corrected",
+    ]
+    # without an EEZ layer the offshore point still fails cleanly
+    _, _, country, flags = rev_geocode_py(g, -90.0, 28.0, None, None)
+    assert country is None and flags == ["rev_geocode_failure"]
