@@ -88,11 +88,16 @@ def identifier_aggregation(spark, sf_dir):
     "GROUP BY src ORDER BY src",
 )
 def sibling_symmetrize(spark, sf_dir):
-    """J3/U1 — undirected edge symmetrization + per-node degree."""
+    """J3/U1 — undirected edge symmetrization + per-node degree.
+
+    Single-exchange plan: the raw (duplicated) edge list symmetrizes
+    without a pre-`distinct` — `count_distinct(dst)` dedups inside the
+    one aggregation, so the only shuffle is the groupBy(src) exchange
+    (the former plan paid a distinct exchange first)."""
     li = _t(spark, sf_dir, "lineitem")
     edges = li.select(
         F.col("l_orderkey").alias("r1"), F.col("l_partkey").alias("r2")
-    ).distinct()
+    )
     sym = relations.symmetrize_edges(edges)
     return (
         sym.groupBy("src")
