@@ -195,3 +195,40 @@ def test_fulltext_conjunction_not_udf(spark):
     p = plan_str(q)
     assert "EvalPython" not in p
     assert "Contains" in p or "contains" in p
+
+
+def test_typed_projection_is_single_stage_no_shuffle(spark):
+    """F2: the schema-driven verbatim projection is map lookups +
+    lower/trim over the scan — one codegen stage, zero exchanges."""
+    from idb_backend_spark.data.typed_schema import verbatim_projection
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    raw = cust.select(
+        "c_custkey",
+        F.create_map(
+            F.lit("dwc:genus"), F.lit("Acer"),
+            F.lit("dwc:country"), F.lit("US"),
+        ).alias("data"),
+    )
+    q = verbatim_projection(raw, "records", keep=["c_custkey"])
+    p = plan_str(q)
+    assert "Exchange" not in p
+    # JVM expressions only — a Python-UDF stage would be fatal at scale
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_sibling_symmetrize_no_pre_distinct_exchange(spark):
+    """J3/U1 fused plan: symmetrize + count_distinct runs with exactly
+    two data exchanges ((src,dst) dedup + final (src) aggregation) — the
+    former pre-`distinct` paid a third."""
+    from idb_backend_spark.operators.relations import symmetrize_edges
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    edges = li.select(
+        F.col("l_orderkey").alias("r1"), F.col("l_partkey").alias("r2")
+    )
+    q = symmetrize_edges(edges).groupBy("src").agg(
+        F.countDistinct("dst").alias("n")
+    )
+    p = q._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning") == 2
