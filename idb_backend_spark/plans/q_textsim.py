@@ -345,3 +345,45 @@ def corpus_curation_pipeline(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "fulltext_skipping_scan",
+    # the exact predicate the pruned scan must reproduce: whole-token
+    # conjunction under analyzer tokenization (same tokenizer as the
+    # index build — pruning admits a superset of files, the residual
+    # filter restores exactness)
+    "SELECT doc_id FROM documents WHERE "
+    "list_contains(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+'), 'spark') "
+    "AND list_contains(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+'), 'window') "
+    "AND list_contains(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+'), 'merge') "
+    "ORDER BY doc_id",
+)
+def fulltext_skipping_scan(spark, sf_dir):
+    """P7 + the token-skipping index executed end-to-end (SURVEY §4's one
+    custom-optimizer candidate, plans/skipping.py): lay the corpus out as
+    a multi-file table, build the per-file token-bucket index in one
+    distributed pass, then answer a fulltext query by scanning ONLY the
+    files whose bucket sets cover every query token, with the exact
+    whole-token residual on top. The oracle computes the same predicate
+    over the full corpus — a hash mismatch means the pruning dropped a
+    true match (the contract: no false negatives, ever)."""
+    import os
+    import tempfile
+
+    from idb_backend_spark.plans.skipping import (
+        build_token_index,
+        fulltext_scan,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("fulltext")
+    )
+    work = tempfile.mkdtemp(prefix="ft_skip_")
+    table = os.path.join(work, "docs")
+    idx = os.path.join(work, "idx")
+    # multi-file layout so pruning has real file boundaries to skip
+    docs.repartition(8).write.mode("overwrite").parquet(table)
+    build_token_index(spark.read.parquet(table), ["fulltext"], idx)
+    out = fulltext_scan(spark, table, idx, "spark window merge")
+    return out.select("doc_id").orderBy("doc_id")
