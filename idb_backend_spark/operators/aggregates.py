@@ -158,3 +158,20 @@ def ordered_group_rollup(
         ).alias("ordered_values"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def keyset_page(
+    df: DataFrame, order_col: str, after=None, limit: int = 100
+) -> DataFrame:
+    """O1 (scale path) — keyset-continuation page: rows with
+    ``order_col > after`` in key order, one page worth.
+
+    This is the deep-pagination shape `paginate` documents: the predicate
+    pushes into the scan (PushedFilters on the ordering key), so page N
+    costs the same as page 1 — no offset-sized prefix is ever
+    materialized. ``after=None`` returns the first page. The reference's
+    uuid-ordered listings (db.py:357-379) enable exactly this
+    continuation: the caller passes the last key of the previous page.
+    """
+    page = df if after is None else df.filter(F.col(order_col) > F.lit(after))
+    return page.orderBy(order_col).limit(limit)

@@ -771,3 +771,22 @@ def index_sink_roundtrip(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "keyset_deep_page",
+    # the keyset continuation for a deep page: strictly after the last
+    # key of the previous page, one page worth, key order
+    "SELECT c_custkey, c_name FROM customer WHERE c_custkey > 1200 "
+    "ORDER BY c_custkey LIMIT 50",
+)
+def keyset_deep_page(spark, sf_dir):
+    """O1 (scale path) — keyset-continuation pagination: page N is a
+    pushed-down range predicate + limit, costing the same as page 1
+    (LIMIT/OFFSET materializes an offset-sized prefix; the reference's
+    uuid-ordered listings, db.py:357-379, enable exactly this
+    continuation)."""
+    from idb_backend_spark.operators.aggregates import keyset_page
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return keyset_page(cust, "c_custkey", after=1200, limit=50)

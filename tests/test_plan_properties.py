@@ -232,3 +232,14 @@ def test_sibling_symmetrize_no_pre_distinct_exchange(spark):
     )
     p = q._jdf.queryExecution().executedPlan().toString()
     assert p.count("Exchange hashpartitioning") == 2
+
+
+def test_keyset_page_predicate_pushes_down(spark):
+    """O1 scale path: the continuation predicate must reach the scan —
+    page N then reads only row groups past the key, like page 1."""
+    from idb_backend_spark.operators.aggregates import keyset_page
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    q = keyset_page(cust.select("c_custkey", "c_name"), "c_custkey", after=500)
+    p = plan_str(q)
+    assert "PushedFilters" in p and "GreaterThan(c_custkey,500)" in p

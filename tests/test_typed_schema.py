@@ -141,3 +141,34 @@ def test_dqs_score_for_matches_reference_fold(spark):
     # (2 present - 1 flag)/69 ; (1 present - 0 flags)/69
     assert out[0]["dqs"] == pytest.approx(1 / 69.0)
     assert out[1]["dqs"] == pytest.approx(1 / 69.0)
+
+
+def test_verbatim_projection_other_record_types(spark):
+    # the same table drives every record type's projection (F2 is not
+    # records-specific): mediarecords + recordsets raw-backed columns
+    rows = [
+        Row(
+            id=1,
+            data={
+                "dc:type": "StillImage",
+                "ac:tag": "Herbarium Sheet",
+                "idigbio:uuid": "U-1",
+            },
+        )
+    ]
+    df = spark.createDataFrame(rows)
+    media = {
+        r["id"]: r
+        for r in verbatim_projection(df, "mediarecords", keep=["id"]).collect()
+    }
+    assert media[1]["type"] == "stillimage"
+    assert media[1]["tag"] == "herbarium sheet"
+    assert media[1]["uuid"] == "u-1"
+    rs = verbatim_projection(
+        spark.createDataFrame(
+            [Row(id=1, data={"collection_name": "Fish Tissues"})]
+        ),
+        "recordsets",
+        keep=["id"],
+    ).collect()[0]
+    assert rs["name"] == "fish tissues"
