@@ -63,6 +63,21 @@ GOLDEN_CITIES = [
     (174.8, -36.9, "NZ"), (172.6, -43.5, "NZ"), (147.2, -9.5, "PG"),
     (46.7, 24.7, "SA"), (51.4, 35.7, "IR"),
     (74.3, 31.5, "PK"), (67.0, 24.9, "PK"),
+    # Africa + Middle East batch
+    (-7.6, 33.6, "MA"), (-6.8, 34.0, "MA"),
+    (3.05, 36.75, "DZ"), (-0.6, 35.7, "DZ"),
+    (10.18, 36.8, "TN"), (13.2, 32.88, "LY"), (20.07, 32.1, "LY"),
+    (32.5, 15.6, "SD"), (38.75, 9.0, "ET"), (45.3, 2.05, "SO"),
+    (-0.19, 5.6, "GH"), (-1.6, 6.7, "GH"),
+    (-4.0, 5.35, "CI"), (-5.3, 6.8, "CI"), (-17.45, 14.7, "SN"),
+    (9.7, 4.05, "CM"), (11.5, 3.85, "CM"),
+    (15.3, -4.33, "CD"), (25.2, 0.5, "CD"), (13.23, -8.81, "AO"),
+    (17.1, -22.6, "NA"), (25.9, -24.65, "BW"), (28.3, -15.4, "ZM"),
+    (31.05, -17.8, "ZW"), (28.6, -20.2, "ZW"),
+    (32.58, -25.95, "MZ"), (34.85, -19.85, "MZ"),
+    (44.4, 33.3, "IQ"), (43.1, 36.3, "IQ"), (36.3, 33.5, "SY"),
+    (35.9, 31.95, "JO"), (34.78, 32.08, "IL"), (58.4, 23.61, "OM"),
+    (44.2, 15.35, "YE"), (55.27, 25.2, "AE"), (54.4, 24.45, "AE"),
 ]
 
 #: (lon, lat, iso) — open-water points: land misses, EEZ resolves
