@@ -78,6 +78,20 @@ GOLDEN_CITIES = [
     (44.4, 33.3, "IQ"), (43.1, 36.3, "IQ"), (36.3, 33.5, "SY"),
     (35.9, 31.95, "JO"), (34.78, 32.08, "IL"), (58.4, 23.61, "OM"),
     (44.2, 15.35, "YE"), (55.27, 25.2, "AE"), (54.4, 24.45, "AE"),
+    # Central/South/Southeast Asia + Americas batch
+    (76.9, 43.25, "KZ"), (71.43, 51.17, "KZ"), (106.9, 47.9, "MN"),
+    (69.2, 34.5, "AF"), (65.7, 31.6, "AF"),
+    (69.24, 41.3, "UZ"), (66.97, 39.65, "UZ"), (58.4, 37.95, "TM"),
+    (85.3, 27.7, "NP"), (79.86, 6.93, "LK"), (80.63, 7.3, "LK"),
+    (96.15, 16.85, "MM"), (96.1, 21.98, "MM"),
+    (104.9, 11.55, "KH"), (103.85, 13.36, "KH"),
+    (102.63, 17.96, "LA"), (102.1, 19.88, "LA"),
+    (-87.2, 14.1, "HN"), (-86.3, 12.15, "NI"), (-84.1, 9.93, "CR"),
+    (-79.5, 8.98, "PA"), (-69.9, 18.48, "DO"), (-72.3, 18.54, "HT"),
+    (-76.8, 18.0, "JM"), (-58.16, 6.8, "GY"), (-55.2, 5.85, "SR"),
+    # Russian border-fix regression points
+    (73.4, 54.99, "RU"), (82.9, 55.0, "RU"), (48.04, 46.35, "RU"),
+    (87.6, 43.8, "CN"), (59.6, 36.3, "IR"),
 ]
 
 #: (lon, lat, iso) — open-water points: land misses, EEZ resolves
