@@ -92,6 +92,16 @@ GOLDEN_CITIES = [
     # Russian border-fix regression points
     (73.4, 54.99, "RU"), (82.9, 55.0, "RU"), (48.04, 46.35, "RU"),
     (87.6, 43.8, "CN"), (59.6, 36.3, "IR"),
+    # Baltics + Eastern Europe batch
+    (24.75, 59.44, "EE"), (26.7, 58.38, "EE"), (24.1, 56.95, "LV"),
+    (25.28, 54.69, "LT"), (23.9, 54.9, "LT"),
+    (27.56, 53.9, "BY"), (30.2, 55.2, "BY"), (28.86, 47.0, "MD"),
+    (26.1, 44.43, "RO"), (23.6, 46.77, "RO"), (27.6, 47.16, "RO"),
+    (23.32, 42.7, "BG"), (27.46, 42.5, "BG"),
+    (20.46, 44.8, "RS"), (19.85, 45.25, "RS"),
+    (21.43, 42.0, "MK"), (19.82, 41.33, "AL"),
+    (28.3, 57.8, "RU"), (32.05, 54.78, "RU"), (30.3, 59.93, "RU"),
+    (24.03, 49.84, "UA"), (22.9, 40.6, "GR"),
 ]
 
 #: (lon, lat, iso) — open-water points: land misses, EEZ resolves
