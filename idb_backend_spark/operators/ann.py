@@ -178,3 +178,51 @@ def ivf_topk_from_store(
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
+
+
+def batch_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k for MANY query vectors in one job — the shape a
+    retrieval/eval pipeline actually runs (one query at a time re-scans
+    the corpus per query; batching amortizes the scan).
+
+    Plan: broadcast the (small) query set against the corpus scan — the
+    corpus is read ONCE and never shuffled by the join — then a per-query
+    window top-k. The only shuffle keys on query_id, carrying k·|queries|
+    candidate rows after the window's partial rank pruning, not the
+    |corpus|×|queries| cross product. At 100 TB this is the batched
+    retrieval pattern: scan cost is paid once for the whole query set.
+
+    Output: (query_id, vec_id, cosine, rank), rank 1..k per query,
+    deterministic tie-break on vec_id.
+    """
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("__qid"),
+            F.col(query_vec_col).alias("__qv"),
+        )
+    )
+    scored = corpus.join(q).select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col),
+        F.round(
+            cosine_similarity(F.col(vec_col), F.col("__qv")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

@@ -387,3 +387,41 @@ def fulltext_skipping_scan(spark, sf_dir):
     build_token_index(spark.read.parquet(table), ["fulltext"], idx)
     out = fulltext_scan(spark, table, idx, "spark window merge")
     return out.select("doc_id").orderBy("doc_id")
+
+
+_BCOS = (
+    "list_dot_product("
+    " list_transform(e.embedding, x -> CAST(x AS DOUBLE)),"
+    " list_transform(q.qv, x -> CAST(x AS DOUBLE)))"
+    " / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),"
+    "         list_transform(e.embedding, x -> CAST(x AS DOUBLE))))"
+    "  * sqrt(list_dot_product(list_transform(q.qv, x -> CAST(x AS DOUBLE)),"
+    "         list_transform(q.qv, x -> CAST(x AS DOUBLE)))))"
+)
+
+
+@query(
+    "ann_batch_topk",
+    # exact per-query top-5 oracle; both engines rank on the ROUNDED
+    # cosine with vec_id tie-break so ordering is identical
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings"
+    " WHERE vec_id < 3) "
+    "SELECT query_id, vec_id, cosine, rank FROM ("
+    "  SELECT q.query_id, e.vec_id, round(" + _BCOS + ", 6) AS cosine,"
+    "    row_number() OVER (PARTITION BY q.query_id"
+    "      ORDER BY round(" + _BCOS + ", 6) DESC, e.vec_id) AS rank"
+    "  FROM embeddings e, q) "
+    "WHERE rank <= 5 ORDER BY query_id, rank",
+)
+def ann_batch_topk_q(spark, sf_dir):
+    """Similarity search — BATCHED exact top-k: many query vectors
+    answered in one corpus scan (broadcast query set, per-query window
+    top-k; the retrieval-pipeline shape where scan cost amortizes across
+    the whole query batch)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann.batch_topk(
+        emb, qs, query_id_col="query_id", k=5
+    ).orderBy("query_id", "rank")

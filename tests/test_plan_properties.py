@@ -243,3 +243,18 @@ def test_keyset_page_predicate_pushes_down(spark):
     q = keyset_page(cust.select("c_custkey", "c_name"), "c_custkey", after=500)
     p = plan_str(q)
     assert "PushedFilters" in p and "GreaterThan(c_custkey,500)" in p
+
+
+def test_batch_topk_broadcasts_queries_no_corpus_shuffle(spark):
+    """Batched ANN: the query set broadcasts; the corpus scan is never
+    shuffled by the join — the only exchange keys on query_id for the
+    window top-k."""
+    from idb_backend_spark.operators.ann import batch_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    p = plan_str(batch_topk(emb, qs, k=3), "simple")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

@@ -112,6 +112,15 @@ OFFSHORE_PROBES = [
     (155.0, -20.0, "AU"),   # Coral Sea
     (-37.0, -14.5, "BR"),   # off Bahia
     (134.0, 40.0, "JP"),    # Sea of Japan
+    (-10.5, 33.0, "MA"),    # Atlantic off Morocco
+    (49.5, 3.0, "SO"),      # Indian Ocean off Somalia
+    (81.0, 5.5, "LK"),      # south of Sri Lanka (not India's band)
+    (85.0, 12.0, "IN"),     # Bay of Bengal proper
+    (30.2, 44.5, "RO"),     # Black Sea off Constanța
+    (28.8, 42.9, "BG"),     # Black Sea off Burgas (not Turkey's band)
+    (23.0, 59.2, "EE"),     # Gulf of Finland approach
+    (-78.5, 18.3, "JM"),    # Caribbean off Jamaica
+    (38.0, -18.0, "MZ"),    # Mozambique Channel
 ]
 
 
