@@ -102,6 +102,11 @@ GOLDEN_CITIES = [
     (21.43, 42.0, "MK"), (19.82, 41.33, "AL"),
     (28.3, 57.8, "RU"), (32.05, 54.78, "RU"), (30.3, 59.93, "RU"),
     (24.03, 49.84, "UA"), (22.9, 40.6, "GR"),
+    # Pannonia / West Balkans batch
+    (17.11, 48.15, "SK"), (21.26, 48.72, "SK"),
+    (19.05, 47.5, "HU"), (21.6, 47.53, "HU"), (14.5, 46.05, "SI"),
+    (15.98, 45.81, "HR"), (16.45, 43.51, "HR"),
+    (18.4, 43.85, "BA"), (17.2, 44.77, "BA"),
 ]
 
 #: (lon, lat, iso) — open-water points: land misses, EEZ resolves
