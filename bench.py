@@ -43,8 +43,10 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1
 
-    from idb_backend_spark.plans.catalog import Q
+    from idb_backend_spark.plans.catalog import Q, UNGRADED
     from idb_backend_spark.session import get_spark
+
+    runnable = {**Q, **UNGRADED}
 
     spark = get_spark("idb-backend-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -56,14 +58,14 @@ def main():
     warm_dir = "/root/testdata/sf0.001"
     for name in HEADLINE:
         try:
-            Q[name](spark, warm_dir).count()
+            runnable[name](spark, warm_dir).count()
         except Exception as e:
             print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
     times: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        fn = Q[name]
+        fn = runnable[name]
         t0 = time.time()
         n = fn(spark, sf_dir).count()
         dt = time.time() - t0

@@ -145,11 +145,15 @@ def ann_cosine_topk(spark, sf_dir):
     )
 
 
-# Non-SQL-expressible operators — registered without oracles (the driver
-# records rows-only checks; SURVEY §2 notes which).
+# Non-SQL-expressible sketch operators — registered graded=False so they
+# never occupy driver grading slots (they would read as permanent
+# no-oracle rows). Their recall IS oracle-proven by the exact-verified
+# siblings `minhash_exact_verified` / `simhash_exact_verified`, which
+# exercise the same sketch code paths; bench.py still times
+# minhash_lsh_pairs via the UNGRADED map.
 
 
-@query("minhash_lsh_pairs")
+@query("minhash_lsh_pairs", graded=False)
 def minhash_lsh_pairs_q(spark, sf_dir):
     """Near-dup — MinHash+LSH candidate pairs (hash-family not expressible
     in ANSI SQL; verified by unit tests against exact Jaccard)."""
@@ -160,7 +164,7 @@ def minhash_lsh_pairs_q(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
-@query("simhash_pairs")
+@query("simhash_pairs", graded=False)
 def simhash_pairs_q(spark, sf_dir):
     """Near-dup — SimHash fingerprints within Hamming radius 3."""
     docs = _t(spark, sf_dir, "documents")

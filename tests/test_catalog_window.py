@@ -1,0 +1,68 @@
+"""Grading-window rotation invariants.
+
+The driver grades the first 50 entries of ``queries()``. Round 4 showed
+what goes wrong when ordering is implicit: three new entries registered
+past position 50 and were never driver-graded. These tests make the
+rotation rule structural:
+
+  every catalog entry with no green row in the previous round's
+  CORRECTNESS artifact (which includes every newly added entry) must
+  register inside the first 50 slots.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50
+
+
+def _latest_correctness() -> dict:
+    arts = sorted(
+        f
+        for f in os.listdir(REPO)
+        if f.startswith("CORRECTNESS_r") and f.endswith(".json")
+    )
+    assert arts, "no CORRECTNESS artifact in repo root"
+    with open(os.path.join(REPO, arts[-1])) as fh:
+        return json.load(fh)
+
+
+def test_ungraded_entries_lead_registration():
+    from idb_backend_spark.plans.catalog import Q
+
+    prev = _latest_correctness()
+    graded_green = {
+        name
+        for name, row in prev.items()
+        if isinstance(row, dict) and row.get("rows_match")
+    }
+    names = list(Q)
+    window = set(names[:WINDOW])
+    missing = [
+        n for n in names if n not in graded_green and n not in window
+    ]
+    assert not missing, (
+        f"entries with no prior green row must register inside the first "
+        f"{WINDOW} slots, but these landed outside: {missing}"
+    )
+
+
+def test_front_list_fits_window():
+    from idb_backend_spark.plans import catalog
+
+    front = [n for n in catalog._GRADE_FRONT if n in catalog.Q]
+    assert len(front) <= WINDOW
+    names = list(catalog.Q)
+    assert names[: len(front)] == front
+
+
+def test_oracle_keys_subset_and_ungraded_disjoint():
+    from idb_backend_spark.plans.catalog import ORACLE, Q, UNGRADED
+
+    assert set(ORACLE) <= set(Q)
+    assert not (set(UNGRADED) & set(Q))
+    # The two rows-only sketches stay runnable outside the graded set.
+    assert {"minhash_lsh_pairs", "simhash_pairs"} <= set(UNGRADED)
