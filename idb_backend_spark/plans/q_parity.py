@@ -396,6 +396,9 @@ def streaming_windowed_rollup(spark, sf_dir):
         .start()
     )
     sq.awaitTermination()
+    # the memory sink has materialized the final result; the staged
+    # landing directory is dead weight from here — reclaim it now
+    shutil.rmtree(landing, ignore_errors=True)
     return (
         spark.table(qname)
         .select(

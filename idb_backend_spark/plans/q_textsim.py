@@ -372,7 +372,9 @@ def fulltext_skipping_scan(spark, sf_dir):
     whole-token residual on top. The oracle computes the same predicate
     over the full corpus — a hash mismatch means the pruning dropped a
     true match (the contract: no false negatives, ever)."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from idb_backend_spark.plans.skipping import (
@@ -384,6 +386,10 @@ def fulltext_skipping_scan(spark, sf_dir):
         "doc_id", F.lower(F.col("text")).alias("fulltext")
     )
     work = tempfile.mkdtemp(prefix="ft_skip_")
+    # the returned frame lazily reads files under `work`, so the staging
+    # dir must outlive this function — reclaim it at interpreter exit
+    # instead of leaking a corpus copy + index per grading run
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
     table = os.path.join(work, "docs")
     idx = os.path.join(work, "idx")
     # multi-file layout so pruning has real file boundaries to skip

@@ -76,31 +76,42 @@ def build_token_index(
     buckets.write.mode("overwrite").parquet(out_path)
 
 
-def _bucket_of(token: str, spark: SparkSession) -> int:
+def _buckets_of(tokens: list[str], spark: SparkSession) -> list[int]:
     # must hash EXACTLY like the build side (JVM xxhash64 with Spark's
-    # seed) — one tiny local query beats reimplementing the hash in Python
+    # seed) — one tiny local query beats reimplementing the hash in
+    # Python. ALL tokens are hashed as columns of a single-row select, so
+    # the probe costs ONE Spark job regardless of query length (a
+    # per-token job would mean 10 driver round-trips for a 10-token
+    # query before the scan even starts).
+    if not tokens:
+        return []
     row = spark.range(1).select(
-        F.pmod(F.xxhash64(F.lit(token)), F.lit(N_BUCKETS)).cast("int").alias("b")
+        *[
+            F.pmod(F.xxhash64(F.lit(t)), F.lit(N_BUCKETS))
+            .cast("int")
+            .alias(f"b{i}")
+            for i, t in enumerate(tokens)
+        ]
     ).first()
-    return row["b"]
+    return [row[f"b{i}"] for i in range(len(tokens))]
 
 
 def prune_files(
     spark: SparkSession, index_path: str, query_tokens: list[str]
 ) -> list[str]:
     """Files whose bucket set contains EVERY query token's bucket (P7 is a
-    conjunction). Runs as one filter over the KB-scale index table."""
+    conjunction). Runs as one filter over the KB-scale index table, plus
+    exactly one single-row job to compute the token buckets JVM-side."""
     idx = spark.read.parquet(index_path)
     # re-tokenize through the analyzer so a caller-supplied token like
     # 'florida,' probes the bucket the build side actually recorded
     toks = sorted({t for raw in query_tokens for t in analyzer_tokenize(raw)})
     if not toks:
         return [r["file"] for r in idx.select("file").collect()]
-    pred = None
-    for t in toks:
-        b = _bucket_of(t, spark)
-        c = F.array_contains("buckets", b)
-        pred = c if pred is None else (pred & c)
+    pred = reduce(
+        and_,
+        [F.array_contains("buckets", b) for b in _buckets_of(toks, spark)],
+    )
     return [r["file"] for r in idx.filter(pred).select("file").collect()]
 
 

@@ -57,6 +57,36 @@ def test_prune_and_scan(spark, tmp_path):
         assert got == expect, q
 
 
+def test_prune_files_issues_one_probe_job(spark, tmp_path):
+    """The bucket probe must cost ONE Spark job no matter how many tokens
+    the query carries (all token hashes computed as columns of a single
+    single-row select) — plus the one collect over the index table. A
+    per-token probe job would mean N driver round-trips before the scan."""
+    path = _table(spark, tmp_path)
+    idx = str(tmp_path / "docs_tokidx_jobs")
+    skipping.build_token_index(spark.read.parquet(path), ["fulltext"], idx)
+
+    sc = spark.sparkContext
+
+    def jobs_for(tokens, tag):
+        sc.setJobGroup(tag, "prune_files probe")
+        try:
+            files = skipping.prune_files(spark, idx, tokens)
+        finally:
+            sc.setJobGroup(None, None)
+        return files, len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    files1, n1 = jobs_for(["zebra"], "probe_1tok")
+    # all four tokens co-occur in the zebra row, so the conjunction
+    # still admits at least that row's file
+    files4, n4 = jobs_for(["common", "text", "zebra", "here"], "probe_4tok")
+    assert files1 and files4  # sanity: both probes resolve
+    # the probe is ONE single-row job covering every token's hash — more
+    # tokens must not mean more jobs (fixed overhead: index read + collect)
+    assert n4 == n1, f"job count grew with token count: {n1} -> {n4}"
+    assert n1 <= 3, f"expected <=3 jobs total for a probe, got {n1}"
+
+
 def test_missing_token_skips_all_files(spark, tmp_path):
     path = _table(spark, tmp_path)
     idx = str(tmp_path / "docs_tokidx2")
