@@ -45,11 +45,13 @@ from idb_backend_spark.plans.registry import (  # noqa: F401
 )
 
 from idb_backend_spark.plans import (  # noqa: F401  (side-effect registration)
+    q_download,
     q_parity,
     q_enrichment,
     q_relational,
     q_shim,
     q_store,
+    q_streaming,
     q_textsim,
 )
 

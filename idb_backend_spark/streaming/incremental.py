@@ -82,7 +82,14 @@ def upsert_batch_into_store(
     1. Collapse the micro-batch to its newest version per key (the
        ascending-modified replay collapses to last-writer-wins within the
        batch boundary — O2, index_from_postgres.py:94-97).
-    2. Skip rows whose etag equals the store's current etag (X5).
+    2. Skip rows whose etag equals the store's current etag (X5), and
+       skip CHANGED rows that are not strictly newer than the store's
+       current ``modified`` — the monotonic-replay guard. The reference
+       gets ordering by replaying ascending modified; a file stream's
+       micro-batch boundaries carry no such promise, so the guard makes
+       the merge converge to the newest-modified version per key no
+       matter how the change feed's files are batched (ties keep the
+       store row — a replayed duplicate is a no-op).
     3. Merge (touched-buckets ∖ batch-keys) ∪ batch-latest and commit via
        dynamic partition overwrite: the store is laid out as
        ``__bucket=N`` directories keyed by uuid hash, the merge reads only
@@ -126,13 +133,23 @@ def upsert_batch_into_store(
             ]
             scoped = store.filter(F.col("__bucket").isin(touched))
         changed = newest.join(
-            scoped.select(F.col(key), F.col(etag_col).alias("__cur_etag")),
+            scoped.select(
+                F.col(key),
+                F.col(etag_col).alias("__cur_etag"),
+                F.col(modified_col).alias("__cur_mod"),
+            ),
             on=key,
             how="left",
         ).filter(
             F.col("__cur_etag").isNull()
-            | (F.col("__cur_etag") != F.col(etag_col))
-        ).drop("__cur_etag")
+            | (
+                (F.col("__cur_etag") != F.col(etag_col))
+                & (
+                    F.col("__cur_mod").isNull()
+                    | (F.col(modified_col) > F.col("__cur_mod"))
+                )
+            )
+        ).drop("__cur_etag", "__cur_mod")
         merged = scoped.join(
             changed.select(key).distinct(), on=key, how="left_anti"
         ).unionByName(changed)
@@ -204,13 +221,21 @@ def sessionize(
     key_col: str,
     ts_col: str,
     gap_seconds: int = 1800,
+    timeout_flush: bool = True,
 ):
     """Custom stateful operator via ``applyInPandasWithState``: per-key
     session assembly with an inactivity gap — the engine's extension point
     for stateful logic Spark lacks natively (SURVEY §2.10).
 
     Emits (key, session_start, session_end, n_events) per closed session;
-    open sessions flush when the processing-time timeout fires.
+    with ``timeout_flush`` (the long-running-service default), open
+    sessions also flush when the processing-time timeout fires.
+
+    ``timeout_flush=False`` registers NO state timeouts: open sessions
+    stay in state and only later-event closure emits. Use it for bounded
+    replays — pending processing-time timeouts keep a stateful query
+    scheduling micro-batches indefinitely, so an AvailableNow run with
+    timeouts registered never terminates.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -251,7 +276,8 @@ def sessionize(
                 sessions.append((start, end, n))
                 start, end, n = t, t, 1
         state.update((start, end, n))
-        state.setTimeoutDuration(gap_seconds * 1000)
+        if timeout_flush:
+            state.setTimeoutDuration(gap_seconds * 1000)
         if sessions:
             yield pd.DataFrame(
                 {
@@ -267,5 +293,9 @@ def sessionize(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_flush
+            else GroupStateTimeout.NoTimeout
+        ),
     )

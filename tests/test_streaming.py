@@ -193,7 +193,13 @@ def test_sessionize(spark, tmp_path):
         ],
     ).write.mode("append").parquet(land)
     stream = inc.stream_from_directory(spark, land, SCHEMA)
-    sessions = inc.sessionize(stream, "uuid", "modified", gap_seconds=1800)
+    # timeout_flush=False so the AvailableNow run terminates: pending
+    # processing-time timeouts keep a stateful query scheduling empty
+    # micro-batches forever (the timeout-flush mode is for long-running
+    # services, not bounded replays)
+    sessions = inc.sessionize(
+        stream, "uuid", "modified", gap_seconds=1800, timeout_flush=False
+    )
     q = (
         sessions.writeStream.format("memory")
         .queryName("sessions_test")
