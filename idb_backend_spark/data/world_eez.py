@@ -58,11 +58,20 @@ WORLD_EEZ: dict[str, list[tuple[float, float, float, float]]] = {
     "ES": [(-11.5, 35.5, -1.0, 44.5), (-1.0, 37.5, 2.5, 40.5)],
     "PT": [(-13.0, 36.0, -8.7, 42.0)],
     "NO": [(2.0, 56.5, 12.0, 71.5), (12.0, 68.0, 31.0, 74.0)],
-    "SE": [(10.5, 54.5, 19.5, 61.0)],
+    # south Baltic below 55.2 is PL's band (round 5: SE no longer claims
+    # the Polish shelf)
+    "SE": [(10.5, 55.2, 19.5, 61.0)],
     "DK": [(4.0, 53.5, 8.2, 57.8)],
     "DE": [(6.0, 53.5, 9.0, 55.5)],
     "NL": [(2.5, 51.5, 7.0, 55.5)],
-    "IT": [(8.0, 36.5, 19.0, 45.8)],
+    # Tyrrhenian/Ionian + the WEST half of the Adriatic only — the east
+    # Adriatic belongs to HR/SI/ME/AL's bands (round 5 split; the old
+    # single box shadowed the whole east shore)
+    "IT": [
+        (8.0, 36.5, 19.0, 40.3),
+        (11.8, 40.3, 15.0, 44.6),
+        (11.8, 44.6, 13.55, 45.8),
+    ],
     "GR": [(19.5, 33.5, 28.5, 41.0)],
     "TR": [(25.0, 33.5, 36.5, 42.3)],
     "RU": [(135.0, 42.0, 165.0, 60.0), (28.5, 59.5, 32.0, 61.0)],
@@ -131,4 +140,24 @@ WORLD_EEZ: dict[str, list[tuple[float, float, float, float]]] = {
     "GY": [(-59.5, 7.0, -56.8, 9.5)],
     "SR": [(-56.8, 6.0, -53.8, 8.5)],
     "GT": [(-93.0, 13.0, -90.5, 14.3)],
+    # ---- round-5 batch: new coastal countries + Baltic/Black/Adriatic
+    # gaps. DJ has no band: YE's Gulf-of-Aden box precedes it and the
+    # Gulf of Tadjoura falls inside DJ's land ring.
+    "MR": [(-19.5, 16.3, -16.5, 21.2)],
+    "GW": [(-18.0, 10.6, -16.3, 12.1)],
+    "GN": [(-16.5, 8.8, -13.6, 10.4)],
+    "SL": [(-14.8, 6.6, -13.2, 8.6)],
+    "LR": [(-12.5, 3.6, -8.6, 6.3)],
+    "TG": [(0.8, 5.0, 1.75, 6.05)],
+    "BJ": [(1.75, 5.0, 2.5, 6.25)],
+    "GQ": [(8.2, 0.9, 9.5, 2.0)],
+    "GA": [(7.8, -4.4, 9.4, 0.7)],
+    "CG": [(9.5, -5.7, 11.3, -3.9)],
+    "ER": [(39.5, 12.9, 43.2, 15.9)],
+    "FI": [(19.6, 59.9, 26.0, 65.7)],
+    "PL": [(14.4, 54.3, 19.0, 55.15)],
+    "UA": [(31.5, 44.2, 37.8, 46.8)],
+    "BE": [(2.2, 51.05, 3.25, 51.5)],
+    "HR": [(15.2, 42.6, 18.1, 44.6), (13.9, 44.6, 15.6, 45.3)],
+    "SI": [(13.55, 45.43, 13.85, 45.62)],
 }

@@ -107,6 +107,29 @@ GOLDEN_CITIES = [
     (19.05, 47.5, "HU"), (21.6, 47.53, "HU"), (14.5, 46.05, "SI"),
     (15.98, 45.81, "HR"), (16.45, 43.51, "HR"),
     (18.4, 43.85, "BA"), (17.2, 44.77, "BA"),
+    # Sahel + West/Central/East Africa batch (round 5)
+    (-8.0, 12.65, "ML"), (-3.0, 16.77, "ML"),       # Bamako, Timbuktu
+    (-15.5, 18.1, "MR"), (-10.0, 20.0, "MR"),       # Nouakchott-ish, Sahara
+    (2.1, 13.5, "NE"), (8.0, 17.0, "NE"),           # Niamey, Aïr
+    (16.0, 12.5, "TD"), (18.0, 15.0, "TD"),         # near N'Djamena, Borkou
+    (18.56, 4.4, "CF"), (21.0, 6.0, "CF"),          # Bangui, interior
+    (31.6, 4.85, "SS"), (30.0, 7.5, "SS"),          # Juba, interior
+    (32.58, 0.32, "UG"), (32.0, 2.5, "UG"),         # Kampala, Gulu-ish
+    (30.06, -1.95, "RW"),                           # Kigali
+    (29.6, -3.5, "BI"),                             # Gitega-ish interior
+    (33.77, -13.98, "MW"), (34.0, -11.5, "MW"),     # Lilongwe, Mzuzu-ish
+    (38.94, 15.34, "ER"),                           # Asmara
+    (43.2, 11.9, "DJ"),                             # north of Djibouti city
+    (-15.6, 11.86, "GW"),                           # Bissau
+    (-9.3, 10.4, "GN"), (-12.0, 10.7, "GN"),        # Kankan, Labé-ish
+    (-11.74, 7.96, "SL"),                           # Bo
+    (-9.47, 7.0, "LR"),                             # Gbarnga
+    (1.15, 8.98, "TG"),                             # Sokodé-ish
+    (2.2, 9.3, "BJ"),                               # Parakou-ish
+    (-1.52, 12.37, "BF"), (-4.3, 11.2, "BF"),       # Ouagadougou, Bobo-ish
+    (10.5, 1.6, "GQ"),                              # Rio Muni interior
+    (13.58, -1.63, "GA"), (11.6, 0.5, "GA"),        # Franceville, Oyem-ish
+    (15.9, -0.5, "CG"), (14.9, -3.0, "CG"),         # Owando, interior
 ]
 
 #: (lon, lat, iso) — open-water points: land misses, EEZ resolves
@@ -126,6 +149,19 @@ OFFSHORE_PROBES = [
     (23.0, 59.2, "EE"),     # Gulf of Finland approach
     (-78.5, 18.3, "JM"),    # Caribbean off Jamaica
     (38.0, -18.0, "MZ"),    # Mozambique Channel
+    # round-5 bands
+    (-17.5, 18.5, "MR"),    # Atlantic off Mauritania
+    (-14.5, 9.5, "GN"),     # off Conakry
+    (-10.0, 5.0, "LR"),     # off Monrovia
+    (1.3, 5.5, "TG"),       # Bight of Benin west
+    (8.7, -0.5, "GA"),      # off Libreville
+    (10.5, -4.8, "CG"),     # off Pointe-Noire
+    (42.0, 14.8, "ER"),     # central Red Sea, south of SA's band
+    (20.3, 62.3, "FI"),     # Gulf of Bothnia
+    (16.5, 54.9, "PL"),     # south Baltic (no longer SE's)
+    (31.9, 44.8, "UA"),     # NW Black Sea east of RO's band
+    (2.7, 51.3, "BE"),      # southern North Sea east of GB's band
+    (16.8, 43.0, "HR"),     # east Adriatic (no longer IT's)
 ]
 
 
