@@ -73,7 +73,12 @@ WORLD_EEZ: dict[str, list[tuple[float, float, float, float]]] = {
         (11.8, 44.6, 13.55, 45.8),
     ],
     "GR": [(19.5, 33.5, 28.5, 41.0)],
-    "TR": [(25.0, 33.5, 36.5, 42.3)],
+    # round 5: carved around Cyprus' band (the old single box shadowed it)
+    "TR": [
+        (25.0, 33.5, 31.8, 42.3),
+        (31.8, 35.85, 36.5, 42.3),
+        (31.8, 33.5, 36.5, 34.2),
+    ],
     "RU": [(135.0, 42.0, 165.0, 60.0), (28.5, 59.5, 32.0, 61.0)],
     "EG": [(24.5, 31.0, 34.5, 33.5), (33.0, 22.0, 39.0, 28.5)],
     "ZA": [(14.0, -38.0, 33.0, -27.5)],
@@ -94,7 +99,8 @@ WORLD_EEZ: dict[str, list[tuple[float, float, float, float]]] = {
     "MY": [(98.5, 1.0, 105.5, 7.5)],
     "ID": [(93.0, -12.0, 120.0, 6.5)],
     "PH": [(116.5, 4.5, 127.5, 21.0)],
-    "CN": [(105.5, 15.0, 126.0, 41.0)],
+    # round 5: carved around Taiwan's band (the old single box shadowed it)
+    "CN": [(105.5, 15.0, 119.8, 41.0), (119.8, 26.0, 126.0, 41.0)],
     "KR": [(123.5, 32.0, 132.0, 39.0)],
     "JP": [(128.0, 24.0, 148.0, 46.0)],
     "AU": [
@@ -160,4 +166,17 @@ WORLD_EEZ: dict[str, list[tuple[float, float, float, float]]] = {
     "BE": [(2.2, 51.05, 3.25, 51.5)],
     "HR": [(15.2, 42.6, 18.1, 44.6), (13.9, 44.6, 15.6, 45.3)],
     "SI": [(13.55, 45.43, 13.85, 45.62)],
+    # round-5 island/coast bands. Deliberately band-less: KP (KR/JP/CN
+    # bands reach its shores first), BS (US/CU bands cover the banks),
+    # CY's band is the carve-out from TR's box above.
+    "TW": [(119.8, 21.5, 123.5, 25.9)],
+    "CY": [(31.8, 34.2, 35.2, 35.85)],
+    "IS": [(-28.0, 62.5, -11.5, 67.5)],
+    "FJ": [(175.0, -20.5, 180.0, -14.5)],
+    "TT": [(-61.9, 9.7, -59.6, 10.45)],
+    "ME": [(18.3, 42.0, 18.9, 42.45)],
+    "TL": [(124.5, -10.3, 127.6, -8.1)],
+    "BN": [(113.8, 3.8, 115.5, 5.1)],
+    "BD": [(90.0, 20.6, 92.3, 21.8)],
+    "GL": [(-48.0, 59.5, -35.0, 65.0), (-75.0, 66.0, -55.0, 78.0)],
 }

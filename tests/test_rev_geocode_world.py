@@ -130,6 +130,33 @@ GOLDEN_CITIES = [
     (10.5, 1.6, "GQ"),                              # Rio Muni interior
     (13.58, -1.63, "GA"), (11.6, 0.5, "GA"),        # Franceville, Oyem-ish
     (15.9, -0.5, "CG"), (14.9, -3.0, "CG"),         # Owando, interior
+    # Asia / Caucasus / Middle East batch (round 5)
+    (125.75, 39.03, "KP"), (127.5, 40.5, "KP"),     # Pyongyang, interior
+    (121.56, 25.03, "TW"), (120.65, 24.15, "TW"),   # Taipei, Taichung-ish
+    (90.4, 23.7, "BD"), (89.55, 22.8, "BD"),        # Dhaka, Khulna-ish
+    (90.5, 27.9, "BT"),                             # central Bhutan
+    (44.8, 41.7, "GE"), (42.7, 42.25, "GE"),        # Tbilisi, Kutaisi
+    (44.5, 40.18, "AM"),                            # Yerevan
+    (49.85, 40.4, "AZ"), (47.5, 41.0, "AZ"),        # Baku, Shirvan
+    (75.98, 41.43, "KG"),                           # Naryn
+    (68.78, 38.54, "TJ"),                           # Dushanbe
+    (35.6, 33.9, "LB"),                             # east of Beirut
+    (47.97, 29.37, "KW"),                           # Kuwait City
+    (51.2, 25.3, "QA"),                             # Doha-west interior
+    (114.7, 4.6, "BN"),                             # Brunei interior
+    (125.8, -8.8, "TL"),                            # Timor interior
+    # Americas + islands batch (round 5)
+    (-88.77, 17.25, "BZ"),                          # Belmopan
+    (-89.2, 13.7, "SV"),                            # San Salvador
+    (-51.7, 64.17, "GL"), (-40.0, 75.0, "GL"),      # Nuuk, ice sheet
+    (-77.35, 25.06, "BS"), (-78.0, 26.4, "BS"),     # Nassau, Freeport-ish
+    (-61.5, 10.67, "TT"), (-61.0, 10.3, "TT"),      # Port of Spain, south
+    (-21.9, 64.13, "IS"), (-18.1, 65.0, "IS"),      # Reykjavik, interior
+    (178.44, -18.14, "FJ"), (177.5, -17.8, "FJ"),   # Suva, Viti Levu
+    (179.0, -16.5, "FJ"),                           # Vanua Levu
+    (33.36, 35.17, "CY"),                           # Nicosia
+    (14.45, 35.89, "MT"),                           # Malta
+    (19.26, 42.44, "ME"),                           # Podgorica
 ]
 
 #: (lon, lat, iso) — open-water points: land misses, EEZ resolves
@@ -162,6 +189,12 @@ OFFSHORE_PROBES = [
     (31.9, 44.8, "UA"),     # NW Black Sea east of RO's band
     (2.7, 51.3, "BE"),      # southern North Sea east of GB's band
     (16.8, 43.0, "HR"),     # east Adriatic (no longer IT's)
+    (122.5, 24.0, "TW"),    # east of Taiwan (carved out of CN's band)
+    (33.5, 34.5, "CY"),     # south of Cyprus (carved out of TR's band)
+    (-14.0, 65.5, "IS"),    # east of Iceland
+    (176.0, -19.5, "FJ"),   # south of Viti Levu
+    (-60.0, 10.2, "TT"),    # Atlantic east of Trinidad
+    (-41.0, 61.0, "GL"),    # Irminger Sea SE of Greenland
 ]
 
 
