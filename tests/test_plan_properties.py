@@ -245,6 +245,38 @@ def test_keyset_page_predicate_pushes_down(spark):
     assert "PushedFilters" in p and "GreaterThan(c_custkey,500)" in p
 
 
+def test_paginate_and_keyset_walk_the_same_sequence(spark):
+    """O1 equivalence: walking the table in keyset-continuation pages
+    yields exactly the rows LIMIT/OFFSET pagination yields at every
+    offset — the scale path is a drop-in for the reference's listing."""
+    from idb_backend_spark.operators.aggregates import keyset_page, paginate
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    for limit in (7, 50):
+        # keyset walk: first page, then continue from each page's last key
+        walked, after = [], None
+        for _ in range(3):
+            page = [
+                (r["c_custkey"], r["c_name"])
+                for r in keyset_page(cust, "c_custkey", after, limit).collect()
+            ]
+            if not page:
+                break
+            walked.extend(page)
+            after = page[-1][0]
+        # offset walk over the same stretch
+        sliced = []
+        for off in range(0, len(walked), limit):
+            sliced.extend(
+                (r["c_custkey"], r["c_name"])
+                for r in paginate(cust, "c_custkey", limit, off).collect()
+            )
+        assert walked == sliced[: len(walked)]
+        assert walked == sorted(walked)  # ordered, no dup/skip across pages
+
+
 def test_batch_topk_broadcasts_queries_no_corpus_shuffle(spark):
     """Batched ANN: the query set broadcasts; the corpus scan is never
     shuffled by the join — the only exchange keys on query_id for the
