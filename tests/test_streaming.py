@@ -79,6 +79,36 @@ def test_incremental_merge(spark, tmp_path):
     assert got["c"]["etag"] == "e7"
 
 
+def test_upsert_monotonic_replay_guard(spark, tmp_path):
+    """A change-feed file holding an OLDER version of a key can land in a
+    later micro-batch (file streams promise no cross-file ordering). The
+    merge must converge to the newest-modified version per key anyway:
+    stale changed rows are dropped, ties keep the store row."""
+    store = str(tmp_path / "guardstore")
+    inc.upsert_batch_into_store(
+        store, _rows(spark, [("a", "e2", _ts("2024-01-05T00:00:00"), "v2")])
+    )
+    # stale replay: etag differs but modified is older -> must NOT regress
+    inc.upsert_batch_into_store(
+        store, _rows(spark, [("a", "e1", _ts("2024-01-01T00:00:00"), "v1")])
+    )
+    got = {r["uuid"]: r for r in spark.read.parquet(store).collect()}
+    assert got["a"]["etag"] == "e2" and got["a"]["payload"] == "v2"
+    # equal-modified different-etag tie keeps the store row (idempotent
+    # replay of a rewritten batch is a no-op)
+    inc.upsert_batch_into_store(
+        store, _rows(spark, [("a", "e9", _ts("2024-01-05T00:00:00"), "v9")])
+    )
+    got = {r["uuid"]: r for r in spark.read.parquet(store).collect()}
+    assert got["a"]["etag"] == "e2"
+    # genuinely newer version still lands
+    inc.upsert_batch_into_store(
+        store, _rows(spark, [("a", "e3", _ts("2024-01-06T00:00:00"), "v3")])
+    )
+    got = {r["uuid"]: r for r in spark.read.parquet(store).collect()}
+    assert got["a"]["etag"] == "e3" and got["a"]["payload"] == "v3"
+
+
 def _bucket_inventory(store_dir):
     """{bucket_dir: {filename: sha256}} for every __bucket=N directory."""
     import hashlib
