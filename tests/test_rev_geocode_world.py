@@ -157,6 +157,13 @@ GOLDEN_CITIES = [
     (33.36, 35.17, "CY"),                           # Nicosia
     (14.45, 35.89, "MT"),                           # Malta
     (19.26, 42.44, "ME"),                           # Podgorica
+    # carve-outs (round 5): states inside a neighbor's old solid ring
+    (-15.5, 13.35, "GM"),                           # Gambia river interior
+    (28.2, -29.6, "LS"),                            # Lesotho highlands
+    (31.9, -26.4, "SZ"),                            # Eswatini interior
+    # the carves must not break the host countries next to the notches
+    (-15.5, 14.2, "SN"), (-15.0, 12.7, "SN"),       # north + Casamance
+    (27.0, -31.5, "ZA"), (30.0, -29.8, "ZA"),       # EC interior, KZN
 ]
 
 #: (lon, lat, iso) — open-water points: land misses, EEZ resolves
