@@ -76,6 +76,59 @@ def build_token_index(
     buckets.write.mode("overwrite").parquet(out_path)
 
 
+def update_token_index(
+    spark: SparkSession,
+    table_path: str,
+    text_cols: list[str],
+    index_path: str,
+) -> list[str]:
+    """Incremental index maintenance: index ONLY the data files not yet
+    present in the side table and append their rows.
+
+    ``build_token_index`` is the bootstrap (one full pass); this is the
+    steady state — each ingest batch adds files to the table directory,
+    and maintenance cost is O(new files), not O(table). Returns the list
+    of newly indexed files (empty = index already current). Appends are
+    atomic at file granularity: a crashed update leaves the index
+    missing some files (pruning then admits a superset — reads cost
+    more, results stay exact) — never carrying wrong rows.
+    """
+    import glob as _glob
+    import os as _os
+
+    existing = {
+        r["file"]
+        for r in spark.read.parquet(index_path).select("file").collect()
+    }
+
+    def _norm(p: str) -> str:
+        # input_file_name() records file:// URIs; normalize local paths
+        return p if "://" in p else "file://" + _os.path.abspath(p)
+
+    current = sorted(_glob.glob(_os.path.join(table_path, "*.parquet")))
+    new = [f for f in current if _norm(f) not in existing]
+    if not new:
+        return []
+    fresh = spark.read.parquet(*new)
+    toks = None
+    for c in text_cols:
+        t = F.explode_outer(analyzer_tokens(c)).alias("tok")
+        part = fresh.select(F.input_file_name().alias("file"), t)
+        toks = part if toks is None else toks.unionByName(part)
+    buckets = (
+        toks.filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
+        .select(
+            "file",
+            F.pmod(F.xxhash64("tok"), F.lit(N_BUCKETS)).cast("int").alias("b"),
+        )
+        .distinct()
+        .groupBy("file")
+        .agg(F.sort_array(F.collect_set("b")).alias("buckets"))
+    )
+    buckets.write.mode("append").parquet(index_path)
+    return new
+
+
 def _buckets_of(tokens: list[str], spark: SparkSession) -> list[int]:
     # must hash EXACTLY like the build side (JVM xxhash64 with Spark's
     # seed) — one tiny local query beats reimplementing the hash in

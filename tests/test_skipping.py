@@ -96,6 +96,43 @@ def test_missing_token_skips_all_files(spark, tmp_path):
     assert out.count() == 0
 
 
+def test_update_token_index_is_incremental(spark, tmp_path):
+    """Steady-state maintenance: only files added since the last build
+    are scanned and appended; pruning then sees old + new files."""
+    path = _table(spark, tmp_path)
+    idx = str(tmp_path / "docs_tokidx_inc")
+    skipping.build_token_index(spark.read.parquet(path), ["fulltext"], idx)
+    n_before = spark.read.parquet(idx).count()
+
+    # current index: nothing new to do
+    assert skipping.update_token_index(spark, path, ["fulltext"], idx) == []
+
+    # ingest a new batch carrying a token no old file has
+    extra = spark.createDataFrame(
+        [(1000 + i, "okapi sighting") for i in range(20)],
+        "doc_id long, text string",
+    ).withColumn("fulltext", fulltext_column("text"))
+    extra.coalesce(2).write.mode("append").parquet(path)
+
+    new = skipping.update_token_index(spark, path, ["fulltext"], idx)
+    assert len(new) == 2  # exactly the two appended part files
+    assert spark.read.parquet(idx).count() == n_before + 2
+
+    # second run is a no-op; the index stays current
+    assert skipping.update_token_index(spark, path, ["fulltext"], idx) == []
+
+    # pruning admits only the new files for the new token, and the
+    # end-to-end scan finds the new rows
+    okapi_files = skipping.prune_files(spark, idx, ["okapi"])
+    assert sorted(okapi_files) == sorted("file://" + f for f in new) or sorted(
+        okapi_files
+    ) == sorted(new)
+    got = skipping.fulltext_scan(spark, path, idx, "okapi").count()
+    assert got == 20
+    # old tokens still resolve across the whole table
+    assert skipping.fulltext_scan(spark, path, idx, "zebra here").count() == 1
+
+
 def test_substring_probe_is_not_silently_pruned(spark, tmp_path):
     """A query token that is a proper substring of an indexed token
     ('zebr' ⊂ 'zebra') must not lose rows: token mode legitimately
