@@ -71,6 +71,47 @@ def write_bucketed_history(
     )
 
 
+def compact_history(
+    spark,
+    table: str,
+    num_buckets: int = 32,
+    max_files_per_bucket: int = 4,
+) -> bool:
+    """Compact a fragmented bucketed history table, preserving the
+    bucket spec (and so the zero-exchange layout contract).
+
+    Every appended harvest batch writes one file per bucket, so after N
+    batches each bucket holds N small files — scan cost and open-file
+    overhead grow with batch COUNT, not data size. When the average
+    files-per-bucket crosses ``max_files_per_bucket``, rewrite the table
+    once (same ``bucketBy``/``sortBy``) into a staging table and swap.
+    Returns True when a rewrite happened.
+
+    IO is O(table) per compaction — schedule it by the threshold, never
+    per batch; at 100 TB the rewrite amortizes across the many appends
+    it absorbs, like any LSM/lakehouse compaction tier.
+    """
+    files = spark.table(table).inputFiles()
+    if len(files) <= max_files_per_bucket * num_buckets:
+        return False
+    staging = f"{table}__compact"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    # Re-read the raw files (NOT spark.table): the bucket-aware scan
+    # advertises its hash partitioning, which lets the optimizer drop the
+    # repartition below as redundant — and the write then emits one file
+    # per input split, compacting nothing. A plain scan carries no
+    # partitioning claim, so the repartition on the bucket key sticks and
+    # each write task holds exactly one bucket's rows (same murmur3 hash
+    # as bucketBy) ⇒ ONE file per bucket.
+    raw = spark.read.parquet(*files)
+    write_bucketed_history(
+        raw.repartition(num_buckets, "uuid"), staging, num_buckets
+    )
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    return True
+
+
 def latest_view(history: DataFrame, include_deleted: bool = False) -> DataFrame:
     """The ``idigbio_uuids_new`` equivalent (db.py:37-44, 244-264): newest
     version per uuid; tombstoned entities dropped unless asked for."""

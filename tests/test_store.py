@@ -144,3 +144,53 @@ def test_changed_since_orders_ascending(spark):
     rows = changed_since(_history(spark), _ts("2023-12-31T00:00:00")).collect()
     ts = [r["modified"] for r in rows]
     assert ts == sorted(ts)
+
+
+def test_compact_history_preserves_layout_and_content(spark):
+    """Compaction: appended batches fragment the bucketed table (one
+    file per bucket per batch); compact_history rewrites it once under
+    the threshold while preserving rows AND the zero-exchange bucketed
+    layout."""
+    from idb_backend_spark.operators import versioning
+
+    table = "compact_hist_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        base = _history(spark)
+        st.write_bucketed_history(base, table, num_buckets=2)
+        # three appended harvest batches -> files accumulate per bucket
+        for i in range(3):
+            batch = spark.createDataFrame(
+                [(f"x{i}", "records", "rs1", f"ex{i}", 0,
+                  _ts("2024-02-01T00:00:00"), f"x{i}v")],
+                HIST_SCHEMA,
+            )
+            st.write_bucketed_history(batch, table, num_buckets=2,
+                                      mode="append")
+        files_before = len(spark.table(table).inputFiles())
+        rows_before = sorted(
+            (r["uuid"], r["version"]) for r in spark.table(table).collect()
+        )
+
+        # under threshold: no-op
+        assert st.compact_history(
+            spark, table, num_buckets=2, max_files_per_bucket=99
+        ) is False
+
+        assert st.compact_history(
+            spark, table, num_buckets=2, max_files_per_bucket=1
+        ) is True
+        files_after = len(spark.table(table).inputFiles())
+        assert files_after < files_before
+        assert sorted(
+            (r["uuid"], r["version"]) for r in spark.table(table).collect()
+        ) == rows_before
+        # the layout contract survives: latest view still plans no Exchange
+        q = versioning.latest_per_key_agg(
+            spark.table(table), ["uuid"], ["modified", "version"]
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__compact")
