@@ -234,6 +234,40 @@ def shingles(c: Column | str, k: int = 3) -> Column:
     return shingles_from_tokens(tokens(c), normalize_text(c), k)
 
 
+def chunks_from_tokens(t: Column, chunk: int, overlap: int) -> Column:
+    """Token-window document chunking -> array<struct<chunk_id,
+    chunk_text>> (the training-data op that turns documents into
+    fixed-size overlapping model inputs).
+
+    Windows of ``chunk`` tokens advance by ``chunk - overlap``; the last
+    window may be short; every document yields >= 1 chunk (an empty doc
+    yields one empty chunk, so corpus joins never drop rows). Native
+    expressions only — the explode of the returned array is the single
+    row-multiplying step, there is no shuffle and no Python.
+
+    ``t`` must be an attribute reference (stage `tokens()` through a
+    projection first — same O(k·n) re-evaluation hazard as
+    `shingles_from_tokens`).
+    """
+    if overlap >= chunk:
+        raise ValueError(f"overlap {overlap} must be < chunk {chunk}")
+    stride = chunk - overlap
+    n = F.size(t)
+    n_chunks = F.ceil(
+        F.greatest(n - F.lit(overlap), F.lit(1)) / F.lit(float(stride))
+    ).cast("int")
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.array_join(
+                F.slice(t, (i * stride + 1).cast("int"), chunk), " "
+            ).alias("chunk_text"),
+        ),
+    )
+
+
 def char_ngrams(c: Column | str, n: int = 5) -> Column:
     """Distinct character n-grams of normalized text -> array<string>."""
     s = normalize_text(c)

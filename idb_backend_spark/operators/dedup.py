@@ -542,3 +542,39 @@ def dedup_keep_canonical(
         F.col("id").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def benchmark_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Decontamination check: training docs sharing >= ``min_shared``
+    distinct word-``k``-shingles with ANY benchmark document — the
+    train-eval overlap audit every LLM data pipeline runs before
+    training (no counterpart in the reference; SURVEY §6 extension).
+
+    Returns (id, n_shared) for flagged training docs. Scale shape: the
+    benchmark side is orders of magnitude smaller than the corpus, so
+    its distinct shingle set is BROADCAST — the training side streams
+    through a broadcast hash join with no shuffle of the corpus; the
+    only exchange aggregates (id, shingle) hits, bounded by matches,
+    not corpus size.
+    """
+    bsh = (
+        _shingle_df(bench, text_col, id_col, k)
+        .select(F.explode("sh").alias("sh"))
+        .distinct()
+    )
+    tsh = _shingle_df(train, text_col, id_col, k).select(
+        "id", F.explode("sh").alias("sh")
+    )
+    return (
+        tsh.join(F.broadcast(bsh), "sh")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

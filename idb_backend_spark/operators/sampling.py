@@ -1,0 +1,66 @@
+"""Deterministic dataset splitting — the train/val/test assignment step
+of a training-data pipeline.
+
+`randomSplit` is seed- and partitioning-dependent: re-running it after a
+repartition (or on a grown corpus) reassigns rows, silently leaking
+yesterday's training docs into today's eval set. The correct primitive
+at 100 TB is a pure function of the ROW KEY: the assignment is stable
+under reruns, appends, repartitioning, and engine changes — and
+auditable from SQL (md5 is identical in Spark, DuckDB, Postgres, …).
+
+No counterpart in the reference (it has no ML-split concept); this is
+one of the training-pipeline extensions SURVEY §6 calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def split_assignment(
+    key: Column | str,
+    weights: tuple[float, ...] = (0.8, 0.1),
+    labels: tuple[str, ...] = ("train", "val", "test"),
+) -> Column:
+    """Label expression assigning each key to a split bucket.
+
+    The first two hex chars of ``md5(key)`` give a uniform value in
+    0..255; cumulative-weight cut points become hex-string thresholds so
+    the whole assignment is ONE native expression (and the same
+    comparison is expressible verbatim in any SQL engine for audit).
+    ``weights`` are the first ``len(labels)-1`` fractions; the remainder
+    is the final label. Granularity is 1/256 — cut points round to it.
+    """
+    if len(weights) != len(labels) - 1:
+        raise ValueError("need exactly one weight per non-final label")
+    if sum(weights) >= 1.0:
+        raise ValueError("weights must sum to < 1 (remainder = final label)")
+    k = F.col(key) if isinstance(key, str) else key
+    h = F.substring(F.md5(k.cast("string")), 1, 2)
+    expr = None
+    acc = 0.0
+    for w, label in zip(weights, labels[:-1]):
+        acc += w
+        cut = f"{int(round(256 * acc)):02x}"
+        branch = h < F.lit(cut)
+        expr = (
+            F.when(branch, label)
+            if expr is None
+            else expr.when(branch, label)
+        )
+    return expr.otherwise(labels[-1])
+
+
+def deterministic_split(
+    df: DataFrame,
+    key_col: str,
+    weights: tuple[float, ...] = (0.8, 0.1),
+    labels: tuple[str, ...] = ("train", "val", "test"),
+    out_col: str = "split",
+) -> DataFrame:
+    """Attach the stable split label; a narrow projection — no shuffle,
+    no sampling state, safe to recompute anywhere."""
+    return df.withColumn(
+        out_col, split_assignment(key_col, weights, labels)
+    )

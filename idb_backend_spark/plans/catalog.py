@@ -67,6 +67,9 @@ _GRADE_FRONT = [
     "streaming_incremental_merge",
     "sessionize",
     "download_e2e",
+    "document_chunking",
+    "deterministic_split",
+    "benchmark_contamination",
     # --- last graded round 3; re-grade this round per the rotation ---
     "shim_term_terms",
     "shim_range_prefix",

@@ -435,3 +435,103 @@ def ann_batch_topk_q(spark, sf_dir):
     return ann.batch_topk(
         emb, qs, query_id_col="query_id", k=5
     ).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# Round-5 training-pipeline additions: chunking, deterministic split,
+# decontamination
+# --------------------------------------------------------------------------
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS_SQL = f"string_split_regex({_NORM_SQL}, ' ')"
+
+#: chunk window parameters for the graded entry (docs average ~54 tokens
+#: at sf0.01, so most yield 2-3 overlapping chunks)
+_CHUNK, _OVERLAP = 32, 8
+_STRIDE = _CHUNK - _OVERLAP
+
+
+@query(
+    "document_chunking",
+    "WITH t AS (SELECT doc_id, " + _TOKS_SQL + " AS toks FROM documents), "
+    "c AS (SELECT doc_id, toks, len(toks) AS n FROM t), "
+    "g AS (SELECT doc_id, toks, unnest(generate_series(0, "
+    f"  CAST(ceil(greatest(n - {_OVERLAP}, 1) / {_STRIDE}.0) AS INT) - 1)) "
+    "  AS chunk_id FROM c) "
+    "SELECT doc_id, chunk_id, array_to_string("
+    f"  list_slice(toks, chunk_id*{_STRIDE} + 1, chunk_id*{_STRIDE} + {_CHUNK}),"
+    "  ' ') AS chunk_text "
+    "FROM g ORDER BY doc_id, chunk_id",
+)
+def document_chunking(spark, sf_dir):
+    """Token-window chunking — documents into overlapping fixed-size
+    model inputs (chunk 32, overlap 8), all native expressions
+    (functions/text.py:chunks_from_tokens); the oracle rebuilds every
+    window with DuckDB list functions, so window arithmetic, the short
+    final window, and the >=1-chunk-per-doc contract are value-checked.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", text.tokens("text").alias("__t"))
+    return (
+        staged.select(
+            "doc_id",
+            F.explode(
+                text.chunks_from_tokens(F.col("__t"), _CHUNK, _OVERLAP)
+            ).alias("c"),
+        )
+        .select("doc_id", F.col("c.chunk_id"), F.col("c.chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@query(
+    "deterministic_split",
+    # the same md5-prefix comparison, verbatim, in DuckDB — the split is
+    # auditable from any SQL engine, which is the point of the design
+    "WITH s AS (SELECT doc_id, CASE "
+    "  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train' "
+    "  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val' "
+    "  ELSE 'test' END AS split FROM documents) "
+    "SELECT doc_id, split FROM s ORDER BY doc_id",
+)
+def deterministic_split_q(spark, sf_dir):
+    """Train/val/test assignment as a pure function of the row key
+    (operators/sampling.py): stable under reruns, appends, and
+    repartitioning — unlike randomSplit, whose assignment depends on
+    seed and physical partitioning. 80/10/10 via md5-prefix cut points.
+    """
+    from idb_backend_spark.operators.sampling import deterministic_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_split(docs, "doc_id").orderBy("doc_id")
+
+
+@query(
+    "benchmark_contamination",
+    "WITH tok AS (SELECT doc_id, " + _TOKS_SQL + " AS t, "
+    + _NORM_SQL + " AS nm FROM documents), "
+    "win AS (SELECT doc_id, CASE WHEN len(t) >= 5 "
+    "  THEN array_to_string(list_slice(t, i.i + 1, i.i + 5), ' ') "
+    "  ELSE nm END AS sh "
+    "  FROM tok, LATERAL (SELECT unnest(generate_series(0, "
+    "    greatest(len(t) - 5, 0))) AS i) i), "
+    "dsh AS (SELECT DISTINCT doc_id, sh FROM win), "
+    "bsh AS (SELECT DISTINCT sh FROM dsh WHERE doc_id % 7 = 0), "
+    "hits AS (SELECT d.doc_id, count(*) AS n_shared FROM dsh d "
+    "  JOIN bsh USING (sh) WHERE d.doc_id % 7 != 0 GROUP BY d.doc_id) "
+    "SELECT doc_id, n_shared FROM hits WHERE n_shared >= 2 ORDER BY doc_id",
+)
+def benchmark_contamination_q(spark, sf_dir):
+    """Decontamination — training docs sharing >=2 distinct word
+    5-shingles with any 'benchmark' doc (doc_id % 7 = 0 stands in for
+    the eval suite). The benchmark shingle set broadcasts; the corpus
+    side never shuffles (operators/dedup.py:benchmark_contamination)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    out = dedup.benchmark_contamination(
+        train, bench, "text", "doc_id", k=5, min_shared=2
+    )
+    return out.select(F.col("id").alias("doc_id"), "n_shared").orderBy(
+        "doc_id"
+    )
