@@ -555,7 +555,8 @@ def benchmark_contamination(
     """Decontamination check: training docs sharing >= ``min_shared``
     distinct word-``k``-shingles with ANY benchmark document — the
     train-eval overlap audit every LLM data pipeline runs before
-    training (no counterpart in the reference; SURVEY §6 extension).
+    training (no counterpart in the reference; training-data extension
+    tier).
 
     Returns (id, n_shared) for flagged training docs. Scale shape: the
     benchmark side is orders of magnitude smaller than the corpus, so

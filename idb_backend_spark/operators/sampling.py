@@ -8,8 +8,9 @@ at 100 TB is a pure function of the ROW KEY: the assignment is stable
 under reruns, appends, repartitioning, and engine changes — and
 auditable from SQL (md5 is identical in Spark, DuckDB, Postgres, …).
 
-No counterpart in the reference (it has no ML-split concept); this is
-one of the training-pipeline extensions SURVEY §6 calls for.
+No counterpart in the reference (it has no ML-split concept); part of
+the training-data-pipeline extension tier alongside operators/dedup.py
+and operators/ann.py.
 """
 
 from __future__ import annotations

@@ -277,6 +277,43 @@ def test_paginate_and_keyset_walk_the_same_sequence(spark):
         assert walked == sorted(walked)  # ordered, no dup/skip across pages
 
 
+def test_chunking_and_split_stay_native(spark):
+    """The chunking explode and the md5-prefix split assignment must be
+    pure native expressions — no Python evaluation, no exchange."""
+    from idb_backend_spark.functions.text import chunks_from_tokens, tokens
+    from idb_backend_spark.operators.sampling import deterministic_split
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    staged = docs.select("doc_id", tokens("text").alias("__t"))
+    chunked = staged.select(
+        "doc_id", F.explode(chunks_from_tokens(F.col("__t"), 32, 8)).alias("c")
+    )
+    p = plan_str(chunked, "simple")
+    assert "Python" not in p and "Exchange" not in p
+
+    p2 = plan_str(deterministic_split(docs.select("doc_id"), "doc_id"), "simple")
+    assert "Python" not in p2 and "Exchange" not in p2
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """Decontamination at scale: the benchmark shingle set broadcasts;
+    the corpus side must not shuffle for the join (the only exchange is
+    the per-doc hit aggregation)."""
+    from idb_backend_spark.operators.dedup import benchmark_contamination
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = benchmark_contamination(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+        "text",
+        "doc_id",
+        k=5,
+    )
+    p = plan_str(out, "simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
 def test_batch_topk_broadcasts_queries_no_corpus_shuffle(spark):
     """Batched ANN: the query set broadcasts; the corpus scan is never
     shuffled by the join — the only exchange keys on query_id for the
