@@ -70,6 +70,7 @@ _GRADE_FRONT = [
     "document_chunking",
     "deterministic_split",
     "benchmark_contamination",
+    "ingest_e2e",
     # --- last graded round 3; re-grade this round per the rotation ---
     "shim_term_terms",
     "shim_range_prefix",

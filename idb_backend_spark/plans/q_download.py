@@ -139,3 +139,93 @@ def download_e2e(spark, sf_dir):
         .select("recordset", "n_records", "n_media")
         .orderBy("recordset")
     )
+
+
+# --------------------------------------------------------------------------
+# §3.2 composition — the INGEST path e2e (the write-side twin of
+# download_e2e): publisher archive → DwC-A read → harvest merge against a
+# seeded store → live latest view. Reference: idigbio_ingestion/db_check.py
+# main flow (parse → match → etag-gated upsert → tombstones).
+# --------------------------------------------------------------------------
+
+_INGEST_ORACLE = (
+    # seed = the store before the harvest; batch = what the archive carries
+    # (every 5th supplier's name revised ⇒ changed etag ⇒ update; every 7th
+    # dropped ⇒ tombstone; every 3rd absent from the seed ⇒ create). The
+    # live view = merged new/changed rows ∪ seed rows the batch left
+    # untouched; tombstoned keys disappear.
+    "WITH seed AS (SELECT 's' || CAST(s_suppkey AS VARCHAR) AS uuid, "
+    "  md5(s_name) AS etag, 0 AS version FROM supplier "
+    "  WHERE s_suppkey % 3 != 0), "
+    "batch AS (SELECT 's' || CAST(s_suppkey AS VARCHAR) AS uuid, "
+    "  md5(CASE WHEN s_suppkey % 5 = 0 THEN s_name || '-rev' "
+    "    ELSE s_name END) AS etag "
+    "  FROM supplier WHERE s_suppkey % 7 != 0), "
+    "merged AS (SELECT b.uuid, b.etag, "
+    "  CASE WHEN s.uuid IS NULL THEN 0 ELSE s.version + 1 END AS version "
+    "  FROM batch b LEFT JOIN seed s ON b.uuid = s.uuid "
+    "  WHERE s.uuid IS NULL OR s.etag != b.etag) "
+    "SELECT uuid, etag, CAST(version AS INT) AS version FROM merged "
+    "UNION ALL "
+    "SELECT s.uuid, s.etag, CAST(s.version AS INT) FROM seed s "
+    "WHERE EXISTS (SELECT 1 FROM batch b "
+    "  WHERE b.uuid = s.uuid AND b.etag = s.etag) "
+    "ORDER BY uuid"
+)
+
+
+@query("ingest_e2e", _INGEST_ORACLE)
+def ingest_e2e(spark, sf_dir):
+    """§3.2 — the full ingest pipeline graded on the store it leaves
+    behind: write the publisher's DwC-A zip, re-open it through
+    DwcaArchive (S1), shape the core member into a harvest batch with
+    content etags, run apply_harvest_batch (W2 etag-gated versioning +
+    U2 tombstones) against a seeded store, and return the LIVE latest
+    view (J1 + tombstone filter). A corruption anywhere — CSV shaping,
+    meta.xml terms, read-back nulling, etag derivation, version
+    assignment, delete detection, latest-view collapse — breaks the
+    value hash."""
+    from idb_backend_spark.export.writers import write_dwca
+    from idb_backend_spark.operators import store as st
+    from idb_backend_spark.sources.dwca import DwcaArchive
+
+    sup = _t(spark, sf_dir, "supplier")
+    sk = F.col("s_suppkey")
+    feed = sup.filter(sk % 7 != 0).select(
+        sk.alias("id"),
+        F.when(sk % 5 == 0, F.concat(F.col("s_name"), F.lit("-rev")))
+        .otherwise(F.col("s_name"))
+        .alias("dwc:recordedBy"),
+    )
+    work = tempfile.mkdtemp(prefix="ingest_e2e_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    zip_path = os.path.join(work, "harvest.zip")
+    write_dwca(zip_path, (feed, "id", ["dwc:recordedBy"], "records"))
+
+    core = DwcaArchive(zip_path).read_core(spark)
+    batch = core.select(
+        F.concat(F.lit("s"), F.col("id")).alias("uuid"),
+        F.lit("records").alias("type"),
+        F.lit(None).cast("string").alias("parent"),
+        F.md5(F.col("`dwc:recordedBy`")).alias("etag"),
+        F.col("`dwc:recordedBy`").alias("data"),
+    )
+    seed = sup.filter(sk % 3 != 0).select(
+        F.concat(F.lit("s"), sk).alias("uuid"),
+        F.lit("records").alias("type"),
+        F.lit(None).cast("string").alias("parent"),
+        F.md5(F.col("s_name")).alias("etag"),
+        F.lit(0).alias("version"),
+        F.to_timestamp(F.lit("2024-01-01")).alias("modified"),
+        F.col("s_name").alias("data"),
+    )
+    res = st.apply_harvest_batch(
+        seed, batch, modified=F.to_timestamp(F.lit("2024-02-01"))
+    )
+    history = seed.unionByName(
+        res.appended, allowMissingColumns=True
+    ).unionByName(res.tombstones, allowMissingColumns=True)
+    live = st.latest_view(history)
+    return live.select(
+        "uuid", "etag", F.col("version").cast("int").alias("version")
+    ).orderBy("uuid")
