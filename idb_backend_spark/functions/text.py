@@ -234,6 +234,70 @@ def shingles(c: Column | str, k: int = 3) -> Column:
     return shingles_from_tokens(tokens(c), normalize_text(c), k)
 
 
+def dup_token_fraction(t: Column) -> Column:
+    """Repetition signal: fraction of tokens that are repeats of an
+    earlier token (Gopher-style duplicate-fraction filter family).
+    0.0 = all distinct; high values flag boilerplate/spam."""
+    n = F.size(t)
+    return F.when(
+        n > 0,
+        1.0 - F.size(F.array_distinct(t)).cast("double") / n,
+    ).otherwise(F.lit(0.0))
+
+
+def top_bigram_fraction(t: Column) -> Column:
+    """Repetition signal: the most frequent word bigram's share of all
+    bigrams (Gopher's top-n-gram fraction). Pure native expressions;
+    the distinct×occurrences counting inside the row is O(G²) per doc —
+    fine for the short-to-medium documents of a curation pass (a 50k-
+    token outlier belongs to an explode+groupBy variant instead).
+
+    ``t`` must be an attribute reference (same re-evaluation hazard as
+    `shingles_from_tokens`).
+    """
+    n = F.size(t)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(t, (i + 1).cast("int")),
+                F.element_at(t, (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda x: F.size(F.filter(grams, lambda y: y == x)),
+        )
+    )
+    return F.when(
+        F.size(grams) > 0, top.cast("double") / F.size(grams)
+    ).otherwise(F.lit(0.0))
+
+
+#: PII patterns — the conservative, engine-portable subset (identical
+#: semantics in Java regex and RE2, so the DuckDB oracle can run the
+#: same literals). Redaction order: emails, then phones, then IPs.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+}
+
+
+def redact_pii(c: Column | str) -> Column:
+    """Scrub emails / phone numbers / IPv4 addresses to typed
+    placeholders — the pre-training privacy pass. Chained native
+    regexp_replace, zero Python."""
+    out = F.col(c) if isinstance(c, str) else c
+    for pat, rep in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
 def chunks_from_tokens(t: Column, chunk: int, overlap: int) -> Column:
     """Token-window document chunking -> array<struct<chunk_id,
     chunk_text>> (the training-data op that turns documents into

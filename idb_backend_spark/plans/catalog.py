@@ -71,6 +71,8 @@ _GRADE_FRONT = [
     "deterministic_split",
     "benchmark_contamination",
     "ingest_e2e",
+    "repetition_quality",
+    "pii_redaction",
     # --- last graded round 3; re-grade this round per the rotation ---
     "shim_term_terms",
     "shim_range_prefix",

@@ -535,3 +535,109 @@ def benchmark_contamination_q(spark, sf_dir):
     return out.select(F.col("id").alias("doc_id"), "n_shared").orderBy(
         "doc_id"
     )
+
+
+@query(
+    "repetition_quality",
+    # same fractions from DuckDB list functions: dup-token share and the
+    # top bigram's share of all bigrams, rounded identically
+    "WITH t AS (SELECT doc_id, " + _TOKS_SQL + " AS toks FROM documents), "
+    "g AS (SELECT doc_id, toks, CASE WHEN len(toks) >= 2 THEN "
+    "  [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))] "
+    "  ELSE [] END AS grams FROM t) "
+    "SELECT doc_id, "
+    "round(CASE WHEN len(toks) > 0 THEN "
+    "  1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) "
+    "  ELSE 0.0 END, 6) AS dup_token_frac, "
+    "round(CASE WHEN len(grams) > 0 THEN "
+    "  CAST(list_max(list_transform(list_distinct(grams), "
+    "    x -> len(list_filter(grams, y -> y = x)))) AS DOUBLE) / len(grams) "
+    "  ELSE 0.0 END, 6) AS top_bigram_frac "
+    "FROM g ORDER BY doc_id",
+)
+def repetition_quality(spark, sf_dir):
+    """Gopher-style repetition filters — duplicate-token fraction and
+    top-bigram share, both native expressions
+    (functions/text.py:dup_token_fraction / top_bigram_fraction)."""
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", text.tokens("text").alias("__t"))
+    return staged.select(
+        "doc_id",
+        F.round(text.dup_token_fraction(F.col("__t")), 6).alias(
+            "dup_token_frac"
+        ),
+        F.round(text.top_bigram_fraction(F.col("__t")), 6).alias(
+            "top_bigram_frac"
+        ),
+    ).orderBy("doc_id")
+
+
+#: synthetic PII suffix appended per doc-id class — the same expression
+#: evaluated by Spark (F.expr) and DuckDB so the redactor has real
+#: targets in the word-soup corpus
+_PII_SUFFIX_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com now' "
+    "WHEN doc_id % 3 = 1 THEN ' call 555-123-4567 or node 10.0.0.'"
+    " || CAST(doc_id % 255 AS VARCHAR) ELSE '' END"
+)
+
+
+@query(
+    "pii_redaction",
+    "WITH t AS (SELECT doc_id, text || " + _PII_SUFFIX_SQL + " AS txt "
+    "FROM documents) "
+    "SELECT doc_id, "
+    "len(regexp_extract_all(txt,"
+    " '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails, "
+    "len(regexp_extract_all(txt,"
+    " '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS n_phones, "
+    "len(regexp_extract_all(txt,"
+    " '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ips, "
+    "md5(regexp_replace(regexp_replace(regexp_replace(txt,"
+    " '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),"
+    " '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),"
+    " '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'))"
+    " AS red_md5 "
+    "FROM t ORDER BY doc_id",
+)
+def pii_redaction(spark, sf_dir):
+    """PII scrubbing — emails/phones/IPv4 to typed placeholders
+    (functions/text.py:redact_pii), counts + a hash of the redacted text
+    value-checked against DuckDB running the SAME pattern literals
+    (the patterns are deliberately restricted to the Java-regex ∩ RE2
+    common subset)."""
+    from idb_backend_spark.functions.text import PII_PATTERNS, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    # native mirror of _PII_SUFFIX_SQL (Spark's expr() rejects bare
+    # CAST(... AS VARCHAR), so the suffix is built with functions here)
+    did = F.col("doc_id")
+    suffix = (
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit(" call 555-123-4567 or node 10.0.0."),
+                (did % 255).cast("string"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    t = docs.select("doc_id", F.concat(F.col("text"), suffix).alias("txt"))
+    counts = [
+        F.regexp_count(F.col("txt"), F.lit(pat)).cast("bigint").alias(name)
+        for (pat, _), name in zip(
+            PII_PATTERNS.values(), ["n_emails", "n_phones", "n_ips"]
+        )
+    ]
+    return t.select(
+        "doc_id", *counts, F.md5(redact_pii("txt")).alias("red_md5")
+    ).orderBy("doc_id")
