@@ -218,3 +218,28 @@ def test_point_in_polygon_property_batch(spark):
             assert got[(lat, lon)] == py_raycast(lat, lon, poly), (
                 trial, lat, lon,
             )
+
+
+def test_split_assignment_validation_and_cutpoints(spark):
+    import pytest as _pytest
+
+    from idb_backend_spark.operators.sampling import split_assignment
+
+    with _pytest.raises(ValueError):
+        split_assignment("k", weights=(0.5,), labels=("a", "b", "c"))
+    with _pytest.raises(ValueError):
+        split_assignment("k", weights=(0.7, 0.3), labels=("a", "b", "c"))
+    # valid spec builds a Column without touching a SparkSession
+    col = split_assignment("k", weights=(0.8, 0.1))
+    assert col is not None
+
+
+def test_chunks_from_tokens_rejects_degenerate_overlap(spark):
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from idb_backend_spark.functions.text import chunks_from_tokens
+
+    with _pytest.raises(ValueError):
+        chunks_from_tokens(F.col("t"), chunk=32, overlap=32)
