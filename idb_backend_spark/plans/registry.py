@@ -18,15 +18,27 @@ UNGRADED: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
 
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+_EXCLUDE_CONF = "spark.sql.optimizer.excludedRules"
+_INFER_GEN_RULE = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # Defensive for driver-owned sessions (our own session.py sets this at
+    # Defensive for driver-owned sessions (our own session.py sets these at
     # construction): nanosecond parquet timestamps are unreadable by Spark
-    # unless mapped to long (converted back below). Guarded so the table
-    # loader does not repeatedly mutate shared session state per query.
+    # unless mapped to long (converted back below), and
+    # InferFiltersFromGenerate re-inlines expensive array builders into
+    # pushed-down `size(arr) > 0` filters (see session.py). Guarded so the
+    # table loader does not repeatedly mutate shared session state.
     if spark.conf.get(_NANOS_CONF, "false") != "true":
         spark.conf.set(_NANOS_CONF, "true")
+    excluded = spark.conf.get(_EXCLUDE_CONF, None) or ""
+    if _INFER_GEN_RULE not in excluded:
+        spark.conf.set(
+            _EXCLUDE_CONF,
+            f"{excluded},{_INFER_GEN_RULE}" if excluded else _INFER_GEN_RULE,
+        )
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         from pyspark.sql.types import LongType

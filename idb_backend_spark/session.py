@@ -42,6 +42,18 @@ def get_spark(
         # Parquet TIMESTAMP(NANOS) columns (events.ts) read as long nanos;
         # sources/store.py converts to microsecond timestamps.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # InferFiltersFromGenerate infers `size(arr) > 0` from every
+        # explode and PushDownPredicate then substitutes the array
+        # expression into that filter below the projections — for the
+        # engine's expensive array builders (shingle windows, chunkers)
+        # that re-evaluates the tokenization O(k·n) times per row INSIDE
+        # the scan stage (measured 20x on the shingle explode). Every
+        # generator in this engine explodes arrays that are non-empty by
+        # construction, so the inferred filter only costs.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # Bound scan partition size so a 100 TB table still yields
         # executor-memory-sized tasks.
         .config("spark.sql.files.maxPartitionBytes", "128m")

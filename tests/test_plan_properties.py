@@ -277,6 +277,32 @@ def test_paginate_and_keyset_walk_the_same_sequence(spark):
         assert walked == sorted(walked)  # ordered, no dup/skip across pages
 
 
+def test_no_inferred_generate_filter_reinlines_array_builders(spark):
+    """InferFiltersFromGenerate must stay excluded: it infers
+    `size(arr) > 0` from every explode and predicate pushdown then
+    substitutes the ARRAY EXPRESSION into that filter below the
+    projections — re-evaluating the shingle window's tokenization
+    O(k·n) times per row inside the scan stage (measured 50x on the
+    shingle explode at sf0.1). Our generators only explode arrays that
+    are non-empty by construction, so the filter can only cost."""
+    from idb_backend_spark.operators.dedup import _shingle_df
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = _shingle_df(docs, "text", "doc_id", 5).select(
+        "id", F.explode("sh").alias("s")
+    )
+    p = plan_str(q)
+    # exactly ONE occurrence: the shingle projection itself. A second
+    # copy means the window was re-inlined into a pushed-down
+    # `size(...) > 0` filter on the scan side.
+    n = p.count("transform(sequence")
+    assert n == 1, (
+        f"shingle window appears {n}x in the plan — re-inlined into a "
+        "pushed-down generate filter? (InferFiltersFromGenerate must be "
+        "excluded in the session conf)"
+    )
+
+
 def test_chunking_and_split_stay_native(spark):
     """The chunking explode and the md5-prefix split assignment must be
     pure native expressions — no Python evaluation, no exchange."""
