@@ -71,6 +71,7 @@ _GRADE_FRONT = [
     "deterministic_split",
     "benchmark_contamination",
     "ingest_e2e",
+    "streaming_exact_dedup",
     "repetition_quality",
     "pii_redaction",
     # --- last graded round 3; re-grade this round per the rotation ---

@@ -2,7 +2,7 @@
 driver's batch-SQL oracle gate.
 
 `streaming_windowed_rollup` (q_parity) proved the harness pattern in
-round 4; these two close the remaining unit-only streaming surfaces:
+round 4; these close the remaining unit-only streaming surfaces:
 
 * ``streaming_incremental_merge`` — the engine's CDC story (the Spark
   replacement for the reference's poll-loop daemon,
@@ -14,6 +14,8 @@ round 4; these two close the remaining unit-only streaming surfaces:
 * ``sessionize`` — the custom stateful operator
   (``applyInPandasWithState``, SURVEY §2.10) graded against a DuckDB
   gaps-and-islands oracle.
+* ``streaming_exact_dedup`` — T1's streaming twin through the real
+  dedup state store, graded against batch DISTINCT.
 
 Determinism notes live on each entry; both stage their inputs in
 tempdirs reclaimed once the memory sink / store read has what it needs.
@@ -217,3 +219,46 @@ def sessionize_q(spark, sf_dir):
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "streaming_exact_dedup",
+    # the deduped stream carries exactly the distinct fingerprints; WHICH
+    # physical row survives per fingerprint is arrival-order-dependent, so
+    # the graded projection is the fingerprint set itself
+    "SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+    " AS fp FROM documents ORDER BY fp",
+)
+def streaming_exact_dedup(spark, sf_dir):
+    """T1's streaming twin executed — exact dedup by content fingerprint
+    through the real streaming state store (streamed_exact_dedup,
+    unbounded mode: this is a bounded replay), graded against batch
+    DISTINCT. Which arrival survives is racy across partitions, so the
+    entry grades the surviving fingerprint SET — exactly what exact
+    dedup promises."""
+    from idb_backend_spark.streaming.incremental import streamed_exact_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+        ).alias("fp"),
+        "doc_id",
+    )
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    landing = os.path.join(work, "landing")
+    docs.coalesce(1).write.mode("overwrite").parquet(landing)
+    stream = spark.readStream.schema(
+        spark.read.parquet(landing).schema
+    ).parquet(landing)
+    deduped = streamed_exact_dedup(stream, ["fp"])
+    qname = "sdedup_" + _uuid.uuid4().hex[:8]
+    sq = (
+        deduped.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.table(qname).select("fp").orderBy("fp")

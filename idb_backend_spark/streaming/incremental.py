@@ -216,6 +216,31 @@ def windowed_rollup(
     )
 
 
+def streamed_exact_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    watermark_col: str | None = None,
+    within_watermark: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup — the T1 operator's streaming twin: emit
+    each distinct key's FIRST arrival, suppress the rest.
+
+    Without a watermark the state grows with distinct keys (exact global
+    dedup — the batch pipeline's semantics, right for bounded replays).
+    With ``within_watermark`` the state is bounded: duplicates are only
+    suppressed within the watermark horizon
+    (``dropDuplicatesWithinWatermark``), the contract a 100 TB infinite
+    feed needs — state sized by keys-per-horizon, not keys-ever.
+    """
+    if within_watermark is not None:
+        if watermark_col is None:
+            raise ValueError("within_watermark requires watermark_col")
+        return stream.withWatermark(
+            watermark_col, within_watermark
+        ).dropDuplicatesWithinWatermark(key_cols)
+    return stream.dropDuplicates(key_cols)
+
+
 def sessionize(
     stream: DataFrame,
     key_col: str,
