@@ -243,3 +243,39 @@ def test_chunks_from_tokens_rejects_degenerate_overlap(spark):
 
     with _pytest.raises(ValueError):
         chunks_from_tokens(F.col("t"), chunk=32, overlap=32)
+
+
+def test_chunks_cover_tokens_exactly(spark):
+    """Reconstruction property: trimming the first `overlap` tokens from
+    every chunk after the first and concatenating reproduces the token
+    stream exactly — no token lost, none duplicated, for lengths around
+    every boundary (empty, < chunk, == chunk, stride multiples, long)."""
+    from pyspark.sql import functions as F
+
+    from idb_backend_spark.functions.text import chunks_from_tokens
+
+    lengths = [0, 1, 7, 8, 9, 23, 24, 25, 31, 32, 33, 55, 96, 97, 200]
+    rows = [(i, " ".join(f"w{j}" for j in range(n)))
+            for i, n in enumerate(lengths)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    staged = df.select("doc_id", F.split("text", " ").alias("__t"))
+    for chunk, overlap in [(32, 8), (8, 0), (5, 4)]:
+        out = staged.select(
+            "doc_id",
+            F.explode(chunks_from_tokens(F.col("__t"), chunk, overlap)).alias("c"),
+        ).select("doc_id", "c.chunk_id", "c.chunk_text").collect()
+        by_doc: dict[int, list] = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(
+                (r["chunk_id"], r["chunk_text"])
+            )
+        for i, n in enumerate(lengths):
+            chunks = [t for _, t in sorted(by_doc[i])]
+            assert chunks, (chunk, overlap, n)  # >= 1 chunk per doc
+            rebuilt: list[str] = []
+            for ci, ctext in enumerate(chunks):
+                toks = ctext.split(" ") if ctext else [""]
+                assert len(toks) <= chunk
+                rebuilt.extend(toks if ci == 0 else toks[overlap:])
+            expected = [f"w{j}" for j in range(n)] if n else [""]
+            assert rebuilt == expected, (chunk, overlap, n, chunks)
