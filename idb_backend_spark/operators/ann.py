@@ -147,6 +147,33 @@ def ivf_write(
     )
 
 
+def ivf_add_vectors(
+    new_vectors: DataFrame,
+    centroids: list,
+    path: str,
+    vec_col: str = "embedding",
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Incremental IVF maintenance: assign a new vector batch to its
+    nearest FROZEN centroids and append to the bucket-partitioned store.
+
+    The codebook is NOT retrained — the steady-state contract every IVF
+    system uses (FAISS `add` after `train`): ingest cost is O(batch),
+    probes keep pruning by partition, and recall drifts only as far as
+    the data distribution does (retrain + `ivf_write` rebuild when it
+    matters). Dynamic partition overwrite is NOT used — plain append
+    only ever adds files to the touched bucket directories, so a crashed
+    add leaves at most missing vectors, never lost ones.
+    """
+    assigned = _assign(new_vectors, centroids, vec_col)
+    (
+        assigned.write.mode("append")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
 def ivf_topk_from_store(
     spark,
     path: str,

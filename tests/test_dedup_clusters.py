@@ -94,3 +94,34 @@ def test_ivf_partitioned_store_prunes(spark, tmp_path):
         spark, path, centroids, qvec, k=10, nprobe=3
     )
     assert pruned.first()["vec_id"] == 0
+
+
+def test_ivf_add_vectors_incremental(spark, tmp_path):
+    """Steady-state IVF maintenance: a new batch assigns to the frozen
+    codebook and appends to the bucket partitions; probes immediately
+    see the additions, and existing vectors are untouched."""
+    from pyspark.sql import functions as F
+
+    from idb_backend_spark.operators import ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 40)
+    extra = emb.filter(F.col("vec_id") >= 40)
+    assigned, centroids = ann.ivf_build(base, nlist=4)
+    path = str(tmp_path / "ivf_inc")
+    ann.ivf_write(assigned, path)
+    n_base = spark.read.parquet(path).count()
+
+    ann.ivf_add_vectors(extra, centroids, path)
+    store = spark.read.parquet(path)
+    assert store.count() == n_base + extra.count()
+
+    # a query ON one of the added vectors finds itself with full probes
+    added_id = extra.first()["vec_id"]
+    qvec = extra.filter(F.col("vec_id") == added_id).first()["embedding"]
+    out = ann.ivf_topk_from_store(
+        spark, path, centroids, qvec, k=5, nprobe=4
+    )
+    assert out.first()["vec_id"] == added_id
+    # idempotence of the base set: original ids all still present
+    assert store.filter(F.col("vec_id") < 40).count() == n_base
