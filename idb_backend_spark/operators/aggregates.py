@@ -175,3 +175,44 @@ def keyset_page(
     """
     page = df if after is None else df.filter(F.col(order_col) > F.lit(after))
     return page.orderBy(order_col).limit(limit)
+
+
+def sessionize_batch(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Batch sessionization — gaps-and-islands natively: per-key windows
+    assign session ids where the inter-event gap exceeds ``gap_seconds``,
+    then one aggregation emits (key, session_start, session_end,
+    n_events) for EVERY session (the streaming twin in
+    streaming/incremental.py:sessionize emits only closed ones).
+
+    Plan shape: a single hash-partitioned exchange on the key feeds both
+    window functions AND the final aggregation (same partitioning), so
+    the whole operator costs one shuffle regardless of history length.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    new_s = F.when(
+        prev.isNull()
+        | (
+            F.col(ts_col).cast("double") - prev.cast("double")
+            > float(gap_seconds)
+        ),
+        1,
+    ).otherwise(0)
+    sid = F.sum(new_s).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(F.col(key_col), F.col(ts_col), sid.alias("__sid"))
+        .groupBy(key_col, "__sid")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("__sid")
+    )

@@ -65,3 +65,18 @@ def deterministic_split(
     return df.withColumn(
         out_col, split_assignment(key_col, weights, labels)
     )
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float
+) -> DataFrame:
+    """Keep a stable ~``fraction`` of rows as a pure function of the row
+    key (md5-prefix threshold, granularity 1/256) — the sampling twin of
+    `deterministic_split`: re-runs, appends, and repartitioning keep the
+    SAME rows, unlike `DataFrame.sample`'s seed+partition dependence.
+    """
+    if not 0.0 < fraction < 1.0:
+        raise ValueError(f"fraction must be in (0, 1), got {fraction}")
+    cut = f"{int(round(256 * fraction)):02x}"
+    k = F.col(key_col)
+    return df.filter(F.substring(F.md5(k.cast("string")), 1, 2) < cut)

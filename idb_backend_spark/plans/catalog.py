@@ -72,6 +72,8 @@ _GRADE_FRONT = [
     "benchmark_contamination",
     "ingest_e2e",
     "streaming_exact_dedup",
+    "sessionize_batch",
+    "deterministic_sample",
     "repetition_quality",
     "pii_redaction",
     # --- last graded round 3; re-grade this round per the rotation ---

@@ -262,3 +262,36 @@ def streaming_exact_dedup(spark, sf_dir):
     sq.awaitTermination()
     shutil.rmtree(work, ignore_errors=True)
     return spark.table(qname).select("fp").orderBy("fp")
+
+
+_SESSION_ALL_ORACLE = (
+    # the batch twin emits EVERY session (no open-session holdback)
+    "WITH d AS (SELECT user_id, ts, "
+    "  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+    "    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+    f"      > INTERVAL {_SESSION_GAP_S} SECOND "
+    "    THEN 1 ELSE 0 END AS new_s FROM events), "
+    "s AS (SELECT user_id, ts, sum(new_s) OVER ("
+    "  PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid "
+    "  FROM d) "
+    "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, "
+    "  count(*) AS n_events "
+    "FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"
+)
+
+
+@query("sessionize_batch", _SESSION_ALL_ORACLE)
+def sessionize_batch_q(spark, sf_dir):
+    """The batch twin of `sessionize` — gaps-and-islands natively
+    (operators/aggregates.py:sessionize_batch): one exchange on the key
+    feeds the windows AND the final aggregation; emits EVERY session
+    including each user's open last one, which is exactly what the
+    batch analytics view wants."""
+    from idb_backend_spark.operators.aggregates import sessionize_batch
+
+    events = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    return sessionize_batch(
+        events, "user_id", "ts", gap_seconds=_SESSION_GAP_S
+    ).orderBy("user_id", "session_start")

@@ -641,3 +641,27 @@ def pii_redaction(spark, sf_dir):
     return t.select(
         "doc_id", *counts, F.md5(redact_pii("txt")).alias("red_md5")
     ).orderBy("doc_id")
+
+
+@query(
+    "deterministic_sample",
+    # 0.25 -> md5-prefix cut '40' (64/256); same literal comparison in
+    # DuckDB — the sample is auditable from any SQL engine
+    "SELECT event_type, count(*) AS n_kept FROM events "
+    "WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '40' "
+    "GROUP BY event_type ORDER BY event_type",
+)
+def deterministic_sample_q(spark, sf_dir):
+    """Stable ~25% sample of the events table as a pure function of the
+    row key (operators/sampling.py:deterministic_sample) — re-runs,
+    appends, and repartitioning keep the SAME rows, unlike
+    DataFrame.sample's seed+partition dependence."""
+    from idb_backend_spark.operators.sampling import deterministic_sample
+
+    events = _t(spark, sf_dir, "events")
+    return (
+        deterministic_sample(events, "event_id", 0.25)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("event_type")
+    )
