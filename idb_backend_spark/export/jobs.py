@@ -20,6 +20,10 @@ from idb_backend_spark.functions.etags import object_hash
 #: identical query reuse window — 23 h (v2_download.py:20-22)
 DEDUP_SECONDS = 23 * 3600
 
+#: job/artifact retention — 30 days (the reference's task TTL,
+#: v2_download.py:20-23)
+RESULT_TTL_SECONDS = 30 * 24 * 3600
+
 
 @dataclass
 class Job:
@@ -68,3 +72,29 @@ class DownloadJobManager:
 
     def status(self, job_id: str) -> Job | None:
         return self.jobs.get(job_id)
+
+    def vacuum(
+        self,
+        ttl_seconds: float = RESULT_TTL_SECONDS,
+        on_expire=None,
+    ) -> list[str]:
+        """Drop jobs older than ``ttl_seconds`` (the reference's 30-day
+        task TTL). ``on_expire(job)`` runs per expired job for artifact
+        cleanup (file delete, object-store remove); a callback failure
+        keeps that job registered so the next vacuum retries it."""
+        now = self.clock()
+        expired = [
+            key
+            for key, job in self.jobs.items()
+            if now - job.created_at >= ttl_seconds
+        ]
+        removed = []
+        for key in expired:
+            if on_expire is not None:
+                try:
+                    on_expire(self.jobs[key])
+                except Exception:
+                    continue  # keep the job; retry cleanup next vacuum
+            del self.jobs[key]
+            removed.append(key)
+        return removed

@@ -155,3 +155,33 @@ def test_job_dedup():
     assert j3.result == "artifact-2" and len(calls) == 2
     different = mgr.submit({"rq": {"genus": "quercus"}}, run)
     assert different.job_id != j1.job_id
+
+
+def test_job_vacuum_ttl_and_retry():
+    """30-day task TTL (v2_download.py:20-23): expired jobs drop with
+    their artifacts; a failing cleanup callback keeps the job for the
+    next vacuum pass."""
+    clock = [0.0]
+    mgr = DownloadJobManager(dedup_seconds=100, clock=lambda: clock[0])
+    j1 = mgr.submit({"q": 1}, lambda p: "artifact-1")
+    clock[0] = 50.0
+    j2 = mgr.submit({"q": 2}, lambda p: "artifact-2")
+    assert len(mgr.jobs) == 2
+
+    # nothing old enough yet
+    clock[0] = 100.0
+    assert mgr.vacuum(ttl_seconds=200) == []
+
+    cleaned = []
+    clock[0] = 220.0  # j1 age 220 >= 200; j2 age 170 < 200
+    removed = mgr.vacuum(ttl_seconds=200, on_expire=lambda j: cleaned.append(j.result))
+    assert removed == [j1.job_id] and cleaned == ["artifact-1"]
+    assert mgr.status(j1.job_id) is None and mgr.status(j2.job_id) is j2
+
+    # failing cleanup keeps the job registered for retry
+    clock[0] = 400.0
+    def boom(job):
+        raise IOError("object store unavailable")
+    assert mgr.vacuum(ttl_seconds=200, on_expire=boom) == []
+    assert mgr.status(j2.job_id) is j2
+    assert mgr.vacuum(ttl_seconds=200) == [j2.job_id]
