@@ -78,11 +78,22 @@ def exact_dedup(
 
 
 def exact_dedup_keep_first(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """The filtered corpus: keep the min-id representative of each group."""
-    keepers = exact_dedup(df, text_col, id_col).select(
-        F.col("keeper").alias(id_col)
+    """The filtered corpus: keep the min-id representative of each group.
+
+    Single pass: a whole-partition window min over the content
+    fingerprint marks each group's keeper — ONE exchange on the
+    fingerprint and one scan of ``df``, where the former
+    aggregate-then-semi-join formulation scanned (and re-evaluated any
+    upstream enrichment expressions of) ``df`` twice."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__fp")
+    return (
+        df.withColumn("__fp", fingerprint(text_col))
+        .withColumn("__keep", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__fp", "__keep")
     )
-    return df.join(keepers, on=id_col, how="left_semi")
 
 
 def ngram_jaccard_pairs(

@@ -324,9 +324,14 @@ def corpus_curation_pipeline(spark, sf_dir):
     on the content fingerprint and the final (tiny) per-language rollup.
     Sums go through decimal so cross-engine float ordering can't diverge."""
     from idb_backend_spark.functions import text as T
-    from idb_backend_spark.operators.dedup import exact_dedup_keep_first
+    from idb_backend_spark.operators.dedup import _spread, exact_dedup_keep_first
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # _spread: a small single-file corpus otherwise runs the whole
+    # enrichment serially in the one-split scan stage; at real scale the
+    # scan is already many-split and this is a near-no-op
+    docs = _spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), None
+    )
     enriched = docs.select(
         "doc_id",
         "text",
