@@ -279,3 +279,29 @@ def test_chunks_cover_tokens_exactly(spark):
                 rebuilt.extend(toks if ci == 0 else toks[overlap:])
             expected = [f"w{j}" for j in range(n)] if n else [""]
             assert rebuilt == expected, (chunk, overlap, n, chunks)
+
+
+def test_deterministic_split_distribution_and_stability(spark):
+    """The md5-prefix split is (a) close to the requested fractions over
+    many keys and (b) bit-stable under repartitioning — the property
+    randomSplit lacks."""
+    from pyspark.sql import functions as F
+
+    from idb_backend_spark.operators.sampling import deterministic_split
+
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    out = deterministic_split(df, "k")
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(counts["train"] / 10_000 - 0.80) < 0.02
+    assert abs(counts["val"] / 10_000 - 0.10) < 0.015
+    assert abs(counts["test"] / 10_000 - 0.10) < 0.015
+
+    a = {(r["k"], r["split"]) for r in out.collect()}
+    b = {
+        (r["k"], r["split"])
+        for r in deterministic_split(df.repartition(7), "k").collect()
+    }
+    assert a == b
