@@ -157,6 +157,11 @@ GOLDEN_CITIES = [
     (33.36, 35.17, "CY"),                           # Nicosia
     (14.45, 35.89, "MT"),                           # Malta
     (19.26, 42.44, "ME"),                           # Podgorica
+    # second interior anchors for the round-5 single-golden countries
+    (44.0, 40.7, "AM"), (73.8, 42.0, "KG"), (70.0, 38.8, "TJ"),
+    (38.5, 15.5, "ER"), (-11.8, 8.6, "SL"), (1.0, 7.0, "TG"),
+    (-88.5, 17.5, "BZ"), (32.9, 34.95, "CY"), (19.2, 42.8, "ME"),
+    (91.0, 28.0, "BT"),
     # carve-outs (round 5): states inside a neighbor's old solid ring
     (-15.5, 13.35, "GM"),                           # Gambia river interior
     (28.2, -29.6, "LS"),                            # Lesotho highlands
