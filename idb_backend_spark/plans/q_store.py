@@ -16,6 +16,19 @@ from idb_backend_spark.operators import (  # noqa: F401
 from idb_backend_spark.functions import enrichment as E
 from idb_backend_spark.functions import grabbers, text  # noqa: F401
 from idb_backend_spark.plans.registry import _t, query
+
+
+def _tmpdir(prefix: str) -> str:
+    """mkdtemp whose reclamation is deferred to interpreter exit: the
+    returned DataFrames of the roundtrip entries read these files
+    lazily, so in-function deletion would race the caller's collect."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 from idb_backend_spark.query.shim import compile_shim, shim_to_sql  # noqa: F401
 
 
@@ -514,8 +527,8 @@ def duplicate_clusters_q(spark, sf_dir):
 # driven end-to-end INSIDE a driver-graded query: write an archive from
 # the parquet tables, read it back through the engine's readers, and let
 # the oracle be the plain projection of the original tables. Temp dirs
-# are intentionally not deleted in-function: the returned DataFrame reads
-# the extracted files lazily (collection happens in the caller).
+# are reclaimed at interpreter exit (_tmpdir): the returned DataFrame
+# reads the extracted files lazily (collection happens in the caller).
 # --------------------------------------------------------------------------
 
 
@@ -559,7 +572,7 @@ def dwca_roundtrip(spark, sf_dir):
             F.col("o_orderstatus").alias("ac:accessURI"),
         )
     )
-    workdir = tempfile.mkdtemp(prefix="dwca_rt_")
+    workdir = _tmpdir("dwca_rt_")
     zip_path = os.path.join(workdir, "archive.zip")
     write_dwca(
         zip_path,
@@ -618,7 +631,7 @@ def delimited_roundtrip(spark, sf_dir):
         F.col("s_nationkey").cast("string").alias("country_s"),
         F.lit("provider-junk").alias("notes"),
     )
-    d = tempfile.mkdtemp(prefix="delim_rt_")
+    d = _tmpdir("delim_rt_")
     path = os.path.join(d, "provider.tsv")
     write_csv_member(
         src, path, "id",
@@ -719,7 +732,7 @@ def object_store_roundtrip(spark, sf_dir):
         .filter(F.col("doc_id") <= 200)
         .select("doc_id", "text")
     )
-    root = tempfile.mkdtemp(prefix="objstore_rt_")
+    root = _tmpdir("objstore_rt_")
 
     def put_get(batches):
         store = ObjectStore(LocalFSBackend(root))
@@ -757,7 +770,7 @@ def index_sink_roundtrip(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_quantity"
     )
-    path = tempfile.mkdtemp(prefix="sink_rt_") + "/t"
+    path = _tmpdir("sink_rt_") + "/t"
     write_index_table(
         li, path, partition_by=["l_returnflag"], cluster_by=["l_orderkey"],
         max_records_per_file=50_000,
