@@ -23,9 +23,11 @@ with no green row in the PREVIOUS round's CORRECTNESS artifact — which
 automatically includes every entry added this round — must appear in
 `_GRADE_FRONT`, and `_GRADE_FRONT` must fit inside the 50-entry window.
 Round 5 therefore front-loads the three never-driver-graded round-4
-entries, the new round-5 entries, and the 30 graded-entries last green
-in round 3; the round-4-graded entries trail (re-grading them is
-harmless — they were green).
+entries, the new round-5 entries (including the q_scale maintenance
+tier, which fills the window to exactly 50), and the 30 graded-entries
+last green in round 3; the round-4-graded entries trail (re-grading
+them is harmless — they were green, and every trailing entry keeps a
+green row within the last two rounds).
 
 The two sketch entries whose hash families are not SQL-expressible
 (minhash_lsh_pairs, simhash_pairs) are registered graded=False: they
@@ -49,6 +51,7 @@ from idb_backend_spark.plans import (  # noqa: F401  (side-effect registration)
     q_parity,
     q_enrichment,
     q_relational,
+    q_scale,
     q_shim,
     q_store,
     q_streaming,
@@ -76,6 +79,11 @@ _GRADE_FRONT = [
     "deterministic_sample",
     "repetition_quality",
     "pii_redaction",
+    "store_compaction",
+    "token_index_update",
+    "ivf_incremental_ann",
+    "salted_skew_agg",
+    "training_corpus_e2e",
     # --- last graded round 3; re-grade this round per the rotation ---
     "shim_term_terms",
     "shim_range_prefix",

@@ -1,0 +1,333 @@
+"""Round-5 scale-path entries — the maintenance and skew operators that
+were unit-only, executed under the driver's oracle gate, plus the
+composed training-corpus pipeline.
+
+* ``store_compaction`` — T16: threshold-scheduled compaction of the
+  uuid-bucketed history store run END-TO-END (fragment with three
+  appended harvest batches, rewrite once, grade the latest view off the
+  compacted table and assert the one-file-per-bucket outcome as data).
+* ``token_index_update`` — T12's steady state: bootstrap the per-file
+  token-bucket index over half the corpus, append the other half as new
+  data files, run the O(new files) incremental index maintenance, and
+  grade the pruned fulltext scan against the full-corpus predicate.
+* ``ivf_incremental_ann`` — T20: FAISS-style ``add`` after ``train`` —
+  codebook trained on the base half only, the other half ingested
+  through ``ivf_add_vectors`` against the frozen codebook, and a query
+  vector FROM THE ADDED BATCH recovered via the partition-pruned store
+  probe, graded against the exact brute-force top-k over the union.
+* ``salted_skew_agg`` — §4 skew mitigation graded: the two-level salted
+  aggregation over a 3-hot-key column (the pathological shape) must
+  equal the plain GROUP BY the oracle runs.
+* ``training_corpus_e2e`` — the composition a training-data user
+  actually runs: quality gate -> token-window chunking -> keep-first
+  chunk dedup -> deterministic split -> per-split corpus stats, every
+  stage native expressions, value-checked end-to-end in DuckDB.
+
+Staging dirs/tables are reclaimed at interpreter exit, after the driver
+has consumed the lazily-read results (same pattern as q_streaming).
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+import uuid as _uuid
+
+from pyspark.sql import functions as F
+
+from idb_backend_spark.plans.registry import _t, query
+
+
+# --- T16: bucketed-store compaction -----------------------------------
+
+_COMPACT_ORACLE = (
+    # three appended batches per key (versions 0..2, modified ascending);
+    # batch 2 tombstones keys % 13 = 0, so the latest view = the batch-2
+    # row for every surviving key. compacted/files_per_bucket assert the
+    # rewrite actually happened and produced exactly one file per bucket.
+    "SELECT o_orderkey AS uuid, o_orderstatus || '_2' AS etag, "
+    "2 AS version, o_orderkey + 3000000 AS modified, "
+    "TRUE AS compacted, 1 AS files_per_bucket "
+    "FROM orders WHERE o_orderkey % 13 != 0 ORDER BY uuid"
+)
+
+
+@query("store_compaction", _COMPACT_ORACLE)
+def store_compaction(spark, sf_dir):
+    """T16 executed — every appended harvest batch leaves one file per
+    bucket, so after three batches the store holds >= 3x num_buckets
+    files; ``compact_history`` rewrites it ONCE under the same
+    bucketBy/sortBy spec (the zero-exchange layout contract survives,
+    asserted by tests/test_store.py) and the latest view graded here
+    reads the compacted table. ``files_per_bucket`` is computed from the
+    post-rewrite file listing — the driver's value hash fails if the
+    rewrite compacted nothing (reference analog: Postgres vacuum/cluster
+    maintenance the poll-loop store relies on, idb/postgres_backend/db.py).
+    """
+    from idb_backend_spark.functions.etags import TOMBSTONE_ETAG
+    from idb_backend_spark.operators import store as st
+
+    orders = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    num_buckets = 8
+    table = f"store_compaction_{_uuid.uuid4().hex[:8]}"
+
+    def _cleanup(tbl: str = table) -> None:
+        # in-memory catalog dies with the session; reclaim warehouse files
+        wh = "spark-warehouse"
+        for t in (tbl, f"{tbl}__compact"):
+            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+
+    atexit.register(_cleanup)
+
+    for b in range(3):
+        etag = (
+            F.when(ok % 13 == 0, TOMBSTONE_ETAG)
+            if b == 2
+            else F.when(F.lit(False), "never")
+        ).otherwise(F.concat_ws("_", F.col("o_orderstatus"), F.lit(str(b))))
+        batch = orders.select(
+            ok.alias("uuid"),
+            etag.alias("etag"),
+            F.lit(b).alias("version"),
+            (ok + (b + 1) * 1000000).cast("bigint").alias("modified"),
+        )
+        st.write_bucketed_history(
+            batch, table, num_buckets, mode="overwrite" if b == 0 else "append"
+        )
+
+    rewrote = st.compact_history(
+        spark, table, num_buckets=num_buckets, max_files_per_bucket=2
+    )
+    files_after = len(spark.table(table).inputFiles())
+    return (
+        st.latest_view(spark.table(table))
+        .select("uuid", "etag", "version", "modified")
+        .withColumn("compacted", F.lit(bool(rewrote)))
+        .withColumn("files_per_bucket", F.lit(files_after // num_buckets))
+        .orderBy("uuid")
+    )
+
+
+# --- T12 steady state: incremental token-index maintenance ------------
+
+def _toks_pred(t: str) -> str:
+    return (
+        "list_contains(regexp_extract_all(lower(text), "
+        f"'[\\p{{L}}\\p{{N}}_]+'), '{t}')"
+    )
+
+
+_UPDATE_ORACLE = (
+    # the same whole-token conjunction as fulltext_skipping_scan — over
+    # the FULL corpus: if the incremental index missed an appended file,
+    # pruning drops its matches and the value hash fails
+    "SELECT doc_id, TRUE AS index_updated FROM documents WHERE "
+    + _toks_pred("spark")
+    + " AND " + _toks_pred("window")
+    + " AND " + _toks_pred("merge")
+    + " ORDER BY doc_id"
+)
+
+
+@query("token_index_update", _UPDATE_ORACLE)
+def token_index_update(spark, sf_dir):
+    """T12's maintenance path executed — bootstrap ``build_token_index``
+    over the even-doc half of the corpus, append the odd half as new
+    parquet files (the ingest-batch shape), then ``update_token_index``
+    indexes ONLY the new files (O(new files), not O(table)) and the
+    pruned scan must recover every match from BOTH halves.
+    ``index_updated`` encodes that the incremental pass found work: if
+    it indexed nothing, the flag flips and the schema/hash mismatch.
+    """
+    from idb_backend_spark.plans.skipping import (
+        build_token_index,
+        fulltext_scan,
+        update_token_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("fulltext")
+    )
+    work = tempfile.mkdtemp(prefix="ft_update_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    table = os.path.join(work, "docs")
+    idx = os.path.join(work, "idx")
+
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 != 0)
+    even.repartition(4).write.mode("overwrite").parquet(table)
+    build_token_index(spark.read.parquet(table), ["fulltext"], idx)
+    odd.repartition(4).write.mode("append").parquet(table)
+    new_files = update_token_index(spark, table, ["fulltext"], idx)
+
+    out = fulltext_scan(spark, table, idx, "spark window merge")
+    return (
+        out.select("doc_id")
+        .withColumn("index_updated", F.lit(len(new_files) > 0))
+        .orderBy("doc_id")
+    )
+
+
+# --- T20: incremental IVF ingestion -----------------------------------
+
+_IVF_COS = (
+    "list_dot_product("
+    " list_transform(e.embedding, x -> CAST(x AS DOUBLE)),"
+    " list_transform(q.qv, x -> CAST(x AS DOUBLE)))"
+    " / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),"
+    "         list_transform(e.embedding, x -> CAST(x AS DOUBLE))))"
+    "  * sqrt(list_dot_product(list_transform(q.qv, x -> CAST(x AS DOUBLE)),"
+    "         list_transform(q.qv, x -> CAST(x AS DOUBLE)))))"
+)
+_IVF_INC_ORACLE = (
+    # exact brute-force top-10 over the FULL corpus; the query vector
+    # (vec_id = 1) lives in the incrementally ADDED batch, so a recall
+    # loss on either the base store or the appended partitions fails the
+    # value hash
+    "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1) "
+    "SELECT vec_id, round(" + _IVF_COS + ", 6) AS cosine "
+    "FROM embeddings e, q ORDER BY cosine DESC, vec_id LIMIT 10"
+)
+
+
+@query("ivf_incremental_ann", _IVF_INC_ORACLE)
+def ivf_incremental_ann(spark, sf_dir):
+    """T20 executed — the steady-state IVF contract (FAISS ``add`` after
+    ``train``): the codebook is trained on the even-id base half only
+    and FROZEN; the odd-id half arrives later through ``ivf_add_vectors``
+    (assign to nearest frozen centroid, append to the bucket partition —
+    ingest cost O(batch)). The probe then answers a query FROM THE ADDED
+    BATCH off the partition-pruned store, graded against the exact
+    brute-force top-10 over the union — a miss on either half fails.
+    """
+    from idb_backend_spark.operators import ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    added = emb.filter(F.col("vec_id") % 2 != 0)
+
+    work = tempfile.mkdtemp(prefix="ivf_inc_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    path = os.path.join(work, "store")
+
+    # two Lloyd rounds refine the HALF-data codebook before it freezes
+    assigned, centroids = ann.ivf_build(base, nlist=8, iterations=2)
+    ann.ivf_write(assigned, path)
+    ann.ivf_add_vectors(added, centroids, path)
+
+    qvec = emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]
+    # nprobe 7/8: the synthetic corpus is uniformly spread (no cluster
+    # structure — IVF's worst case) AND the codebook only saw the base
+    # half, so exact top-10 recall across BOTH halves at every test scale
+    # needs two more probes than ivf_ann_topk's full-data codebook;
+    # clustered real corpora probe far fewer buckets for the same recall
+    return ann.ivf_topk_from_store(
+        spark, path, centroids, qvec, k=10, nprobe=7
+    )
+
+
+# --- §4 skew mitigation graded ----------------------------------------
+
+_SKEW_ORACLE = (
+    "SELECT o_orderstatus AS status, count(*) AS n "
+    "FROM orders GROUP BY o_orderstatus ORDER BY status"
+)
+
+
+@query("salted_skew_agg", _SKEW_ORACLE)
+def salted_skew_agg(spark, sf_dir):
+    """Skew-mitigation correctness gate — ``salted_count`` over the
+    3-distinct-value status column (every key pathologically hot: the
+    shape where a plain groupBy funnels the table through 3 reducers).
+    The two-level plan spreads each key over 16 salt lanes then
+    re-aggregates 16 partials per key; the oracle's plain GROUP BY
+    asserts the salting is invisible in the result (operators/skew.py).
+    """
+    from idb_backend_spark.operators.skew import salted_count
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status")
+    )
+    return salted_count(orders, ["status"], n_salts=16, out="n").orderBy(
+        "status"
+    )
+
+
+# --- composed training-corpus pipeline --------------------------------
+
+_E2E_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_E2E_TOKS = f"string_split_regex({_E2E_NORM}, ' ')"
+_E2E_CHUNK, _E2E_OVERLAP = 32, 8
+_E2E_STRIDE = _E2E_CHUNK - _E2E_OVERLAP
+
+_E2E_ORACLE = (
+    "WITH t AS (SELECT doc_id, " + _E2E_TOKS + " AS toks FROM documents), "
+    "c AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 8), "
+    "g AS (SELECT doc_id, toks, unnest(generate_series(0, "
+    f"  CAST(ceil(greatest(n - {_E2E_OVERLAP}, 1) / {_E2E_STRIDE}.0) AS INT) - 1)) "
+    "  AS chunk_id FROM c), "
+    "ch AS (SELECT doc_id, chunk_id, array_to_string("
+    f"  list_slice(toks, chunk_id*{_E2E_STRIDE} + 1, "
+    f"             chunk_id*{_E2E_STRIDE} + {_E2E_CHUNK}), ' ') AS chunk_text "
+    "  FROM g), "
+    "kf AS (SELECT doc_id, chunk_id, chunk_text, row_number() OVER ("
+    "  PARTITION BY chunk_text ORDER BY doc_id, chunk_id) AS rn FROM ch), "
+    "sp AS (SELECT doc_id, chunk_text, CASE "
+    "  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train' "
+    "  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val' "
+    "  ELSE 'test' END AS split FROM kf WHERE rn = 1) "
+    "SELECT split, count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs, "
+    "sum(len(str_split(chunk_text, ' '))) AS n_tokens "
+    "FROM sp GROUP BY split ORDER BY split"
+)
+
+
+@query("training_corpus_e2e", _E2E_ORACLE)
+def training_corpus_e2e(spark, sf_dir):
+    """The composed training-data path (T13+T1+T14 chained — the
+    pipeline a model-data team actually runs): quality-gate documents
+    (>= 8 tokens), chunk into overlapping 32-token windows, drop
+    duplicate chunks keep-first (window min over the chunk text — ONE
+    exchange), assign the deterministic md5 split BY DOCUMENT (chunks of
+    one doc never straddle train/test — the leakage rule), and roll up
+    per-split corpus stats. Every stage is native expressions; the
+    oracle rebuilds the identical pipeline in DuckDB, so window
+    arithmetic, dedup tie-breaks, and split cut-points are all
+    value-checked end-to-end.
+    """
+    from pyspark.sql import Window
+
+    from idb_backend_spark.functions import text
+    from idb_backend_spark.operators.sampling import split_assignment
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = (
+        docs.filter(text.token_count("text") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                text.chunks_from_tokens(
+                    text.tokens("text"), _E2E_CHUNK, _E2E_OVERLAP
+                )
+            ).alias("c"),
+        )
+        .select("doc_id", F.col("c.chunk_id"), F.col("c.chunk_text"))
+    )
+    w = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_id")
+    kept = (
+        chunks.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .withColumn("split", split_assignment("doc_id"))
+    )
+    return (
+        kept.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum(F.size(F.split("chunk_text", " "))).alias("n_tokens"),
+        )
+        .orderBy("split")
+    )
