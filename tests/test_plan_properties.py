@@ -353,3 +353,41 @@ def test_batch_topk_broadcasts_queries_no_corpus_shuffle(spark):
     p = plan_str(batch_topk(emb, qs, k=3), "simple")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_salted_count_spreads_hot_keys_across_lanes(spark):
+    """Skew mitigation is structural: the FIRST exchange must partition
+    on (key, __salt) — the hot key's rows spread over the salt lanes —
+    and only the tiny partial-per-lane re-aggregation keys on the bare
+    key. A plan whose first exchange keys on the key alone funnels the
+    table through one reducer per hot key."""
+    from idb_backend_spark.operators.skew import salted_count
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.col("o_orderstatus").alias("status")
+    )
+    p = plan_str(salted_count(orders, ["status"], n_salts=16, out="n"))
+    exchanges = [
+        ln for ln in p.splitlines() if "hashpartitioning" in ln.lower()
+    ]
+    assert exchanges, p
+    # bottom-most exchange in the formatted plan = the wide one; it must
+    # carry the salt column alongside the key
+    salted_ex = [ln for ln in exchanges if "__salt" in ln]
+    assert salted_ex, f"no exchange partitions on the salt lane:\n{p}"
+    # and partial aggregation runs below it (map-side combine per lane)
+    assert "partial_count" in p.lower() or "partial" in p.lower(), p
+
+
+def test_training_corpus_pipeline_stays_native(spark):
+    """The composed corpus pipeline (gate -> chunk -> dedup window ->
+    split -> rollup) must contain no Python evaluation anywhere — every
+    stage is expression-only, so the whole path rides WholeStageCodegen
+    at any scale."""
+    from idb_backend_spark.plans.catalog import Q
+
+    out = Q["training_corpus_e2e"](spark, SF)
+    p = plan_str(out, "simple")
+    assert "Python" not in p, p
+    # the dedup window keys its exchange on the chunk text fingerprint
+    assert "chunk_text" in p
