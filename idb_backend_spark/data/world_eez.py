@@ -14,11 +14,41 @@ overlaps small.
 
 Like the EEZ_land source, a country's band may also cover its own land —
 redundant but harmless under land-first lookup order.
+
+Every coastal country in the land layer has a band: short-coastline
+countries whose waters sit inside a neighbor's generous box (BA, BS, BZ,
+CD, DJ, GM, IL, JO, KP, KW, LB, MT, QA, SD, SV, SY) are listed FIRST so
+their tight bands take insertion-order priority.
 """
 
 from __future__ import annotations
 
 WORLD_EEZ: dict[str, list[tuple[float, float, float, float]]] = {
+    # --- short-coastline countries, listed FIRST: their tight near-coast
+    # bands must win over the wider neighbors' boxes below (first match
+    # in insertion order) — the same priority carve as TW/CY/GM on land
+    "BA": [(17.45, 42.70, 17.75, 42.95)],   # Neum corridor (Adriatic)
+    "BS": [
+        (-79.0, 22.8, -72.6, 24.0),         # Great/Little Bahama banks
+        (-74.8, 20.9, -72.6, 22.8),         # SE chain down to Inagua
+    ],
+    "BZ": [(-88.1, 16.0, -87.0, 18.4)],     # barrier reef shelf
+    "CD": [(11.0, -6.15, 12.15, -5.85)],    # Congo mouth corridor
+    "DJ": [(42.8, 11.5, 43.7, 12.55)],      # Gulf of Tadjoura / strait
+    "GM": [(-17.8, 13.1, -16.8, 13.6)],     # Gambia river approach
+    "IL": [(33.8, 31.35, 35.05, 33.05)],    # Levantine basin south
+    "JO": [(34.93, 29.25, 35.05, 29.50)],   # Gulf of Aqaba head (east)
+    "KP": [
+        (127.7, 38.65, 131.0, 42.2),        # East Sea, north of the MDL
+        (123.9, 37.8, 125.3, 39.7),         # West Sea, north of the NLL
+    ],
+    "KW": [(47.6, 28.6, 49.3, 29.95)],      # Kuwait Bay / NW gulf
+    "LB": [(34.8, 33.1, 35.7, 34.65)],      # Levantine basin middle
+    "MT": [(13.8, 35.5, 14.9, 36.25)],      # Malta channel
+    "QA": [(50.75, 24.6, 52.6, 26.7)],      # peninsula shelf
+    "SD": [(36.8, 18.05, 38.8, 21.9)],      # Red Sea west, EG..ER gap
+    "SV": [(-90.3, 12.4, -87.6, 13.25)],    # Pacific shelf
+    "SY": [(35.3, 34.65, 35.95, 35.95)],    # Levantine basin north
     "US": [
         (-130.0, 31.0, -123.5, 49.0),   # Pacific
         (-97.8, 25.0, -81.0, 30.5),     # Gulf of Mexico

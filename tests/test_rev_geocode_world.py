@@ -207,6 +207,23 @@ OFFSHORE_PROBES = [
     (176.0, -19.5, "FJ"),   # south of Viti Levu
     (-60.0, 10.2, "TT"),    # Atlantic east of Trinidad
     (-41.0, 61.0, "GL"),    # Irminger Sea SE of Greenland
+    # round-5 short-coastline bands (priority-carved out of neighbors)
+    (17.6, 42.8, "BA"),     # Neum corridor (carved out of HR's band)
+    (-77.9, 23.3, "BS"),    # Great Bahama bank (not CU's band)
+    (-87.5, 17.2, "BZ"),    # barrier reef (carved out of HN's band)
+    (11.5, -6.0, "CD"),     # Congo mouth (carved out of AO's band)
+    (43.5, 11.9, "DJ"),     # Bab-el-Mandeb approach (not SO/YE)
+    (-17.2, 13.3, "GM"),    # Gambia river approach
+    (34.3, 32.3, "IL"),     # Levantine basin (carved out of EG's band)
+    (34.97, 29.4, "JO"),    # Gulf of Aqaba head (not SA's band)
+    (129.5, 40.5, "KP"),    # East Sea north of the MDL (not JP's)
+    (48.8, 29.2, "KW"),     # NW Persian Gulf (not IR/IQ's bands)
+    (35.1, 33.9, "LB"),     # Levantine basin (carved out of TR's band)
+    (14.2, 36.1, "MT"),     # Malta channel
+    (51.8, 26.2, "QA"),     # peninsula shelf (not SA/AE/IR's bands)
+    (37.8, 20.0, "SD"),     # Red Sea west (carved out of SA's band)
+    (-89.0, 13.0, "SV"),    # Pacific shelf
+    (35.5, 35.3, "SY"),     # Levantine basin north (not TR's band)
 ]
 
 
