@@ -13,21 +13,19 @@ The driver grades the FIRST 50 registered entries each round, so
 registration order decides which entries get driver evidence. Rather
 than relying on module import order (which let three round-4 entries —
 keyset_deep_page, fulltext_skipping_scan, ann_batch_topk — land outside
-the window and go ungraded), the order is now EXPLICIT: `_GRADE_FRONT`
-below lists, by name, the entries that must occupy the first slots this
-round, and `_reorder()` rebuilds Q/ORACLE in that order after all
-modules register.
+the window and go ungraded), the front of the registration order is now
+COMPUTED: `_grade_front()` reads the latest CORRECTNESS_r*.json in the
+repo root and returns every entry with no green row there — which
+automatically includes every entry added since that artifact — and
+`_reorder()` rebuilds Q/ORACLE so those entries occupy the first slots.
 
-Rotation rule (enforced by tests/test_catalog_window.py): every entry
-with no green row in the PREVIOUS round's CORRECTNESS artifact — which
-automatically includes every entry added this round — must appear in
-`_GRADE_FRONT`, and `_GRADE_FRONT` must fit inside the 50-entry window.
-Round 5 therefore front-loads the three never-driver-graded round-4
-entries, the new round-5 entries (including the q_scale maintenance
-tier, which fills the window to exactly 50), and the 30 graded-entries
-last green in round 3; the round-4-graded entries trail (re-grading
-them is harmless — they were green, and every trailing entry keeps a
-green row within the last two rounds).
+Rotation rule (enforced by tests/test_catalog_window.py): the computed
+front must fit inside the 50-entry window. With the catalog at exactly
+100 entries this alternates the two halves round by round with no
+manual flip — each half is re-graded every other round and a red or
+errored row automatically re-enters the next round's window. 100 is the
+ceiling: adding an entry now requires retiring one (the window can only
+keep ≤ 2x50 entries fresh within two rounds).
 
 The two sketch entries whose hash families are not SQL-expressible
 (minhash_lsh_pairs, simhash_pairs) are registered graded=False: they
@@ -58,64 +56,44 @@ from idb_backend_spark.plans import (  # noqa: F401  (side-effect registration)
     q_textsim,
 )
 
-# Entries that must land inside the driver's 50-entry grading window this
-# round (round 5): never-driver-graded round-4 additions first, then new
-# round-5 entries, then the complement last graded in round 3.
-_GRADE_FRONT = [
-    # --- never driver-graded (added round 4 outside the window) ---
-    "keyset_deep_page",
-    "fulltext_skipping_scan",
-    "ann_batch_topk",
-    # --- new round-5 entries ---
-    "streaming_incremental_merge",
-    "sessionize",
-    "download_e2e",
-    "document_chunking",
-    "deterministic_split",
-    "benchmark_contamination",
-    "ingest_e2e",
-    "streaming_exact_dedup",
-    "sessionize_batch",
-    "deterministic_sample",
-    "repetition_quality",
-    "pii_redaction",
-    "store_compaction",
-    "token_index_update",
-    "ivf_incremental_ann",
-    "salted_skew_agg",
-    "training_corpus_e2e",
-    # --- last graded round 3; re-grade this round per the rotation ---
-    "shim_term_terms",
-    "shim_range_prefix",
-    "shim_exists_range",
-    "shim_geo_bounding_box",
-    "shim_geo_distance",
-    "versioned_merge",
-    "tombstone_deletes",
-    "media_sniff_buckets",
-    "media_derivatives",
-    "etl_enrichment_pipeline",
-    "raw_field_access",
-    "stats_rollup_nested",
-    "media_presence_flags",
-    "identifier_extraction",
-    "duplicate_clusters",
-    "dwca_roundtrip",
-    "delimited_roundtrip",
-    "eml_harvest",
-    "object_store_roundtrip",
-    "index_sink_roundtrip",
-    "exact_dedup",
-    "token_count_quality",
-    "doc_fingerprint",
-    "lang_id_heuristic",
-    "ngram_jaccard_pairs",
-    "ann_cosine_topk",
-    "embedding_near_dup",
-    "minhash_exact_verified",
-    "ivf_ann_topk",
-    "corpus_curation_pipeline",
-]
+# The grading front is COMPUTED, not hand-listed: every entry with no
+# green row in the latest CORRECTNESS artifact (which automatically
+# includes every entry added since that artifact was recorded) leads
+# registration, in module registration order. With the catalog at 100
+# entries and a 50-slot window, this alternates the two halves round by
+# round with no manual flip — and a red/errored row automatically
+# re-enters the next round's window.
+
+
+def _grade_front() -> list[str]:
+    import json
+    import os
+    import re as _re
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    arts = sorted(
+        f
+        for f in os.listdir(repo)
+        if _re.fullmatch(r"CORRECTNESS_r\d+\.json", f)
+    )
+    green: set[str] = set()
+    if arts:
+        try:
+            with open(os.path.join(repo, arts[-1])) as fh:
+                prev = json.load(fh)
+            green = {
+                n
+                for n, row in prev.items()
+                if isinstance(row, dict) and row.get("rows_match")
+            }
+        except (OSError, ValueError):
+            green = set()
+    return [n for n in Q if n not in green]
+
+
+_GRADE_FRONT = _grade_front()
 
 
 def _reorder() -> None:

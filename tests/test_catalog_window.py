@@ -66,3 +66,18 @@ def test_oracle_keys_subset_and_ungraded_disjoint():
     assert not (set(UNGRADED) & set(Q))
     # The two rows-only sketches stay runnable outside the graded set.
     assert {"minhash_lsh_pairs", "simhash_pairs"} <= set(UNGRADED)
+
+
+def test_front_is_the_artifact_complement():
+    """The computed front must be exactly the entries with no green row
+    in the latest artifact — the property that makes the rotation
+    self-maintaining (no hand-flipped list to go stale)."""
+    from idb_backend_spark.plans.catalog import Q, _GRADE_FRONT
+
+    prev = _latest_correctness()
+    green = {
+        name
+        for name, row in prev.items()
+        if isinstance(row, dict) and row.get("rows_match")
+    }
+    assert set(_GRADE_FRONT) == set(Q) - green

@@ -289,3 +289,26 @@ def test_eez_fallback_and_flip_flags():
     # without an EEZ layer the offshore point still fails cleanly
     _, _, country, flags = rev_geocode_py(g, -90.0, 28.0, None, None)
     assert country is None and flags == ["rev_geocode_failure"]
+
+
+# Countries in the land layer with no sea coast — the only ones allowed
+# to lack a marine EEZ band.
+LANDLOCKED = {
+    "AD", "AF", "AM", "AT", "AZ", "BF", "BI", "BO", "BT", "BW", "BY",
+    "CF", "CH", "CZ", "ET", "GE", "HU", "KG", "KZ", "LA", "LI", "LS",
+    "LU", "MD", "MK", "ML", "MN", "MW", "NE", "NP", "PY", "RS", "RW",
+    "SK", "SM", "SS", "SZ", "TD", "TJ", "TM", "UG", "UZ", "XK", "ZM",
+    "ZW",
+}
+
+
+def test_every_coastal_country_has_an_eez_band():
+    """The marine layer's completeness contract: every coastal country
+    in the land layer carries at least one EEZ band (short coastlines
+    included — they are priority-carved ahead of wider neighbors)."""
+    from idb_backend_spark.data.world_eez import WORLD_EEZ
+    from idb_backend_spark.data.world_regions import WORLD_REGIONS
+
+    coastal = set(WORLD_REGIONS) - LANDLOCKED
+    missing = sorted(coastal - set(WORLD_EEZ))
+    assert not missing, f"coastal countries without an EEZ band: {missing}"
