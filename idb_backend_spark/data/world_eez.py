@@ -49,6 +49,8 @@ WORLD_EEZ: dict[str, list[tuple[float, float, float, float]]] = {
     "SD": [(36.8, 18.05, 38.8, 21.9)],      # Red Sea west, EG..ER gap
     "SV": [(-90.3, 12.4, -87.6, 13.25)],    # Pacific shelf
     "SY": [(35.3, 34.65, 35.95, 35.95)],    # Levantine basin north
+    "FK": [(-62.0, -53.0, -57.0, -50.7)],   # Falklands shelf (inside
+                                            # AR's wider box — wins here)
     "US": [
         (-130.0, 31.0, -123.5, 49.0),   # Pacific
         (-97.8, 25.0, -81.0, 30.5),     # Gulf of Mexico
@@ -209,4 +211,14 @@ WORLD_EEZ: dict[str, list[tuple[float, float, float, float]]] = {
     "BN": [(113.8, 3.8, 115.5, 5.1)],
     "BD": [(90.0, 20.6, 92.3, 21.8)],
     "GL": [(-48.0, 59.5, -35.0, 65.0), (-75.0, 66.0, -55.0, 78.0)],
+    # --- round-5 NE-110m land additions' marine bands ---
+    "EH": [(-17.6, 20.8, -15.5, 27.6)],
+    "PR": [(-67.6, 17.4, -65.2, 18.8)],
+    "NC": [(163.0, -23.2, 167.5, -19.6)],
+    "VU": [(166.0, -18.2, 169.5, -14.5)],
+    "SB": [(158.5, -11.0, 162.5, -7.8)],
+    "TF": [(67.5, -50.5, 71.5, -48.0)],
+    # Southern Ocean catch-all — LAST on purpose: it must never shadow
+    # another band (nothing else claims waters south of -60)
+    "AQ": [(-180.0, -90.0, 180.0, -60.0)],
 }

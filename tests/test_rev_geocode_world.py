@@ -169,6 +169,22 @@ GOLDEN_CITIES = [
     # the carves must not break the host countries next to the notches
     (-15.5, 14.2, "SN"), (-15.0, 12.7, "SN"),       # north + Casamance
     (27.0, -31.5, "ZA"), (30.0, -29.8, "ZA"),       # EC interior, KZN
+    # round-5: the NE-110m members previously absent from the layer
+    (6.13, 49.61, "LU"), (6.1, 49.8, "LU"),         # Luxembourg City, north
+    (21.16, 42.66, "XK"), (20.7, 42.4, "XK"),       # Pristina, Prizren-ish
+    (20.9, 42.9, "XK"),                             # Mitrovica-ish
+    (-13.0, 27.0, "EH"), (-12.0, 26.0, "EH"),       # Laayoune-ish, interior
+    (-14.5, 24.0, "EH"), (-16.3, 21.3, "EH"),       # Río de Oro, south
+    (-66.3, 18.2, "PR"), (-66.05, 18.35, "PR"),     # interior, San Juan-ish
+    (-59.5, -51.7, "FK"), (-58.5, -51.6, "FK"),     # East/West Falkland
+    (165.5, -21.3, "NC"), (166.45, -22.2, "NC"),    # Grande Terre, Nouméa
+    (167.0, -15.3, "VU"), (168.35, -17.7, "VU"),    # Santo, Efate
+    (159.95, -9.43, "SB"), (161.0, -8.9, "SB"),     # Honiara, Malaita
+    (69.3, -49.3, "TF"),                            # Kerguelen
+    (0.0, -75.0, "AQ"), (45.0, -80.0, "AQ"),        # Antarctica slabs
+    (-60.0, -64.0, "AQ"), (140.0, -70.0, "AQ"),     # peninsula, E Antarctica
+    # the Kosovo carve must not break Serbia around it
+    (21.9, 42.55, "RS"), (21.5, 43.3, "RS"),        # Vranje, Niš-ish
 ]
 
 #: (lon, lat, iso) — open-water points: land misses, EEZ resolves
@@ -224,6 +240,15 @@ OFFSHORE_PROBES = [
     (37.8, 20.0, "SD"),     # Red Sea west (carved out of SA's band)
     (-89.0, 13.0, "SV"),    # Pacific shelf
     (35.5, 35.3, "SY"),     # Levantine basin north (not TR's band)
+    # round-5 NE-110m land additions' marine bands
+    (-17.0, 24.5, "EH"),    # Atlantic off Western Sahara
+    (-66.5, 18.7, "PR"),    # north of Puerto Rico
+    (-60.5, -50.9, "FK"),   # Falklands shelf (carved out of AR's band)
+    (165.0, -22.3, "NC"),   # Coral Sea off Grande Terre
+    (167.8, -16.5, "VU"),   # between Santo and Efate
+    (159.0, -8.5, "SB"),    # New Georgia Sound
+    (70.8, -49.0, "TF"),    # east of Kerguelen
+    (-150.0, -63.0, "AQ"),  # Southern Ocean catch-all
 ]
 
 
