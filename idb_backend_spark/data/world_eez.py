@@ -40,7 +40,9 @@ WORLD_EEZ: dict[str, list[tuple[float, float, float, float]]] = {
     "JO": [(34.93, 29.25, 35.05, 29.50)],   # Gulf of Aqaba head (east)
     "KP": [
         (127.7, 38.65, 131.0, 42.2),        # East Sea, north of the MDL
-        (123.9, 37.8, 125.3, 39.7),         # West Sea, north of the NLL
+        (123.9, 38.05, 125.3, 39.7),        # West Sea, north of the NLL
+                                            # (floor clears the ROK-held
+                                            # Northwest Islands at ~37.97)
     ],
     "KW": [(47.6, 28.6, 49.3, 29.95)],      # Kuwait Bay / NW gulf
     "LB": [(34.8, 33.1, 35.7, 34.65)],      # Levantine basin middle

@@ -21,7 +21,14 @@ from pyspark.sql import functions as F
 def with_salt(df: DataFrame, n_salts: int = 16, out: str = "__salt") -> DataFrame:
     """Deterministic per-row salt (hash of all columns, not rand(), so
     retried tasks produce identical output — required for exactly-once
-    sinks)."""
+    sinks).
+
+    The frame must carry at least one row-distinguishing column BESIDES
+    the aggregation key: the salt is a pure function of the row's
+    columns, so a frame projected down to the hot key alone hashes to
+    ONE salt per key and the spread silently degenerates to a plain
+    groupBy. Keep the row id (or any high-cardinality column) in the
+    projection until after salting."""
     return df.withColumn(
         out, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     )

@@ -22,10 +22,12 @@ automatically includes every entry added since that artifact — and
 Rotation rule (enforced by tests/test_catalog_window.py): the computed
 front must fit inside the 50-entry window. With the catalog at exactly
 100 entries this alternates the two halves round by round with no
-manual flip — each half is re-graded every other round and a red or
-errored row automatically re-enters the next round's window. 100 is the
-ceiling: adding an entry now requires retiring one (the window can only
-keep ≤ 2x50 entries fresh within two rounds).
+manual flip — each half is re-graded every other round. A red or
+errored row stays in the computed front; at the 100-entry ceiling that
+overflows the window and fails the rotation tests until an entry is
+retired — deliberate: a failing entry can never silently rotate out of
+grading. Adding an entry likewise requires retiring one (the window
+keeps at most 2x50 entries fresh within two rounds).
 
 The two sketch entries whose hash families are not SQL-expressible
 (minhash_lsh_pairs, simhash_pairs) are registered graded=False: they
@@ -57,12 +59,18 @@ from idb_backend_spark.plans import (  # noqa: F401  (side-effect registration)
 )
 
 # The grading front is COMPUTED, not hand-listed: every entry with no
-# green row in the latest CORRECTNESS artifact (which automatically
-# includes every entry added since that artifact was recorded) leads
-# registration, in module registration order. With the catalog at 100
-# entries and a 50-slot window, this alternates the two halves round by
-# round with no manual flip — and a red/errored row automatically
-# re-enters the next round's window.
+# FULLY green row (rows + schema + value hash — a rows-only match is a
+# value-level failure, see collection_counts_pivot in CORRECTNESS_r01)
+# in the latest CORRECTNESS artifact leads registration, in module
+# registration order; that automatically includes every entry added
+# since the artifact was recorded. With the catalog at 100 entries and
+# a 50-slot window, this alternates the two halves round by round with
+# no manual flip. A red/errored row stays in the computed front, which
+# then holds 51 names — tests/test_catalog_window.py fails the build
+# until an entry is retired to make room, so a red row can never be
+# silently rotated out of grading (the window cannot keep more than
+# 2x50 entries fresh within two rounds; the test is the alarm, not a
+# formality).
 
 
 def _grade_front() -> list[str]:
@@ -73,11 +81,14 @@ def _grade_front() -> list[str]:
     repo = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    arts = sorted(
+    arts = [
         f
         for f in os.listdir(repo)
         if _re.fullmatch(r"CORRECTNESS_r\d+\.json", f)
-    )
+    ]
+    # numeric round order — lexicographic sort misreads r100 < r99 and
+    # unpadded names like r5 vs r04
+    arts.sort(key=lambda f: int(_re.search(r"r(\d+)", f).group(1)))
     green: set[str] = set()
     if arts:
         try:
@@ -86,7 +97,10 @@ def _grade_front() -> list[str]:
             green = {
                 n
                 for n, row in prev.items()
-                if isinstance(row, dict) and row.get("rows_match")
+                if isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
             }
         except (OSError, ValueError):
             green = set()

@@ -13,7 +13,7 @@ composed training-corpus pipeline.
 * ``ivf_incremental_ann`` — T20: FAISS-style ``add`` after ``train`` —
   codebook trained on the base half only, the other half ingested
   through ``ivf_add_vectors`` against the frozen codebook, and a query
-  vector FROM THE ADDED BATCH recovered via the partition-pruned store
+  vector FROM THE ADDED BATCH recovered via the bucket-partitioned store
   probe, graded against the exact brute-force top-k over the union.
 * ``salted_skew_agg`` — §4 skew mitigation graded: the two-level salted
   aggregation over a 3-hot-key column (the pathological shape) must
@@ -38,6 +38,7 @@ import uuid as _uuid
 from pyspark.sql import functions as F
 
 from idb_backend_spark.plans.registry import _t, query
+from idb_backend_spark.plans.synth import cosine_sql
 
 
 # --- T16: bucketed-store compaction -----------------------------------
@@ -74,9 +75,16 @@ def store_compaction(spark, sf_dir):
     num_buckets = 8
     table = f"store_compaction_{_uuid.uuid4().hex[:8]}"
 
-    def _cleanup(tbl: str = table) -> None:
+    # resolve the warehouse dir NOW (conf value, absolute) — a relative
+    # literal would break if the process cwd moves before interpreter exit
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", os.path.abspath("spark-warehouse")
+    )
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+
+    def _cleanup(tbl: str = table, wh: str = wh) -> None:
         # in-memory catalog dies with the session; reclaim warehouse files
-        wh = "spark-warehouse"
         for t in (tbl, f"{tbl}__compact"):
             shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
 
@@ -173,15 +181,7 @@ def token_index_update(spark, sf_dir):
 
 # --- T20: incremental IVF ingestion -----------------------------------
 
-_IVF_COS = (
-    "list_dot_product("
-    " list_transform(e.embedding, x -> CAST(x AS DOUBLE)),"
-    " list_transform(q.qv, x -> CAST(x AS DOUBLE)))"
-    " / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),"
-    "         list_transform(e.embedding, x -> CAST(x AS DOUBLE))))"
-    "  * sqrt(list_dot_product(list_transform(q.qv, x -> CAST(x AS DOUBLE)),"
-    "         list_transform(q.qv, x -> CAST(x AS DOUBLE)))))"
-)
+_IVF_COS = cosine_sql("e.embedding", "q.qv")
 _IVF_INC_ORACLE = (
     # exact brute-force top-10 over the FULL corpus; the query vector
     # (vec_id = 1) lives in the incrementally ADDED batch, so a recall
@@ -200,7 +200,7 @@ def ivf_incremental_ann(spark, sf_dir):
     and FROZEN; the odd-id half arrives later through ``ivf_add_vectors``
     (assign to nearest frozen centroid, append to the bucket partition —
     ingest cost O(batch)). The probe then answers a query FROM THE ADDED
-    BATCH off the partition-pruned store, graded against the exact
+    BATCH off the bucket-partitioned store, graded against the exact
     brute-force top-10 over the union — a miss on either half fails.
     """
     from idb_backend_spark.operators import ann
@@ -219,13 +219,17 @@ def ivf_incremental_ann(spark, sf_dir):
     ann.ivf_add_vectors(added, centroids, path)
 
     qvec = emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]
-    # nprobe 7/8: the synthetic corpus is uniformly spread (no cluster
-    # structure — IVF's worst case) AND the codebook only saw the base
-    # half, so exact top-10 recall across BOTH halves at every test scale
-    # needs two more probes than ivf_ann_topk's full-data codebook;
-    # clustered real corpora probe far fewer buckets for the same recall
+    # nprobe = nlist, deliberately: THIS entry's graded claim is the
+    # incremental-add path (frozen-codebook assignment, partition append,
+    # union probe across both halves), so the probe must be exact at any
+    # scale. Probe-PRUNING recall at nprobe < nlist is ivf_ann_topk's
+    # separately graded claim; on this uniformly-spread synthetic corpus
+    # (IVF's worst case) the true top-10 spans 7-8 of the 8 buckets at
+    # the shipped scales — measured, not assumed — so pruned exact top-10
+    # is not an honest promise here, and pretending otherwise would make
+    # the row scale-fragile.
     return ann.ivf_topk_from_store(
-        spark, path, centroids, qvec, k=10, nprobe=7
+        spark, path, centroids, qvec, k=10, nprobe=8
     )
 
 
@@ -245,14 +249,20 @@ def salted_skew_agg(spark, sf_dir):
     The two-level plan spreads each key over 16 salt lanes then
     re-aggregates 16 partials per key; the oracle's plain GROUP BY
     asserts the salting is invisible in the result (operators/skew.py).
+
+    The frame KEEPS the row-distinct order key alongside the hot column:
+    ``with_salt`` hashes every column, so a frame projected down to the
+    group key alone gets one salt value per key and spreads nothing
+    (tests/test_rss_skew_pruning.py pins the per-key lane fan-out).
     """
     from idb_backend_spark.operators.skew import salted_count
 
     orders = _t(spark, sf_dir, "orders").select(
-        F.col("o_orderstatus").alias("status")
+        F.col("o_orderstatus").alias("status"), "o_orderkey"
     )
-    return salted_count(orders, ["status"], n_salts=16, out="n").orderBy(
-        "status"
+    return (
+        salted_count(orders, ["status"], n_salts=16, out="n")
+        .orderBy("status")
     )
 
 

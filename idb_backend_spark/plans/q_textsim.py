@@ -15,6 +15,7 @@ from idb_backend_spark.operators import (  # noqa: F401
 )
 from idb_backend_spark.functions import grabbers, text  # noqa: F401
 from idb_backend_spark.plans.registry import _t, query
+from idb_backend_spark.plans.synth import cosine_sql
 from idb_backend_spark.query.shim import compile_shim, shim_to_sql  # noqa: F401
 
 
@@ -119,13 +120,7 @@ def ngram_jaccard_pairs_q(spark, sf_dir):
 @query(
     "ann_cosine_topk",
     "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
-    "SELECT vec_id, round(list_dot_product("
-    "   list_transform(e.embedding, x -> CAST(x AS DOUBLE)),"
-    "   list_transform(q.qv, x -> CAST(x AS DOUBLE)))"
-    " / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),"
-    "         list_transform(e.embedding, x -> CAST(x AS DOUBLE))))"
-    "  * sqrt(list_dot_product(list_transform(q.qv, x -> CAST(x AS DOUBLE)),"
-    "         list_transform(q.qv, x -> CAST(x AS DOUBLE))))), 4) AS cosine "
+    "SELECT vec_id, round(" + cosine_sql("e.embedding", "q.qv") + ", 4) AS cosine "
     "FROM embeddings e, q ORDER BY cosine DESC, vec_id LIMIT 10",
 )
 def ann_cosine_topk(spark, sf_dir):
@@ -173,15 +168,7 @@ def simhash_pairs_q(spark, sf_dir):
     )
 
 
-_COS_AB = (
-    "list_dot_product("
-    " list_transform(a.embedding, x -> CAST(x AS DOUBLE)),"
-    " list_transform(b.embedding, x -> CAST(x AS DOUBLE)))"
-    " / (sqrt(list_dot_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),"
-    "         list_transform(a.embedding, x -> CAST(x AS DOUBLE))))"
-    "  * sqrt(list_dot_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),"
-    "         list_transform(b.embedding, x -> CAST(x AS DOUBLE)))))"
-)
+_COS_AB = cosine_sql("a.embedding", "b.embedding")
 
 
 @query(
@@ -246,13 +233,7 @@ def minhash_exact_verified_q(spark, sf_dir):
     # contain the true top-10 or the hash mismatches — the driver gate
     # doubles as an IVF recall regression test at these (nlist, nprobe)
     "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
-    "SELECT vec_id, round(list_dot_product("
-    "   list_transform(e.embedding, x -> CAST(x AS DOUBLE)),"
-    "   list_transform(q.qv, x -> CAST(x AS DOUBLE)))"
-    " / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),"
-    "         list_transform(e.embedding, x -> CAST(x AS DOUBLE))))"
-    "  * sqrt(list_dot_product(list_transform(q.qv, x -> CAST(x AS DOUBLE)),"
-    "         list_transform(q.qv, x -> CAST(x AS DOUBLE))))), 6) AS cosine "
+    "SELECT vec_id, round(" + cosine_sql("e.embedding", "q.qv") + ", 6) AS cosine "
     "FROM embeddings e, q ORDER BY cosine DESC, vec_id LIMIT 10",
 )
 def ivf_ann_topk_q(spark, sf_dir):
@@ -404,15 +385,7 @@ def fulltext_skipping_scan(spark, sf_dir):
     return out.select("doc_id").orderBy("doc_id")
 
 
-_BCOS = (
-    "list_dot_product("
-    " list_transform(e.embedding, x -> CAST(x AS DOUBLE)),"
-    " list_transform(q.qv, x -> CAST(x AS DOUBLE)))"
-    " / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),"
-    "         list_transform(e.embedding, x -> CAST(x AS DOUBLE))))"
-    "  * sqrt(list_dot_product(list_transform(q.qv, x -> CAST(x AS DOUBLE)),"
-    "         list_transform(q.qv, x -> CAST(x AS DOUBLE)))))"
-)
+_BCOS = cosine_sql("e.embedding", "q.qv")
 
 
 @query(

@@ -78,3 +78,18 @@ def molodensky_flag_sql() -> str:
         f"WHEN datum NOT IN ({identity_list}) AND datum NOT IN ({shift_list}) "
         "THEN 'geopoint_datum_error' END"
     )
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """DuckDB cosine similarity between two float-list expressions, both
+    cast element-wise to DOUBLE (list_dot_product on FLOAT accumulates in
+    single precision and diverges from Spark's double-side arithmetic).
+    The single shared builder for every ANN/near-dup oracle — the
+    rounding/casting semantics live in exactly one place."""
+    ca = f"list_transform({a}, x -> CAST(x AS DOUBLE))"
+    cb = f"list_transform({b}, x -> CAST(x AS DOUBLE))"
+    return (
+        f"list_dot_product({ca}, {cb})"
+        f" / (sqrt(list_dot_product({ca}, {ca}))"
+        f" * sqrt(list_dot_product({cb}, {cb})))"
+    )

@@ -14,31 +14,42 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
 
 
 def _latest_correctness() -> dict:
-    arts = sorted(
+    arts = [
         f
         for f in os.listdir(REPO)
-        if f.startswith("CORRECTNESS_r") and f.endswith(".json")
-    )
+        if re.fullmatch(r"CORRECTNESS_r\d+\.json", f)
+    ]
+    # numeric round order (lexicographic misreads r100 < r99 / unpadded r5)
+    arts.sort(key=lambda f: int(re.search(r"r(\d+)", f).group(1)))
     assert arts, "no CORRECTNESS artifact in repo root"
     with open(os.path.join(REPO, arts[-1])) as fh:
         return json.load(fh)
+
+
+def _green(row) -> bool:
+    # fully green only: a rows-only match with a failed value hash is a
+    # real failure (precedent: collection_counts_pivot in r1) and must
+    # re-enter the grading window
+    return (
+        isinstance(row, dict)
+        and bool(row.get("rows_match"))
+        and bool(row.get("schema_match"))
+        and bool(row.get("hash_match"))
+    )
 
 
 def test_ungraded_entries_lead_registration():
     from idb_backend_spark.plans.catalog import Q
 
     prev = _latest_correctness()
-    graded_green = {
-        name
-        for name, row in prev.items()
-        if isinstance(row, dict) and row.get("rows_match")
-    }
+    graded_green = {name for name, row in prev.items() if _green(row)}
     names = list(Q)
     window = set(names[:WINDOW])
     missing = [
@@ -75,9 +86,5 @@ def test_front_is_the_artifact_complement():
     from idb_backend_spark.plans.catalog import Q, _GRADE_FRONT
 
     prev = _latest_correctness()
-    green = {
-        name
-        for name, row in prev.items()
-        if isinstance(row, dict) and row.get("rows_match")
-    }
+    green = {name for name, row in prev.items() if _green(row)}
     assert set(_GRADE_FRONT) == set(Q) - green

@@ -129,3 +129,30 @@ def test_store_partition_pruning(spark, tmp_path):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(type" in plan
     assert scan.count() == 1
+
+
+def test_with_salt_spreads_only_with_row_distinct_columns(spark):
+    """The salt is a pure function of the row's columns. With a
+    row-distinct column present, a hot key's rows fan out across lanes;
+    projected down to the key alone, every row of a key hashes to ONE
+    salt and the spread silently degenerates — the trap with_salt's
+    docstring warns about (and salted_skew_agg avoids by keeping the
+    order key in the frame)."""
+    base = spark.range(0, 2000).select(
+        F.lit("hot").alias("key"), F.col("id")
+    )
+    fanout = (
+        skew.with_salt(base, n_salts=16)
+        .groupBy("key")
+        .agg(F.countDistinct("__salt").alias("lanes"))
+        .first()["lanes"]
+    )
+    assert fanout == 16
+
+    degenerate = (
+        skew.with_salt(base.select("key"), n_salts=16)
+        .groupBy("key")
+        .agg(F.countDistinct("__salt").alias("lanes"))
+        .first()["lanes"]
+    )
+    assert degenerate == 1
