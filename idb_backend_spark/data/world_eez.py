@@ -15,10 +15,10 @@ overlaps small.
 Like the EEZ_land source, a country's band may also cover its own land —
 redundant but harmless under land-first lookup order.
 
-Every coastal country in the land layer has a band: short-coastline
-countries whose waters sit inside a neighbor's generous box (BA, BS, BZ,
-CD, DJ, GM, IL, JO, KP, KW, LB, MT, QA, SD, SV, SY) are listed FIRST so
-their tight bands take insertion-order priority.
+Every coastal country in the land layer has a band: countries whose
+waters sit inside a neighbor's generous box (BA, BS, BZ, CD, DJ, FK,
+GM, IL, JO, KP, KW, LB, MT, QA, SD, SV, SY) are listed FIRST so their
+tight bands take insertion-order priority.
 """
 
 from __future__ import annotations
@@ -181,8 +181,8 @@ WORLD_EEZ: dict[str, list[tuple[float, float, float, float]]] = {
     "SR": [(-56.8, 6.0, -53.8, 8.5)],
     "GT": [(-93.0, 13.0, -90.5, 14.3)],
     # ---- round-5 batch: new coastal countries + Baltic/Black/Adriatic
-    # gaps. DJ has no band: YE's Gulf-of-Aden box precedes it and the
-    # Gulf of Tadjoura falls inside DJ's land ring.
+    # gaps. (DJ was band-less in the first pass; it now has a tight
+    # strait band in the priority-first block at the top of the dict.)
     "MR": [(-19.5, 16.3, -16.5, 21.2)],
     "GW": [(-18.0, 10.6, -16.3, 12.1)],
     "GN": [(-16.5, 8.8, -13.6, 10.4)],
@@ -200,9 +200,9 @@ WORLD_EEZ: dict[str, list[tuple[float, float, float, float]]] = {
     "BE": [(2.2, 51.05, 3.25, 51.5)],
     "HR": [(15.2, 42.6, 18.1, 44.6), (13.9, 44.6, 15.6, 45.3)],
     "SI": [(13.55, 45.43, 13.85, 45.62)],
-    # round-5 island/coast bands. Deliberately band-less: KP (KR/JP/CN
-    # bands reach its shores first), BS (US/CU bands cover the banks),
-    # CY's band is the carve-out from TR's box above.
+    # round-5 island/coast bands. KP and BS, band-less in the first
+    # pass, now carry tight bands in the priority-first block at the
+    # top; CY's band is the carve-out from TR's box above.
     "TW": [(119.8, 21.5, 123.5, 25.9)],
     "CY": [(31.8, 34.2, 35.2, 35.85)],
     "IS": [(-28.0, 62.5, -11.5, 67.5)],

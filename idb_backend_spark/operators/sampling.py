@@ -31,7 +31,11 @@ def split_assignment(
     the whole assignment is ONE native expression (and the same
     comparison is expressible verbatim in any SQL engine for audit).
     ``weights`` are the first ``len(labels)-1`` fractions; the remainder
-    is the final label. Granularity is 1/256 — cut points round to it.
+    is the final label. Granularity is 1/256 — cut points round to it,
+    and a cut that rounds past either end of the byte range becomes an
+    always/never branch instead of a malformed 3-char hex literal (the
+    2-char md5 prefix compares lexicographically, so '100' would match
+    almost nothing — measured 7% instead of 99.9% before this guard).
     """
     if len(weights) != len(labels) - 1:
         raise ValueError("need exactly one weight per non-final label")
@@ -43,8 +47,13 @@ def split_assignment(
     acc = 0.0
     for w, label in zip(weights, labels[:-1]):
         acc += w
-        cut = f"{int(round(256 * acc)):02x}"
-        branch = h < F.lit(cut)
+        cut_int = int(round(256 * acc))
+        if cut_int >= 256:
+            branch = F.lit(True)  # cumulative weight ~1: label everything
+        elif cut_int <= 0:
+            branch = F.lit(False)  # below 1/512: this label gets no rows
+        else:
+            branch = h < F.lit(f"{cut_int:02x}")
         expr = (
             F.when(branch, label)
             if expr is None
@@ -77,6 +86,19 @@ def deterministic_sample(
     """
     if not 0.0 < fraction < 1.0:
         raise ValueError(f"fraction must be in (0, 1), got {fraction}")
-    cut = f"{int(round(256 * fraction)):02x}"
+    cut_int = int(round(256 * fraction))
+    if cut_int <= 0:
+        # below the 1/512 rounding floor the filter would silently keep
+        # NOTHING — refuse loudly instead
+        raise ValueError(
+            f"fraction {fraction} is below the 1/256 md5-prefix "
+            "granularity (rounds to an empty sample)"
+        )
     k = F.col(key_col)
-    return df.filter(F.substring(F.md5(k.cast("string")), 1, 2) < cut)
+    if cut_int >= 256:
+        # fraction ~1 rounds to the whole byte range: keep every row
+        # (a 3-char '100' literal would lexicographically keep ~6%)
+        return df
+    return df.filter(
+        F.substring(F.md5(k.cast("string")), 1, 2) < f"{cut_int:02x}"
+    )

@@ -95,6 +95,7 @@ def compact_history(
     if len(files) <= max_files_per_bucket * num_buckets:
         return False
     staging = f"{table}__compact"
+    backup = f"{table}__old"
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
     # Re-read the raw files (NOT spark.table): the bucket-aware scan
     # advertises its hash partitioning, which lets the optimizer drop the
@@ -107,8 +108,18 @@ def compact_history(
     write_bucketed_history(
         raw.repartition(num_buckets, "uuid"), staging, num_buckets
     )
-    spark.sql(f"DROP TABLE {table}")
+    # Swap via a backup rename, NEVER a drop-then-rename: dropping the
+    # managed table first deletes its files, so a crash before the
+    # rename would lose the only copy (the next run's DROP IF EXISTS
+    # staging would erase the survivor). With the backup sequence every
+    # point of failure leaves at least one complete copy on disk — a
+    # crash between the renames leaves the data under BOTH {table}__old
+    # and {table}__compact, and the original files are deleted only
+    # after the compacted table is live under the real name.
+    spark.sql(f"DROP TABLE IF EXISTS {backup}")
+    spark.sql(f"ALTER TABLE {table} RENAME TO {backup}")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    spark.sql(f"DROP TABLE {backup}")
     return True
 
 

@@ -16,15 +16,12 @@ meta.xml terms, blank→null read-back — breaks the value hash.
 
 from __future__ import annotations
 
-import atexit
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import functions as F
 
 from idb_backend_spark.operators import relations
-from idb_backend_spark.plans.registry import _t, query
+from idb_backend_spark.plans.registry import _t, query, staging_dir
 from idb_backend_spark.query.shim import compile_shim, shim_to_sql
 
 # the download request: an iDigBio-style shim per side (rq/mq in the
@@ -94,9 +91,8 @@ def download_e2e(spark, sf_dir):
         link=("id", "coreid"),
     )
 
-    work = tempfile.mkdtemp(prefix="download_e2e_")
     # the returned frame lazily reads the extracted members under `work`
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    work = staging_dir("download_e2e_")
     zip_path = os.path.join(work, "download.zip")
     core = r_out.select(
         "id",
@@ -197,8 +193,7 @@ def ingest_e2e(spark, sf_dir):
         .otherwise(F.col("s_name"))
         .alias("dwc:recordedBy"),
     )
-    work = tempfile.mkdtemp(prefix="ingest_e2e_")
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    work = staging_dir("ingest_e2e_")
     zip_path = os.path.join(work, "harvest.zip")
     write_dwca(zip_path, (feed, "id", ["dwc:recordedBy"], "records"))
 

@@ -32,12 +32,12 @@ from __future__ import annotations
 import atexit
 import os
 import shutil
-import tempfile
 import uuid as _uuid
 
 from pyspark.sql import functions as F
 
-from idb_backend_spark.plans.registry import _t, query
+from idb_backend_spark.plans.registry import _t, query, staging_dir
+from idb_backend_spark.plans import synth
 from idb_backend_spark.plans.synth import cosine_sql
 
 
@@ -85,7 +85,7 @@ def store_compaction(spark, sf_dir):
 
     def _cleanup(tbl: str = table, wh: str = wh) -> None:
         # in-memory catalog dies with the session; reclaim warehouse files
-        for t in (tbl, f"{tbl}__compact"):
+        for t in (tbl, f"{tbl}__compact", f"{tbl}__old"):
             shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
 
     atexit.register(_cleanup)
@@ -159,8 +159,7 @@ def token_index_update(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.lower(F.col("text")).alias("fulltext")
     )
-    work = tempfile.mkdtemp(prefix="ft_update_")
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    work = staging_dir("ft_update_")
     table = os.path.join(work, "docs")
     idx = os.path.join(work, "idx")
 
@@ -209,8 +208,7 @@ def ivf_incremental_ann(spark, sf_dir):
     base = emb.filter(F.col("vec_id") % 2 == 0)
     added = emb.filter(F.col("vec_id") % 2 != 0)
 
-    work = tempfile.mkdtemp(prefix="ivf_inc_")
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    work = staging_dir("ivf_inc_")
     path = os.path.join(work, "store")
 
     # two Lloyd rounds refine the HALF-data codebook before it freezes
@@ -268,10 +266,10 @@ def salted_skew_agg(spark, sf_dir):
 
 # --- composed training-corpus pipeline --------------------------------
 
-_E2E_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-_E2E_TOKS = f"string_split_regex({_E2E_NORM}, ' ')"
-_E2E_CHUNK, _E2E_OVERLAP = 32, 8
-_E2E_STRIDE = _E2E_CHUNK - _E2E_OVERLAP
+# shared with document_chunking's oracle — see plans.synth
+_E2E_TOKS = synth.TOKS_SQL
+_E2E_CHUNK, _E2E_OVERLAP = synth.CHUNK, synth.OVERLAP
+_E2E_STRIDE = synth.STRIDE
 
 _E2E_ORACLE = (
     "WITH t AS (SELECT doc_id, " + _E2E_TOKS + " AS toks FROM documents), "

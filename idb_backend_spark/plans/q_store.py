@@ -19,16 +19,11 @@ from idb_backend_spark.plans.registry import _t, query
 
 
 def _tmpdir(prefix: str) -> str:
-    """mkdtemp whose reclamation is deferred to interpreter exit: the
-    returned DataFrames of the roundtrip entries read these files
-    lazily, so in-function deletion would race the caller's collect."""
-    import atexit
-    import shutil
-    import tempfile
+    """Alias of plans.registry.staging_dir (kept for existing call
+    sites): exit-deferred mkdtemp for lazily-read staging files."""
+    from idb_backend_spark.plans.registry import staging_dir
 
-    d = tempfile.mkdtemp(prefix=prefix)
-    atexit.register(shutil.rmtree, d, ignore_errors=True)
-    return d
+    return staging_dir(prefix)
 from idb_backend_spark.query.shim import compile_shim, shim_to_sql  # noqa: F401
 
 

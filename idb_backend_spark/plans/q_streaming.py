@@ -23,7 +23,6 @@ tempdirs reclaimed once the memory sink / store read has what it needs.
 
 from __future__ import annotations
 
-import atexit
 import os
 import shutil
 import tempfile
@@ -32,7 +31,7 @@ import uuid as _uuid
 from pyspark.sql import functions as F
 
 from idb_backend_spark.functions.etags import TOMBSTONE_ETAG
-from idb_backend_spark.plans.registry import _t, query
+from idb_backend_spark.plans.registry import _t, query, staging_dir
 
 
 _MERGE_ORACLE = (
@@ -107,10 +106,9 @@ def streaming_incremental_merge(spark, sf_dir):
     )
     feed = newer.unionByName(stale)
 
-    work = tempfile.mkdtemp(prefix="inc_merge_")
     # the returned frame lazily reads the merged store under `work` —
-    # reclaim at interpreter exit, after the driver has consumed it
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    # reclaimed at interpreter exit, after the driver has consumed it
+    work = staging_dir("inc_merge_")
     store_path = os.path.join(work, "store")
     landing = os.path.join(work, "landing")
     ckpt = os.path.join(work, "ckpt")

@@ -14,7 +14,8 @@ from idb_backend_spark.operators import (  # noqa: F401
     versioning,
 )
 from idb_backend_spark.functions import grabbers, text  # noqa: F401
-from idb_backend_spark.plans.registry import _t, query
+from idb_backend_spark.plans.registry import _t, query, staging_dir
+from idb_backend_spark.plans import synth
 from idb_backend_spark.plans.synth import cosine_sql
 from idb_backend_spark.query.shim import compile_shim, shim_to_sql  # noqa: F401
 
@@ -359,10 +360,7 @@ def fulltext_skipping_scan(spark, sf_dir):
     whole-token residual on top. The oracle computes the same predicate
     over the full corpus — a hash mismatch means the pruning dropped a
     true match (the contract: no false negatives, ever)."""
-    import atexit
     import os
-    import shutil
-    import tempfile
 
     from idb_backend_spark.plans.skipping import (
         build_token_index,
@@ -372,11 +370,7 @@ def fulltext_skipping_scan(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.lower(F.col("text")).alias("fulltext")
     )
-    work = tempfile.mkdtemp(prefix="ft_skip_")
-    # the returned frame lazily reads files under `work`, so the staging
-    # dir must outlive this function — reclaim it at interpreter exit
-    # instead of leaking a corpus copy + index per grading run
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    work = staging_dir("ft_skip_")
     table = os.path.join(work, "docs")
     idx = os.path.join(work, "idx")
     # multi-file layout so pruning has real file boundaries to skip
@@ -421,13 +415,13 @@ def ann_batch_topk_q(spark, sf_dir):
 # decontamination
 # --------------------------------------------------------------------------
 
-_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-_TOKS_SQL = f"string_split_regex({_NORM_SQL}, ' ')"
+_NORM_SQL = synth.NORM_SQL
+_TOKS_SQL = synth.TOKS_SQL
 
 #: chunk window parameters for the graded entry (docs average ~54 tokens
 #: at sf0.01, so most yield 2-3 overlapping chunks)
-_CHUNK, _OVERLAP = 32, 8
-_STRIDE = _CHUNK - _OVERLAP
+_CHUNK, _OVERLAP = synth.CHUNK, synth.OVERLAP
+_STRIDE = synth.STRIDE
 
 
 @query(

@@ -70,3 +70,21 @@ def query(name: str, oracle: str | None = None, graded: bool = True):
         return fn
     return deco
 
+
+
+def staging_dir(prefix: str) -> str:
+    """mkdtemp whose reclamation is deferred to interpreter exit.
+
+    For catalog entries whose returned DataFrame lazily reads files
+    staged under the directory (roundtrip archives, landed streams,
+    written stores): in-function deletion would race the caller's
+    collect, so the tree is removed when the process exits instead.
+    Entries whose results land in a memory sink delete their staging
+    eagerly and should NOT use this."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d

@@ -51,18 +51,18 @@ from idb_backend_spark.functions.text import analyzer_tokenize, analyzer_tokens
 N_BUCKETS = 1 << 20
 
 
-def build_token_index(
-    df: DataFrame, text_cols: list[str], out_path: str
-) -> None:
-    """One distributed pass: (file, sorted distinct token buckets).
-
-    ``df`` must be a direct file-source frame (input_file_name() resolves).
-    """
+def _file_buckets(df: DataFrame, text_cols: list[str]) -> DataFrame:
+    """(file, sorted distinct token buckets) — one row per data FILE,
+    including files whose rows carry no tokens at all (empty array):
+    a token-less file must still get an index row, or incremental
+    maintenance re-classifies it as 'new' forever and — worse — pruning
+    would treat it as unindexed on every query."""
     toks = None
     for c in text_cols:
         t = F.explode_outer(analyzer_tokens(c)).alias("tok")
         part = df.select(F.input_file_name().alias("file"), t)
         toks = part if toks is None else toks.unionByName(part)
+    files = toks.select("file").distinct()
     buckets = (
         toks.filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
         .select(
@@ -73,7 +73,20 @@ def build_token_index(
         .groupBy("file")
         .agg(F.sort_array(F.collect_set("b")).alias("buckets"))
     )
-    buckets.write.mode("overwrite").parquet(out_path)
+    return files.join(buckets, "file", "left").select(
+        "file",
+        F.coalesce("buckets", F.array().cast("array<int>")).alias("buckets"),
+    )
+
+
+def build_token_index(
+    df: DataFrame, text_cols: list[str], out_path: str
+) -> None:
+    """One distributed pass: (file, sorted distinct token buckets).
+
+    ``df`` must be a direct file-source frame (input_file_name() resolves).
+    """
+    _file_buckets(df, text_cols).write.mode("overwrite").parquet(out_path)
 
 
 def update_token_index(
@@ -89,43 +102,25 @@ def update_token_index(
     steady state — each ingest batch adds files to the table directory,
     and maintenance cost is O(new files), not O(table). Returns the list
     of newly indexed files (empty = index already current). Appends are
-    atomic at file granularity: a crashed update leaves the index
-    missing some files (pruning then admits a superset — reads cost
-    more, results stay exact) — never carrying wrong rows.
+    atomic at file granularity, and ``prune_files`` admits any data file
+    MISSING from the index unconditionally — so a crash between the data
+    append and this update costs extra reads on the unindexed files,
+    never dropped rows. File discovery goes through the same parquet
+    source as the scan (``inputFiles()``), so partitioned/nested layouts
+    and URI forms stay consistent with what ``input_file_name()``
+    recorded at build time.
     """
-    import glob as _glob
-    import os as _os
-
     existing = {
         r["file"]
         for r in spark.read.parquet(index_path).select("file").collect()
     }
-
-    def _norm(p: str) -> str:
-        # input_file_name() records file:// URIs; normalize local paths
-        return p if "://" in p else "file://" + _os.path.abspath(p)
-
-    current = sorted(_glob.glob(_os.path.join(table_path, "*.parquet")))
-    new = [f for f in current if _norm(f) not in existing]
+    current = sorted(spark.read.parquet(table_path).inputFiles())
+    new = [f for f in current if f not in existing]
     if not new:
         return []
-    fresh = spark.read.parquet(*new)
-    toks = None
-    for c in text_cols:
-        t = F.explode_outer(analyzer_tokens(c)).alias("tok")
-        part = fresh.select(F.input_file_name().alias("file"), t)
-        toks = part if toks is None else toks.unionByName(part)
-    buckets = (
-        toks.filter(F.col("tok").isNotNull() & (F.col("tok") != ""))
-        .select(
-            "file",
-            F.pmod(F.xxhash64("tok"), F.lit(N_BUCKETS)).cast("int").alias("b"),
-        )
-        .distinct()
-        .groupBy("file")
-        .agg(F.sort_array(F.collect_set("b")).alias("buckets"))
-    )
-    buckets.write.mode("append").parquet(index_path)
+    _file_buckets(spark.read.parquet(*new), text_cols).write.mode(
+        "append"
+    ).parquet(index_path)
     return new
 
 
@@ -150,22 +145,39 @@ def _buckets_of(tokens: list[str], spark: SparkSession) -> list[int]:
 
 
 def prune_files(
-    spark: SparkSession, index_path: str, query_tokens: list[str]
+    spark: SparkSession,
+    index_path: str,
+    query_tokens: list[str],
+    all_files: list[str] | None = None,
 ) -> list[str]:
     """Files whose bucket set contains EVERY query token's bucket (P7 is a
     conjunction). Runs as one filter over the KB-scale index table, plus
-    exactly one single-row job to compute the token buckets JVM-side."""
+    exactly one single-row job to compute the token buckets JVM-side.
+
+    ``all_files``: the table's CURRENT file listing. Any file in it that
+    the index has no row for is admitted unconditionally — an unindexed
+    file (ingest appended data, crashed before the index update) must be
+    scanned, never pruned, or the miss becomes a silent false negative.
+    Omit it only when the caller guarantees the index is complete.
+    """
     idx = spark.read.parquet(index_path)
     # re-tokenize through the analyzer so a caller-supplied token like
     # 'florida,' probes the bucket the build side actually recorded
     toks = sorted({t for raw in query_tokens for t in analyzer_tokenize(raw)})
     if not toks:
-        return [r["file"] for r in idx.select("file").collect()]
-    pred = reduce(
-        and_,
-        [F.array_contains("buckets", b) for b in _buckets_of(toks, spark)],
-    )
-    return [r["file"] for r in idx.filter(pred).select("file").collect()]
+        files = [r["file"] for r in idx.select("file").collect()]
+    else:
+        pred = reduce(
+            and_,
+            [F.array_contains("buckets", b) for b in _buckets_of(toks, spark)],
+        )
+        files = [r["file"] for r in idx.filter(pred).select("file").collect()]
+    if all_files:
+        indexed = {
+            r["file"] for r in idx.select("file").collect()
+        }
+        files = files + [f for f in all_files if f not in indexed]
+    return files
 
 
 def token_match(query: str, fulltext_col: str = "fulltext") -> Column:
@@ -215,7 +227,10 @@ def fulltext_scan(
         return base.filter(compile_shim(shim, fulltext_col=fulltext_col))
     if mode != "token":
         raise ValueError(f"unknown fulltext_scan mode: {mode!r}")
-    files = prune_files(spark, index_path, analyzer_tokenize(query))
+    files = prune_files(
+        spark, index_path, analyzer_tokenize(query),
+        all_files=base.inputFiles(),
+    )
     if not files:
         return base.filter(F.lit(False))
     pruned = spark.read.parquet(*files)

@@ -93,3 +93,18 @@ def cosine_sql(a: str, b: str) -> str:
         f" / (sqrt(list_dot_product({ca}, {ca}))"
         f" * sqrt(list_dot_product({cb}, {cb})))"
     )
+
+
+#: DuckDB-side whitespace normalization / tokenization of the documents
+#: table's `text` column — the oracle mirror of functions.text.tokens().
+#: Shared by every oracle that tokenizes (chunking, contamination, the
+#: composed corpus pipelines) so the SQL replica cannot drift per module.
+NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+TOKS_SQL = f"string_split_regex({NORM_SQL}, ' ')"
+
+#: token-window chunking parameters — ONE definition for the Spark side
+#: (chunks_from_tokens args) and the oracle window arithmetic, so the
+#: composed training_corpus_e2e entry can never desynchronize from the
+#: component document_chunking entry.
+CHUNK, OVERLAP = 32, 8
+STRIDE = CHUNK - OVERLAP

@@ -305,3 +305,43 @@ def test_deterministic_split_distribution_and_stability(spark):
         for r in deterministic_split(df.repartition(7), "k").collect()
     }
     assert a == b
+
+
+def test_split_and_sample_edge_cutpoints(spark):
+    """Cut points that round past the byte range must become always/
+    never branches, not 3-char hex literals: '100' compares
+    lexicographically against a 2-char md5 prefix and matched only ~7%
+    of rows where ~99.9% was asked for (the bug this pins)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from idb_backend_spark.operators.sampling import (
+        deterministic_sample,
+        deterministic_split,
+    )
+
+    df = spark.range(0, 4096).select(F.col("id"))
+    # cumulative weight 0.999 rounds to 256 -> train gets everything
+    out = (
+        deterministic_split(df, "id", weights=(0.999,), labels=("train", "test"))
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    counts = {r["split"]: r["count"] for r in out}
+    assert counts.get("train", 0) == 4096, counts
+    # a weight below the 1/512 floor labels nothing (never-branch), and
+    # the remainder label absorbs those rows
+    out2 = (
+        deterministic_split(df, "id", weights=(0.0005,), labels=("tiny", "rest"))
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    counts2 = {r["split"]: r["count"] for r in out2}
+    assert counts2.get("tiny", 0) == 0 and counts2["rest"] == 4096
+
+    # fraction ~1 keeps every row; below-granularity fraction refuses
+    assert deterministic_sample(df, "id", 0.999).count() == 4096
+    with _pytest.raises(ValueError):
+        deterministic_sample(df, "id", 0.001)

@@ -162,3 +162,56 @@ def test_substring_probe_is_not_silently_pruned(spark, tmp_path):
         ).collect()
     )
     assert sub == expect
+
+
+def test_unindexed_files_are_scanned_not_pruned(spark, tmp_path):
+    """Crash-safety contract: data files appended AFTER the last index
+    update must be admitted by pruning unconditionally — the miss costs
+    extra reads, never dropped rows."""
+    path = _table(spark, tmp_path)
+    idx = str(tmp_path / "docs_tokidx_crash")
+    skipping.build_token_index(spark.read.parquet(path), ["fulltext"], idx)
+
+    # simulate ingest that crashed before update_token_index ran
+    extra = spark.createDataFrame(
+        [(2000, "quagga sighting")], "doc_id long, text string"
+    ).withColumn("fulltext", fulltext_column("text"))
+    extra.coalesce(1).write.mode("append").parquet(path)
+
+    # the new token lives ONLY in the unindexed file; the scan must
+    # still find it (silent false negative otherwise)
+    got = skipping.fulltext_scan(spark, path, idx, "quagga").count()
+    assert got == 1
+    # and a token that matches nothing still reads the unindexed file
+    # but returns no rows (superset-pruning stays exact)
+    assert skipping.fulltext_scan(spark, path, idx, "nosuchtok").count() == 0
+
+
+def test_tokenless_files_get_index_rows_and_noop_converges(spark, tmp_path):
+    """A data file whose rows yield zero tokens must still get an index
+    row (empty bucket set) — otherwise incremental maintenance
+    re-classifies it as new forever."""
+    path = str(tmp_path / "docs_empty")
+    spark.createDataFrame(
+        [(1, "real words here"), (2, None), (3, "")],
+        "doc_id long, text string",
+    ).withColumn("fulltext", fulltext_column("text")).repartition(
+        3, "doc_id"
+    ).write.mode("overwrite").parquet(path)
+    idx = str(tmp_path / "docs_empty_idx")
+    skipping.build_token_index(spark.read.parquet(path), ["fulltext"], idx)
+
+    # every data file is covered, including any holding only null/empty
+    n_files = len(spark.read.parquet(path).inputFiles())
+    assert spark.read.parquet(idx).count() == n_files
+
+    # append a token-LESS batch; the update must index it ONCE and then
+    # report current on every later call
+    spark.createDataFrame(
+        [(10, None), (11, "")], "doc_id long, text string"
+    ).withColumn("fulltext", fulltext_column("text")).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    assert len(skipping.update_token_index(spark, path, ["fulltext"], idx)) == 1
+    assert skipping.update_token_index(spark, path, ["fulltext"], idx) == []
+    assert skipping.fulltext_scan(spark, path, idx, "real words").count() == 1

@@ -194,3 +194,4 @@ def test_compact_history_preserves_layout_and_content(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {table}__compact")
+        spark.sql(f"DROP TABLE IF EXISTS {table}__old")
