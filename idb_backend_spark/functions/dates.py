@@ -36,11 +36,15 @@ def parse_date_py(value) -> datetime.datetime | None:
 
     try:
         x = dateutil.parser.parse(str(value).strip().upper(), default=_DEFAULT)
+        if x.tzinfo is None:
+            x = x.replace(tzinfo=datetime.timezone.utc)
+        # astimezone stays INSIDE the try: a bare time with a positive
+        # offset ('00:30+01:00') parses onto the 0001-01-01 default and
+        # the UTC conversion then underflows year 1 -> OverflowError;
+        # one such record must yield null, not kill the batch
+        return x.astimezone(datetime.timezone.utc).replace(tzinfo=None)
     except (ValueError, OverflowError, TypeError):
         return None
-    if x.tzinfo is None:
-        x = x.replace(tzinfo=datetime.timezone.utc)
-    return x.astimezone(datetime.timezone.utc).replace(tzinfo=None)
 
 
 @F.pandas_udf(TimestampType())

@@ -64,11 +64,28 @@ def wkt_point(wkt: Column) -> Column:
 
 
 def wkt_polygon_ring(wkt: Column) -> Column:
-    """Outer ring of ``POLYGON ((x y, x y, ...))`` (or a bare ``x y, x y``
-    coordinate list — the reference's fallback, conversions.py:783-797) ->
-    array<struct(lon, lat)>."""
-    inner = F.regexp_extract(wkt, r"(?i)POLYGON\s*\(\s*\(([^)]*)\)", 1)
-    body = F.when(inner != "", inner).otherwise(wkt)
+    """Outer ring of ``POLYGON ((x y, x y, ...))`` / first ring of a
+    MULTIPOLYGON (or a bare ``x y, x y`` coordinate list — the
+    reference's fallback, conversions.py:783-797) ->
+    array<struct(lon, lat)>.
+
+    The word boundary on POLYGON stops the regex matching INSIDE
+    'MULTIPOLYGON' (which used to eat the extra paren and drop the first
+    vertex), and the bare-list fallback applies only to letter-free
+    strings — a LINESTRING or other non-polygon WKT yields null rather
+    than a corrupt ring assembled from its coordinate tail (the
+    reference's fallback likewise rejects anything whose comma tokens
+    are not pure numbers)."""
+    inner = F.regexp_extract(wkt, r"(?i)\bPOLYGON\s*\(\s*\(([^)]*)\)", 1)
+    multi = F.regexp_extract(
+        wkt, r"(?i)\bMULTIPOLYGON\s*\(\s*\(\s*\(([^)]*)\)", 1
+    )
+    bare = F.when(~wkt.rlike("[A-Za-z]"), wkt)
+    body = (
+        F.when(inner != "", inner)
+        .when(multi != "", multi)
+        .otherwise(bare)
+    )
     pairs = F.split(F.trim(body), r"\s*,\s*")
     ring = F.transform(
         pairs,
@@ -156,15 +173,18 @@ def finalize_index_document(
                 F.struct(F.col(lon).alias("lon"), F.col(lat).alias("lat")),
             ),
         )
-    for c in date_cols:
-        out = out.withColumn(f"{c}_iso", F.date_format(F.col(c), "yyyy-MM-dd"))
+    # batch ALL remaining projections into one withColumns: the real
+    # index document carries hundreds of string fields, and a
+    # withColumn-per-column chain adds one Project node each — analyzer
+    # cost grows quadratically with width (driver-side, before any task
+    # runs); a single plan node keeps planning O(width)
+    batch: dict[str, Column] = {
+        f"{c}_iso": F.date_format(F.col(c), "yyyy-MM-dd") for c in date_cols
+    }
     if drop_empty_strings:
         for field in out.schema.fields:
             if field.dataType.simpleString() == "string":
-                out = out.withColumn(
-                    field.name,
-                    F.when(F.trim(F.col(field.name)) == "", None).otherwise(
-                        F.col(field.name)
-                    ),
-                )
-    return out
+                batch[field.name] = F.when(
+                    F.trim(F.col(field.name)) == "", None
+                ).otherwise(F.col(field.name))
+    return out.withColumns(batch) if batch else out

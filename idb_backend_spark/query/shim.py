@@ -105,6 +105,9 @@ def _fulltext(value: str, fulltext_col: str, substring: bool = False) -> Column:
     # punctuation in the query probes the raw text).
     from idb_backend_spark.functions.text import analyzer_tokenize, analyzer_tokens
 
+    if value is None:
+        raise ShimError("fulltext predicate requires a 'value'")
+    value = str(value)  # numbers etc. probe their string form, as in ES
     if substring:
         toks = [t for t in value.lower().split() if t]
         if not toks:
@@ -140,7 +143,11 @@ def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colu
     a = F.pow(F.sin(dlat / 2), 2) + F.cos(rlat1) * F.cos(rlat2) * F.pow(
         F.sin(dlon / 2), 2
     )
-    return F.lit(2 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+    # clamp before asin: float drift near antipodal points can push the
+    # haversine term to 1 + 2^-52, making sqrt > 1 and asin NaN — which
+    # would silently DROP a row genuinely inside the radius (the SQL
+    # emission mirrors the same least())
+    return F.lit(2 * EARTH_RADIUS_KM) * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
 
 
 _DIST_UNIT_KM = {
@@ -239,7 +246,7 @@ def _object_predicate(
 ) -> Column:
     # objectType dispatch (query_shim.py:135-155)
     t = spec.get("type")
-    if t == "exists" or (t is None and spec == {"type": "exists"}):
+    if t == "exists":
         return F.col(field).isNotNull()  # P3, query_shim.py:23-28
     if t == "missing":
         return F.col(field).isNull()  # P4, query_shim.py:31-36
@@ -323,6 +330,10 @@ def _sql_col(field: str, value_is_str: bool, assume_lowercased: bool) -> str:
 
 def _sql_single(field: str, cond: Any, assume_lowercased: bool, fulltext_col: str) -> str:
     if isinstance(cond, list):
+        if not cond:
+            # the Column path compiles isin([]) to always-false; 'IN ()'
+            # is a syntax error in DuckDB, so emit the same constant
+            return "FALSE"
         any_str = any(isinstance(v, str) for v in cond)
         vals = ", ".join(_sql_lit(_fold(v)) for v in cond)
         return f"{_sql_col(field, any_str, assume_lowercased)} IN ({vals})"
@@ -342,23 +353,50 @@ def _sql_single(field: str, cond: Any, assume_lowercased: bool, fulltext_col: st
             )
         if t == "prefix" or set(cond) == {"prefix"}:
             v = _fold(cond.get("value", cond.get("prefix")))
-            pat = v.replace("%", r"\%").replace("_", r"\_")
-            return f"{_sql_col(field, True, assume_lowercased)} LIKE {_sql_lit(pat + '%')}"
+            # backslash first, then the LIKE metachars; the ESCAPE clause
+            # is REQUIRED — DuckDB has no default escape character, so a
+            # bare 'my\_val%' pattern would demand a literal backslash
+            # and silently match nothing
+            pat = (
+                v.replace("\\", "\\\\")
+                .replace("%", r"\%")
+                .replace("_", r"\_")
+            )
+            return (
+                f"{_sql_col(field, True, assume_lowercased)} "
+                f"LIKE {_sql_lit(pat + '%')} ESCAPE '\\'"
+            )
         if t == "fulltext" or (
             t is None
             and "fulltext" in cond
             and set(cond) <= {"fulltext", "substring"}
         ):
-            value = str(cond.get("value", cond.get("fulltext")))
+            raw = cond.get("value", cond.get("fulltext"))
+            if raw is None:
+                # keep the two emitters in lockstep: the Column path
+                # raises for a value-less spec, so the SQL path must not
+                # silently search for the token 'none'
+                raise ShimError("fulltext predicate requires a 'value'")
+            value = str(raw)
             if cond.get("substring"):
                 toks = value.lower().split()
                 if not toks:
                     return "TRUE"
+                # the Column path is a literal contains(); escape LIKE
+                # metachars (and declare the escape char) so a token such
+                # as '100%' stays a literal probe instead of a wildcard
+                pats = [
+                    tk.replace("\\", "\\\\")
+                    .replace("%", r"\%")
+                    .replace("_", r"\_")
+                    for tk in toks
+                ]
                 return (
                     "("
                     + " AND ".join(
-                        f"{fulltext_col} LIKE {_sql_lit('%' + tk + '%')}"
-                        for tk in toks
+                        f"{fulltext_col} LIKE {_sql_lit('%' + p + '%')}"
+                        " ESCAPE '\\'"
+                        for p in pats
                     )
                     + ")"
                 )
@@ -402,7 +440,10 @@ def _sql_single(field: str, cond: Any, assume_lowercased: bool, fulltext_col: st
                 f" + cos(radians({qlat})) * cos(radians({lat}))"
                 f" * pow(sin(radians({lon} - ({qlon})) / 2), 2)"
             )
-            return f"(2 * {EARTH_RADIUS_KM} * asin(sqrt({a})) <= {km})"
+            return (
+                f"(2 * {EARTH_RADIUS_KM} * asin(sqrt(least({a}, 1.0)))"
+                f" <= {km})"
+            )
         raise ShimError(f"SQL emission unsupported for {field!r}: {cond!r}")
     v = _fold(cond)
     return f"{_sql_col(field, isinstance(cond, str), assume_lowercased)} = {_sql_lit(v)}"

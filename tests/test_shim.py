@@ -238,3 +238,66 @@ def test_sql_emission_matches_spark(spark, df):
             ).fetchall()
         )
         assert spark_names == sql_names, shim
+
+
+def test_empty_terms_list_matches_nothing_both_paths(df):
+    """P2 with an empty list: always-false on the Column path, and the
+    SQL emission must be the runnable constant FALSE — 'IN ()' is a
+    syntax error in DuckDB."""
+    assert _genera(df, {"genus": []}) == []
+    sql = shim_to_sql({"genus": []})
+    assert "IN ()" not in sql and "FALSE" in sql
+    import duckdb
+
+    assert duckdb.sql(f"SELECT {sql}").fetchone()[0] is False
+
+
+def test_prefix_like_escapes_metachars_in_sql(df):
+    """P6 SQL emission must declare the LIKE escape character: without
+    ESCAPE, DuckDB reads the backslash literally and 'my\\_val%' matches
+    nothing — false negatives vs the Column path's startswith."""
+    import duckdb
+
+    sql = shim_to_sql({"f": {"type": "prefix", "value": "my_val"}})
+    hit_sql = sql.replace("lower(f)", "'my_value'")
+    assert duckdb.sql(f"SELECT {hit_sql}").fetchone()[0] is True
+    # and the underscore stays a literal: 'myxval...' must NOT match
+    miss_sql = sql.replace("lower(f)", "'myxvalue'")
+    assert duckdb.sql(f"SELECT {miss_sql}").fetchone()[0] is False
+
+
+def test_substring_fulltext_escapes_like_metachars(df):
+    """Substring mode is a LITERAL contains() on the Column path, so the
+    SQL emission must escape % and _ in query tokens."""
+    import duckdb
+
+    sql = shim_to_sql(
+        {"fulltext": {"type": "fulltext", "value": "100%", "substring": True}}
+    )
+    hit_sql = sql.replace("fulltext", "'price 100% off'")
+    assert duckdb.sql(f"SELECT {hit_sql}").fetchone()[0] is True
+    miss_sql = sql.replace("fulltext", "'price 1000 off'")
+    assert duckdb.sql(f"SELECT {miss_sql}").fetchone()[0] is False
+
+
+def test_fulltext_requires_value_both_paths(df):
+    with pytest.raises(ShimError):
+        compile_shim({"fulltext": {"type": "fulltext"}})
+    with pytest.raises(ShimError):
+        shim_to_sql({"fulltext": {"type": "fulltext"}})
+
+
+def test_geo_distance_antipodal_no_nan(spark):
+    """Float drift near the antipode must clamp, not NaN: a NaN distance
+    silently drops a row genuinely inside a hemisphere-scale radius."""
+    from pyspark.sql import functions as F
+
+    from idb_backend_spark.query.shim import haversine_km
+
+    d = spark.range(1).select(
+        haversine_km(
+            F.lit(0.000000001), F.lit(0.0), F.lit(0.0), F.lit(180.0)
+        ).alias("km")
+    ).first()["km"]
+    assert d == d  # not NaN
+    assert abs(d - 20015.086) < 1.0  # half the Earth's circumference
