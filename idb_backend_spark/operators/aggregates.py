@@ -85,11 +85,19 @@ def stats_rollup_nested(
         .groupBy("day", *group_cols, term_col)
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # map_from_entries REJECTS null keys at runtime, so one null term —
+    # a request with no user-agent, say — would otherwise kill the job.
+    # A null term contributes to the group's total but gets no map entry
+    # (collect_list drops null elements, which the when() produces).
+    entry = F.when(
+        F.col(term_col).isNotNull(),
+        F.struct(F.col(term_col), F.col("n")),
+    )
     return fine.groupBy("day", *group_cols).agg(
         F.sum("n").alias("count"),
-        F.map_from_entries(
-            F.sort_array(F.collect_list(F.struct(F.col(term_col), F.col("n"))))
-        ).alias("items"),
+        F.map_from_entries(F.sort_array(F.collect_list(entry))).alias(
+            "items"
+        ),
     )
 
 

@@ -53,7 +53,21 @@ def apply_correction_rules(
         *[F.col(k).alias(f"__k_{i}") for i, k in enumerate(key_fields)],
         F.col("__set"),
         F.lit(True).alias("__hit"),
+    ).dropDuplicates()
+    # CONFLICTING rules for one key tuple would fan out every matching
+    # record through the left join (the reference's dict-of-rules holds
+    # one rule per key structurally; a DataFrame does not). The rules
+    # table is a tiny dimension, so an eager uniqueness check is cheap —
+    # and a loud error beats silently duplicated records.
+    key_cols = [f"__k_{i}" for i in range(len(key_fields))]
+    conflicted = (
+        rule_side.groupBy(*key_cols).count().filter(F.col("count") > 1)
     )
+    if conflicted.limit(1).count():
+        raise ValueError(
+            f"conflicting correction rules for key tuple {key_fields}: "
+            "multiple distinct replacements share a key"
+        )
     joined = df.select("*", *probe).join(
         broadcast(rule_side), on=[f"__k_{i}" for i in range(len(key_fields))],
         how="left",
@@ -83,7 +97,13 @@ def apply_correction_rules(
     # withColumns resolves BOTH expressions against the pre-rewrite row —
     # sequential withColumn would make the flag expression read the already
     # rewritten value and never fire.
-    out = joined.withColumns({set_field: value, f"flag_{flag_base}": flag})
+    flag_col = f"flag_{flag_base}"
+    if flag_col in df.columns:
+        # chained rule sets on the same set_field ACCUMULATE provenance
+        # (record_corrector.py keeps every flag key): a pass with no hit
+        # must not null out the flag an earlier pass raised
+        flag = F.coalesce(flag, F.col(flag_col))
+    out = joined.withColumns({set_field: value, flag_col: flag})
     drop = [f"__k_{i}" for i in range(len(key_fields))] + ["__set", "__hit"]
     return out.drop(*drop)
 

@@ -35,7 +35,11 @@ from idb_backend_spark.operators.versioning import (
     tombstones_for_deletes,
 )
 
-TOMBSTONE_ETAG = "9a4e35834eb80d9af64bcd07ed996b9ec0e60d92"
+# re-exported for existing importers; the single source of truth is
+# functions/etags.py — a second literal here could desynchronize delete
+# detection (which writes etags.TOMBSTONE_ETAG) from the latest-view
+# filter comparing this name
+from idb_backend_spark.functions.etags import TOMBSTONE_ETAG  # noqa: E402
 
 HISTORY_COLS = ["uuid", "type", "parent", "etag", "version", "modified", "data"]
 
@@ -119,6 +123,27 @@ def compact_history(
     spark.sql(f"DROP TABLE IF EXISTS {backup}")
     spark.sql(f"ALTER TABLE {table} RENAME TO {backup}")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    # Concurrent-append reconciliation: a harvest batch appended between
+    # the inputFiles() snapshot and the rename above landed in the old
+    # directory (the rename moved it into the backup) but is NOT in the
+    # compacted rewrite. Re-append any such late files to the live table
+    # before dropping the backup — without this a single overlapping
+    # append would be silently erased. (Run compaction in the same
+    # single-writer window as the reference's maintenance vacuums; this
+    # reconciliation narrows the race to the two statements below.)
+    snapshot = {f.rsplit("/", 1)[-1] for f in files}
+    late = [
+        f
+        for f in spark.table(backup).inputFiles()
+        if f.rsplit("/", 1)[-1] not in snapshot
+    ]
+    if late:
+        write_bucketed_history(
+            spark.read.parquet(*late).repartition(num_buckets, "uuid"),
+            table,
+            num_buckets,
+            mode="append",
+        )
     spark.sql(f"DROP TABLE {backup}")
     return True
 
@@ -143,7 +168,12 @@ def latest_with_relations(
     if identifiers is not None:
         out = aggregate_identifiers(out, identifiers)
     if sibling_edges is not None:
-        uuids = history.select("uuid", "type").distinct()
+        # the registry resolving edge targets is the LIVE latest view,
+        # not raw history: an entity whose newest version is a tombstone
+        # must not appear in anyone's siblings map (sibling_map's
+        # non-deleted contract, db.py:58-73) — and reusing `out` avoids
+        # a second full-history distinct scan
+        uuids = out.select("uuid", "type")
         sibs = sibling_map(sibling_edges, uuids)
         out = out.join(sibs, on="uuid", how="left")
     return out
@@ -173,6 +203,13 @@ def apply_harvest_batch(
 
     ``batch`` columns: uuid, type, parent, etag, data. The caller appends
     ``appended`` + ``tombstones`` to history storage; nothing here mutates.
+
+    Delete detection is SCOPED to the batch's parent recordsets, exactly
+    like the reference (db_check.py harvests one recordset and only its
+    own entities can be tombstoned): with a multi-recordset store, a
+    harvest of rs1 must not tombstone every entity of rs2..rsN merely
+    because they are absent from rs1's file. Entities whose parent is
+    not among the batch's parents are left untouched.
     """
     cur = latest_view(history, include_deleted=True)
     appended = merge_batch(
@@ -181,8 +218,16 @@ def apply_harvest_batch(
 
     if detect_deletes:
         live = cur.filter(F.col("etag") != TOMBSTONE_ETAG)
+        if "parent" in live.columns and "parent" in batch.columns:
+            parents = batch.select("parent").distinct()
+            live = live.join(
+                parents,
+                on=live["parent"].eqNullSafe(parents["parent"]),
+                how="leftsemi",
+            )
+        carry = [c for c in ("type", "parent") if c in live.columns]
         tombs = tombstones_for_deletes(
-            live.select("uuid", "version"), batch, modified=modified
+            live.select("uuid", "version", *carry), batch, modified=modified
         )
     else:
         tombs = history.sparkSession.createDataFrame(

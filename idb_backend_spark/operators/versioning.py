@@ -105,10 +105,16 @@ def tombstones_for_deletes(
 ) -> DataFrame:
     """U2 — delete detection: keys present in the store but absent from the
     new harvest batch get a tombstone version (db_check.py:441-454,
-    tombstone etag db.py:33)."""
+    tombstone etag db.py:33).
+
+    ``type``/``parent``/``data`` are carried through from ``latest`` when
+    present: the history layout partitions by ``type`` (store.py), so a
+    tombstone row with a NULL type would be invisible to a type-pruned
+    scan and the deleted entity would resurface as live."""
     gone = latest.join(seen.select(key).distinct(), on=key, how="left_anti")
+    carry = [c for c in ("type", "parent", "data") if c in latest.columns]
     out = gone.select(
-        key, (F.col("version") + 1).alias("version")
+        key, *carry, (F.col("version") + 1).alias("version")
     ).withColumn("etag", F.lit(TOMBSTONE_ETAG))
     if modified is not None:
         out = out.withColumn("modified", modified)

@@ -82,14 +82,19 @@ def upsert_batch_into_store(
     1. Collapse the micro-batch to its newest version per key (the
        ascending-modified replay collapses to last-writer-wins within the
        batch boundary — O2, index_from_postgres.py:94-97).
-    2. Skip rows whose etag equals the store's current etag (X5), and
-       skip CHANGED rows that are not strictly newer than the store's
-       current ``modified`` — the monotonic-replay guard. The reference
-       gets ordering by replaying ascending modified; a file stream's
-       micro-batch boundaries carry no such promise, so the guard makes
-       the merge converge to the newest-modified version per key no
-       matter how the change feed's files are batched (ties keep the
-       store row — a replayed duplicate is a no-op).
+    2. Skip rows whose etag equals the store's current etag (X5 — the
+       store row and its ``modified`` survive), and skip CHANGED rows
+       that are not strictly newer than the key's HIGH-WATER MARK
+       ``__hwm`` — the monotonic-replay guard. The hwm records the
+       newest feed observation ever seen for the key, including
+       etag-equal skips (which bump the hwm without touching the
+       visible row): guarding on the visible ``modified`` alone would
+       let an out-of-order older-but-different-etag row through AFTER
+       an etag-equal skip, making the outcome batch-boundary-dependent.
+       With the hwm, the merge converges to the version carried by the
+       newest-modified feed row per key no matter how the files are
+       batched (ties keep the store row — a replayed duplicate is a
+       no-op).
     3. Merge (touched-buckets ∖ batch-keys) ∪ batch-latest and commit via
        dynamic partition overwrite: the store is laid out as
        ``__bucket=N`` directories keyed by uuid hash, the merge reads only
@@ -111,11 +116,15 @@ def upsert_batch_into_store(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         if store is None:
-            newest.write.mode("overwrite").partitionBy("__bucket").parquet(
-                store_path
-            )
+            newest.withColumn("__hwm", F.col(modified_col)).write.mode(
+                "overwrite"
+            ).partitionBy("__bucket").parquet(store_path)
             return
         legacy = "__bucket" not in store.columns
+        if "__hwm" not in store.columns:
+            # stores written before the hwm column: seed it from the
+            # visible modified (the best lower bound available)
+            store = store.withColumn("__hwm", F.col(modified_col))
         if legacy:
             # one-time migration of a legacy flat store into bucket layout:
             # merge against the FULL store and rewrite it statically —
@@ -132,27 +141,54 @@ def upsert_batch_into_store(
                 for r in newest.select("__bucket").distinct().collect()
             ]
             scoped = store.filter(F.col("__bucket").isin(touched))
-        changed = newest.join(
+        probe = newest.join(
             scoped.select(
                 F.col(key),
                 F.col(etag_col).alias("__cur_etag"),
-                F.col(modified_col).alias("__cur_mod"),
+                F.col("__hwm").alias("__cur_hwm"),
             ),
             on=key,
             how="left",
-        ).filter(
-            F.col("__cur_etag").isNull()
-            | (
-                (F.col("__cur_etag") != F.col(etag_col))
-                & (
-                    F.col("__cur_mod").isNull()
-                    | (F.col(modified_col) > F.col("__cur_mod"))
-                )
+        )
+        newer = F.col("__cur_hwm").isNull() | (
+            F.col(modified_col) > F.col("__cur_hwm")
+        )
+        # new visible version: unseen key, or a different etag strictly
+        # newer than everything observed so far
+        changed = (
+            probe.filter(
+                F.col("__cur_etag").isNull()
+                | ((F.col("__cur_etag") != F.col(etag_col)) & newer)
             )
-        ).drop("__cur_etag", "__cur_mod")
-        merged = scoped.join(
-            changed.select(key).distinct(), on=key, how="left_anti"
-        ).unionByName(changed)
+            .withColumn(
+                "__hwm",
+                F.greatest(
+                    F.col(modified_col),
+                    F.coalesce(F.col("__cur_hwm"), F.col(modified_col)),
+                ),
+            )
+            .drop("__cur_etag", "__cur_hwm")
+        )
+        # etag-equal observation newer than the hwm: the visible store
+        # row survives untouched, but the hwm must advance or a later
+        # out-of-order different-etag row would be wrongly admitted
+        bumped_keys = probe.filter(
+            (F.col("__cur_etag") == F.col(etag_col)) & newer
+        ).select(F.col(key), F.col(modified_col).alias("__new_hwm"))
+        rewritten = scoped.join(bumped_keys, on=key, how="inner").withColumn(
+            "__hwm", F.greatest(F.col("__hwm"), F.col("__new_hwm"))
+        ).drop("__new_hwm")
+        merged = (
+            scoped.join(
+                changed.select(key)
+                .unionByName(bumped_keys.select(key))
+                .distinct(),
+                on=key,
+                how="left_anti",
+            )
+            .unionByName(changed)
+            .unionByName(rewritten)
+        )
         # rows must be materialized before the overwrite deletes their
         # source files — localCheckpoint cuts the self-referential lineage
         merged.localCheckpoint().write.mode("overwrite").partitionBy(
@@ -285,22 +321,51 @@ def sessionize(
             )
             return
         rows = pd.concat(list(pdfs))
-        ts = rows[ts_col].sort_values()
+        # NaT timestamps would make astype('int64') raise and kill the
+        # query; an event with no timestamp simply cannot be sessionized
+        ts = rows[ts_col].dropna().sort_values()
         micros = (ts.astype("int64") // 1000).tolist()  # ns -> us
-        sessions = []
+        gap_us = gap_seconds * 1_000_000
+
+        # Interval-merge over SEGMENTS, not a single running session:
+        # file streams promise no cross-batch ordering, so a later
+        # micro-batch can carry events BEFORE the open session's start.
+        # An in-gap late event extends the session backward; an earlier
+        # out-of-gap event forms its own (past) session — the old
+        # single-cursor loop silently swallowed both into the open
+        # session without moving its start, emitting sessions that began
+        # after their own member events and diverging from the batch
+        # twin (sessionize_batch).
+        segs: list[list[int]] = []
         if state.exists:
-            start, end, n = state.get
-        else:
-            start = end = n = None
+            s0, e0, n0 = state.get
+            segs.append([s0, e0, n0])
         for t in micros:
-            if start is None:
-                start, end, n = t, t, 1
-            elif t - end <= gap_seconds * 1_000_000:
-                end, n = max(end, t), n + 1
-            else:
-                sessions.append((start, end, n))
-                start, end, n = t, t, 1
-        state.update((start, end, n))
+            placed = False
+            for s in segs:
+                if s[0] - gap_us <= t <= s[1] + gap_us:
+                    s[0], s[1], s[2] = min(s[0], t), max(s[1], t), s[2] + 1
+                    placed = True
+                    break
+            if not placed:
+                segs.append([t, t, 1])
+            segs.sort(key=lambda s: s[0])
+            merged = [segs[0]]
+            for s in segs[1:]:
+                if s[0] - merged[-1][1] <= gap_us:
+                    merged[-1][1] = max(merged[-1][1], s[1])
+                    merged[-1][2] += s[2]
+                else:
+                    merged.append(s)
+            segs = merged
+        if not segs:
+            return
+        # the newest segment stays open in state; every earlier one is
+        # closed (nothing can rejoin it except events later proven late,
+        # the bounded imprecision any single-segment state model carries)
+        keep = segs[-1]
+        sessions = [tuple(s) for s in segs[:-1]]
+        state.update((keep[0], keep[1], keep[2]))
         if timeout_flush:
             state.setTimeoutDuration(gap_seconds * 1000)
         if sessions:

@@ -124,3 +124,42 @@ def test_broadcast_join_in_plan(spark):
         _records(spark), rules, ["country"], "country"
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_chained_rule_sets_accumulate_flags(spark):
+    """A later rule set on the SAME set_field that does not hit a record
+    must not null out the flag an earlier set raised (the reference's
+    record_corrector keeps every flag key)."""
+    from pyspark.sql import functions as F
+
+    from idb_backend_spark.operators.corrections import apply_corrections
+
+    df = spark.createDataFrame(
+        [("brasil", None), ("peru", "x")], "country string, genus string"
+    )
+    r1 = spark.createDataFrame(
+        [("brasil", "brazil")], "country string, __set string"
+    )
+    # compound-key set that hits NOTHING in this data
+    r2 = spark.createDataFrame(
+        [("zz", "zz", "never")], "country string, genus string, __set string"
+    )
+    out = apply_corrections(
+        df, [(["country"], "country", r1), (["country", "genus"], "country", r2)]
+    )
+    row = out.filter(F.col("country") == "brazil").first()
+    assert row is not None
+    assert row["flag_country"] == "country_replaced"
+
+
+def test_conflicting_rules_raise(spark):
+    from idb_backend_spark.operators.corrections import apply_correction_rules
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("u.s.a.",)], "country string")
+    rules = spark.createDataFrame(
+        [("u.s.a.", "united states"), ("u.s.a.", "usa")],
+        "country string, __set string",
+    )
+    with _pytest.raises(ValueError, match="conflicting correction rules"):
+        apply_correction_rules(df, rules, ["country"], "country")

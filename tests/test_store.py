@@ -195,3 +195,49 @@ def test_compact_history_preserves_layout_and_content(spark):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {table}__compact")
         spark.sql(f"DROP TABLE IF EXISTS {table}__old")
+
+
+def test_harvest_deletes_scoped_to_batch_recordsets(spark):
+    """A harvest of one recordset must tombstone only ITS missing
+    entities — with a multi-recordset store, rs2's entities are absent
+    from every rs1 batch by definition and must survive untouched
+    (reference db_check.py scopes the delete scan per recordset)."""
+    history = spark.createDataFrame(
+        [
+            ("a", "records", "rs1", "e1", 0, _ts("2024-01-01T00:00:00"), "a"),
+            ("b", "records", "rs1", "e2", 0, _ts("2024-01-01T00:00:00"), "b"),
+            ("x", "records", "rs2", "e3", 0, _ts("2024-01-01T00:00:00"), "x"),
+            ("y", "records", "rs2", "e4", 0, _ts("2024-01-01T00:00:00"), "y"),
+        ],
+        HIST_SCHEMA,
+    )
+    # rs1's harvest carries only `a` -> `b` is deleted; rs2 is untouched
+    batch = spark.createDataFrame(
+        [("a", "records", "rs1", "e1", "a")], BATCH_SCHEMA
+    )
+    res = st.apply_harvest_batch(
+        history, batch, modified=F.to_timestamp(F.lit("2024-02-01"))
+    )
+    tomb_keys = {r["uuid"] for r in res.tombstones.collect()}
+    assert tomb_keys == {"b"}
+    # and the tombstone row carries type/parent so a type-pruned scan
+    # still sees the delete
+    row = res.tombstones.first()
+    assert row["type"] == "records" and row["parent"] == "rs1"
+
+
+def test_sibling_registry_excludes_tombstoned_entities(spark):
+    """An entity whose newest version is a tombstone must not appear in
+    anyone's siblings map (db.py:58-73 non-deleted contract)."""
+    edges = spark.createDataFrame(
+        [("a", "c"), ("a", "b")], "r1 string, r2 string"
+    )
+    out = {
+        r["uuid"]: r
+        for r in st.latest_with_relations(
+            _history(spark), sibling_edges=edges
+        ).collect()
+    }
+    sibs_a = out["a"]["siblings"] or {}
+    linked = {u for us in sibs_a.values() for u in us}
+    assert "b" in linked and "c" not in linked

@@ -245,3 +245,99 @@ def test_sessionize(spark, tmp_path):
     # open sessions (u1 #2, u2) remain in state until timeout
     assert ("u1", 2) in closed
     assert rows[0]["session_end"] >= rows[0]["session_start"]
+
+
+def test_upsert_hwm_survives_etag_equal_skip(spark, tmp_path):
+    """The batch-boundary-independence regression: an etag-EQUAL
+    observation newer than everything seen must advance the key's
+    high-water mark even though the visible row is untouched — otherwise
+    an out-of-order older-but-different-etag row arriving in a LATER
+    micro-batch would be admitted and the outcome would depend on how
+    the feed's files were batched."""
+    store = str(tmp_path / "hwmstore")
+    inc.upsert_batch_into_store(
+        store, _rows(spark, [("a", "eA", _ts("2024-01-01T00:00:00"), "v1")])
+    )
+    # newest observation: same etag at t=5 -> X5 skip, visible modified
+    # stays t=1, but the hwm must move to t=5
+    inc.upsert_batch_into_store(
+        store, _rows(spark, [("a", "eA", _ts("2024-01-05T00:00:00"), "v1")])
+    )
+    got = {r["uuid"]: r for r in spark.read.parquet(store).collect()}
+    assert got["a"]["etag"] == "eA"
+    assert got["a"]["modified"] == _ts("2024-01-01T00:00:00")  # X5 kept
+    # out-of-order older different-etag row in a later batch: without the
+    # hwm this regressed the store to eB@t3
+    inc.upsert_batch_into_store(
+        store, _rows(spark, [("a", "eB", _ts("2024-01-03T00:00:00"), "v9")])
+    )
+    got = {r["uuid"]: r for r in spark.read.parquet(store).collect()}
+    assert got["a"]["etag"] == "eA" and got["a"]["payload"] == "v1"
+    # the same two rows in ONE batch give the identical outcome
+    store2 = str(tmp_path / "hwmstore2")
+    inc.upsert_batch_into_store(
+        store2, _rows(spark, [("a", "eA", _ts("2024-01-01T00:00:00"), "v1")])
+    )
+    inc.upsert_batch_into_store(
+        store2,
+        _rows(
+            spark,
+            [
+                ("a", "eA", _ts("2024-01-05T00:00:00"), "v1"),
+                ("a", "eB", _ts("2024-01-03T00:00:00"), "v9"),
+            ],
+        ),
+    )
+    got2 = {r["uuid"]: r for r in spark.read.parquet(store2).collect()}
+    assert got2["a"]["etag"] == got["a"]["etag"] == "eA"
+
+
+def test_sessionize_late_events_across_batches(spark, tmp_path):
+    """Cross-batch ordering regression: a later micro-batch carrying
+    events BEFORE the open session must extend the session backward
+    (in-gap) or form its own past session (out-of-gap) — the old
+    single-cursor kernel swallowed both into the open session without
+    moving its start."""
+    land = str(tmp_path / "landing_late")
+    # batch 1: open session at 10:00-10:05
+    _rows(
+        spark,
+        [
+            ("u1", "e", _ts("2024-01-01T10:00:00"), "p"),
+            ("u1", "e", _ts("2024-01-01T10:05:00"), "p"),
+        ],
+    ).coalesce(1).write.mode("append").parquet(land)
+    # batch 2 (separate file): one in-gap late event (09:45) and one
+    # far-earlier event (06:00) that must close as its own session
+    _rows(
+        spark,
+        [
+            ("u1", "e", _ts("2024-01-01T09:45:00"), "p"),
+            ("u1", "e", _ts("2024-01-01T06:00:00"), "p"),
+        ],
+    ).coalesce(1).write.mode("append").parquet(land)
+    stream = inc.stream_from_directory(
+        spark, land, SCHEMA, max_files_per_trigger=1
+    )
+    sessions = inc.sessionize(
+        stream, "uuid", "modified", gap_seconds=1800, timeout_flush=False
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_late")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sessions_late").collect()
+    closed = {
+        (r["session_start"], r["session_end"], r["n_events"]) for r in rows
+    }
+    # the 06:00 singleton is the only CLOSED session; the 09:45-10:05
+    # session (3 events, start extended backward) stays open in state
+    assert (_ts("2024-01-01T06:00:00"), _ts("2024-01-01T06:00:00"), 1) in closed
+    # no emitted session may start after its own end or after 09:45
+    for r in rows:
+        assert r["session_start"] <= r["session_end"]
