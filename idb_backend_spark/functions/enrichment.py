@@ -91,7 +91,13 @@ def date_fallback(
 ) -> Column:
     """Assemble datecollected from parts when the eventDate parse failed:
     year+month+day → date; year+startDayOfYear → Jan 1 + (n-1) days;
-    year+month → first of month; year → Jan 1 (conversions.py:604-624)."""
+    year+month → first of month; year → Jan 1 (conversions.py:604-624).
+
+    The chain dispatches on part PRESENCE, not parse success — an invalid
+    assembled date (year=2000, month=2, day=31) yields NULL rather than
+    cascading to the year+month arm. Deliberate reference parity: the
+    reference wraps the whole assembly in one try/except, so an invalid
+    day aborts it entirely (conversions.py:610-624)."""
     y = year.cast("int")
     m = month.cast("int")
     d = day.cast("int")
@@ -181,13 +187,19 @@ def pick_license(s: str) -> str | None:
         kind = _ALNUM_ONLY.sub("", frag).upper()
         if kind not in RIGHTS_ORDER or RIGHTS_ORDER.index(kind) <= best:
             continue
-        best = RIGHTS_ORDER.index(kind)
+        # best advances ONLY when a pick actually lands — the reference's
+        # unknown-version fragment raises KeyError before its `order`
+        # assignment, leaving later equally-ranked fragments with valid
+        # versions eligible ('by-nc 2.0' must not block 'by-nc 4.0').
+        # A 1.0 version maps to '' so the tag comes out ' BY' exactly as
+        # the reference emits it (version_strings['1.0'] = '') — tag
+        # consumers must treat it like the reference's licenses[] miss.
         if kind in ("CC0", "ZERO", "PUBLICDOMAIN"):
             picked = RIGHTS_STRINGS[kind]
+            best = RIGHTS_ORDER.index(kind)
         elif ver in VERSION_STRINGS:
             picked = VERSION_STRINGS[ver] + " " + RIGHTS_STRINGS[kind]
-        else:
-            best = -1 if picked is None else best
+            best = RIGHTS_ORDER.index(kind)
     return picked
 
 

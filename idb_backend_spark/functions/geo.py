@@ -358,7 +358,12 @@ def datum_transform_udf(
     out_lon, out_lat, out_flag = [], [], []
     transformer_cache: dict = {}
     for lo, la, dt in zip(lon, lat, datum):
-        if lo is None or la is None or (isinstance(lo, float) and math.isnan(lo)):
+        if (
+            lo is None
+            or la is None
+            or (isinstance(lo, float) and math.isnan(lo))
+            or (isinstance(la, float) and math.isnan(la))
+        ):
             out_lon.append(None), out_lat.append(None), out_flag.append(None)
             continue
         if dt is None or (isinstance(dt, float) and math.isnan(dt)) or not str(dt).strip():
@@ -605,7 +610,12 @@ def rev_geocode_udf(
     def _udf(lon: pd.Series, lat: pd.Series, iso: pd.Series) -> pd.DataFrame:
         rows = []
         for lo, la, code in zip(lon, lat, iso):
-            if lo is None or la is None or (isinstance(lo, float) and math.isnan(lo)):
+            if (
+                lo is None
+                or la is None
+                or (isinstance(lo, float) and math.isnan(lo))
+                or (isinstance(la, float) and math.isnan(la))
+            ):
                 rows.append((None, None, None, None))
                 continue
             code = None if (code is None or (isinstance(code, float) and math.isnan(code))) else str(code)

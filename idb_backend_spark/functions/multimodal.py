@@ -333,10 +333,15 @@ def wav_rms_peaks(b: bytes) -> tuple[int, list[int]] | None:
         return None
     if rate <= 0 or n_frames == 0:
         return None
-    dtype = {1: np.int8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(swidth)
+    dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(swidth)
     if dtype is None:
         return None
     samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if swidth == 1:
+        # the WAV spec stores 8-bit PCM UNSIGNED with a 128 offset;
+        # reading it signed made silence (all 128s) decode to full-scale
+        # -128 and every 8-bit waveform came out max-RMS garbage
+        samples -= 128.0
     if n_ch > 1:  # average channels to mono before RMS
         samples = samples.reshape(-1, n_ch).mean(axis=1)
     duration_ms = int(round(n_frames * 1000 / rate))

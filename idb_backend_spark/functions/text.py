@@ -121,13 +121,20 @@ def quality_score(c: Column | str, stopwords: list[str] | None = None) -> Column
 def quality_score_from_tokens(
     c: Column | str, t: Column, stopwords: list[str] | None = None
 ) -> Column:
-    """quality_score with the token array staged by the caller."""
-    n = F.length(F.col(c) if isinstance(c, str) else c)
+    """quality_score with the token array staged by the caller.
+
+    NULL text scores NULL (least() skips null operands in both Spark and
+    DuckDB, so the unguarded formula scored a null document 0.5 — above
+    most keep-thresholds); the punctuation penalty is floored at 0 so
+    the documented [0, 1] range actually holds for punctuation soup."""
+    col = F.col(c) if isinstance(c, str) else c
+    n = F.length(col)
     len_score = F.least(n.cast("double") / F.lit(500.0), F.lit(1.0))
     sw_score = F.least(stopword_ratio_from_tokens(t, stopwords) * 5.0, F.lit(1.0))
     p_penalty = F.least(punct_ratio(c) * 4.0, F.lit(1.0))
-    return F.round(
-        0.5 * len_score + 0.5 * sw_score - 0.25 * p_penalty, 6
+    raw = 0.5 * len_score + 0.5 * sw_score - 0.25 * p_penalty
+    return F.when(
+        col.isNotNull(), F.round(F.greatest(raw, F.lit(0.0)), 6)
     )
 
 

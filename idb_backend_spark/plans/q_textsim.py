@@ -288,8 +288,12 @@ _LANG_CASE_SQL = (
     "  len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS s_de, "
     "  len(list_filter(toks, x -> x IN ('的','是','了','在','我'))) AS s_zh "
     "  FROM tok), "
-    "q AS (SELECT *, round(0.5 * len_score + 0.5 * least(swr * 5, 1.0) "
-    "  - 0.25 * least(pr * 4, 1.0), 6) AS q, " + _LANG_CASE_SQL + " AS lang "
+    # NULL text -> NULL q and the penalty floored at 0: the exact clamp
+    # semantics of functions.text.quality_score_from_tokens
+    "q AS (SELECT *, CASE WHEN text IS NULL THEN NULL ELSE "
+    "  round(greatest(0.5 * len_score + 0.5 * least(swr * 5, 1.0) "
+    "  - 0.25 * least(pr * 4, 1.0), 0.0), 6) END AS q, "
+    + _LANG_CASE_SQL + " AS lang "
     "  FROM m), "
     "f AS (SELECT * FROM q WHERE q >= 0.3 AND n_tok >= 5), "
     "k AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(norm)) AS keeper FROM f) "

@@ -565,3 +565,32 @@ def test_datum_udf_fallback_uses_molodensky(spark):
     assert abs(out.lon - exp_lon) < 1e-12
     assert abs(out.lat - exp_lat) < 1e-12
     assert out.flag is None
+
+
+def test_pick_license_unknown_version_does_not_block_later_fragment():
+    """Reference parity (rights_strings.py pick_license): an unknown
+    version ('by-nc 2.0') raises before the reference advances its
+    order, so a later 'by-nc 4.0' fragment must still be picked."""
+    from idb_backend_spark.functions.enrichment import pick_license
+
+    assert (
+        pick_license("cc0 and cc by-nc 2.0 and cc by-nc 4.0")
+        == "CC4 BY-NC"
+    )
+    # 1.0 maps to the empty version prefix — the reference's ' BY' shape
+    assert pick_license("CC BY 1.0") == " BY"
+
+
+def test_quality_score_null_and_range(spark):
+    from pyspark.sql import functions as F
+
+    from idb_backend_spark.functions.text import quality_score
+
+    df = spark.createDataFrame(
+        [(None,), ("!!!???;;;###@@@...",), ("the quick brown fox and the dog",)],
+        "text string",
+    ).select(quality_score("text").alias("q"))
+    rows = [r["q"] for r in df.collect()]
+    assert rows[0] is None          # null text -> null, not 0.5
+    assert rows[1] == 0.0           # punctuation soup floors at 0
+    assert 0.0 <= rows[2] <= 1.0

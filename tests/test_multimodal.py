@@ -188,3 +188,27 @@ def test_audio_waveform_operator(spark):
     )
     assert out[2]["peaks"] is None  # undecodable: log-and-skip contract
     assert out[3]["peaks"] is None
+
+
+def test_wav_8bit_pcm_is_unsigned(spark):
+    """WAV stores 8-bit PCM unsigned with a 128 offset: 8-bit silence
+    (all samples 128) must decode to zero peaks — the signed read made
+    silence come out full-scale."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from idb_backend_spark.functions.multimodal import wav_rms_peaks
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(np.full(8000, 128, dtype=np.uint8).tobytes())
+    out = wav_rms_peaks(buf.getvalue())
+    assert out is not None
+    duration_ms, peaks = out
+    assert duration_ms == 1000
+    assert all(p == 0 for p in peaks)
