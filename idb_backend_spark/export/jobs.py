@@ -43,6 +43,9 @@ class DownloadJobManager:
         self.dedup_seconds = dedup_seconds
         self.clock = clock
         self.jobs: dict[str, Job] = {}
+        #: jobs displaced by a re-submit after their dedup window — kept
+        #: until vacuum runs their artifact cleanup
+        self._replaced: list[Job] = []
 
     def params_hash(self, params: dict) -> str:
         """F19 — recursive sha1 of the params dict with sorted keys and
@@ -52,13 +55,17 @@ class DownloadJobManager:
 
     def submit(self, params: dict, run) -> Job:
         """Run (or reuse) the export for ``params``. ``run(params)`` does
-        the actual work and returns the artifact descriptor."""
+        the actual work and returns the artifact descriptor. A job
+        replaced past its dedup window is parked for the next ``vacuum``
+        (its artifact still needs the on_expire cleanup — dropping it
+        from the registry would orphan the file forever)."""
         key = self.params_hash(params)
         existing = self.jobs.get(key)
         if existing is not None:
             age = self.clock() - existing.created_at
             if age < self.dedup_seconds and existing.status in ("pending", "running", "done"):
                 return existing
+            self._replaced.append(existing)
         job = Job(job_id=key, params=params, status="running",
                   created_at=self.clock())
         self.jobs[key] = job
@@ -97,4 +104,16 @@ class DownloadJobManager:
                     continue  # keep the job; retry cleanup next vacuum
             del self.jobs[key]
             removed.append(key)
+        # displaced jobs cleaned unconditionally of age: they are already
+        # unreachable through the registry, only their artifacts linger
+        still_parked = []
+        for job in self._replaced:
+            if on_expire is not None:
+                try:
+                    on_expire(job)
+                except Exception:
+                    still_parked.append(job)  # retry next vacuum
+                    continue
+            removed.append(job.job_id)
+        self._replaced = still_parked
         return removed

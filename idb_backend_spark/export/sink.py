@@ -34,7 +34,12 @@ def write_index_table(
     out = df
     if cluster_by:
         shuffle_keys = (partition_by or []) + cluster_by
-        out = out.repartition(*[F.col(c) for c in (partition_by or cluster_by)])
+        # repartition on partition_by ALONE collapses parallelism to the
+        # number of distinct partition values (4 `type`s -> 4 sort+write
+        # tasks for the whole table); hashing on partition+cluster keys
+        # keeps the cluster wide while dynamic partitioning still lands
+        # each row in its hive directory
+        out = out.repartition(*[F.col(c) for c in shuffle_keys])
         out = out.sortWithinPartitions(*shuffle_keys)
     writer = out.write.mode(mode).option(
         "maxRecordsPerFile", max_records_per_file

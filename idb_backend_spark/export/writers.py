@@ -87,7 +87,15 @@ def write_csv_member(
     with open(out_path, "w", encoding="utf-8", newline="") as out:
         import csv as _csv
 
-        w = _csv.writer(out, delimiter=sep, quoting=_csv.QUOTE_MINIMAL)
+        # lineterminator must match the Spark-written data rows (\n):
+        # the csv module's \r\n default gave the member a mixed-ending
+        # header, and multiLine readers auto-detect the separator from
+        # the FIRST line — \r\n there made them unable to split the
+        # \n-separated data rows
+        w = _csv.writer(
+            out, delimiter=sep, quoting=_csv.QUOTE_MINIMAL,
+            lineterminator="\n",
+        )
         w.writerow(names)
         for part in sorted(glob.glob(os.path.join(tmp, "part-*"))):
             with open(part, "r", encoding="utf-8") as pf:
@@ -184,8 +192,18 @@ def write_dwca(
              "uniquelocality": "locality", "uniquenames": "names"}
 
     all_members = [(True, core)] + [(False, e) for e in (extensions or [])]
+    used: set[str] = set()
     for is_core, (df, id_col, fields, rtype) in all_members:
-        fname = f"{names.get(rtype, rtype)}.{ext}"
+        base = names.get(rtype, rtype)
+        fname = f"{base}.{ext}"
+        # two members of the same record type must not share a filename:
+        # the second write would silently overwrite the first and
+        # meta.xml would point both blocks at one file
+        k = 2
+        while fname in used:
+            fname = f"{base}_{k}.{ext}"
+            k += 1
+        used.add(fname)
         path = os.path.join(workdir, fname)
         write_csv_member(df, path, id_col, fields, tsv=tsv)
         member_meta.append(
@@ -209,9 +227,30 @@ def uniquevals_frame(
     df: DataFrame, value_col: str, namespace: str = "idigbio"
 ) -> DataFrame:
     """A3+A4 — uniquevals export rows: (surrogate id, value, count) desc
-    (download.py:166-198 + identification.py:6-21)."""
-    from idb_backend_spark.functions.enrichment import uuid5_expr
+    (download.py:166-198 + identification.py:6-21).
 
+    ``namespace`` selects the uuid5 namespace, exactly as the reference
+    derives one per uniquevals type ('uniquenames' hashes under the
+    globalnames.org DNS namespace, 'uniquelocality' under the idigbio
+    identifiers URL namespace) — two logically distinct exports must not
+    collide on id for equal values."""
+    import uuid as _uuid
+
+    from idb_backend_spark.functions.enrichment import (
+        IDIGBIO_NAMESPACE,
+        uuid5_expr,
+    )
+
+    root = "http://identifiers.idigbio.org/"
+    known = {
+        # identification.py:6-11 — asserted constants in the reference
+        "uniquelocality": _uuid.uuid5(_uuid.NAMESPACE_URL, root + "locality"),
+        "uniquenames": _uuid.uuid5(_uuid.NAMESPACE_DNS, "globalnames.org"),
+        "idigbio": IDIGBIO_NAMESPACE,
+    }
+    ns = known.get(
+        namespace, _uuid.uuid5(_uuid.NAMESPACE_URL, root + namespace)
+    )
     vals = (
         df.select(
             F.coalesce(F.col(value_col).cast("string"), F.lit("")).alias("value")
@@ -220,5 +259,5 @@ def uniquevals_frame(
         .agg(F.count(F.lit(1)).alias("count"))
     )
     return vals.select(
-        uuid5_expr(F.col("value")).alias("id"), "value", "count"
+        uuid5_expr(F.col("value"), ns).alias("id"), "value", "count"
     ).orderBy(F.desc("count"), "value")

@@ -94,9 +94,20 @@ def read_delimited(
     )
     df = reader.csv(path)
     if CORRUPT_COL not in df.columns:
-        # a fully-clean read may omit the corrupt column; add it for a
-        # stable output contract
-        df = df.withColumn(CORRUPT_COL, F.lit(None).cast("string"))
+        # Spark only EMITS columnNameOfCorruptRecord when that column is
+        # part of a user-supplied schema — an inferred read silently
+        # drops the malformed-row capture and flag_corrupt_row could
+        # never fire. The first pass only discovers the header (all
+        # columns are strings, nothing is inferred); the second read
+        # supplies that schema plus the corrupt column so PERMISSIVE
+        # mode actually lands bad rows in it.
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        schema = StructType(
+            [StructField(f.name, StringType()) for f in df.schema.fields]
+            + [StructField(CORRUPT_COL, StringType())]
+        )
+        df = reader.schema(schema).csv(path)
     if canonicalize and header:
         renames, drops = {}, []
         for c in df.columns:
@@ -106,7 +117,16 @@ def read_delimited(
             if term is None:
                 # registry marks the column as provider bookkeeping — drop
                 drops.append(c)
-            elif term != c and term not in df.columns:
+            elif (
+                term != c
+                and term not in df.columns
+                and term not in renames.values()
+            ):
+                # two verbatim headers canonicalizing to the SAME term
+                # ('Latitude' and 'DecimalLatitude'): first wins, the
+                # second keeps its verbatim name — renaming both would
+                # produce duplicate columns and an ambiguous-reference
+                # failure at the first select
                 renames[c] = term
         df = df.drop(*drops).withColumnsRenamed(renames)
     out_cols = [c for c in df.columns if c != CORRUPT_COL]

@@ -73,7 +73,9 @@ def _parse_file_block(el) -> DwcaFileDescriptor:
         row_type=el.get("rowType", "http://rs.tdwg.org/dwc/terms/Occurrence"),
         fields_terminated_by=normalize_delimiter(el.get("fieldsTerminatedBy"), ","),
         lines_terminated_by=el.get("linesTerminatedBy", "\n"),
-        fields_enclosed_by=el.get("fieldsEnclosedBy", '"') or '"',
+        # absent attribute -> standard double quote; EXPLICIT "" means
+        # "no quoting" (the IPT TSV declaration) and must stay empty
+        fields_enclosed_by=el.get("fieldsEnclosedBy", '"'),
         encoding=el.get("encoding", "utf-8"),
         ignore_header_lines=int(el.get("ignoreHeaderLines", "0") or 0),
     )
@@ -157,10 +159,26 @@ class DwcaArchive:
         reader = (
             spark.read.option("header", "false")
             .option("sep", desc.fields_terminated_by)
-            .option("quote", desc.fields_enclosed_by or '"')
+            # fieldsEnclosedBy="" means NO quoting — \u0000 disables
+            # Spark's quote handling instead of silently reinstating '"'
+            .option("quote", desc.fields_enclosed_by or "\u0000")
             .option("encoding", desc.encoding)
             .option("mode", "PERMISSIVE")
         )
+        if desc.fields_enclosed_by:
+            # quoted members may carry embedded newlines (our own writer
+            # emits them); multiLine reads each member as one split —
+            # fine, a DwC-A member is a single extracted file anyway.
+            # Pin lineSep to the declared terminator: multiLine mode
+            # auto-detects the separator from the first line, and a
+            # mixed-ending file would otherwise parse as one record.
+            sep_map = {"\\n": "\n", "\\r\\n": "\r\n", "\\r": "\r"}
+            line_sep = sep_map.get(
+                desc.lines_terminated_by, desc.lines_terminated_by
+            ) or "\n"
+            reader = reader.option("multiLine", "true").option(
+                "lineSep", line_sep
+            )
         df = reader.csv(path)
         if desc.ignore_header_lines:
             # header rows are data rows in a headerless read; drop them by
@@ -170,12 +188,26 @@ class DwcaArchive:
             import csv as _csv
 
             with open(path, "r", encoding=desc.encoding, newline="") as f:
-                sniff = _csv.reader(
-                    f,
-                    delimiter=desc.fields_terminated_by,
-                    quotechar=desc.fields_enclosed_by or '"',
-                )
-                headers = [next(sniff) for _ in range(desc.ignore_header_lines)]
+                if desc.fields_enclosed_by:
+                    sniff = _csv.reader(
+                        f,
+                        delimiter=desc.fields_terminated_by,
+                        quotechar=desc.fields_enclosed_by,
+                    )
+                else:
+                    sniff = _csv.reader(
+                        f,
+                        delimiter=desc.fields_terminated_by,
+                        quoting=_csv.QUOTE_NONE,
+                    )
+                headers = []
+                for _ in range(desc.ignore_header_lines):
+                    # a member shorter than its declared header count is
+                    # just empty — not a crash
+                    row = next(sniff, None)
+                    if row is None:
+                        break
+                    headers.append(row)
             for hdr in headers:
                 cond = None
                 for i, v in enumerate(hdr):
@@ -194,11 +226,18 @@ class DwcaArchive:
             if idx == desc.id_index and desc.term_by_index[idx] in ("id", "coreid"):
                 continue
             src = F.col(f"_c{idx}")
-            cols.append(
-                F.when(F.trim(src) == "", None).otherwise(src).alias(
-                    desc.term_by_index[idx]
-                )
-            )
+            term = desc.term_by_index[idx]
+            d_val = desc.defaults.get(term)
+            if d_val is not None:
+                # a <field> with BOTH index and default: blank/missing
+                # values take the declared default (DwC-A text guide),
+                # instead of nulling and never applying it
+                expr = F.when(
+                    F.trim(F.coalesce(src, F.lit(""))) == "", F.lit(d_val)
+                ).otherwise(src)
+            else:
+                expr = F.when(F.trim(src) == "", None).otherwise(src)
+            cols.append(expr.alias(term))
         for term, default in desc.defaults.items():
             if term not in desc.term_by_index.values():
                 cols.append(F.lit(default).alias(term))

@@ -185,3 +185,36 @@ def test_job_vacuum_ttl_and_retry():
     assert mgr.vacuum(ttl_seconds=200, on_expire=boom) == []
     assert mgr.status(j2.job_id) is j2
     assert mgr.vacuum(ttl_seconds=200) == [j2.job_id]
+
+
+def test_job_replaced_past_dedup_window_still_vacuumed():
+    """Re-submitting the same params after the dedup window replaces the
+    job — the OLD job's artifact must still reach on_expire via vacuum,
+    not leak because it fell out of the registry."""
+    clock = [0.0]
+    mgr = DownloadJobManager(dedup_seconds=100, clock=lambda: clock[0])
+    mgr.submit({"q": 1}, lambda p: "artifact_v1")
+    clock[0] = 200.0  # past the window: same params -> NEW job
+    j2 = mgr.submit({"q": 1}, lambda p: "artifact_v2")
+    assert j2.result == "artifact_v2"
+    cleaned = []
+    mgr.vacuum(ttl_seconds=10**9, on_expire=lambda j: cleaned.append(j.result))
+    assert "artifact_v1" in cleaned  # the displaced job was not orphaned
+
+
+def test_uniquevals_namespaces_are_distinct(spark):
+    """Two logically distinct uniquevals exports must not collide on the
+    surrogate id for equal values (reference identification.py derives a
+    namespace per type)."""
+    from idb_backend_spark.export.writers import uniquevals_frame
+
+    df = spark.createDataFrame([("acer",)], "v string")
+    id_names = uniquevals_frame(df, "v", namespace="uniquenames").first()["id"]
+    id_loc = uniquevals_frame(df, "v", namespace="uniquelocality").first()["id"]
+    assert id_names != id_loc
+    # and the names namespace matches the reference's asserted constant
+    import uuid
+
+    gn = uuid.uuid5(uuid.NAMESPACE_DNS, "globalnames.org")
+    assert str(gn) == "90181196-fecf-5082-a4c1-411d4f314cda"
+    assert id_names == str(uuid.uuid5(gn, "acer"))
