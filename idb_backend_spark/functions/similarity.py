@@ -33,63 +33,11 @@ def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     return list(zip(a.tolist(), b.tolist()))
 
 
-def hash_base(shingle_col: Column) -> Column:
-    """base_i = xxhash64(shingle_i) mod p — computed ONCE per shingle.
-
-    Keep this in its own projection (select/withColumn boundary) so the
-    signature lanes reference an attribute instead of re-evaluating the
-    shingle hashing per lane."""
-    return F.transform(
-        shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P))
-    )
-
-
-def minhash_signature(
-    shingle_col: Column, num_hashes: int = 64, seed: int = 42
-) -> Column:
-    """MinHash signature (array<long>, length num_hashes) from a shingle or
-    pre-hashed base array, entirely with native expressions.
-
-    base_i = xxhash64(shingle_i) mod p;  sig_j = min_i ((a_j*base_i + b_j) mod p)
-    With a, b, base < p < 2^31 the arithmetic is overflow-exact in 64-bit —
-    deterministic and portable.
-
-    IMPORTANT at scale: pass ``hash_base(...)`` through its own projection
-    boundary (withColumn/select) and call this on the resulting *attribute*;
-    inlining the shingle expression here would re-evaluate it once per lane.
-    """
-    base = shingle_col
-
-    def _perm(a: int, b: int):
-        # Single-arg lambda factory (extra default args would be bound to
-        # the higher-order function's index parameter). a*x + b < 2^62: exact.
-        return lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(MERSENNE_P))
-
-    sigs = [
-        F.array_min(F.transform(base, _perm(a, b)))
-        for a, b in _hash_params(num_hashes, seed)
-    ]
-    return F.array(*sigs)
-
-
-def lsh_band_keys(sig_col: Column, bands: int, rows_per_band: int) -> Column:
-    """Split a signature into bands and hash each band -> array<struct
-    (band int, key long)>. Explode + groupBy(key) buckets candidate pairs;
-    two docs land in the same bucket iff a whole band matches (the standard
-    banding amplification of Jaccard similarity)."""
-    entries = []
-    for bi in range(bands):
-        band = F.slice(sig_col, bi * rows_per_band + 1, rows_per_band)
-        entries.append(
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(F.concat_ws("_", *[
-                    F.element_at(band, j + 1).cast("string")
-                    for j in range(rows_per_band)
-                ])).alias("key"),
-            )
-        )
-    return F.array(*entries)
+# (The array-expression minhash trio — hash_base / minhash_signature /
+# lsh_band_keys — was removed: nothing called it since the aggregation
+# formulation in operators.dedup.minhash_signatures replaced it, and its
+# nested 64-lane expressions fall out of codegen ~20x slower. The
+# aggregation path is the one that survives 100 TB.)
 
 
 @F.pandas_udf(LongType())

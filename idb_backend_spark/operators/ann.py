@@ -81,6 +81,10 @@ def ivf_build(
         .collect()
     )
     centroids = [list(r[vec_col]) for r in sample]
+    # a corpus smaller than nlist yields fewer seed centroids; iterate
+    # over what EXISTS — indexing range(nlist) into a short list crashed
+    # on any small (or filtered) input instead of degrading gracefully
+    nlist = len(centroids)
     for _ in range(max(0, iterations)):
         assigned = _assign(df, centroids, vec_col)
         means = (
@@ -103,6 +107,22 @@ def ivf_build(
     return _assign(df, centroids, vec_col), centroids
 
 
+def _probe_buckets(centroids: list, query_vec, nprobe: int) -> list[int]:
+    """The nprobe bucket ids whose centroids are nearest the query —
+    the ONE probe-selection kernel both ivf_topk and ivf_topk_from_store
+    use (a divergent copy here would silently split their semantics)."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=float)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    sims = []
+    for i, c in enumerate(centroids):
+        cv = np.asarray(c, dtype=float)
+        n = np.linalg.norm(cv)
+        sims.append((float(np.dot(qn, cv / n)) if n else -1.0, i))
+    return [i for _, i in sorted(sims, reverse=True)[:nprobe]]
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: list,
@@ -113,16 +133,7 @@ def ivf_topk(
     nprobe: int = 4,
 ) -> DataFrame:
     """Probe the nprobe buckets whose centroids are nearest the query."""
-    import numpy as np
-
-    q = np.asarray(query_vec, dtype=float)
-    qn = q / (np.linalg.norm(q) or 1.0)
-    sims = []
-    for i, c in enumerate(centroids):
-        cv = np.asarray(c, dtype=float)
-        n = np.linalg.norm(cv)
-        sims.append((float(np.dot(qn, cv / n)) if n else -1.0, i))
-    probe = [i for _, i in sorted(sims, reverse=True)[:nprobe]]
+    probe = _probe_buckets(centroids, query_vec, nprobe)
     sim = cosine_similarity(F.col(vec_col), _vec_lit(query_vec))
     return (
         assigned.filter(F.col("bucket").isin(probe))
@@ -187,16 +198,7 @@ def ivf_topk_from_store(
     """Probe a bucket-partitioned IVF store: the bucket IN-list predicate
     prunes partitions at the scan, so only nprobe/nlist of the files are
     read."""
-    import numpy as np
-
-    q = np.asarray(query_vec, dtype=float)
-    qn = q / (np.linalg.norm(q) or 1.0)
-    sims = []
-    for i, c in enumerate(centroids):
-        cv = np.asarray(c, dtype=float)
-        n = np.linalg.norm(cv)
-        sims.append((float(np.dot(qn, cv / n)) if n else -1.0, i))
-    probe = [i for _, i in sorted(sims, reverse=True)[:nprobe]]
+    probe = _probe_buckets(centroids, query_vec, nprobe)
     store = spark.read.parquet(path)
     sim = cosine_similarity(F.col(vec_col), _vec_lit(query_vec))
     return (

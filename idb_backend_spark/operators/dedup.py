@@ -21,9 +21,6 @@ from pyspark.sql import functions as F
 
 from idb_backend_spark.functions.similarity import (
     hamming64,
-    hash_base,
-    lsh_band_keys,
-    minhash_signature,
     simhash64,
 )
 from idb_backend_spark.functions.text import (
@@ -194,6 +191,13 @@ def minhash_lsh_pairs(
     only form inside LSH buckets: the self-join key is (band, band_hash), so
     the shuffle is bounded by bucket sizes, not n².
     """
+    if bands > num_hashes or num_hashes % bands != 0:
+        # bands > num_hashes makes every band key empty (a silent O(n^2)
+        # cross product); a non-divisor silently drops trailing lanes
+        # and quietly lowers recall below the configured width
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes ({num_hashes})"
+        )
     rows_per_band = num_hashes // bands
 
     # Materialize the signature once: it feeds the banded self-join AND both
@@ -330,9 +334,13 @@ def embedding_near_dup_pairs(
     from idb_backend_spark.functions.similarity import cosine_similarity
 
     first = df.select(F.size(vec_col).alias("d")).first()
-    if first is None:
+    if first is None or first["d"] is None:
+        # empty (or null-vector-headed) input: the empty pair frame must
+        # carry the SAME id type as the non-empty output or a downstream
+        # union of per-slice results fails only on the empty slice
+        id_t = df.schema[id_col].dataType.simpleString()
         return df.sparkSession.createDataFrame(
-            [], "id_a long, id_b long, cosine double"
+            [], f"id_a {id_t}, id_b {id_t}, cosine double"
         )
     dim = first["d"]
     if band_bits is None:

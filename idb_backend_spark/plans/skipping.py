@@ -110,6 +110,10 @@ def update_token_index(
     and URI forms stay consistent with what ``input_file_name()``
     recorded at build time.
     """
+    # a compaction/overwrite may have replaced the table's files since
+    # this session last listed them; drop the cached listing or the scan
+    # below reads dead paths
+    spark.catalog.refreshByPath(table_path)
     existing = {
         r["file"]
         for r in spark.read.parquet(index_path).select("file").collect()
@@ -158,7 +162,11 @@ def prune_files(
     the index has no row for is admitted unconditionally — an unindexed
     file (ingest appended data, crashed before the index update) must be
     scanned, never pruned, or the miss becomes a silent false negative.
-    Omit it only when the caller guarantees the index is complete.
+    The listing also RESTRICTS the admitted set: the append-only index
+    keeps rows for files a compaction/overwrite deleted, and handing
+    those paths to the reader would crash the scan (or resurrect deleted
+    rows if the old files linger). Omit it only when the caller
+    guarantees the index exactly matches the table.
     """
     idx = spark.read.parquet(index_path)
     # re-tokenize through the analyzer so a caller-supplied token like
@@ -173,10 +181,13 @@ def prune_files(
         )
         files = [r["file"] for r in idx.filter(pred).select("file").collect()]
     if all_files:
+        current = set(all_files)
         indexed = {
             r["file"] for r in idx.select("file").collect()
         }
-        files = files + [f for f in all_files if f not in indexed]
+        files = [f for f in files if f in current] + [
+            f for f in all_files if f not in indexed
+        ]
     return files
 
 
@@ -189,11 +200,17 @@ def token_match(query: str, fulltext_col: str = "fulltext") -> Column:
     carries all the query tokens' buckets, so whole-token-index pruning
     admits a superset of the matching files (exact — no false negatives).
     """
-    toks = analyzer_tokenize(query)
+    toks = sorted(set(analyzer_tokenize(query)))
     if not toks:
         return F.lit(True)
     tok_arr = analyzer_tokens(fulltext_col)
-    return reduce(and_, [F.array_contains(tok_arr, t) for t in toks])
+    # ONE evaluation of the tokenizer per row: a per-token
+    # array_contains conjunction would embed the regexp-extraction
+    # subtree once per query token (10-token query = 10 tokenizations
+    # of every row inside the scan filter)
+    return F.size(
+        F.array_intersect(tok_arr, F.array(*[F.lit(t) for t in toks]))
+    ) == F.lit(len(toks))
 
 
 def fulltext_scan(
@@ -215,6 +232,7 @@ def fulltext_scan(
     cannot prune for substring probes without dropping true matches, so
     this mode scans all files and applies the residual only.
     """
+    spark.catalog.refreshByPath(table_path)  # see update_token_index
     base = spark.read.parquet(table_path)
     if mode == "substring":
         from idb_backend_spark.query.shim import compile_shim
@@ -233,5 +251,8 @@ def fulltext_scan(
     )
     if not files:
         return base.filter(F.lit(False))
-    pruned = spark.read.parquet(*files)
+    # basePath keeps hive partition-column discovery working when the
+    # table is partitioned — a bare leaf-file read would silently drop
+    # those columns and diverge in schema from the empty-set path above
+    pruned = spark.read.option("basePath", table_path).parquet(*files)
     return pruned.filter(token_match(query, fulltext_col))

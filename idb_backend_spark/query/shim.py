@@ -115,11 +115,14 @@ def _fulltext(value: str, fulltext_col: str, substring: bool = False) -> Column:
         return reduce(
             operator.and_, [F.col(fulltext_col).contains(t) for t in toks]
         )
-    toks = analyzer_tokenize(value)
+    toks = sorted(set(analyzer_tokenize(value)))
     if not toks:
         return F.lit(True)
     tok_arr = analyzer_tokens(fulltext_col)
-    return reduce(operator.and_, [F.array_contains(tok_arr, t) for t in toks])
+    # single tokenizer evaluation per row (see plans.skipping.token_match)
+    return F.size(
+        F.array_intersect(tok_arr, F.array(*[F.lit(t) for t in toks]))
+    ) == F.lit(len(toks))
 
 
 def _geo_bounding_box(field: str, spec: dict) -> Column:
@@ -157,17 +160,30 @@ _DIST_UNIT_KM = {
     "meters": 0.001,
     "mi": 1.609344,
     "miles": 1.609344,
+    # nmi must sort longer than mi (suffix match walks longest-first)
+    "nmi": 1.852,
+    "nauticalmiles": 1.852,
+    "yd": 0.0009144,
+    "yards": 0.0009144,
+    "ft": 0.0003048,
+    "feet": 0.0003048,
+    "cm": 0.00001,
+    "mm": 0.000001,
 }
 
 
 def parse_distance_km(distance: Any) -> float:
+    """ES distance-string semantics: a BARE number is METERS (the
+    reference forwards the value to Elasticsearch untouched, and ES's
+    default distance unit is meters — a bare 5000 is 5 km, not
+    5000 km)."""
     if isinstance(distance, (int, float)):
-        return float(distance)
+        return float(distance) * 0.001
     s = str(distance).strip().lower()
     for unit in sorted(_DIST_UNIT_KM, key=len, reverse=True):
         if s.endswith(unit):
             return float(s[: -len(unit)].strip()) * _DIST_UNIT_KM[unit]
-    return float(s)
+    return float(s) * 0.001
 
 
 def _geo_distance(field: str, spec: dict) -> Column:
@@ -230,12 +246,17 @@ def _geo_shape(field: str, spec: dict) -> Column:
             [_geo_shape(field, {"type": "polygon", "coordinates": p}) for p in spec["coordinates"]],
         )
     if gtype == "envelope":
+        # GeoJSON/ES envelope order is [[west, north], [east, south]];
+        # LONGITUDES keep their declared order — west > east is the
+        # legitimate antimeridian-crossing form, which
+        # _geo_bounding_box's split-interval branch handles. min/max
+        # normalization would invert such a box into its complement.
         (x1, y1), (x2, y2) = spec["coordinates"]
         return _geo_bounding_box(
             field,
             {
-                "top_left": {"lat": max(y1, y2), "lon": min(x1, x2)},
-                "bottom_right": {"lat": min(y1, y2), "lon": max(x1, x2)},
+                "top_left": {"lat": max(y1, y2), "lon": x1},
+                "bottom_right": {"lat": min(y1, y2), "lon": x2},
             },
         )
     raise ShimError(f"unsupported geo_shape type: {gtype!r}")

@@ -207,3 +207,31 @@ def test_exact_dedup_identical_only(spark):
     groups = {r["keeper"]: r["n_copies"] for r in out.collect()}
     # normalization folds case/whitespace: docs 1 and 2 collide
     assert groups == {1: 2, 3: 1}
+
+
+def test_minhash_band_validation(spark):
+    import pytest as _pytest
+
+    from idb_backend_spark.operators import dedup
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="evenly divide"):
+        dedup.minhash_lsh_pairs(df, "text", "doc_id", num_hashes=64, bands=100)
+    with _pytest.raises(ValueError, match="evenly divide"):
+        dedup.minhash_lsh_pairs(df, "text", "doc_id", num_hashes=64, bands=12)
+
+
+def test_ivf_build_small_corpus(spark):
+    """A corpus smaller than nlist must degrade to fewer buckets, not
+    crash rebuilding centroids for empty seed slots."""
+    from idb_backend_spark.operators import ann
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    assigned, cents = ann.ivf_build(df, nlist=16, iterations=2)
+    assert 1 <= len(cents) <= 5
+    assert assigned.count() == 5
+    top = ann.ivf_topk(assigned, cents, [4.0, 1.0], k=3, nprobe=len(cents))
+    assert top.count() == 3

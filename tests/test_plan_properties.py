@@ -186,15 +186,19 @@ def test_bucketed_self_join_is_colocated(spark, bucketed_history):
 
 
 def test_fulltext_conjunction_not_udf(spark):
-    """P7: fulltext token conjunction is Contains expressions, pushable
-    string predicates — not a Python tokenizer."""
+    """P7: fulltext token conjunction is one native array-intersect over
+    a SINGLE tokenizer evaluation per row — not a Python tokenizer, and
+    not a per-token conjunction re-running the regexp extraction once
+    per query token."""
     docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
         "fulltext", F.lower(F.col("text"))
     )
     q = docs.filter(compile_shim({"fulltext": {"type": "fulltext", "value": "alpha beta"}}))
     p = plan_str(q)
     assert "EvalPython" not in p
-    assert "Contains" in p or "contains" in p
+    assert "array_intersect" in p
+    # the tokenizer subtree appears ONCE regardless of query token count
+    assert p.count("regexp_extract_all") == 1
 
 
 def test_typed_projection_is_single_stage_no_shuffle(spark):

@@ -198,8 +198,13 @@ def test_geo_shape_polygon_with_hole(df):
 def test_distance_units():
     assert parse_distance_km("50km") == 50.0
     assert parse_distance_km("5000m") == 5.0
-    assert parse_distance_km(10) == 10.0
+    # ES parity: a BARE number is METERS (the reference forwards it to
+    # Elasticsearch, whose default distance unit is meters)
+    assert parse_distance_km(10) == 0.01
+    assert parse_distance_km("5000") == 5.0
     assert parse_distance_km("1mi") == pytest.approx(1.609344)
+    assert parse_distance_km("2nmi") == pytest.approx(3.704)
+    assert parse_distance_km("100ft") == pytest.approx(0.03048)
 
 
 def test_unknown_predicate_raises(df):
@@ -301,3 +306,30 @@ def test_geo_distance_antipodal_no_nan(spark):
     ).first()["km"]
     assert d == d  # not NaN
     assert abs(d - 20015.086) < 1.0  # half the Earth's circumference
+
+
+def test_geo_shape_envelope_antimeridian(spark):
+    """An envelope whose west lon > east lon crosses the dateline and
+    must select the [west,180] U [-180,east] strip — min/max
+    normalization used to invert it into its complement."""
+    rows = spark.createDataFrame(
+        [
+            ("in_strip_e", 175.0, 0.0),
+            ("in_strip_w", -175.0, 0.0),
+            ("outside", 0.0, 0.0),
+        ],
+        "name string, lon double, lat double",
+    ).selectExpr("name", "named_struct('lat', lat, 'lon', lon) AS geopoint")
+    shim = {
+        "geopoint": {
+            "type": "geo_shape",
+            "shape": {
+                "type": "envelope",
+                "coordinates": [[170.0, 10.0], [-170.0, -10.0]],
+            },
+        }
+    }
+    got = sorted(
+        r["name"] for r in rows.filter(compile_shim(shim)).collect()
+    )
+    assert got == ["in_strip_e", "in_strip_w"]

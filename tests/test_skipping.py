@@ -215,3 +215,25 @@ def test_tokenless_files_get_index_rows_and_noop_converges(spark, tmp_path):
     assert len(skipping.update_token_index(spark, path, ["fulltext"], idx)) == 1
     assert skipping.update_token_index(spark, path, ["fulltext"], idx) == []
     assert skipping.fulltext_scan(spark, path, idx, "real words").count() == 1
+
+
+def test_stale_index_rows_do_not_crash_scan_after_rewrite(spark, tmp_path):
+    """The append-only index keeps rows for files a compaction deleted;
+    pruning must intersect with the CURRENT listing or the reader is
+    handed dead paths (PATH_NOT_FOUND on every query)."""
+    path = _table(spark, tmp_path)
+    idx = str(tmp_path / "docs_tokidx_stale")
+    skipping.build_token_index(spark.read.parquet(path), ["fulltext"], idx)
+
+    # compact: rewrite the table into fewer files (old paths die).
+    # Materialize first — an in-place self-overwrite from a live scan of
+    # the same directory is its own hazard, not what this test pins.
+    rows = spark.read.parquet(path).collect()
+    spark.createDataFrame(rows).coalesce(2).write.mode("overwrite").parquet(
+        path
+    )
+    skipping.update_token_index(spark, path, ["fulltext"], idx)
+
+    # the scan must survive and stay exact against the rewritten table
+    got = skipping.fulltext_scan(spark, path, idx, "zebra here").count()
+    assert got == 1
