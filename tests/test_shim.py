@@ -333,3 +333,60 @@ def test_geo_shape_envelope_antimeridian(spark):
         r["name"] for r in rows.filter(compile_shim(shim)).collect()
     )
     assert got == ["in_strip_e", "in_strip_w"]
+
+
+def test_sql_emission_property_parity(spark):
+    """Hypothesis-driven parity: for randomized values — including LIKE
+    metacharacters, quotes, and backslashes — the compiled Column and
+    the emitted DuckDB SQL must select the same rows."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    corpus_vals = [
+        "plain", "my_val", "my%val", "100%", "back\\slash", "o'quote",
+        "my_value", "myxvalue", "", "acer rubrum", "UPPER case",
+    ]
+    rows = [(i, v, f"{v} extra words") for i, v in enumerate(corpus_vals)]
+    sdf = spark.createDataFrame(rows, "id long, v string, fulltext string")
+    sdf = sdf.selectExpr("id", "v", "lower(fulltext) AS fulltext")
+    pdf = sdf.toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+
+    probe = st.sampled_from(
+        corpus_vals + ["my_", "my%", "\\", "'", "zz", "100"]
+    )
+
+    @settings(max_examples=60, deadline=None, derandomize=True)
+    @given(
+        value=probe,
+        kind=st.sampled_from(["term", "terms", "prefix", "substring"]),
+    )
+    def check(value, kind):
+        if kind == "term":
+            shim = {"v": value}
+        elif kind == "terms":
+            shim = {"v": [value, "plain"]}
+        elif kind == "prefix":
+            shim = {"v": {"type": "prefix", "value": value}}
+        else:
+            if not value.strip():
+                return  # empty substring probe = match-all on both sides
+            shim = {
+                "fulltext": {
+                    "type": "fulltext", "value": value, "substring": True,
+                }
+            }
+        spark_ids = sorted(
+            r["id"] for r in sdf.filter(compile_shim(shim)).collect()
+        )
+        sql_ids = sorted(
+            r[0]
+            for r in con.execute(
+                f"SELECT id FROM t WHERE {shim_to_sql(shim)}"
+            ).fetchall()
+        )
+        assert spark_ids == sql_ids, (shim, spark_ids, sql_ids)
+
+    check()
