@@ -847,7 +847,6 @@ def rev_geocode_q(spark, sf_dir):
 # FORMULA independently (Column algebra vs SQL text).
 # --------------------------------------------------------------------------
 
-import math as _math
 
 from idb_backend_spark.functions import geo as GEO
 

@@ -354,8 +354,13 @@ def streaming_windowed_rollup(spark, sf_dir):
     import tempfile
 
     path = f"{sf_dir}/events.parquet"
-    # _t sets the nanos conf + documents the ts conversion; reuse its
-    # reader for the schema so the stream sees exactly the batch layout
+    # _t's conf side-effects are REQUIRED here, not optional: it maps the
+    # nanosecond parquet timestamps to long (the raw read below throws
+    # 'Illegal Parquet type' without it on a driver-owned session) and
+    # pins the session timezone to UTC (F.window buckets UTC instants —
+    # in any other zone near-midnight events rebucket away from the
+    # oracle's naive date_trunc calendar)
+    _t(spark, sf_dir, "events")
     raw_schema = spark.read.parquet(path).schema
     # the file source streams a DIRECTORY (its listing is the change
     # feed); the test table is a single file, so stage it as a one-file
@@ -399,7 +404,7 @@ def streaming_windowed_rollup(spark, sf_dir):
     # the memory sink has materialized the final result; the staged
     # landing directory is dead weight from here — reclaim it now
     shutil.rmtree(landing, ignore_errors=True)
-    return (
+    out = (
         spark.table(qname)
         .select(
             "window_start",
@@ -409,6 +414,14 @@ def streaming_windowed_rollup(spark, sf_dir):
         )
         .orderBy("window_start", "event_type")
     )
+    # detach the (small) result from the memory sink and DROP the sink:
+    # each run registers a uniquely-named in-memory table holding the
+    # full rollup, and a timing loop re-running the entry would
+    # accumulate one per invocation on the driver
+    rows = out.collect()
+    result = spark.createDataFrame(rows, out.schema)
+    spark.catalog.dropTempView(qname)
+    return result
 
 
 @query("simhash_exact_verified", _EXACT_JACCARD_ORACLE)

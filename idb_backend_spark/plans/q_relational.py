@@ -363,8 +363,13 @@ def keyset_pagination(spark, sf_dir):
 
 @query(
     "grab_first_number",
+    # TRY_CAST + NULLIF: a props value with NO numeric token extracts ''
+    # and a plain CAST('' AS DOUBLE) would abort the whole oracle query,
+    # where the Spark side emits the row with num = NULL
     "SELECT event_id, "
-    "CAST(replace(regexp_extract(props, '([+-]?\\d+(?:,\\d{3})*(?:\\.\\d*)?)', 1), ',', '') AS DOUBLE) AS num "
+    "TRY_CAST(NULLIF(replace(regexp_extract(props, "
+    "'([+-]?\\d+(?:,\\d{3})*(?:\\.\\d*)?)', 1), ',', ''), '') AS DOUBLE)"
+    " AS num "
     "FROM events WHERE props IS NOT NULL ORDER BY event_id",
 )
 def grab_first_number_q(spark, sf_dir):

@@ -16,14 +16,9 @@ from idb_backend_spark.operators import (  # noqa: F401
 from idb_backend_spark.functions import enrichment as E
 from idb_backend_spark.functions import grabbers, text  # noqa: F401
 from idb_backend_spark.plans.registry import _t, query
+from idb_backend_spark.plans.registry import staging_dir as _tmpdir
 
 
-def _tmpdir(prefix: str) -> str:
-    """Alias of plans.registry.staging_dir (kept for existing call
-    sites): exit-deferred mkdtemp for lazily-read staging files."""
-    from idb_backend_spark.plans.registry import staging_dir
-
-    return staging_dir(prefix)
 from idb_backend_spark.query.shim import compile_shim, shim_to_sql  # noqa: F401
 
 
@@ -89,6 +84,26 @@ def tombstone_deletes(spark, sf_dir):
     return out.select("uuid", "version", "etag").orderBy("uuid")
 
 
+def _magic_blobs(docs):
+    """Synthetic media blobs keyed by doc_id % 4 (JPEG / PNG / WAV /
+    junk magic bytes + the text payload) — the ONE corpus builder both
+    F24 (media_sniff_buckets) and F25 (media_derivatives) grade against,
+    so their oracles can never drift onto different magic prefixes."""
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat(
+            F.when(F.col("doc_id") % 4 == 0, F.lit(b"\xff\xd8\xff\xe0"))
+            .when(F.col("doc_id") % 4 == 1, F.lit(b"\x89PNG\r\n\x1a\n"))
+            .when(
+                F.col("doc_id") % 4 == 2,
+                F.lit(b"RIFF\x00\x00\x00\x00WAVE"),
+            )
+            .otherwise(F.lit(b"text")),
+            F.col("text").cast("binary"),
+        ).alias("content"),
+    )
+
+
 @query(
     "media_sniff_buckets",
     # binary blobs synthesized per doc with magic-byte prefixes by doc_id%4:
@@ -103,19 +118,7 @@ def media_sniff_buckets(spark, sf_dir):
     from idb_backend_spark.functions.multimodal import validate_media
 
     docs = _t(spark, sf_dir, "documents")
-    blobs = docs.select(
-        F.col("doc_id").alias("id"),
-        F.concat(
-            F.when(F.col("doc_id") % 4 == 0, F.lit(b"\xff\xd8\xff\xe0"))
-            .when(F.col("doc_id") % 4 == 1, F.lit(b"\x89PNG\r\n\x1a\n"))
-            .when(
-                F.col("doc_id") % 4 == 2,
-                F.lit(b"RIFF\x00\x00\x00\x00WAVE"),
-            )
-            .otherwise(F.lit(b"text")),
-            F.col("text").cast("binary"),
-        ).alias("content"),
-    )
+    blobs = _magic_blobs(docs)
     meta = validate_media(blobs)
     return (
         meta.groupBy("bucket")
@@ -142,19 +145,7 @@ def media_derivatives(spark, sf_dir):
     from idb_backend_spark.functions.multimodal import generate_derivatives
 
     docs = _t(spark, sf_dir, "documents")
-    blobs = docs.select(
-        F.col("doc_id").alias("id"),
-        F.concat(
-            F.when(F.col("doc_id") % 4 == 0, F.lit(b"\xff\xd8\xff\xe0"))
-            .when(F.col("doc_id") % 4 == 1, F.lit(b"\x89PNG\r\n\x1a\n"))
-            .when(
-                F.col("doc_id") % 4 == 2,
-                F.lit(b"RIFF\x00\x00\x00\x00WAVE"),
-            )
-            .otherwise(F.lit(b"text")),
-            F.col("text").cast("binary"),
-        ).alias("content"),
-    )
+    blobs = _magic_blobs(docs)
     dv = generate_derivatives(blobs, fake=True)
     return (
         dv.withColumn("is_jpeg", F.col("id") % 4 == 0)
@@ -547,7 +538,6 @@ def dwca_roundtrip(spark, sf_dir):
     corruption in the CSV shaping, meta.xml term URIs, header handling, or
     blank→null normalization breaks the value hash."""
     import os
-    import tempfile
 
     from idb_backend_spark.export.writers import write_dwca
     from idb_backend_spark.sources.dwca import DwcaArchive
@@ -614,7 +604,6 @@ def delimited_roundtrip(spark, sf_dir):
     registry-flagged Annotations column, and mark zero corrupt rows
     (reference delimited.py:256-305, fieldnames.py:594-631)."""
     import os
-    import tempfile
 
     from idb_backend_spark.export.writers import write_csv_member
     from idb_backend_spark.sources.delimited import read_delimited
@@ -640,7 +629,12 @@ def delimited_roundtrip(spark, sf_dir):
         },
     )
     back = read_delimited(spark, path, sep="\t")
-    assert "Annotations" not in back.columns and "notes" not in back.columns
+    if "Annotations" in back.columns or "notes" in back.columns:
+        # explicit raise, not assert: python -O strips asserts, and this
+        # drop contract must fail loudly as a graded error either way
+        raise ValueError(
+            "registry-flagged Annotations column survived the roundtrip"
+        )
     return back.select(
         F.col("id").cast("bigint").alias("s_suppkey"),
         F.col("`dwc:recordedBy`").alias("recorded_by"),
@@ -714,7 +708,6 @@ def object_store_roundtrip(spark, sf_dir):
     batch — the executor-side shape the S3 backend needs); the oracle only
     knows md5(text), so any loss in the store round-trip diverges."""
     import pandas as pd  # noqa: F811
-    import tempfile
 
     from idb_backend_spark.sources.objectstore import (
         LocalFSBackend,
@@ -758,7 +751,6 @@ def index_sink_roundtrip(spark, sf_dir):
     per partition value. Any row lost or duplicated by the layout write
     (repartition + sortWithinPartitions + partitionBy + bounded files)
     breaks the count/sum oracle."""
-    import tempfile
 
     from idb_backend_spark.export.sink import write_index_table
 

@@ -207,7 +207,7 @@ def sessionize_q(spark, sf_dir):
     sq.awaitTermination()
     # the memory sink has materialized every emitted session row
     shutil.rmtree(work, ignore_errors=True)
-    return (
+    out = (
         spark.table(qname)
         .select(
             F.col("user_id").cast("bigint").alias("user_id"),
@@ -217,6 +217,12 @@ def sessionize_q(spark, sf_dir):
         )
         .orderBy("user_id", "session_start")
     )
+    # detach + drop the sink so repeated runs don't accumulate one
+    # in-memory result table per invocation on the driver
+    rows = out.collect()
+    result = spark.createDataFrame(rows, out.schema)
+    spark.catalog.dropTempView(qname)
+    return result
 
 
 @query(
@@ -259,7 +265,11 @@ def streaming_exact_dedup(spark, sf_dir):
     )
     sq.awaitTermination()
     shutil.rmtree(work, ignore_errors=True)
-    return spark.table(qname).select("fp").orderBy("fp")
+    out = spark.table(qname).select("fp").orderBy("fp")
+    rows = out.collect()  # detach + drop the sink (see sessionize)
+    result = spark.createDataFrame(rows, out.schema)
+    spark.catalog.dropTempView(qname)
+    return result
 
 
 _SESSION_ALL_ORACLE = (

@@ -33,6 +33,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # table loader does not repeatedly mutate shared session state.
     if spark.conf.get(_NANOS_CONF, "false") != "true":
         spark.conf.set(_NANOS_CONF, "true")
+    # session timezone pinned to UTC (session.py does the same at
+    # construction): F.window and TIMESTAMP literals are session-tz
+    # dependent, so a driver-owned session in another zone would rebucket
+    # near-midnight events away from the DuckDB oracles' naive calendar
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     excluded = spark.conf.get(_EXCLUDE_CONF, None) or ""
     if _INFER_GEN_RULE not in excluded:
         spark.conf.set(

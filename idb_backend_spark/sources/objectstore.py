@@ -27,6 +27,7 @@ from __future__ import annotations
 import hashlib
 import os
 import time
+import uuid
 from dataclasses import dataclass
 
 #: buckets whose objects never get a public ACL (storage.py:47).
@@ -85,7 +86,11 @@ class LocalFSBackend:
     def write(self, bucket: str, key: str, data: bytes) -> None:
         path = self._path(bucket, key)
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + ".tmp"
+        # unique temp name per writer: keys are content-addressed, so two
+        # tasks (duplicate content, or a speculative retry) legitimately
+        # put the same key concurrently — a shared '<path>.tmp' would let
+        # one writer publish the other's half-written file via os.replace
+        tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
         try:
             with open(tmp, "wb") as fh:
                 fh.write(data)
