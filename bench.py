@@ -41,7 +41,10 @@ HEADLINE = [
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1  # path contains 'sf' without a trailing number
 
     from idb_backend_spark.plans.catalog import Q, UNGRADED
     from idb_backend_spark.session import get_spark
@@ -67,7 +70,15 @@ def main():
     for name in HEADLINE:
         fn = runnable[name]
         t0 = time.time()
-        n = fn(spark, sf_dir).count()
+        try:
+            n = fn(spark, sf_dir).count()
+        except Exception as e:
+            # one failing query must not swallow every other timing AND
+            # the JSON line the driver parses — record the failure and
+            # keep going
+            times[name] = None
+            print(f"# {name}: FAILED {e}", file=sys.stderr)
+            continue
         dt = time.time() - t0
         times[name] = round(dt, 3)
         total += dt

@@ -253,8 +253,16 @@ def _getfield_expr(raw: Column, rawfield: str, reftype: str) -> Column:
     """F1 ``getfield`` over the raw map (conversions.py:274-287): prefer
     the lowercased key, fall back to the verbatim key; strings are
     lowercased+stripped, list values (JSON-encoded in the map) parse to
-    array<string> with element-wise folding."""
-    v = F.coalesce(raw[rawfield.lower()], raw[rawfield])
+    array<string> with element-wise folding.
+
+    Key selection is by PRESENCE, not by value: the reference's
+    ``if fl in d: f = fl`` picks the lowercased key even when its value
+    is None — a coalesce would silently fall through to the verbatim
+    key's value there and diverge."""
+    lower_key = rawfield.lower()
+    v = F.when(
+        F.map_contains_key(raw, F.lit(lower_key)), raw[lower_key]
+    ).otherwise(raw[rawfield])
     if reftype == "list":
         arr = F.from_json(v, T.ArrayType(T.StringType()))
         return F.transform(arr, lambda x: F.lower(F.trim(x)))

@@ -172,3 +172,24 @@ def test_verbatim_projection_other_record_types(spark):
         keep=["id"],
     ).collect()[0]
     assert rs["name"] == "fish tissues"
+
+
+def test_getfield_null_valued_lowercase_key_wins(spark):
+    """Reference getfield parity (conversions.py:274-287): the lowercased
+    key is selected by PRESENCE — a present-but-null lowercased entry
+    yields null, it must not fall through to the verbatim key's value."""
+    from pyspark.sql import functions as F
+
+    from idb_backend_spark.data.typed_schema import verbatim_projection
+
+    df = spark.createDataFrame([(1,)], "id long").withColumn(
+        "data",
+        F.map_from_arrays(
+            F.array(
+                F.lit("dwc:scientificname"), F.lit("dwc:scientificName")
+            ),
+            F.array(F.lit(None).cast("string"), F.lit("Quercus")),
+        ),
+    )
+    out = verbatim_projection(df, "records", keep=["id"]).first()
+    assert out["scientificname"] is None

@@ -24,25 +24,34 @@ TABLES = [
 ]
 
 
-def norm_cell(v):
-    import datetime
-    import math
+import datetime as _dt
+import math as _m
 
+
+def norm_cell(v):
     if v is None:
         return "\0"
+    # Spark collects struct cells as Row (a tuple subclass with fields);
+    # DuckDB returns dicts — normalize Rows through the dict branch or
+    # struct columns could never hash equal across engines
+    if hasattr(v, "asDict"):
+        v = v.asDict()
     if isinstance(v, float):
-        if math.isnan(v):
+        if _m.isnan(v):
             return "nan"
+        if _m.isinf(v):  # int(inf) raises; one Infinity cell must not
+            return "inf" if v > 0 else "-inf"  # abort the whole gate
         if v == int(v) and abs(v) < 1e15:
             return repr(int(v))
         return repr(round(v, 9))
-    if isinstance(v, (datetime.datetime, datetime.date)):
+    if isinstance(v, (_dt.datetime, _dt.date)):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+        # json-escape elements so ["a","b"] and ["a,b"] cannot collide
+        return json.dumps([norm_cell(x) for x in v])
     if isinstance(v, dict):
         return json.dumps({k: norm_cell(x) for k, x in sorted(v.items())})
-    return str(v)
+    return str(v).replace("\x01", "\\x01")  # keep the cell separator safe
 
 
 def value_hash(rows, colnames):
@@ -73,6 +82,12 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name silently matching nothing would exit 0 with
+        # '0 failed of 0' — a false pass for anyone using the exit code
+        print(f"unknown query name(s): {sorted(unknown)}", file=sys.stderr)
+        return 2
     results = {}
     failed = []
     for name, fn in qs.items():
