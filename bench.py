@@ -26,7 +26,9 @@ HEADLINE = [
     "sibling_symmetrize",
     "crossfilter_semi_join",
     "citation_counts",
-    "stats_daily_rollup",
+    # r6: stats_daily_rollup's catalog entry was retired; the nested A7
+    # shape (same rollup plus the freq-map agg) carries the timing now
+    "stats_rollup_nested",
     "majority_vote",
     "exact_dedup",
     "token_count_quality",
@@ -66,6 +68,7 @@ def main():
             print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
     times: dict[str, float] = {}
+    rows: dict[str, int] = {}
     total = 0.0
     for name in HEADLINE:
         fn = runnable[name]
@@ -77,10 +80,12 @@ def main():
             # the JSON line the driver parses — record the failure and
             # keep going
             times[name] = None
+            rows[name] = None
             print(f"# {name}: FAILED {e}", file=sys.stderr)
             continue
         dt = time.time() - t0
         times[name] = round(dt, 3)
+        rows[name] = n
         total += dt
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
 
@@ -91,6 +96,10 @@ def main():
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": times,
+                # per-query RESULT row counts, so cross-round artifacts can
+                # normalize throughput and catch a query whose timing
+                # "improved" because it silently returned fewer rows
+                "rows": rows,
                 "sf": sf,
             }
         )

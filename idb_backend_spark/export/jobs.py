@@ -88,7 +88,14 @@ class DownloadJobManager:
         """Drop jobs older than ``ttl_seconds`` (the reference's 30-day
         task TTL). ``on_expire(job)`` runs per expired job for artifact
         cleanup (file delete, object-store remove); a callback failure
-        keeps that job registered so the next vacuum retries it."""
+        keeps that job registered so the next vacuum retries it.
+
+        Returns the job_ids no longer reachable through the registry. A
+        DISPLACED job (replaced by a re-submit past the dedup window)
+        shares its params-hash id with the live replacement; its artifact
+        cleanup still runs here, but its id is only reported when no live
+        job with that id remains registered — callers treat the return as
+        "these ids are gone", so a still-live id must never appear."""
         now = self.clock()
         expired = [
             key
@@ -114,6 +121,7 @@ class DownloadJobManager:
                 except Exception:
                     still_parked.append(job)  # retry next vacuum
                     continue
-            removed.append(job.job_id)
+            if job.job_id not in self.jobs:
+                removed.append(job.job_id)
         self._replaced = still_parked
         return removed

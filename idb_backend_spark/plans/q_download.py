@@ -224,3 +224,134 @@ def ingest_e2e(spark, sf_dir):
     return live.select(
         "uuid", "etag", F.col("version").cast("int").alias("version")
     ).orderBy("uuid")
+
+
+# --- export job queue (§3.1 orchestration) ----------------------------
+
+# constants mirrored from export/jobs.py (reference v2_download.py:20-23):
+# 23 h params-hash dedup window, 30-day artifact TTL
+_JOBS_W = 23 * 3600
+_JOBS_TTL = 30 * 24 * 3600
+_JOBS_T2_LAG = 7200    # resubmit wave: 2 h after the newest request
+_JOBS_T3_LEAD = 43200  # vacuum 12 h before the resubmit wave's jobs expire
+
+_JOBS_ORACLE = (
+    "WITH k AS (SELECT user_id, event_type, "
+    "  CAST(floor(epoch(max(ts))) AS BIGINT) AS t1 "
+    "  FROM events GROUP BY 1, 2), "
+    f"g AS (SELECT max(t1) + {_JOBS_T2_LAG} AS t2 FROM k), "
+    "j AS (SELECT user_id, event_type, t1, t2, "
+    f"  CASE WHEN t2 - t1 < {_JOBS_W} THEN 'reused' ELSE 'rerun' END "
+    "    AS resubmit, "
+    f"  CASE WHEN t2 - t1 < {_JOBS_W} THEN t1 ELSE t2 END AS created_at "
+    "  FROM k, g) "
+    "SELECT user_id, event_type, resubmit, "
+    f"  (t2 + {_JOBS_TTL} - {_JOBS_T3_LEAD}) - created_at >= {_JOBS_TTL} "
+    "    AS vacuumed, "
+    "  CAST((CASE WHEN resubmit = 'rerun' THEN 1 ELSE 0 END) + "
+    f"    (CASE WHEN (t2 + {_JOBS_TTL} - {_JOBS_T3_LEAD}) - created_at "
+    f"      >= {_JOBS_TTL} THEN 1 ELSE 0 END) AS BIGINT) "
+    "    AS cleaned_artifacts "
+    "FROM j ORDER BY user_id, event_type"
+)
+
+
+@query("export_jobs_queue", _JOBS_ORACLE)
+def export_jobs_queue(spark, sf_dir):
+    """§3.1 orchestration — the download-job registry graded as data
+    (reference v2_download.py:20-106: 23 h params-hash dedup, 30-day
+    task TTL, artifact cleanup on expiry).
+
+    Each distinct (user_id, event_type) pair is an export params dict;
+    its newest event is the request time. Three simulated waves drive
+    the REAL DownloadJobManager: (1) submit every request at its own
+    clock, (2) resubmit every params dict — keys deliberately in a
+    different insertion order, so objectHasher's sorted-keys hashing is
+    what makes reuse possible — 2 h after the newest request, where the
+    23 h window decides reuse vs re-run (the displaced job parks for
+    cleanup), (3) vacuum 12 h before the wave-2 jobs would expire. The
+    graded table is the manager's OBSERVED behavior (object identity
+    for reuse, the vacuum return for removal, on_expire callback counts
+    for cleanup); the oracle recomputes all three outcomes in pure SQL
+    from the events table, so a drift in window arithmetic, hash
+    key-order invariance, displaced-job parking, or the vacuum's
+    only-actually-gone return contract breaks the value hash.
+
+    Scale: the driver-side loop is over DISTINCT params dicts — the job
+    registry itself (the reference's Redis keyspace), thousands of
+    entries regardless of corpus size — never over events rows; the
+    per-key reduction is a Spark agg.
+    """
+    from collections import Counter
+
+    from idb_backend_spark.export import jobs as jb
+
+    ev = _t(spark, sf_dir, "events")
+    reqs = (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.expr(
+                "timestampdiff(SECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', max(ts))"
+            ).alias("t1")
+        )
+        .orderBy("user_id", "event_type")
+        .collect()
+    )
+    t2 = max(r["t1"] for r in reqs) + _JOBS_T2_LAG
+    t3 = t2 + jb.RESULT_TTL_SECONDS - _JOBS_T3_LEAD
+
+    clock = [0.0]
+    mgr = jb.DownloadJobManager(clock=lambda: clock[0])
+
+    def run(params):
+        return ("artifact", params["rq"]["user"], params["rq"]["type"])
+
+    first = {}
+    for r in reqs:
+        key = (r["user_id"], r["event_type"])
+        clock[0] = float(r["t1"])
+        first[key] = mgr.submit(
+            {"rq": {"user": key[0], "type": key[1]}, "form": "dwca-csv"},
+            run,
+        )
+
+    clock[0] = float(t2)
+    resubmit = {}
+    for r in reqs:
+        key = (r["user_id"], r["event_type"])
+        # key order shuffled on purpose: dedup hinges on objectHasher's
+        # sorted-keys hash (F19), not dict insertion order
+        j2 = mgr.submit(
+            {"form": "dwca-csv", "rq": {"type": key[1], "user": key[0]}},
+            run,
+        )
+        resubmit[key] = "reused" if j2 is first[key] else "rerun"
+
+    clock[0] = float(t3)
+    cleaned = Counter()
+    removed = set(
+        mgr.vacuum(
+            on_expire=lambda job: cleaned.update(
+                [(job.params["rq"]["user"], job.params["rq"]["type"])]
+            )
+        )
+    )
+
+    rows = [
+        (
+            key[0],
+            key[1],
+            resubmit[key],
+            first[key].job_id in removed,
+            cleaned.get(key, 0),
+        )
+        for key in (
+            (r["user_id"], r["event_type"]) for r in reqs
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "user_id bigint, event_type string, resubmit string, "
+        "vacuumed boolean, cleaned_artifacts bigint",
+    ).orderBy("user_id", "event_type")

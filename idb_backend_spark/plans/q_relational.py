@@ -211,16 +211,11 @@ def citation_counts(spark, sf_dir):
     return agg.hit_counts(orders, F.col("o_totalprice") >= 150000, "recordset")
 
 
-@query(
-    "total_count",
-    "SELECT count(*) AS total FROM lineitem "
-    "WHERE lower(l_returnflag) = 'r' AND l_quantity >= 25",
-)
-def total_count(spark, sf_dir):
-    """A2 — filtered total count via the shim compiler."""
-    li = _t(spark, sf_dir, "lineitem")
-    pred = compile_shim({"l_returnflag": "R", "l_quantity": {"gte": 25}})
-    return li.filter(pred).agg(F.count(F.lit(1)).alias("total"))
+# A2 (filtered total count) — catalog entry `total_count` retired in
+# round 6 to fit the 50-slot grading window (catalog.py rotation rule).
+# The operator stays covered: the shim-compiled count() path is exercised
+# inside `citation_counts` (hit_counts) and `download_e2e`, and
+# unit-tested in tests/test_shim.py.
 
 
 @query(
@@ -275,18 +270,11 @@ def collection_counts_pivot(spark, sf_dir):
     return out.orderBy("user_id")
 
 
-@query(
-    "stats_daily_rollup",
-    "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, "
-    "count(*) AS count, round(sum(value), 2) AS total "
-    "FROM events GROUP BY 1, 2 ORDER BY day, event_type",
-)
-def stats_daily_rollup(spark, sf_dir):
-    """A7 — usage-stats daily rollup (count + total)."""
-    ev = _t(spark, sf_dir, "events")
-    return agg.stats_rollup(ev, "ts", ["event_type"], "value").orderBy(
-        "day", "event_type"
-    )
+# A7 (basic daily rollup) — catalog entry `stats_daily_rollup` retired in
+# round 6 to free a grading slot for `export_jobs_queue` (catalog.py
+# rotation rule). The A7 operator stays driver-graded through
+# `stats_rollup_nested` (q_store.py — the full nested-freq-map shape);
+# agg.stats_rollup remains unit-tested in tests/test_plan_properties.py.
 
 
 @query(

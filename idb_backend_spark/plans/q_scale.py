@@ -288,7 +288,7 @@ _E2E_ORACLE = (
     "  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val' "
     "  ELSE 'test' END AS split FROM kf WHERE rn = 1) "
     "SELECT split, count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs, "
-    "sum(len(str_split(chunk_text, ' '))) AS n_tokens "
+    "CAST(sum(len(str_split(chunk_text, ' '))) AS BIGINT) AS n_tokens "
     "FROM sp GROUP BY split ORDER BY split"
 )
 

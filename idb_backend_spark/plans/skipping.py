@@ -173,18 +173,20 @@ def prune_files(
     # 'florida,' probes the bucket the build side actually recorded
     toks = sorted({t for raw in query_tokens for t in analyzer_tokenize(raw)})
     if not toks:
-        files = [r["file"] for r in idx.select("file").collect()]
+        pred = F.lit(True)
     else:
         pred = reduce(
             and_,
             [F.array_contains("buckets", b) for b in _buckets_of(toks, spark)],
         )
-        files = [r["file"] for r in idx.filter(pred).select("file").collect()]
+    # ONE collect of the KB-scale index: the (file, admitted) rows yield
+    # both the admitted set and — when the caller passes the current
+    # listing — the indexed set, instead of scanning the index twice
+    rows = idx.select("file", pred.alias("hit")).collect()
+    files = [r["file"] for r in rows if r["hit"]]
     if all_files:
         current = set(all_files)
-        indexed = {
-            r["file"] for r in idx.select("file").collect()
-        }
+        indexed = {r["file"] for r in rows}
         files = [f for f in files if f in current] + [
             f for f in all_files if f not in indexed
         ]

@@ -115,6 +115,35 @@ def parse_meta_xml(xml_bytes: bytes) -> tuple[DwcaFileDescriptor, list[DwcaFileD
     return core, extensions, metadata
 
 
+#: encodings where one character encodes to one byte that can never occur
+#: inside another character's encoding (UTF-8 keeps ASCII bytes < 0x80 out
+#: of continuation bytes) — the byte-scan probe is exact for these
+_BYTE_TRANSPARENT_ENCODINGS = {
+    "utf8", "ascii", "usascii", "latin1", "iso88591", "cp1252", "windows1252",
+}
+
+
+def _member_contains_char(path: str, ch: str, encoding: str | None) -> bool:
+    """Whether the member file contains ``ch`` at all — the splittability
+    probe for `read_member`'s multiLine decision. Conservative: any
+    encoding we cannot byte-scan exactly (or a multi-byte needle) reports
+    True, which only costs parallelism, never correctness."""
+    enc = (encoding or "utf-8").lower().replace("-", "").replace("_", "")
+    if enc not in _BYTE_TRANSPARENT_ENCODINGS:
+        return True
+    try:
+        needle = ch.encode(encoding or "utf-8")
+    except (UnicodeEncodeError, LookupError):
+        return True
+    if len(needle) != 1 or needle[0] >= 0x80:
+        return True
+    with open(path, "rb") as f:
+        while chunk := f.read(8 << 20):
+            if needle in chunk:
+                return True
+    return False
+
+
 class DwcaArchive:
     """Extracted DwC-A with Spark readers per member.
 
@@ -165,10 +194,19 @@ class DwcaArchive:
             .option("encoding", desc.encoding)
             .option("mode", "PERMISSIVE")
         )
-        if desc.fields_enclosed_by:
-            # quoted members may carry embedded newlines (our own writer
-            # emits them); multiLine reads each member as one split —
-            # fine, a DwC-A member is a single extracted file anyway.
+        if desc.fields_enclosed_by and _member_contains_char(
+            path, desc.fields_enclosed_by, desc.encoding
+        ):
+            # Quoted members may carry embedded newlines (our own writer
+            # emits them), which only multiLine parses correctly — but
+            # multiLine makes the CSV non-splittable (ONE task reads the
+            # whole member). So probe first: a member with no quote char
+            # at all cannot have an embedded newline, and most published
+            # archives declare fieldsEnclosedBy='"' yet never quote — the
+            # probe is a sequential byte scan (GB/s, no parsing) that
+            # keeps the common case splittable. When quotes ARE present
+            # the single-task read is the accepted member-size bound (the
+            # single-node zip extract already bounds member throughput).
             # Pin lineSep to the declared terminator: multiLine mode
             # auto-detects the separator from the first line, and a
             # mixed-ending file would otherwise parse as one record.

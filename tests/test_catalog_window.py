@@ -88,3 +88,20 @@ def test_front_is_the_artifact_complement():
     prev = _latest_correctness()
     green = {name for name, row in prev.items() if _green(row)}
     assert set(_GRADE_FRONT) == set(Q) - green
+
+
+def test_readme_count_matches_catalog():
+    """README's graded-entry count is a tested assertion, not prose —
+    round-5 verdict flagged it stale at '92' when the catalog held 100."""
+    from idb_backend_spark.plans.catalog import ORACLE, Q, UNGRADED
+
+    assert len(ORACLE) == len(Q)
+    with open(os.path.join(REPO, "README.md")) as fh:
+        readme = fh.read()
+    m = re.search(r"(\d+) graded demonstration queries", readme)
+    assert m, "README no longer states the graded-entry count"
+    assert int(m.group(1)) == len(Q), (
+        f"README says {m.group(1)} graded queries; catalog has {len(Q)}"
+    )
+    m2 = re.search(r"\+(\d+) ungraded", readme)
+    assert m2 and int(m2.group(1)) == len(UNGRADED)

@@ -395,3 +395,31 @@ def test_training_corpus_pipeline_stays_native(spark):
     assert "Python" not in p, p
     # the dedup window keys its exchange on the chunk text fingerprint
     assert "chunk_text" in p
+
+
+def test_stats_rollup_core_shape(spark):
+    """A7 core shape (agg.stats_rollup) — retained as an operator after
+    its catalog entry `stats_daily_rollup` was retired in round 6 (the
+    nested shape `stats_rollup_nested` carries the driver grade): one
+    grouped agg bucketing by UTC day with count + 2-dp total."""
+    from idb_backend_spark.operators import aggregates as agg
+
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:10:00", "click", 1.25),
+            ("2024-01-01 23:59:59", "click", 2.0),
+            ("2024-01-02 00:00:00", "click", 4.0),
+            ("2024-01-01 12:00:00", "view", 8.0),
+        ],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = agg.stats_rollup(df, "ts", ["event_type"], "value")
+    rows = {
+        (str(r["day"]), r["event_type"]): (r["count"], r["total"])
+        for r in out.collect()
+    }
+    assert rows == {
+        ("2024-01-01", "click"): (2, 3.25),
+        ("2024-01-02", "click"): (1, 4.0),
+        ("2024-01-01", "view"): (1, 8.0),
+    }

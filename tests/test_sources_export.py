@@ -237,3 +237,45 @@ def test_normalize_delimiter_literal_whitespace():
     # a literal tab/space must survive as-is, not strip to the default
     assert normalize_delimiter("\t") == "\t"
     assert normalize_delimiter(" ") == " "
+
+
+def test_member_quote_probe(tmp_path):
+    """The multiLine splittability probe: a member with no quote char at
+    all reads without multiLine (splittable); any uncertainty — quote
+    present, non-byte-transparent encoding, multi-byte needle — must
+    report True (single-task but correct)."""
+    from idb_backend_spark.sources.dwca import _member_contains_char
+
+    plain = tmp_path / "plain.csv"
+    plain.write_text("id,genus\nr1,Acer\n")
+    assert _member_contains_char(str(plain), '"', "utf-8") is False
+
+    quoted = tmp_path / "quoted.csv"
+    quoted.write_text('id,note\nr1,"line\nbreak"\n')
+    assert _member_contains_char(str(quoted), '"', "utf-8") is True
+
+    # exotic encodings can't be byte-scanned exactly -> conservative True
+    assert _member_contains_char(str(plain), '"', "utf-16") is True
+    # multi-byte needle -> conservative True
+    assert _member_contains_char(str(plain), "“", "utf-8") is True
+
+
+def test_dwca_member_with_embedded_newlines_still_parses(spark, tmp_path):
+    """A genuinely quoted member (embedded newline) takes the multiLine
+    path and parses the logical record across physical lines."""
+    csv_body = (
+        'id,genus,stateprovince,lat\n'
+        'r1,"Acer\nrubrum",Florida,29.65\n'
+        'r2,Quercus,Georgia,\n'
+    )
+    p = tmp_path / "nl.zip"
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("meta.xml", META_XML)
+        z.writestr("occurrence.csv", csv_body)
+        z.writestr("multimedia.tsv", MULTIMEDIA_TSV)
+        z.writestr("eml.xml", EML_XML)
+    arch = DwcaArchive(str(p), workdir=str(tmp_path / "nlx"))
+    rows = {r["id"]: r for r in arch.read_core(spark).collect()}
+    assert set(rows) == {"r1", "r2"}
+    assert rows["r1"]["dwc:genus"] == "Acer\nrubrum"
+    arch.close()
