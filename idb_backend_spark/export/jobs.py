@@ -65,7 +65,12 @@ class DownloadJobManager:
             age = self.clock() - existing.created_at
             if age < self.dedup_seconds and existing.status in ("pending", "running", "done"):
                 return existing
-            self._replaced.append(existing)
+            if existing.status != "failed":
+                # park for artifact cleanup at the next vacuum; a FAILED
+                # job never produced an artifact, and handing it to
+                # on_expire would either crash the cleanup callback or
+                # re-park it forever
+                self._replaced.append(existing)
         job = Job(job_id=key, params=params, status="running",
                   created_at=self.clock())
         self.jobs[key] = job
@@ -121,7 +126,9 @@ class DownloadJobManager:
                 except Exception:
                     still_parked.append(job)  # retry next vacuum
                     continue
-            if job.job_id not in self.jobs:
+            if job.job_id not in self.jobs and job.job_id not in removed:
+                # report once: an expired live job and its parked
+                # predecessor share the params-hash id
                 removed.append(job.job_id)
         self._replaced = still_parked
         return removed

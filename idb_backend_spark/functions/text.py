@@ -70,6 +70,29 @@ def analyzer_tokenize(s: str) -> list[str]:
     return re.findall(r"\w+", s.lower(), re.UNICODE)
 
 
+def whole_token_match(c: Column | str, query: str) -> Column:
+    """ES `_all` operator:and semantics: every analyzer token of
+    ``query`` must appear as a WHOLE analyzer token of column ``c``
+    (reference query_shim.py:123-133).
+
+    The single source of truth for whole-token matching — the shim's P7
+    compiler (query/shim._fulltext) and the token-index residual filter
+    (plans/skipping.token_match) both call this, so index pruning can
+    never diverge from shim filtering.
+    """
+    toks = sorted(set(analyzer_tokenize(query)))
+    if not toks:
+        return F.lit(True)
+    tok_arr = analyzer_tokens(c)
+    # ONE evaluation of the tokenizer per row: a per-token array_contains
+    # conjunction would embed the regexp-extraction subtree once per
+    # query token (10-token query = 10 tokenizations of every row inside
+    # the scan filter)
+    return F.size(
+        F.array_intersect(tok_arr, F.array(*[F.lit(t) for t in toks]))
+    ) == F.lit(len(toks))
+
+
 def token_count(c: Column | str) -> Column:
     """Whitespace token count (the `wc -w` definition)."""
     t = tokens(c)

@@ -91,28 +91,40 @@ def download_e2e(spark, sf_dir):
         link=("id", "coreid"),
     )
 
+    # the cross-filtered sides feed THREE eager actions (core member,
+    # extension member, citation counts) — persist so the scans and
+    # semi-joins run once, not once per action
+    r_out = r_out.persist()
+    m_out = m_out.persist()
+
     # the returned frame lazily reads the extracted members under `work`
     work = staging_dir("download_e2e_")
     zip_path = os.path.join(work, "download.zip")
-    core = r_out.select(
-        "id",
-        F.col("recordset").alias("dwc:collectionCode"),
-        F.col("basisofrecord").alias("dwc:basisOfRecord"),
-    )
-    ext = m_out.select(
-        "coreid", F.col("returnflag").alias("ac:accessURI")
-    )
-    counts = recordset_counts(r_out, "recordset")
-    write_dwca(
-        zip_path,
-        (core, "id", ["dwc:collectionCode", "dwc:basisOfRecord"], "records"),
-        extensions=[(ext, "coreid", ["ac:accessURI"], "mediarecords")],
-        citations=citation_text(
-            counts,
-            query_echo=str(_DL_SHIM_RECORDS),
-            total=sum(n for _, n in counts),
-        ),
-    )
+    try:
+        core = r_out.select(
+            "id",
+            F.col("recordset").alias("dwc:collectionCode"),
+            F.col("basisofrecord").alias("dwc:basisOfRecord"),
+        )
+        ext = m_out.select(
+            "coreid", F.col("returnflag").alias("ac:accessURI")
+        )
+        counts = recordset_counts(r_out, "recordset")
+        write_dwca(
+            zip_path,
+            (core, "id",
+             ["dwc:collectionCode", "dwc:basisOfRecord"], "records"),
+            extensions=[(ext, "coreid", ["ac:accessURI"], "mediarecords")],
+            citations=citation_text(
+                counts,
+                query_echo=str(_DL_SHIM_RECORDS),
+                total=sum(n for _, n in counts),
+            ),
+        )
+    finally:
+        # write_dwca is eager — the zip is complete before unpersist
+        r_out.unpersist()
+        m_out.unpersist()
 
     arch = DwcaArchive(zip_path)
     rcore = arch.read_core(spark).select(
@@ -228,10 +240,13 @@ def ingest_e2e(spark, sf_dir):
 
 # --- export job queue (§3.1 orchestration) ----------------------------
 
-# constants mirrored from export/jobs.py (reference v2_download.py:20-23):
-# 23 h params-hash dedup window, 30-day artifact TTL
-_JOBS_W = 23 * 3600
-_JOBS_TTL = 30 * 24 * 3600
+# the REAL manager constants (reference v2_download.py:20-23: 23 h
+# params-hash dedup window, 30-day artifact TTL) — imported, not
+# mirrored, so a change to export/jobs.py rebuilds the oracle SQL with it
+from idb_backend_spark.export.jobs import (
+    DEDUP_SECONDS as _JOBS_W,
+    RESULT_TTL_SECONDS as _JOBS_TTL,
+)
 _JOBS_T2_LAG = 7200    # resubmit wave: 2 h after the newest request
 _JOBS_T3_LEAD = 43200  # vacuum 12 h before the resubmit wave's jobs expire
 

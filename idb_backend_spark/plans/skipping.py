@@ -184,7 +184,10 @@ def prune_files(
     # listing — the indexed set, instead of scanning the index twice
     rows = idx.select("file", pred.alias("hit")).collect()
     files = [r["file"] for r in rows if r["hit"]]
-    if all_files:
+    if all_files is not None:
+        # NB: an EMPTY listing is still a listing — after a compaction
+        # replaced every file, the stale index must admit nothing, not
+        # fall back to its own dead paths
         current = set(all_files)
         indexed = {r["file"] for r in rows}
         files = [f for f in files if f in current] + [
@@ -202,17 +205,11 @@ def token_match(query: str, fulltext_col: str = "fulltext") -> Column:
     carries all the query tokens' buckets, so whole-token-index pruning
     admits a superset of the matching files (exact — no false negatives).
     """
-    toks = sorted(set(analyzer_tokenize(query)))
-    if not toks:
-        return F.lit(True)
-    tok_arr = analyzer_tokens(fulltext_col)
-    # ONE evaluation of the tokenizer per row: a per-token
-    # array_contains conjunction would embed the regexp-extraction
-    # subtree once per query token (10-token query = 10 tokenizations
-    # of every row inside the scan filter)
-    return F.size(
-        F.array_intersect(tok_arr, F.array(*[F.lit(t) for t in toks]))
-    ) == F.lit(len(toks))
+    from idb_backend_spark.functions.text import whole_token_match
+
+    # shared single-source matcher (functions/text.py) — identical
+    # expression to the shim's P7 compiler, by construction
+    return whole_token_match(fulltext_col, query)
 
 
 def fulltext_scan(

@@ -103,7 +103,7 @@ def _fulltext(value: str, fulltext_col: str, substring: bool = False) -> Column:
     # for shim queries. ``substring: true`` in the spec opts into the
     # legacy contains() semantics (whitespace query tokenization there, so
     # punctuation in the query probes the raw text).
-    from idb_backend_spark.functions.text import analyzer_tokenize, analyzer_tokens
+    from idb_backend_spark.functions.text import whole_token_match
 
     if value is None:
         raise ShimError("fulltext predicate requires a 'value'")
@@ -115,14 +115,9 @@ def _fulltext(value: str, fulltext_col: str, substring: bool = False) -> Column:
         return reduce(
             operator.and_, [F.col(fulltext_col).contains(t) for t in toks]
         )
-    toks = sorted(set(analyzer_tokenize(value)))
-    if not toks:
-        return F.lit(True)
-    tok_arr = analyzer_tokens(fulltext_col)
-    # single tokenizer evaluation per row (see plans.skipping.token_match)
-    return F.size(
-        F.array_intersect(tok_arr, F.array(*[F.lit(t) for t in toks]))
-    ) == F.lit(len(toks))
+    # shared single-source matcher (functions/text.py) — identical
+    # expression to the token-index residual, by construction
+    return whole_token_match(fulltext_col, value)
 
 
 def _geo_bounding_box(field: str, spec: dict) -> Column:

@@ -90,9 +90,9 @@ def _parse_file_block(el) -> DwcaFileDescriptor:
             idx = child.get("index")
             if idx is not None:
                 d.term_by_index[int(idx)] = term
-            elif child.get("default") is not None:
-                d.defaults[term] = child.get("default")
-            if idx is not None and child.get("default") is not None:
+            # a default applies whether or not the field also has an
+            # index (indexed: fills blanks; index-less: constant column)
+            if child.get("default") is not None:
                 d.defaults[term] = child.get("default")
     return d
 
@@ -157,11 +157,21 @@ class DwcaArchive:
         with zipfile.ZipFile(zip_path, "r") as z:
             z.extractall(self.workdir)
             names = z.namelist()
-        meta_name = next(
-            (n for n in names if n.lower().endswith("meta.xml")), None
+        # exact-basename match, shallowest first: the common 'zip the
+        # directory' layout nests everything under one folder, and member
+        # locations in meta.xml are relative to meta.xml's own directory —
+        # a loose endswith would also misfire on members like 'eml-meta.xml'
+        metas = sorted(
+            (n for n in names if os.path.basename(n).lower() == "meta.xml"),
+            key=lambda n: n.count("/"),
         )
-        if meta_name is None:
+        if not metas:
             raise ValueError(f"{zip_path}: no meta.xml in archive")
+        meta_name = metas[0]
+        #: directory all member/EML locations resolve against
+        self.base_dir = os.path.join(
+            self.workdir, os.path.dirname(meta_name)
+        )
         with open(os.path.join(self.workdir, meta_name), "rb") as f:
             self.core, self.extensions, self.metadata_loc = parse_meta_xml(
                 f.read()
@@ -173,7 +183,7 @@ class DwcaArchive:
             return None
         from idb_backend_spark.sources.eml import parse_eml
 
-        path = os.path.join(self.workdir, self.metadata_loc)
+        path = os.path.join(self.base_dir, self.metadata_loc)
         if not os.path.exists(path):
             return None
         with open(path, "rb") as f:
@@ -184,13 +194,19 @@ class DwcaArchive:
     ) -> DataFrame:
         """One member file -> DataFrame with CURIE columns, the id/coreid
         column, default-value columns, and blank→null normalization."""
-        path = os.path.join(self.workdir, desc.location)
+        path = os.path.join(self.base_dir, desc.location)
         reader = (
             spark.read.option("header", "false")
             .option("sep", desc.fields_terminated_by)
             # fieldsEnclosedBy="" means NO quoting — \u0000 disables
             # Spark's quote handling instead of silently reinstating '"'
             .option("quote", desc.fields_enclosed_by or "\u0000")
+            # embedded quotes use the RFC-4180 doubling convention — the
+            # one our own writer emits (writers.py escape='"') and the
+            # csv-module header sniff below assumes (doublequote=True).
+            # Spark's default escape is '\', which reads a doubled quote
+            # literally and corrupts any value containing the quote char.
+            .option("escape", desc.fields_enclosed_by or "\u0000")
             .option("encoding", desc.encoding)
             .option("mode", "PERMISSIVE")
         )
@@ -217,12 +233,11 @@ class DwcaArchive:
             reader = reader.option("multiLine", "true").option(
                 "lineSep", line_sep
             )
-        df = reader.csv(path)
-        if desc.ignore_header_lines:
-            # header rows are data rows in a headerless read; drop them by
-            # excluding the first N rows of the file order. For the 1-header
-            # common case we filter rows equal to the header tuple read once
-            # on the driver (exact, avoids a global ordering dependency).
+        n_skip = desc.ignore_header_lines or 0
+        if n_skip:
+            # sniff the header record(s) once on the driver: their width
+            # sizes the explicit schema, and records beyond the first
+            # feed the equality fallback below
             import csv as _csv
 
             with open(path, "r", encoding=desc.encoding, newline="") as f:
@@ -239,20 +254,45 @@ class DwcaArchive:
                         quoting=_csv.QUOTE_NONE,
                     )
                 headers = []
-                for _ in range(desc.ignore_header_lines):
+                for _ in range(n_skip):
                     # a member shorter than its declared header count is
                     # just empty — not a crash
                     row = next(sniff, None)
                     if row is None:
                         break
                     headers.append(row)
-            for hdr in headers:
+            # Skip the FIRST header record by POSITION: Spark's header
+            # option drops the first record of the (single-file) member,
+            # and the explicit all-string schema keeps our positional
+            # _cN naming (the file's header names are never trusted —
+            # terms come from meta.xml). Exact: a data row that happens
+            # to EQUAL the header tuple survives, and a header row with
+            # empty cells is still skipped.
+            from pyspark.sql.types import StringType, StructField, StructType
+
+            declared = list(desc.term_by_index)
+            if desc.id_index is not None:
+                declared.append(desc.id_index)
+            width = max(
+                [len(h) for h in headers]
+                + [(max(declared) + 1) if declared else 1]
+            )
+            schema = StructType(
+                [StructField(f"_c{i}", StringType()) for i in range(width)]
+            )
+            df = reader.option("header", "true").schema(schema).csv(path)
+            # ignoreHeaderLines > 1 (rare): the extra header records drop
+            # by equality — an approximation (a data row equal to one of
+            # them drops too); empty header cells compare as ''
+            for hdr in headers[1:]:
                 cond = None
-                for i, v in enumerate(hdr):
-                    c = F.col(f"_c{i}") == F.lit(v)
+                for i, v in enumerate(hdr[:width]):
+                    c = F.coalesce(F.col(f"_c{i}"), F.lit("")) == F.lit(v)
                     cond = c if cond is None else (cond & c)
                 if cond is not None:
-                    df = df.filter(~F.coalesce(cond, F.lit(False)))
+                    df = df.filter(~cond)
+        else:
+            df = reader.csv(path)
         cols = []
         if desc.id_index is not None:
             cols.append(

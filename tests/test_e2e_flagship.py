@@ -218,3 +218,53 @@ def test_uniquevals_namespaces_are_distinct(spark):
     gn = uuid.uuid5(uuid.NAMESPACE_DNS, "globalnames.org")
     assert str(gn) == "90181196-fecf-5082-a4c1-411d4f314cda"
     assert id_names == str(uuid.uuid5(gn, "acer"))
+
+
+def test_job_vacuum_reports_each_gone_id_once():
+    """An expired live job and its parked displaced predecessor share
+    the params-hash id — the vacuum return must list it ONCE, and only
+    when no live job with that id remains (callers treat the list as
+    'these ids are gone')."""
+    clock = [0.0]
+    mgr = DownloadJobManager(dedup_seconds=100, clock=lambda: clock[0])
+    j1 = mgr.submit({"q": 1}, lambda p: "v1")
+    clock[0] = 200.0  # past dedup window: same params -> replacement
+    j2 = mgr.submit({"q": 1}, lambda p: "v2")
+    assert j1.job_id == j2.job_id
+
+    # replacement still live: displaced cleanup runs, id NOT reported
+    cleaned = []
+    removed = mgr.vacuum(ttl_seconds=10**9,
+                         on_expire=lambda j: cleaned.append(j.result))
+    assert cleaned == ["v1"] and removed == []
+
+    # resubmit/displace again, then expire the live job in the same pass:
+    # both cleanups run, the id appears exactly once
+    clock[0] = 400.0
+    mgr.submit({"q": 1}, lambda p: "v3")
+    clock[0] = 10**9
+    cleaned = []
+    removed = mgr.vacuum(ttl_seconds=100,
+                         on_expire=lambda j: cleaned.append(j.result))
+    assert sorted(cleaned) == ["v2", "v3"]
+    assert removed == [j1.job_id]
+
+
+def test_failed_displaced_job_is_not_parked_for_cleanup():
+    """A failed job produced no artifact; displacing it must not queue
+    it for on_expire (which would crash or loop artifact cleanup)."""
+    clock = [0.0]
+    mgr = DownloadJobManager(dedup_seconds=100, clock=lambda: clock[0])
+
+    def boom(params):
+        raise IOError("export blew up")
+
+    j1 = mgr.submit({"q": 1}, boom)
+    assert j1.status == "failed"
+    # failed -> no reuse even inside the window; the retry replaces it
+    j2 = mgr.submit({"q": 1}, lambda p: "v2")
+    assert j2.status == "done"
+    cleaned = []
+    mgr.vacuum(ttl_seconds=10**9,
+               on_expire=lambda j: cleaned.append(j.result))
+    assert cleaned == []  # the failed job never reached on_expire

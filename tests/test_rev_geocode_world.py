@@ -337,3 +337,54 @@ def test_every_coastal_country_has_an_eez_band():
     coastal = set(WORLD_REGIONS) - LANDLOCKED
     missing = sorted(coastal - set(WORLD_EEZ))
     assert not missing, f"coastal countries without an EEZ band: {missing}"
+
+
+# --- border-adjacent pins (round 6) -----------------------------------
+# The packaged rings are hand-simplified NE-110m geometry inset
+# ~0.2-0.5 degrees from the true borders (data/world_regions.py:14-19),
+# so a city sitting ON a border can resolve three ways today: into the
+# inset gap (None), into the neighbor whose ring reaches it (Geneva ->
+# FR), or into an adjacent marine EEZ band that overhangs the coastline
+# inset (El Paso -> the MX band). The reference resolves all of these on
+# land via real shapefiles (idb/helpers/rg.py:53-62). These pins make
+# the documented caveat VISIBLE and guard against silent drift; when
+# tools/gen_world_geometry.py regenerates real NE geometry, update each
+# row to its true country and delete this paragraph.
+BORDER_PINS = [
+    # (name, lon, lat, expected_land, expected_eez)
+    ("Basel",      7.59,  47.56, None, None),
+    ("Geneva",     6.14,  46.20, "FR", None),
+    ("Detroit",  -83.05,  42.33, None, None),
+    ("Windsor",  -83.03,  42.30, None, None),
+    ("Copenhagen", 12.57, 55.68, None, "SE"),
+    ("El Paso", -106.49,  31.76, None, "MX"),
+]
+
+
+def test_border_adjacent_resolution_is_pinned():
+    g, ez = default_geocoder(), default_eez_geocoder()
+    got = [
+        (name, g.lookup(lon, lat), ez.lookup(lon, lat))
+        for name, lon, lat, _, _ in BORDER_PINS
+    ]
+    want = [(n, land, eez) for n, _, _, land, eez in BORDER_PINS]
+    assert got == want, got
+
+
+def test_border_adjacent_flags_are_pinned():
+    """End-to-end F6/F7 outcomes at the pinned cities: the inset gap
+    surfaces as an HONEST failure/mismatch flag pair (never a silently
+    wrong country on land), matching the reference's flag contract
+    (conversions.py:514-550)."""
+    g, ez = default_geocoder(), default_eez_geocoder()
+    assert rev_geocode_py(g, -83.05, 42.33, "US", ez) == (
+        -83.05, 42.33, None,
+        ["rev_geocode_failure", "rev_geocode_mismatch"],
+    )
+    assert rev_geocode_py(g, 6.14, 46.20, "CH", ez) == (
+        6.14, 46.20, "FR", ["rev_geocode_mismatch"]
+    )
+    assert rev_geocode_py(g, -106.49, 31.76, "US", ez) == (
+        -106.49, 31.76, "MX",
+        ["rev_geocode_eez", "rev_geocode_mismatch"],
+    )

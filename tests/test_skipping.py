@@ -237,3 +237,15 @@ def test_stale_index_rows_do_not_crash_scan_after_rewrite(spark, tmp_path):
     # the scan must survive and stay exact against the rewritten table
     got = skipping.fulltext_scan(spark, path, idx, "zebra here").count()
     assert got == 1
+
+
+def test_empty_current_listing_admits_nothing(spark, tmp_path):
+    """An EMPTY all_files listing is still a listing: after a rewrite
+    replaced every table file, the stale index must admit no dead paths
+    (an `if all_files:` falsy check would silently drop the restriction
+    exactly when every file was replaced)."""
+    path = _table(spark, tmp_path)
+    idx = str(tmp_path / "docs_tokidx")
+    skipping.build_token_index(spark.read.parquet(path), ["fulltext"], idx)
+    assert skipping.prune_files(spark, idx, ["zebra"], all_files=[]) == []
+    assert skipping.prune_files(spark, idx, [], all_files=[]) == []

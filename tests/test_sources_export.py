@@ -279,3 +279,62 @@ def test_dwca_member_with_embedded_newlines_still_parses(spark, tmp_path):
     assert set(rows) == {"r1", "r2"}
     assert rows["r1"]["dwc:genus"] == "Acer\nrubrum"
     arch.close()
+
+
+def test_dwca_quote_escape_roundtrip(spark, tmp_path):
+    """RFC-4180 doubled quotes: write_dwca escapes embedded quote chars
+    by doubling; read_member must undouble them (reader escape = quote
+    char, not Spark's default backslash) or any value containing '"'
+    silently corrupts on round-trip."""
+    from idb_backend_spark.export.writers import write_dwca
+
+    df = spark.createDataFrame(
+        [("r1", 'five "inches" north'), ("r2", "plain")],
+        "id string, `dwc:locality` string",
+    )
+    zp = str(tmp_path / "q.zip")
+    write_dwca(zp, (df, "id", ["dwc:locality"], "records"))
+    arch = DwcaArchive(zp, workdir=str(tmp_path / "qx"))
+    rows = {r["id"]: r["dwc:locality"] for r in arch.read_core(spark).collect()}
+    assert rows == {"r1": 'five "inches" north', "r2": "plain"}
+    arch.close()
+
+
+def test_dwca_nested_folder_layout(spark, tmp_path, dwca_zip):
+    """The common 'zip the directory' layout: meta.xml and members under
+    one top-level folder, with locations relative to meta.xml's own
+    directory. A decoy member named *-meta.xml must not be mistaken for
+    the descriptor."""
+    nested = tmp_path / "nested.zip"
+    with zipfile.ZipFile(dwca_zip) as zin, zipfile.ZipFile(nested, "w") as z:
+        z.writestr("pkg/eml-meta.xml", b"<decoy/>")
+        for n in zin.namelist():
+            z.writestr("pkg/" + n, zin.read(n))
+    arch = DwcaArchive(str(nested), workdir=str(tmp_path / "nx"))
+    rows = {r["id"]: r for r in arch.read_core(spark).collect()}
+    assert set(rows) == {"r1", "r2", "r3"}
+    assert rows["r1"]["dwc:country"] == "USA"
+    md = arch.eml()
+    assert md["collection_name"] == "Herbarium Test Collection"
+    arch.close()
+
+
+def test_dwca_header_skip_is_positional(spark, tmp_path):
+    """ignoreHeaderLines drops the first record BY POSITION: a data row
+    that happens to equal the header tuple must survive."""
+    csv_body = (
+        "id,genus,stateprovince,lat\n"
+        "id,genus,stateprovince,\n"  # pathological data row == header-ish
+        "r1,Acer,Florida,29.65\n"
+    )
+    p = tmp_path / "hdr.zip"
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("meta.xml", META_XML)
+        z.writestr("occurrence.csv", csv_body)
+        z.writestr("multimedia.tsv", MULTIMEDIA_TSV)
+        z.writestr("eml.xml", EML_XML)
+    arch = DwcaArchive(str(p), workdir=str(tmp_path / "hx"))
+    rows = {r["id"]: r for r in arch.read_core(spark).collect()}
+    assert set(rows) == {"id", "r1"}
+    assert rows["id"]["dwc:genus"] == "genus"
+    arch.close()
