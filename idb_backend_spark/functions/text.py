@@ -93,6 +93,36 @@ def whole_token_match(c: Column | str, query: str) -> Column:
     ) == F.lit(len(toks))
 
 
+def analyzer_contains_sql(col_expr: str, token_sql_lit: str) -> str:
+    """DuckDB-SQL twin of one `whole_token_match` conjunct: does the
+    analyzer token array of ``col_expr`` contain the token literal?
+
+    Lives HERE (next to ANALYZER_TOKEN_RE) so every oracle emitting the
+    predicate shares the one regex — the pattern class is identical in
+    Java regex and RE2, which is what makes the twin exact.
+    """
+    return (
+        f"list_contains(regexp_extract_all(lower({col_expr}), "
+        f"'{ANALYZER_TOKEN_RE}'), {token_sql_lit})"
+    )
+
+
+def whole_token_match_sql(col_expr: str, query: str) -> str:
+    """DuckDB-SQL twin of `whole_token_match`: the AND-conjunction of
+    `analyzer_contains_sql` over the query's analyzer tokens. Token
+    literals are escaped by quote-doubling."""
+    toks = sorted(set(analyzer_tokenize(query)))
+    if not toks:
+        return "TRUE"
+    def lit(t: str) -> str:
+        return "'" + t.replace("'", "''") + "'"
+    return (
+        "("
+        + " AND ".join(analyzer_contains_sql(col_expr, lit(t)) for t in toks)
+        + ")"
+    )
+
+
 def token_count(c: Column | str) -> Column:
     """Whitespace token count (the `wc -w` definition)."""
     t = tokens(c)

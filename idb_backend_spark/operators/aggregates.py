@@ -203,11 +203,16 @@ def sessionize_batch(
     """
     w = Window.partitionBy(key_col).orderBy(ts_col)
     prev = F.lag(ts_col).over(w)
+    # EXACT integer-microsecond gap compare: a double-cast epoch diff
+    # carries ~1e-7 s rounding at epoch ~1.7e9, which can flip a gap of
+    # exactly `gap_seconds` across the boundary and diverge from both
+    # the SQL oracle's INTERVAL comparison and the streaming twin's
+    # integer micros (streaming/incremental.py sessionize)
     new_s = F.when(
         prev.isNull()
         | (
-            F.col(ts_col).cast("double") - prev.cast("double")
-            > float(gap_seconds)
+            F.timestamp_diff("MICROSECOND", prev, F.col(ts_col))
+            > int(gap_seconds) * 1_000_000
         ),
         1,
     ).otherwise(0)

@@ -436,8 +436,12 @@ def minhash_exact_verified_pairs(
             sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a"
         )
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        # filter on the EXACT ratio, round only for display — matching
+        # ngram_jaccard_pairs and the shared exact-Jaccard SQL oracle
+        # (synth.EXACT_JACCARD_SQL); thresholding the rounded value
+        # admits pairs in [threshold - 5e-7, threshold) the oracle drops
+        .filter(jac >= threshold)
         .withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -473,8 +477,12 @@ def simhash_exact_verified_pairs(
     return (
         cand.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        # filter on the EXACT ratio, round only for display — matching
+        # ngram_jaccard_pairs and the shared exact-Jaccard SQL oracle
+        # (synth.EXACT_JACCARD_SQL); thresholding the rounded value
+        # admits pairs in [threshold - 5e-7, threshold) the oracle drops
+        .filter(jac >= threshold)
         .withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
 

@@ -39,6 +39,12 @@ def split_assignment(
     """
     if len(weights) != len(labels) - 1:
         raise ValueError("need exactly one weight per non-final label")
+    if any(w <= 0.0 for w in weights):
+        # a negative weight passes the sum check but makes the cut
+        # points non-monotonic: the when-chain's later branch becomes
+        # unreachable and its split silently receives ZERO rows — in
+        # the module whose whole point is audit-safe splitting, refuse
+        raise ValueError(f"weights must all be > 0, got {weights}")
     if sum(weights) >= 1.0:
         raise ValueError("weights must sum to < 1 (remainder = final label)")
     k = F.col(key) if isinstance(key, str) else key

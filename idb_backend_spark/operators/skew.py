@@ -73,10 +73,7 @@ def replicate_broadcast_join(
     small build side prefer plain broadcast(); this form covers the
     middle ground where the build side exceeds the broadcast threshold
     but the probe side is too skewed for a plain shuffle join."""
-    salted = skewed.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]),
-                         F.lit(n_salts))
-    )
+    salted = with_salt(skewed, n_salts)
     replicated = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession  # noqa: F401
 from pyspark.sql import functions as F
 
+from idb_backend_spark.plans import synth
 from idb_backend_spark.plans.registry import _t, query
 
 
@@ -136,24 +137,9 @@ def records_typed_projection(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 #: exact word-3-gram Jaccard pair oracle (the same true pair set that
-#: grades ngram_jaccard_pairs / minhash_exact_verified in q_textsim)
-_EXACT_JACCARD_ORACLE = (
-    "WITH sh AS (SELECT doc_id AS id, sz, g FROM ("
-    "  SELECT doc_id, toks, len(toks) AS n FROM ("
-    "    SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks"
-    "    FROM documents)) t, "
-    "  LATERAL (SELECT list_distinct(CASE WHEN n >= 3 THEN "
-    "    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, n - 1)] "
-    "    ELSE [array_to_string(toks, ' ')] END) AS grams) gr, "
-    "  LATERAL (SELECT len(gr.grams) AS sz) z, "
-    "  LATERAL unnest(gr.grams) AS u(g)), "
-    "pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared,"
-    "  any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b "
-    "  FROM sh a JOIN sh b USING (g) WHERE a.id < b.id GROUP BY a.id, b.id) "
-    "SELECT id_a, id_b, round(shared / (sz_a + sz_b - shared), 6) AS jaccard "
-    "FROM pairs WHERE shared / (sz_a + sz_b - shared) >= 0.8 "
-    "ORDER BY id_a, id_b"
-)
+#: grades ngram_jaccard_pairs / minhash_exact_verified in q_textsim —
+#: ONE builder in synth.py, not a per-module copy)
+_EXACT_JACCARD_ORACLE = synth.EXACT_JACCARD_SQL
 
 
 # --------------------------------------------------------------------------

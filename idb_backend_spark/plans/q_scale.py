@@ -36,6 +36,7 @@ import uuid as _uuid
 
 from pyspark.sql import functions as F
 
+from idb_backend_spark.functions import text as _text
 from idb_backend_spark.plans.registry import _t, query, staging_dir
 from idb_backend_spark.plans import synth
 from idb_backend_spark.plans.synth import cosine_sql
@@ -46,11 +47,12 @@ from idb_backend_spark.plans.synth import cosine_sql
 _COMPACT_ORACLE = (
     # three appended batches per key (versions 0..2, modified ascending);
     # batch 2 tombstones keys % 13 = 0, so the latest view = the batch-2
-    # row for every surviving key. compacted/files_per_bucket assert the
-    # rewrite actually happened and produced exactly one file per bucket.
+    # row for every surviving key. compacted/files_after assert the
+    # rewrite actually happened and produced exactly one file per bucket
+    # (8 buckets -> exactly 8 files).
     "SELECT o_orderkey AS uuid, o_orderstatus || '_2' AS etag, "
     "2 AS version, o_orderkey + 3000000 AS modified, "
-    "TRUE AS compacted, 1 AS files_per_bucket "
+    "TRUE AS compacted, 8 AS files_after "
     "FROM orders WHERE o_orderkey % 13 != 0 ORDER BY uuid"
 )
 
@@ -62,9 +64,9 @@ def store_compaction(spark, sf_dir):
     files; ``compact_history`` rewrites it ONCE under the same
     bucketBy/sortBy spec (the zero-exchange layout contract survives,
     asserted by tests/test_store.py) and the latest view graded here
-    reads the compacted table. ``files_per_bucket`` is computed from the
-    post-rewrite file listing — the driver's value hash fails if the
-    rewrite compacted nothing (reference analog: Postgres vacuum/cluster
+    reads the compacted table. ``files_after`` is the exact post-rewrite
+    file count — the driver's value hash fails if the rewrite compacted
+    nothing OR only partially (reference analog: Postgres vacuum/cluster
     maintenance the poll-loop store relies on, idb/postgres_backend/db.py).
     """
     from idb_backend_spark.functions.etags import TOMBSTONE_ETAG
@@ -114,28 +116,24 @@ def store_compaction(spark, sf_dir):
         st.latest_view(spark.table(table))
         .select("uuid", "etag", "version", "modified")
         .withColumn("compacted", F.lit(bool(rewrote)))
-        .withColumn("files_per_bucket", F.lit(files_after // num_buckets))
+        # EXACT post-rewrite file count (oracle pins num_buckets=8): a
+        # floor-divided files-per-bucket would still read 1 with up to
+        # 2x the expected files, hiding a partial compaction
+        .withColumn("files_after", F.lit(files_after))
         .orderBy("uuid")
     )
 
 
 # --- T12 steady state: incremental token-index maintenance ------------
 
-def _toks_pred(t: str) -> str:
-    return (
-        "list_contains(regexp_extract_all(lower(text), "
-        f"'[\\p{{L}}\\p{{N}}_]+'), '{t}')"
-    )
-
-
 _UPDATE_ORACLE = (
     # the same whole-token conjunction as fulltext_skipping_scan — over
     # the FULL corpus: if the incremental index missed an appended file,
-    # pruning drops its matches and the value hash fails
+    # pruning drops its matches and the value hash fails. The predicate
+    # SQL comes from the one analyzer twin in functions/text.py, not a
+    # per-module regex copy.
     "SELECT doc_id, TRUE AS index_updated FROM documents WHERE "
-    + _toks_pred("spark")
-    + " AND " + _toks_pred("window")
-    + " AND " + _toks_pred("merge")
+    + _text.whole_token_match_sql("text", "spark window merge")
     + " ORDER BY doc_id"
 )
 

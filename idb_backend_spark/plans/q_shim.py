@@ -2,19 +2,10 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession  # noqa: F401
 from pyspark.sql import functions as F
 
-from idb_backend_spark.operators import aggregates as agg  # noqa: F401
-from idb_backend_spark.operators import (  # noqa: F401
-    ann,
-    dedup,
-    relations,
-    versioning,
-)
-from idb_backend_spark.functions import grabbers, text  # noqa: F401
 from idb_backend_spark.plans.registry import _t, query
-from idb_backend_spark.query.shim import compile_shim, shim_to_sql  # noqa: F401
+from idb_backend_spark.query.shim import compile_shim, shim_to_sql
 from idb_backend_spark.plans.synth import GEO_LAT as _GEO_LAT
 from idb_backend_spark.plans.synth import GEO_LON as _GEO_LON
 
@@ -22,11 +13,9 @@ from idb_backend_spark.plans.synth import GEO_LON as _GEO_LON
 # --------------------------------------------------------------------------
 # §2.2 — the iDigBio query format (shim) predicates
 # --------------------------------------------------------------------------
-
-# shim_fulltext registers FIRST in this module: its token semantics were
-# changed in round 4 (analyzer tokenization), and this module sits at the
-# driver's 50-entry grading window edge — first place keeps the changed
-# entry inside the window (plans/catalog.py ordering note).
+# (registration order within this module no longer affects grading: the
+# window front is COMPUTED from the latest CORRECTNESS artifact by
+# plans/catalog._grade_front)
 
 _SHIM_FULLTEXT = {"fulltext": {"type": "fulltext", "value": "spark window merge"}}
 

@@ -162,6 +162,35 @@ _SESSION_ORACLE = (
 )
 
 
+def _drain_memory_sink(spark, stream_df, prefix, workdir, shape):
+    """Run an availableNow streaming frame to a memory sink, apply
+    ``shape`` to the sink table, and return the rows DETACHED from the
+    sink (collect + rebuild). One helper for every streaming entry so
+    the cleanup contract lives in one place: the landing dir is
+    reclaimed and the sink's temp view dropped on every path, including
+    an awaitTermination failure — repeated runs never accumulate
+    in-memory result tables on the driver."""
+    qname = prefix + _uuid.uuid4().hex[:8]
+    sq = (
+        stream_df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        sq.awaitTermination()
+        # the memory sink has materialized every emitted row
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    try:
+        out = shape(spark.table(qname))
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.catalog.dropTempView(qname)
+
+
 @query("sessionize", _SESSION_ORACLE)
 def sessionize_q(spark, sf_dir):
     """§2.10 custom stateful operator executed — per-user session
@@ -196,33 +225,15 @@ def sessionize_q(spark, sf_dir):
         stream, "user_id", "ts", gap_seconds=_SESSION_GAP_S,
         timeout_flush=False,
     )
-    qname = "sessions_" + _uuid.uuid4().hex[:8]
-    sq = (
-        sessions.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    sq.awaitTermination()
-    # the memory sink has materialized every emitted session row
-    shutil.rmtree(work, ignore_errors=True)
-    out = (
-        spark.table(qname)
-        .select(
+    return _drain_memory_sink(
+        spark, sessions, "sessions_", work,
+        lambda t: t.select(
             F.col("user_id").cast("bigint").alias("user_id"),
             "session_start",
             "session_end",
             "n_events",
-        )
-        .orderBy("user_id", "session_start")
+        ).orderBy("user_id", "session_start"),
     )
-    # detach + drop the sink so repeated runs don't accumulate one
-    # in-memory result table per invocation on the driver
-    rows = out.collect()
-    result = spark.createDataFrame(rows, out.schema)
-    spark.catalog.dropTempView(qname)
-    return result
 
 
 @query(
@@ -255,21 +266,10 @@ def streaming_exact_dedup(spark, sf_dir):
         spark.read.parquet(landing).schema
     ).parquet(landing)
     deduped = streamed_exact_dedup(stream, ["fp"])
-    qname = "sdedup_" + _uuid.uuid4().hex[:8]
-    sq = (
-        deduped.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    return _drain_memory_sink(
+        spark, deduped, "sdedup_", work,
+        lambda t: t.select("fp").orderBy("fp"),
     )
-    sq.awaitTermination()
-    shutil.rmtree(work, ignore_errors=True)
-    out = spark.table(qname).select("fp").orderBy("fp")
-    rows = out.collect()  # detach + drop the sink (see sessionize)
-    result = spark.createDataFrame(rows, out.schema)
-    spark.catalog.dropTempView(qname)
-    return result
 
 
 _SESSION_ALL_ORACLE = (

@@ -65,23 +65,14 @@ def doc_fingerprint(spark, sf_dir):
 
 @query(
     "lang_id_heuristic",
-    # marker-hit argmax, tie-broken by language code ascending; the SQL
-    # mirrors the engine's marker lexicons exactly
+    # marker-hit argmax, tie-broken by language code ascending; score
+    # columns and CASE are GENERATED from functions.text.LANG_MARKERS
+    # (synth.py) so engine and oracle update together
     "WITH toks AS (SELECT doc_id, "
-    "  regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t"
-    "  FROM documents), "
-    "scores AS (SELECT doc_id, "
-    "  len(list_filter(t, x -> x IN ('the','and','of','to','a'))) AS s_en, "
-    "  len(list_filter(t, x -> x IN ('el','la','de','que','y'))) AS s_es, "
-    "  len(list_filter(t, x -> x IN ('le','la','et','les','des'))) AS s_fr, "
-    "  len(list_filter(t, x -> x IN ('der','die','und','das','ist'))) AS s_de, "
-    "  len(list_filter(t, x -> x IN ('的','是','了','在','我'))) AS s_zh "
-    "  FROM toks) "
-    "SELECT doc_id, CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und' "
-    " WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de' "
-    " WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en' "
-    " WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es' "
-    " WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_pred "
+    + synth.TOKS_SQL + " AS t FROM documents), "
+    "scores AS (SELECT doc_id, " + synth.lang_score_cols_sql("t")
+    + " FROM toks) "
+    "SELECT doc_id, " + synth.lang_case_sql() + " AS lang_pred "
     "FROM scores ORDER BY doc_id",
 )
 def lang_id_heuristic(spark, sf_dir):
@@ -93,24 +84,7 @@ def lang_id_heuristic(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@query(
-    "ngram_jaccard_pairs",
-    "WITH sh AS (SELECT doc_id AS id, sz, g FROM ("
-    "  SELECT doc_id, toks, len(toks) AS n FROM ("
-    "    SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks"
-    "    FROM documents)) t, "
-    "  LATERAL (SELECT list_distinct(CASE WHEN n >= 3 THEN "
-    "    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, n - 1)] "
-    "    ELSE [array_to_string(toks, ' ')] END) AS grams) gr, "
-    "  LATERAL (SELECT len(gr.grams) AS sz) z, "
-    "  LATERAL unnest(gr.grams) AS u(g)), "
-    "pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared,"
-    "  any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b "
-    "  FROM sh a JOIN sh b USING (g) WHERE a.id < b.id GROUP BY a.id, b.id) "
-    "SELECT id_a, id_b, round(shared / (sz_a + sz_b - shared), 6) AS jaccard "
-    "FROM pairs WHERE shared / (sz_a + sz_b - shared) >= 0.8 "
-    "ORDER BY id_a, id_b",
-)
+@query("ngram_jaccard_pairs", synth.EXACT_JACCARD_SQL)
 def ngram_jaccard_pairs_q(spark, sf_dir):
     """Near-dup — exact word-3-gram Jaccard via inverted-index self-join."""
     docs = _t(spark, sf_dir, "documents")
@@ -177,10 +151,14 @@ _COS_AB = cosine_sql("a.embedding", "b.embedding")
     # exact brute-force pair oracle: the banded LSH must recall every
     # true pair at this threshold or the hash mismatches — the driver
     # gate doubles as a recall regression test
+    # threshold on the ROUNDED cosine, exactly as the engine does
+    # (dedup.embedding_near_dup_pairs rounds to 6dp before filtering):
+    # thresholding rounded-on-one-side/exact-on-the-other diverges for
+    # any pair with true cosine in [threshold - 5e-7, threshold)
     "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
     "round(" + _COS_AB + ", 6) AS cosine "
     "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-    "WHERE " + _COS_AB + " >= 0.35 ORDER BY id_a, id_b",
+    "WHERE round(" + _COS_AB + ", 6) >= 0.35 ORDER BY id_a, id_b",
 )
 def embedding_near_dup_q(spark, sf_dir):
     """Near-dup — embedding-cosine pairs via BANDED random-hyperplane LSH
@@ -197,24 +175,11 @@ def embedding_near_dup_q(spark, sf_dir):
 
 
 @query(
+    # same exact 3-gram Jaccard oracle as ngram_jaccard_pairs (ONE
+    # builder in synth.py): the LSH candidate tier must recall every
+    # true pair at the threshold
     "minhash_exact_verified",
-    # same exact 3-gram Jaccard oracle as ngram_jaccard_pairs: the LSH
-    # candidate tier must recall every true pair at the threshold
-    "WITH sh AS (SELECT doc_id AS id, sz, g FROM ("
-    "  SELECT doc_id, toks, len(toks) AS n FROM ("
-    "    SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks"
-    "    FROM documents)) t, "
-    "  LATERAL (SELECT list_distinct(CASE WHEN n >= 3 THEN "
-    "    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, n - 1)] "
-    "    ELSE [array_to_string(toks, ' ')] END) AS grams) gr, "
-    "  LATERAL (SELECT len(gr.grams) AS sz) z, "
-    "  LATERAL unnest(gr.grams) AS u(g)), "
-    "pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared,"
-    "  any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b "
-    "  FROM sh a JOIN sh b USING (g) WHERE a.id < b.id GROUP BY a.id, b.id) "
-    "SELECT id_a, id_b, round(shared / (sz_a + sz_b - shared), 6) AS jaccard "
-    "FROM pairs WHERE shared / (sz_a + sz_b - shared) >= 0.8 "
-    "ORDER BY id_a, id_b",
+    synth.EXACT_JACCARD_SQL,
 )
 def minhash_exact_verified_q(spark, sf_dir):
     """Near-dup — MinHash-LSH candidates verified by EXACT shingle
@@ -256,13 +221,9 @@ def ivf_ann_topk_q(spark, sf_dir):
 
 
 
-_LANG_CASE_SQL = (
-    "CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und' "
-    "WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de' "
-    "WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en' "
-    "WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es' "
-    "WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END"
-)
+# the quality score's stopword ratio uses the English marker list — the
+# same LANG_MARKERS['en'] the engine's quality_score defaults to
+_SW_EN = ",".join(f"'{w}'" for w in text.LANG_MARKERS["en"])
 
 
 @query(
@@ -277,23 +238,19 @@ _LANG_CASE_SQL = (
     "m AS (SELECT doc_id, text, norm, toks, "
     "  CASE WHEN length(norm) = 0 THEN 0 ELSE len(toks) END AS n_tok, "
     "  least(length(text) / 500.0, 1.0) AS len_score, "
-    "  len(list_filter(toks, x -> x IN ('the','and','of','to','a'))) "
+    f"  len(list_filter(toks, x -> x IN ({_SW_EN}))) "
     "    / CAST(len(toks) AS DOUBLE) AS swr, "
     "  CASE WHEN length(text) > 0 THEN "
     "    length(regexp_replace(text, '[^!-/:-@[-`{-~]', '', 'g')) "
     "      / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS pr, "
-    "  len(list_filter(toks, x -> x IN ('the','and','of','to','a'))) AS s_en, "
-    "  len(list_filter(toks, x -> x IN ('el','la','de','que','y'))) AS s_es, "
-    "  len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS s_fr, "
-    "  len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS s_de, "
-    "  len(list_filter(toks, x -> x IN ('的','是','了','在','我'))) AS s_zh "
+    + synth.lang_score_cols_sql("toks") + " "
     "  FROM tok), "
     # NULL text -> NULL q and the penalty floored at 0: the exact clamp
     # semantics of functions.text.quality_score_from_tokens
     "q AS (SELECT *, CASE WHEN text IS NULL THEN NULL ELSE "
     "  round(greatest(0.5 * len_score + 0.5 * least(swr * 5, 1.0) "
     "  - 0.25 * least(pr * 4, 1.0), 0.0), 6) END AS q, "
-    + _LANG_CASE_SQL + " AS lang "
+    + synth.lang_case_sql() + " AS lang "
     "  FROM m), "
     "f AS (SELECT * FROM q WHERE q >= 0.3 AND n_tok >= 5), "
     "k AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(norm)) AS keeper FROM f) "
@@ -350,10 +307,8 @@ def corpus_curation_pipeline(spark, sf_dir):
     # index build — pruning admits a superset of files, the residual
     # filter restores exactness)
     "SELECT doc_id FROM documents WHERE "
-    "list_contains(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+'), 'spark') "
-    "AND list_contains(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+'), 'window') "
-    "AND list_contains(regexp_extract_all(lower(text), '[\\p{L}\\p{N}_]+'), 'merge') "
-    "ORDER BY doc_id",
+    + text.whole_token_match_sql("text", "spark window merge")
+    + " ORDER BY doc_id",
 )
 def fulltext_skipping_scan(spark, sf_dir):
     """P7 + the token-skipping index executed end-to-end (SURVEY §4's one

@@ -108,3 +108,61 @@ TOKS_SQL = f"string_split_regex({NORM_SQL}, ' ')"
 #: component document_chunking entry.
 CHUNK, OVERLAP = 32, 8
 STRIDE = CHUNK - OVERLAP
+
+
+#: exact word-3-gram Jaccard pair SQL at threshold 0.8 — the ONE true-
+#: pair-set oracle that grades ngram_jaccard_pairs, minhash_exact_verified
+#: (q_textsim) AND simhash_exact_verified (q_parity). Filter on the EXACT
+#: ratio, round only for display — matching the engine twins in
+#: operators/dedup.py. (regexp_split_to_array == string_split_regex, the
+#: TOKS_SQL spelling.)
+EXACT_JACCARD_SQL = (
+    "WITH sh AS (SELECT doc_id AS id, sz, g FROM ("
+    "  SELECT doc_id, toks, len(toks) AS n FROM ("
+    f"    SELECT doc_id, {TOKS_SQL} AS toks"
+    "    FROM documents)) t, "
+    "  LATERAL (SELECT list_distinct(CASE WHEN n >= 3 THEN "
+    "    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, n - 1)] "
+    "    ELSE [array_to_string(toks, ' ')] END) AS grams) gr, "
+    "  LATERAL (SELECT len(gr.grams) AS sz) z, "
+    "  LATERAL unnest(gr.grams) AS u(g)), "
+    "pairs AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared,"
+    "  any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b "
+    "  FROM sh a JOIN sh b USING (g) WHERE a.id < b.id GROUP BY a.id, b.id) "
+    "SELECT id_a, id_b, round(shared / (sz_a + sz_b - shared), 6) AS jaccard "
+    "FROM pairs WHERE shared / (sz_a + sz_b - shared) >= 0.8 "
+    "ORDER BY id_a, id_b"
+)
+
+
+def lang_score_cols_sql(toks: str = "toks") -> str:
+    """Per-language marker-hit score columns (``s_de, s_en, …``) built
+    FROM functions.text.LANG_MARKERS — adding or changing a marker word
+    updates engine and oracle together, instead of going red with no
+    code-local hint."""
+    from idb_backend_spark.functions.text import LANG_MARKERS
+
+    cols = []
+    for lang in sorted(LANG_MARKERS):
+        words = ",".join("'" + w.replace("'", "''") + "'"
+                         for w in LANG_MARKERS[lang])
+        cols.append(
+            f"len(list_filter({toks}, x -> x IN ({words}))) AS s_{lang}"
+        )
+    return ", ".join(cols)
+
+
+def lang_case_sql() -> str:
+    """Argmax over the marker scores, ties broken by language code
+    ascending, zero hits -> 'und' — the oracle twin of
+    functions.text.lang_id, generated from the same LANG_MARKERS keys."""
+    from idb_backend_spark.functions.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    all_scores = ",".join(f"s_{l}" for l in langs)
+    arms = [f"CASE WHEN greatest({all_scores}) = 0 THEN 'und'"]
+    for i, l in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{l} >= s_{m}" for m in langs[i + 1:])
+        arms.append(f"WHEN {conds} THEN '{l}'")
+    arms.append(f"ELSE '{langs[-1]}' END")
+    return " ".join(arms)

@@ -229,6 +229,13 @@ def test_split_assignment_validation_and_cutpoints(spark):
         split_assignment("k", weights=(0.5,), labels=("a", "b", "c"))
     with _pytest.raises(ValueError):
         split_assignment("k", weights=(0.7, 0.3), labels=("a", "b", "c"))
+    # a NEGATIVE weight passes the sum check but makes the cut points
+    # non-monotonic (an unreachable when-branch -> a silently empty
+    # split); it must refuse loudly
+    with _pytest.raises(ValueError):
+        split_assignment("k", weights=(0.8, -0.1), labels=("a", "b", "c"))
+    with _pytest.raises(ValueError):
+        split_assignment("k", weights=(0.0, 0.1), labels=("a", "b", "c"))
     # valid spec builds a Column without touching a SparkSession
     col = split_assignment("k", weights=(0.8, 0.1))
     assert col is not None
