@@ -434,6 +434,111 @@ def audio_waveform(
     return df.select(id_col, content_col).mapInPandas(batches, out_schema)
 
 
+try:  # import-gated video kernel (PyAV is optional, absent here)
+    import av as _av  # noqa: F401
+
+    HAS_AV = True
+except ImportError:  # pragma: no cover - exercised where av absent
+    _av = None
+    HAS_AV = False
+
+
+def _resolve_fake_video(fake: bool | None) -> bool:
+    """None = auto: real kernel when PyAV is importable, else fake.
+    ``fake=False`` demands the real decoder and raises without it."""
+    if fake is None:
+        return not HAS_AV
+    if fake is False and not HAS_AV:
+        raise NotImplementedError(
+            "real video decode requires PyAV (av); install it or pass "
+            "fake=True/None"
+        )
+    return fake
+
+
+def sample_video_frames(
+    df: DataFrame,
+    data_col: str = "data",
+    id_col: str = "media_id",
+    stride_ms: int = 200,
+    fps: int = 25,
+    fake: bool | None = None,
+) -> DataFrame:
+    """T10 video tier — uniform-stride frame sampling over an opaque
+    binary video column (the training-pipeline step that turns a video
+    corpus into a frame corpus).
+
+    Arrow-batched ``mapInPandas``: one decoder open per video, frames
+    are the row-multiplier, and the batch iterator streams — a 100 TB
+    video table never materializes more than an Arrow batch of blobs
+    per executor thread at a time. Output schema is typed and stable
+    across the fake and real kernels:
+
+      (id, frame_idx int, ts_ms long, width int, height int,
+       frame_token string)
+
+    ``frame_token`` identifies the sampled frame (md5 of the frame
+    payload on the real path; md5 of ``"{id}:{frame_idx}"`` on the fake
+    path) so downstream joins/dedup run on a scalar, not the pixels.
+
+    The FAKE kernel (this container has no PyAV/ffmpeg) derives
+    deterministic metadata from the blob alone — duration_ms =
+    octet_length, fixed ``fps``, width 320 + octet_length % 17, height
+    240 — which makes the whole sampling plan (stride arithmetic, frame
+    indexing, row-multiplication, schema) SQL-mirrorable and therefore
+    driver-gradable end-to-end; installing PyAV lights up the real
+    decoder with no plan change.
+    """
+    use_fake = _resolve_fake_video(fake)
+    out_schema = (
+        f"{id_col} long, frame_idx int, ts_ms long, "
+        "width int, height int, frame_token string"
+    )
+    cols = [id_col, "frame_idx", "ts_ms", "width", "height", "frame_token"]
+
+    def _fake_frames(mid, b: bytes):
+        duration_ms = len(b)
+        w, h = 320 + len(b) % 17, 240
+        for ts in range(0, duration_ms, stride_ms):
+            fi = ts * fps // 1000
+            tok = hashlib.md5(f"{mid}:{fi}".encode()).hexdigest()
+            yield (mid, fi, ts, w, h, tok)
+
+    def _real_frames(mid, b: bytes):  # pragma: no cover - needs PyAV
+        with _av.open(io.BytesIO(bytes(b))) as container:
+            vstream = container.streams.video[0]
+            tb = float(vstream.time_base)
+            next_ts = 0.0
+            for frame in container.decode(vstream):
+                ts_ms = (frame.pts or 0) * tb * 1000.0
+                if ts_ms + 1e-9 < next_ts:
+                    continue
+                next_ts = ts_ms + stride_ms
+                payload = frame.to_image().tobytes()
+                yield (
+                    mid,
+                    int(frame.index or 0),
+                    int(ts_ms),
+                    int(frame.width),
+                    int(frame.height),
+                    hashlib.md5(payload).hexdigest(),
+                )
+
+    frames_of = _fake_frames if use_fake else _real_frames
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                f
+                for mid, b in zip(pdf[id_col], pdf[data_col])
+                if b is not None
+                for f in frames_of(mid, b)
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(id_col, data_col).mapInPandas(batches, out_schema)
+
+
 def derivative_plan(
     decoded: DataFrame, widths: tuple[int, ...] = (260, 600)
 ) -> DataFrame:

@@ -333,15 +333,12 @@ def dqs_score(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@query(
-    "keyset_pagination",
-    "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey "
-    "LIMIT 50 OFFSET 100",
-)
-def keyset_pagination(spark, sf_dir):
-    """O1 — ordered LIMIT/OFFSET listing page."""
-    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    return agg.paginate(cust, "c_custkey", limit=50, offset=100)
+# O1 (LIMIT/OFFSET page) — catalog entry `keyset_pagination` retired in
+# round 6 to free a grading slot for `video_frame_sample` (catalog.py
+# rotation rule). O1 stays driver-graded through `keyset_deep_page`
+# (the continuation walk, which exercises the same ordered-page
+# machinery deeper), and paginate()/keyset equivalence is pinned by
+# tests/test_plan_properties.py::test_paginate_and_keyset_walk_the_same_sequence.
 
 
 # --------------------------------------------------------------------------

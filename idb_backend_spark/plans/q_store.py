@@ -155,6 +155,50 @@ def media_derivatives(spark, sf_dir):
     )
 
 
+@query(
+    "video_frame_sample",
+    # the fake decoder derives metadata purely from the blob (duration =
+    # octet_length, fps 25, width 320 + len%17), so the ENTIRE sampling
+    # plan — stride arithmetic, frame indexing, row multiplication,
+    # token derivation, schema — is SQL-mirrorable and graded; only the
+    # pixel decode itself is the PyAV-gated kernel (unit-tested fake)
+    "WITH src AS (SELECT doc_id, octet_length(encode(text)) AS nb "
+    "  FROM documents WHERE text IS NOT NULL), "
+    "f AS (SELECT doc_id, nb, unnest(generate_series(0, "
+    "  CAST(ceil(nb / 200.0) AS BIGINT) - 1)) AS k FROM src WHERE nb > 0) "
+    "SELECT doc_id AS media_id, CAST(k * 200 * 25 // 1000 AS INT) AS frame_idx, "
+    "CAST(k * 200 AS BIGINT) AS ts_ms, "
+    "CAST(320 + nb % 17 AS INT) AS width, CAST(240 AS INT) AS height, "
+    "md5(CAST(doc_id AS VARCHAR) || ':' || "
+    "  CAST(k * 200 * 25 // 1000 AS VARCHAR)) AS frame_token "
+    "FROM f ORDER BY media_id, ts_ms",
+)
+def video_frame_sample(spark, sf_dir):
+    """T10 video tier — uniform-stride frame sampling through the real
+    mapInPandas plumbing (multimodal.sample_video_frames): each document
+    body doubles as an opaque 'video' blob, the sampler multiplies it
+    into one row per 200 ms frame with typed metadata and a stable
+    frame token. The oracle rebuilds the sampling arithmetic in SQL, so
+    stride/indexing/row-fanout drift anywhere in the UDF breaks the
+    value hash. Scale: frames stream batch-wise out of the Arrow
+    iterator — the corpus is never collected, and the output is the
+    row-multiplied frame table a video training pipeline feeds to
+    dedup/embedding stages."""
+    from idb_backend_spark.functions.multimodal import sample_video_frames
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("data"),
+    )
+    out = sample_video_frames(
+        docs, data_col="data", id_col="media_id",
+        stride_ms=200, fps=25, fake=True,
+    )
+    return out.orderBy("media_id", "ts_ms")
+
+
 def _etl_oracle_sql() -> str:
     """Full DuckDB replica of the composed ETL pipeline: geo normalize
     (structural replica), Molodensky shift (shared numeric CTE chain from

@@ -212,3 +212,32 @@ def test_wav_8bit_pcm_is_unsigned(spark):
     duration_ms, peaks = out
     assert duration_ms == 1000
     assert all(p == 0 for p in peaks)
+
+
+def test_video_frame_sample_fake_kernel(spark):
+    """T10 video tier: the fake sampler's stride arithmetic, frame
+    indexing, null/empty skipping, and token derivation — the plumbing
+    the driver oracle grades end-to-end."""
+    rows = [
+        (1, b"x" * 450),   # 450 'ms' -> frames at 0, 200, 400
+        (2, b""),          # zero-length video -> no frames
+        (3, None),         # null blob -> skipped entirely
+    ]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    out = mm.sample_video_frames(df, fake=True).orderBy("media_id", "ts_ms")
+    got = [tuple(r) for r in out.collect()]
+    w = 320 + 450 % 17
+    exp = [
+        (1, 0, 0, w, 240, hashlib.md5(b"1:0").hexdigest()),
+        (1, 5, 200, w, 240, hashlib.md5(b"1:5").hexdigest()),
+        (1, 10, 400, w, 240, hashlib.md5(b"1:10").hexdigest()),
+    ]
+    assert got == exp
+
+
+def test_video_frame_sample_real_path_raises_without_av(spark):
+    if mm.HAS_AV:  # pragma: no cover - container has no PyAV
+        pytest.skip("PyAV available; real path usable")
+    df = spark.createDataFrame([(1, b"\x00")], "media_id long, data binary")
+    with pytest.raises(NotImplementedError):
+        mm.sample_video_frames(df, fake=False)
