@@ -434,6 +434,60 @@ def audio_waveform(
     return df.select(id_col, content_col).mapInPandas(batches, out_schema)
 
 
+def extract_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "id",
+    dim: int = 16,
+    fake: bool | None = None,
+) -> DataFrame:
+    """Feature extraction over an opaque binary media column — the
+    embed step that turns a media corpus into vectors for the ANN /
+    near-dup tiers (operators/ann.py, operators/dedup.py).
+
+    Arrow-batched ``mapInPandas``, one model call per blob, output
+    schema ``(id, embedding array<float>)`` — exactly the shape
+    `embeddings.parquet` carries, so the result plugs straight into
+    ``cosine_topk`` / ``embedding_near_dup_pairs``. A real deployment
+    swaps the kernel for CLIP/wav2vec via the same gate; this container
+    has no model runtime, so the gated fake kernel derives a
+    DETERMINISTIC unit-norm vector from the blob's sha1 (stable across
+    retries — required for exactly-once sinks; not semantically
+    meaningful, but it exercises schema, batching, normalization, and
+    the downstream join shape for real).
+    """
+    if fake is False:
+        # no model runtime ships in this container; the gate keeps the
+        # call-site contract identical to decode_image/sample_video_frames
+        raise NotImplementedError(
+            "real feature extraction requires a model runtime "
+            "(e.g. torch + CLIP); install one or pass fake=True/None"
+        )
+    out_schema = f"{id_col} long, embedding array<float>"
+
+    def _embed(b: bytes) -> list[float]:
+        # sha1 -> dim pseudo-random lanes in [-1, 1) -> L2-normalize
+        raw = []
+        seed = bytes(b)
+        h = b""
+        while len(raw) < dim:
+            h = hashlib.sha1(h + seed).digest()
+            raw.extend(h)
+        lanes = [(x - 128.0) / 128.0 for x in raw[:dim]]
+        norm = sum(v * v for v in lanes) ** 0.5 or 1.0
+        return [float(v / norm) for v in lanes]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (_id, _embed(bytes(blob)) if blob is not None else None)
+                for _id, blob in zip(pdf[id_col], pdf[content_col])
+            ]
+            yield pd.DataFrame(rows, columns=[id_col, "embedding"])
+
+    return df.select(id_col, content_col).mapInPandas(batches, out_schema)
+
+
 try:  # import-gated video kernel (PyAV is optional, absent here)
     import av as _av  # noqa: F401
 

@@ -241,3 +241,45 @@ def test_video_frame_sample_real_path_raises_without_av(spark):
     df = spark.createDataFrame([(1, b"\x00")], "media_id long, data binary")
     with pytest.raises(NotImplementedError):
         mm.sample_video_frames(df, fake=False)
+
+
+def test_extract_features_deterministic_and_normalized(spark):
+    """The embed step: stable unit-norm vectors, null blobs -> null
+    embedding, schema matching embeddings.parquet's (id, array<float>)."""
+    rows = [(1, b"media-one"), (2, b"media-two"), (3, None), (4, b"media-one")]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    out = {r["id"]: r["embedding"]
+           for r in mm.extract_features(df, dim=8).collect()}
+    assert out[3] is None
+    assert out[1] == out[4]          # pure function of the bytes
+    assert out[1] != out[2]
+    assert len(out[1]) == 8
+    norm = sum(v * v for v in out[1]) ** 0.5
+    assert abs(norm - 1.0) < 1e-5    # L2-normalized
+    with pytest.raises(NotImplementedError):
+        mm.extract_features(df, fake=False)
+
+
+def test_video_to_frames_to_ann_pipeline_composes(spark):
+    """The multimodal verbs compose end-to-end: video blobs -> sampled
+    frames -> per-frame features -> exact cosine top-k. Exercises the
+    schema contracts between sample_video_frames, extract_features, and
+    operators/ann.py on real Spark plans (all Arrow-batched)."""
+    from idb_backend_spark.operators.ann import brute_force_topk
+
+    vids = spark.createDataFrame(
+        [(i, bytes(f"video-{i}".encode()) * 60) for i in range(4)],
+        "media_id long, data binary",
+    )
+    frames = mm.sample_video_frames(vids, stride_ms=100, fake=True)
+    # frame surrogate blob = the token; surrogate id packs (video, frame)
+    frame_blobs = frames.select(
+        (F.col("media_id") * 1000 + F.col("frame_idx")).alias("id"),
+        F.encode(F.col("frame_token"), "utf-8").alias("content"),
+    )
+    emb = mm.extract_features(frame_blobs, dim=16)
+    qvec = emb.filter(F.col("id") == 0).select("embedding").first()[0]
+    top = brute_force_topk(emb, qvec, id_col="id", k=3).collect()
+    assert len(top) == 3
+    assert top[0]["id"] == 0 and abs(top[0]["cosine"] - 1.0) < 1e-6
+    assert top[0]["cosine"] >= top[1]["cosine"] >= top[2]["cosine"]
