@@ -46,6 +46,12 @@ class DownloadJobManager:
         #: jobs displaced by a re-submit after their dedup window — kept
         #: until vacuum runs their artifact cleanup
         self._replaced: list[Job] = []
+        #: ids already reported gone by a prior vacuum whose parked
+        #: predecessor is still awaiting cleanup — guards the
+        #: report-once contract ACROSS vacuums (a retried parked cleanup
+        #: must not re-report an id the pass that expired the live job
+        #: already returned). Cleared on re-submit of the same params.
+        self._reported_gone: set[str] = set()
 
     def params_hash(self, params: dict) -> str:
         """F19 — recursive sha1 of the params dict with sorted keys and
@@ -74,6 +80,9 @@ class DownloadJobManager:
         job = Job(job_id=key, params=params, status="running",
                   created_at=self.clock())
         self.jobs[key] = job
+        # a fresh live job revives the id: a later vacuum that removes
+        # it must report it gone again
+        self._reported_gone.discard(key)
         try:
             job.result = run(params)
             job.status = "done"
@@ -116,6 +125,7 @@ class DownloadJobManager:
                     continue  # keep the job; retry cleanup next vacuum
             del self.jobs[key]
             removed.append(key)
+            self._reported_gone.add(key)
         # displaced jobs cleaned unconditionally of age: they are already
         # unreachable through the registry, only their artifacts linger
         still_parked = []
@@ -126,9 +136,16 @@ class DownloadJobManager:
                 except Exception:
                     still_parked.append(job)  # retry next vacuum
                     continue
-            if job.job_id not in self.jobs and job.job_id not in removed:
-                # report once: an expired live job and its parked
-                # predecessor share the params-hash id
+            if (
+                job.job_id not in self.jobs
+                and job.job_id not in self._reported_gone
+            ):
+                # report once — within this pass AND across passes: an
+                # expired live job and its parked predecessor(s) share
+                # the params-hash id, and a parked cleanup that retries
+                # into a later vacuum must not re-report an id a prior
+                # pass already returned
                 removed.append(job.job_id)
+                self._reported_gone.add(job.job_id)
         self._replaced = still_parked
         return removed

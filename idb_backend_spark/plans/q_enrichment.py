@@ -15,6 +15,7 @@ from idb_backend_spark.operators import (  # noqa: F401
     versioning,
 )
 from idb_backend_spark.functions import grabbers, text  # noqa: F401
+from idb_backend_spark.plans import synth
 from idb_backend_spark.plans.registry import _t, query
 from idb_backend_spark.query.shim import compile_shim, shim_to_sql  # noqa: F401
 from idb_backend_spark.plans.synth import GEO_LAT as _GEO_LAT
@@ -621,6 +622,11 @@ def ingest_summary(spark, sf_dir):
     )
 
 
+#: the entry's stopword lexicon — ONE Python constant renders into both
+#: the Spark filter and (via synth.sql_word_list) the oracle SQL
+_TQ_STOP = ["the", "and", "of", "to", "a", "in", "is"]
+
+
 @query(
     "text_quality_metrics",
     "WITH t AS (SELECT doc_id, text, "
@@ -629,7 +635,7 @@ def ingest_summary(spark, sf_dir):
     "SELECT doc_id, len(toks) AS n_tokens, "
     "round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))"
     " / length(text), 6) AS punct_ratio, "
-    "round(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is')))"
+    f"round(len(list_filter(toks, x -> x IN ({synth.sql_word_list(_TQ_STOP)})))"
     " / len(toks), 6) AS stopword_ratio "
     "FROM t ORDER BY doc_id",
 )
@@ -641,7 +647,7 @@ def text_quality_metrics(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "text", tokens("text").alias("toks")
     )
-    stop = ["the", "and", "of", "to", "a", "in", "is"]
+    stop = _TQ_STOP
     n_tok = F.size("toks")
     punct = (
         F.length("text")

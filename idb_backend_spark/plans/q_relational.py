@@ -213,9 +213,11 @@ def citation_counts(spark, sf_dir):
 
 # A2 (filtered total count) — catalog entry `total_count` retired in
 # round 6 to fit the 50-slot grading window (catalog.py rotation rule).
-# The operator stays covered: the shim-compiled count() path is exercised
-# inside `citation_counts` (hit_counts) and `download_e2e`, and
-# unit-tested in tests/test_shim.py.
+# The operator stays covered: `download_e2e` drives the shim-compiled
+# filter -> count composition end-to-end (its citation totals come from
+# compile_shim-filtered counts), the count/hit_counts aggregation shape
+# stays driver-graded via `citation_counts`, and shim predicate
+# compilation itself is unit-tested in tests/test_shim.py.
 
 
 @query(

@@ -181,14 +181,23 @@ def _drain_memory_sink(spark, stream_df, prefix, workdir, shape):
     try:
         sq.awaitTermination()
         # the memory sink has materialized every emitted row
-    finally:
-        shutil.rmtree(workdir, ignore_errors=True)
-    try:
         out = shape(spark.table(qname))
         rows = out.collect()
         return spark.createDataFrame(rows, out.schema)
     finally:
-        spark.catalog.dropTempView(qname)
+        # one finally for EVERY exit, including an awaitTermination
+        # failure: stop the (possibly still-registered) query, drop the
+        # sink view, reclaim the landing dir — a failed retry loop must
+        # not accumulate driver-side result tables or stream handles
+        try:
+            sq.stop()
+        except Exception:
+            pass
+        try:
+            spark.catalog.dropTempView(qname)
+        except Exception:
+            pass
+        shutil.rmtree(workdir, ignore_errors=True)
 
 
 @query("sessionize", _SESSION_ORACLE)

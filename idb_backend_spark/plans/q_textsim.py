@@ -222,8 +222,9 @@ def ivf_ann_topk_q(spark, sf_dir):
 
 
 # the quality score's stopword ratio uses the English marker list — the
-# same LANG_MARKERS['en'] the engine's quality_score defaults to
-_SW_EN = ",".join(f"'{w}'" for w in text.LANG_MARKERS["en"])
+# same LANG_MARKERS['en'] the engine's quality_score defaults to,
+# rendered through the one shared SQL-literal renderer
+_SW_EN = synth.sql_word_list(text.LANG_MARKERS["en"])
 
 
 @query(

@@ -135,6 +135,14 @@ EXACT_JACCARD_SQL = (
 )
 
 
+def sql_word_list(words) -> str:
+    """Render a word list as quote-escaped SQL literals for an IN (…)
+    — the ONE rendering of marker/stopword lexicons into oracle SQL
+    (an apostrophe-bearing word like \"l'\" must escape identically
+    everywhere it appears)."""
+    return ",".join("'" + w.replace("'", "''") + "'" for w in words)
+
+
 def lang_score_cols_sql(toks: str = "toks") -> str:
     """Per-language marker-hit score columns (``s_de, s_en, …``) built
     FROM functions.text.LANG_MARKERS — adding or changing a marker word
@@ -144,8 +152,7 @@ def lang_score_cols_sql(toks: str = "toks") -> str:
 
     cols = []
     for lang in sorted(LANG_MARKERS):
-        words = ",".join("'" + w.replace("'", "''") + "'"
-                         for w in LANG_MARKERS[lang])
+        words = sql_word_list(LANG_MARKERS[lang])
         cols.append(
             f"len(list_filter({toks}, x -> x IN ({words}))) AS s_{lang}"
         )

@@ -202,10 +202,15 @@ class DwcaArchive:
             # Spark's quote handling instead of silently reinstating '"'
             .option("quote", desc.fields_enclosed_by or "\u0000")
             # embedded quotes use the RFC-4180 doubling convention — the
-            # one our own writer emits (writers.py escape='"') and the
-            # csv-module header sniff below assumes (doublequote=True).
-            # Spark's default escape is '\', which reads a doubled quote
-            # literally and corrupts any value containing the quote char.
+            # one our own writer emits (writers.py escape='"'), the
+            # csv-module header sniff below assumes (doublequote=True),
+            # AND the reference's member reader implements
+            # (idigbio_ingestion/lib/delimited.py:165-169: csv.reader
+            # with quotechar only — doublequote=True, no escapechar, so
+            # a backslash is literal data). Spark's default escape '\'
+            # would both corrupt doubled quotes and diverge from the
+            # reference on backslash-bearing values; matching the
+            # doubling convention is exact reference parity.
             .option("escape", desc.fields_enclosed_by or "\u0000")
             .option("encoding", desc.encoding)
             .option("mode", "PERMISSIVE")

@@ -268,3 +268,36 @@ def test_failed_displaced_job_is_not_parked_for_cleanup():
     mgr.vacuum(ttl_seconds=10**9,
                on_expire=lambda j: cleaned.append(j.result))
     assert cleaned == []  # the failed job never reached on_expire
+
+
+def test_job_vacuum_report_once_across_passes():
+    """Report-once holds ACROSS vacuums: when the pass that expires the
+    live job cannot yet clean its parked predecessor (callback failure),
+    the retry pass must not re-report the id — but a fresh re-submit of
+    the same params revives the id for future reporting."""
+    clock = [0.0]
+    mgr = DownloadJobManager(dedup_seconds=100, clock=lambda: clock[0])
+    j1 = mgr.submit({"q": 1}, lambda p: "v1")
+    clock[0] = 200.0
+    mgr.submit({"q": 1}, lambda p: "v2")  # displaces j1 (parked)
+
+    calls = {"n": 0}
+
+    def flaky(job):
+        # fail only the parked predecessor's first cleanup
+        if job.result == "v1" and calls["n"] == 0:
+            calls["n"] += 1
+            raise IOError("transient")
+
+    clock[0] = 10**9  # expire the live job
+    removed1 = mgr.vacuum(ttl_seconds=100, on_expire=flaky)
+    assert removed1 == [j1.job_id]  # live expiry reported
+    # retry pass: parked cleanup succeeds; id must NOT be re-reported
+    assert mgr.vacuum(ttl_seconds=100, on_expire=flaky) == []
+
+    # a NEW submit of the same params revives the id...
+    clock[0] = 10**9 + 1
+    j3 = mgr.submit({"q": 1}, lambda p: "v3")
+    assert j3.job_id == j1.job_id
+    clock[0] = 2 * 10**9  # ...and its expiry is reported again
+    assert mgr.vacuum(ttl_seconds=100) == [j1.job_id]
