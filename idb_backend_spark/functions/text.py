@@ -399,3 +399,47 @@ def char_ngrams(c: Column | str, n: int = 5) -> Column:
     idx = F.sequence(F.lit(1), F.greatest(ln - n + 1, F.lit(1)))
     grams = F.transform(idx, lambda i: s.substr(i, F.lit(n)))
     return F.array_distinct(grams)
+
+
+def pack_sequences(
+    df,
+    token_count_col: str,
+    order_cols: list[str],
+    seq_len: int,
+    n_shards: int = 256,
+    out_col: str = "bin_id",
+):
+    """Approximate sequence packing — assign chunks to fixed-capacity
+    training sequences (the step after chunking that fills each model
+    context window instead of padding per document).
+
+    Deterministic and distributed: chunks shard by hash of the FIRST
+    order column (so one document's chunks pack together), a per-shard
+    window computes the running token count in (order_cols) order, and
+    ``bin = cumulative_before // seq_len``; the global bin id is
+    (shard, bin) packed into one bigint. One exchange (the shard
+    window), stable under reruns and repartitioning.
+
+    Approximation contract: greedy first-fit is inherently sequential,
+    so this uses cumulative-sum binning instead — a chunk straddling a
+    capacity boundary stays in the bin where it starts, so a bin's
+    token total lands in (seq_len - max_chunk, seq_len + max_chunk)
+    rather than exactly seq_len. At corpus scale every shard still
+    packs thousands of near-full sequences; bins never cross shards
+    (boundary bins are the only under-full ones).
+    """
+    from pyspark.sql import Window
+
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    shard = F.pmod(F.xxhash64(F.col(order_cols[0])), F.lit(n_shards))
+    with_shard = df.withColumn("__shard", shard)
+    w = Window.partitionBy("__shard").orderBy(*order_cols)
+    cum_before = F.sum(token_count_col).over(w) - F.col(token_count_col)
+    local_bin = F.floor(cum_before / F.lit(seq_len))
+    # pack (shard, local_bin) into one bigint: shard in the high bits
+    return with_shard.withColumn(
+        out_col, (F.col("__shard") * F.lit(1 << 40) + local_bin)
+    ).drop("__shard")

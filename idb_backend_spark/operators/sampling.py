@@ -108,3 +108,54 @@ def deterministic_sample(
     return df.filter(
         F.substring(F.md5(k.cast("string")), 1, 2) < f"{cut_int:02x}"
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic domain-mixture sampling — the corpus-mixing step of
+    a training-data pipeline: keep a per-domain fraction of rows (e.g.
+    web 10%, books 100%, code 50%) as a pure function of the row key.
+
+    One native CASE expression over the md5-prefix threshold (same
+    1/256-granularity primitive as `deterministic_sample`), so the
+    mixture is stable under reruns, appends, and repartitioning, and
+    the whole filter pushes into the scan — no shuffle, no sampling
+    state, auditable from SQL. Domains absent from ``fractions`` keep
+    ``default_fraction`` (0 = drop unknown domains; 1 = keep them).
+    """
+    for d, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for domain {d!r} not in [0, 1]: {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction not in [0, 1]: {default_fraction}")
+
+    h = F.substring(F.md5(F.col(key_col).cast("string")), 1, 2)
+
+    def keep_expr(fraction: float) -> Column:
+        cut = int(round(256 * fraction))
+        if cut >= 256:
+            return F.lit(True)
+        if cut <= 0:
+            return F.lit(False)
+        return h < F.lit(f"{cut:02x}")
+
+    pred = None
+    for d, f in fractions.items():
+        branch = (F.col(domain_col) == F.lit(d)) & keep_expr(f)
+        pred = branch if pred is None else (pred | branch)
+    # a NULL domain is an unknown domain (isin yields NULL there, and a
+    # bare ~NULL would silently drop null-domain rows from the default
+    # bucket instead of applying default_fraction)
+    unknown = (
+        F.coalesce(~F.col(domain_col).isin(*fractions), F.lit(True))
+        if fractions
+        else F.lit(True)
+    )
+    other = unknown & keep_expr(default_fraction)
+    pred = other if pred is None else (pred | other)
+    return df.filter(pred)

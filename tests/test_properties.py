@@ -352,3 +352,93 @@ def test_split_and_sample_edge_cutpoints(spark):
     assert deterministic_sample(df, "id", 0.999).count() == 4096
     with _pytest.raises(ValueError):
         deterministic_sample(df, "id", 0.001)
+
+
+def test_mixture_sample_determinism_and_domains(spark):
+    from pyspark.sql import functions as F
+
+    from idb_backend_spark.operators.sampling import (
+        deterministic_sample,
+        mixture_sample,
+    )
+
+    rows = [(i, ["web", "books", "code"][i % 3]) for i in range(3000)]
+    rows += [(9000 + i, None) for i in range(30)]  # null domain bucket
+    df = spark.createDataFrame(rows, "id long, domain string")
+    frac = {"web": 0.25, "books": 1.0, "code": 0.0}
+    out = mixture_sample(df, "domain", "id", frac, default_fraction=1.0)
+    got = out.groupBy("domain").count().collect()
+    counts = {r["domain"]: r["count"] for r in got}
+    assert counts.get("books") == 1000            # fraction 1.0 keeps all
+    assert "code" not in counts                   # fraction 0.0 drops all
+    assert 150 < counts.get("web", 0) < 350       # ~25% of 1000
+    assert counts.get(None) == 30                 # null domain -> default 1.0
+    # stable under reruns and equal to the single-domain primitive
+    again = mixture_sample(df, "domain", "id", frac, default_fraction=1.0)
+    assert sorted(r["id"] for r in out.collect()) == sorted(
+        r["id"] for r in again.collect()
+    )
+    web = df.filter(F.col("domain") == "web")
+    assert sorted(
+        r["id"] for r in out.filter(F.col("domain") == "web").collect()
+    ) == sorted(
+        r["id"]
+        for r in deterministic_sample(web, "id", 0.25).collect()
+    )
+    with _pytest_raises_value_error():
+        mixture_sample(df, "domain", "id", {"web": 1.5})
+
+
+def _pytest_raises_value_error():
+    import pytest as _pytest
+
+    return _pytest.raises(ValueError)
+
+
+def test_pack_sequences_capacity_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from idb_backend_spark.functions.text import pack_sequences
+
+    # 40 docs x 8 chunks of 10-60 tokens (deterministic sizes)
+    rows = [
+        (d, c, 10 + (d * 7 + c * 13) % 51)
+        for d in range(40)
+        for c in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_id int, n_tok int")
+    out = pack_sequences(
+        df, "n_tok", ["doc_id", "chunk_id"], seq_len=512, n_shards=4
+    )
+    assert "bin_id" in out.columns
+    rows1 = sorted(tuple(r) for r in out.collect())
+    rows2 = sorted(tuple(r) for r in pack_sequences(
+        df.repartition(13), "n_tok", ["doc_id", "chunk_id"],
+        seq_len=512, n_shards=4,
+    ).collect())
+    assert rows1 == rows2  # partitioning-independent assignment
+
+    # capacity contract: every bin total in (seq_len - max_chunk,
+    # seq_len + max_chunk); boundary (last-per-shard) bins only under
+    per_bin = (
+        out.groupBy("bin_id").agg(F.sum("n_tok").alias("tot")).collect()
+    )
+    max_chunk = 60
+    shard_last = {}
+    for r in per_bin:
+        shard = r["bin_id"] >> 40
+        shard_last[shard] = max(shard_last.get(shard, -1), r["bin_id"])
+    for r in per_bin:
+        assert r["tot"] < 512 + max_chunk, r
+        if r["bin_id"] != shard_last[r["bin_id"] >> 40]:
+            assert r["tot"] > 512 - max_chunk, r
+
+    # a document's chunks never split across shards
+    n_shards_per_doc = (
+        out.withColumn("shard", (F.col("bin_id") / (1 << 40)).cast("long"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shard").alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    assert n_shards_per_doc == 1
