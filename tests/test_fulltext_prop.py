@@ -82,3 +82,58 @@ def test_apostrophe_divergence_is_pinned(spark):
     got = _spark_tokens(spark, ["don't", "O'Brien's 2nd_visit"])
     assert got[0] == ["don", "t"]
     assert got[1] == ["o", "brien", "s", "2nd_visit"]
+
+
+def test_sql_twin_matches_spark_predicate_cross_engine(spark):
+    """whole_token_match (Spark) and whole_token_match_sql (DuckDB) are
+    twins by construction — prove it by EXECUTION on both engines over a
+    generated corpus: the matching doc_id sets must be identical for
+    every query, including punctuation-glued, apostrophe, unicode, and
+    no-token queries."""
+    import duckdb
+
+    from idb_backend_spark.functions.text import (
+        whole_token_match,
+        whole_token_match_sql,
+    )
+
+    docs = [
+        (1, "Apache Spark window merge functions"),
+        (2, "spark, window; merge!"),
+        (3, "sparkling windows merged"),        # whole-token must NOT match
+        (4, "don't merge the spark window"),
+        (5, "çava SPARK Window MERGE 漢字"),
+        (6, None),
+        (7, ""),
+        (8, "o'brien's spark window merge"),
+    ]
+    queries = [
+        "spark window merge",
+        "don't",
+        "SPARK,window",
+        "çava",
+        "漢字",
+        "o'brien",
+        "",
+        "...",
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("docs_tbl", __import__("pandas").DataFrame(
+        docs, columns=["doc_id", "text"]
+    ))
+    for q in queries:
+        spark_ids = {
+            r["doc_id"]
+            for r in df.filter(whole_token_match("text", q)).collect()
+        }
+        sql = (
+            "SELECT doc_id FROM docs_tbl WHERE text IS NOT NULL AND "
+            + whole_token_match_sql("text", q)
+        )
+        duck_ids = {r[0] for r in con.sql(sql).fetchall()}
+        # Spark's regexp on NULL text yields null -> filtered; mirror it
+        spark_ids_nonnull = {
+            i for i in spark_ids if docs[i - 1][1] is not None
+        }
+        assert spark_ids_nonnull == duck_ids, (q, spark_ids, duck_ids)

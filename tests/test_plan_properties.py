@@ -423,3 +423,18 @@ def test_stats_rollup_core_shape(spark):
         ("2024-01-02", "click"): (1, 4.0),
         ("2024-01-01", "view"): (1, 8.0),
     }
+
+
+def test_video_frame_sample_plan_is_single_python_stage(spark):
+    """The video sampler must be ONE mapInPandas over the scan — no
+    shuffle before or inside it (frames fan out within the partition
+    that holds the video), so the plan scales linearly with corpus
+    size."""
+    from idb_backend_spark.plans.catalog import Q
+
+    out = Q["video_frame_sample"](spark, SF)
+    p = plan_str(out, "simple")
+    assert p.count("MapInPandas") == 1, p
+    # the only exchange is the presentation orderBy's range partitioner
+    body = p.split("MapInPandas")[-1]  # below the sampler: scan side
+    assert "Exchange" not in body, p
