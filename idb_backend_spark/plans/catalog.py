@@ -34,6 +34,14 @@ The two sketch entries whose hash families are not SQL-expressible
 stay runnable (bench.py times them via UNGRADED) but no longer consume
 grading slots as permanent no-oracle rows; their recall is oracle-proven
 by minhash_exact_verified / simhash_exact_verified.
+
+Round-6 retirements: total_count, stats_daily_rollup, keyset_pagination
+(each redundantly covered — see the comments at their former
+registration sites) freed slots for export_jobs_queue and
+video_frame_sample at 99 total. The sessionize/sessionize_batch pair
+was deliberately NOT folded: the streaming and batch operators are
+distinct code paths (applyInPandasWithState vs gaps-and-islands) and
+each needs its own driver evidence.
 """
 
 from __future__ import annotations
