@@ -137,3 +137,44 @@ def test_sql_twin_matches_spark_predicate_cross_engine(spark):
             i for i in spark_ids if docs[i - 1][1] is not None
         }
         assert spark_ids_nonnull == duck_ids, (q, spark_ids, duck_ids)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.text(alphabet=_ALPHABET, max_size=40), min_size=1,
+             max_size=40),
+    st.lists(st.text(alphabet=_ALPHABET, max_size=12), min_size=1,
+             max_size=4),
+)
+def test_sql_twin_property_cross_engine(spark, texts, queries):
+    """Close the three-engine triangle over GENERATED unicode: Spark's
+    Java-regex predicate, the DuckDB RE2 twin, and (transitively, via
+    test_query_and_document_tokenizers_agree) Python's \\w tokenizer
+    must all pick the same documents for the same query."""
+    import duckdb
+    import pandas as _pd
+
+    from idb_backend_spark.functions.text import (
+        whole_token_match,
+        whole_token_match_sql,
+    )
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register(
+        "docs_tbl", _pd.DataFrame(docs, columns=["doc_id", "text"])
+    )
+    for q in queries:
+        spark_ids = {
+            r["doc_id"]
+            for r in df.filter(whole_token_match("text", q)).collect()
+        }
+        duck_ids = {
+            r[0]
+            for r in con.sql(
+                "SELECT doc_id FROM docs_tbl WHERE "
+                + whole_token_match_sql("text", q)
+            ).fetchall()
+        }
+        assert spark_ids == duck_ids, (q, spark_ids ^ duck_ids)
