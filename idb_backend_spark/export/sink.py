@@ -34,12 +34,19 @@ def write_index_table(
     out = df
     if cluster_by:
         shuffle_keys = (partition_by or []) + cluster_by
-        # repartition on partition_by ALONE collapses parallelism to the
-        # number of distinct partition values (4 `type`s -> 4 sort+write
-        # tasks for the whole table); hashing on partition+cluster keys
-        # keeps the cluster wide while dynamic partitioning still lands
-        # each row in its hive directory
-        out = out.repartition(*[F.col(c) for c in shuffle_keys])
+        # RANGE-partition on (partition, cluster) keys: each task then
+        # holds one contiguous key range — almost always a single hive
+        # partition value — so the write emits O(partitions + tasks)
+        # files with TIGHT per-file cluster-key min/max (file-level AND
+        # row-group skipping). A hash repartition on the same keys keeps
+        # the cluster wide but scatters every hive partition across all
+        # tasks: ~tasks-per-partition small files, each spanning the
+        # full cluster-key range — the small-file problem this module
+        # exists to control. Skewed partition values still split across
+        # multiple range tasks, so parallelism is preserved. (Plain
+        # repartition on partition_by alone would collapse parallelism
+        # to the distinct partition count.)
+        out = out.repartitionByRange(*[F.col(c) for c in shuffle_keys])
         out = out.sortWithinPartitions(*shuffle_keys)
     writer = out.write.mode(mode).option(
         "maxRecordsPerFile", max_records_per_file

@@ -150,8 +150,15 @@ def compact_history(
 
 def latest_view(history: DataFrame, include_deleted: bool = False) -> DataFrame:
     """The ``idigbio_uuids_new`` equivalent (db.py:37-44, 244-264): newest
-    version per uuid; tombstoned entities dropped unless asked for."""
-    latest = latest_per_key_agg(history, ["uuid"], ["modified", "version"])
+    version per uuid; tombstoned entities dropped unless asked for.
+
+    Ordered by the store's own monotonic VERSION counter first (the
+    reference resolves latest by version, db.py:37-44), modified as the
+    tie-break: a batch replayed with a non-monotonic caller-supplied
+    timestamp (backfill, clock adjustment) must still surface the
+    highest version — modified-primary ordering would return the older
+    version and the next merge would assign its number twice."""
+    latest = latest_per_key_agg(history, ["uuid"], ["version", "modified"])
     if not include_deleted:
         latest = latest.filter(F.col("etag") != TOMBSTONE_ETAG)
     return latest
@@ -186,6 +193,14 @@ class BatchResult:
     appended: DataFrame  # new history rows (changed/new entities)
     tombstones: DataFrame  # delete tombstone rows
     summary: DataFrame  # (status, n): create/update/delete counters
+    _cached: DataFrame | None = None  # persisted latest view (cache_latest)
+
+    def cleanup(self) -> None:
+        """Release the persisted latest view (no-op without
+        cache_latest) — call after the summary/appended/tombstones
+        actions have all run."""
+        if self._cached is not None:
+            self._cached.unpersist()
 
 
 def apply_harvest_batch(
@@ -193,6 +208,8 @@ def apply_harvest_batch(
     batch: DataFrame,
     modified: Column,
     detect_deletes: bool = True,
+    delete_parents: list | None = None,
+    cache_latest: bool = False,
 ) -> BatchResult:
     """One recordset harvest against the store (db_check.py main flow):
 
@@ -202,36 +219,64 @@ def apply_harvest_batch(
       (db_check.py:515-538 applies thresholds to exactly these counts)
 
     ``batch`` columns: uuid, type, parent, etag, data. The caller appends
-    ``appended`` + ``tombstones`` to history storage; nothing here mutates.
+    ``appended`` + ``tombstones`` to history storage; nothing here
+    mutates. Pass ``modified`` as a LITERAL timestamp — a
+    non-deterministic column (current_timestamp) could evaluate
+    differently across the summary/appended/tombstones actions.
 
     Delete detection is SCOPED to the batch's parent recordsets, exactly
     like the reference (db_check.py harvests one recordset and only its
     own entities can be tombstoned): with a multi-recordset store, a
     harvest of rs1 must not tombstone every entity of rs2..rsN merely
-    because they are absent from rs1's file. Entities whose parent is
-    not among the batch's parents are left untouched.
+    because they are absent from rs1's file.
+
+    ``delete_parents``: pass the harvested recordset ids EXPLICITLY to
+    pin the scope (the reference always knows which recordset it is
+    harvesting). When omitted, the scope is inferred as the batch's own
+    distinct parent values — null-safe, so a fully parentless store
+    (single-feed registry sync, the RSS diff shape) still tombstones by
+    absence. CAVEAT of the inferred mode: a MIXED batch that carries
+    both rs1's children and the rs1 recordset row itself (parent NULL)
+    puts NULL in the inferred scope and exposes every OTHER parentless
+    entity to absence-deletion — exactly why the explicit parameter
+    exists; the commit gate is the backstop, not the fix.
+
+    ``cache_latest``: persist the latest view for the batch's lifetime —
+    summary/appended/tombstones are three separate actions over the same
+    full-history aggregation; at scale two redundant full-store scans
+    per batch. The caller owns cleanup: ``result.cleanup()``.
     """
     cur = latest_view(history, include_deleted=True)
+    if cache_latest:
+        cur = cur.persist()
     appended = merge_batch(
         cur.select("uuid", "etag", "version"), batch
     ).withColumn("modified", modified)
 
+    carry = [c for c in ("type", "parent") if c in history.columns]
     if detect_deletes:
         live = cur.filter(F.col("etag") != TOMBSTONE_ETAG)
-        if "parent" in live.columns and "parent" in batch.columns:
+        if delete_parents is not None:
+            live = live.filter(F.col("parent").isin(delete_parents))
+        elif "parent" in live.columns and "parent" in batch.columns:
             parents = batch.select("parent").distinct()
             live = live.join(
                 parents,
                 on=live["parent"].eqNullSafe(parents["parent"]),
                 how="leftsemi",
             )
-        carry = [c for c in ("type", "parent") if c in live.columns]
         tombs = tombstones_for_deletes(
             live.select("uuid", "version", *carry), batch, modified=modified
         )
     else:
+        # schema matches the detect_deletes=True shape (incl. type/parent
+        # when history carries them) so callers can append either result
+        # to history without mode-dependent column surgery
+        carry_schema = "".join(f", {c} string" for c in carry)
         tombs = history.sparkSession.createDataFrame(
-            [], "uuid string, version int, etag string, modified timestamp"
+            [],
+            f"uuid string{carry_schema}, version int, etag string, "
+            "modified timestamp",
         )
 
     status = F.when(F.col("version") == 0, "create").otherwise("update")
@@ -241,7 +286,12 @@ def apply_harvest_batch(
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    return BatchResult(appended=appended, tombstones=tombs, summary=summary)
+    return BatchResult(
+        appended=appended,
+        tombstones=tombs,
+        summary=summary,
+        _cached=cur if cache_latest else None,
+    )
 
 
 def commit_gate(

@@ -68,6 +68,19 @@ def with_version_numbers(
     return df.withColumn(out, F.row_number().over(w) - 1)
 
 
+def _dedupe_batch(batch: DataFrame, key: str, etag_col: str) -> DataFrame:
+    """Collapse in-batch duplicate keys to ONE row per key: min_by etag
+    (the smallest etag wins — deterministic under any partitioning).
+    Same map-side-partial hash-agg shape as latest_per_key_agg."""
+    payload = F.struct(*[F.col(c) for c in batch.columns])
+    picked = batch.groupBy(key).agg(
+        F.min_by(payload, F.col(etag_col)).alias("__row")
+    )
+    return picked.select(
+        *[F.col(f"__row.{c}").alias(c) for c in batch.columns]
+    )
+
+
 def merge_batch(
     latest: DataFrame,
     batch: DataFrame,
@@ -82,7 +95,16 @@ def merge_batch(
     version numbers. The no-change case is filtered *before* any shuffle of
     record bodies — at 100 TB the common case (unchanged record) costs one
     broadcast/bucketed join probe, not a write.
+
+    In-batch duplicate keys collapse FIRST (deterministically to the
+    smallest etag — a DataFrame carries no file order, so the
+    reference's first-occurrence-wins rule, U4/db_check's in-file dup
+    flagging, maps to the one order every engine agrees on). Without
+    the collapse, a key appearing twice with two etags would get the
+    same version number twice, and the latest view would then pick
+    between them nondeterministically.
     """
+    batch = _dedupe_batch(batch, key, etag_col)
     cur = latest.select(
         F.col(key),
         F.col(etag_col).alias("__cur_etag"),

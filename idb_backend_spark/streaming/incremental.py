@@ -49,6 +49,16 @@ def stream_from_directory(
 N_MERGE_BUCKETS = 32
 
 
+def _delete_path(spark: SparkSession, path: str) -> None:
+    """Recursively delete a path through the Hadoop FileSystem API —
+    works for any store filesystem (local, HDFS, object stores), unlike
+    a driver-local shutil."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+
+
 def _bucket_of(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
@@ -108,9 +118,13 @@ def upsert_batch_into_store(
     upgrade); untouched buckets are never at risk.
     """
     spark = batch.sparkSession
-    newest = latest_per_key_agg(batch, [key], [modified_col]).withColumn(
-        "__bucket", _bucket_of(key, n_buckets)
-    )
+    # etag as the final order column: same-timestamp different-etag rows
+    # for one key must collapse DETERMINISTICALLY (latest_per_key_agg's
+    # own contract asks for a unique tie-breaker) or the store would
+    # converge differently per partitioning/retry
+    newest = latest_per_key_agg(
+        batch, [key], [modified_col, etag_col]
+    ).withColumn("__bucket", _bucket_of(key, n_buckets))
     store = _read_store(spark, store_path)
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -189,11 +203,28 @@ def upsert_batch_into_store(
             .unionByName(changed)
             .unionByName(rewritten)
         )
-        # rows must be materialized before the overwrite deletes their
-        # source files — localCheckpoint cuts the self-referential lineage
-        merged.localCheckpoint().write.mode("overwrite").partitionBy(
+        # TWO-HOP commit: the merged rows must be durable somewhere
+        # before the overwrite deletes their source files. A
+        # localCheckpoint would cut the lineage into NON-REPLICATED
+        # executor blocks — lose one executor mid-overwrite and the rows
+        # are unrecomputable while the store is already truncated (total
+        # loss on the legacy static path). Instead: (1) write the merged
+        # delta to a sibling staging directory — this hop reads the live
+        # store, so any failure leaves the store untouched and the batch
+        # simply retries; (2) rewrite the store FROM the staging files —
+        # this hop never reads the files it deletes, and a crash
+        # mid-overwrite leaves the full delta on disk in staging for
+        # recovery. IO cost is one extra pass over the touched-bucket
+        # delta (the one-time legacy migration pays it over the store).
+        staging = store_path.rstrip("/") + "__staging"
+        _delete_path(spark, staging)  # stale staging from a prior crash
+        merged.write.mode("overwrite").partitionBy("__bucket").parquet(
+            staging
+        )
+        spark.read.parquet(staging).write.mode("overwrite").partitionBy(
             "__bucket"
         ).parquet(store_path)
+        _delete_path(spark, staging)
     finally:
         spark.conf.set(
             "spark.sql.sources.partitionOverwriteMode", prev_mode
@@ -336,30 +367,28 @@ def sessionize(
         # session without moving its start, emitting sessions that began
         # after their own member events and diverging from the batch
         # twin (sessionize_batch).
+        # Gap-chained clustering is order-independent (connected
+        # components of the "within gap" relation over points), so ONE
+        # sort + ONE linear sweep over [state segment] + point segments
+        # yields the same partition a per-event place-and-remerge loop
+        # would — in O(n log n) instead of the quadratic per-event
+        # re-sort that stalls a 100k-event key in the stateful hot path.
         segs: list[list[int]] = []
         if state.exists:
             s0, e0, n0 = state.get
             segs.append([s0, e0, n0])
-        for t in micros:
-            placed = False
-            for s in segs:
-                if s[0] - gap_us <= t <= s[1] + gap_us:
-                    s[0], s[1], s[2] = min(s[0], t), max(s[1], t), s[2] + 1
-                    placed = True
-                    break
-            if not placed:
-                segs.append([t, t, 1])
-            segs.sort(key=lambda s: s[0])
-            merged = [segs[0]]
-            for s in segs[1:]:
-                if s[0] - merged[-1][1] <= gap_us:
-                    merged[-1][1] = max(merged[-1][1], s[1])
-                    merged[-1][2] += s[2]
-                else:
-                    merged.append(s)
-            segs = merged
+        segs.extend([t, t, 1] for t in micros)
         if not segs:
             return
+        segs.sort(key=lambda s: s[0])
+        merged = [segs[0]]
+        for s in segs[1:]:
+            if s[0] - merged[-1][1] <= gap_us:
+                merged[-1][1] = max(merged[-1][1], s[1])
+                merged[-1][2] += s[2]
+            else:
+                merged.append(s)
+        segs = merged
         # the newest segment stays open in state; every earlier one is
         # closed (nothing can rejoin it except events later proven late,
         # the bounded imprecision any single-segment state model carries)

@@ -241,3 +241,102 @@ def test_sibling_registry_excludes_tombstoned_entities(spark):
     sibs_a = out["a"]["siblings"] or {}
     linked = {u for us in sibs_a.values() for u in us}
     assert "b" in linked and "c" not in linked
+
+
+def test_latest_view_survives_backfill_timestamps(spark):
+    """latest resolves by the monotonic VERSION counter first (reference
+    db.py:37-44): a backfill replay whose caller-supplied timestamp is
+    OLDER than an existing version must still surface the higher
+    version, or the next merge would assign its number twice."""
+    hist = spark.createDataFrame(
+        [
+            ("x", "records", "rs1", "e0", 0, _ts("2024-03-01T00:00:00"), "x0"),
+            # v1 written by a backfill with an EARLIER literal timestamp
+            ("x", "records", "rs1", "e1", 1, _ts("2024-01-01T00:00:00"), "x1"),
+        ],
+        HIST_SCHEMA,
+    )
+    latest = {r["uuid"]: r for r in st.latest_view(hist).collect()}
+    assert latest["x"]["version"] == 1 and latest["x"]["etag"] == "e1"
+    # and a new changed batch gets version 2, not a duplicate 1
+    batch = spark.createDataFrame(
+        [("x", "records", "rs1", "e2", "x2")], BATCH_SCHEMA
+    )
+    res = st.apply_harvest_batch(
+        hist, batch, modified=F.lit(_ts("2024-04-01T00:00:00"))
+    )
+    assert res.appended.collect()[0]["version"] == 2
+
+
+def test_merge_batch_collapses_in_batch_duplicates(spark):
+    """A uuid appearing twice in one harvest file must yield ONE history
+    row (deterministically the smallest etag), never two rows sharing a
+    version number."""
+    batch = spark.createDataFrame(
+        [
+            ("d", "records", "rs1", "e9", "d-b"),
+            ("d", "records", "rs1", "e5", "d-a"),
+        ],
+        BATCH_SCHEMA,
+    )
+    res = st.apply_harvest_batch(
+        _history(spark), batch, modified=F.lit(_ts("2024-02-01T00:00:00"))
+    )
+    rows = res.appended.collect()
+    assert len(rows) == 1
+    assert rows[0]["etag"] == "e5" and rows[0]["version"] == 0
+
+
+def test_tombstones_schema_is_mode_independent(spark):
+    """detect_deletes=False must return an EMPTY frame with the same
+    schema as the True mode (incl. type/parent) so callers can append
+    either result to history without per-mode column surgery."""
+    batch = spark.createDataFrame(
+        [("a", "records", "rs1", "e2", "a1")], BATCH_SCHEMA
+    )
+    on = st.apply_harvest_batch(
+        _history(spark), batch, modified=F.lit(_ts("2024-02-01T00:00:00")),
+        detect_deletes=True,
+    )
+    off = st.apply_harvest_batch(
+        _history(spark), batch, modified=F.lit(_ts("2024-02-01T00:00:00")),
+        detect_deletes=False,
+    )
+    assert off.tombstones.columns == on.tombstones.columns
+    assert off.tombstones.count() == 0
+
+
+def test_delete_scope_explicit_parents_protects_siblings(spark):
+    """The mixed-batch hazard: a batch carrying rs1's children AND a
+    parentless row would (in inferred mode) put NULL in the delete
+    scope and expose every other parentless entity. Passing
+    delete_parents pins the scope to the harvested recordset, exactly
+    like the reference (db_check harvests ONE recordset)."""
+    hist = spark.createDataFrame(
+        [
+            # two top-level (parentless) recordset entities
+            ("rs1", "recordsets", None, "r1", 0, _ts("2024-01-01T00:00:00"), "r"),
+            ("rs2", "recordsets", None, "r2", 0, _ts("2024-01-01T00:00:00"), "r"),
+            # children of each
+            ("a", "records", "rs1", "e1", 0, _ts("2024-01-01T00:00:00"), "a0"),
+            ("b", "records", "rs1", "e2", 0, _ts("2024-01-01T00:00:00"), "b0"),
+            ("z", "records", "rs2", "e3", 0, _ts("2024-01-01T00:00:00"), "z0"),
+        ],
+        HIST_SCHEMA,
+    )
+    # rs1 harvest: the rs1 entity itself (parent NULL) + one child
+    batch = spark.createDataFrame(
+        [
+            ("rs1", "recordsets", None, "r1", "r"),
+            ("a", "records", "rs1", "e1", "a0"),
+        ],
+        BATCH_SCHEMA,
+    )
+    res = st.apply_harvest_batch(
+        hist, batch, modified=F.lit(_ts("2024-02-01T00:00:00")),
+        delete_parents=["rs1"],
+    )
+    tombs = {r["uuid"] for r in res.tombstones.collect()}
+    # only rs1's absent child is tombstoned; rs2 and its child and the
+    # parentless rs2 entity are untouched
+    assert tombs == {"b"}

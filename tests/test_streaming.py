@@ -77,6 +77,10 @@ def test_incremental_merge(spark, tmp_path):
     assert got["a"]["etag"] == "e9" and got["a"]["payload"] == "v3"
     assert got["b"]["payload"] == "v1"
     assert got["c"]["etag"] == "e7"
+    # the two-hop commit's staging directory is cleaned after each batch
+    import os
+
+    assert not os.path.exists(store + "__staging")
 
 
 def test_upsert_monotonic_replay_guard(spark, tmp_path):
