@@ -55,20 +55,35 @@ def simhash64(tokens: pd.Series) -> pd.Series:
             h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
         return h
 
+    # The per-byte Python FNV loop is the dominant cost; natural-language
+    # batches repeat tokens heavily (stopwords, shingle overlap), so hash
+    # each DISTINCT token once per Arrow batch and look the rest up —
+    # identical fingerprints (same hash family, bit-exact), typically an
+    # order of magnitude fewer Python-level hash computations. The
+    # per-doc bit math stays vectorized numpy.
+    hash_cache: dict[str, int] = {}
+
+    def tok_hash(t: str) -> int:
+        h = hash_cache.get(t)
+        if h is None:
+            h = fnv1a64(t)
+            hash_cache[t] = h
+        return h
+
     out = []
     bit_idx = np.arange(64, dtype=np.uint64)
+    pow2 = (np.uint64(1) << bit_idx).astype(np.uint64)
     for toks in tokens:
         if toks is None or len(toks) == 0:
             out.append(0)
             continue
-        hs = np.fromiter((fnv1a64(t) for t in toks), dtype=np.uint64)
+        hs = np.fromiter((tok_hash(t) for t in toks), dtype=np.uint64)
         bits = (hs[:, None] >> bit_idx[None, :]) & np.uint64(1)
         counts = bits.sum(axis=0).astype(np.int64)
         sign = counts * 2 > len(hs)
-        val = 0
-        for i in range(64):
-            if sign[i]:
-                val |= 1 << i
+        # assemble the fingerprint as one vectorized dot, not a 64-step
+        # Python bit loop
+        val = int((pow2 * sign.astype(np.uint64)).sum())
         # store as signed 64-bit
         out.append(val - (1 << 64) if val >= (1 << 63) else val)
     return pd.Series(out, dtype="int64")

@@ -42,16 +42,28 @@ def brute_force_topk(
 
 
 def _assign(df: DataFrame, centroids: list, vec_col: str) -> DataFrame:
-    best = None
-    for i, c in enumerate(centroids):
-        sim = cosine_similarity(F.col(vec_col), _vec_lit(c))
-        entry = F.struct(sim.alias("s"), F.lit(i).alias("b"))
-        best = (
-            entry
-            if best is None
-            else F.when(entry["s"] > best["s"], entry).otherwise(best)
+    """Nearest-centroid argmax as ONE array_max over (sim, -idx, idx)
+    structs — a LINEAR expression tree. The previous when-chain fold
+    embedded the running best twice per step (condition + otherwise),
+    an expression tree exponential in nlist: measured on Spark 4.1.2,
+    nlist=12 took 32 s to ANALYZE and the default nlist=16 OOMed the
+    driver before reading any data (the same argmax hazard class
+    functions/text.lang_id_from_tokens documents). Ties break toward
+    the LOWEST bucket index via the -idx field, matching
+    _probe_buckets — divergent tie-breaks would send queries with
+    duplicate centroids to the empty twin bucket."""
+    if not centroids:
+        # empty codebook (empty/fully-filtered corpus): one bucket
+        return df.withColumn("bucket", F.lit(0))
+    entries = [
+        F.struct(
+            cosine_similarity(F.col(vec_col), _vec_lit(c)).alias("s"),
+            F.lit(-i).alias("pri"),
+            F.lit(i).alias("b"),
         )
-    return df.withColumn("bucket", best["b"])
+        for i, c in enumerate(centroids)
+    ]
+    return df.withColumn("bucket", F.array_max(F.array(*entries))["b"])
 
 
 def ivf_build(
@@ -85,6 +97,10 @@ def ivf_build(
     # over what EXISTS — indexing range(nlist) into a short list crashed
     # on any small (or filtered) input instead of degrading gracefully
     nlist = len(centroids)
+    if not centroids:
+        # empty/fully-filtered corpus: one empty bucket, no codebook —
+        # the degradation the docstring promises, not a TypeError
+        return _assign(df, [], vec_col), []
     for _ in range(max(0, iterations)):
         assigned = _assign(df, centroids, vec_col)
         means = (
@@ -113,6 +129,8 @@ def _probe_buckets(centroids: list, query_vec, nprobe: int) -> list[int]:
     use (a divergent copy here would silently split their semantics)."""
     import numpy as np
 
+    if not centroids:
+        return [0]  # empty codebook: everything lives in bucket 0
     q = np.asarray(query_vec, dtype=float)
     qn = q / (np.linalg.norm(q) or 1.0)
     sims = []
@@ -120,7 +138,11 @@ def _probe_buckets(centroids: list, query_vec, nprobe: int) -> list[int]:
         cv = np.asarray(c, dtype=float)
         n = np.linalg.norm(cv)
         sims.append((float(np.dot(qn, cv / n)) if n else -1.0, i))
-    return [i for _, i in sorted(sims, reverse=True)[:nprobe]]
+    # ties toward the LOWEST index — the same direction _assign breaks
+    # them, so duplicate centroids probe the bucket that actually holds
+    # the vectors instead of its empty twin
+    sims.sort(key=lambda t: (-t[0], t[1]))
+    return [i for _, i in sims[:nprobe]]
 
 
 def ivf_topk(

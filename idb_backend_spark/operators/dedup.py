@@ -108,13 +108,16 @@ def ngram_jaccard_pairs(
     id_a < id_b and jaccard >= threshold.
     """
     sh = _shingle_df(df, text_col, id_col, k)
-    sizes = sh.select("id", F.size("sh").alias("sz"))
     # explode_outer, not explode: InferFiltersFromGenerate would add a
     # size(sh) > 0 filter and push it below the projection boundaries,
     # re-inlining the whole shingle expression per row (measured 7x cost).
     # Shingle arrays are never empty (whole-text fallback), so they are
     # semantically identical here.
     inv = sh.select("id", F.explode_outer("sh").alias("g"))
+    # sizes DERIVED from the inverted index (shingles are distinct per
+    # id, so count == set size): deriving from `sh` directly would make
+    # the unmaterialized shingle computation a second full-corpus scan
+    sizes = inv.groupBy("id").agg(F.count(F.col("g")).alias("sz"))
     pairs = (
         inv.alias("a")
         .join(inv.alias("b"), on="g")
@@ -174,6 +177,43 @@ def minhash_signatures(
     return inv.groupBy("id").agg(*lane_aggs)
 
 
+def _minhash_candidate_pairs(
+    sig: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """Banded LSH candidate generation from a signature frame — the ONE
+    candidate kernel both the signature-verified (`minhash_lsh_pairs`)
+    and exact-verified (`minhash_exact_verified_pairs`) tiers use. Band
+    keys straight off the lane columns; candidates carry only ids, and
+    the self-join keys on (band, key) so the shuffle is bounded by
+    bucket sizes, not n²."""
+    rows_per_band = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"m{bi * rows_per_band + j}").cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                )
+            ).alias("key"),
+        )
+        for bi in range(bands)
+    ]
+    banded = sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -209,32 +249,7 @@ def minhash_lsh_pairs(
         df, text_col, id_col, shingle_k, num_hashes, seed
     ).localCheckpoint(eager=False)
 
-    # Band keys straight off the lane columns; candidates carry only ids.
-    band_structs = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.xxhash64(
-                F.concat_ws(
-                    "_",
-                    *[
-                        F.col(f"m{bi * rows_per_band + j}").cast("string")
-                        for j in range(rows_per_band)
-                    ],
-                )
-            ).alias("key"),
-        )
-        for bi in range(bands)
-    ]
-    banded = sig.select(
-        "id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    cand = (
-        banded.alias("a")
-        .join(banded.alias("b"), on=["band", "key"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    cand = _minhash_candidate_pairs(sig, num_hashes, bands)
 
     # Verify candidates by signature-lane agreement (only candidate pairs
     # rejoin the signatures — a tiny fraction of n²).
@@ -267,6 +282,18 @@ def simhash_pairs(
     """
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
+    if max_hamming < 0 or chunk_bits < 1:
+        # chunk_bits=0 (radius >= 64) makes every bucket key the
+        # constant 0 — a silent replicated O(n^2) cross product. Refuse
+        # loudly, the same misconfiguration guard the minhash twin
+        # applies to its bands. (Radii 16-31 leave 2-3 bit keys — 4-8
+        # buckets: functional, but the self-join degrades toward
+        # O(n^2/buckets); prefer minhash for wide radii at scale.)
+        raise ValueError(
+            f"max_hamming={max_hamming} leaves {chunk_bits}-bit chunk "
+            "keys (64 // (max_hamming+1)); radii above 63 are "
+            "unsatisfiable with a 64-bit fingerprint"
+        )
     fp = _spread(df.select(F.col(id_col), F.col(text_col)), None).select(
         F.col(id_col).alias("id"), simhash64(tokens(text_col)).alias("fp")
     )
@@ -333,23 +360,29 @@ def embedding_near_dup_pairs(
 
     from idb_backend_spark.functions.similarity import cosine_similarity
 
-    first = df.select(F.size(vec_col).alias("d")).first()
+    # null vectors cannot hash or score — drop them up front, so a
+    # single stray null row can never disable dedup for the corpus (the
+    # old unfiltered .first() probe read whatever row the plan surfaced
+    # first: a null-vector head made dim None and the empty-input
+    # early-return fired, silently returning ZERO pairs)
+    vec_rows = df.filter(F.col(vec_col).isNotNull())
+    first = vec_rows.select(F.size(vec_col).alias("d")).first()
     if first is None or first["d"] is None:
-        # empty (or null-vector-headed) input: the empty pair frame must
-        # carry the SAME id type as the non-empty output or a downstream
-        # union of per-slice results fails only on the empty slice
+        # genuinely empty input: the empty pair frame must carry the
+        # SAME id type as the non-empty output or a downstream union of
+        # per-slice results fails only on the empty slice
         id_t = df.schema[id_col].dataType.simpleString()
         return df.sparkSession.createDataFrame(
             [], f"id_a {id_t}, id_b {id_t}, cosine double"
         )
     dim = first["d"]
     if band_bits is None:
-        n = df.count()
+        n = vec_rows.count()
         band_bits = max(2, math.ceil(math.log2(max(2.0, n / target_bucket_rows))))
     rng = np.random.RandomState(seed)
     planes = rng.standard_normal((n_bands * band_bits, dim))
 
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    base = vec_rows.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
 
     def _sign(p: int) -> Column:
         dot = F.aggregate(
@@ -421,10 +454,17 @@ def minhash_exact_verified_pairs(
     oracle-checkable: an exact-SQL oracle computes the true pair set, and
     any hash mismatch is a real recall loss in the sketch tier.
     """
-    sig_cand = minhash_lsh_pairs(
-        df, text_col, id_col, shingle_k, num_hashes, bands,
-        threshold=0.0, seed=seed,
-    ).select("id_a", "id_b")
+    # candidate generation ONLY — the old path went through
+    # minhash_lsh_pairs at threshold=0.0, paying two signature-array
+    # joins and a per-pair lane-agreement computation whose filter then
+    # passed everything; the exact-Jaccard verify below re-joins
+    # shingles anyway, so the signature verification was dead weight
+    if bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes ({num_hashes})"
+        )
+    sig = minhash_signatures(df, text_col, id_col, shingle_k, num_hashes, seed)
+    sig_cand = _minhash_candidate_pairs(sig, num_hashes, bands)
     sh = _shingle_df(df, text_col, id_col, shingle_k).select(
         "id", F.col("sh")
     )
@@ -493,6 +533,7 @@ def duplicate_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    vertex_col: str | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs -> (id, cluster) where
     ``cluster`` is the minimum member id — the step that turns pairwise
@@ -520,12 +561,24 @@ def duplicate_clusters(
     )
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     if vertices is not None:
-        verts = vertices.select(F.col(vertices.columns[0]).alias("id")).distinct()
+        if vertex_col is None:
+            if len(vertices.columns) != 1:
+                # a silent positional columns[0] guess over a wide frame
+                # would propagate labels over the WRONG column (e.g. the
+                # text body) and return garbage clusters with no error
+                raise ValueError(
+                    "vertices has multiple columns "
+                    f"({vertices.columns}); pass vertex_col to name the "
+                    "id column"
+                )
+            vertex_col = vertices.columns[0]
+        verts = vertices.select(F.col(vertex_col).alias("id")).distinct()
     else:
         verts = sym.select(F.col("src").alias("id")).distinct()
     labels = verts.select("id", F.col("id").alias("cluster"))
     sym = sym.localCheckpoint()
 
+    changed = 0  # max_iterations=0 must raise the documented RuntimeError
     for _ in range(max_iterations):
         neighbor_min = (
             labels.join(sym, labels["id"] == sym["src"])

@@ -125,3 +125,33 @@ def test_ivf_add_vectors_incremental(spark, tmp_path):
     assert out.first()["vec_id"] == added_id
     # idempotence of the base set: original ids all still present
     assert store.filter(F.col("vec_id") < 40).count() == n_base
+
+
+def test_wide_vertices_require_explicit_vertex_col(spark):
+    """columns[0] guessing over a wide vertex frame would propagate
+    labels over the wrong column and return garbage clusters."""
+    import pytest
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    wide = spark.createDataFrame(
+        [("txt", 1), ("txt", 2), ("txt", 3)], "text string, doc_id long"
+    )
+    with pytest.raises(ValueError):
+        dedup.duplicate_clusters(pairs, vertices=wide)
+    out = {
+        r["id"]: r["cluster"]
+        for r in dedup.duplicate_clusters(
+            pairs, vertices=wide, vertex_col="doc_id"
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 3}
+
+
+def test_zero_iterations_raises_the_documented_error(spark):
+    """max_iterations=0 must raise the convergence RuntimeError, not an
+    UnboundLocalError from the failure message itself."""
+    import pytest
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(pairs, max_iterations=0)

@@ -7,7 +7,9 @@ import random
 
 from pyspark.sql import functions as F
 
-from idb_backend_spark.operators import dedup
+import pytest
+
+from idb_backend_spark.operators import ann, dedup
 
 
 def _corpus(spark, n_docs=40, vocab=400, doc_len=120, dup_every=4, seed=11):
@@ -235,3 +237,66 @@ def test_ivf_build_small_corpus(spark):
     assert assigned.count() == 5
     top = ann.ivf_topk(assigned, cents, [4.0, 1.0], k=3, nprobe=len(cents))
     assert top.count() == 3
+
+
+def test_ivf_default_nlist_analyzes_and_runs(spark):
+    """The nearest-centroid argmax must be a LINEAR expression tree: the
+    old when-chain fold was exponential in nlist and OOMed the driver at
+    the DEFAULT nlist=16 before reading any data."""
+    import time
+
+    rows = [(i, [float((i * 7 + j) % 13) for j in range(8)])
+            for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    t0 = time.time()
+    assigned, centroids = ann.ivf_build(df, nlist=16, iterations=1)
+    top = ann.ivf_topk(assigned, centroids, rows[0][1], k=3, nprobe=16)
+    got = top.collect()
+    assert time.time() - t0 < 60  # the old tree took minutes/OOMed
+    assert len(centroids) == 16
+    assert got[0]["vec_id"] == 0 and abs(got[0]["cosine"] - 1.0) < 1e-6
+
+
+def test_ivf_empty_corpus_degrades_gracefully(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assigned, centroids = ann.ivf_build(df, nlist=8)
+    assert centroids == []
+    assert assigned.count() == 0
+    assert ann.ivf_topk(assigned, centroids, [1.0, 0.0], k=3).count() == 0
+
+
+def test_ivf_duplicate_centroids_probe_the_occupied_bucket(spark):
+    """_assign ties toward the LOWEST bucket index; _probe_buckets must
+    break centroid-similarity ties the same way, or duplicate centroids
+    send nprobe=1 queries to the empty twin bucket."""
+    vecs = [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    centroids = [[1.0, 0.0], [1.0, 0.0]]  # duplicate centroids
+    assigned = ann._assign(df, centroids, "embedding")
+    probe = ann._probe_buckets(centroids, [1.0, 0.0], nprobe=1)
+    got = ann.ivf_topk(assigned, centroids, [1.0, 0.0], k=2, nprobe=1)
+    assert probe == [0]
+    assert {r["vec_id"] for r in got.collect()} == {0, 1}
+
+
+def test_embedding_near_dup_tolerates_null_vectors(spark):
+    """One stray null embedding must not disable dedup for the corpus
+    (the old first-row dim probe read whatever row the plan surfaced
+    first and fired the empty-input early-return on a null head)."""
+    rows = [(0, None)] + [(i, [1.0, 2.0, 3.0]) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = dedup.embedding_near_dup_pairs(
+        df, "embedding", "vec_id", threshold=0.9, n_bands=4, band_bits=2
+    ).collect()
+    # 4 identical vectors -> 6 pairs, none involving the null row
+    assert len(pairs) == 6
+    assert all(r["id_a"] != 0 and r["id_b"] != 0 for r in pairs)
+
+
+def test_simhash_radius_64_raises(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs(df, "text", "doc_id", max_hamming=64)
