@@ -157,6 +157,26 @@ def molodensky_shift_py(
     return lat + math.degrees(dphi), lon + math.degrees(dlam)
 
 
+def _mol_const(datum_col: Column, idx: int) -> Column:
+    """Per-datum Molodensky constant as a small CASE chain (one arm per
+    datum, constants only) — hoisted so the shared trig tree stays
+    O(ops + datums), not O(ops × datums). The ONE builder both the
+    inline-expression and staged forms use; a second copy drifted once
+    (2·sinφ·cosφ vs sin 2φ) before this was extracted."""
+    c = None
+    for d in sorted(MOLODENSKY_PARAMS):
+        terms = _molodensky_terms(d)
+        vals = (
+            terms[0], terms[1], terms[2], terms[3], terms[4], terms[5],
+            math.radians(terms[6] / 3600.0),
+        )
+        arm = F.lit(vals[idx])
+        c = F.when(datum_col == d, arm) if c is None else c.when(
+            datum_col == d, arm
+        )
+    return c
+
+
 def molodensky_shift_expr(
     lat: Column, lon: Column, datum_norm: Column
 ) -> dict[str, Column]:
@@ -172,27 +192,10 @@ def molodensky_shift_expr(
     """
     lat_c, lon_c = lat.cast("double"), lon.cast("double")
 
-    # Hoist the per-datum constants into small CASE chains (one arm per
-    # datum, constants only) feeding ONE shared trig tree — the expression
-    # stays O(ops + datums), not O(ops × datums), so growing the datum
-    # table does not grow the codegen'd arithmetic.
-    def const(idx: int) -> Column:
-        c = None
-        for d in sorted(MOLODENSKY_PARAMS):
-            terms = _molodensky_terms(d)
-            vals = (
-                terms[0], terms[1], terms[2], terms[3], terms[4], terms[5],
-                math.radians(terms[6] / 3600.0),
-            )
-            arm = F.lit(vals[idx])
-            c = F.when(datum_norm == d, arm) if c is None else c.when(
-                datum_norm == d, arm
-            )
-        return c
-
-    p_a, p_e2 = const(0), const(1)
-    p_dx, p_dy, p_dz = const(2), const(3), const(4)
-    p_adf, p_dlam = const(5), const(6)
+    p_a, p_e2 = _mol_const(datum_norm, 0), _mol_const(datum_norm, 1)
+    p_dx, p_dy = _mol_const(datum_norm, 2), _mol_const(datum_norm, 3)
+    p_dz = _mol_const(datum_norm, 4)
+    p_adf, p_dlam = _mol_const(datum_norm, 5), _mol_const(datum_norm, 6)
 
     phi = F.radians(lat_c)
     sp, cp = F.sin(phi), F.cos(phi)
@@ -204,7 +207,11 @@ def molodensky_shift_expr(
     rn = p_a / w
     dphi = (
         -p_dx * sp * cl - p_dy * sp * sl + p_dz * cp
-        + p_adf * F.sin(F.lit(2.0) * phi)
+        # 2·sinφ·cosφ, NOT F.sin(2φ): mathematically equal but not
+        # bit-identical in floating point — the staged form, the scalar
+        # kernel, and the DuckDB oracle (synth.molodensky_cte_chain) all
+        # use the product form, so this path must too
+        + p_adf * (F.lit(2.0) * sp * cp)
     ) / rm
     dlam = (-p_dx * sl + p_dy * cl) / (rn * cp) + p_dlam
 
@@ -254,25 +261,14 @@ def with_molodensky_shift(
 
     dn = F.col("__mg_datum")
 
-    def const(idx: int) -> Column:
-        c = None
-        for d in sorted(MOLODENSKY_PARAMS):
-            terms = _molodensky_terms(d)
-            vals = (
-                terms[0], terms[1], terms[2], terms[3], terms[4], terms[5],
-                math.radians(terms[6] / 3600.0),
-            )
-            arm = F.lit(vals[idx])
-            c = F.when(dn == d, arm) if c is None else c.when(dn == d, arm)
-        return c
-
     lat_c, lon_c = F.col("__mg_lat"), F.col("__mg_lon")
     phi = F.radians(lat_c)
     staged = tmp.withColumns(
         {
-            "__mg_a": const(0), "__mg_e2": const(1), "__mg_dx": const(2),
-            "__mg_dy": const(3), "__mg_dz": const(4), "__mg_adf": const(5),
-            "__mg_dlamc": const(6),
+            "__mg_a": _mol_const(dn, 0), "__mg_e2": _mol_const(dn, 1),
+            "__mg_dx": _mol_const(dn, 2), "__mg_dy": _mol_const(dn, 3),
+            "__mg_dz": _mol_const(dn, 4), "__mg_adf": _mol_const(dn, 5),
+            "__mg_dlamc": _mol_const(dn, 6),
             "__mg_sp": F.sin(phi), "__mg_cp": F.cos(phi),
             "__mg_sl": F.sin(F.radians(lon_c)),
             "__mg_cl": F.cos(F.radians(lon_c)),
@@ -366,11 +362,21 @@ def datum_transform_udf(
         ):
             out_lon.append(None), out_lat.append(None), out_flag.append(None)
             continue
-        if dt is None or (isinstance(dt, float) and math.isnan(dt)) or not str(dt).strip():
+        if dt is None or (isinstance(dt, float) and math.isnan(dt)):
             out_lon.append(lo), out_lat.append(la)
             out_flag.append("geopoint_datum_missing")
             continue
         norm = DATUM_ALIASES.get(mangle_string(str(dt)), mangle_string(str(dt)))
+        if not norm:
+            # missing is judged on the MANGLED form, matching the native
+            # twins (molodensky_shift_expr/with_molodensky_shift, whose
+            # normalize_datum_expr reduces '???' to '' -> missing): a
+            # punctuation-only datum carries no datum information —
+            # flagging it 'error' here while the native path says
+            # 'missing' made the two F6 engines disagree
+            out_lon.append(lo), out_lat.append(la)
+            out_flag.append("geopoint_datum_missing")
+            continue
         if HAVE_PYPROJ:  # pragma: no cover
             try:
                 tr = transformer_cache.get(norm)
@@ -389,7 +395,8 @@ def datum_transform_udf(
             if norm in MOLODENSKY_PARAMS and abs(la) < 90.0:
                 la2, lo2 = molodensky_shift_py(la, lo, norm)
                 out_lon.append(lo2), out_lat.append(la2), out_flag.append(None)
-            elif norm in IDENTITY_DATUMS or norm in _KNOWN_DATUMS:
+            elif norm in _KNOWN_DATUMS:  # identity datums, or a known
+                # shift datum at a pole (IDENTITY_DATUMS ⊂ _KNOWN_DATUMS)
                 out_lon.append(lo), out_lat.append(la), out_flag.append(None)
             else:
                 out_lon.append(lo), out_lat.append(la)

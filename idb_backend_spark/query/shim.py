@@ -89,6 +89,11 @@ def _range(field: str, spec: dict) -> Column:
 
 def _prefix(field: str, value: str, assume_lowercased: bool) -> Column:
     # P6 — lowercased prefix (query_shim.py:53-65)
+    if value is None:
+        # a value-less spec would compile startswith(NULL) — a predicate
+        # that silently matches zero rows (and the SQL emitter would
+        # crash); raise on BOTH paths, like the fulltext branch
+        raise ShimError(f"prefix predicate for {field!r} requires a value")
     return _col_folded(field, True, assume_lowercased).startswith(_fold(value))
 
 
@@ -163,7 +168,13 @@ _DIST_UNIT_KM = {
     "ft": 0.0003048,
     "feet": 0.0003048,
     "cm": 0.00001,
+    "centimeters": 0.00001,
     "mm": 0.000001,
+    "millimeters": 0.000001,
+    "in": 0.0000254,
+    "inch": 0.0000254,
+    # ES spells nautical miles NM/nmi/nauticalmiles; lowercased here
+    "nm": 1.852,
 }
 
 
@@ -175,10 +186,16 @@ def parse_distance_km(distance: Any) -> float:
     if isinstance(distance, (int, float)):
         return float(distance) * 0.001
     s = str(distance).strip().lower()
-    for unit in sorted(_DIST_UNIT_KM, key=len, reverse=True):
-        if s.endswith(unit):
-            return float(s[: -len(unit)].strip()) * _DIST_UNIT_KM[unit]
-    return float(s) * 0.001
+    try:
+        for unit in sorted(_DIST_UNIT_KM, key=len, reverse=True):
+            if s.endswith(unit):
+                return float(s[: -len(unit)].strip()) * _DIST_UNIT_KM[unit]
+        return float(s) * 0.001
+    except ValueError as e:
+        # a malformed (or genuinely unknown-unit) distance is a QUERY
+        # error: surface it as ShimError like every other bad spec, not
+        # a bare float() ValueError pointing at a stripped fragment
+        raise ShimError(f"unparseable distance: {distance!r}") from e
 
 
 def _geo_distance(field: str, spec: dict) -> Column:
@@ -289,7 +306,19 @@ def _object_predicate(
         return _geo_distance(field, spec)
     if t == "geo_polygon" or (t is None and set(spec) == {"points"}):
         return _geo_polygon(field, spec)
-    if t == "geo_shape" or (t is None and {"coordinates"} <= set(spec)):
+    if (
+        t == "geo_shape"
+        # bare GeoJSON: its mandatory 'type' is the GEOMETRY type
+        # ('Polygon'/'MultiPolygon'/'envelope', case per the GeoJSON
+        # spec), which must route here — the old typeless-only arm could
+        # never fire on valid GeoJSON
+        or (
+            isinstance(t, str)
+            and t.lower() in ("polygon", "multipolygon", "envelope")
+            and "coordinates" in spec
+        )
+        or (t is None and {"coordinates"} <= set(spec))
+    ):
         return _geo_shape(field, spec.get("shape", spec))
     raise ShimError(f"unrecognized predicate object for {field!r}: {spec!r}")
 
@@ -360,7 +389,15 @@ def _sql_single(field: str, cond: Any, assume_lowercased: bool, fulltext_col: st
         if t == "missing":
             return f"{field} IS NULL"
         keys = set(cond) & {"gte", "lte", "gt", "lt"}
-        if t == "range" or keys:
+        # (t is None and keys), not bare keys: a contradicting type like
+        # {'type': 'weird', 'gte': 5} must fall through to the same
+        # unrecognized-spec error the Column path raises, not silently
+        # compile as a range on one emitter only
+        if t == "range" or (t is None and keys):
+            if not keys:
+                # lockstep with _range: '()' would be a DuckDB syntax
+                # error surfacing far from the malformed spec
+                raise ShimError(f"empty range spec for {field!r}: {cond!r}")
             ops = {"gte": ">=", "lte": "<=", "gt": ">", "lt": "<"}
             return " AND ".join(
                 f"{field} {ops[k]} {_sql_lit(cond[k])}"
@@ -368,7 +405,13 @@ def _sql_single(field: str, cond: Any, assume_lowercased: bool, fulltext_col: st
                 if k in cond
             )
         if t == "prefix" or set(cond) == {"prefix"}:
-            v = _fold(cond.get("value", cond.get("prefix")))
+            raw_v = cond.get("value", cond.get("prefix"))
+            if raw_v is None:
+                # lockstep with _prefix's Column path
+                raise ShimError(
+                    f"prefix predicate for {field!r} requires a value"
+                )
+            v = _fold(raw_v)
             # backslash first, then the LIKE metachars; the ESCAPE clause
             # is REQUIRED — DuckDB has no default escape character, so a
             # bare 'my\_val%' pattern would demand a literal backslash
@@ -416,28 +459,14 @@ def _sql_single(field: str, cond: Any, assume_lowercased: bool, fulltext_col: st
                     )
                     + ")"
                 )
-            # whole-token conjunction, same tokenization as
-            # functions.text.analyzer_tokens (lower, extract letter/digit/
-            # underscore runs — punctuation stripped, matching the ES
-            # standard analyzer); RE2's \p classes mirror Java's, and
-            # list_contains/regexp_extract_all are DuckDB's spellings (the
-            # oracle engine) — exact, no LIKE-escaping concerns
-            from idb_backend_spark.functions.text import analyzer_tokenize
+            # whole-token conjunction from the ONE SQL twin in
+            # functions/text.py (whole_token_match_sql — same tokenizer
+            # regex as analyzer_tokens, RE2's \p classes mirror Java's);
+            # an inline copy here had already drifted by dropping the
+            # sorted-set token dedup
+            from idb_backend_spark.functions.text import whole_token_match_sql
 
-            toks = analyzer_tokenize(value)
-            if not toks:
-                return "TRUE"
-            norm = (
-                f"regexp_extract_all(lower({fulltext_col}),"
-                " '[\\p{L}\\p{N}_]+')"
-            )
-            return (
-                "("
-                + " AND ".join(
-                    f"list_contains({norm}, {_sql_lit(tk)})" for tk in toks
-                )
-                + ")"
-            )
+            return whole_token_match_sql(fulltext_col, value)
         if t == "geo_bounding_box" or set(cond) >= {"top_left", "bottom_right"}:
             tl, br = cond["top_left"], cond["bottom_right"]
             lat, lon = f"{field}.lat", f"{field}.lon"

@@ -594,3 +594,32 @@ def test_quality_score_null_and_range(spark):
     assert rows[0] is None          # null text -> null, not 0.5
     assert rows[1] == 0.0           # punctuation soup floors at 0
     assert 0.0 <= rows[2] <= 1.0
+
+
+def test_datum_missing_flag_agrees_between_native_and_udf(spark):
+    """The two F6 engines must agree on a punctuation-only datum: it
+    mangles to '' (no datum information) and both flag
+    'geopoint_datum_missing' — the UDF previously judged missing on the
+    raw string and said 'error' where the native path said 'missing'."""
+    from idb_backend_spark.functions.geo import (
+        datum_transform_udf,
+        with_molodensky_shift,
+    )
+
+    df = spark.createDataFrame(
+        [(40.0, -75.0, "???"), (40.0, -75.0, None), (40.0, -75.0, "NAD27")],
+        "lat double, lon double, datum string",
+    )
+    native = with_molodensky_shift(
+        df, F.col("lat"), F.col("lon"), F.col("datum")
+    ).select("datum", "datum_flag").collect()
+    udf = df.select(
+        "datum",
+        datum_transform_udf(F.col("lon"), F.col("lat"), F.col("datum")).alias("r"),
+    ).select("datum", F.col("r.flag").alias("flag")).collect()
+    nmap = {r["datum"]: r["datum_flag"] for r in native}
+    umap = {r["datum"]: r["flag"] for r in udf}
+    assert nmap == umap
+    assert nmap["???"] == "geopoint_datum_missing"
+    assert nmap[None] == "geopoint_datum_missing"
+    assert nmap["NAD27"] is None

@@ -390,3 +390,62 @@ def test_sql_emission_property_parity(spark):
         assert spark_ids == sql_ids, (shim, spark_ids, sql_ids)
 
     check()
+
+
+def test_distance_units_cover_the_es_set():
+    """Every ES DistanceUnit spelling parses; malformed distances raise
+    ShimError (not a bare float ValueError pointing at a fragment)."""
+    import pytest
+
+    from idb_backend_spark.query.shim import ShimError, parse_distance_km
+
+    assert abs(parse_distance_km("5centimeters") - 5e-5) < 1e-12
+    assert abs(parse_distance_km("5millimeters") - 5e-6) < 1e-12
+    assert abs(parse_distance_km("5NM") - 9.26) < 1e-9
+    assert abs(parse_distance_km("5nmi") - 9.26) < 1e-9
+    assert abs(parse_distance_km("12in") - 12 * 0.0000254) < 1e-12
+    assert abs(parse_distance_km("12inch") - 12 * 0.0000254) < 1e-12
+    with pytest.raises(ShimError):
+        parse_distance_km("5parsecs")
+
+
+def test_bare_geojson_geometry_compiles(spark):
+    """GeoJSON's mandatory 'type' is the GEOMETRY type — a bare Polygon/
+    envelope spec must route to the geo_shape compiler, not die on the
+    generic unrecognized-spec error."""
+    from pyspark.sql import functions as F
+
+    from idb_backend_spark.query.shim import single_filter
+
+    ring = [[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0], [0.0, 0.0]]
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (5.0, 5.0)], "lat double, lon double"
+    ).select(F.struct("lat", "lon").alias("geopoint"))
+    inside = df.filter(
+        single_filter("geopoint", {"type": "Polygon", "coordinates": [ring]})
+    ).count()
+    assert inside == 1
+    env = df.filter(
+        single_filter(
+            "geopoint",
+            {"type": "envelope", "coordinates": [[-1.0, 1.5], [1.5, -1.0]]},
+        )
+    ).count()
+    assert env == 1
+
+
+def test_sql_emitter_malformed_spec_parity():
+    """The SQL emitter raises the SAME ShimError the Column path does for
+    malformed specs — an empty range previously emitted invalid SQL '()'
+    and a value-less prefix crashed with AttributeError."""
+    import pytest
+
+    from idb_backend_spark.query.shim import ShimError, shim_to_sql
+
+    for spec in (
+        {"count": {"type": "range"}},
+        {"name": {"type": "prefix"}},
+        {"x": {"type": "weird", "gte": 5}},
+    ):
+        with pytest.raises(ShimError):
+            shim_to_sql(spec)
