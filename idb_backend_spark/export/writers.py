@@ -142,8 +142,13 @@ def citation_text(
     access_date: date | None = None,
 ) -> str:
     """S11 — citation file body (download.py:43-79): per-recordset record
-    counts sorted desc, with the query echo and access date."""
-    access_date = access_date or date.today()
+    counts sorted desc, with the query echo and access date (UTC — a
+    host-local date.today() would make byte-identical inputs produce
+    different citations.txt across timezones)."""
+    if access_date is None:
+        from datetime import datetime, timezone
+
+        access_date = datetime.now(timezone.utc).date()
     lines = [
         f"Query: {query_echo}",
         f"Total records: {total}",

@@ -51,9 +51,13 @@ _NUM = r"[+-]?\d+(?:\.\d+)?"
 
 
 def wkt_point(wkt: Column) -> Column:
-    """``POINT (lon lat)`` -> struct(lon, lat); null if not a point."""
-    lon = F.regexp_extract(wkt, rf"(?i)POINT\s*\(\s*({_NUM})\s+{_NUM}\s*\)", 1)
-    lat = F.regexp_extract(wkt, rf"(?i)POINT\s*\(\s*{_NUM}\s+({_NUM})\s*\)", 1)
+    """``POINT (lon lat)`` -> struct(lon, lat); null if not a point.
+
+    The word boundary keeps POINT from matching INSIDE 'MULTIPOINT'
+    (same bug class the polygon parser's \\b fixed): a MULTIPOINT is
+    not a point and must yield null, not its first coordinate."""
+    lon = F.regexp_extract(wkt, rf"(?i)\bPOINT\s*\(\s*({_NUM})\s+{_NUM}\s*\)", 1)
+    lat = F.regexp_extract(wkt, rf"(?i)\bPOINT\s*\(\s*{_NUM}\s+({_NUM})\s*\)", 1)
     ok = (lon != "") & (lat != "")
     return F.when(
         ok,
@@ -101,7 +105,13 @@ def wkt_polygon_ring(wkt: Column) -> Column:
     valid = F.filter(
         ring, lambda s: s["lon"].isNotNull() & s["lat"].isNotNull()
     )
-    return F.when(F.size(valid) >= 3, valid)
+    # ALL comma tokens must be numeric pairs or the whole shape is
+    # rejected (null) — silently dropping just the malformed vertex
+    # would emit a syntactically-valid but geometrically WRONG ring to
+    # downstream containment, where the reference rejects the shape
+    return F.when(
+        (F.size(valid) >= 3) & (F.size(valid) == F.size(pairs)), valid
+    )
 
 
 def point_radius(geopoint: Column, uncertainty_m: Column) -> Column:
@@ -182,9 +192,9 @@ def finalize_index_document(
         f"{c}_iso": F.date_format(F.col(c), "yyyy-MM-dd") for c in date_cols
     }
     if drop_empty_strings:
+        from idb_backend_spark.functions.grabbers import blank_to_null
+
         for field in out.schema.fields:
             if field.dataType.simpleString() == "string":
-                batch[field.name] = F.when(
-                    F.trim(F.col(field.name)) == "", None
-                ).otherwise(F.col(field.name))
+                batch[field.name] = blank_to_null(field.name)
     return out.withColumns(batch) if batch else out

@@ -62,7 +62,8 @@ def dqs_score_for(
 
     weights = scored_weights(record_type)
     if columns is not None:
-        weights = {k: w for k, w in weights.items() if k in set(columns)}
+        cols = set(columns)  # hoisted: not one set build per weight
+        weights = {k: w for k, w in weights.items() if k in cols}
     return dqs_score(weights, flags_col, maxscore(record_type))
 
 

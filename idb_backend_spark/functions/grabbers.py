@@ -19,6 +19,17 @@ from pyspark.sql import functions as F
 FIRST_NUMBER_RE = r"([+-]?\d+(?:,\d{3})*(?:\.\d*)?)"
 
 
+def blank_to_null(c: Column | str) -> Column:
+    """Whitespace-only strings become NULL — the reference's "dict of
+    non-blank fields" contract (delimited.py:49-52). The ONE definition
+    of 'blank' shared by the ingest readers (sources/delimited.py,
+    sources/dwca.py defaults) and the index finalizer
+    (functions/finalize.py): two copies drifting on trim-vs-exact-empty
+    would silently disagree between ingest and finalize."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.when(F.trim(c) == "", None).otherwise(c)
+
+
 def getfield(c: Column | str) -> Column:
     """F1 — canonical string read: lowercased + trimmed (conversions.py:274-287)."""
     c = F.col(c) if isinstance(c, str) else c

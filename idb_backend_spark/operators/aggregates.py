@@ -25,7 +25,9 @@ def hit_counts(df: DataFrame, pred: Column | None, key: str) -> DataFrame:
 
 def unique_values(df: DataFrame, field: str) -> DataFrame:
     """A3 — unique values with counts, desc; nulls become the empty-string
-    bucket (download.py:166-198)."""
+    bucket — DELIBERATE reference parity, not an artifact: the scan loop
+    at download.py:188-193 does ``values[""] += 1`` for missing source
+    values, so the export's top row CAN be the empty-string bucket."""
     val = F.coalesce(F.col(field).cast("string"), F.lit("")).alias("value")
     return (
         df.select(val)

@@ -24,6 +24,39 @@ from idb_backend_spark.sources.fieldnames import get_canonical_name
 
 CORRUPT_COL = "__corrupt_record"
 
+#: encodings where one character encodes to one byte that can never occur
+#: inside another character's encoding (UTF-8 keeps ASCII bytes < 0x80 out
+#: of continuation bytes) — the byte-scan probe is exact for these
+_BYTE_TRANSPARENT_ENCODINGS = {
+    "utf8", "ascii", "usascii", "latin1", "iso88591", "cp1252", "windows1252",
+}
+
+
+def file_contains_char(path: str, ch: str, encoding: str | None) -> bool:
+    """Whether the file contains ``ch`` at all — the splittability probe
+    behind the multiLine decision in both delimited and DwC-A reads.
+    Conservative: any path we cannot byte-scan exactly (directory/glob,
+    non-transparent encoding, multi-byte needle) reports True, which
+    only costs parallelism, never correctness."""
+    import os
+
+    if not os.path.isfile(path):
+        return True
+    enc = (encoding or "utf-8").lower().replace("-", "").replace("_", "")
+    if enc not in _BYTE_TRANSPARENT_ENCODINGS:
+        return True
+    try:
+        needle = ch.encode(encoding or "utf-8")
+    except (UnicodeEncodeError, LookupError):
+        return True
+    if len(needle) != 1 or needle[0] >= 0x80:
+        return True
+    with open(path, "rb") as f:
+        while chunk := f.read(8 << 20):
+            if needle in chunk:
+                return True
+    return False
+
 
 def normalize_delimiter(d: str | None, default: str = ",") -> str:
     """Delimiter normalization (delimited.py:63-125): words (``tab``),
@@ -37,16 +70,20 @@ def normalize_delimiter(d: str | None, default: str = ",") -> str:
     if len(d) == 1 and d in ("\t", " "):
         # a literal whitespace char IS the delimiter — don't strip it away
         return d
+    if len(d) > 1 and len(set(d)) == 1 and d[0] in ("\t", " "):
+        # repeated literal whitespace ('\t\t') collapses like any other
+        # repeated delimiter — strip() first would silently turn a
+        # doubled-tab TSV declaration into the comma default
+        return d[0]
     d = d.strip()
     if len(d) >= 2 and d[0] == d[-1] and d[0] in ("'", '"'):
         d = d[1:-1]
-    if d.lower() == "tab":
+    # NB: r"\t" and "\\t" are the SAME two-character string — one spelling
+    if d.lower() == "tab" or d == "\\t":
         d = "\t"
-    if d in (r"\t", "\\t"):
-        d = "\t"
-    elif d in (r"\n", "\\n"):
+    elif d == "\\n":
         d = "\n"
-    elif d in (r"\r", "\\r"):
+    elif d == "\\r":
         d = "\r"
     m = re.fullmatch(r"0x([0-9a-fA-F]+)", d)
     if m:
@@ -75,6 +112,7 @@ def read_delimited(
     quote: str = '"',
     canonicalize: bool = True,
     blank_as_null: bool = True,
+    multiline: bool | None = None,
 ) -> DataFrame:
     """Read a delimited file into a DataFrame with canonicalized CURIE
     column names and a ``flag_corrupt_row`` marker column.
@@ -82,6 +120,17 @@ def read_delimited(
     PERMISSIVE + columnNameOfCorruptRecord replaces the reference's
     per-row try/except-log-skip loop (delimited.py:256-305): corrupt rows
     survive with the flag set and all fields null — downstream decides.
+
+    ``multiline``: None (default) probes the file for the quote char and
+    enables multiLine only when one is present — quoted fields with
+    embedded newlines then parse as ONE record (the reference's
+    csv.reader behavior) at the cost of a single-task read. The
+    trade-off is inherent to quoted CSV: under multiLine an UNCLOSED
+    quote swallows the rest of the file into one field (exactly what
+    csv.reader does too), so per-row corrupt isolation is strongest on
+    line-oriented feeds; pass ``multiline=False`` to force line-split
+    parsing (splittable, best isolation, breaks embedded newlines) or
+    ``True`` to skip the probe.
     """
     reader = (
         spark.read.option("mode", "PERMISSIVE")
@@ -89,9 +138,21 @@ def read_delimited(
         .option("header", str(header).lower())
         .option("sep", normalize_delimiter(sep))
         .option("quote", quote)
+        # RFC-4180 quote doubling — what write_csv_member emits and the
+        # reference's csv.reader parses (doublequote=True, no escapechar);
+        # Spark's default backslash escape corrupts any quoted value
+        # containing the quote char
+        .option("escape", quote)
         .option("encoding", encoding)
         .option("enforceSchema", "false")
     )
+    if multiline is None:
+        # probe: multiLine only when a quote char is actually present —
+        # the common no-quotes case stays a splittable parallel read
+        # (same byte-scan bound as the DwC-A member reader)
+        multiline = bool(quote) and file_contains_char(path, quote, encoding)
+    if multiline:
+        reader = reader.option("multiLine", "true")
     df = reader.csv(path)
     if CORRUPT_COL not in df.columns:
         # Spark only EMITS columnNameOfCorruptRecord when that column is
@@ -131,11 +192,11 @@ def read_delimited(
         df = df.drop(*drops).withColumnsRenamed(renames)
     out_cols = [c for c in df.columns if c != CORRUPT_COL]
     if blank_as_null:
+        from idb_backend_spark.functions.grabbers import blank_to_null
+
         df = df.select(
             *[
-                F.when(F.trim(F.col(f"`{c}`")) == "", None)
-                .otherwise(F.col(f"`{c}`"))
-                .alias(c)
+                blank_to_null(F.col(f"`{c}`")).alias(c)
                 for c in out_cols
             ],
             F.col(CORRUPT_COL),

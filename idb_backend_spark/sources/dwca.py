@@ -25,7 +25,10 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from idb_backend_spark.sources.delimited import normalize_delimiter
+from idb_backend_spark.sources.delimited import (
+    file_contains_char as _member_contains_char,
+    normalize_delimiter,
+)
 from idb_backend_spark.sources.fieldnames import (
     ROWTYPE_TO_TYPE,
     uri_to_curie,
@@ -115,33 +118,9 @@ def parse_meta_xml(xml_bytes: bytes) -> tuple[DwcaFileDescriptor, list[DwcaFileD
     return core, extensions, metadata
 
 
-#: encodings where one character encodes to one byte that can never occur
-#: inside another character's encoding (UTF-8 keeps ASCII bytes < 0x80 out
-#: of continuation bytes) — the byte-scan probe is exact for these
-_BYTE_TRANSPARENT_ENCODINGS = {
-    "utf8", "ascii", "usascii", "latin1", "iso88591", "cp1252", "windows1252",
-}
-
-
-def _member_contains_char(path: str, ch: str, encoding: str | None) -> bool:
-    """Whether the member file contains ``ch`` at all — the splittability
-    probe for `read_member`'s multiLine decision. Conservative: any
-    encoding we cannot byte-scan exactly (or a multi-byte needle) reports
-    True, which only costs parallelism, never correctness."""
-    enc = (encoding or "utf-8").lower().replace("-", "").replace("_", "")
-    if enc not in _BYTE_TRANSPARENT_ENCODINGS:
-        return True
-    try:
-        needle = ch.encode(encoding or "utf-8")
-    except (UnicodeEncodeError, LookupError):
-        return True
-    if len(needle) != 1 or needle[0] >= 0x80:
-        return True
-    with open(path, "rb") as f:
-        while chunk := f.read(8 << 20):
-            if needle in chunk:
-                return True
-    return False
+# (the splittability probe lives in sources/delimited.py — both the
+# delimited reader and the DwC-A member reader gate multiLine on it;
+# imported at the top as _member_contains_char)
 
 
 class DwcaArchive:

@@ -135,7 +135,11 @@ def test_read_delimited_canonicalize_and_corrupt(spark, tmp_path):
         ',"unclosed quote,3\n'
         "6,Jim Poe,30.1\n"
     )
-    df = read_delimited(spark, str(p))
+    # multiline=False: line-oriented parsing gives the strongest per-row
+    # corrupt isolation (the unclosed quote poisons ONE row, not the
+    # file tail — under multiLine/csv.reader semantics an unclosed quote
+    # swallows everything after it, see read_delimited's docstring)
+    df = read_delimited(spark, str(p), multiline=False)
     assert "dwc:month" in df.columns
     assert "dwc:recordedBy" in df.columns
     assert "dwc:decimalLatitude" in df.columns
@@ -338,3 +342,60 @@ def test_dwca_header_skip_is_positional(spark, tmp_path):
     assert set(rows) == {"id", "r1"}
     assert rows["id"]["dwc:genus"] == "genus"
     arch.close()
+
+
+def test_read_delimited_quote_escape_and_embedded_newlines(spark, tmp_path):
+    """The probe-enabled multiLine path: RFC-4180 doubled quotes undouble
+    on read (reference csv.reader doublequote semantics — Spark's default
+    backslash escape retained them), and a quoted embedded newline parses
+    as ONE record."""
+    p = tmp_path / "q.csv"
+    p.write_text(
+        'Collector,Locality\n'
+        '"Roe, Jane","said ""hi"" there"\n'
+        '"Poe, Jim","123 Main St.\nBuilding 4"\n'
+    )
+    df = read_delimited(spark, str(p))
+    rows = {r["dwc:recordedBy"]: r for r in df.collect()}
+    assert set(rows) == {"Roe, Jane", "Poe, Jim"}
+    assert rows["Roe, Jane"]["dwc:locality"] == 'said "hi" there'
+    assert rows["Poe, Jim"]["dwc:locality"] == "123 Main St.\nBuilding 4"
+    assert not any(r["flag_corrupt_row"] for r in rows.values())
+
+
+def test_normalize_delimiter_repeated_whitespace():
+    """A doubled-tab declaration collapses to tab like any repeated
+    delimiter — strip()-first silently turned it into the comma default."""
+    assert normalize_delimiter("\t\t") == "\t"
+    assert normalize_delimiter("  ") == " "
+
+
+def test_wkt_rejects_malformed_vertices_and_multipoint(spark):
+    """F16: a ring with ANY non-numeric comma token is rejected whole
+    (the reference nulls the shape; dropping just the bad vertex would
+    emit a geometrically wrong polygon), and MULTIPOINT is not a POINT."""
+    from idb_backend_spark.functions.finalize import wkt_point, wkt_polygon_ring
+
+    df = spark.createDataFrame(
+        [
+            (1, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+            (2, "POLYGON ((0 0, 1 0, 1 1, bogus, 0 0))"),
+            (3, "0 0, 1 0, 1 1"),
+            (4, "0 0, 1 0, 1.2.3 4"),
+            (5, "MULTIPOINT (10 40)"),
+            (6, "POINT (10 40)"),
+        ],
+        "id long, wkt string",
+    )
+    rings = {r["id"]: r["ring"] for r in df.select(
+        "id", wkt_polygon_ring(F.col("wkt")).alias("ring")
+    ).collect()}
+    assert rings[1] is not None and len(rings[1]) == 5
+    assert rings[2] is None          # malformed vertex -> whole shape null
+    assert rings[3] is not None and len(rings[3]) == 3
+    assert rings[4] is None
+    pts = {r["id"]: r["pt"] for r in df.select(
+        "id", wkt_point(F.col("wkt")).alias("pt")
+    ).collect()}
+    assert pts[5] is None            # MULTIPOINT is not a POINT
+    assert pts[6] == (10.0, 40.0)
