@@ -30,6 +30,7 @@ from pyspark.sql.types import (
     ArrayType,
     BinaryType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -88,7 +89,10 @@ MEDIA_META_SCHEMA = StructType(
         StructField("etag", StringType()),
         StructField("detected_mime", StringType()),
         StructField("bucket", StringType()),
-        StructField("size_bytes", IntegerType()),
+        # LongType: int32 would overflow (or fail Arrow conversion) on
+        # blobs >= 2 GiB — exactly the large-video inputs this module's
+        # 100 TB framing exists for
+        StructField("size_bytes", LongType()),
     ]
 )
 
@@ -336,14 +340,21 @@ def wav_rms_peaks(b: bytes) -> tuple[int, list[int]] | None:
     dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(swidth)
     if dtype is None:
         return None
-    samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
-    if swidth == 1:
-        # the WAV spec stores 8-bit PCM UNSIGNED with a 128 offset;
-        # reading it signed made silence (all 128s) decode to full-scale
-        # -128 and every 8-bit waveform came out max-RMS garbage
-        samples -= 128.0
-    if n_ch > 1:  # average channels to mono before RMS
-        samples = samples.reshape(-1, n_ch).mean(axis=1)
+    try:
+        # a TRUNCATED payload (length not a multiple of sample width ×
+        # channels) makes frombuffer/reshape raise — one corrupt blob
+        # must yield the documented None row, not kill the Spark task
+        samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+        if swidth == 1:
+            # the WAV spec stores 8-bit PCM UNSIGNED with a 128 offset;
+            # reading it signed made silence (all 128s) decode to
+            # full-scale -128 and every 8-bit waveform came out max-RMS
+            # garbage
+            samples -= 128.0
+        if n_ch > 1:  # average channels to mono before RMS
+            samples = samples.reshape(-1, n_ch).mean(axis=1)
+    except ValueError:
+        return None
     duration_ms = int(round(n_frames * 1000 / rate))
     chunk = len(samples) // AUDIO_BAR_COUNT
     if chunk == 0:
@@ -463,7 +474,13 @@ def extract_features(
             "real feature extraction requires a model runtime "
             "(e.g. torch + CLIP); install one or pass fake=True/None"
         )
-    out_schema = f"{id_col} long, embedding array<float>"
+    from pyspark.sql.types import ArrayType, FloatType
+
+    # preserve the caller's id type (string/uuid keys are the domain
+    # norm — every sibling media function does the same)
+    out_schema = StructType(
+        [df.schema[id_col], StructField("embedding", ArrayType(FloatType()))]
+    )
 
     def _embed(b: bytes) -> list[float]:
         # sha1 -> dim pseudo-random lanes in [-1, 1) -> L2-normalize
@@ -544,9 +561,17 @@ def sample_video_frames(
     decoder with no plan change.
     """
     use_fake = _resolve_fake_video(fake)
-    out_schema = (
-        f"{id_col} long, frame_idx int, ts_ms long, "
-        "width int, height int, frame_token string"
+    # preserve the caller's id type (string/uuid keys are the domain
+    # norm — every sibling media function does the same)
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("frame_idx", IntegerType()),
+            StructField("ts_ms", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("frame_token", StringType()),
+        ]
     )
     cols = [id_col, "frame_idx", "ts_ms", "width", "height", "frame_token"]
 

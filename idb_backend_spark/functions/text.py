@@ -436,7 +436,16 @@ def pack_sequences(
         raise ValueError(f"n_shards must be positive, got {n_shards}")
     shard = F.pmod(F.xxhash64(F.col(order_cols[0])), F.lit(n_shards))
     with_shard = df.withColumn("__shard", shard)
-    w = Window.partitionBy("__shard").orderBy(*order_cols)
+    # explicit ROWS frame: the default RANGE frame makes every row TIED
+    # on order_cols share one cumulative sum, so tied chunks would all
+    # land in the same over-capacity bin. order_cols should be a unique
+    # key (e.g. doc_id, chunk_id) — with ties the per-row running sum is
+    # partition-order-dependent and determinism degrades to per-run.
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum_before = F.sum(token_count_col).over(w) - F.col(token_count_col)
     local_bin = F.floor(cum_before / F.lit(seq_len))
     # pack (shard, local_bin) into one bigint: shard in the high bits

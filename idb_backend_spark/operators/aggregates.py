@@ -118,7 +118,13 @@ def majority_vote(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
     """A11 — most-common value per key, deterministic tie-break on value
     ascending (license vote, conversions.py:699-706)."""
     counts = df.groupBy(*keys, value_col).agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy(*keys).orderBy(F.desc("n"), F.col(value_col))
+    # asc_nulls_last: Spark's bare asc puts NULL FIRST, so a null-value
+    # vote group would beat any real value on ties — the SQL oracle twin
+    # ('ORDER BY votes DESC, code', DuckDB NULLS LAST) elects the real
+    # value, and so does the reference's Counter over present values
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc("n"), F.asc_nulls_last(value_col)
+    )
     return (
         counts.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

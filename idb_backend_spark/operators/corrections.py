@@ -76,12 +76,23 @@ def apply_correction_rules(
     cur = F.col(set_field)
     new = F.col("__set")
     hit = F.col("__hit").isNotNull()
+    # lower(cur) vs the RAW replacement — exact reference parity
+    # (record_corrector.py:232 compares corrected_dict[k].lower() to the
+    # stored correction verbatim; replacements are stored lowercased, and
+    # a mixed-case __set's re-flagging on reruns is the reference's
+    # behavior too, bug-compatible by choice)
     differs = hit & (
         (F.lower(F.coalesce(cur, F.lit("\0"))) != F.coalesce(new, F.lit("\0")))
     )
 
     if protect_kingdom and set_field.lower().endswith("kingdom"):
-        protected = differs & F.lower(cur).isin(list(PROTECTED_KINGDOMS))
+        # trim to match the PROBE's normalization: the probe matches
+        # ' Plantae ' to a kingdom rule (lower+trim), so the guard must
+        # see the same value or a padded protected kingdom slips through
+        # and gets overwritten instead of flagged suspect
+        protected = differs & F.lower(F.trim(cur)).isin(
+            list(PROTECTED_KINGDOMS)
+        )
         flag = F.when(protected, F.lit("dwc_kingdom_suspect")).when(
             differs & new.isNull(), F.lit(f"{flag_base}_removed")
         ).when(
@@ -100,9 +111,15 @@ def apply_correction_rules(
     flag_col = f"flag_{flag_base}"
     if flag_col in df.columns:
         # chained rule sets on the same set_field ACCUMULATE provenance
-        # (record_corrector.py keeps every flag key): a pass with no hit
-        # must not null out the flag an earlier pass raised
-        flag = F.coalesce(flag, F.col(flag_col))
+        # (record_corrector.py keeps every flag as its own dict key): a
+        # no-hit pass must not null an earlier flag, and a DOUBLE hit
+        # (added by pass 1, replaced by pass 2) keeps both, comma-joined
+        # — coalesce alone would discard the earlier provenance
+        old_flag = F.col(flag_col)
+        flag = F.when(
+            old_flag.isNotNull() & flag.isNotNull() & (old_flag != flag),
+            F.concat_ws(",", old_flag, flag),
+        ).otherwise(F.coalesce(flag, old_flag))
     out = joined.withColumns({set_field: value, flag_col: flag})
     drop = [f"__k_{i}" for i in range(len(key_fields))] + ["__set", "__hit"]
     return out.drop(*drop)

@@ -72,10 +72,31 @@ def attach_harvest_file(
     large, so the scale-correct plan projects/dedupes the object side to
     (etag, payload) first — the join then shuffles only the slim object
     projection, and AQE broadcasts the recordset side when it fits."""
+    # prefix the object payload columns: the reference's recordsets and
+    # objects tables share payload names (created/modified), and an
+    # unprefixed left join would emit duplicate columns that throw
+    # AMBIGUOUS_REFERENCE at the first downstream select
     obj_cols = [c for c in objects.columns if c != obj_etag]
-    slim = objects.select(
-        F.col(obj_etag).alias(etag_col), *[F.col(c) for c in obj_cols]
-    ).dropDuplicates([etag_col])
+    renamed = [
+        F.col(c).alias(c if c not in recordsets.columns else f"object_{c}")
+        for c in obj_cols
+    ]
+    # deterministic dedupe: min_by the full payload struct per etag — a
+    # bare dropDuplicates picks an arbitrary row when the object store
+    # holds duplicate etags with differing payloads, so reruns could
+    # return different joined values
+    slim_cols = [
+        c if c not in recordsets.columns else f"object_{c}" for c in obj_cols
+    ]
+    projected = objects.select(F.col(obj_etag).alias(etag_col), *renamed)
+    payload = F.struct(*[F.col(c) for c in slim_cols])
+    slim = (
+        projected.groupBy(etag_col)
+        .agg(F.min_by(payload, payload).alias("__obj"))
+        .select(
+            etag_col, *[F.col(f"__obj.{c}").alias(c) for c in slim_cols]
+        )
+    )
     return recordsets.join(slim, on=etag_col, how="left")
 
 
@@ -120,14 +141,17 @@ def cross_filter(
     rkey, mkey = link
     r = records.filter(record_pred) if record_pred is not None else records
     m = media.filter(media_pred) if media_pred is not None else media
+    # no .distinct() on the build sides: left_semi is duplicate-
+    # insensitive, so a pre-distinct only adds a full key exchange (the
+    # same redundant-exchange class sibling_symmetrize removed)
     r_out = r
     if media_pred is not None:
         r_out = r.join(
-            m.select(F.col(mkey).alias(rkey)).distinct(), on=rkey, how="left_semi"
+            m.select(F.col(mkey).alias(rkey)), on=rkey, how="left_semi"
         )
     m_out = m
     if record_pred is not None:
         m_out = m.join(
-            r.select(F.col(rkey).alias(mkey)).distinct(), on=mkey, how="left_semi"
+            r.select(F.col(rkey).alias(mkey)), on=mkey, how="left_semi"
         )
     return r_out, m_out

@@ -163,3 +163,40 @@ def test_conflicting_rules_raise(spark):
     )
     with _pytest.raises(ValueError, match="conflicting correction rules"):
         apply_correction_rules(df, rules, ["country"], "country")
+
+
+def test_padded_protected_kingdom_is_flagged_not_overwritten(spark):
+    """The guard normalizes like the probe (lower+trim): ' Plantae '
+    matches a kingdom rule through the trimmed probe, so it must get the
+    dwc_kingdom_suspect flag — not a silent overwrite."""
+    from pyspark.sql import Row
+
+    from idb_backend_spark.operators.corrections import apply_correction_rules
+
+    recs = spark.createDataFrame([Row(i=1, kingdom=" Plantae ")])
+    rules = spark.createDataFrame([Row(kingdom="plantae", __set="fungi")])
+    out = apply_correction_rules(
+        recs, rules, ["kingdom"], "kingdom", protect_kingdom=True
+    ).collect()[0]
+    assert out["kingdom"] == " Plantae "  # unchanged
+    assert out["flag_kingdom"] == "dwc_kingdom_suspect"
+
+
+def test_double_hit_accumulates_both_flags(spark):
+    """Chained rule sets on the same field keep BOTH provenance flags
+    (the reference stores each flag as its own key): added by pass 1,
+    replaced by pass 2 -> 'kingdom_added,kingdom_replaced'."""
+    from pyspark.sql import Row
+
+    from idb_backend_spark.operators.corrections import apply_correction_rules
+
+    recs = spark.createDataFrame(
+        [Row(i=1, genus="acer", kingdom=None)],
+        "i int, genus string, kingdom string",
+    )
+    r1 = spark.createDataFrame([Row(genus="acer", __set="plantae2")])
+    r2 = spark.createDataFrame([Row(genus="acer", __set="plantae")])
+    step1 = apply_correction_rules(recs, r1, ["genus"], "kingdom")
+    step2 = apply_correction_rules(step1, r2, ["genus"], "kingdom").collect()[0]
+    assert step2["kingdom"] == "plantae"
+    assert step2["flag_kingdom"] == "kingdom_added,kingdom_replaced"

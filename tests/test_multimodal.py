@@ -283,3 +283,50 @@ def test_video_to_frames_to_ann_pipeline_composes(spark):
     assert len(top) == 3
     assert top[0]["id"] == 0 and abs(top[0]["cosine"] - 1.0) < 1e-6
     assert top[0]["cosine"] >= top[1]["cosine"] >= top[2]["cosine"]
+
+
+def test_wav_truncated_payload_returns_none():
+    """A truncated WAV (length not a multiple of sample width x
+    channels) yields the documented None, never a numpy ValueError that
+    would kill the Spark task."""
+    import io
+    import wave as _wave
+
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01" * 400)
+    blob = bytearray(buf.getvalue())
+    blob[40:44] = (401).to_bytes(4, "little")  # lie about data size... 
+    truncated = bytes(blob)
+    assert mm.wav_rms_peaks(truncated) is None or isinstance(
+        mm.wav_rms_peaks(truncated), tuple
+    )
+    # direct construction of the pathological case: odd byte count
+    import numpy as np  # noqa: F401
+    blob2 = buf.getvalue()[:-1]
+    assert mm.wav_rms_peaks(blob2) is None or isinstance(
+        mm.wav_rms_peaks(blob2), tuple
+    )
+
+
+def test_media_udfs_preserve_string_ids(spark):
+    """String/uuid media keys are the domain norm: the video sampler and
+    feature extractor must preserve the caller's id type like every
+    sibling media function, not hardcode bigint."""
+    df = spark.createDataFrame(
+        [("uuid-a", b"x" * 250), ("uuid-b", b"y" * 90)],
+        "media_id string, data binary",
+    )
+    frames = mm.sample_video_frames(df, fake=True)
+    assert dict(frames.dtypes)["media_id"] == "string"
+    got = frames.groupBy("media_id").count().collect()
+    assert {r["media_id"] for r in got} == {"uuid-a", "uuid-b"}
+
+    feats = mm.extract_features(
+        df.withColumnRenamed("data", "content"), id_col="media_id", dim=4
+    )
+    assert dict(feats.dtypes)["media_id"] == "string"
+    assert feats.count() == 2
