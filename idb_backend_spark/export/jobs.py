@@ -118,7 +118,11 @@ class DownloadJobManager:
         ]
         removed = []
         for key in expired:
-            if on_expire is not None:
+            # a FAILED job never produced an artifact — handing it to
+            # on_expire would crash artifact-path callbacks and pin the
+            # job in the registry forever (the same guard submit applies
+            # before parking displaced jobs)
+            if on_expire is not None and self.jobs[key].status != "failed":
                 try:
                     on_expire(self.jobs[key])
                 except Exception:
@@ -126,8 +130,14 @@ class DownloadJobManager:
             del self.jobs[key]
             removed.append(key)
             self._reported_gone.add(key)
-        # displaced jobs cleaned unconditionally of age: they are already
-        # unreachable through the registry, only their artifacts linger
+        # Displaced jobs cleaned unconditionally of age: they are already
+        # unreachable through the registry, only their artifacts linger.
+        # CONTRACT: on_expire receives the parked job with ITS OWN result
+        # descriptor while a live job may share the params-hash id — a
+        # run() whose artifact path is derived from the params hash alone
+        # would collide across versions; version the path (e.g. include
+        # created_at) so cleaning the displaced artifact can never touch
+        # the live replacement's.
         still_parked = []
         for job in self._replaced:
             if on_expire is not None:

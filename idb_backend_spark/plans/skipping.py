@@ -57,11 +57,26 @@ def _file_buckets(df: DataFrame, text_cols: list[str]) -> DataFrame:
     a token-less file must still get an index row, or incremental
     maintenance re-classifies it as 'new' forever and — worse — pruning
     would treat it as unindexed on every query."""
-    toks = None
-    for c in text_cols:
-        t = F.explode_outer(analyzer_tokens(c)).alias("tok")
-        part = df.select(F.input_file_name().alias("file"), t)
-        toks = part if toks is None else toks.unionByName(part)
+    if not text_cols:
+        raise ValueError(
+            "text_cols is empty — an index over no columns can prune "
+            "nothing; pass the fulltext column(s) to index"
+        )
+    # ONE scan regardless of column count: flatten the per-column token
+    # arrays into a single exploded column (a per-column select unioned
+    # together re-scanned the source once per text column, contradicting
+    # the one-distributed-pass contract above)
+    empty = F.array().cast("array<string>")
+    all_toks = F.flatten(
+        # per-column NULL-array coalesce: flatten() returns NULL if ANY
+        # element array is null, which would drop every token of a row
+        # whose OTHER column is null
+        F.array(*[F.coalesce(analyzer_tokens(c), empty) for c in text_cols])
+    )
+    toks = df.select(
+        F.input_file_name().alias("file"),
+        F.explode_outer(all_toks).alias("tok"),
+    )
     files = toks.select("file").distinct()
     buckets = (
         toks.filter(F.col("tok").isNotNull() & (F.col("tok") != ""))

@@ -52,13 +52,29 @@ EXTRA_TRANSLATE: dict[str, tuple[str | None, str]] = {
 }
 
 _LOOKUP: dict[str, tuple[str | None, str]] = {**TRANSLATE, **EXTRA_TRANSLATE}
+#: case-insensitive fallback map — the lowercased retry in
+#: get_canonical_name must probe LOWERCASED registry keys, not the
+#: mixed-case originals (comparing lower('CatalogNumber') against the
+#: key 'catalogNumber' could never match)
+_LOOKUP_LOWER: dict[str, tuple[str | None, str]] = {
+    k.lower(): v for k, v in _LOOKUP.items()
+}
+
+#: LONGEST namespace first: several registry namespaces nest (the idigbio
+#: terms prefix is a proper prefix of its inhs/fcc sub-namespaces), and
+#: dict-order matching let the shorter one shadow the longer — 'fcc'
+#: term URIs came back as 'idigbio:fcc/...' and missed their TRANSLATE
+#: rows entirely
+_NAMESPACES_BY_LEN = sorted(
+    NAMESPACES.items(), key=lambda kv: len(kv[0]), reverse=True
+)
 
 
 def uri_to_curie(term_uri: str) -> str:
     """Term URI -> CURIE (``http://rs.tdwg.org/dwc/terms/genus`` ->
     ``dwc:genus``); unknown namespaces fall back to the munged
     ``hostname-fragment:local-name`` form (index_helper.py:73-95)."""
-    for uri, prefix in NAMESPACES.items():
+    for uri, prefix in _NAMESPACES_BY_LEN:
         if term_uri.startswith(uri):
             return f"{prefix}:{term_uri[len(uri):]}"
     if "/" in term_uri or "#" in term_uri:
@@ -97,8 +113,8 @@ def get_canonical_name(field: str) -> tuple[str | None, str]:
     base = f.split(":", 1)[-1]
     if base in _LOOKUP:
         return _LOOKUP[base]
-    if base.lower() in _LOOKUP:
-        return _LOOKUP[base.lower()]
+    if base.lower() in _LOOKUP_LOWER:
+        return _LOOKUP_LOWER[base.lower()]
     return (f, UNKNOWN_CLASS)
 
 

@@ -182,8 +182,12 @@ class ObjectStore:
         self.base_delay = base_delay
 
     def _retry(self, fn):
+        # OSError only: a backend StorageError (missing object, key
+        # escape, digest mismatch) is DETERMINISTIC — retrying it three
+        # times with backoff just adds ~seconds of latency to every
+        # cache-miss probe before the same error surfaces
         return retry_loop(fn, self.retries, self.base_delay,
-                          retriable=(OSError, StorageError))
+                          retriable=(OSError,))
 
     def put(
         self,
@@ -230,8 +234,15 @@ class ObjectStore:
     ) -> str:
         """Download atomically: tmp file, verify, rename into place; a
         failed verify leaves no partial file behind
-        (get_contents_to_filename contract, storage.py:203-233)."""
-        tmp = filename + ".tmp"
+        (get_contents_to_filename contract, storage.py:203-233).
+
+        The tmp name is UNIQUE per call (pid + uuid, the same hardening
+        LocalFSBackend.write carries): a fixed shared '.tmp' let two
+        concurrent downloads to one target truncate each other mid-
+        replace and publish a partial file despite the md5 check."""
+        import uuid as _uuid
+
+        tmp = f"{filename}.{os.getpid()}.{_uuid.uuid4().hex[:8]}.tmp"
         try:
             data = self.get_bytes(bucket, key, md5)
             with open(tmp, "wb") as fh:

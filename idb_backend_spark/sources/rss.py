@@ -48,9 +48,20 @@ def parse_feed(xml_bytes: bytes | str) -> list[FeedEntry]:
             if tag == "title":
                 title = text
             elif tag == "link":
-                # Atom: <link href=.../>; RSS: <link>text</link>
-                link = c.get("href") or text or link
-            elif tag in ("pubDate", "published", "updated"):
+                # Atom: <link href=.../>; RSS: <link>text</link>. Among
+                # multiple Atom links, the archive is the rel-less or
+                # rel='alternate' one — a trailing rel='self'/'enclosure'
+                # must not overwrite it (last-wins pointed the harvester
+                # at the feed entry itself)
+                rel = c.get("rel")
+                if link is None or rel in (None, "alternate"):
+                    link = c.get("href") or text or link
+            elif tag == "updated":
+                # Atom: <updated> moves on revision while <published> is
+                # immutable — keeping the first-seen date silently missed
+                # every revision of an entry carrying both
+                pub_date = text or pub_date
+            elif tag in ("pubDate", "published"):
                 pub_date = pub_date or text
             elif tag in ("guid", "id"):
                 guid = text

@@ -399,3 +399,45 @@ def test_wkt_rejects_malformed_vertices_and_multipoint(spark):
     ).collect()}
     assert pts[5] is None            # MULTIPOINT is not a POINT
     assert pts[6] == (10.0, 40.0)
+
+
+def test_uri_to_curie_longest_namespace_wins():
+    """Nested registry namespaces (the idigbio terms prefix is a proper
+    prefix of its inhs/fcc sub-namespaces) must resolve to the LONGEST
+    match, or sub-namespace terms miss their TRANSLATE rows."""
+    assert fn.uri_to_curie(
+        "http://portal.idigbio.org/terms/fcc/datePicked"
+    ) == "fcc:datePicked"
+    assert fn.uri_to_curie(
+        "http://portal.idigbio.org/terms/recordId"
+    ) == "idigbio:recordId"
+
+
+def test_canonical_name_case_insensitive_retry():
+    """The lowercased retry probes LOWERCASED registry keys — comparing
+    lower('CatalogNumber') against the mixed-case key 'catalogNumber'
+    could never match."""
+    term, cls = fn.get_canonical_name("CatalogNumber")
+    assert term == "dwc:catalogNumber"
+
+
+def test_atom_feed_revision_and_link_rel():
+    """Atom: <updated> moves on revision (published is immutable) and the
+    archive link is the rel-less/alternate one — a trailing rel='self'
+    must not win."""
+    from idb_backend_spark.sources.rss import parse_feed
+
+    xml = b"""<?xml version="1.0"?>
+    <feed xmlns="http://www.w3.org/2005/Atom">
+      <entry>
+        <title>DS</title>
+        <link rel="alternate" href="http://host/archive.zip"/>
+        <link rel="self" href="http://host/feed/entry/1"/>
+        <published>2020-01-01T00:00:00Z</published>
+        <updated>2026-08-01T00:00:00Z</updated>
+        <id>urn:x:1</id>
+      </entry>
+    </feed>"""
+    (e,) = parse_feed(xml)
+    assert e.link == "http://host/archive.zip"
+    assert e.pub_date == "2026-08-01T00:00:00Z"
