@@ -69,18 +69,22 @@ def main():
 
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
+    failed: list[str] = []
     total = 0.0
     for name in HEADLINE:
-        fn = runnable[name]
         t0 = time.time()
         try:
-            n = fn(spark, sf_dir).count()
+            # lookup INSIDE the try: a retired/renamed catalog entry not
+            # yet reflected in HEADLINE must degrade to one failed row,
+            # not a KeyError that kills the JSON line the driver parses
+            n = runnable[name](spark, sf_dir).count()
         except Exception as e:
             # one failing query must not swallow every other timing AND
             # the JSON line the driver parses — record the failure and
             # keep going
             times[name] = None
             rows[name] = None
+            failed.append(name)
             print(f"# {name}: FAILED {e}", file=sys.stderr)
             continue
         dt = time.time() - t0
@@ -100,6 +104,9 @@ def main():
                 # normalize throughput and catch a query whose timing
                 # "improved" because it silently returned fewer rows
                 "rows": rows,
+                # non-empty => 'value' sums only the SURVIVORS and must
+                # not be read as a speedup against a fully-green round
+                "failed": failed,
                 "sf": sf,
             }
         )

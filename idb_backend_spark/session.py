@@ -12,7 +12,16 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+def _cpus() -> int:
+    """SPARK_GRAFT_CPUS parsed LAZILY with a fallback — an import-time
+    int() made any non-numeric value (an empty string from a CI
+    template) an ImportError for the whole package, pointing at module
+    import instead of configuration."""
+    raw = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        return max(1, int(raw))
+    except ValueError:
+        return 32
 
 
 def get_spark(
@@ -20,7 +29,7 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cpus = _cpus()
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -32,7 +41,7 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",
-            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+            str(shuffle_partitions or cpus),
         )
         # Arrow for every pandas_udf / toPandas path (UDF kernels: date parse,
         # geo, simhash) — row-at-a-time Python UDFs are banned in this engine.
@@ -40,7 +49,8 @@ def get_spark(
         # Deterministic time semantics (oracle parity with naive timestamps).
         .config("spark.sql.session.timeZone", "UTC")
         # Parquet TIMESTAMP(NANOS) columns (events.ts) read as long nanos;
-        # sources/store.py converts to microsecond timestamps.
+        # plans/registry._t converts them to microsecond TIMESTAMP_NTZ —
+        # that loader is the one conversion point every catalog path uses.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # InferFiltersFromGenerate infers `size(arr) > 0` from every
         # explode and PushDownPredicate then substitutes the array
@@ -66,18 +76,6 @@ def get_spark(
     return builder.getOrCreate()
 
 
-def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
-    """Load the synthetic test tables (TESTDATA.md) as a dict of DataFrames."""
-    names = names or [
-        "region",
-        "nation",
-        "customer",
-        "supplier",
-        "part",
-        "orders",
-        "lineitem",
-        "events",
-        "documents",
-        "embeddings",
-    ]
-    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+# (a load_tables helper used to live here — deleted as dead code: every
+# real path loads tables through plans/registry._t, which also owns the
+# events.ts nanos->timestamp conversion this raw read would skip)

@@ -43,7 +43,19 @@ def norm_cell(v):
             return "inf" if v > 0 else "-inf"  # abort the whole gate
         if v == int(v) and abs(v) < 1e15:
             return repr(int(v))
+        # ABSOLUTE 9-decimal rounding — deliberately NOT a relative
+        # tolerance. The repo contract (enforced per-oracle): every float
+        # aggregate is round()-ed identically in Spark and oracle SQL
+        # before comparison, so the gate sees pre-rounded values and this
+        # normalization only absorbs repr noise. Unrounded large-
+        # magnitude sums would flap on summation order with ANY fixed
+        # tolerance — the discipline belongs in the oracles, which
+        # tests/test_oracle_dtypes.py partially enforces.
         return repr(round(v, 9))
+    if isinstance(v, (bytes, bytearray)):
+        # PySpark collects binary as bytearray, DuckDB as bytes — str()
+        # renders them differently, so identical blobs could never match
+        return bytes(v).hex()
     if isinstance(v, (_dt.datetime, _dt.date)):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
@@ -122,11 +134,19 @@ def main():
             continue
         count_ok = len(srows) == len(orows)
         schema_ok = sorted(scols) == sorted(ocols)
-        hash_ok = (
-            value_hash(srows, scols) == value_hash(orows, ocols)
-            if count_ok and schema_ok
-            else False
-        )
+        try:
+            hash_ok = (
+                value_hash(srows, scols) == value_hash(orows, ocols)
+                if count_ok and schema_ok
+                else False
+            )
+        except Exception as e:
+            # a cell type the normalizer mishandles fails ONE query, not
+            # the whole gate (same isolation the per-query run has)
+            results[name] = {"status": "HASH_ERROR", "error": str(e)[:500]}
+            failed.append(name)
+            print(f"✗ {name}: HASH_ERROR {str(e)[:200]}")
+            continue
         status = "MATCH" if (count_ok and schema_ok and hash_ok) else "MISMATCH"
         results[name] = {
             "status": status,
