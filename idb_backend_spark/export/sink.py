@@ -41,12 +41,18 @@ def write_index_table(
         # row-group skipping). A hash repartition on the same keys keeps
         # the cluster wide but scatters every hive partition across all
         # tasks: ~tasks-per-partition small files, each spanning the
-        # full cluster-key range — the small-file problem this module
-        # exists to control. Skewed partition values still split across
-        # multiple range tasks, so parallelism is preserved. (Plain
-        # repartition on partition_by alone would collapse parallelism
-        # to the distinct partition count.)
-        out = out.repartitionByRange(*[F.col(c) for c in shuffle_keys])
+        # full cluster-key range. The trailing hash tie-breaker splits
+        # runs of IDENTICAL key tuples across tasks (a range partitioner
+        # otherwise sends all ties to one task — low-cardinality cluster
+        # keys would collapse parallelism to the distinct-tuple count)
+        # without loosening the per-file key min/max.
+        # NB: repartitionByRange adds a sampling pass that evaluates the
+        # input plan once before the write — persist() an expensive
+        # upstream pipeline before calling this.
+        tie = F.xxhash64(*[F.col(c) for c in df.columns])
+        out = out.repartitionByRange(
+            *[F.col(c) for c in shuffle_keys], tie
+        )
         out = out.sortWithinPartitions(*shuffle_keys)
     writer = out.write.mode(mode).option(
         "maxRecordsPerFile", max_records_per_file

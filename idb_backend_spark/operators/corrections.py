@@ -116,9 +116,18 @@ def apply_correction_rules(
         # (added by pass 1, replaced by pass 2) keeps both, comma-joined
         # — coalesce alone would discard the earlier provenance
         old_flag = F.col(flag_col)
+        # SET-union of the comma-joined tokens (sorted for determinism):
+        # the reference keeps flags as dict keys, so a third pass
+        # re-raising 'x_replaced' must not append a duplicate token
+        merged_flags = F.array_join(
+            F.array_sort(
+                F.array_union(F.split(old_flag, ","), F.split(flag, ","))
+            ),
+            ",",
+        )
         flag = F.when(
             old_flag.isNotNull() & flag.isNotNull() & (old_flag != flag),
-            F.concat_ws(",", old_flag, flag),
+            merged_flags,
         ).otherwise(F.coalesce(flag, old_flag))
     out = joined.withColumns({set_field: value, flag_col: flag})
     drop = [f"__k_{i}" for i in range(len(key_fields))] + ["__set", "__hit"]

@@ -77,17 +77,22 @@ def attach_harvest_file(
     # unprefixed left join would emit duplicate columns that throw
     # AMBIGUOUS_REFERENCE at the first downstream select
     obj_cols = [c for c in objects.columns if c != obj_etag]
-    renamed = [
-        F.col(c).alias(c if c not in recordsets.columns else f"object_{c}")
-        for c in obj_cols
-    ]
+
+    def _target(c: str) -> str:
+        # prefix until UNIQUE: 'object_created' may itself already exist
+        # beside a colliding 'created' in the object table
+        taken = set(recordsets.columns) | (set(obj_cols) - {c})
+        t = c
+        while t in taken:
+            t = f"object_{t}"
+        return t
+
+    slim_cols = [_target(c) for c in obj_cols]
+    renamed = [F.col(c).alias(t) for c, t in zip(obj_cols, slim_cols)]
     # deterministic dedupe: min_by the full payload struct per etag — a
     # bare dropDuplicates picks an arbitrary row when the object store
     # holds duplicate etags with differing payloads, so reruns could
     # return different joined values
-    slim_cols = [
-        c if c not in recordsets.columns else f"object_{c}" for c in obj_cols
-    ]
     projected = objects.select(F.col(obj_etag).alias(etag_col), *renamed)
     payload = F.struct(*[F.col(c) for c in slim_cols])
     slim = (

@@ -71,10 +71,17 @@ def with_version_numbers(
 def _dedupe_batch(batch: DataFrame, key: str, etag_col: str) -> DataFrame:
     """Collapse in-batch duplicate keys to ONE row per key: min_by etag
     (the smallest etag wins — deterministic under any partitioning).
-    Same map-side-partial hash-agg shape as latest_per_key_agg."""
+    Same map-side-partial hash-agg shape as latest_per_key_agg.
+
+    The ordering key is null-coalesced: min_by SKIPS rows whose order
+    value is NULL, so a key whose only rows carry a null etag would
+    otherwise collapse to an all-NULL row and the record would be lost
+    ('' sorts before every real etag — a null-etag row wins the tie,
+    which is as deterministic as any other rule)."""
     payload = F.struct(*[F.col(c) for c in batch.columns])
+    order = F.coalesce(F.col(etag_col).cast("string"), F.lit(""))
     picked = batch.groupBy(key).agg(
-        F.min_by(payload, F.col(etag_col)).alias("__row")
+        F.min_by(payload, order).alias("__row")
     )
     return picked.select(
         *[F.col(f"__row.{c}").alias(c) for c in batch.columns]

@@ -467,7 +467,12 @@ def _sql_single(field: str, cond: Any, assume_lowercased: bool, fulltext_col: st
             from idb_backend_spark.functions.text import whole_token_match_sql
 
             return whole_token_match_sql(fulltext_col, value)
-        if t == "geo_bounding_box" or set(cond) >= {"top_left", "bottom_right"}:
+        # (t is None and ...) on both geo arms — same emitter-lockstep
+        # rule as the range branch: a contradicting explicit type must
+        # fall through to the same error the Column path raises
+        if t == "geo_bounding_box" or (
+            t is None and set(cond) >= {"top_left", "bottom_right"}
+        ):
             tl, br = cond["top_left"], cond["bottom_right"]
             lat, lon = f"{field}.lat", f"{field}.lon"
             lat_ok = f"({lat} <= {tl['lat']} AND {lat} >= {br['lat']})"
@@ -476,7 +481,9 @@ def _sql_single(field: str, cond: Any, assume_lowercased: bool, fulltext_col: st
             else:
                 lon_ok = f"({lon} >= {tl['lon']} OR {lon} <= {br['lon']})"
             return f"({lat_ok} AND {lon_ok})"
-        if t == "geo_distance" or set(cond) >= {"distance", "lat", "lon"}:
+        if t == "geo_distance" or (
+            t is None and set(cond) >= {"distance", "lat", "lon"}
+        ):
             km = parse_distance_km(cond["distance"])
             lat, lon = f"{field}.lat", f"{field}.lon"
             qlat, qlon = float(cond["lat"]), float(cond["lon"])

@@ -131,6 +131,13 @@ def read_delimited(
     line-oriented feeds; pass ``multiline=False`` to force line-split
     parsing (splittable, best isolation, breaks embedded newlines) or
     ``True`` to skip the probe.
+
+    The probe only byte-scans LOCAL single files; directories, globs,
+    and object-store URIs conservatively take the multiLine path
+    (correct, one task per file). At cluster scale pass ``multiline``
+    explicitly — you know whether the feed quotes — instead of paying
+    the conservative default or the driver-side scan of a large local
+    file.
     """
     reader = (
         spark.read.option("mode", "PERMISSIVE")

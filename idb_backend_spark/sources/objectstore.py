@@ -240,9 +240,7 @@ class ObjectStore:
         LocalFSBackend.write carries): a fixed shared '.tmp' let two
         concurrent downloads to one target truncate each other mid-
         replace and publish a partial file despite the md5 check."""
-        import uuid as _uuid
-
-        tmp = f"{filename}.{os.getpid()}.{_uuid.uuid4().hex[:8]}.tmp"
+        tmp = f"{filename}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
         try:
             data = self.get_bytes(bucket, key, md5)
             with open(tmp, "wb") as fh:

@@ -125,6 +125,11 @@ def upsert_batch_into_store(
     newest = latest_per_key_agg(
         batch, [key], [modified_col, etag_col]
     ).withColumn("__bucket", _bucket_of(key, n_buckets))
+    if newest.isEmpty():
+        # an all-filtered micro-batch is a no-op — proceeding would
+        # write a zero-row staging directory whose read-back cannot
+        # infer a schema and kills the stream
+        return
     store = _read_store(spark, store_path)
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -340,3 +340,20 @@ def test_delete_scope_explicit_parents_protects_siblings(spark):
     # only rs1's absent child is tombstoned; rs2 and its child and the
     # parentless rs2 entity are untouched
     assert tombs == {"b"}
+
+
+def test_null_etag_batch_row_survives_dedup(spark):
+    """min_by skips NULL ordering values — a key whose only row carries
+    a null etag must still merge intact, not collapse to an all-NULL
+    row that loses the record."""
+    batch = spark.createDataFrame(
+        [("n1", "records", "rs1", None, "payload")], BATCH_SCHEMA
+    )
+    res = st.apply_harvest_batch(
+        _history(spark), batch, modified=F.lit(_ts("2024-02-01T00:00:00")),
+        detect_deletes=False,
+    )
+    rows = res.appended.collect()
+    assert len(rows) == 1
+    assert rows[0]["uuid"] == "n1" and rows[0]["data"] == "payload"
+    assert rows[0]["etag"] is None and rows[0]["version"] == 0

@@ -345,3 +345,17 @@ def test_sessionize_late_events_across_batches(spark, tmp_path):
     # no emitted session may start after its own end or after 09:45
     for r in rows:
         assert r["session_start"] <= r["session_end"]
+
+
+def test_empty_batch_is_a_noop(spark, tmp_path):
+    """An all-filtered micro-batch must not touch the store (the two-hop
+    commit would otherwise write a schemaless staging dir whose
+    read-back kills the stream)."""
+    store = str(tmp_path / "emptystore")
+    inc.upsert_batch_into_store(
+        store, _rows(spark, [("a", "e1", _ts("2024-01-01T00:00:00"), "v1")])
+    )
+    empty = _rows(spark, []).limit(0)
+    inc.upsert_batch_into_store(store, empty)
+    got = {r["uuid"]: r for r in spark.read.parquet(store).collect()}
+    assert set(got) == {"a"} and got["a"]["etag"] == "e1"
