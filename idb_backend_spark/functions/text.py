@@ -418,7 +418,11 @@ def pack_sequences(
     window computes the running token count in (order_cols) order, and
     ``bin = cumulative_before // seq_len``; the global bin id is
     (shard, bin) packed into one bigint. One exchange (the shard
-    window), stable under reruns and repartitioning.
+    window), stable under reruns and repartitioning. The shard hash is
+    the first 8 hex chars of md5 parsed as an integer — like the
+    md5-prefix split in operators/sampling.py, it computes identically
+    in any SQL engine (``CAST('0x' || substr(md5(k),1,8) AS BIGINT)``
+    in DuckDB), so the whole assignment is auditable from SQL.
 
     Approximation contract: greedy first-fit is inherently sequential,
     so this uses cumulative-sum binning instead — a chunk straddling a
@@ -434,7 +438,14 @@ def pack_sequences(
         raise ValueError(f"seq_len must be positive, got {seq_len}")
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
-    shard = F.pmod(F.xxhash64(F.col(order_cols[0])), F.lit(n_shards))
+    shard = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(order_cols[0]).cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(n_shards),
+    )
     with_shard = df.withColumn("__shard", shard)
     # explicit ROWS frame: the default RANGE frame makes every row TIED
     # on order_cols share one cumulative sum, so tied chunks would all

@@ -19,6 +19,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def md5_cut(fraction: float) -> int:
+    """The shared cut-point for every md5-prefix keep decision in this
+    module: ``int(round(256 * fraction))``, compared against the first
+    two hex chars of ``md5(key)``. Exposed as ONE function so the Spark
+    expressions here and the DuckDB oracle builders (plans/synth.py)
+    round identically — a hand-copied ``round`` on one side is exactly
+    the class of silent drift the shared-builder rule exists to prevent.
+    ``<= 0`` means keep nothing; ``>= 256`` means keep everything;
+    otherwise compare ``substr(md5(key), 1, 2) < format(cut, '02x')``.
+    """
+    return int(round(256 * fraction))
+
+
 def split_assignment(
     key: Column | str,
     weights: tuple[float, ...] = (0.8, 0.1),
@@ -53,7 +66,7 @@ def split_assignment(
     acc = 0.0
     for w, label in zip(weights, labels[:-1]):
         acc += w
-        cut_int = int(round(256 * acc))
+        cut_int = md5_cut(acc)
         if cut_int >= 256:
             branch = F.lit(True)  # cumulative weight ~1: label everything
         elif cut_int <= 0:
@@ -92,7 +105,7 @@ def deterministic_sample(
     """
     if not 0.0 < fraction < 1.0:
         raise ValueError(f"fraction must be in (0, 1), got {fraction}")
-    cut_int = int(round(256 * fraction))
+    cut_int = md5_cut(fraction)
     if cut_int <= 0:
         # below the 1/512 rounding floor the filter would silently keep
         # NOTHING — refuse loudly instead
@@ -137,7 +150,7 @@ def mixture_sample(
     h = F.substring(F.md5(F.col(key_col).cast("string")), 1, 2)
 
     def keep_expr(fraction: float) -> Column:
-        cut = int(round(256 * fraction))
+        cut = md5_cut(fraction)
         if cut >= 256:
             return F.lit(True)
         if cut <= 0:

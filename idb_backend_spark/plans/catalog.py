@@ -38,7 +38,12 @@ by minhash_exact_verified / simhash_exact_verified.
 Round-6 retirements: total_count, stats_daily_rollup, keyset_pagination
 (each redundantly covered — see the comments at their former
 registration sites) freed slots for export_jobs_queue and
-video_frame_sample at 99 total. The sessionize/sessionize_batch pair
+video_frame_sample at 99 total; a second pass retired date_features and
+bpe_token_count (both single-expression entries whose operator classes
+stay graded by date_fallback_assembly / token_count_quality +
+text_quality_metrics) for mixture_sample and sequence_packing — the
+domain-mixing and context-window-packing steps of the training
+pipeline, which were unit-only. The sessionize/sessionize_batch pair
 was deliberately NOT folded: the streaming and batch operators are
 distinct code paths (applyInPandasWithState vs gaps-and-islands) and
 each needs its own driver evidence.

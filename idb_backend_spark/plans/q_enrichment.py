@@ -664,23 +664,12 @@ def text_quality_metrics(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@query(
-    "bpe_token_count",
-    "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))"
-    " AS n_bpe FROM documents ORDER BY doc_id",
-)
-def bpe_token_count(spark, sf_dir):
-    """Text analysis — BPE-ish regex token counting (word pieces +
-    standalone punctuation)."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(
-            F.regexp_extract_all(
-                "text", F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0
-            )
-        ).alias("n_bpe"),
-    ).orderBy("doc_id")
+# RETIRED (round 6, second pass): `bpe_token_count` — one native
+# regexp_extract_all count whose T9 token-counting coverage stays graded
+# by `token_count_quality` and `text_quality_metrics`; the BPE-ish regex
+# itself (functions/text.py:bpe_ish_token_count) keeps a golden unit
+# test in tests/test_properties.py. Slot freed for `sequence_packing`
+# (q_scale).
 
 
 # --------------------------------------------------------------------------

@@ -367,21 +367,12 @@ def grab_first_number_q(spark, sf_dir):
     ).orderBy("event_id")
 
 
-@query(
-    "date_features",
-    "SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m, "
-    "dayofyear(o_orderdate) AS startdayofyear FROM orders ORDER BY o_orderkey",
-)
-def date_features(spark, sf_dir):
-    """F8 (derived features) — year/month/startdayofyear extraction
-    (conversions.py:626-627)."""
-    orders = _t(spark, sf_dir, "orders")
-    return orders.select(
-        "o_orderkey",
-        F.year("o_orderdate").alias("y"),
-        F.month("o_orderdate").alias("m"),
-        F.dayofyear("o_orderdate").alias("startdayofyear"),
-    ).orderBy("o_orderkey")
+# RETIRED (round 6, second pass): `date_features` — F8's derived
+# year/month/startdayofyear features are three built-in projections
+# (F.year/F.month/F.dayofyear, conversions.py:626-627) with no custom
+# operator behind them; the F8 machinery that can actually break
+# (dateGrabber parsing, fallback assembly, bounds flag) stays graded by
+# `date_fallback_assembly`. Slot freed for `mixture_sample` (q_scale).
 
 
 @query(

@@ -337,3 +337,89 @@ def training_corpus_e2e(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+# --- T25/T26: domain mixture + sequence packing ------------------------
+
+#: the graded mixture — exercises every arm of the CASE: keep-all (1.0),
+#: two interior cut points, a small fraction that rounds to the 5/256
+#: floor, an exact-zero drop domain, and the default arm for the 15
+#: domains not listed. ONE dict renders into both the Spark filter and
+#: (via synth.mixture_keep_sql) the oracle predicate.
+_MIX_FRACTIONS = {
+    "src0": 1.0,
+    "src1": 0.5,
+    "src2": 0.25,
+    "src3": 0.02,
+    "src4": 0.0,
+}
+_MIX_DEFAULT = 0.1
+
+_MIX_ORACLE = (
+    "SELECT doc_id, source FROM documents WHERE "
+    + synth.mixture_keep_sql("source", "doc_id", _MIX_FRACTIONS, _MIX_DEFAULT)
+    + " ORDER BY doc_id"
+)
+
+
+@query("mixture_sample", _MIX_ORACLE)
+def mixture_sample_q(spark, sf_dir):
+    """T25 — deterministic domain-mixture sampling (the corpus-mixing
+    step of a training-data pipeline): keep a per-domain fraction of
+    rows as a pure function of the row key
+    (operators/sampling.py:mixture_sample). One native CASE over the
+    md5-prefix threshold — stable under reruns, appends, and
+    repartitioning, pushes into the scan with no shuffle, and the
+    oracle predicate is GENERATED from the same fractions dict so the
+    mixture cannot drift from its audit SQL. No counterpart in the
+    reference (training-pipeline extension tier).
+    """
+    from idb_backend_spark.operators.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return mixture_sample(
+        docs, "source", "doc_id", _MIX_FRACTIONS, _MIX_DEFAULT
+    ).orderBy("doc_id")
+
+
+_PACK_SEQ_LEN = 256
+_PACK_SHARDS = 8
+
+_PACK_ORACLE = (
+    "WITH t AS (SELECT doc_id, len(" + synth.TOKS_SQL + ") AS n_tok, "
+    + synth.md5_shard_sql("doc_id", _PACK_SHARDS) + " AS shard "
+    "FROM documents), "
+    "c AS (SELECT doc_id, shard, "
+    "  sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok "
+    "    AS cum_before FROM t) "
+    f"SELECT doc_id, CAST(shard * (1::BIGINT << 40) "
+    f"  + (cum_before // {_PACK_SEQ_LEN}) AS BIGINT) AS bin_id "
+    "FROM c ORDER BY doc_id"
+)
+
+
+@query("sequence_packing", _PACK_ORACLE)
+def sequence_packing(spark, sf_dir):
+    """T26 — approximate sequence packing (functions/text.py:
+    pack_sequences): assign documents to fixed-capacity training
+    sequences (the step that fills model context windows instead of
+    padding per document). Documents shard by the portable md5 hash of
+    the key, a per-shard window computes the running token count, and
+    bin = cumulative_before // seq_len packed with the shard into one
+    bigint — deterministic, one exchange, partitioning-independent.
+    The oracle rebuilds the identical cumulative-sum binning in DuckDB
+    (same shard hash via synth.md5_shard_sql), so the shard function,
+    window frame, and bin arithmetic are all value-checked. No
+    counterpart in the reference (training-pipeline extension tier).
+    """
+    from idb_backend_spark.functions import text
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", text.token_count("text").alias("n_tok")
+    )
+    packed = text.pack_sequences(
+        docs, "n_tok", ["doc_id"],
+        seq_len=_PACK_SEQ_LEN, n_shards=_PACK_SHARDS,
+    )
+    return packed.select("doc_id", "bin_id").orderBy("doc_id")

@@ -173,3 +173,49 @@ def lang_case_sql() -> str:
         arms.append(f"WHEN {conds} THEN '{l}'")
     arms.append(f"ELSE '{langs[-1]}' END")
     return " ".join(arms)
+
+
+def md5_keep_sql(key_sql: str, fraction: float) -> str:
+    """DuckDB predicate keeping ~``fraction`` of rows by md5-prefix —
+    the oracle twin of the keep decision in operators/sampling.py
+    (deterministic_sample / mixture_sample). The cut point comes from
+    the SAME ``md5_cut`` the Spark expressions use, so the two sides
+    cannot round differently."""
+    from idb_backend_spark.operators.sampling import md5_cut
+
+    cut = md5_cut(fraction)
+    if cut >= 256:
+        return "TRUE"
+    if cut <= 0:
+        return "FALSE"
+    return f"substr(md5(CAST({key_sql} AS VARCHAR)), 1, 2) < '{cut:02x}'"
+
+
+def mixture_keep_sql(
+    domain_sql: str,
+    key_sql: str,
+    fractions: dict,
+    default_fraction: float,
+) -> str:
+    """The oracle twin of operators.sampling.mixture_sample's CASE: a
+    per-domain md5-prefix keep predicate, unknown (including NULL)
+    domains taking the default fraction. Generated from the same
+    fractions dict the Spark entry passes, so mixture changes update
+    engine and oracle together."""
+    arms = [
+        f"WHEN {domain_sql} = '{d}' THEN {md5_keep_sql(key_sql, f)}"
+        for d, f in fractions.items()
+    ]
+    arms.append(f"ELSE {md5_keep_sql(key_sql, default_fraction)}")
+    return "CASE " + " ".join(arms) + " END"
+
+
+def md5_shard_sql(key_sql: str, n_shards: int) -> str:
+    """DuckDB twin of pack_sequences' shard hash: first 8 hex chars of
+    md5 parsed as an integer, mod ``n_shards`` (functions/text.py
+    pack_sequences uses conv(substring(md5(k),1,8),16,10) — verified
+    value-identical across both engines)."""
+    return (
+        f"CAST('0x' || substr(md5(CAST({key_sql} AS VARCHAR)), 1, 8)"
+        f" AS BIGINT) % {n_shards}"
+    )

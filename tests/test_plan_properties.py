@@ -438,3 +438,36 @@ def test_video_frame_sample_plan_is_single_python_stage(spark):
     # the only exchange is the presentation orderBy's range partitioner
     body = p.split("MapInPandas")[-1]  # below the sampler: scan side
     assert "Exchange" not in body, p
+
+
+def test_mixture_sample_is_scan_plus_filter_no_exchange(spark):
+    """T25: the domain mixture is ONE native filter over the scan — no
+    shuffle, no Python, and the projection prunes to the two columns the
+    entry reads (the whole mixture decision rides the md5 expression)."""
+    from idb_backend_spark.operators.sampling import mixture_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    q = mixture_sample(
+        docs, "source", "doc_id", {"src0": 1.0, "src1": 0.5}, 0.1
+    )
+    p = plan_str(q)
+    assert "Exchange" not in p and "Python" not in p
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert rs and "text" not in rs[0]  # the wide column stays unread
+
+
+def test_pack_sequences_single_exchange_no_python(spark):
+    """T26: packing = one hash exchange on the shard + a window — no
+    second shuffle, no global sort of the corpus, no Python."""
+    from idb_backend_spark.functions.text import pack_sequences, token_count
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", token_count("text").alias("n_tok")
+    )
+    q = pack_sequences(docs, "n_tok", ["doc_id"], seq_len=256, n_shards=8)
+    p = q._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in p  # per-shard sort, never global
+    assert "Python" not in p

@@ -442,3 +442,26 @@ def test_pack_sequences_capacity_and_determinism(spark):
         .first()[0]
     )
     assert n_shards_per_doc == 1
+
+
+def test_bpe_ish_token_count_goldens(spark):
+    # pins the operator retired from the graded catalog in round 6: word
+    # pieces, digit runs, and standalone punctuation each count once
+    from idb_backend_spark.functions.text import bpe_ish_token_count
+
+    cases = [
+        ("hello world", 2),
+        ("don't stop", 4),          # don / ' / t / stop
+        ("a1b2", 4),                # a / 1 / b / 2
+        ("R2-D2, go!", 8),          # r / 2 / - / d / 2 / , / go / !
+        ("  spaced   out  ", 2),
+        ("", 0),
+        ("...", 3),
+        ("Mixed CASE Words", 3),    # case-folded before splitting
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "text string")
+    got = [
+        r[0]
+        for r in df.select(bpe_ish_token_count("text")).collect()
+    ]
+    assert got == [n for _, n in cases]
