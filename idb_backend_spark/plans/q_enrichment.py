@@ -664,12 +664,14 @@ def text_quality_metrics(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-# RETIRED (round 6, second pass): `bpe_token_count` — one native
-# regexp_extract_all count whose T9 token-counting coverage stays graded
-# by `token_count_quality` and `text_quality_metrics`; the BPE-ish regex
-# itself (functions/text.py:bpe_ish_token_count) keeps a golden unit
-# test in tests/test_properties.py. Slot freed for `sequence_packing`
-# (q_scale).
+# RETIRED (round 6, second pass): `bpe_token_count` — one inline
+# regexp_extract_all count ('[A-Za-z0-9]+|[^A-Za-z0-9\s]', no case
+# fold) with no operator function behind it; T9 token-counting coverage
+# stays graded by `token_count_quality` and `text_quality_metrics`.
+# Its exact tokenization is pinned by goldens in
+# tests/test_properties.py (alongside the library's related-but-
+# different bpe_ish_token_count, which folds case and splits digit
+# runs). Slot freed for `sequence_packing` (q_scale).
 
 
 # --------------------------------------------------------------------------

@@ -386,7 +386,7 @@ _PACK_SEQ_LEN = 256
 _PACK_SHARDS = 8
 
 _PACK_ORACLE = (
-    "WITH t AS (SELECT doc_id, len(" + synth.TOKS_SQL + ") AS n_tok, "
+    "WITH t AS (SELECT doc_id, " + synth.TOKCNT_SQL + " AS n_tok, "
     + synth.md5_shard_sql("doc_id", _PACK_SHARDS) + " AS shard "
     "FROM documents), "
     "c AS (SELECT doc_id, shard, "

@@ -38,8 +38,9 @@ def exact_dedup_q(spark, sf_dir):
 
 @query(
     "token_count_quality",
-    "SELECT doc_id, "
-    "len(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_tokens "
+    # TOKCNT_SQL, not a bare len(): token_count guards empty text to 0
+    # while splitting '' yields one empty token in both engines
+    "SELECT doc_id, " + synth.TOKCNT_SQL + " AS n_tokens "
     "FROM documents ORDER BY doc_id",
 )
 def token_count_quality(spark, sf_dir):

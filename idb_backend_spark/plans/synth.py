@@ -102,6 +102,14 @@ def cosine_sql(a: str, b: str) -> str:
 NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 TOKS_SQL = f"string_split_regex({NORM_SQL}, ' ')"
 
+#: the oracle twin of functions.text.token_count: splitting an EMPTY
+#: string yields one empty token in both engines, but token_count guards
+#: that case to 0 — a bare len(TOKS_SQL) silently over-counts
+#: empty/whitespace-only documents by one, which a per-shard cumulative
+#: sum (sequence_packing) then propagates to every later row in the
+#: shard. Any oracle mirroring token_count must use THIS expression.
+TOKCNT_SQL = f"CASE WHEN {NORM_SQL} = '' THEN 0 ELSE len({TOKS_SQL}) END"
+
 #: token-window chunking parameters — ONE definition for the Spark side
 #: (chunks_from_tokens args) and the oracle window arithmetic, so the
 #: composed training_corpus_e2e entry can never desynchronize from the
@@ -203,7 +211,11 @@ def mixture_keep_sql(
     fractions dict the Spark entry passes, so mixture changes update
     engine and oracle together."""
     arms = [
-        f"WHEN {domain_sql} = '{d}' THEN {md5_keep_sql(key_sql, f)}"
+        # quote-double the domain literal (same escaping as
+        # sql_word_list) — a domain like "o'reilly" must not render as
+        # malformed SQL
+        f"WHEN {domain_sql} = '{d.replace(chr(39), chr(39) * 2)}' "
+        f"THEN {md5_keep_sql(key_sql, f)}"
         for d, f in fractions.items()
     ]
     arms.append(f"ELSE {md5_keep_sql(key_sql, default_fraction)}")

@@ -467,7 +467,7 @@ def test_pack_sequences_single_exchange_no_python(spark):
         "doc_id", token_count("text").alias("n_tok")
     )
     q = pack_sequences(docs, "n_tok", ["doc_id"], seq_len=256, n_shards=8)
-    p = q._jdf.queryExecution().executedPlan().toString()
+    p = plan_str(q, "simple")
     assert p.count("Exchange hashpartitioning") == 1
     assert "rangepartitioning" not in p  # per-shard sort, never global
     assert "Python" not in p

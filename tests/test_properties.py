@@ -445,8 +445,8 @@ def test_pack_sequences_capacity_and_determinism(spark):
 
 
 def test_bpe_ish_token_count_goldens(spark):
-    # pins the operator retired from the graded catalog in round 6: word
-    # pieces, digit runs, and standalone punctuation each count once
+    # the library's BPE-ish counter: case-folded, digit runs split from
+    # letter runs, standalone punctuation counts once
     from idb_backend_spark.functions.text import bpe_ish_token_count
 
     cases = [
@@ -465,3 +465,47 @@ def test_bpe_ish_token_count_goldens(spark):
         for r in df.select(bpe_ish_token_count("text")).collect()
     ]
     assert got == [n for _, n in cases]
+
+
+def test_retired_bpe_entry_regex_goldens(spark):
+    # pins the tokenization of the `bpe_token_count` catalog entry
+    # retired in round 6 (an inline expression, NOT bpe_ish_token_count:
+    # no case fold, alnum runs stay whole) so its semantics — recorded
+    # in every prior CORRECTNESS artifact — stay reconstructible
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("hello world", 2),
+        ("don't stop", 4),          # don / ' / t / stop
+        ("a1b2", 1),                # one alnum run
+        ("R2-D2, go!", 6),          # R2 / - / D2 / , / go / !
+        ("", 0),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "text string")
+    expr = F.size(
+        F.regexp_extract_all("text", F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)
+    )
+    got = [r[0] for r in df.select(expr).collect()]
+    assert got == [n for _, n in cases]
+
+
+def test_oracle_builders_escape_and_empty_text():
+    # mixture_keep_sql must quote-double domain literals; TOKCNT_SQL
+    # must count empty/whitespace-only text as 0 like token_count does
+    import duckdb
+
+    from idb_backend_spark.plans import synth
+
+    sql = synth.mixture_keep_sql("d", "k", {"o'reilly": 0.5}, 0.1)
+    con = duckdb.connect()
+    got = con.sql(
+        "SELECT count(*) FROM (VALUES ('o''reilly', 1)) t(d, k) "
+        f"WHERE {sql}"
+    ).fetchone()[0]
+    assert got in (0, 1)  # parses and evaluates; no malformed literal
+
+    for text, want in [("", 0), ("   ", 0), ("a b", 2)]:
+        n = con.sql(
+            f"SELECT {synth.TOKCNT_SQL} FROM (VALUES ($${text}$$)) t(text)"
+        ).fetchone()[0]
+        assert n == want, (text, n)
