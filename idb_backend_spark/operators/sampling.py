@@ -172,3 +172,28 @@ def mixture_sample(
     other = unknown & keep_expr(default_fraction)
     pred = other if pred is None else (pred | other)
     return df.filter(pred)
+
+
+def epoch_shuffle_key(key: Column | str, epoch: int) -> Column:
+    """Pseudo-random sort key for epoch ``epoch`` as a pure function of
+    the row key: ``md5(key || ':' || epoch)``. Ordering by it gives each
+    training epoch its own deterministic permutation — reproducible
+    across reruns, partitionings, and engines (auditable from SQL, like
+    every keep/cut decision in this module), unlike orderBy(rand(seed)),
+    which is partitioning-dependent.
+    """
+    if epoch < 0:
+        raise ValueError(f"epoch must be >= 0, got {epoch}")
+    k = F.col(key) if isinstance(key, str) else key
+    return F.md5(F.concat_ws(":", k.cast("string"), F.lit(str(epoch))))
+
+
+def epoch_shuffle(df: DataFrame, key_col: str, epoch: int) -> DataFrame:
+    """Deterministic epoch shuffle — the data-ordering step of a
+    training run: one total-order sort by the epoch's md5 key (a single
+    range exchange, which IS the shuffle; there is no cheaper global
+    permutation). Writers consuming the result preserve the order into
+    sequence files. Different epochs give uncorrelated permutations of
+    the SAME row set; re-running an epoch reproduces its order exactly.
+    """
+    return df.orderBy(epoch_shuffle_key(key_col, epoch), F.col(key_col))

@@ -509,3 +509,31 @@ def test_oracle_builders_escape_and_empty_text():
             f"SELECT {synth.TOKCNT_SQL} FROM (VALUES ($${text}$$)) t(text)"
         ).fetchone()[0]
         assert n == want, (text, n)
+
+
+def test_epoch_shuffle_permutation_properties(spark):
+    # deterministic across reruns and partitionings; different epochs
+    # give different (and near-uncorrelated) orders of the SAME row set
+    from idb_backend_spark.operators.sampling import epoch_shuffle
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "k long")
+
+    def order(d, epoch):
+        return [r[0] for r in epoch_shuffle(d, "k", epoch).collect()]
+
+    e0 = order(df, 0)
+    assert order(df, 0) == e0                      # rerun-stable
+    assert order(df.repartition(17), 0) == e0      # partitioning-free
+    e1 = order(df, 1)
+    assert sorted(e0) == sorted(e1) == list(range(500))  # permutations
+    assert e0 != e1
+    # near-uncorrelated: few fixed points between epochs (expected ~1;
+    # allow generous slack), and neither epoch is the identity order
+    fixed = sum(a == b for a, b in zip(e0, e1))
+    assert fixed < 25
+    assert e0 != list(range(500)) and e1 != list(range(500))
+
+    with _pytest.raises(ValueError):
+        epoch_shuffle(df, "k", -1)
