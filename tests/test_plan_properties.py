@@ -471,3 +471,16 @@ def test_pack_sequences_single_exchange_no_python(spark):
     assert p.count("Exchange hashpartitioning") == 1
     assert "rangepartitioning" not in p  # per-shard sort, never global
     assert "Python" not in p
+
+
+def test_epoch_shuffle_is_one_range_exchange(spark):
+    """epoch_shuffle = one range exchange on the md5 sort key (the
+    global permutation IS the shuffle) — no second exchange, no Python,
+    and the md5 key computes inside codegen."""
+    from idb_backend_spark.operators.sampling import epoch_shuffle
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    p = plan_str(epoch_shuffle(docs, "doc_id", 3), "simple")
+    assert p.count("Exchange") == 1
+    assert "rangepartitioning" in p
+    assert "Python" not in p
