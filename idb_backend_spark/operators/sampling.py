@@ -180,7 +180,10 @@ def epoch_shuffle_key(key: Column | str, epoch: int) -> Column:
     training epoch its own deterministic permutation — reproducible
     across reruns, partitionings, and engines (auditable from SQL, like
     every keep/cut decision in this module), unlike orderBy(rand(seed)),
-    which is partitioning-dependent.
+    which is partitioning-dependent. The key must be non-null and
+    unique (a doc id): concat_ws skips NULL, so null keys would all
+    collapse onto md5(str(epoch)) and sort adjacently instead of
+    failing — same caller contract as every md5-keyed op here.
     """
     if epoch < 0:
         raise ValueError(f"epoch must be >= 0, got {epoch}")
