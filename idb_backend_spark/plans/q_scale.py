@@ -281,10 +281,10 @@ _E2E_ORACLE = (
     "  FROM g), "
     "kf AS (SELECT doc_id, chunk_id, chunk_text, row_number() OVER ("
     "  PARTITION BY chunk_text ORDER BY doc_id, chunk_id) AS rn FROM ch), "
-    "sp AS (SELECT doc_id, chunk_text, CASE "
-    "  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train' "
-    "  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val' "
-    "  ELSE 'test' END AS split FROM kf WHERE rn = 1) "
+    # split CASE generated from the engine's cut-point rounding
+    # (synth.split_case_sql) — same builder as deterministic_split's
+    "sp AS (SELECT doc_id, chunk_text, " + synth.split_case_sql("doc_id")
+    + " AS split FROM kf WHERE rn = 1) "
     "SELECT split, count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs, "
     "CAST(sum(len(str_split(chunk_text, ' '))) AS BIGINT) AS n_tokens "
     "FROM sp GROUP BY split ORDER BY split"

@@ -420,12 +420,12 @@ def document_chunking(spark, sf_dir):
 
 @query(
     "deterministic_split",
-    # the same md5-prefix comparison, verbatim, in DuckDB — the split is
-    # auditable from any SQL engine, which is the point of the design
-    "WITH s AS (SELECT doc_id, CASE "
-    "  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train' "
-    "  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val' "
-    "  ELSE 'test' END AS split FROM documents) "
+    # the same md5-prefix comparison in DuckDB — the split is auditable
+    # from any SQL engine, which is the point of the design; the CASE is
+    # GENERATED from the engine's own cut-point rounding (synth.
+    # split_case_sql ← sampling.md5_cut) so thresholds cannot drift
+    "WITH s AS (SELECT doc_id, " + synth.split_case_sql("doc_id")
+    + " AS split FROM documents) "
     "SELECT doc_id, split FROM s ORDER BY doc_id",
 )
 def deterministic_split_q(spark, sf_dir):

@@ -231,3 +231,32 @@ def md5_shard_sql(key_sql: str, n_shards: int) -> str:
         f"CAST('0x' || substr(md5(CAST({key_sql} AS VARCHAR)), 1, 8)"
         f" AS BIGINT) % {n_shards}"
     )
+
+
+def split_case_sql(
+    key_sql: str,
+    weights: tuple = (0.8, 0.1),
+    labels: tuple = ("train", "val", "test"),
+) -> str:
+    """The oracle twin of operators.sampling.split_assignment: the same
+    cumulative md5_cut points rendered as a DuckDB CASE, so the split
+    oracles can never hand-copy ('cd', 'e6', …) thresholds that drift
+    from the engine's rounding. Mirrors split_assignment's always/never
+    branches for cuts that round past the byte range."""
+    from idb_backend_spark.operators.sampling import md5_cut
+
+    h = f"substr(md5(CAST({key_sql} AS VARCHAR)), 1, 2)"
+    arms = []
+    acc = 0.0
+    for w, label in zip(weights, labels[:-1]):
+        acc += w
+        cut = md5_cut(acc)
+        lbl = label.replace("'", "''")
+        if cut >= 256:
+            arms.append(f"WHEN TRUE THEN '{lbl}'")
+        elif cut <= 0:
+            arms.append(f"WHEN FALSE THEN '{lbl}'")
+        else:
+            arms.append(f"WHEN {h} < '{cut:02x}' THEN '{lbl}'")
+    final = labels[-1].replace("'", "''")
+    return "CASE " + " ".join(arms) + f" ELSE '{final}' END"
