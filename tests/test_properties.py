@@ -537,3 +537,59 @@ def test_epoch_shuffle_permutation_properties(spark):
 
     with _pytest.raises(ValueError):
         epoch_shuffle(df, "k", -1)
+
+
+def test_sampling_builders_match_spark_over_random_fractions(spark):
+    """Cross-engine parity sweep: for randomized weights/fractions, the
+    generated DuckDB SQL (split_case_sql / mixture_keep_sql) must assign
+    every key exactly as the Spark expressions do — including cut points
+    that round to the always/never edges."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from idb_backend_spark.operators.sampling import (
+        mixture_sample,
+        split_assignment,
+    )
+    from idb_backend_spark.plans import synth
+
+    rng = random.Random(20260814)
+    keys = [rng.randrange(10**9) for _ in range(300)]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT unnest($1::BIGINT[]) AS k", [keys]
+    )
+
+    for _ in range(8):
+        # weights that sum < 1, including near-edge values
+        w1 = rng.choice([0.001, 0.2, 0.5, 0.799, 0.996])
+        w2 = rng.uniform(0.001, 0.999 - w1)
+        weights, labels = (w1, w2), ("train", "val", "test")
+        got = {
+            r["k"]: r["s"]
+            for r in df.select(
+                "k", split_assignment("k", weights, labels).alias("s")
+            ).collect()
+        }
+        sql = synth.split_case_sql("k", weights, labels)
+        want = dict(con.sql(f"SELECT k, {sql} FROM t").fetchall())
+        assert got == want, (weights,)
+
+    for _ in range(8):
+        fracs = {
+            f"d{i}": rng.choice([0.0, 0.001, 0.25, 0.5, 0.999, 1.0])
+            for i in range(rng.randint(1, 4))
+        }
+        default = rng.choice([0.0, 0.1, 1.0])
+        dom = (F.col("k") % 6).cast("string")
+        mdf = df.withColumn("dom", F.concat(F.lit("d"), dom))
+        kept = {
+            r["k"]
+            for r in mixture_sample(mdf, "dom", "k", fracs, default).collect()
+        }
+        pred = synth.mixture_keep_sql("'d' || CAST(k % 6 AS VARCHAR)", "k", fracs, default)
+        want = {r[0] for r in con.sql(f"SELECT k FROM t WHERE {pred}").fetchall()}
+        assert kept == want, (fracs, default)
