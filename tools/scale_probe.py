@@ -1,0 +1,131 @@
+"""Scale-up probe: measure how the heavy document operators behave when
+the corpus grows 10x — the local stand-in for the "would this survive
+100x?" question the architecture is designed around.
+
+Methodology
+-----------
+Replicate the sf0.1 documents table ``factor`` times into a scratch dir.
+Replica i > 0 gets every token suffixed with ``_i`` (one native
+transform), so replicas share NO shingles/fingerprints with each other
+or the original: exact-dup groups, near-dup pair sets, and LSH bucket
+shapes stay realistic (a naive row copy would instead turn every doc
+into a 10-way duplicate group and explode pair counts quadratically).
+doc_ids offset by 10M per replica.
+
+Each probed operator is the CATALOG entry itself (same code the driver
+grades), timed with a full count() at factor 1 and factor N on one warm
+session. Near-linear wall-clock ratios (t_N / t_1 <= N, usually below
+it as fixed overhead amortizes) are the pass signal; a super-linear
+ratio flags a scale hazard (all-pairs behavior, driver collect, skew).
+
+Usage: python tools/scale_probe.py [factor] [src_sf_dir]
+Prints one JSON line; results recorded in SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+#: documents-only entries that dominate the bench and stress the
+#: dedup/sketch/packing paths
+PROBES = [
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "corpus_curation_pipeline",
+    "sequence_packing",
+    "token_count_quality",
+    "lang_id_heuristic",
+    "training_corpus_e2e",
+]
+
+
+def build_scaled(spark, src: str, dst: str, factor: int) -> None:
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    parts = []
+    for i in range(factor):
+        if i == 0:
+            parts.append(docs)
+            continue
+        sfx = f"_{i}"
+        tagged = docs.select(
+            (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.split("text", " "),
+                    lambda x: F.concat(x, F.lit(sfx)),  # noqa: B023 — sfx
+                    # rebound per loop below via default-free closure: the
+                    # expression is BUILT inside this iteration, so the
+                    # closure's cell holds this iteration's sfx when the
+                    # Column is constructed (never use a default arg here:
+                    # PySpark would bind it to the array index)
+                ),
+                " ",
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        parts.append(tagged)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{dst}/documents.parquet")
+
+
+def time_entry(fn, spark, sf_dir: str) -> tuple[float, int]:
+    t0 = time.time()
+    n = fn(spark, sf_dir).count()
+    return round(time.time() - t0, 3), n
+
+
+def main() -> int:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    scratch = os.environ.get("SCALE_PROBE_DIR", "/tmp/scale_probe")
+
+    from idb_backend_spark.plans import catalog
+    from idb_backend_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    entries = dict(catalog.Q)
+    entries.update(catalog.UNGRADED)
+
+    base = os.path.join(scratch, "f1")
+    big = os.path.join(scratch, f"f{factor}")
+    build_scaled(spark, src, base, 1)
+    build_scaled(spark, src, big, factor)
+
+    results = {}
+    for name in PROBES:
+        fn = entries[name]
+        # warm both paths once at factor 1 so JIT/codegen cost doesn't
+        # land on either timed run
+        time_entry(fn, spark, base)
+        t1, n1 = time_entry(fn, spark, base)
+        tn, nn = time_entry(fn, spark, big)
+        results[name] = {
+            "t1": t1,
+            f"t{factor}": tn,
+            "ratio": round(tn / t1, 2) if t1 > 0 else None,
+            "rows1": n1,
+            f"rows{factor}": nn,
+        }
+        print(f"  {name}: {t1}s -> {tn}s (x{results[name]['ratio']})",
+              file=sys.stderr)
+
+    shutil.rmtree(scratch, ignore_errors=True)
+    print(json.dumps({"factor": factor, "src": src, "probes": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
