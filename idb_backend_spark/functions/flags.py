@@ -18,8 +18,24 @@ def flag_when(name: str, cond: Column) -> Column:
 
 
 def fold_flags(*flag_cols: Column) -> Column:
-    """F17 — collect non-null flags into a compact array (conversions.py:955-962)."""
-    return F.array_compact(F.array(*flag_cols))
+    """F17 — collect non-null flags into a compact array (conversions.py:955-962).
+
+    Deliberately NOT ``array_compact(array(...))``: array_compact
+    rewrites to the higher-order ArrayFilter, a CodegenFallback that
+    knocks the entire enclosing Project out of whole-stage codegen —
+    measured 2x on the full enrichment pipeline (the flags fold sits in
+    its widest select). Concat of per-flag 0/1-element arrays computes
+    the identical value inside codegen.
+    """
+    if not flag_cols:
+        return F.array().cast("array<string>")
+    empty = F.array().cast("array<string>")
+    return F.concat(
+        *[
+            F.when(c.isNotNull(), F.array(c)).otherwise(empty)
+            for c in flag_cols
+        ]
+    )
 
 
 def standard_coord_flags(lat: Column, lon: Column) -> list[Column]:

@@ -177,6 +177,29 @@ def _mol_const(datum_col: Column, idx: int) -> Column:
     return c
 
 
+def _mol_dim(spark):
+    """The 17-row per-datum Molodensky parameter DIMENSION — the
+    broadcast-join form of _mol_const for DataFrame-level staging
+    (with_molodensky_shift). Same _molodensky_terms source, so the two
+    forms cannot diverge; columns carry the __mg_ prefix the staged
+    pipeline already reserves."""
+    rows = []
+    for d in sorted(MOLODENSKY_PARAMS):
+        t = _molodensky_terms(d)
+        rows.append(
+            (
+                d, float(t[0]), float(t[1]), float(t[2]), float(t[3]),
+                float(t[4]), float(t[5]), math.radians(t[6] / 3600.0),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "__mg_datum string, __mg_a double, __mg_e2 double, "
+        "__mg_dx double, __mg_dy double, __mg_dz double, "
+        "__mg_adf double, __mg_dlamc double",
+    )
+
+
 def molodensky_shift_expr(
     lat: Column, lon: Column, datum_norm: Column
 ) -> dict[str, Column]:
@@ -246,10 +269,15 @@ def with_molodensky_shift(
     molodensky_shift_expr composed inline re-inlines the normalized-datum
     subtree at every constant site (~datums × 7), which breaches janino's
     64 KB method limit and silently drops the stage out of whole-stage
-    codegen. Staging binds datum_norm and the seven per-datum constants
-    as real projected columns — each computed once — and Catalyst's
-    CollapseProject leaves them staged because they are non-cheap and
-    multi-referenced. Adds out_lat/out_lon/out_flag; temp columns dropped.
+    codegen. Here the seven per-datum constants come from a BROADCAST
+    join against the 17-row parameter dimension instead of CASE chains:
+    the 7 × 17-arm string-compare CASEs made the fused generated method
+    too large for HotSpot's JIT, so the whole consume loop (trig
+    included) ran as interpreted bytecode — measured 4.7x slower than
+    the join form on the 600k-row enrichment bench. A left join on a
+    unique key preserves rows; an unknown/NULL datum gets NULL constants,
+    exactly the CASE-with-no-ELSE semantics. Adds out_lat/out_lon/
+    out_flag; temp columns dropped.
     """
     tmp = df.withColumns(
         {
@@ -259,16 +287,14 @@ def with_molodensky_shift(
         }
     )
 
-    dn = F.col("__mg_datum")
+    joined = tmp.join(
+        F.broadcast(_mol_dim(df.sparkSession)), on="__mg_datum", how="left"
+    )
 
     lat_c, lon_c = F.col("__mg_lat"), F.col("__mg_lon")
     phi = F.radians(lat_c)
-    staged = tmp.withColumns(
+    staged = joined.withColumns(
         {
-            "__mg_a": _mol_const(dn, 0), "__mg_e2": _mol_const(dn, 1),
-            "__mg_dx": _mol_const(dn, 2), "__mg_dy": _mol_const(dn, 3),
-            "__mg_dz": _mol_const(dn, 4), "__mg_adf": _mol_const(dn, 5),
-            "__mg_dlamc": _mol_const(dn, 6),
             "__mg_sp": F.sin(phi), "__mg_cp": F.cos(phi),
             "__mg_sl": F.sin(F.radians(lon_c)),
             "__mg_cl": F.cos(F.radians(lon_c)),
@@ -292,6 +318,7 @@ def with_molodensky_shift(
     ) / rm
     dlam = (-p_dx * sl + p_dy * cl) / (rn * cp) + p_dlam
 
+    dn = F.col("__mg_datum")
     have = lat_c.isNotNull() & lon_c.isNotNull()
     missing = dn.isNull() | (F.trim(dn) == "")
     at_pole = F.abs(lat_c) >= 90.0

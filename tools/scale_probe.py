@@ -35,7 +35,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 #: documents-only entries that dominate the bench and stress the
-#: dedup/sketch/packing paths
+#: dedup/sketch/packing paths, plus the lineitem-backed enrichment and
+#: versioning heavies (the reference-parity hot path)
 PROBES = [
     "exact_dedup",
     "minhash_lsh_pairs",
@@ -45,6 +46,8 @@ PROBES = [
     "token_count_quality",
     "lang_id_heuristic",
     "training_corpus_e2e",
+    "etl_enrichment_pipeline",
+    "latest_object_per_url",
 ]
 
 
@@ -81,15 +84,48 @@ def build_scaled(spark, src: str, dst: str, factor: int) -> None:
     out.write.mode("overwrite").parquet(f"{dst}/documents.parquet")
 
 
+def build_scaled_lineitem(spark, src: str, dst: str, factor: int) -> None:
+    """Replicas offset every key column so per-key groups (the versioning
+    top-1 and the synthesized record ids) stay replica-local — group
+    COUNT grows with the data, group SIZE does not, matching how a real
+    corpus grows."""
+    li = spark.read.parquet(f"{src}/lineitem.parquet")
+    parts = []
+    for i in range(factor):
+        if i == 0:
+            parts.append(li)
+            continue
+        shifted = li.withColumns(
+            {
+                "l_orderkey": F.col("l_orderkey") + i * 100_000_000,
+                "l_partkey": F.col("l_partkey") + i * 10_000_000,
+                "l_suppkey": F.col("l_suppkey") + i * 1_000_000,
+            }
+        )
+        parts.append(shifted)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{dst}/lineitem.parquet")
+
+
 def time_entry(fn, spark, sf_dir: str) -> tuple[float, int]:
+    """Time FULL evaluation via the noop sink — a bare count() lets
+    Catalyst prune every projected expression (an enrichment pipeline
+    'scales' perfectly when none of its columns are computed); the noop
+    writer materializes every output column without writing bytes. Row
+    count is taken untimed for the report."""
+    df = fn(spark, sf_dir)
     t0 = time.time()
-    n = fn(spark, sf_dir).count()
-    return round(time.time() - t0, 3), n
+    df.write.format("noop").mode("overwrite").save()
+    t = round(time.time() - t0, 3)
+    return t, df.count()
 
 
 def main() -> int:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else PROBES
     scratch = os.environ.get("SCALE_PROBE_DIR", "/tmp/scale_probe")
 
     from idb_backend_spark.plans import catalog
@@ -103,9 +139,11 @@ def main() -> int:
     big = os.path.join(scratch, f"f{factor}")
     build_scaled(spark, src, base, 1)
     build_scaled(spark, src, big, factor)
+    build_scaled_lineitem(spark, src, base, 1)
+    build_scaled_lineitem(spark, src, big, factor)
 
     results = {}
-    for name in PROBES:
+    for name in only:
         fn = entries[name]
         # warm both paths once at factor 1 so JIT/codegen cost doesn't
         # land on either timed run
