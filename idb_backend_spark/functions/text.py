@@ -146,12 +146,31 @@ def punct_ratio(c: Column | str) -> Column:
     return F.when(n > 0, npunct.cast("double") / n).otherwise(F.lit(0.0))
 
 
+def marker_hits(c: Column | str, words: list[str]) -> Column:
+    """Occurrences of any of ``words`` as whole tokens of the normalized
+    text — value-identical to ``size(filter(tokens(c), isin(words)))``
+    (same normalization, whole-token matches only, duplicates counted),
+    but fully native: the higher-order ArrayFilter is a CodegenFallback
+    whose per-element lambda evaluates interpreted — measured ~2x slower
+    than this padded regexp_count on the lang-ID scan at sf0.1. NULL
+    text yields NULL (callers' when-guards already treat that as zero
+    hits, matching the old form's behavior through size()).
+    """
+    if not words:
+        return F.lit(0)
+    import re as _re
+
+    pat = "[ ](" + "|".join(_re.escape(w) for w in words) + ")(?=[ ])"
+    padded = F.concat(F.lit(" "), normalize_text(c), F.lit(" "))
+    return F.regexp_count(padded, F.lit(pat))
+
+
 def stopword_ratio_from_tokens(
     t: Column, stopwords: list[str] | None = None
 ) -> Column:
-    """stopword_ratio over a pre-tokenized array column — stage tokens()
-    once per row when composing several token metrics (tokenization is a
-    regexp + split; recomputing it per metric dominates composed plans)."""
+    """stopword_ratio over a pre-tokenized array column (for callers
+    that only have the array; prefer the text-input forms, which count
+    hits natively via marker_hits)."""
     sw = stopwords or LANG_MARKERS["en"]
     hits = F.size(F.filter(t, lambda x: x.isin(sw)))
     return F.when(F.size(t) > 0, hits.cast("double") / F.size(t)).otherwise(
@@ -160,7 +179,11 @@ def stopword_ratio_from_tokens(
 
 
 def stopword_ratio(c: Column | str, stopwords: list[str] | None = None) -> Column:
-    return stopword_ratio_from_tokens(tokens(c), stopwords)
+    sw = stopwords or LANG_MARKERS["en"]
+    t = tokens(c)
+    return F.when(
+        F.size(t) > 0, marker_hits(c, sw).cast("double") / F.size(t)
+    ).otherwise(F.lit(0.0))
 
 
 def quality_score(c: Column | str, stopwords: list[str] | None = None) -> Column:
@@ -183,7 +206,14 @@ def quality_score_from_tokens(
     col = F.col(c) if isinstance(c, str) else c
     n = F.length(col)
     len_score = F.least(n.cast("double") / F.lit(500.0), F.lit(1.0))
-    sw_score = F.least(stopword_ratio_from_tokens(t, stopwords) * 5.0, F.lit(1.0))
+    # hits natively via marker_hits (t is tokens(c) per this function's
+    # contract, so the text-derived count is the same value); the staged
+    # t still carries the denominator without re-tokenizing
+    sw = stopwords or LANG_MARKERS["en"]
+    sw_ratio = F.when(
+        F.size(t) > 0, marker_hits(c, sw).cast("double") / F.size(t)
+    ).otherwise(F.lit(0.0))
+    sw_score = F.least(sw_ratio * 5.0, F.lit(1.0))
     p_penalty = F.least(punct_ratio(c) * 4.0, F.lit(1.0))
     raw = 0.5 * len_score + 0.5 * sw_score - 0.25 * p_penalty
     return F.when(
@@ -194,44 +224,31 @@ def quality_score_from_tokens(
 def lang_scores(c: Column | str, markers: dict[str, list[str]] | None = None) -> Column:
     """Per-language marker-hit counts -> map<lang, int>."""
     markers = markers or LANG_MARKERS
-    t = tokens(c)
     entries = [
         F.struct(
             F.lit(lang).alias("key"),
-            F.size(F.filter(t, lambda x: x.isin(words))).alias("value"),
+            # coalesce to -1 on NULL text: the previous size(filter())
+            # form returned -1 there (legacy sizeOfNull), and map
+            # consumers may rely on that sentinel
+            F.coalesce(marker_hits(c, words), F.lit(-1)).alias("value"),
         )
         for lang, words in markers.items()
     ]
     return F.map_from_entries(F.array(*entries))
 
 
-def lang_id(c: Column | str, markers: dict[str, list[str]] | None = None) -> Column:
-    """Argmax language by marker hits; deterministic tie-break by language
-    code ascending; 'und' when no marker matches.
+def _lang_argmax(hits_by_lang: dict[str, Column]) -> Column:
+    """Argmax over per-language hit counts; deterministic tie-break by
+    language code ascending; 'und' when no marker matches.
 
     Single array_max over (hits, priority, lang) structs — a when-chain
     argmax embeds the previous best twice per step (condition + otherwise),
-    duplicating the token-filter subtree 2^langs times; array_max keeps
-    the expression linear in the number of languages."""
-    markers = markers or LANG_MARKERS
-    return lang_id_from_tokens(tokens(c), markers)
-
-
-def lang_id_from_tokens(
-    t: Column, markers: dict[str, list[str]] | None = None
-) -> Column:
-    """lang_id with the token array staged by the caller."""
-    markers = markers or LANG_MARKERS
-
-    def _pred(words):
-        # single-arg lambda factory: a default-arg closure would make PySpark
-        # bind the second parameter to the array index
-        return lambda x: x.isin(words)
-
-    langs = sorted(markers)
+    duplicating the hit subtree 2^langs times; array_max keeps the
+    expression linear in the number of languages."""
+    langs = sorted(hits_by_lang)
     entries = [
         F.struct(
-            F.size(F.filter(t, _pred(markers[lang]))).alias("hits"),
+            hits_by_lang[lang].alias("hits"),
             # higher priority = earlier language code, so struct-max
             # tie-breaks toward the ascending-order winner
             F.lit(len(langs) - 1 - i).alias("pri"),
@@ -241,6 +258,35 @@ def lang_id_from_tokens(
     ]
     best = F.array_max(F.array(*entries))
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def lang_id(c: Column | str, markers: dict[str, list[str]] | None = None) -> Column:
+    """Argmax language by native whole-token marker hits (marker_hits);
+    'und' when no marker matches, ties break by language code."""
+    markers = markers or LANG_MARKERS
+    return _lang_argmax(
+        {lang: marker_hits(c, markers[lang]) for lang in markers}
+    )
+
+
+def lang_id_from_tokens(
+    t: Column, markers: dict[str, list[str]] | None = None
+) -> Column:
+    """lang_id for callers that only have the token array (the text-input
+    form counts hits natively and is preferred)."""
+    markers = markers or LANG_MARKERS
+
+    def _pred(words):
+        # single-arg lambda factory: a default-arg closure would make PySpark
+        # bind the second parameter to the array index
+        return lambda x: x.isin(words)
+
+    return _lang_argmax(
+        {
+            lang: F.size(F.filter(t, _pred(markers[lang])))
+            for lang in markers
+        }
+    )
 
 
 def fulltext_column(*cols: Column | str) -> Column:

@@ -593,3 +593,34 @@ def test_sampling_builders_match_spark_over_random_fractions(spark):
         pred = synth.mixture_keep_sql("'d' || CAST(k % 6 AS VARCHAR)", "k", fracs, default)
         want = {r[0] for r in con.sql(f"SELECT k FROM t WHERE {pred}").fetchall()}
         assert kept == want, (fracs, default)
+
+
+def test_marker_hits_matches_hof_filter(spark):
+    """The native whole-token marker counter must equal the higher-order
+    size(filter(tokens, isin)) form it replaced — over edge texts (empty,
+    whitespace, nulls, adjacent markers) and marker words containing
+    regex metacharacters (the escaping path)."""
+    from pyspark.sql import functions as F
+
+    from idb_backend_spark.functions.text import marker_hits, tokens
+
+    texts = [
+        "the cat and the dog", "THE the The", "", "   ", None,
+        "a a a a", "word", "the. and, of", "x the y and z",
+        "a.b literal a.b", "c++ c++ d", "don't don't stop",
+        "the\tand\nof", "  the  and  ", "ab the", "the",
+    ]
+    marker_sets = [
+        ["the", "and", "of", "a"],
+        ["a.b", "c++", "don't"],
+        ["the"],
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for words in marker_sets:
+        hof = F.size(F.filter(tokens("text"), lambda x: x.isin(words)))
+        got = df.select(
+            F.coalesce(marker_hits("text", words), F.lit(-1)).alias("n"),
+            F.coalesce(hof, F.lit(-1)).alias("h"),
+        ).collect()
+        for r, t in zip(got, texts):
+            assert r["n"] == r["h"], (words, t, r["n"], r["h"])
