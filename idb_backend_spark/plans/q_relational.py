@@ -231,26 +231,15 @@ def unique_values_counts(spark, sf_dir):
     return agg.unique_values(_t(spark, sf_dir, "part"), "p_brand")
 
 
-@query(
-    "max_watermark",
-    "SELECT event_type, epoch_ms(max(ts)) AS watermark_ms FROM events "
-    "GROUP BY event_type ORDER BY event_type",
-)
-def max_watermark(spark, sf_dir):
-    """A5 — incremental watermark per type (epoch-ms projected for
-    engine-portable comparison)."""
-    ev = _t(spark, sf_dir, "events")
-    wm = agg.max_watermark(ev, "ts", by=["event_type"])
-    # timestampdiff from the NTZ epoch = timezone-free epoch-ms; ts is
-    # TIMESTAMP_NTZ (parquet timestamp[us] without tz), where unix_micros
-    # would fail and an LTZ cast would drag the session timezone in.
-    return wm.select(
-        "event_type",
-        F.expr(
-            "timestampdiff(MILLISECOND,"
-            " TIMESTAMP_NTZ '1970-01-01 00:00:00', watermark)"
-        ).alias("watermark_ms"),
-    ).orderBy("event_type")
+# RETIRED (round 6, third pass): `max_watermark` — A5 is a one-line
+# grouped max (aggregates.max_watermark, which stays and gains a direct
+# unit test in tests/test_quantize.py::test_max_watermark_operator); the
+# watermark mechanic keeps driver evidence inside `ingest_summary` (run
+# aggregates) and `streaming_windowed_rollup` (event-time watermarks).
+# Its one non-obvious piece — epoch-ms projection of a TIMESTAMP_NTZ via
+# timestampdiff from the NTZ epoch, because unix_micros fails on NTZ and
+# an LTZ cast drags the session timezone in — is preserved by the unit
+# test. Slot freed for `quantized_cosine_topk` (q_textsim).
 
 
 @query(

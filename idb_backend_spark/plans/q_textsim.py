@@ -10,6 +10,7 @@ from idb_backend_spark.operators import aggregates as agg  # noqa: F401
 from idb_backend_spark.operators import (  # noqa: F401
     ann,
     dedup,
+    quantize,
     relations,
     versioning,
 )
@@ -218,6 +219,34 @@ def ivf_ann_topk_q(spark, sf_dir):
     # the seeded sample at the largest scale (max needed rank 8 -> 6-7)
     assigned, centroids = ann.ivf_build(emb, nlist=8, iterations=2)
     return ann.ivf_topk(assigned, centroids, qvec, k=10, nprobe=7)
+
+
+_QE_SQL = quantize.quantize_sql("embedding")
+
+
+@query(
+    "quantized_cosine_topk",
+    # the oracle REPLICATES the int8 quantization (quantize.quantize_sql
+    # is the one shared rendering), then scores with the shared cosine
+    # builder: codes are exact integers, so both engines' double sums are
+    # exact and the hash compares the quantizer itself, not float luck.
+    # The approximation vs the FLOAT top-k is pinned by the recall unit
+    # test (tests/test_quantize.py), not by this oracle.
+    f"WITH qe AS (SELECT vec_id, {_QE_SQL} AS qvec FROM embeddings), "
+    "q AS (SELECT qvec AS qv FROM qe WHERE vec_id = 0) "
+    "SELECT qe.vec_id, round(" + cosine_sql("qe.qvec", "q.qv") + ", 6) "
+    "AS cosine_q FROM qe, q ORDER BY cosine_q DESC, qe.vec_id LIMIT 10",
+)
+def quantized_cosine_topk_q(spark, sf_dir):
+    """Similarity search — int8-quantized (SQ8) cosine top-k: the 4x
+    scan-bytes tier below IVF. Quantization is one native projection
+    (operators/quantize.py); scoring runs on exact-integer code arrays,
+    so the result is bit-deterministic across engines and summation
+    orders — the driver gate grades the quantizer's codes end-to-end."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qdf = emb.select("vec_id", quantize.quantize_vector("embedding").alias("qvec"))
+    q0 = qdf.filter(F.col("vec_id") == 0).select("qvec").first()[0]
+    return quantize.quantized_topk(qdf, q0, "qvec", "vec_id", k=10)
 
 
 
