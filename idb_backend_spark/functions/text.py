@@ -37,6 +37,16 @@ def tokens(c: Column | str) -> Column:
     return F.split(normalize_text(c), " ")
 
 
+#: DuckDB-SQL twins of normalize_text / tokens over a `text` column —
+#: defined HERE, next to the engine expressions they mirror, so any
+#: tokenizer change updates both renderings in one diff. plans.synth
+#: re-exports them for the oracle builders; operators needing a SQL twin
+#: (operators/lm.py) import from here to avoid an operators->plans
+#: dependency.
+NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+TOKS_SQL = f"string_split_regex({NORM_SQL}, ' ')"
+
+
 #: letter/digit/underscore runs — the fulltext analyzer's token shape.
 #: Same pattern class in Java regex (Spark), RE2 (DuckDB), and Python `\w`
 #: so all three engines tokenize identically. Underscore joins words as in

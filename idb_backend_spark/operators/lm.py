@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from idb_backend_spark.functions.text import tokens
+from idb_backend_spark.functions.text import NORM_SQL, TOKS_SQL, tokens
 
 
 #: adjacent token pairs of the staged token array `__lm_t` as
@@ -136,17 +136,20 @@ def bigram_lm_score(
     return bigram_logprob_score(docs, cab, ca, v, text_col, id_col)
 
 
-def bigram_lm_score_sql(v_known: bool = False) -> str:
+def bigram_lm_score_sql() -> str:
     """DuckDB twin of ``bigram_lm_score`` over the ``documents`` table —
     kept HERE so the smoothing constants and the bigram definition live
-    in one place (pattern: quantize.quantize_sql). Scores every doc_id
-    with at least one bigram; avg_logp rounded to 6 dp like the engine.
+    in one place (pattern: quantize.quantize_sql); the tokenizer
+    rendering is the shared functions.text.NORM_SQL/TOKS_SQL pair.
+    Scores every doc_id with at least one bigram; avg_logp rounded to
+    6 dp like the engine — note the 6th decimal is only
+    rounding-boundary-stable, not bit-guaranteed (cross-libm ln + float
+    avg), so a driver-gate slot for this entry carries the same residual
+    boundary risk every float-aggregate oracle in the repo does.
     """
-    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-    toks = f"string_split_regex({norm}, ' ')"
     return (
         "WITH t AS (SELECT doc_id, "
-        f"  CASE WHEN {norm} = '' THEN [] ELSE {toks} END AS tk "
+        f"  CASE WHEN {NORM_SQL} = '' THEN [] ELSE {TOKS_SQL} END AS tk "
         "  FROM documents), "
         # scalar-list generate_series + unnest: the table-function form
         # can't take a lateral column parameter in DuckDB

@@ -39,7 +39,13 @@ def quantize_vector(vec) -> F.Column:
 
     An all-zero (or empty) vector has scale 0; its codes are defined as
     all-zero rather than NULL/NaN so downstream integer kernels never
-    see a poisoned row. NULL input stays NULL.
+    see a poisoned row. NULL input stays NULL. A vector containing a
+    NaN or +/-Infinity element quantizes to NULL codes EXPLICITLY —
+    without the guard Spark's non-ANSI NaN->int cast would silently
+    code the whole vector as zeros while the DuckDB twin kept NaNs,
+    the exact silent-divergence class commit f004d8c guards against in
+    the functions layer (both engines sort NaN as greatest, so max-abs
+    of a poisoned vector is non-finite on both).
     """
     vec = F.col(vec) if isinstance(vec, str) else vec
     v = F.transform(vec, lambda x: x.cast("double"))
@@ -47,7 +53,12 @@ def quantize_vector(vec) -> F.Column:
     scale = maxabs / F.lit(float(QMAX))
     q = F.transform(v, lambda x: F.round(x / scale, 0).cast("int"))
     zeros = F.transform(v, lambda x: F.lit(0))
-    return F.when(maxabs == F.lit(0.0), zeros).otherwise(q)
+    poisoned = F.isnan(maxabs) | (maxabs == F.lit(float("inf")))
+    return (
+        F.when(poisoned, F.lit(None).cast("array<int>"))
+        .when(maxabs == F.lit(0.0), zeros)
+        .otherwise(q)
+    )
 
 
 def quantize_scale(vec) -> F.Column:
@@ -104,12 +115,14 @@ def quantize_sql(vec_expr: str) -> str:
     drift from the engine (pattern: functions/text.analyzer_contains_sql).
 
     Emits a scalar expression over ``vec_expr`` (a float-list column);
-    the scale subexpression is inlined twice, which DuckDB CSE-folds.
+    the maxabs subexpression is inlined in every branch, which DuckDB
+    CSE-folds.
     """
     v = f"list_transform({vec_expr}, x -> CAST(x AS DOUBLE))"
     maxabs = f"list_max(list_transform({v}, x -> abs(x)))"
     scale = f"({maxabs} / {float(QMAX)})"
     return (
-        f"CASE WHEN {maxabs} = 0 THEN list_transform({v}, x -> 0.0) "
+        f"CASE WHEN NOT isfinite({maxabs}) THEN NULL "
+        f"WHEN {maxabs} = 0 THEN list_transform({v}, x -> 0.0) "
         f"ELSE list_transform({v}, x -> round(x / {scale})) END"
     )

@@ -46,7 +46,16 @@ domain-mixing and context-window-packing steps of the training
 pipeline, which were unit-only. The sessionize/sessionize_batch pair
 was deliberately NOT folded: the streaming and batch operators are
 distinct code paths (applyInPandasWithState vs gaps-and-islands) and
-each needs its own driver evidence.
+each needs its own driver evidence. A third pass retired max_watermark
+(see q_relational) for quantized_cosine_topk.
+
+Grading queue (operators implemented, unit-tested, twin-SQL ready,
+waiting for a window slot — if a round grades its whole 50-entry front
+green, the NEXT round's front is one short and a new entry fits with no
+retirement): 1. epoch_shuffle (operators/sampling.py:194, plan-asserted
+one range exchange); 2. bigram_lm_score (operators/lm.py, DuckDB twin
+bigram_lm_score_sql already parity-tested in tests/test_lm.py — mind
+the float-avg rounding-boundary caveat in its docstring).
 """
 
 from __future__ import annotations

@@ -99,8 +99,9 @@ def cosine_sql(a: str, b: str) -> str:
 #: table's `text` column — the oracle mirror of functions.text.tokens().
 #: Shared by every oracle that tokenizes (chunking, contamination, the
 #: composed corpus pipelines) so the SQL replica cannot drift per module.
-NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-TOKS_SQL = f"string_split_regex({NORM_SQL}, ' ')"
+#: The literals LIVE next to the engine expressions they mirror
+#: (functions/text.py) and are re-exported here for the oracle builders.
+from idb_backend_spark.functions.text import NORM_SQL, TOKS_SQL  # noqa: E402,F401
 
 #: the oracle twin of functions.text.token_count: splitting an EMPTY
 #: string yields one empty token in both engines, but token_count guards

@@ -6,8 +6,6 @@ driver-gate slot — the queue behind epoch_shuffle)."""
 import math
 
 import duckdb
-import pytest
-from pyspark.sql import functions as F
 
 from idb_backend_spark.operators import lm
 
@@ -60,9 +58,11 @@ def test_bigram_smoothing_unseen(spark):
 
 def test_bigram_lm_matches_duckdb_twin(spark, sf_dir):
     """Train-on-self score over the real documents table must equal the
-    SQL twin row-for-row at 6 dp — the exactness a driver-gate slot
-    would require (counts are exact integers; only ln / avg are float,
-    both rounded)."""
+    SQL twin row-for-row: n_bigrams exactly (integer counts), avg_logp
+    within one 6-dp rounding step — ln is cross-libm (last-ulp) and
+    F.avg merges double partials in shuffle-arrival order, so a value
+    landing within ~1 ulp of a .5e-6 boundary can legitimately round
+    apart; demanding bit-exact equality here would be a latent flake."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     got = _score_map(lm.bigram_lm_score(docs))
 
@@ -80,7 +80,7 @@ def test_bigram_lm_matches_duckdb_twin(spark, sf_dir):
         k: (got[k], want[k])
         for k in got
         if got[k][0] != want[k][0]
-        or abs(got[k][1] - want[k][1]) > 0
+        or abs(got[k][1] - want[k][1]) > 1.01e-6
     }
     assert not mism, list(mism.items())[:5]
 

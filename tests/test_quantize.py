@@ -5,8 +5,6 @@ entry was retired round 6; the NTZ epoch-ms projection quirk is pinned
 here)."""
 
 import duckdb
-import pandas as pd
-import pytest
 from pyspark.sql import functions as F
 
 from idb_backend_spark.operators import quantize
@@ -29,6 +27,9 @@ _VECS = [
     [1e-30, 2e-30, -3e-30],
     [0.1, 0.2, 0.30000000000000004],
     [127.0, -127.0, 126.49999999999999],
+    [float("nan"), 1.0],
+    [1e30, float("inf")],
+    [float("-inf")],
 ]
 
 
@@ -38,8 +39,31 @@ def test_quantize_codes_match_duckdb(spark):
     ).select("id", quantize.quantize_vector("v").alias("q"))
     got = {r["id"]: r["q"] for r in sdf.collect()}
 
+    # literal SQL VALUES, not a registered pandas frame: the pandas
+    # bridge coerces float('nan') list elements to NULL, which would
+    # feed the two engines DIFFERENT inputs for the poisoned vectors
+    # every literal goes through a VARCHAR->DOUBLE cast: a bare numeric
+    # literal is parsed as DECIMAL and ROUNDED to its declared scale
+    # before the cast (126.49999999999999 arrives as 126.5), which would
+    # again diverge the inputs; the string cast parses to the nearest
+    # double exactly like Python/Spark
+    def _lit(x: float) -> str:
+        import math
+
+        if math.isnan(x):
+            return "'NaN'::DOUBLE"
+        if math.isinf(x):
+            return f"'{'-' if x < 0 else ''}Infinity'::DOUBLE"
+        return f"'{x!r}'::DOUBLE"
+
+    rows = ", ".join(
+        f"({i}, "
+        + ("NULL" if v is None else "[" + ", ".join(_lit(x) for x in v) + "]::DOUBLE[]")
+        + ")"
+        for i, v in enumerate(_VECS)
+    )
     con = duckdb.connect()
-    con.register("t", pd.DataFrame({"id": range(len(_VECS)), "v": _VECS}))
+    con.sql(f"CREATE TABLE t(id BIGINT, v DOUBLE[]); INSERT INTO t VALUES {rows}")
     want = {
         r[0]: (None if r[1] is None else [int(x) for x in r[1]])
         for r in con.sql(
@@ -56,6 +80,10 @@ def test_quantize_codes_match_duckdb(spark):
     assert got[4] == [127]
     assert got[6] == [3, 127]  # 2.5 rounds up
     assert got[7] == [-3, 127]  # -2.5 rounds away from zero
+    # poisoned vectors (NaN / Infinity anywhere) -> explicit NULL codes
+    # on BOTH engines, never a silent all-zero (Spark's NaN->int cast)
+    # or a NaN-carrying code list (DuckDB without the guard)
+    assert got[11] is None and got[12] is None and got[13] is None
 
 
 def test_quantized_topk_recall_vs_exact(spark, sf_dir):
