@@ -32,13 +32,17 @@ from idb_backend_spark.functions.text import (
 
 
 def _spread(df: DataFrame, n_partitions: int | None) -> DataFrame:
-    """Repartition before per-row heavy map work. A small parquet file
-    arrives as one partition; without this, signature computation runs as a
-    single task regardless of cores. At real scale the scan already yields
-    many partitions and the default (parallelism) is a no-op-ish round
-    robin of similar width."""
-    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n)
+    """Repartition before per-row heavy map work (signature computation
+    runs as a single task on a one-row-group file otherwise). With no
+    explicit width this delegates to session.spread_for_compute, whose
+    partition-count guard makes it a TRUE no-op when the scan already
+    parallelizes — the old unconditional repartition added a pointless
+    exchange (and a shrink!) on wide inputs at real scale."""
+    if n_partitions:
+        return df.repartition(n_partitions)
+    from idb_backend_spark.session import spread_for_compute
+
+    return spread_for_compute(df)
 
 
 def _shingle_df(

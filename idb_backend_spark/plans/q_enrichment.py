@@ -16,7 +16,7 @@ from idb_backend_spark.operators import (  # noqa: F401
 )
 from idb_backend_spark.functions import grabbers, text  # noqa: F401
 from idb_backend_spark.plans import synth
-from idb_backend_spark.plans.registry import _t, query
+from idb_backend_spark.plans.registry import _t, _t_spread, query
 from idb_backend_spark.query.shim import compile_shim, shim_to_sql  # noqa: F401
 from idb_backend_spark.plans.synth import GEO_LAT as _GEO_LAT
 from idb_backend_spark.plans.synth import GEO_LON as _GEO_LON
@@ -644,7 +644,7 @@ def text_quality_metrics(spark, sf_dir):
     ratio, stopword ratio."""
     from idb_backend_spark.functions.text import tokens
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _t_spread(spark, sf_dir, "documents", "doc_id").select(
         "doc_id", "text", tokens("text").alias("toks")
     )
     stop = _TQ_STOP
@@ -890,7 +890,7 @@ def datum_shift_molodensky(spark, sf_dir):
     pass-through + flag for missing/unknown datums (reference
     conversions.py:485-509 contract). Staged so the per-datum constants
     bind once — all trig is JVM-side builtin inside whole-stage codegen."""
-    g = _t(spark, sf_dir, "customer").select(
+    g = _t_spread(spark, sf_dir, "customer", "c_custkey").select(
         "c_custkey",
         F.expr(_DATUM_LAT).alias("lat"),
         F.expr(_DATUM_LON).alias("lon"),

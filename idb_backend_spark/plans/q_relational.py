@@ -14,7 +14,7 @@ from idb_backend_spark.operators import (  # noqa: F401
     versioning,
 )
 from idb_backend_spark.functions import grabbers, text  # noqa: F401
-from idb_backend_spark.plans.registry import _t, query
+from idb_backend_spark.plans.registry import _t, _t_spread, query
 from idb_backend_spark.query.shim import compile_shim, shim_to_sql  # noqa: F401
 
 
@@ -153,8 +153,16 @@ def anti_join_deletes(spark, sf_dir):
     "  FROM lineitem) WHERE rn = 1 ORDER BY l_partkey, l_suppkey",
 )
 def latest_object_per_url(spark, sf_dir):
-    """J6 — DISTINCT ON (url) ... ORDER BY modified DESC pattern."""
-    li = _t(spark, sf_dir, "lineitem")
+    """J6 — DISTINCT ON (url) ... ORDER BY modified DESC pattern.
+
+    Spread BY THE AGG KEYS: the keys are near-unique here, so the
+    partial aggregate reduces nothing and the one-task scan of a
+    one-row-group file serializes the whole max_by build; hash-spreading
+    on the grouping keys satisfies the aggregate's distribution
+    requirement, so Catalyst adds NO second exchange — the same single
+    shuffle, parallel instead of serial (measured 3.3 s -> 1.2 s at
+    sf0.1 on local[32]; guarded no-op on wide scans)."""
+    li = _t_spread(spark, sf_dir, "lineitem", "l_partkey", "l_suppkey")
     out = versioning.latest_per_key_agg(
         li, ["l_partkey", "l_suppkey"],
         ["l_shipdate", "l_orderkey", "l_linenumber"],

@@ -15,7 +15,7 @@ from idb_backend_spark.operators import (  # noqa: F401
 )
 from idb_backend_spark.functions import enrichment as E
 from idb_backend_spark.functions import grabbers, text  # noqa: F401
-from idb_backend_spark.plans.registry import _t, query
+from idb_backend_spark.plans.registry import _t, _t_spread, query
 from idb_backend_spark.plans.registry import staging_dir as _tmpdir
 
 
@@ -303,7 +303,10 @@ def etl_enrichment_pipeline(spark, sf_dir):
         int_grabber,
     )
 
-    li = _t(spark, sf_dir, "lineitem")
+    # the enrichment stack costs ~10x its scan bytes; a narrow scan
+    # strands every other core on the whole row-wise pipeline
+    # (guarded: no exchange when the scan is wide)
+    li = _t_spread(spark, sf_dir, "lineitem", "l_orderkey", "l_linenumber")
     lk = F.col("l_orderkey") * 10 + F.col("l_linenumber")
     # synthesized verbatim fields (the reference reads these from raw DwC)
     raw = li.select(

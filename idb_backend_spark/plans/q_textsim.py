@@ -15,7 +15,7 @@ from idb_backend_spark.operators import (  # noqa: F401
     versioning,
 )
 from idb_backend_spark.functions import grabbers, text  # noqa: F401
-from idb_backend_spark.plans.registry import _t, query, staging_dir
+from idb_backend_spark.plans.registry import _t, _t_spread, query, staging_dir
 from idb_backend_spark.plans import synth
 from idb_backend_spark.plans.synth import cosine_sql
 from idb_backend_spark.query.shim import compile_shim, shim_to_sql  # noqa: F401
@@ -33,7 +33,7 @@ from idb_backend_spark.query.shim import compile_shim, shim_to_sql  # noqa: F401
 )
 def exact_dedup_q(spark, sf_dir):
     """Exact dedup by content fingerprint (hash groupBy)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_spread(spark, sf_dir, "documents", "doc_id")
     return dedup.exact_dedup(docs, "text", "doc_id").orderBy("fp")
 
 
@@ -46,7 +46,7 @@ def exact_dedup_q(spark, sf_dir):
 )
 def token_count_quality(spark, sf_dir):
     """Text analysis — whitespace token counting."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_spread(spark, sf_dir, "documents", "doc_id")
     return docs.select(
         "doc_id", text.token_count("text").alias("n_tokens")
     ).orderBy("doc_id")
@@ -80,7 +80,7 @@ def doc_fingerprint(spark, sf_dir):
 def lang_id_heuristic(spark, sf_dir):
     """Text analysis — marker-lexicon language ID (argmax, deterministic
     tie-break by language code)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_spread(spark, sf_dir, "documents", "doc_id")
     return docs.select(
         "doc_id", text.lang_id("text").alias("lang_pred")
     ).orderBy("doc_id")

@@ -65,6 +65,48 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _table_bytes(sf_dir: str, name: str) -> int | None:
+    """Local on-disk size of a table (file or directory), cached; None
+    for paths os.path can't see (remote URIs) — spread_for_compute then
+    treats the scan as cluster-scale/wide."""
+    import os
+
+    key = (sf_dir, name)
+    hit = _TABLE_BYTES_CACHE.get(key)
+    if hit is not None:
+        return hit
+    p = f"{sf_dir}/{name}.parquet"
+    if os.path.isfile(p):
+        size: int | None = os.path.getsize(p)
+    elif os.path.isdir(p):
+        size = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p)
+            for f in fs
+        )
+    else:
+        size = None
+    if size is not None:
+        _TABLE_BYTES_CACHE[key] = size
+    return size
+
+
+_TABLE_BYTES_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _t_spread(
+    spark: SparkSession, sf_dir: str, name: str, *by: str
+) -> DataFrame:
+    """_t + spread_for_compute with a zero-cost local-size hint (the
+    registry knows the path, so the guard is an os.stat, not a Spark
+    listing). For CPU-bound row-wise plans over registry tables."""
+    from idb_backend_spark.session import spread_for_compute
+
+    return spread_for_compute(
+        _t(spark, sf_dir, name), *by, input_bytes=_table_bytes(sf_dir, name)
+    )
+
+
 def query(name: str, oracle: str | None = None, graded: bool = True):
     def deco(fn):
         if graded:

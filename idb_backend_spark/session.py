@@ -87,6 +87,74 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def _local_input_bytes(df) -> int | None:
+    """Total input size when EVERY scanned file is on the local
+    filesystem; None for any remote scheme (s3/hdfs/...) — a table that
+    lives on object storage is cluster-scale, where the scan is wide and
+    the spread must be a no-op. `inputFiles()` is a driver-only listing
+    (~90 ms measured; no Spark job), vs ~170 ms for the `.rdd` plan
+    conversion this replaced."""
+    total = 0
+    for uri in df.inputFiles():
+        if not uri.startswith("file:"):
+            return None
+        p = uri[5:]
+        while p.startswith("//"):
+            p = p[1:]
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return None
+    return total
+
+
+def spread_for_compute(df, *by: str, input_bytes: int | None = None):
+    """Repartition to the session's default parallelism ONLY when the
+    scan cannot reach it — the CPU-bound-enrichment pattern.
+
+    The enrichment/signature expression stacks cost ~10x their scan
+    bytes (the reference's figure for the same work is 750 rec/s/core),
+    so a narrow input — a small file, a skinny dimension, one large row
+    group — strands every core but the few the scan split to. Spark
+    splits a file no finer than `spark.sql.files.openCostInBytes`
+    (default 4 MiB), so a scan of fewer than cores x openCost bytes is
+    PHYSICALLY narrower than the machine; that byte test is the guard.
+    At real scale input bytes dwarf the threshold (or the path is
+    remote, reported as unknown) and NO exchange is added — the
+    repartition exists exactly when it pays for itself.
+
+    ``input_bytes`` is a zero-cost hint when the caller knows the source
+    (plans/registry stats the parquet path); otherwise a driver-side
+    `inputFiles()` listing resolves local sizes. Pass high-cardinality
+    key columns as ``by`` for deterministic hash placement — an agg on
+    the same keys then adds no second exchange (HashPartitioning
+    satisfies the agg's ClusteredDistribution); the bare form
+    round-robins. Use on ROW-WISE pipelines: the exchange reorders
+    rows, which a downstream float aggregate would see as a different
+    summation order (rounded floats absorb it — the repo's 6-dp
+    contract — but exact replay of an ordered stream would not).
+    """
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if input_bytes is None:
+        input_bytes = _local_input_bytes(df)
+    if input_bytes is None:
+        return df  # remote storage: cluster scale, scan is already wide
+    try:
+        open_cost = int(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+        )
+    except (TypeError, ValueError):
+        open_cost = 4194304
+    if input_bytes >= cores * open_cost:
+        return df
+    if by:
+        from pyspark.sql import functions as F
+
+        return df.repartition(cores, *[F.col(c) for c in by])
+    return df.repartition(cores)
+
+
 # (a load_tables helper used to live here — deleted as dead code: every
 # real path loads tables through plans/registry._t, which also owns the
 # events.ts nanos->timestamp conversion this raw read would skip)
