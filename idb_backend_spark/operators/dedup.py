@@ -35,9 +35,10 @@ def _spread(df: DataFrame, n_partitions: int | None) -> DataFrame:
     """Repartition before per-row heavy map work (signature computation
     runs as a single task on a one-row-group file otherwise). With no
     explicit width this delegates to session.spread_for_compute, whose
-    partition-count guard makes it a TRUE no-op when the scan already
-    parallelizes — the old unconditional repartition added a pointless
-    exchange (and a shrink!) on wide inputs at real scale."""
+    scan-width estimate (split formula + row-group bound) makes it a
+    TRUE no-op when the scan already parallelizes — the old
+    unconditional repartition added a pointless exchange (and a
+    shrink!) on wide inputs at real scale."""
     if n_partitions:
         return df.repartition(n_partitions)
     from idb_backend_spark.session import spread_for_compute

@@ -45,7 +45,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             _EXCLUDE_CONF,
             f"{excluded},{_INFER_GEN_RULE}" if excluded else _INFER_GEN_RULE,
         )
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(_table_path(sf_dir, name))
     if name == "events":
         from pyspark.sql.types import LongType
 
@@ -65,46 +65,62 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def _table_bytes(sf_dir: str, name: str) -> int | None:
-    """Local on-disk size of a table (file or directory), cached; None
-    for paths os.path can't see (remote URIs) — spread_for_compute then
-    treats the scan as cluster-scale/wide."""
+def _table_path(sf_dir: str, name: str) -> str:
+    """THE table-path rule — shared by the reader (_t) and the
+    spread-guard stat (_table_paths) so a layout change can't
+    desynchronize the size hint from what is actually scanned."""
+    return f"{sf_dir}/{name}.parquet"
+
+
+def _table_paths(sf_dir: str, name: str) -> list[str] | None:
+    """Local data-file paths of a table (file or directory), cached and
+    invalidated by the root's mtime (a rewritten fixture must not leave
+    the guard on stale listings); None for paths os.path can't see
+    (remote URIs) — spread_for_compute then treats the scan as
+    cluster-scale/wide without listing anything."""
     import os
 
+    p = _table_path(sf_dir, name)
+    try:
+        st = os.stat(p)
+    except OSError:
+        return None
     key = (sf_dir, name)
-    hit = _TABLE_BYTES_CACHE.get(key)
-    if hit is not None:
-        return hit
-    p = f"{sf_dir}/{name}.parquet"
+    hit = _TABLE_PATHS_CACHE.get(key)
+    if hit is not None and hit[0] == st.st_mtime_ns:
+        return hit[1]
     if os.path.isfile(p):
-        size: int | None = os.path.getsize(p)
-    elif os.path.isdir(p):
-        size = sum(
-            os.path.getsize(os.path.join(r, f))
+        paths = [p]
+    else:
+        paths = [
+            os.path.join(r, f)
             for r, _, fs in os.walk(p)
             for f in fs
-        )
-    else:
-        size = None
-    if size is not None:
-        _TABLE_BYTES_CACHE[key] = size
-    return size
+            if not f.startswith((".", "_"))  # skip _SUCCESS/.crc markers
+        ]
+    _TABLE_PATHS_CACHE[key] = (st.st_mtime_ns, paths)
+    return paths
 
 
-_TABLE_BYTES_CACHE: dict[tuple[str, str], int] = {}
+_TABLE_PATHS_CACHE: dict[tuple[str, str], tuple[int, list[str]]] = {}
 
 
 def _t_spread(
     spark: SparkSession, sf_dir: str, name: str, *by: str
 ) -> DataFrame:
-    """_t + spread_for_compute with a zero-cost local-size hint (the
-    registry knows the path, so the guard is an os.stat, not a Spark
-    listing). For CPU-bound row-wise plans over registry tables."""
+    """_t + spread_for_compute with a zero-cost local-path hint (the
+    registry knows the path, so the guard is an os.stat + parquet
+    footer read, not a Spark listing). For CPU-bound row-wise plans
+    over registry tables. A path the local filesystem can't see is
+    cluster scale: the frame is returned unspread with NO driver-side
+    file listing at all."""
     from idb_backend_spark.session import spread_for_compute
 
-    return spread_for_compute(
-        _t(spark, sf_dir, name), *by, input_bytes=_table_bytes(sf_dir, name)
-    )
+    df = _t(spark, sf_dir, name)
+    paths = _table_paths(sf_dir, name)
+    if paths is None:
+        return df
+    return spread_for_compute(df, *by, input_paths=paths)
 
 
 def query(name: str, oracle: str | None = None, graded: bool = True):

@@ -87,45 +87,121 @@ def get_spark(
     return builder.getOrCreate()
 
 
-def _local_input_bytes(df) -> int | None:
-    """Total input size when EVERY scanned file is on the local
-    filesystem; None for any remote scheme (s3/hdfs/...) — a table that
-    lives on object storage is cluster-scale, where the scan is wide and
-    the spread must be a no-op. `inputFiles()` is a driver-only listing
-    (~90 ms measured; no Spark job), vs ~170 ms for the `.rdd` plan
-    conversion this replaced."""
-    total = 0
+_BYTE_SUFFIX = {
+    "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _parse_bytes(raw, default: int) -> int:
+    """JavaUtils.byteStringAsBytes suffix semantics ('16m', '1g'); a
+    bare int() would silently fall back to the default and diverge from
+    the split floor Spark actually uses."""
+    if raw is None:
+        return default
+    s = str(raw).strip().lower()
+    for suf in ("tb", "gb", "mb", "kb", "t", "g", "m", "k", "b"):
+        if s.endswith(suf):
+            try:
+                return int(s[: -len(suf)].strip()) * _BYTE_SUFFIX[suf]
+            except ValueError:
+                return default
+    try:
+        return int(s)
+    except ValueError:
+        return default
+
+
+def _bytes_conf(spark, key: str, default: int) -> int:
+    return _parse_bytes(spark.conf.get(key, None), default)
+
+
+def _local_paths(df) -> list[str] | None:
+    """Scanned files as local filesystem paths; None if ANY file is on a
+    remote scheme (s3/hdfs/...) — object storage means cluster scale,
+    where the scan is wide and the spread must be a no-op.
+    `inputFiles()` is a driver-only listing (~90 ms measured; no Spark
+    job), vs ~170 ms for the `.rdd` plan conversion this replaced."""
+    from urllib.parse import unquote, urlparse
+
+    out = []
     for uri in df.inputFiles():
-        if not uri.startswith("file:"):
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("file", ""):
             return None
-        p = uri[5:]
-        while p.startswith("//"):
-            p = p[1:]
+        # unquote: Spark percent-encodes special characters in URIs, so
+        # a path with a space arrives as %20 and a raw stat would miss
+        out.append(unquote(parsed.path or uri))
+    return out
+
+
+def _est_scan_tasks(spark, paths: list[str], cores: int) -> int:
+    """Estimate how many tasks the parquet scan of ``paths`` yields,
+    via Spark's own split sizing (FilePartition packing:
+    maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    paddedBytes/minPartitionNum))) bounded by the total parquet
+    row-group count — byte-range splits cannot cut inside a row group,
+    so a 300 MiB single-row-group file is ONE task no matter how many
+    splits the byte math yields. Footers are read driver-side with
+    pyarrow (sub-ms each); unreadable files leave the byte estimate
+    unbounded rather than failing."""
+    if len(paths) >= cores:
+        return cores  # one task per file minimum: already wide
+    sizes = []
+    for p in paths:
         try:
-            total += os.path.getsize(p)
+            sizes.append(os.path.getsize(p))
         except OSError:
-            return None
-    return total
+            return cores  # vanished/unreadable: don't add an exchange
+    open_cost = _bytes_conf(
+        spark, "spark.sql.files.openCostInBytes", 4 << 20
+    )
+    max_part = _bytes_conf(
+        spark, "spark.sql.files.maxPartitionBytes", 128 << 20
+    )
+    padded = sum(sizes) + len(sizes) * open_cost
+    max_split = min(max_part, max(open_cost, padded // max(cores, 1) + 1))
+    byte_splits = sum(
+        -(-(sz + open_cost) // max_split) for sz in sizes
+    )
+    row_groups = 0
+    try:
+        import pyarrow.parquet as pq
+
+        for p in paths:
+            row_groups += pq.ParquetFile(p).metadata.num_row_groups
+    except Exception:
+        row_groups = byte_splits  # non-parquet/unreadable: bytes only
+    return min(byte_splits, max(row_groups, 1))
 
 
-def spread_for_compute(df, *by: str, input_bytes: int | None = None):
+def spread_for_compute(
+    df, *by: str, input_paths: list[str] | None = None
+):
     """Repartition to the session's default parallelism ONLY when the
     scan cannot reach it — the CPU-bound-enrichment pattern.
 
     The enrichment/signature expression stacks cost ~10x their scan
     bytes (the reference's figure for the same work is 750 rec/s/core),
     so a narrow input — a small file, a skinny dimension, one large row
-    group — strands every core but the few the scan split to. Spark
-    splits a file no finer than `spark.sql.files.openCostInBytes`
-    (default 4 MiB), so a scan of fewer than cores x openCost bytes is
-    PHYSICALLY narrower than the machine; that byte test is the guard.
-    At real scale input bytes dwarf the threshold (or the path is
-    remote, reported as unknown) and NO exchange is added — the
-    repartition exists exactly when it pays for itself.
+    group — strands every core but the few the scan split to. The guard
+    estimates the scan's task count from the actual file sizes and
+    parquet row-group counts using Spark's own split formula
+    (`_est_scan_tasks`), so it neither misses the
+    big-file-one-row-group case (bytes look wide, scan is serial) nor
+    re-adds a shrink exchange on many-small-files inputs that already
+    split wider than the machine. At real scale the table is either
+    remote (reported as unknown — no listing, no exchange) or splits to
+    >= cores tasks, and the repartition exists exactly when it pays for
+    itself.
 
-    ``input_bytes`` is a zero-cost hint when the caller knows the source
-    (plans/registry stats the parquet path); otherwise a driver-side
-    `inputFiles()` listing resolves local sizes. Pass high-cardinality
+    ``input_paths`` is the caller's local-path hint (plans/registry
+    stats the table path — zero extra cost); otherwise a driver-side
+    `inputFiles()` listing resolves them, and any remote scheme means
+    cluster scale: return the frame untouched. Pass high-cardinality
     key columns as ``by`` for deterministic hash placement — an agg on
     the same keys then adds no second exchange (HashPartitioning
     satisfies the agg's ClusteredDistribution); the bare form
@@ -136,17 +212,14 @@ def spread_for_compute(df, *by: str, input_bytes: int | None = None):
     """
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
-    if input_bytes is None:
-        input_bytes = _local_input_bytes(df)
-    if input_bytes is None:
-        return df  # remote storage: cluster scale, scan is already wide
-    try:
-        open_cost = int(
-            spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
-        )
-    except (TypeError, ValueError):
-        open_cost = 4194304
-    if input_bytes >= cores * open_cost:
+    if input_paths is None:
+        input_paths = _local_paths(df)
+    if input_paths is None or not input_paths:
+        # remote storage (cluster scale, scan already wide) or a
+        # file-less plan (in-memory frame: partitioning already chosen
+        # by its producer) — never add an exchange on a guess
+        return df
+    if _est_scan_tasks(spark, input_paths, cores) >= cores:
         return df
     if by:
         from pyspark.sql import functions as F
