@@ -55,7 +55,13 @@ green, the NEXT round's front is one short and a new entry fits with no
 retirement): 1. epoch_shuffle (operators/sampling.py:194, plan-asserted
 one range exchange); 2. bigram_lm_score (operators/lm.py, DuckDB twin
 bigram_lm_score_sql already parity-tested in tests/test_lm.py — mind
-the float-avg rounding-boundary caveat in its docstring).
+the float-avg rounding-boundary caveat in its docstring);
+3. tfidf_top_terms (operators/tfidf.py, twin tfidf_top_terms_sql,
+integer-deterministic ranking so only the score column carries the
+6-dp caveat — tests/test_tfidf.py); 4. hll_distinct_audit /
+5. quantile_audit (operators/sketches.py, contract-twin SQL builders,
+within-bound booleans graded like minhash_exact_verified's recall —
+tests/test_sketches.py).
 """
 
 from __future__ import annotations

@@ -1,0 +1,120 @@
+"""Sketch audits (operators/sketches.py): the HLL++ cardinality and
+GK-quantile audits must certify Spark's sketches against exact
+aggregates on real tables (within-bound booleans all TRUE), and the
+exact columns must match the DuckDB twins — pre-flight for future
+driver-gate slots alongside tfidf/bigram_lm in the grading queue."""
+
+import duckdb
+import pytest
+
+from idb_backend_spark.operators import sketches
+
+
+def test_hll_audit_within_bound_real_table(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = sketches.hll_distinct_audit(
+        li, "l_returnflag", "l_orderkey"
+    ).collect()
+    assert len(out) > 0
+    assert all(r["within_tol"] for r in out)
+
+
+def test_hll_audit_matches_duckdb_twin(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = {
+        r["l_returnflag"]: (r["exact_distinct"], r["within_tol"])
+        for r in sketches.hll_distinct_audit(
+            li, "l_returnflag", "l_partkey"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(
+            sketches.hll_distinct_audit_sql(
+                "lineitem", "l_returnflag", "l_partkey"
+            )
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_hll_audit_small_group_exact(spark):
+    # tiny cardinalities: HLL++ linear-counting region is exact, the
+    # boolean must not flake
+    df = spark.createDataFrame(
+        [(g, v) for g in ("a", "b") for v in range(20)], "g string, v long"
+    )
+    out = sketches.hll_distinct_audit(df, "g", "v").collect()
+    assert {(r["g"], r["exact_distinct"], r["within_tol"]) for r in out} == {
+        ("a", 20, True),
+        ("b", 20, True),
+    }
+
+
+_PROBS = [0.5, 0.9, 0.99]
+
+
+def test_quantile_audit_within_bound_real_table(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = sketches.quantile_audit(li, "l_extendedprice", _PROBS).collect()
+    assert [r["p"] for r in sorted(out, key=lambda r: r["p"])] == _PROBS
+    assert all(r["within_tol"] for r in out)
+
+
+def test_quantile_audit_matches_duckdb_twin(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = {
+        r["p"]: (r["exact_q"], r["within_tol"])
+        for r in sketches.quantile_audit(
+            li, "l_extendedprice", _PROBS
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(
+            sketches.quantile_audit_sql("lineitem", "l_extendedprice", _PROBS)
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for p in got:
+        assert got[p][1] == want[p][1]
+        assert got[p][0] == pytest.approx(want[p][0], abs=1.01e-6), p
+
+
+def test_quantile_audit_golden(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(101)], "x double")
+    out = {
+        r["p"]: (r["exact_q"], r["within_tol"])
+        for r in sketches.quantile_audit(df, "x", [0.5, 0.9]).collect()
+    }
+    assert out[0.5] == (50.0, True)
+    assert out[0.9] == (90.0, True)
+
+
+def test_audits_single_aggregate_plan(spark, sf_dir):
+    """Both measures must ride ONE exchange — the audit's cost story."""
+    import contextlib
+    import io
+    import re
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = sketches.hll_distinct_audit(li, "l_returnflag", "l_orderkey")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    text = buf.getvalue()
+    # countDistinct expands to a two-level aggregate (distinct on
+    # (group, value) then count), with the HLL sketch merged through
+    # both levels — 2 exchange NODES max (formatted explain repeats
+    # each node name in its detail section), no join, no python
+    assert len(re.findall(r"\(\d+\) Exchange", text)) <= 2
+    assert "Join" not in text
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
