@@ -75,7 +75,11 @@ def quantile_audit(
     data where adjacent ranks sit far apart; range-relative is what a
     consumer of the quantile actually experiences). One aggregate: the
     sketch, the exact percentiles, and min/max ride one reduction.
-    exact_q is rounded to the repo's 6-dp float contract."""
+    exact_q is rounded to the repo's 6-dp float contract. An empty or
+    all-NULL column yields NO rows (percentile aggregates return NULL,
+    the zip explodes to nothing) — there is nothing to audit; the SQL
+    twin's unnest of a NULL quantile list produces the same zero
+    rows."""
     probs = [float(p) for p in probs]
     row = df.agg(
         F.percentile_approx(value_col, probs, accuracy).alias("approx"),
@@ -123,17 +127,20 @@ def hll_distinct_audit_sql(
 def quantile_audit_sql(table: str, value_col: str, probs: list[float]) -> str:
     """DuckDB twin of ``quantile_audit``'s contract: exact continuous
     (interpolated) quantiles — quantile_cont matches Spark's
-    `percentile` interpolation — and an always-TRUE within_tol."""
-    sel = ", ".join(
-        f"(SELECT round(quantile_cont({value_col}, {p!r}), 6) "
-        f"FROM {table}) AS q{i}"
-        for i, p in enumerate(probs)
-    )
-    rows = " UNION ALL ".join(
+    `percentile` interpolation — and an always-TRUE within_tol. ONE
+    list-form aggregate = one table scan (a per-prob scalar subquery
+    would scan per prob); an empty/all-NULL column returns a NULL
+    quantile list, filtered out BEFORE the unnest so the twin yields
+    the engine side's zero rows (DuckDB zip-PADS unequal unnests with
+    NULLs — without the filter the probs list would still fabricate
+    one (p, NULL, TRUE) row per prob)."""
+    plist = ", ".join(repr(float(p)) for p in probs)
+    return (
+        f"WITH qq AS (SELECT quantile_cont({value_col}, [{plist}]) AS qs "
+        f"FROM {table}) "
         # CAST: a bare 0.5 literal is DECIMAL in DuckDB, and the gate
         # hashes '0.5' vs Spark's double differently
-        f"SELECT CAST({p!r} AS DOUBLE) AS p, q{i} AS exact_q, "
-        "TRUE AS within_tol FROM qq"
-        for i, p in enumerate(probs)
+        f"SELECT CAST(unnest([{plist}]) AS DOUBLE) AS p, "
+        "round(unnest(qs), 6) AS exact_q, TRUE AS within_tol "
+        "FROM qq WHERE qs IS NOT NULL ORDER BY p"
     )
-    return f"WITH qq AS (SELECT {sel}) {rows} ORDER BY p"

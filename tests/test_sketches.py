@@ -89,6 +89,23 @@ def test_quantile_audit_matches_duckdb_twin(spark, sf_dir):
         assert got[p][0] == pytest.approx(want[p][0], abs=1.01e-6), p
 
 
+def test_quantile_audit_empty_and_all_null_zero_rows(spark):
+    """Nothing to audit -> NO rows, on BOTH engines (the twin filters
+    the NULL quantile list before unnesting; DuckDB would otherwise
+    zip-pad one (p, NULL, TRUE) row per prob)."""
+    empty = spark.createDataFrame([], "x double")
+    assert sketches.quantile_audit(empty, "x", _PROBS).collect() == []
+    nulls = spark.createDataFrame([(None,), (None,)], "x double")
+    assert sketches.quantile_audit(nulls, "x", _PROBS).collect() == []
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t (x DOUBLE)")
+    sql = sketches.quantile_audit_sql("t", "x", _PROBS)
+    assert con.sql(sql).fetchall() == []
+    con.sql("INSERT INTO t VALUES (NULL), (NULL)")
+    assert con.sql(sql).fetchall() == []
+
+
 def test_quantile_audit_golden(spark):
     df = spark.createDataFrame([(float(i),) for i in range(101)], "x double")
     out = {

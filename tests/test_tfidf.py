@@ -58,6 +58,62 @@ def test_tfidf_rank_prefers_rarer_term_on_tf_tie(spark):
     assert got[(1, 2)][0] == "common"
 
 
+def test_tfidf_stopword_never_outranks_salient_term(spark):
+    """Ranking must be monotone in the shipped score: a ubiquitous
+    term (df = N, score exactly 0.0) can carry the highest tf in a doc
+    and still must rank BELOW any positive-score term — the
+    integer-only (tf, df, term) triple got this wrong."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the zebra zebra"),
+            (2, "the a"),
+            (3, "the b"),
+            (4, "the c"),
+        ],
+        "doc_id long, text string",
+    )
+    got = _rows(tfidf.tfidf_top_terms(docs, k=1))
+    # doc 1: 'the' tf=3 df=4 score=0.0; 'zebra' tf=2 df=1 score=2ln4
+    assert got[(1, 1)][0] == "zebra"
+    ranked = tfidf.tfidf_top_terms(docs, k=10).collect()
+    for r1 in ranked:
+        for r2 in ranked:
+            if r1["doc_id"] == r2["doc_id"] and r1["rank"] < r2["rank"]:
+                assert r1["score"] >= r2["score"]
+
+
+def test_tfidf_null_doc_id_excluded_both_engines(spark):
+    """A NULL id must not inflate N on the Spark side while the twin's
+    count(DISTINCT) skips it — both engines drop the unkeyed doc."""
+    docs = spark.createDataFrame(
+        [(1, "apple banana"), (2, "apple cherry"), (None, "banana cherry")],
+        "doc_id long, text string",
+    )
+    got = _rows(tfidf.tfidf_top_terms(docs, k=5))
+    assert {d for d, _ in got} == {1, 2}
+    # N=2: apple df=2 -> score 0.0; banana/cherry df=1 -> ln(2)
+    assert got[(1, 1)][0] == "banana"
+    assert got[(1, 1)][3] == round(math.log(2), 6)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.write.parquet(f"{td}/documents.parquet")
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM '{td}/documents.parquet/*.parquet'"
+        )
+        want = {
+            (r[0], r[4]): (r[1], r[2], r[3], r[5])
+            for r in con.sql(tfidf.tfidf_top_terms_sql(k=5)).fetchall()
+        }
+    assert set(got) == set(want)
+    for k_ in got:
+        assert got[k_][:3] == want[k_][:3]
+        assert abs(got[k_][3] - want[k_][3]) <= 1.01e-6
+
+
 def test_tfidf_matches_duckdb_twin(spark, sf_dir):
     """Top-5 per doc over the real documents table must equal the SQL
     twin row-for-row: ranking exactly (it never touches a float), score
