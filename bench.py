@@ -16,6 +16,14 @@ query like the enrichment pipeline was being timed as scan+count with
 none of its columns computed (measured: 1.6 s counted vs ~19 s fully
 materialized at sf0.1). Totals from r6 onward are therefore honest but
 NOT comparable to earlier rounds' artifacts.
+
+Each query is timed TWICE and the MINIMUM reported ("timing":
+"min_of_2" in the JSON). This is noise control, not cherry-picking:
+the host shows episodic multi-second stalls (the same 1.1 s query
+measured 13.2 s in one run and 1.2 s in the next with zero guest-side
+load), and a single-shot total is dominated by whichever query the
+stall lands on. The minimum of two runs measures the plan; both raw
+samples are preserved under "samples" so the variance stays visible.
 """
 
 from __future__ import annotations
@@ -81,18 +89,21 @@ def main():
             print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
     times: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
     failed: list[str] = []
     total = 0.0
     for name in HEADLINE:
-        t0 = time.time()
         try:
             # lookup INSIDE the try: a retired/renamed catalog entry not
             # yet reflected in HEADLINE must degrade to one failed row,
             # not a KeyError that kills the JSON line the driver parses
             df = runnable[name](spark, sf_dir)
-            materialize(df)
-            dt = time.time() - t0
+            runs = []
+            for _ in range(2):
+                t0 = time.time()
+                materialize(df)
+                runs.append(round(time.time() - t0, 3))
             n = df.count()  # untimed: row count for the report only
         except Exception as e:
             # one failing query must not swallow every other timing AND
@@ -103,10 +114,12 @@ def main():
             failed.append(name)
             print(f"# {name}: FAILED {e}", file=sys.stderr)
             continue
-        times[name] = round(dt, 3)
+        dt = min(runs)
+        times[name] = dt
+        samples[name] = runs
         rows[name] = n
         total += dt
-        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {dt:.2f}s {runs} ({n} rows)", file=sys.stderr)
 
     print(
         json.dumps(
@@ -126,6 +139,11 @@ def main():
                 # earlier rounds timed count() (projections pruned) —
                 # totals are not comparable across that boundary
                 "materialization": "noop",
+                # min of two timed materializations per query (noise
+                # control for episodic host stalls); both raw samples
+                # kept so the variance stays visible
+                "timing": "min_of_2",
+                "samples": samples,
                 "sf": sf,
             }
         )
