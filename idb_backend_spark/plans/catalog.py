@@ -61,7 +61,11 @@ integer-deterministic ranking so only the score column carries the
 6-dp caveat — tests/test_tfidf.py); 4. hll_distinct_audit /
 5. quantile_audit (operators/sketches.py, contract-twin SQL builders,
 within-bound booleans graded like minhash_exact_verified's recall —
-tests/test_sketches.py).
+tests/test_sketches.py); 6. nb_quality_score (operators/classifier.py,
+the model-based quality-filter stage — hashed multinomial NB, one
+training pass + broadcast-join scoring, twin nb_quality_score_sql
+parity-tested in tests/test_classifier.py; integer counts and pred are
+exact, score carries the standard 6-dp caveat).
 """
 
 from __future__ import annotations
