@@ -174,6 +174,78 @@ def mixture_sample(
     return df.filter(pred)
 
 
+def cap_per_domain(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    cap: int,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Hard per-domain cap — the "max documents per host" rule of
+    web-corpus pipelines (per-domain FRACTIONS are `mixture_sample`;
+    this is the absolute ceiling that no hot domain may exceed): keep
+    at most ``cap`` rows per domain, chosen by deterministic md5
+    priority of the row key, so the kept set is stable under reruns
+    and repartitioning (appends can displace rows only at the cap
+    boundary — the hash order is global, not arrival order).
+
+    Skew is the whole problem at scale — domain caps exist BECAUSE a
+    few domains dominate — so a single window partitioned by domain
+    (one straggler task per hot domain) is the wrong plan. Two-level
+    rank instead, the `operators/skew.salted_count` shape: rank within
+    (domain, salt) where salt = hash(key) mod n_salts and keep the
+    per-lane top-``cap``; the global top-``cap`` is a subset of the
+    union of per-lane top-``cap``s, so re-ranking the survivors —
+    bounded by n_salts x cap per domain, whatever the domain's true
+    size — gives exactly the single-window answer. Both levels order
+    by (md5(key), key): the raw-key tiebreak keeps duplicate hashes
+    deterministic.
+
+    A NULL domain is a domain (capped like any other — dropping
+    null-domain rows silently is how undeclared hosts sneak past the
+    ceiling); a NULL key hashes to NULL and sorts first (Spark's ASC
+    default is NULLS FIRST; the twin pins NULLS FIRST explicitly —
+    DuckDB's ASC default is NULLS LAST), a caller contract shared with
+    every md5-keyed op here.
+    """
+    from pyspark.sql import Window
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    k = F.col(key_col)
+    pri = F.md5(k.cast("string"))
+    salt = F.pmod(F.xxhash64(k.cast("string")), F.lit(int(n_salts)))
+    lane = Window.partitionBy(F.col(domain_col), salt).orderBy(
+        pri.asc(), k.asc()
+    )
+    survivors = df.withColumn("__rn", F.row_number().over(lane)).filter(
+        F.col("__rn") <= cap
+    )
+    final = Window.partitionBy(domain_col).orderBy(pri.asc(), k.asc())
+    return (
+        survivors.withColumn("__rn", F.row_number().over(final))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def cap_per_domain_sql(
+    table: str, domain_col: str, key_col: str, cap: int
+) -> str:
+    """DuckDB twin of ``cap_per_domain`` — the plain single-window
+    formulation (the two-level rank is a physical rewrite with an
+    identical result set; the twin states the SEMANTICS). Kept here so
+    the priority expression lives next to the engine's (pattern:
+    lm.bigram_lm_score_sql)."""
+    return (
+        f"SELECT * EXCLUDE (rn) FROM (SELECT *, row_number() OVER ("
+        f"PARTITION BY {domain_col} "
+        f"ORDER BY md5(CAST({key_col} AS VARCHAR)) NULLS FIRST, "
+        f"{key_col} NULLS FIRST) AS rn "
+        f"FROM {table}) WHERE rn <= {int(cap)}"
+    )
+
+
 def epoch_shuffle_key(key: Column | str, epoch: int) -> Column:
     """Pseudo-random sort key for epoch ``epoch`` as a pure function of
     the row key: ``md5(key || ':' || epoch)``. Ordering by it gives each

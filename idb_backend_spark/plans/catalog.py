@@ -65,7 +65,11 @@ tests/test_sketches.py); 6. nb_quality_score (operators/classifier.py,
 the model-based quality-filter stage — hashed multinomial NB, one
 training pass + broadcast-join scoring, twin nb_quality_score_sql
 parity-tested in tests/test_classifier.py; integer counts and pred are
-exact, score carries the standard 6-dp caveat).
+exact, score carries the standard 6-dp caveat); 7. cap_per_domain
+(operators/sampling.py — the hard max-docs-per-host ceiling; salted
+two-level rank proven equal to the single-window semantics and to the
+DuckDB twin in tests/test_properties.py, fully integer-deterministic so
+a gate slot carries no float caveat at all).
 """
 
 from __future__ import annotations

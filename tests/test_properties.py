@@ -395,6 +395,82 @@ def _pytest_raises_value_error():
     return _pytest.raises(ValueError)
 
 
+def test_cap_per_domain_matches_single_window_and_twin(spark, sf_dir):
+    """The two-level (salted) rank must equal BOTH the plain
+    single-window Spark formulation and the DuckDB twin on the real
+    documents table — the physical rewrite may not change the kept
+    set."""
+    import duckdb
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from idb_backend_spark.operators.sampling import (
+        cap_per_domain,
+        cap_per_domain_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        (r["source"], r["doc_id"])
+        for r in cap_per_domain(docs, "source", "doc_id", 7).collect()
+    )
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    plain = sorted(
+        (r["source"], r["doc_id"])
+        for r in docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 7)
+        .collect()
+    )
+    assert got == plain
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        (r[0], r[1])
+        for r in con.sql(
+            "SELECT source, doc_id FROM ("
+            + cap_per_domain_sql("documents", "source", "doc_id", 7)
+            + ")"
+        ).fetchall()
+    )
+    assert got == want
+    # every domain is at its cap (uniform 25-docs-per-source corpus)
+    per = {}
+    for s, _ in got:
+        per[s] = per.get(s, 0) + 1
+    assert set(per.values()) == {7}
+
+
+def test_cap_per_domain_null_domain_and_stability(spark):
+    from pyspark.sql import functions as F
+
+    from idb_backend_spark.operators.sampling import cap_per_domain
+
+    rows = [(i, "web" if i % 3 else None) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, domain string")
+    out = cap_per_domain(df, "domain", "id", 5)
+    counts = {
+        r["domain"]: r["count"]
+        for r in out.groupBy("domain").count().collect()
+    }
+    # the NULL domain is capped like any other, never dropped
+    assert counts == {"web": 5, None: 5}
+    # kept set is a pure function of the keys: repartitioning the input
+    # must not move the cap boundary
+    again = cap_per_domain(df.repartition(17, "id"), "domain", "id", 5)
+    assert sorted(r["id"] for r in out.collect()) == sorted(
+        r["id"] for r in again.collect()
+    )
+    with _pytest_raises_value_error():
+        cap_per_domain(df, "domain", "id", 0)
+
+
 def test_pack_sequences_capacity_and_determinism(spark):
     from pyspark.sql import functions as F
 
