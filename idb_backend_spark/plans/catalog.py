@@ -69,7 +69,11 @@ exact, score carries the standard 6-dp caveat); 7. cap_per_domain
 (operators/sampling.py — the hard max-docs-per-host ceiling; salted
 two-level rank proven equal to the single-window semantics and to the
 DuckDB twin in tests/test_properties.py, fully integer-deterministic so
-a gate slot carries no float caveat at all).
+a gate slot carries no float caveat at all); 8. pq_recall_audit
+(operators/pq.py — product-quantization ADC + exact re-rank, the
+memory-bound ANN tier above IVF/SQ8; audit-contract grading like the
+sketch tiers, encoder proven against a numpy replica in
+tests/test_pq.py).
 """
 
 from __future__ import annotations

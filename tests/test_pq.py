@@ -1,0 +1,127 @@
+"""Product-quantization ANN (operators/pq.py): geometry validation,
+codebook determinism, a numpy replica of the encoder (an independent
+implementation of normalize + per-subspace argmin), ADC-vs-replica
+scoring, two-stage recall on the real embeddings table, the audit
+contract, and the broadcast/native plan shape."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from idb_backend_spark.operators import pq
+
+
+def _np_codes(vec, codebook):
+    """Independent encoder: L2-normalize, per-subspace argmin squared
+    L2 with ties toward the lowest code id (numpy argmin is first-min,
+    which IS lowest-id)."""
+    v = np.asarray(vec, dtype=float)
+    n = np.linalg.norm(v)
+    v = v / n if n > 0 else v * 0.0
+    m = len(codebook)
+    d_sub = len(codebook[0][0])
+    out = []
+    for s in range(m):
+        sub = v[s * d_sub : (s + 1) * d_sub]
+        d2 = [float(np.sum((sub - np.asarray(c)) ** 2)) for c in codebook[s]]
+        out.append(int(np.argmin(d2)))
+    return out
+
+
+def test_pq_geometry_and_empty_validation(spark):
+    df = spark.createDataFrame(
+        [(1, [0.1] * 64)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq.pq_train(df, 64, m=7)
+    with pytest.raises(ValueError, match="empty"):
+        pq.pq_train(df.filter("vec_id < 0"), 64)
+
+
+def test_pq_codebook_deterministic_and_shaped(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb1 = pq.pq_train(df, 64, m=8, k=16, iterations=1)
+    cb2 = pq.pq_train(df, 64, m=8, k=16, iterations=1)
+    assert len(cb1) == 8 and len(cb1[0]) == 16 and len(cb1[0][0]) == 8
+    assert cb1 == cb2
+
+
+def test_pq_encode_matches_numpy_replica(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    cb = pq.pq_train(df, 64, iterations=1)
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq.pq_encode(df, cb).collect()
+    }
+    vecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in df.collect()
+    }
+    assert set(got) == set(vecs)
+    for vid, v in vecs.items():
+        assert got[vid] == _np_codes(v, cb), vid
+    # codes are the stored form: m small ints, all in [0, k)
+    for codes in got.values():
+        assert len(codes) == 8
+        assert all(0 <= c < 16 for c in codes)
+
+
+def test_pq_adc_matches_numpy_lut(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    cb = pq.pq_train(df, 64, iterations=1)
+    codes = pq.pq_encode(df, cb)
+    qv = list(df.limit(1).collect()[0]["embedding"])
+    got = {
+        r["vec_id"]: r["adc"]
+        for r in pq.pq_topk(codes, cb, qv, k=50).collect()
+    }
+    # replica: normalized-query LUT summed over the replica's codes
+    q = np.asarray(qv, dtype=float)
+    q = q / (np.linalg.norm(q) or 1.0)
+    lut = [
+        [float(np.dot(q[s * 8 : (s + 1) * 8], np.asarray(c))) for c in cb[s]]
+        for s in range(8)
+    ]
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in df.collect()}
+    for vid, adc in got.items():
+        cs = _np_codes(vecs[vid], cb)
+        want = sum(lut[s][cs[s]] for s in range(8))
+        assert math.isclose(adc, round(want, 6), abs_tol=1.5e-6), vid
+
+
+def test_pq_rerank_recall_and_audit(spark, sf_dir):
+    """Two-stage PQ (codes shortlist -> exact re-rank) must recover
+    >= 80% of the exact top-10 on the real embeddings table, and the
+    audit operator must report the same through its contract schema."""
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = [
+        (r["vec_id"], list(r["embedding"])) for r in df.limit(4).collect()
+    ]
+    out = pq.pq_recall_audit(
+        df, queries, 64, k=10, shortlist=200, min_recall=0.8
+    ).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["within_bound"], (r["query_id"], r["recall"])
+        assert len(r["exact_ids"]) == 10
+        # exact ids include the query itself (cosine 1.0 with itself)
+        assert r["query_id"] in r["exact_ids"]
+
+
+def test_pq_encode_plan_is_broadcast_and_native(spark, sf_dir):
+    import contextlib
+    import io
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq.pq_train(df, 64, iterations=0)
+    enc = pq.pq_encode(df, cb)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        enc.explain(mode="formatted")
+    text = buf.getvalue()
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+    # the centroid dimension rides a broadcast — the corpus is never
+    # shuffled by the assignment join
+    assert "Broadcast" in text
