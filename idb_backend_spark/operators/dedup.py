@@ -664,3 +664,156 @@ def benchmark_contamination(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 8,
+) -> DataFrame:
+    """Exact substring-level dedup — remove REPEATED SPANS, not whole
+    documents (the within-corpus repetition the document tiers cannot
+    touch: boilerplate headers, license blocks, templated paragraphs
+    pasted across otherwise-distinct documents; cf. the suffix-array
+    substring dedup literature — this is the windowed approximation a
+    distributed engine can run).
+
+    Rule: hash every ``window``-token span (stride 1). The GLOBAL first
+    occurrence of each distinct span — ordered by (doc, position) — is
+    canonical; tokens covered by any OTHER occurrence are removed,
+    EXCEPT tokens that a canonical span also covers (self-overlapping
+    repeats like 'a a a a ...' would otherwise eat the canonical copy
+    back to a single token). Overlapping duplicate spans merge through
+    the position set. Documents shorter than ``window`` have no spans
+    and pass through verbatim.
+
+    Output: (id, clean_text, n_removed) for EVERY input document; a
+    fully-boilerplate document comes back with clean_text '' rather
+    than vanishing.
+
+    Plan shape (this operator is intrinsically the heaviest dedup
+    tier; stride-1 windows mean O(n·window) hash work): one window-min
+    exchange keyed by span hash marks canonical occurrences; ONE
+    groupBy folds each doc's duplicate/canonical span starts into two
+    bounded arrays; one id-keyed join brings the token array back; the
+    kept-token rebuild is a per-row array expression (position sets
+    are flatten/except of sequences — no per-position shuffle, the
+    alternative position-explode formulation shuffles |corpus tokens|
+    rows twice). Span hashes are md5 over the space-joined window
+    (engine-portable — the SQL twin reproduces them bit-for-bit).
+    """
+    from pyspark.sql import Window
+
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    staged = _spread(df.select(F.col(id_col), F.col(text_col)), None).select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("t")
+    )
+    base = staged.select("id", "t", F.size("t").alias("n"))
+    # (id, pos, h): stride-1 span hashes; sequence() on n < window would
+    # yield a DESCENDING range (the lm.py hazard), hence the guard
+    spans = base.select(
+        "id",
+        F.posexplode(
+            F.when(
+                F.col("n") >= window,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n") - window),
+                    lambda i: F.md5(
+                        F.concat_ws(
+                            " ", F.slice(F.col("t"), i + 1, window)
+                        )
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "h"),
+    )
+    wh = Window.partitionBy("h")
+    marked = spans.withColumn(
+        "__first", F.min(F.struct("id", "pos")).over(wh)
+    ).select(
+        "id",
+        "pos",
+        (
+            (F.col("__first.id") == F.col("id"))
+            & (F.col("__first.pos") == F.col("pos"))
+        ).alias("is_first"),
+    )
+    starts = marked.groupBy("id").agg(
+        F.sort_array(
+            F.collect_list(F.when(~F.col("is_first"), F.col("pos")))
+        ).alias("dup_starts"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("is_first"), F.col("pos")))
+        ).alias("first_starts"),
+    )
+    cover = lambda col: F.array_distinct(  # noqa: E731
+        F.flatten(
+            F.transform(
+                F.col(col),
+                lambda s: F.sequence(s, s + F.lit(window - 1)),
+            )
+        )
+    )
+    joined = base.join(starts, "id", "left").select(
+        "id",
+        "t",
+        "n",
+        F.array_except(
+            cover("dup_starts"), cover("first_starts")
+        ).alias("__rm"),
+    )
+    kept = F.filter(
+        F.col("t"),
+        lambda x, i: F.coalesce(
+            ~F.array_contains(F.col("__rm"), i), F.lit(True)
+        ),
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        (F.col("n") - F.size(kept)).cast("bigint").alias("n_removed"),
+    )
+
+
+def remove_repeated_spans_sql(
+    table: str, text_col: str, id_col: str, window: int = 8
+) -> str:
+    """DuckDB twin of ``remove_repeated_spans`` — single-window
+    semantics over the same md5 span hashes and the same
+    canonical-span protection rule; kept HERE so the span definition
+    lives in one place (pattern: lm.bigram_lm_score_sql). The twin
+    rebuilds text by position join (the per-row array rewrite is the
+    engine's physical choice, not the semantics)."""
+    w = int(window)
+    norm = (
+        f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
+    )
+    return (
+        f"WITH t AS (SELECT {id_col} AS id, "
+        f"  string_split_regex({norm}, ' ') AS tk FROM {table}), "
+        "n AS (SELECT id, tk, len(tk) AS n FROM t), "
+        "w AS (SELECT id, tk, n, unnest(generate_series(0, n - "
+        f"{w})) AS pos FROM n WHERE n >= {w}), "
+        "h AS (SELECT id, pos, md5(array_to_string("
+        f"  list_slice(tk, pos + 1, pos + {w}), ' ')) AS h FROM w), "
+        "m AS (SELECT id, pos, row_number() OVER ("
+        "  PARTITION BY h ORDER BY id, pos) AS rn FROM h), "
+        "dup AS (SELECT DISTINCT id, p FROM (SELECT id, "
+        f"  unnest(generate_series(pos, pos + {w} - 1)) AS p "
+        "  FROM m WHERE rn > 1)), "
+        "fst AS (SELECT DISTINCT id, p FROM (SELECT id, "
+        f"  unnest(generate_series(pos, pos + {w} - 1)) AS p "
+        "  FROM m WHERE rn = 1)), "
+        "rem AS (SELECT id, p FROM dup EXCEPT SELECT id, p FROM fst), "
+        "ts AS (SELECT id, i, tk[i + 1] AS tok FROM (SELECT id, tk, "
+        "  unnest(generate_series(0, n - 1)) AS i FROM n)), "
+        "kept AS (SELECT ts.id, ts.i, ts.tok FROM ts LEFT JOIN rem "
+        "  ON ts.id = rem.id AND ts.i = rem.p WHERE rem.p IS NULL) "
+        f"SELECT n.id AS {id_col}, "
+        "coalesce(string_agg(kept.tok, ' ' ORDER BY kept.i), '') "
+        "AS clean_text, "
+        "CAST(n.n - count(kept.tok) AS BIGINT) AS n_removed "
+        "FROM n LEFT JOIN kept ON n.id = kept.id GROUP BY n.id, n.n"
+    )

@@ -73,7 +73,11 @@ a gate slot carries no float caveat at all); 8. pq_recall_audit
 (operators/pq.py — product-quantization ADC + exact re-rank, the
 memory-bound ANN tier above IVF/SQ8; audit-contract grading like the
 sketch tiers, encoder proven against a numpy replica in
-tests/test_pq.py).
+tests/test_pq.py); 9. remove_repeated_spans (operators/dedup.py —
+substring-level dedup: strips corpus-wide repeated token spans while
+protecting the canonical first occurrence; twin
+remove_repeated_spans_sql row-for-row in tests/test_dedup_quality.py,
+fully string/integer exact).
 """
 
 from __future__ import annotations
