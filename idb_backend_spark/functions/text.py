@@ -26,10 +26,41 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+#: Post-lowercase case fold closing the full-vs-simple Unicode mapping
+#: gap between the three engines. Java (Spark's `lower`) and Python
+#: lowercase via the FULL Unicode mapping: U+0130 'İ' -> 'i' + combining
+#: dot U+0307, and word-final 'Σ' -> final sigma 'ς' (the context rule);
+#: DuckDB's utf8proc `lower()` applies the SIMPLE 1:1 map ('İ' -> bare
+#: 'i', 'Σ' -> 'σ' always). Unfolded, 'İ0' tokenizes as ['i','0'] on
+#: Spark (the mark breaks the \p{L} run) but ['i0'] on DuckDB — found by
+#: tests/test_fulltext_prop.py's hypothesis sweep. Folding AFTER lower —
+#: ς -> σ, delete U+0307 — lands all three on one form. U+0130 is the
+#: only unconditional one-to-many lowercase mapping in Unicode
+#: SpecialCasing.txt and final sigma the only default-locale conditional
+#: one, so this two-entry fold closes the whole class. Applied by BOTH
+#: text canonicalizers (normalize_text/tokens and the fulltext analyzer)
+#: and their SQL twins, so every engine/oracle pair folds identically.
+_FOLD_FROM = "\u03c2\u0307"  # final sigma, combining dot above
+_FOLD_TO = "\u03c3"  # sigma (U+0307 has no counterpart -> deleted)
+
+
+def _fold_lower(c: Column) -> Column:
+    """`lower` + the cross-engine case fold (translate deletes chars in
+    the from-set with no to-counterpart, same as Postgres/DuckDB)."""
+    return F.translate(F.lower(c), _FOLD_FROM, _FOLD_TO)
+
+
+def fold_lower_sql(col_expr: str) -> str:
+    """DuckDB twin of `_fold_lower` (chr(962)/chr(775)/chr(963) = final
+    sigma / U+0307 / sigma, kept out of the source literal so the
+    combining mark can't be lost by an editor)."""
+    return f"translate(lower({col_expr}), chr(962) || chr(775), chr(963))"
+
+
 def normalize_text(c: Column | str) -> Column:
     """Canonical text form: lowercase, collapse whitespace, trim."""
     c = F.col(c) if isinstance(c, str) else c
-    return F.trim(F.regexp_replace(F.lower(c), WS_RE, " "))
+    return F.trim(F.regexp_replace(_fold_lower(c), WS_RE, " "))
 
 
 def tokens(c: Column | str) -> Column:
@@ -43,7 +74,18 @@ def tokens(c: Column | str) -> Column:
 #: re-exports them for the oracle builders; operators needing a SQL twin
 #: (operators/lm.py) import from here to avoid an operators->plans
 #: dependency.
-NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+def norm_sql(col_expr: str) -> str:
+    """DuckDB twin of `normalize_text` over an arbitrary column
+    expression (NORM_SQL below is the fixed `text`-column rendering the
+    oracle builders splice; operators over other columns — e.g.
+    operators/dedup.remove_repeated_spans_sql — call this instead of
+    inlining a copy that could drift)."""
+    return (
+        f"trim(regexp_replace({fold_lower_sql(col_expr)}, '\\s+', ' ', 'g'))"
+    )
+
+
+NORM_SQL = norm_sql("text")
 TOKS_SQL = f"string_split_regex({NORM_SQL}, ' ')"
 
 
@@ -66,7 +108,7 @@ def analyzer_tokens(c: Column | str) -> Column:
     analyzed `_all` field where punctuation is stripped at index time).
     """
     c = F.col(c) if isinstance(c, str) else c
-    return F.regexp_extract_all(F.lower(c), F.lit(ANALYZER_TOKEN_RE), 0)
+    return F.regexp_extract_all(_fold_lower(c), F.lit(ANALYZER_TOKEN_RE), 0)
 
 
 def analyzer_tokenize(s: str) -> list[str]:
@@ -77,7 +119,10 @@ def analyzer_tokenize(s: str) -> list[str]:
     """
     import re
 
-    return re.findall(r"\w+", s.lower(), re.UNICODE)
+    folded = (
+        s.lower().replace(_FOLD_FROM[0], _FOLD_TO).replace(_FOLD_FROM[1], "")
+    )
+    return re.findall(r"\w+", folded, re.UNICODE)
 
 
 def whole_token_match(c: Column | str, query: str) -> Column:
@@ -112,7 +157,7 @@ def analyzer_contains_sql(col_expr: str, token_sql_lit: str) -> str:
     Java regex and RE2, which is what makes the twin exact.
     """
     return (
-        f"list_contains(regexp_extract_all(lower({col_expr}), "
+        f"list_contains(regexp_extract_all({fold_lower_sql(col_expr)}, "
         f"'{ANALYZER_TOKEN_RE}'), {token_sql_lit})"
     )
 

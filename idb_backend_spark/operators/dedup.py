@@ -686,11 +686,18 @@ def remove_repeated_spans(
     repeats like 'a a a a ...' would otherwise eat the canonical copy
     back to a single token). Overlapping duplicate spans merge through
     the position set. Documents shorter than ``window`` have no spans
-    and pass through verbatim.
+    and keep all their tokens.
 
     Output: (id, clean_text, n_removed) for EVERY input document; a
     fully-boilerplate document comes back with clean_text '' rather
-    than vanishing.
+    than vanishing, and NULL text is treated as '' (clean_text '',
+    n_removed 0) so every row stays usable downstream. clean_text is
+    the kept tokens of the NORMALIZED stream re-joined (lowercased,
+    whitespace-collapsed — `tokens()`, the same canonical form every
+    dedup tier hashes); span hashing and text rebuild MUST share one
+    token stream or removal offsets would point into the wrong string.
+    Callers needing the original casing keep it in a sibling column
+    and treat clean_text as the dedup view.
 
     Plan shape (this operator is intrinsically the heaviest dedup
     tier; stride-1 windows mean O(n·window) hash work): one window-min
@@ -708,9 +715,20 @@ def remove_repeated_spans(
     if window < 2:
         raise ValueError(f"window must be >= 2, got {window}")
     staged = _spread(df.select(F.col(id_col), F.col(text_col)), None).select(
-        F.col(id_col).alias("id"), tokens(text_col).alias("t")
+        F.col(id_col).alias("id"),
+        # NULL text folds to '' BEFORE tokenizing: split('') yields ['']
+        # on both engines, so the (clean_text, n_removed) contract stays
+        # ('', 0) instead of (NULL-propagated) NULL — and matches the
+        # twin's coalesce
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("t"),
     )
-    base = staged.select("id", "t", F.size("t").alias("n"))
+    # the token arrays feed BOTH the span stream (posexplode -> window
+    # min) and the rebuild join below; pin them so the scan + repartition
+    # + tokenization run once, not once per consumer (same hazard the
+    # classifier/minhash pins document)
+    base = staged.select(
+        "id", "t", F.size("t").alias("n")
+    ).localCheckpoint(eager=True)
     # (id, pos, h): stride-1 span hashes; sequence() on n < window would
     # yield a DESCENDING range (the lm.py hazard), hence the guard
     spans = base.select(
@@ -786,10 +804,10 @@ def remove_repeated_spans_sql(
     lives in one place (pattern: lm.bigram_lm_score_sql). The twin
     rebuilds text by position join (the per-row array rewrite is the
     engine's physical choice, not the semantics)."""
+    from idb_backend_spark.functions.text import norm_sql
+
     w = int(window)
-    norm = (
-        f"trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g'))"
-    )
+    norm = norm_sql(f"coalesce({text_col}, '')")
     return (
         f"WITH t AS (SELECT {id_col} AS id, "
         f"  string_split_regex({norm}, ' ') AS tk FROM {table}), "

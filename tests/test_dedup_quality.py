@@ -306,12 +306,16 @@ def test_remove_repeated_spans_goldens(spark):
     """Hand-verified span-removal semantics: duplicate-covered tokens
     go, canonical-span-covered tokens stay (incl. the self-overlap
     case where an unprotected rule would eat the canonical copy back
-    to one token), short docs pass through verbatim."""
+    to one token), short docs keep all tokens, output is the
+    NORMALIZED token stream (lowercase, single-spaced — the documented
+    contract), and NULL text degrades to ('', 0)."""
     rows = [
         (1, "a b c d e f"),      # holds the canonical a-b-c/b-c-d/c-d-e
         (2, "x y a b c d e z"),  # repeats spans of doc 1
         (3, "a a a a a a"),      # self-overlapping repeat
-        (4, "p q"),              # shorter than the window
+        (4, "p Q"),              # shorter than the window; case-folds
+        (5, None),               # NULL text -> ('', 0), never NULL
+        (6, "A  B\tC D e f"),    # normalizes to doc 1 -> pure boilerplate
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
@@ -326,6 +330,9 @@ def test_remove_repeated_spans_goldens(spark):
         # canonical first span 'a a a' survives; the tail goes
         3: ("a a a", 3),
         4: ("p q", 0),
+        5: ("", 0),
+        # every span of doc 6 is canonical in doc 1; nothing protected
+        6: ("", 6),
     }
     with pytest.raises(ValueError, match="window"):
         dedup.remove_repeated_spans(df, "text", "doc_id", 1)
