@@ -80,18 +80,26 @@ def hashed_bucket(tok: Column | str, n_buckets: int) -> Column:
 
 
 def _token_stream(
-    docs: DataFrame, text_col: str, id_col: str, n_buckets: int
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, j) hashed-token stream — tokenize once, one explode (the
-    only row multiplier), no UDF. explode_outer, not explode: see
-    ngram_jaccard_pairs — InferFiltersFromGenerate would re-inline the
-    tokenizer into an inferred size()>0 filter (token arrays are never
-    empty: '' tokenizes to the [''] phantom, and NULL text is
-    canonicalized to the same phantom — see the module docstring)."""
+    """(id, *carry, j) hashed-token stream — tokenize once, one explode
+    (the only row multiplier), no UDF. ``carry`` columns ride through
+    the explode so training can keep the label WITHOUT a corpus-sized
+    join back on id (projecting a column through Generate is free; a
+    |tokens|-row equi-join is an exchange proportional to the corpus
+    token count). explode_outer, not explode: see ngram_jaccard_pairs —
+    InferFiltersFromGenerate would re-inline the tokenizer into an
+    inferred size()>0 filter (token arrays are never empty: '' tokenizes
+    to the [''] phantom, and NULL text is canonicalized to the same
+    phantom — see the module docstring)."""
     toks = F.coalesce(tokens(text_col), F.array(F.lit("")))
     return docs.select(
-        F.col(id_col), F.explode_outer(toks).alias("__tok")
-    ).select(id_col, hashed_bucket("__tok", n_buckets).alias("j"))
+        F.col(id_col), *carry, F.explode_outer(toks).alias("__tok")
+    ).select(id_col, *carry, hashed_bucket("__tok", n_buckets).alias("j"))
 
 
 def nb_hash_model(
@@ -114,8 +122,8 @@ def nb_hash_model(
     boolean Column (e.g. F.col("lang") == "en"); NULL labels are
     excluded from training (neither class) but still scorable."""
     labeled = docs.withColumn("__y", label).filter(F.col("__y").isNotNull())
-    stream = _token_stream(labeled, text_col, id_col, n_buckets).join(
-        labeled.select(id_col, "__y"), id_col
+    stream = _token_stream(
+        labeled, text_col, id_col, n_buckets, carry=("__y",)
     )
     model = (
         stream.groupBy("j")

@@ -205,8 +205,15 @@ def cap_per_domain(
     null-domain rows silently is how undeclared hosts sneak past the
     ceiling); a NULL key hashes to NULL and sorts first (Spark's ASC
     default is NULLS FIRST; the twin pins NULLS FIRST explicitly —
-    DuckDB's ASC default is NULLS LAST), a caller contract shared with
-    every md5-keyed op here.
+    DuckDB's ASC default is NULLS LAST).
+
+    Determinism contract: the kept SET is stable only when ``key_col``
+    is row-unique within each domain (a doc id — the same caller
+    contract as every md5-keyed op here). Rows tied on the full sort
+    key (duplicate key values, or several NULL keys in one domain) get
+    arbitrary relative row_numbers, so WHICH of the tied rows survives
+    at the cap boundary is partitioning-dependent — on both engines;
+    the count per domain is exact regardless.
     """
     from pyspark.sql import Window
 
