@@ -182,17 +182,13 @@ def minhash_signatures(
     return inv.groupBy("id").agg(*lane_aggs)
 
 
-def _minhash_candidate_pairs(
-    sig: DataFrame, num_hashes: int, bands: int
-) -> DataFrame:
-    """Banded LSH candidate generation from a signature frame — the ONE
-    candidate kernel both the signature-verified (`minhash_lsh_pairs`)
-    and exact-verified (`minhash_exact_verified_pairs`) tiers use. Band
-    keys straight off the lane columns; candidates carry only ids, and
-    the self-join keys on (band, key) so the shuffle is bounded by
-    bucket sizes, not n²."""
+def _band_structs(num_hashes: int, bands: int) -> list[Column]:
+    """(band, key) struct columns off a signature frame's lane columns —
+    the ONE band-key definition, shared by the in-frame candidate kernel
+    below and the persistent index (operators/neardup_index.py), so an
+    index built today and a probe compiled tomorrow hash identically."""
     rows_per_band = num_hashes // bands
-    band_structs = [
+    return [
         F.struct(
             F.lit(bi).alias("band"),
             F.xxhash64(
@@ -207,8 +203,19 @@ def _minhash_candidate_pairs(
         )
         for bi in range(bands)
     ]
+
+
+def _minhash_candidate_pairs(
+    sig: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """Banded LSH candidate generation from a signature frame — the ONE
+    candidate kernel both the signature-verified (`minhash_lsh_pairs`)
+    and exact-verified (`minhash_exact_verified_pairs`) tiers use. Band
+    keys straight off the lane columns; candidates carry only ids, and
+    the self-join keys on (band, key) so the shuffle is bounded by
+    bucket sizes, not n²."""
     banded = sig.select(
-        "id", F.explode(F.array(*band_structs)).alias("bk")
+        "id", F.explode(F.array(*_band_structs(num_hashes, bands))).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     return (
         banded.alias("a")

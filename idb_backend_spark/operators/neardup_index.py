@@ -1,0 +1,313 @@
+"""Persistent MinHash/LSH near-dup index — dedup NEW batches against the
+accepted corpus without rescanning the corpus.
+
+The batch tiers (operators/dedup.py) answer "which pairs inside THIS
+frame are near-duplicates". A 100 TB deployment's steady state is the
+other question: an ingest batch arrives and must be checked against
+everything already accepted. Re-signaturing the full corpus per batch is
+O(corpus) per batch; this module makes the recurring cost O(batch):
+
+  build_neardup_index    bootstrap: one corpus pass -> parquet index
+  probe_neardup_index    batch -> (new_id, corpus_id, jaccard) matches
+  add_to_neardup_index   accepted batch joins the index (append-only)
+
+This composes with the rest of the maintenance tier the same way the
+token skip-index does for fulltext (plans/skipping.py) and the frozen
+codebook does for IVF (operators/ann.ivf_add_vectors): bootstrap once,
+then every batch pays only for itself. There is no reference-repo
+counterpart (idb-backend dedups at etag granularity only —
+postgres_backend/db.py's content-addressed `data` table); the sketch
+family is the standard banded-MinHash construction (Broder; Leskovec et
+al., "Mining of Massive Datasets" ch. 3).
+
+Index layout — ONE parquet row dataset plus a tiny immutable sidecar:
+
+  {path}/rows: (id, band, key, sig)  — `bands` rows per document, where
+      `sig` is the FULL lane array, repeated on every band row
+      deliberately. The repetition buys two structural properties:
+      each add is ONE parquet append (no sibling dataset that could
+      commit or vacuum separately — the ivf_add_vectors crash contract:
+      a crashed add leaves at most missing documents, never
+      half-indexed ones), and the probe is ONE join (a candidate row
+      already carries the corpus signature — no second fetch join
+      back into the index). At the default geometry that is
+      bands x num_hashes x 8 B = 8 KB per document — well under 1% of
+      typical document payloads, and the scan of `sig` is column-pruned
+      away for any query that doesn't verify.
+  {path}/meta: one row (shingle_k, num_hashes, bands, seed) written at
+      build time and never touched again. probe/add READ their hash
+      geometry from it instead of trusting caller arguments, so a probe
+      compiled months after the build can never hash differently than
+      the index. Write order is meta THEN rows: a crash in between
+      leaves an empty-but-valid index, not an unreadable one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from idb_backend_spark.operators.dedup import (
+    _band_structs,
+    _shingle_df,
+    minhash_signatures,
+)
+
+_META_COLS = ("shingle_k", "num_hashes", "bands", "seed")
+
+
+def _rows_path(index_path: str) -> str:
+    return index_path.rstrip("/") + "/rows"
+
+
+def _meta_path(index_path: str) -> str:
+    return index_path.rstrip("/") + "/meta"
+
+
+def read_meta(spark: SparkSession, index_path: str) -> dict:
+    """The index's hash geometry, as built (see module docstring)."""
+    row = spark.read.parquet(_meta_path(index_path)).collect()[0]
+    return {c: int(row[c]) for c in _META_COLS}
+
+
+def _index_rows(
+    df: DataFrame, text_col: str, id_col: str, meta: dict
+) -> DataFrame:
+    """(id, band, key, sig) index rows for a document frame — the one
+    shared builder, so build and add can never derive different rows."""
+    sig = minhash_signatures(
+        df,
+        text_col,
+        id_col,
+        shingle_k=meta["shingle_k"],
+        num_hashes=meta["num_hashes"],
+        seed=meta["seed"],
+    )
+    lanes = F.array(
+        *[F.col(f"m{j}") for j in range(meta["num_hashes"])]
+    ).alias("sig")
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(*_band_structs(meta["num_hashes"], meta["bands"]))
+        ).alias("bk"),
+        lanes,
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), "sig")
+
+
+def build_neardup_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_path: str,
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> None:
+    """Bootstrap: one corpus pass writes the index (overwriting any
+    previous build at ``index_path``).
+
+    Rows are sorted by (band, key) within write partitions so parquet
+    row-group min/max stats on `key` stay tight — a probe pushed down as
+    a key filter skips row groups; the bucket join reads clustered keys.
+    """
+    if bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must evenly divide num_hashes ({num_hashes})"
+        )
+    spark = df.sparkSession
+    meta = {
+        "shingle_k": int(shingle_k),
+        "num_hashes": int(num_hashes),
+        "bands": int(bands),
+        "seed": int(seed),
+    }
+    spark.createDataFrame(
+        [tuple(meta[c] for c in _META_COLS)],
+        ", ".join(f"{c} int" for c in _META_COLS),
+    ).coalesce(1).write.mode("overwrite").parquet(_meta_path(index_path))
+    (
+        _index_rows(df, text_col, id_col, meta)
+        .sortWithinPartitions("band", "key")
+        .write.mode("overwrite")
+        .parquet(_rows_path(index_path))
+    )
+
+
+def add_to_neardup_index(
+    new_docs: DataFrame, text_col: str, id_col: str, index_path: str
+) -> int:
+    """Append an accepted batch to the index; returns the number of
+    documents actually added.
+
+    Idempotent under re-runs: ids already present are skipped (found by
+    an id-column-pruned scan of the index with the batch's id set
+    broadcast — one bounded job, the corpus is never shuffled), so a
+    retried batch after a crash cannot double-index documents. The
+    append itself is one parquet job — it commits whole or not at all.
+    """
+    spark = new_docs.sparkSession
+    meta = read_meta(spark, index_path)
+    batch = new_docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias(text_col)
+    )
+    present = {
+        r["id"]
+        for r in spark.read.parquet(_rows_path(index_path))
+        .select("id")
+        .join(F.broadcast(batch.select("id")), "id", "left_semi")
+        .distinct()
+        .collect()
+    }
+    fresh = batch.filter(~F.col("id").isin(present)) if present else batch
+    n_fresh = fresh.count()
+    if n_fresh == 0:
+        return 0
+    _index_rows(fresh, text_col, "id", meta).sortWithinPartitions(
+        "band", "key"
+    ).write.mode("append").parquet(_rows_path(index_path))
+    return n_fresh
+
+
+def probe_neardup_index(
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_path: str,
+    threshold: float = 0.5,
+    verify: str = "estimate",
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Match a new batch against the indexed corpus: returns one row per
+    (new_id, corpus_id) candidate surviving verification.
+
+    verify="estimate" (default): signature-lane agreement >= threshold —
+    the index alone decides; the corpus is never read. Columns
+    (new_id, corpus_id, est_jaccard).
+
+    verify="exact": candidates are re-checked against the TRUE shingle
+    Jaccard, which needs the candidate documents' text — pass the corpus
+    frame; only the candidate corpus docs are shingled (semi-join on the
+    candidate id set, bounded by candidates, NOT a corpus scan). Output
+    (new_id, corpus_id, jaccard) is then a subset of the true
+    cross-pair set at the threshold — equal to it when the bands recall
+    every true pair, the same containment contract the graded
+    minhash_exact_verified entry proves for the in-frame tier.
+
+    Probe plan at scale: the batch side (signatures -> band keys) is
+    BROADCAST; the index is scanned on (band, key) but never shuffled,
+    and a batch id equal to an indexed id never matches itself.
+    """
+    if verify not in ("estimate", "exact"):
+        raise ValueError(f"verify must be 'estimate' or 'exact', got {verify!r}")
+    if verify == "exact" and corpus is None:
+        raise ValueError("verify='exact' needs the corpus frame")
+    spark = new_docs.sparkSession
+    meta = read_meta(spark, index_path)
+    new_rows = _index_rows(new_docs, text_col, id_col, meta).select(
+        F.col("id").alias("new_id"),
+        "band",
+        "key",
+        F.col("sig").alias("new_sig"),
+    )
+    idx = spark.read.parquet(_rows_path(index_path))
+    cand = (
+        idx.join(F.broadcast(new_rows), ["band", "key"])
+        .filter(F.col("id") != F.col("new_id"))
+        .select(
+            "new_id",
+            F.col("id").alias("corpus_id"),
+            "new_sig",
+            F.col("sig").alias("corpus_sig"),
+        )
+        # a pair found in several bands is still one candidate; the
+        # dedup shuffle is bounded by candidate count, not corpus size
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    if verify == "estimate":
+        est = F.size(
+            F.filter(
+                F.zip_with("new_sig", "corpus_sig", lambda x, y: x == y),
+                lambda m: m,
+            )
+        ) / F.lit(float(meta["num_hashes"]))
+        return (
+            cand.withColumn("est_jaccard", F.round(est, 6))
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("new_id", "corpus_id", "est_jaccard")
+        )
+    pairs = cand.select("new_id", "corpus_id")
+    cand_corpus = corpus.join(
+        pairs.select(F.col("corpus_id").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    sh_new = _shingle_df(new_docs, text_col, id_col, meta["shingle_k"]).select(
+        F.col("id").alias("new_id"), F.col("sh").alias("sh_a")
+    )
+    sh_corpus = _shingle_df(
+        cand_corpus, text_col, id_col, meta["shingle_k"]
+    ).select(F.col("id").alias("corpus_id"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        pairs.join(sh_new, "new_id")
+        .join(sh_corpus, "corpus_id")
+        # exact-ratio filter, rounded for display — the shared contract
+        # with minhash_exact_verified_pairs / synth's Jaccard oracle
+        .filter(jac >= threshold)
+        .withColumn("jaccard", F.round(jac, 6))
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
+def probe_neardup_exact_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    batch_pred: str,
+    corpus_pred: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of ``probe_neardup_index(verify="exact")`` — the TRUE
+    cross-pair set between the batch rows (``batch_pred``) and corpus
+    rows (``corpus_pred``) of ``table`` at the threshold (the
+    sub-``shingle_k``-token fallback shingle is the whole token list,
+    matching functions.similarity.shingles_from_tokens). The engine's
+    output must be a SUBSET of this set — equal when the LSH bands
+    recall every true pair — the same containment contract the graded
+    minhash_exact_verified entry proves for the in-frame tier (pattern:
+    plans/synth.EXACT_JACCARD_SQL, parameterized for a cross join and
+    arbitrary k)."""
+    from idb_backend_spark.functions.text import norm_sql
+
+    k = int(shingle_k)
+    toks = f"string_split_regex({norm_sql(text_col)}, ' ')"
+    return (
+        f"WITH sh AS (SELECT {id_col} AS id, sz, g FROM ("
+        f"  SELECT {id_col}, toks, len(toks) AS n FROM ("
+        f"    SELECT *, {toks} AS toks FROM {table} "
+        f"    WHERE ({batch_pred}) OR ({corpus_pred}))) t, "
+        f"  LATERAL (SELECT list_distinct(CASE WHEN n >= {k} THEN "
+        f"    [array_to_string(toks[i:i+{k - 1}], ' ') "
+        f"     FOR i IN range(1, n - {k - 2})] "
+        "    ELSE [array_to_string(toks, ' ')] END) AS grams) gr, "
+        "  LATERAL (SELECT len(gr.grams) AS sz) z, "
+        "  LATERAL unnest(gr.grams) AS u(g)), "
+        f"b AS (SELECT * FROM sh WHERE id IN ("
+        f"  SELECT {id_col} FROM {table} WHERE {batch_pred})), "
+        f"c AS (SELECT * FROM sh WHERE id IN ("
+        f"  SELECT {id_col} FROM {table} WHERE {corpus_pred})), "
+        "pairs AS (SELECT b.id AS new_id, c.id AS corpus_id, "
+        "  count(*) AS shared, any_value(b.sz) AS sz_b, "
+        "  any_value(c.sz) AS sz_c "
+        "  FROM b JOIN c USING (g) WHERE b.id <> c.id "
+        "  GROUP BY b.id, c.id) "
+        "SELECT new_id, corpus_id, "
+        "round(shared / (sz_b + sz_c - shared), 6) AS jaccard "
+        f"FROM pairs WHERE shared / (sz_b + sz_c - shared) >= {threshold} "
+        "ORDER BY new_id, corpus_id"
+    )

@@ -77,7 +77,13 @@ tests/test_pq.py); 9. remove_repeated_spans (operators/dedup.py —
 substring-level dedup: strips corpus-wide repeated token spans while
 protecting the canonical first occurrence; twin
 remove_repeated_spans_sql row-for-row in tests/test_dedup_quality.py,
-fully string/integer exact).
+fully string/integer exact); 10. incremental near-dup probe
+(operators/neardup_index.py — persistent MinHash/LSH index with
+O(batch) steady-state probe/add, the maintenance-tier sibling of
+token_index_update/ivf_incremental_ann; exact-verify mode equals the
+probe_neardup_exact_sql twin row-for-row in tests/test_neardup_index.py
+at the graded scale, string/integer exact except the shared 6-dp
+Jaccard rounding contract).
 """
 
 from __future__ import annotations
