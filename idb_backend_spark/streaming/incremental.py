@@ -423,3 +423,94 @@ def sessionize(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def neardup_gate_batch(
+    batch: DataFrame,
+    index_path: str,
+    accepted_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> None:
+    """One ``foreachBatch`` body: near-dup GATE a document batch against
+    the persistent MinHash index (operators/neardup_index.py) — the
+    streaming composition of the maintenance tier: each micro-batch is
+    checked against everything already accepted in O(batch), accepted
+    docs join the index so LATER batches dedup against them too.
+
+    Three-way split of the batch:
+      * ids already IN the index — replays of a previously processed
+        epoch (foreachBatch is at-least-once): dropped, so a crash-retry
+        cannot double-accept;
+      * near-dups of an indexed doc (signature-estimate probe at the
+        threshold): dropped;
+      * the rest is accepted — added to the index FIRST, then appended
+        to ``accepted_path``. That order gives the ivf_add_vectors crash
+        contract: a crash between the two appends leaves rows indexed
+        but missing from the store — recoverable by diffing index ids
+        against store ids — never duplicated in the store (the reverse
+        order would re-accept them on retry). Index adds are themselves
+        idempotent (add_to_neardup_index skips present ids).
+
+    In-batch duplicates are NOT gated here — compose minhash_lsh_pairs /
+    exact_dedup upstream if the feed can repeat content within one
+    micro-batch; this gate's contract is batch-vs-corpus.
+    """
+    from idb_backend_spark.operators import neardup_index as ni
+
+    if batch.isEmpty():
+        return
+    spark = batch.sparkSession
+    # replay guard: exact ids already indexed (bounded: id-column scan
+    # with the batch id set broadcast — same shape as the add's check)
+    ids = batch.select(F.col(id_col).alias("id")).distinct()
+    present = (
+        spark.read.parquet(index_path.rstrip("/") + "/rows")
+        .select("id")
+        .join(F.broadcast(ids), "id", "left_semi")
+        .distinct()
+    )
+    fresh = batch.join(
+        present.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )
+    dup_ids = (
+        ni.probe_neardup_index(
+            fresh, text_col, id_col, index_path, threshold=threshold
+        )
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    accepted = fresh.join(dup_ids, id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+    ni.add_to_neardup_index(accepted, text_col, id_col, index_path)
+    accepted.write.mode("append").parquet(accepted_path)
+
+
+def neardup_dedup_query(
+    stream: DataFrame,
+    index_path: str,
+    accepted_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    available_now: bool = True,
+):
+    """Wire a document stream through the near-dup gate. The index must
+    be built before the stream starts (``build_neardup_index`` over the
+    already-accepted corpus, or over an empty frame with the documents
+    schema for a cold start)."""
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(
+            lambda b, _eid: neardup_gate_batch(
+                b, index_path, accepted_path, text_col, id_col, threshold
+            )
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -359,3 +359,72 @@ def test_empty_batch_is_a_noop(spark, tmp_path):
     inc.upsert_batch_into_store(store, empty)
     got = {r["uuid"]: r for r in spark.read.parquet(store).collect()}
     assert set(got) == {"a"} and got["a"]["etag"] == "e1"
+
+
+def test_streaming_neardup_gate(spark, tmp_path):
+    """The near-dup gate end-to-end: batch 1 seeds corpus + index, batch
+    2 carries a near-dup of an accepted doc (dropped), a replay of an
+    accepted id (dropped — the at-least-once guard), and a novel doc
+    (accepted and indexed); a full re-run of batch 2 accepts nothing."""
+    from pyspark.sql import functions as F
+
+    from idb_backend_spark.operators import neardup_index as ni
+
+    land = str(tmp_path / "landing")
+    idx = str(tmp_path / "ndidx")
+    acc = str(tmp_path / "accepted")
+    doc_schema = "doc_id long, text string"
+
+    # cold start: empty index with the documents schema
+    ni.build_neardup_index(
+        spark.createDataFrame([], doc_schema), "text", "doc_id", idx
+    )
+
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight")],
+        doc_schema,
+    ).write.mode("append").parquet(land)
+    q = inc.neardup_dedup_query(
+        inc.stream_from_directory(spark, land, doc_schema),
+        idx,
+        acc,
+        str(tmp_path / "ck_nd"),
+    )
+    q.awaitTermination(120)
+    assert {
+        r["doc_id"] for r in spark.read.parquet(acc).collect()
+    } == {1}
+
+    spark.createDataFrame(
+        [
+            # near-dup of accepted doc 1 -> dropped
+            (10, "the quick brown fox jumps over the lazy cat tonight"),
+            # replay of an accepted id -> dropped
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            # novel -> accepted
+            (11, "an entirely novel streaming document nothing shares"),
+        ],
+        doc_schema,
+    ).write.mode("append").parquet(land)
+    q = inc.neardup_dedup_query(
+        inc.stream_from_directory(spark, land, doc_schema),
+        idx,
+        acc,
+        str(tmp_path / "ck_nd"),
+    )
+    q.awaitTermination(120)
+    assert {
+        r["doc_id"] for r in spark.read.parquet(acc).collect()
+    } == {1, 11}
+    # the novel doc joined the index: a near-copy of it now gates out
+    probe = spark.createDataFrame(
+        [(20, "an entirely novel streaming document nothing collides")],
+        doc_schema,
+    )
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in ni.probe_neardup_index(
+            probe, "text", "doc_id", idx, threshold=0.5
+        ).collect()
+    }
+    assert got == {(20, 11)}
