@@ -48,6 +48,9 @@ PROBES = [
     "training_corpus_e2e",
     "etl_enrichment_pipeline",
     "latest_object_per_url",
+    # not a catalog entry: fixed-batch probe against the 1x and Nx
+    # indexes (probe_neardup_scale) — the maintenance tier's claim
+    "neardup_index_probe",
 ]
 
 
@@ -122,6 +125,54 @@ def time_entry(fn, spark, sf_dir: str) -> tuple[float, int]:
     return t, df.count()
 
 
+def probe_neardup_scale(
+    spark, f1_dir: str, fN_dir: str, scratch: str, factor: int
+) -> dict:
+    """The persistent near-dup index's steady-state claim, measured: the
+    SAME fixed batch is probed against the factor-1 and factor-N
+    corpora's indexes. Build (the once cost) is untimed; the timed probe
+    is batch signatures + one broadcast-join scan of the index — no
+    corpus shuffle — so probe time should grow far slower than the
+    corpus (the index scan is column-pruned and the batch side is
+    broadcast; it is NOT claimed O(1): the scan itself grows with the
+    index)."""
+    from idb_backend_spark.operators import neardup_index as ni
+
+    # batch ids shifted clear of every replica's id band (replicas use
+    # +i*10_000_000); replica-0 text, so it genuinely near-matches docs
+    # in both corpora
+    batch = (
+        spark.read.parquet(f"{f1_dir}/documents.parquet")
+        .limit(200)
+        .select((F.col("doc_id") + 900_000_000).alias("doc_id"), "text")
+        .localCheckpoint(eager=True)
+    )
+    out = {}
+    for tag, src_dir in (("1", f1_dir), (str(factor), fN_dir)):
+        idx = os.path.join(scratch, f"ndidx_{tag}")
+        ni.build_neardup_index(
+            spark.read.parquet(f"{src_dir}/documents.parquet"),
+            "text",
+            "doc_id",
+            idx,
+        )
+        probe = ni.probe_neardup_index(batch, "text", "doc_id", idx)
+        probe.write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.time()
+        probe.write.format("noop").mode("overwrite").save()
+        out[f"t{tag}"] = round(time.time() - t0, 3)
+        out[f"rows{tag}"] = probe.count()
+    out["ratio"] = (
+        round(out[f"t{factor}"] / out["t1"], 2) if out["t1"] > 0 else None
+    )
+    print(
+        f"  neardup_index_probe: {out['t1']}s -> {out[f't{factor}']}s "
+        f"(x{out['ratio']})",
+        file=sys.stderr,
+    )
+    return out
+
+
 def main() -> int:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -143,6 +194,12 @@ def main() -> int:
     build_scaled_lineitem(spark, src, big, factor)
 
     results = {}
+    if "neardup_index_probe" in only:
+        only = [n for n in only if n != "neardup_index_probe"]
+        results["neardup_index_probe"] = probe_neardup_scale(
+            spark, base, big, scratch, factor
+        )
+
     for name in only:
         fn = entries[name]
         # warm both paths once at factor 1 so JIT/codegen cost doesn't
