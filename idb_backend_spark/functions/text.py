@@ -39,7 +39,13 @@ LANG_MARKERS: dict[str, list[str]] = {
 #: SpecialCasing.txt and final sigma the only default-locale conditional
 #: one, so this two-entry fold closes the whole class. Applied by BOTH
 #: text canonicalizers (normalize_text/tokens and the fulltext analyzer)
-#: and their SQL twins, so every engine/oracle pair folds identically.
+#: and their SQL twins, so every engine/oracle pair built on them folds
+#: identically. Field-level lowercasers OUTSIDE the canonicalizers (an
+#: operator's own F.lower ↔ oracle lower() pair over controlled
+#: vocabulary terms — license ids, basis-of-record, taxon ranks) are
+#: left unfolded deliberately: both sides are plain lower, the compared
+#: values are Latin-script registry terms, and folding them would touch
+#: every vocabulary table for a class their domain cannot produce.
 _FOLD_FROM = "\u03c2\u0307"  # final sigma, combining dot above
 _FOLD_TO = "\u03c3"  # sigma (U+0307 has no counterpart -> deleted)
 

@@ -34,12 +34,18 @@ Index layout — ONE parquet row dataset plus a tiny immutable sidecar:
       bands x num_hashes x 8 B = 8 KB per document — well under 1% of
       typical document payloads, and the scan of `sig` is column-pruned
       away for any query that doesn't verify.
-  {path}/meta: one row (shingle_k, num_hashes, bands, seed) written at
-      build time and never touched again. probe/add READ their hash
-      geometry from it instead of trusting caller arguments, so a probe
-      compiled months after the build can never hash differently than
-      the index. Write order is meta THEN rows: a crash in between
-      leaves an empty-but-valid index, not an unreadable one.
+  {path}/meta: one row (shingle_k, num_hashes, bands, seed,
+      text_version) written at build time and never touched again.
+      probe/add READ their hash geometry from it instead of trusting
+      caller arguments, so a probe compiled months after the build can
+      never hash differently than the index; text_version additionally
+      pins the engine's text-canonicalizer generation, so an index
+      hashed under an older tokenizer fails loudly instead of silently
+      missing every duplicate. A REBUILD over an existing index stages
+      the new meta+rows in a sibling directory and swaps it in with
+      renames — a crash mid-swap leaves a missing index (probes fail
+      loudly on the absent meta), never new-geometry rows under
+      old-geometry meta.
 """
 
 from __future__ import annotations
@@ -53,7 +59,15 @@ from idb_backend_spark.operators.dedup import (
     minhash_signatures,
 )
 
-_META_COLS = ("shingle_k", "num_hashes", "bands", "seed")
+#: Bumped whenever the text canonicalization feeding the shingles changes
+#: (functions/text.py — e.g. the v2 cross-engine case fold). Persisted in
+#: the index meta and validated on every read: an index hashed under an
+#: older tokenizer must be REBUILT, not silently probed with new-tokenizer
+#: shingles (an exact duplicate of an indexed doc would produce no band
+#: match and sail through the gate).
+TEXT_VERSION = 2
+
+_META_COLS = ("shingle_k", "num_hashes", "bands", "seed", "text_version")
 
 
 def _rows_path(index_path: str) -> str:
@@ -65,9 +79,30 @@ def _meta_path(index_path: str) -> str:
 
 
 def read_meta(spark: SparkSession, index_path: str) -> dict:
-    """The index's hash geometry, as built (see module docstring)."""
+    """The index's hash geometry, as built (see module docstring).
+    Raises if the index was hashed under a different text-canonicalizer
+    version than this build of the engine — rebuild it."""
     row = spark.read.parquet(_meta_path(index_path)).collect()[0]
-    return {c: int(row[c]) for c in _META_COLS}
+    meta = {c: int(row[c]) for c in _META_COLS}
+    if meta["text_version"] != TEXT_VERSION:
+        raise ValueError(
+            f"index at {index_path} was built with text_version "
+            f"{meta['text_version']}, engine is {TEXT_VERSION}: its "
+            "shingle hashes no longer match what probes would compute — "
+            "rebuild with build_neardup_index"
+        )
+    return meta
+
+
+def _null_safe(df: DataFrame, text_col: str) -> DataFrame:
+    """NULL text folds to '' BEFORE any tokenization, on every path
+    (build, add, probe, exact verify) — mirrored by coalesce in the SQL
+    twin. Without it, NULL-text docs hash to all-NULL signatures that
+    pair with each OTHER at estimate 1.0 on the engine while the twin's
+    shingle join drops NULL grams entirely."""
+    return df.withColumn(
+        text_col, F.coalesce(F.col(text_col), F.lit(""))
+    )
 
 
 def _index_rows(
@@ -76,7 +111,7 @@ def _index_rows(
     """(id, band, key, sig) index rows for a document frame — the one
     shared builder, so build and add can never derive different rows."""
     sig = minhash_signatures(
-        df,
+        _null_safe(df, text_col),
         text_col,
         id_col,
         shingle_k=meta["shingle_k"],
@@ -122,46 +157,103 @@ def build_neardup_index(
         "num_hashes": int(num_hashes),
         "bands": int(bands),
         "seed": int(seed),
+        "text_version": TEXT_VERSION,
     }
+    root = index_path.rstrip("/")
+    jvm = spark.sparkContext._jvm
+    hroot = jvm.org.apache.hadoop.fs.Path(root)
+    fs = hroot.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    # Stage the whole index (meta + rows) in a sibling dir, then swap by
+    # rename — never overwrite in place: a crash between an in-place
+    # meta write and the rows write during a geometry-CHANGING rebuild
+    # would leave new meta over old rows, a silently corrupt index that
+    # probes without error and misses everything. A crash mid-swap here
+    # leaves no index dir at all — the next probe fails loudly on the
+    # missing meta (Hadoop FS API, so the swap works on any store).
+    staging = root + "__staging"
+    backup = root + "__old"
+    hstage = jvm.org.apache.hadoop.fs.Path(staging)
+    hback = jvm.org.apache.hadoop.fs.Path(backup)
+    fs.delete(hstage, True)
+    fs.delete(hback, True)
     spark.createDataFrame(
         [tuple(meta[c] for c in _META_COLS)],
         ", ".join(f"{c} int" for c in _META_COLS),
-    ).coalesce(1).write.mode("overwrite").parquet(_meta_path(index_path))
+    ).coalesce(1).write.mode("overwrite").parquet(_meta_path(staging))
     (
         _index_rows(df, text_col, id_col, meta)
         .sortWithinPartitions("band", "key")
         .write.mode("overwrite")
-        .parquet(_rows_path(index_path))
+        .parquet(_rows_path(staging))
+    )
+    if fs.exists(hroot):
+        fs.rename(hroot, hback)
+    fs.rename(hstage, hroot)
+    fs.delete(hback, True)
+
+
+def present_ids(
+    spark: SparkSession, index_path: str, ids: DataFrame
+) -> DataFrame:
+    """The subset of ``ids`` (a one-column frame named ``id``) already in
+    the index — an id-column-pruned scan of the index with the probe set
+    broadcast, one bounded job, the corpus never shuffled. Shared by the
+    add's idempotency check and the streaming gate's replay guard, so
+    the gate never reaches into the index's physical layout."""
+    return (
+        spark.read.parquet(_rows_path(index_path))
+        .select("id")
+        .join(F.broadcast(ids.select("id")), "id", "left_semi")
+        .distinct()
     )
 
 
 def add_to_neardup_index(
-    new_docs: DataFrame, text_col: str, id_col: str, index_path: str
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_path: str,
+    assume_fresh: bool = False,
 ) -> int:
     """Append an accepted batch to the index; returns the number of
     documents actually added.
 
-    Idempotent under re-runs: ids already present are skipped (found by
-    an id-column-pruned scan of the index with the batch's id set
-    broadcast — one bounded job, the corpus is never shuffled), so a
-    retried batch after a crash cannot double-index documents. The
-    append itself is one parquet job — it commits whole or not at all.
+    Idempotent under re-runs: ids already present are skipped (a
+    distributed anti-join against `present_ids` — never a driver-side
+    literal list, which a retried million-doc batch would blow up), so
+    a crash-retry cannot double-index documents. Callers that have
+    ALREADY anti-joined the batch against the index this micro-batch
+    (the streaming gate) pass ``assume_fresh=True`` to skip the repeat
+    scan. The append itself is one parquet job — it commits whole or
+    not at all.
+
+    Batch ids must be row-unique: duplicate ids would min-fold into one
+    BLENDED signature matching neither document, so they raise.
     """
     spark = new_docs.sparkSession
     meta = read_meta(spark, index_path)
     batch = new_docs.select(
         F.col(id_col).alias("id"), F.col(text_col).alias(text_col)
     )
-    present = {
-        r["id"]
-        for r in spark.read.parquet(_rows_path(index_path))
-        .select("id")
-        .join(F.broadcast(batch.select("id")), "id", "left_semi")
-        .distinct()
-        .collect()
-    }
-    fresh = batch.filter(~F.col("id").isin(present)) if present else batch
-    n_fresh = fresh.count()
+    if assume_fresh:
+        fresh = batch
+    else:
+        fresh = batch.join(
+            present_ids(spark, index_path, batch.select("id")),
+            "id",
+            "left_anti",
+        )
+    counts = fresh.agg(
+        F.count("*").alias("n"), F.count_distinct("id").alias("nd")
+    ).collect()[0]
+    n_fresh, n_distinct = int(counts["n"]), int(counts["nd"])
+    if n_fresh != n_distinct:
+        raise ValueError(
+            f"batch has {n_fresh - n_distinct} duplicate ids: "
+            "minhash signatures are per-id lane minima, so duplicate ids "
+            "would blend both documents' shingles into one signature "
+            "matching neither — dedup the batch by id first"
+        )
     if n_fresh == 0:
         return 0
     _index_rows(fresh, text_col, "id", meta).sortWithinPartitions(
@@ -243,11 +335,11 @@ def probe_neardup_index(
         id_col,
         "left_semi",
     )
-    sh_new = _shingle_df(new_docs, text_col, id_col, meta["shingle_k"]).select(
-        F.col("id").alias("new_id"), F.col("sh").alias("sh_a")
-    )
+    sh_new = _shingle_df(
+        _null_safe(new_docs, text_col), text_col, id_col, meta["shingle_k"]
+    ).select(F.col("id").alias("new_id"), F.col("sh").alias("sh_a"))
     sh_corpus = _shingle_df(
-        cand_corpus, text_col, id_col, meta["shingle_k"]
+        _null_safe(cand_corpus, text_col), text_col, id_col, meta["shingle_k"]
     ).select(F.col("id").alias("corpus_id"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
@@ -285,7 +377,9 @@ def probe_neardup_exact_sql(
     from idb_backend_spark.functions.text import norm_sql
 
     k = int(shingle_k)
-    toks = f"string_split_regex({norm_sql(text_col)}, ' ')"
+    # coalesce mirrors the engine's _null_safe: NULL text behaves as ''
+    null_safe_col = f"coalesce({text_col}, '')"
+    toks = f"string_split_regex({norm_sql(null_safe_col)}, ' ')"
     return (
         f"WITH sh AS (SELECT {id_col} AS id, sz, g FROM ("
         f"  SELECT {id_col}, toks, len(toks) AS n FROM ("

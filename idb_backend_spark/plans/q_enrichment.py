@@ -630,7 +630,7 @@ _TQ_STOP = ["the", "and", "of", "to", "a", "in", "is"]
 @query(
     "text_quality_metrics",
     "WITH t AS (SELECT doc_id, text, "
-    "  regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks"
+    "  regexp_split_to_array(" + synth.NORM_SQL + ", ' ') AS toks"
     "  FROM documents) "
     "SELECT doc_id, len(toks) AS n_tokens, "
     "round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))"

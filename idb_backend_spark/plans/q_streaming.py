@@ -31,6 +31,7 @@ import uuid as _uuid
 from pyspark.sql import functions as F
 
 from idb_backend_spark.functions.etags import TOMBSTONE_ETAG
+from idb_backend_spark.functions.text import NORM_SQL, normalize_text
 from idb_backend_spark.plans.registry import _t, query, staging_dir
 
 
@@ -250,7 +251,7 @@ def sessionize_q(spark, sf_dir):
     # the deduped stream carries exactly the distinct fingerprints; WHICH
     # physical row survives per fingerprint is arrival-order-dependent, so
     # the graded projection is the fingerprint set itself
-    "SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+    "SELECT DISTINCT md5(" + NORM_SQL + ")"
     " AS fp FROM documents ORDER BY fp",
 )
 def streaming_exact_dedup(spark, sf_dir):
@@ -262,10 +263,11 @@ def streaming_exact_dedup(spark, sf_dir):
     dedup promises."""
     from idb_backend_spark.streaming.incremental import streamed_exact_dedup
 
+    # the ONE normalized form (folded lower — see functions/text.py);
+    # an inlined lower() here had already drifted from the oracle's
+    # folded NORM_SQL on the U+0130/final-sigma class
     docs = _t(spark, sf_dir, "documents").select(
-        F.md5(
-            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-        ).alias("fp"),
+        F.md5(normalize_text("text")).alias("fp"),
         "doc_id",
     )
     work = tempfile.mkdtemp(prefix="stream_dedup_")

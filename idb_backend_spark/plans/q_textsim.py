@@ -27,7 +27,7 @@ from idb_backend_spark.query.shim import compile_shim, shim_to_sql  # noqa: F401
 
 @query(
     "exact_dedup",
-    "SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp, "
+    "SELECT md5(" + synth.NORM_SQL + ") AS fp, "
     "min(doc_id) AS keeper, count(*) AS n_copies "
     "FROM documents GROUP BY 1 ORDER BY fp",
 )
@@ -54,7 +54,7 @@ def token_count_quality(spark, sf_dir):
 
 @query(
     "doc_fingerprint",
-    "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "
+    "SELECT doc_id, md5(" + synth.NORM_SQL + ") AS fp "
     "FROM documents ORDER BY doc_id",
 )
 def doc_fingerprint(spark, sf_dir):
@@ -264,7 +264,7 @@ _SW_EN = synth.sql_word_list(text.LANG_MARKERS["en"])
     # dedup keep-min-id -> per-language corpus stats. Decimal-cast sums
     # keep the aggregates order-independent across engines.
     "WITH t AS (SELECT doc_id, text, "
-    "  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents), "
+    "  " + synth.NORM_SQL + " AS norm FROM documents), "
     "tok AS (SELECT *, regexp_split_to_array(norm, ' ') AS toks FROM t), "
     "m AS (SELECT doc_id, text, norm, toks, "
     "  CASE WHEN length(norm) = 0 THEN 0 ELSE len(toks) END AS n_tok, "

@@ -462,15 +462,10 @@ def neardup_gate_batch(
     if batch.isEmpty():
         return
     spark = batch.sparkSession
-    # replay guard: exact ids already indexed (bounded: id-column scan
-    # with the batch id set broadcast — same shape as the add's check)
+    # replay guard: exact ids already indexed — the operator module's
+    # own bounded check (never reach into the index's physical layout)
     ids = batch.select(F.col(id_col).alias("id")).distinct()
-    present = (
-        spark.read.parquet(index_path.rstrip("/") + "/rows")
-        .select("id")
-        .join(F.broadcast(ids), "id", "left_semi")
-        .distinct()
-    )
+    present = ni.present_ids(spark, index_path, ids)
     fresh = batch.join(
         present.select(F.col("id").alias(id_col)), id_col, "left_anti"
     )
@@ -484,7 +479,11 @@ def neardup_gate_batch(
     accepted = fresh.join(dup_ids, id_col, "left_anti").localCheckpoint(
         eager=True
     )
-    ni.add_to_neardup_index(accepted, text_col, id_col, index_path)
+    # assume_fresh: this batch was already anti-joined against the index
+    # above — the add's own idempotency scan would be a repeat job
+    ni.add_to_neardup_index(
+        accepted, text_col, id_col, index_path, assume_fresh=True
+    )
     accepted.write.mode("append").parquet(accepted_path)
 
 

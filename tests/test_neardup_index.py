@@ -177,6 +177,11 @@ def test_probe_plan_broadcasts_batch_not_corpus(spark, sf_dir, index_dir):
     assert "BroadcastHashJoin" in text
     assert "CartesianProduct" not in text
     assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+    # WHICH side is broadcast matters: the probe joins
+    # idx.join(broadcast(batch)) so the batch must be the BUILD side
+    # (BuildRight); a plan that broadcasts the INDEX instead would pass
+    # a bare contains-check while inverting the scale contract
+    assert "BuildRight" in text and "BuildLeft" not in text
 
 
 def test_validation_and_meta(spark, index_dir):
@@ -191,6 +196,7 @@ def test_validation_and_meta(spark, index_dir):
         "num_hashes": 32,
         "bands": 8,
         "seed": 7,
+        "text_version": ni.TEXT_VERSION,
     }
     with pytest.raises(ValueError, match="verify"):
         ni.probe_neardup_index(df, "text", "doc_id", index_dir, verify="x")
@@ -198,3 +204,119 @@ def test_validation_and_meta(spark, index_dir):
         ni.probe_neardup_index(
             df, "text", "doc_id", index_dir, verify="exact"
         )
+
+
+def test_null_text_parity_with_twin(spark, index_dir):
+    """NULL text folds to '' on every engine path and in the twin: two
+    NULL/'' docs are exact duplicates of each other (jaccard 1.0) on
+    BOTH engines, instead of the engine pairing them while the twin's
+    NULL-gram join drops them."""
+    import duckdb
+    import pandas as pd
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "a real document with plenty of distinct tokens here"),
+        (10, None),  # batch: NULL — dups of corpus 1 and 2
+    ]
+    corpus = spark.createDataFrame(rows[:3], "doc_id long, text string")
+    batch = spark.createDataFrame(rows[3:], "doc_id long, text string")
+    ni.build_neardup_index(corpus, "text", "doc_id", index_dir)
+    got = sorted(
+        (r["new_id"], r["corpus_id"], r["jaccard"])
+        for r in ni.probe_neardup_index(
+            batch,
+            "text",
+            "doc_id",
+            index_dir,
+            threshold=0.5,
+            verify="exact",
+            corpus=corpus,
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "docs_tbl", pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    want = sorted(
+        (r[0], r[1], r[2])
+        for r in con.sql(
+            ni.probe_neardup_exact_sql(
+                "docs_tbl", "text", "doc_id",
+                "doc_id >= 10", "doc_id < 10", 3, 0.5,
+            )
+        ).fetchall()
+    )
+    assert got == want == [(10, 1, 1.0), (10, 2, 1.0)]
+
+
+def test_add_rejects_duplicate_ids(spark, index_dir):
+    corpus = spark.createDataFrame(
+        [(1, "seed corpus document")], "doc_id long, text string"
+    )
+    ni.build_neardup_index(corpus, "text", "doc_id", index_dir)
+    dup_batch = spark.createDataFrame(
+        [(5, "first text of id five"), (5, "second text of id five")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="duplicate ids"):
+        ni.add_to_neardup_index(dup_batch, "text", "doc_id", index_dir)
+
+
+def test_text_version_mismatch_raises(spark, index_dir):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    ni.build_neardup_index(df, "text", "doc_id", index_dir)
+    # simulate an index built under an older tokenizer generation
+    meta_path = index_dir.rstrip("/") + "/meta"
+    from pyspark.sql import functions as F
+
+    old = spark.read.parquet(meta_path).withColumn(
+        "text_version", F.lit(1)
+    )
+    old.toPandas().to_parquet(f"{index_dir}/meta_old.parquet")
+    import shutil
+
+    shutil.rmtree(meta_path)
+    import os
+
+    os.makedirs(meta_path)
+    shutil.move(
+        f"{index_dir}/meta_old.parquet", f"{meta_path}/part-0.parquet"
+    )
+    with pytest.raises(ValueError, match="text_version"):
+        ni.probe_neardup_index(df, "text", "doc_id", index_dir)
+
+
+def test_rebuild_swaps_atomically(spark, index_dir):
+    """A rebuild with different geometry replaces meta AND rows together
+    (staging + rename swap): after the rebuild, probes hash with the new
+    geometry and still find matches — no new-meta-over-old-rows skew —
+    and no staging/backup dirs are left behind."""
+    import os
+
+    corpus = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    ni.build_neardup_index(corpus, "text", "doc_id", index_dir)
+    ni.build_neardup_index(
+        corpus, "text", "doc_id", index_dir, num_hashes=32, bands=8
+    )
+    assert ni.read_meta(spark, index_dir)["num_hashes"] == 32
+    probe = spark.createDataFrame(
+        [(9, "one two three four five six seven eight nine eleven")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in ni.probe_neardup_index(
+            probe, "text", "doc_id", index_dir, threshold=0.5
+        ).collect()
+    }
+    assert got == {(9, 1)}
+    parent = os.path.dirname(index_dir.rstrip("/"))
+    leftovers = [
+        d for d in os.listdir(parent) if "__staging" in d or "__old" in d
+    ]
+    assert leftovers == []
