@@ -144,3 +144,112 @@ def quantile_audit_sql(table: str, value_col: str, probs: list[float]) -> str:
         "round(unnest(qs), 6) AS exact_q, TRUE AS within_tol "
         "FROM qq WHERE qs IS NOT NULL ORDER BY p"
     )
+
+
+def cms_counters(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 8192
+) -> DataFrame:
+    """(row, col, cnt) Count-Min counters over ``key_col`` — ONE bounded
+    aggregation: each input row explodes into ``depth`` (row, bucket)
+    pairs (the only row multiplier), map-side combine collapses them to
+    at most depth x width counters per task before the single exchange.
+
+    Hashes are the repo's engine-portable md5-prefix family
+    (classifier.hashed_bucket), row-salted with 'i:' so the depth rows
+    are independent — deterministic across runs, partitionings, and
+    engines (unlike a seeded xxhash, a DuckDB twin can reproduce these
+    counters bit-for-bit if it ever needs to). NULL keys hash on the
+    bare salt (concat_ws skips NULL) — one shared bucket, matching how
+    GROUP BY puts all NULLs in one group.
+    """
+    from idb_backend_spark.operators.classifier import hashed_bucket
+
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    pairs = [
+        F.struct(
+            F.lit(i).alias("row"),
+            hashed_bucket(
+                F.concat_ws(":", F.lit(str(i)), F.col(key_col).cast("string")),
+                width,
+            ).alias("col"),
+        )
+        for i in range(depth)
+    ]
+    return (
+        df.select(F.explode(F.array(*pairs)).alias("rc"))
+        .groupBy(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold_count: int,
+    depth: int = 4,
+    width: int = 8192,
+) -> DataFrame:
+    """EXACT heavy hitters — (key, n) for every key whose true count
+    >= ``threshold_count`` — computed without shuffling the full
+    distinct-key space (the reason plain GROUP BY ... HAVING dies on a
+    100 TB skewed column).
+
+    Two passes, both bounded:
+      1. Count-Min counters (one exchange of <= depth x width rows).
+      2. Per-row estimate = min over the depth counters, evaluated
+         MAP-SIDE via ``depth`` broadcast joins (the counter frame is
+         KB-scale) — rows with est < threshold are dropped before any
+         shuffle. Since est >= true count ALWAYS (counters only
+         over-count on collisions), no true heavy hitter's rows are
+         dropped: the filter has zero false negatives by construction.
+         Survivors — the heavy keys plus collision false positives —
+         are exactly counted and the HAVING filter re-applied.
+
+    The output is therefore EXACTLY ``GROUP BY key HAVING count >=
+    threshold`` (the oracle), while the shuffle carries only counters +
+    candidate rows. Width tunes the candidate tail: expected collision
+    over-count per row-hash is N/width, so size width >> N/threshold to
+    keep false candidates rare (they cost shuffle, never correctness).
+    """
+    if threshold_count < 1:
+        raise ValueError(f"threshold_count must be >= 1, got {threshold_count}")
+    from idb_backend_spark.operators.classifier import hashed_bucket
+
+    # the tiny counter frame feeds `depth` broadcast joins — pin it so
+    # the counting aggregation runs once, not once per join
+    counters = cms_counters(df, key_col, depth, width).localCheckpoint(
+        eager=True
+    )
+    probed = df.select(F.col(key_col))
+    ests = []
+    for i in range(depth):
+        ci = counters.filter(F.col("row") == i).select(
+            F.col("col").alias(f"__col{i}"), F.col("cnt").alias(f"__c{i}")
+        )
+        probed = probed.withColumn(
+            f"__col{i}",
+            hashed_bucket(
+                F.concat_ws(":", F.lit(str(i)), F.col(key_col).cast("string")),
+                width,
+            ),
+        ).join(F.broadcast(ci), f"__col{i}")
+        ests.append(F.col(f"__c{i}"))
+    return (
+        probed.filter(F.least(*ests) >= threshold_count)
+        .groupBy(key_col)
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .filter(F.col("n") >= threshold_count)
+    )
+
+
+def heavy_hitters_sql(table: str, key_col: str, threshold_count: int) -> str:
+    """DuckDB twin of ``cms_heavy_hitters`` — the SEMANTICS are plain
+    exact GROUP BY ... HAVING (the CMS prefilter is a physical rewrite
+    with a zero-false-negative guarantee, not an approximation); a
+    grading slot for this entry proves that guarantee row-for-row."""
+    return (
+        f"SELECT {key_col}, CAST(count(*) AS BIGINT) AS n FROM {table} "
+        f"GROUP BY {key_col} HAVING count(*) >= {int(threshold_count)} "
+        f"ORDER BY {key_col}"
+    )

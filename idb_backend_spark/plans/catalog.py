@@ -83,7 +83,12 @@ O(batch) steady-state probe/add, the maintenance-tier sibling of
 token_index_update/ivf_incremental_ann; exact-verify mode equals the
 probe_neardup_exact_sql twin row-for-row in tests/test_neardup_index.py
 at the graded scale, string/integer exact except the shared 6-dp
-Jaccard rounding contract).
+Jaccard rounding contract); 11. cms_heavy_hitters
+(operators/sketches.py — EXACT heavy hitters behind a Count-Min
+prefilter with a zero-false-negative guarantee, so its twin
+heavy_hitters_sql is plain GROUP BY ... HAVING and the entry is fully
+integer/string exact; proven row-for-row incl. forced-collision widths
+in tests/test_sketches.py).
 """
 
 from __future__ import annotations

@@ -135,3 +135,92 @@ def test_audits_single_aggregate_plan(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Exchange", text)) <= 2
     assert "Join" not in text
     assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+
+
+def test_cms_heavy_hitters_equals_exact_having(spark):
+    """The CMS prefilter is a physical rewrite: output == plain
+    GROUP BY ... HAVING, row for row, on a skewed key column."""
+    import duckdb
+    import pandas as pd
+
+    from idb_backend_spark.operators import sketches as sk
+
+    # zipf-ish skew: key k appears ~ 600/k times, plus a NULL group
+    rows = [(f"host{k}",) for k in range(1, 40) for _ in range(600 // k)]
+    rows += [(None,)] * 25
+    df = spark.createDataFrame(rows, "domain string")
+    got = sorted(
+        (r["domain"], r["n"])
+        for r in sk.cms_heavy_hitters(df, "domain", 50).collect()
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["domain"]))
+    want = sorted(
+        (r[0], r[1])
+        for r in con.sql(sk.heavy_hitters_sql("t", "domain", 50)).fetchall()
+    )
+    assert got == want
+    assert len(got) > 3  # the skew genuinely produces heavy hitters
+
+
+def test_cms_zero_false_negatives_under_forced_collisions(spark):
+    """width=2 forces nearly every key into colliding buckets — the
+    estimate over-counts wildly, but over-counting can only ADD false
+    candidates (removed by the exact re-count), never drop a true heavy
+    hitter: output must still equal exact HAVING."""
+    import duckdb
+    import pandas as pd
+
+    from idb_backend_spark.operators import sketches as sk
+
+    rows = [(f"k{i % 7}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "key string")
+    got = sorted(
+        (r["key"], r["n"])
+        for r in sk.cms_heavy_hitters(
+            df, "key", 29, depth=2, width=2
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["key"]))
+    want = sorted(
+        (r[0], r[1])
+        for r in con.sql(sk.heavy_hitters_sql("t", "key", 29)).fetchall()
+    )
+    assert got == want
+
+
+def test_cms_plan_is_broadcast_and_native(spark):
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from idb_backend_spark.operators import sketches as sk
+
+    df = spark.range(1000).select(
+        (F.col("id") % 13).cast("string").alias("key")
+    )
+    hh = sk.cms_heavy_hitters(df, "key", 50, depth=3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        hh.explain(mode="formatted")
+    import re
+
+    text = buf.getvalue()
+    # one broadcast join per depth row, nothing sort-merge/shuffled
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", text)) == 3
+    assert "SortMergeJoin" not in text and "CartesianProduct" not in text
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+
+
+def test_cms_validation(spark):
+    import pytest as _pytest
+
+    from idb_backend_spark.operators import sketches as sk
+
+    df = spark.createDataFrame([("a",)], "key string")
+    with _pytest.raises(ValueError, match="depth/width"):
+        sk.cms_counters(df, "key", depth=0)
+    with _pytest.raises(ValueError, match="threshold"):
+        sk.cms_heavy_hitters(df, "key", 0)
