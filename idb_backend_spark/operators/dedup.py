@@ -816,29 +816,29 @@ def remove_repeated_spans_sql(
     w = int(window)
     norm = norm_sql(f"coalesce({text_col}, '')")
     return (
-        f"WITH t AS (SELECT {id_col} AS id, "
+        f"WITH __rs_t AS (SELECT {id_col} AS id, "
         f"  string_split_regex({norm}, ' ') AS tk FROM {table}), "
-        "n AS (SELECT id, tk, len(tk) AS n FROM t), "
-        "w AS (SELECT id, tk, n, unnest(generate_series(0, n - "
-        f"{w})) AS pos FROM n WHERE n >= {w}), "
-        "h AS (SELECT id, pos, md5(array_to_string("
-        f"  list_slice(tk, pos + 1, pos + {w}), ' ')) AS h FROM w), "
-        "m AS (SELECT id, pos, row_number() OVER ("
-        "  PARTITION BY h ORDER BY id, pos) AS rn FROM h), "
-        "dup AS (SELECT DISTINCT id, p FROM (SELECT id, "
+        "__rs_n AS (SELECT id, tk, len(tk) AS n FROM __rs_t), "
+        "__rs_w AS (SELECT id, tk, n, unnest(generate_series(0, n - "
+        f"{w})) AS pos FROM __rs_n WHERE n >= {w}), "
+        "__rs_h AS (SELECT id, pos, md5(array_to_string("
+        f"  list_slice(tk, pos + 1, pos + {w}), ' ')) AS h FROM __rs_w), "
+        "__rs_m AS (SELECT id, pos, row_number() OVER ("
+        "  PARTITION BY h ORDER BY id, pos) AS rn FROM __rs_h), "
+        "__rs_dup AS (SELECT DISTINCT id, p FROM (SELECT id, "
         f"  unnest(generate_series(pos, pos + {w} - 1)) AS p "
-        "  FROM m WHERE rn > 1)), "
-        "fst AS (SELECT DISTINCT id, p FROM (SELECT id, "
+        "  FROM __rs_m WHERE rn > 1)), "
+        "__rs_fst AS (SELECT DISTINCT id, p FROM (SELECT id, "
         f"  unnest(generate_series(pos, pos + {w} - 1)) AS p "
-        "  FROM m WHERE rn = 1)), "
-        "rem AS (SELECT id, p FROM dup EXCEPT SELECT id, p FROM fst), "
-        "ts AS (SELECT id, i, tk[i + 1] AS tok FROM (SELECT id, tk, "
-        "  unnest(generate_series(0, n - 1)) AS i FROM n)), "
-        "kept AS (SELECT ts.id, ts.i, ts.tok FROM ts LEFT JOIN rem "
-        "  ON ts.id = rem.id AND ts.i = rem.p WHERE rem.p IS NULL) "
-        f"SELECT n.id AS {id_col}, "
-        "coalesce(string_agg(kept.tok, ' ' ORDER BY kept.i), '') "
+        "  FROM __rs_m WHERE rn = 1)), "
+        "__rs_rem AS (SELECT id, p FROM __rs_dup EXCEPT SELECT id, p FROM __rs_fst), "
+        "__rs_ts AS (SELECT id, i, tk[i + 1] AS tok FROM (SELECT id, tk, "
+        "  unnest(generate_series(0, n - 1)) AS i FROM __rs_n)), "
+        "__rs_kept AS (SELECT __rs_ts.id, __rs_ts.i, __rs_ts.tok FROM __rs_ts LEFT JOIN __rs_rem "
+        "  ON __rs_ts.id = __rs_rem.id AND __rs_ts.i = __rs_rem.p WHERE __rs_rem.p IS NULL) "
+        f"SELECT __rs_n.id AS {id_col}, "
+        "coalesce(string_agg(__rs_kept.tok, ' ' ORDER BY __rs_kept.i), '') "
         "AS clean_text, "
-        "CAST(n.n - count(kept.tok) AS BIGINT) AS n_removed "
-        "FROM n LEFT JOIN kept ON n.id = kept.id GROUP BY n.id, n.n"
+        "CAST(__rs_n.n - count(__rs_kept.tok) AS BIGINT) AS n_removed "
+        "FROM __rs_n LEFT JOIN __rs_kept ON __rs_n.id = __rs_kept.id GROUP BY __rs_n.id, __rs_n.n"
     )
