@@ -405,3 +405,46 @@ def probe_neardup_exact_sql(
         f"FROM pairs WHERE shared / (sz_b + sz_c - shared) >= {threshold} "
         "ORDER BY new_id, corpus_id"
     )
+
+def compact_neardup_index(spark: SparkSession, index_path: str) -> int:
+    """Rewrite the rows dataset after many appends; returns the file
+    count after compaction.
+
+    Each ``add_to_neardup_index`` lands its own parquet files, so a
+    long-lived index fragments into per-batch files whose (band, key)
+    ranges all overlap — probe scans then read every file. Compaction
+    rewrites the rows range-partitioned and sorted on (band, key)
+    (globally clustered: each output file owns a disjoint key range, so
+    row-group min/max stats prune tightly again) and swaps it in with
+    the same staged-rename dance as a rebuild — a crash mid-swap leaves
+    a loudly-missing index, never a half-compacted one. Meta is copied
+    unchanged: compaction is purely physical. The streaming analog of
+    operators/store.compact_history for the bucketed store.
+    """
+    meta = read_meta(spark, index_path)  # also validates text_version
+    root = index_path.rstrip("/")
+    jvm = spark.sparkContext._jvm
+    hroot = jvm.org.apache.hadoop.fs.Path(root)
+    fs = hroot.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    staging = root + "__staging"
+    backup = root + "__old"
+    hstage = jvm.org.apache.hadoop.fs.Path(staging)
+    hback = jvm.org.apache.hadoop.fs.Path(backup)
+    fs.delete(hstage, True)
+    fs.delete(hback, True)
+    spark.createDataFrame(
+        [tuple(meta[c] for c in _META_COLS)],
+        ", ".join(f"{c} int" for c in _META_COLS),
+    ).coalesce(1).write.mode("overwrite").parquet(_meta_path(staging))
+    (
+        spark.read.parquet(_rows_path(root))
+        .repartitionByRange("band", "key")
+        .sortWithinPartitions("band", "key")
+        .write.mode("overwrite")
+        .parquet(_rows_path(staging))
+    )
+    fs.rename(hroot, hback)
+    fs.rename(hstage, hroot)
+    fs.delete(hback, True)
+    spark.catalog.refreshByPath(_rows_path(root))
+    return len(spark.read.parquet(_rows_path(root)).inputFiles())

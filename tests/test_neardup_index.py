@@ -320,3 +320,52 @@ def test_rebuild_swaps_atomically(spark, index_dir):
         d for d in os.listdir(parent) if "__staging" in d or "__old" in d
     ]
     assert leftovers == []
+
+
+def test_compact_preserves_rows_and_probe(spark, index_dir):
+    """Compaction is purely physical: after several fragmenting adds,
+    the rewritten index has the same row multiset, the same meta, fewer
+    (or equal) files, and probes identically."""
+    corpus = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    ni.build_neardup_index(corpus, "text", "doc_id", index_dir)
+    for i in range(3):
+        batch = spark.createDataFrame(
+            [(100 + i, f"batch {i} unique words alpha beta gamma delta")],
+            "doc_id long, text string",
+        )
+        assert ni.add_to_neardup_index(batch, "text", "doc_id", index_dir) == 1
+    rows_path = index_dir.rstrip("/") + "/rows"
+    before_files = len(spark.read.parquet(rows_path).inputFiles())
+    before_rows = sorted(
+        (r["id"], r["band"], r["key"])
+        for r in spark.read.parquet(rows_path).collect()
+    )
+    meta_before = ni.read_meta(spark, index_dir)
+    after_files = ni.compact_neardup_index(spark, index_dir)
+    assert after_files <= before_files
+    after_rows = sorted(
+        (r["id"], r["band"], r["key"])
+        for r in spark.read.parquet(rows_path).collect()
+    )
+    assert after_rows == before_rows
+    assert ni.read_meta(spark, index_dir) == meta_before
+    probe = spark.createDataFrame(
+        [(9, "one two three four five six seven eight nine eleven")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in ni.probe_neardup_index(
+            probe, "text", "doc_id", index_dir, threshold=0.5
+        ).collect()
+    }
+    assert got == {(9, 1)}
+    import os
+
+    parent = os.path.dirname(index_dir.rstrip("/"))
+    assert [
+        d for d in os.listdir(parent) if "__staging" in d or "__old" in d
+    ] == []
