@@ -634,3 +634,137 @@ def derivative_plan(
             ),
         )
     return out
+
+
+def phash_bits_from_pixels(pixels: list[int], kind: str) -> int:
+    """The perceptual-hash BIT MATH as a pure function — testable with
+    hand-authored pixel grids independent of any decoder.
+
+    ``ahash``: 64 grayscale pixels (8x8, row-major); bit r*8+c set when
+    the pixel exceeds the grid mean. ``dhash``: 72 pixels (9 per row x
+    8 rows); bit r*8+c set when px[r][c] > px[r][c+1] (row-wise
+    gradient). Returns a SIGNED 64-bit value (Spark LongType two's
+    complement) so `functions.similarity.hamming64` applies unchanged.
+    """
+    v = 0
+    if kind == "ahash":
+        if len(pixels) != 64:
+            raise ValueError(f"ahash needs 64 pixels, got {len(pixels)}")
+        mean = sum(pixels) / 64.0
+        for i, px in enumerate(pixels):
+            if px > mean:
+                v |= 1 << i
+    elif kind == "dhash":
+        if len(pixels) != 72:
+            raise ValueError(f"dhash needs 72 pixels, got {len(pixels)}")
+        for r in range(8):
+            for c in range(8):
+                if pixels[r * 9 + c] > pixels[r * 9 + c + 1]:
+                    v |= 1 << (r * 8 + c)
+    else:
+        raise ValueError(f"kind must be 'ahash' or 'dhash', got {kind!r}")
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _fake_pixels(b: bytes, n: int) -> list[int]:
+    """Deterministic pseudo-pixels from the blob's sha1 (the gated-fake
+    convention of extract_features): identical bytes -> identical grid,
+    so dedup-by-hash semantics are real even though the 'image' isn't."""
+    raw: list[int] = []
+    h = b""
+    seed = bytes(b or b"")
+    while len(raw) < n:
+        h = hashlib.sha1(h + seed).digest()
+        raw.extend(h)
+    return raw[:n]
+
+
+def image_phash(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "id",
+    fake: bool | None = None,
+) -> DataFrame:
+    """Perceptual image fingerprints -> (id, ahash, dhash) — the image
+    analog of the text tier's simhash: visually-similar images land
+    within a small Hamming distance, so the SAME pigeonhole machinery
+    (operators/dedup.hamming_pairs, functions/similarity.hamming64)
+    does image near-dup at scale.
+
+    Arrow-batched mapInPandas; PIL-gated like every kernel here. The
+    real kernel is the classic construction: grayscale, box-downsample
+    to 8x8 (aHash: mean threshold) and 9x8 (dHash: horizontal
+    gradient); the gated fake derives the pixel grids from sha1 so the
+    bit math, schema, and bucketing run for real without pillow (exact
+    duplicates still collide at Hamming 0 — only NEAR-dup semantics
+    need real pixels). NULL content yields NULL hashes.
+    """
+    use_fake = _resolve_fake(fake)
+
+    def _hashes(b: bytes | None) -> tuple[int | None, int | None]:
+        if b is None:
+            return None, None
+        if use_fake:
+            a_px = _fake_pixels(b, 64)
+            d_px = _fake_pixels(b, 72)
+        else:
+            try:
+                img = _load_rgb(bytes(b)).convert("L")
+            except Exception:
+                return None, None  # undecodable blob, like decode_image
+            a_px = list(img.resize((8, 8), _PILImage.BILINEAR).getdata())
+            d_px = list(img.resize((9, 8), _PILImage.BILINEAR).getdata())
+        return (
+            phash_bits_from_pixels(a_px, "ahash"),
+            phash_bits_from_pixels(d_px, "dhash"),
+        )
+
+    out_schema = StructType(
+        [
+            df.schema[id_col],
+            StructField("ahash", LongType()),
+            StructField("dhash", LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = [_hashes(b) for b in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "ahash": pd.array(
+                        [h[0] for h in hashes], dtype="Int64"
+                    ),
+                    "dhash": pd.array(
+                        [h[1] for h in hashes], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(batches, out_schema)
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "id",
+    max_hamming: int = 3,
+    hash_kind: str = "dhash",
+    fake: bool | None = None,
+) -> DataFrame:
+    """Image near-dup pairs: perceptual hash + the shared pigeonhole
+    Hamming self-join (operators/dedup.hamming_pairs) — (id_a, id_b,
+    hamming) within the radius. dHash default (gradient hashes are
+    more robust to brightness shifts than mean-threshold aHash).
+    Undecodable/NULL blobs drop out (no fingerprint, no pair)."""
+    if hash_kind not in ("ahash", "dhash"):
+        raise ValueError(f"hash_kind must be 'ahash' or 'dhash', got {hash_kind!r}")
+    from idb_backend_spark.operators.dedup import hamming_pairs
+
+    fp = (
+        image_phash(df, content_col, id_col, fake=fake)
+        .select(F.col(id_col).alias("id"), F.col(hash_kind).alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
+    return hamming_pairs(fp, max_hamming)

@@ -292,6 +292,19 @@ def simhash_pairs(
     chunks; any pair within the radius agrees on >=1 chunk, so the
     self-join runs per chunk value — no cross product.
     """
+    fp = _spread(df.select(F.col(id_col), F.col(text_col)), None).select(
+        F.col(id_col).alias("id"), simhash64(tokens(text_col)).alias("fp")
+    )
+    return hamming_pairs(fp, max_hamming)
+
+
+def hamming_pairs(fp: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pigeonhole Hamming self-join over ANY (id, fp) 64-bit fingerprint
+    frame — the bucketing kernel simhash_pairs (text) and the image
+    perceptual-hash tier (functions/multimodal.image_neardup_pairs)
+    share, so one fingerprint family's fix cannot drift from the
+    other's. Output (id_a, id_b, hamming) with id_a < id_b and
+    hamming <= max_hamming."""
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
     if max_hamming < 0 or chunk_bits < 1:
@@ -306,9 +319,6 @@ def simhash_pairs(
             "keys (64 // (max_hamming+1)); radii above 63 are "
             "unsatisfiable with a 64-bit fingerprint"
         )
-    fp = _spread(df.select(F.col(id_col), F.col(text_col)), None).select(
-        F.col(id_col).alias("id"), simhash64(tokens(text_col)).alias("fp")
-    )
     chunks = []
     for i in range(n_chunks):
         if chunk_bits >= 64:

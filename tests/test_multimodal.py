@@ -330,3 +330,80 @@ def test_media_udfs_preserve_string_ids(spark):
     )
     assert dict(feats.dtypes)["media_id"] == "string"
     assert feats.count() == 2
+
+
+def test_phash_bit_math_hand_pixels():
+    """The pure bit math, decoder-independent: hand grids where the
+    expected bits are computable on paper."""
+    from idb_backend_spark.functions import multimodal as mm
+
+    # ahash: one bright pixel among 64 zeros -> only that bit set
+    px = [0] * 64
+    px[10] = 255
+    assert mm.phash_bits_from_pixels(px, "ahash") == 1 << 10
+    # all-equal grid: nothing exceeds the mean -> 0
+    assert mm.phash_bits_from_pixels([7] * 64, "ahash") == 0
+    # dhash: strictly decreasing rows -> every gradient bit set ->
+    # all-64-bits = -1 in two's complement
+    dec = [(8 - c) for r in range(8) for c in range(9)]
+    assert mm.phash_bits_from_pixels(dec, "dhash") == -1
+    # strictly increasing rows -> no bits
+    inc = [c for r in range(8) for c in range(9)]
+    assert mm.phash_bits_from_pixels(inc, "dhash") == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="64 pixels"):
+        mm.phash_bits_from_pixels([0] * 63, "ahash")
+    with _pytest.raises(ValueError, match="kind"):
+        mm.phash_bits_from_pixels([0] * 64, "phash")
+
+
+def test_image_phash_deterministic_and_null_safe(spark):
+    from idb_backend_spark.functions import multimodal as mm
+
+    rows = [
+        ("a", b"\x89PNG fake content one"),
+        ("b", b"\x89PNG fake content one"),  # identical bytes
+        ("c", b"\x89PNG different content"),
+        ("d", None),
+    ]
+    df = spark.createDataFrame(rows, "id string, content binary")
+    got = {
+        r["id"]: (r["ahash"], r["dhash"])
+        for r in mm.image_phash(df, "content", "id", fake=True).collect()
+    }
+    assert got["a"] == got["b"]  # identical bytes -> identical hashes
+    assert got["a"] != got["c"]
+    assert got["d"] == (None, None)
+    # rerun-stable (exactly-once sink contract)
+    again = {
+        r["id"]: (r["ahash"], r["dhash"])
+        for r in mm.image_phash(df, "content", "id", fake=True).collect()
+    }
+    assert got == again
+
+
+def test_image_neardup_pairs_exact_dups_collide(spark):
+    """With the gated fake decoder, exact duplicate blobs collide at
+    Hamming 0 (near-dup SEMANTICS need real pixels — documented); the
+    pigeonhole join, hash plumbing, and null handling are fully real."""
+    from idb_backend_spark.functions import multimodal as mm
+
+    rows = [
+        ("a", b"image payload X"),
+        ("b", b"image payload X"),
+        ("c", b"image payload Y"),
+        ("d", None),
+    ]
+    df = spark.createDataFrame(rows, "id string, content binary")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.image_neardup_pairs(
+            df, "content", "id", max_hamming=3, fake=True
+        ).collect()
+    }
+    assert got == {("a", "b"): 0}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hash_kind"):
+        mm.image_neardup_pairs(df, "content", "id", hash_kind="x", fake=True)
