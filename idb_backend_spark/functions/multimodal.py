@@ -684,6 +684,7 @@ def image_phash(
     content_col: str = "content",
     id_col: str = "id",
     fake: bool | None = None,
+    kinds: tuple[str, ...] = ("ahash", "dhash"),
 ) -> DataFrame:
     """Perceptual image fingerprints -> (id, ahash, dhash) — the image
     analog of the text tier's simhash: visually-similar images land
@@ -763,7 +764,7 @@ def image_neardup_pairs(
     from idb_backend_spark.operators.dedup import hamming_pairs
 
     fp = (
-        image_phash(df, content_col, id_col, fake=fake)
+        image_phash(df, content_col, id_col, fake=fake, kinds=(hash_kind,))
         .select(F.col(id_col).alias("id"), F.col(hash_kind).alias("fp"))
         .filter(F.col("fp").isNotNull())
     )

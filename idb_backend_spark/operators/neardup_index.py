@@ -83,7 +83,13 @@ def read_meta(spark: SparkSession, index_path: str) -> dict:
     Raises if the index was hashed under a different text-canonicalizer
     version than this build of the engine — rebuild it."""
     row = spark.read.parquet(_meta_path(index_path)).collect()[0]
-    meta = {c: int(row[c]) for c in _META_COLS}
+    fields = set(row.__fields__)
+    # a meta written before text_version existed IS version 1 — the
+    # whole point of the pin is telling THAT population to rebuild, so
+    # the lookup must not die on the missing column first
+    meta = {
+        c: (int(row[c]) if c in fields else 1) for c in _META_COLS
+    }
     if meta["text_version"] != TEXT_VERSION:
         raise ValueError(
             f"index at {index_path} was built with text_version "
@@ -130,6 +136,49 @@ def _index_rows(
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), "sig")
 
 
+def _stage_and_swap(spark: SparkSession, root: str, write_staging) -> None:
+    """Write a full index (meta + rows) under ``{root}__staging`` via the
+    ``write_staging(staging_path)`` callback, then promote it with
+    CHECKED renames — Hadoop FileSystem.rename reports failure by
+    returning False, not raising, so an unchecked swap could delete the
+    only live copy after a silent no-op rename (or nest the staging dir
+    INSIDE a still-present root). Failure order is safe at every step:
+    before the first successful rename the live index is untouched;
+    between the renames the root is missing and probes fail loudly on
+    the absent meta; the backup is deleted only after the promotion
+    rename succeeded."""
+    jvm = spark.sparkContext._jvm
+    hroot = jvm.org.apache.hadoop.fs.Path(root)
+    fs = hroot.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    staging = root + "__staging"
+    backup = root + "__old"
+    hstage = jvm.org.apache.hadoop.fs.Path(staging)
+    hback = jvm.org.apache.hadoop.fs.Path(backup)
+    fs.delete(hstage, True)
+    fs.delete(hback, True)
+    write_staging(staging)
+    if fs.exists(hroot):
+        if not fs.rename(hroot, hback):
+            raise IOError(
+                f"could not move live index {root} aside to {backup}; "
+                "index left untouched, staging kept at "
+                f"{staging} for inspection"
+            )
+    if not fs.rename(hstage, hroot):
+        raise IOError(
+            f"could not promote staged index {staging} to {root}; "
+            f"previous index preserved at {backup}"
+        )
+    fs.delete(hback, True)
+
+
+def _write_meta(spark: SparkSession, meta: dict, index_path: str) -> None:
+    spark.createDataFrame(
+        [tuple(meta[c] for c in _META_COLS)],
+        ", ".join(f"{c} int" for c in _META_COLS),
+    ).coalesce(1).write.mode("overwrite").parquet(_meta_path(index_path))
+
+
 def build_neardup_index(
     df: DataFrame,
     text_col: str,
@@ -159,37 +208,22 @@ def build_neardup_index(
         "seed": int(seed),
         "text_version": TEXT_VERSION,
     }
-    root = index_path.rstrip("/")
-    jvm = spark.sparkContext._jvm
-    hroot = jvm.org.apache.hadoop.fs.Path(root)
-    fs = hroot.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     # Stage the whole index (meta + rows) in a sibling dir, then swap by
-    # rename — never overwrite in place: a crash between an in-place
-    # meta write and the rows write during a geometry-CHANGING rebuild
-    # would leave new meta over old rows, a silently corrupt index that
-    # probes without error and misses everything. A crash mid-swap here
-    # leaves no index dir at all — the next probe fails loudly on the
-    # missing meta (Hadoop FS API, so the swap works on any store).
-    staging = root + "__staging"
-    backup = root + "__old"
-    hstage = jvm.org.apache.hadoop.fs.Path(staging)
-    hback = jvm.org.apache.hadoop.fs.Path(backup)
-    fs.delete(hstage, True)
-    fs.delete(hback, True)
-    spark.createDataFrame(
-        [tuple(meta[c] for c in _META_COLS)],
-        ", ".join(f"{c} int" for c in _META_COLS),
-    ).coalesce(1).write.mode("overwrite").parquet(_meta_path(staging))
-    (
-        _index_rows(df, text_col, id_col, meta)
-        .sortWithinPartitions("band", "key")
-        .write.mode("overwrite")
-        .parquet(_rows_path(staging))
-    )
-    if fs.exists(hroot):
-        fs.rename(hroot, hback)
-    fs.rename(hstage, hroot)
-    fs.delete(hback, True)
+    # checked renames — never overwrite in place: a crash between an
+    # in-place meta write and the rows write during a geometry-CHANGING
+    # rebuild would leave new meta over old rows, a silently corrupt
+    # index that probes without error and misses everything.
+
+    def _write(staging: str) -> None:
+        _write_meta(spark, meta, staging)
+        (
+            _index_rows(df, text_col, id_col, meta)
+            .sortWithinPartitions("band", "key")
+            .write.mode("overwrite")
+            .parquet(_rows_path(staging))
+        )
+
+    _stage_and_swap(spark, index_path.rstrip("/"), _write)
 
 
 def present_ids(
@@ -244,9 +278,22 @@ def add_to_neardup_index(
             "left_anti",
         )
     counts = fresh.agg(
-        F.count("*").alias("n"), F.count_distinct("id").alias("nd")
+        F.count("*").alias("n"),
+        F.count_distinct("id").alias("nd"),
+        F.count_if(F.col("id").isNull()).alias("nn"),
     ).collect()[0]
     n_fresh, n_distinct = int(counts["n"]), int(counts["nd"])
+    n_null = int(counts["nn"])
+    if n_null:
+        # count_distinct ignores NULLs, so without this arm a single
+        # NULL id would be misreported as a duplicate; and NULL ids can
+        # never be replay-guarded (NULL joins nothing), so they are a
+        # contract violation, not a dedup problem
+        raise ValueError(
+            f"batch has {n_null} NULL ids: index ids must be non-null "
+            "(the md5-keyed-op contract) — they cannot be probed, "
+            "deduped, or replay-guarded"
+        )
     if n_fresh != n_distinct:
         raise ValueError(
             f"batch has {n_fresh - n_distinct} duplicate ids: "
@@ -423,28 +470,19 @@ def compact_neardup_index(spark: SparkSession, index_path: str) -> int:
     """
     meta = read_meta(spark, index_path)  # also validates text_version
     root = index_path.rstrip("/")
-    jvm = spark.sparkContext._jvm
-    hroot = jvm.org.apache.hadoop.fs.Path(root)
-    fs = hroot.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    staging = root + "__staging"
-    backup = root + "__old"
-    hstage = jvm.org.apache.hadoop.fs.Path(staging)
-    hback = jvm.org.apache.hadoop.fs.Path(backup)
-    fs.delete(hstage, True)
-    fs.delete(hback, True)
-    spark.createDataFrame(
-        [tuple(meta[c] for c in _META_COLS)],
-        ", ".join(f"{c} int" for c in _META_COLS),
-    ).coalesce(1).write.mode("overwrite").parquet(_meta_path(staging))
-    (
-        spark.read.parquet(_rows_path(root))
-        .repartitionByRange("band", "key")
-        .sortWithinPartitions("band", "key")
-        .write.mode("overwrite")
-        .parquet(_rows_path(staging))
-    )
-    fs.rename(hroot, hback)
-    fs.rename(hstage, hroot)
-    fs.delete(hback, True)
+    # the staged rows must be fully materialized BEFORE the swap moves
+    # the source directory out from under the lazy reader
+    src_rows = spark.read.parquet(_rows_path(root))
+
+    def _write(staging: str) -> None:
+        _write_meta(spark, meta, staging)
+        (
+            src_rows.repartitionByRange("band", "key")
+            .sortWithinPartitions("band", "key")
+            .write.mode("overwrite")
+            .parquet(_rows_path(staging))
+        )
+
+    _stage_and_swap(spark, root, _write)
     spark.catalog.refreshByPath(_rows_path(root))
     return len(spark.read.parquet(_rows_path(root)).inputFiles())

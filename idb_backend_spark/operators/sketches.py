@@ -235,8 +235,9 @@ def cms_heavy_hitters(
             ),
         ).join(F.broadcast(ci), f"__col{i}")
         ests.append(F.col(f"__c{i}"))
+    est = ests[0] if len(ests) == 1 else F.least(*ests)
     return (
-        probed.filter(F.least(*ests) >= threshold_count)
+        probed.filter(est >= threshold_count)
         .groupBy(key_col)
         .agg(F.count("*").cast("bigint").alias("n"))
         .filter(F.col("n") >= threshold_count)

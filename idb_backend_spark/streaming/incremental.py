@@ -462,6 +462,18 @@ def neardup_gate_batch(
     if batch.isEmpty():
         return
     spark = batch.sparkSession
+    # Feed hygiene BEFORE the pipeline — both cases would otherwise
+    # poison-pill the query (add_to_neardup_index raises, foreachBatch
+    # fails, and the restarted checkpoint replays the SAME batch into
+    # the same raise, forever):
+    #  * NULL ids can never be replay-guarded (NULL joins nothing) —
+    #    dropped;
+    #  * an id repeated within one micro-batch (at-least-once sources,
+    #    unioned feeds) keeps one arbitrary row — the same
+    #    arrival-order-racy contract streamed_exact_dedup documents.
+    batch = batch.filter(F.col(id_col).isNotNull()).dropDuplicates(
+        [id_col]
+    )
     # replay guard: exact ids already indexed — the operator module's
     # own bounded check (never reach into the index's physical layout)
     ids = batch.select(F.col(id_col).alias("id")).distinct()

@@ -369,3 +369,41 @@ def test_compact_preserves_rows_and_probe(spark, index_dir):
     assert [
         d for d in os.listdir(parent) if "__staging" in d or "__old" in d
     ] == []
+
+
+def test_add_rejects_null_ids_with_clear_message(spark, index_dir):
+    """A single NULL id must be diagnosed as the NULL-id contract
+    violation, not misreported as a 'duplicate' (count_distinct ignores
+    NULLs, so the naive check would miscount)."""
+    corpus = spark.createDataFrame(
+        [(1, "seed corpus document")], "doc_id long, text string"
+    )
+    ni.build_neardup_index(corpus, "text", "doc_id", index_dir)
+    null_batch = spark.createDataFrame(
+        [(None, "null id document")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="NULL ids"):
+        ni.add_to_neardup_index(null_batch, "text", "doc_id", index_dir)
+
+
+def test_legacy_meta_without_text_version_says_rebuild(spark, index_dir):
+    """A meta parquet written before the text_version pin existed must
+    reach the rebuild message, not die on the missing column."""
+    import pandas as pd
+
+    import os
+
+    meta_path = index_dir.rstrip("/") + "/meta"
+    os.makedirs(meta_path)
+    pd.DataFrame(
+        [
+            {
+                "shingle_k": 3,
+                "num_hashes": 64,
+                "bands": 16,
+                "seed": 42,
+            }
+        ]
+    ).astype("int32").to_parquet(f"{meta_path}/part-0.parquet")
+    with pytest.raises(ValueError, match="rebuild"):
+        ni.read_meta(spark, index_dir)

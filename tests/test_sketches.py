@@ -224,3 +224,26 @@ def test_cms_validation(spark):
         sk.cms_counters(df, "key", depth=0)
     with _pytest.raises(ValueError, match="threshold"):
         sk.cms_heavy_hitters(df, "key", 0)
+
+
+def test_cms_depth_one_works(spark):
+    """depth=1 is a valid (single hash row) configuration — the least()
+    fold must not demand two columns."""
+    import duckdb
+    import pandas as pd
+
+    from idb_backend_spark.operators import sketches as sk
+
+    rows = [(f"k{i % 5}",) for i in range(100)]
+    df = spark.createDataFrame(rows, "key string")
+    got = sorted(
+        (r["key"], r["n"])
+        for r in sk.cms_heavy_hitters(df, "key", 20, depth=1).collect()
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["key"]))
+    want = sorted(
+        (r[0], r[1])
+        for r in con.sql(sk.heavy_hitters_sql("t", "key", 20)).fetchall()
+    )
+    assert got == want

@@ -141,6 +141,10 @@ def probe_neardup_scale(
     # batch ids shifted clear of every replica's id band (replicas use
     # +i*10_000_000); replica-0 text, so it genuinely near-matches docs
     # in both corpora
+    if factor < 2:
+        # both loop tags would be "1": colliding output keys, the second
+        # build overwriting the first index, and a self-division ratio
+        raise ValueError(f"neardup probe needs factor >= 2, got {factor}")
     batch = (
         spark.read.parquet(f"{f1_dir}/documents.parquet")
         .limit(200)
