@@ -272,11 +272,14 @@ def add_to_neardup_index(
     if assume_fresh:
         fresh = batch
     else:
+        # pin: the anti-join (an index id-column scan) feeds BOTH the
+        # count/guard agg and the index-rows write — without the pin the
+        # index would be scanned twice per add
         fresh = batch.join(
             present_ids(spark, index_path, batch.select("id")),
             "id",
             "left_anti",
-        )
+        ).localCheckpoint(eager=True)
     counts = fresh.agg(
         F.count("*").alias("n"),
         F.count_distinct("id").alias("nd"),
