@@ -79,18 +79,29 @@ def test_cms_heavy_hitters_twin_property(spark, keys):
     (keys are NOT normalized — 'İ' and 'K' stay distinct keys; only
     the hash must agree with itself)."""
     rows = [(k,) for k in keys]
+    # NULL-safe sort key: a result set mixing the NULL group with
+    # string keys is expected and must still be comparable
+    key_fn = lambda t: (t[0] is None, t[0] or "", t[1])  # noqa: E731
     df = spark.createDataFrame(rows, "key string")
     got = sorted(
-        (r["key"], r["n"])
-        for r in sketches.cms_heavy_hitters(
-            df, "key", 3, depth=2, width=4
-        ).collect()
+        (
+            (r["key"], r["n"])
+            for r in sketches.cms_heavy_hitters(
+                df, "key", 3, depth=2, width=4
+            ).collect()
+        ),
+        key=key_fn,
     )
     con = duckdb.connect()
     con.register("t", pd.DataFrame(rows, columns=["key"]))
     want = sorted(
-        (r[0], r[1])
-        for r in con.sql(sketches.heavy_hitters_sql("t", "key", 3)).fetchall()
+        (
+            (r[0], r[1])
+            for r in con.sql(
+                sketches.heavy_hitters_sql("t", "key", 3)
+            ).fetchall()
+        ),
+        key=key_fn,
     )
     assert got == want, keys
 
