@@ -403,6 +403,12 @@ def test_streaming_neardup_gate(spark, tmp_path):
             (1, "the quick brown fox jumps over the lazy dog tonight"),
             # novel -> accepted
             (11, "an entirely novel streaming document nothing shares"),
+            # in-batch duplicate of the novel id -> one row kept; this
+            # and the NULL id below previously wedged the query (the
+            # add's guards raise, foreachBatch fails, the restarted
+            # checkpoint replays the same batch forever)
+            (11, "an entirely novel streaming document nothing shares"),
+            (None, "null id row is dropped, never wedges the stream"),
         ],
         doc_schema,
     ).write.mode("append").parquet(land)
