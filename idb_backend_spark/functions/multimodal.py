@@ -769,3 +769,82 @@ def image_neardup_pairs(
         .filter(F.col("fp").isNotNull())
     )
     return hamming_pairs(fp, max_hamming)
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "id",
+    fake: bool = False,
+) -> DataFrame:
+    """64-bit audio ENVELOPE fingerprint -> (id, afp) — the audio analog
+    of ``image_phash``: the normalized RMS peak sequence (the same
+    ``wav_rms_peaks`` kernel the waveform derivative uses — real PCM-WAV
+    decode, stdlib+numpy, no codecs) is uniform-resampled onto the 9x8
+    grid and gradient-hashed through the SAME proven bit math
+    (``phash_bits_from_pixels(..., 'dhash')``), so image and audio
+    near-dup share one tested kernel and one pigeonhole join.
+
+    Peaks are max-normalized, so the fingerprint is invariant to volume
+    scaling and stable across containers of the same PCM stream; it is
+    an envelope hash, NOT a chroma-level acoustic id (re-recordings or
+    transcodes that reshape the envelope will not match — the same
+    honesty boundary the waveform derivative documents). Undecodable /
+    NULL blobs yield a NULL fingerprint. ``fake=True`` derives peaks
+    from sha1 exactly as ``audio_waveform(fake=True)`` does, so the two
+    stages stay consistent in codec-less environments.
+    """
+    out_schema = StructType(
+        [df.schema[id_col], StructField("afp", LongType())]
+    )
+
+    def _fp(b: bytes | None) -> int | None:
+        if b is None:
+            return None
+        if fake:
+            h = hashlib.sha1(b).digest()
+            peaks = [
+                h[i % 20] * AUDIO_DB_CEILING // 255
+                for i in range(AUDIO_BAR_COUNT)
+            ]
+        else:
+            got = wav_rms_peaks(bytes(b))
+            if got is None:
+                return None
+            peaks = got[1]
+        n = len(peaks)
+        grid = [peaks[round(i * (n - 1) / 71)] for i in range(72)]
+        return phash_bits_from_pixels(grid, "dhash")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "afp": pd.array(
+                        [_fp(b) for b in pdf[content_col]], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(batches, out_schema)
+
+
+def audio_neardup_pairs(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "id",
+    max_hamming: int = 3,
+    fake: bool = False,
+) -> DataFrame:
+    """Audio near-dup pairs over the envelope fingerprint + the shared
+    pigeonhole Hamming kernel (operators/dedup.hamming_pairs): (id_a,
+    id_b, hamming) within the radius; undecodable/NULL blobs drop out."""
+    from idb_backend_spark.operators.dedup import hamming_pairs
+
+    fp = (
+        audio_fingerprint(df, content_col, id_col, fake=fake)
+        .select(F.col(id_col).alias("id"), F.col("afp").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
+    return hamming_pairs(fp, max_hamming)

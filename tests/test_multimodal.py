@@ -407,3 +407,59 @@ def test_image_neardup_pairs_exact_dups_collide(spark):
 
     with _pytest.raises(ValueError, match="hash_kind"):
         mm.image_neardup_pairs(df, "content", "id", hash_kind="x", fake=True)
+
+
+def test_audio_fingerprint_real_wav_volume_invariant(spark):
+    """Real PCM decode path: the same waveform at half volume produces
+    the IDENTICAL fingerprint (peaks are max-normalized), while a
+    differently-shaped envelope does not; undecodable and NULL blobs
+    yield NULL."""
+    import numpy as np
+
+    from idb_backend_spark.functions import multimodal as mm
+
+    n = 10 * mm.AUDIO_BAR_COUNT
+    rng = np.random.RandomState(7)
+    shape = (rng.rand(n) * 2000 - 1000).astype("<i2")
+    loud = _wav_bytes(shape)
+    quiet = _wav_bytes((shape // 2).astype("<i2"))
+    other = _wav_bytes((rng.rand(n) * 2000 - 1000).astype("<i2"))
+    rows = [
+        ("loud", loud),
+        ("quiet", quiet),
+        ("other", other),
+        ("junk", b"not a wav at all"),
+        ("empty", None),
+    ]
+    df = spark.createDataFrame(rows, "id string, content binary")
+    got = {
+        r["id"]: r["afp"]
+        for r in mm.audio_fingerprint(df, "content", "id").collect()
+    }
+    assert got["loud"] == got["quiet"] is not None
+    assert got["loud"] != got["other"]
+    assert got["junk"] is None and got["empty"] is None
+    # pairs: the volume twins collide at Hamming 0, nothing else pairs
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.audio_neardup_pairs(
+            df, "content", "id", max_hamming=2
+        ).collect()
+    }
+    assert pairs == {("loud", "quiet"): 0}
+
+
+def test_audio_fingerprint_fake_matches_waveform_convention(spark):
+    """fake=True derives peaks exactly as audio_waveform(fake=True), so
+    the two stages agree in codec-less environments; identical bytes ->
+    identical fingerprints."""
+    from idb_backend_spark.functions import multimodal as mm
+
+    rows = [("a", b"RIFFxxxx one"), ("b", b"RIFFxxxx one"), ("c", b"two")]
+    df = spark.createDataFrame(rows, "id string, content binary")
+    got = {
+        r["id"]: r["afp"]
+        for r in mm.audio_fingerprint(df, "content", "id", fake=True).collect()
+    }
+    assert got["a"] == got["b"] is not None
+    assert got["a"] != got["c"]
