@@ -84,9 +84,19 @@ def read_meta(spark: SparkSession, index_path: str) -> dict:
     version than this build of the engine — rebuild it."""
     row = spark.read.parquet(_meta_path(index_path)).collect()[0]
     fields = set(row.__fields__)
-    # a meta written before text_version existed IS version 1 — the
-    # whole point of the pin is telling THAT population to rebuild, so
-    # the lookup must not die on the missing column first
+    # ONLY text_version may be absent (a meta written before the pin
+    # existed IS version 1 — the whole point is telling THAT population
+    # to rebuild, so the lookup must not die on the missing column
+    # first). Any OTHER missing geometry column means a truncated or
+    # corrupt meta: defaulting it would silently yield a probe that
+    # hashes nothing like the index, so it fails loudly instead.
+    missing = [c for c in _META_COLS if c not in fields and c != "text_version"]
+    if missing:
+        raise ValueError(
+            f"index meta at {index_path} is missing geometry columns "
+            f"{missing}: the sidecar is truncated or corrupt — rebuild "
+            "with build_neardup_index"
+        )
     meta = {
         c: (int(row[c]) if c in fields else 1) for c in _META_COLS
     }
@@ -109,6 +119,69 @@ def _null_safe(df: DataFrame, text_col: str) -> DataFrame:
     return df.withColumn(
         text_col, F.coalesce(F.col(text_col), F.lit(""))
     )
+
+
+def _check_id_contract(df: DataFrame, what: str) -> int:
+    """Enforce the index's id contract on a one-``id``-column frame —
+    non-null, row-unique — and return the row count. Shared by build
+    and add so the bootstrap corpus is held to the SAME rule as every
+    later batch: duplicate ids would min-fold both documents' shingles
+    into one blended signature matching neither (real duplicates of
+    either doc then evade every later probe), and NULL ids can never be
+    probed (id != new_id is NULL) or replay-guarded (NULL joins
+    nothing). One bounded aggregate over the id column."""
+    counts = df.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("id").alias("nd"),
+        F.count_if(F.col("id").isNull()).alias("nn"),
+    ).collect()[0]
+    n, n_distinct, n_null = int(counts["n"]), int(counts["nd"]), int(counts["nn"])
+    if n_null:
+        # count_distinct ignores NULLs, so without this arm a single
+        # NULL id would be misreported as a duplicate
+        raise ValueError(
+            f"{what} has {n_null} NULL ids: index ids must be non-null "
+            "(the md5-keyed-op contract) — they cannot be probed, "
+            "deduped, or replay-guarded"
+        )
+    if n != n_distinct:
+        raise ValueError(
+            f"{what} has {n - n_distinct} duplicate ids: "
+            "minhash signatures are per-id lane minima, so duplicate ids "
+            "would blend both documents' shingles into one signature "
+            "matching neither — dedup by id first"
+        )
+    return n
+
+
+def _broadcast_bytes_cap(spark: SparkSession) -> int:
+    """The session's autoBroadcastJoinThreshold in bytes (-1 = never
+    force a broadcast here; AQE may still convert at runtime)."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    for suffix, mult in units.items():
+        for s in (suffix + "b", suffix):
+            if raw.endswith(s):
+                return int(float(raw[: -len(s)])) * mult
+    return int(raw)
+
+
+def _gate_broadcast(
+    df: DataFrame, est_bytes: int, spark: SparkSession
+) -> DataFrame:
+    """Broadcast ``df`` only when its estimated size fits the session's
+    broadcast threshold (the runtime-size-gate discipline of
+    operators/lm.py): the probe/replay-guard contract is "small batch
+    vs huge corpus", but a large ingest batch must DEGRADE to a plain
+    shuffled join, not blow the broadcast limit — same answer, heavier
+    exchange. With the threshold at -1 the frame is never force-
+    broadcast (AQE may still convert if runtime stats allow)."""
+    cap = _broadcast_bytes_cap(spark)
+    if 0 <= cap < est_bytes:
+        return df
+    return F.broadcast(df)
 
 
 def _index_rows(
@@ -136,17 +209,22 @@ def _index_rows(
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), "sig")
 
 
-def _stage_and_swap(spark: SparkSession, root: str, write_staging) -> None:
+def _stage_and_swap(
+    spark: SparkSession, root: str, write_staging, pre_swap=None
+) -> None:
     """Write a full index (meta + rows) under ``{root}__staging`` via the
     ``write_staging(staging_path)`` callback, then promote it with
     CHECKED renames — Hadoop FileSystem.rename reports failure by
     returning False, not raising, so an unchecked swap could delete the
     only live copy after a silent no-op rename (or nest the staging dir
-    INSIDE a still-present root). Failure order is safe at every step:
-    before the first successful rename the live index is untouched;
-    between the renames the root is missing and probes fail loudly on
-    the absent meta; the backup is deleted only after the promotion
-    rename succeeded."""
+    INSIDE a still-present root). ``pre_swap`` (optional) runs after the
+    staging write and before the first rename; if it raises, the staged
+    tree is deleted and the live index is left untouched — the hook
+    compaction uses to abort when a concurrent add committed after its
+    snapshot. Failure order is safe at every step: before the first
+    successful rename the live index is untouched; between the renames
+    the root is missing and probes fail loudly on the absent meta; the
+    backup is deleted only after the promotion rename succeeded."""
     jvm = spark.sparkContext._jvm
     hroot = jvm.org.apache.hadoop.fs.Path(root)
     fs = hroot.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
@@ -157,6 +235,12 @@ def _stage_and_swap(spark: SparkSession, root: str, write_staging) -> None:
     fs.delete(hstage, True)
     fs.delete(hback, True)
     write_staging(staging)
+    if pre_swap is not None:
+        try:
+            pre_swap()
+        except Exception:
+            fs.delete(hstage, True)
+            raise
     if fs.exists(hroot):
         if not fs.rename(hroot, hback):
             raise IOError(
@@ -201,6 +285,12 @@ def build_neardup_index(
             f"bands ({bands}) must evenly divide num_hashes ({num_hashes})"
         )
     spark = df.sparkSession
+    # the bootstrap corpus is held to the same id contract as every
+    # add batch — a duplicate or NULL id at build time corrupts the
+    # index just as silently as one at add time (one bounded
+    # id-column aggregate; the corpus itself is scanned once more for
+    # the signature pass below)
+    _check_id_contract(df.select(F.col(id_col).alias("id")), "corpus")
     meta = {
         "shingle_k": int(shingle_k),
         "num_hashes": int(num_hashes),
@@ -227,17 +317,25 @@ def build_neardup_index(
 
 
 def present_ids(
-    spark: SparkSession, index_path: str, ids: DataFrame
+    spark: SparkSession, index_path: str, ids: DataFrame,
+    n_ids: int | None = None,
 ) -> DataFrame:
     """The subset of ``ids`` (a one-column frame named ``id``) already in
     the index — an id-column-pruned scan of the index with the probe set
-    broadcast, one bounded job, the corpus never shuffled. Shared by the
-    add's idempotency check and the streaming gate's replay guard, so
-    the gate never reaches into the index's physical layout."""
+    broadcast WHEN IT FITS the session broadcast threshold (size-gated:
+    a retried million-doc batch degrades to a shuffled semi-join instead
+    of blowing the broadcast limit), one bounded job, the corpus never
+    shuffled. ``n_ids`` skips the sizing count when the caller already
+    knows it. Shared by the add's idempotency check and the streaming
+    gate's replay guard, so the gate never reaches into the index's
+    physical layout."""
+    probe = ids.select("id")
+    if n_ids is None:
+        n_ids = probe.count()
     return (
         spark.read.parquet(_rows_path(index_path))
         .select("id")
-        .join(F.broadcast(ids.select("id")), "id", "left_semi")
+        .join(_gate_broadcast(probe, n_ids * 48, spark), "id", "left_semi")
         .distinct()
     )
 
@@ -280,30 +378,7 @@ def add_to_neardup_index(
             "id",
             "left_anti",
         ).localCheckpoint(eager=True)
-    counts = fresh.agg(
-        F.count("*").alias("n"),
-        F.count_distinct("id").alias("nd"),
-        F.count_if(F.col("id").isNull()).alias("nn"),
-    ).collect()[0]
-    n_fresh, n_distinct = int(counts["n"]), int(counts["nd"])
-    n_null = int(counts["nn"])
-    if n_null:
-        # count_distinct ignores NULLs, so without this arm a single
-        # NULL id would be misreported as a duplicate; and NULL ids can
-        # never be replay-guarded (NULL joins nothing), so they are a
-        # contract violation, not a dedup problem
-        raise ValueError(
-            f"batch has {n_null} NULL ids: index ids must be non-null "
-            "(the md5-keyed-op contract) — they cannot be probed, "
-            "deduped, or replay-guarded"
-        )
-    if n_fresh != n_distinct:
-        raise ValueError(
-            f"batch has {n_fresh - n_distinct} duplicate ids: "
-            "minhash signatures are per-id lane minima, so duplicate ids "
-            "would blend both documents' shingles into one signature "
-            "matching neither — dedup the batch by id first"
-        )
+    n_fresh = _check_id_contract(fresh.select("id"), "batch")
     if n_fresh == 0:
         return 0
     _index_rows(fresh, text_col, "id", meta).sortWithinPartitions(
@@ -338,8 +413,14 @@ def probe_neardup_index(
     minhash_exact_verified entry proves for the in-frame tier.
 
     Probe plan at scale: the batch side (signatures -> band keys) is
-    BROADCAST; the index is scanned on (band, key) but never shuffled,
-    and a batch id equal to an indexed id never matches itself.
+    broadcast WHEN IT FITS the session broadcast threshold (size-gated
+    on batch_rows x bands x signature width — a band row carries the
+    full lane array, ~8 KB/doc at default geometry, so a ~1 M-doc
+    ingest batch would blow the broadcast limit; it degrades to a plain
+    (band, key) join against the compaction-clustered index instead —
+    same answer, heavier exchange); the index is scanned on (band, key)
+    but never shuffled, and a batch id equal to an indexed id never
+    matches itself.
     """
     if verify not in ("estimate", "exact"):
         raise ValueError(f"verify must be 'estimate' or 'exact', got {verify!r}")
@@ -347,6 +428,11 @@ def probe_neardup_index(
         raise ValueError("verify='exact' needs the corpus frame")
     spark = new_docs.sparkSession
     meta = read_meta(spark, index_path)
+    # sizing count on the raw batch (an id-pruned scan), NOT on the
+    # signature frame — counting new_rows would run the whole minhash
+    # pass twice
+    n_batch = new_docs.select(id_col).count()
+    est_bytes = n_batch * meta["bands"] * (meta["num_hashes"] * 8 + 64)
     new_rows = _index_rows(new_docs, text_col, id_col, meta).select(
         F.col("id").alias("new_id"),
         "band",
@@ -355,7 +441,7 @@ def probe_neardup_index(
     )
     idx = spark.read.parquet(_rows_path(index_path))
     cand = (
-        idx.join(F.broadcast(new_rows), ["band", "key"])
+        idx.join(_gate_broadcast(new_rows, est_bytes, spark), ["band", "key"])
         .filter(F.col("id") != F.col("new_id"))
         .select(
             "new_id",
@@ -470,9 +556,27 @@ def compact_neardup_index(spark: SparkSession, index_path: str) -> int:
     a loudly-missing index, never a half-compacted one. Meta is copied
     unchanged: compaction is purely physical. The streaming analog of
     operators/store.compact_history for the bucketed store.
+
+    SINGLE-WRITER REQUIREMENT: stop adds (pause the streaming gate)
+    while compacting. The rewrite reads a snapshot of the rows file
+    listing; an add that commits between the snapshot and the swap
+    would be silently dropped from the compacted index — un-indexing
+    already-accepted documents. The requirement is ENFORCED, not just
+    stated: the file listing is re-taken after the staged rewrite and
+    compared to the snapshot; on any change the staged tree is deleted
+    and the swap aborts with a RuntimeError, leaving the live index
+    (including the concurrent add) untouched.
     """
     meta = read_meta(spark, index_path)  # also validates text_version
     root = index_path.rstrip("/")
+
+    def _list_rows() -> list[str]:
+        # bust the shared FileStatusCache, or the second listing would
+        # just replay the first one's snapshot
+        spark.catalog.refreshByPath(_rows_path(root))
+        return sorted(spark.read.parquet(_rows_path(root)).inputFiles())
+
+    before = _list_rows()
     # the staged rows must be fully materialized BEFORE the swap moves
     # the source directory out from under the lazy reader
     src_rows = spark.read.parquet(_rows_path(root))
@@ -486,6 +590,17 @@ def compact_neardup_index(spark: SparkSession, index_path: str) -> int:
             .parquet(_rows_path(staging))
         )
 
-    _stage_and_swap(spark, root, _write)
+    def _abort_on_concurrent_write() -> None:
+        after = _list_rows()
+        if after != before:
+            raise RuntimeError(
+                f"rows under {root} changed during compaction "
+                f"({len(before)} -> {len(after)} files): a writer "
+                "committed after the compaction snapshot; swap aborted, "
+                "live index untouched — stop adds and re-run "
+                "compact_neardup_index"
+            )
+
+    _stage_and_swap(spark, root, _write, pre_swap=_abort_on_concurrent_write)
     spark.catalog.refreshByPath(_rows_path(root))
     return len(spark.read.parquet(_rows_path(root)).inputFiles())

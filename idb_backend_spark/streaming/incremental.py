@@ -445,13 +445,20 @@ def neardup_gate_batch(
         cannot double-accept;
       * near-dups of an indexed doc (signature-estimate probe at the
         threshold): dropped;
-      * the rest is accepted — added to the index FIRST, then appended
-        to ``accepted_path``. That order gives the ivf_add_vectors crash
-        contract: a crash between the two appends leaves rows indexed
-        but missing from the store — recoverable by diffing index ids
-        against store ids — never duplicated in the store (the reverse
-        order would re-accept them on retry). Index adds are themselves
-        idempotent (add_to_neardup_index skips present ids).
+      * the rest is accepted — appended to ``accepted_path`` FIRST,
+        then added to the index. STORE-FIRST is load-bearing: a crash
+        between the two appends leaves rows in the store but absent
+        from the index, and the at-least-once replay re-accepts them
+        (their ids pass the replay guard, the probe cannot self-match
+        an unindexed doc) — appending a second identical copy to the
+        store and then indexing them, so the gate converges with no
+        document ever lost. The index-first order would be the opposite
+        failure: replayed ids already indexed are dropped by the replay
+        guard and the documents would be PERMANENTLY missing from the
+        store with nothing to replay them. The price of store-first is
+        the store's ID-DEDUP-ON-READ contract: duplicate store rows are
+        byte-identical replays of one accepted doc — read the store
+        through ``read_accepted`` (below), which folds them.
 
     In-batch duplicates are NOT gated here — compose minhash_lsh_pairs /
     exact_dedup upstream if the feed can repeat content within one
@@ -491,12 +498,27 @@ def neardup_gate_batch(
     accepted = fresh.join(dup_ids, id_col, "left_anti").localCheckpoint(
         eager=True
     )
+    # store FIRST, index second (docstring: the crash-recovery order)
+    accepted.write.mode("append").parquet(accepted_path)
     # assume_fresh: this batch was already anti-joined against the index
     # above — the add's own idempotency scan would be a repeat job
     ni.add_to_neardup_index(
         accepted, text_col, id_col, index_path, assume_fresh=True
     )
-    accepted.write.mode("append").parquet(accepted_path)
+
+
+def read_accepted(
+    spark: SparkSession, accepted_path: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """THE read path for the gate's accepted store — parquet scan +
+    drop-duplicates on ``id_col``. The gate appends store-first (see
+    ``neardup_gate_batch``), so a crash between the store append and
+    the index add leaves the replayed batch's rows in the store twice;
+    the copies are byte-identical (same accepted doc, same batch
+    content), so any one row per id IS the accepted document. One
+    exchange on the id; consumers that only aggregate per-id can fold
+    this into their own grouping instead."""
+    return spark.read.parquet(accepted_path).dropDuplicates([id_col])
 
 
 def neardup_dedup_query(

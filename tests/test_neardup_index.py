@@ -407,3 +407,145 @@ def test_legacy_meta_without_text_version_says_rebuild(spark, index_dir):
     ).astype("int32").to_parquet(f"{meta_path}/part-0.parquet")
     with pytest.raises(ValueError, match="rebuild"):
         ni.read_meta(spark, index_dir)
+
+
+def test_truncated_meta_raises_instead_of_defaulting(spark, index_dir):
+    """ONLY text_version may be absent from the meta sidecar; a meta
+    missing a geometry column (truncated/corrupt) must fail loudly —
+    defaulting num_hashes/bands to 1 would yield a probe that hashes
+    nothing like the index and silently misses every duplicate."""
+    import os
+
+    import pandas as pd
+
+    meta_path = index_dir.rstrip("/") + "/meta"
+    os.makedirs(meta_path)
+    pd.DataFrame(
+        [{"shingle_k": 3, "bands": 16, "seed": 42, "text_version": 2}]
+    ).astype("int32").to_parquet(f"{meta_path}/part-0.parquet")
+    with pytest.raises(ValueError, match="num_hashes"):
+        ni.read_meta(spark, index_dir)
+
+
+def test_build_rejects_duplicate_and_null_ids(spark, index_dir):
+    """The bootstrap corpus is held to the same id contract as add
+    batches: duplicate ids would min-fold both documents' shingles into
+    one blended signature matching neither, and NULL ids can never be
+    probed or replay-guarded."""
+    dup = spark.createDataFrame(
+        [(1, "first body of words"), (1, "second body of words")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="duplicate ids"):
+        ni.build_neardup_index(dup, "text", "doc_id", index_dir)
+    nul = spark.createDataFrame(
+        [(None, "null id document")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="NULL ids"):
+        ni.build_neardup_index(nul, "text", "doc_id", index_dir)
+    # neither attempt may leave a half-built index behind
+    import os
+
+    assert not os.path.exists(index_dir)
+
+
+def test_probe_degrades_to_plain_join_over_broadcast_cap(
+    spark, sf_dir, index_dir
+):
+    """The size gate on the probe's batch side: under the session
+    broadcast threshold the batch is broadcast (the steady-state plan,
+    asserted by test_probe_plan_broadcasts_batch_not_corpus); over it
+    the probe degrades to a plain (band, key) join — same answer, no
+    forced 8-KB-per-doc broadcast that a ~1M-doc batch would blow up."""
+    import contextlib
+    import io
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    ni.build_neardup_index(corpus, "text", "doc_id", index_dir)
+    small = {
+        (r["new_id"], r["corpus_id"], r["est_jaccard"])
+        for r in ni.probe_neardup_index(
+            batch, "text", "doc_id", index_dir, threshold=0.5
+        ).collect()
+    }
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force "batch too big": estimate (n_batch x bands x sig width)
+        # is far above 1 KB, so _gate_broadcast must NOT hint broadcast,
+        # and AQE (same threshold) must not convert either
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+        probe = ni.probe_neardup_index(
+            batch, "text", "doc_id", index_dir, threshold=0.5
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            probe.explain(mode="formatted")
+        text = buf.getvalue()
+        assert "BroadcastHashJoin" not in text
+        assert "CartesianProduct" not in text
+        large = {
+            (r["new_id"], r["corpus_id"], r["est_jaccard"])
+            for r in probe.collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert large == small and len(small) > 0
+
+
+def test_compact_aborts_on_concurrent_add(spark, index_dir, monkeypatch):
+    """The single-writer guard: an add that commits between compaction's
+    file-listing snapshot and the swap must abort the swap (staged tree
+    deleted, live index — INCLUDING the concurrent add — untouched),
+    never silently un-index the added documents."""
+    import os
+
+    corpus = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    ni.build_neardup_index(corpus, "text", "doc_id", index_dir)
+    racer = spark.createDataFrame(
+        [(2, "a concurrent writer lands this batch mid compaction run")],
+        "doc_id long, text string",
+    )
+    real = ni._stage_and_swap
+
+    def add_mid_compaction(spark_, root, write_staging, pre_swap=None):
+        # the add commits AFTER compact's snapshot listing (taken before
+        # _stage_and_swap is entered) and BEFORE the swap
+        assert ni.add_to_neardup_index(
+            racer, "text", "doc_id", index_dir
+        ) == 1
+        return real(spark_, root, write_staging, pre_swap=pre_swap)
+
+    monkeypatch.setattr(ni, "_stage_and_swap", add_mid_compaction)
+    with pytest.raises(RuntimeError, match="swap aborted"):
+        ni.compact_neardup_index(spark, index_dir)
+    monkeypatch.setattr(ni, "_stage_and_swap", real)
+    # live index intact: both the bootstrap doc and the racer's doc probe
+    spark.catalog.refreshByPath(index_dir.rstrip("/") + "/rows")
+    probe = spark.createDataFrame(
+        [(9, "a concurrent writer lands this batch mid compaction too")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in ni.probe_neardup_index(
+            probe, "text", "doc_id", index_dir, threshold=0.5
+        ).collect()
+    }
+    assert got == {(9, 2)}
+    parent = os.path.dirname(index_dir.rstrip("/"))
+    assert [d for d in os.listdir(parent) if "__staging" in d] == []
+    # with the writer stopped, the retried compaction succeeds and the
+    # racer's rows survive the rewrite
+    ni.compact_neardup_index(spark, index_dir)
+    got2 = {
+        (r["new_id"], r["corpus_id"])
+        for r in ni.probe_neardup_index(
+            probe, "text", "doc_id", index_dir, threshold=0.5
+        ).collect()
+    }
+    assert got2 == {(9, 2)}

@@ -434,3 +434,63 @@ def test_streaming_neardup_gate(spark, tmp_path):
         ).collect()
     }
     assert got == {(20, 11)}
+
+
+def test_neardup_gate_crash_between_store_and_index_recovers(
+    spark, tmp_path, monkeypatch
+):
+    """The store-first crash contract: a batch that lands in the
+    accepted store but crashes before the index add is RE-ACCEPTED on
+    the at-least-once replay (its ids pass the replay guard), leaving a
+    second identical store copy — folded by read_accepted — and finally
+    indexed. No document is ever lost; the index-first order would drop
+    the replay and lose the doc from the store permanently."""
+    from idb_backend_spark.operators import neardup_index as ni
+
+    idx = str(tmp_path / "ndidx")
+    acc = str(tmp_path / "accepted")
+    doc_schema = "doc_id long, text string"
+    ni.build_neardup_index(
+        spark.createDataFrame([], doc_schema), "text", "doc_id", idx
+    )
+    batch = spark.createDataFrame(
+        [(7, "a document that survives the crash window intact")],
+        doc_schema,
+    )
+
+    real_add = ni.add_to_neardup_index
+
+    def crash_after_store(*a, **kw):
+        raise RuntimeError("injected crash between store append and index add")
+
+    monkeypatch.setattr(ni, "add_to_neardup_index", crash_after_store)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        inc.neardup_gate_batch(batch, idx, acc)
+    monkeypatch.setattr(ni, "add_to_neardup_index", real_add)
+
+    # crash window state: stored but not indexed
+    assert [r["doc_id"] for r in spark.read.parquet(acc).collect()] == [7]
+    assert ni.present_ids(
+        spark, idx, batch.select(F.col("doc_id").alias("id"))
+    ).count() == 0
+
+    # the at-least-once replay of the SAME batch converges
+    inc.neardup_gate_batch(batch, idx, acc)
+    raw = spark.read.parquet(acc).collect()
+    assert len(raw) == 2  # the store holds the replay's second copy...
+    folded = inc.read_accepted(spark, acc).collect()
+    assert [(r["doc_id"], r["text"]) for r in folded] == [
+        (7, "a document that survives the crash window intact")
+    ]  # ...and the read contract folds it
+    assert ni.present_ids(
+        spark, idx, batch.select(F.col("doc_id").alias("id"))
+    ).count() == 1
+    # a further replay is a no-op on both sides (replay guard)
+    inc.neardup_gate_batch(batch, idx, acc)
+    assert inc.read_accepted(spark, acc).count() == 1
+    near = spark.createDataFrame(
+        [(8, "a document that survives the crash window mostly")],
+        doc_schema,
+    )
+    inc.neardup_gate_batch(near, idx, acc)  # near-dup of 7 -> dropped
+    assert {r["doc_id"] for r in inc.read_accepted(spark, acc).collect()} == {7}
