@@ -686,11 +686,15 @@ def image_phash(
     fake: bool | None = None,
     kinds: tuple[str, ...] = ("ahash", "dhash"),
 ) -> DataFrame:
-    """Perceptual image fingerprints -> (id, ahash, dhash) — the image
+    """Perceptual image fingerprints -> (id, <kinds...>) — the image
     analog of the text tier's simhash: visually-similar images land
     within a small Hamming distance, so the SAME pigeonhole machinery
     (operators/dedup.hamming_pairs, functions/similarity.hamming64)
     does image near-dup at scale.
+
+    ``kinds`` selects which hashes are computed AND emitted, in the
+    given order — a caller wanting only dHash (image_neardup_pairs)
+    pays for one downsample, not two, and gets a two-column frame.
 
     Arrow-batched mapInPandas; PIL-gated like every kernel here. The
     real kernel is the classic construction: grayscale, box-downsample
@@ -700,48 +704,49 @@ def image_phash(
     duplicates still collide at Hamming 0 — only NEAR-dup semantics
     need real pixels). NULL content yields NULL hashes.
     """
+    if not kinds or any(k not in ("ahash", "dhash") for k in kinds):
+        raise ValueError(
+            f"kinds must be a non-empty subset of ('ahash', 'dhash'), got {kinds!r}"
+        )
+    if len(set(kinds)) != len(kinds):
+        raise ValueError(f"kinds has duplicates: {kinds!r}")
     use_fake = _resolve_fake(fake)
+    grid = {"ahash": (8, 8, 64), "dhash": (9, 8, 72)}
 
-    def _hashes(b: bytes | None) -> tuple[int | None, int | None]:
+    def _hashes(b: bytes | None) -> tuple[int | None, ...]:
         if b is None:
-            return None, None
-        if use_fake:
-            a_px = _fake_pixels(b, 64)
-            d_px = _fake_pixels(b, 72)
-        else:
+            return (None,) * len(kinds)
+        img = None
+        if not use_fake:
             try:
                 img = _load_rgb(bytes(b)).convert("L")
             except Exception:
-                return None, None  # undecodable blob, like decode_image
-            a_px = list(img.resize((8, 8), _PILImage.BILINEAR).getdata())
-            d_px = list(img.resize((9, 8), _PILImage.BILINEAR).getdata())
-        return (
-            phash_bits_from_pixels(a_px, "ahash"),
-            phash_bits_from_pixels(d_px, "dhash"),
-        )
+                return (None,) * len(kinds)  # undecodable, like decode_image
+        out = []
+        for kind in kinds:
+            w, h, n = grid[kind]
+            px = (
+                _fake_pixels(b, n)
+                if use_fake
+                else list(img.resize((w, h), _PILImage.BILINEAR).getdata())
+            )
+            out.append(phash_bits_from_pixels(px, kind))
+        return tuple(out)
 
     out_schema = StructType(
-        [
-            df.schema[id_col],
-            StructField("ahash", LongType()),
-            StructField("dhash", LongType()),
-        ]
+        [df.schema[id_col]]
+        + [StructField(kind, LongType()) for kind in kinds]
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             hashes = [_hashes(b) for b in pdf[content_col]]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "ahash": pd.array(
-                        [h[0] for h in hashes], dtype="Int64"
-                    ),
-                    "dhash": pd.array(
-                        [h[1] for h in hashes], dtype="Int64"
-                    ),
-                }
-            )
+            cols = {id_col: pdf[id_col]}
+            for j, kind in enumerate(kinds):
+                cols[kind] = pd.array(
+                    [h[j] for h in hashes], dtype="Int64"
+                )
+            yield pd.DataFrame(cols)
 
     return df.select(id_col, content_col).mapInPandas(batches, out_schema)
 

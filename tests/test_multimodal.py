@@ -463,3 +463,41 @@ def test_audio_fingerprint_fake_matches_waveform_convention(spark):
     }
     assert got["a"] == got["b"] is not None
     assert got["a"] != got["c"]
+
+
+def test_image_phash_kinds_selects_columns_and_work(spark):
+    """``kinds`` is honored: a single-kind call emits only that column
+    (image_neardup_pairs' one-downsample path), values match the
+    both-kinds call, order follows the tuple, and bad kinds raise."""
+    import pytest as _pytest
+
+    from idb_backend_spark.functions import multimodal as mm
+
+    df = spark.createDataFrame(
+        [("a", b"\x89PNG fake content one"), ("d", None)],
+        "id string, content binary",
+    )
+    both = {
+        r["id"]: (r["ahash"], r["dhash"])
+        for r in mm.image_phash(df, "content", "id", fake=True).collect()
+    }
+    only_d = mm.image_phash(df, "content", "id", fake=True, kinds=("dhash",))
+    assert only_d.columns == ["id", "dhash"]
+    assert {
+        r["id"]: r["dhash"] for r in only_d.collect()
+    } == {k: v[1] for k, v in both.items()}
+    flipped = mm.image_phash(
+        df, "content", "id", fake=True, kinds=("dhash", "ahash")
+    )
+    assert flipped.columns == ["id", "dhash", "ahash"]
+    assert {
+        r["id"]: (r["ahash"], r["dhash"]) for r in flipped.collect()
+    } == both
+    with _pytest.raises(ValueError, match="kinds"):
+        mm.image_phash(df, "content", "id", fake=True, kinds=())
+    with _pytest.raises(ValueError, match="kinds"):
+        mm.image_phash(df, "content", "id", fake=True, kinds=("phash",))
+    with _pytest.raises(ValueError, match="duplicates"):
+        mm.image_phash(
+            df, "content", "id", fake=True, kinds=("ahash", "ahash")
+        )
