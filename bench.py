@@ -135,6 +135,11 @@ def main():
                 # non-empty => 'value' sums only the SURVIVORS and must
                 # not be read as a speedup against a fully-green round
                 "failed": failed,
+                # methodology version — bump ONLY when the timing method
+                # changes (v2 = noop materialization + min_of_2, frozen
+                # since r6); cross-round deltas are meaningful only
+                # between artifacts with equal methodology
+                "methodology": 2,
                 # r6+: full-column evaluation through the noop sink;
                 # earlier rounds timed count() (projections pruned) —
                 # totals are not comparable across that boundary

@@ -41,54 +41,47 @@ registration sites) freed slots for export_jobs_queue and
 video_frame_sample at 99 total; a second pass retired date_features and
 bpe_token_count (both single-expression entries whose operator classes
 stay graded by date_fallback_assembly / token_count_quality +
-text_quality_metrics) for mixture_sample and sequence_packing — the
-domain-mixing and context-window-packing steps of the training
-pipeline, which were unit-only. The sessionize/sessionize_batch pair
-was deliberately NOT folded: the streaming and batch operators are
-distinct code paths (applyInPandasWithState vs gaps-and-islands) and
-each needs its own driver evidence. A third pass retired max_watermark
-(see q_relational) for quantized_cosine_topk.
+text_quality_metrics) for mixture_sample and sequence_packing. The
+sessionize/sessionize_batch pair was deliberately NOT folded: the
+streaming and batch operators are distinct code paths
+(applyInPandasWithState vs gaps-and-islands) and each needs its own
+driver evidence. A third pass retired max_watermark (see q_relational)
+for quantized_cosine_topk.
+
+Round-7 retirements — draining the round-6 grading queue (verdict r6
+task 1): eight entries in the round-7 front retired (rationales at
+their former registration sites — doc_fingerprint, ngram_jaccard_pairs,
+fulltext_skipping_scan, ann_batch_topk, deterministic_sample in
+q_textsim; raw_field_access, tombstone_deletes in q_store;
+shim_range_prefix folded into shim_exists_range in q_shim), making room
+for NINE new entries (q_corpusops.py): cms_heavy_hitters,
+cap_per_domain, remove_repeated_spans, neardup_index_probe (build + add
++ compact + exact probe in one graded path), nb_quality_score,
+bigram_lm_score, epoch_shuffle, sketch_audits (hll_distinct_audit +
+quantile_audit FOLDED into one slot — verdict r6 task 8), and
+perceptual_neardup (T35's first oracle — verdict r6 task 3; planted
+byte-identical blobs through image_phash + the pigeonhole Hamming
+kernel at radius 0). Two judge-suggested retirements were corrected
+against the source: media_presence_flags is the ONLY driver evidence
+for P14 (index_sink_roundtrip does not exercise it — it stays);
+deterministic_sample and tombstone_deletes were retired instead
+(mixture_sample grades the same md5-cut kernel; anti_join_deletes +
+ingest_e2e's detect_deletes path grade both halves of U2).
 
 Grading queue (operators implemented, unit-tested, twin-SQL ready,
-waiting for a window slot — if a round grades its whole 50-entry front
-green, the NEXT round's front is one short and a new entry fits with no
-retirement): 1. epoch_shuffle (operators/sampling.py:194, plan-asserted
-one range exchange); 2. bigram_lm_score (operators/lm.py, DuckDB twin
-bigram_lm_score_sql already parity-tested in tests/test_lm.py — mind
-the float-avg rounding-boundary caveat in its docstring);
-3. tfidf_top_terms (operators/tfidf.py, twin tfidf_top_terms_sql,
-integer-deterministic ranking so only the score column carries the
-6-dp caveat — tests/test_tfidf.py); 4. hll_distinct_audit /
-5. quantile_audit (operators/sketches.py, contract-twin SQL builders,
-within-bound booleans graded like minhash_exact_verified's recall —
-tests/test_sketches.py); 6. nb_quality_score (operators/classifier.py,
-the model-based quality-filter stage — hashed multinomial NB, one
-training pass + broadcast-join scoring, twin nb_quality_score_sql
-parity-tested in tests/test_classifier.py; integer counts and pred are
-exact, score carries the standard 6-dp caveat); 7. cap_per_domain
-(operators/sampling.py — the hard max-docs-per-host ceiling; salted
-two-level rank proven equal to the single-window semantics and to the
-DuckDB twin in tests/test_properties.py, fully integer-deterministic so
-a gate slot carries no float caveat at all); 8. pq_recall_audit
-(operators/pq.py — product-quantization ADC + exact re-rank, the
-memory-bound ANN tier above IVF/SQ8; audit-contract grading like the
-sketch tiers, encoder proven against a numpy replica in
-tests/test_pq.py); 9. remove_repeated_spans (operators/dedup.py —
-substring-level dedup: strips corpus-wide repeated token spans while
-protecting the canonical first occurrence; twin
-remove_repeated_spans_sql row-for-row in tests/test_dedup_quality.py,
-fully string/integer exact); 10. incremental near-dup probe
-(operators/neardup_index.py — persistent MinHash/LSH index with
-O(batch) steady-state probe/add, the maintenance-tier sibling of
-token_index_update/ivf_incremental_ann; exact-verify mode equals the
-probe_neardup_exact_sql twin row-for-row in tests/test_neardup_index.py
-at the graded scale, string/integer exact except the shared 6-dp
-Jaccard rounding contract); 11. cms_heavy_hitters
-(operators/sketches.py — EXACT heavy hitters behind a Count-Min
-prefilter with a zero-false-negative guarantee, so its twin
-heavy_hitters_sql is plain GROUP BY ... HAVING and the entry is fully
-integer/string exact; proven row-for-row incl. forced-collision widths
-in tests/test_sketches.py).
+waiting for a window slot; at the 100-entry ceiling each needs a
+same-round retirement from the then-front): 1. tfidf_top_terms
+(operators/tfidf.py, twin tfidf_top_terms_sql, integer-deterministic
+ranking so only the score column carries the 6-dp caveat —
+tests/test_tfidf.py); 2. pq_recall_audit (operators/pq.py —
+product-quantization ADC + exact re-rank, the memory-bound ANN tier
+above IVF/SQ8; audit-contract grading like the sketch tiers, encoder
+proven against a numpy replica in tests/test_pq.py). Round-8
+retirement candidates for those two slots, pre-verified this round:
+latest_object_per_url (J6 — the same max_by(struct) kernel
+latest_version_per_key grades on a different key binding) and
+dqs_score (A8/F18 — records_typed_projection computes the dqs column
+from the same schema table in the same rotation half).
 """
 
 from __future__ import annotations
@@ -111,6 +104,7 @@ from idb_backend_spark.plans import (  # noqa: F401  (side-effect registration)
     q_store,
     q_streaming,
     q_textsim,
+    q_corpusops,
 )
 
 # The grading front is COMPUTED, not hand-listed: every entry with no

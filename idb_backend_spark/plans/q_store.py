@@ -59,29 +59,15 @@ def versioned_merge(spark, sf_dir):
     return out.select("uuid", "etag", "version").orderBy("uuid")
 
 
-@query(
-    "tombstone_deletes",
-    "WITH store AS (SELECT o_orderkey AS uuid, o_orderstatus AS etag, "
-    "  CAST(o_orderkey % 4 AS INT) AS version FROM orders), "
-    "seen AS (SELECT o_orderkey AS uuid FROM orders WHERE o_orderkey % 7 != 0) "
-    "SELECT s.uuid, s.version + 1 AS version, "
-    "'9a4e35834eb80d9af64bcd07ed996b9ec0e60d92' AS etag "
-    "FROM store s LEFT JOIN seen ON s.uuid = seen.uuid "
-    "WHERE seen.uuid IS NULL ORDER BY s.uuid",
-)
-def tombstone_deletes(spark, sf_dir):
-    """U2 — anti-join delete detection emitting tombstone versions with the
-    reference's fixed tombstone etag (db.py:33, db_check.py:441-454)."""
-    orders = _t(spark, sf_dir, "orders")
-    ok = F.col("o_orderkey")
-    store = orders.select(
-        ok.alias("uuid"),
-        F.col("o_orderstatus").alias("etag"),
-        (ok % 4).cast("int").alias("version"),
-    )
-    seen = orders.filter(ok % 7 != 0).select(ok.alias("uuid"))
-    out = versioning.tombstones_for_deletes(store, seen, key="uuid")
-    return out.select("uuid", "version", "etag").orderBy("uuid")
+# Catalog entry `tombstone_deletes` retired in round 7 to free a grading
+# slot (catalog.py rotation rule). U2 stays double-graded without it:
+# the anti-join delete DETECTION shape is `anti_join_deletes`
+# (q_relational), and `versioning.tombstones_for_deletes` itself — the
+# fixed-tombstone-etag emission — runs INSIDE the driver-graded
+# `ingest_e2e` (apply_harvest_batch's detect_deletes path: tombstones
+# are unioned into the history whose live latest view is value-hashed)
+# and inside `store_compaction`/`streaming_incremental_merge`'s
+# TOMBSTONE_ETAG latest-view arms.
 
 
 def _magic_blobs(docs):
@@ -402,38 +388,14 @@ def etl_enrichment_pipeline(spark, sf_dir):
     )
 
 
-@query(
-    "raw_field_access",
-    # P13 — dual addressing: predicate on the raw open-schema map, output
-    # from the raw map ('data.' paths, download.py:245-253, :155-163)
-    "SELECT doc_id, lang AS lang_raw, source AS source_raw FROM documents "
-    "WHERE lang = 'en' AND n_chars >= 200 ORDER BY doc_id",
-)
-def raw_field_access(spark, sf_dir):
-    """P13 — records carry the verbatim body as map<string,string> `data`
-    beside typed columns; queries can address either. Here the raw map is
-    built from the table, then both filtered and projected through map
-    access only."""
-    docs = _t(spark, sf_dir, "documents")
-    with_raw = docs.select(
-        "doc_id",
-        "n_chars",
-        F.map_from_arrays(
-            F.array(F.lit("dc:language"), F.lit("dc:source")),
-            F.array(F.col("lang"), F.col("source")),
-        ).alias("data"),
-    )
-    return (
-        with_raw.filter(
-            (F.col("data")["dc:language"] == "en") & (F.col("n_chars") >= 200)
-        )
-        .select(
-            "doc_id",
-            F.col("data")["dc:language"].alias("lang_raw"),
-            F.col("data")["dc:source"].alias("source_raw"),
-        )
-        .orderBy("doc_id")
-    )
+# Catalog entry `raw_field_access` retired in round 7 to free a grading
+# slot (catalog.py rotation rule). P13's raw-map addressing stays
+# driver-graded through `records_typed_projection` (the whole typed
+# projection is GetMapValue lookups out of the raw `data` map, schema-
+# table-driven, incl. missing-key NULL folds); the row-PREDICATE form —
+# the same GetMapValue expression inside a Filter — is pinned by
+# tests/test_typed_schema.py::
+# test_raw_map_dual_addressing_predicate_and_projection.
 
 
 @query(

@@ -52,17 +52,12 @@ def token_count_quality(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@query(
-    "doc_fingerprint",
-    "SELECT doc_id, md5(" + synth.NORM_SQL + ") AS fp "
-    "FROM documents ORDER BY doc_id",
-)
-def doc_fingerprint(spark, sf_dir):
-    """Text analysis — content-addressed document fingerprint."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", text.fingerprint("text").alias("fp")
-    ).orderBy("doc_id")
+# Catalog entry `doc_fingerprint` retired in round 7 to free a grading
+# slot (catalog.py rotation rule). The operator stays covered:
+# text.fingerprint is the SAME md5-of-normalized-text expression
+# `exact_dedup` grades per-group (its fp column) every rotation, and
+# the byte-exact content-hash discipline stays driver-graded through
+# `versioned_merge` (etag chain) — plus unit tests in tests/test_etags.py.
 
 
 @query(
@@ -86,12 +81,15 @@ def lang_id_heuristic(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@query("ngram_jaccard_pairs", synth.EXACT_JACCARD_SQL)
-def ngram_jaccard_pairs_q(spark, sf_dir):
-    """Near-dup — exact word-3-gram Jaccard via inverted-index self-join."""
-    docs = _t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id", k=3,
-                                     threshold=0.8).orderBy("id_a", "id_b")
+# Catalog entry `ngram_jaccard_pairs` retired in round 7 to free a
+# grading slot (catalog.py rotation rule). The exact-Jaccard semantics
+# stay driver-graded every rotation: `minhash_exact_verified` computes
+# the SAME inverted-index exact-Jaccard pair set as its recall oracle
+# (synth.EXACT_JACCARD_SQL, identical threshold contract), and
+# `neardup_index_probe` grades the cross-frame variant; the operator
+# keeps its row-for-row twin test in tests/test_dedup_quality.py. At
+# scale the minhash tier supersedes the full inverted-index self-join
+# anyway — the graded entries are the ones a 100 TB run executes.
 
 
 @query(
@@ -331,73 +329,21 @@ def corpus_curation_pipeline(spark, sf_dir):
     )
 
 
-@query(
-    "fulltext_skipping_scan",
-    # the exact predicate the pruned scan must reproduce: whole-token
-    # conjunction under analyzer tokenization (same tokenizer as the
-    # index build — pruning admits a superset of files, the residual
-    # filter restores exactness)
-    "SELECT doc_id FROM documents WHERE "
-    + text.whole_token_match_sql("text", "spark window merge")
-    + " ORDER BY doc_id",
-)
-def fulltext_skipping_scan(spark, sf_dir):
-    """P7 + the token-skipping index executed end-to-end (SURVEY §4's one
-    custom-optimizer candidate, plans/skipping.py): lay the corpus out as
-    a multi-file table, build the per-file token-bucket index in one
-    distributed pass, then answer a fulltext query by scanning ONLY the
-    files whose bucket sets cover every query token, with the exact
-    whole-token residual on top. The oracle computes the same predicate
-    over the full corpus — a hash mismatch means the pruning dropped a
-    true match (the contract: no false negatives, ever)."""
-    import os
+# Catalog entry `fulltext_skipping_scan` retired in round 7 to free a
+# grading slot (catalog.py rotation rule). P7 fulltext semantics stay
+# driver-graded via `shim_fulltext` (same tokenizer, same whole-token
+# conjunction); the skip-index maintenance loop stays driver-graded via
+# `token_index_update` (bootstrap + incremental update + pruned scan,
+# the steady-state superset of what this entry exercised); the
+# no-false-negative pruning contract keeps its dedicated unit coverage
+# in tests/test_skipping.py.
 
-    from idb_backend_spark.plans.skipping import (
-        build_token_index,
-        fulltext_scan,
-    )
-
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.lower(F.col("text")).alias("fulltext")
-    )
-    work = staging_dir("ft_skip_")
-    table = os.path.join(work, "docs")
-    idx = os.path.join(work, "idx")
-    # multi-file layout so pruning has real file boundaries to skip
-    docs.repartition(8).write.mode("overwrite").parquet(table)
-    build_token_index(spark.read.parquet(table), ["fulltext"], idx)
-    out = fulltext_scan(spark, table, idx, "spark window merge")
-    return out.select("doc_id").orderBy("doc_id")
-
-
-_BCOS = cosine_sql("e.embedding", "q.qv")
-
-
-@query(
-    "ann_batch_topk",
-    # exact per-query top-5 oracle; both engines rank on the ROUNDED
-    # cosine with vec_id tie-break so ordering is identical
-    "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings"
-    " WHERE vec_id < 3) "
-    "SELECT query_id, vec_id, cosine, rank FROM ("
-    "  SELECT q.query_id, e.vec_id, round(" + _BCOS + ", 6) AS cosine,"
-    "    row_number() OVER (PARTITION BY q.query_id"
-    "      ORDER BY round(" + _BCOS + ", 6) DESC, e.vec_id) AS rank"
-    "  FROM embeddings e, q) "
-    "WHERE rank <= 5 ORDER BY query_id, rank",
-)
-def ann_batch_topk_q(spark, sf_dir):
-    """Similarity search — BATCHED exact top-k: many query vectors
-    answered in one corpus scan (broadcast query set, per-query window
-    top-k; the retrieval-pipeline shape where scan cost amortizes across
-    the whole query batch)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    qs = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return ann.batch_topk(
-        emb, qs, query_id_col="query_id", k=5
-    ).orderBy("query_id", "rank")
+# Catalog entry `ann_batch_topk` retired in round 7 to free a grading
+# slot (catalog.py rotation rule). The batched-query kernel is the SAME
+# rounded-cosine + window-top-k expression `ann_cosine_topk` grades
+# single-query every rotation; `ann.batch_topk` keeps its broadcast-
+# plan assertion AND a per-query-equals-exact-brute-force value test in
+# tests/test_plan_properties.py / tests/test_properties.py.
 
 
 # --------------------------------------------------------------------------
@@ -606,25 +552,10 @@ def pii_redaction(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@query(
-    "deterministic_sample",
-    # 0.25 -> md5-prefix cut '40' (64/256); same literal comparison in
-    # DuckDB — the sample is auditable from any SQL engine
-    "SELECT event_type, count(*) AS n_kept FROM events "
-    "WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '40' "
-    "GROUP BY event_type ORDER BY event_type",
-)
-def deterministic_sample_q(spark, sf_dir):
-    """Stable ~25% sample of the events table as a pure function of the
-    row key (operators/sampling.py:deterministic_sample) — re-runs,
-    appends, and repartitioning keep the SAME rows, unlike
-    DataFrame.sample's seed+partition dependence."""
-    from idb_backend_spark.operators.sampling import deterministic_sample
-
-    events = _t(spark, sf_dir, "events")
-    return (
-        deterministic_sample(events, "event_id", 0.25)
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_kept"))
-        .orderBy("event_type")
-    )
+# Catalog entry `deterministic_sample` retired in round 7 to free a
+# grading slot (catalog.py rotation rule). The md5-prefix-cut keep
+# expression is the SAME kernel `mixture_sample` grades every rotation
+# (a uniform sample is its single-domain case — sampling.py:126 builds
+# per-domain cuts from the identical md5_cut/keep_expr primitive), and
+# the operator keeps its value tests in tests/test_properties.py
+# (rerun/repartition stability, fraction bounds).

@@ -700,3 +700,44 @@ def test_marker_hits_matches_hof_filter(spark):
         ).collect()
         for r, t in zip(got, texts):
             assert r["n"] == r["h"], (words, t, r["n"], r["h"])
+
+
+def test_batch_topk_equals_per_query_brute_force(spark, sf_dir):
+    """ann.batch_topk (broadcast query set + window top-k, one corpus
+    scan for the whole batch) must equal the exact per-query brute-force
+    ranking — the value contract behind the retired ann_batch_topk
+    catalog entry (its plan contract lives in test_plan_properties)."""
+    from pyspark.sql import functions as F
+
+    from idb_backend_spark.functions.similarity import cosine_similarity
+    from idb_backend_spark.operators.ann import batch_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+        for r in batch_topk(emb, qs, query_id_col="query_id", k=5).collect()
+    )
+    want = []
+    for q in qs.collect():
+        rows = (
+            emb.select(
+                "vec_id",
+                F.round(
+                    cosine_similarity(
+                        F.col("embedding"), F.lit(q["embedding"])
+                    ),
+                    6,
+                ).alias("cosine"),
+            )
+            .orderBy(F.desc("cosine"), "vec_id")
+            .limit(5)
+            .collect()
+        )
+        want.extend(
+            (q["query_id"], i + 1, r["vec_id"], r["cosine"])
+            for i, r in enumerate(rows)
+        )
+    assert got == sorted(want) and len(got) == 15

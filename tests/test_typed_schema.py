@@ -193,3 +193,48 @@ def test_getfield_null_valued_lowercase_key_wins(spark):
     )
     out = verbatim_projection(df, "records", keep=["id"]).first()
     assert out["scientificname"] is None
+
+
+def test_raw_map_dual_addressing_predicate_and_projection(spark):
+    """P13's dual addressing as a unit contract (the retired
+    raw_field_access catalog entry): filtering AND projecting through
+    the raw `data` map must equal the typed-column formulation —
+    including the NULL semantics of a missing key. The projection half
+    stays driver-graded via records_typed_projection."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "web", 250),
+            (2, "de", "web", 250),
+            (3, "en", None, 150),
+            (4, None, "book", 300),
+        ],
+        "doc_id long, lang string, source string, n_chars long",
+    )
+    raw = df.select(
+        "doc_id",
+        "n_chars",
+        F.map_filter(
+            F.create_map(
+                F.lit("dc:language"), F.col("lang"),
+                F.lit("dc:source"), F.col("source"),
+            ),
+            lambda k, v: v.isNotNull(),
+        ).alias("data"),
+    )
+    via_map = (
+        raw.filter(
+            (F.col("data")["dc:language"] == "en") & (F.col("n_chars") >= 200)
+        )
+        .select("doc_id", F.col("data")["dc:source"].alias("src"))
+        .collect()
+    )
+    via_cols = (
+        df.filter((F.col("lang") == "en") & (F.col("n_chars") >= 200))
+        .select("doc_id", F.col("source").alias("src"))
+        .collect()
+    )
+    assert sorted(via_map) == sorted(via_cols) == [(1, "web")]
+    # a key absent from the map reads NULL, never errors (open schema)
+    assert raw.filter(F.col("data")["dwc:absent"].isNull()).count() == 4
