@@ -165,6 +165,9 @@ def _broadcast_bytes_cap(spark: SparkSession) -> int:
         for s in (suffix + "b", suffix):
             if raw.endswith(s):
                 return int(float(raw[: -len(s)])) * mult
+    # Spark also accepts a bare-bytes suffix ('10485760b')
+    if raw.endswith("b"):
+        raw = raw[:-1]
     return int(raw)
 
 

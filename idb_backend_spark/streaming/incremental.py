@@ -485,9 +485,13 @@ def neardup_gate_batch(
     # own bounded check (never reach into the index's physical layout)
     ids = batch.select(F.col(id_col).alias("id")).distinct()
     present = ni.present_ids(spark, index_path, ids)
+    # pin: the probe evaluates `fresh` more than once (its size-gate
+    # count plus the signature pass) and the accept anti-join reads it
+    # again — without the pin each consumer would re-run the replay
+    # guard's index id scan
     fresh = batch.join(
         present.select(F.col("id").alias(id_col)), id_col, "left_anti"
-    )
+    ).localCheckpoint(eager=True)
     dup_ids = (
         ni.probe_neardup_index(
             fresh, text_col, id_col, index_path, threshold=threshold

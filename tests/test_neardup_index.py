@@ -549,3 +549,25 @@ def test_compact_aborts_on_concurrent_add(spark, index_dir, monkeypatch):
         ).collect()
     }
     assert got2 == {(9, 2)}
+
+
+def test_broadcast_bytes_cap_parses_spark_size_forms(spark):
+    """Every size syntax Spark accepts for autoBroadcastJoinThreshold
+    must parse: bare int, bare-bytes 'b' suffix, k/m/g with and without
+    trailing 'b', and -1 (broadcast disabled)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    cases = [
+        ("10485760", 10485760),
+        ("10485760b", 10485760),
+        ("10m", 10 << 20),
+        ("10MB", 10 << 20),
+        ("1g", 1 << 30),
+        ("512k", 512 << 10),
+        ("-1", -1),
+    ]
+    try:
+        for raw, want in cases:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", raw)
+            assert ni._broadcast_bytes_cap(spark) == want, raw
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

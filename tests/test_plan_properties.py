@@ -484,3 +484,36 @@ def test_epoch_shuffle_is_one_range_exchange(spark):
     assert p.count("Exchange") == 1
     assert "rangepartitioning" in p
     assert "Python" not in p
+
+
+def test_cms_heavy_hitters_all_joins_broadcast_no_python(spark, sf_dir):
+    """The graded heavy-hitter plan: the candidate filter must ride
+    broadcast joins of the tiny counter frame (never a sort-merge join
+    that would shuffle the probed rows per depth) with no Python stage
+    and no cartesian product — the map-side-drop design the 10x-flat
+    scale probe measured (SCALING.md)."""
+    from idb_backend_spark.operators import sketches
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = plan_str(sketches.cms_heavy_hitters(li, "l_partkey", 45), "simple")
+    assert p.count("BroadcastHashJoin") == 4  # one per depth row
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+
+def test_nb_and_lm_scoring_stay_native(spark, sf_dir):
+    """The model-based quality filters (hashed NB, bigram LM) must be
+    pure JVM plans — model joins + hash aggregates, zero Python stages
+    (the tokenizer, the hash, and the log-likelihood fold are all
+    native expressions)."""
+    from idb_backend_spark.operators import classifier, lm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df in (
+        classifier.nb_quality_score(docs, F.col("lang") == "en"),
+        lm.bigram_lm_score(docs),
+    ):
+        p = plan_str(df, "simple")
+        assert "EvalPython" not in p
+        assert "CartesianProduct" not in p
