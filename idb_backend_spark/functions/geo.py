@@ -65,6 +65,60 @@ DATUM_ALIASES = {
     "DHDN": "POTSDAM",
     "DEUTSCHESHAUPTDREIECKSNETZ": "POTSDAM",
     "GREEKGEODETICREFERENCESYSTEM1987": "GGRS87",
+    # EPSG geographic-2D codes for the datums above — the reference's
+    # second resolution path (conversions.py:440-443 feeds the raw
+    # string to CRS.from_user_input, which accepts 'EPSG:4267' and bare
+    # '4267'); the code->datum pairs are the public EPSG registry.
+    # Keys are mangle_string()-normalized, so 'EPSG:4267' arrives as
+    # 'EPSG4267'; the bare numeric form is included because pyproj
+    # accepts it too. ITRF-aligned codes resolve to IDENTITY_DATUMS
+    # members (no shift), matching the reference's no-op transform.
+    "EPSG4326": "WGS84",
+    "4326": "WGS84",
+    "EPSG4322": "WGS72",
+    "4322": "WGS72",
+    "EPSG4269": "NAD83",
+    "4269": "NAD83",
+    "EPSG4267": "NAD27",
+    "4267": "NAD27",
+    "EPSG4230": "ED50",
+    "4230": "ED50",
+    "EPSG4301": "TOKYO",
+    "4301": "TOKYO",
+    "EPSG4202": "AGD66",
+    "4202": "AGD66",
+    "EPSG4203": "AGD84",
+    "4203": "AGD84",
+    "EPSG4618": "SAD69",
+    "4618": "SAD69",
+    "EPSG4277": "OSGB36",
+    "4277": "OSGB36",
+    "EPSG4299": "IRE65",
+    "4299": "IRE65",
+    "EPSG4272": "NZGD49",
+    "4272": "NZGD49",
+    "EPSG4284": "PULKOVO42",
+    "4284": "PULKOVO42",
+    "EPSG4222": "CAPE",
+    "4222": "CAPE",
+    "EPSG4209": "ARC1950",
+    "4209": "ARC1950",
+    "EPSG4223": "CARTHAGE",
+    "4223": "CARTHAGE",
+    "EPSG4314": "POTSDAM",
+    "4314": "POTSDAM",
+    "EPSG4312": "HERMANNSKOGEL",
+    "4312": "HERMANNSKOGEL",
+    "EPSG4121": "GGRS87",
+    "4121": "GGRS87",
+    "EPSG4283": "GDA94",
+    "4283": "GDA94",
+    "EPSG4258": "ETRS89",
+    "4258": "ETRS89",
+    "EPSG4612": "JGD2000",
+    "4612": "JGD2000",
+    "EPSG4674": "SIRGAS2000",
+    "4674": "SIRGAS2000",
 }
 
 # --------------------------------------------------------------------------
