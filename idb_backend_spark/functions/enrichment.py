@@ -234,12 +234,15 @@ def access_uri(
 
 def media_type(format_col: Column) -> tuple[Column, Column]:
     """(format, mediatype): normalized format string and its storage bucket
-    (conversions.py:725-738; idb/helpers/media_validation.py buckets)."""
+    (conversions.py:725-738; idb/helpers/media_validation.py buckets).
+    An unrecognized format buckets to NULL — try_element_at, because
+    ANSI mode makes a plain map access THROW on a missing key (the
+    normalize_datum_expr hazard), and provider formats are open-world."""
     fmt = F.lower(F.trim(format_col))
     mapping = F.create_map(
         *[F.lit(x) for kv in _FORMAT_BUCKETS.items() for x in kv]
     )
-    return fmt, mapping[fmt]
+    return fmt, F.try_element_at(mapping, fmt)
 
 
 # --------------------------------------------------------------------------

@@ -144,10 +144,14 @@ def record_identifiers(
     """Candidate identifier array in the reference's precedence order:
     dwc:occurrenceID (namespaced ``<rsid>\\<value>``), idigbio:recordId
     (verbatim), bare ``id`` (namespaced). Nulls drop out; downstream
-    probing is J9 (identity_match)."""
+    probing is J9 (identity_match). Each candidate goes through
+    munge_identifier — the reference's mungeid BOM strip + trim
+    (db_check.py:44-45,:60-61; CSV exports with a UTF-8 BOM leak it
+    into the first column's values) plus the case fold this engine's
+    identity matching is keyed on."""
+    from idb_backend_spark.functions.enrichment import munge_identifier
 
-    def norm(c: Column) -> Column:
-        return F.lower(F.trim(c))
+    norm = munge_identifier
 
     ns = lambda c: F.when(  # noqa: E731
         c.isNotNull(), F.concat(rsid, F.lit("\\"), norm(c))

@@ -39,11 +39,17 @@ def fold_flags(*flag_cols: Column) -> Column:
 
 
 def standard_coord_flags(lat: Column, lon: Column) -> list[Column]:
-    """The declarative coordinate flags (conversions.py:235-261):
-    `0_coord` (both zero) and `similar_coord` (|lat| == |lon|)."""
+    """The declarative geopoint flags of the reference's setFlags table
+    (conversions.py:235-246, emitted as ``<key>_<flag>`` by :255-261):
+    ``geopoint_0_coord`` when EITHER coordinate is zero (x[0] == 0 OR
+    x[1] == 0 — a lone zero is the classic missing-value sentinel) and
+    ``geopoint_similar_coord`` when |lat| == |lon| (sign-flip /
+    transposition suspects). setFlags runs on the FINAL geopoint, so
+    callers pass the post-datum-shift coordinates; NULL coordinates
+    yield no flag, matching the reference's None guard (:257)."""
     return [
-        flag_when("0_coord", (lat == 0) & (lon == 0)),
-        flag_when("similar_coord", F.abs(lat) == F.abs(lon)),
+        flag_when("geopoint_0_coord", (lat == 0) | (lon == 0)),
+        flag_when("geopoint_similar_coord", F.abs(lat) == F.abs(lon)),
     ]
 
 

@@ -473,21 +473,68 @@ def date_fallback_assembly(spark, sf_dir):
     ).orderBy("o_orderkey")
 
 
+#: media_type's graded inputs: every bucket key plus one unknown format
+#: (sorted for determinism); the oracle CASE is GENERATED from the same
+#: _FORMAT_BUCKETS dict, so engine and oracle update in lockstep.
+_MEDIA_FMTS = sorted(E._FORMAT_BUCKETS) + ["application/x-unknown"]
+
+
+def _media_precedence_oracle() -> str:
+    n = len(_MEDIA_FMTS)
+    fmt_arms = " ".join(
+        f"WHEN {i} THEN '{f}'" for i, f in enumerate(_MEDIA_FMTS)
+    )
+    bucket_arms = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in sorted(E._FORMAT_BUCKETS.items())
+    )
+    return (
+        "WITH g AS (SELECT p_partkey, "
+        "  CASE WHEN p_partkey % 4 = 0 THEN 'http://a/' || CAST(p_partkey AS VARCHAR(32)) END AS au, "
+        "  CASE WHEN p_partkey % 3 = 0 THEN 'http://b/' || CAST(p_partkey AS VARCHAR(32)) END AS bq, "
+        "  'http://dct/' || CAST(p_partkey AS VARCHAR(32)) AS dct, "
+        "  'http://dc/' || CAST(p_partkey AS VARCHAR(32)) AS dc, "
+        "  p_partkey % 2 = 0 AS has_ac, "
+        f"  CASE CAST(p_partkey % {n} AS INT) {fmt_arms} END AS fmt0 FROM part), "
+        "g2 AS (SELECT *, CASE WHEN has_ac THEN '  ' || upper(fmt0) "
+        "  ELSE fmt0 END AS fmt_raw FROM g), "
+        "g3 AS (SELECT *, lower(trim(fmt_raw)) AS format FROM g2) "
+        "SELECT p_partkey, coalesce(au, bq, "
+        "CASE WHEN NOT has_ac THEN coalesce(dct, dc) END) AS accessuri, "
+        f"format, CASE format {bucket_arms} END AS mediatype "
+        "FROM g3 ORDER BY p_partkey"
+    )
+
+
 @query(
     "media_url_precedence",
-    "WITH g AS (SELECT p_partkey, "
-    "  CASE WHEN p_partkey % 4 = 0 THEN 'http://a/' || CAST(p_partkey AS VARCHAR(32)) END AS au, "
-    "  CASE WHEN p_partkey % 3 = 0 THEN 'http://b/' || CAST(p_partkey AS VARCHAR(32)) END AS bq, "
-    "  'http://dct/' || CAST(p_partkey AS VARCHAR(32)) AS dct, "
-    "  'http://dc/' || CAST(p_partkey AS VARCHAR(32)) AS dc, "
-    "  p_partkey % 2 = 0 AS has_ac FROM part) "
-    "SELECT p_partkey, coalesce(au, bq, "
-    "CASE WHEN NOT has_ac THEN coalesce(dct, dc) END) AS accessuri "
-    "FROM g ORDER BY p_partkey",
+    _media_precedence_oracle(),
 )
 def media_url_precedence(spark, sf_dir):
-    """F11 — media URL selection precedence incl. the any-ac:-key guard."""
+    """F11 complete — media URL selection precedence incl. the
+    any-ac:-key guard, PLUS dc:format normalization and its storage
+    bucket (media_type; conversions.py:711-738): the raw format cycles
+    through every known bucket key plus one unknown, in mixed case with
+    padding, so the lower/trim fold, the whole bucket table, and the
+    unknown->NULL arm are all value-hashed."""
     pk = F.col("p_partkey")
+    fmts = _MEDIA_FMTS
+    fmt_raw = F.when(
+        pk % 2 == 0,
+        F.concat(
+            F.lit("  "),
+            F.upper(
+                F.element_at(
+                    F.array(*[F.lit(x) for x in fmts]),
+                    (pk % len(fmts)).cast("int") + 1,
+                )
+            ),
+        ),
+    ).otherwise(
+        F.element_at(
+            F.array(*[F.lit(x) for x in fmts]),
+            (pk % len(fmts)).cast("int") + 1,
+        )
+    )
     g = (
         _t(spark, sf_dir, "part")
         .withColumn(
@@ -500,11 +547,14 @@ def media_url_precedence(spark, sf_dir):
         .withColumn("dc", F.concat(F.lit("http://dc/"), pk.cast("string")))
         .withColumn("has_ac", pk % 2 == 0)
     )
+    fmt, bucket = E.media_type(fmt_raw)
     return g.select(
         "p_partkey",
         E.access_uri(
             F.col("au"), F.col("bq"), F.col("dct"), F.col("dc"), F.col("has_ac")
         ).alias("accessuri"),
+        fmt.alias("format"),
+        bucket.alias("mediatype"),
     ).orderBy("p_partkey")
 
 

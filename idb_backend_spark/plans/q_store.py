@@ -200,7 +200,8 @@ def _etl_oracle_sql() -> str:
 
     nflags = " + ".join(
         f"CASE WHEN {c} IS NOT NULL THEN 1 ELSE 0 END"
-        for c in ["f1", "f2", "f3", "datum_flag", "f5", "f6", "f7", "f8", "f9"]
+        for c in ["f1", "f2", "f3", "datum_flag", "f4a", "f4b", "f5", "f6",
+                  "f7", "f8", "f9"]
     )
     score = " + ".join(
         f"CAST({c} IS NOT NULL AS INT)"
@@ -210,8 +211,11 @@ def _etl_oracle_sql() -> str:
     return (
         "WITH src AS (SELECT "
         "  l_orderkey * 10 + l_linenumber AS rowid, "
-        "  CAST((l_partkey % 160) - 80 AS VARCHAR(32)) || '.125' AS lat_s, "
-        "  CAST((l_suppkey % 360) - 180 AS VARCHAR(32)) || '.25' AS lon_s, "
+        "  CASE WHEN l_orderkey % 13 = 9 THEN '0.0' ELSE "
+        "    CAST((l_partkey % 160) - 80 AS VARCHAR(32)) || '.125' END AS lat_s, "
+        "  CASE WHEN l_orderkey % 13 = 10 THEN "
+        "    CAST(-((l_partkey % 160) - 80) AS VARCHAR(32)) || '.125' ELSE "
+        "    CAST((l_suppkey % 360) - 180 AS VARCHAR(32)) || '.25' END AS lon_s, "
         "  l_shipdate AS eventdate, l_quantity AS qty, "
         "  l_linenumber % 5 AS bm, l_linenumber % 4 AS rm, "
         "  l_linenumber % 3 AS lm, "
@@ -258,10 +262,16 @@ def _etl_oracle_sql() -> str:
         "  CASE WHEN rm = 1 THEN 'dwc_taxonrank_replaced' END AS f8, "
         "  CASE WHEN rm = 2 THEN 'dwc_taxonrank_removed' END AS f9 "
         "  FROM mgs), "
-        f"ff AS (SELECT *, ({nflags}) AS nflags FROM e) "
+        # setFlags geopoint flags run on the FINAL (shifted, rounded)
+        # geopoint, reference conversions.py:235-246 + :255-261
+        "e2 AS (SELECT *, "
+        "  CASE WHEN lat_f = 0 OR lon_f = 0 THEN 'geopoint_0_coord' END AS f4a, "
+        "  CASE WHEN abs(lat_f) = abs(lon_f) THEN 'geopoint_similar_coord' END AS f4b "
+        "  FROM e), "
+        f"ff AS (SELECT *, ({nflags}) AS nflags FROM e2) "
         "SELECT rowid, lat_f AS lat, lon_f AS lon, datecollected, "
         "minelevation, elev_f, basisofrecord, taxonrank, license, "
-        "concat_ws('|', f1, f2, f3, datum_flag, f5, f6, f7, f8, f9) AS flags, "
+        "concat_ws('|', f1, f2, f3, datum_flag, f4a, f4b, f5, f6, f7, f8, f9) AS flags, "
         f"round(greatest(({score} - nflags) / 6.0, 0), 6) AS dqs "
         "FROM ff ORDER BY rowid"
     )
@@ -283,9 +293,13 @@ def etl_enrichment_pipeline(spark, sf_dir):
     comparison against the reference's 750 rec/s/core figure comes from
     bench.py timing of this query at sf0.1 (~600k rows).
     """
-    from idb_backend_spark.functions.flags import dqs_score, fold_flags
+    from idb_backend_spark.functions.flags import (
+        dqs_score,
+        fold_flags,
+        standard_coord_flags,
+    )
     from idb_backend_spark.functions.grabbers import (
-        grab_first_number,
+        float_grabber,
         int_grabber,
     )
 
@@ -297,9 +311,28 @@ def etl_enrichment_pipeline(spark, sf_dir):
     # synthesized verbatim fields (the reference reads these from raw DwC)
     raw = li.select(
         lk.alias("rowid"),
-        F.concat((F.col("l_partkey") % 160 - 80).cast("string"), F.lit(".125"))
+        # l_orderkey % 13 plants zero-lat rows (9) and
+        # abs-equal lat/lon rows (10) so the setFlags geopoint flags
+        # below actually fire on graded data
+        F.when(F.col("l_orderkey") % 13 == 9, F.lit("0.0"))
+        .otherwise(
+            F.concat(
+                (F.col("l_partkey") % 160 - 80).cast("string"), F.lit(".125")
+            )
+        )
         .alias("lat_s"),
-        F.concat((F.col("l_suppkey") % 360 - 180).cast("string"), F.lit(".25"))
+        F.when(
+            F.col("l_orderkey") % 13 == 10,
+            F.concat(
+                (-(F.col("l_partkey") % 160 - 80)).cast("string"),
+                F.lit(".125"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                (F.col("l_suppkey") % 360 - 180).cast("string"), F.lit(".25")
+            )
+        )
         .alias("lon_s"),
         F.col("l_shipdate").alias("eventdate"),
         F.year("l_shipdate").cast("string").alias("year_s"),
@@ -353,13 +386,18 @@ def etl_enrichment_pipeline(spark, sf_dir):
         F.col("lon_wgs84").alias("lon"),
         dc.alias("datecollected"),
         int_grabber("elev_s").alias("minelevation"),
-        grab_first_number("elev_s").alias("elev_f"),
+        float_grabber("elev_s").alias("elev_f"),
         bor["value"].alias("basisofrecord"),
         rank["value"].alias("taxonrank"),
         E.license_lookup(F.col("rights_s")).alias("license"),
         fold_flags(
             F.col("__flag_pre_flip"), F.col("__flag_bounds"),
             F.col("__flag_low_precision"), F.col("datum_flag"),
+            # setFlags geopoint flags on the FINAL (shifted, rounded)
+            # geopoint — F17 parity, conversions.py:235-246
+            *standard_coord_flags(
+                F.round(F.col("lat_wgs84"), 6), F.round(F.col("lon_wgs84"), 6)
+            ),
             E.date_bounds_flag(dc), bor["flag_removed"], bor["flag_invalid"],
             rank["flag_replaced"], rank["flag_removed"],
         ).alias("flags"),
@@ -471,10 +509,13 @@ def media_presence_flags_q(spark, sf_dir):
     "identifier_extraction",
     # F23 — precedence-ordered candidate identifiers, namespaced + folded.
     # Pipe-joined (not a raw array): the driver hasher can't sort arrays.
+    # The BOM strip mirrors munge_identifier (reference mungeid) so both
+    # sides stay in lockstep even on BOM-poisoned inputs.
     "SELECT o_orderkey, array_to_string(["
     "'rs' || CAST(o_custkey % 10 AS VARCHAR(32)) || '\\' || "
-    "lower(trim('URN:CAT:' || CAST(o_orderkey AS VARCHAR(32)))), "
-    "lower(trim(o_orderpriority))"
+    "lower(trim(replace('URN:CAT:' || CAST(o_orderkey AS VARCHAR(32)), "
+    "chr(65279), ''))), "
+    "lower(trim(replace(o_orderpriority, chr(65279), '')))"
     "], '|') AS ids FROM orders ORDER BY o_orderkey",
 )
 def identifier_extraction(spark, sf_dir):

@@ -277,17 +277,23 @@ class DwcaArchive:
                     df = df.filter(~cond)
         else:
             df = reader.csv(path)
+        # every value read from a member is NUL-stripped, like the
+        # reference strips each row dict before any processing
+        # (db_check.py:170-179, :253 — NUL bytes leak from upstream DB
+        # dumps and poison downstream storage/JSON)
+        from idb_backend_spark.functions.enrichment import strip_nuls
+
         cols = []
         if desc.id_index is not None:
             cols.append(
-                F.col(f"_c{desc.id_index}").alias(
+                strip_nuls(F.col(f"_c{desc.id_index}")).alias(
                     "coreid" if desc.id_is_coreid else "id"
                 )
             )
         for idx in sorted(desc.term_by_index):
             if idx == desc.id_index and desc.term_by_index[idx] in ("id", "coreid"):
                 continue
-            src = F.col(f"_c{idx}")
+            src = strip_nuls(F.col(f"_c{idx}"))
             term = desc.term_by_index[idx]
             d_val = desc.defaults.get(term)
             if d_val is not None:

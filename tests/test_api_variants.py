@@ -1,0 +1,164 @@
+"""Value tests for the alternate-input API variants — each must agree
+with its primary-form sibling (the graded path), so the variant surface
+can never drift from the semantics the driver certifies."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_float_grabber_is_grab_first_number(spark):
+    from idb_backend_spark.functions.grabbers import (
+        float_grabber,
+        grab_first_number,
+    )
+
+    df = spark.createDataFrame(
+        [("12.5 m",), ("1,200 ft",), ("none",), (None,)], "s string"
+    )
+    got = df.select(
+        float_grabber("s").alias("f"), grab_first_number("s").alias("g")
+    ).collect()
+    assert [(r["f"], r["g"]) for r in got] == [
+        (12.5, 12.5), (1200.0, 1200.0), (None, None), (None, None)
+    ]
+
+
+def test_getfield_list_folds_elementwise_like_getfield(spark):
+    from idb_backend_spark.functions.grabbers import getfield, getfield_list
+
+    df = spark.createDataFrame(
+        [(["  A ", "b", " C"],)], "xs array<string>"
+    ).withColumn("x", F.explode("xs"))
+    via_list = df.select(getfield_list("xs").alias("v")).first()["v"]
+    via_scalar = [r["v"] for r in df.select(getfield("x").alias("v")).collect()]
+    assert via_list == via_scalar == ["a", "b", "c"]
+
+
+def test_lang_scores_map_agrees_with_lang_id_argmax(spark):
+    from idb_backend_spark.functions.text import lang_id, lang_scores
+
+    df = spark.createDataFrame(
+        [
+            ("the quick fox and the dog of the north",),
+            ("der schnelle fuchs und der hund",),
+            ("",),
+            (None,),
+        ],
+        "text string",
+    )
+    rows = df.select(
+        lang_scores("text").alias("m"), lang_id("text").alias("pred")
+    ).collect()
+    for r in rows:
+        m = r["m"]
+        best = max(m.values())
+        if best <= 0:
+            assert r["pred"] == "und"
+        else:
+            # argmax with tie-break by language code ascending
+            assert r["pred"] == min(k for k, v in m.items() if v == best)
+    # NULL text keeps the legacy -1 sentinel in every map slot
+    assert set(rows[3]["m"].values()) == {-1}
+
+
+def test_stopword_ratio_from_tokens_matches_text_form(spark):
+    from idb_backend_spark.functions.text import (
+        stopword_ratio,
+        stopword_ratio_from_tokens,
+        tokens,
+    )
+
+    df = spark.createDataFrame(
+        [("the cat and the hat",), ("xyzzy plugh",), ("",)], "text string"
+    )
+    got = df.select(
+        stopword_ratio("text").alias("a"),
+        stopword_ratio_from_tokens(tokens("text")).alias("b"),
+    ).collect()
+    for r in got:
+        assert abs(r["a"] - r["b"]) < 1e-12
+
+
+def test_char_ngrams_golden(spark):
+    from idb_backend_spark.functions.text import char_ngrams
+
+    df = spark.createDataFrame([("AbAbA",), ("ab",)], "text string")
+    got = [
+        sorted(r["g"])
+        for r in df.select(char_ngrams("text", n=3).alias("g")).collect()
+    ]
+    # normalized 'ababa' -> trigrams {aba, bab}; short text -> one
+    # (truncated) gram, never an empty sequence
+    assert got[0] == ["aba", "bab"]
+    assert got[1] == ["ab"]
+
+
+def test_with_flags_folds_like_fold_flags(spark):
+    from idb_backend_spark.functions.flags import (
+        flag_when,
+        fold_flags,
+        with_flags,
+    )
+
+    df = spark.createDataFrame([(1, 0), (0, 0)], "a int, b int")
+    f1 = flag_when("a_set", F.col("a") == 1)
+    f2 = flag_when("b_set", F.col("b") == 1)
+    via_wrapper = [
+        r["flags"] for r in with_flags(df, f1, f2).orderBy("a").collect()
+    ]
+    via_fold = [
+        r["flags"]
+        for r in df.select(fold_flags(f1, f2).alias("flags"))
+        .orderBy(F.col("flags").cast("string"))
+        .collect()
+    ]
+    assert sorted(map(tuple, via_wrapper)) == sorted(map(tuple, via_fold))
+    assert via_wrapper[1] == ["a_set"] and via_wrapper[0] == []
+
+
+def test_standard_coord_flags_reference_semantics(spark):
+    """conversions.py:235-246 — geopoint_0_coord fires when EITHER
+    coordinate is zero; geopoint_similar_coord when |lat| == |lon|;
+    NULL coordinates yield no flag (the setFlags None guard)."""
+    from idb_backend_spark.functions.flags import (
+        fold_flags,
+        standard_coord_flags,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 0.0, 10.0),
+            (2, 10.0, 0.0),
+            (3, 0.0, 0.0),
+            (4, -12.5, 12.5),
+            (5, 3.0, 4.0),
+            (6, None, 4.0),
+        ],
+        "i int, lat double, lon double",
+    )
+    got = {
+        r["i"]: list(r["flags"])
+        for r in df.select(
+            "i",
+            fold_flags(
+                *standard_coord_flags(F.col("lat"), F.col("lon"))
+            ).alias("flags"),
+        ).collect()
+    }
+    assert got[1] == ["geopoint_0_coord"]
+    assert got[2] == ["geopoint_0_coord"]
+    assert got[3] == ["geopoint_0_coord", "geopoint_similar_coord"]
+    assert got[4] == ["geopoint_similar_coord"]
+    assert got[5] == []
+    assert got[6] == []
+
+
+def test_box_ring_closes_counterclockwise_rectangle():
+    from idb_backend_spark.functions.geo import _ring_contains, box_ring
+
+    ring = box_ring(-10.0, -5.0, 10.0, 5.0)
+    assert len(ring) == 4
+    assert _ring_contains(ring, 0.0, 0.0)
+    assert not _ring_contains(ring, 11.0, 0.0)
+    assert not _ring_contains(ring, 0.0, 6.0)
