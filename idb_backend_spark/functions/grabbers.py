@@ -59,12 +59,28 @@ def float_grabber(c: Column | str) -> Column:
     return grab_first_number(c)
 
 
+#: a string decimal.Decimal() accepts (sign, int/frac digits, optional
+#: exponent) — the reference's getExponent returns 0 for anything else
+#: (its bare except); shared with the SQL twin (synth.decimal_exponent_sql)
+DECIMAL_RE = r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$"
+
+
 def decimal_exponent(verbatim: Column | str) -> Column:
-    """F5 — number of decimal places in the verbatim coordinate string
-    (conversions.py:246-251); <=2 decimals triggers the low-precision flag.
-    """
+    """F5 — the verbatim coordinate's decimal exponent, exactly the
+    reference's ``-1 * Decimal(s).as_tuple().exponent``
+    (conversions.py:246-251): fractional digits MINUS any scientific-
+    notation exponent, so '1.5e-3' reads 4 (precision to the 4th place)
+    and '1E2' reads -2 — not just a count of digits after the dot.
+    Unparseable strings (incl. NaN/Infinity, whose tuple exponent is
+    non-numeric) return 0, mirroring the bare except. <=2 triggers the
+    low-precision flag."""
     c = F.col(verbatim) if isinstance(verbatim, str) else verbatim
-    return F.length(F.regexp_extract(c.cast("string"), r"\.(\d+)", 1))
+    s = F.trim(c.cast("string"))
+    frac = F.length(F.regexp_extract(s, r"\.(\d+)", 1))
+    e_raw = F.regexp_extract(s, r"[eE]([+-]?\d+)$", 1)
+    # when-guard, not a bare cast: ANSI mode throws casting '' to int
+    e_val = F.when(e_raw != "", e_raw.cast("int")).otherwise(F.lit(0))
+    return F.when(s.rlike(DECIMAL_RE), frac - e_val).otherwise(F.lit(0))
 
 
 def grab_first_uuid(c: Column | str) -> Column:

@@ -18,6 +18,7 @@ from idb_backend_spark.functions import grabbers, text  # noqa: F401
 from idb_backend_spark.plans import synth
 from idb_backend_spark.plans.registry import _t, _t_spread, query
 from idb_backend_spark.query.shim import compile_shim, shim_to_sql  # noqa: F401
+from idb_backend_spark.plans.synth import decimal_exponent_sql
 from idb_backend_spark.plans.synth import GEO_LAT as _GEO_LAT
 from idb_backend_spark.plans.synth import GEO_LON as _GEO_LON
 
@@ -142,8 +143,8 @@ _LON_S = (
     f"{_LAT_S} AS lat_s, {_LON_S} AS lon_s FROM customer), "
     "p AS (SELECT c_custkey, lat_s, lon_s, "
     "  CAST(lat_s AS DOUBLE) AS lat0, CAST(lon_s AS DOUBLE) AS lon0, "
-    "  length(regexp_extract(lat_s, '\\.(\\d+)', 1)) AS latexp, "
-    "  length(regexp_extract(lon_s, '\\.(\\d+)', 1)) AS lonexp FROM g), "
+    "  " + decimal_exponent_sql("lat_s") + " AS latexp, "
+    "  " + decimal_exponent_sql("lon_s") + " AS lonexp FROM g), "
     "f AS (SELECT *, ((lat0 >= -180 AND lat0 < -90) OR (lat0 > 90 AND lat0 <= 180))"
     "  AND lon0 BETWEEN -90 AND 90 AS flip FROM p), "
     "v AS (SELECT c_custkey, latexp, lonexp, flip, "

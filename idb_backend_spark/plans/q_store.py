@@ -194,6 +194,7 @@ def _etl_oracle_sql() -> str:
     from idb_backend_spark.plans.synth import (
         MOLODENSKY_LAT_SQL,
         MOLODENSKY_LON_SQL,
+        decimal_exponent_sql,
         molodensky_cte_chain,
         molodensky_flag_sql,
     )
@@ -224,8 +225,8 @@ def _etl_oracle_sql() -> str:
         "  FROM lineitem), "
         "geo AS (SELECT *, CAST(lat_s AS DOUBLE) AS lat0, "
         "  CAST(lon_s AS DOUBLE) AS lon0, "
-        "  length(regexp_extract(lat_s, '\\.(\\d+)', 1)) AS latexp, "
-        "  length(regexp_extract(lon_s, '\\.(\\d+)', 1)) AS lonexp FROM src), "
+        "  " + decimal_exponent_sql("lat_s") + " AS latexp, "
+        "  " + decimal_exponent_sql("lon_s") + " AS lonexp FROM src), "
         "gf AS (SELECT *, ((lat0 >= -180 AND lat0 < -90) OR (lat0 > 90 AND lat0 <= 180))"
         "  AND lon0 BETWEEN -90 AND 90 AS flip FROM geo), "
         "gv AS (SELECT *, CASE WHEN flip THEN lon0 ELSE lat0 END AS lat1, "

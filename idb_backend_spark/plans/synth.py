@@ -261,3 +261,20 @@ def split_case_sql(
             arms.append(f"WHEN {h} < '{cut:02x}' THEN '{lbl}'")
     final = labels[-1].replace("'", "''")
     return "CASE " + " ".join(arms) + f" ELSE '{final}' END"
+
+
+def decimal_exponent_sql(col: str) -> str:
+    """DuckDB twin of grabbers.decimal_exponent — the reference's
+    ``-1 * Decimal(s).as_tuple().exponent`` (conversions.py:246-251):
+    fractional-digit count minus any scientific exponent; 0 for
+    anything Decimal() would reject. Kept here so every oracle that
+    replicates the low-precision flag derives the exponent the same
+    way the engine does."""
+    t = f"trim({col})"
+    return (
+        f"CASE WHEN regexp_matches({t}, "
+        "'^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$') THEN "
+        f"length(regexp_extract({t}, '\\.([0-9]+)', 1)) - "
+        f"coalesce(try_cast(regexp_extract({t}, '[eE]([+-]?[0-9]+)$', 1) "
+        "AS INT), 0) ELSE 0 END"
+    )

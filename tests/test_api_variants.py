@@ -162,3 +162,53 @@ def test_box_ring_closes_counterclockwise_rectangle():
     assert _ring_contains(ring, 0.0, 0.0)
     assert not _ring_contains(ring, 11.0, 0.0)
     assert not _ring_contains(ring, 0.0, 6.0)
+
+
+def test_decimal_exponent_matches_reference_getexponent(spark):
+    """F5 parity battery: the native expression must equal the
+    reference's -1 * Decimal(s).as_tuple().exponent (incl. scientific
+    notation and the bare-except 0 for unparseable/NaN inputs), and the
+    DuckDB twin must equal both."""
+    import decimal
+
+    import duckdb
+
+    from idb_backend_spark.functions.grabbers import decimal_exponent
+    from idb_backend_spark.plans.synth import decimal_exponent_sql
+
+    def ref(fs):
+        try:
+            return -1 * decimal.Decimal(fs).as_tuple().exponent
+        except Exception:
+            return 0
+
+    cases = [
+        "12.125", "5.10", "5.", ".5", "5", "150", "0.0",
+        "1.5e-3", "1E2", "2e+1", "-3.25E-2",
+        "abc", "1.23 m", "NaN", "Infinity", "", "  7.25  ",
+    ]
+    want = []
+    for s in cases:
+        try:
+            r = -1 * decimal.Decimal(s).as_tuple().exponent
+            if not isinstance(r, int):
+                r = 0
+        except Exception:
+            r = 0
+        want.append(r)
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = [
+        r["e"]
+        for r in df.select(decimal_exponent("s").alias("e")).collect()
+    ]
+    assert got == want, list(zip(cases, got, want))
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t(s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(c,) for c in cases])
+    twin = [
+        r[0]
+        for r in con.sql(
+            f"SELECT {decimal_exponent_sql('s')} FROM t"
+        ).fetchall()
+    ]
+    assert twin == want, list(zip(cases, twin, want))
