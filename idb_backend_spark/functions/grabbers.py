@@ -50,8 +50,16 @@ def grab_first_number(c: Column | str) -> Column:
 
 
 def int_grabber(c: Column | str) -> Column:
-    """F4 — integer coercion via first-number grab (conversions.py:334-356)."""
-    return grab_first_number(c).cast("long")
+    """F4 — integer coercion via first-number grab (conversions.py:359-394).
+    The reference converts the grabbed token with ``locale.atoi``, which
+    REJECTS a fractional token ('12.5' raises -> the field stays None)
+    rather than truncating it — so only integral tokens (thousands
+    separators allowed, en_US locale) coerce; everything else is NULL."""
+    c = F.col(c) if isinstance(c, str) else c
+    tok = F.translate(
+        F.regexp_extract(c.cast("string"), FIRST_NUMBER_RE, 1), ",", ""
+    )
+    return F.when(tok.rlike(r"^[+-]?\d+$"), tok.cast("long"))
 
 
 def float_grabber(c: Column | str) -> Column:

@@ -218,6 +218,7 @@ def _etl_oracle_sql() -> str:
         "    CAST(-((l_partkey % 160) - 80) AS VARCHAR(32)) || '.125' ELSE "
         "    CAST((l_suppkey % 360) - 180 AS VARCHAR(32)) || '.25' END AS lon_s, "
         "  l_shipdate AS eventdate, l_quantity AS qty, "
+        "  l_orderkey % 13 AS ok13, "
         "  l_linenumber % 5 AS bm, l_linenumber % 4 AS rm, "
         "  l_linenumber % 3 AS lm, "
         "  CASE l_linenumber % 6 WHEN 0 THEN 'NAD27' WHEN 1 THEN 'WGS 72' "
@@ -246,8 +247,13 @@ def _etl_oracle_sql() -> str:
         "  CASE WHEN lat IS NOT NULL AND lon IS NOT NULL THEN "
         f"({molodensky_flag_sql()}) END AS datum_flag, "
         "  eventdate AS datecollected, "
-        "  CAST(qty AS BIGINT) AS minelevation, "
-        "  CAST(qty AS DOUBLE) AS elev_f, "
+        # intGrabber is locale.atoi: a fractional elevation token ("23.5 m",
+        # planted on ok13=11 rows) raises there, so minelevation stays
+        # NULL — never a truncation to 23
+        "  CASE WHEN ok13 = 11 THEN NULL ELSE CAST(qty AS BIGINT) END "
+        "    AS minelevation, "
+        "  CASE WHEN ok13 = 11 THEN qty + 0.5 ELSE CAST(qty AS DOUBLE) END "
+        "    AS elev_f, "
         "  CASE bm WHEN 0 THEN 'preservedspecimen' WHEN 1 THEN 'fossilspecimen' "
         "    WHEN 2 THEN 'machineobservation' END AS basisofrecord, "
         "  CASE rm WHEN 0 THEN 'species' WHEN 1 THEN 'species' END AS taxonrank, "
@@ -338,7 +344,19 @@ def etl_enrichment_pipeline(spark, sf_dir):
         F.col("l_shipdate").alias("eventdate"),
         F.year("l_shipdate").cast("string").alias("year_s"),
         F.month("l_shipdate").cast("string").alias("month_s"),
-        F.concat(F.col("l_quantity").cast("string"), F.lit(" m")).alias("elev_s"),
+        # integral rendering ("23 m", not the double's "23.0 m") so the
+        # locale.atoi-faithful int_grabber coerces it; ok13=11 rows go
+        # fractional ("23.5 m") to exercise the atoi-reject path
+        F.when(
+            F.col("l_orderkey") % 13 == 11,
+            F.concat((F.col("l_quantity") + 0.5).cast("string"), F.lit(" m")),
+        )
+        .otherwise(
+            F.concat(
+                F.col("l_quantity").cast("bigint").cast("string"), F.lit(" m")
+            )
+        )
+        .alias("elev_s"),
         F.expr(
             "CASE l_linenumber % 5 WHEN 0 THEN 'PreservedSpecimen' "
             "WHEN 1 THEN 'fossil' WHEN 2 THEN 'machine observation' "

@@ -212,3 +212,17 @@ def test_decimal_exponent_matches_reference_getexponent(spark):
         ).fetchall()
     ]
     assert twin == want, list(zip(cases, twin, want))
+
+
+def test_int_grabber_rejects_fractional_like_locale_atoi(spark):
+    """F4 parity: the reference converts with locale.atoi, which raises
+    on a fractional token (the field stays None) instead of truncating;
+    thousands separators (en_US) still coerce."""
+    from idb_backend_spark.functions.grabbers import int_grabber
+
+    df = spark.createDataFrame(
+        [("12 m",), ("12.5 m",), ("1,200 ft",), ("-7",), ("abc",), (None,)],
+        "s string",
+    )
+    got = [r["v"] for r in df.select(int_grabber("s").alias("v")).collect()]
+    assert got == [12, None, 1200, -7, None, None]
