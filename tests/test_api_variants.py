@@ -186,12 +186,15 @@ def test_decimal_exponent_matches_reference_getexponent(spark):
         "12.125", "5.10", "5.", ".5", "5", "150", "0.0",
         "1.5e-3", "1E2", "2e+1", "-3.25E-2",
         "abc", "1.23 m", "NaN", "Infinity", "", "  7.25  ",
+        # absurd exponent: engine and twin both fold the int overflow to
+        # 0 (documented divergence from Decimal's astronomical integer)
+        "1e99999999999",
     ]
     want = []
     for s in cases:
         try:
             r = -1 * decimal.Decimal(s).as_tuple().exponent
-            if not isinstance(r, int):
+            if not isinstance(r, int) or abs(r) > 2**31:
                 r = 0
         except Exception:
             r = 0
