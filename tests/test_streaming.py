@@ -494,3 +494,69 @@ def test_neardup_gate_crash_between_store_and_index_recovers(
     )
     inc.neardup_gate_batch(near, idx, acc)  # near-dup of 7 -> dropped
     assert {r["doc_id"] for r in inc.read_accepted(spark, acc).collect()} == {7}
+
+
+def test_neardup_gate_survives_mid_stream_compaction(spark, tmp_path):
+    """The maintenance loop closed end-to-end: gate a batch, COMPACT the
+    index between micro-batches (writer stopped — the single-writer
+    contract), then gate another batch against the compacted index. The
+    compacted index must still drop near-dups of pre-compaction docs,
+    accept novel ones, and replay-guard pre-compaction ids."""
+    from idb_backend_spark.operators import neardup_index as ni
+
+    idx = str(tmp_path / "ndidx")
+    acc = str(tmp_path / "accepted")
+    doc_schema = "doc_id long, text string"
+    ni.build_neardup_index(
+        spark.createDataFrame([], doc_schema), "text", "doc_id", idx
+    )
+    inc.neardup_gate_batch(
+        spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog tonight"),
+                (2, "completely different second document body entirely"),
+            ],
+            doc_schema,
+        ),
+        idx,
+        acc,
+    )
+    rows_path = idx.rstrip("/") + "/rows"
+    files_before = len(spark.read.parquet(rows_path).inputFiles())
+    ni.compact_neardup_index(spark, idx)
+    spark.catalog.refreshByPath(rows_path)
+    assert len(spark.read.parquet(rows_path).inputFiles()) <= files_before
+
+    inc.neardup_gate_batch(
+        spark.createDataFrame(
+            [
+                # near-dup of pre-compaction doc 1 -> dropped
+                (10, "the quick brown fox jumps over the lazy cat tonight"),
+                # replay of a pre-compaction id -> dropped
+                (1, "the quick brown fox jumps over the lazy dog tonight"),
+                # novel -> accepted and indexed
+                (11, "an entirely novel post compaction document body"),
+            ],
+            doc_schema,
+        ),
+        idx,
+        acc,
+    )
+    assert {
+        r["doc_id"] for r in inc.read_accepted(spark, acc).collect()
+    } == {1, 2, 11}
+    # the post-compaction accept joined the index too
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in ni.probe_neardup_index(
+            spark.createDataFrame(
+                [(20, "an entirely novel post compaction document text")],
+                doc_schema,
+            ),
+            "text",
+            "doc_id",
+            idx,
+            threshold=0.5,
+        ).collect()
+    }
+    assert got == {(20, 11)}
