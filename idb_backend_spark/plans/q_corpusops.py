@@ -35,6 +35,10 @@ the driver's oracle gate:
   certified against their exact twins in the same aggregate; the oracle
   pins the exact values and the always-TRUE within-bound contract, so
   the slot fails iff a sketch ever leaves its advertised error bound.
+* ``perceptual_neardup`` — T35's first oracle (verdict r6 task 3):
+  planted byte-identical blobs through image_phash and the shared
+  pigeonhole Hamming kernel at radius 0, graded against the
+  blob-equality pair set.
 
 Scale notes are on each operator (operators/sketches.py, sampling.py,
 dedup.py, neardup_index.py, classifier.py, lm.py): nothing here
