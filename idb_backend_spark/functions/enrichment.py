@@ -89,22 +89,33 @@ def date_fallback(
     eventdate: Column, year: Column, month: Column, day: Column,
     startdayofyear: Column | None = None,
 ) -> Column:
-    """Assemble datecollected from parts when the eventDate parse failed:
-    year+month+day → date; year+startDayOfYear → Jan 1 + (n-1) days;
-    year+month → first of month; year → Jan 1 (conversions.py:604-624).
+    """Assemble datecollected from parts when the eventDate parse failed,
+    with EXACTLY the reference's branch nesting (conversions.py:604-624):
 
-    The chain dispatches on part PRESENCE, not parse success — an invalid
-    assembled date (year=2000, month=2, day=31) yields NULL rather than
-    cascading to the year+month arm. Deliberate reference parity: the
-    reference wraps the whole assembly in one try/except, so an invalid
-    day aborts it entirely (conversions.py:610-624)."""
-    y = year.cast("int")
-    m = month.cast("int")
-    d = day.cast("int")
-    sdoy = startdayofyear.cast("int") if startdayofyear is not None else F.lit(None)
+        month present:  day -> y-m-d; else startDayOfYear -> Jan 1 +
+                        (n-1) days; else first of month
+        month missing:  Jan 1 (startDayOfYear is IGNORED without a
+                        month — the reference's else-arm parses the bare
+                        year and never looks at it)
+
+    The chain dispatches on part PRESENCE (the raw strings), not parse
+    success — an invalid part (year=2000, month=2, day=31; or a
+    fractional startDayOfYear, which locale.atoi rejects) yields NULL
+    rather than cascading to a later arm, because the reference wraps
+    the whole assembly in one try/except. All coercions are try_cast /
+    try_to_date: a garbage part must yield NULL, never an ANSI runtime
+    error that kills the query (numeric parts only — dateutil's
+    month-NAME leniency is a documented non-goal of the native path)."""
+    y = year.try_cast("int")
+    m = month.try_cast("int")
+    d = day.try_cast("int")
+    s_raw = startdayofyear if startdayofyear is not None else F.lit(None)
+    sdoy = s_raw.try_cast("int")
 
     def mkdate(yy: Column, mm: Column, dd: Column) -> Column:
-        # try_to_date: null on invalid parts even under ANSI mode
+        # try_to_date: null on invalid parts even under ANSI mode; a
+        # try_cast-nulled part drops out of concat_ws and the malformed
+        # string fails the pattern -> NULL, the reference's abort
         return F.try_to_date(
             F.concat_ws(
                 "-", yy.cast("string"), mm.cast("string"), dd.cast("string")
@@ -112,15 +123,14 @@ def date_fallback(
             "y-M-d",
         )
 
+    jan1 = mkdate(y, F.lit(1), F.lit(1))
     from_parts = F.when(
-        m.isNotNull() & d.isNotNull(), mkdate(y, m, d)
-    ).when(
-        m.isNull() & sdoy.isNotNull(),
-        F.date_add(mkdate(y, F.lit(1), F.lit(1)), sdoy - 1),
-    ).when(
-        m.isNotNull(), mkdate(y, m, F.lit(1))
-    ).otherwise(mkdate(y, F.lit(1), F.lit(1)))
-    return F.coalesce(eventdate, F.when(y.isNotNull(), from_parts))
+        month.isNotNull(),
+        F.when(day.isNotNull(), mkdate(y, m, d))
+        .when(s_raw.isNotNull(), F.date_add(jan1, sdoy - 1))
+        .otherwise(mkdate(y, m, F.lit(1))),
+    ).otherwise(jan1)
+    return F.coalesce(eventdate, F.when(year.isNotNull(), from_parts))
 
 
 def date_bounds_flag(

@@ -439,9 +439,12 @@ def genbank_accessions_q(spark, sf_dir):
     "  CASE WHEN o_orderkey % 3 = 1 THEN day(o_orderdate) END AS d, "
     "  CASE WHEN o_orderkey % 2 = 0 THEN dayofyear(o_orderdate) END AS sdoy "
     "  FROM orders) "
+    # reference branch nesting (conversions.py:604-624): startDayOfYear
+    # only applies when a MONTH is present and the day is not; without a
+    # month the bare year parses to Jan 1 and sdoy is ignored
     "SELECT o_orderkey, CASE WHEN ed IS NOT NULL THEN ed "
     "WHEN m IS NOT NULL AND d IS NOT NULL THEN make_date(y, m, d) "
-    "WHEN m IS NULL AND sdoy IS NOT NULL THEN make_date(y, 1, 1) + CAST(sdoy - 1 AS INTEGER) "
+    "WHEN m IS NOT NULL AND sdoy IS NOT NULL THEN make_date(y, 1, 1) + CAST(sdoy - 1 AS INTEGER) "
     "WHEN m IS NOT NULL THEN make_date(y, m, 1) "
     "ELSE make_date(y, 1, 1) END AS datecollected "
     "FROM g ORDER BY o_orderkey",

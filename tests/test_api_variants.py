@@ -229,3 +229,41 @@ def test_int_grabber_rejects_fractional_like_locale_atoi(spark):
     )
     got = [r["v"] for r in df.select(int_grabber("s").alias("v")).collect()]
     assert got == [12, None, 1200, -7, None, None]
+
+
+def test_date_fallback_reference_branch_nesting(spark):
+    """conversions.py:604-624 — startDayOfYear applies ONLY when a month
+    is present and the day is not; without a month the bare year parses
+    to Jan 1 and sdoy is ignored; garbage parts yield NULL (the single
+    try/except abort), never an ANSI runtime error."""
+    from idb_backend_spark.functions.enrichment import date_fallback
+
+    rows = [
+        # (id, eventdate, y, m, d, sdoy, expected)
+        (1, "2020-05-06", "1999", "2", "3", "40", "2020-05-06"),  # eventdate wins
+        (2, None, "1999", "2", "3", "40", "1999-02-03"),          # day wins
+        (3, None, "1999", "2", None, "40", "1999-02-09"),         # sdoy (month present)
+        (4, None, "1999", None, None, "40", "1999-01-01"),        # sdoy IGNORED (no month)
+        (5, None, "1999", "2", None, None, "1999-02-01"),         # first of month
+        (6, None, "1999", None, None, None, "1999-01-01"),        # bare year
+        (7, None, "1999", "2", "31", None, None),                 # invalid day aborts
+        (8, None, "1999", "2", None, "40.5", None),               # atoi rejects -> abort
+        (9, None, "19x9", "2", "3", None, None),                  # garbage year -> NULL
+        (10, None, None, "2", "3", None, None),                   # no year -> NULL
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id int, ed string, y string, m string, d string, sdoy string, want string",
+    ).withColumn("ed", F.to_date("ed"))
+    got = {
+        r["id"]: (str(r["dc"]) if r["dc"] is not None else None, r["want"])
+        for r in df.select(
+            "id",
+            "want",
+            date_fallback(
+                F.col("ed"), F.col("y"), F.col("m"), F.col("d"), F.col("sdoy")
+            ).alias("dc"),
+        ).collect()
+    }
+    for i, (dc, want) in got.items():
+        assert dc == want, (i, dc, want)
