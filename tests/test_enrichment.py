@@ -99,10 +99,14 @@ def test_date_fallback(spark):
         # eventdate wins when present
         Row(i=0, ed=datetime.date(1999, 9, 9), y="2000", m="5", d="17", sdoy=None),
         Row(i=1, ed=None, y="2000", m="5", d="17", sdoy=None),
-        Row(i=2, ed=None, y="2000", m=None, d=None, sdoy="32"),  # Feb 1
+        # sdoy applies only WITH a month (reference nesting,
+        # conversions.py:604-624): month present + no day -> Feb 1
+        Row(i=2, ed=None, y="2000", m="1", d=None, sdoy="32"),  # Feb 1
         Row(i=3, ed=None, y="2000", m="5", d=None, sdoy=None),
         Row(i=4, ed=None, y="2000", m=None, d=None, sdoy=None),
         Row(i=5, ed=None, y=None, m=None, d=None, sdoy=None),
+        # without a month, sdoy is IGNORED — the bare year parses Jan 1
+        Row(i=6, ed=None, y="2000", m=None, d=None, sdoy="32"),
     ]
     df = spark.createDataFrame(rows)
     out = (
@@ -122,6 +126,7 @@ def test_date_fallback(spark):
         datetime.date(2000, 5, 1),
         datetime.date(2000, 1, 1),
         None,
+        datetime.date(2000, 1, 1),
     ]
     assert [r.dc for r in out] == expected
 
