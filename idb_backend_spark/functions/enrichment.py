@@ -245,9 +245,10 @@ def access_uri(
 def media_type(format_col: Column) -> tuple[Column, Column]:
     """(format, mediatype): normalized format string and its storage bucket
     (conversions.py:725-738; idb/helpers/media_validation.py buckets).
-    An unrecognized format buckets to NULL — try_element_at, because
-    ANSI mode makes a plain map access THROW on a missing key (the
-    normalize_datum_expr hazard), and provider formats are open-world."""
+    An unrecognized format buckets to NULL — spelled try_element_at to
+    make the missing-key->NULL contract explicit (provider formats are
+    open-world; a plain map access happens to return NULL too, but the
+    explicit form doesn't depend on that)."""
     fmt = F.lower(F.trim(format_col))
     mapping = F.create_map(
         *[F.lit(x) for kv in _FORMAT_BUCKETS.items() for x in kv]

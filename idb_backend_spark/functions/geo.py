@@ -402,7 +402,9 @@ def normalize_datum_expr(datum_raw: Column) -> Column:
     pairs = []
     for verbose, short in sorted(DATUM_ALIASES.items()):
         pairs.extend([F.lit(verbose), F.lit(short)])
-    # try_element_at: ANSI mode makes plain element_at throw on missing keys
+    # try_element_at spells the missing-key->NULL contract explicitly
+    # (map element_at/GetMapValue return NULL for missing keys on this
+    # Spark regardless of ANSI; only out-of-bounds ARRAY indexes throw)
     return F.coalesce(F.try_element_at(F.create_map(*pairs), mangled), mangled)
 
 
