@@ -109,3 +109,33 @@ def genbank_accessions(c: Column | str) -> Column:
     findall over associatedSequences (conversions.py:838-853)."""
     c = F.col(c) if isinstance(c, str) else c
     return F.regexp_extract_all(c, F.lit(r"([a-zA-Z]{1,2}-?_?\d{5,6})"), 1)
+
+
+def collect_common_names(
+    vernacular: Column,
+    gbif_vernacular: Column | None = None,
+    vernacular_lowerkey: Column | None = None,
+) -> Column:
+    """F15 — ``commonnames`` assembly (conversions.py:818-835), the
+    derived-list sibling of ``genbank_accessions``: the verbatim
+    ``dwc:vernacularName`` value (RAW — collect_common_names reads the
+    dict directly, unlike getfield there is no lower/trim fold) seeds
+    the list. The reference's gbif loop then appends the value of the
+    LOWERCASE-keyed ``dwc:vernacularname`` once per ``gbif:
+    vernacularname`` entry — reproduced faithfully via
+    ``vernacular_lowerkey`` (pass the lowercase key's value; with
+    publishers writing the canonical mixed-case CURIE that key is
+    absent and the loop contributes nothing, which is exactly what the
+    reference computes). Result is never NULL: a record with no
+    vernacular name gets an empty list, like the reference's ``[]``."""
+    empty = F.array().cast("array<string>")
+    base = F.when(vernacular.isNotNull(), F.array(vernacular)).otherwise(
+        empty
+    )
+    if gbif_vernacular is None or vernacular_lowerkey is None:
+        return base
+    per_entry = F.when(
+        vernacular_lowerkey.isNotNull() & gbif_vernacular.isNotNull(),
+        F.transform(gbif_vernacular, lambda _x: vernacular_lowerkey),
+    ).otherwise(empty)
+    return F.concat(base, per_entry)

@@ -267,3 +267,42 @@ def test_date_fallback_reference_branch_nesting(spark):
     }
     for i, (dc, want) in got.items():
         assert dc == want, (i, dc, want)
+
+
+def test_collect_common_names_reference_quirks(spark):
+    """F15 commonnames (conversions.py:818-835): the verbatim
+    dwc:vernacularName seeds the list RAW (no case fold); the gbif loop
+    appends the LOWERCASE-keyed value once per gbif entry (the
+    reference's exact behavior — normally a no-op because publishers
+    write the mixed-case CURIE); no names -> empty list, never NULL."""
+    from idb_backend_spark.functions.grabbers import collect_common_names
+
+    df = spark.createDataFrame(
+        [
+            (1, "Red Fox", None, None),
+            (2, None, None, None),
+            (3, "Red Fox", ["a", "b"], None),      # gbif list, no lower key
+            (4, "Red Fox", ["a", "b"], "red fox"),  # lower key present
+        ],
+        "i int, vn string, gbif array<string>, vn_lower string",
+    )
+    got = {
+        r["i"]: list(r["cns"])
+        for r in df.select(
+            "i",
+            collect_common_names(
+                F.col("vn"), F.col("gbif"), F.col("vn_lower")
+            ).alias("cns"),
+        ).collect()
+    }
+    assert got[1] == ["Red Fox"]
+    assert got[2] == []
+    assert got[3] == ["Red Fox"]
+    assert got[4] == ["Red Fox", "red fox", "red fox"]
+    # the two-arg form (no gbif plumbing) is the common projection
+    two = df.select(
+        collect_common_names(F.col("vn")).alias("cns")
+    ).collect()
+    assert [list(r["cns"]) for r in two] == [
+        ["Red Fox"], [], ["Red Fox"], ["Red Fox"]
+    ]
