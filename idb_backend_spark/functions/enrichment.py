@@ -261,15 +261,20 @@ def media_type(format_col: Column) -> tuple[Column, Column]:
 # Substring rules in reference order; invalid → null + flags.
 # --------------------------------------------------------------------------
 
-BOR_RULES: list[tuple[str, str]] = [
-    ("preserved", "preservedspecimen"),
-    ("fossil", "fossilspecimen"),
-    ("living", "livingspecimen"),
-    ("material", "materialsample"),
-    ("specimen", "preservedspecimen"),
-    # "machine"+"observation" handled explicitly below before "observation"
-    ("observation", "humanobservation"),
-    ("occurrence", "occurrence"),
+#: (needle-or-needles, canonical value) in the reference's EXACT elif
+#: order (conversions.py:871-887): the machine+observation compound sits
+#: between "specimen" and "observation" — NOT first. Order is
+#: observable: "machine observation of a preserved specimen" hits
+#: "preserved" before the compound and reads preservedspecimen.
+BOR_RULES: list[tuple[tuple[str, ...], str]] = [
+    (("preserved",), "preservedspecimen"),
+    (("fossil",), "fossilspecimen"),
+    (("living",), "livingspecimen"),
+    (("material",), "materialsample"),
+    (("specimen",), "preservedspecimen"),
+    (("machine", "observation"), "machineobservation"),
+    (("observation",), "humanobservation"),
+    (("occurrence",), "occurrence"),
 ]
 
 
@@ -278,12 +283,14 @@ def fix_basis_of_record(bor: Column) -> dict[str, Column]:
     reference's rule order, including the machine+observation special case."""
     v = getfield(bor)
     filled = v.isNotNull() & (v != "")
-    expr = F.when(
-        v.contains("machine") & v.contains("observation"),
-        F.lit("machineobservation"),
-    )
-    for needle, out in BOR_RULES:
-        expr = expr.when(v.contains(needle), F.lit(out))
+    expr = None
+    for needles, out in BOR_RULES:
+        cond = v.contains(needles[0])
+        for n in needles[1:]:
+            cond = cond & v.contains(n)
+        expr = F.when(cond, F.lit(out)) if expr is None else expr.when(
+            cond, F.lit(out)
+        )
     matched = expr  # else: NULL
     value = F.when(filled, matched)
     removed = filled & matched.isNull()

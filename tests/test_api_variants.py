@@ -306,3 +306,32 @@ def test_collect_common_names_reference_quirks(spark):
     assert [list(r["cns"]) for r in two] == [
         ["Red Fox"], [], ["Red Fox"], ["Red Fox"]
     ]
+
+
+def test_bor_rule_order_matches_reference_elif_chain(spark):
+    """conversions.py:871-887 — the needle checks run in the reference's
+    elif order, with the machine+observation compound BETWEEN 'specimen'
+    and 'observation': a value containing several needles resolves to
+    the FIRST one, not the compound."""
+    from idb_backend_spark.functions.enrichment import fix_basis_of_record
+
+    df = spark.createDataFrame(
+        [
+            (1, "machine observation of a preserved specimen"),
+            (2, "MachineObservation"),
+            (3, "machine-made record"),   # machine w/o observation -> no match
+            (4, "observation"),
+            (5, "fossil machine observation"),
+        ],
+        "i int, bor string",
+    )
+    out = fix_basis_of_record(F.col("bor"))
+    got = {
+        r["i"]: r["v"]
+        for r in df.select("i", out["value"].alias("v")).collect()
+    }
+    assert got[1] == "preservedspecimen"   # 'preserved' wins over compound
+    assert got[2] == "machineobservation"
+    assert got[3] is None                  # removed (no rule matched)
+    assert got[4] == "humanobservation"
+    assert got[5] == "fossilspecimen"      # 'fossil' precedes the compound
