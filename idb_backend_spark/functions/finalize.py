@@ -69,27 +69,24 @@ def wkt_point(wkt: Column) -> Column:
 
 def wkt_polygon_ring(wkt: Column) -> Column:
     """Outer ring of ``POLYGON ((x y, x y, ...))`` / first ring of a
-    MULTIPOLYGON (or a bare ``x y, x y`` coordinate list — the
-    reference's fallback, conversions.py:783-797) ->
-    array<struct(lon, lat)>.
+    MULTIPOLYGON (or the reference's bare fallback: a comma-separated
+    FLAT float list ``x,y,x,y,...`` — conversions.py:783-790 splits the
+    whole string on commas, float()s every token, and zips evens with
+    odds) -> array<struct(lon, lat)>.
 
     The word boundary on POLYGON stops the regex matching INSIDE
     'MULTIPOLYGON' (which used to eat the extra paren and drop the first
-    vertex), and the bare-list fallback applies only to letter-free
-    strings — a LINESTRING or other non-polygon WKT yields null rather
-    than a corrupt ring assembled from its coordinate tail (the
-    reference's fallback likewise rejects anything whose comma tokens
-    are not pure numbers)."""
+    vertex). The bare fallback applies only to letter-free strings and
+    requires every token numeric, an even count, and >= 3 pairs — a
+    2-pair list aborts in the reference too (shapely's LinearRing needs
+    3 coordinates, and the bare except flags it invalid); anything else
+    (a LINESTRING, a token that float() rejects) yields null, never a
+    corrupt ring assembled from a coordinate tail."""
     inner = F.regexp_extract(wkt, r"(?i)\bPOLYGON\s*\(\s*\(([^)]*)\)", 1)
     multi = F.regexp_extract(
         wkt, r"(?i)\bMULTIPOLYGON\s*\(\s*\(\s*\(([^)]*)\)", 1
     )
-    bare = F.when(~wkt.rlike("[A-Za-z]"), wkt)
-    body = (
-        F.when(inner != "", inner)
-        .when(multi != "", multi)
-        .otherwise(bare)
-    )
+    body = F.when(inner != "", inner).when(multi != "", multi)
     pairs = F.split(F.trim(body), r"\s*,\s*")
     ring = F.transform(
         pairs,
@@ -109,9 +106,29 @@ def wkt_polygon_ring(wkt: Column) -> Column:
     # rejected (null) — silently dropping just the malformed vertex
     # would emit a syntactically-valid but geometrically WRONG ring to
     # downstream containment, where the reference rejects the shape
-    return F.when(
+    from_wkt = F.when(
         (F.size(valid) >= 3) & (F.size(valid) == F.size(pairs)), valid
     )
+    # reference bare fallback: flat comma-separated floats, evens = x/lon
+    toks = F.split(F.trim(F.when(~wkt.rlike("[A-Za-z()]"), wkt)), r"\s*,\s*")
+    nums = F.transform(toks, lambda t: t.try_cast("double"))
+    n = F.size(nums)
+    bare_ok = (
+        (n >= 6)
+        & (n % 2 == 0)
+        & (F.size(F.filter(nums, lambda x: x.isNotNull())) == n)
+    )
+    from_bare = F.when(
+        bare_ok,
+        F.transform(
+            F.sequence(F.lit(0), (n / 2).cast("int") - 1),
+            lambda i: F.struct(
+                F.element_at(nums, (i * 2 + 1).cast("int")).alias("lon"),
+                F.element_at(nums, (i * 2 + 2).cast("int")).alias("lat"),
+            ),
+        ),
+    )
+    return F.coalesce(from_wkt, from_bare)
 
 
 def point_radius(geopoint: Column, uncertainty_m: Column) -> Column:

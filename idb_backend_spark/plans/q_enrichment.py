@@ -309,7 +309,7 @@ def name_crossfill(spark, sf_dir):
 _WKT_S = (
     "CASE s_suppkey % 5 WHEN 0 THEN 'POINT (-81.2 29.6)' "
     "WHEN 1 THEN 'polygon ((0 0, 10 0, 10 10, 0 0))' "
-    "WHEN 2 THEN '1 1, 2 2, 3 1' "
+    "WHEN 2 THEN '1,1,2,2,3,1' "
     "WHEN 3 THEN 'LINESTRING (0 0, 1 1)' ELSE NULL END"
 )
 

@@ -53,7 +53,7 @@ def test_wkt_point_and_polygon(spark):
         [
             Row(i=0, wkt="POINT (-82.32 29.65)"),
             Row(i=1, wkt="polygon ((0 0, 10 0, 10 10, 0 10, 0 0))"),
-            Row(i=2, wkt="0 0, 10 0, 5 10"),  # bare coordinate list fallback
+            Row(i=2, wkt="0,0,10,0,5,10"),  # bare flat-float-list fallback
             Row(i=3, wkt="LINESTRING (0 0, 1 1)"),
         ]
     )
@@ -125,3 +125,29 @@ def test_finalize_index_document(spark):
     assert out["a"]["dc_iso"] == "2020-05-17"
     assert out["b"]["geopoint"] is None
     assert out["b"]["note"] == "keep"
+
+
+def test_wkt_bare_fallback_reference_dialect(spark):
+    """conversions.py:783-790 — the bare fallback splits the WHOLE
+    string on commas, float()s every token, zips evens with odds:
+    the pair dialect ('0 0, 10 0') is NOT accepted (float('0 0')
+    raises there), an odd count is invalid, and a 2-pair list aborts
+    (LinearRing needs 3 coordinates)."""
+    df = spark.createDataFrame(
+        [
+            Row(i=0, wkt="0,0,10,0,5,10"),
+            Row(i=1, wkt="0 0, 10 0, 5 10"),   # pair dialect -> rejected
+            Row(i=2, wkt="1,2,3"),             # odd count -> rejected
+            Row(i=3, wkt="1,1,2,2"),           # 2 pairs -> rejected
+            Row(i=4, wkt="1,x,2,2,3,3"),       # non-float token -> rejected
+        ]
+    )
+    out = (
+        df.select("i", fin.wkt_polygon_ring(F.col("wkt")).alias("ring"))
+        .orderBy("i")
+        .collect()
+    )
+    assert [(p["lon"], p["lat"]) for p in out[0]["ring"]] == [
+        (0.0, 0.0), (10.0, 0.0), (5.0, 10.0)
+    ]
+    assert all(out[i]["ring"] is None for i in (1, 2, 3, 4))
