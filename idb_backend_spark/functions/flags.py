@@ -59,7 +59,10 @@ def dqs_score(
     """A8/F18 — data-quality score (conversions.py:264-271).
 
     scored_fields maps column name -> include_in_score weight (0/1 in the
-    reference's schema table, conversions.py:35-188).
+    reference's schema table, conversions.py:35-188). NOT clamped at
+    zero: the reference returns the raw (present-weights - n_flags) /
+    maxscore, so a sparse record with many flags scores NEGATIVE — a
+    real, rankable signal the consumers sort on.
     """
     present = [
         F.col(name).isNotNull().cast("int") * F.lit(w)
@@ -67,8 +70,7 @@ def dqs_score(
         if w
     ]
     total = sum(present[1:], present[0]) if present else F.lit(0)
-    raw = (total - F.size(flags_col)) / F.lit(float(maxscore))
-    return F.greatest(raw, F.lit(0.0))
+    return (total - F.size(flags_col)) / F.lit(float(maxscore))
 
 
 def dqs_score_for(

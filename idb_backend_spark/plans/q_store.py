@@ -279,7 +279,7 @@ def _etl_oracle_sql() -> str:
         "SELECT rowid, lat_f AS lat, lon_f AS lon, datecollected, "
         "minelevation, elev_f, basisofrecord, taxonrank, license, "
         "concat_ws('|', f1, f2, f3, datum_flag, f4a, f4b, f5, f6, f7, f8, f9) AS flags, "
-        f"round(greatest(({score} - nflags) / 6.0, 0), 6) AS dqs "
+        f"round(({score} - nflags) / 6.0, 6) AS dqs "
         "FROM ff ORDER BY rowid"
     )
 
