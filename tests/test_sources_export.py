@@ -380,8 +380,9 @@ def test_wkt_rejects_malformed_vertices_and_multipoint(spark):
         [
             (1, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
             (2, "POLYGON ((0 0, 1 0, 1 1, bogus, 0 0))"),
-            (3, "0 0, 1 0, 1 1"),
-            (4, "0 0, 1 0, 1.2.3 4"),
+            # bare fallback = the reference's FLAT comma-float dialect
+            (3, "0,0,1,0,1,1"),
+            (4, "0,0,1,0,1.2.3,4"),
             (5, "MULTIPOINT (10 40)"),
             (6, "POINT (10 40)"),
         ],
