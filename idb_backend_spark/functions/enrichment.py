@@ -223,13 +223,22 @@ def license_attributes(tag: str) -> dict[str, str]:
 # F11 — media URL precedence + media type (conversions.py:711-738)
 # --------------------------------------------------------------------------
 
+#: EXACTLY the reference's default_buckets + mime_aliases
+#: (idb/helpers/media_validation.py:18-29): only mimes the reference can
+#: route to a storage bucket map; everything else — including common
+#: image mimes like png — yields mediatype None there, and the bucket
+#: for video is the reference's SINGULAR 'video'. A wider invented
+#: table here would bucket media the reference refuses.
 _FORMAT_BUCKETS = {
-    "image/jpeg": "images", "image/png": "images", "image/gif": "images",
-    "image/tiff": "images", "image/jp2": "images", "image/bmp": "images",
-    "audio/mpeg": "sounds", "audio/wav": "sounds", "audio/x-wav": "sounds",
-    "audio/ogg": "sounds", "video/mp4": "videos", "video/quicktime": "videos",
-    "text/html": "debugfile", "application/pdf": "debugfile",
+    "image/jpeg": "images",
+    "image/jp2": "images",
+    "audio/mpeg": "sounds",
+    "video/mpeg": "video",
+    "video/mp4": "video",
+    "model/mesh": "models",
 }
+
+_MIME_ALIASES = {"audio/mpeg3": "audio/mpeg"}
 
 
 def access_uri(
@@ -244,16 +253,22 @@ def access_uri(
 
 def media_type(format_col: Column) -> tuple[Column, Column]:
     """(format, mediatype): normalized format string and its storage bucket
-    (conversions.py:725-738; idb/helpers/media_validation.py buckets).
-    An unrecognized format buckets to NULL — spelled try_element_at to
-    make the missing-key->NULL contract explicit (provider formats are
-    open-world; a plain map access happens to return NULL too, but the
-    explicit form doesn't depend on that)."""
+    (conversions.py:725-738 -> media_validation.get_default_bucket:32-34):
+    lower/trim, resolve mime aliases (audio/mpeg3 -> audio/mpeg), look up
+    default_buckets. The returned ``format`` is the normalized ORIGINAL
+    (aliases apply only to the bucket lookup, like the reference). An
+    unrecognized format buckets to NULL — spelled try_element_at to make
+    the missing-key->NULL contract explicit (provider formats are
+    open-world)."""
     fmt = F.lower(F.trim(format_col))
+    alias_map = F.create_map(
+        *[F.lit(x) for kv in _MIME_ALIASES.items() for x in kv]
+    )
+    aliased = F.coalesce(F.try_element_at(alias_map, fmt), fmt)
     mapping = F.create_map(
         *[F.lit(x) for kv in _FORMAT_BUCKETS.items() for x in kv]
     )
-    return fmt, F.try_element_at(mapping, fmt)
+    return fmt, F.try_element_at(mapping, aliased)
 
 
 # --------------------------------------------------------------------------

@@ -477,16 +477,26 @@ def date_fallback_assembly(spark, sf_dir):
     ).orderBy("o_orderkey")
 
 
-#: media_type's graded inputs: every bucket key plus one unknown format
-#: (sorted for determinism); the oracle CASE is GENERATED from the same
-#: _FORMAT_BUCKETS dict, so engine and oracle update in lockstep.
-_MEDIA_FMTS = sorted(E._FORMAT_BUCKETS) + ["application/x-unknown"]
+#: media_type's graded inputs: every bucket key, every mime alias, a
+#: common-but-unroutable mime (png — the reference's default_buckets has
+#: no entry, so mediatype must be NULL), and one unknown format (sorted
+#: dict keys for determinism); the oracle CASEs are GENERATED from the
+#: same _FORMAT_BUCKETS/_MIME_ALIASES dicts, so engine and oracle update
+#: in lockstep.
+_MEDIA_FMTS = (
+    sorted(E._FORMAT_BUCKETS)
+    + sorted(E._MIME_ALIASES)
+    + ["image/png", "application/x-unknown"]
+)
 
 
 def _media_precedence_oracle() -> str:
     n = len(_MEDIA_FMTS)
     fmt_arms = " ".join(
         f"WHEN {i} THEN '{f}'" for i, f in enumerate(_MEDIA_FMTS)
+    )
+    alias_arms = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in sorted(E._MIME_ALIASES.items())
     )
     bucket_arms = " ".join(
         f"WHEN '{k}' THEN '{v}'" for k, v in sorted(E._FORMAT_BUCKETS.items())
@@ -501,11 +511,14 @@ def _media_precedence_oracle() -> str:
         f"  CASE CAST(p_partkey % {n} AS INT) {fmt_arms} END AS fmt0 FROM part), "
         "g2 AS (SELECT *, CASE WHEN has_ac THEN '  ' || upper(fmt0) "
         "  ELSE fmt0 END AS fmt_raw FROM g), "
-        "g3 AS (SELECT *, lower(trim(fmt_raw)) AS format FROM g2) "
+        "g3 AS (SELECT *, lower(trim(fmt_raw)) AS format FROM g2), "
+        # aliases apply to the BUCKET lookup only; format stays original
+        f"g4 AS (SELECT *, CASE format {alias_arms} ELSE format END "
+        "  AS fmt_aliased FROM g3) "
         "SELECT p_partkey, coalesce(au, bq, "
         "CASE WHEN NOT has_ac THEN coalesce(dct, dc) END) AS accessuri, "
-        f"format, CASE format {bucket_arms} END AS mediatype "
-        "FROM g3 ORDER BY p_partkey"
+        f"format, CASE fmt_aliased {bucket_arms} END AS mediatype "
+        "FROM g4 ORDER BY p_partkey"
     )
 
 
