@@ -48,7 +48,14 @@ except ImportError:  # pragma: no cover - exercised where pillow absent
 WIDTHS = {"thumbnail": 260, "webview": 600}
 DTYPES = ("thumbnail", "fullsize", "webview")
 
-#: magic-byte prefixes -> (mime, bucket) (media_validation.py sniff table)
+#: magic-byte prefixes -> (mime, suggested bucket). The MIME detection
+#: replaces the reference's libmagic sniff (media_validation.py:70-83,
+#: env-gated there too); the bucket column is this engine's routing
+#: convenience using the reference's bucket NAMES (valid_buckets,
+#: media_validation.py:7-16 — 'video' singular; mimes outside
+#: default_buckets route to the sniffed family's bucket so a harvest
+#: can still sort them, unlike the stricter enrichment-side
+#: media_type/default_buckets lookup which yields NULL there).
 _MAGIC: list[tuple[bytes, str, str]] = [
     (b"\xff\xd8\xff", "image/jpeg", "images"),
     (b"\x89PNG\r\n\x1a\n", "image/png", "images"),
@@ -62,8 +69,9 @@ _MAGIC: list[tuple[bytes, str, str]] = [
     (b"%PDF", "application/pdf", "debugfile"),
 ]
 
-#: media buckets (media_validation.py get_default_bucket)
-BUCKETS = ("images", "sounds", "videos", "debugfile")
+#: media buckets this sniffer emits (subset of the reference's
+#: valid_buckets, media_validation.py:7-16)
+BUCKETS = ("images", "sounds", "video", "debugfile")
 
 
 def sniff_mime(head: bytes | None) -> tuple[str | None, str | None]:
@@ -78,9 +86,9 @@ def sniff_mime(head: bytes | None) -> tuple[str | None, str | None]:
         if head[8:12] == b"WAVE":
             return "audio/x-wav", "sounds"
         if head[8:12] == b"AVI ":
-            return "video/x-msvideo", "videos"
+            return "video/x-msvideo", "video"
     if len(head) >= 12 and head[4:8] == b"ftyp":
-        return "video/mp4", "videos"
+        return "video/mp4", "video"
     return None, None
 
 

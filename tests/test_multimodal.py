@@ -21,7 +21,7 @@ def test_sniff_mime():
     assert mm.sniff_mime(JPEG) == ("image/jpeg", "images")
     assert mm.sniff_mime(PNG) == ("image/png", "images")
     assert mm.sniff_mime(WAV) == ("audio/x-wav", "sounds")
-    assert mm.sniff_mime(MP4) == ("video/mp4", "videos")
+    assert mm.sniff_mime(MP4) == ("video/mp4", "video")
     assert mm.sniff_mime(b"%PDF-1.4") == ("application/pdf", "debugfile")
     assert mm.sniff_mime(JUNK) == (None, None)
     assert mm.sniff_mime(None) == (None, None)
