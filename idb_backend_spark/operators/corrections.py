@@ -46,7 +46,23 @@ def apply_correction_rules(
 
     Returns df with ``set_field`` rewritten and a ``flag_<set_field>_*``
     string column (null when no rule hit / no change).
+
+    ``dwc:scientificName`` is REFUSED as a set_field: the reference's
+    apply loop unconditionally skips that key
+    (record_corrector.py:231-232 ``if k == "dwc:scientificname":
+    continue``) — scientific names are corrected only through the
+    gs_sn_crossfill path, never by the rules table. Refusing loudly
+    beats silently applying a rule class the reference never applies.
     """
+    if set_field.lower().replace(":", "").replace("_", "") in (
+        "dwcscientificname",
+        "scientificname",
+    ):
+        raise ValueError(
+            "corrections never rewrite dwc:scientificName — the reference "
+            "skips that key unconditionally (record_corrector.py:231-232); "
+            "scientific names flow through gs_sn_crossfill instead"
+        )
     flag_base = (flag_prefix or set_field).replace(":", "_").lower()
     probe = [F.lower(F.trim(F.col(k))).alias(f"__k_{i}") for i, k in enumerate(key_fields)]
     rule_side = rules.select(

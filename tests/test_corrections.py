@@ -200,3 +200,24 @@ def test_double_hit_accumulates_both_flags(spark):
     step2 = apply_correction_rules(step1, r2, ["genus"], "kingdom").collect()[0]
     assert step2["kingdom"] == "plantae"
     assert step2["flag_kingdom"] == "kingdom_added,kingdom_replaced"
+
+
+def test_scientificname_rules_are_refused(spark):
+    """record_corrector.py:231-232 — the reference's apply loop skips
+    dwc:scientificname unconditionally; a rule set targeting it must be
+    refused loudly, not silently applied."""
+    import pytest
+
+    from idb_backend_spark.operators.corrections import (
+        apply_correction_rules,
+    )
+
+    df = spark.createDataFrame(
+        [("quercus", "Quercus alba")], "genus string, scientificname string"
+    )
+    rules = spark.createDataFrame(
+        [("quercus", "replacement name")], "genus string, __set string"
+    )
+    for field in ("scientificname", "dwc:scientificName"):
+        with pytest.raises(ValueError, match="scientificName"):
+            apply_correction_rules(df, rules, ["genus"], field)
