@@ -68,20 +68,21 @@ deterministic_sample and tombstone_deletes were retired instead
 (mixture_sample grades the same md5-cut kernel; anti_join_deletes +
 ingest_e2e's detect_deletes path grade both halves of U2).
 
-Grading queue (operators implemented, unit-tested, twin-SQL ready,
-waiting for a window slot; at the 100-entry ceiling each needs a
-same-round retirement from the then-front): 1. tfidf_top_terms
-(operators/tfidf.py, twin tfidf_top_terms_sql, integer-deterministic
-ranking so only the score column carries the 6-dp caveat —
-tests/test_tfidf.py); 2. pq_recall_audit (operators/pq.py —
-product-quantization ADC + exact re-rank, the memory-bound ANN tier
-above IVF/SQ8; audit-contract grading like the sketch tiers, encoder
-proven against a numpy replica in tests/test_pq.py). Round-8
-retirement candidates for those two slots, pre-verified this round:
-latest_object_per_url (J6 — the same max_by(struct) kernel
-latest_version_per_key grades on a different key binding) and
-dqs_score (A8/F18 — records_typed_projection computes the dqs column
-from the same schema table in the same rotation half).
+Round-8 registrations — the grading queue is now EMPTY: the last two
+queued operators, tfidf_top_terms (operators/tfidf.py, twin
+tfidf_top_terms_sql, rounded-score ranking with integer tie-break) and
+pq_recall_audit (operators/pq.py — product-quantization ADC + exact
+re-rank; audit-contract grading like the sketch tiers: exact-cosine id
+sets + the recall>=0.8 boolean, never the raw recall), registered in
+q_textsim.py. The two slots came from the pre-verified round-7
+candidates, re-verified against source this round before executing:
+latest_object_per_url (J6 — the identical versioning.latest_per_key_agg
+max_by(struct) kernel latest_version_per_key grades in the same
+rotation half; kept as graded=False because bench.py's HEADLINE times
+it) and dqs_score (A8/F18 — records_typed_projection grades the real
+table-driven dqs_score_for kernel in the same half; the retired entry's
+inline documents-table formula was a restatement, not a distinct
+kernel). Rationales at the former registration sites in q_relational.py.
 """
 
 from __future__ import annotations

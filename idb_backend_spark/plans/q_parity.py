@@ -51,6 +51,13 @@ _RAW_SYNTH: dict[str, str] = {
     "dwc:basisOfRecord": "'PreservedSpecimen'",
     "dwc:recordedBy": "c_name",
     "dwc:typeStatus": "CASE WHEN c_custkey % 7 = 0 THEN 'Holotype' ELSE NULL END",
+    # F15 seed: commonname (raw-backed, folded) and the derived
+    # commonnames assembly both read this; the padding exercises the
+    # fold-vs-raw split (commonname lower/trims, commonnames must NOT)
+    "dwc:vernacularName": (
+        "CASE c_custkey % 3 WHEN 0 THEN ' Eastern  Bluebird ' "
+        "WHEN 1 THEN NULL ELSE 'Red Fox' END"
+    ),
 }
 
 #: the recordids JSON list above, as the expected post-projection joined
@@ -81,6 +88,17 @@ def _typed_projection_oracle() -> str:
             cols.append(f'lower(trim({synth})) AS "{name}"')
         if name in weights:
             score_terms.append(f"CAST(({synth}) IS NOT NULL AS INT)")
+    # F15 derived commonnames (conversions.py:818-835): the RAW verbatim
+    # seed, unfolded — no lower/trim (the raw map here has no gbif keys,
+    # so the gbif loop contributes nothing; the loop half is graded by
+    # etl_enrichment_pipeline in the other rotation half). coalesce: the
+    # engine's empty assembly is [] -> '' after the boundary join.
+    vern = _RAW_SYNTH["dwc:vernacularName"]
+    cols.append(f"coalesce({vern}, '') AS commonnames")
+    # the reference's collect_common_names ALWAYS sets commonnames (an
+    # empty list is not None), so its weight scores unconditionally —
+    # score(t, r) checks `is not None`, conversions.py:264-271
+    score_terms.append("1")
     cols.append("'' AS flags")
     cols.append(
         f"round(({' + '.join(score_terms)}) / {maxscore('records')}, 6) AS dqs"
@@ -104,6 +122,7 @@ def records_typed_projection(spark, sf_dir):
     one codegen stage over the scan, no shuffle, no Python.
     """
     from idb_backend_spark.data.typed_schema import verbatim_projection
+    from idb_backend_spark.functions import grabbers
     from idb_backend_spark.functions.flags import dqs_score_for
 
     cust = _t(spark, sf_dir, "customer")
@@ -114,7 +133,17 @@ def records_typed_projection(spark, sf_dir):
         "data",
         F.map_filter(F.create_map(*entries), lambda k, v: v.isNotNull()),
     )
-    proj = verbatim_projection(raw, "records", keep=["c_custkey"])
+    proj = verbatim_projection(raw, "records", keep=["c_custkey", "data"])
+    # F15 — the derived commonnames assembly runs alongside the verbatim
+    # projection exactly where the reference's grabAll composes it
+    # (conversions.py:944): the seed reads the raw map value DIRECTLY
+    # (no lower/trim fold — contrast the folded `commonname` column from
+    # the same raw field). Never NULL: an absent vernacularName yields
+    # [], which still scores — the reference's presence-check quirk.
+    proj = proj.withColumn(
+        "commonnames",
+        grabbers.collect_common_names(F.col("data")["dwc:vernacularName"]),
+    ).drop("data")
     proj = proj.withColumn("flags", F.array().cast("array<string>"))
     proj = proj.withColumn(
         "dqs",
@@ -127,6 +156,7 @@ def records_typed_projection(spark, sf_dir):
     return proj.withColumns(
         {
             "recordids": F.array_join("recordids", "|"),
+            "commonnames": F.array_join("commonnames", "|"),
             "flags": F.array_join("flags", "|"),
         }
     ).orderBy("c_custkey")

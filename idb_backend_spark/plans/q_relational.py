@@ -144,14 +144,18 @@ def anti_join_deletes(spark, sf_dir):
     return gone.select("c_custkey", "c_name").orderBy("c_custkey")
 
 
-@query(
-    "latest_object_per_url",
-    "SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber FROM ("
-    "  SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,"
-    "         row_number() OVER (PARTITION BY l_partkey, l_suppkey"
-    "           ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn"
-    "  FROM lineitem) WHERE rn = 1 ORDER BY l_partkey, l_suppkey",
-)
+# Catalog entry `latest_object_per_url` retired from GRADING in round 8
+# to free a window slot for `tfidf_top_terms` (catalog.py rotation
+# rule). J6 stays covered: the operator body is the SAME
+# versioning.latest_per_key_agg max_by(struct) kernel that
+# `latest_version_per_key` drives to a green row in the same rotation
+# half (J6 binds it to a composite fact key instead of a single entity
+# key — key arity changes the grouping expression, not the kernel), and
+# the kernel's window-form equivalence is pinned by
+# tests/test_plan_properties.py. Registered graded=False rather than
+# deleted because bench.py's HEADLINE set times this query every round —
+# it is the repo's large-fact-table top-1-per-key timing anchor.
+@query("latest_object_per_url", graded=False)
 def latest_object_per_url(spark, sf_dir):
     """J6 — DISTINCT ON (url) ... ORDER BY modified DESC pattern.
 
@@ -305,31 +309,17 @@ def majority_vote(spark, sf_dir):
     )
 
 
-@query(
-    "dqs_score",
-    "SELECT doc_id, round(("
-    "  CAST(n_chars >= 100 AS INT) + CAST(lang IS NOT NULL AS INT)"
-    "  + CAST(source IS NOT NULL AS INT)"
-    "  + CAST(length(text) - length(replace(text, ' ', '')) + 1 >= 20 AS INT)"
-    ") / 4.0, 6) AS dqs FROM documents ORDER BY doc_id",
-)
-def dqs_score(spark, sf_dir):
-    """A8/F18 — data-quality score: weighted presence of scored fields."""
-    docs = _t(spark, sf_dir, "documents")
-    n_tokens = (
-        F.length(F.col("text"))
-        - F.length(F.regexp_replace(F.col("text"), " ", ""))
-        + 1
-    )
-    score = (
-        (F.col("n_chars") >= 100).cast("int")
-        + F.col("lang").isNotNull().cast("int")
-        + F.col("source").isNotNull().cast("int")
-        + (n_tokens >= 20).cast("int")
-    ) / 4.0
-    return docs.select(
-        "doc_id", F.round(score, 6).alias("dqs")
-    ).orderBy("doc_id")
+# Catalog entry `dqs_score` retired in round 8 to free a window slot
+# for `pq_recall_audit` (catalog.py rotation rule). A8/F18 stay
+# driver-graded in the SAME rotation half: `records_typed_projection`
+# computes its dqs column through the real table-driven kernel
+# (functions.flags.dqs_score_for over the §1.4 typed schema's
+# weights/maxscore — the reference's conversions.py:218-224,:264-271
+# shape), and `etl_enrichment_pipeline` grades the flag-subtracting
+# dqs_score form every other round. The retired entry's inline
+# presence-count formula over `documents` was a simplified restatement
+# of the same weighted-presence arithmetic, not a distinct kernel;
+# functions.flags keeps its unit coverage in tests/test_flags.py.
 
 
 # O1 (LIMIT/OFFSET page) — catalog entry `keyset_pagination` retired in

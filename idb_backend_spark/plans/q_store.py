@@ -222,7 +222,14 @@ def _etl_oracle_sql() -> str:
         "  l_linenumber % 5 AS bm, l_linenumber % 4 AS rm, "
         "  l_linenumber % 3 AS lm, "
         "  CASE l_linenumber % 6 WHEN 0 THEN 'NAD27' WHEN 1 THEN 'WGS 72' "
-        "    WHEN 2 THEN 'WGS84' WHEN 3 THEN 'Cape' ELSE NULL END AS datum_raw "
+        "    WHEN 2 THEN 'WGS84' WHEN 3 THEN 'Cape' ELSE NULL END AS datum_raw, "
+        # F15 commonnames synth inputs — must mirror the Spark side's
+        # vern_s / gbif_vern / vern_lower_s planting exactly
+        "  CASE l_linenumber % 7 WHEN 0 THEN 'Bluebird' "
+        "    WHEN 1 THEN ' Mountain  Lion ' ELSE NULL END AS vern, "
+        "  CASE WHEN l_orderkey % 11 = 0 THEN 2 ELSE 0 END AS n_gbif, "
+        "  CASE WHEN l_linenumber % 7 IN (1, 2) THEN 'wolf' "
+        "    ELSE NULL END AS vlow "
         "  FROM lineitem), "
         "geo AS (SELECT *, CAST(lat_s AS DOUBLE) AS lat0, "
         "  CAST(lon_s AS DOUBLE) AS lon0, "
@@ -278,6 +285,15 @@ def _etl_oracle_sql() -> str:
         f"ff AS (SELECT *, ({nflags}) AS nflags FROM e2) "
         "SELECT rowid, lat_f AS lat, lon_f AS lon, datecollected, "
         "minelevation, elev_f, basisofrecord, taxonrank, license, "
+        # commonnames replica: verbatim seed (raw, unfolded) plus the
+        # lowercase-key value once per gbif entry (conversions.py:818-835)
+        # coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+        # array_join([]) is '' — the engine's empty commonnames is []
+        "coalesce(array_to_string("
+        "  (CASE WHEN vern IS NOT NULL THEN [vern] "
+        "     ELSE CAST([] AS VARCHAR[]) END) || "
+        "  (CASE WHEN vlow IS NOT NULL AND n_gbif > 0 THEN [vlow, vlow] "
+        "     ELSE CAST([] AS VARCHAR[]) END), '|'), '') AS commonnames, "
         "concat_ws('|', f1, f2, f3, datum_flag, f4a, f4b, f5, f6, f7, f8, f9) AS flags, "
         f"round(({score} - nflags) / 6.0, 6) AS dqs "
         "FROM ff ORDER BY rowid"
@@ -289,6 +305,9 @@ def etl_enrichment_pipeline(spark, sf_dir):
     """§3.3 composed — the full enrichment hot path over the fact table:
     verbatim projection, typed grabbers, geo normalization + flags, date
     fallback + bounds flag, BOR + taxon-rank vocabularies, license lookup,
+    F15 commonnames assembly (collect_common_names composed here the way
+    the reference's grabAll composes it, conversions.py:932-964 — raw
+    unfolded vernacularName seed + the lowercase-key gbif loop quirk),
     flag folding, and dqs scoring — entirely native expressions (the
     reference's 1.33 ms/record Python loop, conversions.py:915-930).
 
@@ -374,6 +393,23 @@ def etl_enrichment_pipeline(spark, sf_dir):
             "CASE l_linenumber % 6 WHEN 0 THEN 'NAD27' WHEN 1 THEN 'WGS 72' "
             "WHEN 2 THEN 'WGS84' WHEN 3 THEN 'Cape' ELSE NULL END"
         ).alias("datum_s"),
+        # F15 commonnames inputs — grabAll composes collect_common_names
+        # in the same enrichment pass (reference conversions.py:932-964,
+        # assembly :818-835): the RAW mixed-case dwc:vernacularName (no
+        # lower/trim fold — the planted whitespace must survive), a
+        # gbif:vernacularName entry list, and the LOWERCASE-keyed value
+        # the reference's gbif loop actually reads (absent on canonical
+        # mixed-case publishers — linenumber%7==1 rows have it, ==0 not)
+        F.expr(
+            "CASE l_linenumber % 7 WHEN 0 THEN 'Bluebird' "
+            "WHEN 1 THEN ' Mountain  Lion ' ELSE NULL END"
+        ).alias("vern_s"),
+        F.when(
+            F.col("l_orderkey") % 11 == 0, F.array(F.lit("g1"), F.lit("g2"))
+        ).alias("gbif_vern"),
+        F.expr(
+            "CASE WHEN l_linenumber % 7 IN (1, 2) THEN 'wolf' END"
+        ).alias("vern_lower_s"),
     )
     geo = E.geo_normalize(F.col("lat_s"), F.col("lon_s"))
     from idb_backend_spark.functions.geo import with_molodensky_shift
@@ -409,6 +445,9 @@ def etl_enrichment_pipeline(spark, sf_dir):
         bor["value"].alias("basisofrecord"),
         rank["value"].alias("taxonrank"),
         E.license_lookup(F.col("rights_s")).alias("license"),
+        grabbers.collect_common_names(
+            F.col("vern_s"), F.col("gbif_vern"), F.col("vern_lower_s")
+        ).alias("commonnames"),
         fold_flags(
             F.col("__flag_pre_flip"), F.col("__flag_bounds"),
             F.col("__flag_low_precision"), F.col("datum_flag"),
@@ -439,6 +478,7 @@ def etl_enrichment_pipeline(spark, sf_dir):
     return scored.withColumns(
         {
             "flags": F.array_join("flags", "|"),
+            "commonnames": F.array_join("commonnames", "|"),
             "lat": F.round("lat", 6),
             "lon": F.round("lon", 6),
         }

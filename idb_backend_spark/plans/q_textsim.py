@@ -10,8 +10,10 @@ from idb_backend_spark.operators import aggregates as agg  # noqa: F401
 from idb_backend_spark.operators import (  # noqa: F401
     ann,
     dedup,
+    pq,
     quantize,
     relations,
+    tfidf,
     versioning,
 )
 from idb_backend_spark.functions import grabbers, text  # noqa: F401
@@ -247,6 +249,85 @@ def quantized_cosine_topk_q(spark, sf_dir):
     return quantize.quantized_topk(qdf, q0, "qvec", "vec_id", k=10)
 
 
+@query("tfidf_top_terms", tfidf.tfidf_top_terms_sql(k=5))
+def tfidf_top_terms_q(spark, sf_dir):
+    """T29's TF-IDF half — top-5 salient terms per document (keyword
+    extraction for topic filtering / index enrichment; the per-document
+    inversion of the reference's uniquevals term statistics,
+    idb/indexing/index.py term-vector usage). ONE corpus explode feeds
+    tf; df derives FROM tf (no second corpus scan); the scoring join is
+    |vocabulary|-sized and broadcast by AQE. Ranking is on the
+    6-dp-ROUNDED score with an integer (tf, df, term) tie-break, so
+    exact mathematical ties order identically on both engines — see
+    operators/tfidf.py for the rounding-before-ranking rationale."""
+    docs = _t_spread(spark, sf_dir, "documents", "doc_id")
+    return tfidf.tfidf_top_terms(docs, "text", "doc_id", k=5).orderBy(
+        "doc_id", "rank"
+    )
+
+
+# pq_recall_audit's bounded audit panel: the first _PQ_NQ vec_ids. The
+# oracle grades the exact-cosine id sets and the recall CONTRACT
+# (within_bound must be TRUE at these parameters), never the raw PQ
+# recall value — the sketch_audits pattern (q_corpusops.py): estimates
+# are implementation-defined, contracts are portable.
+_PQ_NQ = 4
+_PQ_K = 10
+_PQ_SHORTLIST = 200
+_PQ_MIN_RECALL = 0.8
+
+
+def _pq_recall_oracle() -> str:
+    cos = cosine_sql("e.embedding", "qs.qv")
+    return (
+        "WITH qs AS (SELECT vec_id AS query_id, embedding AS qv "
+        f"  FROM embeddings WHERE vec_id < {_PQ_NQ}), "
+        f"sc AS (SELECT qs.query_id, e.vec_id, round({cos}, 6) AS c "
+        "  FROM embeddings e CROSS JOIN qs), "
+        "r AS (SELECT query_id, vec_id, row_number() OVER ("
+        "  PARTITION BY query_id ORDER BY c DESC, vec_id) AS rn FROM sc) "
+        "SELECT query_id, "
+        "string_agg(vec_id, '|' ORDER BY vec_id) AS exact_ids, "
+        "TRUE AS within_bound "
+        f"FROM r WHERE rn <= {_PQ_K} GROUP BY query_id ORDER BY query_id"
+    )
+
+
+@query("pq_recall_audit", _pq_recall_oracle())
+def pq_recall_audit_q(spark, sf_dir):
+    """T31's PQ half — product-quantization ADC + exact re-rank, the
+    memory-bound ANN tier above IVF/SQ8 (codes are m bytes a vector, so
+    the corpus-wide candidate scan reads ~32x fewer bytes than float
+    vectors). Audit-contract grading (the sketch_audits pattern): train
+    + encode + two-stage retrieval AND the exact top-k both run; the
+    graded columns are the exact-cosine id sets (real content, same
+    6-dp rounding as the brute-force tier) plus the recall>=0.8
+    contract boolean — shortlist 200 over this corpus measures >=0.9
+    recall@10 (operators/pq.py docstring), so the slot fails iff PQ
+    retrieval ever degrades below its advertised bound. The raw recall
+    value is engine-side-only and deliberately NOT graded."""
+    emb = _t(spark, sf_dir, "embeddings")
+    panel = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < _PQ_NQ)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    out = pq.pq_recall_audit(
+        emb,
+        panel,
+        64,
+        k=_PQ_K,
+        shortlist=_PQ_SHORTLIST,
+        min_recall=_PQ_MIN_RECALL,
+    )
+    return out.select(
+        "query_id",
+        F.array_join(
+            F.transform("exact_ids", lambda x: x.cast("string")), "|"
+        ).alias("exact_ids"),
+        "within_bound",
+    ).orderBy("query_id")
 
 
 # the quality score's stopword ratio uses the English marker list — the
