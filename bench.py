@@ -24,6 +24,14 @@ measured 13.2 s in one run and 1.2 s in the next with zero guest-side
 load), and a single-shot total is dominated by whichever query the
 stall lands on. The minimum of two runs measures the plan; both raw
 samples are preserved under "samples" so the variance stays visible.
+
+"noise_canary" (r8+, additive — the frozen methodology-2 timing above
+is untouched): ONE fixed query re-materialized 5 extra times after the
+timed loop, its raw wall times recorded with their min/max. Same-code
+totals on this host have spanned 13.0-22.8 s within one hour (r7
+adjudication), so a cross-round total delta is only readable next to
+that round's own canary spread: if the canary spread swallows the
+delta, the delta is host weather, not a plan change.
 """
 
 from __future__ import annotations
@@ -121,6 +129,27 @@ def main():
         total += dt
         print(f"# {name}: {dt:.2f}s {runs} ({n} rows)", file=sys.stderr)
 
+    # host-noise canary (additive context, NOT part of the total or the
+    # per-query timings): one fixed mid-weight headline query, 5 extra
+    # untimed-for-total materializations; the spread calibrates how much
+    # of a cross-round total delta this host can produce on its own
+    canary_q = "majority_vote"
+    canary: list[float] = []
+    try:
+        df = runnable[canary_q](spark, sf_dir)
+        for _ in range(5):
+            t0 = time.time()
+            materialize(df)
+            canary.append(round(time.time() - t0, 3))
+    except Exception as e:
+        print(f"# noise canary failed: {e}", file=sys.stderr)
+    if canary:
+        print(
+            f"# noise_canary {canary_q}: min {min(canary)} max {max(canary)}"
+            f" {canary}",
+            file=sys.stderr,
+        )
+
     print(
         json.dumps(
             {
@@ -149,6 +178,21 @@ def main():
                 # kept so the variance stays visible
                 "timing": "min_of_2",
                 "samples": samples,
+                # r8+: host-noise context — min/max of 5 repeat
+                # materializations of one fixed query; read cross-round
+                # total deltas against this spread before calling them
+                # regressions (same-code totals have varied 75% on this
+                # host). Additive only: timings above are untouched.
+                "noise_canary": (
+                    {
+                        "query": canary_q,
+                        "samples": canary,
+                        "min": min(canary),
+                        "max": max(canary),
+                    }
+                    if canary
+                    else None
+                ),
                 "sf": sf,
             }
         )
