@@ -18,11 +18,14 @@ the driver's oracle gate:
   first occurrence protected; string/integer exact.
 * ``neardup_index_probe`` — T33 end-to-end: bootstrap the persistent
   MinHash/LSH index on half the corpus, ADD the other half in a second
-  batch, COMPACT the fragmented rows, then exact-verify-probe a held-out
-  batch — build, add, compact, and probe all inside one graded path.
-  The oracle is the true cross-pair shingle-Jaccard set; equality also
-  certifies total LSH recall at the graded scale (the containment
-  contract minhash_exact_verified proves for the in-frame tier).
+  batch, COMPACT the fragmented rows, exact-verify-probe a held-out
+  batch, then (r8) drive the STREAMING GATE through a crash-replay —
+  build, add, compact, probe, and gate all inside one graded path.
+  The oracle is the true cross-pair shingle-Jaccard set (equality also
+  certifies total LSH recall at the graded scale — the containment
+  contract minhash_exact_verified proves for the in-frame tier) plus
+  the golden end-state of the gate's accepted store (copy counts +
+  content hashes through the store-first crash-window replay).
 * ``nb_quality_score`` — T30: hashed multinomial Naive Bayes
   quality-classifier, train-on-self + score-every-doc.
 * ``bigram_lm_score`` — T28: the perplexity-filter stage (bigram LM,
@@ -120,14 +123,33 @@ def remove_repeated_spans_q(spark, sf_dir):
 
 # --- T33: persistent near-dup index, full maintenance loop --------------
 
+#: the streaming gate leg's novel documents — a shingle alphabet disjoint
+#: from the documents corpus, so their accept decision is deterministic
+#: by construction (zero shared shingles -> zero estimate; the re-keyed
+#: byte-identical copies in the same batch have estimate 1.0 -> dropped).
+#: The FIRST novel is pre-seeded into the accepted store before the gate
+#: runs, reproducing the crash window (stored, not indexed): its
+#: at-least-once replay re-accepts it, so the raw store ends with TWO
+#: byte-identical copies of it and one of each other novel — the copy
+#: counts the oracle states as goldens.
+_GATE_NOVELS = [
+    (2000001, "qz1a qz1b qz1c qz1d qz1e qz1f"),
+    (2000002, "qz2a qz2b qz2c qz2d qz2e qz2f"),
+    (2000003, "qz3a qz3b qz3c qz3d qz3e qz3f"),
+    (2000004, "qz4a qz4b qz4c qz4d qz4e qz4f"),
+]
+
 
 def _neardup_oracle() -> str:
-    # the TRUE cross-pair shingle-Jaccard set between batch (doc_id%10=0)
-    # and corpus (rest); engine == oracle also certifies total LSH recall
-    # at this scale
+    # probe section: the TRUE cross-pair shingle-Jaccard set between
+    # batch (doc_id%10=0) and corpus (rest); engine == oracle also
+    # certifies total LSH recall at this scale. gate section: golden
+    # end-state of the gate's accepted store — (id, raw copy count,
+    # content md5) per accepted doc; the dropped copies are asserted by
+    # their ABSENCE from the golden list.
     from idb_backend_spark.operators import neardup_index as ni
 
-    return ni.probe_neardup_exact_sql(
+    probe = ni.probe_neardup_exact_sql(
         "documents",
         "text",
         "doc_id",
@@ -136,6 +158,19 @@ def _neardup_oracle() -> str:
         shingle_k=3,
         threshold=0.5,
     )
+    gate_vals = ", ".join(
+        f"({i}, {2 if pos == 0 else 1}, '{t}')"
+        for pos, (i, t) in enumerate(_GATE_NOVELS)
+    )
+    return (
+        f"WITH probe AS ({probe}) "
+        "SELECT 'probe' AS kind, new_id AS id_a, corpus_id AS id_b, "
+        "jaccard, CAST(NULL AS VARCHAR) AS content FROM probe "
+        "UNION ALL "
+        "SELECT 'gate', g.id, g.n, CAST(NULL AS DOUBLE), md5(g.txt) "
+        f"FROM (VALUES {gate_vals}) AS g(id, n, txt) "
+        "ORDER BY kind, id_a, id_b"
+    )
 
 
 @query("neardup_index_probe", _neardup_oracle())
@@ -143,13 +178,27 @@ def neardup_index_probe_q(spark, sf_dir):
     """T33 end-to-end — the maintenance tier's whole life cycle inside
     one graded path: BUILD the index over half the corpus, ADD the other
     half (the O(batch) steady-state append), COMPACT the fragmented rows
-    (range-clustered rewrite + atomic swap; single-writer guard), then
-    exact-verify PROBE a held-out batch against it. A green row proves
-    the add blended nothing, the compaction dropped nothing, and the
-    banded-MinHash probe recalled every true pair at the graded scale.
-    Reference analog: none in idb-backend (etag-exact dedup only,
-    postgres_backend/db.py) — this is the training-pipeline tier."""
+    (range-clustered rewrite + atomic swap; single-writer guard),
+    exact-verify PROBE a held-out batch against it, then run the
+    STREAMING GATE (streaming/incremental.neardup_gate_batch — the
+    foreachBatch composition) against the compacted index THROUGH A
+    CRASH-REPLAY: the first novel doc is pre-written to the accepted
+    store (the exact crash-window state — stored, not yet indexed), the
+    gate batch mixes re-keyed byte-identical copies (estimate 1.0 ->
+    dropped) with shingle-disjoint novels (-> accepted), and the same
+    batch runs TWICE (at-least-once replay; the replay-guard second pass
+    must change nothing). The graded rows carry both legs: the true
+    probe pair set AND the accepted store's raw end state (id, copy
+    count, content md5) — two copies of the crash-window doc
+    (store-first recovery re-accepts it), one of each other novel, the
+    dropped copies absent. A green row proves the add blended nothing,
+    the compaction dropped nothing, the banded-MinHash probe recalled
+    every true pair at the graded scale, and the gate's store-first
+    crash contract converges. Reference analog: none in idb-backend
+    (etag-exact dedup only, postgres_backend/db.py) — this is the
+    training-pipeline tier."""
     from idb_backend_spark.operators import neardup_index as ni
+    from idb_backend_spark.streaming import incremental as inc
 
     docs = _t(spark, sf_dir, "documents")
     batch = docs.filter(F.col("doc_id") % 10 == 0)
@@ -162,7 +211,7 @@ def neardup_index_probe_q(spark, sf_dir):
         corpus.filter(F.col("doc_id") % 2 == 0), "text", "doc_id", idx
     )
     ni.compact_neardup_index(spark, idx)
-    return ni.probe_neardup_index(
+    probe = ni.probe_neardup_index(
         batch,
         "text",
         "doc_id",
@@ -170,7 +219,43 @@ def neardup_index_probe_q(spark, sf_dir):
         threshold=0.5,
         verify="exact",
         corpus=corpus,
-    ).orderBy("new_id", "corpus_id")
+    )
+    # pin the probe BEFORE the gate leg appends to the index — the pair
+    # set is the pre-gate index's answer, not a race with the mutation
+    pairs = probe.select(
+        F.lit("probe").alias("kind"),
+        F.col("new_id").alias("id_a"),
+        F.col("corpus_id").alias("id_b"),
+        "jaccard",
+        F.lit(None).cast("string").alias("content"),
+    ).localCheckpoint(eager=True)
+
+    # gate leg: crash window first (stored, NOT indexed), then the
+    # at-least-once replay of the full batch, then a pure replay
+    acc = staging_dir("ndacc_grade_") + "/accepted"
+    novels = spark.createDataFrame(_GATE_NOVELS, "doc_id long, text string")
+    copies = corpus.filter(F.col("doc_id").isin(1, 2, 3, 4)).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    gate_batch = novels.unionByName(copies)
+    novels.filter(F.col("doc_id") == _GATE_NOVELS[0][0]).write.mode(
+        "append"
+    ).parquet(acc)
+    inc.neardup_gate_batch(gate_batch, idx, acc)  # replay converges
+    inc.neardup_gate_batch(gate_batch, idx, acc)  # replay-guard no-op
+    gate_state = (
+        spark.read.parquet(acc)
+        .groupBy("doc_id", "text")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("gate").alias("kind"),
+            F.col("doc_id").alias("id_a"),
+            F.col("n").alias("id_b"),
+            F.lit(None).cast("double").alias("jaccard"),
+            F.md5(F.encode("text", "utf-8")).alias("content"),
+        )
+    )
+    return pairs.unionByName(gate_state).orderBy("kind", "id_a", "id_b")
 
 
 # --- T30: hashed-NB quality classifier -----------------------------------
