@@ -119,6 +119,57 @@ DATUM_ALIASES = {
     "4612": "JGD2000",
     "EPSG4674": "SIRGAS2000",
     "4674": "SIRGAS2000",
+    # r8 datum-coverage extension (see MOLODENSKY_PARAMS below): verbose
+    # provider spellings + the EPSG geographic-2D codes, same
+    # mangle-normalized key discipline as the rows above.
+    "PROVISIONALSOUTHAMERICANDATUM1956": "PSAD56",
+    "PSAD1956": "PSAD56",
+    "EPSG4248": "PSAD56",
+    "4248": "PSAD56",
+    "EPSG4201": "ADINDAN",
+    "4201": "ADINDAN",
+    "CORREGOALEGRE197072": "CORREGOALEGRE",
+    "EPSG4225": "CORREGOALEGRE",
+    "4225": "CORREGOALEGRE",
+    "EPSG4221": "CAMPOINCHAUSPE",
+    "4221": "CAMPOINCHAUSPE",
+    "BOGOTA1975": "BOGOTA",
+    "BOGOTAOBSERVATORY": "BOGOTA",
+    "EPSG4218": "BOGOTA",
+    "4218": "BOGOTA",
+    "LUZON1911": "LUZON",
+    "EPSG4253": "LUZON",
+    "4253": "LUZON",
+    "EPSG4135": "OLDHAWAIIAN",
+    "4135": "OLDHAWAIIAN",
+    "EPSG4139": "PUERTORICO",
+    "4139": "PUERTORICO",
+    "HUTZUSHAN1950": "HUTZUSHAN",
+    "EPSG4236": "HUTZUSHAN",
+    "4236": "HUTZUSHAN",
+    "EPSG4239": "INDIAN1954",
+    "4239": "INDIAN1954",
+    "KERTAU1948": "KERTAU",
+    "KERTAU1968": "KERTAU",
+    "EPSG4245": "KERTAU",
+    "4245": "KERTAU",
+    "TIMBALAI1948": "TIMBALAI",
+    "EPSG4298": "TIMBALAI",
+    "4298": "TIMBALAI",
+    "QORNOQ1927": "QORNOQ",
+    "EPSG4194": "QORNOQ",
+    "4194": "QORNOQ",
+    "EPSG4263": "MINNA",
+    "4263": "MINNA",
+    "EPSG4293": "SCHWARZECK",
+    "4293": "SCHWARZECK",
+    "OLDEGYPTIAN": "EGYPT1907",
+    "OLDEGYPTIAN1907": "EGYPT1907",
+    "EPSG4229": "EGYPT1907",
+    "4229": "EGYPT1907",
+    "NOUVELLETRIANGULATIONFRANCAISE": "NTF",
+    "EPSG4275": "NTF",
+    "4275": "NTF",
 }
 
 # --------------------------------------------------------------------------
@@ -139,6 +190,7 @@ WGS84_F = 1.0 / 298.257223563
 _CLARKE_1866 = (6378206.4, 1.0 / 294.9786982)
 _INTL_1924 = (6378388.0, 1.0 / 297.0)
 _BESSEL_1841 = (6377397.155, 1.0 / 299.1528128)
+_BESSEL_NAMIBIA = (6377483.865, 1.0 / 299.1528128)
 _AIRY_1830 = (6377563.396, 1.0 / 299.3249646)
 _AIRY_MOD = (6377340.189, 1.0 / 299.3249646)
 _AUSTRALIAN = (6378160.0, 1.0 / 298.25)
@@ -146,6 +198,10 @@ _KRASSOVSKY = (6378245.0, 1.0 / 298.3)
 _CLARKE_1880 = (6378249.145, 1.0 / 293.465)
 _CLARKE_1880_IGN = (6378249.2, 1.0 / 293.466021)
 _GRS80 = (6378137.0, 1.0 / 298.257222101)
+_EVEREST_1830 = (6377276.345, 1.0 / 300.8017)   # India 1830 (1937 adj.)
+_EVEREST_1948 = (6377304.063, 1.0 / 300.8017)   # W. Malaysia & Singapore
+_EVEREST_SS = (6377298.556, 1.0 / 300.8017)     # Sabah & Sarawak (Brunei)
+_HELMERT_1906 = (6378200.0, 1.0 / 298.3)
 
 #: datum -> (a, f, dx, dy, dz, dlam_arcsec). dx/dy/dz are the
 #: source→WGS84 geocentric shifts in meters (DMA TR 8350.2 regional
@@ -171,6 +227,30 @@ MOLODENSKY_PARAMS: dict[str, tuple[float, float, float, float, float, float]] = 
     "POTSDAM": (*_BESSEL_1841, 606.0, 23.0, 413.0, 0.0),
     "HERMANNSKOGEL": (*_BESSEL_1841, 653.0, -212.0, 449.0, 0.0),
     "GGRS87": (*_GRS80, -199.87, 74.79, 246.62, 0.0),
+    # r8 extension — the additional regional datums biodiversity
+    # provider data actually carries (verbatimSRS/geodeticDatum values
+    # across Latin-American, African, and SE-Asian collections); same
+    # public source as the rows above: NIMA/DMA TR 8350.2 local mean
+    # 3-parameter shifts, NTF from the IGN-published mean also in the
+    # proj datum registry. Goldens: tests/test_molodensky_goldens.py
+    # (independent geocentric-Helmert generator, gen_molodensky_goldens).
+    "ADINDAN": (*_CLARKE_1880, -166.0, -15.0, 204.0, 0.0),
+    "PSAD56": (*_INTL_1924, -288.0, 175.0, -376.0, 0.0),
+    "CORREGOALEGRE": (*_INTL_1924, -206.0, 172.0, -6.0, 0.0),
+    "CAMPOINCHAUSPE": (*_INTL_1924, -148.0, 136.0, 90.0, 0.0),
+    "BOGOTA": (*_INTL_1924, 307.0, 304.0, -318.0, 0.0),
+    "LUZON": (*_CLARKE_1866, -133.0, -77.0, -51.0, 0.0),
+    "OLDHAWAIIAN": (*_CLARKE_1866, 61.0, -285.0, -181.0, 0.0),
+    "PUERTORICO": (*_CLARKE_1866, 11.0, 72.0, -101.0, 0.0),
+    "HUTZUSHAN": (*_INTL_1924, -637.0, -549.0, -203.0, 0.0),
+    "INDIAN1954": (*_EVEREST_1830, 217.0, 823.0, 299.0, 0.0),
+    "KERTAU": (*_EVEREST_1948, -11.0, 851.0, 5.0, 0.0),
+    "TIMBALAI": (*_EVEREST_SS, -679.0, 669.0, -48.0, 0.0),
+    "QORNOQ": (*_INTL_1924, 164.0, 138.0, -189.0, 0.0),
+    "MINNA": (*_CLARKE_1880, -92.0, -93.0, 122.0, 0.0),
+    "SCHWARZECK": (*_BESSEL_NAMIBIA, 616.0, 97.0, -251.0, 0.0),
+    "EGYPT1907": (*_HELMERT_1906, -130.0, 110.0, -13.0, 0.0),
+    "NTF": (*_CLARKE_1880_IGN, -168.0, -60.0, 320.0, 0.0),
 }
 
 #: Datums treated as identical to WGS84 at this engine's precision
@@ -232,7 +312,7 @@ def _mol_const(datum_col: Column, idx: int) -> Column:
 
 
 def _mol_dim(spark):
-    """The 17-row per-datum Molodensky parameter DIMENSION — the
+    """The 34-row per-datum Molodensky parameter DIMENSION — the
     broadcast-join form of _mol_const for DataFrame-level staging
     (with_molodensky_shift). Same _molodensky_terms source, so the two
     forms cannot diverge; columns carry the __mg_ prefix the staged
@@ -324,7 +404,7 @@ def with_molodensky_shift(
     subtree at every constant site (~datums × 7), which breaches janino's
     64 KB method limit and silently drops the stage out of whole-stage
     codegen. Here the seven per-datum constants come from a BROADCAST
-    join against the 17-row parameter dimension instead of CASE chains:
+    join against the 34-row parameter dimension instead of CASE chains:
     the 7 × 17-arm string-compare CASEs made the fused generated method
     too large for HotSpot's JIT, so the whole consume loop (trig
     included) ran as interpreted bytecode — measured 4.7x slower than

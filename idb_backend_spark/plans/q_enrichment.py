@@ -917,12 +917,19 @@ from idb_backend_spark.functions import geo as GEO
 _DATUM_LAT = "CAST(((c_custkey * 7) % 120) - 60 + 0.125 AS DOUBLE)"
 _DATUM_LON = "CAST(((c_custkey * 13) % 360) - 180 + 0.25 AS DOUBLE)"
 _DATUM_RAW = (
-    "CASE c_custkey % 12 WHEN 0 THEN 'NAD27' WHEN 1 THEN 'WGS 72' "
+    "CASE c_custkey % 16 WHEN 0 THEN 'NAD27' WHEN 1 THEN 'WGS 72' "
     "WHEN 2 THEN 'WGS84' WHEN 3 THEN 'North American Datum 1983' "
     "WHEN 4 THEN 'Cape' WHEN 5 THEN 'European Datum 1950' "
     "WHEN 6 THEN 'Tokyo Datum' WHEN 7 THEN 'OSGB 1936' "
     "WHEN 8 THEN 'Pulkovo 1942' WHEN 9 THEN 'GDA94' "
-    "WHEN 10 THEN 'Campo Inchauspe' ELSE NULL END"
+    # r8: 'Campo Inchauspe' moved from the pass-through+error arm to a
+    # real shift when its NIMA parameters joined the table; the added
+    # arms exercise more of the r8 datums incl. the EPSG-code and
+    # verbose-alias resolution paths. 'Ocotepeque 1935' stays a
+    # deliberately UNKNOWN datum so the error flag keeps graded coverage.
+    "WHEN 10 THEN 'Campo Inchauspe' WHEN 11 THEN 'PSAD56' "
+    "WHEN 12 THEN 'EPSG:4275' WHEN 13 THEN 'Old Hawaiian' "
+    "WHEN 14 THEN 'Ocotepeque 1935' ELSE NULL END"
 )
 
 
@@ -951,12 +958,14 @@ def _molodensky_oracle_sql() -> str:
 @query("datum_shift_molodensky", _molodensky_oracle_sql())
 def datum_shift_molodensky(spark, sf_dir):
     """F6 — datum→WGS84 transform as a native expression: abridged
-    Molodensky over the 17-datum DMA TR 8350.2 table (NAD27, ED50, TOKYO,
-    OSGB36, AGD66/84, SAD69, PULKOVO42, CAPE, ... plus WGS72's 0.554″
-    Z-rotation longitude term), identity for the ITRF-aligned family,
-    pass-through + flag for missing/unknown datums (reference
-    conversions.py:485-509 contract). Staged so the per-datum constants
-    bind once — all trig is JVM-side builtin inside whole-stage codegen."""
+    Molodensky over the 34-datum NIMA/DMA TR 8350.2 table (NAD27, ED50,
+    TOKYO, OSGB36, AGD66/84, SAD69, PULKOVO42, CAPE, PSAD56, NTF,
+    LUZON, OLD HAWAIIAN, ... plus WGS72's 0.554″ Z-rotation longitude
+    term), identity for the ITRF-aligned family, pass-through + flag
+    for missing/unknown datums (reference conversions.py:485-509
+    contract; 'Ocotepeque 1935' stays planted as the unknown-datum arm).
+    Staged so the per-datum constants bind once — all trig is JVM-side
+    builtin inside whole-stage codegen."""
     g = _t_spread(spark, sf_dir, "customer", "c_custkey").select(
         "c_custkey",
         F.expr(_DATUM_LAT).alias("lat"),

@@ -466,10 +466,13 @@ def test_molodensky_expr_flags_and_passthrough(spark):
         [
             Row(i=0, lat=34.0, lon=-118.25, datum="WGS84"),
             Row(i=1, lat=34.0, lon=-118.25, datum="North American Datum 1983"),
-            Row(i=2, lat=34.0, lon=-118.25, datum="Campo Inchauspe"),
+            # r8: 'Campo Inchauspe' joined the parameter table, so the
+            # unknown-datum arm now uses a datum with no NIMA mean shift
+            Row(i=2, lat=34.0, lon=-118.25, datum="Ocotepeque 1935"),
             Row(i=3, lat=34.0, lon=-118.25, datum=None),
             Row(i=4, lat=90.0, lon=0.0, datum="NAD27"),      # pole passthrough
             Row(i=5, lat=None, lon=None, datum="NAD27"),
+            Row(i=6, lat=-34.6, lon=-58.4, datum="Campo Inchauspe"),
         ]
     )
     r = molodensky_shift_expr(
@@ -487,6 +490,9 @@ def test_molodensky_expr_flags_and_passthrough(spark):
     assert (out[3].la, out[3].fl) == (34.0, "geopoint_datum_missing")
     assert (out[4].la, out[4].lo, out[4].fl) == (90.0, 0.0, None)
     assert out[5].la is None and out[5].fl is None
+    # a formerly pass-through datum now really shifts (r8 extension)
+    assert out[6].fl is None
+    assert (out[6].la, out[6].lo) != (-34.6, -58.4)
 
 
 def test_molodensky_new_datums_shift_plausibly():

@@ -1,4 +1,4 @@
-"""Generate literal golden rows for the 17-datum Molodensky table.
+"""Generate literal golden rows for the 34-datum Molodensky table.
 
 Independence from the engine under test:
 * the datum constants below are re-typed directly from the published DMA
@@ -47,6 +47,26 @@ DATUMS = {
     "POTSDAM": (6377397.155, 299.1528128, 606.0, 23.0, 413.0),
     "HERMANNSKOGEL": (6377397.155, 299.1528128, 653.0, -212.0, 449.0),
     "GGRS87": (6378137.0, 298.257222101, -199.87, 74.79, 246.62),
+    # r8 extension — NIMA/DMA TR 8350.2 local mean shifts (NTF from the
+    # IGN mean, also in the proj registry), re-typed from the published
+    # tables like the rows above.
+    "ADINDAN": (6378249.145, 293.465, -166.0, -15.0, 204.0),
+    "PSAD56": (6378388.0, 297.0, -288.0, 175.0, -376.0),
+    "CORREGOALEGRE": (6378388.0, 297.0, -206.0, 172.0, -6.0),
+    "CAMPOINCHAUSPE": (6378388.0, 297.0, -148.0, 136.0, 90.0),
+    "BOGOTA": (6378388.0, 297.0, 307.0, 304.0, -318.0),
+    "LUZON": (6378206.4, 294.9786982, -133.0, -77.0, -51.0),
+    "OLDHAWAIIAN": (6378206.4, 294.9786982, 61.0, -285.0, -181.0),
+    "PUERTORICO": (6378206.4, 294.9786982, 11.0, 72.0, -101.0),
+    "HUTZUSHAN": (6378388.0, 297.0, -637.0, -549.0, -203.0),
+    "INDIAN1954": (6377276.345, 300.8017, 217.0, 823.0, 299.0),
+    "KERTAU": (6377304.063, 300.8017, -11.0, 851.0, 5.0),
+    "TIMBALAI": (6377298.556, 300.8017, -679.0, 669.0, -48.0),
+    "QORNOQ": (6378388.0, 297.0, 164.0, 138.0, -189.0),
+    "MINNA": (6378249.145, 293.465, -92.0, -93.0, 122.0),
+    "SCHWARZECK": (6377483.865, 299.1528128, 616.0, 97.0, -251.0),
+    "EGYPT1907": (6378200.0, 298.3, -130.0, 110.0, -13.0),
+    "NTF": (6378249.2, 293.466021, -168.0, -60.0, 320.0),
 }
 
 # WGS72→WGS84 also rotates (Rz = 0.554 arcsec) and scales (+0.219 ppm)
@@ -72,6 +92,23 @@ POINTS = {
     "POTSDAM": [(52.5, 13.4), (48.1, 11.6), (50.9, 6.9)],
     "HERMANNSKOGEL": [(48.2, 16.4), (47.1, 15.4), (46.0, 14.5)],
     "GGRS87": [(37.98, 23.73), (40.6, 22.9), (35.3, 25.1)],
+    "ADINDAN": [(9.03, 38.74), (15.5, 32.56), (13.5, 39.5)],
+    "PSAD56": [(-12.05, -77.05), (-0.2, -78.5), (-16.5, -68.1)],
+    "CORREGOALEGRE": [(-19.9, -43.9), (-22.9, -43.2), (-15.8, -47.9)],
+    "CAMPOINCHAUSPE": [(-34.6, -58.4), (-31.4, -64.2), (-38.0, -57.5)],
+    "BOGOTA": [(4.6, -74.1), (6.2, -75.6), (10.4, -75.5)],
+    "LUZON": [(14.6, 121.0), (16.4, 120.6), (10.3, 123.9)],
+    "OLDHAWAIIAN": [(21.3, -157.9), (19.7, -155.1), (20.9, -156.5)],
+    "PUERTORICO": [(18.5, -66.1), (18.2, -67.1), (18.3, -64.9)],
+    "HUTZUSHAN": [(25.0, 121.5), (22.6, 120.3), (24.1, 120.7)],
+    "INDIAN1954": [(13.8, 100.5), (18.8, 99.0), (7.9, 98.4)],
+    "KERTAU": [(3.1, 101.7), (1.35, 103.8), (5.4, 100.3)],
+    "TIMBALAI": [(4.9, 114.9), (1.55, 110.3), (5.98, 116.1)],
+    "QORNOQ": [(64.2, -51.7), (61.0, -45.4), (66.9, -53.7)],
+    "MINNA": [(9.1, 7.2), (6.5, 3.4), (11.9, 8.5)],
+    "SCHWARZECK": [(-22.6, 17.1), (-26.6, 18.1), (-19.6, 16.9)],
+    "EGYPT1907": [(30.0, 31.2), (31.2, 29.9), (25.7, 32.6)],
+    "NTF": [(48.85, 2.35), (45.76, 4.84), (43.3, 5.4)],
 }
 
 
