@@ -335,3 +335,172 @@ def test_bor_rule_order_matches_reference_elif_chain(spark):
     assert got[3] is None                  # removed (no rule matched)
     assert got[4] == "humanobservation"
     assert got[5] == "fossilspecimen"      # 'fossil' precedes the compound
+
+
+# --------------------------------------------------------------------------
+# Multimodal fake/real seams — the deterministic-fake grading path is
+# pinned to the SHARED kernels the real (PIL/PyAV/model) path also uses,
+# so the fake side can never drift from the real decoder's bit math.
+# Every assertion here runs WITHOUT pillow/PyAV: what is pinned is the
+# composition contract (fake UDF == shared-scalar-kernel ∘ fake-input
+# generator), not the real decode itself.
+# --------------------------------------------------------------------------
+
+
+def test_image_phash_fake_composes_shared_bit_kernel(spark):
+    """image_phash(fake=True) must equal phash_bits_from_pixels over
+    _fake_pixels — the SAME bit kernel the real path feeds with resized
+    PIL pixels. An inlined re-implementation in the UDF would pass the
+    goldens by luck and drift later; this pins the composition."""
+    from idb_backend_spark.functions.multimodal import (
+        _fake_pixels,
+        image_phash,
+        phash_bits_from_pixels,
+    )
+
+    blobs = [b"\xff\xd8\xffjpeg-ish", b"PNG-ish bytes", b"", None]
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(blobs)], "id long, content binary"
+    )
+    got = {
+        r["id"]: (r["ahash"], r["dhash"])
+        for r in image_phash(df, fake=True).collect()
+    }
+    for i, b in enumerate(blobs):
+        if b is None:
+            assert got[i] == (None, None)
+            continue
+        want = (
+            phash_bits_from_pixels(_fake_pixels(b, 64), "ahash"),
+            phash_bits_from_pixels(_fake_pixels(b, 72), "dhash"),
+        )
+        assert got[i] == want, i
+
+
+def test_decode_and_derivatives_share_fake_dims(spark):
+    """decode_image(fake) and generate_derivatives(fake) must report the
+    SAME hash-derived source dimensions for the same blob (one
+    _fake_dims source), and the sized derivatives must apply the real
+    path's proportional never-upscale arithmetic to them."""
+    from idb_backend_spark.functions.multimodal import (
+        WIDTHS,
+        _fake_dims,
+        decode_image,
+        generate_derivatives,
+    )
+
+    blobs = [b"\xff\xd8\xff\xe0 big jpeg", b"tiny", b"another blob body"]
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(blobs)], "id long, content binary"
+    )
+    dec = {
+        r["id"]: (r["width"], r["height"])
+        for r in decode_image(df, fake=True).collect()
+    }
+    der = {
+        (r["id"], r["dtype"]): (r["width"], r["height"])
+        for r in generate_derivatives(df, fake=True).collect()
+    }
+    for i, b in enumerate(blobs):
+        w, h = _fake_dims(b)
+        assert dec[i] == (w, h), i
+        assert der[(i, "fullsize")] == (w, h), i
+        for d, tw in WIDTHS.items():
+            expect = (tw, int(h * tw / w)) if w > tw else (w, h)
+            assert der[(i, d)] == expect, (i, d)
+
+
+def _pcm16_wav(freq: float, n_frames: int = 2200, rate: int = 8000) -> bytes:
+    import io as _io
+    import math as _math
+    import struct
+    import wave as _wave
+
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = b"".join(
+            struct.pack(
+                "<h", int(20000 * _math.sin(2 * _math.pi * freq * t / rate))
+            )
+            for t in range(n_frames)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_audio_waveform_matches_scalar_kernel_both_seams(spark):
+    """The audio UDF's REAL leg (stdlib WAV + numpy — no optional deps)
+    must equal the scalar wav_rms_peaks kernel row-for-row, and the
+    FAKE leg must equal its documented sha1-derived peak formula; a
+    corrupt blob must yield the NULL row, not a task error."""
+    import hashlib
+
+    from idb_backend_spark.functions.multimodal import (
+        AUDIO_BAR_COUNT,
+        AUDIO_DB_CEILING,
+        audio_waveform,
+        wav_rms_peaks,
+    )
+
+    wavs = [_pcm16_wav(440.0), _pcm16_wav(97.0, n_frames=900)]
+    blobs = wavs + [b"not a wav at all"]
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(blobs)], "id long, content binary"
+    )
+    real = {
+        r["id"]: (r["duration_ms"], r["peaks"])
+        for r in audio_waveform(df, fake=False).collect()
+    }
+    for i, b in enumerate(wavs):
+        dur, peaks = wav_rms_peaks(b)
+        assert real[i] == (dur, peaks), i
+    assert real[2] == (None, None)  # undecodable -> NULL row
+
+    fake = {
+        r["id"]: (r["duration_ms"], r["peaks"])
+        for r in audio_waveform(df, fake=True).collect()
+    }
+    for i, b in enumerate(blobs):
+        h = hashlib.sha1(b).digest()
+        want = [
+            h[j % 20] * AUDIO_DB_CEILING // 255 for j in range(AUDIO_BAR_COUNT)
+        ]
+        assert fake[i] == (len(b), want), i
+
+
+def test_extract_features_fake_is_unit_norm_sha1_lanes(spark):
+    """extract_features' gated fake must equal its documented kernel —
+    sha1-chain lanes mapped to [-1, 1) then L2-normalized — and be a
+    unit vector; NULL content stays NULL. Pinning the formula keeps the
+    graded embedding plumbing byte-stable across refactors."""
+    import hashlib
+    import math
+
+    from idb_backend_spark.functions.multimodal import extract_features
+
+    blobs = [b"media blob one", b"", None]
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(blobs)], "id long, content binary"
+    )
+    got = {
+        r["id"]: r["embedding"]
+        for r in extract_features(df, dim=16).collect()
+    }
+    assert got[2] is None
+    for i, b in enumerate(blobs[:2]):
+        raw, h = [], b""
+        while len(raw) < 16:
+            h = hashlib.sha1(h + b).digest()
+            raw.extend(h)
+        lanes = [(x - 128.0) / 128.0 for x in raw[:16]]
+        norm = sum(v * v for v in lanes) ** 0.5 or 1.0
+        want = [v / norm for v in lanes]
+        assert all(
+            math.isclose(a, w, rel_tol=1e-6) for a, w in zip(got[i], want)
+        ), i
+        assert math.isclose(
+            sum(v * v for v in got[i]) ** 0.5, 1.0, rel_tol=1e-5
+        )
