@@ -48,6 +48,10 @@ PROBES = [
     "training_corpus_e2e",
     "etl_enrichment_pipeline",
     "latest_object_per_url",
+    # r8 additions: the TF-IDF inversion (documents) and the PQ audit
+    # (embeddings — replicated via per-replica circular rotation)
+    "tfidf_top_terms",
+    "pq_recall_audit",
     # not a catalog entry: fixed-batch probe against the 1x and Nx
     # indexes (probe_neardup_scale) — the maintenance tier's claim
     "neardup_index_probe",
@@ -87,6 +91,34 @@ def build_scaled(spark, src: str, dst: str, factor: int) -> None:
     out.write.mode("overwrite").parquet(f"{dst}/documents.parquet")
 
 
+def build_scaled_embeddings(spark, src: str, dst: str, factor: int) -> None:
+    """Replica vectors are CIRCULARLY ROTATED by i dimensions (one
+    native slice+concat): distinct vectors with the identical norm and
+    coordinate distribution, so top-k neighborhoods stay realistic —
+    a naive row copy would put every query's exact duplicates at
+    cosine 1.0 in every replica and make recall trivially wrong."""
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    parts = []
+    for i in range(factor):
+        if i == 0:
+            parts.append(emb)
+            continue
+        r = (i - 1) % 63 + 1  # 1..63: rotation 0 would copy exactly
+        rotated = emb.select(
+            (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+            F.concat(
+                F.slice("embedding", r + 1, 64 - r),
+                F.slice("embedding", 1, r),
+            ).alias("embedding"),
+            "label",
+        )
+        parts.append(rotated)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{dst}/embeddings.parquet")
+
+
 def build_scaled_lineitem(spark, src: str, dst: str, factor: int) -> None:
     """Replicas offset every key column so per-key groups (the versioning
     top-1 and the synthesized record ids) stay replica-local — group
@@ -112,14 +144,24 @@ def build_scaled_lineitem(spark, src: str, dst: str, factor: int) -> None:
     out.write.mode("overwrite").parquet(f"{dst}/lineitem.parquet")
 
 
-def time_entry(fn, spark, sf_dir: str) -> tuple[float, int]:
+#: entries whose work runs EAGERLY inside the entry body (training
+#: loops, bounded collects, staged writes): the timer must wrap the
+#: entry CALL too, or the noop sink times a 4-row literal frame and the
+#: "scaling" is fiction
+EAGER_PROBES = {"pq_recall_audit"}
+
+
+def time_entry(fn, spark, sf_dir: str, eager: bool = False) -> tuple[float, int]:
     """Time FULL evaluation via the noop sink — a bare count() lets
     Catalyst prune every projected expression (an enrichment pipeline
     'scales' perfectly when none of its columns are computed); the noop
     writer materializes every output column without writing bytes. Row
-    count is taken untimed for the report."""
-    df = fn(spark, sf_dir)
+    count is taken untimed for the report. ``eager`` starts the clock
+    BEFORE the entry call (EAGER_PROBES)."""
     t0 = time.time()
+    df = fn(spark, sf_dir)
+    if not eager:
+        t0 = time.time()
     df.write.format("noop").mode("overwrite").save()
     t = round(time.time() - t0, 3)
     return t, df.count()
@@ -196,6 +238,8 @@ def main() -> int:
     build_scaled(spark, src, big, factor)
     build_scaled_lineitem(spark, src, base, 1)
     build_scaled_lineitem(spark, src, big, factor)
+    build_scaled_embeddings(spark, src, base, 1)
+    build_scaled_embeddings(spark, src, big, factor)
 
     results = {}
     if "neardup_index_probe" in only:
@@ -208,9 +252,10 @@ def main() -> int:
         fn = entries[name]
         # warm both paths once at factor 1 so JIT/codegen cost doesn't
         # land on either timed run
-        time_entry(fn, spark, base)
-        t1, n1 = time_entry(fn, spark, base)
-        tn, nn = time_entry(fn, spark, big)
+        eager = name in EAGER_PROBES
+        time_entry(fn, spark, base, eager)
+        t1, n1 = time_entry(fn, spark, base, eager)
+        tn, nn = time_entry(fn, spark, big, eager)
         results[name] = {
             "t1": t1,
             f"t{factor}": tn,
