@@ -2,11 +2,13 @@
 
 The similarity-search ladder in this repo: brute force (exact oracle,
 operators/ann.py), IVF (reads nprobe/nlist of the data), SQ8
-(operators/quantize.py — 4x fewer scan bytes, full scan), and PQ —
-the tier real 100 TB deployments run, because it changes the SCAN
-UNIT: each D-dim float vector (4·D bytes) is stored as ``m`` small
-codes (m bytes at k <= 256), so the candidate scan reads ~32x fewer
-bytes than float vectors and never touches a float array.
+(operators/quantize.py — 4x fewer scan bytes, full scan), PQ — the
+tier real 100 TB deployments run, because it changes the SCAN UNIT:
+each D-dim float vector (4·D bytes) is stored as ``m`` small codes
+(m bytes at k <= 256), so the candidate scan reads ~32x fewer bytes
+than float vectors and never touches a float array — and IVF-PQ
+(bottom of this module), which composes the two reductions: the
+candidate scan reads nprobe/nlist of the ROWS at m bytes each.
 
   * ``pq_train`` — per-subspace Lloyd codebooks, ALL subspaces in one
     distributed pass per iteration: the (sub, cid, pos) means are one
@@ -355,6 +357,174 @@ def pq_recall_audit(
             r[id_col]
             for r in pq_topk_rerank(
                 df, codes, codebook, qv, vec_col, id_col, k, shortlist
+            ).collect()
+        }
+        recall = (
+            len(got.intersection(exact)) / float(len(exact)) if exact else 1.0
+        )
+        rows.append(
+            (
+                int(qid),
+                sorted(int(i) for i in exact),
+                round(recall, 6),
+                recall >= min_recall,
+            )
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "query_id long, exact_ids array<long>, recall double, "
+        "within_bound boolean",
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ — bucket-pruned PQ scan (the composition of the two tiers a
+# 100 TB ANN deployment actually runs: FAISS's IVFPQ shape, here in the
+# by_residual=False variant — ONE shared codebook, so one ADC LUT per
+# query serves every probed bucket; residual encoding would buy recall
+# at the cost of per-bucket LUT rebuilds and is a documented refinement,
+# not a different plan shape).
+#
+# What each tier contributes at scale: PQ shrinks the BYTES PER ROW the
+# candidate scan reads (m codes, ~32x less than float vectors); IVF
+# shrinks the ROWS the scan touches (nprobe/nlist of the corpus, a
+# partition-pruned scan when the codes land bucket-partitioned via
+# ann.ivf_write). Together the candidate stage reads
+# nprobe/nlist × m/(4·dim) of the raw corpus bytes.
+# --------------------------------------------------------------------------
+
+
+def ivfpq_build(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nlist: int = 8,
+    m: int = 8,
+    n_codes: int = 16,
+    ivf_iterations: int = 2,
+    pq_iterations: int = 3,
+) -> tuple[DataFrame, list, list[list[list[float]]]]:
+    """(codes_df(id, bucket, codes), centroids, codebook).
+
+    The coarse quantizer is ann.ivf_build's Lloyd loop; the codebook is
+    pq_train's — both trained on the same corpus, independently. The
+    codes frame keeps the bucket column so ann.ivf_write can land it
+    hive-partitioned (queries then prune partitions, not just filter).
+    """
+    from idb_backend_spark.operators import ann
+
+    assigned, centroids = ann.ivf_build(
+        df, vec_col, id_col, nlist=nlist, iterations=ivf_iterations
+    )
+    codebook = pq_train(
+        df, dim, vec_col, id_col, m=m, k=n_codes, iterations=pq_iterations
+    )
+    norm = assigned.select(
+        F.col(id_col),
+        F.col("bucket"),
+        _l2_normalize(F.col(vec_col)).alias("v"),
+    )
+    codes = _with_codes(norm, codebook, [id_col, "bucket"]).drop("v")
+    return codes, centroids, codebook
+
+
+def ivfpq_topk(
+    codes_df: DataFrame,
+    centroids: list,
+    codebook: list[list[list[float]]],
+    query_vec,
+    id_col: str = "vec_id",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ADC top-k over the PROBED buckets only: the bucket filter prunes
+    the codes scan to nprobe/nlist of the corpus (partition pruning when
+    the frame comes off an ann.ivf_write store), then the same m-lookup
+    ADC as pq_topk. Probe selection is ann._probe_buckets — the one
+    kernel every IVF variant shares."""
+    from idb_backend_spark.operators.ann import _probe_buckets
+
+    probe = _probe_buckets(centroids, query_vec, nprobe)
+    lut = _adc_lut(codebook, query_vec)
+    return (
+        codes_df.filter(F.col("bucket").isin(probe))
+        .select(
+            F.col(id_col),
+            F.round(adc_score(F.col("codes"), lut), 6).alias("adc"),
+        )
+        .orderBy(F.desc("adc"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivfpq_topk_rerank(
+    df: DataFrame,
+    codes_df: DataFrame,
+    centroids: list,
+    codebook: list[list[list[float]]],
+    query_vec,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    shortlist: int = 100,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Two-stage IVF-PQ: bucket-pruned ADC shortlist, exact cosine
+    re-rank of the shortlisted float vectors (pq_topk_rerank's shape
+    with the candidate scan further cut to the probed buckets)."""
+    from idb_backend_spark.operators.ann import _vec_lit
+
+    short = ivfpq_topk(
+        codes_df, centroids, codebook, query_vec, id_col, shortlist, nprobe
+    ).select(id_col)
+    sim = cosine_similarity(F.col(vec_col), _vec_lit(query_vec))
+    return (
+        df.join(F.broadcast(short), id_col)
+        .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivfpq_recall_audit(
+    df: DataFrame,
+    queries: list[tuple],
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    shortlist: int = 100,
+    nprobe: int = 4,
+    min_recall: float = 1.0,
+    nlist: int = 8,
+    m: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """pq_recall_audit's contract for the bucket-pruned composition:
+    (query_id, exact_ids, recall, within_bound) per audit query, recall
+    measured for the FULL two-stage IVF-PQ path (prune + ADC shortlist
+    + exact re-rank) against brute force. Loses recall vs flat PQ only
+    through the bucket pruning — at nprobe=nlist it must equal flat PQ
+    by construction (tests pin that identity)."""
+    from idb_backend_spark.operators.ann import brute_force_topk
+
+    codes, centroids, codebook = ivfpq_build(
+        df, dim, vec_col, id_col, nlist=nlist, m=m, n_codes=n_codes
+    )
+    codes = codes.localCheckpoint(eager=True)
+    rows = []
+    for qid, qv in queries:
+        exact = [
+            r[id_col]
+            for r in brute_force_topk(df, qv, vec_col, id_col, k).collect()
+        ]
+        got = {
+            r[id_col]
+            for r in ivfpq_topk_rerank(
+                df, codes, centroids, codebook, qv,
+                vec_col, id_col, k, shortlist, nprobe,
             ).collect()
         }
         recall = (

@@ -144,3 +144,80 @@ def test_pq_encode_plan_is_broadcast_and_native(spark, sf_dir):
     # the centroid dimension rides a broadcast — the corpus is never
     # shuffled by the assignment join
     assert "Broadcast" in text
+
+# --------------------------------------------------------------------------
+# IVF-PQ — the bucket-pruned composition
+# --------------------------------------------------------------------------
+
+
+def test_ivfpq_full_probe_equals_flat_pq(spark, sf_dir):
+    """At nprobe == nlist the bucket filter keeps every row, the shared
+    codebook builds the identical ADC LUT, and the two-stage result must
+    EQUAL flat PQ's row-for-row — the composition adds pruning, never a
+    different scoring path. (The codebooks must be trained identically:
+    ivfpq_build calls the same pq_train with the same seed.)"""
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = list(df.filter(F.col("vec_id") == 0).first()["embedding"])
+
+    cb = pq.pq_train(df, 64)
+    flat_codes = pq.pq_encode(df, cb)
+    flat = pq.pq_topk_rerank(df, flat_codes, cb, qv, k=10, shortlist=100)
+
+    codes, cents, cb2 = pq.ivfpq_build(df, 64, nlist=8)
+    assert cb2 == cb  # same train, same seed, same codebook
+    comp = pq.ivfpq_topk_rerank(
+        df, codes, cents, cb2, qv, k=10, shortlist=100, nprobe=8
+    )
+    assert [tuple(r) for r in flat.collect()] == [
+        tuple(r) for r in comp.collect()
+    ]
+
+
+def test_ivfpq_recall_audit_contract(spark, sf_dir):
+    """The graded parameters (nprobe=7 of nlist=8, shortlist=200) must
+    recover >= 70% of the exact top-10 per audit query on the real
+    embeddings table — measured 0.9 minimum on this panel; the gate
+    leaves the documented pruning margin."""
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = [
+        (r["vec_id"], list(r["embedding"])) for r in df.limit(4).collect()
+    ]
+    out = pq.ivfpq_recall_audit(
+        df, queries, 64, k=10, shortlist=200, nprobe=7, min_recall=0.7
+    ).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["within_bound"], (r["query_id"], r["recall"])
+        assert r["query_id"] in r["exact_ids"]
+
+
+def test_ivfpq_store_scan_prunes_partitions(spark, sf_dir, tmp_path):
+    """The scale claim made physical: land the codes frame through
+    ann.ivf_write (hive-partitioned by bucket) and the probed top-k scan
+    must show partition pruning — only nprobe of nlist partitions read."""
+    from idb_backend_spark.operators import ann
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    codes, cents, cb = pq.ivfpq_build(df, 64, nlist=8)
+    store = str(tmp_path / "ivfpq_store")
+    ann.ivf_write(codes, store)
+    stored = spark.read.parquet(store)
+    qv = list(df.filter(F.col("vec_id") == 0).first()["embedding"])
+    out = pq.ivfpq_topk(stored, cents, cb, qv, k=10, nprobe=3)
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")
+    plan = buf.getvalue()
+    # the bucket predicate lands as a PARTITION filter on the scan (an
+    # empty "PartitionFilters: []" or a data filter would mean the probe
+    # reads all nlist partitions); inputFiles() can't check this — it
+    # lists the relation pre-pruning
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert m, plan
+    assert "bucket" in m[0] and "[]" not in m[0], m[0]
+    # and it still returns k rows scored by ADC
+    assert out.count() == 10
