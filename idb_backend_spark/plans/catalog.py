@@ -71,10 +71,12 @@ ingest_e2e's detect_deletes path grade both halves of U2).
 Round-8 registrations — the grading queue is now EMPTY: the last two
 queued operators, tfidf_top_terms (operators/tfidf.py, twin
 tfidf_top_terms_sql, rounded-score ranking with integer tie-break) and
-pq_recall_audit (operators/pq.py — product-quantization ADC + exact
-re-rank; audit-contract grading like the sketch tiers: exact-cosine id
-sets + the recall>=0.8 boolean, never the raw recall), registered in
-q_textsim.py. The two slots came from the pre-verified round-7
+pq_recall_audit (operators/pq.py — product quantization, BOTH
+deployment shapes in the one slot: flat PQ ADC + exact re-rank at a
+recall>=0.8 gate and the bucket-pruned IVF-PQ composition at
+recall>=0.7; audit-contract grading like the sketch tiers: exact-cosine
+id sets + the per-method booleans, never the raw recalls), registered
+in q_textsim.py. The two slots came from the pre-verified round-7
 candidates, re-verified against source this round before executing:
 latest_object_per_url (J6 — the identical versioning.latest_per_key_agg
 max_by(struct) kernel latest_version_per_key grades in the same
