@@ -544,3 +544,133 @@ def ivfpq_recall_audit(
         "query_id long, exact_ids array<long>, recall double, "
         "within_bound boolean",
     )
+
+
+def ivfpq_batch_topk(
+    codes_df: DataFrame,
+    centroids: list,
+    codebook: list[list[list[float]]],
+    queries: list[tuple],
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ADC top-k for MANY queries in ONE pass over the codes — the
+    batched form of ivfpq_topk (ann.batch_topk's amortization argument:
+    per-query jobs re-scan the corpus per query; here the codes are
+    read once for the whole panel).
+
+    ``queries`` is a driver-side [(query_id, vector), ...] panel — the
+    per-query probe sets and ADC LUTs are computed with the SAME shared
+    kernels the per-query path uses (ann._probe_buckets, _adc_lut), so
+    batch results equal per-query results row-for-row (test-pinned);
+    each LUT is m·k floats, so even thousands of queries are KBs. The
+    (query_id, bucket, lut) dimension joins the codes scan on bucket —
+    broadcast when it fits (size-gated, the neardup_index._gate_broadcast
+    discipline: estimate rows × lut bytes, fall back to a plain join) —
+    then one native aggregate scores each (row, query) pair and a
+    per-query window keeps the top k.
+
+    Output: (query_id, vec_id, adc, rank), rank 1..k per query,
+    deterministic tie-break on vec_id.
+    """
+    from pyspark.sql import Window
+
+    from idb_backend_spark.operators.ann import _probe_buckets
+
+    spark = codes_df.sparkSession
+    m = len(codebook)
+    n_codes = len(codebook[0])
+    rows = []
+    for qid, qv in queries:
+        lut = _adc_lut(codebook, qv)
+        flat = [float(v) for lut_s in lut for v in lut_s]
+        for b in _probe_buckets(centroids, qv, nprobe):
+            rows.append((int(qid), int(b), flat))
+    qdim = spark.createDataFrame(
+        rows, f"{query_id_col} long, bucket int, __lut array<double>"
+    )
+    # size-gated broadcast — the one shared gate (threshold parsing
+    # incl. '64m'-style suffixes lives in exactly one place)
+    from idb_backend_spark.operators.neardup_index import _gate_broadcast
+
+    qdim = _gate_broadcast(qdim, len(rows) * (m * n_codes * 8 + 64), spark)
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("__lut"), s * n_codes + F.element_at(F.col("codes"), s + 1) + 1
+        ),
+    )
+    scored = codes_df.join(qdim, "bucket").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(score, 6).alias("adc"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("adc"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adc", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def ivfpq_batch_topk_rerank(
+    df: DataFrame,
+    codes_df: DataFrame,
+    centroids: list,
+    codebook: list[list[list[float]]],
+    queries: list[tuple],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    shortlist: int = 100,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Two-stage batch retrieval: one codes pass shortlists every query,
+    one join against the float vectors re-ranks only the shortlisted
+    (query, candidate) pairs exactly — |queries|·shortlist rows read
+    from the vector table, the corpus scanned zero extra times. The
+    per-query equivalent of ivfpq_topk_rerank (test-pinned identity).
+
+    Output: (query_id, vec_id, cosine, rank), rank 1..k per query.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    short = ivfpq_batch_topk(
+        codes_df, centroids, codebook, queries,
+        id_col, query_id_col, shortlist, nprobe,
+    ).select(query_id_col, id_col)
+    qv_rows = [
+        (int(qid), [float(x) for x in qv]) for qid, qv in queries
+    ]
+    qvec = F.broadcast(
+        spark.createDataFrame(
+            qv_rows, f"{query_id_col} long, __qv array<float>"
+        )
+    )
+    sim = cosine_similarity(F.col(vec_col), F.col("__qv"))
+    scored = (
+        short.join(df.select(id_col, vec_col), id_col)
+        .join(qvec, query_id_col)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(sim, 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col, id_col, "cosine",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

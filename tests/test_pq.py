@@ -221,3 +221,66 @@ def test_ivfpq_store_scan_prunes_partitions(spark, sf_dir, tmp_path):
     assert "bucket" in m[0] and "[]" not in m[0], m[0]
     # and it still returns k rows scored by ADC
     assert out.count() == 10
+
+
+def test_ivfpq_batch_equals_per_query(spark, sf_dir):
+    """The batched forms must equal the per-query paths ROW-FOR-ROW
+    (same probe kernel, same LUT builder, same rounding): one codes pass
+    for the panel is an amortization, never a different answer. Also
+    pins the ADC column-score expression against adc_score's literal
+    form — the two scoring implementations share doubles and sum order."""
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    codes, cents, cb = pq.ivfpq_build(df, 64, nlist=8)
+    codes = codes.localCheckpoint(eager=True)
+    panel = [
+        (r["vec_id"], list(r["embedding"])) for r in df.limit(3).collect()
+    ]
+
+    batch = pq.ivfpq_batch_topk(
+        codes, cents, cb, panel, k=5, nprobe=3
+    ).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["adc"]))
+    for qid, qv in panel:
+        single = [
+            (r["vec_id"], r["adc"])
+            for r in pq.ivfpq_topk(codes, cents, cb, qv, k=5, nprobe=3).collect()
+        ]
+        assert got[qid] == single, qid
+
+    rerank = pq.ivfpq_batch_topk_rerank(
+        df, codes, cents, cb, panel, k=5, shortlist=50, nprobe=3
+    ).collect()
+    got_rr = {}
+    for r in rerank:
+        got_rr.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    for qid, qv in panel:
+        single = [
+            (r["vec_id"], r["cosine"])
+            for r in pq.ivfpq_topk_rerank(
+                df, codes, cents, cb, qv, k=5, shortlist=50, nprobe=3
+            ).collect()
+        ]
+        assert got_rr[qid] == single, qid
+
+
+def test_ivfpq_batch_plan_is_native_broadcast(spark, sf_dir):
+    """The batch scoring plan must stay JVM-side (no Python eval) with
+    the query dimension broadcast (a KB-scale panel must never shuffle
+    the codes scan)."""
+    import contextlib
+    import io
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    codes, cents, cb = pq.ivfpq_build(df, 64, nlist=8)
+    panel = [
+        (r["vec_id"], list(r["embedding"])) for r in df.limit(3).collect()
+    ]
+    out = pq.ivfpq_batch_topk(codes, cents, cb, panel, k=5, nprobe=3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Broadcast" in plan
