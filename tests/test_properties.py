@@ -741,3 +741,61 @@ def test_batch_topk_equals_per_query_brute_force(spark, sf_dir):
             for i, r in enumerate(rows)
         )
     assert got == sorted(want) and len(got) == 15
+
+
+# ---------------------------------------------------------------------------
+# r8 kernels — perceptual-hash bit math and the Molodensky shift
+# ---------------------------------------------------------------------------
+
+
+@given(st.lists(st.integers(min_value=0, max_value=255), min_size=72, max_size=72))
+@settings(max_examples=200, deadline=None)
+def test_phash_dhash_bits_are_the_row_gradient(pixels):
+    from idb_backend_spark.functions.multimodal import phash_bits_from_pixels
+
+    v = phash_bits_from_pixels(pixels, "dhash")
+    u = v + (1 << 64) if v < 0 else v  # undo the signed-64 fold
+    for r in range(8):
+        for c in range(8):
+            want = pixels[r * 9 + c] > pixels[r * 9 + c + 1]
+            assert bool((u >> (r * 8 + c)) & 1) == want, (r, c)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=255), min_size=64, max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_phash_ahash_bits_are_the_mean_threshold(pixels):
+    from idb_backend_spark.functions.multimodal import phash_bits_from_pixels
+
+    v = phash_bits_from_pixels(pixels, "ahash")
+    u = v + (1 << 64) if v < 0 else v
+    mean = sum(pixels) / 64.0
+    for i, px in enumerate(pixels):
+        assert bool((u >> i) & 1) == (px > mean), i
+    # a constant grid has NO pixel above its mean: hash is exactly 0
+    assert phash_bits_from_pixels([7] * 64, "ahash") == 0
+
+
+from idb_backend_spark.functions.geo import MOLODENSKY_PARAMS
+
+
+@given(
+    st.sampled_from(sorted(MOLODENSKY_PARAMS)),
+    st.floats(min_value=-80.0, max_value=80.0),
+    st.floats(min_value=-179.0, max_value=179.0),
+)
+@settings(max_examples=300, deadline=None)
+def test_molodensky_shift_is_bounded_everywhere(datum, lat, lon):
+    """Every datum's 3-parameter shift moves any mid-latitude point by a
+    physically plausible amount: never more than ~0.05 deg (~5.5 km —
+    the largest published mean shifts are hundreds of meters, and the
+    1/cos(phi) longitude growth stays bounded below |80| deg). A wrong
+    unit (radians for degrees, meters for arcsec) fails by orders of
+    magnitude."""
+    import math
+
+    from idb_backend_spark.functions.geo import molodensky_shift_py
+
+    glat, glon = molodensky_shift_py(lat, lon, datum)
+    assert abs(glat - lat) < 0.05, (datum, lat, lon, glat)
+    lon_cap = 0.05 / max(0.17, abs(math.cos(math.radians(lat))))
+    assert abs(glon - lon) < lon_cap, (datum, lat, lon, glon)
