@@ -284,3 +284,47 @@ def test_ivfpq_batch_plan_is_native_broadcast(spark, sf_dir):
     plan = buf.getvalue()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Broadcast" in plan
+
+
+def test_ivfpq_residual_contract_and_score_identity(spark, sf_dir):
+    """by_residual=True must (a) hold the recall>=0.7 contract at the
+    graded parameters, and (b) score each row as EXACTLY the per-bucket
+    offset q·c_b plus the residual-LUT sum — verified against a numpy
+    replica of the LUT and the driver-side offsets, so the column
+    arithmetic can't silently drop the offset or double-apply it."""
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = [
+        (r["vec_id"], list(r["embedding"])) for r in df.limit(4).collect()
+    ]
+    out = pq.ivfpq_recall_audit(
+        df, queries, 64, k=10, shortlist=200, nprobe=7,
+        min_recall=0.7, by_residual=True,
+    ).collect()
+    for r in out:
+        assert r["within_bound"], (r["query_id"], r["recall"])
+
+    codes, cents, cb = pq.ivfpq_build(df, 64, nlist=8, by_residual=True)
+    qv = queries[0][1]
+    got = {
+        r["vec_id"]: r["adc"]
+        for r in pq.ivfpq_topk(
+            codes, cents, cb, qv, k=30, nprobe=8, by_residual=True
+        ).collect()
+    }
+    rows = {
+        r["vec_id"]: (r["bucket"], list(r["codes"]))
+        for r in codes.filter(F.col("vec_id").isin(*got)).collect()
+    }
+    # numpy LUT replica (the existing adc test's construction) + the
+    # exact offsets from the shared kernel
+    q = np.asarray(qv, dtype=float)
+    q = q / (np.linalg.norm(q) or 1.0)
+    lut = [
+        [float(np.dot(q[s * 8 : (s + 1) * 8], np.asarray(c))) for c in cb[s]]
+        for s in range(8)
+    ]
+    offs = pq._bucket_offsets(cents, qv, list(range(8)))
+    for vid, adc in got.items():
+        b, cs = rows[vid]
+        want = offs[b] + sum(lut[s][cs[s]] for s in range(8))
+        assert math.isclose(adc, round(want, 6), abs_tol=1.5e-6), vid
