@@ -27,6 +27,80 @@ def related_uuids(links: Column) -> Column:
     return F.array_compact(F.transform(links, lambda u: grab_first_uuid(u)))
 
 
+#: the reference's per-type relation column table (conversions.py:633-648):
+#: (outname, link key, reftype) — text takes the FIRST element, list the
+#: whole array.
+RELATION_TABLE: dict[str, list[tuple[str, str, str]]] = {
+    "records": [
+        ("recordset", "recordset", "text"),
+        ("mediarecords", "mediarecord", "list"),
+    ],
+    "mediarecords": [
+        ("recordset", "recordset", "text"),
+        ("records", "record", "list"),
+    ],
+    "publishers": [("recordsets", "recordset", "list")],
+    "recordsets": [("publisher", "publisher", "text")],
+}
+
+#: idigbio:parent lands in the SINGULAR parent column — the reference
+#: spells it "".join(PARENT_MAP[t])[:-1] over plural names
+#: (conversions.py:26-30, :670-672); the singulars are stored directly.
+PARENT_COLUMN: dict[str, str] = {
+    "records": "recordset",
+    "mediarecords": "recordset",
+    "recordsets": "publisher",
+}
+
+
+def relations_grabber(
+    record_type: str,
+    links: Column,
+    siblings: Column,
+    parent: Column,
+) -> dict[str, Column]:
+    """F9 — the FULL relationsGrabber assembly (conversions.py:632-672),
+    quirks preserved:
+
+    * ``idigbio:links`` takes COMPLETE precedence over siblings (the
+      reference's elif): when the links map is present, a relation key
+      missing from it yields NULL — the siblings map is never consulted,
+      even if it has the key.
+    * Under links, a text column is grabFirstUUID(first link) — NULL
+      when the first link embeds no uuid — and a list column drops
+      non-uuid links; under siblings both are taken VERBATIM (no uuid
+      extraction, no fold).
+    * ``idigbio:parent`` overwrites the type's singular parent column
+      LAST, regardless of which branch filled it (map-column semantics:
+      a non-NULL parent is "key present").
+
+    ``links``/``siblings`` are map<string, array<string>> columns (NULL
+    map = key absent); returns {outname: Column} for the type's
+    RELATION_TABLE rows.
+    """
+    out: dict[str, Column] = {}
+    has_links = links.isNotNull()
+    has_sibs = siblings.isNotNull()
+    for outname, key, reftype in RELATION_TABLE[record_type]:
+        l_arr = F.try_element_at(links, F.lit(key))
+        s_arr = F.try_element_at(siblings, F.lit(key))
+        if reftype == "text":
+            from_links = F.when(
+                l_arr.isNotNull(), grab_first_uuid(F.element_at(l_arr, 1))
+            )
+            from_sibs = F.when(s_arr.isNotNull(), F.element_at(s_arr, 1))
+        else:
+            from_links = F.when(l_arr.isNotNull(), related_uuids(l_arr))
+            from_sibs = F.when(s_arr.isNotNull(), s_arr)
+        out[outname] = F.when(has_links, from_links).when(
+            has_sibs, from_sibs
+        )
+    pcol = PARENT_COLUMN.get(record_type)
+    if pcol is not None and pcol in out:
+        out[pcol] = F.when(parent.isNotNull(), parent).otherwise(out[pcol])
+    return out
+
+
 def media_presence_flags(
     mediarecords: Column, records: Column
 ) -> dict[str, Column]:

@@ -527,23 +527,52 @@ def stats_rollup_nested_q(spark, sf_dir):
     ).orderBy("day", "event_type")
 
 
-@query(
-    "media_presence_flags",
-    # F9/P14 — hasMedia/hasSpecimen from sibling-link arrays: orders with
-    # at least one qualifying lineitem "media" link
-    "WITH links AS (SELECT o.o_orderkey, "
-    "  (SELECT count(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey"
-    "   AND l.l_returnflag = 'R') AS n_media, "
-    "  (SELECT count(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey"
-    "   AND l.l_returnflag = 'N') AS n_spec "
-    "  FROM orders o) "
-    "SELECT o_orderkey, n_media > 0 AS hasMedia, n_spec > 0 AS hasSpecimen "
-    "FROM links ORDER BY o_orderkey",
-)
+def _relations_oracle_sql() -> str:
+    """Golden replica of the relationsGrabber assembly over the
+    synthesized links/siblings/parent inputs (the blessed oracle style
+    for table-lookup kernels): the CASE arms restate the reference's
+    branch outcomes — links' elif blocks sibling fallback, links text is
+    the lowercased first-link uuid, siblings are verbatim, the parent
+    override wins everywhere — composed with the original
+    hasMedia/hasSpecimen lineitem-link booleans."""
+    k = "o_orderkey"
+    uuid_a = f"'abcdef00-0000-0000-0000-' || lpad(CAST({k} % 1000000 AS VARCHAR), 12, '0')"
+    uuid_b = f"'abcdef11-0000-0000-1111-' || lpad(CAST({k} % 1000000 AS VARCHAR), 12, '0')"
+    return (
+        "WITH links AS (SELECT o.o_orderkey, "
+        "  (SELECT count(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey"
+        "   AND l.l_returnflag = 'R') AS n_media, "
+        "  (SELECT count(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey"
+        "   AND l.l_returnflag = 'N') AS n_spec "
+        "  FROM orders o) "
+        "SELECT o_orderkey, n_media > 0 AS hasMedia, n_spec > 0 AS hasSpecimen, "
+        f"CASE WHEN {k} % 4 = 0 THEN 'parent-rs-' || CAST({k} % 100 AS VARCHAR) "
+        f"  WHEN {k} % 6 = 0 THEN NULL "  # key missing under links; elif blocks siblings
+        f"  WHEN {k} % 3 = 0 THEN {uuid_a} "
+        f"  WHEN {k} % 3 = 1 THEN 'RS-' || CAST({k} AS VARCHAR) || ' Verbatim' "
+        "  ELSE NULL END AS recordset, "
+        f"CASE WHEN {k} % 3 = 0 THEN {uuid_b} "  # the no-uuid link is dropped
+        f"  WHEN {k} % 3 = 1 THEN 'sib-1|sib-2' "
+        "  ELSE NULL END AS mediarecords "
+        "FROM links ORDER BY o_orderkey"
+    )
+
+
+@query("media_presence_flags", _relations_oracle_sql())
 def media_presence_flags_q(spark, sf_dir):
-    """F9/P14 — derive media/specimen presence booleans from collected
-    sibling-link arrays (conversions.py:632-680)."""
-    from idb_backend_spark.functions.finalize import media_presence_flags
+    """F9/P14 — the FULL relationsGrabber assembly (conversions.py:
+    632-680), r8: per-type relation columns from synthesized
+    idigbio:links / idigbio:siblings maps + the idigbio:parent override
+    (functions.finalize.relations_grabber — links' elif blocks sibling
+    fallback; links text = grabFirstUUID(first), siblings verbatim;
+    non-uuid links dropped from lists), composed with the original
+    hasMedia/hasSpecimen presence booleans from lineitem-derived link
+    arrays. The uuid prefixes carry hex LETTERS so the grabber's
+    lowercase fold is actually exercised."""
+    from idb_backend_spark.functions.finalize import (
+        media_presence_flags,
+        relations_grabber,
+    )
 
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -557,10 +586,48 @@ def media_presence_flags_q(spark, sf_dir):
         spec_links, "o_orderkey", "left"
     )
     flags = media_presence_flags(F.col("mediarecords"), F.col("records"))
+
+    # synthesized relationsGrabber inputs (pure functions of the key;
+    # UPPERCASE hex in the uuids so the lowercase fold shows)
+    k = F.col("o_orderkey")
+    pad = F.lpad((k % 1000000).cast("string"), 12, "0")
+    link_a = F.concat(
+        F.lit("https://api.example.org/v2/view/recordsets/ABCDEF00-0000-0000-0000-"),
+        pad,
+    )
+    link_b = F.concat(
+        F.lit("https://api.example.org/v2/view/mediarecords/ABCDEF11-0000-0000-1111-"),
+        pad,
+    )
+    full_links = F.create_map(
+        F.lit("recordset"), F.array(link_a),
+        F.lit("mediarecord"), F.array(link_b, F.lit("https://no-uuid")),
+    )
+    # k%6==0 rows: links WITHOUT the recordset key AND a siblings map
+    # that must be ignored — proves the elif blocks the fallback
+    partial_links = F.create_map(
+        F.lit("mediarecord"), F.array(link_b, F.lit("https://no-uuid"))
+    )
+    sib_map = F.create_map(
+        F.lit("recordset"),
+        F.array(F.concat(F.lit("RS-"), k.cast("string"), F.lit(" Verbatim"))),
+        F.lit("mediarecord"), F.array(F.lit("sib-1"), F.lit("sib-2")),
+    )
+    links_col = F.when(
+        k % 3 == 0, F.when(k % 6 == 0, partial_links).otherwise(full_links)
+    )
+    sibs_col = F.when((k % 3 == 1) | (k % 6 == 0), sib_map)
+    parent_col = F.when(
+        k % 4 == 0,
+        F.concat(F.lit("parent-rs-"), (k % 100).cast("string")),
+    )
+    rel = relations_grabber("records", links_col, sibs_col, parent_col)
     return joined.select(
         "o_orderkey",
         flags["hasMedia"].alias("hasMedia"),
         flags["hasSpecimen"].alias("hasSpecimen"),
+        rel["recordset"].alias("recordset"),
+        F.array_join(rel["mediarecords"], "|").alias("mediarecords"),
     ).orderBy("o_orderkey")
 
 

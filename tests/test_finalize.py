@@ -151,3 +151,96 @@ def test_wkt_bare_fallback_reference_dialect(spark):
         (0.0, 0.0), (10.0, 0.0), (5.0, 10.0)
     ]
     assert all(out[i]["ring"] is None for i in (1, 2, 3, 4))
+
+
+def test_relations_grabber_reference_quirks(spark):
+    """conversions.py:632-672 — the full assembly: links' elif blocks
+    sibling fallback entirely; text under links is grabFirstUUID(first)
+    but VERBATIM under siblings; list under links drops non-uuid
+    entries but copies siblings verbatim; idigbio:parent overwrites the
+    singular parent column last, in every branch."""
+    from pyspark.sql import functions as F
+
+    from idb_backend_spark.functions.finalize import relations_grabber
+
+    u = "AABBCCDD-0000-0000-0000-000000000001"
+    link = f"https://api.example.org/v2/view/recordsets/{u}"
+    mlink = "https://api.example.org/v2/view/mediarecords/aabbccdd-0000-0000-0000-000000000002"
+    rows = [
+        # 1: links with both keys (+ a no-uuid media link, dropped)
+        (1, {"recordset": [link], "mediarecord": [mlink, "no-uuid"]},
+         None, None),
+        # 2: links present but MISSING recordset; siblings HAS it —
+        #    the elif must block the fallback (recordset stays NULL)
+        (2, {"mediarecord": [mlink]},
+         {"recordset": ["RS-2 Verbatim"]}, None),
+        # 3: siblings only — verbatim text + verbatim list
+        (3, None,
+         {"recordset": [" RS-3 Verbatim "], "mediarecord": ["s1", "s2"]},
+         None),
+        # 4: neither
+        (4, None, None, None),
+        # 5: links first element has NO uuid -> text column NULL
+        (5, {"recordset": ["no-uuid-in-here"]}, None, None),
+        # 6: parent overrides the links value
+        (6, {"recordset": [link]}, None, "parent-rs-6"),
+        # 7: parent fills even when neither branch is present
+        (7, None, None, "parent-rs-7"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "i int, links map<string,array<string>>, "
+        "sibs map<string,array<string>>, parent string",
+    )
+    r = relations_grabber(
+        "records", F.col("links"), F.col("sibs"), F.col("parent")
+    )
+    got = {
+        row["i"]: (row["rs"], row["mr"])
+        for row in df.select(
+            "i",
+            r["recordset"].alias("rs"),
+            F.array_join(r["mediarecords"], "|").alias("mr"),
+        ).collect()
+    }
+    assert got[1] == (u.lower(), mlink.rsplit("/", 1)[1])
+    assert got[2] == (None, mlink.rsplit("/", 1)[1])  # elif blocked
+    assert got[3] == (" RS-3 Verbatim ", "s1|s2")     # verbatim, unfolded
+    assert got[4] == (None, None)
+    assert got[5] == (None, None)
+    assert got[6] == ("parent-rs-6", None)  # no mediarecord key in links
+    assert got[7] == ("parent-rs-7", None)
+
+
+def test_relations_grabber_per_type_tables(spark):
+    """recordsets get the publisher text column with the parent
+    override; publishers get the recordsets LIST with no parent."""
+    from pyspark.sql import functions as F
+
+    from idb_backend_spark.functions.finalize import relations_grabber
+
+    u1 = "https://x/v/11111111-2222-3333-4444-555555555555"
+    u2 = "https://x/v/66666666-7777-8888-9999-aaaaaaaaaaaa"
+    df = spark.createDataFrame(
+        [(1, {"publisher": [u1], "recordset": [u1, u2]}, "pp")],
+        "i int, links map<string,array<string>>, parent string",
+    )
+    rsets = relations_grabber(
+        "recordsets", F.col("links"), F.lit(None).cast(
+            "map<string,array<string>>"
+        ), F.col("parent"),
+    )
+    pubs = relations_grabber(
+        "publishers", F.col("links"), F.lit(None).cast(
+            "map<string,array<string>>"
+        ), F.col("parent"),
+    )
+    row = df.select(
+        rsets["publisher"].alias("p"),
+        F.array_join(pubs["recordsets"], "|").alias("rs"),
+    ).first()
+    assert row["p"] == "pp"  # parent overrides the uuid from links
+    assert row["rs"] == (
+        "11111111-2222-3333-4444-555555555555"
+        "|66666666-7777-8888-9999-aaaaaaaaaaaa"
+    )
