@@ -49,6 +49,49 @@ def grab_first_number(c: Column | str) -> Column:
     return F.when(tok != "", F.translate(tok, ",", "").cast("double"))
 
 
+#: The reference's per-type grabber FIELD TABLES (which raw field feeds
+#: which typed column through which coercion) — recorded as data so call
+#: sites bind the same fields the reference binds:
+#:   * ELEV_FIELDS  -> elevGrabber, locale.atof (FLOAT — a fractional
+#:     elevation keeps its fraction), conversions.py:336-356;
+#:   * INT_FIELDS   -> intGrabber, locale.atoi (fractional tokens raise
+#:     and the field stays None), conversions.py:359-394. NOTE the
+#:     xpixels <- exif:PixelYDimension / ypixels <- exif:PixelXDimension
+#:     CROSS-WIRING: it is verbatim from the reference (:366-368) and
+#:     preserved deliberately — "fixing" it would diverge from what the
+#:     reference serves;
+#:   * FLOAT_FIELDS -> floatGrabber, locale.atof, conversions.py:397-421.
+ELEV_FIELDS: dict[str, list[tuple[str, str]]] = {
+    "records": [
+        ("minelevation", "dwc:minimumElevationInMeters"),
+        ("maxelevation", "dwc:maximumElevationInMeters"),
+        ("mindepth", "dwc:minimumDepthInMeters"),
+        ("maxdepth", "dwc:maximumDepthInMeters"),
+    ],
+}
+
+INT_FIELDS: dict[str, list[tuple[str, str]]] = {
+    "records": [("version", "idigbio:version")],
+    "mediarecords": [
+        ("version", "idigbio:version"),
+        ("xpixels", "exif:PixelYDimension"),
+        ("ypixels", "exif:PixelXDimension"),
+    ],
+    "publishers": [("version", "idigbio:version")],
+    "recordsets": [("version", "idigbio:version")],
+}
+
+FLOAT_FIELDS: dict[str, list[tuple[str, str]]] = {
+    "records": [
+        ("individualcount", "dwc:individualCount"),
+        ("coordinateuncertainty", "dwc:coordinateUncertaintyInMeters"),
+    ],
+    "mediarecords": [],
+    "publishers": [],
+    "recordsets": [],
+}
+
+
 def int_grabber(c: Column | str) -> Column:
     """F4 — integer coercion via first-number grab (conversions.py:359-394).
     The reference converts the grabbed token with ``locale.atoi``, which

@@ -254,13 +254,19 @@ def _etl_oracle_sql() -> str:
         "  CASE WHEN lat IS NOT NULL AND lon IS NOT NULL THEN "
         f"({molodensky_flag_sql()}) END AS datum_flag, "
         "  eventdate AS datecollected, "
-        # intGrabber is locale.atoi: a fractional elevation token ("23.5 m",
-        # planted on ok13=11 rows) raises there, so minelevation stays
-        # NULL — never a truncation to 23
-        "  CASE WHEN ok13 = 11 THEN NULL ELSE CAST(qty AS BIGINT) END "
-        "    AS minelevation, "
-        "  CASE WHEN ok13 = 11 THEN qty + 0.5 ELSE CAST(qty AS DOUBLE) END "
-        "    AS elev_f, "
+        # r8 CORRECTION: minelevation is an ELEVGRABBER field — the
+        # reference coerces it with locale.atof (conversions.py:336-356),
+        # so a fractional token ("23.5 m", ok13=11 rows) KEEPS its
+        # fraction as a float; a numberless token ('unknown', ok13=12
+        # rows) stays NULL. The locale.atoi reject path belongs to
+        # intGrabber's fields and is exercised by `version` below.
+        "  CASE WHEN ok13 = 12 THEN NULL "
+        "    WHEN ok13 = 11 THEN qty + 0.5 "
+        "    ELSE CAST(qty AS DOUBLE) END AS minelevation, "
+        # intGrabber (locale.atoi, conversions.py:359-394) on the
+        # synthesized idigbio:version: the fractional '7.5' raises in
+        # atoi so version stays NULL — never a truncation to 7
+        "  CASE WHEN ok13 = 11 THEN NULL ELSE rowid % 10 END AS version, "
         "  CASE bm WHEN 0 THEN 'preservedspecimen' WHEN 1 THEN 'fossilspecimen' "
         "    WHEN 2 THEN 'machineobservation' END AS basisofrecord, "
         "  CASE rm WHEN 0 THEN 'species' WHEN 1 THEN 'species' END AS taxonrank, "
@@ -284,7 +290,7 @@ def _etl_oracle_sql() -> str:
         "  FROM e), "
         f"ff AS (SELECT *, ({nflags}) AS nflags FROM e2) "
         "SELECT rowid, lat_f AS lat, lon_f AS lon, datecollected, "
-        "minelevation, elev_f, basisofrecord, taxonrank, license, "
+        "minelevation, version, basisofrecord, taxonrank, license, "
         # commonnames replica: verbatim seed (raw, unfolded) plus the
         # lowercase-key value once per gbif entry (conversions.py:818-835)
         # coalesce: DuckDB's array_to_string([]) is NULL where Spark's
@@ -363,19 +369,30 @@ def etl_enrichment_pipeline(spark, sf_dir):
         F.col("l_shipdate").alias("eventdate"),
         F.year("l_shipdate").cast("string").alias("year_s"),
         F.month("l_shipdate").cast("string").alias("month_s"),
-        # integral rendering ("23 m", not the double's "23.0 m") so the
-        # locale.atoi-faithful int_grabber coerces it; ok13=11 rows go
-        # fractional ("23.5 m") to exercise the atoi-reject path
+        # elevGrabber input (locale.atof, conversions.py:336-356):
+        # integral rendering ("23 m") on most rows, fractional "23.5 m"
+        # on ok13=11 rows (atof KEEPS the fraction), numberless
+        # 'unknown' on ok13=12 rows (grabFirstNumber -> None -> NULL)
         F.when(
             F.col("l_orderkey") % 13 == 11,
             F.concat((F.col("l_quantity") + 0.5).cast("string"), F.lit(" m")),
         )
+        .when(F.col("l_orderkey") % 13 == 12, F.lit("unknown"))
         .otherwise(
             F.concat(
                 F.col("l_quantity").cast("bigint").cast("string"), F.lit(" m")
             )
         )
         .alias("elev_s"),
+        # intGrabber input (idigbio:version, the reference's actual
+        # locale.atoi field — conversions.py:359-364): fractional on the
+        # same ok13=11 rows to exercise the atoi-reject path
+        F.when(
+            F.col("l_orderkey") % 13 == 11,
+            F.concat(F.col("l_linenumber").cast("string"), F.lit(".5")),
+        )
+        .otherwise(F.col("l_linenumber").cast("string"))
+        .alias("version_s"),
         F.expr(
             "CASE l_linenumber % 5 WHEN 0 THEN 'PreservedSpecimen' "
             "WHEN 1 THEN 'fossil' WHEN 2 THEN 'machine observation' "
@@ -440,8 +457,11 @@ def etl_enrichment_pipeline(spark, sf_dir):
         F.col("lat_wgs84").alias("lat"),
         F.col("lon_wgs84").alias("lon"),
         dc.alias("datecollected"),
-        int_grabber("elev_s").alias("minelevation"),
-        float_grabber("elev_s").alias("elev_f"),
+        # r8 CORRECTION: minelevation is an elevGrabber (locale.atof)
+        # field — float, fraction kept; the atoi reject path now runs on
+        # the reference's real intGrabber field (version)
+        float_grabber("elev_s").alias("minelevation"),
+        int_grabber("version_s").alias("version"),
         bor["value"].alias("basisofrecord"),
         rank["value"].alias("taxonrank"),
         E.license_lookup(F.col("rights_s")).alias("license"),

@@ -504,3 +504,54 @@ def test_extract_features_fake_is_unit_norm_sha1_lanes(spark):
         assert math.isclose(
             sum(v * v for v in got[i]) ** 0.5, 1.0, rel_tol=1e-5
         )
+
+
+def test_grabber_field_tables_match_reference_including_the_pixel_swap():
+    """conversions.py:336-421 — the per-type grabber field tables are
+    data, and the reference's xpixels <- exif:PixelYDimension /
+    ypixels <- exif:PixelXDimension cross-wiring (:366-368) is preserved
+    verbatim: a well-meaning 'fix' would diverge from the values the
+    reference actually serves."""
+    from idb_backend_spark.functions.grabbers import (
+        ELEV_FIELDS,
+        FLOAT_FIELDS,
+        INT_FIELDS,
+    )
+
+    assert INT_FIELDS["mediarecords"] == [
+        ("version", "idigbio:version"),
+        ("xpixels", "exif:PixelYDimension"),  # yes, Y feeds x
+        ("ypixels", "exif:PixelXDimension"),  # and X feeds y
+    ]
+    assert [k for k, _ in ELEV_FIELDS["records"]] == [
+        "minelevation", "maxelevation", "mindepth", "maxdepth",
+    ]
+    assert FLOAT_FIELDS["records"] == [
+        ("individualcount", "dwc:individualCount"),
+        ("coordinateuncertainty", "dwc:coordinateUncertaintyInMeters"),
+    ]
+    # every int/float/elev table covers all four record types or is
+    # records-only exactly like the reference
+    assert set(INT_FIELDS) == {
+        "records", "mediarecords", "publishers", "recordsets"
+    }
+    assert set(ELEV_FIELDS) == {"records"}
+
+
+def test_elev_vs_int_grabber_fraction_split(spark):
+    """The same '23.5 m' token: elevGrabber (atof) keeps 23.5, intGrabber
+    (atoi) rejects to NULL — the split the ETL entry's minelevation
+    correction rides on (conversions.py:336-394)."""
+    from idb_backend_spark.functions.grabbers import (
+        float_grabber,
+        int_grabber,
+    )
+
+    df = spark.createDataFrame([("23.5 m",), ("23 m",)], "s string")
+    got = [
+        (r["f"], r["i"])
+        for r in df.select(
+            float_grabber("s").alias("f"), int_grabber("s").alias("i")
+        ).collect()
+    ]
+    assert got == [(23.5, None), (23.0, 23)]
