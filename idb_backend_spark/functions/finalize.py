@@ -104,11 +104,15 @@ def relations_grabber(
 def media_presence_flags(
     mediarecords: Column, records: Column
 ) -> dict[str, Column]:
-    """P14 — hasImage/hasMedia/hasSpecimen booleans from the sibling link
-    arrays (conversions.py:674-678): media presence = non-empty media
-    links; specimen presence = non-empty record links."""
-    has_media = mediarecords.isNotNull() & (F.size(mediarecords) > 0)
-    has_specimen = records.isNotNull() & (F.size(records) > 0)
+    """P14 — hasImage/hasMedia/hasSpecimen booleans from the relation
+    link arrays (conversions.py:674-678): presence = the column is not
+    None — NOT non-empty. The reference tests ``r["mediarecords"] is not
+    None``, and relationsGrabber emits an EMPTY list (not None) when an
+    ``idigbio:links`` mediarecord array carries no extractable uuid
+    (conversions.py:656-657) — that record still reports hasImage=true
+    (r9 parity correction; the old ``size > 0`` form reported false)."""
+    has_media = mediarecords.isNotNull()
+    has_specimen = records.isNotNull()
     return {
         "hasMedia": has_media,
         "hasImage": has_media,  # refined by mediatype when available

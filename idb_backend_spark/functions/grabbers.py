@@ -140,11 +140,15 @@ def decimal_exponent(verbatim: Column | str) -> Column:
 
 
 def grab_first_uuid(c: Column | str) -> Column:
-    """F9 helper — first UUID embedded in a string/URL (conversions.py:319-331)."""
+    """F9 helper — first UUID embedded in a string/URL (conversions.py:
+    319-331). The matched group is returned VERBATIM — the reference's
+    grabFirstUUID does no case fold, so an uppercase-hex uuid in a link
+    stays uppercase in the relation columns (r9 correction: an earlier
+    F.lower() here was a parity divergence, not a reference quirk)."""
     c = F.col(c) if isinstance(c, str) else c
     pat = r"([0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12})"
     got = F.regexp_extract(c, pat, 1)
-    return F.when(got != "", F.lower(got))
+    return F.when(got != "", got)
 
 
 def genbank_accessions(c: Column | str) -> Column:

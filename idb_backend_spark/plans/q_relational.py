@@ -319,7 +319,8 @@ def majority_vote(spark, sf_dir):
 # dqs_score form every other round. The retired entry's inline
 # presence-count formula over `documents` was a simplified restatement
 # of the same weighted-presence arithmetic, not a distinct kernel;
-# functions.flags keeps its unit coverage in tests/test_flags.py.
+# functions.flags keeps its unit coverage in tests/test_typed_schema.py::
+# test_dqs_score_for_matches_reference_fold.
 
 
 # O1 (LIMIT/OFFSET page) — catalog entry `keyset_pagination` retired in

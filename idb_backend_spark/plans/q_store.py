@@ -552,12 +552,20 @@ def _relations_oracle_sql() -> str:
     synthesized links/siblings/parent inputs (the blessed oracle style
     for table-lookup kernels): the CASE arms restate the reference's
     branch outcomes — links' elif blocks sibling fallback, links text is
-    the lowercased first-link uuid, siblings are verbatim, the parent
-    override wins everywhere — composed with the original
-    hasMedia/hasSpecimen lineitem-link booleans."""
+    the first-link uuid VERBATIM (uppercase hex preserved — grabFirstUUID
+    does no case fold, conversions.py:319-331; r9 correction), siblings
+    are verbatim, the parent override wins everywhere — composed with
+    the original hasMedia/hasSpecimen lineitem-link booleans AND the P14
+    presence flag taken from the relations output itself:
+
+    * ``hasImage`` restates conversions.py:674-678 — true iff a branch
+      was taken and its map had the mediarecord key, EVEN when every
+      link in it lacked a uuid (the k%12=3 planted rows: the extracted
+      list is empty, not None, so the reference reports true; the old
+      ``size > 0`` engine form wrongly reported false)."""
     k = "o_orderkey"
-    uuid_a = f"'abcdef00-0000-0000-0000-' || lpad(CAST({k} % 1000000 AS VARCHAR), 12, '0')"
-    uuid_b = f"'abcdef11-0000-0000-1111-' || lpad(CAST({k} % 1000000 AS VARCHAR), 12, '0')"
+    uuid_a = f"'ABCDEF00-0000-0000-0000-' || lpad(CAST({k} % 1000000 AS VARCHAR), 12, '0')"
+    uuid_b = f"'ABCDEF11-0000-0000-1111-' || lpad(CAST({k} % 1000000 AS VARCHAR), 12, '0')"
     return (
         "WITH links AS (SELECT o.o_orderkey, "
         "  (SELECT count(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey"
@@ -566,12 +574,14 @@ def _relations_oracle_sql() -> str:
         "   AND l.l_returnflag = 'N') AS n_spec "
         "  FROM orders o) "
         "SELECT o_orderkey, n_media > 0 AS hasMedia, n_spec > 0 AS hasSpecimen, "
+        f"{k} % 3 < 2 AS hasImage, "  # mediarecord key present under the taken branch
         f"CASE WHEN {k} % 4 = 0 THEN 'parent-rs-' || CAST({k} % 100 AS VARCHAR) "
         f"  WHEN {k} % 6 = 0 THEN NULL "  # key missing under links; elif blocks siblings
         f"  WHEN {k} % 3 = 0 THEN {uuid_a} "
         f"  WHEN {k} % 3 = 1 THEN 'RS-' || CAST({k} AS VARCHAR) || ' Verbatim' "
         "  ELSE NULL END AS recordset, "
-        f"CASE WHEN {k} % 3 = 0 THEN {uuid_b} "  # the no-uuid link is dropped
+        f"CASE WHEN {k} % 12 = 3 THEN '' "  # all links uuid-less -> EMPTY list, not None
+        f"  WHEN {k} % 3 = 0 THEN {uuid_b} "  # the no-uuid link is dropped
         f"  WHEN {k} % 3 = 1 THEN 'sib-1|sib-2' "
         "  ELSE NULL END AS mediarecords "
         "FROM links ORDER BY o_orderkey"
@@ -587,8 +597,13 @@ def media_presence_flags_q(spark, sf_dir):
     fallback; links text = grabFirstUUID(first), siblings verbatim;
     non-uuid links dropped from lists), composed with the original
     hasMedia/hasSpecimen presence booleans from lineitem-derived link
-    arrays. The uuid prefixes carry hex LETTERS so the grabber's
-    lowercase fold is actually exercised."""
+    arrays AND the P14 hasImage flag taken from the relations output
+    (conversions.py:674-678 — presence = not-None, so the planted
+    k%12=3 rows whose mediarecord links are ALL uuid-less yield an
+    empty list and hasImage=true). The uuid prefixes carry hex LETTERS
+    so the grabber's verbatim-case behavior is actually exercised
+    (r9: grabFirstUUID preserves case; the old lowercase fold was a
+    divergence)."""
     from idb_backend_spark.functions.finalize import (
         media_presence_flags,
         relations_grabber,
@@ -608,7 +623,8 @@ def media_presence_flags_q(spark, sf_dir):
     flags = media_presence_flags(F.col("mediarecords"), F.col("records"))
 
     # synthesized relationsGrabber inputs (pure functions of the key;
-    # UPPERCASE hex in the uuids so the lowercase fold shows)
+    # UPPERCASE hex in the uuids so a case fold would show — grabFirstUUID
+    # must preserve the match verbatim)
     k = F.col("o_orderkey")
     pad = F.lpad((k % 1000000).cast("string"), 12, "0")
     link_a = F.concat(
@@ -628,13 +644,23 @@ def media_presence_flags_q(spark, sf_dir):
     partial_links = F.create_map(
         F.lit("mediarecord"), F.array(link_b, F.lit("https://no-uuid"))
     )
+    # k%12==3 rows: mediarecord links ALL uuid-less -> relationsGrabber
+    # emits the EMPTY list (conversions.py:656-657), and the reference's
+    # is-not-None presence test still reports hasImage=true (P14 edge)
+    nouuid_links = F.create_map(
+        F.lit("recordset"), F.array(link_a),
+        F.lit("mediarecord"), F.array(F.lit("https://no-uuid")),
+    )
     sib_map = F.create_map(
         F.lit("recordset"),
         F.array(F.concat(F.lit("RS-"), k.cast("string"), F.lit(" Verbatim"))),
         F.lit("mediarecord"), F.array(F.lit("sib-1"), F.lit("sib-2")),
     )
     links_col = F.when(
-        k % 3 == 0, F.when(k % 6 == 0, partial_links).otherwise(full_links)
+        k % 3 == 0,
+        F.when(k % 6 == 0, partial_links)
+        .when(k % 12 == 3, nouuid_links)
+        .otherwise(full_links),
     )
     sibs_col = F.when((k % 3 == 1) | (k % 6 == 0), sib_map)
     parent_col = F.when(
@@ -642,10 +668,16 @@ def media_presence_flags_q(spark, sf_dir):
         F.concat(F.lit("parent-rs-"), (k % 100).cast("string")),
     )
     rel = relations_grabber("records", links_col, sibs_col, parent_col)
+    # P14 parity column: presence from the relations output itself, the
+    # way conversions.py:676-678 derives it — not-None, never size>0
+    rel_flags = media_presence_flags(
+        rel["mediarecords"], F.lit(None).cast("array<string>")
+    )
     return joined.select(
         "o_orderkey",
         flags["hasMedia"].alias("hasMedia"),
         flags["hasSpecimen"].alias("hasSpecimen"),
+        rel_flags["hasImage"].alias("hasImage"),
         rel["recordset"].alias("recordset"),
         F.array_join(rel["mediarecords"], "|").alias("mediarecords"),
     ).orderBy("o_orderkey")

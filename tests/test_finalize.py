@@ -30,6 +30,10 @@ def test_related_uuids(spark):
 
 
 def test_media_presence_flags(spark):
+    """P14 — presence is NOT-NONE, never size>0 (conversions.py:674-678
+    tests ``r["mediarecords"] is not None``): an EMPTY list — what
+    relationsGrabber emits when every link lacks a uuid — still reports
+    presence true. r9 parity correction."""
     df = spark.createDataFrame(
         [
             Row(i=0, mr=["m1"], rec=[]),
@@ -39,12 +43,19 @@ def test_media_presence_flags(spark):
     )
     flags = fin.media_presence_flags(F.col("mr"), F.col("rec"))
     out = (
-        df.select("i", flags["hasMedia"].alias("hm"), flags["hasSpecimen"].alias("hs"))
+        df.select(
+            "i",
+            flags["hasMedia"].alias("hm"),
+            flags["hasImage"].alias("hi"),
+            flags["hasSpecimen"].alias("hs"),
+        )
         .orderBy("i")
         .collect()
     )
-    assert [(r.hm, r.hs) for r in out] == [
-        (True, False), (False, True), (False, False),
+    assert [(r.hm, r.hi, r.hs) for r in out] == [
+        (True, True, True),    # empty rec list is not None -> present
+        (True, True, True),    # empty mr list is not None -> present
+        (False, False, False),
     ]
 
 
@@ -156,9 +167,12 @@ def test_wkt_bare_fallback_reference_dialect(spark):
 def test_relations_grabber_reference_quirks(spark):
     """conversions.py:632-672 — the full assembly: links' elif blocks
     sibling fallback entirely; text under links is grabFirstUUID(first)
-    but VERBATIM under siblings; list under links drops non-uuid
-    entries but copies siblings verbatim; idigbio:parent overwrites the
-    singular parent column last, in every branch."""
+    — case PRESERVED, grabFirstUUID returns the match verbatim
+    (conversions.py:319-331) — but VERBATIM-whole under siblings; list
+    under links drops non-uuid entries but copies siblings verbatim;
+    idigbio:parent overwrites the singular parent column last, in every
+    branch. An all-non-uuid links list yields the EMPTY list (not NULL)
+    and therefore hasImage=true (P14, conversions.py:656-657,:676)."""
     from pyspark.sql import functions as F
 
     from idb_backend_spark.functions.finalize import relations_grabber
@@ -186,6 +200,8 @@ def test_relations_grabber_reference_quirks(spark):
         (6, {"recordset": [link]}, None, "parent-rs-6"),
         # 7: parent fills even when neither branch is present
         (7, None, None, "parent-rs-7"),
+        # 8: mediarecord links present but ALL uuid-less -> EMPTY list
+        (8, {"mediarecord": ["no-uuid-a", "no-uuid-b"]}, None, None),
     ]
     df = spark.createDataFrame(
         rows,
@@ -195,21 +211,28 @@ def test_relations_grabber_reference_quirks(spark):
     r = relations_grabber(
         "records", F.col("links"), F.col("sibs"), F.col("parent")
     )
+    hi = fin.media_presence_flags(
+        r["mediarecords"], F.lit(None).cast("array<string>")
+    )["hasImage"]
     got = {
-        row["i"]: (row["rs"], row["mr"])
+        row["i"]: (row["rs"], row["mr"], row["hi"])
         for row in df.select(
             "i",
             r["recordset"].alias("rs"),
             F.array_join(r["mediarecords"], "|").alias("mr"),
+            hi.alias("hi"),
         ).collect()
     }
-    assert got[1] == (u.lower(), mlink.rsplit("/", 1)[1])
-    assert got[2] == (None, mlink.rsplit("/", 1)[1])  # elif blocked
-    assert got[3] == (" RS-3 Verbatim ", "s1|s2")     # verbatim, unfolded
-    assert got[4] == (None, None)
-    assert got[5] == (None, None)
-    assert got[6] == ("parent-rs-6", None)  # no mediarecord key in links
-    assert got[7] == ("parent-rs-7", None)
+    mr_uuid = mlink.rsplit("/", 1)[1]
+    assert got[1] == (u, mr_uuid, True)  # uuid case PRESERVED (verbatim)
+    assert got[2] == (None, mr_uuid, True)           # elif blocked
+    assert got[3] == (" RS-3 Verbatim ", "s1|s2", True)  # verbatim, unfolded
+    assert got[4] == (None, None, False)
+    assert got[5] == (None, None, False)
+    assert got[6] == ("parent-rs-6", None, False)  # no mediarecord key in links
+    assert got[7] == ("parent-rs-7", None, False)
+    # P14 edge: empty extracted list is not None -> hasImage TRUE
+    assert got[8] == (None, "", True)
 
 
 def test_relations_grabber_per_type_tables(spark):
