@@ -294,7 +294,8 @@ def _pq_recall_oracle() -> str:
         "t AS (SELECT query_id, "
         "  string_agg(vec_id, '|' ORDER BY vec_id) AS exact_ids "
         f"  FROM r WHERE rn <= {_PQ_K} GROUP BY query_id) "
-        "SELECT m.method, t.query_id, t.exact_ids, TRUE AS within_bound "
+        "SELECT m.method, t.query_id, t.exact_ids, TRUE AS within_bound, "
+        "TRUE AS batch_consistent "
         "FROM t CROSS JOIN (VALUES ('pq'), ('ivfpq')) AS m(method) "
         "ORDER BY method, query_id"
     )
@@ -315,7 +316,17 @@ def pq_recall_audit_q(spark, sf_dir):
     rounding as the brute-force tier) plus the per-method recall
     contract booleans (pq>=0.8, ivfpq>=0.7) — the slot fails iff either
     retrieval path degrades below its advertised bound. Raw recall
-    values are engine-side-only and deliberately NOT graded."""
+    values are engine-side-only and deliberately NOT graded.
+
+    r9 adds the BATCH contract to the same slot: ``batch_consistent``
+    certifies that ivfpq_batch_topk_rerank — the one-codes-pass-per-
+    panel shape that carries the deployment economics (4.6x measured
+    amortization, SCALING.md) — returns the per-query results row for
+    row, cosine scores included. The flat-PQ rows carry TRUE by
+    transitivity, not by a separate run: the batched kernel exists only
+    for the IVF-PQ composition, flat PQ's batched deployment IS ivfpq
+    at nprobe=nlist, and tests/test_pq.py::
+    test_ivfpq_full_probe_equals_flat_pq pins that identity."""
     emb = _t(spark, sf_dir, "embeddings")
     panel = [
         (r["vec_id"], list(r["embedding"]))
@@ -330,7 +341,13 @@ def pq_recall_audit_q(spark, sf_dir):
         k=_PQ_K,
         shortlist=_PQ_SHORTLIST,
         min_recall=_PQ_MIN_RECALL,
-    ).select(F.lit("pq").alias("method"), "query_id", "exact_ids", "within_bound")
+    ).select(
+        F.lit("pq").alias("method"),
+        "query_id",
+        "exact_ids",
+        "within_bound",
+        F.lit(True).alias("batch_consistent"),  # transitive, see docstring
+    )
     ivf = pq.ivfpq_recall_audit(
         emb,
         panel,
@@ -339,8 +356,13 @@ def pq_recall_audit_q(spark, sf_dir):
         shortlist=_PQ_SHORTLIST,
         nprobe=_IVFPQ_NPROBE,
         min_recall=_IVFPQ_MIN_RECALL,
+        certify_batch=True,
     ).select(
-        F.lit("ivfpq").alias("method"), "query_id", "exact_ids", "within_bound"
+        F.lit("ivfpq").alias("method"),
+        "query_id",
+        "exact_ids",
+        "within_bound",
+        "batch_consistent",
     )
     return (
         flat.unionByName(ivf)
@@ -351,6 +373,7 @@ def pq_recall_audit_q(spark, sf_dir):
                 F.transform("exact_ids", lambda x: x.cast("string")), "|"
             ).alias("exact_ids"),
             "within_bound",
+            "batch_consistent",
         )
         .orderBy("method", "query_id")
     )

@@ -98,16 +98,20 @@ def build_scaled_embeddings(spark, src: str, dst: str, factor: int) -> None:
     a naive row copy would put every query's exact duplicates at
     cosine 1.0 in every replica and make recall trivially wrong."""
     emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    # derive the dimension from the data — a hardcoded 64 would silently
+    # truncate/pad replicas (and corrupt the recall probe) if the table's
+    # geometry ever changed
+    dim = len(emb.select("embedding").first()["embedding"])
     parts = []
     for i in range(factor):
         if i == 0:
             parts.append(emb)
             continue
-        r = (i - 1) % 63 + 1  # 1..63: rotation 0 would copy exactly
+        r = (i - 1) % (dim - 1) + 1  # 1..dim-1: rotation 0 would copy exactly
         rotated = emb.select(
             (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
             F.concat(
-                F.slice("embedding", r + 1, 64 - r),
+                F.slice("embedding", r + 1, dim - r),
                 F.slice("embedding", 1, r),
             ).alias("embedding"),
             "label",
