@@ -32,6 +32,13 @@ totals on this host have spanned 13.0-22.8 s within one hour (r7
 adjudication), so a cross-round total delta is only readable next to
 that round's own canary spread: if the canary spread swallows the
 delta, the delta is host weather, not a plan change.
+
+"noise_canary_pre" (r9+, additive): the SAME canary run once more
+BEFORE the timed loop, so a mid-run load shift — host weather arriving
+or leaving while the headline loop runs, exactly the r8 adjudication's
+contaminated 19.9 s run — is visible INSIDE one artifact: a pre/post
+spread mismatch means the loop was timed under changing load and its
+per-query deltas should be read against the WIDER of the two spreads.
 """
 
 from __future__ import annotations
@@ -96,6 +103,46 @@ def main():
         except Exception as e:
             print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
+    # host-noise canary (additive context, NOT part of the total or the
+    # per-query timings): one fixed mid-weight headline query, 5 repeat
+    # materializations; the spread calibrates how much of a cross-round
+    # total delta this host can produce on its own. Run BEFORE and AFTER
+    # the timed loop (r9) so a mid-run load shift shows inside one
+    # artifact as a pre/post spread mismatch.
+    canary_q = "majority_vote"
+
+    def run_canary(tag: str) -> list[float]:
+        out: list[float] = []
+        try:
+            df = runnable[canary_q](spark, sf_dir)
+            for _ in range(5):
+                t0 = time.time()
+                materialize(df)
+                out.append(round(time.time() - t0, 3))
+        except Exception as e:
+            print(f"# noise canary ({tag}) failed: {e}", file=sys.stderr)
+        if out:
+            print(
+                f"# noise_canary_{tag} {canary_q}: min {min(out)} "
+                f"max {max(out)} {out}",
+                file=sys.stderr,
+            )
+        return out
+
+    def canary_field(samples_: list[float]):
+        return (
+            {
+                "query": canary_q,
+                "samples": samples_,
+                "min": min(samples_),
+                "max": max(samples_),
+            }
+            if samples_
+            else None
+        )
+
+    canary_pre = run_canary("pre")
+
     times: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
@@ -129,26 +176,7 @@ def main():
         total += dt
         print(f"# {name}: {dt:.2f}s {runs} ({n} rows)", file=sys.stderr)
 
-    # host-noise canary (additive context, NOT part of the total or the
-    # per-query timings): one fixed mid-weight headline query, 5 extra
-    # untimed-for-total materializations; the spread calibrates how much
-    # of a cross-round total delta this host can produce on its own
-    canary_q = "majority_vote"
-    canary: list[float] = []
-    try:
-        df = runnable[canary_q](spark, sf_dir)
-        for _ in range(5):
-            t0 = time.time()
-            materialize(df)
-            canary.append(round(time.time() - t0, 3))
-    except Exception as e:
-        print(f"# noise canary failed: {e}", file=sys.stderr)
-    if canary:
-        print(
-            f"# noise_canary {canary_q}: min {min(canary)} max {max(canary)}"
-            f" {canary}",
-            file=sys.stderr,
-        )
+    canary = run_canary("post")
 
     print(
         json.dumps(
@@ -183,16 +211,11 @@ def main():
                 # total deltas against this spread before calling them
                 # regressions (same-code totals have varied 75% on this
                 # host). Additive only: timings above are untouched.
-                "noise_canary": (
-                    {
-                        "query": canary_q,
-                        "samples": canary,
-                        "min": min(canary),
-                        "max": max(canary),
-                    }
-                    if canary
-                    else None
-                ),
+                "noise_canary": canary_field(canary),
+                # r9+: the same canary run BEFORE the timed loop — a
+                # pre/post spread mismatch flags a mid-run load shift
+                # inside this one artifact
+                "noise_canary_pre": canary_field(canary_pre),
                 "sf": sf,
             }
         )
