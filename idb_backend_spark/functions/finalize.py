@@ -115,7 +115,9 @@ def media_presence_flags(
     has_specimen = records.isNotNull()
     return {
         "hasMedia": has_media,
-        "hasImage": has_media,  # refined by mediatype when available
+        # the reference sets hasImage IDENTICALLY to hasMedia at this
+        # layer (conversions.py:677-678) — no mediatype refinement
+        "hasImage": has_media,
         "hasSpecimen": has_specimen,
     }
 

@@ -38,6 +38,24 @@ def fold_flags(*flag_cols: Column) -> Column:
     )
 
 
+def raw_data_flags(data: Column) -> Column:
+    """F17's third flag source — grabAll's RAW-DATA flag fold
+    (conversions.py:960-962, r9: previously unimplemented): every key of
+    the raw record map that starts with ``flag_`` appends its suffix to
+    the flags array, prefix stripped via the reference's
+    ``"_".join(k.split("_")[1:])`` — which for a ``flag_``-prefixed key
+    is exactly the substring after the first underscore (``flag__x`` →
+    ``_x``, bare ``flag_`` → ``""``; both pinned). Presence of the KEY
+    is the trigger — the value is never consulted. Keys fold in map
+    order, matching the reference's dict-insertion iteration; callers
+    concat this AFTER the computed flags, the reference's append order
+    (setFlags, then grabber flag_ keys, then raw-data flag_ keys)."""
+    return F.transform(
+        F.filter(F.map_keys(data), lambda k: k.startswith("flag_")),
+        lambda k: F.regexp_replace(k, "^flag_", ""),
+    )
+
+
 def standard_coord_flags(lat: Column, lon: Column) -> list[Column]:
     """The declarative geopoint flags of the reference's setFlags table
     (conversions.py:235-246, emitted as ``<key>_<flag>`` by :255-261):

@@ -58,6 +58,18 @@ _RAW_SYNTH: dict[str, str] = {
         "CASE c_custkey % 3 WHEN 0 THEN ' Eastern  Bluebird ' "
         "WHEN 1 THEN NULL ELSE 'Red Fox' END"
     ),
+    # r9 — raw-data flag keys (grabAll's third flag source,
+    # conversions.py:960-962): presence of a flag_* KEY in the harvested
+    # data appends its suffix to the flags array; the value is never
+    # consulted. Planted on overlapping moduli so some rows carry both
+    # (fold order = map insertion order, matching the reference's dict
+    # iteration). NULL value -> map_filter drops the key -> no flag.
+    "flag_rev_geocode_corrected": (
+        "CASE WHEN c_custkey % 6 = 0 THEN 'true' ELSE NULL END"
+    ),
+    "flag_taxon_match_failed": (
+        "CASE WHEN c_custkey % 9 = 0 THEN '1' ELSE NULL END"
+    ),
 }
 
 #: the recordids JSON list above, as the expected post-projection joined
@@ -77,6 +89,13 @@ def _typed_projection_oracle() -> str:
     weights = scored_weights("records")
     cols = ["c_custkey"]
     score_terms = []
+    # the planted raw flag_ keys: (stripped name, presence predicate) in
+    # map insertion order — drives BOTH the flags column and the dqs
+    # subtraction below
+    raw_flags = [
+        ("rev_geocode_corrected", "c_custkey % 6 = 0"),
+        ("taxon_match_failed", "c_custkey % 9 = 0"),
+    ]
     for name, rawfield, reftype in raw_fields("records"):
         synth = _RAW_SYNTH.get(rawfield)
         if synth is None:
@@ -99,9 +118,22 @@ def _typed_projection_oracle() -> str:
     # empty list is not None), so its weight scores unconditionally —
     # score(t, r) checks `is not None`, conversions.py:264-271
     score_terms.append("1")
-    cols.append("'' AS flags")
+    # r9 — the raw-data flag fold (conversions.py:960-962): the flags
+    # column carries the stripped flag_* suffixes in map order, and
+    # score(t, r) subtracts len(flags) (conversions.py:269-270)
+    flag_parts = " || ".join(
+        f"(CASE WHEN {pred} THEN ['{nm}'] ELSE [] END)"
+        for nm, pred in raw_flags
+    )
+    # coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+    # array_join([]) is '' — the no-flag rows must agree on ''
+    cols.append(f"coalesce(array_to_string({flag_parts}, '|'), '') AS flags")
+    nflags = " + ".join(
+        f"(CASE WHEN {pred} THEN 1 ELSE 0 END)" for _, pred in raw_flags
+    )
     cols.append(
-        f"round(({' + '.join(score_terms)}) / {maxscore('records')}, 6) AS dqs"
+        f"round(({' + '.join(score_terms)} - ({nflags}))"
+        f" / {maxscore('records')}, 6) AS dqs"
     )
     return (
         "SELECT " + ", ".join(cols) + " FROM customer ORDER BY c_custkey"
@@ -117,6 +149,12 @@ def records_typed_projection(spark, sf_dir):
     and the dqs weights/maxscore (conversions.py:218-224, :264-271).
     The oracle SQL is generated from the same table — a change to the
     table changes both sides in lockstep.
+
+    r9 adds grabAll's RAW-DATA flag fold (conversions.py:960-962,
+    previously unimplemented): flag_*-prefixed KEYS of the raw map
+    append their stripped suffix to the flags array, and the dqs
+    subtraction sees them (score(t, r) counts len(flags)) — graded via
+    planted flag_ keys on overlapping moduli.
 
     Plan shape: map construction + per-column map lookups + lower/trim —
     one codegen stage over the scan, no shuffle, no Python.
@@ -143,8 +181,16 @@ def records_typed_projection(spark, sf_dir):
     proj = proj.withColumn(
         "commonnames",
         grabbers.collect_common_names(F.col("data")["dwc:vernacularName"]),
-    ).drop("data")
-    proj = proj.withColumn("flags", F.array().cast("array<string>"))
+    )
+    # r9 — grabAll's raw-data flag fold (conversions.py:960-962): flag_*
+    # KEYS of the raw map append their suffix to the flags array (key
+    # presence is the trigger; values never consulted); score(t, r)
+    # then subtracts len(flags) through the same dqs kernel
+    from idb_backend_spark.functions.flags import raw_data_flags
+
+    proj = proj.withColumn("flags", raw_data_flags(F.col("data"))).drop(
+        "data"
+    )
     proj = proj.withColumn(
         "dqs",
         F.round(

@@ -238,3 +238,37 @@ def test_raw_map_dual_addressing_predicate_and_projection(spark):
     assert sorted(via_map) == sorted(via_cols) == [(1, "web")]
     # a key absent from the map reads NULL, never errors (open schema)
     assert raw.filter(F.col("data")["dwc:absent"].isNull()).count() == 4
+
+
+def test_raw_data_flags_reference_fold(spark):
+    """grabAll's raw-data flag fold (conversions.py:960-962): every
+    flag_*-prefixed KEY of the raw map appends its suffix — value never
+    consulted, prefix stripped exactly like the reference's
+    "_".join(k.split("_")[1:]) (flag__x -> _x, bare flag_ -> ''), keys
+    without the prefix ignored, and 'flags_'-prefixed keys do NOT match
+    (startswith is exact)."""
+    from pyspark.sql import Row
+
+    from idb_backend_spark.functions.flags import raw_data_flags
+
+    rows = [
+        Row(i=0, d={"flag_geopoint_datum_missing": "x",
+                    "dwc:genus": "Acer",
+                    "flag_rev_geocode_corrected": ""}),
+        Row(i=1, d={"flags_not_a_match": "x", "noflag_y": "1"}),
+        Row(i=2, d={"flag__x": "v", "flag_": "v"}),
+        Row(i=3, d=None),
+        Row(i=4, d={}),
+    ]
+    df = spark.createDataFrame(rows, "i int, d map<string,string>")
+    got = {
+        r["i"]: r["f"]
+        for r in df.select(
+            "i", raw_data_flags(F.col("d")).alias("f")
+        ).collect()
+    }
+    assert sorted(got[0]) == ["geopoint_datum_missing", "rev_geocode_corrected"]
+    assert got[1] == []
+    assert sorted(got[2]) == ["", "_x"]
+    assert got[3] is None  # NULL map stays NULL (caller folds)
+    assert got[4] == []

@@ -185,8 +185,9 @@ def probe_neardup_scale(
     from idb_backend_spark.operators import neardup_index as ni
 
     # batch ids shifted clear of every replica's id band (replicas use
-    # +i*10_000_000); replica-0 text, so it genuinely near-matches docs
-    # in both corpora
+    # +i*10_000_000, so any factor below 10 000 stays clear — the old
+    # +900M shift collided with replica 90's band at factor >= 91);
+    # replica-0 text, so it genuinely near-matches docs in both corpora
     if factor < 2:
         # both loop tags would be "1": colliding output keys, the second
         # build overwriting the first index, and a self-division ratio
@@ -194,7 +195,7 @@ def probe_neardup_scale(
     batch = (
         spark.read.parquet(f"{f1_dir}/documents.parquet")
         .limit(200)
-        .select((F.col("doc_id") + 900_000_000).alias("doc_id"), "text")
+        .select((F.col("doc_id") + 100_000_000_000).alias("doc_id"), "text")
         .localCheckpoint(eager=True)
     )
     out = {}
