@@ -241,14 +241,37 @@ _FORMAT_BUCKETS = {
 _MIME_ALIASES = {"audio/mpeg3": "audio/mpeg"}
 
 
+def first_nonempty(*cols: Column) -> Column:
+    """Python ``or``-chain semantics over string columns — the
+    reference's ``d.get(a) or d.get(b) or d.get(c)`` idiom
+    (conversions.py:711-713, :727): every alternative but the LAST is
+    skipped when NULL **or empty string** ('' is falsy in Python, where
+    a plain coalesce would keep it), and the last alternative is taken
+    verbatim — an all-skipped chain resolves to whatever it holds
+    ('' stays '', NULL stays NULL)."""
+    if len(cols) == 1:
+        return cols[0]
+    return F.coalesce(
+        *[F.nullif(c, F.lit("")) for c in cols[:-1]], cols[-1]
+    )
+
+
 def access_uri(
     accessuri: Column, best_quality: Column, dcterms_id: Column, dc_id: Column,
     has_ac_keys: Column,
 ) -> Column:
     """accessuri precedence: ac:accessURI > ac:bestQualityAccessURI >
-    (identifiers, only when NO ac: key is present) — conversions.py:711-723."""
-    ident = F.when(~has_ac_keys, F.coalesce(dcterms_id, dc_id))
-    return F.coalesce(accessuri, best_quality, ident)
+    (identifiers, only when NO ac: key is present) — conversions.py:
+    711-723. r9 parity correction: the reference's ``or`` chains treat
+    EMPTY STRING as absent at every non-final alternative (Python
+    falsy), so '' in ac:accessURI falls through to bestQuality — BUT a
+    chain that RESOLVES to '' (bestQuality == '') blocks the identifier
+    fallback, because the fallback gate is ``url is None``, not
+    falsiness. first_nonempty + one coalesce reproduce both edges."""
+    ident = F.when(
+        ~has_ac_keys, first_nonempty(dcterms_id, dc_id)
+    )
+    return F.coalesce(F.nullif(accessuri, F.lit("")), best_quality, ident)
 
 
 def media_type(format_col: Column) -> tuple[Column, Column]:

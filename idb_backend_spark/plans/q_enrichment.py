@@ -501,22 +501,41 @@ def _media_precedence_oracle() -> str:
     bucket_arms = " ".join(
         f"WHEN '{k}' THEN '{v}'" for k, v in sorted(E._FORMAT_BUCKETS.items())
     )
+    # r9 — the reference's `or` chains skip EMPTY STRINGS at non-final
+    # alternatives (Python falsy; conversions.py:711-713,:727), so the
+    # planted '' arms must fall through exactly like NULLs — spelled
+    # nullif on every non-final alternative — while a chain RESOLVING
+    # to '' ('' bestQuality) keeps '' and still blocks the identifier
+    # fallback (`url is None` gate). The format feed is a THREE-key
+    # chain (dcterms:format -> dc:format -> ac:bestQualityFormat):
+    # %7=0 rows skip an '' first key, %7=1 rows skip NULL then '',
+    # %7=2 rows resolve to '' (format '' / mediatype NULL), every
+    # other row takes the first key — so the cycle output is preserved.
     return (
         "WITH g AS (SELECT p_partkey, "
-        "  CASE WHEN p_partkey % 4 = 0 THEN 'http://a/' || CAST(p_partkey AS VARCHAR(32)) END AS au, "
-        "  CASE WHEN p_partkey % 3 = 0 THEN 'http://b/' || CAST(p_partkey AS VARCHAR(32)) END AS bq, "
-        "  'http://dct/' || CAST(p_partkey AS VARCHAR(32)) AS dct, "
+        "  CASE WHEN p_partkey % 4 = 0 THEN 'http://a/' || CAST(p_partkey AS VARCHAR(32)) "
+        "       WHEN p_partkey % 4 = 1 THEN '' END AS au, "
+        "  CASE WHEN p_partkey % 3 = 0 THEN 'http://b/' || CAST(p_partkey AS VARCHAR(32)) "
+        "       WHEN p_partkey % 6 = 1 THEN '' END AS bq, "
+        "  CASE WHEN p_partkey % 5 = 0 THEN '' "
+        "       ELSE 'http://dct/' || CAST(p_partkey AS VARCHAR(32)) END AS dct, "
         "  'http://dc/' || CAST(p_partkey AS VARCHAR(32)) AS dc, "
         "  p_partkey % 2 = 0 AS has_ac, "
-        f"  CASE CAST(p_partkey % {n} AS INT) {fmt_arms} END AS fmt0 FROM part), "
+        f"  CASE CAST(p_partkey % {n} AS INT) {fmt_arms} END AS cyc FROM part), "
+        "gf AS (SELECT *, "
+        "  CASE WHEN p_partkey % 7 IN (0, 2) THEN '' WHEN p_partkey % 7 = 1 THEN NULL ELSE cyc END AS f1, "
+        "  CASE WHEN p_partkey % 7 = 0 THEN cyc WHEN p_partkey % 7 = 1 THEN '' END AS f2, "
+        "  CASE WHEN p_partkey % 7 = 1 THEN cyc WHEN p_partkey % 7 = 2 THEN '' END AS f3 "
+        "  FROM g), "
+        "gc AS (SELECT *, coalesce(nullif(f1, ''), nullif(f2, ''), f3) AS fmt0 FROM gf), "
         "g2 AS (SELECT *, CASE WHEN has_ac THEN '  ' || upper(fmt0) "
-        "  ELSE fmt0 END AS fmt_raw FROM g), "
+        "  ELSE fmt0 END AS fmt_raw FROM gc), "
         "g3 AS (SELECT *, lower(trim(fmt_raw)) AS format FROM g2), "
         # aliases apply to the BUCKET lookup only; format stays original
         f"g4 AS (SELECT *, CASE format {alias_arms} ELSE format END "
         "  AS fmt_aliased FROM g3) "
-        "SELECT p_partkey, coalesce(au, bq, "
-        "CASE WHEN NOT has_ac THEN coalesce(dct, dc) END) AS accessuri, "
+        "SELECT p_partkey, coalesce(nullif(au, ''), bq, "
+        "CASE WHEN NOT has_ac THEN coalesce(nullif(dct, ''), dc) END) AS accessuri, "
         f"format, CASE fmt_aliased {bucket_arms} END AS mediatype "
         "FROM g4 ORDER BY p_partkey"
     )
@@ -532,35 +551,52 @@ def media_url_precedence(spark, sf_dir):
     bucket (media_type; conversions.py:711-738): the raw format cycles
     through every known bucket key plus one unknown, in mixed case with
     padding, so the lower/trim fold, the whole bucket table, and the
-    unknown->NULL arm are all value-hashed."""
+    unknown->NULL arm are all value-hashed.
+
+    r9 extends the slot with the Python-or EMPTY-STRING semantics
+    (conversions.py:711-713,:727 — '' is falsy at non-final chain
+    positions, but a chain resolving to '' still blocks the identifier
+    fallback): planted '' arms in the url precedence AND a three-key
+    format chain fed through functions.enrichment.first_nonempty."""
     pk = F.col("p_partkey")
     fmts = _MEDIA_FMTS
-    fmt_raw = F.when(
-        pk % 2 == 0,
-        F.concat(
-            F.lit("  "),
-            F.upper(
-                F.element_at(
-                    F.array(*[F.lit(x) for x in fmts]),
-                    (pk % len(fmts)).cast("int") + 1,
-                )
-            ),
-        ),
-    ).otherwise(
-        F.element_at(
-            F.array(*[F.lit(x) for x in fmts]),
-            (pk % len(fmts)).cast("int") + 1,
-        )
+    cyc = F.element_at(
+        F.array(*[F.lit(x) for x in fmts]), (pk % len(fmts)).cast("int") + 1
     )
+    # three-key format chain (dcterms:format -> dc:format ->
+    # ac:bestQualityFormat): '' and NULL arms planted so the or-chain
+    # skip is value-hashed; the chain resolves to the cycle value
+    # everywhere except the %7=2 rows, which resolve to ''
+    f1 = (
+        F.when(pk % 7 == 0, F.lit(""))
+        .when(pk % 7 == 2, F.lit(""))
+        .when(pk % 7 == 1, F.lit(None).cast("string"))
+        .otherwise(cyc)
+    )
+    f2 = F.when(pk % 7 == 0, cyc).when(pk % 7 == 1, F.lit(""))
+    f3 = F.when(pk % 7 == 1, cyc).when(pk % 7 == 2, F.lit(""))
+    fmt0 = E.first_nonempty(f1, f2, f3)
+    fmt_raw = F.when(
+        pk % 2 == 0, F.concat(F.lit("  "), F.upper(fmt0))
+    ).otherwise(fmt0)
     g = (
         _t(spark, sf_dir, "part")
         .withColumn(
-            "au", F.when(pk % 4 == 0, F.concat(F.lit("http://a/"), pk.cast("string")))
+            "au",
+            F.when(pk % 4 == 0, F.concat(F.lit("http://a/"), pk.cast("string")))
+            .when(pk % 4 == 1, F.lit("")),
         )
         .withColumn(
-            "bq", F.when(pk % 3 == 0, F.concat(F.lit("http://b/"), pk.cast("string")))
+            "bq",
+            F.when(pk % 3 == 0, F.concat(F.lit("http://b/"), pk.cast("string")))
+            .when(pk % 6 == 1, F.lit("")),
         )
-        .withColumn("dct", F.concat(F.lit("http://dct/"), pk.cast("string")))
+        .withColumn(
+            "dct",
+            F.when(pk % 5 == 0, F.lit("")).otherwise(
+                F.concat(F.lit("http://dct/"), pk.cast("string"))
+            ),
+        )
         .withColumn("dc", F.concat(F.lit("http://dc/"), pk.cast("string")))
         .withColumn("has_ac", pk % 2 == 0)
     )

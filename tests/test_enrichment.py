@@ -248,6 +248,57 @@ def test_access_uri_precedence(spark):
     assert [r.u for r in out] == ["a", "b", None, "c", "d"]
 
 
+def test_access_uri_empty_string_or_semantics(spark):
+    """r9 — the reference's `or` chains (conversions.py:711-723) treat
+    '' as absent at non-final positions, but a chain that RESOLVES to
+    '' still blocks the identifier fallback (`url is None` gate)."""
+    rows = [
+        # '' accessURI falls through to bestQuality
+        Row(i=0, au="", bq="b", dct="c", dc="d", has_ac=True),
+        # '' accessURI + NULL bestQuality -> '' or None == None -> idents
+        Row(i=1, au="", bq=None, dct="c", dc="d", has_ac=False),
+        # chain RESOLVES to '' (bq='') -> '' kept, idents blocked
+        Row(i=2, au="", bq="", dct="c", dc="d", has_ac=False),
+        # '' dcterms identifier falls through to dc identifier
+        Row(i=3, au=None, bq=None, dct="", dc="d", has_ac=False),
+    ]
+    df = spark.createDataFrame(rows)
+    out = (
+        df.select(
+            "i",
+            E.access_uri(
+                F.col("au"), F.col("bq"), F.col("dct"), F.col("dc"), F.col("has_ac")
+            ).alias("u"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    assert [r.u for r in out] == ["b", "c", "", "d"]
+
+
+def test_first_nonempty_python_or_chain(spark):
+    """first_nonempty == Python's `a or b or c` over strings: '' and
+    NULL skip at non-final positions; the LAST alternative is verbatim
+    ('' stays '', NULL stays NULL)."""
+    rows = [
+        Row(i=0, a="", b=None, c="x"),
+        Row(i=1, a=None, b="", c="x"),
+        Row(i=2, a="y", b="z", c="x"),
+        Row(i=3, a="", b="", c=""),
+        Row(i=4, a="", b="", c=None),
+    ]
+    df = spark.createDataFrame(rows)
+    out = (
+        df.select(
+            "i",
+            E.first_nonempty(F.col("a"), F.col("b"), F.col("c")).alias("v"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    assert [r.v for r in out] == ["x", "x", "y", "", None]
+
+
 def test_scientificname_crossfill(spark):
     rows = [
         Row(i=0, sn="Acer rubrum", g="acer", se="rubrum"),
