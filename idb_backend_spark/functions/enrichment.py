@@ -105,7 +105,16 @@ def date_fallback(
     the whole assembly in one try/except. All coercions are try_cast /
     try_to_date: a garbage part must yield NULL, never an ANSI runtime
     error that kills the query (numeric parts only — dateutil's
-    month-NAME leniency is a documented non-goal of the native path)."""
+    month-NAME leniency is a documented non-goal of the native path).
+
+    Documented modeling choice (r9): the reference's sdoy arm calls
+    ``datetime.datetime(year, 1, 1)`` with getfield's value VERBATIM —
+    it only succeeds when the provider's JSON typed ``dwc:year`` as a
+    NUMBER (getfield passes non-strings through, conversions.py:282-285;
+    a string year raises TypeError into the blanket except and the
+    fallback yields None). This engine's raw map is string-typed, so
+    the arm is modeled on the numeric-year (working) case — the same
+    class of declared boundary as the month-name non-goal above."""
     y = year.try_cast("int")
     m = month.try_cast("int")
     d = day.try_cast("int")
