@@ -16,6 +16,8 @@ pure metadata (no data movement).
 from __future__ import annotations
 
 import re
+from functools import reduce
+from operator import or_
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -208,6 +210,23 @@ def read_delimited(
             ],
             F.col(CORRUPT_COL),
         )
-    return df.withColumn(
-        "flag_corrupt_row", F.col(CORRUPT_COL).isNotNull()
+    # flag_encoding_error — the reference registers a codecs error
+    # handler that splices a literal "DECODEERROR:<hexbytes>" marker
+    # into any field whose bytes fail the declared charset
+    # (delimited.py:42-47). Spark's JVM-side charset decode substitutes
+    # U+FFFD instead, so the BAD BYTES are unrecoverable here — a
+    # declared boundary — but the SIGNAL is not: any U+FFFD in any
+    # field marks the row, the same row-level fact the reference's
+    # marker carries downstream.
+    had_decode_error = reduce(
+        or_,
+        [F.coalesce(F.col(f"`{c}`").contains("�"), F.lit(False))
+         for c in out_cols],
+        F.lit(False),
+    )
+    return df.withColumns(
+        {
+            "flag_corrupt_row": F.col(CORRUPT_COL).isNotNull(),
+            "flag_encoding_error": had_decode_error,
+        }
     ).drop(CORRUPT_COL)

@@ -442,3 +442,25 @@ def test_atom_feed_revision_and_link_rel():
     (e,) = parse_feed(xml)
     assert e.link == "http://host/archive.zip"
     assert e.pub_date == "2026-08-01T00:00:00Z"
+
+
+def test_read_delimited_flags_encoding_errors(spark, tmp_path):
+    """r9 — flag_encoding_error: the reference splices a literal
+    DECODEERROR:<hex> marker into fields whose bytes fail the declared
+    charset (delimited.py:42-47); Spark's JVM decode substitutes U+FFFD,
+    so the engine carries the same row-level signal as a boolean flag
+    (the bad-byte hex payload is a declared boundary)."""
+    p = tmp_path / "enc.csv"
+    with open(p, "wb") as fh:
+        fh.write(b"dwc:catalogNumber,dwc:genus\n")
+        fh.write(b"CAT-1,Acer\n")
+        fh.write(b"CAT-2,Qu\xff\xfeercus\n")  # invalid UTF-8 bytes
+        fh.write(b"CAT-3,Pinus\n")
+    df = read_delimited(spark, str(p), multiline=False)
+    got = {
+        r["dwc:catalogNumber"]: r["flag_encoding_error"]
+        for r in df.collect()
+    }
+    assert got == {"CAT-1": False, "CAT-2": True, "CAT-3": False}
+    # clean rows and corrupt-row isolation untouched by the new flag
+    assert all(not r["flag_corrupt_row"] for r in df.collect())
