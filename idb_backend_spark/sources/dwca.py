@@ -89,14 +89,30 @@ def _parse_file_block(el) -> DwcaFileDescriptor:
             d.id_index = int(idx) if idx is not None else None
             d.id_is_coreid = tag == "coreid"
         elif tag == "field":
-            term = uri_to_curie(child.get("term", ""))
+            # quote-stripped term, exactly like the reference
+            # (dwca.py:221 — `fld['#term'].replace('"','')`; IPT metas
+            # occasionally leak quoted URIs)
+            term = uri_to_curie(child.get("term", "").replace('"', ""))
             idx = child.get("index")
-            if idx is not None:
+            # duplicate column index: the FIRST declaration wins and the
+            # later one is ignored (dwca.py:243-246 — `if ... not in
+            # fields`; r9 correction, this used to be last-wins)
+            if idx is not None and int(idx) not in d.term_by_index:
                 d.term_by_index[int(idx)] = term
             # a default applies whether or not the field also has an
-            # index (indexed: fills blanks; index-less: constant column)
+            # index (indexed: fills blanks; index-less: constant
+            # column) — and EVEN when the index was a dropped
+            # duplicate: the reference records the default outside the
+            # dedup check, so the term surfaces as a constant column
             if child.get("default") is not None:
                 d.defaults[term] = child.get("default")
+    # the id/coreid binding claims its index BEFORE the field loop in
+    # the reference (fields[idfld] = idtag precedes it, dwca.py:199-203),
+    # so a <field> sharing the id's index is a duplicate and its term
+    # mapping is DROPPED — the classic IPT layout (<id index="0"/> plus
+    # occurrenceID at index 0) yields only the `id` column there
+    if d.id_index is not None:
+        d.term_by_index.pop(d.id_index, None)
     return d
 
 
@@ -291,8 +307,8 @@ class DwcaArchive:
                 )
             )
         for idx in sorted(desc.term_by_index):
-            if idx == desc.id_index and desc.term_by_index[idx] in ("id", "coreid"):
-                continue
+            # (desc.term_by_index never holds id_index — the descriptor
+            # drops a field sharing the id's index, reference parity)
             src = strip_nuls(F.col(f"_c{idx}"))
             term = desc.term_by_index[idx]
             d_val = desc.defaults.get(term)

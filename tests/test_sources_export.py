@@ -464,3 +464,39 @@ def test_read_delimited_flags_encoding_errors(spark, tmp_path):
     assert got == {"CAT-1": False, "CAT-2": True, "CAT-3": False}
     # clean rows and corrupt-row isolation untouched by the new flag
     assert all(not r["flag_corrupt_row"] for r in df.collect())
+
+
+def test_meta_field_index_quirks_match_reference():
+    """r9 — three meta.xml field-mapping quirks pinned against
+    dwca.py:199-246: (a) the id/coreid binding claims its index before
+    the field loop, so a field sharing it is DROPPED (the classic IPT
+    <id index="0"/> + occurrenceID-at-0 layout yields only `id`);
+    (b) a duplicate column index keeps the FIRST declaration; (c) the
+    term URI is quote-stripped; and a dropped-duplicate field with a
+    default still surfaces as a constant column (the reference records
+    defaults outside the dedup check)."""
+    xml = b"""<archive xmlns="http://rs.tdwg.org/dwc/text/">
+      <core rowType="http://rs.tdwg.org/dwc/terms/Occurrence"
+            fieldsTerminatedBy="," linesTerminatedBy="\\n" encoding="utf-8">
+        <files><location>occ.csv</location></files>
+        <field index="1" term="http://rs.tdwg.org/dwc/terms/genus"/>
+        <id index="0"/>
+        <field index="0" term="http://rs.tdwg.org/dwc/terms/occurrenceID"/>
+        <field index="1" term="&quot;http://rs.tdwg.org/dwc/terms/family&quot;"/>
+        <field index="2" term="http://rs.tdwg.org/dwc/terms/basisOfRecord"
+               default="PreservedSpecimen"/>
+        <field index="0" term="http://rs.tdwg.org/dwc/terms/catalogNumber"
+               default="CAT-X"/>
+      </core>
+    </archive>"""
+    core, exts, _ = parse_meta_xml(xml)
+    assert core.id_index == 0 and not core.id_is_coreid
+    # id wins index 0 even though declared between the two fields;
+    # occurrenceID and catalogNumber both dropped from the index map
+    assert core.term_by_index == {1: "dwc:genus", 2: "dwc:basisOfRecord"}
+    # the dropped-duplicate catalogNumber keeps its default ->
+    # constant column; the quote-stripped family lost index 1 to genus
+    assert core.defaults == {
+        "dwc:basisOfRecord": "PreservedSpecimen",
+        "dwc:catalogNumber": "CAT-X",
+    }
