@@ -57,6 +57,12 @@ DTYPES = ("thumbnail", "fullsize", "webview")
 #: can still sort them, unlike the stricter enrichment-side
 #: media_type/default_buckets lookup which yields NULL there).
 _MAGIC: list[tuple[bytes, str, str]] = [
+    # ZIP signatures FIRST — the reference short-circuits them before
+    # libmagic ever runs (media_validation.py:79-81: local file header,
+    # empty archive, spanned archive)
+    (b"PK\x03\x04", "application/zip", "datasets"),
+    (b"PK\x05\x06", "application/zip", "datasets"),
+    (b"PK\x07\x08", "application/zip", "datasets"),
     (b"\xff\xd8\xff", "image/jpeg", "images"),
     (b"\x89PNG\r\n\x1a\n", "image/png", "images"),
     (b"GIF87a", "image/gif", "images"),
@@ -71,7 +77,65 @@ _MAGIC: list[tuple[bytes, str, str]] = [
 
 #: media buckets this sniffer emits (subset of the reference's
 #: valid_buckets, media_validation.py:7-16)
-BUCKETS = ("images", "sounds", "video", "debugfile")
+BUCKETS = ("images", "sounds", "video", "debugfile", "datasets")
+
+#: bucket -> mimes ALLOWED in it (media_validation.py:7-16 bucket_mimes
+#: — note these are the validation allow-sets, broader than the
+#: default_buckets routing table: 'text/plain' is allowed in models,
+#: datasets, debugfile and guoda but routes nowhere by default)
+BUCKET_MIMES: dict[str, frozenset[str]] = {
+    "images": frozenset({"image/jpeg", "image/jp2"}),
+    "sounds": frozenset({"audio/mpeg3", "audio/mpeg"}),
+    "models": frozenset({"model/mesh", "text/plain"}),
+    "video": frozenset({"video/mpeg", "video/mp4"}),
+    "datasets": frozenset({"text/csv", "text/plain", "application/zip"}),
+    "debugfile": frozenset({"text/plain", "application/zip"}),
+    "guoda": frozenset({"text/csv", "text/plain", "application/zip"}),
+}
+VALID_BUCKETS = frozenset(BUCKET_MIMES)
+
+
+class MediaValidationError(ValueError):
+    """media_validation.py:37-67's error family, flattened to one class
+    with a machine-readable ``code`` (the reference's subclass name)."""
+
+    def __init__(self, code: str, message: str):
+        super().__init__(message)
+        self.code = code
+
+
+def validate_mime_for_type(
+    mime: str | None, bucket: str | None
+) -> tuple[str | None, str | None]:
+    """media_validation.py:86-102 exactly: alias the mime; an explicit
+    bucket must be valid AND allow the (aliased) mime — note the
+    allow-set is checked against the ALIASED mime while the error
+    reports the original; without a bucket, the aliased mime routes
+    through default_buckets and an unroutable mime raises. Both
+    arguments nullable; (None, None) passes through."""
+    from idb_backend_spark.functions.enrichment import (
+        _FORMAT_BUCKETS,
+        _MIME_ALIASES,
+    )
+
+    amime = _MIME_ALIASES.get(mime, mime)
+    if bucket:
+        if bucket not in VALID_BUCKETS:
+            raise MediaValidationError(
+                "InvalidBucketError", f"Invalid media type {bucket!r}"
+            )
+        if amime and amime not in BUCKET_MIMES[bucket]:
+            raise MediaValidationError(
+                "MimeNotAllowedError",
+                f"Mime {mime!r} not allowed in bucket {bucket!r}",
+            )
+    elif amime:
+        bucket = _FORMAT_BUCKETS.get(amime)
+        if not bucket:
+            raise MediaValidationError(
+                "UnknownBucketError", f"Unknown media type for mime {mime!r}"
+            )
+    return amime, bucket
 
 
 def sniff_mime(head: bytes | None) -> tuple[str | None, str | None]:
@@ -106,24 +170,38 @@ MEDIA_META_SCHEMA = StructType(
 
 
 def validate_media(
-    df: DataFrame, content_col: str = "content", id_col: str = "id"
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "id",
+    url_col: str | None = None,
 ) -> DataFrame:
     """F24 — per-blob validation via mapInPandas: sha1 etag, sniffed mime,
     storage bucket, size. Mime/type compatibility is a plain column
-    comparison downstream (stated_mime == detected_mime)."""
+    comparison downstream (stated_mime == detected_mime).
+
+    ``url_col``: when given, a url ending in ``.stl`` forces
+    ``model/mesh``/``models`` WITHOUT sniffing — the reference's
+    explicit override (media_validation.py:113-114; STL is a bare
+    triangle list with no magic bytes, so content sniffing cannot
+    identify it)."""
     out_schema = StructType(
         [df.schema[id_col], *MEDIA_META_SCHEMA.fields]
     )
+    in_cols = [id_col, content_col] + ([url_col] if url_col else [])
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            urls = pdf[url_col] if url_col else [None] * len(pdf)
             rows = []
-            for _id, blob in zip(pdf[id_col], pdf[content_col]):
+            for _id, blob, url in zip(pdf[id_col], pdf[content_col], urls):
                 b = bytes(blob) if blob is not None else None
                 if b is None:
                     rows.append((_id, None, None, None, None))
                     continue
-                mime, bucket = sniff_mime(b[:1024])
+                if url is not None and str(url).endswith(".stl"):
+                    mime, bucket = "model/mesh", "models"
+                else:
+                    mime, bucket = sniff_mime(b[:1024])
                 rows.append(
                     (_id, hashlib.sha1(b).hexdigest(), mime, bucket, len(b))
                 )
@@ -132,7 +210,7 @@ def validate_media(
                 columns=[id_col, "etag", "detected_mime", "bucket", "size_bytes"],
             )
 
-    return df.select(id_col, content_col).mapInPandas(batches, out_schema)
+    return df.select(*in_cols).mapInPandas(batches, out_schema)
 
 
 def _fake_dims(b: bytes) -> tuple[int, int]:

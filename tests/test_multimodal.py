@@ -501,3 +501,60 @@ def test_image_phash_kinds_selects_columns_and_work(spark):
         mm.image_phash(
             df, "content", "id", fake=True, kinds=("ahash", "ahash")
         )
+
+
+def test_sniff_zip_signatures_short_circuit():
+    """media_validation.py:79-81 — the three ZIP signatures (local file
+    header / empty archive / spanned archive) are checked BEFORE any
+    other detection."""
+    assert mm.sniff_mime(b"PK\x03\x04rest") == ("application/zip", "datasets")
+    assert mm.sniff_mime(b"PK\x05\x06") == ("application/zip", "datasets")
+    assert mm.sniff_mime(b"PK\x07\x08xx") == ("application/zip", "datasets")
+    # a bare 'PK' without the signature bytes is NOT a zip
+    assert mm.sniff_mime(b"PKxx") == (None, None)
+
+
+def test_validate_mime_for_type_reference_contract():
+    """media_validation.py:86-102 — alias, then: explicit bucket must be
+    valid and allow the aliased mime; no bucket routes via
+    default_buckets; unroutable raises; (None, None) passes."""
+    assert mm.validate_mime_for_type(None, None) == (None, None)
+    # alias resolution: mpeg3 -> mpeg, allowed in sounds
+    assert mm.validate_mime_for_type("audio/mpeg3", "sounds") == (
+        "audio/mpeg", "sounds",
+    )
+    # no bucket: route through default_buckets
+    assert mm.validate_mime_for_type("image/jpeg", None) == (
+        "image/jpeg", "images",
+    )
+    # text/plain is ALLOWED in datasets but routes nowhere by default
+    assert mm.validate_mime_for_type("text/plain", "datasets") == (
+        "text/plain", "datasets",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(mm.MediaValidationError) as e:
+        mm.validate_mime_for_type("image/jpeg", "nope")
+    assert e.value.code == "InvalidBucketError"
+    with _pytest.raises(mm.MediaValidationError) as e:
+        mm.validate_mime_for_type("image/jpeg", "sounds")
+    assert e.value.code == "MimeNotAllowedError"
+    with _pytest.raises(mm.MediaValidationError) as e:
+        mm.validate_mime_for_type("text/plain", None)
+    assert e.value.code == "UnknownBucketError"
+
+
+def test_validate_media_stl_url_override(spark):
+    """media_validation.py:113-114 — a .stl url forces model/mesh
+    without sniffing (STL has no magic bytes); other urls still sniff."""
+    df = spark.createDataFrame(
+        [("a", JPEG, "http://x/scan.stl"), ("b", JPEG, "http://x/a.jpg")],
+        "id string, content binary, url string",
+    )
+    out = {
+        r["id"]: r
+        for r in mm.validate_media(df, "content", "id", url_col="url").collect()
+    }
+    assert out["a"]["detected_mime"] == "model/mesh"
+    assert out["a"]["bucket"] == "models"
+    assert out["b"]["detected_mime"] == "image/jpeg"
