@@ -298,10 +298,24 @@ def commit_gate(
     summary_rows: list, existing_count: int,
     create_threshold: float = 0.5, delete_threshold: float = 0.5,
 ) -> bool:
-    """The reference's ingest commit gate (db_check.py:515-538): reject the
-    batch when creates or deletes exceed the given fraction of the existing
-    recordset (mass-change protection). ``summary_rows`` is the collected
-    A9 summary; empty stores always commit (commit_force, :695-697)."""
+    """The ingest commit gate: reject the batch when creates or deletes
+    exceed the given fraction of the existing recordset (mass-change
+    protection). ``summary_rows`` is the collected A9 summary; empty
+    stores always commit (the reference's commit_force intent,
+    db_check.py:695-697).
+
+    DOCUMENTED DIVERGENCE from the reference's literal code
+    (db_check.py:516-530, r9 audit): as written there, the condition is
+    INVERTED — a type commits only when creates/processed >= 0.5 AND
+    deletes/processed >= 0.5 of the SAME batch (near-impossible
+    together), the ratios denominate on the batch's processed line
+    count rather than the existing store, and the ``commit_ok =
+    commit_force`` assignment at :516 is dead code (unconditionally
+    overwritten by ``all(type_commits)`` at :530, so the empty-store
+    force never reaches the decision). That literal gate would refuse
+    virtually every normal batch; this engine implements the evident
+    intent — abort on mass change relative to the existing store, let
+    the rest through, and honor the empty-store force."""
     if existing_count == 0:
         return True
     counts = {r["status"]: r["n"] for r in summary_rows}
