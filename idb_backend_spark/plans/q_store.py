@@ -874,10 +874,14 @@ def delimited_roundtrip(spark, sf_dir):
 
 @query(
     "eml_harvest",
+    # rights canonicalized through the license table (eml.py:102-111):
+    # only the 3.0/4.0 CC-BY urls are acceptable_licenses_trans keys;
+    # the synthesized 0.0/1.0/2.0 urls take the unmatched sentinel
     "SELECT n_nationkey, 'Collection ' || n_name AS collection_name, "
     "'Specimens from ' || n_name || '.' AS description, "
-    "'http://creativecommons.org/licenses/by/' || "
-    "CAST(n_nationkey % 5 AS VARCHAR(8)) || '.0/' AS rights, "
+    "CASE CAST(n_nationkey % 5 AS INT) WHEN 3 THEN 'CC3 BY' "
+    "WHEN 4 THEN 'CC4 BY' "
+    "ELSE 'Unknown License, assume Public Domain' END AS rights, "
     "'Curator' || CAST(n_nationkey AS VARCHAR(8)) AS contact_last "
     "FROM nation ORDER BY n_nationkey",
 )

@@ -74,6 +74,19 @@ def parse_eml(xml_bytes: bytes | str) -> dict:
         url = _first_text(ipr, "url")
         out["data_rights"] = url or "".join(ipr.itertext()).strip() or None
         break
+    # r9 — the reference NEVER emits the raw rights text: it folds
+    # through acceptable_licenses_trans and lands on one of the two
+    # sentinel strings otherwise (eml.py:102-111). Same table
+    # (data.licenses.LICENSE_TRANS), same sentinels.
+    from idb_backend_spark.data.licenses import LICENSE_TRANS
+
+    rights = out["data_rights"]
+    if rights is None:
+        out["data_rights"] = "No license, assume Public Domain"
+    else:
+        out["data_rights"] = LICENSE_TRANS.get(
+            rights, "Unknown License, assume Public Domain"
+        )
 
     seen = set()
     for role_tag in ("creator", "metadataProvider", "contact", "associatedParty"):

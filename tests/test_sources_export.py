@@ -109,7 +109,9 @@ def test_eml_parse():
     md = parse_eml(EML_XML)
     assert md["collection_name"] == "Herbarium Test Collection"
     assert md["collection_description"] == "Specimens of the test flora."
-    assert md["data_rights"] == "http://creativecommons.org/licenses/by/4.0/"
+    # canonicalized through the license table, never the raw url
+    # (eml.py:102-111)
+    assert md["data_rights"] == "CC4 BY"
     assert md["contacts"][0]["last_name"] == "Doe"
     assert md["contacts"][0]["role"] == "creator"
 
@@ -500,3 +502,21 @@ def test_meta_field_index_quirks_match_reference():
         "dwc:basisOfRecord": "PreservedSpecimen",
         "dwc:catalogNumber": "CAT-X",
     }
+
+
+def test_eml_rights_sentinels():
+    """eml.py:102-111 — unmatched rights text and absent rights land on
+    the reference's two distinct sentinel strings."""
+    unmatched = EML_XML.replace(
+        b"http://creativecommons.org/licenses/by/4.0/", b"all mine"
+    )
+    assert parse_eml(unmatched)["data_rights"] == (
+        "Unknown License, assume Public Domain"
+    )
+    no_rights = (
+        b"<eml:eml xmlns:eml='eml://ecoinformatics.org/eml-2.1.1'>"
+        b"<dataset><title>T</title></dataset></eml:eml>"
+    )
+    assert parse_eml(no_rights)["data_rights"] == (
+        "No license, assume Public Domain"
+    )
