@@ -452,10 +452,6 @@ def probe_neardup_index(
         raise ValueError("verify='exact' needs the corpus frame")
     spark = new_docs.sparkSession
     meta = read_meta(spark, index_path)
-    # sizing count on the raw batch (an id-pruned scan), NOT on the
-    # signature frame — counting signatures would run the minhash pass
-    # twice
-    n_batch = new_docs.select(id_col).count()
     # ONE minhash pass serves both stages (band keys for discovery,
     # lane arrays for the estimate): pinned via localCheckpoint —
     # n_batch x num_hashes longs, spilling to disk if a huge batch
@@ -468,6 +464,9 @@ def probe_neardup_index(
         num_hashes=meta["num_hashes"],
         seed=meta["seed"],
     ).localCheckpoint(eager=True)
+    # sizing count reads the just-checkpointed blocks — no extra scan
+    # of the batch, no second minhash pass
+    n_batch = sig.count()
     new_keys = sig.select(
         F.col("id").alias("new_id"),
         F.explode(
