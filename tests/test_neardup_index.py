@@ -571,3 +571,23 @@ def test_broadcast_bytes_cap_parses_spark_size_forms(spark):
             assert ni._broadcast_bytes_cap(spark) == want, raw
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_probe_empty_batch_yields_empty_result(spark, index_dir):
+    """An empty ingest batch probes to an empty match frame on both
+    verify paths — no division, no broadcast of nothing blowing up
+    (the r9 two-stage probe checkpoints the empty signature frame and
+    sizes its gates from a zero count)."""
+    docs = spark.createDataFrame(
+        [(i, f"some shared text body number {i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    ni.build_neardup_index(docs, "text", "doc_id", index_dir)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    est = ni.probe_neardup_index(empty, "text", "doc_id", index_dir)
+    assert est.count() == 0
+    assert est.columns == ["new_id", "corpus_id", "est_jaccard"]
+    exact = ni.probe_neardup_index(
+        empty, "text", "doc_id", index_dir, verify="exact", corpus=docs
+    )
+    assert exact.count() == 0
