@@ -874,15 +874,35 @@ def delimited_roundtrip(spark, sf_dir):
 
 @query(
     "eml_harvest",
-    # rights canonicalized through the license table (eml.py:102-111):
-    # only the 3.0/4.0 CC-BY urls are acceptable_licenses_trans keys;
-    # the synthesized 0.0/1.0/2.0 urls take the unmatched sentinel
+    # one synthesized EML per nation row cycling through the reference's
+    # SIX rights shapes (eml.py:66-98 precedence + the two sentinels of
+    # eml.py:100-109): 0 symbiota-additionalMetadata URL beating a live
+    # dataset citetitle, 1 citetitle inside prose, 2 ALA last-section
+    # para, 3 bare para URL, 4 non-key para prose with broken citetitle
+    # -> Unknown sentinel, 5 para starting with <ulink> (.text None) ->
+    # No-license sentinel. web_address pins the always-set '' quirk
+    # (eml.py:62-66); n_contacts pins the ineffective seen_emails dedup
+    # (duplicate-email creator+contact both emitted, eml.py:131-155)
     "SELECT n_nationkey, 'Collection ' || n_name AS collection_name, "
     "'Specimens from ' || n_name || '.' AS description, "
-    "CASE CAST(n_nationkey % 5 AS INT) WHEN 3 THEN 'CC3 BY' "
-    "WHEN 4 THEN 'CC4 BY' "
-    "ELSE 'Unknown License, assume Public Domain' END AS rights, "
-    "'Curator' || CAST(n_nationkey AS VARCHAR(8)) AS contact_last "
+    "CASE CAST(n_nationkey % 6 AS INT) "
+    "WHEN 0 THEN 'CC3 BY-NC' WHEN 1 THEN 'CC0' WHEN 2 THEN 'CC3 BY' "
+    "WHEN 3 THEN 'CC4 BY' "
+    "WHEN 4 THEN 'Unknown License, assume Public Domain' "
+    "ELSE 'No license, assume Public Domain' END AS rights, "
+    "'Curator' || CAST(n_nationkey AS VARCHAR(8)) AS contact_last, "
+    "CASE WHEN n_nationkey % 2 = 0 THEN 'Curator' END AS contact_role, "
+    "CAST(2 AS INT) AS n_contacts, "
+    "CASE CAST(n_nationkey % 6 AS INT) "
+    "WHEN 0 THEN 'http://sym' || CAST(n_nationkey AS VARCHAR(8)) "
+    "|| '.example.org' "
+    "WHEN 1 THEN 'http://inst' || CAST(n_nationkey AS VARCHAR(8)) "
+    "|| '.example.org' "
+    "WHEN 3 THEN 'http://inst' || CAST(n_nationkey AS VARCHAR(8)) "
+    "|| '.example.org' "
+    "WHEN 5 THEN 'http://inst' || CAST(n_nationkey AS VARCHAR(8)) "
+    "|| '.example.org' "
+    "ELSE '' END AS web_address "
     "FROM nation ORDER BY n_nationkey",
 )
 def eml_harvest(spark, sf_dir):
@@ -890,8 +910,10 @@ def eml_harvest(spark, sf_dir):
     recordset (nation row), parsed driver-side by parse_eml exactly like
     the reference's per-recordset metadata fetch (eml.py; metadata is
     KB-scale and per-publisher — a driver loop is the right shape, the
-    reference's is too), then assembled into a DataFrame. The oracle
-    reconstructs the expected parse fields in SQL."""
+    reference's is too), then assembled into a DataFrame. The six
+    synthesized rights shapes cover every arm of the reference's
+    location precedence (eml.py:66-98); the oracle reconstructs the
+    expected parse fields in SQL."""
     from idb_backend_spark.sources.eml import parse_eml
 
     nations = (
@@ -899,31 +921,87 @@ def eml_harvest(spark, sf_dir):
     )
     rows = []
     for r in sorted(nations, key=lambda x: x["n_nationkey"]):
+        n = int(r["n_nationkey"])
+        name = r["n_name"]
+        shape = n % 6
+        # dataset-level IR per shape (shape 0 ALSO carries a live
+        # citetitle that the symbiota location must beat)
+        ir = {
+            0: "<intellectualRights><para>Licensed as"
+            '<ulink url="http://x"><citetitle>CC BY (Attribution)'
+            "</citetitle></ulink></para></intellectualRights>",
+            1: "<intellectualRights><para>To the extent possible under "
+            'law the publisher has waived all rights<ulink url="http://x">'
+            "<citetitle>CC0 1.0 (Public-domain)</citetitle></ulink>"
+            "for any purpose.</para></intellectualRights>",
+            2: "<intellectualRights>"
+            "<section><title>Rights</title><para>Cite the source."
+            "</para></section>"
+            "<section><title>License</title><para>Creative Commons "
+            "Attribution Australia 3.0</para></section>"
+            "</intellectualRights>",
+            3: "<intellectualRights><para>"
+            "http://creativecommons.org/licenses/by/4.0/"
+            "</para></intellectualRights>",
+            4: f"<intellectualRights><para>All rights reserved by {name}."
+            '<ulink url="http://x"><citetitle/></ulink></para>'
+            "</intellectualRights>",
+            5: '<intellectualRights><para><ulink url="http://x">'
+            "<citetitle/></ulink></para></intellectualRights>",
+        }[shape]
+        dist = (
+            f"<distribution><online><url>http://inst{n}.example.org"
+            "</url></online></distribution>"
+            if shape in (1, 3, 5)
+            else ""
+        )
+        sym = (
+            "<additionalMetadata><metadata><symbiota><collection>"
+            "<intellectualRights>"
+            "http://creativecommons.org/licenses/by-nc/3.0/"
+            "</intellectualRights>"
+            f"<onlineUrl>http://sym{n}.example.org</onlineUrl>"
+            "</collection></symbiota></metadata></additionalMetadata>"
+            if shape == 0
+            else ""
+        )
+        role = "<positionName>Curator</positionName>" if n % 2 == 0 else ""
         xml = (
-            '<eml:eml xmlns:eml="eml://ecoinformatics.org/eml-2.1.1"><dataset>'
-            f"<title>Collection {r['n_name']}</title>"
+            '<eml:eml xmlns:eml="eml://ecoinformatics.org/eml-2.1.1">'
+            "<dataset>"
+            f"<title>Collection {name}</title>"
             "<creator><individualName>"
-            f"<surName>Curator{r['n_nationkey']}</surName>"
-            "</individualName></creator>"
-            f"<abstract><para>Specimens from {r['n_name']}.</para></abstract>"
-            "<intellectualRights><para><ulink>"
-            f"<url>http://creativecommons.org/licenses/by/{r['n_nationkey'] % 5}.0/</url>"
-            "</ulink></para></intellectualRights></dataset></eml:eml>"
+            f"<surName>Curator{n}</surName></individualName>"
+            f"<electronicMailAddress>c{n}@example.org"
+            f"</electronicMailAddress>{role}</creator>"
+            # duplicate-email contact element: the reference's
+            # seen_emails bookkeeping never suppresses the append
+            "<contact><individualName>"
+            f"<surName>Curator{n}</surName></individualName>"
+            f"<electronicMailAddress>c{n}@example.org"
+            "</electronicMailAddress></contact>"
+            f"<abstract><para>Specimens from {name}.</para></abstract>"
+            f"{ir}{dist}</dataset>{sym}</eml:eml>"
         )
         md = parse_eml(xml)
+        first = md["contacts"][0] if md["contacts"] else {}
         rows.append(
             (
-                int(r["n_nationkey"]),
+                n,
                 md["collection_name"],
                 md["collection_description"],
                 md["data_rights"],
-                md["contacts"][0]["last_name"],
+                first.get("last_name"),
+                first.get("role"),
+                len(md["contacts"]),
+                md["institution_web_address"],
             )
         )
     return spark.createDataFrame(
         rows,
         "n_nationkey bigint, collection_name string, description string, "
-        "rights string, contact_last string",
+        "rights string, contact_last string, contact_role string, "
+        "n_contacts int, web_address string",
     ).orderBy("n_nationkey")
 
 

@@ -55,7 +55,7 @@ EML_XML = b"""<?xml version="1.0"?>
     </creator>
     <abstract><para>Specimens of the test flora.</para></abstract>
     <intellectualRights>
-      <para><ulink><url>http://creativecommons.org/licenses/by/4.0/</url></ulink></para>
+      <para>This work is licensed under<ulink url="http://creativecommons.org/licenses/by/4.0/"><citetitle>CC BY (Attribution)</citetitle></ulink></para>
     </intellectualRights>
   </dataset>
 </eml:eml>
@@ -109,11 +109,13 @@ def test_eml_parse():
     md = parse_eml(EML_XML)
     assert md["collection_name"] == "Herbarium Test Collection"
     assert md["collection_description"] == "Specimens of the test flora."
-    # canonicalized through the license table, never the raw url
-    # (eml.py:102-111)
+    # canonicalized through the license table, never the raw text
+    # (eml.py:102-111); the citetitle location (eml.py:75) wins here
     assert md["data_rights"] == "CC4 BY"
     assert md["contacts"][0]["last_name"] == "Doe"
-    assert md["contacts"][0]["role"] == "creator"
+    # role comes ONLY from positionName (eml.py:128,147) — the element
+    # type (creator) is never recorded as a role
+    assert "role" not in md["contacts"][0]
 
 
 def test_normalize_delimiter():
@@ -507,9 +509,7 @@ def test_meta_field_index_quirks_match_reference():
 def test_eml_rights_sentinels():
     """eml.py:102-111 — unmatched rights text and absent rights land on
     the reference's two distinct sentinel strings."""
-    unmatched = EML_XML.replace(
-        b"http://creativecommons.org/licenses/by/4.0/", b"all mine"
-    )
+    unmatched = EML_XML.replace(b"CC BY (Attribution)", b"all mine")
     assert parse_eml(unmatched)["data_rights"] == (
         "Unknown License, assume Public Domain"
     )
