@@ -49,10 +49,19 @@ def raw_data_flags(data: Column) -> Column:
     is the trigger — the value is never consulted. Keys fold in map
     order, matching the reference's dict-insertion iteration; callers
     concat this AFTER the computed flags, the reference's append order
-    (setFlags, then grabber flag_ keys, then raw-data flag_ keys)."""
-    return F.transform(
-        F.filter(F.map_keys(data), lambda k: k.startswith("flag_")),
-        lambda k: F.regexp_replace(k, "^flag_", ""),
+    (setFlags, then grabber flag_ keys, then raw-data flag_ keys).
+
+    A NULL raw map yields [] (not NULL): callers F.concat this with the
+    computed flags, and concat null-propagates — without the coalesce a
+    null map would silently drop EVERY computed flag for the row. The
+    reference has no such row (a missing raw dict cannot occur there),
+    so [] is the only concat-safe parity choice (r9 ADVICE)."""
+    return F.coalesce(
+        F.transform(
+            F.filter(F.map_keys(data), lambda k: k.startswith("flag_")),
+            lambda k: F.regexp_replace(k, "^flag_", ""),
+        ),
+        F.array().cast("array<string>"),
     )
 
 

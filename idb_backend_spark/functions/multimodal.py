@@ -59,7 +59,14 @@ DTYPES = ("thumbnail", "fullsize", "webview")
 _MAGIC: list[tuple[bytes, str, str]] = [
     # ZIP signatures FIRST — the reference short-circuits them before
     # libmagic ever runs (media_validation.py:79-81: local file header,
-    # empty archive, spanned archive)
+    # empty archive, spanned archive). The 'datasets' bucket on the zip
+    # arms is an ENGINE-SIDE choice (r9 ADVICE): the reference's
+    # default_buckets has NO application/zip entry, so its validate()
+    # raises UnknownBucketError for a zip with no explicit bucket —
+    # here a sniffed zip routes to 'datasets' (the bucket DwC-A zips
+    # land in when named explicitly) instead of erroring, so a harvest
+    # can still sort them; validate_mime_for_type keeps the strict
+    # reference contract
     (b"PK\x03\x04", "application/zip", "datasets"),
     (b"PK\x05\x06", "application/zip", "datasets"),
     (b"PK\x07\x08", "application/zip", "datasets"),

@@ -27,8 +27,27 @@ def unique_values(df: DataFrame, field: str) -> DataFrame:
     """A3 — unique values with counts, desc; nulls become the empty-string
     bucket — DELIBERATE reference parity, not an artifact: the scan loop
     at download.py:188-193 does ``values[""] += 1`` for missing source
-    values, so the export's top row CAN be the empty-string bucket."""
-    val = F.coalesce(F.col(field).cast("string"), F.lit("")).alias("value")
+    values, so the export's top row CAN be the empty-string bucket.
+
+    Fields whose lowercased name ends with ``scientificname`` are folded
+    through Python ``str.capitalize()`` BEFORE counting
+    (download.py:189-190): first char uppercased, the REST lowercased —
+    merging case variants ('ACER RUBRUM', 'Acer Rubrum', 'acer rubrum')
+    into one bucket and changing the rendered value. Expressed JVM-side
+    as upper(first)+lower(rest); identical for the ASCII names the field
+    holds (Python's titlecase-first-char mapping differs only on exotic
+    digraph codepoints). The null->'' bucket is NOT capitalized in the
+    reference (the fold sits inside the not-None arm) — same output
+    either way, since concat-on-null falls through to the coalesce."""
+    col = F.col(field).cast("string")
+    # strip identifier backticks so quoted columns like
+    # `dwc:scientificName` still hit the reference's endswith check
+    if field.strip("`").lower().endswith("scientificname"):
+        col = F.concat(
+            F.upper(F.substring(col, 1, 1)),
+            F.lower(col.substr(F.lit(2), F.length(col))),
+        )
+    val = F.coalesce(col, F.lit("")).alias("value")
     return (
         df.select(val)
         .groupBy("value")

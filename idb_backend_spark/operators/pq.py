@@ -803,9 +803,14 @@ def ivfpq_batch_topk_rerank(
     qv_rows = [
         (int(qid), [float(x) for x in qv]) for qid, qv in queries
     ]
+    # array<double>, NOT array<float>: the per-query path (_vec_lit)
+    # builds double literals, and the 'scores included, row for row'
+    # batch_consistent contract needs both paths computing cosine from
+    # identical operands — a float32-narrowed external query vector can
+    # flip 6-dp near-ties (r9 ADVICE)
     qvec = F.broadcast(
         spark.createDataFrame(
-            qv_rows, f"{query_id_col} long, __qv array<float>"
+            qv_rows, f"{query_id_col} long, __qv array<double>"
         )
     )
     sim = cosine_similarity(F.col(vec_col), F.col("__qv"))

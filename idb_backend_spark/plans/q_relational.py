@@ -234,13 +234,47 @@ def citation_counts(spark, sf_dir):
 
 @query(
     "unique_values_counts",
-    "SELECT coalesce(CAST(p_brand AS VARCHAR(32)), '') AS value, count(*) AS count "
-    "FROM part GROUP BY 1 ORDER BY count DESC, value",
+    # r10: second arm plants a mixed-case scientificname column — the
+    # reference capitalize()s scientificname values BEFORE counting
+    # (download.py:189-190), merging the three case variants into ONE
+    # 'Acer rubrum' bucket; nulls still land on the uncapitalized ''
+    "SELECT field, value, count FROM ("
+    "SELECT 'p_brand' AS field, "
+    "coalesce(CAST(p_brand AS VARCHAR(32)), '') AS value, "
+    "count(*) AS count FROM part GROUP BY 2 "
+    "UNION ALL "
+    "SELECT 'dwc:scientificName' AS field, "
+    "CASE WHEN sn IS NULL THEN '' "
+    "ELSE upper(substr(sn, 1, 1)) || lower(substr(sn, 2)) END AS value, "
+    "count(*) AS count FROM ("
+    "SELECT CASE CAST(p_partkey % 4 AS INT) "
+    "WHEN 0 THEN 'acer rubrum' WHEN 1 THEN 'ACER RUBRUM' "
+    "WHEN 2 THEN 'Acer Rubrum' END AS sn FROM part) GROUP BY 2"
+    ") ORDER BY field, count DESC, value",
 )
 def unique_values_counts(spark, sf_dir):
     """A3 — uniquevals export: value histogram desc with empty-string
-    null bucket."""
-    return agg.unique_values(_t(spark, sf_dir, "part"), "p_brand")
+    null bucket, plus the scientificname capitalize-before-count fold
+    (download.py:189-190) on a planted mixed-case column."""
+    part = _t(spark, sf_dir, "part")
+    brand = agg.unique_values(part, "p_brand").withColumn(
+        "field", F.lit("p_brand")
+    )
+    planted = part.select(
+        F.expr(
+            "CASE CAST(p_partkey % 4 AS INT) "
+            "WHEN 0 THEN 'acer rubrum' WHEN 1 THEN 'ACER RUBRUM' "
+            "WHEN 2 THEN 'Acer Rubrum' END"
+        ).alias("dwc_scientificname")
+    )
+    sci = agg.unique_values(planted, "dwc_scientificname").withColumn(
+        "field", F.lit("dwc:scientificName")
+    )
+    return (
+        brand.unionByName(sci)
+        .select("field", "value", "count")
+        .orderBy("field", F.desc("count"), "value")
+    )
 
 
 # RETIRED (round 6, third pass): `max_watermark` — A5 is a one-line

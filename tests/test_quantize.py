@@ -172,3 +172,44 @@ def test_max_watermark_operator(spark, sf_dir):
     per_type = agg.max_watermark(ev, "ts", by=["event_type"]).collect()
     assert len(g) == 1
     assert g[0]["watermark"] == max(r["watermark"] for r in per_type)
+
+
+def test_unique_values_scientificname_capitalize_fold(spark):
+    """A3 quirk pin (download.py:189-190): values of a field whose
+    lowercased name ends with 'scientificname' are str.capitalize()d
+    BEFORE counting — case variants merge into one bucket and the
+    rendered value is the folded form; other fields count raw. Expected
+    values computed with Python's own str.capitalize."""
+    from idb_backend_spark.operators import aggregates as agg
+
+    vals = [
+        "acer rubrum",
+        "ACER RUBRUM",
+        "Acer Rubrum",
+        "acer rubrum",
+        "3-leaf MAPLE",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "`dwc:scientificName` string"
+    )
+    got = {
+        (r["value"], r["count"])
+        for r in agg.unique_values(df, "`dwc:scientificName`").collect()
+    }
+    import collections
+
+    c = collections.Counter(
+        v.capitalize() if v is not None else "" for v in vals
+    )
+    assert got == {(k, n) for k, n in c.items()}
+    assert ("Acer rubrum", 4) in got  # the three variants merged
+
+    # a non-scientificname field keeps raw values
+    raw = spark.createDataFrame([(v,) for v in vals], "p_brand string")
+    got_raw = {
+        (r["value"], r["count"])
+        for r in agg.unique_values(raw, "p_brand").collect()
+    }
+    c_raw = collections.Counter(v if v is not None else "" for v in vals)
+    assert got_raw == {(k, n) for k, n in c_raw.items()}

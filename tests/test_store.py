@@ -357,3 +357,66 @@ def test_null_etag_batch_row_survives_dedup(spark):
     assert len(rows) == 1
     assert rows[0]["uuid"] == "n1" and rows[0]["data"] == "payload"
     assert rows[0]["etag"] is None and rows[0]["version"] == 0
+
+
+def _reference_literal_gate(counts: dict, commit_force: bool) -> bool:
+    """The reference's commit gate EXACTLY as written
+    (db_check.py:515-538), transcribed for the pin below: commit only
+    when every ingestion type's creates AND deletes each reach >= 0.5 of
+    that type's OWN processed_line_count; `commit_ok = commit_force` is
+    immediately overwritten by all(type_commits), so the force flag is
+    dead; an empty counts dict gives all([]) == True (commit)."""
+    commit_ok = commit_force
+    type_commits = []
+    for k in counts:
+        c = counts[k]
+        type_commits.append(
+            c["create"] / float(c["processed_line_count"]) >= 0.5
+            and c["delete"] / float(c["processed_line_count"]) >= 0.5
+        )
+    commit_ok = all(type_commits)
+    return commit_ok
+
+
+def test_commit_gate_literal_vs_intent_divergence():
+    """A9 divergence pin (adjudicated r9, VERDICT r9 What's-wrong #3):
+    the engine's commit_gate implements the evident INTENT (abort on
+    mass change vs the existing store); the reference's literal gate
+    (db_check.py:515-538) is inverted and batch-denominated. Encode both
+    outcomes side by side so the deliberate divergence is machine-checked
+    like every preserved quirk."""
+    from idb_backend_spark.operators import store as st
+
+    # A perfectly normal incremental batch: 1000 lines, 30 creates,
+    # 5 deletes against a 10_000-record store.
+    normal = {"core": {"create": 30, "delete": 5,
+                       "processed_line_count": 1000}}
+    normal_summary = [
+        {"status": "create", "n": 30},
+        {"status": "update", "n": 965},
+        {"status": "delete", "n": 5},
+    ]
+    # Literal reference gate REFUSES the normal batch (creates/lines
+    # 0.03 < 0.5) — regardless of commit_force, which is dead code.
+    assert _reference_literal_gate(normal, commit_force=False) is False
+    assert _reference_literal_gate(normal, commit_force=True) is False
+    # Engine intent gate commits it.
+    assert st.commit_gate(normal_summary, existing_count=10_000) is True
+
+    # The ONLY batch shape the literal gate commits: creates AND deletes
+    # each >= 50% of the same batch — a churn pattern the intent gate
+    # treats as exactly the mass change to abort on.
+    churn = {"core": {"create": 500, "delete": 500,
+                      "processed_line_count": 1000}}
+    churn_summary = [
+        {"status": "create", "n": 500},
+        {"status": "delete", "n": 500},
+    ]
+    assert _reference_literal_gate(churn, commit_force=False) is True
+    assert st.commit_gate(churn_summary, existing_count=600) is False
+
+    # No ingestion-type counts at all: all([]) == True -> the literal
+    # gate commits an empty run; the engine's empty-store arm is the
+    # (live) analog of the intended commit_force.
+    assert _reference_literal_gate({}, commit_force=False) is True
+    assert st.commit_gate([], existing_count=0) is True

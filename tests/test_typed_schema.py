@@ -270,5 +270,8 @@ def test_raw_data_flags_reference_fold(spark):
     assert sorted(got[0]) == ["geopoint_datum_missing", "rev_geocode_corrected"]
     assert got[1] == []
     assert sorted(got[2]) == ["", "_x"]
-    assert got[3] is None  # NULL map stays NULL (caller folds)
+    # NULL map -> [] (r10, r9 ADVICE): callers F.concat this with the
+    # computed flags and concat null-propagates — a NULL here would
+    # silently null the ENTIRE flags array for the row
+    assert got[3] == []
     assert got[4] == []
