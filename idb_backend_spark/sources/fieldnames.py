@@ -88,11 +88,16 @@ def uri_to_curie(term_uri: str) -> str:
 
 
 def curie_to_uri(term: str) -> str:
-    """CURIE -> namespace URI + local name (meta_xml.py:41-44)."""
-    if ":" in term:
-        prefix, local = term.split(":", 1)
-        if prefix in NAMESPACES_REV:
-            return NAMESPACES_REV[prefix] + local
+    """CURIE -> namespace URI + local name (meta_xml.py:41-44).
+
+    Mirrors the reference's ``term.split(":")`` + ``term_a[1]`` exactly:
+    a known-prefix term holding MORE than one colon keeps only the
+    segment between the first two colons ('dwc:a:b' -> URI + 'a', the
+    ':b' tail silently dropped). Unknown prefixes pass through verbatim
+    (the raw CURIE becomes the meta.xml term)."""
+    parts = term.split(":")
+    if len(parts) > 1 and parts[0] in NAMESPACES_REV:
+        return NAMESPACES_REV[parts[0]] + parts[1]
     return term
 
 

@@ -105,7 +105,10 @@ def test_flagship_end_to_end(spark, tmp_path, archive):
         occ = z.read("occurrence.csv").decode()
         cit = z.read("citations.txt").decode()
     assert occ.count("\n") == 4  # header + 3 hits
-    assert "rs1: 2" in cit and "Total records: 3" in cit
+    # reference citation format (download.py:37-79)
+    assert "https://www.idigbio.org/portal/recordsets/rs1 (2 records)" in cit
+    assert "3 records, accessed on " in cit
+    assert "contributed by 2 Recordsets" in cit
     arch.close()
 
 
@@ -127,6 +130,9 @@ def test_empty_result_export(spark, tmp_path, archive):
     )
     with zipfile.ZipFile(out_zip) as z:
         occ = z.read("occurrence.csv").decode()
+        # zero records -> citation_text is None -> NO citation member
+        # (the reference writes no citation file then, download.py:58)
+        assert "citations.txt" not in set(z.namelist())
     assert occ.strip().splitlines() == ["uuid,genus"]
     arch.close()
 

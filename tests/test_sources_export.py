@@ -171,7 +171,18 @@ def test_csv_member_and_citations(spark, tmp_path):
     )
     assert counts == [("a", 2), ("b", 1)]
     text = writers.citation_text(counts, "genus=acer", 3)
-    assert "a: 2" in text and "Total records: 3" in text
+    # the reference's exact template (download.py:37-47): banner with
+    # year, Query echo, total + isoformat datetime, recordset count,
+    # one portal line per recordset desc, trailing newline
+    assert text.startswith("https://www.idigbio.org/portal (")
+    assert "Query: genus=acer," in text
+    assert "3 records, accessed on " in text
+    assert "contributed by 2 Recordsets, Recordset identifiers:" in text
+    assert text.endswith(
+        "https://www.idigbio.org/portal/recordsets/a (2 records)\n"
+        "https://www.idigbio.org/portal/recordsets/b (1 records)\n"
+    )
+    assert writers.citation_text([], "q", 0) is None
 
 
 def test_dwca_roundtrip(spark, tmp_path, dwca_zip):
@@ -520,3 +531,72 @@ def test_eml_rights_sentinels():
     assert parse_eml(no_rights)["data_rights"] == (
         "No license, assume Public Domain"
     )
+
+
+def test_meta_core_flag_literal_vs_intent():
+    """S10 divergence pin: the reference's core flag expression
+    (download.py:267) is `t == core_type and raw == core_source ==
+    "raw"` — the chained comparison puts a BOOL against the string
+    'raw', so it is False for EVERY (t, raw, core_source) combination
+    and the reference's meta.xml marks even the core member as an
+    <extension>/<coreid>. Encode the literal outcome exhaustively next
+    to the engine's intent (a real <core>/<id> block for the core)."""
+    import itertools
+
+    def reference_literal_core(t, core_type, raw, core_source):
+        return t == core_type and raw == core_source == "raw"
+
+    for t, core_type, raw, core_source in itertools.product(
+        ("records", "mediarecords"),
+        ("records", "mediarecords"),
+        (True, False),
+        ("indexterms", "raw"),
+    ):
+        assert reference_literal_core(t, core_type, raw, core_source) is False
+
+    meta = writers.make_meta_xml(
+        [
+            {"filename": "occurrence.csv", "fields": ["dwc:genus"],
+             "core": True, "tsv": False, "type": "records"},
+            {"filename": "multimedia.csv", "fields": ["ac:accessURI"],
+             "core": False, "tsv": False, "type": "mediarecords"},
+        ]
+    )
+    core_d, exts_d, _ = parse_meta_xml(meta)
+    assert core_d.location == "occurrence.csv"  # engine intent: real core
+    assert len(exts_d) == 1 and exts_d[0].id_is_coreid
+
+
+def test_uniquevals_val_func_literal():
+    """A3/A4 divergence pin: the reference's make_file unique branch
+    passes identifiy_locality for BOTH uniquelocality AND uniquenames
+    (download.py:604) — its uniquenames export id column hashes under
+    the locality namespace; the gn-namespace id_func fetched from
+    type_core_type_ids is dead in that branch. The engine keeps the
+    per-type namespace (the dead table's evident intent). Encode the
+    literal reference id for a name value next to the engine's."""
+    import uuid
+
+    root = "http://identifiers.idigbio.org/"
+    loc_ns = uuid.uuid5(uuid.NAMESPACE_URL, root + "locality")
+    gn_ns = uuid.uuid5(uuid.NAMESPACE_DNS, "globalnames.org")
+    # identification.py:6-11 asserts these constants — reproduce them
+    assert str(loc_ns) == "e8518454-3e95-5e2f-95b4-e4b25c6ebb53"
+    assert str(gn_ns) == "90181196-fecf-5082-a4c1-411d4f314cda"
+
+    name = "Acer rubrum"
+    reference_literal_id = str(uuid.uuid5(loc_ns, name))  # val_func bug
+    engine_intent_id = str(uuid.uuid5(gn_ns, name))
+    assert reference_literal_id != engine_intent_id
+
+
+def test_meta_field_term_two_colon_drop():
+    """make_field quirk (meta_xml.py:41-44): term.split(':') keeps only
+    parts[1] for a known prefix — 'dwc:a:b' folds to URI + 'a', the
+    ':b' tail dropped; unknown prefixes pass through verbatim."""
+    assert fn.curie_to_uri("dwc:genus") == (
+        "http://rs.tdwg.org/dwc/terms/genus"
+    )
+    assert fn.curie_to_uri("dwc:a:b") == "http://rs.tdwg.org/dwc/terms/a"
+    assert fn.curie_to_uri("nosuch:field") == "nosuch:field"
+    assert fn.curie_to_uri("plain") == "plain"
