@@ -152,7 +152,18 @@ def build_scaled_lineitem(spark, src: str, dst: str, factor: int) -> None:
 #: loops, bounded collects, staged writes): the timer must wrap the
 #: entry CALL too, or the noop sink times a 4-row literal frame and the
 #: "scaling" is fiction
-EAGER_PROBES = {"pq_recall_audit"}
+EAGER_PROBES = {"pq_recall_audit", "ivf_ann_topk"}
+
+#: which scaled tables each probe actually reads — building all three at
+#: factor 500 to probe an embeddings-only entry would spend minutes
+#: writing 300 M lineitem rows nothing reads
+PROBE_TABLES = {
+    "etl_enrichment_pipeline": {"lineitem"},
+    "latest_object_per_url": {"lineitem"},
+    "cms_heavy_hitters": {"lineitem"},
+    "pq_recall_audit": {"embeddings"},
+    "ivf_ann_topk": {"embeddings"},
+}
 
 
 def time_entry(fn, spark, sf_dir: str, eager: bool = False) -> tuple[float, int]:
@@ -248,12 +259,18 @@ def main() -> int:
 
     base = os.path.join(scratch, "f1")
     big = os.path.join(scratch, f"f{factor}")
-    build_scaled(spark, src, base, 1)
-    build_scaled(spark, src, big, factor)
-    build_scaled_lineitem(spark, src, base, 1)
-    build_scaled_lineitem(spark, src, big, factor)
-    build_scaled_embeddings(spark, src, base, 1)
-    build_scaled_embeddings(spark, src, big, factor)
+    needed = set()
+    for name in only:
+        needed |= PROBE_TABLES.get(name, {"documents"})
+    if "documents" in needed:
+        build_scaled(spark, src, base, 1)
+        build_scaled(spark, src, big, factor)
+    if "lineitem" in needed:
+        build_scaled_lineitem(spark, src, base, 1)
+        build_scaled_lineitem(spark, src, big, factor)
+    if "embeddings" in needed:
+        build_scaled_embeddings(spark, src, base, 1)
+        build_scaled_embeddings(spark, src, big, factor)
 
     results = {}
     if "neardup_index_probe" in only:
