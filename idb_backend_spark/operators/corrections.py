@@ -39,6 +39,9 @@ def apply_correction_rules(
     set_field: str,
     flag_prefix: str | None = None,
     protect_kingdom: bool = False,
+    probe_cols: dict[str, Column] | None = None,
+    skip_when: Column | None = None,
+    emit_guard: str | None = None,
 ) -> DataFrame:
     """Apply one key-tuple's rules: ``rules`` has columns ``key_fields``
     (already lowercased match values) and ``__set`` (replacement for
@@ -53,6 +56,33 @@ def apply_correction_rules(
     continue``) — scientific names are corrected only through the
     gs_sn_crossfill path, never by the rules table. Refusing loudly
     beats silently applying a rule class the reference never applies.
+
+    ``probe_cols`` overrides the probe expression per key field (the
+    chaining API uses it to probe ORIGINAL record values — see
+    apply_corrections). ``skip_when`` suppresses this rule set's rewrite
+    and flags row-wise (the whole-tuple kingdom-guard ``continue``);
+    ``emit_guard`` keeps the protected-kingdom condition as a boolean
+    column of that name so later sets of the same correction family can
+    gate on it.
+
+    Probe normalization is lower+TRIM — one documented half-step beyond
+    the reference's literal ``d[f].lower()`` (record_corrector.py:196-203
+    never strips): the engine's fixtures follow the store convention of
+    lowercased+trimmed equality values, and a padded value failing to
+    probe would be invisible there. Pinned in
+    tests/test_corrections.py::test_case_insensitive_probe_and_removal.
+
+    Flags are a comma-joined provenance STRING column per set field
+    (the reference injects ``flag_*`` BOOLEAN keys into the record dict,
+    record_corrector.py:236-247 — same information, relational shape).
+    Two reference quirks intentionally NOT reproduced, pinned in
+    tests/test_corrections.py::test_reference_literal_quirks: a
+    list-valued field is ``.extend``-ed with the correction and NO flag
+    is raised (a plain-string correction extends CHAR BY CHAR there);
+    and the kingdom guard tests the record's ``dwc:kingdom`` key
+    case-SENSITIVELY while the apply path resolves keys
+    case-insensitively, so a record spelling it ``dwc:Kingdom`` slips
+    past the guard and gets rewritten.
     """
     if set_field.lower().replace(":", "").replace("_", "") in (
         "dwcscientificname",
@@ -64,7 +94,14 @@ def apply_correction_rules(
             "scientific names flow through gs_sn_crossfill instead"
         )
     flag_base = (flag_prefix or set_field).replace(":", "_").lower()
-    probe = [F.lower(F.trim(F.col(k))).alias(f"__k_{i}") for i, k in enumerate(key_fields)]
+    probe = [
+        (
+            probe_cols[k]
+            if probe_cols is not None and k in probe_cols
+            else F.lower(F.trim(F.col(k)))
+        ).alias(f"__k_{i}")
+        for i, k in enumerate(key_fields)
+    ]
     rule_side = rules.select(
         *[F.col(k).alias(f"__k_{i}") for i, k in enumerate(key_fields)],
         F.col("__set"),
@@ -100,6 +137,11 @@ def apply_correction_rules(
     differs = hit & (
         (F.lower(F.coalesce(cur, F.lit("\0"))) != F.coalesce(new, F.lit("\0")))
     )
+    if skip_when is not None:
+        # an earlier kingdom guard in this correction family tripped for
+        # the row: the reference's `continue` skips EVERY field of the
+        # correction (record_corrector.py:221-229), not just kingdom
+        differs = differs & ~F.coalesce(skip_when, F.lit(False))
 
     if protect_kingdom and set_field.lower().endswith("kingdom"):
         # trim to match the PROBE's normalization: the probe matches
@@ -145,7 +187,15 @@ def apply_correction_rules(
             old_flag.isNotNull() & flag.isNotNull() & (old_flag != flag),
             merged_flags,
         ).otherwise(F.coalesce(flag, old_flag))
-    out = joined.withColumns({set_field: value, flag_col: flag})
+    new_cols = {set_field: value, flag_col: flag}
+    if emit_guard is not None:
+        guard_expr = (
+            F.coalesce(protected, F.lit(False))
+            if protect_kingdom and set_field.lower().endswith("kingdom")
+            else F.lit(False)
+        )
+        new_cols[emit_guard] = guard_expr
+    out = joined.withColumns(new_cols)
     drop = [f"__k_{i}" for i in range(len(key_fields))] + ["__set", "__hit"]
     return out.drop(*drop)
 
@@ -155,18 +205,81 @@ def apply_corrections(
     rule_sets: list[tuple[list[str], str, DataFrame]],
 ) -> DataFrame:
     """Chain rule sets in the reference's order: sorted by key-tuple length
-    (record_corrector.py:210), so single-key rules apply before compound
-    keys and later probes see earlier rewrites.
+    (record_corrector.py:210 ``sorted(self.keytups, key=len)``; the
+    reference's length-tie order is SET iteration — nondeterministic
+    across processes — this API keeps the caller's order within a
+    length, the only deterministic reading).
+
+    Probing matches the reference's get_etag exactly
+    (record_corrector.py:192-207): each key field probes the ORIGINAL
+    record value whenever the record carried one — a later tuple does
+    NOT see earlier rewrites of fields the record already had — and
+    falls back to the corrected value only for fields a prior correction
+    ADDED (original null). Any key field still null skips the tuple for
+    that row (get_etag returns None; here a null join key matches
+    nothing).
 
     The protected-kingdom guard (record_corrector.py:221-228) is always
     armed for kingdom-valued set fields — the reference applies it
-    unconditionally, so the chaining API does too.
-    """
-    for key_fields, set_field, rules in sorted(
-        rule_sets, key=lambda t: len(t[0])
-    ):
-        df = apply_correction_rules(
-            df, rules, key_fields, set_field,
-            protect_kingdom=set_field.lower().endswith("kingdom"),
+    unconditionally, so the chaining API does too. Rule sets sharing one
+    key tuple form a correction FAMILY (the reference's single
+    correction dict): a tripped guard skips the family's every field
+    for that row (the reference's ``continue``), with the kingdom set
+    applied first to surface the guard."""
+    ordered = sorted(rule_sets, key=lambda t: len(t[0]))
+
+    # snapshot the pre-chain values of every probed key field
+    probed = list(dict.fromkeys(k for kf, _, _ in ordered for k in kf))
+    snap = {
+        f"__orig_{i}": F.col(k)
+        for i, k in enumerate(probed)
+        if k in df.columns
+    }
+    orig_name = {
+        k: f"__orig_{i}" for i, k in enumerate(probed) if k in df.columns
+    }
+    df = df.withColumns(snap)
+    probe_cols = {
+        k: F.lower(
+            F.trim(
+                F.coalesce(F.col(orig_name[k]), F.col(k))
+                if k in orig_name
+                else F.col(k)
+            )
         )
-    return df
+        for k in probed
+        if k in orig_name or k in df.columns
+    }
+
+    # group into correction families by key tuple, preserving len order
+    families: dict[tuple, list] = {}
+    for rs in ordered:
+        families.setdefault(tuple(rs[0]), []).append(rs)
+
+    guard_seq = 0
+    for kt, sets in families.items():
+        is_kingdom = [s[1].lower().endswith("kingdom") for s in sets]
+        # kingdom set first so its guard gates the rest of the family
+        sets = [s for s, k in zip(sets, is_kingdom) if k] + [
+            s for s, k in zip(sets, is_kingdom) if not k
+        ]
+        guard_col = None
+        if any(is_kingdom) and len(sets) > 1:
+            guard_col = f"__kguard_{guard_seq}"
+            guard_seq += 1
+        for key_fields, set_field, rules in sets:
+            kingdom = set_field.lower().endswith("kingdom")
+            df = apply_correction_rules(
+                df, rules, key_fields, set_field,
+                protect_kingdom=kingdom,
+                probe_cols=probe_cols,
+                skip_when=(
+                    F.col(guard_col)
+                    if guard_col is not None and not kingdom
+                    else None
+                ),
+                emit_guard=guard_col if kingdom else None,
+            )
+        if guard_col is not None:
+            df = df.drop(guard_col)
+    return df.drop(*snap.keys())

@@ -97,25 +97,47 @@ def test_chained_rule_set_arms_kingdom_guard(spark):
     ]
 
 
-def test_keytuple_ordering(spark):
-    # single-key rule rewrites country; the compound rule keyed on the NEW
-    # value then fires — proving sorted-by-length sequential application
+def test_keytuple_ordering_probes_original_values(spark):
+    """r10 parity fix: get_etag builds the probe from the ORIGINAL record
+    whenever the field was present (record_corrector.py:196-199 reads
+    `d`, not `corrected_dict`) — a later, longer tuple keyed on the
+    ORIGINAL value fires even after a shorter rule rewrote the field;
+    one keyed on the rewritten value does NOT."""
     r1 = spark.createDataFrame([Row(country="u.s.a.", __set="united states")])
-    r2 = spark.createDataFrame(
-        [Row(country="united states", genus="acer", __set="north america")]
+    keyed_original = spark.createDataFrame(
+        [Row(country="u.s.a.", genus="acer", __set="north america")]
     )
     out = (
         apply_corrections(
             _records(spark),
             [
-                (["country", "genus"], "country", r2),
+                (["country", "genus"], "country", keyed_original),
                 (["country"], "country", r1),
             ],
         )
         .orderBy("i")
         .collect()
     )
+    # the single-key rule rewrote u.s.a. -> united states, then the
+    # compound rule probed the ORIGINAL u.s.a. and rewrote again
     assert out[1].country == "north america"
+
+    keyed_rewritten = spark.createDataFrame(
+        [Row(country="united states", genus="acer", __set="north america")]
+    )
+    out2 = (
+        apply_corrections(
+            _records(spark),
+            [
+                (["country", "genus"], "country", keyed_rewritten),
+                (["country"], "country", r1),
+            ],
+        )
+        .orderBy("i")
+        .collect()
+    )
+    # the compound rule never sees the rewritten value in its probe
+    assert out2[1].country == "united states"
 
 
 def test_broadcast_join_in_plan(spark):
@@ -221,3 +243,95 @@ def test_scientificname_rules_are_refused(spark):
     for field in ("scientificname", "dwc:scientificName"):
         with pytest.raises(ValueError, match="scientificName"):
             apply_correction_rules(df, rules, ["genus"], field)
+
+
+def test_kingdom_guard_skips_whole_correction_family(spark):
+    """r10 parity fix: the reference's guard `continue` abandons EVERY
+    field of the tripped correction (record_corrector.py:221-229), not
+    just the kingdom rewrite. Rule sets sharing a key tuple are one
+    family: where the guard trips, the sibling field stays untouched;
+    where it does not, the sibling applies."""
+    recs = spark.createDataFrame(
+        [
+            Row(i=0, genus="acer", kingdom="Plantae", country="usa"),
+            Row(i=1, genus="quercus", kingdom="Viruses", country="usa"),
+        ]
+    )
+    k_rules = spark.createDataFrame(
+        [Row(genus="acer", __set="fungi"), Row(genus="quercus", __set="fungi")]
+    )
+    c_rules = spark.createDataFrame(
+        [Row(genus="acer", __set="united states"),
+         Row(genus="quercus", __set="united states")]
+    )
+    out = (
+        apply_corrections(
+            recs,
+            [
+                (["genus"], "country", c_rules),
+                (["genus"], "kingdom", k_rules),
+            ],
+        )
+        .orderBy("i")
+        .collect()
+    )
+    # row 0: protected kingdom -> guard trips -> country NOT corrected
+    assert out[0].kingdom == "Plantae"
+    assert out[0].flag_kingdom == "dwc_kingdom_suspect"
+    assert out[0].country == "usa"
+    assert out[0].flag_country is None
+    # row 1: unprotected kingdom -> both fields corrected
+    assert out[1].kingdom == "fungi"
+    assert out[1].country == "united states"
+    assert out[1].flag_country == "country_replaced"
+
+
+def test_correction_added_field_feeds_later_probe(spark):
+    """get_etag's fallback (record_corrector.py:200-203): a field the
+    record never had, ADDED by an earlier correction, IS probed by a
+    later tuple (original absent -> corrected value used)."""
+    recs = spark.createDataFrame(
+        [(0, "acer", None)], "i int, genus string, habitat string"
+    )
+    add_rules = spark.createDataFrame(
+        [Row(genus="acer", __set="forest")]
+    )
+    compound = spark.createDataFrame(
+        [Row(genus="acer", habitat="forest", __set="temperate forest")]
+    )
+    out = apply_corrections(
+        recs,
+        [
+            (["genus"], "habitat", add_rules),
+            (["genus", "habitat"], "habitat", compound),
+        ],
+    ).collect()[0]
+    assert out.habitat == "temperate forest"
+    assert "habitat_added" in out.flag_habitat
+    assert "habitat_replaced" in out.flag_habitat
+
+
+def test_reference_literal_quirks():
+    """Two correct_record quirks intentionally NOT reproduced by the
+    relational operator, pinned as facts of the reference code:
+
+    1. A list-valued field is `.extend`-ed with the correction value and
+       NO flag is raised (record_corrector.py:234-236); a plain-string
+       correction therefore extends CHARACTER BY CHARACTER.
+    2. The kingdom guard reads the record's `dwc:kingdom` key
+       case-SENSITIVELY (record_corrector.py:222 `in corrected_dict`)
+       while the apply path resolves keys case-insensitively via
+       cd_keys — a record spelling the key `dwc:Kingdom` bypasses the
+       guard entirely and the protected value is rewritten."""
+    # quirk 1: the exact statement the reference executes
+    field_value = ["existing"]
+    correction_value = "fungi"
+    field_value.extend(correction_value)
+    assert field_value == ["existing", "f", "u", "n", "g", "i"]
+
+    # quirk 2: the guard's membership test vs the apply path's
+    record_keys = {"dwc:Kingdom"}
+    cd_keys = {k.lower(): k for k in record_keys}
+    guard_sees_kingdom = "dwc:kingdom" in record_keys  # literal test
+    apply_resolves = "dwc:kingdom" in cd_keys
+    assert guard_sees_kingdom is False and apply_resolves is True
