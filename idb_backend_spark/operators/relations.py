@@ -26,7 +26,16 @@ def aggregate_identifiers(
 
 
 def symmetrize_edges(edges: DataFrame, r1: str = "r1", r2: str = "r2") -> DataFrame:
-    """U1/J3 — undirected edge list -> both directions (db.py:62-66)."""
+    """U1/J3 — undirected edge list -> both directions (db.py:62-66).
+
+    Deleted-filter asymmetry in the reference, r10 sweep note: the
+    per-item siblings map filters ``sibs.deleted = false`` (db.py:69),
+    but the standalone ``idigbio_relations`` VIEW joins uuids with NO
+    deleted filter (db.py:250-264) — a deleted sibling appears in the
+    relations view yet vanishes from the item's siblings map. Callers
+    here choose the same way: pass a pre-filtered ``uuids`` frame to
+    sibling_map (item semantics) or an unfiltered one (view
+    semantics)."""
     fwd = edges.select(F.col(r1).alias("src"), F.col(r2).alias("dst"))
     rev = edges.select(F.col(r2).alias("src"), F.col(r1).alias("dst"))
     return fwd.union(rev)

@@ -62,8 +62,18 @@ def latest_per_key_agg(
 def with_version_numbers(
     df: DataFrame, keys: list[str], order_by: list[Column], out: str = "version"
 ) -> DataFrame:
-    """W2 — monotonically increasing version per key (db.py:144-155 keeps
-    ``max(version)+1``; replayed over history this is a dense rank from 0)."""
+    """W2 — monotonically increasing version per key, starting at 0
+    (db.py:144-155: the sentinel ``-1`` union row makes the first insert
+    version ``-1 + 1 = 0``).
+
+    Precisely: the reference increments the version of the
+    MOST-RECENTLY-MODIFIED row (``ORDER BY modified DESC NULLS LAST
+    LIMIT 1 ... version+1``), NOT ``max(version)+1`` — identical
+    whenever ``modified`` is monotone per key (it is: the store stamps
+    it at insert), and replayed over an ordered history this is a dense
+    rank from 0. The reference's modified-DESC pick has no tie-break;
+    the engine's latest view orders by a (modified, version) struct so
+    ties resolve deterministically."""
     w = Window.partitionBy(*keys).orderBy(*order_by)
     return df.withColumn(out, F.row_number().over(w) - 1)
 
