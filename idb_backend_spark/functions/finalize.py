@@ -274,7 +274,18 @@ def finalize_index_document(
     """Shape the enriched frame for the analytical table: assemble the
     ``geopoint`` struct {lon, lat} (ES geo_point order, indexer.py:72-75),
     render dates as ISO strings alongside native columns, and null out
-    empty strings (prepForEs drops them, :56-66)."""
+    zero-length strings — prepForEs's written skip-empty rule
+    (indexer.py:79-83: ``len(v) > 0``, NO trim — a whitespace-only
+    string is kept).
+
+    r10 sweep finding, pinned in tests/test_finalize.py: on the
+    reference's Python-3 runtime that skip is DEAD CODE — the
+    ``isinstance(v, basestring)`` probe raises NameError (indexer.py
+    never imports a py2 compat shim) straight into the bare ``except``,
+    which keeps the value — so the reference as-run indexes empty
+    strings too. ``drop_empty_strings=True`` implements the written
+    intent (the py2 behavior the mapping was designed for);
+    ``False`` reproduces the py3 runtime literally."""
     out = df
     if lat in df.columns and lon in df.columns:
         out = out.withColumn(
@@ -293,9 +304,10 @@ def finalize_index_document(
         f"{c}_iso": F.date_format(F.col(c), "yyyy-MM-dd") for c in date_cols
     }
     if drop_empty_strings:
-        from idb_backend_spark.functions.grabbers import blank_to_null
-
         for field in out.schema.fields:
             if field.dataType.simpleString() == "string":
-                batch[field.name] = blank_to_null(field.name)
+                # len == 0 exactly — NOT blank_to_null's trimmed form:
+                # the reference's written rule keeps '  ' (len 2)
+                c = F.col(f"`{field.name}`")
+                batch[field.name] = F.when(c != "", c)
     return out.withColumns(batch) if batch else out

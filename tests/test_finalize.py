@@ -121,10 +121,10 @@ def test_record_identifiers(spark):
 def test_finalize_index_document(spark):
     df = spark.createDataFrame(
         [
-            Row(uuid="a", lat=29.65, lon=-82.32, note="  ",
-                dc=datetime.date(2020, 5, 17)),
+            Row(uuid="a", lat=29.65, lon=-82.32, note="",
+                pad="  ", dc=datetime.date(2020, 5, 17)),
             Row(uuid="b", lat=None, lon=-82.32, note="keep",
-                dc=None),
+                pad="x", dc=None),
         ]
     )
     out = {
@@ -132,10 +132,42 @@ def test_finalize_index_document(spark):
         for r in fin.finalize_index_document(df, date_cols=("dc",)).collect()
     }
     assert out["a"]["geopoint"]["lon"] == -82.32
-    assert out["a"]["note"] is None  # empty string dropped
+    # prepForEs's WRITTEN rule (indexer.py:79-83): len == 0 dropped,
+    # whitespace-only KEPT (len 2 > 0 — there is no trim there)
+    assert out["a"]["note"] is None
+    assert out["a"]["pad"] == "  "
     assert out["a"]["dc_iso"] == "2020-05-17"
     assert out["b"]["geopoint"] is None
     assert out["b"]["note"] == "keep"
+
+    # drop_empty_strings=False = the reference's PY3 RUNTIME, literally:
+    # the isinstance(v, basestring) probe raises NameError into the bare
+    # except and every string survives, '' included (dead skip arm)
+    raw = {
+        r["uuid"]: r
+        for r in fin.finalize_index_document(
+            df, date_cols=("dc",), drop_empty_strings=False
+        ).collect()
+    }
+    assert raw["a"]["note"] == ""
+
+
+def test_prepforEs_py3_skip_is_dead_code():
+    """The fact behind the drop_empty_strings choice, pinned: without a
+    basestring builtin (py3), the reference's skip-empty branch raises
+    NameError and the bare except keeps the value (indexer.py:79-87)."""
+    value = {}
+    v = ""
+    try:
+        if isinstance(v, basestring):  # noqa: F821 — the point exactly
+            if len(v) > 0:
+                value["f"] = v
+        else:
+            if len(str(v)) > 0:
+                value["f"] = v
+    except Exception:
+        value["f"] = v
+    assert value == {"f": ""}  # empty string KEPT on py3
 
 
 def test_wkt_bare_fallback_reference_dialect(spark):
