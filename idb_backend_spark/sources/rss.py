@@ -13,6 +13,7 @@ Network fetch is the caller's concern (no network in this container);
 
 from __future__ import annotations
 
+import re
 import xml.etree.ElementTree as ET
 from dataclasses import dataclass
 
@@ -28,6 +29,9 @@ class FeedEntry:
     pub_date: str | None
     guid: str | None
     eml_link: str | None = None
+    dwca_link: str | None = None  # <ipt:dwca> archive link
+    emllink: str | None = None  # legacy <emllink> element
+    collid: str | None = None  # Symbiota collection id
 
 
 def parse_feed(xml_bytes: bytes | str) -> list[FeedEntry]:
@@ -42,6 +46,7 @@ def parse_feed(xml_bytes: bytes | str) -> list[FeedEntry]:
         if _local(item.tag) not in ("item", "entry"):
             continue
         title = link = pub_date = guid = eml = None
+        dwca = emllink = collid = None
         for c in item:
             tag = _local(c.tag)
             text = (c.text or "").strip() or None
@@ -67,7 +72,18 @@ def parse_feed(xml_bytes: bytes | str) -> list[FeedEntry]:
                 guid = text
             elif tag == "eml":
                 eml = text or c.get("href")
-        entries.append(FeedEntry(title, link, pub_date, guid, eml_link=eml))
+            elif tag == "dwca":
+                dwca = text or c.get("href")
+            elif tag == "emllink":
+                emllink = text
+            elif tag == "collid":
+                collid = text
+        entries.append(
+            FeedEntry(
+                title, link, pub_date, guid,
+                eml_link=eml, dwca_link=dwca, emllink=emllink, collid=collid,
+            )
+        )
     return entries
 
 
@@ -88,3 +104,64 @@ def diff_feed_against_registry(
         elif e.pub_date and registry[key] != e.pub_date:
             updated.append(e)
     return new, updated
+
+
+_IPT_VERSION_SUFFIX = re.compile(r"^(.*)/v[0-9]*(\.)?[0-9]*$")
+
+
+def recordid_for_entry(portal_url: str, entry: FeedEntry) -> str | None:
+    """The reference's id_func verbatim
+    (update_publisher_recordset.py:61-95): the entry's guid/id wins;
+    a Symbiota entry with no id but a <collid> builds
+    ``<portal_url>collections/misc/collprofiles.php?collid=<id>``
+    (portal_url concatenated AS GIVEN — no slash inserted). The IPT
+    version suffix is stripped with ``^(.*)/v[0-9]*(\\.)?[0-9]*$``,
+    whose quirks are kept: a bare trailing ``/v`` matches (both digit
+    runs may be empty), but a two-dot version like ``/v1.2.3`` does
+    NOT. The result is lowercased."""
+    rid = entry.guid
+    if rid is None and entry.collid is not None:
+        rid = (
+            f"{portal_url}collections/misc/collprofiles.php"
+            f"?collid={entry.collid}"
+        )
+    if rid is not None:
+        m = _IPT_VERSION_SUFFIX.search(rid)
+        if m is not None:
+            rid = m.group(1)
+        rid = rid.lower()
+    return rid
+
+
+def file_link_for(entry: FeedEntry, existing: str | None = None) -> str | None:
+    """Archive-link precedence (update_publisher_recordset.py:284-290):
+    ``ipt:dwca`` first, then the plain ``link``, else the registered
+    recordset's existing file_link."""
+    if entry.dwca_link is not None:
+        return entry.dwca_link
+    if entry.link is not None:
+        return entry.link
+    return existing
+
+
+def eml_link_for(entry: FeedEntry, existing: str | None = None) -> str | None:
+    """EML-link precedence (update_publisher_recordset.py:277-282):
+    ``ipt:eml`` first, then the legacy ``<emllink>``, else the
+    registered recordset's existing eml_link."""
+    if entry.eml_link is not None:
+        return entry.eml_link
+    if entry.emllink is not None:
+        return entry.emllink
+    return existing
+
+
+def clamp_pub_date(date, now):
+    """The anti-race clamp (update_publisher_recordset.py:272-275): a
+    missing pub date OR one in the FUTURE becomes now-minus-15-minutes —
+    a publisher with a skewed clock must not produce an entry that
+    forever sorts as newest."""
+    import datetime as _dt
+
+    if date is None or date > now:
+        return now - _dt.timedelta(minutes=15)
+    return date

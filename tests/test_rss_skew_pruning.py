@@ -156,3 +156,91 @@ def test_with_salt_spreads_only_with_row_distinct_columns(spark):
         .first()["lanes"]
     )
     assert degenerate == 1
+
+
+def test_recordid_for_entry_reference_id_func():
+    """id_func quirks (update_publisher_recordset.py:61-95): guid wins;
+    Symbiota collid URL is portal_url-concatenated verbatim; the IPT
+    /vN.N suffix strips — including the empty-digit '/v' — but a
+    two-dot version does not; result lowercased."""
+    from idb_backend_spark.sources.rss import FeedEntry, recordid_for_entry
+
+    def e(**kw):
+        base = dict(title=None, link=None, pub_date=None, guid=None)
+        base.update(kw)
+        return FeedEntry(**base)
+    assert recordid_for_entry(
+        "http://p/", e(guid="http://IPT.x/resource?r=Fish/v2.1")
+    ) == "http://ipt.x/resource?r=fish"
+    # both digit runs may be empty: bare '/v' strips too
+    assert recordid_for_entry("http://p/", e(guid="X/v")) == "x"
+    # two dots do NOT match the suffix regex: id only lowercases
+    assert recordid_for_entry(
+        "http://p/", e(guid="x/v1.2.3")
+    ) == "x/v1.2.3"
+    # symbiota collid path, portal_url used verbatim (no slash added)
+    assert recordid_for_entry(
+        "http://portal.org/", e(collid="5")
+    ) == "http://portal.org/collections/misc/collprofiles.php?collid=5"
+    assert recordid_for_entry("http://p/", e()) is None
+
+
+def test_link_precedences_and_date_clamp():
+    """ipt:dwca beats link beats existing (upr.py:284-290); ipt:eml
+    beats emllink beats existing (:277-282); missing or FUTURE pub
+    dates clamp to now-15min (:272-275)."""
+    import datetime
+
+    from idb_backend_spark.sources.rss import (
+        FeedEntry,
+        clamp_pub_date,
+        eml_link_for,
+        file_link_for,
+    )
+
+    e = FeedEntry(title=None, link="http://portal/page", pub_date=None,
+                  guid=None, eml_link=None, dwca_link="http://ipt/dwca",
+                  emllink="http://legacy/eml")
+    assert file_link_for(e, existing="old") == "http://ipt/dwca"
+    assert file_link_for(
+        FeedEntry(None, "http://portal/page", None, None), existing="old"
+    ) == "http://portal/page"
+    assert file_link_for(
+        FeedEntry(None, None, None, None), existing="old"
+    ) == "old"
+    assert eml_link_for(e) == "http://legacy/eml"  # no ipt:eml here
+    e2 = FeedEntry(None, None, None, None, eml_link="http://ipt/eml",
+                   emllink="http://legacy/eml")
+    assert eml_link_for(e2) == "http://ipt/eml"
+
+    now = datetime.datetime(2026, 8, 15, 12, 0, 0)
+    clamped = now - datetime.timedelta(minutes=15)
+    assert clamp_pub_date(None, now) == clamped
+    future = now + datetime.timedelta(hours=1)
+    assert clamp_pub_date(future, now) == clamped
+    past = now - datetime.timedelta(days=2)
+    assert clamp_pub_date(past, now) == past
+
+
+def test_parse_feed_captures_ipt_and_symbiota_fields():
+    from idb_backend_spark.sources.rss import parse_feed
+
+    xml = b"""<?xml version="1.0"?>
+    <rss version="2.0" xmlns:ipt="http://ipt.gbif.org/">
+      <channel><title>t</title>
+        <item>
+          <title>Fish</title>
+          <link>http://portal/page</link>
+          <guid>http://ipt/resource?r=fish/v2</guid>
+          <ipt:dwca>http://ipt/archive.do?r=fish</ipt:dwca>
+          <ipt:eml>http://ipt/eml.do?r=fish</ipt:eml>
+          <emllink>http://legacy/eml</emllink>
+          <collid>7</collid>
+        </item>
+      </channel>
+    </rss>"""
+    (entry,) = parse_feed(xml)
+    assert entry.dwca_link == "http://ipt/archive.do?r=fish"
+    assert entry.eml_link == "http://ipt/eml.do?r=fish"
+    assert entry.emllink == "http://legacy/eml"
+    assert entry.collid == "7"
