@@ -423,3 +423,39 @@ def test_logo_url_and_id_passthrough():
     md = parse_eml(xml, id="rs-1")
     assert md["logo_url"] == "http://logo.png"
     assert md["id"] == "rs-1"
+
+
+def test_reference_collection_fields_corpus():
+    """Corpus-level evidence for the collection fields (VERDICT r9 task
+    5): name via `dataset > title`, the first non-empty abstract
+    location, the ALWAYS-SET web address ('' when no distribution url,
+    eml.py:62-66), against three structurally distinct corpus files."""
+    if not os.path.isdir(REF_EML_DIR):
+        pytest.skip("reference checkout not present")
+
+    def load(fname):
+        with open(os.path.join(REF_EML_DIR, fname), "rb") as fh:
+            return parse_eml(fh.read())
+
+    ipt = load("eml-bg_vascular-v4.66.xml")
+    assert ipt["collection_name"] == "Vascular Plant Herbarium, UiB"
+    assert ipt["collection_description"].startswith(
+        "The vascular plant herbarium is divided"
+    )
+    assert ipt["institution_web_address"] == ""  # no distribution url
+
+    ala = load("dr130.xml")
+    assert ala["collection_name"] == "Australian National Insect Collection"
+    assert ala["institution_web_address"].startswith(
+        "http://collections.ala.org.au/public/sh"
+    )
+
+    sym = load("UWZM-F_DwC-A.eml")
+    assert sym["collection_name"] == (
+        "University of Wisconsin-Madison Zoological Museum - Fish"
+    )
+    # symbiota onlineUrl wins over any dataset distribution url
+    assert sym["institution_web_address"] == "http://zoology.wisc.edu/uwzm/"
+    # other_guids: entire corpus is camelCase alternateIdentifier ->
+    # the reference's lowercase selector collects NOTHING
+    assert sym["other_guids"] == []
