@@ -245,6 +245,18 @@ def _geo_shape(field: str, spec: dict) -> Column:
     # P10 — GeoJSON shape containment (query_shim.py:85-86). Polygon rings
     # compile natively; other geometry types would route to Sedona when
     # available.
+    #
+    # r10 sweep note (pinned in tests/test_shim.py
+    # test_reference_python_shim_geo_shape_is_broken): the reference's
+    # PYTHON shim — the one its download/export pipeline uses — cannot
+    # actually serve this type: geoShape/geoPolygon wrap the spec as
+    # {"shape"|"points": shimK} before typeWrapper's `del qd["type"]`
+    # (query_shim.py:85-89, 38-45), a guaranteed KeyError that
+    # singleFilter's bare except swallows into a None filter
+    # (query_shim.py:160-170) — the download job ships ES `{"and":
+    # [null]}` and fails. Only the separate live-search service handles
+    # geo_shape. This engine compiles both types for the download path
+    # too: the evident intent, not the crash.
     gtype = spec.get("type", "").lower()
     if gtype == "polygon":
         rings = spec["coordinates"]

@@ -449,3 +449,43 @@ def test_sql_emitter_malformed_spec_parity():
     ):
         with pytest.raises(ShimError):
             shim_to_sql(spec)
+
+
+def test_reference_python_shim_geo_shape_is_broken(spark):
+    """r10 sweep pin: the reference's Python query shim (the download
+    pipeline's compiler, idigbio_workers/lib/query_shim.py) CANNOT
+    serve geo_shape/geo_polygon. geoShape wraps the spec as
+    {"shape": shimK} and geoPolygon as {"points": shimK} before
+    typeWrapper's `del qd["type"]` (query_shim.py:38-45, 85-89) — the
+    wrapper dict has no top-level "type", so a KeyError is guaranteed;
+    singleFilter's bare except swallows it into a None filter
+    (:160-170) and the download's ES body becomes {"and": [null]}.
+    Transcribed literally below; the engine compiles both types
+    natively for the download path instead (the evident intent)."""
+    import copy
+
+    def typeWrapper(k, t, shimK):  # query_shim.py:38-45 verbatim shape
+        qd = copy.deepcopy(shimK)
+        del qd["type"]
+        return {t: {k: qd}}
+
+    shim = {"type": "geo_shape",
+            "geometry": {"type": "polygon", "coordinates": [[[0, 0]]]}}
+    with pytest.raises(KeyError):
+        typeWrapper("geopoint", "geo_shape", {"shape": shim})
+    with pytest.raises(KeyError):
+        typeWrapper("geopoint", "geo_polygon", {"points": [[0, 0]]})
+
+    # the engine's compiler, by contrast, yields a usable predicate
+    from idb_backend_spark.query.shim import compile_shim
+
+    pred = compile_shim({
+        "geopoint": {
+            "type": "geo_shape",
+            "shape": {
+                "type": "polygon",
+                "coordinates": [[[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]]],
+            },
+        }
+    })
+    assert pred is not None
