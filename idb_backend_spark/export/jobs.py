@@ -159,3 +159,20 @@ class DownloadJobManager:
                 self._reported_gone.add(job.job_id)
         self._replaced = still_parked
         return removed
+
+
+def finish_link(link: str) -> str:
+    """Artifact-link finishing — force the https scheme
+    (tasks/download.py:97,129 intent).
+
+    r10 sweep pin (tests/test_e2e_flagship.py
+    test_finish_link_and_reference_py3_crash): the reference writes
+    ``string.replace(link, "http:", "https:")`` — the Python-2 STRING
+    MODULE function, which does not exist on its Python-3 runtime — so
+    the downloader task raises AttributeError right after a successful
+    upload, and the email path crashes the same way. (It survives in
+    practice only because upload_download_file_to_ceph already returns
+    an https URL.) This helper implements what that line meant, on the
+    leading scheme only — not a blind substring swap that would also
+    rewrite an 'http:' embedded in a query string."""
+    return "https:" + link[len("http:"):] if link.startswith("http:") else link

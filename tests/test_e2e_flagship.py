@@ -307,3 +307,30 @@ def test_job_vacuum_report_once_across_passes():
     assert j3.job_id == j1.job_id
     clock[0] = 2 * 10**9  # ...and its expiry is reported again
     assert mgr.vacuum(ttl_seconds=100) == [j1.job_id]
+
+
+def test_finish_link_and_reference_py3_crash():
+    """The reference's link-finishing line is the py2 string-module
+    call `string.replace(link, "http:", "https:")`
+    (tasks/download.py:97,129) — on python3 the module function is
+    gone, so the downloader task crashes AFTER uploading. Pin the fact
+    and the engine's intent implementation."""
+    import string
+
+    import pytest as _pytest
+
+    from idb_backend_spark.export.jobs import finish_link
+
+    with _pytest.raises(AttributeError):
+        string.replace("http://x/y.zip", "http:", "https:")  # noqa
+
+    assert finish_link("http://s.idigbio.org/d/x.zip") == (
+        "https://s.idigbio.org/d/x.zip"
+    )
+    assert finish_link("https://already.fine/x.zip") == (
+        "https://already.fine/x.zip"
+    )
+    # leading-scheme only: an embedded 'http:' token is data, not scheme
+    assert finish_link("https://h/x?src=http://other") == (
+        "https://h/x?src=http://other"
+    )
