@@ -232,20 +232,56 @@ def point_radius(geopoint: Column, uncertainty_m: Column) -> Column:
 # --------------------------------------------------------------------------
 
 
+def id_from_rr(rr: Column, rsid: Column) -> Column:
+    """idFromRR (db_check.py:98-108) over an array of
+    ``struct<relatedResourceID, relationshipOfResource>`` rows.
+
+    The reference's loop RETURNS on every branch of its first
+    iteration — only the FIRST relatedResource is ever examined: a
+    record whose first element lacks the two keys (here: null fields)
+    yields nothing even when a later element would match. Kept
+    verbatim. ``representedIn`` -> the munged related id;
+    ``sameAs`` -> namespaced under the recordset; any other
+    relationship (or missing keys, or an empty array) -> null."""
+    from idb_backend_spark.functions.enrichment import munge_identifier
+
+    first = F.element_at(rr, 1)
+    rel = first["relationshipOfResource"]
+    rid = first["relatedResourceID"]
+    return (
+        F.when(rr.isNull() | (F.size(rr) == 0), F.lit(None).cast("string"))
+        .when(rel.isNull() | rid.isNull(), F.lit(None).cast("string"))
+        .when(rel == "representedIn", munge_identifier(rid))
+        .when(
+            rel == "sameAs",
+            F.concat(rsid, F.lit("\\"), munge_identifier(rid)),
+        )
+    )
+
+
 def record_identifiers(
     rsid: Column,
     occurrence_id: Column,
     record_id: Column,
     bare_id: Column,
+    record_id_cap: Column | None = None,
+    resource_relationship: Column | None = None,
+    bare_id_cap: Column | None = None,
 ) -> Column:
-    """Candidate identifier array in the reference's precedence order:
-    dwc:occurrenceID (namespaced ``<rsid>\\<value>``), idigbio:recordId
-    (verbatim), bare ``id`` (namespaced). Nulls drop out; downstream
-    probing is J9 (identity_match). Each candidate goes through
-    munge_identifier — the reference's mungeid BOM strip + trim
+    """Candidate identifier array for dwc:Occurrence rows in the
+    reference's TABLE order (identifier_fields, db_check.py:64-72):
+    ``idigbio:recordId`` (verbatim), ``idigbio:recordID`` (the capital-D
+    variant is a separate table row), ``dwc:ResourceRelationship``
+    (via id_from_rr), ``dwc:occurrenceID`` (namespaced
+    ``<rsid>\\<value>``), bare ``id`` (namespaced), bare ``ID``
+    (namespaced). identifyRecord COLLECTS every present field's
+    candidate in that order — it is a collection, not a
+    first-match precedence (db_check.py:152-162). Nulls drop out;
+    downstream probing is J9 (identity_match). Each candidate goes
+    through munge_identifier — the reference's mungeid BOM strip + trim
     (db_check.py:44-45,:60-61; CSV exports with a UTF-8 BOM leak it
-    into the first column's values) plus the case fold this engine's
-    identity matching is keyed on."""
+    into the first column's values) plus identifyRecord's final
+    ``cid.lower()`` fold (db_check.py:161)."""
     from idb_backend_spark.functions.enrichment import munge_identifier
 
     norm = munge_identifier
@@ -253,8 +289,58 @@ def record_identifiers(
     ns = lambda c: F.when(  # noqa: E731
         c.isNotNull(), F.concat(rsid, F.lit("\\"), norm(c))
     )
+    nul = F.lit(None).cast("string")
     return F.array_compact(
-        F.array(ns(occurrence_id), norm(record_id), ns(bare_id))
+        F.array(
+            norm(record_id),
+            norm(record_id_cap) if record_id_cap is not None else nul,
+            F.lower(id_from_rr(resource_relationship, rsid))
+            if resource_relationship is not None
+            else nul,
+            ns(occurrence_id),
+            ns(bare_id),
+            ns(bare_id_cap) if bare_id_cap is not None else nul,
+        )
+    )
+
+
+def media_identifiers(
+    rsid: Column,
+    record_id: Column,
+    provider_managed_id: Column,
+    dcterms_identifier: Column,
+    record_id_cap: Column | None = None,
+) -> Column:
+    """Candidate identifier array for dwc:Multimedia / dcterms rows
+    (identifier_fields, db_check.py:74-87): ``idigbio:recordId``,
+    ``idigbio:recordID``, ``ac:providerManagedID`` (verbatim), then
+    ``dcterms:identifier`` namespaced ``<rsid>\\media\\<value>``.
+
+    The "UConn exception" (db_check.py:156-159) is kept: when
+    dcterms:identifier is present and equals ac:providerManagedID
+    case-insensitively, the providerManagedID arm is SKIPPED — the
+    dcterms arm still contributes its namespaced form."""
+    from idb_backend_spark.functions.enrichment import munge_identifier
+
+    norm = munge_identifier
+    nul = F.lit(None).cast("string")
+    uconn = (
+        dcterms_identifier.isNotNull()
+        & provider_managed_id.isNotNull()
+        & (F.lower(dcterms_identifier) == F.lower(provider_managed_id))
+    )
+    return F.array_compact(
+        F.array(
+            norm(record_id),
+            norm(record_id_cap) if record_id_cap is not None else nul,
+            F.when(~F.coalesce(uconn, F.lit(False)), norm(provider_managed_id)),
+            F.when(
+                dcterms_identifier.isNotNull(),
+                F.concat(
+                    rsid, F.lit("\\media\\"), norm(dcterms_identifier)
+                ),
+            ),
+        )
     )
 
 

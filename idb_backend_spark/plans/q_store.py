@@ -685,33 +685,99 @@ def media_presence_flags_q(spark, sf_dir):
 
 @query(
     "identifier_extraction",
-    # F23 — precedence-ordered candidate identifiers, namespaced + folded.
-    # Pipe-joined (not a raw array): the driver hasher can't sort arrays.
-    # The BOM strip mirrors munge_identifier (reference mungeid) so both
-    # sides stay in lockstep even on BOM-poisoned inputs.
-    "SELECT o_orderkey, array_to_string(["
-    "'rs' || CAST(o_custkey % 10 AS VARCHAR(32)) || '\\' || "
-    "lower(trim(replace('URN:CAT:' || CAST(o_orderkey AS VARCHAR(32)), "
-    "chr(65279), ''))), "
-    "lower(trim(replace(o_orderpriority, chr(65279), '')))"
-    "], '|') AS ids FROM orders ORDER BY o_orderkey",
+    # F23 r10 — the FULL identifier_fields table (db_check.py:64-87) in
+    # TABLE order: recordId, recordID, ResourceRelationship (idFromRR —
+    # FIRST element only, representedIn verbatim / sameAs namespaced /
+    # other-or-missing nothing), occurrenceID ns, id ns, ID ns; plus the
+    # Multimedia table with the UConn exception (providerManagedID
+    # skipped when dcterms:identifier equals it case-insensitively,
+    # db_check.py:156-159). Pipe-joined (the driver hasher can't sort
+    # arrays); concat_ws skips NULL arms exactly like array_compact.
+    "SELECT o_orderkey, concat_ws('|', "
+    "lower(trim(o_orderpriority)), "
+    "CASE WHEN o_orderkey % 7 = 0 THEN 'cap-' || CAST(o_orderkey AS VARCHAR(32)) END, "
+    "CASE CAST(o_orderkey % 5 AS INT) "
+    "WHEN 0 THEN 'rr-' || CAST(o_orderkey AS VARCHAR(32)) "
+    "WHEN 1 THEN 'rs' || CAST(o_custkey % 10 AS VARCHAR(32)) || '\\' || "
+    "'rr-' || CAST(o_orderkey AS VARCHAR(32)) END, "
+    "'rs' || CAST(o_custkey % 10 AS VARCHAR(32)) || '\\urn:cat:' || "
+    "CAST(o_orderkey AS VARCHAR(32)), "
+    "CASE WHEN o_orderkey % 3 = 0 THEN "
+    "'rs' || CAST(o_custkey % 10 AS VARCHAR(32)) || '\\bare' || "
+    "CAST(o_orderkey AS VARCHAR(32)) END, "
+    "CASE WHEN o_orderkey % 11 = 0 THEN "
+    "'rs' || CAST(o_custkey % 10 AS VARCHAR(32)) || '\\bare' || "
+    "CAST(o_orderkey AS VARCHAR(32)) END"
+    ") AS ids, concat_ws('|', "
+    "lower(trim(o_orderpriority)), "
+    "CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 4 <> 0 THEN "
+    "'pm-' || CAST(o_orderkey AS VARCHAR(32)) END, "
+    "CASE WHEN o_orderkey % 4 = 0 THEN "
+    "'rs' || CAST(o_custkey % 10 AS VARCHAR(32)) || '\\media\\pm-' || "
+    "CAST(o_orderkey AS VARCHAR(32)) "
+    "WHEN o_orderkey % 4 = 2 THEN "
+    "'rs' || CAST(o_custkey % 10 AS VARCHAR(32)) || '\\media\\dc-' || "
+    "CAST(o_orderkey AS VARCHAR(32)) END"
+    ") AS media_ids FROM orders ORDER BY o_orderkey",
 )
 def identifier_extraction(spark, sf_dir):
-    """F23 — identifier extraction precedence: namespaced occurrenceID then
-    verbatim recordId (db_check.py:64-165)."""
-    from idb_backend_spark.functions.finalize import record_identifiers
+    """F23 — the full identifyRecord table: Occurrence arms in table
+    order incl. the idFromRR first-element-only bug, and the Multimedia
+    arms incl. the UConn exception (db_check.py:64-165)."""
+    from idb_backend_spark.functions.finalize import (
+        media_identifiers,
+        record_identifiers,
+    )
 
     orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
     rsid = F.concat(F.lit("rs"), (F.col("o_custkey") % 10).cast("string"))
-    occ = F.concat(F.lit("URN:CAT:"), F.col("o_orderkey").cast("string"))
+    occ = F.concat(F.lit("URN:CAT:"), ks)
+    rec_cap = F.when(k % 7 == 0, F.concat(F.lit("CAP-"), ks))
+    bare = F.when(k % 3 == 0, F.concat(F.lit("bare"), ks))
+    bare_cap = F.when(k % 11 == 0, F.concat(F.lit("BARE"), ks))
+
+    def rr_el(rid, rel):
+        return F.struct(
+            rid.alias("relatedResourceID"),
+            rel.alias("relationshipOfResource"),
+        )
+
+    snul = F.lit(None).cast("string")
+    rr = (
+        F.when(k % 5 == 0, F.array(rr_el(F.concat(F.lit("RR-"), ks),
+                                         F.lit("representedIn"))))
+        .when(k % 5 == 1, F.array(rr_el(F.concat(F.lit("RR-"), ks),
+                                        F.lit("sameAs"))))
+        # first element lacks the keys; the LATER matching element must
+        # be ignored (idFromRR returns on its first iteration)
+        .when(k % 5 == 2, F.array(rr_el(snul, snul),
+                                  rr_el(F.concat(F.lit("LATER-"), ks),
+                                        F.lit("representedIn"))))
+        # a non-representedIn/sameAs relationship yields nothing
+        .when(k % 5 == 3, F.array(rr_el(F.concat(F.lit("RR-"), ks),
+                                        F.lit("isRelatedTo"))))
+    )
+    pm = F.when(k % 2 == 0, F.concat(F.lit("PM-"), ks))
+    dct = F.when(k % 4 == 0, F.concat(F.lit("pm-"), ks)).when(
+        k % 4 == 2, F.concat(F.lit("DC-"), ks)
+    )
     return orders.select(
         "o_orderkey",
         F.array_join(
             record_identifiers(
-                rsid, occ, F.col("o_orderpriority"), F.lit(None).cast("string")
+                rsid, occ, F.col("o_orderpriority"), bare,
+                record_id_cap=rec_cap,
+                resource_relationship=rr,
+                bare_id_cap=bare_cap,
             ),
             "|",
         ).alias("ids"),
+        F.array_join(
+            media_identifiers(rsid, F.col("o_orderpriority"), pm, dct),
+            "|",
+        ).alias("media_ids"),
     ).orderBy("o_orderkey")
 
 

@@ -114,7 +114,10 @@ def test_record_identifiers(spark):
         .orderBy("i")
         .collect()
     )
-    assert out[0]["ids"] == ["rs1\\urn:cat:1", "http://x/abc", "rs1\\row9"]
+    # TABLE order (db_check.py:64-72, r10): recordId comes FIRST —
+    # identifyRecord collects in identifier_fields order, and recordId
+    # is the table's first row; occurrenceID and bare id follow
+    assert out[0]["ids"] == ["http://x/abc", "rs1\\urn:cat:1", "rs1\\row9"]
     assert out[1]["ids"] == []
 
 
@@ -299,3 +302,62 @@ def test_relations_grabber_per_type_tables(spark):
         "11111111-2222-3333-4444-555555555555"
         "|66666666-7777-8888-9999-aaaaaaaaaaaa"
     )
+
+
+def test_id_from_rr_first_element_only(spark):
+    """idFromRR (db_check.py:98-108): the loop returns on every branch
+    of its FIRST iteration — a later matching relatedResource is never
+    examined; representedIn is verbatim, sameAs namespaced, any other
+    relationship nothing."""
+    df = spark.createDataFrame(
+        [
+            (1, [("RR-1", "representedIn")]),
+            (2, [("RR-2", "sameAs")]),
+            (3, [(None, None), ("LATER", "representedIn")]),
+            (4, [("RR-4", "isRelatedTo")]),
+            (5, []),
+            (6, None),
+        ],
+        "i int, rr array<struct<relatedResourceID string, "
+        "relationshipOfResource string>>",
+    )
+    out = {
+        r["i"]: r["id"]
+        for r in df.select(
+            "i", fin.id_from_rr(F.col("rr"), F.lit("rs1")).alias("id")
+        ).collect()
+    }
+    assert out[1] == "rr-1"
+    assert out[2] == "rs1\\rr-2"
+    assert out[3] is None  # first element lacks keys -> later one ignored
+    assert out[4] is None
+    assert out[5] is None and out[6] is None
+
+
+def test_media_identifiers_uconn_exception(spark):
+    """db_check.py:156-159: when dcterms:identifier equals
+    ac:providerManagedID case-insensitively, the provider arm is
+    SKIPPED; the dcterms arm still contributes its \\media\\ form."""
+    df = spark.createDataFrame(
+        [
+            ("r1", "PM-9", "pm-9"),   # UConn: provider arm skipped
+            ("r2", "PM-8", "DC-8"),   # both arms
+            ("r3", "PM-7", None),     # provider only
+        ],
+        "rec string, pm string, dct string",
+    )
+    out = {
+        r["rec"]: r["ids"]
+        for r in df.select(
+            "rec",
+            F.array_join(
+                fin.media_identifiers(
+                    F.lit("rs"), F.col("rec"), F.col("pm"), F.col("dct")
+                ),
+                "|",
+            ).alias("ids"),
+        ).collect()
+    }
+    assert out["r1"] == "r1|rs\\media\\pm-9"
+    assert out["r2"] == "r2|pm-8|rs\\media\\dc-8"
+    assert out["r3"] == "r3|pm-7"
