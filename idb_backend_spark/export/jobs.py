@@ -59,17 +59,26 @@ class DownloadJobManager:
         v2_download.py:77-99)."""
         return object_hash(params, "sha1", sort_arrays=True)
 
-    def submit(self, params: dict, run) -> Job:
+    def submit(self, params: dict, run, force: bool = False) -> Job:
         """Run (or reuse) the export for ``params``. ``run(params)`` does
         the actual work and returns the artifact descriptor. A job
         replaced past its dedup window is parked for the next ``vacuum``
         (its artifact still needs the on_expire cleanup — dropping it
-        from the registry would orphan the file forever)."""
+        from the registry would orphan the file forever).
+
+        ``force=True`` bypasses the dedup reuse and dispatches a fresh
+        run (v2_download.py:75,81 — the reference only consults the
+        query-hash key when force is falsy); a FAILED or UNKNOWN prior
+        task is likewise never reused (:85-87)."""
         key = self.params_hash(params)
         existing = self.jobs.get(key)
         if existing is not None:
             age = self.clock() - existing.created_at
-            if age < self.dedup_seconds and existing.status in ("pending", "running", "done"):
+            if (
+                not force
+                and age < self.dedup_seconds
+                and existing.status in ("pending", "running", "done")
+            ):
                 return existing
             if existing.status != "failed":
                 # park for artifact cleanup at the next vacuum; a FAILED
@@ -176,3 +185,46 @@ def finish_link(link: str) -> str:
     leading scheme only — not a blind substring swap that would also
     rewrite an 'http:' embedded in a query string."""
     return "https:" + link[len("http:"):] if link.startswith("http:") else link
+
+
+def normalize_request(o: dict) -> dict:
+    """The download endpoint's request normalization
+    (v2_download.py:29-66), quirks kept:
+
+    * ``query`` aliases ``rq`` only when ``rq`` is absent (:52-53).
+    * A list-valued param takes its FIRST element (:57-58) — repeated
+      query-string keys arrive as lists.
+    * A string value is ``json.loads``-ed when it parses, kept as the
+      RAW STRING when it does not (:60-64): ``rq={"genus":"acer"}``
+      becomes a dict, ``rq=acer`` stays the string 'acer' (which the
+      shim compiler then iterates as a query dict's keys — the
+      reference inherits that downstream, it does not reject here).
+    * Only the seven known params are read; unknown keys are ignored.
+    """
+    import json as _json
+
+    params = {
+        "core_type": "records",
+        "core_source": "indexterms",
+        "rq": None,
+        "mq": None,
+        "form": "dwca-csv",
+        "record_fields": None,
+        "mediarecord_fields": None,
+    }
+    o = dict(o)
+    if "query" in o and "rq" not in o:
+        o["rq"] = o["query"]
+    for k in params.keys():
+        if k in o:
+            v = o[k]
+            if isinstance(v, list):
+                v = v[0]
+            if isinstance(v, str):
+                try:
+                    params[k] = _json.loads(v)
+                except ValueError:
+                    params[k] = v
+            else:
+                params[k] = v
+    return params

@@ -334,3 +334,43 @@ def test_finish_link_and_reference_py3_crash():
     assert finish_link("https://h/x?src=http://other") == (
         "https://h/x?src=http://other"
     )
+
+
+def test_normalize_request_reference_quirks():
+    """v2_download.py:29-66: query aliases rq only when rq absent;
+    list params take the first element; strings json-parse when they
+    can and stay raw strings when they cannot."""
+    from idb_backend_spark.export.jobs import normalize_request
+
+    p = normalize_request({"query": '{"genus": "acer"}'})
+    assert p["rq"] == {"genus": "acer"}
+    # rq present: query ignored
+    p = normalize_request({"rq": '{"genus": "quercus"}', "query": "{}"})
+    assert p["rq"] == {"genus": "quercus"}
+    # repeated query-string key -> first element; unparseable -> raw
+    p = normalize_request({"rq": ["acer", "betula"], "form": "csv"})
+    assert p["rq"] == "acer" and p["form"] == "csv"
+    # unknown keys ignored; defaults intact
+    p = normalize_request({"bogus": "1"})
+    assert p["core_type"] == "records" and p["rq"] is None
+
+
+def test_submit_force_bypasses_dedup():
+    """v2_download.py:75,81 — force dispatches a fresh run even inside
+    the dedup window."""
+    from idb_backend_spark.export.jobs import DownloadJobManager
+
+    clock = [0.0]
+    runs = []
+    mgr = DownloadJobManager(dedup_seconds=100, clock=lambda: clock[0])
+
+    def run(params):
+        runs.append(dict(params))
+        return f"artifact_{len(runs)}"
+
+    j1 = mgr.submit({"rq": {"genus": "acer"}}, run)
+    j2 = mgr.submit({"rq": {"genus": "acer"}}, run)
+    assert j2 is j1 and len(runs) == 1  # dedup reuse
+    j3 = mgr.submit({"rq": {"genus": "acer"}}, run, force=True)
+    assert j3 is not j1 and len(runs) == 2
+    assert j3.result == "artifact_2"
