@@ -369,3 +369,67 @@ def incremental_reindex(
     live = current.filter(F.col("etag") != TOMBSTONE_ETAG)
     deletes = current.filter(F.col("etag") == TOMBSTONE_ETAG).select("uuid")
     return enrich(live), deletes
+
+
+def suspect_tag(
+    records_count: Column,
+    records_create: Column,
+    records_update: Column,
+    records_delete: Column,
+    mediarecords_count: Column,
+    mediarecords_create: Column,
+    mediarecords_update: Column,
+    mediarecords_delete: Column,
+    datafile_ok: Column,
+) -> Column:
+    """A9's suspects rule table — ``is_row_suspect``
+    (ds_sum_counts.py:53-97) as one first-match-wins when-chain; NULL
+    where the reference returns False (no tag).
+
+    The reference's ORDER doubles as its division guard: RECORDS_CHURN
+    divides by records_count, which can only be zero there when
+    records_delete is zero too (count==0 & delete>0 already returned
+    DELETED_ALL_RECORDS, and churn's delete>0 arm short-circuits the
+    division) — same for the media arms. The when-chain preserves that
+    ordering exactly; nullif() stands in for the short-circuit so a
+    zero denominator yields NULL (falsy) instead of an error. Media
+    DELETED_MANY/MANY_NEW fire only past the reference's hard
+    ``mediarecords_count > 400`` floor; the records churn band is
+    EXCLUSIVE (0.9 < create/delete < 1.1)."""
+    rc, rcr, rup, rdl = (
+        records_count, records_create, records_update, records_delete,
+    )
+    mc, mcr, mup, mdl = (
+        mediarecords_count, mediarecords_create, mediarecords_update,
+        mediarecords_delete,
+    )
+
+    def ratio(num, den):
+        return num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0))
+
+    churn_r = (
+        (rdl > 0)
+        & (ratio(rcr, rdl) > 0.9) & (ratio(rcr, rdl) < 1.1)
+        & (ratio(rcr, rc) > 0.1)
+    )
+    churn_m = (
+        (mdl > 0)
+        & (ratio(mcr, mdl) > 0.9) & (ratio(mcr, mdl) < 1.1)
+        & (ratio(mcr, mc) > 0.1)
+    )
+    return (
+        F.when(~F.coalesce(datafile_ok, F.lit(False)), "DATAFILE_NOT_OK")
+        .when((rc == 0) & (mc == 0), "NO_RECORDS")
+        .when((rc > 0) & (rcr == rc) & (rup == 0) & (rdl == 0),
+              "ALLNEW_RECORDS")
+        .when((rc == 0) & (rdl > 0), "DELETED_ALL_RECORDS")
+        .when(churn_r, "RECORDS_CHURN")
+        .when((rc > 0) & (ratio(rdl, rc) > 0.2), "DELETED_MANY_RECORDS")
+        .when((rc > 0) & (ratio(rcr, rc) > 0.45), "MANY_NEW_RECORDS")
+        .when((mc > 0) & (mcr == mc) & (mup == 0) & (mdl == 0),
+              "ALLNEW_MEDIA")
+        .when((mc == 0) & (mdl > 0), "DELETED_ALL_MEDIA")
+        .when((mc > 400) & (ratio(mdl, mc) > 0.06), "DELETED_MANY_MEDIA")
+        .when((mc > 400) & (ratio(mcr, mc) > 0.4), "MANY_NEW_MEDIA")
+        .when(churn_m, "MEDIA_CHURN")
+    )

@@ -685,44 +685,118 @@ def identity_match(spark, sf_dir):
     )
 
 
+_SUSPECT_CASE_SQL = (
+    "CASE WHEN NOT datafile_ok THEN 'DATAFILE_NOT_OK' "
+    "WHEN rc = 0 AND mc = 0 THEN 'NO_RECORDS' "
+    "WHEN rc > 0 AND rcr = rc AND rup = 0 AND rdl = 0 "
+    "THEN 'ALLNEW_RECORDS' "
+    "WHEN rc = 0 AND rdl > 0 THEN 'DELETED_ALL_RECORDS' "
+    "WHEN rdl > 0 AND rcr / NULLIF(CAST(rdl AS DOUBLE), 0) > 0.9 "
+    "AND rcr / NULLIF(CAST(rdl AS DOUBLE), 0) < 1.1 "
+    "AND rcr / NULLIF(CAST(rc AS DOUBLE), 0) > 0.1 THEN 'RECORDS_CHURN' "
+    "WHEN rc > 0 AND rdl / CAST(rc AS DOUBLE) > 0.2 "
+    "THEN 'DELETED_MANY_RECORDS' "
+    "WHEN rc > 0 AND rcr / CAST(rc AS DOUBLE) > 0.45 "
+    "THEN 'MANY_NEW_RECORDS' "
+    "WHEN mc > 0 AND mcr = mc AND mup = 0 AND mdl = 0 "
+    "THEN 'ALLNEW_MEDIA' "
+    "WHEN mc = 0 AND mdl > 0 THEN 'DELETED_ALL_MEDIA' "
+    "WHEN mc > 400 AND mdl / CAST(mc AS DOUBLE) > 0.06 "
+    "THEN 'DELETED_MANY_MEDIA' "
+    "WHEN mc > 400 AND mcr / CAST(mc AS DOUBLE) > 0.4 "
+    "THEN 'MANY_NEW_MEDIA' "
+    "WHEN mdl > 0 AND mcr / NULLIF(CAST(mdl AS DOUBLE), 0) > 0.9 "
+    "AND mcr / NULLIF(CAST(mdl AS DOUBLE), 0) < 1.1 "
+    "AND mcr / NULLIF(CAST(mc AS DOUBLE), 0) > 0.1 THEN 'MEDIA_CHURN' "
+    "END"
+)
+
+
 @query(
     "ingest_summary",
-    "WITH store AS (SELECT o_orderkey AS id, o_orderstatus AS etag FROM orders"
-    "  WHERE o_orderkey % 3 != 0), "
-    "batch AS (SELECT o_orderkey AS id, "
-    "  CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS etag"
-    "  FROM orders WHERE o_orderkey % 2 != 0) "
-    "SELECT CASE WHEN s.id IS NULL THEN 'create' "
-    "WHEN b.id IS NULL THEN 'delete' "
-    "WHEN s.etag != b.etag THEN 'update' ELSE 'unchanged' END AS status, "
-    "count(*) AS n FROM store s FULL OUTER JOIN batch b ON s.id = b.id "
-    "GROUP BY 1 ORDER BY status",
+    # r10 — per-recordset-group A9 counters + the is_row_suspect tag
+    # (ds_sum_counts.py:53-97): batch membership varies per group (mod
+    # 2+g%3) so the reconciliation ratios differ across groups and
+    # several suspect arms fire; media counters and datafile_ok are
+    # deterministic arithmetic on the group id, identical both sides
+    "WITH base AS (SELECT o_orderkey AS ok, "
+    "CAST(o_custkey % 23 AS INT) AS g, "
+    "(o_orderkey % 3 != 0) AS in_store, "
+    "(o_orderkey % (2 + (o_custkey % 23) % 3) != 0) AS in_batch, "
+    "(o_orderkey % 5 = 0) AS mut FROM orders), "
+    "cnt AS (SELECT g, "
+    "sum(CASE WHEN in_batch THEN 1 ELSE 0 END) AS rc, "
+    "sum(CASE WHEN in_batch AND NOT in_store THEN 1 ELSE 0 END) AS rcr, "
+    "sum(CASE WHEN in_batch AND in_store AND mut THEN 1 ELSE 0 END) AS rup, "
+    "sum(CASE WHEN in_store AND NOT in_batch THEN 1 ELSE 0 END) AS rdl "
+    "FROM base GROUP BY g), "
+    "med AS (SELECT g, CAST(rc AS BIGINT) AS rc, CAST(rcr AS BIGINT) AS rcr, "
+    "CAST(rup AS BIGINT) AS rup, CAST(rdl AS BIGINT) AS rdl, "
+    "CAST((g * 53) % 600 AS BIGINT) AS mc, "
+    "CAST((g * 31) % 500 AS BIGINT) AS mcr, "
+    "CAST(g % 3 AS BIGINT) AS mup, CAST((g * 7) % 40 AS BIGINT) AS mdl, "
+    "(g % 7 != 0) AS datafile_ok FROM cnt) "
+    "SELECT g, rc AS records_count, rcr AS records_create, "
+    "rup AS records_update, rdl AS records_delete, "
+    "mc AS mediarecords_count, mcr AS mediarecords_create, "
+    "mup AS mediarecords_update, mdl AS mediarecords_delete, "
+    "datafile_ok, " + _SUSPECT_CASE_SQL + " AS tag "
+    "FROM med ORDER BY g",
 )
 def ingest_summary(spark, sf_dir):
-    """A9 — ingest run summary: create/update/delete/unchanged counters
-    from the store↔batch reconciliation (db_check.py:216-247)."""
+    """A9 — ingest run summary + suspects report: per-recordset-group
+    create/update/delete counters from the store↔batch reconciliation
+    (db_check.py:216-247) fed through the is_row_suspect rule chain
+    (ds_sum_counts.py:53-97, operators.store.suspect_tag)."""
+    from idb_backend_spark.operators.store import suspect_tag
+
     orders = _t(spark, sf_dir, "orders")
     ok = F.col("o_orderkey")
-    store = orders.filter(ok % 3 != 0).select(
-        ok.alias("id"), F.col("o_orderstatus").alias("s_etag")
+    g = (F.col("o_custkey") % 23).cast("int")
+    base = orders.select(
+        ok.alias("ok"),
+        g.alias("g"),
+        (ok % 3 != 0).alias("in_store"),
+        (ok % (F.lit(2) + (F.col("o_custkey") % 23) % 3) != 0).alias(
+            "in_batch"
+        ),
+        (ok % 5 == 0).alias("mut"),
     )
-    batch = orders.filter(ok % 2 != 0).select(
-        ok.alias("id"),
-        F.when(ok % 5 == 0, "X").otherwise(F.col("o_orderstatus")).alias("b_etag"),
+    b = F.col("in_batch")
+    s = F.col("in_store")
+    cnt = base.groupBy("g").agg(
+        F.sum(b.cast("long")).alias("rc"),
+        F.sum((b & ~s).cast("long")).alias("rcr"),
+        F.sum((b & s & F.col("mut")).cast("long")).alias("rup"),
+        F.sum((s & ~b).cast("long")).alias("rdl"),
     )
-    full = store.join(batch, "id", "full_outer")
-    status = (
-        F.when(F.col("s_etag").isNull(), "create")
-        .when(F.col("b_etag").isNull(), "delete")
-        .when(F.col("s_etag") != F.col("b_etag"), "update")
-        .otherwise("unchanged")
+    gg = F.col("g").cast("long")
+    med = cnt.withColumns(
+        {
+            "mc": (gg * 53) % 600,
+            "mcr": (gg * 31) % 500,
+            "mup": gg % 3,
+            "mdl": (gg * 7) % 40,
+            "datafile_ok": F.col("g") % 7 != 0,
+        }
     )
-    return (
-        full.select(status.alias("status"))
-        .groupBy("status")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("status")
-    )
+    return med.select(
+        "g",
+        F.col("rc").alias("records_count"),
+        F.col("rcr").alias("records_create"),
+        F.col("rup").alias("records_update"),
+        F.col("rdl").alias("records_delete"),
+        F.col("mc").alias("mediarecords_count"),
+        F.col("mcr").alias("mediarecords_create"),
+        F.col("mup").alias("mediarecords_update"),
+        F.col("mdl").alias("mediarecords_delete"),
+        "datafile_ok",
+        suspect_tag(
+            F.col("rc"), F.col("rcr"), F.col("rup"), F.col("rdl"),
+            F.col("mc"), F.col("mcr"), F.col("mup"), F.col("mdl"),
+            F.col("datafile_ok"),
+        ).alias("tag"),
+    ).orderBy("g")
 
 
 #: the entry's stopword lexicon — ONE Python constant renders into both

@@ -420,3 +420,98 @@ def test_commit_gate_literal_vs_intent_divergence():
     # (live) analog of the intended commit_force.
     assert _reference_literal_gate({}, commit_force=False) is True
     assert st.commit_gate([], existing_count=0) is True
+
+
+def _reference_is_row_suspect(row: dict):
+    """is_row_suspect transcribed (ds_sum_counts.py:53-97) for the grid
+    pin below — the elif ORDER is the division guard there."""
+    records_count = row.get('records_count', 0)
+    records_create = row.get('records_create', 0)
+    records_update = row.get('records_update', 0)
+    records_delete = row.get('records_delete', 0)
+    mediarecords_count = row.get('mediarecords_count', 0)
+    mediarecords_create = row.get('mediarecords_create', 0)
+    mediarecords_update = row.get('mediarecords_update', 0)
+    mediarecords_delete = row.get('mediarecords_delete', 0)
+    if not row.get('datafile_ok'):
+        return "DATAFILE_NOT_OK"
+    if records_count == 0 and mediarecords_count == 0:
+        return "NO_RECORDS"
+    if records_count > 0 and records_create == records_count and \
+       records_update == 0 and records_delete == 0:
+        return "ALLNEW_RECORDS"
+    if records_count == 0 and records_delete > 0:
+        return "DELETED_ALL_RECORDS"
+    if records_delete > 0 and \
+       0.9 < (records_create / records_delete) < 1.1 and \
+       records_create / records_count > 0.1:
+        return "RECORDS_CHURN"
+    if records_count > 0:
+        if records_delete / records_count > 0.2:
+            return "DELETED_MANY_RECORDS"
+        if records_create / records_count > 0.45:
+            return "MANY_NEW_RECORDS"
+    if mediarecords_count > 0 and mediarecords_create == mediarecords_count \
+       and mediarecords_update == 0 and mediarecords_delete == 0:
+        return "ALLNEW_MEDIA"
+    if mediarecords_count == 0 and mediarecords_delete > 0:
+        return "DELETED_ALL_MEDIA"
+    if mediarecords_count > 400:
+        if mediarecords_delete / mediarecords_count > 0.06:
+            return "DELETED_MANY_MEDIA"
+        if mediarecords_create / mediarecords_count > 0.4:
+            return "MANY_NEW_MEDIA"
+    if mediarecords_delete > 0 and \
+       0.9 < (mediarecords_create / mediarecords_delete) < 1.1 and \
+       mediarecords_create / mediarecords_count > 0.1:
+        return "MEDIA_CHURN"
+    return False
+
+
+def test_suspect_tag_grid_matches_reference(spark):
+    """A9 suspects: the native when-chain equals the transcribed
+    reference over a 65k-combination grid (every arm and every
+    short-circuit-guarded division is exercised; False maps to NULL)."""
+    import itertools
+
+    from idb_backend_spark.operators import store as st
+    from pyspark.sql import functions as F
+
+    rows = []
+    rec_grid = itertools.product(
+        (0, 1, 10, 100), (0, 1, 3, 10), (0, 1, 3, 10), (0, 1, 3, 10)
+    )
+    med_grid = list(itertools.product(
+        (0, 10, 401, 500), (0, 9, 200, 500), (0, 1), (0, 1, 30, 490)
+    ))
+    for rc, rcr, rup, rdl in rec_grid:
+        for (mc, mcr, mup, mdl), ok in itertools.product(
+            med_grid, (True, False)
+        ):
+            rows.append((rc, rcr, rup, rdl, mc, mcr, mup, mdl, ok))
+    df = spark.createDataFrame(
+        rows,
+        "rc long, rcr long, rup long, rdl long, "
+        "mc long, mcr long, mup long, mdl long, ok boolean",
+    )
+    got = df.withColumn(
+        "tag",
+        st.suspect_tag(
+            F.col("rc"), F.col("rcr"), F.col("rup"), F.col("rdl"),
+            F.col("mc"), F.col("mcr"), F.col("mup"), F.col("mdl"),
+            F.col("ok"),
+        ),
+    ).collect()
+    mismatches = []
+    for r in got:
+        want = _reference_is_row_suspect({
+            "records_count": r["rc"], "records_create": r["rcr"],
+            "records_update": r["rup"], "records_delete": r["rdl"],
+            "mediarecords_count": r["mc"], "mediarecords_create": r["mcr"],
+            "mediarecords_update": r["mup"],
+            "mediarecords_delete": r["mdl"], "datafile_ok": r["ok"],
+        })
+        want = None if want is False else want
+        if r["tag"] != want:
+            mismatches.append((tuple(r)[:9], r["tag"], want))
+    assert mismatches[:5] == [] and not mismatches
