@@ -256,3 +256,96 @@ def sessionize_batch(
         )
         .drop("__sid")
     )
+
+
+def usage_stats_rollup(
+    df: DataFrame,
+    group_cols: list[str],
+    stats_type_col: str = "stats_type",
+    term_col: str = "term",
+    query_hash_col: str = "query_hash",
+    geocode_col: str = "geocode",
+    record_count_col: str = "record_count",
+) -> DataFrame:
+    """A7's full three-branch accumulation (collect_stats,
+    collect.py:132-166) over EXPLODED stats rows (one row per payload
+    entry — the relational rendering of the reference's
+    ``for key in r["payload"]`` loops).
+
+    Branch semantics, kept exactly:
+
+    * ``view``  — count +1, total +1 per entry; items[term] +1;
+      geocodes[geo] +1; NO queries map.
+    * ``seen``  — like view, plus queries[query_hash] +1.
+    * anything else (``search``) — the payload direction flips: the
+      entry IS (recordset, record_count); count +1 per entry, total +=
+      record_count, queries[query_hash] += record_count, geocodes[geo]
+      += record_count; NO items map.
+
+    ``geocode`` must arrive pre-canonicalized (the reference keys the
+    dict on ``json.dumps(ip_geocode, sort_keys=True)``,
+    collect.py:136 — pass ``F.to_json`` of a struct, whose field order
+    is fixed by the schema, or a canonical string).
+
+    Shape: one kv-unpivot + two grouped aggs (fine per-key sums, then
+    map assembly) + one tiny totals agg joined on the group — every
+    shuffle is on the group key and the output is bounded by
+    (recordsets x types), not by traffic.
+    """
+    st = F.col(stats_type_col)
+    is_view = st == "view"
+    is_seen = st == "seen"
+    is_vs = is_view | is_seen
+    lnull = F.lit(None).cast("long")
+
+    item_w = F.when(is_vs, F.lit(1)).otherwise(lnull)
+    query_w = (
+        F.when(is_seen, F.lit(1))
+        .when(is_view, lnull)
+        .otherwise(F.col(record_count_col))
+    )
+    geo_w = F.when(is_vs, F.lit(1)).otherwise(F.col(record_count_col))
+
+    def dim(name, key, w):
+        return F.struct(
+            F.lit(name).alias("dim"),
+            F.col(key).cast("string").alias("key"),
+            w.cast("long").alias("w"),
+        )
+
+    kv = (
+        df.select(
+            *group_cols,
+            F.explode(
+                F.array(
+                    dim("items", term_col, item_w),
+                    dim("queries", query_hash_col, query_w),
+                    dim("geocodes", geocode_col, geo_w),
+                )
+            ).alias("e"),
+        )
+        .select(*group_cols, "e.dim", "e.key", "e.w")
+        .filter(F.col("w").isNotNull() & F.col("key").isNotNull())
+    )
+    fine = kv.groupBy(*group_cols, "dim", "key").agg(
+        F.sum("w").alias("n")
+    )
+
+    def map_for(name):
+        entry = F.when(
+            F.col("dim") == name, F.struct(F.col("key"), F.col("n"))
+        )
+        return F.map_from_entries(
+            F.sort_array(F.collect_list(entry))
+        ).alias(name)
+
+    maps = fine.groupBy(*group_cols).agg(
+        map_for("items"), map_for("queries"), map_for("geocodes")
+    )
+    totals = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("count"),
+        F.sum(
+            F.when(is_vs, F.lit(1)).otherwise(F.col(record_count_col))
+        ).alias("total"),
+    )
+    return totals.join(maps, on=list(group_cols), how="left")

@@ -515,36 +515,101 @@ def etl_enrichment_pipeline(spark, sf_dir):
 # test_raw_map_dual_addressing_predicate_and_projection.
 
 
-@query(
-    "stats_rollup_nested",
-    "WITH fine AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
-    "  event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2, 3) "
-    "SELECT day, event_type, CAST(sum(n) AS BIGINT) AS count, "
-    "string_agg(CAST(user_id AS VARCHAR(32)) || ':' || "
-    "CAST(n AS VARCHAR(32)), ',' ORDER BY user_id) AS items "
-    "FROM fine GROUP BY day, event_type ORDER BY day, event_type",
-)
-def stats_rollup_nested_q(spark, sf_dir):
-    """A7 (full shape) — daily rollup with within-group term frequency map
-    (collect.py:132-217). The map payload is serialized key-sorted as
-    'k:v,k:v' at the boundary so the driver hasher (which cannot sort
-    map-typed columns) can grade it against the string_agg oracle."""
-    ev = _t(spark, sf_dir, "events")
-    out = agg.stats_rollup_nested(ev, "ts", ["event_type"], "user_id")
-    return out.select(
-        "day",
-        "event_type",
-        "count",
+def _map_str(col: str):
+    """map<string,long> -> key-sorted 'k:v,k:v' (the driver hasher can't
+    sort map-typed columns; '' for an empty or null map)."""
+    return F.coalesce(
         F.array_join(
             F.transform(
-                F.array_sort(F.map_entries("items")),
+                F.array_sort(F.map_entries(col)),
                 lambda e: F.concat_ws(
-                    ":", e["key"].cast("string"), e["value"].cast("string")
+                    ":", e["key"], e["value"].cast("string")
                 ),
             ),
             ",",
-        ).alias("items"),
-    ).orderBy("day", "event_type")
+        ),
+        F.lit(""),
+    ).alias(col)
+
+
+@query(
+    "stats_rollup_nested",
+    # r10 — A7's FULL three-branch accumulation (collect.py:132-166):
+    # event_type maps onto the reference's stats types (click->view,
+    # view->seen, error->search). view: +1 everywhere, items only;
+    # seen: also queries +1; search: payload direction flips — totals/
+    # queries/geocodes accumulate record_count, NO items. Legacy 'items'
+    # column semantics (stats_rollup_nested r8/r9 shape) ride along in
+    # the view/seen branches' items maps.
+    "WITH ev AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+    "CASE event_type WHEN 'click' THEN 'view' WHEN 'view' THEN 'seen' "
+    "ELSE 'search' END AS stats_type, "
+    "CAST(user_id AS VARCHAR(32)) AS term, "
+    "'q' || CAST(user_id % 5 AS VARCHAR(32)) AS qh, "
+    "'{\"c\":' || CAST(user_id % 3 AS VARCHAR(32)) || '}' AS geo, "
+    "1 + abs(event_id) % 4 AS rcount FROM events), "
+    "w AS (SELECT day, stats_type, term, qh, geo, "
+    "CASE WHEN stats_type IN ('view','seen') THEN 1 ELSE rcount END AS gw, "
+    "CASE WHEN stats_type = 'seen' THEN 1 "
+    "WHEN stats_type = 'search' THEN rcount END AS qw, "
+    "CASE WHEN stats_type IN ('view','seen') THEN 1 END AS iw FROM ev), "
+    "tot AS (SELECT day, stats_type, count(*) AS count, "
+    "CAST(sum(gw) AS BIGINT) AS total FROM w GROUP BY 1, 2), "
+    "i2 AS (SELECT day, stats_type, term, CAST(sum(iw) AS BIGINT) AS n "
+    "FROM w WHERE iw IS NOT NULL GROUP BY 1, 2, 3), "
+    "i3 AS (SELECT day, stats_type, string_agg(term || ':' || "
+    "CAST(n AS VARCHAR(32)), ',' ORDER BY term) AS items "
+    "FROM i2 GROUP BY 1, 2), "
+    "q2 AS (SELECT day, stats_type, qh, CAST(sum(qw) AS BIGINT) AS n "
+    "FROM w WHERE qw IS NOT NULL GROUP BY 1, 2, 3), "
+    "q3 AS (SELECT day, stats_type, string_agg(qh || ':' || "
+    "CAST(n AS VARCHAR(32)), ',' ORDER BY qh) AS queries "
+    "FROM q2 GROUP BY 1, 2), "
+    "g2 AS (SELECT day, stats_type, geo, CAST(sum(gw) AS BIGINT) AS n "
+    "FROM w GROUP BY 1, 2, 3), "
+    "g3 AS (SELECT day, stats_type, string_agg(geo || ':' || "
+    "CAST(n AS VARCHAR(32)), ',' ORDER BY geo) AS geocodes "
+    "FROM g2 GROUP BY 1, 2) "
+    "SELECT t.day, t.stats_type, t.count, t.total, "
+    "coalesce(i3.items, '') AS items, coalesce(q3.queries, '') AS queries, "
+    "coalesce(g3.geocodes, '') AS geocodes "
+    "FROM tot t "
+    "LEFT JOIN i3 ON t.day = i3.day AND t.stats_type = i3.stats_type "
+    "LEFT JOIN q3 ON t.day = q3.day AND t.stats_type = q3.stats_type "
+    "LEFT JOIN g3 ON t.day = g3.day AND t.stats_type = g3.stats_type "
+    "ORDER BY t.day, t.stats_type",
+)
+def stats_rollup_nested_q(spark, sf_dir):
+    """A7 (full shape) — the three-branch usage-stats accumulation
+    (collect_stats, collect.py:132-166) via
+    aggregates.usage_stats_rollup: view/seen/search branch weighting,
+    items/queries/geocodes frequency maps, geocode keys
+    pre-canonicalized. Maps serialize key-sorted at the boundary."""
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    stats = ev.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        F.when(F.col("event_type") == "click", "view")
+        .when(F.col("event_type") == "view", "seen")
+        .otherwise("search")
+        .alias("stats_type"),
+        uid.cast("string").alias("term"),
+        F.concat(F.lit("q"), (uid % 5).cast("string")).alias("query_hash"),
+        F.concat(
+            F.lit('{"c":'), (uid % 3).cast("string"), F.lit("}")
+        ).alias("geocode"),
+        (F.lit(1) + F.abs(F.col("event_id")) % 4).alias("record_count"),
+    )
+    out = agg.usage_stats_rollup(stats, ["day", "stats_type"])
+    return out.select(
+        "day",
+        "stats_type",
+        "count",
+        F.col("total").cast("long").alias("total"),
+        _map_str("items"),
+        _map_str("queries"),
+        _map_str("geocodes"),
+    ).orderBy("day", "stats_type")
 
 
 def _relations_oracle_sql() -> str:

@@ -213,3 +213,81 @@ def test_unique_values_scientificname_capitalize_fold(spark):
     }
     c_raw = collections.Counter(v if v is not None else "" for v in vals)
     assert got_raw == {(k, n) for k, n in c_raw.items()}
+
+
+def test_usage_stats_rollup_matches_reference_accumulation(spark):
+    """A7 three-branch pin: usage_stats_rollup equals a transcription of
+    collect_stats' accumulation loops (collect.py:132-166) over rows
+    exercising every branch — view (items, no queries), seen (items AND
+    queries), search (payload flipped: record_count weights, no
+    items)."""
+    import collections
+
+    from idb_backend_spark.operators import aggregates as agg
+
+    # (stats_type, term, query_hash, geocode, record_count) — one row
+    # per exploded payload entry, all in one group
+    rows = [
+        ("view", "r1", "qa", '{"c":1}', 1),
+        ("view", "r1", "qb", '{"c":1}', 1),
+        ("view", "r2", "qa", '{"c":2}', 1),
+        ("seen", "r1", "qa", '{"c":1}', 1),
+        ("seen", "r3", "qa", '{"c":2}', 1),
+        ("search", "rs1", "qa", '{"c":1}', 7),
+        ("search", "rs1", "qb", '{"c":1}', 2),
+    ]
+
+    # reference transcription (per stats_type group here; the reference
+    # groups per recordset, same arithmetic)
+    ref = collections.defaultdict(
+        lambda: {
+            "count": 0, "total": 0,
+            "items": collections.Counter(),
+            "queries": collections.Counter(),
+            "geocodes": collections.Counter(),
+        }
+    )
+    for st, term, qh, geo, rcount in rows:
+        # the reference canonicalizes via json.dumps(..., sort_keys=True)
+        # BEFORE keying (collect.py:136); the operator documents that
+        # keys arrive pre-canonicalized, so the transcription keys on
+        # the same already-canonical string the engine receives
+        geocode = geo
+        g = ref[st]
+        if st == "view":
+            g["count"] += 1
+            g["total"] += 1
+            g["items"][term] += 1
+            g["geocodes"][geocode] += 1
+        elif st == "seen":
+            g["count"] += 1
+            g["total"] += 1
+            g["items"][term] += 1
+            g["queries"][qh] += 1
+            g["geocodes"][geocode] += 1
+        else:
+            g["count"] += 1
+            g["total"] += rcount
+            g["queries"][qh] += rcount
+            g["geocodes"][geocode] += rcount
+
+    df = spark.createDataFrame(
+        rows,
+        "stats_type string, term string, query_hash string, "
+        "geocode string, record_count long",
+    )
+    got = {
+        r["stats_type"]: r
+        for r in agg.usage_stats_rollup(df, ["stats_type"]).collect()
+    }
+    for st, want in ref.items():
+        r = got[st]
+        assert r["count"] == want["count"], st
+        assert r["total"] == want["total"], st
+        assert dict(r["items"] or {}) == dict(want["items"]), st
+        assert dict(r["queries"] or {}) == dict(want["queries"]), st
+        assert dict(r["geocodes"] or {}) == dict(want["geocodes"]), st
+    # the view branch must NOT have a queries map entry for qa/qb
+    assert dict(got["view"]["queries"] or {}) == {}
+    # the search branch must NOT have items
+    assert dict(got["search"]["items"] or {}) == {}
