@@ -123,6 +123,39 @@ def build_scaled_embeddings(spark, src: str, dst: str, factor: int) -> None:
     out.write.mode("overwrite").parquet(f"{dst}/embeddings.parquet")
 
 
+def build_scaled_events(spark, src: str, dst: str, factor: int) -> None:
+    """Replicas shift user_id/event_id into disjoint bands and ts by i
+    days: group COUNT (days x types x users) grows with the data while
+    per-group size stays flat — how real usage traffic grows. The
+    nanos-as-long read matches the engine's session setting; the shifted
+    long is still nanos."""
+    ev = spark.read.parquet(f"{src}/events.parquet")
+    ts_is_long = dict(ev.dtypes)["ts"] == "bigint"  # nanos-as-long read
+    day_ns = 86_400 * 1_000_000_000
+    parts = []
+    for i in range(factor):
+        if i == 0:
+            parts.append(ev)
+            continue
+        ts_shift = (
+            F.col("ts") + F.lit(i * day_ns)
+            if ts_is_long
+            else F.col("ts") + F.make_dt_interval(days=F.lit(i))
+        )
+        shifted = ev.withColumns(
+            {
+                "event_id": F.col("event_id") + i * 10_000_000,
+                "user_id": F.col("user_id") + i * 1_000_000,
+                "ts": ts_shift,
+            }
+        )
+        parts.append(shifted)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{dst}/events.parquet")
+
+
 def build_scaled_lineitem(spark, src: str, dst: str, factor: int) -> None:
     """Replicas offset every key column so per-key groups (the versioning
     top-1 and the synthesized record ids) stay replica-local — group
@@ -163,6 +196,8 @@ PROBE_TABLES = {
     "cms_heavy_hitters": {"lineitem"},
     "pq_recall_audit": {"embeddings"},
     "ivf_ann_topk": {"embeddings"},
+    "stats_rollup_nested": {"events"},
+    "collection_counts_pivot": {"events"},
 }
 
 
@@ -271,6 +306,9 @@ def main() -> int:
     if "embeddings" in needed:
         build_scaled_embeddings(spark, src, base, 1)
         build_scaled_embeddings(spark, src, big, factor)
+    if "events" in needed:
+        build_scaled_events(spark, src, base, 1)
+        build_scaled_events(spark, src, big, factor)
 
     results = {}
     if "neardup_index_probe" in only:
