@@ -165,3 +165,43 @@ def clamp_pub_date(date, now):
     if date is None or date > now:
         return now - _dt.timedelta(minutes=15)
     return date
+
+
+def eml_harvest_eligible(now=None):
+    """Recordset-eligibility predicate for the EML harvest sweep
+    (update_publisher_recordset.py:449-455): eml_link present, ingest
+    on, pub_date strictly in the past, and never-harvested OR harvested
+    before the current pub_date. Column expression over a recordsets
+    frame (columns eml_link, ingest, pub_date, eml_harvest_date)."""
+    from pyspark.sql import functions as F
+
+    now_col = F.lit(now) if now is not None else F.current_timestamp()
+    return (
+        F.col("eml_link").isNotNull()
+        & F.col("ingest")
+        & (F.col("pub_date") < now_col)
+        & (
+            F.col("eml_harvest_date").isNull()
+            | (F.col("eml_harvest_date") < F.col("pub_date"))
+        )
+    )
+
+
+def file_harvest_eligible(now=None):
+    """File-harvest eligibility (update_publisher_recordset.py:501-507)
+    — same shape as the EML sweep plus ``uuid IS NOT NULL``: the
+    asymmetry is the reference's (the EML pass derives a uuid via
+    get_uuid when missing, the FILE pass refuses such rows)."""
+    from pyspark.sql import functions as F
+
+    now_col = F.lit(now) if now is not None else F.current_timestamp()
+    return (
+        F.col("file_link").isNotNull()
+        & F.col("uuid").isNotNull()
+        & F.col("ingest")
+        & (F.col("pub_date") < now_col)
+        & (
+            F.col("file_harvest_date").isNull()
+            | (F.col("file_harvest_date") < F.col("pub_date"))
+        )
+    )

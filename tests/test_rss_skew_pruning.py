@@ -244,3 +244,46 @@ def test_parse_feed_captures_ipt_and_symbiota_fields():
     assert entry.eml_link == "http://ipt/eml.do?r=fish"
     assert entry.emllink == "http://legacy/eml"
     assert entry.collid == "7"
+
+
+def test_harvest_eligibility_predicates(spark):
+    """upr.py:449-455 vs :501-507 — the EML pass derives a missing uuid
+    (no uuid requirement); the FILE pass requires uuid NOT NULL. Both
+    require ingest, a past pub_date, and never-or-stale harvest date."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from idb_backend_spark.sources.rss import (
+        eml_harvest_eligible,
+        file_harvest_eligible,
+    )
+
+    now = datetime.datetime(2026, 8, 15, 12, 0, 0)
+    t0 = datetime.datetime(2026, 8, 1)
+    t1 = datetime.datetime(2026, 8, 10)
+    future = datetime.datetime(2027, 1, 1)
+    rows = [
+        # id, eml_link, file_link, uuid, ingest, pub_date, eml_hd, file_hd
+        (1, "e", "f", None, True, t1, None, None),      # eml yes, file NO (uuid)
+        (2, "e", "f", "u", True, t1, t0, t0),           # stale harvest -> both
+        (3, "e", "f", "u", True, t1, now, now),         # fresh harvest -> none
+        (4, None, "f", "u", True, t1, None, None),      # no eml_link
+        (5, "e", "f", "u", False, t1, None, None),      # ingest off
+        (6, "e", "f", "u", True, future, None, None),   # future pub_date
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id int, eml_link string, file_link string, uuid string, "
+        "ingest boolean, pub_date timestamp, eml_harvest_date timestamp, "
+        "file_harvest_date timestamp",
+    )
+    eml_ids = {
+        r["id"] for r in df.filter(eml_harvest_eligible(now)).collect()
+    }
+    file_ids = {
+        r["id"] for r in df.filter(file_harvest_eligible(now)).collect()
+    }
+    assert eml_ids == {1, 2}
+    # row 4 lacks only the eml_link — the FILE pass doesn't care
+    assert file_ids == {2, 4}
