@@ -252,3 +252,20 @@ def parse_eml(xml_bytes: bytes | str, id: str | None = None) -> dict:
     ]
 
     return out
+
+
+def recordset_document(
+    md: dict, ingest, file_link, eml_link, pub_date
+) -> dict:
+    """The stored recordset document assembled by harvest_eml
+    (update_publisher_recordset.py:483-490): the parse_eml dict plus
+    ``ingest``, ``link`` (the FILE link — the key is literally 'link'),
+    ``eml_link``, and ``update`` = pub_date.isoformat(). This is the
+    body whose calcEtag becomes the recordset's stored version
+    (db.set_record with parent = publisher uuid and NO siblings)."""
+    out = dict(md)
+    out["ingest"] = ingest
+    out["link"] = file_link
+    out["eml_link"] = eml_link
+    out["update"] = pub_date.isoformat()
+    return out

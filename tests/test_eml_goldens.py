@@ -459,3 +459,28 @@ def test_reference_collection_fields_corpus():
     # other_guids: entire corpus is camelCase alternateIdentifier ->
     # the reference's lowercase selector collects NOTHING
     assert sym["other_guids"] == []
+
+
+def test_recordset_document_assembly():
+    """harvest_eml's doc shape (upr.py:483-490): parse_eml fields plus
+    ingest / link (the FILE link under the literal key 'link') /
+    eml_link / update=isoformat."""
+    import datetime
+
+    from idb_backend_spark.sources.eml import recordset_document
+
+    md = parse_eml(_eml(""), id="rs-recordid-1")
+    doc = recordset_document(
+        md,
+        ingest=True,
+        file_link="http://ipt/archive.do?r=x",
+        eml_link="http://ipt/eml.do?r=x",
+        pub_date=datetime.datetime(2026, 8, 1, 3, 4, 5),
+    )
+    assert doc["link"] == "http://ipt/archive.do?r=x"
+    assert doc["eml_link"] == "http://ipt/eml.do?r=x"
+    assert doc["update"] == "2026-08-01T03:04:05"
+    assert doc["ingest"] is True
+    assert doc["collection_name"] == "T" and doc["id"] == "rs-recordid-1"
+    # the input metadata dict is not mutated
+    assert "link" not in md
