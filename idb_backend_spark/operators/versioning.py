@@ -164,14 +164,41 @@ def reconcile_skip_set(
     index_side: DataFrame, store_side: DataFrame, key: str = "uuid",
     etag_col: str = "etag",
 ) -> DataFrame:
-    """U3 — resume reconciliation: rows whose store etag differs from the
-    index etag (or missing on either side) need reindexing
-    (index_from_postgres.py:188-222)."""
+    """U3 — resume reconciliation, the reference's rule exactly
+    (type_yield_resume, index_from_postgres.py:186-222): the work set
+    is STORE-driven — every store row EXCEPT those whose index etag
+    already matches, and except tombstones that were never indexed
+    (``pg_etag == tombstone_etag and es_etag is None``: a record
+    deleted before it ever reached the index needs no delete-op).
+
+    r10 parity fix: the earlier symmetric full-outer form also emitted
+    (a) never-indexed tombstones and (b) index-side ORPHANS — docs in
+    the index with no store row. The reference's resume loop iterates
+    postgres rows only, so orphans are never visited (they linger in
+    the index until the next full reindex) — use index_orphans() to
+    surface them as the engine-side extension."""
     a = index_side.select(F.col(key), F.col(etag_col).alias("__idx_etag"))
     b = store_side.select(F.col(key), F.col(etag_col).alias("__pg_etag"))
-    full = a.join(b, on=key, how="full_outer")
-    return full.filter(
-        F.col("__idx_etag").isNull()
-        | F.col("__pg_etag").isNull()
-        | (F.col("__idx_etag") != F.col("__pg_etag"))
-    ).select(key)
+    joined = b.join(a, on=key, how="left")
+    skip = (
+        # es_ids.get() of a never-indexed uuid is None; equality with a
+        # real etag is then false, never null — coalesce mirrors that
+        (F.col("__pg_etag") == F.coalesce(F.col("__idx_etag"), F.lit("\0")))
+        | (
+            (F.col("__pg_etag") == TOMBSTONE_ETAG)
+            & F.col("__idx_etag").isNull()
+        )
+    )
+    return joined.filter(~skip).select(key)
+
+
+def index_orphans(
+    index_side: DataFrame, store_side: DataFrame, key: str = "uuid"
+) -> DataFrame:
+    """Index docs with NO store row — the set the reference's resume
+    NEVER visits (its loop is store-driven; orphans persist until a
+    full reindex). Surfaced separately so an engine-side cleanup can
+    anti-join them away without changing the resume work set."""
+    return index_side.select(key).join(
+        store_side.select(key), on=key, how="left_anti"
+    )

@@ -178,25 +178,41 @@ def latest_object_per_url(spark, sf_dir):
 
 @query(
     "reconcile_etag_diff",
+    # r10 — the reference's STORE-driven resume rule exactly
+    # (index_from_postgres.py:186-222): work set = store rows minus
+    # etag-equal minus never-indexed tombstones (ok%7=0 plants the
+    # tombstone etag; those absent from the index — ok%3=0 — are
+    # SKIPPED, while an indexed tombstone with a stale index etag is
+    # reindexed). Index orphans (idx rows with no store row) are NOT
+    # emitted — the reference's loop never visits them.
     "WITH idx AS (SELECT o_orderkey AS id, o_orderstatus AS etag FROM orders"
     "             WHERE o_orderkey % 3 != 0), "
     "store AS (SELECT o_orderkey AS id, "
-    "          CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS etag"
-    "          FROM orders) "
-    "SELECT coalesce(idx.id, store.id) AS id FROM idx FULL OUTER JOIN store"
-    " ON idx.id = store.id "
-    "WHERE idx.etag IS NULL OR store.etag IS NULL OR idx.etag != store.etag "
-    "ORDER BY id",
+    "          CASE WHEN o_orderkey % 7 = 0 "
+    "          THEN '9a4e35834eb80d9af64bcd07ed996b9ec0e60d92' "
+    "          WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS etag"
+    "          FROM orders WHERE o_orderkey % 11 != 0) "
+    "SELECT store.id FROM store LEFT JOIN idx ON idx.id = store.id "
+    "WHERE NOT (store.etag = coalesce(idx.etag, chr(0)) "
+    "OR (store.etag = '9a4e35834eb80d9af64bcd07ed996b9ec0e60d92' "
+    "AND idx.etag IS NULL)) "
+    "ORDER BY store.id",
 )
 def reconcile_etag_diff(spark, sf_dir):
-    """U3 — resume reconciliation: full-outer etag mismatch set."""
+    """U3 — resume reconciliation: the store-driven skip rule with the
+    tombstone-never-indexed exception (index_from_postgres.py:211-214);
+    index orphans excluded like the reference's store-only loop."""
+    from idb_backend_spark.functions.etags import TOMBSTONE_ETAG
+
     orders = _t(spark, sf_dir, "orders")
-    idx = orders.filter(F.col("o_orderkey") % 3 != 0).select(
-        F.col("o_orderkey").alias("id"), F.col("o_orderstatus").alias("etag")
+    ok = F.col("o_orderkey")
+    idx = orders.filter(ok % 3 != 0).select(
+        ok.alias("id"), F.col("o_orderstatus").alias("etag")
     )
-    store = orders.select(
-        F.col("o_orderkey").alias("id"),
-        F.when(F.col("o_orderkey") % 5 == 0, "X")
+    store = orders.filter(ok % 11 != 0).select(
+        ok.alias("id"),
+        F.when(ok % 7 == 0, TOMBSTONE_ETAG)
+        .when(ok % 5 == 0, "X")
         .otherwise(F.col("o_orderstatus"))
         .alias("etag"),
     )

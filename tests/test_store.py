@@ -515,3 +515,32 @@ def test_suspect_tag_grid_matches_reference(spark):
         if r["tag"] != want:
             mismatches.append((tuple(r)[:9], r["tag"], want))
     assert mismatches[:5] == [] and not mismatches
+
+
+def test_reconcile_skip_set_reference_rule(spark):
+    """U3 r10 fix (index_from_postgres.py:186-222): store-driven work
+    set — etag-equal skipped, NEVER-INDEXED tombstones skipped, indexed
+    stale tombstones reindexed, index orphans never visited."""
+    from idb_backend_spark.functions.etags import TOMBSTONE_ETAG
+    from idb_backend_spark.operators import versioning as v
+
+    idx = spark.createDataFrame(
+        [("a", "e1"), ("b", "e2"), ("d", "old"), ("z", "orphan")],
+        "uuid string, etag string",
+    )
+    store = spark.createDataFrame(
+        [
+            ("a", "e1"),             # equal -> skip
+            ("b", "e9"),             # differs -> work
+            ("c", TOMBSTONE_ETAG),   # tombstone, never indexed -> skip
+            ("d", TOMBSTONE_ETAG),   # tombstone, index stale -> work
+            ("e", "new"),            # never indexed -> work
+        ],
+        "uuid string, etag string",
+    )
+    work = {
+        r["uuid"] for r in v.reconcile_skip_set(idx, store).collect()
+    }
+    assert work == {"b", "d", "e"}  # 'z' (orphan) never visited
+    orphans = {r["uuid"] for r in v.index_orphans(idx, store).collect()}
+    assert orphans == {"z"}
