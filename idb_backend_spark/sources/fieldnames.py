@@ -73,7 +73,18 @@ _NAMESPACES_BY_LEN = sorted(
 def uri_to_curie(term_uri: str) -> str:
     """Term URI -> CURIE (``http://rs.tdwg.org/dwc/terms/genus`` ->
     ``dwc:genus``); unknown namespaces fall back to the munged
-    ``hostname-fragment:local-name`` form (index_helper.py:73-95)."""
+    ``hostname-fragment:local-name`` form (index_helper.py:73-95).
+
+    DOCUMENTED DIVERGENCE (pinned in tests/test_sources_export.py
+    ``test_reference_unknown_namespace_term_is_fatal``): the reference's
+    DwC-A READER keeps an unknown-namespace term RAW and then raises on
+    any dot in it (dwca.py:223-238 — ES field names cannot contain
+    dots). Since meta.xml terms are full URIs, the hostname's dots make
+    EVERY unknown-namespace term fatal there: one unregistered term
+    kills the whole archive ingest. This engine folds such terms to the
+    dot-free hostname-fragment CURIE instead (the index_helper munge the
+    reference itself uses on the ES side), so the archive ingests and
+    the odd term lands in the raw map under a stable name."""
     for uri, prefix in _NAMESPACES_BY_LEN:
         if term_uri.startswith(uri):
             return f"{prefix}:{term_uri[len(uri):]}"

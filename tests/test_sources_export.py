@@ -600,3 +600,41 @@ def test_meta_field_term_two_colon_drop():
     assert fn.curie_to_uri("dwc:a:b") == "http://rs.tdwg.org/dwc/terms/a"
     assert fn.curie_to_uri("nosuch:field") == "nosuch:field"
     assert fn.curie_to_uri("plain") == "plain"
+
+
+def test_reference_unknown_namespace_term_is_fatal():
+    """S1 divergence pin: the reference reader keeps an unknown-
+    namespace term RAW and raises on any '.' in it (dwca.py:223-238) —
+    and since meta.xml terms are full URIs, the HOSTNAME's dots make
+    every unknown-namespace term fatal: one unregistered term kills the
+    archive. Transcribed literally; the engine folds to the dot-free
+    hostname-fragment CURIE instead (index_helper.py:73-95 — the munge
+    the reference itself applies on the ES side) and ingests."""
+    import pytest as _pytest
+
+    known = {"http://rs.tdwg.org/dwc/terms/": "dwc"}
+
+    def reference_fold(term):  # dwca.py:216-238, literal shape
+        term = term.replace('"', "")
+        ns_found = False
+        for ns in sorted(known, key=len, reverse=True):
+            if term.startswith(ns):
+                ns_found = True
+                term = term.replace(ns, known[ns] + ":")
+                break
+        if not ns_found:
+            if "." in term:
+                raise Exception(
+                    "Term '{0}' contains a dot '.' which is not allowed "
+                    "in field names.".format(term)
+                )
+        return term
+
+    assert reference_fold("http://rs.tdwg.org/dwc/terms/genus") == "dwc:genus"
+    with _pytest.raises(Exception, match="contains a dot"):
+        reference_fold("http://unregistered.example.org/terms/weight")
+
+    # the engine's lenient fold produces a stable dot-free CURIE
+    assert fn.uri_to_curie(
+        "http://unregistered.example.org/terms/weight"
+    ) == "example:weight"
