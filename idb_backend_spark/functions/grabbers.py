@@ -20,14 +20,16 @@ FIRST_NUMBER_RE = r"([+-]?\d+(?:,\d{3})*(?:\.\d*)?)"
 
 
 def blank_to_null(c: Column | str) -> Column:
-    """Whitespace-only strings become NULL — the reference's "dict of
-    non-blank fields" contract (delimited.py:49-52). The ONE definition
-    of 'blank' shared by the ingest readers (sources/delimited.py,
-    sources/dwca.py defaults) and the index finalizer
-    (functions/finalize.py): two copies drifting on trim-vs-exact-empty
-    would silently disagree between ingest and finalize."""
+    """The reference reader's value contract, exactly
+    (delimited.py:275-277): every kept value is ``.strip()``-ed and an
+    empty-after-strip value is DROPPED from the record dict (here:
+    null). r10 fix: the old form nulled whitespace-only values but kept
+    the padding on non-blank ones — '  Acer  ' now lands as 'Acer',
+    like the reference's ``lineArr[k].strip()``. (The index finalizer
+    deliberately does NOT share this: prepForEs's written rule is
+    len==0 with no trim — functions/finalize.py.)"""
     c = F.col(c) if isinstance(c, str) else c
-    return F.when(F.trim(c) == "", None).otherwise(c)
+    return F.nullif(F.trim(c), F.lit(""))
 
 
 def getfield(c: Column | str) -> Column:

@@ -122,6 +122,15 @@ def read_delimited(
     PERMISSIVE + columnNameOfCorruptRecord replaces the reference's
     per-row try/except-log-skip loop (delimited.py:256-305): corrupt rows
     survive with the flag set and all fields null — downstream decides.
+    Two reference behaviors deliberately NOT reproduced (pinned in
+    tests/test_sources_export.py
+    ``test_reference_first_row_pins_line_length``): mismatched-length
+    rows are silently SKIPPED there (logged, absent from output), and
+    the expected length is pinned from the FIRST DATA ROW — not the
+    declared field count (delimited.py:244-248) — so a short first row
+    makes the reader skip every correct full-length row after it. Here
+    the schema comes from the header/meta declaration and bad rows are
+    flagged, not dropped.
 
     ``multiline``: None (default) probes the file for the quote char and
     enables multiLine only when one is present — quoted fields with

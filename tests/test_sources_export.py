@@ -638,3 +638,25 @@ def test_reference_unknown_namespace_term_is_fatal():
     assert fn.uri_to_curie(
         "http://unregistered.example.org/terms/weight"
     ) == "example:weight"
+
+
+def test_reference_first_row_pins_line_length():
+    """S2 divergence pin (delimited.py:244-248): the reference pins the
+    expected row length from the FIRST DATA ROW, not the declared field
+    count — transcribed below, a short first row then poisons every
+    correct row after it (LineLengthException -> silently skipped).
+    The engine reads against the declared schema and FLAGS bad rows
+    instead of dropping them (read_delimited docstring)."""
+    lines = [["a"], ["x", "y", "z"], ["p", "q", "r"]]
+    line_length = None
+    kept, skipped = [], []
+    for arr in lines:
+        if line_length is None:
+            line_length = len(arr)  # first row wins, whatever it is
+            kept.append(arr)
+        elif line_length != len(arr):
+            skipped.append(arr)  # LineLengthException -> log & skip
+        else:
+            kept.append(arr)
+    assert kept == [["a"]]
+    assert skipped == [["x", "y", "z"], ["p", "q", "r"]]
