@@ -31,7 +31,6 @@ from idb_backend_spark.plans.synth import GEO_LON as _GEO_LON
 
 from idb_backend_spark.functions import enrichment as E
 from idb_backend_spark.functions import finalize as FIN
-from idb_backend_spark.operators.corrections import apply_correction_rules
 
 _POLY = [[-100.0, 10.0], [-60.0, 10.0], [-80.0, 45.0]]  # [lon, lat] ring
 
@@ -613,26 +612,89 @@ def media_url_precedence(spark, sf_dir):
 
 @query(
     "corrections_apply",
+    # r10 — grades the FULL chain semantics (record_corrector.py
+    # correct_record): replacement/removal flags; a correction FAMILY
+    # sharing one key tuple where the kingdom guard's trip skips the
+    # sibling field too (`continue` skips the whole correction,
+    # :221-229); and ORIGINAL-value probing — the compound rule keys on
+    # 'building' even though the single-key rule already rewrote the
+    # segment to 'bldg' (get_etag reads `d`, :196-199)
+    "WITH base AS (SELECT c_custkey, c_mktsegment AS seg0, "
+    "lower(trim(c_mktsegment)) AS lseg, "
+    "CASE CAST(c_custkey % 4 AS INT) WHEN 0 THEN 'Plantae' "
+    "WHEN 1 THEN 'Viruses' WHEN 2 THEN 'Animalia' "
+    "ELSE 'Bacteria' END AS kingdom0, "
+    "'n' || CAST(c_custkey % 7 AS VARCHAR(8)) AS nation0 FROM customer), "
+    "d AS (SELECT *, lseg IN ('automobile', 'household') AS hit2, "
+    "kingdom0 IN ('Plantae', 'Animalia') AS protected FROM base) "
     "SELECT c_custkey, "
-    "CASE WHEN lower(trim(c_mktsegment)) = 'building' THEN 'bldg' "
-    "WHEN lower(trim(c_mktsegment)) = 'machinery' THEN NULL "
-    "ELSE c_mktsegment END AS c_mktsegment, "
-    "CASE WHEN lower(trim(c_mktsegment)) = 'building' THEN 'c_mktsegment_replaced' "
-    "WHEN lower(trim(c_mktsegment)) = 'machinery' THEN 'c_mktsegment_removed' "
-    "END AS flag_c_mktsegment "
-    "FROM customer ORDER BY c_custkey",
+    "CASE WHEN lseg = 'building' THEN 'bldg' "
+    "WHEN lseg = 'machinery' THEN NULL ELSE seg0 END AS seg, "
+    "CASE WHEN lseg = 'building' THEN 'seg_replaced' "
+    "WHEN lseg = 'machinery' THEN 'seg_removed' END AS flag_seg, "
+    "CASE WHEN hit2 AND NOT protected THEN 'fungi' "
+    "ELSE kingdom0 END AS kingdom, "
+    "CASE WHEN hit2 AND protected THEN 'dwc_kingdom_suspect' "
+    "WHEN hit2 THEN 'kingdom_replaced' END AS flag_kingdom, "
+    "CASE WHEN hit2 AND NOT protected THEN 'corrected-nation' "
+    "ELSE nation0 END AS nation, "
+    "CASE WHEN hit2 AND NOT protected THEN 'nation_replaced' "
+    "END AS flag_nation, "
+    "CASE WHEN lseg = 'building' AND lower(kingdom0) = 'plantae' "
+    "THEN 'orig-probe-hit' ELSE 'st0' END AS status, "
+    "CASE WHEN lseg = 'building' AND lower(kingdom0) = 'plantae' "
+    "THEN 'status_replaced' END AS flag_status "
+    "FROM d ORDER BY c_custkey",
 )
 def corrections_apply(spark, sf_dir):
-    """J10 — data-driven correction rules via broadcast join + rewrite
-    (replacement and removal rules with provenance flags)."""
+    """J10 — the corrections chain end-to-end: replacement/removal
+    flags, the family-wide kingdom guard, and original-value probing
+    (record_corrector.py:186-255)."""
+    from idb_backend_spark.operators.corrections import apply_corrections
+
     cust = _t(spark, sf_dir, "customer")
-    rules = cust.sparkSession.createDataFrame(
-        [("building", "bldg"), ("machinery", None)],
-        "c_mktsegment string, __set string",
+    k = F.col("c_custkey")
+    base = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.when(k % 4 == 0, "Plantae")
+        .when(k % 4 == 1, "Viruses")
+        .when(k % 4 == 2, "Animalia")
+        .otherwise("Bacteria")
+        .alias("kingdom"),
+        F.concat(F.lit("n"), (k % 7).cast("string")).alias("nation"),
+        F.lit("st0").alias("status"),
     )
-    out = apply_correction_rules(cust, rules, ["c_mktsegment"], "c_mktsegment")
+    ss = cust.sparkSession
+    seg_rules = ss.createDataFrame(
+        [("building", "bldg"), ("machinery", None)],
+        "seg string, __set string",
+    )
+    k_rules = ss.createDataFrame(
+        [("automobile", "fungi"), ("household", "fungi")],
+        "seg string, __set string",
+    )
+    n_rules = ss.createDataFrame(
+        [("automobile", "corrected-nation"),
+         ("household", "corrected-nation")],
+        "seg string, __set string",
+    )
+    st_rules = ss.createDataFrame(
+        [("building", "plantae", "orig-probe-hit")],
+        "seg string, kingdom string, __set string",
+    )
+    out = apply_corrections(
+        base,
+        [
+            (["seg"], "seg", seg_rules),
+            (["seg"], "kingdom", k_rules),
+            (["seg"], "nation", n_rules),
+            (["seg", "kingdom"], "status", st_rules),
+        ],
+    )
     return out.select(
-        "c_custkey", "c_mktsegment", "flag_c_mktsegment"
+        "c_custkey", "seg", "flag_seg", "kingdom", "flag_kingdom",
+        "nation", "flag_nation", "status", "flag_status",
     ).orderBy("c_custkey")
 
 
