@@ -53,48 +53,46 @@ def _poly_crossing_sql(lat: str, lon: str, poly) -> str:
     return "(" + " + ".join(terms) + ") % 2 = 1"
 
 
-@query(
-    "shim_geo_polygon",
-    "SELECT c_custkey, lat, lon FROM (SELECT c_custkey, "
-    f"{_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM customer) g "
-    f"WHERE {_poly_crossing_sql('lat', 'lon', _POLY)} "
-    "ORDER BY c_custkey",
-)
-def shim_geo_polygon(spark, sf_dir):
-    """P10/P11 — geo_polygon via the native unrolled ray-cast expression."""
-    g = (
-        _t(spark, sf_dir, "customer")
-        .withColumn("lat", F.expr(_GEO_LAT))
-        .withColumn("lon", F.expr(_GEO_LON))
-        .withColumn("geopoint", F.struct(F.col("lat"), F.col("lon")))
-    )
-    shim = {"geopoint": {"type": "geo_polygon", "points": _POLY}}
-    return (
-        g.filter(compile_shim(shim))
-        .select("c_custkey", "lat", "lon")
-        .orderBy("c_custkey")
-    )
+# Entry `shim_geo_polygon` retired round 10 (slot freed for
+# media_url_discovery, q_store.py): P11's geo_polygon branch emits the
+# IDENTICAL unrolled ray-cast kernel as P10's polygon shapes — the one
+# distinct piece was the `{"type": "geo_polygon", "points": ...}` shim
+# DISPATCH, which now grades inside `shim_geo_shape` as the in_poly_p11
+# projected flag (compiled through compile_shim's geo_polygon branch
+# over the same ring). Unit pins for the full P11 filter shape stay in
+# tests/test_shim.py.
 
 
 _HOLE = [[-85.0, 15.0], [-75.0, 15.0], [-80.0, 25.0]]  # inside _POLY
 _ENV = [[-90.0, 40.0], [-70.0, 20.0]]  # GeoJSON envelope [tl, br] corners
 
 
+#: a second ring for the P11 dispatch flag (distinct from _POLY so the
+#: flag isn't constant-true on the filtered rows)
+_POLY_P11 = [[-100.0, 10.0], [-80.0, 10.0], [-90.0, 45.0]]
+
+
 @query(
     "shim_geo_shape",
     "SELECT c_custkey, lat, lon, "
     "(lat <= 40.0 AND lat >= 20.0 AND lon >= -90.0 AND lon <= -70.0)"
-    " AS in_env FROM (SELECT c_custkey, "
+    " AS in_env, "
+    f"({_poly_crossing_sql('lat', 'lon', _POLY_P11)}) AS in_poly_p11 "
+    "FROM (SELECT c_custkey, "
     f"{_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM customer) g "
     f"WHERE ({_poly_crossing_sql('lat', 'lon', _POLY)}) "
     f"AND NOT ({_poly_crossing_sql('lat', 'lon', _HOLE)}) "
     "ORDER BY c_custkey",
 )
 def shim_geo_shape(spark, sf_dir):
-    """P10 — geo_shape dispatch: polygon-with-hole containment as the
-    filter (outer-ring parity AND NOT hole parity) plus an envelope
+    """P10/P11 — geo_shape dispatch: polygon-with-hole containment as
+    the filter (outer-ring parity AND NOT hole parity) plus an envelope
     geo_shape as a projected flag — both through the shim compiler's
-    geo_shape branch (query_shim.py:85-86)."""
+    geo_shape branch (query_shim.py:85-86). r10 folds the retired
+    shim_geo_polygon slot in as the in_poly_p11 flag: the same unrolled
+    ray-cast kernel reached through P11's `{"type": "geo_polygon",
+    "points": ...}` dispatch (query_shim.py:89-90), so both predicate
+    spellings stay driver-graded in one slot."""
     from idb_backend_spark.query.shim import single_filter
 
     g = (
@@ -114,9 +112,18 @@ def shim_geo_shape(spark, sf_dir):
         "geopoint",
         {"type": "geo_shape", "shape": {"type": "envelope", "coordinates": _ENV}},
     )
+    poly_p11 = single_filter(
+        "geopoint", {"type": "geo_polygon", "points": _POLY_P11}
+    )
     return (
         g.filter(poly_with_hole)
-        .select("c_custkey", "lat", "lon", envelope.alias("in_env"))
+        .select(
+            "c_custkey",
+            "lat",
+            "lon",
+            envelope.alias("in_env"),
+            poly_p11.alias("in_poly_p11"),
+        )
         .orderBy("c_custkey")
     )
 

@@ -1231,3 +1231,213 @@ def keyset_deep_page(spark, sf_dir):
 
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return keyset_page(cust, "c_custkey", after=1200, limit=50)
+
+
+# --------------------------------------------------------------------------
+# Mediaing maintenance — media-URL discovery diff, fetch eligibility,
+# HTML error-page classification (operators/mediaing.py; reference
+# idigbio_ingestion/mediaing/{updatedb.py:56-104, fetcher.py:203-235,
+# :494-502}). One frame: the post-discovery media table with its next
+# fetch plan.
+# --------------------------------------------------------------------------
+
+def _mediaing_oracle() -> str:
+    base = (
+        "'http://h' || CAST(p_partkey % 5 AS VARCHAR) || '/m/' || "
+        "CAST(p_partkey % 200 AS VARCHAR)"
+    )
+    return (
+        f"WITH rec AS (SELECT p_partkey AS k, {base} AS base FROM part), "
+        "r2 AS (SELECT k, "
+        "  CASE CAST(k % 11 AS INT) WHEN 0 THEN NULL WHEN 1 THEN '' "
+        "    WHEN 2 THEN ' ' || base || '&amp;x=1 ' "
+        "    WHEN 3 THEN 'http://www.tropicos.org/' || CAST(k AS VARCHAR) "
+        "    ELSE base END AS au, "
+        "  CASE CAST(k % 4 AS INT) WHEN 0 THEN 'images' WHEN 1 THEN 'sounds' "
+        "    WHEN 2 THEN NULL ELSE '' END AS t, "
+        "  CASE CAST(k % 6 AS INT) WHEN 0 THEN 'image/jpeg' WHEN 1 THEN '' "
+        "    WHEN 2 THEN NULL WHEN 3 THEN 'audio/mpeg' WHEN 4 THEN 'video/mp4' "
+        "    ELSE 'image/png' END AS m FROM rec), "
+        # updatedb.py:81-85 — None gate BEFORE cleanup; &amp;-only
+        # unescape + strip; ignore prefixes always apply (only tropicos
+        # can match the synthesized urls)
+        "cand AS (SELECT k, trim(replace(au, '&amp;', '&')) AS url, t, m "
+        "  FROM r2 WHERE au IS NOT NULL), "
+        "cand2 AS (SELECT * FROM cand "
+        "  WHERE url NOT LIKE 'http://www.tropicos.org/%'), "
+        f"med AS (SELECT p_partkey AS k, {base} AS url, "
+        "  CASE CAST(p_partkey % 9 AS INT) WHEN 0 THEN NULL WHEN 3 THEN 'images' "
+        "    ELSE 'videos' END AS et, "
+        "  CASE WHEN p_partkey % 2 = 0 THEN 'image/jpeg' END AS em, "
+        "  CASE CAST(p_partkey % 15 AS INT) WHEN 0 THEN NULL WHEN 3 THEN 200 "
+        "    WHEN 6 THEN 303 WHEN 9 THEN 404 WHEN 12 THEN 1403 END AS st "
+        "  FROM part WHERE p_partkey % 3 = 0), "
+        "med2 AS (SELECT *, CASE WHEN st IS NULL THEN NULL "
+        "  WHEN k % 6 = 0 THEN TIMESTAMP '2026-06-01' "
+        "  ELSE TIMESTAMP '2026-07-30' END AS ck FROM med), "
+        # inserts: first-wins pinned to min scan key (updatedb.py:96-97)
+        "ins AS (SELECT url, t, m FROM ("
+        "  SELECT c.*, ROW_NUMBER() OVER (PARTITION BY url ORDER BY k) AS rn "
+        "  FROM cand2 c WHERE url NOT IN (SELECT url FROM med2)) WHERE rn = 1), "
+        # updates: never-null rule (updatedb.py:94) with None-safe tuple
+        # inequality; last scan key wins (:95, :113-115)
+        "upd AS (SELECT url, t, m FROM ("
+        "  SELECT c.url, c.t, c.m, "
+        "    ROW_NUMBER() OVER (PARTITION BY c.url ORDER BY c.k DESC) AS rn "
+        "  FROM cand2 c JOIN med2 e USING (url) "
+        "  WHERE NOT (c.t IS NOT DISTINCT FROM e.et "
+        "             AND c.m IS NOT DISTINCT FROM e.em) "
+        "    AND c.m IS NOT NULL AND c.m <> '' "
+        "    AND ((c.t IS NOT NULL AND c.t <> '') OR e.et IS NULL)) "
+        "  WHERE rn = 1), "
+        # post-write state: updates overwrite (type, mime) VERBATIM and
+        # reset last_status/last_check (updatedb.py:113-115)
+        "post AS (SELECT e.url, "
+        "  CASE WHEN u.url IS NOT NULL THEN 'update' ELSE 'none' END AS action, "
+        "  CASE WHEN u.url IS NOT NULL THEN u.t ELSE e.et END AS type, "
+        "  CASE WHEN u.url IS NOT NULL THEN u.m ELSE e.em END AS mime, "
+        "  CASE WHEN u.url IS NOT NULL THEN NULL ELSE e.st END AS st, "
+        "  CASE WHEN u.url IS NOT NULL THEN NULL ELSE e.ck END AS ck "
+        "  FROM med2 e LEFT JOIN upd u USING (url) "
+        "  UNION ALL SELECT url, 'insert', t, m, NULL, NULL FROM ins), "
+        "flagged AS (SELECT url, action, type, mime, "
+        # fetcher.py:210-216 — '' type passes the IS NOT NULL gate;
+        # sub-400 statuses terminal; >=400 retried once stale
+        "  (type IS NOT NULL AND (st IS NULL OR (st >= 400 "
+        "    AND ck < TIMESTAMP '2026-07-01'))) AS eligible, "
+        "  TRY_CAST(regexp_extract(url, 'm/([0-9]+)', 1) AS INT) AS n "
+        "  FROM post), "
+        "cls AS (SELECT *, "
+        "  CASE WHEN n IS NULL THEN 'all good' "
+        "    WHEN n % 13 = 0 THEN 'Access Denied by host' "
+        "    WHEN n % 13 = 1 THEN 'your ip  blocked' "
+        "    WHEN n % 13 = 2 THEN 'your ip blocked' "
+        "    WHEN n % 13 = 3 THEN 'IP ADDRESS BLACKLISTED' "
+        "    ELSE 'all good' END AS content, "
+        "  CASE WHEN n IS NULL OR n % 2 = 0 THEN 'text/html' "
+        "    ELSE 'image/jpeg' END AS dm FROM flagged) "
+        "SELECT url, action, type, mime, eligible, "
+        # fetcher.py:494-502 — denied first; the BLOCKED pattern's
+        # optional group sits between two mandatory spaces
+        "CASE WHEN dm IN ('text/html', 'text/plain') "
+        "       AND regexp_matches(lower(content), 'access denied') THEN 1403 "
+        "     WHEN dm IN ('text/html', 'text/plain') "
+        "       AND regexp_matches(lower(content), "
+        "           'ip (?:address)? (blocked|blacklisted)') THEN 1509 "
+        "END AS html_status FROM cls ORDER BY url"
+    )
+
+
+@query("media_url_discovery", _mediaing_oracle())
+def media_url_discovery(spark, sf_dir):
+    """Mediaing maintenance composed end-to-end (updatedb.find_new_urls
+    -> applied writes -> fetcher.get_items eligibility ->
+    inspect_html_response classification). Planted arms: NULL/''
+    accessuri (the '' url SURVIVES discovery — the None gate runs before
+    cleanup), &amp;-unescape + strip, an always-ignored tropicos url,
+    ''/NULL type and mime arms driving every branch of the never-null
+    update rule, url collisions for the first-wins insert / last-wins
+    update pins, terminal 200/303 vs stale-retryable 404/1403 statuses,
+    the ''-type IS NOT NULL eligibility quirk, and the BLOCKED regex's
+    double-space quirk ("ip blocked" does NOT classify)."""
+    from idb_backend_spark.operators import mediaing as M
+
+    part = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    base = F.concat(
+        F.lit("http://h"), (k % 5).cast("string"),
+        F.lit("/m/"), (k % 200).cast("string"),
+    )
+    recs = part.select(
+        k.alias("ord"),
+        F.when(k % 11 == 0, F.lit(None).cast("string"))
+        .when(k % 11 == 1, F.lit(""))
+        .when(k % 11 == 2, F.concat(F.lit(" "), base, F.lit("&amp;x=1 ")))
+        .when(k % 11 == 3, F.concat(F.lit("http://www.tropicos.org/"), k.cast("string")))
+        .otherwise(base)
+        .alias("accessuri"),
+        F.when(k % 4 == 0, F.lit("images"))
+        .when(k % 4 == 1, F.lit("sounds"))
+        .when(k % 4 == 2, F.lit(None).cast("string"))
+        .otherwise(F.lit(""))
+        .alias("mediatype"),
+        F.when(k % 6 == 0, F.lit("image/jpeg"))
+        .when(k % 6 == 1, F.lit(""))
+        .when(k % 6 == 2, F.lit(None).cast("string"))
+        .when(k % 6 == 3, F.lit("audio/mpeg"))
+        .when(k % 6 == 4, F.lit("video/mp4"))
+        .otherwise(F.lit("image/png"))
+        .alias("format"),
+    )
+    media = part.filter(k % 3 == 0).select(
+        base.alias("url"),
+        F.when(k % 9 == 0, F.lit(None).cast("string"))
+        .when(k % 9 == 3, F.lit("images"))
+        .otherwise(F.lit("videos"))
+        .alias("type"),
+        F.when(k % 2 == 0, F.lit("image/jpeg")).alias("mime"),
+        F.when(k % 15 == 3, F.lit(200))
+        .when(k % 15 == 6, F.lit(303))
+        .when(k % 15 == 9, F.lit(404))
+        .when(k % 15 == 12, F.lit(1403))
+        .cast("int")
+        .alias("last_status"),
+        F.when(
+            ~(k % 15 == 0),
+            F.when(k % 6 == 0, F.lit("2026-06-01")).otherwise(F.lit("2026-07-30")),
+        )
+        .cast("timestamp")
+        .alias("last_check"),
+    )
+    ins, upd = M.discover_media_urls(recs, media, order_col="ord")
+
+    hit = F.col("__hit").isNotNull()
+    post = media.join(
+        upd.select(
+            "url",
+            F.col("type").alias("__ut"),
+            F.col("mime").alias("__um"),
+            F.lit(True).alias("__hit"),
+        ),
+        "url",
+        "left",
+    ).select(
+        "url",
+        F.when(hit, F.lit("update")).otherwise(F.lit("none")).alias("action"),
+        F.when(hit, F.col("__ut")).otherwise(F.col("type")).alias("type"),
+        F.when(hit, F.col("__um")).otherwise(F.col("mime")).alias("mime"),
+        F.when(hit, F.lit(None).cast("int"))
+        .otherwise(F.col("last_status"))
+        .alias("last_status"),
+        F.when(hit, F.lit(None).cast("timestamp"))
+        .otherwise(F.col("last_check"))
+        .alias("last_check"),
+    ).unionByName(
+        ins.select(
+            "url",
+            F.lit("insert").alias("action"),
+            "type",
+            "mime",
+            F.lit(None).cast("int").alias("last_status"),
+            F.lit(None).cast("timestamp").alias("last_check"),
+        )
+    )
+    n = F.nullif(F.regexp_extract(F.col("url"), "m/([0-9]+)", 1), F.lit("")).cast("int")
+    content = (
+        F.when(n % 13 == 0, F.lit("Access Denied by host"))
+        .when(n % 13 == 1, F.lit("your ip  blocked"))
+        .when(n % 13 == 2, F.lit("your ip blocked"))
+        .when(n % 13 == 3, F.lit("IP ADDRESS BLACKLISTED"))
+        .otherwise(F.lit("all good"))
+    )
+    dm = F.when(n.isNull() | (n % 2 == 0), F.lit("text/html")).otherwise(
+        F.lit("image/jpeg")
+    )
+    return post.select(
+        "url",
+        "action",
+        "type",
+        "mime",
+        M.fetch_eligibility("2026-07-01").alias("eligible"),
+        M.classify_html_response(content, dm).alias("html_status"),
+    ).orderBy("url")
