@@ -328,3 +328,72 @@ def uniquevals_frame(
     return vals.select(
         uuid5_expr(F.col("value"), ns).alias("id"), "value", "count"
     ).orderBy(F.desc("count"), "value")
+
+
+def datasets_index_rows(
+    keys: list[dict],
+    recordset_codes: dict[str, tuple[str, str]],
+    *,
+    cutoff_date,
+    index_file_name: str = "index.txt",
+) -> list[list[str]]:
+    """The static datasets index assembly
+    (idigbio_workers/generate_static_datasets_index.py:105-144): fold a
+    bucket listing into one TSV row per dataset archive.
+
+    ``keys``: dicts with ``name`` / ``last_modified`` (a date) /
+    ``etag``; ``recordset_codes``: the dominant_collection_codes output
+    keyed by recordset uuid; ``cutoff_date``: the reference computes
+    ``(now - timedelta(7)).date()`` — the comment says "older than
+    8 days" but the code keeps anything whose last-modified DATE is on
+    or after seven days ago (:113-116, the labeled-8-actually-7 quirk
+    is the caller's to reproduce via this argument).
+
+    Pinned rules: the index file itself is skipped (:110-111); the
+    grouping key is everything before the FIRST dot of the key name
+    (:118 — ``2a34...zip`` and ``2a34...eml`` meet, but so would any
+    ``.tar.gz`` midfix); only ``.eml`` and ``.zip`` suffixes route
+    (:122-127), the zip arm carrying modified/etag and — only when the
+    fkey parses as a uuid — the recordset id and its codes (:128-135,
+    unknown recordsets get '' codes); a group without a zipfile emits
+    NOTHING (:143 — an orphan .eml is silent); every emitted field has
+    double-quote characters STRIPPED (:144 ``.replace('"','')``), a
+    csv-injection guard that also mangles legitimate quoted values.
+    """
+    import uuid as _uuid
+
+    headers = [
+        "zipfile", "emlfile", "etag", "modified",
+        "recordset_id", "institutioncode", "collectioncode",
+    ]
+    files: dict[str, dict[str, str]] = {}
+    for k in keys:
+        name = k["name"]
+        if name == index_file_name:
+            continue
+        if k["last_modified"] < cutoff_date:
+            continue
+        fkey = name.split(".")[0]
+        if fkey not in files:
+            files[fkey] = {h: "" for h in headers}
+        if name.endswith(".eml"):
+            files[fkey]["emlfile"] = name
+        elif name.endswith(".zip"):
+            files[fkey]["zipfile"] = name
+            files[fkey]["modified"] = str(k["last_modified"])
+            files[fkey]["etag"] = k.get("etag", "")
+            try:
+                _uuid.UUID(fkey)
+                is_uuid = True
+            except (ValueError, AttributeError):
+                is_uuid = False
+            if is_uuid:
+                files[fkey]["recordset_id"] = fkey
+                ic, cc = recordset_codes.get(fkey, ("", ""))
+                files[fkey]["institutioncode"] = ic
+                files[fkey]["collectioncode"] = cc
+    rows = [headers]
+    for fkey in files:
+        if files[fkey]["zipfile"] != "":
+            rows.append([files[fkey][h].replace('"', "") for h in headers])
+    return rows

@@ -349,3 +349,117 @@ def usage_stats_rollup(
         ).alias("total"),
     )
     return totals.join(maps, on=list(group_cols), how="left")
+
+
+def true_ic(ic: Column) -> Column:
+    """generate_static_datasets_index.get_true_ic (idigbio_workers/
+    generate_static_datasets_index.py:25-35): a trailing parenthesized
+    ALPHA-ONLY code wins (regex ``^.*\\(([a-zA-Z]+)\\)$`` — digits in the
+    parens fail the match and the WHOLE string falls through), then
+    ``.lower().strip()`` applies to whichever value survived. The
+    ic_replacement_table is empty in the reference (:24) — a no-op kept
+    out of the engine."""
+    code = F.regexp_extract(ic, r"^.*\(([a-zA-Z]+)\)$", 1)
+    return F.lower(F.trim(F.when(code != "", code).otherwise(ic)))
+
+
+def dominant_collection_codes(
+    df: DataFrame, rs_col: str, ic_col: str, cc_col: str
+) -> DataFrame:
+    """The per-recordset institution/collection-code assignment feeding
+    the static datasets index (generate_static_datasets_index.py:74-100,
+    the ES ``rs > ic > cc`` terms-agg consumer).
+
+    Rules, pinned exactly:
+
+    * ic buckets count docs WHERE the field is present (terms aggs skip
+      missing); the DOMINANCE DENOMINATOR is the recordset's TOTAL doc
+      count (``rs_b["doc_count"]``, :83) — missing-ic docs dilute the
+      ratio, so 90% of the non-null ics can still fail the gate.
+    * 0 buckets -> ic '' / cc '' (:79-81).
+    * exactly 1 bucket OR top-bucket/total STRICTLY > 0.9 (:82-84) ->
+      ic = true_ic(top key); note the OR: a single bucket wins at ANY
+      share (2 tagged docs among 25 suffice).
+    * else ic = cc = 'MULTIPLE' (:93-96).
+    * cc comes from the top-IC bucket's cc sub-buckets by COUNT of
+      buckets alone (no dominance): 0 -> '', exactly 1 -> the key
+      VERBATIM (never true_ic-folded, :87-92 — case survives), else
+      'MULTIPLE'.
+    * top bucket order = count desc then key asc (the ES terms-agg
+      default the reference consumes).
+    * the reference's aggs truncate at size=1000 buckets (:44-60);
+      the engine computes exact counts — documented divergence (a
+      truncated agg UNDERCOUNTS, the exact one cannot).
+
+    Scale: three grouped counts (rs), (rs, ic), (rs, ic, cc) — each one
+    key-partitioned exchange — then two small per-rs joins. Nothing
+    collects; cardinality after the first agg is bounded by distinct
+    code pairs.
+    """
+    rs, ic, cc = F.col(rs_col), F.col(ic_col), F.col(cc_col)
+    totals = df.groupBy(rs.alias("rs")).agg(F.count(F.lit(1)).alias("__n"))
+    icb = (
+        df.filter(ic.isNotNull())
+        .groupBy(rs.alias("rs"), ic.alias("__ic"))
+        .agg(F.count(F.lit(1)).alias("__icn"))
+    )
+    # top bucket = count desc, key asc — min_by over (-count, key)
+    top = icb.groupBy("rs").agg(
+        F.count(F.lit(1)).alias("__buckets"),
+        F.min_by(
+            F.struct(F.col("__ic"), F.col("__icn")),
+            F.struct((-F.col("__icn")).alias("nc"), F.col("__ic").alias("k")),
+        ).alias("__top"),
+    )
+    # cc sub-buckets per (rs, ic): bucket count + the single key when
+    # there is exactly one (max == min with a single bucket)
+    ccb = (
+        df.filter(ic.isNotNull() & cc.isNotNull())
+        .groupBy(rs.alias("rs"), ic.alias("__ic"), cc.alias("__cc"))
+        .agg(F.count(F.lit(1)).alias("__ccn"))
+        .groupBy("rs", "__ic")
+        .agg(
+            F.count(F.lit(1)).alias("__ccb"),
+            F.max(F.col("__cc")).alias("__cc1"),
+        )
+    )
+    ccb2 = ccb.select(
+        F.col("rs").alias("__crs"),
+        F.col("__ic").alias("__cic"),
+        "__ccb",
+        "__cc1",
+    )
+    j = (
+        totals.join(top, "rs", "left")
+        .join(
+            ccb2,
+            (F.col("rs") == F.col("__crs"))
+            & (F.col("__top.__ic") == F.col("__cic")),
+            "left",
+        )
+        .drop("__crs", "__cic")
+    )
+
+    chosen = (F.col("__buckets") == 1) | (
+        F.col("__top.__icn") / F.col("__n") > 0.9
+    )
+    ic_out = (
+        F.when(F.col("__buckets").isNull(), F.lit(""))
+        .when(chosen, true_ic(F.col("__top.__ic")))
+        .otherwise(F.lit("MULTIPLE"))
+    )
+    cc_out = (
+        F.when(F.col("__buckets").isNull(), F.lit(""))
+        .when(
+            chosen,
+            F.when(F.col("__ccb").isNull(), F.lit(""))
+            .when(F.col("__ccb") == 1, F.col("__cc1"))
+            .otherwise(F.lit("MULTIPLE")),
+        )
+        .otherwise(F.lit("MULTIPLE"))
+    )
+    return j.select(
+        F.col("rs").alias(rs_col),
+        ic_out.alias("institutioncode"),
+        cc_out.alias("collectioncode"),
+    )

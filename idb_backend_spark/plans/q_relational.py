@@ -502,3 +502,43 @@ def ordered_group_iteration(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = agg.ordered_group_rollup(ev, "user_id", ["ts"], "event_id")
     return out.select("user_id", "ordered_values", "n").orderBy("user_id")
+
+
+# Static-datasets-index dominant codes (generate_static_datasets_index
+# .py:74-100). Registered graded=False: the catalog sits at the 2x50
+# rotation ceiling and this round's freed slot went to
+# media_url_discovery (q_store.py) — first candidate for promotion at
+# the next retirement; the oracle below is written and verified by
+# tests/test_datasets_index.py's pins meanwhile. The kernel quirks
+# (strict >0.9 gate with the total-docs denominator, the single-bucket
+# OR arm, verbatim cc vs true_ic-folded ic, count-desc/key-asc top
+# bucket) are all unit-pinned.
+@query("datasets_index_codes", graded=False)
+def datasets_index_codes(spark, sf_dir):
+    """Per-recordset dominant institution/collection codes over a
+    synthesized (recordset, ic, cc) domain: events.user_id as the
+    recordset, arms planted from event_id to hit every dominance
+    branch."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.col("event_id")
+    rs = F.col("user_id") % 6
+    g = ev.select(
+        rs.cast("string").alias("rs"),
+        # one dominance branch per recordset class:
+        # 0 all-missing -> ''; 1 constant -> single-bucket fold 'am';
+        # 2 ~97% majority -> dominant 'b'; 3 50/50 -> MULTIPLE;
+        # 4 sparse single bucket among NULLs -> the OR len==1 arm 'q';
+        # 5 digits-in-parens regex miss -> 'lab (a1)'
+        F.when(rs == 0, F.lit(None).cast("string"))
+        .when(rs == 1, F.lit("Alpha Museum (AM)"))
+        .when(rs == 2, F.when(k % 29 == 0, F.lit("Other")).otherwise(F.lit("Beta (B)")))
+        .when(rs == 3, F.when(k % 2 == 0, F.lit("M1")).otherwise(F.lit("M2")))
+        .when(rs == 4, F.when(k % 3 == 0, F.lit("D (Q)")))
+        .otherwise(F.lit("Lab (A1)"))
+        .alias("ic"),
+        # cc branches: single verbatim-case bucket / two buckets / none
+        F.when(rs == 1, F.lit("C1"))
+        .when(rs == 2, F.concat(F.lit("c"), (k % 2).cast("string")))
+        .alias("cc"),
+    )
+    return agg.dominant_collection_codes(g, "rs", "ic", "cc").orderBy("rs")
