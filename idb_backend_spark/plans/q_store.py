@@ -1138,8 +1138,24 @@ def eml_harvest(spark, sf_dir):
 
 @query(
     "object_store_roundtrip",
-    "SELECT doc_id, md5(text) AS retrieved_md5 FROM documents "
-    "WHERE doc_id <= 200 ORDER BY doc_id",
+    # r10 extension — the media API response assembly over the landed
+    # objects (v2_media.py:29-77 via query/views.py): storage url,
+    # deriv url (always .jpg, derivatives-gated), and the preview state
+    # machine with its missing-mime-before-pending precedence
+    "SELECT doc_id, md5(text) AS retrieved_md5, "
+    "'https://s.idigbio.org/idigbio-images-prod/' || md5(text) AS media_url, "
+    "CASE WHEN doc_id % 3 = 0 THEN "
+    "  'https://s.idigbio.org/idigbio-images-prod-thumbnail/' || md5(text) "
+    "  || '.jpg' END AS thumb_url, "
+    "CASE WHEN doc_id % 3 = 0 THEN NULL "
+    "     WHEN doc_id % 5 = 0 OR doc_id % 7 = 0 THEN 'No Preview' "
+    "     WHEN doc_id % 4 = 0 THEN 'Preview Pending' "
+    "     ELSE 'No Preview' END AS preview_text, "
+    "CASE WHEN doc_id % 3 = 0 THEN 345600 "
+    "     WHEN doc_id % 5 = 0 OR doc_id % 7 = 0 THEN 86400 "
+    "     WHEN doc_id % 4 = 0 THEN 600 "
+    "     ELSE 86400 END AS cache_s "
+    "FROM documents WHERE doc_id <= 200 ORDER BY doc_id",
 )
 def object_store_roundtrip(spark, sf_dir):
     """S12 — content-addressed media landing through the ObjectStore
@@ -1147,7 +1163,15 @@ def object_store_roundtrip(spark, sf_dir):
     put_media (key = md5 etag), then downloads them back with digest
     verification. Runs DISTRIBUTED (mapInPandas, one store client per
     batch — the executor-side shape the S3 backend needs); the oracle only
-    knows md5(text), so any loss in the store round-trip diverges."""
+    knows md5(text), so any loss in the store round-trip diverges.
+
+    r10 extends the slot with the media API response assembly over the
+    landed rows (v2_media.py:29-77, query/views.py): the storage URL
+    from the retrieved etag, a thumbnail URL gated on a planted
+    derivatives flag (NULL when not generated; .jpg always), and the
+    preview text/cache state with planted NULL-mime (%5), NULL-type
+    (%7) and never-downloaded (%4) arms — the %5/%7 rows pin that the
+    missing-mime arm outranks 'Preview Pending'."""
     import pandas as pd  # noqa: F811
 
     from idb_backend_spark.sources.objectstore import (
@@ -1174,8 +1198,28 @@ def object_store_roundtrip(spark, sf_dir):
                 out.append((int(did), md5_hex(back)))
             yield pd.DataFrame(out, columns=["doc_id", "retrieved_md5"])
 
-    return docs.mapInPandas(
-        put_get, "doc_id bigint, retrieved_md5 string"
+    from idb_backend_spark.query import views as V
+
+    rt = docs.mapInPandas(put_get, "doc_id bigint, retrieved_md5 string")
+    k = F.col("doc_id")
+    etag = F.col("retrieved_md5")
+    derivs = (k % 3 == 0).alias("__derivs")
+    mime = F.when(k % 5 == 0, F.lit(None).cast("string")).otherwise(
+        F.lit("image/jpeg")
+    )
+    tob = F.when(k % 7 == 0, F.lit(None).cast("string")).otherwise(
+        F.lit("images")
+    )
+    status = F.when(~(k % 4 == 0), F.lit(200)).cast("int")
+    thumb = V.media_storage_url(F.lit("images"), etag, derivs, "thumbnail")
+    state = V.preview_state(thumb, mime, tob, status)
+    return rt.select(
+        "doc_id",
+        "retrieved_md5",
+        V.media_storage_url(F.lit("images"), etag).alias("media_url"),
+        thumb.alias("thumb_url"),
+        state["text"].alias("preview_text"),
+        state["cache"].alias("cache_s"),
     ).orderBy("doc_id")
 
 

@@ -1,0 +1,206 @@
+"""Record/media API view assembly — the response-shaping layer of the
+reference's data API (idb/data_api/v2_media.py:26-101, v2.py:19-56).
+
+These are pure column expressions over the latest media/objects view
+(J6) and the record latest view (J1-J3): the reference shapes each JSON
+response per request; the engine shapes the same fields as columns so a
+serving layer reads them straight off the table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from idb_backend_spark.functions.enrichment import first_nonempty
+
+#: v2_media.py:26 — the only sizes a deriv/size parameter may name.
+DERIVATIONS = ("thumbnail", "webview", "fullsize")
+
+#: conversions.py:26-30 PARENT_MAP — child type -> parent type.
+PARENT_MAP = {
+    "records": "recordsets",
+    "mediarecords": "recordsets",
+    "recordsets": "publishers",
+}
+
+
+def resolve_deriv(args: dict) -> str | None:
+    """v2_media.py:121-125 — the request's derivative selector:
+    ``deriv`` beats ``size`` (elif), absent -> None. The VALUE is not
+    validated here; an unknown one simply produces no URL."""
+    if "deriv" in args:
+        return args["deriv"]
+    if "size" in args:
+        return args["size"]
+    return None
+
+
+def media_storage_url(
+    bucket: Column,
+    etag: Column,
+    derivatives: Column | None = None,
+    deriv: str | None = None,
+    env: str = "prod",
+) -> Column:
+    """get_media_url (v2_media.py:29-40): the storage URL for a media
+    row, or NULL.
+
+    Pinned contract: bucket AND etag must be non-null; the bucket name
+    is ``idigbio-{bucket}-{env}`` (db.py:727-729 MediaObject.bucketname
+    — env-suffixed, 'prod' upstream); a derivative URL exists only when
+    ``deriv`` names a member of DERIVATIONS AND the row's derivatives
+    flag is truthy (:36-39 — NULL/false means not generated yet), and it
+    ALWAYS ends ``.jpg`` regardless of media type
+    (``{bucketname}-{deriv}/{etag}.jpg`` — a video derivative is its
+    poster frame); any other deriv value -> NULL even for fully-landed
+    media (the function falls off the end, :40)."""
+    bucketname = F.concat(F.lit("idigbio-"), bucket, F.lit("-" + env))
+    base_ok = bucket.isNotNull() & etag.isNotNull()
+    if deriv is None:
+        return F.when(
+            base_ok,
+            F.concat(F.lit("https://s.idigbio.org/"), bucketname, F.lit("/"), etag),
+        )
+    if deriv not in DERIVATIONS:
+        return F.lit(None).cast("string")
+    have = F.coalesce(derivatives, F.lit(False)) if derivatives is not None else F.lit(False)
+    return F.when(
+        base_ok & have,
+        F.concat(
+            F.lit("https://s.idigbio.org/"),
+            bucketname,
+            F.lit("-" + deriv + "/"),
+            etag,
+            F.lit(".jpg"),
+        ),
+    )
+
+
+def preview_state(
+    media_url: Column,
+    mime: Column,
+    type_or_bucket: Column,
+    last_status: Column,
+) -> Column:
+    """respond_to_record's text/cache state machine (v2_media.py:60-77)
+    as a struct(text string, cache int).
+
+    Precedence pins: a resolvable media URL -> no text, 4-day cache; a
+    missing mime or type -> 'No Preview' (1 day) — and this arm is
+    checked BEFORE the never-downloaded arm, so a pending row with no
+    mime reads 'No Preview', not 'Preview Pending'; only then does a
+    NULL last_status mean 'Preview Pending' (10 min); everything else
+    'No Preview' (1 day). ``mime`` and ``type_or_bucket`` carry the
+    Python-or fold (detected_mime or mime / type or bucket, :64) — an
+    ''-resolved chain is NOT None and falls through to the status arm
+    (build them with functions.enrichment.first_nonempty)."""
+    st = lambda t, c: F.struct(  # noqa: E731
+        F.lit(t).cast("string").alias("text"),
+        F.lit(c).cast("int").alias("cache"),
+    )
+    return (
+        F.when(media_url.isNotNull(), st(None, 4 * 24 * 60 * 60))
+        .when(mime.isNull() | type_or_bucket.isNull(), st("No Preview", 24 * 60 * 60))
+        .when(last_status.isNull(), st("Preview Pending", 600))
+        .otherwise(st("No Preview", 24 * 60 * 60))
+    )
+
+
+def _iso(ts: Column) -> Column:
+    """datetime.isoformat parity: fractional seconds appear ONLY when
+    the microseconds are nonzero (six digits then, never trimmed)."""
+    base = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
+    micro = F.date_format(ts, "SSSSSS")
+    return F.when(micro != "000000", F.concat(base, F.lit("."), micro)).otherwise(
+        base
+    )
+
+
+def media_api_record(
+    url: Column,
+    media_url: Column,
+    type_or_bucket: Column,
+    etag: Column,
+    modified: Column,
+    owner: Column,
+    mime: Column,
+    last_status: Column,
+    text: Column | None = None,
+) -> Column:
+    """get_json_for_record (v2_media.py:43-57) as a map<string,string>.
+
+    The reference's final comprehension drops FALSY values, not just
+    nulls (:57 ``if v``): '' strings vanish, a 0 last_status would
+    vanish, and the ``text`` extra only appears when the preview state
+    set one. ``type``/``mime`` carry the or-folds (:48, :52);
+    ``modified`` is isoformatted (:50). Collapsing typed values to a
+    string map is the engine-side stand-in for the heterogeneous JSON
+    dict; last_status renders in decimal."""
+    text_col = text if text is not None else F.lit(None).cast("string")
+    entries = [
+        ("filereference", F.nullif(url, F.lit(""))),
+        ("url", F.nullif(media_url, F.lit(""))),
+        ("type", F.nullif(type_or_bucket, F.lit(""))),
+        ("etag", F.nullif(etag, F.lit(""))),
+        ("modified", _iso(modified)),
+        ("user", F.nullif(owner, F.lit(""))),
+        ("mime", F.nullif(mime, F.lit(""))),
+        (
+            "last_status",
+            F.when(last_status != 0, last_status.cast("string")),
+        ),
+        ("text", F.nullif(text_col, F.lit(""))),
+    ]
+    m = F.map_from_arrays(
+        F.array(*[F.lit(k) for k, _ in entries]),
+        F.array(*[v for _, v in entries]),
+    )
+    return F.map_filter(m, lambda _, v: v.isNotNull())
+
+
+def record_view_links(
+    t: str,
+    uuid: Column,
+    parent: Column,
+    siblings: Column | None = None,
+    base: str = "https://search.idigbio.org/v2/view/",
+) -> Column:
+    """format_item's links map (v2.py:19-56) as
+    map<string, array<string>>.
+
+    Pins: the parent link is keyed by the PARENT TYPE name and only
+    present when the parent uuid is (:19-26); the item view DELETES the
+    self link that the list view carries and wraps every remaining link
+    value in a single-element LIST (:40-42); sibling groups are keyed by
+    the sibling type NAIVELY pluralized (``k + "s"`` — 'records' ->
+    'recordss' would follow from a plural input; upstream passes
+    singular type names, :46-48). ``siblings`` is a
+    map<string, array<string>> of sibling type -> uuids."""
+    entries = []
+    if t in PARENT_MAP:
+        pt = PARENT_MAP[t]
+        entries.append(
+            F.when(
+                parent.isNotNull(),
+                F.struct(
+                    F.lit(pt).alias("key"),
+                    F.array(
+                        F.concat(F.lit(base + pt + "/"), parent)
+                    ).alias("value"),
+                ),
+            )
+        )
+    links = F.map_from_entries(
+        F.filter(F.array(*entries), lambda e: e.isNotNull())
+    ) if entries else F.create_map().cast("map<string,array<string>>")
+    if siblings is None:
+        return links
+    sib_urls = F.transform_values(
+        siblings,
+        lambda k, v: F.transform(
+            v, lambda u: F.concat(F.lit(base), k, F.lit("/"), u)
+        ),
+    )
+    sib = F.transform_keys(sib_urls, lambda k, _: F.concat(k, F.lit("s")))
+    return F.map_concat(links, sib)
