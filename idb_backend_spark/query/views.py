@@ -165,26 +165,37 @@ def record_view_links(
     parent: Column,
     siblings: Column | None = None,
     base: str = "https://search.idigbio.org/v2/view/",
+    style: str = "v2",
 ) -> Column:
-    """format_item's links map (v2.py:19-56) as
+    """format_item's links map (v2.py:19-56 / v1.py:11-41) as
     map<string, array<string>>.
 
-    Pins: the parent link is keyed by the PARENT TYPE name and only
-    present when the parent uuid is (:19-26); the item view DELETES the
-    self link that the list view carries and wraps every remaining link
-    value in a single-element LIST (:40-42); sibling groups are keyed by
-    the sibling type NAIVELY pluralized (``k + "s"`` — 'records' ->
-    'recordss' would follow from a plural input; upstream passes
-    singular type names, :46-48). ``siblings`` is a
-    map<string, array<string>> of sibling type -> uuids."""
+    v2 pins: the parent link is keyed by the PARENT TYPE name and only
+    present when the parent uuid is (v2.py:19-26); the item view
+    DELETES the self link that the list view carries and wraps every
+    remaining link value in a single-element LIST (:40-42); sibling
+    groups are keyed by the sibling type NAIVELY pluralized (``k + "s"``
+    — 'records' -> 'recordss' would follow from a plural input;
+    upstream passes singular type names, :46-48).
+
+    v1 pins (``style="v1"``, v1.py:11-41): the link keys are instead
+    the type names naively DE-pluralized (``"".join(t[:-1])`` — drop
+    the last character, whatever it is), sibling keys pass through
+    UNmodified, and link URLS still use the plural route types. The
+    surrounding v1 dict carries ``idigbio:``-prefixed keys — the
+    caller's naming, not this map's.
+
+    ``siblings`` is a map<string, array<string>> of sibling type ->
+    uuids."""
     entries = []
     if t in PARENT_MAP:
         pt = PARENT_MAP[t]
+        key = pt[:-1] if style == "v1" else pt
         entries.append(
             F.when(
                 parent.isNotNull(),
                 F.struct(
-                    F.lit(pt).alias("key"),
+                    F.lit(key).alias("key"),
                     F.array(
                         F.concat(F.lit(base + pt + "/"), parent)
                     ).alias("value"),
@@ -202,5 +213,8 @@ def record_view_links(
             v, lambda u: F.concat(F.lit(base), k, F.lit("/"), u)
         ),
     )
-    sib = F.transform_keys(sib_urls, lambda k, _: F.concat(k, F.lit("s")))
-    return F.map_concat(links, sib)
+    if style != "v1":
+        sib_urls = F.transform_keys(
+            sib_urls, lambda k, _: F.concat(k, F.lit("s"))
+        )
+    return F.map_concat(links, sib_urls)

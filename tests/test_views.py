@@ -184,3 +184,22 @@ def test_type_mime_or_folds(spark):
     ).collect()[0]
     assert got["tob"] == "images"
     assert got["mime"] is None
+
+
+def test_record_view_links_v1(spark):
+    """v1.py:11-41 — de-pluralized link keys (drop last char), sibling
+    keys pass through unmodified, urls keep plural route types."""
+    df = spark.createDataFrame(
+        [("u1", "p1", {"mediarecord": ["m1"]})],
+        "u string, p string, sib map<string,array<string>>",
+    )
+    got = df.select(
+        V.record_view_links(
+            "records", F.col("u"), F.col("p"), F.col("sib"),
+            base="http://api/v1/", style="v1",
+        ).alias("o")
+    ).collect()[0]["o"]
+    assert got == {
+        "recordset": ["http://api/v1/recordsets/p1"],
+        "mediarecord": ["http://api/v1/mediarecord/m1"],
+    }
