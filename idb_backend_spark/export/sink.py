@@ -12,7 +12,7 @@ On Spark the equivalent knobs are output layout, not request batching:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -72,3 +72,31 @@ def compact(
         1, spark_df.sparkSession.sparkContext.defaultParallelism // 2
     )
     return spark_df.coalesce(n)
+
+
+def parent_routing(
+    records: Column, delete: Column, indexed_parent: Column
+) -> Column:
+    """The mediarecords parent-routing rule of the bulk formater
+    (indexer.py:292-301; single-doc twin :238-247): the routing key that
+    co-locates a media doc with its parent record.
+
+    Pins: a mediarecord routes by its FIRST ``records`` link; one with
+    no links routes to the literal STRING-rendered sentinel ``0`` (the
+    reference passes the int 0 — every orphan lands in one routing
+    bucket, a deliberate hot-spot the engine inherits as a value, though
+    partition-wise Spark's hash of one key is one task, so orphan-heavy
+    batches should salt); a DELETE op ignores the row's links and reuses
+    the parent the INDEX already has — and when the index holds nothing
+    (``indexed_parent`` NULL) the delete is silently SKIPPED
+    (:294-297 ``continue``), which this models as NULL routing: callers
+    filter ``delete AND routing IS NULL`` out of the op stream.
+
+    On Spark the routing key is the repartition column for the index
+    write, so parent/child co-location (the ES has_parent/has_child
+    analog J5 exploits) survives the sink."""
+    return (
+        F.when(delete, indexed_parent)
+        .when(F.size(F.coalesce(records, F.array())) > 0, records[0])
+        .otherwise(F.lit("0"))
+    )

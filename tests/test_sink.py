@@ -45,3 +45,32 @@ def test_write_index_table_layout(spark, tmp_path):
 def test_compact_reduces_partitions(spark):
     df = spark.range(0, 1000).repartition(64)
     assert compact(df, 4).rdd.getNumPartitions() == 4
+
+
+def test_parent_routing_pins(spark):
+    """indexer.py:292-301 — first-link routing, the literal '0' orphan
+    sentinel, delete-reuses-indexed-parent with NULL = silent skip."""
+    from pyspark.sql import functions as F
+
+    from idb_backend_spark.export.sink import parent_routing
+
+    df = spark.createDataFrame(
+        [
+            ("m1", ["r1", "r2"], False, None),   # first link wins
+            ("m2", [], False, None),             # orphan -> '0'
+            ("m3", None, False, None),           # NULL links -> '0'
+            ("m4", ["r9"], True, "rX"),          # delete ignores links
+            ("m5", ["r9"], True, None),          # delete of unindexed: skip
+        ],
+        "id string, records array<string>, del boolean, indexed string",
+    )
+    got = {
+        r["id"]: r["o"]
+        for r in df.select(
+            "id",
+            parent_routing(
+                F.col("records"), F.col("del"), F.col("indexed")
+            ).alias("o"),
+        ).collect()
+    }
+    assert got == {"m1": "r1", "m2": "0", "m3": "0", "m4": "rX", "m5": None}
