@@ -946,3 +946,90 @@ def audio_neardup_pairs(
         .filter(F.col("fp").isNotNull())
     )
     return hamming_pairs(fp, max_hamming)
+
+
+def validate_content(
+    head: bytes | None,
+    type: str | None = None,
+    mime: str | None = None,
+    url: str | None = None,
+) -> tuple[str | None, str | None]:
+    """media_validation.validate (media_validation.py:104-122) exactly:
+    the stated (mime, type) pair is validated FIRST (its errors win
+    over anything content-related), then content is sniffed (the
+    ``.stl`` url override skips sniffing), an undetectable mime raises,
+    a stated mime that differs from the detection AFTER alias folding
+    raises MimeMismatchError (so stated audio/mpeg3 passes a detected
+    audio/mpeg), and the RETURN re-validates the DETECTED mime against
+    the stated type — the caller gets (aliased detected mime, bucket),
+    never the stated mime."""
+    mime, type = validate_mime_for_type(mime, type)
+    if url and url.endswith(".stl"):
+        detected = "model/mesh"
+    else:
+        detected, _ = sniff_mime((head or b"")[:1024])
+    if not detected:
+        raise MediaValidationError(
+            "MediaValidationError", "Couldn't detect mime type"
+        )
+    from idb_backend_spark.functions.enrichment import _MIME_ALIASES
+
+    if mime and detected != _MIME_ALIASES.get(mime, mime):
+        raise MediaValidationError(
+            "MimeMismatchError",
+            f"Mime mismatch, stated: {mime!r}, detected: {detected!r}",
+        )
+    return validate_mime_for_type(detected, type)
+
+
+def media_object_from_content(
+    content: bytes,
+    *,
+    url: str | None = None,
+    type: str | None = None,
+    bucket: str | None = None,
+    mime: str | None = None,
+    detected_mime: str | None = None,
+    etag: str | None = None,
+) -> dict:
+    """MediaObject.fromobj's attribute merge (db.py:693-721): the
+    upload-time reconciliation of stated vs detected media identity.
+
+    Pins: validation runs only when detected_mime or bucket is missing,
+    and its inputs carry the Python-or folds ``type or bucket`` /
+    ``mime or detected_mime`` (:700-705); afterwards type and bucket
+    CROSS-FILL each other (:707-710 — a bucketless type copies down, a
+    typeless bucket copies up), and a missing mime defaults to the
+    detected one (:711-712); the etag is the md5 of the WHOLE content
+    (calcFileHash, etags.py:19-37), and a stated etag that disagrees
+    raises (EtagMismatchError, :715-718) — the flattened
+    MediaValidationError carries that code. last_status/last_check
+    defaults (200/now, :696-697) are the caller's: this function stays
+    deterministic."""
+    if not detected_mime or not bucket:
+        detected_mime, bucket = validate_content(
+            content[:1024],
+            type=type or bucket,
+            mime=mime or detected_mime,
+            url=url,
+        )
+    if type and not bucket:
+        bucket = type
+    if bucket and not type:
+        type = bucket
+    if not mime:
+        mime = detected_mime
+    digest = hashlib.md5(content).hexdigest()
+    if etag and digest != etag:
+        raise MediaValidationError(
+            "EtagMismatchError",
+            f"Etag mismatch, stated: {etag!r}, computed: {digest!r}",
+        )
+    return {
+        "url": url,
+        "type": type,
+        "bucket": bucket,
+        "mime": mime,
+        "detected_mime": detected_mime,
+        "etag": digest,
+    }

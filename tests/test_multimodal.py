@@ -558,3 +558,83 @@ def test_validate_media_stl_url_override(spark):
     assert out["a"]["detected_mime"] == "model/mesh"
     assert out["a"]["bucket"] == "models"
     assert out["b"]["detected_mime"] == "image/jpeg"
+
+
+# ---------------------------------------------------------------------------
+# validate_content / media_object_from_content — r10 sweep of
+# media_validation.validate (:104-122) and MediaObject.fromobj
+# (db.py:693-721)
+# ---------------------------------------------------------------------------
+
+_JPEG = b"\xff\xd8\xff\xe0" + b"x" * 32
+
+
+def test_validate_content_alias_fold_passes():
+    from idb_backend_spark.functions.multimodal import validate_content
+
+    # stated audio/mpeg3 vs detected audio/mpeg: alias folds, no raise
+    mp3 = b"ID3" + b"\x00" * 32
+    mime, bucket = validate_content(mp3, mime="audio/mpeg3")
+    assert (mime, bucket) == ("audio/mpeg", "sounds")
+
+
+def test_validate_content_mismatch_and_order():
+    import pytest as _pytest
+
+    from idb_backend_spark.functions.multimodal import (
+        MediaValidationError,
+        validate_content,
+    )
+
+    # stated mime must route somewhere first: a stated image/png dies
+    # as UnknownBucketError BEFORE any content is read (default_buckets
+    # has no png entry), so the mismatch arm needs a bucketable mime
+    with _pytest.raises(MediaValidationError) as e0:
+        validate_content(_JPEG, mime="image/png")
+    assert e0.value.code == "UnknownBucketError"
+    with _pytest.raises(MediaValidationError) as e:
+        validate_content(_JPEG, mime="audio/mpeg")
+    assert e.value.code == "MimeMismatchError"
+    # stated-pair validation runs BEFORE any content work: a bad bucket
+    # wins over undetectable content
+    with _pytest.raises(MediaValidationError) as e2:
+        validate_content(b"", type="nonsense", mime="image/jpeg")
+    assert e2.value.code == "InvalidBucketError"
+    # undetectable content raises the generic error
+    with _pytest.raises(MediaValidationError) as e3:
+        validate_content(b"\x00\x01\x02")
+    assert e3.value.code == "MediaValidationError"
+
+
+def test_validate_content_stl_override():
+    from idb_backend_spark.functions.multimodal import validate_content
+
+    mime, bucket = validate_content(b"solid x", url="http://a/m.stl")
+    assert (mime, bucket) == ("model/mesh", "models")
+
+
+def test_fromobj_merge_crossfill_and_etag():
+    import hashlib as _h
+
+    import pytest as _pytest
+
+    from idb_backend_spark.functions.multimodal import (
+        MediaValidationError,
+        media_object_from_content,
+    )
+
+    mo = media_object_from_content(_JPEG, type="images")
+    assert mo["bucket"] == "images"          # validate filled it
+    assert mo["type"] == "images"
+    assert mo["mime"] == "image/jpeg"        # missing mime <- detected
+    assert mo["detected_mime"] == "image/jpeg"
+    assert mo["etag"] == _h.md5(_JPEG).hexdigest()
+    # typeless bucket copies up (db.py:709-710)
+    mo2 = media_object_from_content(
+        _JPEG, bucket="images", detected_mime="image/jpeg"
+    )
+    assert mo2["type"] == "images"
+    # stated etag mismatch raises with the flattened code
+    with _pytest.raises(MediaValidationError) as e:
+        media_object_from_content(_JPEG, type="images", etag="0" * 32)
+    assert e.value.code == "EtagMismatchError"
