@@ -242,3 +242,34 @@ def classify_html_response(
         gate & lowered.rlike("ip (?:address)? (blocked|blacklisted)"),
         F.lit(STATUS_BLOCKED),
     )
+
+
+def derivative_candidates(
+    objects: DataFrame,
+    buckets: tuple[str, ...],
+    blacklist: tuple[str, ...] = (),
+) -> DataFrame:
+    """The derivative sweep's candidate selection
+    (idigbio_ingestion/mediaing/derivatives.py:102-110 objects_for_
+    buckets): objects still needing thumbnail/webview/fullsize
+    generation.
+
+    Pins: ``derivatives = false`` is the LITERAL predicate — a NULL
+    flag row is invisible to the sweep (only an explicit false is
+    retried); the etag blacklist (idb/blacklists/derivatives.py — known
+    broken media that would fail every run) applies ONLY to this bucket
+    sweep, never to the human-specified etag path
+    (derivatives.py:73-75's comment); successful generations flip the
+    flag to true (:94-98) so the sweep converges, failures stay false
+    and retry. The reference's ``ORDER BY random()`` spreads source
+    hosts across the pool — an execution-order concern with no
+    result-set meaning, dropped here (Spark's partition parallelism
+    provides the spread; a deterministic engine op must not carry
+    nondeterministic order)."""
+    out = objects.filter(
+        (F.col("derivatives") == False)  # noqa: E712 — literal false, NULL excluded
+        & F.col("bucket").isin(*buckets)
+    )
+    if blacklist:
+        out = out.filter(~F.col("etag").isin(*blacklist))
+    return out.select("etag", "bucket")

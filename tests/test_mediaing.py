@@ -194,3 +194,26 @@ def test_classify_html_response(spark, content, mime, expect):
         M.classify_html_response(F.col("c"), F.col("m")).alias("s")
     ).collect()[0]["s"]
     assert got == expect
+
+
+def test_derivative_candidates(spark):
+    """derivatives.py:102-110 — literal false (NULL invisible), bucket
+    membership, blacklist exclusion."""
+    df = spark.createDataFrame(
+        [
+            ("e1", "images", False),
+            ("e2", "images", None),     # NULL flag: never swept
+            ("e3", "images", True),
+            ("e4", "sounds", False),
+            ("e5", "datasets", False),  # bucket not in sweep
+            ("e6", "images", False),    # blacklisted
+        ],
+        "etag string, bucket string, derivatives boolean",
+    )
+    got = {
+        r["etag"]
+        for r in M.derivative_candidates(
+            df, ("images", "sounds"), blacklist=("e6",)
+        ).collect()
+    }
+    assert got == {"e1", "e4"}
