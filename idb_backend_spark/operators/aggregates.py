@@ -391,74 +391,67 @@ def dominant_collection_codes(
       the engine computes exact counts — documented divergence (a
       truncated agg UNDERCOUNTS, the exact one cannot).
 
-    Scale: three grouped counts (rs), (rs, ic), (rs, ic, cc) — each one
-    key-partitioned exchange — then two small per-rs joins. Nothing
-    collects; cardinality after the first agg is bounded by distinct
-    code pairs.
+    Scale: ONE scan, THREE exchanges, ZERO joins. The input aggregates
+    once at the finest (rs, ic, cc) grain (map-side partial combine
+    does the heavy lifting), then rolls up to (rs, ic) — carrying each
+    ic's cc-bucket count and single-bucket key along — then to rs,
+    where the top bucket is picked with a min_by over
+    (null-ic-last, -count, key). A naive three-groupBy shape reads the
+    100 TB input three times (Catalyst's diverging pushdown defeats
+    exchange reuse across the branches — measured, not guessed);
+    carrying the cc stats through the rollup also deletes both per-rs
+    joins. Nothing collects.
     """
     rs, ic, cc = F.col(rs_col), F.col(ic_col), F.col(cc_col)
-    totals = df.groupBy(rs.alias("rs")).agg(F.count(F.lit(1)).alias("__n"))
-    icb = (
-        df.filter(ic.isNotNull())
-        .groupBy(rs.alias("rs"), ic.alias("__ic"))
-        .agg(F.count(F.lit(1)).alias("__icn"))
+    fine = df.groupBy(
+        rs.alias("rs"), ic.alias("__ic"), cc.alias("__cc")
+    ).agg(F.count(F.lit(1)).alias("__fn"))
+    # (rs, ic) level: bucket size, cc sub-bucket count (fine rows are
+    # distinct cc values) and the single-bucket cc key (max == only)
+    mid = fine.groupBy("rs", "__ic").agg(
+        F.sum("__fn").alias("__icn"),
+        F.count(F.when(F.col("__cc").isNotNull(), 1)).alias("__ccb"),
+        F.max("__cc").alias("__cc1"),
     )
-    # top bucket = count desc, key asc — min_by over (-count, key)
-    top = icb.groupBy("rs").agg(
-        F.count(F.lit(1)).alias("__buckets"),
+    # rs level: total docs (NULL-ic rows included — the dominance
+    # denominator quirk), non-null bucket count, and the top bucket by
+    # count desc / key asc (NULL ic excluded via the leading sort key;
+    # the when-value leaves __top NULL for an all-missing recordset)
+    final = mid.groupBy("rs").agg(
+        F.sum("__icn").alias("__n"),
+        F.count(F.when(F.col("__ic").isNotNull(), 1)).alias("__buckets"),
         F.min_by(
-            F.struct(F.col("__ic"), F.col("__icn")),
-            F.struct((-F.col("__icn")).alias("nc"), F.col("__ic").alias("k")),
+            F.when(
+                F.col("__ic").isNotNull(),
+                F.struct("__ic", "__icn", "__ccb", "__cc1"),
+            ),
+            F.struct(
+                F.col("__ic").isNull().alias("z"),
+                (-F.col("__icn")).alias("nc"),
+                F.col("__ic").alias("k"),
+            ),
         ).alias("__top"),
-    )
-    # cc sub-buckets per (rs, ic): bucket count + the single key when
-    # there is exactly one (max == min with a single bucket)
-    ccb = (
-        df.filter(ic.isNotNull() & cc.isNotNull())
-        .groupBy(rs.alias("rs"), ic.alias("__ic"), cc.alias("__cc"))
-        .agg(F.count(F.lit(1)).alias("__ccn"))
-        .groupBy("rs", "__ic")
-        .agg(
-            F.count(F.lit(1)).alias("__ccb"),
-            F.max(F.col("__cc")).alias("__cc1"),
-        )
-    )
-    ccb2 = ccb.select(
-        F.col("rs").alias("__crs"),
-        F.col("__ic").alias("__cic"),
-        "__ccb",
-        "__cc1",
-    )
-    j = (
-        totals.join(top, "rs", "left")
-        .join(
-            ccb2,
-            (F.col("rs") == F.col("__crs"))
-            & (F.col("__top.__ic") == F.col("__cic")),
-            "left",
-        )
-        .drop("__crs", "__cic")
     )
 
     chosen = (F.col("__buckets") == 1) | (
         F.col("__top.__icn") / F.col("__n") > 0.9
     )
     ic_out = (
-        F.when(F.col("__buckets").isNull(), F.lit(""))
+        F.when(F.col("__buckets") == 0, F.lit(""))
         .when(chosen, true_ic(F.col("__top.__ic")))
         .otherwise(F.lit("MULTIPLE"))
     )
     cc_out = (
-        F.when(F.col("__buckets").isNull(), F.lit(""))
+        F.when(F.col("__buckets") == 0, F.lit(""))
         .when(
             chosen,
-            F.when(F.col("__ccb").isNull(), F.lit(""))
-            .when(F.col("__ccb") == 1, F.col("__cc1"))
+            F.when(F.col("__top.__ccb") == 0, F.lit(""))
+            .when(F.col("__top.__ccb") == 1, F.col("__top.__cc1"))
             .otherwise(F.lit("MULTIPLE")),
         )
         .otherwise(F.lit("MULTIPLE"))
     )
-    return j.select(
+    return final.select(
         F.col("rs").alias(rs_col),
         ic_out.alias("institutioncode"),
         cc_out.alias("collectioncode"),
