@@ -64,6 +64,40 @@ class DwcaFileDescriptor:
         return ROWTYPE_TO_TYPE.get(self.row_type, "records")
 
 
+def _xml2d_field_order(el) -> list:
+    """The reference reads ``<field>`` elements through xmlDictTools.
+    xml2d (xmlDictTools.py:24-46), which materializes same-tag siblings
+    via itertools.groupby over CONSECUTIVE runs and merges runs with a
+    rule that SCRAMBLES one case: when the collected value is still a
+    single element (first run had length 1) and a later run holds two
+    or more, the earlier element is APPENDED AFTER the later run
+    (``g.append(kids[real_k])``, :37-39). So a meta.xml shaped
+    ``<field A/><id/><field B/><field C/>`` yields field order B, C, A
+    — and the duplicate-index FIRST-wins rule binds to THAT order, not
+    document order. Consecutive fields (every IPT export) are
+    unaffected."""
+    import itertools as _it
+
+    out: list | None = None
+    single = False
+    for is_field, run in _it.groupby(
+        el, key=lambda e: _local(e.tag) == "field"
+    ):
+        if not is_field:
+            continue
+        g = list(run)
+        if out is None:
+            out, single = g, len(g) == 1
+        elif not single:
+            out.extend(g)
+        elif len(g) > 1:
+            g.append(out[0])
+            out, single = g, False
+        else:
+            out, single = [out[0], g[0]], False
+    return out or []
+
+
 def _parse_file_block(el) -> DwcaFileDescriptor:
     loc = ""
     for files_el in el:
@@ -88,24 +122,28 @@ def _parse_file_block(el) -> DwcaFileDescriptor:
             idx = child.get("index")
             d.id_index = int(idx) if idx is not None else None
             d.id_is_coreid = tag == "coreid"
-        elif tag == "field":
-            # quote-stripped term, exactly like the reference
-            # (dwca.py:221 — `fld['#term'].replace('"','')`; IPT metas
-            # occasionally leak quoted URIs)
-            term = uri_to_curie(child.get("term", "").replace('"', ""))
-            idx = child.get("index")
-            # duplicate column index: the FIRST declaration wins and the
-            # later one is ignored (dwca.py:243-246 — `if ... not in
-            # fields`; r9 correction, this used to be last-wins)
-            if idx is not None and int(idx) not in d.term_by_index:
-                d.term_by_index[int(idx)] = term
-            # a default applies whether or not the field also has an
-            # index (indexed: fills blanks; index-less: constant
-            # column) — and EVEN when the index was a dropped
-            # duplicate: the reference records the default outside the
-            # dedup check, so the term surfaces as a constant column
-            if child.get("default") is not None:
-                d.defaults[term] = child.get("default")
+    # fields iterate in xml2d's merge order, NOT document order (r10
+    # pin — see _xml2d_field_order: a singleton run followed by a
+    # multi-element run puts the earlier field LAST, which flips the
+    # duplicate-index winner on interleaved metas)
+    for child in _xml2d_field_order(el):
+        # quote-stripped term, exactly like the reference
+        # (dwca.py:221 — `fld['#term'].replace('"','')`; IPT metas
+        # occasionally leak quoted URIs)
+        term = uri_to_curie(child.get("term", "").replace('"', ""))
+        idx = child.get("index")
+        # duplicate column index: the FIRST declaration wins and the
+        # later one is ignored (dwca.py:243-246 — `if ... not in
+        # fields`; r9 correction, this used to be last-wins)
+        if idx is not None and int(idx) not in d.term_by_index:
+            d.term_by_index[int(idx)] = term
+        # a default applies whether or not the field also has an
+        # index (indexed: fills blanks; index-less: constant
+        # column) — and EVEN when the index was a dropped
+        # duplicate: the reference records the default outside the
+        # dedup check, so the term surfaces as a constant column
+        if child.get("default") is not None:
+            d.defaults[term] = child.get("default")
     # the id/coreid binding claims its index BEFORE the field loop in
     # the reference (fields[idfld] = idtag precedes it, dwca.py:199-203),
     # so a <field> sharing the id's index is a duplicate and its term

@@ -507,10 +507,16 @@ def test_meta_field_index_quirks_match_reference():
     core, exts, _ = parse_meta_xml(xml)
     assert core.id_index == 0 and not core.id_is_coreid
     # id wins index 0 even though declared between the two fields;
-    # occurrenceID and catalogNumber both dropped from the index map
-    assert core.term_by_index == {1: "dwc:genus", 2: "dwc:basisOfRecord"}
+    # occurrenceID and catalogNumber both dropped from the index map.
+    # r10 CORRECTION: this meta is interleaved (a singleton field run
+    # before the id), so the reference's xml2d merge order is
+    # [occurrenceID, family, basisOfRecord, catalogNumber, genus] —
+    # family reaches index 1 FIRST and genus is the duplicate that
+    # drops. The r9 pin asserted {1: genus} on a document-order
+    # assumption xml2d does not honor (xmlDictTools.py:37-39).
+    assert core.term_by_index == {1: "dwc:family", 2: "dwc:basisOfRecord"}
     # the dropped-duplicate catalogNumber keeps its default ->
-    # constant column; the quote-stripped family lost index 1 to genus
+    # constant column
     assert core.defaults == {
         "dwc:basisOfRecord": "PreservedSpecimen",
         "dwc:catalogNumber": "CAT-X",
@@ -660,3 +666,39 @@ def test_reference_first_row_pins_line_length():
             kept.append(arr)
     assert kept == [["a"]]
     assert skipped == [["x", "y", "z"], ["p", "q", "r"]]
+
+
+def test_meta_xml_field_order_follows_xml2d_merge():
+    """r10 pin — xmlDictTools.xml2d (:24-46) materializes same-tag
+    siblings by CONSECUTIVE-run groupby; a singleton first run followed
+    by a multi-element run is appended AFTER it, so field order on
+    interleaved metas is NOT document order and the duplicate-index
+    first-wins rule binds to the merged order."""
+    from idb_backend_spark.sources.dwca import parse_meta_xml
+
+    meta = b"""<archive xmlns="http://rs.tdwg.org/dwc/text/">
+      <core rowType="http://rs.tdwg.org/dwc/terms/Occurrence">
+        <files><location>occ.txt</location></files>
+        <field index="0" term="http://rs.tdwg.org/dwc/terms/genus"/>
+        <id index="9"/>
+        <field index="0" term="http://rs.tdwg.org/dwc/terms/family"/>
+        <field index="1" term="http://rs.tdwg.org/dwc/terms/country"/>
+      </core>
+    </archive>"""
+    core, _, _ = parse_meta_xml(meta)
+    # merged order is family, country, genus -> index 0's FIRST
+    # declaration is family (document order would pick genus)
+    assert core.term_by_index[0] == "dwc:family"
+    assert core.term_by_index[1] == "dwc:country"
+
+    # consecutive fields (every IPT export): document order preserved
+    meta2 = b"""<archive xmlns="http://rs.tdwg.org/dwc/text/">
+      <core rowType="http://rs.tdwg.org/dwc/terms/Occurrence">
+        <files><location>occ.txt</location></files>
+        <id index="9"/>
+        <field index="0" term="http://rs.tdwg.org/dwc/terms/genus"/>
+        <field index="0" term="http://rs.tdwg.org/dwc/terms/family"/>
+      </core>
+    </archive>"""
+    core2, _, _ = parse_meta_xml(meta2)
+    assert core2.term_by_index[0] == "dwc:genus"
