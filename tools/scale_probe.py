@@ -228,6 +228,78 @@ def time_entry(fn, spark, sf_dir: str, eager: bool = False) -> tuple[float, int]
     return min(runs), df.count()
 
 
+def build_scaled_part(spark, src: str, dst: str, factor: int) -> None:
+    """Replicas offset p_partkey by 10M each so derived urls (built from
+    the FULL key in the discovery probe) stay replica-unique — the url
+    domain grows with the data, matching how a real media table grows."""
+    pt = spark.read.parquet(f"{src}/part.parquet").select("p_partkey")
+    parts = [pt]
+    for i in range(1, factor):
+        parts.append(pt.select((F.col("p_partkey") + i * 10_000_000).alias("p_partkey")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{dst}/part.parquet")
+
+
+def probe_discovery_scale(spark, f1_dir: str, fN_dir: str, factor: int) -> dict:
+    """media_url_discovery's operator probe. The catalog entry's url
+    formula folds keys mod 200 (constant url domain — at 100x that
+    measures hot-key groupBys, not growth), so the probe rebuilds the
+    same arm structure with REPLICA-UNIQUE urls (full key in the path):
+    candidates, the media table, and the url equi-join all grow with
+    the data, which is the real discovery shape. Timed = full
+    evaluation of both output legs (inserts ∪ updates), warm min-of-2."""
+    from idb_backend_spark.operators import mediaing as M
+
+    out = {}
+    for tag, src_dir in (("1", f1_dir), (str(factor), fN_dir)):
+        part = spark.read.parquet(f"{src_dir}/part.parquet")
+        k = F.col("p_partkey")
+        base = F.concat(
+            F.lit("http://h"), (k % 5).cast("string"),
+            F.lit("/m/"), k.cast("string"),
+        )
+        recs = part.select(
+            k.alias("ord"),
+            F.when(k % 11 == 0, F.lit(None).cast("string"))
+            .when(k % 11 == 1, F.lit(""))
+            .when(k % 11 == 2, F.concat(F.lit(" "), base, F.lit("&amp;x=1 ")))
+            .when(k % 11 == 3, F.concat(F.lit("http://www.tropicos.org/"), k.cast("string")))
+            .otherwise(base)
+            .alias("accessuri"),
+            F.when(k % 4 == 0, F.lit("images"))
+            .when(k % 4 == 1, F.lit("sounds"))
+            .alias("mediatype"),
+            F.when(k % 6 == 0, F.lit("image/jpeg"))
+            .when(k % 6 == 3, F.lit("audio/mpeg"))
+            .alias("format"),
+        )
+        media = part.filter(k % 3 == 0).select(
+            base.alias("url"),
+            F.when(k % 9 == 3, F.lit("images")).alias("type"),
+            F.when(k % 2 == 0, F.lit("image/jpeg")).alias("mime"),
+        )
+        ins, upd = M.discover_media_urls(recs, media, order_col="ord")
+        both = ins.unionByName(upd.select("url", "type", "mime"))
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            both.write.format("noop").mode("overwrite").save()
+            runs.append(round(time.time() - t0, 3))
+        out[f"t{tag}"] = min(runs)
+        out[f"rows{tag}"] = both.count()
+    out["ratio"] = (
+        round(out[f"t{factor}"] / out["t1"], 2) if out["t1"] > 0 else None
+    )
+    print(
+        f"  media_url_discovery(op): {out['t1']}s -> {out[f't{factor}']}s "
+        f"(x{out['ratio']})",
+        file=sys.stderr,
+    )
+    return out
+
+
 def probe_neardup_scale(
     spark, f1_dir: str, fN_dir: str, scratch: str, factor: int
 ) -> dict:
@@ -313,6 +385,13 @@ def main() -> int:
         build_scaled_events(spark, src, big, factor)
 
     results = {}
+    if "media_url_discovery" in only:
+        only = [n for n in only if n != "media_url_discovery"]
+        build_scaled_part(spark, src, base, 1)
+        build_scaled_part(spark, src, big, factor)
+        results["media_url_discovery"] = probe_discovery_scale(
+            spark, base, big, factor
+        )
     if "neardup_index_probe" in only:
         only = [n for n in only if n != "neardup_index_probe"]
         results["neardup_index_probe"] = probe_neardup_scale(
