@@ -283,3 +283,36 @@ def apply_corrections(
         if guard_col is not None:
             df = df.drop(guard_col)
     return df.drop(*snap.keys())
+
+
+def normalize_correction_rule(k: dict, v: dict) -> tuple[str, str]:
+    """The corrections WRITE-side case fold (idb/corrections/loader.py:
+    28-40, both add paths): a rule lands in the table as
+    ``json.dumps(...).lower()`` — the WHOLE serialized document
+    lowercased in one stroke, folding keys AND values. Two
+    consequences the apply side (apply_correction_rules) relies on:
+    probe keys are already lowercase (matching getfield's read-side
+    fold, X12), and replacement VALUES are lowercase too — a correction
+    can never introduce mixed case, which is why the corrected-output
+    oracles plant lowercase replacements. The fold is BLUNT: any
+    uppercase inside a value the curator meant literally (a URL path, an
+    accession code) is folded as well — preserved, not repaired."""
+    import json as _json
+
+    return _json.dumps(k).lower(), _json.dumps(v).lower()
+
+
+def annotation_identity(v: dict) -> tuple[str, str, str]:
+    """AnnotationsLoader's identity extraction (idb/annotations/
+    loader.py:35-38): ``(uuids_id, source_id, source)`` from an OA-ish
+    annotation document — the LAST colon segment of ``hasTarget.@id``
+    and ``@id`` (an ``urn:uuid:xxxx`` curie loses its scheme; an id
+    with no colon passes through whole), and ``annotatedBy.name`` as
+    the source. The stored body is the same whole-JSON lowercase fold
+    as corrections; upsert is keyed on source_id (replay-safe
+    re-fetches replace the body and timestamp, loader.py:18-28)."""
+    return (
+        v["hasTarget"]["@id"].split(":")[-1],
+        v["@id"].split(":")[-1],
+        v["annotatedBy"]["name"],
+    )

@@ -335,3 +335,34 @@ def test_reference_literal_quirks():
     guard_sees_kingdom = "dwc:kingdom" in record_keys  # literal test
     apply_resolves = "dwc:kingdom" in cd_keys
     assert guard_sees_kingdom is False and apply_resolves is True
+
+
+def test_correction_loader_whole_json_fold():
+    """loader.py:28-40 — rules serialize through json.dumps(...).lower():
+    keys AND values fold, including replacement values and literal
+    uppercase the curator meant (URLs, accession codes)."""
+    from idb_backend_spark.operators.corrections import (
+        normalize_correction_rule,
+    )
+
+    k, v = normalize_correction_rule(
+        {"dwc:Kingdom": "PLANTAE"}, {"dwc:family": "ACERACEAE", "url": "http://X/Y"}
+    )
+    assert k == '{"dwc:kingdom": "plantae"}'
+    assert v == '{"dwc:family": "aceraceae", "url": "http://x/y"}'
+
+
+def test_annotation_identity_last_colon_segment():
+    """annotations/loader.py:35-38 — urn:uuid curies lose their scheme;
+    a bare id passes through whole; source is annotatedBy.name."""
+    from idb_backend_spark.operators.corrections import annotation_identity
+
+    v = {
+        "@id": "urn:uuid:AAA-1",
+        "hasTarget": {"@id": "urn:uuid:BBB-2"},
+        "annotatedBy": {"name": "ePANDDA"},
+        "annotatedAt": "2020-01-01",
+    }
+    assert annotation_identity(v) == ("BBB-2", "AAA-1", "ePANDDA")
+    v2 = dict(v, **{"@id": "plain", "hasTarget": {"@id": "alsoplain"}})
+    assert annotation_identity(v2) == ("alsoplain", "plain", "ePANDDA")
