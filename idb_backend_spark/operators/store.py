@@ -433,3 +433,36 @@ def suspect_tag(
         .when((mc > 400) & (ratio(mcr, mc) > 0.4), "MANY_NEW_MEDIA")
         .when(churn_m, "MEDIA_CHURN")
     )
+
+
+def deleted_recordset_digests(
+    uuids: DataFrame, marked: DataFrame, harvest_date: str
+) -> DataFrame:
+    """recordset_cleanup's backfill sweep (idigbio_ingestion/
+    recordset_cleanup.py:10-59): tombstoned recordsets
+    (``type='recordset' AND deleted=true`` in the uuids registry) that
+    have no deleted digest yet get one ZEROED summary — every
+    count/create/update/delete constant 0 with ``deleted=true`` AND
+    ``commited=true`` (the reference's spelling), stamped with the
+    sweep time, not the deletion time (post_delete_stats uses now()).
+    ``marked`` carries the recordset_ids already bearing a deleted
+    digest (the stats-side query, :29-44); the set difference is a
+    left-anti join — the U2 kernel against a different target."""
+    gone = uuids.filter(
+        (F.col("type") == "recordset") & F.col("deleted")
+    ).select(F.col("id").alias("recordset_id"))
+    todo = gone.join(
+        marked.select("recordset_id"), "recordset_id", "left_anti"
+    )
+    zeros = {
+        f"{t}_{m}": F.lit(0).alias(f"{t}_{m}")
+        for t in ("records", "mediarecords")
+        for m in ("count", "create", "update", "delete")
+    }
+    return todo.select(
+        "recordset_id",
+        F.lit(harvest_date).alias("harvest_date"),
+        *zeros.values(),
+        F.lit(True).alias("deleted"),
+        F.lit(True).alias("commited"),
+    )

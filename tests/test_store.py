@@ -544,3 +544,27 @@ def test_reconcile_skip_set_reference_rule(spark):
     assert work == {"b", "d", "e"}  # 'z' (orphan) never visited
     orphans = {r["uuid"] for r in v.index_orphans(idx, store).collect()}
     assert orphans == {"z"}
+
+
+def test_deleted_recordset_digests(spark):
+    """recordset_cleanup.py:10-59 — tombstoned recordsets minus the
+    already-marked set get a zeroed digest with deleted/commited true."""
+    from idb_backend_spark.operators.store import deleted_recordset_digests
+
+    uuids = spark.createDataFrame(
+        [
+            ("r1", "recordset", True),
+            ("r2", "recordset", True),
+            ("r3", "recordset", False),   # live: out
+            ("m1", "mediarecord", True),  # wrong type: out
+        ],
+        "id string, type string, deleted boolean",
+    )
+    marked = spark.createDataFrame([("r2",)], "recordset_id string")
+    got = deleted_recordset_digests(uuids, marked, "2026-08-16T00:00:00").collect()
+    assert len(got) == 1
+    row = got[0].asDict()
+    assert row["recordset_id"] == "r1"
+    assert row["records_count"] == 0 and row["mediarecords_delete"] == 0
+    assert row["deleted"] is True and row["commited"] is True
+    assert row["harvest_date"] == "2026-08-16T00:00:00"
