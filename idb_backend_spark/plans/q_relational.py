@@ -508,11 +508,51 @@ def ordered_group_iteration(spark, sf_dir):
 # .py:74-100). Registered graded=False: the catalog sits at the 2x50
 # rotation ceiling and this round's freed slot went to
 # media_url_discovery (q_store.py) — first candidate for promotion at
-# the next retirement; the oracle below is written and verified by
-# tests/test_datasets_index.py's pins meanwhile. The kernel quirks
-# (strict >0.9 gate with the total-docs denominator, the single-bucket
-# OR arm, verbatim cc vs true_ic-folded ic, count-desc/key-asc top
-# bucket) are all unit-pinned.
+# the next retirement. _DATASETS_INDEX_ORACLE below is the
+# promotion-ready DuckDB twin (verified locally — flip graded and pass
+# it to @query to promote); the kernel quirks (strict >0.9 gate with
+# the total-docs denominator, the single-bucket OR arm, verbatim cc vs
+# true_ic-folded ic, count-desc/key-asc top bucket) are unit-pinned in
+# tests/test_datasets_index.py meanwhile.
+_DATASETS_INDEX_ORACLE = (
+    "WITH g AS (SELECT CAST(user_id % 6 AS VARCHAR) AS rs, "
+    "  CASE CAST(user_id % 6 AS INT) "
+    "    WHEN 0 THEN NULL WHEN 1 THEN 'Alpha Museum (AM)' "
+    "    WHEN 2 THEN CASE WHEN event_id % 29 = 0 THEN 'Other' ELSE 'Beta (B)' END "
+    "    WHEN 3 THEN CASE WHEN event_id % 2 = 0 THEN 'M1' ELSE 'M2' END "
+    "    WHEN 4 THEN CASE WHEN event_id % 3 = 0 THEN 'D (Q)' END "
+    "    ELSE 'Lab (A1)' END AS ic, "
+    "  CASE CAST(user_id % 6 AS INT) WHEN 1 THEN 'C1' "
+    "    WHEN 2 THEN 'c' || CAST(event_id % 2 AS VARCHAR) END AS cc "
+    "  FROM events), "
+    "fine AS (SELECT rs, ic, cc, count(*) AS fn FROM g GROUP BY 1,2,3), "
+    "mid AS (SELECT rs, ic, sum(fn) AS icn, "
+    "  count(CASE WHEN cc IS NOT NULL THEN 1 END) AS ccb, max(cc) AS cc1 "
+    "  FROM fine GROUP BY 1,2), "
+    "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY rs "
+    "  ORDER BY (ic IS NULL), icn DESC, ic) AS rn FROM mid), "
+    "tot AS (SELECT rs, sum(icn) AS n, "
+    "  count(CASE WHEN ic IS NOT NULL THEN 1 END) AS buckets "
+    "  FROM mid GROUP BY 1), "
+    "tp AS (SELECT rs, ic, icn, ccb, cc1 FROM rk "
+    "  WHERE rn = 1 AND ic IS NOT NULL), "
+    "o AS (SELECT t.rs, t.n, t.buckets, tp.ic, tp.icn, tp.ccb, tp.cc1, "
+    "  t.buckets = 1 OR (tp.icn / CAST(t.n AS DOUBLE)) > 0.9 AS chosen, "
+    "  CASE WHEN regexp_matches(tp.ic, '^.*\\(([a-zA-Z]+)\\)$') "
+    "    THEN lower(trim(regexp_extract(tp.ic, '^.*\\(([a-zA-Z]+)\\)$', 1))) "
+    "    ELSE lower(trim(tp.ic)) END AS tic "
+    "  FROM tot t LEFT JOIN tp ON t.rs = tp.rs) "
+    "SELECT rs, "
+    "CASE WHEN buckets = 0 THEN '' WHEN chosen THEN tic "
+    "  ELSE 'MULTIPLE' END AS institutioncode, "
+    "CASE WHEN buckets = 0 THEN '' "
+    "  WHEN chosen THEN CASE WHEN ccb = 0 THEN '' "
+    "    WHEN ccb = 1 THEN cc1 ELSE 'MULTIPLE' END "
+    "  ELSE 'MULTIPLE' END AS collectioncode "
+    "FROM o ORDER BY rs"
+)
+
+
 @query("datasets_index_codes", graded=False)
 def datasets_index_codes(spark, sf_dir):
     """Per-recordset dominant institution/collection codes over a

@@ -116,3 +116,24 @@ def test_index_assembly_quirks():
     ]
     # non-uuid fkey: no recordset fields
     assert body["notauuid.zip"][4:] == ["", "", ""]
+
+
+def test_promotion_oracle_matches_spark(spark, sf_dir):
+    """The promotion-ready DuckDB twin for datasets_index_codes stays
+    row-identical to the Spark entry (flip graded=True to promote)."""
+    import duckdb
+
+    from idb_backend_spark.plans.catalog import UNGRADED
+    from idb_backend_spark.plans.q_relational import _DATASETS_INDEX_ORACLE
+
+    spark_rows = sorted(
+        tuple(r) for r in UNGRADED["datasets_index_codes"](spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    oracle_rows = sorted(
+        tuple(r) for r in con.execute(_DATASETS_INDEX_ORACLE).fetchall()
+    )
+    assert spark_rows == oracle_rows
