@@ -200,6 +200,7 @@ PROBE_TABLES = {
     "ivf_ann_topk": {"embeddings"},
     "stats_rollup_nested": {"events"},
     "collection_counts_pivot": {"events"},
+    "datasets_index_codes": {"events"},
 }
 
 
