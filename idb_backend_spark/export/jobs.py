@@ -228,3 +228,34 @@ def normalize_request(o: dict) -> dict:
             else:
                 params[k] = v
     return params
+
+
+def status_payload(job: Job, ttl_seconds: float | None = None, now=None) -> dict:
+    """The download status response shape (v2_download.py:109-148
+    get_task_status): query echoed, ``complete`` true for any TERMINAL
+    state (the reference short-circuits on a cached ``task_status`` in the
+    hash — set only at completion — without consulting the result
+    backend, :124-127), ``download_url`` only on success, ``error`` only
+    on failure, and ``expires`` present ONLY when the key carries a TTL
+    (the redis ``ttl == -1`` no-expiry probe, :119-122). A failure also
+    frees the query-hash dedup slot upstream (dissociate_query_hash,
+    :160-166 — guarded so it only deletes the hash key while it still
+    points at THIS task) — the engine's equivalent is submit()'s
+    never-reuse-failed rule."""
+    import datetime as _dt
+
+    out: dict = {
+        "query": job.params,
+        "task_status": job.status,
+        "complete": job.status in ("done", "failed"),
+    }
+    if ttl_seconds is not None:
+        base = now if now is not None else time.time()
+        out["expires"] = _dt.datetime.fromtimestamp(
+            base + ttl_seconds, _dt.timezone.utc
+        ).isoformat()
+    if job.status == "done":
+        out["download_url"] = job.result
+    elif job.status == "failed":
+        out["error"] = job.error
+    return out

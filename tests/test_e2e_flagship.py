@@ -374,3 +374,25 @@ def test_submit_force_bypasses_dedup():
     j3 = mgr.submit({"rq": {"genus": "acer"}}, run, force=True)
     assert j3 is not j1 and len(runs) == 2
     assert j3.result == "artifact_2"
+
+
+def test_download_status_payload_shape():
+    """v2_download.py:109-148 — terminal states are complete, expires
+    only with a TTL, url on success / error on failure."""
+    from idb_backend_spark.export.jobs import Job, status_payload
+
+    done = Job(job_id="a", params={"genus": "acer"}, status="done",
+               result="https://x/y.zip")
+    p = status_payload(done, ttl_seconds=3600, now=0)
+    assert p["complete"] is True and p["download_url"] == "https://x/y.zip"
+    assert p["expires"].startswith("1970-01-01T01:00:00")
+    assert "error" not in p
+
+    failed = Job(job_id="b", params={}, status="failed", error="boom")
+    p2 = status_payload(failed)
+    assert p2["complete"] is True and p2["error"] == "boom"
+    assert "expires" not in p2 and "download_url" not in p2
+
+    running = Job(job_id="c", params={}, status="running")
+    p3 = status_payload(running)
+    assert p3["complete"] is False
