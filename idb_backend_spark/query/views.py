@@ -218,3 +218,23 @@ def record_view_links(
             sib_urls, lambda k, _: F.concat(k, F.lit("s"))
         )
     return F.map_concat(links, sib_urls)
+
+
+#: api.py:21 — the media key dispatch pattern (both hex cases).
+_UUID_RE = (
+    r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+    r"[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+)
+
+
+def media_lookup_kind(key: str) -> str:
+    """The /media/<key> route dispatch (idb/data_api/api.py:21-28): a
+    key shaped EXACTLY like a dashed uuid (either hex case) resolves
+    through the record path (MediaObject.fromuuid — uuid -> latest
+    record -> accessuri -> url row); anything else is treated as an
+    object etag (frometag). The dispatch is purely lexical — a 40-hex
+    sha1 etag can never collide with the dashed shape, but a provider
+    identifier that HAPPENS to be a uuid is routed as one."""
+    import re as _re
+
+    return "uuid" if _re.match(_UUID_RE, key) else "etag"

@@ -203,3 +203,11 @@ def test_record_view_links_v1(spark):
         "recordset": ["http://api/v1/recordsets/p1"],
         "mediarecord": ["http://api/v1/mediarecord/m1"],
     }
+
+
+def test_media_lookup_kind_dispatch():
+    """api.py:21-28 — lexical uuid-vs-etag dispatch, both hex cases."""
+    assert V.media_lookup_kind("9a0d0f35-0000-4000-8000-000000000001") == "uuid"
+    assert V.media_lookup_kind("9A0D0F35-0000-4000-8000-000000000001") == "uuid"
+    assert V.media_lookup_kind("9a4e35834eb80d9af64bcd07ed996b9ec0e60d92") == "etag"
+    assert V.media_lookup_kind("not-a-uuid") == "etag"
