@@ -238,3 +238,72 @@ def media_lookup_kind(key: str) -> str:
     import re as _re
 
     return "uuid" if _re.match(_UUID_RE, key) else "etag"
+
+
+def media_serving_view(
+    media,
+    media_objects,
+    objects,
+    deriv: str | None = None,
+    env: str = "prod",
+):
+    """The full media-lookup serving table — MediaObject.fromurl's
+    three-table join (db.py:618-656: media LEFT JOIN media_objects LEFT
+    JOIN objects, DISTINCT ON (url) ORDER BY modified DESC — the J6
+    latest-object-per-url) composed with the API response assembly
+    (media_storage_url / preview_state / media_api_record above). One
+    row per media url with everything respond_to_record reads, so the
+    OLTP-ish lookup becomes a column read off a materialized view:
+    uuid lookups resolve through the record's accessuri to a url
+    (fromuuid, db.py:681-688) and land here; etag lookups hit the
+    objects side (frometag) — both end in this row shape.
+
+    Scale: latest-object is the J1 max_by kernel (one exchange on url);
+    the objects join keys on etag (broadcast-able — objects is the
+    content-addressed DIM side, one row per distinct blob); nothing
+    else shuffles. A serving layer range-partitioned on url reads
+    point lookups from one partition."""
+    from idb_backend_spark.operators.versioning import latest_per_key_agg
+
+    latest_obj = latest_per_key_agg(
+        media_objects.select("url", F.col("etag").alias("__oetag"), "modified"),
+        ["url"],
+        ["modified"],
+    ).select("url", "__oetag", F.col("modified").alias("__omod"))
+    j = (
+        media.join(latest_obj, "url", "left")
+        .join(
+            objects.select(
+                F.col("etag").alias("__oetag"),
+                F.col("bucket").alias("__bucket"),
+                F.col("detected_mime").alias("__dmime"),
+                F.col("derivatives").alias("__derivs"),
+                F.col("owner").alias("__owner"),
+            ),
+            "__oetag",
+            "left",
+        )
+    )
+    tob = first_nonempty(F.col("type"), F.col("__bucket"))
+    eff_mime = first_nonempty(F.col("__dmime"), F.col("mime"))
+    murl = media_storage_url(
+        F.col("__bucket"), F.col("__oetag"), F.col("__derivs"), deriv, env=env
+    )
+    state = preview_state(murl, eff_mime, tob, F.col("last_status"))
+    return j.select(
+        "url",
+        murl.alias("media_url"),
+        state["text"].alias("preview_text"),
+        state["cache"].alias("cache_s"),
+        media_api_record(
+            F.col("url"),
+            murl,
+            tob,
+            F.col("__oetag"),
+            F.col("__omod"),
+            F.col("__owner"),
+            eff_mime,
+            F.col("last_status"),
+            text=state["text"],
+        ).alias("response"),
+    )

@@ -211,3 +211,56 @@ def test_media_lookup_kind_dispatch():
     assert V.media_lookup_kind("9A0D0F35-0000-4000-8000-000000000001") == "uuid"
     assert V.media_lookup_kind("9a4e35834eb80d9af64bcd07ed996b9ec0e60d92") == "etag"
     assert V.media_lookup_kind("not-a-uuid") == "etag"
+
+
+def test_media_serving_view(spark):
+    """fromurl's 3-table join + latest-object + response assembly
+    (db.py:618-656, v2_media.py:29-77) composed end to end."""
+    import datetime
+
+    media = spark.createDataFrame(
+        [
+            ("http://a/1", "images", "image/jpeg", 200),
+            ("http://a/2", "images", None, None),     # never fetched
+        ],
+        "url string, type string, mime string, last_status int",
+    )
+    t1 = datetime.datetime(2026, 1, 1)
+    t2 = datetime.datetime(2026, 2, 1)
+    media_objects = spark.createDataFrame(
+        [
+            ("http://a/1", "E_OLD", t1),
+            ("http://a/1", "E_NEW", t2),   # latest wins
+        ],
+        "url string, etag string, modified timestamp",
+    )
+    objects = spark.createDataFrame(
+        [
+            ("E_NEW", "images", "image/jpeg", True, "u1"),
+            ("E_OLD", "images", "image/jpeg", False, "u1"),
+        ],
+        "etag string, bucket string, detected_mime string, "
+        "derivatives boolean, owner string",
+    )
+    from idb_backend_spark.query.views import media_serving_view
+
+    got = {r["url"]: r for r in
+           media_serving_view(media, media_objects, objects).collect()}
+    r1 = got["http://a/1"]
+    assert r1["media_url"] == "https://s.idigbio.org/idigbio-images-prod/E_NEW"
+    assert r1["preview_text"] is None and r1["cache_s"] == 345600
+    assert r1["response"]["etag"] == "E_NEW"
+    assert r1["response"]["modified"] == "2026-02-01T00:00:00"
+    # unlanded media: no object row, pending preview
+    r2 = got["http://a/2"]
+    assert r2["media_url"] is None
+    # type present via media.type; mime NULL -> 'No Preview' BEFORE
+    # pending (the precedence pin) ... type or bucket = 'images',
+    # mime = detected(None) or mime(None) = None -> No Preview
+    assert (r2["preview_text"], r2["cache_s"]) == ("No Preview", 86400)
+    # deriv request against the landed row with derivatives=true
+    got_t = {r["url"]: r for r in media_serving_view(
+        media, media_objects, objects, deriv="thumbnail").collect()}
+    assert got_t["http://a/1"]["media_url"] == (
+        "https://s.idigbio.org/idigbio-images-prod-thumbnail/E_NEW.jpg"
+    )
