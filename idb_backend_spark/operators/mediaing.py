@@ -202,6 +202,9 @@ def fetch_eligible(
     hosts like tropicos). Output is ordered by url (:227) and carries
     ``__prefix`` — the PREFIX_RE host-grouping key, NULL for a bare
     ``http://host`` with no path separator (:234 ``m and m.group()``).
+    The ORDER BY is parity with the reference's consecutive-groupby
+    batching; at scale, repartition on ``__prefix`` instead — the
+    per-host grouping needs co-location, not a global sort.
     """
     out = media.filter(fetch_eligibility(stale_before))
     if prefix is not None:
