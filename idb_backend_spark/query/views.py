@@ -259,10 +259,12 @@ def media_serving_view(
     objects side (frometag) — both end in this row shape.
 
     Scale: latest-object is the J1 max_by kernel (one exchange on url);
-    the objects join keys on etag (broadcast-able — objects is the
-    content-addressed DIM side, one row per distinct blob); nothing
-    else shuffles. A serving layer range-partitioned on url reads
-    point lookups from one partition."""
+    the objects join keys on etag — one row per distinct blob, which at
+    corpus scale is LARGE (content-addressed metadata grows with the
+    media), so this is a plain shuffle join on a unique key, broadcast
+    only when materializing a per-batch slice; nothing else shuffles. A
+    serving layer range-partitioned on url reads point lookups from one
+    partition."""
     from idb_backend_spark.operators.versioning import latest_per_key_agg
 
     latest_obj = latest_per_key_agg(
