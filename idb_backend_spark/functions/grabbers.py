@@ -118,15 +118,28 @@ def float_grabber(c: Column | str) -> Column:
 DECIMAL_RE = r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$"
 
 
+#: NaN/Infinity spellings Decimal() ACCEPTS (nan, snan, inf, infinity,
+#: signed, any case) — these do NOT hit the bare except; see below
+NAN_INF_RE = r"(?i)^[+-]?(s?nan|inf(inity)?)$"
+
+
 def decimal_exponent(verbatim: Column | str) -> Column:
     """F5 — the verbatim coordinate's decimal exponent, exactly the
     reference's ``-1 * Decimal(s).as_tuple().exponent``
     (conversions.py:246-251): fractional digits MINUS any scientific-
     notation exponent, so '1.5e-3' reads 4 (precision to the 4th place)
     and '1E2' reads -2 — not just a count of digits after the dot.
-    Unparseable strings (incl. NaN/Infinity, whose tuple exponent is
-    non-numeric) return 0, mirroring the bare except. <=2 triggers the
-    low-precision flag."""
+    Unparseable strings return 0 via the bare except; <=2 triggers the
+    low-precision flag.
+
+    r10 differential finding: NaN/Infinity spellings do NOT except —
+    Decimal parses them, ``as_tuple().exponent`` is the STRING 'n'/'F',
+    and ``-1 * 'n'`` is python string REPETITION, so getExponent
+    returns the EMPTY STRING. The py2 consumer (``exp <= 2``,
+    :457-477) compares '' <= 2 as False — a NaN-shaped coordinate is
+    never low-precision flagged (on py3 the same comparison would
+    crash). Modeled as NULL here: the flag's when() treats NULL as
+    false, reproducing the py2 outcome natively."""
     c = F.col(verbatim) if isinstance(verbatim, str) else verbatim
     s = F.trim(c.cast("string"))
     frac = F.length(F.regexp_extract(s, r"\.(\d+)", 1))
@@ -138,7 +151,11 @@ def decimal_exponent(verbatim: Column | str) -> Column:
     e_val = F.coalesce(
         F.regexp_extract(s, r"[eE]([+-]?\d+)$", 1).try_cast("int"), F.lit(0)
     )
-    return F.when(s.rlike(DECIMAL_RE), frac - e_val).otherwise(F.lit(0))
+    return (
+        F.when(s.rlike(NAN_INF_RE), F.lit(None).cast("int"))
+        .when(s.rlike(DECIMAL_RE), frac - e_val)
+        .otherwise(F.lit(0))
+    )
 
 
 def grab_first_uuid(c: Column | str) -> Column:

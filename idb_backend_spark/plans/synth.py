@@ -267,12 +267,17 @@ def decimal_exponent_sql(col: str) -> str:
     """DuckDB twin of grabbers.decimal_exponent — the reference's
     ``-1 * Decimal(s).as_tuple().exponent`` (conversions.py:246-251):
     fractional-digit count minus any scientific exponent; 0 for
-    anything Decimal() would reject. Kept here so every oracle that
-    replicates the low-precision flag derives the exponent the same
-    way the engine does."""
+    anything Decimal() would reject; NULL for NaN/Infinity spellings
+    (the r10 differential finding — Decimal PARSES them, the exponent
+    is a string and ``-1 * 'n'`` is the empty string, which the py2
+    ``<= 2`` consumer reads as not-low-precision). Kept here so every
+    oracle that replicates the low-precision flag derives the exponent
+    the same way the engine does."""
     t = f"trim({col})"
     return (
         f"CASE WHEN regexp_matches({t}, "
+        "'(?i)^[+-]?(s?nan|inf(inity)?)$') THEN NULL "
+        f"WHEN regexp_matches({t}, "
         "'^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$') THEN "
         f"length(regexp_extract({t}, '\\.([0-9]+)', 1)) - "
         f"coalesce(try_cast(regexp_extract({t}, '[eE]([+-]?[0-9]+)$', 1) "

@@ -1,0 +1,296 @@
+"""Differential check of the enrichment kernels against the reference's
+conversions library EXECUTED directly.
+
+``idb/helpers/conversions.py`` loads once its geo/IO dependencies
+(pyproj/shapely/fiona/magic/atomicfile) are stubbed — none of the
+functions compared here touch them. Each family generates randomized
+inputs (seeded), runs the reference function as the oracle, and runs
+the engine's Column kernel through Spark on the same inputs.
+
+Locale note: the reference calls ``locale.setlocale(LC_ALL, '')`` and
+coerces numbers with locale.atoi/atof. This container has only the C
+locale, under which grouped numbers ('2,050') RAISE and coerce to None
+— production ran under en_US.UTF-8 where they parse, which is the
+behavior the engine pins (grabbers.py F3/F4 notes). The numeric
+differentials therefore exclude comma-grouped tokens; the grouping arm
+stays covered by the transcription-pinned goldens in
+tests/test_enrichment.py.
+"""
+
+from __future__ import annotations
+
+import datetime
+import random
+import sys
+import types
+from unittest import mock
+
+import pytest
+from pyspark.sql import functions as F
+
+from idb_backend_spark.functions import enrichment as E
+from idb_backend_spark.functions import grabbers as G
+
+
+@pytest.fixture(scope="module")
+def ref():
+    fake_pytz = types.ModuleType("pytz")
+    fake_pytz.utc = datetime.timezone.utc
+    sys.modules.setdefault("pytz", fake_pytz)
+    for name in (
+        "pyproj",
+        "shapely",
+        "shapely.wkt",
+        "shapely.geometry",
+        "shapely.prepared",
+        "fiona",
+        "atomicfile",
+        "magic",
+    ):
+        sys.modules.setdefault(name, mock.MagicMock())
+    sys.path.insert(0, "/root/reference")
+    from idb.helpers import conversions as C
+
+    return C
+
+
+_NUMERIC_STRINGS = [
+    "12", " -3 ", "+40", "12.7", ".5", "12.", "-0.0", "00123",
+    "about 7 m", "x", "", "12 34", "1e5", "3.222.111", "7,5",
+    "elev 450m", "-", "+", "NaN", "99999999", "0", "  42  ",
+]
+
+
+def test_number_grabbers_vs_reference(ref, spark):
+    import locale
+
+    df = spark.createDataFrame([(s,) for s in _NUMERIC_STRINGS], "v string")
+    got = df.select(
+        "v",
+        G.grab_first_number("v").alias("f"),
+        G.int_grabber("v").alias("i"),
+    ).collect()
+    by_v = {r["v"]: r for r in got}
+    for s in _NUMERIC_STRINGS:
+        tok = ref.grabFirstNumber(s)
+        if tok is None:
+            exp_f, exp_i = None, None
+        else:
+            try:
+                exp_f = locale.atof(tok)
+            except ValueError:
+                exp_f = None
+            try:
+                exp_i = locale.atoi(tok)
+            except ValueError:
+                exp_i = None
+        r = by_v[s]
+        assert r["f"] == exp_f, (s, tok, r["f"], exp_f)
+        assert r["i"] == exp_i, (s, tok, r["i"], exp_i)
+
+
+def test_decimal_exponent_vs_reference(ref, spark):
+    vals = [
+        "12.3450", "1.2e-3", "1E2", "-0.5", "7", "7.", ".25", "abc",
+        "", "12,5", "+3.14159", "0.00", "2e0", "-1.5E+2", "nan", "Infinity",
+    ]
+    df = spark.createDataFrame([(s,) for s in vals], "v string")
+    got = {r["v"]: r["o"] for r in df.select(
+        "v", G.decimal_exponent("v").alias("o")).collect()}
+    for s in vals:
+        exp = ref.getExponent(s)
+        if exp == "":
+            # the r10 differential finding: NaN/Infinity parse in
+            # Decimal, the tuple exponent is a STRING, and -1 * 'n' is
+            # python string repetition -> '' (not an exception). The py2
+            # consumer's '' <= 2 is False — engine models that as NULL
+            assert got[s] is None, (s, got[s])
+        else:
+            assert got[s] == exp, (s, got[s], exp)
+
+
+def test_grab_first_uuid_vs_reference(ref, spark):
+    vals = [
+        "http://x/AB12CD34-0000-4000-8000-00000000000F/media",
+        "urn:uuid:ab12cd34-0000-4000-8000-00000000000f",
+        "no uuid here",
+        "prefix 12345678-1234-1234-1234-1234567890ab suffix",
+        "",
+    ]
+    df = spark.createDataFrame([(s,) for s in vals], "v string")
+    got = {r["v"]: r["o"] for r in df.select(
+        "v", G.grab_first_uuid("v").alias("o")).collect()}
+    for s in vals:
+        assert got[s] == ref.grabFirstUUID(s), s
+
+
+def test_get_license_vs_reference(ref, spark):
+    """getLicense probes RAW values with NO fold and only for
+    mediarecords (its records field list is EMPTY — records never get a
+    license from this path); majority over the five fields."""
+    from idb_backend_spark.data.licenses import LICENSE_TRANS
+
+    rng = random.Random(77)
+    keys = sorted(LICENSE_TRANS)
+    fields = [
+        "dcterms:rights", "dc:rights", "xmpRights:UsageTerms",
+        "xmpRights:WebStatement", "dcterms:license",
+    ]
+    # records: always {}
+    assert ref.getLicense("records", {"dcterms:rights": keys[0]}) == {}
+
+    for _ in range(25):
+        d = {}
+        for f in fields:
+            roll = rng.random()
+            if roll < 0.5:
+                d[f] = rng.choice(keys)
+            elif roll < 0.7:
+                d[f] = "all rights reserved etc"
+        expect = ref.getLicense("mediarecords", d)
+        # engine: exact-value lookup per field + majority (ties are the
+        # reference's set-order — regenerate until untied)
+        tags = [
+            LICENSE_TRANS[d[f]]
+            for f in fields
+            if f in d and d[f] in LICENSE_TRANS
+        ]
+        if not tags:
+            assert expect == {}
+            continue
+        counts = {t: tags.count(t) for t in set(tags)}
+        top = sorted(counts.values(), reverse=True)
+        if len(top) > 1 and top[0] == top[1]:
+            continue  # tied: the reference's max(set(...)) order is py-hash
+        eng_tag = max(counts, key=counts.get)
+        assert expect == E.license_attributes(eng_tag), (d, eng_tag, expect)
+
+
+def test_fix_bor_vs_reference(ref, spark):
+    vals = [
+        "preservedspecimen", "a preserved thing", "fossil", "livingspecimen",
+        "material sample", "weird specimen", "machine observation",
+        "machineobservation", "observation", "human observation",
+        "occurrence", "exsiccati", "machine reading of a preserved specimen",
+        None,
+    ]
+    df = spark.createDataFrame([(s,) for s in vals], "v string")
+    out = E.fix_basis_of_record(F.col("v"))
+    got = {
+        r["v"]: r
+        for r in df.select(
+            "v",
+            out["value"].alias("value"),
+            out["flag_removed"].alias("rm"),
+            out["flag_invalid"].alias("inv"),
+        ).collect()
+    }
+    for s in vals:
+        r = {"basisofrecord": s} if s is not None else {}
+        ref.fixBOR("records", r)
+        g = got[s]
+        assert g["value"] == r.get("basisofrecord"), (s, g["value"], r)
+        assert bool(g["rm"]) == bool(r.get("flag_dwc_basisofrecord_removed")), s
+        assert bool(g["inv"]) == bool(r.get("flag_dwc_basisofrecord_invalid")), s
+
+
+def test_access_uri_and_media_type_vs_reference(ref, spark):
+    rng = random.Random(99)
+    cases = []
+    for i in range(40):
+        d = {}
+        if rng.random() < 0.6:
+            d["ac:accessURI"] = rng.choice(["http://a/" + str(i), "", " padded "])
+        if rng.random() < 0.5:
+            d["ac:bestQualityAccessURI"] = rng.choice(["http://b/" + str(i), ""])
+        if rng.random() < 0.6:
+            d["dcterms:identifier"] = rng.choice(["http://dct/" + str(i), ""])
+        if rng.random() < 0.6:
+            d["dc:identifier"] = "http://dc/" + str(i)
+        # the format or-chain (dcterms:format -> dc:format ->
+        # ac:bestQualityFormat): the reference's '' arms fall THROUGH
+        # to the next alternative, so media_type must be fed the
+        # first_nonempty composition, never a bare field
+        for f in ("dcterms:format", "dc:format", "ac:bestQualityFormat"):
+            if rng.random() < 0.4:
+                d[f] = rng.choice(
+                    ["image/jpeg", " Image/JPEG ", "audio/mpeg3",
+                     "image/png", "", "video/mp4"]
+                )
+        cases.append(d)
+    rows = [
+        (
+            i,
+            d.get("ac:accessURI"),
+            d.get("ac:bestQualityAccessURI"),
+            d.get("dcterms:identifier"),
+            d.get("dc:identifier"),
+            any(k.startswith("ac:") for k in d),
+            d.get("dcterms:format"),
+            d.get("dc:format"),
+            d.get("ac:bestQualityFormat"),
+        )
+        for i, d in enumerate(cases)
+    ]
+    df = spark.createDataFrame(
+        rows, "i int, au string, bq string, dct string, dc string, "
+        "has_ac boolean, f1 string, f2 string, f3 string"
+    )
+    fmt, bucket = E.media_type(
+        E.first_nonempty(F.col("f1"), F.col("f2"), F.col("f3"))
+    )
+    got = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            E.access_uri(
+                F.col("au"), F.col("bq"), F.col("dct"), F.col("dc"),
+                F.col("has_ac"),
+            ).alias("uri"),
+            fmt.alias("fmt"),
+            bucket.alias("bucket"),
+        ).collect()
+    }
+    for i, d in enumerate(cases):
+        exp_uri = ref.get_accessuri("mediarecords", d)["accessuri"]
+        exp_mt = ref.get_media_type("mediarecords", d)
+        g = got[i]
+        assert g["uri"] == exp_uri, (i, d, g["uri"], exp_uri)
+        assert g["fmt"] == exp_mt["format"], (i, d, g["fmt"], exp_mt)
+        assert g["bucket"] == exp_mt["mediatype"], (i, d, g["bucket"], exp_mt)
+
+
+def test_verbatim_projection_vs_reference(ref, spark):
+    """getfield/verbatimGrabber over randomized raw maps: random key
+    CASE (the lookup is case-insensitive), padded/mixed-case values
+    (lowercase+strip fold), list values for list-typed rows."""
+    from idb_backend_spark.data.typed_schema import raw_fields
+
+    rng = random.Random(31337)
+    rf = raw_fields("records")
+    # choose a manageable slice of string-typed fields
+    str_fields = [x for x in rf if x[2] in ("text", "longtext")][:25]
+    cases = []
+    for i in range(20):
+        d = {}
+        for name, rawfield, reftype in rng.sample(str_fields, rng.randint(3, 10)):
+            key = rawfield if rng.random() < 0.5 else rawfield.upper()
+            d[key] = rng.choice(["  Acer Rubrum ", "X", "", " mixed CASE "])
+        cases.append(d)
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(cases)],
+        "id int, data map<string,string>",
+    )
+    from idb_backend_spark.data.typed_schema import verbatim_projection
+
+    got = {
+        r["id"]: r.asDict()
+        for r in verbatim_projection(df, "records", keep=["id"]).collect()
+    }
+    for i, d in enumerate(cases):
+        expect = ref.verbatimGrabber("records", d)
+        g = got[i]
+        for name, rawfield, reftype in str_fields:
+            assert g.get(name) == expect.get(name), (
+                i, name, rawfield, g.get(name), expect.get(name), d,
+            )
