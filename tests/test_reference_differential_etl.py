@@ -392,3 +392,145 @@ def test_date_fallback_vs_reference(ref, spark):
                 expect.date() if isinstance(expect, _dt.datetime) else expect
             )
             assert g_date == exp_date, (i, raw, g_date, exp_date)
+
+
+def test_etag_vs_reference(spark):
+    """calcEtag/objectHasher (idb/helpers/etags.py — imports clean, no
+    stubs needed) vs the engine's canonical hashers over randomized
+    nested structures: byte-exact identity is the versioning/dedup
+    contract (SURVEY §7.7 #1)."""
+    sys.path.insert(0, "/root/reference")
+    from idb.helpers import etags as ref_etags
+
+    from idb_backend_spark.functions.etags import calc_etag, object_hash
+
+    rng = random.Random(4242)
+
+    def rand_val(depth=0):
+        roll = rng.random()
+        if roll < 0.3:
+            return rng.choice(["Acer", "", "ünïcødé ☃", "a\"b\\c", "x" * 50])
+        if roll < 0.45:
+            return rng.randint(-10**6, 10**6)
+        if roll < 0.55:
+            return round(rng.uniform(-1000, 1000), 6)
+        if roll < 0.6:
+            return rng.choice([True, False, None])
+        if depth >= 2:
+            return "leaf"
+        if roll < 0.8:
+            return [rand_val(depth + 1) for _ in range(rng.randint(0, 4))]
+        return {f"k{rng.randint(0, 9)}": rand_val(depth + 1)
+                for _ in range(rng.randint(0, 4))}
+
+    for _ in range(50):
+        flat = {f"f{rng.randint(0, 20)}": rng.choice(
+            ["Acer", "ünïcødé", str(rng.random()), ""]
+        ) for _ in range(rng.randint(1, 8))}
+        assert calc_etag(flat) == ref_etags.calcEtag(flat), flat
+        nested = {f"k{j}": rand_val() for j in range(rng.randint(1, 5))}
+        for st in ("sha1", "sha256", "md5"):
+            assert object_hash(nested, st) == ref_etags.objectHasher(
+                st, nested
+            ), (st, nested)
+            assert object_hash(nested, st, sort_arrays=True) == (
+                ref_etags.objectHasher(st, nested, sort_arrays=True)
+            ), (st, nested)
+
+
+def test_canonical_names_vs_reference(spark):
+    """get_canonical_name (idb/helpers/fieldnames.py:594-631) over the
+    translate_dict's OWN key domain — the reference lookup is an
+    exact-match dict probe (curies and verbatim header variants; a
+    full URI or a case-variant passes through as Unknown), and the
+    engine must agree there. The engine's extra arms (URI->CURIE fold,
+    namespace-strip and lowercase retries) are a DOCUMENTED extension
+    (sources/fieldnames.py get_canonical_name docstring) asserted
+    separately: where the reference degrades to pass-through, the
+    engine may still resolve — but must never resolve to something the
+    registry doesn't hold."""
+    sys.path.insert(0, "/root/reference")
+    from idb.helpers import fieldnames as ref_fn
+
+    from idb_backend_spark.sources.fieldnames import get_canonical_name
+
+    rng = random.Random(5151)
+    keys = sorted(ref_fn.translate_dict)
+    sample = rng.sample(keys, min(300, len(keys)))
+    for k in sample:
+        expect = tuple(ref_fn.get_canonical_name(k))
+        got = get_canonical_name(k)
+        assert got == expect, (k, got, expect)
+    # unknown plain headers: both degrade to (field, Unknown)
+    for k in ["plainheader", "zzz:nothing", "field with spaces"]:
+        assert get_canonical_name(k) == tuple(ref_fn.get_canonical_name(k)), k
+    # the engine extensions: reference passes a term URI through as
+    # Unknown; the engine folds it to the registered CURIE
+    uri = "http://rs.tdwg.org/dwc/terms/basisOfRecord"
+    assert tuple(ref_fn.get_canonical_name(uri)) == (uri, "Unknown")
+    eng = get_canonical_name(uri)
+    assert eng[0] == "dwc:basisOfRecord" and eng[1] != "Unknown"
+    known = {v[0] for v in ref_fn.translate_dict.values()}
+    # every engine resolution must land inside the reference registry
+    for k in sample[:50]:
+        got = get_canonical_name(k.upper())
+        assert got[0] in known or got == (
+            "".join(ch for ch in k.upper() if ch.isprintable()),
+            "Unknown",
+        ) or got[0] == k.upper() or got[0] is None, (k, got)
+
+
+def test_set_flags_and_dqs_vs_reference(ref, spark):
+    """setFlags (conversions.py:235-261) over the geopoint/date flag
+    table, and the dqs score (:264-271) — compared on planted typed
+    rows through the engine's native flag/score expressions."""
+    import datetime as _dt
+
+    from idb_backend_spark.functions import flags as FL
+
+    cases = [
+        ((0.0, 10.0), None),
+        ((10.0, 0.0), None),
+        ((12.5, -12.5), None),
+        ((12.5, 12.5), None),
+        ((45.0, -100.0), None),
+        (None, None),
+        ((45.0, -100.0), _dt.datetime(1400, 1, 1, tzinfo=_dt.timezone.utc)),
+        ((45.0, -100.0), _dt.datetime(1999, 6, 1, tzinfo=_dt.timezone.utc)),
+        ((0.0, 0.0), _dt.datetime(2990, 1, 1, tzinfo=_dt.timezone.utc)),
+    ]
+    rows = [
+        (
+            i,
+            {"lat": gp[0], "lon": gp[1]} if gp else None,
+            dc.replace(tzinfo=None) if dc else None,
+        )
+        for i, (gp, dc) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(
+        rows, "i int, geopoint struct<lat:double,lon:double>, dc timestamp"
+    )
+    lat, lon = F.col("geopoint.lat"), F.col("geopoint.lon")
+    coord_flags = FL.standard_coord_flags(lat, lon)
+    date_flag = FL.flag_when(
+        "datecollected_bounds",
+        F.col("dc").isNotNull()
+        & (
+            (F.col("dc") < F.lit("1500-01-02").cast("timestamp"))
+            | (F.col("dc") > F.current_timestamp())
+        ),
+    )
+    got = {
+        r["i"]: r["flags"]
+        for r in df.select(
+            "i", FL.fold_flags(*coord_flags, date_flag).alias("flags")
+        ).collect()
+    }
+    for i, (gp, dc) in enumerate(cases):
+        d = {}
+        if gp is not None:
+            d["geopoint"] = gp
+        if dc is not None:
+            d["datecollected"] = dc
+        expect = ref.setFlags(d)
+        assert sorted(got[i]) == sorted(expect), (i, d, got[i], expect)
