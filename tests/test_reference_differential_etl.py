@@ -534,3 +534,43 @@ def test_set_flags_and_dqs_vs_reference(ref, spark):
             d["datecollected"] = dc
         expect = ref.setFlags(d)
         assert sorted(got[i]) == sorted(expect), (i, d, got[i], expect)
+
+
+def test_dqs_score_vs_reference(ref, spark):
+    """score (conversions.py:264-271) vs the engine's schema-driven dqs
+    on randomized typed dicts: presence-weight sum minus flag count over
+    the type's maxscore, UNCLAMPED (negative scores survive)."""
+    from idb_backend_spark.data.typed_schema import scored_weights
+    from idb_backend_spark.functions import flags as FL
+
+    rng = random.Random(8080)
+    weights = scored_weights("records")
+    names = sorted(weights)
+    cases = []
+    for i in range(25):
+        present = rng.sample(names, rng.randint(0, 20))
+        nflags = rng.randint(0, 12)
+        cases.append((i, present, nflags))
+    rows = [
+        tuple([i] + ["x" if n in present else None for n in names]
+              + [[f"flag{j}" for j in range(nflags)]])
+        for i, present, nflags in cases
+    ]
+    schema = ", ".join(
+        ["i int"] + [f"`{n}` string" for n in names] + ["flags array<string>"]
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        r["i"]: r["dqs"]
+        for r in df.select(
+            "i",
+            FL.dqs_score_for("records", F.col("flags"), columns=names).alias(
+                "dqs"
+            ),
+        ).collect()
+    }
+    for i, present, nflags in cases:
+        d = {n: "x" for n in present}
+        d["flags"] = [f"flag{j}" for j in range(nflags)]
+        expect = ref.score("records", d)
+        assert abs(got[i] - expect) < 1e-12, (i, present, nflags, got[i], expect)
