@@ -77,6 +77,14 @@ def relations_grabber(
     ``links``/``siblings`` are map<string, array<string>> columns (NULL
     map = key absent); returns {outname: Column} for the type's
     RELATION_TABLE rows.
+
+    r10 differential finding: an EMPTY array under a TEXT relation key
+    raises IndexError in the reference (``...[f[1]][0]`` on [],
+    :654/:664 — uncaught, it kills the whole indexing run for one
+    malformed record). The engine yields NULL instead
+    (try_element_at) — the per-row fault-isolation discipline
+    (SURVEY §7.7 #8); pinned as a documented divergence in
+    tests/test_reference_differential_etl.py.
     """
     out: dict[str, Column] = {}
     has_links = links.isNotNull()
@@ -86,9 +94,9 @@ def relations_grabber(
         s_arr = F.try_element_at(siblings, F.lit(key))
         if reftype == "text":
             from_links = F.when(
-                l_arr.isNotNull(), grab_first_uuid(F.element_at(l_arr, 1))
+                l_arr.isNotNull(), grab_first_uuid(F.try_element_at(l_arr, F.lit(1)))
             )
-            from_sibs = F.when(s_arr.isNotNull(), F.element_at(s_arr, 1))
+            from_sibs = F.when(s_arr.isNotNull(), F.try_element_at(s_arr, F.lit(1)))
         else:
             from_links = F.when(l_arr.isNotNull(), related_uuids(l_arr))
             from_sibs = F.when(s_arr.isNotNull(), s_arr)
