@@ -674,3 +674,195 @@ def test_relations_grabber_vs_reference(ref, spark):
                 assert g["hasMedia"] == expect.get("hasMedia", False), (
                     t, i, d, g, expect,
                 )
+
+
+@pytest.fixture(scope="module")
+def ref_db_check():
+    """db_check loads under an auto-stub import hook (every IO/driver
+    dependency fabricated; the functions differentialed here — mungeid,
+    idFromRR, identifyRecord, strip_nuls — touch none of them)."""
+    import importlib.abc
+    import importlib.util
+
+    roots = {
+        "gevent", "psycopg2", "boto3", "botocore", "requests",
+        "elasticsearch", "celery", "redis", "lxml", "pyproj", "shapely",
+        "fiona", "atomicfile", "magic",
+    }
+
+    class AutoStub(importlib.abc.MetaPathFinder, importlib.abc.Loader):
+        def find_spec(self, name, path=None, target=None):
+            if name.split(".")[0] in roots and name not in sys.modules:
+                return importlib.util.spec_from_loader(
+                    name, self, is_package=True
+                )
+            return None
+
+        def create_module(self, spec):
+            m = mock.MagicMock()
+            m.__name__ = spec.name
+            m.__path__ = []
+            m.__spec__ = spec
+            return m
+
+        def exec_module(self, module):
+            pass
+
+    sys.meta_path.insert(0, AutoStub())
+    fake_pytz = types.ModuleType("pytz")
+    fake_pytz.utc = datetime.timezone.utc
+    sys.modules.setdefault("pytz", fake_pytz)
+    sys.path.insert(0, "/root/reference")
+    import botocore.exceptions
+    import psycopg2
+
+    psycopg2.DatabaseError = type("DatabaseError", (Exception,), {})
+    botocore.exceptions.ClientError = type("ClientError", (Exception,), {})
+    stor = mock.MagicMock()
+    stor.__name__ = "idb.helpers.storage"
+    sys.modules.setdefault("idb.helpers.storage", stor)
+    from idigbio_ingestion import db_check as DB
+
+    return DB
+
+
+def test_identify_record_vs_reference(ref_db_check, spark):
+    """identifyRecord (db_check.py:64-87 tables + :152-168) over
+    randomized dwc:Occurrence / dwc:Multimedia dicts (the table is
+    keyed by ROWTYPE, db_check.py:64 — identifyRecord with a storage
+    type name returns nothing): table-order candidate
+    COLLECTION, BOM-strip + trim + final lower, the first-iteration-only
+    idFromRR, rsid namespacing, and the UConn skip."""
+    from idb_backend_spark.functions import finalize as FIN
+
+    DB = ref_db_check
+    rng = random.Random(60606)
+    rsid = "rs-99"
+    vals = ["ABC-1", "  PadDed ", "﻿BOMID", "", "urn:x:Y"]
+
+    rec_cases = []
+    for i in range(40):
+        d = {}
+        for k in ("idigbio:recordId", "idigbio:recordID",
+                  "dwc:occurrenceID", "id", "ID"):
+            if rng.random() < 0.45:
+                d[k] = rng.choice(vals)
+        if rng.random() < 0.5:
+            rr = []
+            for _ in range(rng.randint(1, 2)):
+                e = {}
+                if rng.random() < 0.8:
+                    e["dwc:relatedResourceID"] = rng.choice(vals[:4])
+                if rng.random() < 0.8:
+                    e["dwc:relationshipOfResource"] = rng.choice(
+                        ["representedIn", "sameAs", "isRelatedTo"]
+                    )
+                rr.append(e)
+            d["dwc:ResourceRelationship"] = rr
+        rec_cases.append(d)
+
+    rows = [
+        (
+            i,
+            d.get("dwc:occurrenceID"),
+            d.get("idigbio:recordId"),
+            d.get("id"),
+            d.get("idigbio:recordID"),
+            [
+                (e.get("dwc:relatedResourceID"),
+                 e.get("dwc:relationshipOfResource"))
+                for e in d["dwc:ResourceRelationship"]
+            ]
+            if "dwc:ResourceRelationship" in d
+            else None,
+            d.get("ID"),
+        )
+        for i, d in enumerate(rec_cases)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "i int, occ string, rid string, bid string, ridcap string, "
+        "rr array<struct<relatedResourceID:string,"
+        "relationshipOfResource:string>>, bidcap string",
+    )
+    got = {
+        r["i"]: r["ids"]
+        for r in df.select(
+            "i",
+            FIN.record_identifiers(
+                F.lit(rsid), F.col("occ"), F.col("rid"), F.col("bid"),
+                record_id_cap=F.col("ridcap"),
+                resource_relationship=F.col("rr"),
+                bare_id_cap=F.col("bidcap"),
+            ).alias("ids"),
+        ).collect()
+    }
+    for i, d in enumerate(rec_cases):
+        expect = [cid for _, _, cid in
+                  DB.identifyRecord("dwc:Occurrence", "ETAG", dict(d), rsid)]
+        assert got[i] == expect, (i, d, got[i], expect)
+
+    # mediarecords incl. the UConn skip (equal ids case-insensitively)
+    med_cases = []
+    for i in range(30):
+        d = {}
+        for k in ("idigbio:recordId", "idigbio:recordID"):
+            if rng.random() < 0.4:
+                d[k] = rng.choice(vals)
+        if rng.random() < 0.7:
+            d["ac:providerManagedID"] = rng.choice(["PMID-1", "Shared-X"])
+        if rng.random() < 0.7:
+            d["dcterms:identifier"] = rng.choice(
+                ["http://m/1", "shared-x", "SHARED-X"]
+            )
+        med_cases.append(d)
+    mrows = [
+        (
+            i,
+            d.get("idigbio:recordId"),
+            d.get("ac:providerManagedID"),
+            d.get("dcterms:identifier"),
+            d.get("idigbio:recordID"),
+        )
+        for i, d in enumerate(med_cases)
+    ]
+    mdf = spark.createDataFrame(
+        mrows, "i int, rid string, pmid string, dct string, ridcap string"
+    )
+    mgot = {
+        r["i"]: r["ids"]
+        for r in mdf.select(
+            "i",
+            FIN.media_identifiers(
+                F.lit(rsid), F.col("rid"), F.col("pmid"), F.col("dct"),
+                record_id_cap=F.col("ridcap"),
+            ).alias("ids"),
+        ).collect()
+    }
+    for i, d in enumerate(med_cases):
+        expect = [cid for _, _, cid in
+                  DB.identifyRecord("dwc:Multimedia", "ETAG", dict(d), rsid)]
+        assert mgot[i] == expect, (i, d, mgot[i], expect)
+
+
+def test_mungeid_and_strip_nuls_vs_reference(ref_db_check, spark):
+    DB = ref_db_check
+    from idb_backend_spark.functions.enrichment import (
+        munge_identifier,
+        strip_nuls,
+    )
+
+    vals = ["﻿ ABC ", "x﻿y", "  pad  ", "", "No\x00tNul"]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {
+        r["v"]: (r["m"], r["n"])
+        for r in df.select(
+            "v",
+            munge_identifier(F.col("v")).alias("m"),
+            strip_nuls(F.col("v")).alias("n"),
+        ).collect()
+    }
+    for v in vals:
+        # identifyRecord lowers AFTER mungeid; the engine folds the two
+        assert got[v][0] == DB.mungeid(v).lower(), v
+        assert got[v][1] == DB.strip_nuls(v), v
