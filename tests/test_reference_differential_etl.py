@@ -866,3 +866,56 @@ def test_mungeid_and_strip_nuls_vs_reference(ref_db_check, spark):
         # identifyRecord lowers AFTER mungeid; the engine folds the two
         assert got[v][0] == DB.mungeid(v).lower(), v
         assert got[v][1] == DB.strip_nuls(v), v
+
+
+def test_collect_common_names_and_genbank_vs_reference(ref, spark):
+    """collect_common_names' lowercase-key gbif loop quirk
+    (conversions.py:818-835 — appends the LOWERCASE-keyed
+    dwc:vernacularname once per gbif entry, so a canonical mixed-case
+    publisher contributes nothing from the loop) and the GenBank
+    accession findall, on randomized combinations."""
+    rng = random.Random(909)
+    cases = []
+    for i in range(25):
+        d = {}
+        if rng.random() < 0.6:
+            d["dwc:vernacularName"] = f"Sugar Maple {i}"
+        if rng.random() < 0.4:
+            d["dwc:vernacularname"] = f"lower maple {i}"
+        if rng.random() < 0.6:
+            d["gbif:vernacularname"] = [f"g{j}" for j in range(rng.randint(0, 3))]
+        if rng.random() < 0.7:
+            d["dwc:associatedSequences"] = rng.choice(
+                ["AB123456; KX-98765", "nothing", "x1234567 yz_12345 q99999"]
+            )
+        cases.append(d)
+    rows = [
+        (
+            i,
+            d.get("dwc:vernacularName"),
+            d.get("gbif:vernacularname"),
+            d.get("dwc:vernacularname"),
+            d.get("dwc:associatedSequences", ""),
+        )
+        for i, d in enumerate(cases)
+    ]
+    df = spark.createDataFrame(
+        rows, "i int, vn string, gvn array<string>, vnl string, seq string"
+    )
+    got = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            G.collect_common_names(
+                F.col("vn"), F.col("gvn"), F.col("vnl")
+            ).alias("cn"),
+            G.genbank_accessions(F.col("seq")).alias("gb"),
+        ).collect()
+    }
+    for i, d in enumerate(cases):
+        exp_cn = ref.collect_common_names("records", dict(d))["commonnames"]
+        exp_gb = ref.collect_genbank_sequences("records", dict(d))[
+            "associatedsequences"
+        ]
+        assert got[i]["cn"] == exp_cn, (i, d, got[i]["cn"], exp_cn)
+        assert got[i]["gb"] == exp_gb, (i, d, got[i]["gb"], exp_gb)
