@@ -919,3 +919,45 @@ def test_collect_common_names_and_genbank_vs_reference(ref, spark):
         ]
         assert got[i]["cn"] == exp_cn, (i, d, got[i]["cn"], exp_cn)
         assert got[i]["gb"] == exp_gb, (i, d, got[i]["gb"], exp_gb)
+
+
+def test_normalize_delimiter_vs_reference(ref_db_check, spark):
+    """DelimitedFile._normalize_delimiter (delimited.py:63-125) vs the
+    engine's normalize_delimiter on the full spelling battery, with the
+    one documented divergence asserted: the reference ``.strip()``s the
+    raw value FIRST, so a LITERAL tab (or space) character — not the
+    '\\t' escape — strips to '' and silently becomes the comma default,
+    mis-splitting every row of a literal-tab TSV; the engine keeps the
+    literal whitespace (sources/delimited.py:72-79's early return)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_delimited", "/root/reference/idigbio_ingestion/lib/delimited.py"
+    )
+    ref_del = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_del)
+
+    from idb_backend_spark.sources.delimited import normalize_delimiter
+
+    def ref_norm(d):
+        inst = object.__new__(ref_del.DelimitedFile)
+        return ref_del.DelimitedFile._normalize_delimiter(inst, d)
+
+    same = [
+        None, "tab", "TAB", "\\t", "\\n", "\\r", "0x09", "0x7C",
+        "&#9;", "&#x9;", "'|'", '"\\t"', "||", ",,", "|", ";", "",
+        b"\t"[:0] + b",",
+    ]
+    for d in same:
+        assert normalize_delimiter(d) == ref_norm(d), repr(d)
+    for bad in ("ab", ";;x"):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            ref_norm(bad)
+        with _pytest.raises(ValueError):
+            normalize_delimiter(bad)
+    # the documented divergence: literal whitespace delimiters
+    for lit in ("\t", " ", "\t\t"):
+        assert ref_norm(lit) == ","  # stripped to '' -> default
+        assert normalize_delimiter(lit) == lit[0]
