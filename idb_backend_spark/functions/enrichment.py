@@ -327,9 +327,14 @@ BOR_RULES: list[tuple[tuple[str, ...], str]] = [
 
 def fix_basis_of_record(bor: Column) -> dict[str, Column]:
     """Returns {"value", "flag_removed", "flag_invalid"} with the
-    reference's rule order, including the machine+observation special case."""
+    reference's rule order, including the machine+observation special
+    case. r10 differential finding: the reference's ``filled()`` is
+    ``k in d and d[k] is not None`` (conversions.py:741-742) — an EMPTY
+    STRING counts as present, matches no rule, and is flagged
+    removed+invalid with the value nulled; the old ``v != ''`` gate here
+    silently passed it unflagged."""
     v = getfield(bor)
-    filled = v.isNotNull() & (v != "")
+    filled = v.isNotNull()
     expr = None
     for needles, out in BOR_RULES:
         cond = v.contains(needles[0])
@@ -365,9 +370,13 @@ from idb_backend_spark.data.taxon_ranks import (  # noqa: E402
 def fix_taxon_rank(rank: Column) -> dict[str, Column]:
     """Returns {"value", "flag_replaced", "flag_removed", "flag_invalid"}
     (conversions.py:895-913): mapped → replacement (flag when different;
-    None mapping removes); unmapped and not acceptable → removed."""
+    None mapping removes); unmapped and not acceptable → removed.
+    r10 differential finding: ``filled()`` counts an EMPTY STRING as
+    present (conversions.py:741-742), so '' lands in the
+    removed+invalid arm like any unknown rank — the old ``v != ''``
+    gate passed it silently."""
     v = getfield(rank)
-    filled = v.isNotNull() & (v != "")
+    filled = v.isNotNull()
     map_pairs = [
         x
         for k, tgt in TAXON_RANK_MAPPING.items()

@@ -183,19 +183,22 @@ def geo_normalize_flags(spark, sf_dir):
     ).orderBy("c_custkey")
 
 
+#: r10 adds the '' arm (%11=9): the reference's filled() counts an empty
+#: string as PRESENT (conversions.py:741-742), so '' flags
+#: removed+invalid like any unmatched value — graded here
 _BOR_S = (
-    "CASE c_custkey % 10 WHEN 0 THEN 'PreservedSpecimen' WHEN 1 THEN 'fossil' "
+    "CASE c_custkey % 11 WHEN 0 THEN 'PreservedSpecimen' WHEN 1 THEN 'fossil' "
     "WHEN 2 THEN 'Living Specimen' WHEN 3 THEN 'material sample' "
     "WHEN 4 THEN 'some weird specimen' WHEN 5 THEN 'machine observation' "
     "WHEN 6 THEN 'Human Observation' WHEN 7 THEN 'occurrence records' "
-    "WHEN 8 THEN 'Exsiccati' ELSE NULL END"
+    "WHEN 8 THEN 'Exsiccati' WHEN 9 THEN '' ELSE NULL END"
 )
 
 
 @query(
     "bor_normalize",
     "WITH g AS (SELECT c_custkey, lower(trim(" + _BOR_S + ")) AS v FROM customer), "
-    "m AS (SELECT c_custkey, v, v IS NOT NULL AND v != '' AS filled, "
+    "m AS (SELECT c_custkey, v, v IS NOT NULL AS filled, "
     "  CASE WHEN contains(v, 'machine') AND contains(v, 'observation') THEN 'machineobservation' "
     "  WHEN contains(v, 'preserved') THEN 'preservedspecimen' "
     "  WHEN contains(v, 'fossil') THEN 'fossilspecimen' "
@@ -220,18 +223,20 @@ def bor_normalize(spark, sf_dir):
     ).orderBy("c_custkey")
 
 
+#: r10 adds the '' arm (%10=8) — filled() counts '' as present, so it
+#: takes the removed+invalid arm (conversions.py:741-742, :909-911)
 _RANK_S = (
-    "CASE p_partkey % 9 WHEN 0 THEN 'species' WHEN 1 THEN 'Sp.' "
+    "CASE p_partkey % 10 WHEN 0 THEN 'species' WHEN 1 THEN 'Sp.' "
     "WHEN 2 THEN 'Division' WHEN 3 THEN 'unknown' WHEN 4 THEN 'blahblah' "
     "WHEN 5 THEN 'subtribe' WHEN 6 THEN 'family' WHEN 7 THEN 'var.' "
-    "ELSE NULL END"
+    "WHEN 8 THEN '' ELSE NULL END"
 )
 
 
 @query(
     "taxon_rank_normalize",
     "WITH g AS (SELECT p_partkey, lower(trim(" + _RANK_S + ")) AS v FROM part), "
-    "m AS (SELECT p_partkey, v, v IS NOT NULL AND v != '' AS filled, "
+    "m AS (SELECT p_partkey, v, v IS NOT NULL AS filled, "
     "  v IN ('species','sp.','division','unknown','family','var.') AS in_mapping, "
     "  CASE v WHEN 'species' THEN 'species' WHEN 'sp.' THEN 'species' "
     "    WHEN 'division' THEN 'phylum' WHEN 'family' THEN 'family' "

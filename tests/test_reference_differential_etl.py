@@ -172,6 +172,7 @@ def test_fix_bor_vs_reference(ref, spark):
         "material sample", "weird specimen", "machine observation",
         "machineobservation", "observation", "human observation",
         "occurrence", "exsiccati", "machine reading of a preserved specimen",
+        "",  # filled() counts '' as present -> removed+invalid (r10)
         None,
     ]
     df = spark.createDataFrame([(s,) for s in vals], "v string")
@@ -961,3 +962,41 @@ def test_normalize_delimiter_vs_reference(ref_db_check, spark):
     for lit in ("\t", " ", "\t\t"):
         assert ref_norm(lit) == ","  # stripped to '' -> default
         assert normalize_delimiter(lit) == lit[0]
+
+
+def test_fix_taxon_rank_vs_reference(ref, spark):
+    """fix_taxon_rank (conversions.py:895-913) over every mapping key,
+    every acceptable-but-unmapped value, invalids, and the absent arm —
+    mapping-to-None removal, identity pass-through, replacement."""
+    sys.path.insert(0, "/root/reference")
+    from idb.data_tables import taxon_rank as ref_tr
+
+    # fix_taxon_rank consumes the TYPED dict — getfield already
+    # lowercased the value (conversions.py:274-287), so the tables'
+    # mixed-case entries (e.g. 'cultivarGroup' in acceptable) are DEAD
+    # post-fold; the differential feeds the folded domain the pipeline
+    # actually delivers
+    vals = sorted(
+        {v.lower() for v in ref_tr.mapping}
+        | {v.lower() for v in list(ref_tr.acceptable)[:40]}
+    ) + ["definitely-not-a-rank", "sp.", "", None]
+    df = spark.createDataFrame([(v,) for v in vals], "v string").dropDuplicates()
+    out = E.fix_taxon_rank(F.col("v"))
+    got = {
+        r["v"]: r
+        for r in df.select(
+            "v",
+            out["value"].alias("value"),
+            out["flag_removed"].alias("rm"),
+            out["flag_invalid"].alias("inv"),
+            out["flag_replaced"].alias("rep"),
+        ).collect()
+    }
+    for v in vals:
+        r = {"taxonrank": v} if v is not None else {}
+        ref.fix_taxon_rank("records", r)
+        g = got[v]
+        assert g["value"] == r.get("taxonrank"), (v, g["value"], r)
+        assert bool(g["rm"]) == bool(r.get("flag_dwc_taxonrank_removed")), v
+        assert bool(g["inv"]) == bool(r.get("flag_dwc_taxonrank_invalid")), v
+        assert bool(g["rep"]) == bool(r.get("flag_dwc_taxonrank_replaced")), v
