@@ -1485,3 +1485,41 @@ def media_url_discovery(spark, sf_dir):
         M.fetch_eligibility("2026-07-01").alias("eligible"),
         M.classify_html_response(content, dm).alias("html_status"),
     ).orderBy("url")
+
+
+# The media serving view (query/views.py media_serving_view — fromurl's
+# 3-table join + latest object + API response assembly). Registered
+# graded=False (rotation ceiling; unit pins in tests/test_views.py);
+# runnable for timing/smoke over a part-derived media/objects domain.
+@query("media_serving_table", graded=False)
+def media_serving_table(spark, sf_dir):
+    from idb_backend_spark.query.views import media_serving_view
+
+    part = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    url = F.concat(F.lit("http://h/m/"), k.cast("string"))
+    media = part.select(
+        url.alias("url"),
+        F.when(k % 7 > 0, F.lit("images")).alias("type"),
+        F.when(k % 5 > 0, F.lit("image/jpeg")).alias("mime"),
+        F.when(k % 3 == 0, F.lit(200)).cast("int").alias("last_status"),
+    )
+    media_objects = part.filter(k % 2 == 0).select(
+        url.alias("url"),
+        F.md5(k.cast("string")).alias("etag"),
+        F.lit("2026-01-01").cast("timestamp").alias("modified"),
+    ).unionByName(
+        part.filter(k % 4 == 0).select(
+            url.alias("url"),
+            F.md5((k + 1).cast("string")).alias("etag"),
+            F.lit("2026-02-01").cast("timestamp").alias("modified"),
+        )
+    )
+    objects = media_objects.select(
+        "etag",
+        F.lit("images").alias("bucket"),
+        F.lit("image/jpeg").alias("detected_mime"),
+        (F.crc32(F.col("etag")) % 2 == 0).alias("derivatives"),
+        F.lit("ingest").alias("owner"),
+    ).dropDuplicates(["etag"])
+    return media_serving_view(media, media_objects, objects).orderBy("url")
