@@ -69,6 +69,10 @@ HEADLINE = [
     "etl_enrichment_pipeline",
     "datum_shift_molodensky",
     "corpus_curation_pipeline",
+    # r11 promotions (S15/P15) — keep their timings on the headline so
+    # the serving-view join and the dominance rollup stay perf-tracked
+    "media_serving_table",
+    "datasets_index_codes",
 ]
 
 

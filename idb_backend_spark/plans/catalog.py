@@ -68,6 +68,18 @@ deterministic_sample and tombstone_deletes were retired instead
 (mixture_sample grades the same md5-cut kernel; anti_join_deletes +
 ingest_e2e's detect_deletes path grade both halves of U2).
 
+Round-11 promotions — the last two §2 components without driver
+evidence, `datasets_index_codes` (S15) and `media_serving_table` (P15),
+promoted to graded slots (verdict r10 task 1). The two slots: (a)
+`ann_cosine_topk` retired from grading (q_textsim.py — its brute-force
+rounded-cosine top-k kernel IS the oracle inside `ivf_ann_topk` and
+`pq_recall_audit`, both graded; kept graded=False on bench's HEADLINE),
+and (b) `shim_geo_distance` FOLDED into `shim_geo_bounding_box`
+(q_shim.py — P9's dispatch grades as the `in_dist_p9` projected flag
+plus the `dist_km` haversine projection, the same fold discipline as
+r10's shim_geo_polygon -> shim_geo_shape). Both retirements come from
+the r11 rotation front so the computed front stays at exactly 50.
+
 Round-8 registrations — the grading queue is now EMPTY: the last two
 queued operators, tfidf_top_terms (operators/tfidf.py, twin
 tfidf_top_terms_sql, rounded-score ranking with integer tie-break) and

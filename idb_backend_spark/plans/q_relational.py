@@ -505,15 +505,13 @@ def ordered_group_iteration(spark, sf_dir):
 
 
 # Static-datasets-index dominant codes (generate_static_datasets_index
-# .py:74-100). Registered graded=False: the catalog sits at the 2x50
-# rotation ceiling and this round's freed slot went to
-# media_url_discovery (q_store.py) — first candidate for promotion at
-# the next retirement. _DATASETS_INDEX_ORACLE below is the
-# promotion-ready DuckDB twin (verified locally — flip graded and pass
-# it to @query to promote); the kernel quirks (strict >0.9 gate with
-# the total-docs denominator, the single-bucket OR arm, verbatim cc vs
-# true_ic-folded ic, count-desc/key-asc top bucket) are unit-pinned in
-# tests/test_datasets_index.py meanwhile.
+# .py:74-100). PROMOTED to a graded slot in round 11 (the slot freed by
+# the ann_cosine_topk retirement, q_textsim.py — verdict r10 task 1;
+# registered graded=False in r10 only because the catalog sat at the
+# 2x50 rotation ceiling). The kernel quirks (strict >0.9 gate with the
+# total-docs denominator, the single-bucket OR arm, verbatim cc vs
+# true_ic-folded ic, count-desc/key-asc top bucket) stay unit-pinned in
+# tests/test_datasets_index.py; the oracle grades them end-to-end.
 _DATASETS_INDEX_ORACLE = (
     "WITH g AS (SELECT CAST(user_id % 6 AS VARCHAR) AS rs, "
     "  CASE CAST(user_id % 6 AS INT) "
@@ -553,7 +551,7 @@ _DATASETS_INDEX_ORACLE = (
 )
 
 
-@query("datasets_index_codes", graded=False)
+@query("datasets_index_codes", _DATASETS_INDEX_ORACLE)
 def datasets_index_codes(spark, sf_dir):
     """Per-recordset dominant institution/collection codes over a
     synthesized (recordset, ic, cc) domain: events.user_id as the

@@ -101,50 +101,47 @@ _SHIM_BBOX = {
     }
 }
 
-
-@query(
-    "shim_geo_bounding_box",
-    "SELECT c_custkey, lat, lon FROM (SELECT c_custkey, "
-    f"{_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM customer) g "
-    "WHERE (lat <= 40.0 AND lat >= 10.0) AND (lon >= -100.0 AND lon <= -60.0) "
-    "ORDER BY c_custkey",
-)
-def shim_geo_bbox(spark, sf_dir):
-    """P8 — geo_bounding_box over the engine's geopoint struct."""
-    g = (
-        _t(spark, sf_dir, "customer")
-        .withColumn("lat", F.expr(_GEO_LAT))
-        .withColumn("lon", F.expr(_GEO_LON))
-        .withColumn("geopoint", F.struct(F.col("lat"), F.col("lon")))
-    )
-    return (
-        g.filter(compile_shim(_SHIM_BBOX))
-        .select("c_custkey", "lat", "lon")
-        .orderBy("c_custkey")
-    )
-
+# Entry `shim_geo_distance` retired round 11 (slot freed for the P15
+# `media_serving_table` promotion, q_store.py), FOLDED into
+# `shim_geo_bounding_box` below — the same fold discipline as r10's
+# shim_geo_polygon -> shim_geo_shape: P9's one distinct piece is the
+# `{"type": "geo_distance", ...}` shim DISPATCH plus the haversine
+# kernel, and both now grade inside the bbox slot as the projected
+# `in_dist_p9` flag (compiled through compile_shim's geo_distance
+# branch) and the rounded `dist_km` projection (the retired entry's
+# exact output column, same 29.65/-82.32/2000km parameters). The
+# standalone filter shape keeps its unit matrix in tests/test_shim.py.
 
 _SHIM_GEODIST = {
     "geopoint": {"type": "geo_distance", "lat": 29.65, "lon": -82.32,
                  "distance": "2000km"}
 }
 
+#: the retired entry's haversine rendering, verbatim (DuckDB side)
+_HAV_SQL = (
+    "2 * 6371.0088 * asin(sqrt(pow(sin(radians(lat - (29.65)) / 2), 2)"
+    " + cos(radians(29.65)) * cos(radians(lat))"
+    " * pow(sin(radians(lon - (-82.32)) / 2), 2)))"
+)
+
 
 @query(
-    "shim_geo_distance",
-    "SELECT c_custkey, round(2 * 6371.0088 * asin(sqrt("
-    "pow(sin(radians(lat - (29.65)) / 2), 2)"
-    " + cos(radians(29.65)) * cos(radians(lat))"
-    " * pow(sin(radians(lon - (-82.32)) / 2), 2))), 1) AS dist_km "
+    "shim_geo_bounding_box",
+    "SELECT c_custkey, lat, lon, "
+    f"round({_HAV_SQL}, 1) AS dist_km, "
+    f"({_HAV_SQL} <= 2000) AS in_dist_p9 "
     "FROM (SELECT c_custkey, "
     f"{_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM customer) g "
-    "WHERE 2 * 6371.0088 * asin(sqrt(pow(sin(radians(lat - (29.65)) / 2), 2)"
-    " + cos(radians(29.65)) * cos(radians(lat))"
-    " * pow(sin(radians(lon - (-82.32)) / 2), 2))) <= 2000 "
+    "WHERE (lat <= 40.0 AND lat >= 10.0) AND (lon >= -100.0 AND lon <= -60.0) "
     "ORDER BY c_custkey",
 )
-def shim_geo_distance(spark, sf_dir):
-    """P9 — geo_distance (haversine, native expression)."""
+def shim_geo_bbox(spark, sf_dir):
+    """P8/P9 — geo_bounding_box filter over the engine's geopoint
+    struct, with the retired shim_geo_distance slot folded in (r11):
+    `in_dist_p9` is P9's `{"type": "geo_distance"}` dispatch compiled
+    through the shim (query_shim.py:80-84) projected as a flag, and
+    `dist_km` is the haversine kernel itself — both stay driver-graded
+    in this one slot."""
     from idb_backend_spark.query.shim import haversine_km
 
     g = (
@@ -157,8 +154,14 @@ def shim_geo_distance(spark, sf_dir):
         F.col("lat"), F.col("lon"), F.lit(29.65), F.lit(-82.32)
     )
     return (
-        g.filter(compile_shim(_SHIM_GEODIST))
-        .select("c_custkey", F.round(dist, 1).alias("dist_km"))
+        g.filter(compile_shim(_SHIM_BBOX))
+        .select(
+            "c_custkey",
+            "lat",
+            "lon",
+            F.round(dist, 1).alias("dist_km"),
+            compile_shim(_SHIM_GEODIST).alias("in_dist_p9"),
+        )
         .orderBy("c_custkey")
     )
 

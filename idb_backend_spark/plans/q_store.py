@@ -1488,10 +1488,59 @@ def media_url_discovery(spark, sf_dir):
 
 
 # The media serving view (query/views.py media_serving_view — fromurl's
-# 3-table join + latest object + API response assembly). Registered
-# graded=False (rotation ceiling; unit pins in tests/test_views.py);
-# runnable for timing/smoke over a part-derived media/objects domain.
-@query("media_serving_table", graded=False)
+# 3-table join + latest object + API response assembly). PROMOTED to a
+# graded slot in round 11 (the slot freed by folding shim_geo_distance
+# into shim_geo_bounding_box, q_shim.py — verdict r10 task 1; registered
+# graded=False in r10 only because the catalog sat at the rotation
+# ceiling). The oracle replicates the closed-form of the part-derived
+# domain: latest-object per url (the k%4 second version wins over the
+# k%2 first by `modified`), the type/mime Python-or folds, the storage
+# URL gate, the preview-text precedence chain, and the falsy-dropping
+# response dict — the map<string,string> response is canonicalized to a
+# sorted `k=v;...` string on BOTH sides (map value-hash parity across
+# engines is collection-library dependent; the string is not).
+@query(
+    "media_serving_table",
+    "WITH d AS (SELECT p_partkey AS k, "
+    "  'http://h/m/' || CAST(p_partkey AS VARCHAR) AS url, "
+    "  CASE WHEN p_partkey % 4 = 0 THEN md5(CAST(p_partkey + 1 AS VARCHAR)) "
+    "       WHEN p_partkey % 2 = 0 THEN md5(CAST(p_partkey AS VARCHAR)) "
+    "  END AS etag, "
+    "  CASE WHEN p_partkey % 4 = 0 THEN '2026-02-01T00:00:00' "
+    "       WHEN p_partkey % 2 = 0 THEN '2026-01-01T00:00:00' "
+    "  END AS mod_iso, "
+    "  CASE WHEN p_partkey % 7 > 0 OR p_partkey % 2 = 0 THEN 'images' "
+    "  END AS tob, "
+    "  CASE WHEN p_partkey % 2 = 0 OR p_partkey % 5 > 0 THEN 'image/jpeg' "
+    "  END AS mime_eff, "
+    "  CASE WHEN p_partkey % 3 = 0 THEN 200 END AS last_status "
+    "  FROM part), "
+    "s AS (SELECT *, CASE WHEN etag IS NOT NULL THEN "
+    "  'https://s.idigbio.org/idigbio-images-prod/' || etag END AS media_url "
+    "  FROM d), "
+    "st AS (SELECT *, "
+    "  CASE WHEN media_url IS NOT NULL THEN NULL "
+    "       WHEN mime_eff IS NULL OR tob IS NULL THEN 'No Preview' "
+    "       WHEN last_status IS NULL THEN 'Preview Pending' "
+    "       ELSE 'No Preview' END AS preview_text, "
+    "  CASE WHEN media_url IS NOT NULL THEN 345600 "
+    "       WHEN mime_eff IS NULL OR tob IS NULL THEN 86400 "
+    "       WHEN last_status IS NULL THEN 600 "
+    "       ELSE 86400 END AS cache_s "
+    "  FROM s) "
+    "SELECT url, media_url, preview_text, cache_s, concat_ws(';', "
+    "  CASE WHEN etag IS NOT NULL THEN 'etag=' || etag END, "
+    "  'filereference=' || url, "
+    "  CASE WHEN last_status IS NOT NULL AND last_status != 0 "
+    "    THEN 'last_status=' || CAST(last_status AS VARCHAR) END, "
+    "  CASE WHEN mime_eff IS NOT NULL THEN 'mime=' || mime_eff END, "
+    "  CASE WHEN mod_iso IS NOT NULL THEN 'modified=' || mod_iso END, "
+    "  CASE WHEN preview_text IS NOT NULL THEN 'text=' || preview_text END, "
+    "  CASE WHEN tob IS NOT NULL THEN 'type=' || tob END, "
+    "  CASE WHEN media_url IS NOT NULL THEN 'url=' || media_url END, "
+    "  CASE WHEN etag IS NOT NULL THEN 'user=ingest' END"
+    ") AS response_kv FROM st ORDER BY url",
+)
 def media_serving_table(spark, sf_dir):
     from idb_backend_spark.query.views import media_serving_view
 
@@ -1519,7 +1568,26 @@ def media_serving_table(spark, sf_dir):
         "etag",
         F.lit("images").alias("bucket"),
         F.lit("image/jpeg").alias("detected_mime"),
+        # populated but output-neutral here: derivatives only gates the
+        # deriv-suffixed storage URL, and this entry serves deriv=None
         (F.crc32(F.col("etag")) % 2 == 0).alias("derivatives"),
         F.lit("ingest").alias("owner"),
     ).dropDuplicates(["etag"])
-    return media_serving_view(media, media_objects, objects).orderBy("url")
+    v = media_serving_view(media, media_objects, objects)
+    # canonical sorted k=v; rendering of the response map — struct sort
+    # on (key, value) orders by key (keys are unique), matching the
+    # oracle's alphabetical concat_ws arms
+    resp = F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(F.col("response"))),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        ),
+        ";",
+    )
+    return v.select(
+        "url",
+        "media_url",
+        "preview_text",
+        "cache_s",
+        resp.alias("response_kv"),
+    ).orderBy("url")

@@ -94,17 +94,26 @@ def lang_id_heuristic(spark, sf_dir):
 # anyway — the graded entries are the ones a 100 TB run executes.
 
 
-@query(
-    "ann_cosine_topk",
-    "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) "
-    "SELECT vec_id, round(" + cosine_sql("e.embedding", "q.qv") + ", 4) AS cosine "
-    "FROM embeddings e, q ORDER BY cosine DESC, vec_id LIMIT 10",
-)
+# Catalog entry `ann_cosine_topk` retired from GRADING in round 11 to
+# free a slot for the S15 `datasets_index_codes` promotion
+# (q_relational.py) — same discipline as the round-8 dqs_score /
+# latest_object_per_url retirements: the brute-force rounded-cosine
+# top-k kernel stays ORACLE-graded every rotation because it IS the
+# oracle of `ivf_ann_topk` (the exact-cosine top-10 at 6 decimals the
+# IVF result must reproduce) and of `pq_recall_audit` (whose audit
+# contract hashes the exact-cosine id sets), both computed through the
+# same functions/similarity.cosine_similarity expression this entry
+# projects. Kept runnable (graded=False) for bench.py's HEADLINE and
+# smoke; the batched-multi-query variant keeps its value tests in
+# tests/test_properties.py and its broadcast-plan test in
+# tests/test_plan_properties.py.
+@query("ann_cosine_topk", graded=False)
 def ann_cosine_topk(spark, sf_dir):
     """Similarity search — brute-force cosine top-k (exact baseline).
 
-    Rounded to 4 decimals on both sides; ordering computed on the rounded
-    value so both engines break ties identically by vec_id."""
+    Rounded to 4 decimals; ordering computed on the rounded value so
+    ties break identically by vec_id (the retired oracle's contract —
+    see the retirement note above for where the kernel stays graded)."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     from idb_backend_spark.functions.similarity import cosine_similarity

@@ -119,15 +119,15 @@ def test_index_assembly_quirks():
 
 
 def test_promotion_oracle_matches_spark(spark, sf_dir):
-    """The promotion-ready DuckDB twin for datasets_index_codes stays
-    row-identical to the Spark entry (flip graded=True to promote)."""
+    """The DuckDB twin for datasets_index_codes stays row-identical to
+    the Spark entry (promoted to a graded slot in round 11)."""
     import duckdb
 
-    from idb_backend_spark.plans.catalog import UNGRADED
+    from idb_backend_spark.plans.catalog import Q
     from idb_backend_spark.plans.q_relational import _DATASETS_INDEX_ORACLE
 
     spark_rows = sorted(
-        tuple(r) for r in UNGRADED["datasets_index_codes"](spark, sf_dir).collect()
+        tuple(r) for r in Q["datasets_index_codes"](spark, sf_dir).collect()
     )
     con = duckdb.connect()
     con.execute(
