@@ -133,9 +133,14 @@ def apply_correction_rules(
     # (record_corrector.py:232 compares corrected_dict[k].lower() to the
     # stored correction verbatim; replacements are stored lowercased, and
     # a mixed-case __set's re-flagging on reruns is the reference's
-    # behavior too, bug-compatible by choice)
+    # behavior too, bug-compatible by choice). A hit on an ABSENT field
+    # always "differs": the reference's added branch
+    # (record_corrector.py:243-247) fires unconditionally for a key the
+    # record lacks — even a None correction value lands flag_<k>_added
+    # (r11 differential finding, test_corrections_vs_reference; the old
+    # null-vs-null coalesce read that as a no-op and dropped the flag)
     differs = hit & (
-        (F.lower(F.coalesce(cur, F.lit("\0"))) != F.coalesce(new, F.lit("\0")))
+        cur.isNull() | (F.lower(cur) != F.coalesce(new, F.lit("\0")))
     )
     if skip_when is not None:
         # an earlier kingdom guard in this correction family tripped for
@@ -151,16 +156,20 @@ def apply_correction_rules(
         protected = differs & F.lower(F.trim(cur)).isin(
             list(PROTECTED_KINGDOMS)
         )
+        # added BEFORE removed: an absent field is always the reference's
+        # added branch, even when the correction value is None (:243-247)
         flag = F.when(protected, F.lit("dwc_kingdom_suspect")).when(
-            differs & new.isNull(), F.lit(f"{flag_base}_removed")
+            differs & cur.isNull(), F.lit(f"{flag_base}_added")
         ).when(
-            differs & cur.isNotNull(), F.lit(f"{flag_base}_replaced")
-        ).when(differs, F.lit(f"{flag_base}_added"))
+            differs & new.isNull(), F.lit(f"{flag_base}_removed")
+        ).when(differs, F.lit(f"{flag_base}_replaced"))
         value = F.when(protected | ~differs, cur).otherwise(new)
     else:
-        flag = F.when(differs & new.isNull(), F.lit(f"{flag_base}_removed")).when(
-            differs & cur.isNotNull(), F.lit(f"{flag_base}_replaced")
-        ).when(differs, F.lit(f"{flag_base}_added"))
+        flag = F.when(
+            differs & cur.isNull(), F.lit(f"{flag_base}_added")
+        ).when(
+            differs & new.isNull(), F.lit(f"{flag_base}_removed")
+        ).when(differs, F.lit(f"{flag_base}_replaced"))
         value = F.when(differs, new).otherwise(cur)
 
     # withColumns resolves BOTH expressions against the pre-rewrite row —
