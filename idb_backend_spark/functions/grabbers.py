@@ -19,17 +19,31 @@ from pyspark.sql import functions as F
 FIRST_NUMBER_RE = r"([+-]?\d+(?:,\d{3})*(?:\.\d*)?)"
 
 
+#: Python str.strip()'s whitespace class (every BMP codepoint where
+#: str.isspace() is True) — btrim treats this as a SET of trim chars.
+#: F.trim strips ONLY U+0020, so a tab-padded value inside a
+#: comma-delimited field kept its tabs (r11 differential finding,
+#: test_delimited_vs_reference::test_value_strip_whitespace_class).
+_PY_STRIP_CHARS = (
+    " \t\n\x0b\x0c\r\x1c\x1d\x1e\x1f\x85\xa0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008"
+    "\u2009\u200a\u2028\u2029\u202f\u205f\u3000"
+)
+
+
 def blank_to_null(c: Column | str) -> Column:
     """The reference reader's value contract, exactly
     (delimited.py:275-277): every kept value is ``.strip()``-ed and an
     empty-after-strip value is DROPPED from the record dict (here:
     null). r10 fix: the old form nulled whitespace-only values but kept
-    the padding on non-blank ones — '  Acer  ' now lands as 'Acer',
-    like the reference's ``lineArr[k].strip()``. (The index finalizer
-    deliberately does NOT share this: prepForEs's written rule is
-    len==0 with no trim — functions/finalize.py.)"""
+    the padding on non-blank ones; r11 fix: strip Python's whole
+    whitespace CLASS (btrim over the isspace set — one codegen'd
+    character-set scan, no regex), not just spaces — the reference's
+    ``lineArr[k].strip()`` removes tabs/CRs/vertical tabs too. (The
+    index finalizer deliberately does NOT share this: prepForEs's
+    written rule is len==0 with no trim — functions/finalize.py.)"""
     c = F.col(c) if isinstance(c, str) else c
-    return F.nullif(F.trim(c), F.lit(""))
+    return F.nullif(F.btrim(c, F.lit(_PY_STRIP_CHARS)), F.lit(""))
 
 
 def getfield(c: Column | str) -> Column:

@@ -135,13 +135,28 @@ def get_canonical_name(field: str) -> tuple[str | None, str]:
 
 
 def infer_row_type(terms: list[str]) -> str:
-    """Majority-class vote over canonicalized columns when the row type is
-    unspecified (delimited.py:171-208)."""
+    """Majority-class vote over canonicalized columns when the row type
+    is unspecified — the reference's fallback EXACTLY
+    (delimited.py:179-204, differential-executed in
+    tests/test_delimited_vs_reference.py): every header with a canonical
+    name votes its class — INCLUDING ``Unknown`` (get_canonical_name
+    never returns a None class; a feed of mostly unregistered columns
+    really does get rowtype 'Unknown' there), and ties break by class
+    name DESCENDING (``sorted(items, key=(count, name), reverse=True)``,
+    :202). Only drop-marked registry columns (canonical None) abstain.
+    One divergence kept: zero votes IndexErrors in the reference
+    (``items[0]`` on an empty sort); the engine returns the Occurrence
+    default — pinned in the differential."""
     from collections import Counter
 
     votes = Counter(
-        get_canonical_name(t)[1] for t in terms if get_canonical_name(t)[1] != UNKNOWN_CLASS
+        cls
+        for t in terms
+        for canon, cls in (get_canonical_name(t),)
+        if canon is not None
     )
     if not votes:
         return "dwc:Occurrence"
-    return votes.most_common(1)[0][0]
+    return sorted(
+        votes.items(), key=lambda kv: (kv[1], kv[0]), reverse=True
+    )[0][0]

@@ -1,0 +1,272 @@
+"""Differential execution of the delimited reader's ROW LOOP against
+the reference's ``DelimitedFile`` (idigbio_ingestion/lib/delimited.py) —
+beyond the r10 delimiter-normalizer battery, this drives
+``readline()``'s record assembly, the line-length poisoning path, the
+missing-fields skip, the DECODEERROR flag, the rowtype fallback vote,
+and the broken-iteration quirks, all on real files.
+
+Engine divergences, each documented at the kernel and machine-pinned
+here: mismatched-length rows are FLAGGED (flag_corrupt_row), not
+silently dropped; bad bytes decode to U+FFFD (the reference splices a
+recoverable hex marker); duplicate-canonical headers keep the second
+column verbatim (the reference's dict assignment makes the LAST column
+win the term); zero rowtype votes return the Occurrence default (the
+reference IndexErrors).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import io
+import sys
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ref_delimited():
+    """The reference module, with ONE repair injected after the
+    shipped-bug pin below runs against the pristine module: delimited.py
+    uses ``NO_CLASS__UNKNOWN_FIELD`` in its unmapped-fields warning
+    (:194) but never imports it from fieldnames (:16), so EVERY
+    DelimitedFile construction with any mapped field NameErrors as
+    shipped. The constant is injected with fieldnames' real value so the
+    row loop underneath — the code production actually exercised before
+    that refactor — can execute as the oracle."""
+    sys.path.insert(0, "/root/reference")
+    spec = importlib.util.spec_from_file_location(
+        "ref_delimited", "/root/reference/idigbio_ingestion/lib/delimited.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from idb.helpers.fieldnames import NO_CLASS__UNKNOWN_FIELD
+
+    mod.NO_CLASS__UNKNOWN_FIELD = NO_CLASS__UNKNOWN_FIELD
+    return mod
+
+
+def test_shipped_module_name_error_pinned(tmp_path):
+    """The pristine module (no injection): constructing a DelimitedFile
+    over a file with mapped headers NameErrors at the unmapped-fields
+    warning (delimited.py:194 — NO_CLASS__UNKNOWN_FIELD used, never
+    imported). Machine-pinned so the repair in the fixture above stays
+    a conscious, documented step."""
+    sys.path.insert(0, "/root/reference")
+    spec = importlib.util.spec_from_file_location(
+        "ref_delimited_pristine",
+        "/root/reference/idigbio_ingestion/lib/delimited.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    p = tmp_path / "pristine.csv"
+    p.write_text("catalogNumber\nc1\n", encoding="utf-8")
+    with pytest.raises(NameError):
+        mod.DelimitedFile(str(p), logname="t")
+
+
+OCC = "http://rs.tdwg.org/dwc/terms/Occurrence"
+
+
+def _read_all(df_obj):
+    """Drain a reference DelimitedFile via readline() (its ``for``
+    iteration is broken — see test_delimitedfile_iteration_is_broken)."""
+    rows = []
+    while True:
+        try:
+            rows.append(df_obj.readline())
+        except StopIteration:
+            return rows
+
+
+def test_row_loop_vs_reference(ref_delimited, spark, tmp_path):
+    """Record assembly parity on a well-formed file: canonicalized
+    header mapping, drop-marked column removal, per-value strip,
+    empty-after-strip drop (engine: null), quoted embedded delimiter."""
+    p = tmp_path / "rows.csv"
+    p.write_text(
+        "catalogNumber,MonthCollected,DecimalLatitude,foo,Annotations\n"
+        "c1,  5 ,29.65,weird,noise\n"
+        'c2,,"  -82.32","a,b",noise\n'
+        "c3,  ,x,  ,noise\n",
+        encoding="utf-8",
+    )
+    ref_rows = _read_all(
+        ref_delimited.DelimitedFile(str(p), logname="t")
+    )
+
+    from idb_backend_spark.sources.delimited import read_delimited
+
+    got = {
+        r["dwc:catalogNumber"]: {
+            k: v for k, v in r.asDict().items()
+            if v is not None and not k.startswith("flag_")
+        }
+        for r in read_delimited(spark, str(p)).collect()
+    }
+    assert len(ref_rows) == len(got) == 3
+    for ref in ref_rows:
+        ref = {k: v for k, v in ref.items() if not k.startswith("flag_")}
+        assert got[ref["dwc:catalogNumber"]] == ref, (ref, got)
+
+
+def test_value_strip_whitespace_class_vs_reference(ref_delimited, spark,
+                                                   tmp_path):
+    """The kept-value strip must strip the same whitespace CLASS as
+    Python str.strip — tabs and CRs inside a comma-delimited field, not
+    just spaces (delimited.py:255 ``lineArr[k].strip()``)."""
+    p = tmp_path / "pad.csv"
+    p.write_text(
+        "catalogNumber,locality\n"
+        "c1,\tpadded with tab\t\n"
+        "c2, \t \n"  # whitespace-only after strip -> dropped
+        "c3,\x0bvertical\x0c\n",
+        encoding="utf-8",
+    )
+    ref_rows = _read_all(ref_delimited.DelimitedFile(str(p), logname="t"))
+
+    from idb_backend_spark.sources.delimited import read_delimited
+
+    got = {
+        r["dwc:catalogNumber"]: r["dwc:locality"]
+        for r in read_delimited(spark, str(p)).collect()
+    }
+    by_cat = {r["dwc:catalogNumber"]: r.get("dwc:locality") for r in ref_rows}
+    assert by_cat == got, (by_cat, got)
+
+
+def test_line_length_poisoning_executed(ref_delimited, spark, tmp_path):
+    """The poisoning path (delimited.py:244-248 + the LineLengthException
+    skip): with a header DICT (the DwC-A construction), the expected
+    length pins to the FIRST DATA ROW — one overlong first row makes the
+    reader silently skip every CORRECT-width row after it (and a short
+    first row empties the file entirely via MissingFieldsException —
+    see test_missing_fields_skip_executed). The engine FLAGS mismatched
+    rows instead of dropping them (sources/delimited.py divergence
+    note) — all rows survive with flag_corrupt_row on the malformed
+    one."""
+    p = tmp_path / "poison.csv"
+    p.write_text("Rosa,US,extra\nCanis,BR\nFelis,MX\n", encoding="utf-8")
+    ref = ref_delimited.DelimitedFile(
+        str(p), header={0: "dwc:genus", 1: "dwc:country"}, rowtype=OCC,
+        logname="t",
+    )
+    rows = _read_all(ref)
+    # the overlong row READS (extra column ignored) and pins length 3;
+    # both correct 2-field rows after it are silently dropped
+    assert rows == [{"dwc:genus": "Rosa", "dwc:country": "US"}]
+
+    from idb_backend_spark.sources.delimited import read_delimited
+
+    p2 = tmp_path / "poison2.csv"
+    p2.write_text("genus,country\nRosa,US,extra\nCanis,BR\nFelis,MX\n",
+                  encoding="utf-8")
+    eng = read_delimited(spark, str(p2)).collect()
+    assert len(eng) == 3  # nothing dropped
+    assert sum(1 for r in eng if r["flag_corrupt_row"]) == 1  # wide row
+
+
+def test_missing_fields_skip_executed(ref_delimited, tmp_path):
+    """A header dict naming an index past the row width skips EVERY row
+    (MissingFieldsException caught and logged, delimited.py:250-253 +
+    :275-279) — the file reads as empty."""
+    p = tmp_path / "short.csv"
+    p.write_text("Rosa,US\nCanis,BR\n", encoding="utf-8")
+    ref = ref_delimited.DelimitedFile(
+        str(p), header={0: "dwc:genus", 3: "dwc:country"}, rowtype=OCC,
+        logname="t",
+    )
+    assert _read_all(ref) == []
+
+
+def test_decode_error_flag_vs_reference(ref_delimited, spark, tmp_path):
+    """Bad bytes, executed: the reference's registered codecs handler
+    (delimited.py:42-47) is py2 code — it iterates ``e.object`` (BYTES
+    on py3, yielding ints) through ``ord()``, so the handler itself
+    TypeErrors and one bad byte KILLS the whole read on py3; the
+    DECODEERROR:<hex> splice + flag_encoding_error path
+    (:256-266) is reachable only under py2. The engine keeps the
+    INTENT's row-level signal: bytes decode to U+FFFD (unrecoverable —
+    the documented boundary) and the row carries flag_encoding_error;
+    no crash, no dropped file."""
+    p = tmp_path / "bad.csv"
+    p.write_bytes(b"catalogNumber,locality\nc1,Ac\xfferly\nc2,fine\n")
+    with pytest.raises(TypeError):  # ord() on an int — handler crashes
+        # the buffered header-line decode already covers the bad byte,
+        # so construction itself dies
+        _read_all(ref_delimited.DelimitedFile(str(p), logname="t"))
+
+    from idb_backend_spark.sources.delimited import read_delimited
+
+    eng = {r["dwc:catalogNumber"]: r
+           for r in read_delimited(spark, str(p)).collect()}
+    assert eng["c1"]["flag_encoding_error"] is True
+    assert eng["c1"]["dwc:locality"] == "Ac�erly"
+    assert eng["c2"]["flag_encoding_error"] is False
+
+
+def test_rowtype_fallback_vs_reference(ref_delimited, tmp_path):
+    """The rowtype vote (delimited.py:179-204) executed over header
+    batteries vs the engine's infer_row_type: Unknown-class headers DO
+    vote (a mostly-unregistered feed gets rowtype 'Unknown'), ties break
+    by class name DESC, drop-marked columns abstain."""
+    from idb_backend_spark.sources.fieldnames import infer_row_type
+
+    batteries = [
+        ["MonthCollected", "dwc:genus", "ac:accessURI"],
+        ["dwc:genus", "ac:accessURI"],            # 1-1 tie -> name DESC
+        ["foo", "bar", "dwc:genus"],              # Unknown majority
+        ["foo", "dwc:genus"],                     # Unknown-Occurrence tie
+        ["ac:accessURI", "Annotations", "foo"],   # drop-marked abstains
+    ]
+    for headers in batteries:
+        p = tmp_path / "rt.csv"
+        p.write_text(",".join(headers) + "\na" + ",b" * (len(headers) - 1)
+                     + "\n", encoding="utf-8")
+        ref = ref_delimited.DelimitedFile(str(p), logname="t")
+        assert infer_row_type(headers) == ref.rowtype, headers
+
+    # divergence pin: zero votes IndexError in the reference; the
+    # engine returns the Occurrence default
+    p = tmp_path / "rt0.csv"
+    p.write_text("Annotations\nx\n", encoding="utf-8")
+    with pytest.raises(IndexError):
+        ref_delimited.DelimitedFile(str(p), logname="t")
+    assert infer_row_type(["Annotations"]) == "dwc:Occurrence"
+
+
+def test_duplicate_canonical_header_vs_reference(ref_delimited, spark,
+                                                 tmp_path):
+    """Two headers canonicalizing to ONE term: the reference maps both
+    indexes to the term and the dict assignment makes the LAST column's
+    value win (delimited.py:275-277); the engine renames the FIRST and
+    keeps the second verbatim (read_delimited's first-wins note) — a
+    relational row cannot hold one name twice. Machine-pinned, both
+    behaviors."""
+    p = tmp_path / "dup.csv"
+    p.write_text(
+        "catalogNumber,dwc:decimalLatitude,DecimalLatitude\nc1,11.0,22.0\n",
+        encoding="utf-8",
+    )
+    ref_rows = _read_all(ref_delimited.DelimitedFile(str(p), logname="t"))
+    assert ref_rows[0]["dwc:decimalLatitude"] == "22.0"  # last wins
+
+    from idb_backend_spark.sources.delimited import read_delimited
+
+    row = read_delimited(spark, str(p)).collect()[0]
+    assert row["dwc:decimalLatitude"] == "11.0"  # first renamed
+    assert row["DecimalLatitude"] == "22.0"      # second verbatim
+
+
+def test_delimitedfile_iteration_is_broken(ref_delimited, tmp_path):
+    """Executable quirk: DelimitedFile.__next__ delegates through
+    ``super(DwcaRecordFile, ...)`` — a name delimited.py never defines
+    (delimited.py:56-59) — so ``for row in f`` NameErrors on the first
+    step and readlines() (which iterates) dies with it; every real
+    consumer drives readline() directly. The engine has no iterator
+    shim to diverge from — pinned so the transcribed loop in
+    sources/delimited.py is never 'completed' to match broken code."""
+    p = tmp_path / "it.csv"
+    p.write_text("catalogNumber\nc1\nc2\n", encoding="utf-8")
+    f = ref_delimited.DelimitedFile(str(p), logname="t")
+    with pytest.raises(NameError):
+        next(iter(f))
