@@ -1,0 +1,332 @@
+"""Differential execution of the DwC-A descriptor assembly against the
+reference's ``DwcaRecordFile`` (idigbio_ingestion/lib/dwca.py:137-250),
+with the reference's OWN ``xml2d`` (xmlDictTools.py) materializing the
+meta.xml dict — so the id/coreid index claim, the quote-stripped term
+CURIE fold, duplicate-index first-wins, defaults capture, and the
+xml2d sibling-merge order all execute for real against the engine's
+``parse_meta_xml``.
+
+Plus the writer round-trip the r9/r10 rounds lacked: an archive
+written by the ENGINE's write_dwca is read back through the
+REFERENCE's descriptor + row loop and must yield the engine's own
+rows.
+
+xml2d runs on stdlib ElementTree through a tiny adapter adding the
+``nsmap`` attribute lxml provides (lxml is absent from this container;
+xml2d touches nothing else of lxml).
+"""
+
+from __future__ import annotations
+
+import importlib.abc
+import importlib.util
+import os
+import sys
+import types as pytypes
+import xml.etree.ElementTree as ET
+import zipfile
+from unittest import mock
+
+import pytest
+
+
+class _NsEl:
+    """ElementTree element + the lxml surface xml2d reads."""
+
+    def __init__(self, el, nsmap=None):
+        self._el = el
+        self.nsmap = nsmap if nsmap is not None else {}
+
+    @property
+    def tag(self):
+        return self._el.tag
+
+    @property
+    def attrib(self):
+        return self._el.attrib
+
+    @property
+    def text(self):
+        return self._el.text
+
+    def __iter__(self):
+        for c in self._el:
+            yield _NsEl(c, self.nsmap)
+
+
+def _wrap_root(el):
+    """Reconstruct lxml's root nsmap from ET's Clark-notation tag."""
+    tag = el.tag
+    if tag.startswith("{"):
+        return _NsEl(el, {None: tag[1:].split("}")[0]})
+    return _NsEl(el)
+
+
+@pytest.fixture(scope="module")
+def ref_dwca():
+    roots = {
+        "gevent", "psycopg2", "boto3", "botocore", "requests",
+        "elasticsearch", "celery", "redis", "lxml", "pyproj", "shapely",
+        "fiona", "atomicfile", "magic", "bsddb3",
+    }
+
+    class AutoStub(importlib.abc.MetaPathFinder, importlib.abc.Loader):
+        def find_spec(self, name, path=None, target=None):
+            if name.split(".")[0] in roots and name not in sys.modules:
+                return importlib.util.spec_from_loader(
+                    name, self, is_package=True
+                )
+            return None
+
+        def create_module(self, spec):
+            m = mock.MagicMock()
+            m.__name__ = spec.name
+            m.__path__ = []
+            m.__spec__ = spec
+            return m
+
+        def exec_module(self, module):
+            pass
+
+    sys.meta_path.insert(0, AutoStub())
+    import datetime
+
+    fake_pytz = pytypes.ModuleType("pytz")
+    fake_pytz.utc = datetime.timezone.utc
+    sys.modules.setdefault("pytz", fake_pytz)
+    sys.path.insert(0, "/root/reference")
+    from idigbio_ingestion.lib import dwca as RD
+    from idigbio_ingestion.lib import delimited as RDEL
+    from idigbio_ingestion.lib.xmlDictTools import xml2d
+
+    # the shipped delimited.py never imports this constant — every
+    # construction NameErrors otherwise (machine-pinned in
+    # test_delimited_vs_reference::test_shipped_module_name_error_pinned)
+    from idb.helpers.fieldnames import NO_CLASS__UNKNOWN_FIELD
+
+    RDEL.NO_CLASS__UNKNOWN_FIELD = NO_CLASS__UNKNOWN_FIELD
+    return RD, xml2d
+
+
+OCC = "http://rs.tdwg.org/dwc/terms/Occurrence"
+MM = "http://rs.tdwg.org/ac/terms/Multimedia"
+
+#: term attribute pool — dwc/dcterms/ac URIs, a quoted URI (IPT leak,
+#: dwca.py:221), and an unregistered bare name (no namespace, no dot —
+#: passes the fatal-dot gate verbatim)
+_TERMS = [
+    "http://rs.tdwg.org/dwc/terms/genus",
+    "http://rs.tdwg.org/dwc/terms/country",
+    "http://rs.tdwg.org/dwc/terms/catalogNumber",
+    "http://purl.org/dc/terms/modified",
+    "http://rs.tdwg.org/ac/terms/accessURI",
+    '"http://rs.tdwg.org/dwc/terms/locality"',
+    "customField",
+]
+
+
+def _gen_block(rng, tag):
+    """One randomized <core>/<extension> block (ET) + the data-file
+    width it implies."""
+    el = ET.Element(
+        tag,
+        attrib={
+            "rowType": rng.choice([OCC, MM]),
+            "fieldsTerminatedBy": ",",
+            "linesTerminatedBy": "\\n",
+            "fieldsEnclosedBy": '"',
+            "encoding": "UTF-8",
+            "ignoreHeaderLines": rng.choice(["0", "1"]),
+        },
+    )
+    files = ET.SubElement(el, "files")
+    loc = ET.SubElement(files, "location")
+    loc.text = "member.csv"
+    id_kind = rng.choice(["id", "coreid", None])
+    if id_kind:
+        ET.SubElement(el, id_kind, attrib={"index": "0"})
+    used = [0]
+    nf = rng.randint(1, 5)
+    terms = rng.sample(_TERMS, nf)
+    for i, term in enumerate(terms):
+        attrib = {"term": term}
+        mode = rng.random()
+        if mode < 0.15 and used:
+            attrib["index"] = str(rng.choice(used))  # duplicate index
+        elif mode < 0.25:
+            pass  # index-less (default-only constant column)
+        else:
+            attrib["index"] = str(max(used) + 1)
+            used.append(max(used) + 1)
+        if rng.random() < 0.4:
+            attrib["default"] = f"dflt{i}"
+        if "index" not in attrib and "default" not in attrib:
+            attrib["default"] = f"dflt{i}"
+        ET.SubElement(el, "field", attrib=attrib)
+        if rng.random() < 0.2:
+            ET.SubElement(el, "junk")  # split the <field> sibling run
+    return el, max(used) + 1
+
+
+def _ref_descriptor(RD, xml2d, el, tmp_path, width, ignore):
+    """Build the reference DwcaRecordFile from the xml2d dict of the
+    block and a matching data file; return it."""
+    filedict = xml2d(_wrap_root(el))[el.tag]
+    p = tmp_path / "member.csv"
+    lines = ["h" + ",h" * (width - 1)] * ignore
+    lines += [",".join(f"v{r}c{c}" for c in range(width)) for r in range(3)]
+    p.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    return RD.DwcaRecordFile(filedict, str(p), logname="t")
+
+
+def test_descriptor_assembly_vs_reference(ref_dwca, tmp_path):
+    """120 randomized meta blocks: field index->term maps, defaults,
+    filetype, and rowtype shortname must agree between the reference's
+    DwcaRecordFile and the engine's parse_meta_xml."""
+    import random
+
+    from idb_backend_spark.sources.dwca import parse_meta_xml
+    from idb_backend_spark.sources.fieldnames import rowtype_shortname
+
+    RD, xml2d = ref_dwca
+    rng = random.Random(70707)
+    for case in range(120):
+        tag = rng.choice(["core", "extension"])
+        el, width = _gen_block(rng, tag)
+        ignore = int(el.get("ignoreHeaderLines"))
+        sub = tmp_path / f"c{case}"
+        sub.mkdir()
+        ref = _ref_descriptor(RD, xml2d, el, sub, width, ignore)
+
+        arch = ET.Element("archive")
+        if tag == "extension":
+            # parse_meta_xml requires a core block alongside
+            core_min, _ = _gen_block(random.Random(1), "core")
+            arch.append(core_min)
+        arch.append(el)
+        eng_core, eng_exts, _meta = parse_meta_xml(ET.tostring(arch))
+        d = eng_core if tag == "core" else eng_exts[0]
+
+        # field map: the reference's fields dict includes the id claim
+        expected = dict(d.term_by_index)
+        if d.id_index is not None:
+            expected[d.id_index] = "coreid" if d.id_is_coreid else "id"
+        assert ref.fields == expected, (case, ET.tostring(el), ref.fields)
+        assert ref.defaults == d.defaults, (case, ET.tostring(el))
+        assert ref.filetype == (
+            "extension" if d.id_is_coreid else "core"
+        ), case
+        assert ref.rowtype == rowtype_shortname(el.get("rowType")), case
+
+        # the row loop applies the assembled fields — spot-read one row
+        row = ref.readline()
+        for idx, term in expected.items():
+            assert row[term] == f"v0c{idx}", (case, idx, term, row)
+        # the reference records defaults but its iterator NEVER merges
+        # them (dwca.py:210/:246 write-only) — the engine's member read
+        # applies them per the DwC-A text guide (sources/dwca.py:352-365,
+        # documented intent repair); pin the reference's inertness
+        for term, _d in ref.defaults.items():
+            if term not in expected.values():
+                assert term not in row, (case, term)
+
+
+def test_unknown_rowtype_divergence(ref_dwca, tmp_path):
+    """An unregistered rowType URI: the reference TypeErrors at the
+    shortname fold (delimited.py:205-208 via DwcaRecordFile); the
+    engine's record_type defaults to 'records' (DwcaFileDescriptor) —
+    documented divergence, machine-pinned."""
+    import random
+
+    from idb_backend_spark.sources.dwca import parse_meta_xml
+
+    RD, xml2d = ref_dwca
+    el, width = _gen_block(random.Random(5), "core")
+    el.set("rowType", "http://example.org/not/a/rowtype")
+    with pytest.raises(TypeError):
+        _ref_descriptor(RD, xml2d, el, tmp_path, width,
+                        int(el.get("ignoreHeaderLines")))
+    arch = ET.Element("archive")
+    arch.append(el)
+    core, _, _ = parse_meta_xml(ET.tostring(arch))
+    assert core.record_type == "records"
+
+
+def test_dotted_unknown_term_fatal_executed(ref_dwca, tmp_path):
+    """The fatal unknown-namespace rule executed (dwca.py:227-239): a
+    term outside every known namespace that CONTAINS A DOT raises —
+    ES field names cannot carry dots."""
+    import random
+
+    RD, xml2d = ref_dwca
+    el, width = _gen_block(random.Random(7), "core")
+    ET.SubElement(el, "field",
+                  attrib={"index": str(width), "term": "bad.dotted"})
+    with pytest.raises(Exception, match="dot"):
+        _ref_descriptor(RD, xml2d, el, tmp_path, width + 1, 1)
+
+
+def test_engine_archive_reads_back_through_reference(ref_dwca, spark,
+                                                     tmp_path):
+    """Writer round-trip through the OTHER side's reader: an archive
+    produced by the engine's write_dwca is opened with the reference's
+    xml2d + DwcaRecordFile and must yield exactly the rows the engine
+    reads from its own archive (core AND extension)."""
+    RD, xml2d = ref_dwca
+
+    from idb_backend_spark.export.writers import write_dwca
+    from idb_backend_spark.sources.dwca import DwcaArchive
+
+    core = spark.createDataFrame(
+        [(1, "Rosa", " padded "), (2, "Canis", ""), (3, "Quercus", "x,y")],
+        "id int, `dwc:genus` string, `dwc:locality` string",
+    )
+    ext = spark.createDataFrame(
+        [(1, "http://img/1"), (3, "http://img/3")],
+        "coreid int, `ac:accessURI` string",
+    )
+    zip_path = str(tmp_path / "eng.zip")
+    write_dwca(
+        zip_path,
+        (core, "id", ["dwc:genus", "dwc:locality"], "records"),
+        extensions=[(ext, "coreid", ["ac:accessURI"], "mediarecords")],
+    )
+
+    # reference side: extract, xml2d the meta, DwcaRecordFile both members
+    exdir = tmp_path / "ex"
+    with zipfile.ZipFile(zip_path) as z:
+        z.extractall(exdir)
+    meta_root = ET.parse(os.path.join(exdir, "meta.xml")).getroot()
+    arch = xml2d(_wrap_root(meta_root))["archive"]
+    ref_rows = {}
+    for key, block in (("core", arch["core"]), ("ext", arch["extension"])):
+        loc = block["files"]["location"]
+        f = RD.DwcaRecordFile(block, str(exdir / loc), logname="t")
+        rows = []
+        while True:
+            try:
+                rows.append(f.readline())
+            except StopIteration:
+                break
+        ref_rows[key] = rows
+
+    # engine side: its own reader over the same zip
+    a = DwcaArchive(zip_path)
+    eng_core = {
+        r["id"]: r.asDict() for r in a.read_core(spark).collect()
+    }
+    eng_ext = {
+        r["coreid"]: r.asDict() for r in a.read_extension(spark).collect()
+    }
+    a.close()
+
+    assert len(ref_rows["core"]) == len(eng_core) == 3
+    for row in ref_rows["core"]:
+        e = eng_core[row["id"]]
+        assert row.get("dwc:genus") == e["dwc:genus"], (row, e)
+        # blank-after-strip: reference drops the key, engine nulls
+        assert row.get("dwc:locality") == e["dwc:locality"], (row, e)
+    assert len(ref_rows["ext"]) == len(eng_ext) == 2
+    for row in ref_rows["ext"]:
+        e = eng_ext[row["coreid"]]
+        assert row.get("ac:accessURI") == e["ac:accessURI"], (row, e)
