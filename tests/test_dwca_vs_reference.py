@@ -330,3 +330,76 @@ def test_engine_archive_reads_back_through_reference(ref_dwca, spark,
     for row in ref_rows["ext"]:
         e = eng_ext[row["coreid"]]
         assert row.get("ac:accessURI") == e["ac:accessURI"], (row, e)
+
+
+def test_meta_writer_vs_reference(ref_dwca, tmp_path):
+    """The meta.xml WRITER differential (idigbio_workers/lib/meta_xml.py
+    executed vs export/writers.make_meta_xml): both outputs parsed with
+    the one engine parser must yield identical descriptors — member
+    routing, the four rowType URIs (incl. the lowercase ac
+    'multimedia'), id/coreid at 0, fields from index 1, CURIE->URI
+    resolution, csv/tsv terminators, and the &quot; enclosure.
+
+    One reference quirk machine-pinned inline: make_field splits on
+    EVERY colon and keeps only the second segment, so a two-colon term
+    under a known prefix ('dwc:b:c') silently DROPS its tail; the
+    engine's curie_to_uri splits once and keeps 'b:c' intact."""
+    # file-location load: idigbio_workers/__init__ connects to brokers
+    # on import; meta_xml.py itself only needs fieldnames.namespaces_rev
+    sys.path.insert(0, "/root/reference")
+    spec = importlib.util.spec_from_file_location(
+        "ref_meta_xml", "/root/reference/idigbio_workers/lib/meta_xml.py"
+    )
+    RM = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(RM)
+
+    from idb_backend_spark.export.writers import make_meta_xml
+    from idb_backend_spark.sources.dwca import parse_meta_xml
+
+    specs = [
+        # (filename, CURIE fields, core?, tsv?, type)
+        ("occurrence.csv",
+         ["dwc:genus", "dwc:locality", "dcterms:modified"],
+         True, False, "records"),
+        ("multimedia.tsv", ["ac:accessURI", "dc:rights"],
+         False, True, "mediarecords"),
+        ("locality.csv", ["dwc:locality"], False, False, "uniquelocality"),
+        ("names.csv", ["dwc:scientificName"], False, False, "uniquenames"),
+    ]
+    ref_meta = RM.make_meta(
+        [RM.make_file_block(filename=f, fields=fields, core=core,
+                            tabs=tsv, t=t)
+         for f, fields, core, tsv, t in specs]
+    ).encode("utf-8")
+    eng_meta = make_meta_xml(
+        [{"filename": f, "fields": fields, "core": core, "tsv": tsv,
+          "type": t}
+         for f, fields, core, tsv, t in specs]
+    )
+
+    def descs(meta_bytes):
+        core, exts, _ = parse_meta_xml(meta_bytes)
+        return [core] + exts
+
+    for r, e in zip(descs(ref_meta), descs(eng_meta), strict=True):
+        assert r.location == e.location
+        assert r.row_type == e.row_type, (r.location, r.row_type, e.row_type)
+        assert r.fields_terminated_by == e.fields_terminated_by
+        assert r.fields_enclosed_by == e.fields_enclosed_by == '"'
+        assert r.encoding.lower() == e.encoding.lower()
+        assert r.ignore_header_lines == e.ignore_header_lines == 1
+        assert r.id_index == e.id_index == 0
+        assert r.id_is_coreid == e.id_is_coreid
+        assert r.term_by_index == e.term_by_index, (r.location,)
+
+    # the two-colon quirk, SHARED: both writers split on every colon
+    # and keep only the second segment, so a two-colon term under a
+    # known prefix silently drops its tail (meta_xml.py:41-44;
+    # curie_to_uri reproduces it) — and an unknown prefix passes the
+    # whole term through untouched on both sides
+    ref_field = RM.make_field(index=0, term="dwc:b:c")
+    assert 'term="http://rs.tdwg.org/dwc/terms/b"' in ref_field
+    from idb_backend_spark.sources.fieldnames import curie_to_uri
+    assert curie_to_uri("dwc:b:c") == "http://rs.tdwg.org/dwc/terms/b"
+    assert curie_to_uri("a:b:c") == "a:b:c"
+    assert 'term="a:b:c"' in RM.make_field(index=0, term="a:b:c")
