@@ -236,6 +236,38 @@ def test_uniquevals_frame(spark):
     assert out[0]["id"] == str(_uuid.uuid5(IDIGBIO_NAMESPACE, "x"))
 
 
+def test_scientificname_fold_exotic_codepoint_residue(spark):
+    """A3's capitalize fold, the documented exotic-codepoint residue
+    machine-pinned (operators/aggregates.py:36-49): the engine folds
+    scientificname buckets with upper(first)+lower(rest); Python's
+    str.capitalize() TITLEcases the first char, which differs only on
+    digraph/ligature codepoints — 'ß' uppercases to 'SS' but titlecases
+    to 'Ss', 'ǳ' to 'Ǳ' vs 'ǲ'. Identical on every ASCII name the field
+    actually holds (asserted over printable ASCII below); the exotic
+    split stays a conscious divergence, named here with both outputs."""
+    from idb_backend_spark.operators.aggregates import unique_values
+
+    import string as _string
+
+    rows = [("ßest",), ("ǳur",)] + [
+        (c + "cer rubrum",) for c in _string.ascii_letters
+    ]
+    df = spark.createDataFrame(rows, "dwc_scientificname string")
+    got = {
+        r["value"]
+        for r in unique_values(df, "dwc_scientificname").collect()
+    }
+    # engine output on the digraphs — upper(), the JVM fold
+    assert "SSest" in got and "Ǳur" in got
+    # Python's capitalize() would have produced the titlecase forms
+    assert "ßest".capitalize() == "Ssest" and "Ssest" not in got
+    assert "ǳur".capitalize() == "ǲur" and "ǲur" not in got
+    # ASCII domain: the two folds agree exactly
+    for c in _string.ascii_letters:
+        v = c + "cer rubrum"
+        assert v.capitalize() in got
+
+
 def test_canonical_names():
     assert fn.get_canonical_name("dwc:verbatimElevation") == (
         "dwc:verbatimElevation", "dwc:Occurrence",
