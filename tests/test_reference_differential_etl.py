@@ -1000,3 +1000,149 @@ def test_fix_taxon_rank_vs_reference(ref, spark):
         assert bool(g["rm"]) == bool(r.get("flag_dwc_taxonrank_removed")), v
         assert bool(g["inv"]) == bool(r.get("flag_dwc_taxonrank_invalid")), v
         assert bool(g["rep"]) == bool(r.get("flag_dwc_taxonrank_replaced")), v
+
+
+def test_prep_for_es_vs_reference(ref_db_check, spark):
+    """prepForEs EXECUTED (idb/indexing/indexer.py:50-89 — the module
+    loads under the same auto-stub hook; elasticsearch/pytz fabricated)
+    over randomized typed docs vs finalize_index_document with
+    drop_empty_strings=False (the py3-runtime arm): the point struct's
+    {lon, lat} order, date isoformat, None/absent skip, and the DEAD
+    skip-empty branch (basestring NameErrors into the bare except, so
+    '' and empty lists all survive) — upgrading the transcribed pin in
+    tests/test_finalize.py to a machine-derived one."""
+    import datetime as _dt
+
+    from idb.indexing import indexer as RIX
+
+    from idb_backend_spark.functions import finalize as FIN
+
+    rng = random.Random(80808)
+    texts = ["", "x", "  ", "Acer rubrum", None, "ABSENT"]
+    docs = []
+    for i in range(80):
+        d = {"uuid": f"u{i}"}
+        for fname in ("kingdom", "phylum", "genus", "locality"):
+            v = rng.choice(texts)
+            if v == "ABSENT":
+                continue
+            if v is not None:
+                d[fname] = v
+            else:
+                d[fname] = None
+        if rng.random() < 0.7:
+            d["geopoint"] = [round(rng.uniform(-180, 180), 4),
+                             round(rng.uniform(-90, 90), 4)]
+        if rng.random() < 0.7:
+            d["datemodified"] = _dt.date(2020, 1 + i % 12, 1 + i % 28)
+        if rng.random() < 0.5:
+            d["recordids"] = rng.choice([[], ["a"], ["a", "b"]])
+        if rng.random() < 0.5:
+            d["version"] = rng.choice([0, 3])
+        docs.append(d)
+
+    expected = [RIX.prepForEs("records", dict(d)) for d in docs]
+
+    from pyspark.sql import Row as _Row
+
+    rows = [
+        _Row(
+            uuid=d["uuid"],
+            kingdom=d.get("kingdom"),
+            phylum=d.get("phylum"),
+            genus=d.get("genus"),
+            locality=d.get("locality"),
+            lon=d.get("geopoint", [None, None])[0],
+            lat=d.get("geopoint", [None, None])[1],
+            datemodified=d.get("datemodified"),
+            recordids=d.get("recordids"),
+            version=d.get("version"),
+        )
+        for d in docs
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "uuid string, kingdom string, phylum string, genus string, "
+        "locality string, lon double, lat double, datemodified date, "
+        "recordids array<string>, version long",
+    )
+    out = FIN.finalize_index_document(
+        df, date_cols=("datemodified",), drop_empty_strings=False
+    )
+    got = {r["uuid"]: r for r in out.collect()}
+
+    for d, exp in zip(docs, expected):
+        g = got[d["uuid"]]
+        for fname in ("kingdom", "phylum", "genus", "locality"):
+            assert g[fname] == exp.get(fname), (d, fname, exp)
+        if "geopoint" in exp:
+            assert g["geopoint"].asDict() == exp["geopoint"], d
+        else:
+            assert g["geopoint"] is None, d
+        if "datemodified" in exp:
+            assert g["datemodified_iso"] == exp["datemodified"], d
+        else:
+            assert g["datemodified_iso"] is None, d
+        assert (g["recordids"] or None) == (
+            exp.get("recordids") or None
+        ), (d, exp)
+        assert g["version"] == exp.get("version"), (d, exp)
+
+
+def test_render_query_text_vs_reference():
+    """format_row's query humanizer EXECUTED (idb/reporting/stats_by_rs
+    .py:22-58; statsdb stubbed — format_row is pure) vs
+    operators/reporting.render_query_text. On py3 the reference's
+    ``keys()[0]`` is dict_keys indexing — every term/terms block raises
+    TypeError, so those arms are py2-dead (machine-pinned below) and
+    the engine's ``list(keys())[0]`` is the py2-intent reading; the
+    arms that DO run on py3 (fulltext, exists, missing, raw-JSON
+    fallback, empty fallback, trailing-comma trim) must agree
+    byte-for-byte — the transcription the round-10 copy sweep flagged
+    is hereby machine-verified, not just cited."""
+    import importlib.util
+    import json as _json
+
+    sys.modules.setdefault(
+        "idb.postgres_backend.stats_db", mock.MagicMock()
+    )
+    spec = importlib.util.spec_from_file_location(
+        "ref_stats_by_rs", "/root/reference/idb/reporting/stats_by_rs.py"
+    )
+    RS = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(RS)
+
+    from idb_backend_spark.operators.reporting import render_query_text
+
+    def ref_render(qjson):
+        # format_row wraps the render in the TSV row; strip that frame
+        row = RS.format_row({"id": 1, "query": qjson, "count": 2})
+        assert row.startswith("1\t") and row.endswith("\t2\n")
+        return row[2:-3]
+
+    py3_alive = [
+        {"filtered": {"query": {"match": {"_all": {"query": "acer"}}}}},
+        {"filtered": {"query": {"match": {"_all": {"query": "a b"}}},
+                      "filter": {"and": [
+                          {"exists": {"field": "geopoint"}},
+                          {"missing": {"field": "dwc:kingdom"}},
+                      ]}}},
+        {"filtered": {"filter": {"and": [
+            {"range": {"lat": {"gte": 1}}},  # else arm: raw JSON
+        ]}}},
+        {"some": "other shape"},  # empty render -> raw query fallback
+    ]
+    for q in py3_alive:
+        qjson = _json.dumps(q)
+        assert ref_render(qjson) == render_query_text(qjson), q
+
+    # py2-dead arms, machine-pinned: term/terms TypeError on py3
+    for q in (
+        {"filtered": {"filter": {"and": [{"term": {"genus": "acer"}}]}}},
+        {"filtered": {"filter": {"and": [{"terms": {
+            "execution": "or", "genus": ["a", "b"]}}]}}},
+    ):
+        with pytest.raises(TypeError):
+            ref_render(_json.dumps(q))
+        # the engine's py2-intent reading still renders them
+        assert "genus" in render_query_text(_json.dumps(q))
