@@ -1,0 +1,136 @@
+"""Differential execution of the media validation tables (F24) and the
+annotations identity extraction against the reference's own code
+(idb/helpers/media_validation.py, idb/annotations/loader.py) — both
+pure Python once ``magic`` is stubbed / the DB connection is bypassed.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import itertools
+import json
+import sys
+from unittest import mock
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ref_mv():
+    sys.modules.setdefault("magic", mock.MagicMock())
+    sys.path.insert(0, "/root/reference")
+    spec = importlib.util.spec_from_file_location(
+        "ref_media_validation",
+        "/root/reference/idb/helpers/media_validation.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_validate_mime_for_type_grid_vs_reference(ref_mv):
+    """The full (mime, bucket) grid through BOTH validate_mime_for_type
+    implementations: result tuples agree and every raise maps to the
+    same error class (the engine flattens the subclass name into
+    ``code``)."""
+    from idb_backend_spark.functions.multimodal import (
+        MediaValidationError,
+        validate_mime_for_type,
+    )
+
+    mimes = [
+        None, "", "image/jpeg", "image/jp2", "audio/mpeg", "audio/mpeg3",
+        "video/mp4", "video/mpeg", "model/mesh", "text/plain", "text/csv",
+        "application/zip", "application/pdf", "nonsense/mime",
+    ]
+    buckets = [
+        None, "", "images", "sounds", "video", "models", "datasets",
+        "debugfile", "guoda", "notabucket",
+    ]
+    for mime, bucket in itertools.product(mimes, buckets):
+        try:
+            ref_out = ref_mv.validate_mime_for_type(mime, bucket)
+            ref_err = None
+        except ref_mv.MediaValidationError as e:
+            ref_out, ref_err = None, type(e).__name__
+        try:
+            eng_out = validate_mime_for_type(mime, bucket)
+            eng_err = None
+        except MediaValidationError as e:
+            eng_out, eng_err = None, e.code
+        assert (ref_out, ref_err) == (eng_out, eng_err), (mime, bucket)
+
+
+def test_get_default_bucket_vs_reference(ref_mv):
+    from idb_backend_spark.functions.enrichment import (
+        _FORMAT_BUCKETS,
+        _MIME_ALIASES,
+    )
+
+    domain = set(ref_mv.default_buckets) | set(ref_mv.mime_aliases) | {
+        "application/zip", "text/plain", "nonsense/mime",
+    }
+    for mime in sorted(domain):
+        ref = ref_mv.get_default_bucket(mime)
+        eng = _FORMAT_BUCKETS.get(_MIME_ALIASES.get(mime, mime))
+        assert ref == eng, mime
+
+
+def test_zip_sniff_prefix_vs_reference(ref_mv):
+    """sniff_mime's ZIP short-circuit (media_validation.py:79-81) — the
+    only sniff arm that runs without libmagic — executed against the
+    engine's magic-byte table. The engine's 'datasets' routing for a
+    sniffed zip (vs the reference validate()'s UnknownBucketError,
+    default_buckets having no zip entry) stays the documented r9 choice;
+    the DETECTED MIME itself must agree."""
+    from idb_backend_spark.functions.multimodal import sniff_mime
+
+    for head in (b"PK\x03\x04rest", b"PK\x05\x06", b"PK\x07\x08x",
+                 bytearray(b"PK\x03\x04"), "PK\x03\x04text"):
+        assert ref_mv.sniff_mime(head) == "application/zip"
+        raw = head.encode() if isinstance(head, str) else bytes(head)
+        assert sniff_mime(raw)[0] == "application/zip"
+    # a non-zip prefix falls through to libmagic there (stubbed here) —
+    # only the short-circuit is comparable
+    assert ref_mv.sniff_mime(b"\xff\xd8\xffdata") is not None  # mock object
+
+
+def test_annotation_identity_vs_reference():
+    """AnnotationsLoader.add_corrections' identity tuple
+    (loader.py:53-54) executed — instance created without the DB
+    connection; the method only appends — vs annotation_identity +
+    normalize fold: last-colon-segment ids, annotatedBy.name source,
+    whole-JSON lowercase body."""
+    sys.path.insert(0, "/root/reference")
+    sys.modules.setdefault("idb.postgres_backend", mock.MagicMock())
+    spec = importlib.util.spec_from_file_location(
+        "ref_ann_loader", "/root/reference/idb/annotations/loader.py"
+    )
+    RL = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(RL)
+
+    from idb_backend_spark.operators.corrections import annotation_identity
+
+    docs = [
+        {"@id": "urn:uuid:ABC-1", "hasTarget": {"@id": "urn:uuid:t-9"},
+         "annotatedBy": {"name": "Alice"}, "annotatedAt": "2020-01-01"},
+        {"@id": "plainid", "hasTarget": {"@id": "x:y:z"},
+         "annotatedBy": {"name": "BOB"}, "annotatedAt": "2021-02-02"},
+        {"@id": "a:b", "hasTarget": {"@id": "nocolon"},
+         "annotatedBy": {"name": "c"}, "annotatedAt": "2022-03-03"},
+    ]
+    ld = object.__new__(RL.AnnotationsLoader)
+    ld.corrections = []
+    ld.conn = mock.MagicMock()  # __del__ releases it to the (stubbed) pool
+    for v in docs:
+        ld.add_corrections(dict(v), approved=True)
+    for v, row in zip(docs, ld.corrections):
+        uuids_id, source_id, source = annotation_identity(v)
+        assert row[0] == uuids_id
+        assert row[1] == source_id
+        assert row[3] == source
+        # stored body: the whole-JSON lowercase fold (same class as the
+        # corrections write side, normalize_correction_rule)
+        assert row[2] == json.dumps(v).lower()
+        assert row[4] is True and row[5] == v["annotatedAt"]
+        assert row[6] == row[2] and row[7] == row[5]  # upsert arm reuse
