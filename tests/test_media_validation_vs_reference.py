@@ -102,12 +102,22 @@ def test_annotation_identity_vs_reference():
     normalize fold: last-colon-segment ids, annotatedBy.name source,
     whole-JSON lowercase body."""
     sys.path.insert(0, "/root/reference")
-    sys.modules.setdefault("idb.postgres_backend", mock.MagicMock())
-    spec = importlib.util.spec_from_file_location(
-        "ref_ann_loader", "/root/reference/idb/annotations/loader.py"
-    )
-    RL = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(RL)
+    # satisfy loader.py's `from idb.postgres_backend import ...` with a
+    # throwaway mock, then REMOVE it — a lingering non-package mock
+    # would poison later real imports of idb.postgres_backend.db
+    # (the fetcher fixture below needs the real package)
+    had = "idb.postgres_backend" in sys.modules
+    if not had:
+        sys.modules["idb.postgres_backend"] = mock.MagicMock()
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_ann_loader", "/root/reference/idb/annotations/loader.py"
+        )
+        RL = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(RL)
+    finally:
+        if not had:
+            del sys.modules["idb.postgres_backend"]
 
     from idb_backend_spark.operators.corrections import annotation_identity
 
@@ -134,3 +144,112 @@ def test_annotation_identity_vs_reference():
         assert row[2] == json.dumps(v).lower()
         assert row[4] is True and row[5] == v["annotatedAt"]
         assert row[6] == row[2] and row[7] == row[5]  # upsert arm reuse
+
+
+@pytest.fixture(scope="module")
+def ref_fetcher():
+    """mediaing.fetcher loads under the auto-stub hook (requests /
+    gevent / psycopg2 / botocore fabricated; Status + IGNORE_PREFIXES
+    from the real mediaing package)."""
+    import importlib.abc
+
+    roots = {
+        "gevent", "psycopg2", "boto3", "botocore", "requests",
+        "elasticsearch", "celery", "redis", "lxml", "pyproj", "shapely",
+        "fiona", "atomicfile", "magic", "bsddb3",
+    }
+
+    class AutoStub(importlib.abc.MetaPathFinder, importlib.abc.Loader):
+        def find_spec(self, name, path=None, target=None):
+            if name.split(".")[0] in roots and name not in sys.modules:
+                return importlib.util.spec_from_loader(
+                    name, self, is_package=True
+                )
+            return None
+
+        def create_module(self, spec):
+            m = mock.MagicMock()
+            m.__name__ = spec.name
+            m.__path__ = []
+            m.__spec__ = spec
+            return m
+
+        def exec_module(self, module):
+            pass
+
+    sys.meta_path.insert(0, AutoStub())
+    sys.path.insert(0, "/root/reference")
+    stor = mock.MagicMock()
+    stor.__name__ = "idb.helpers.storage"
+    sys.modules.setdefault("idb.helpers.storage", stor)
+    from idigbio_ingestion.mediaing import fetcher as RFETCH
+
+    return RFETCH
+
+
+def test_inspect_html_response_vs_reference(ref_fetcher, spark):
+    """The disguised-denial classifier EXECUTED (fetcher.py:494-502 +
+    the :425 mime gate) vs operators/mediaing.classify_html_response
+    over a content battery that covers the two-space quirk: BLOCKED_RE
+    is ``ip (?:address)? (blocked|blacklisted)`` — the optional group
+    sits between two MANDATORY spaces, so 'your ip blocked' (one
+    space) never matches while 'your ip  blocked' and 'ip address
+    blacklisted' do; DENIED wins when both appear."""
+    from pyspark.sql import functions as F
+
+    from idb_backend_spark.operators.mediaing import (
+        classify_html_response,
+    )
+
+    RFETCH = ref_fetcher
+    battery = [
+        "Access Denied by host",
+        "ACCESS DENIED",
+        "your ip blocked",          # one space — the famous non-match
+        "your ip  blocked",         # two spaces — matches
+        "ip address blocked",
+        "IP ADDRESS BLACKLISTED",
+        "ip  blacklisted",
+        "ipblocked",
+        "all good content",
+        "access denied and ip  blocked",  # DENIED checked first
+        "",
+    ]
+    mimes = ["text/html", "text/plain", "image/jpeg"]
+
+    rows = [(c, m, i) for i, (c, m) in enumerate(
+        (c, m) for c in battery for m in mimes)]
+    df = spark.createDataFrame(rows, "content string, mime string, i long")
+    got = {
+        r["i"]: r["status"]
+        for r in df.select(
+            "i",
+            classify_html_response(F.col("content"), F.col("mime"))
+            .alias("status"),
+        ).collect()
+    }
+    for c, m, i in rows:
+        # the reference gates on detected mime BEFORE calling
+        # inspect_html_response (fetcher.py:422-427)
+        if m in ("text/html", "text/plain"):
+            sc = RFETCH.inspect_html_response(c)
+            expect = sc.value if sc is not None else None
+        else:
+            expect = None
+        assert got[i] == expect, (c, m, got[i], expect)
+
+    # Status numeric parity for the synthetic codes the engine writes
+    from idb_backend_spark.operators.mediaing import (
+        STATUS_BLOCKED,
+        STATUS_FAUX_DENIED,
+    )
+
+    assert RFETCH.Status.FAUX_DENIED.value == STATUS_FAUX_DENIED == 1403
+    assert RFETCH.Status.BLOCKED.value == STATUS_BLOCKED == 1509
+
+    # IGNORE_PREFIXES parity (the unconditional ignore gate S14 pins)
+    from idigbio_ingestion import mediaing as RMED
+
+    from idb_backend_spark.operators.mediaing import IGNORE_PREFIXES
+
+    assert tuple(RMED.IGNORE_PREFIXES) == tuple(IGNORE_PREFIXES)
