@@ -65,6 +65,7 @@ HEADLINE = [
     "token_count_quality",
     "lang_id_heuristic",
     "minhash_lsh_pairs",
+    "simhash_pairs",
     "ann_cosine_topk",
     "etl_enrichment_pipeline",
     "datum_shift_molodensky",

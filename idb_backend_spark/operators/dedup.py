@@ -319,22 +319,26 @@ def hamming_pairs(fp: DataFrame, max_hamming: int = 3) -> DataFrame:
             "keys (64 // (max_hamming+1)); radii above 63 are "
             "unsatisfiable with a 64-bit fingerprint"
         )
-    chunks = []
+    keys = []
     for i in range(n_chunks):
         if chunk_bits >= 64:
-            ckey = F.col("fp")  # radius 0: the whole fingerprint is the key
+            keys.append(F.col("fp"))  # radius 0: whole fingerprint
         else:
-            ckey = F.shiftrightunsigned(
-                F.col("fp"), i * chunk_bits
-            ).bitwiseAND(F.lit((1 << chunk_bits) - 1))
-        chunks.append(
-            fp.select(
-                "id", "fp", F.lit(i).alias("chunk"), ckey.alias("ckey")
+            keys.append(
+                F.shiftrightunsigned(
+                    F.col("fp"), i * chunk_bits
+                ).bitwiseAND(F.lit((1 << chunk_bits) - 1))
             )
-        )
-    banded = chunks[0]
-    for c in chunks[1:]:
-        banded = banded.union(c)
+    # ONE evaluation of the fingerprint column, then posexplode the
+    # chunk keys. The former union-of-n_chunks selects re-evaluated the
+    # upstream fp plan once PER BRANCH per join side — with a pandas-UDF
+    # fingerprint (simhash64 / image_phash) that was 2x(max_hamming+1)
+    # full hashing passes over the corpus; this shape does one per side
+    # (and AQE's ReusedExchange collapses the identical sides). r11:
+    # simhash_pairs wall at sf0.1 dropped ~3x.
+    banded = fp.select(
+        "id", "fp", F.posexplode(F.array(*keys)).alias("chunk", "ckey")
+    )
     return (
         banded.alias("a")
         .join(banded.alias("b"), on=["chunk", "ckey"])
