@@ -217,6 +217,25 @@ def record_view_links(
         sib_urls = F.transform_keys(
             sib_urls, lambda k, _: F.concat(k, F.lit("s"))
         )
+    # merge semantics are the reference's dict.update (v2.py:53 /
+    # v1.py:39): a sibling group whose key COLLIDES with the parent
+    # link key overwrites it — v1's de-pluralized parent 'recordset'
+    # meets a verbatim sibling type 'recordset'; v2's pluralized
+    # sibling 'recordset'+'s' meets the parent key 'recordsets'. A
+    # bare map_concat THROWS DUPLICATED_MAP_KEY on exactly those rows
+    # (r11 differential finding, test_view_links_vs_reference), so the
+    # parent side is filtered to the non-colliding keys first. The
+    # coalesce keeps a NULL sibling map from nulling the whole result
+    # (map_concat(links, NULL) is NULL — the reference's
+    # siblings=None keeps the parent links).
+    sib_urls = F.coalesce(
+        sib_urls, F.create_map().cast("map<string,array<string>>")
+    )
+    sib_keys = F.map_keys(sib_urls)
+    links = F.map_filter(
+        links,
+        lambda k, _: ~F.coalesce(F.array_contains(sib_keys, k), F.lit(False)),
+    )
     return F.map_concat(links, sib_urls)
 
 

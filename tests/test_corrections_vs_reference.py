@@ -68,6 +68,8 @@ def ref_corrector():
             pass
 
     sys.meta_path.insert(0, AutoStub())
+    import pandas  # noqa: F401 — pandas must initialize against the
+    # REAL pytz; a fake seeded first poisons its import in subset runs
     fake_pytz = types.ModuleType("pytz")
     import datetime
 

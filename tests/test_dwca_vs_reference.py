@@ -91,6 +91,8 @@ def ref_dwca():
     sys.meta_path.insert(0, AutoStub())
     import datetime
 
+    import pandas  # noqa: F401 — pandas must initialize against the
+    # REAL pytz; a fake seeded first poisons its import in subset runs
     fake_pytz = pytypes.ModuleType("pytz")
     fake_pytz.utc = datetime.timezone.utc
     sys.modules.setdefault("pytz", fake_pytz)

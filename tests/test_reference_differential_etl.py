@@ -34,6 +34,8 @@ from idb_backend_spark.functions import grabbers as G
 
 @pytest.fixture(scope="module")
 def ref():
+    import pandas  # noqa: F401 — pandas must initialize against the
+    # REAL pytz; a fake seeded first poisons its import in subset runs
     fake_pytz = types.ModuleType("pytz")
     fake_pytz.utc = datetime.timezone.utc
     sys.modules.setdefault("pytz", fake_pytz)
@@ -710,6 +712,8 @@ def ref_db_check():
             pass
 
     sys.meta_path.insert(0, AutoStub())
+    import pandas  # noqa: F401 — pandas must initialize against the
+    # REAL pytz; a fake seeded first poisons its import in subset runs
     fake_pytz = types.ModuleType("pytz")
     fake_pytz.utc = datetime.timezone.utc
     sys.modules.setdefault("pytz", fake_pytz)
