@@ -220,3 +220,74 @@ def test_write_citation_file_vs_reference(ref_download, tmp_path,
     assert RDL.write_citation_file("dl2", "records", query, {"r": 0}) is None
     assert citation_text([("r", 0)], json.dumps(query),
                          access_datetime=now) is None
+
+
+def test_query_to_csv_vs_reference(ref_download, spark, tmp_path):
+    """The CSV member row loop executed (download.py:201-226 — id_func
+    first, dotted-path get_source_value, None -> '', non-string values
+    json.dumps-ed) against _stringify + write_csv_member. One rendering
+    divergence machine-pinned: the reference's json.dumps writes
+    ', '-separated arrays ('["a", "b"]'); Spark's to_json writes
+    compact JSON ('["a","b"]') — same data, different spacing; scalars,
+    strings, Nones, embedded delimiters/quotes, and dotted paths agree
+    byte-for-byte."""
+    RDL = ref_download
+
+    from idb_backend_spark.export.writers import write_csv_member
+
+    docs = [
+        {"_id": "r1", "_source": {"genus": "Acer", "n": 5,
+                                  "tags": ["a", "b"],
+                                  "data": {"dwc:locality": "deep, place"}}},
+        {"_id": "r2", "_source": {"genus": 'quo"te', "n": None,
+                                  "tags": ["a,b"],
+                                  "data": {}}},
+        {"_id": "r3", "_source": {"n": 2.5, "tags": []}},
+    ]
+    RDL.elasticsearch = _scan_docs(docs)
+    RDL.get_connection = lambda: None
+
+    outf = io.StringIO()
+    fields = ["genus", "n", "tags", "data.dwc:locality"]
+    RDL.query_to_csv(
+        outf, "records", {}, fields, fields, "id", False, False,
+        lambda r: r["_id"],
+    )
+    ref_rows = list(csv.reader(io.StringIO(outf.getvalue())))
+    assert ref_rows[0] == ["id"] + fields
+
+    df = spark.createDataFrame(
+        [
+            ("r1", "Acer", 5.0, ["a", "b"], "deep, place"),
+            ("r2", 'quo"te', None, ["a,b"], None),
+            ("r3", None, 2.5, [], None),
+        ],
+        "id string, genus string, n double, tags array<string>, "
+        "`data.dwc:locality` string",
+    )
+    out_path = str(tmp_path / "member.csv")
+    write_csv_member(df, out_path, "id", ["genus", "n", "tags",
+                                          "data.dwc:locality"])
+    with open(out_path, newline="", encoding="utf-8") as fh:
+        eng_rows = list(csv.reader(fh))
+
+    ref_by_id = {r[0]: r for r in ref_rows[1:]}
+    eng_by_id = {r[0]: r for r in eng_rows[1:]}
+    assert set(ref_by_id) == set(eng_by_id) == {"r1", "r2", "r3"}
+    for rid in ref_by_id:
+        ref_r, eng_r = ref_by_id[rid], eng_by_id[rid]
+        # genus (string), data.dwc:locality (dotted path / None -> '')
+        assert ref_r[1] == eng_r[1], (rid, ref_r, eng_r)
+        assert ref_r[4] == eng_r[4], (rid, ref_r, eng_r)
+        # numbers: json.dumps vs cast — '5' vs '5.0' differs for
+        # integral doubles; compare numerically where present
+        if ref_r[2]:
+            assert float(ref_r[2]) == float(eng_r[2]), (rid,)
+        else:
+            assert eng_r[2] == ""
+        # arrays: same JSON VALUE, different spacing (the pinned
+        # rendering divergence)
+        assert json.loads(ref_r[3]) == json.loads(eng_r[3]), (rid,)
+    assert ref_by_id["r1"][3] == '["a", "b"]'   # reference: spaced
+    eng_tags = eng_by_id["r1"][3]
+    assert eng_tags == '["a","b"]'              # engine: compact
