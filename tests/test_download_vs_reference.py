@@ -291,3 +291,161 @@ def test_query_to_csv_vs_reference(ref_download, spark, tmp_path):
     assert ref_by_id["r1"][3] == '["a", "b"]'   # reference: spaced
     eng_tags = eng_by_id["r1"][3]
     assert eng_tags == '["a","b"]'              # engine: compact
+
+
+def test_generate_queries_vs_cross_filter(ref_download, spark):
+    """The download query shaper EXECUTED (download.py:359-431
+    generate_queries — the has_parent/has_child cross-filter assembly,
+    the and-block merging, the empty-filter-to-None fold, and the
+    hasImage gate a mediarecords-core download adds to the record side)
+    against the engine's J5 translation: a mini-ES evaluator runs the
+    REFERENCE's generated queries over an in-memory relation model, and
+    the id sets must equal relations.cross_filter's outputs for every
+    (core_type, record_query, mediarecord_query) combination."""
+    RDL = ref_download
+
+    from pyspark.sql import functions as F
+
+    from idb_backend_spark.operators.relations import cross_filter
+
+    records = [
+        {"id": f"r{i}", "hasImage": i % 2 == 0, "seg": "A" if i % 3 else "B"}
+        for i in range(12)
+    ]
+    media = [
+        {"id": f"m{i}", "parent": f"r{i % 8}", "flag": "N" if i % 2 else "Y"}
+        for i in range(20)
+    ]
+    by_id = {r["id"]: r for r in records}
+    kids = {}
+    for m in media:
+        kids.setdefault(m["parent"], []).append(m)
+
+    # The generated rq/mq MUTATE the input dicts in place
+    # (download.py:427-428), so when BOTH sides are set the has_child
+    # arm embeds mq which embeds has_parent(rq) which embeds the
+    # has_child arm again — a CYCLIC object graph. The evaluator breaks
+    # the cycle with a greatest-fixpoint guard (a constraint currently
+    # being proven for the same doc counts as satisfied), which is the
+    # 2-step semi-join the shape intends; the serialization crash
+    # itself is pinned in test_generate_queries_dual_filter_is_cyclic.
+    def ev(q, doc, side, active=frozenset()):
+        if q is None:
+            return True
+        f = q["filtered"]["filter"]
+        for b in f.get("and", []):
+            key = (id(b), id(doc))
+            if key in active:
+                continue  # fixpoint: re-entered constraint holds
+            act = active | {key}
+            if "term" in b:
+                ((k, v),) = b["term"].items()
+                if doc.get(k) != v:
+                    return False
+            elif "match_all" in b:
+                pass
+            elif "has_child" in b:
+                if not any(
+                    ev(b["has_child"]["query"], m, "media", act)
+                    for m in kids.get(doc["id"], [])
+                ):
+                    return False
+            elif "has_parent" in b:
+                parent = by_id.get(doc["parent"])
+                if parent is None or not ev(
+                    b["has_parent"]["query"], parent, "records", act
+                ):
+                    return False
+            else:  # pragma: no cover — unknown block means model drift
+                raise AssertionError(b)
+        return True
+
+    EMPTY = {"filtered": {"filter": {}}}
+    rq_opts = [None, EMPTY,
+               {"filtered": {"filter": {"and": [{"term": {"seg": "A"}}]}}}]
+    mq_opts = [None, EMPTY,
+               {"filtered": {"filter": {"and": [{"term": {"flag": "N"}}]}}}]
+
+    rdf = spark.createDataFrame(
+        [(r["id"], r["hasImage"], r["seg"]) for r in records],
+        "id string, hasImage boolean, seg string",
+    )
+    mdf = spark.createDataFrame(
+        [(m["id"], m["parent"], m["flag"]) for m in media],
+        "mid string, parent string, flag string",
+    )
+
+    import copy
+
+    for core_type in ("records", "mediarecords"):
+        for rq0 in rq_opts:
+            for mq0 in mq_opts:
+                rq, mq = RDL.generate_queries(
+                    copy.deepcopy(rq0), copy.deepcopy(mq0), core_type
+                )
+                ref_r = {r["id"] for r in records if ev(rq, r, "records")}
+                ref_m = {m["id"] for m in media if ev(mq, m, "media")}
+
+                preds_r = []
+                if rq0 not in (None, EMPTY):
+                    preds_r.append(F.col("seg") == "A")
+                if core_type == "mediarecords":
+                    # the shaper's extra record-side gate
+                    preds_r.append(F.col("hasImage") == True)  # noqa: E712
+                rpred = None
+                if preds_r:
+                    rpred = preds_r[0]
+                    for p in preds_r[1:]:
+                        rpred = rpred & p
+                mpred = (
+                    F.col("flag") == "N"
+                ) if mq0 not in (None, EMPTY) else None
+                # ASYMMETRY pinned by execution: the hasImage gate a
+                # mediarecords-core download adds lands in rq_and, and
+                # the MEDIA side only sees the record constraints via
+                # the has_parent arm — which generate_queries adds ONLY
+                # when a record_query exists (download.py:378-389). So
+                # with no record filter, the records member is
+                # hasImage-gated while the media member takes ALL
+                # media whose own filter passes.
+                rpred_for_media = (
+                    rpred if rq0 not in (None, EMPTY) else None
+                )
+                r_out, _ = cross_filter(
+                    rdf, mdf, rpred, mpred, link=("id", "parent")
+                )
+                _, m_out = cross_filter(
+                    rdf, mdf, rpred_for_media, mpred, link=("id", "parent")
+                )
+                eng_r = {r["id"] for r in r_out.collect()}
+                eng_m = {m["mid"] for m in m_out.collect()}
+                assert eng_r == ref_r, (core_type, rq0, mq0, eng_r, ref_r)
+                assert eng_m == ref_m, (core_type, rq0, mq0, eng_m, ref_m)
+
+
+def test_generate_queries_dual_filter_is_cyclic(ref_download):
+    """Shipped reference defect, machine-pinned: with BOTH a record and
+    a mediarecord query, generate_queries mutates the two dicts into a
+    mutually-referencing graph (rq's has_child embeds mq whose
+    has_parent embeds rq, download.py:379-428) — json serialization,
+    which the ES client performs on every count/scan body, raises
+    'Circular reference detected', so dual-filtered downloads CRASH in
+    the reference as shipped. The engine's cross_filter computes the
+    fixpoint those queries intend (the 2-step semi-join) without any
+    cyclic structure."""
+    import copy
+
+    RDL = ref_download
+    rq0 = {"filtered": {"filter": {"and": [{"term": {"seg": "A"}}]}}}
+    mq0 = {"filtered": {"filter": {"and": [{"term": {"flag": "N"}}]}}}
+    rq, mq = RDL.generate_queries(
+        copy.deepcopy(rq0), copy.deepcopy(mq0), "records"
+    )
+    with pytest.raises(ValueError, match="[Cc]ircular"):
+        json.dumps(rq)
+    with pytest.raises(ValueError, match="[Cc]ircular"):
+        json.dumps(mq)
+    # single-sided queries stay serializable (the only shape that can
+    # ever have worked in production)
+    rq, mq = RDL.generate_queries(copy.deepcopy(rq0), None, "records")
+    json.dumps(rq), json.dumps(mq)
