@@ -469,10 +469,26 @@ def _reference_is_row_suspect(row: dict):
 
 
 def test_suspect_tag_grid_matches_reference(spark):
-    """A9 suspects: the native when-chain equals the transcribed
-    reference over a 65k-combination grid (every arm and every
-    short-circuit-guarded division is exercised; False maps to NULL)."""
+    """A9 suspects: the native when-chain equals the reference over a
+    65k-combination grid (every arm and every short-circuit-guarded
+    division is exercised; False maps to NULL). r11 upgrade: the
+    REFERENCE's own is_row_suspect (ds_sum_counts.py:53-97, atomicfile
+    stubbed) executes for every grid row alongside the transcription
+    above, so the pin is machine-derived — the transcription stays as
+    the readable spec and must agree with both."""
+    import importlib.util
     import itertools
+    import sys
+    from unittest import mock
+
+    sys.modules.setdefault("atomicfile", mock.MagicMock())
+    sys.path.insert(0, "/root/reference")
+    spec = importlib.util.spec_from_file_location(
+        "ref_ds_sum_counts",
+        "/root/reference/idigbio_ingestion/ds_sum_counts.py",
+    )
+    RDS = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(RDS)
 
     from idb_backend_spark.operators import store as st
     from pyspark.sql import functions as F
@@ -504,13 +520,16 @@ def test_suspect_tag_grid_matches_reference(spark):
     ).collect()
     mismatches = []
     for r in got:
-        want = _reference_is_row_suspect({
+        row_dict = {
             "records_count": r["rc"], "records_create": r["rcr"],
             "records_update": r["rup"], "records_delete": r["rdl"],
             "mediarecords_count": r["mc"], "mediarecords_create": r["mcr"],
             "mediarecords_update": r["mup"],
             "mediarecords_delete": r["mdl"], "datafile_ok": r["ok"],
-        })
+        }
+        want = _reference_is_row_suspect(row_dict)
+        executed = RDS.is_row_suspect(dict(row_dict))
+        assert executed == want, (row_dict, executed, want)
         want = None if want is False else want
         if r["tag"] != want:
             mismatches.append((tuple(r)[:9], r["tag"], want))
