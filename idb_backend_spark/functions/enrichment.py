@@ -257,14 +257,26 @@ def py_capitalize(c: Column) -> Column:
     ASCII-identical to Python; on exotic digraph codepoints Python
     TITLEcases the first char where upper() differs ('ß' -> 'Ss' vs
     'SS') — documented residue, machine-pinned in
-    tests/test_sources_export.py. Shared by
-    operators/aggregates.unique_values and export/writers.
-    uniquevals_frame so the graded A3 fold and the export path can
-    never drift."""
+    tests/test_sources_export.py."""
     return F.concat(
         F.upper(F.substring(c, 1, 1)),
         F.lower(c.substr(F.lit(2), F.length(c))),
     )
+
+
+def fold_scientificname(c: Column, field_name: str) -> Column:
+    """THE scientificname fold gate — trigger rule AND fold in one
+    place (download.py:188-190: ``if val_field.lower().endswith(
+    "scientificname"): v = v.capitalize()``), shared by
+    operators/aggregates.unique_values and export/writers.
+    uniquevals_frame so neither the fold nor the WHICH-columns trigger
+    can drift between the graded A3 kernel and the export path (the
+    r11 differential found exactly that drift). Identifier backticks
+    strip first so quoted columns like `dwc:scientificName` still hit
+    the endswith check."""
+    if field_name.strip("`").lower().endswith("scientificname"):
+        return py_capitalize(c)
+    return c
 
 
 def first_nonempty(*cols: Column) -> Column:

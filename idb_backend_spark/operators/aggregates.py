@@ -39,13 +39,9 @@ def unique_values(df: DataFrame, field: str) -> DataFrame:
     digraph codepoints). The null->'' bucket is NOT capitalized in the
     reference (the fold sits inside the not-None arm) — same output
     either way, since concat-on-null falls through to the coalesce."""
-    from idb_backend_spark.functions.enrichment import py_capitalize
+    from idb_backend_spark.functions.enrichment import fold_scientificname
 
-    col = F.col(field).cast("string")
-    # strip identifier backticks so quoted columns like
-    # `dwc:scientificName` still hit the reference's endswith check
-    if field.strip("`").lower().endswith("scientificname"):
-        col = py_capitalize(col)
+    col = fold_scientificname(F.col(field).cast("string"), field)
     val = F.coalesce(col, F.lit("")).alias("value")
     return (
         df.select(val)
