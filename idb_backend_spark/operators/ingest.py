@@ -1,0 +1,524 @@
+"""The ingest row loop (db_check.process_subfile) as a cogrouped
+sequential kernel.
+
+Reference: ``idigbio_ingestion/db_check.py:181-475`` — per archive
+member, each row is stripped, merged with buffered extension rows,
+content-hashed, identified, probed against the recordset's existing
+identifiers, and classified create/update/match; entities absent from
+the member are tombstoned (``:441-454``). The loop is inherently
+SEQUENTIAL per recordset: in-file duplicate discipline (``seen_etags`` /
+``seen_ids``), the cross-member ``unconsumed_extensions`` /
+``core_siblings`` buffers (``:169-170,:259-270,:365-378``), and in-run
+identifier visibility (a row created earlier in the file resolves a
+later row's ``ac:associatedSpecimenReference``) all depend on row
+order. The reference parallelizes by RECORDSET (one db-check process
+per recordset); this operator expresses the same grain in Spark — a
+``groupBy(rsid).cogroup(lookup.groupBy(rsid)).applyInPandas`` kernel,
+one Arrow batch group per recordset, rows processed in (file_order,
+seq) order inside the kernel. At 100 TB the cluster runs thousands of
+recordset groups concurrently; within a group the semantics are the
+reference's own. For the degenerate giant-recordset tail the relational
+path (operators/store.apply_harvest_batch + functions/finalize
+identifier columns, graded by ``ingest_e2e`` / ``identity_match``) is
+the spill-safe fallback — this kernel holds one recordset's lookup
+dicts in memory, exactly like the reference's ``get_db_dicts``
+(db_check.py:137-150).
+
+Differentially EXECUTED against the real ``process_subfile`` (auto-stub
+hook, in-memory PostgresDB fake) in tests/test_ingest_vs_reference.py.
+
+Deliberate divergences (documented, not drift):
+
+- New-entity uuids are DETERMINISTIC (uuid5 over the recordset + first
+  claimed identifier) where the reference draws ``uuid.uuid4()``
+  (db_check.py:443 via db.get_uuid) — re-ingesting the same archive
+  yields the same uuids, which makes the whole dataflow idempotent and
+  retry-safe on a cluster. Comparisons in the differential are
+  therefore by row/edge identity, never by created-uuid value.
+- The ``ac:associatedSpecimenReference`` suffix probe (db_check.py:
+  397-404) runs an unordered ``LIKE`` with no ORDER BY — with several
+  matching identifiers the reference's pick is Postgres heap order.
+  The kernel takes the first match in lookup order; the differential
+  feeds at most one match per probe.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import uuid as _uuid
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from idb_backend_spark.functions.etags import calc_etag
+
+#: rowtype -> store type (db_check.py:90-96)
+INGESTION_TYPES = {
+    "dwc:Occurrence": "records",
+    "dwc:Multimedia": "mediarecords",
+    "dcterms": "mediarecords",
+    "records": "records",
+    "mediarecords": "mediarecords",
+}
+
+#: BOM strip + trim (db_check.py:44-45,:60-61)
+_BAD_CHAR_RE = re.compile("[\ufeff]")
+
+#: uuid literal scan for ac:associatedSpecimenReference (db_check.py:48-49)
+_UUID_RE = re.compile(
+    "([a-fA-F0-9]{8}-[a-fA-F0-9]{4}-[a-fA-F0-9]{4}-"
+    "[a-fA-F0-9]{4}-[a-fA-F0-9]{12})"
+)
+
+#: namespace for deterministic created-entity uuids (divergence note in
+#: the module docstring)
+_CREATE_NS = _uuid.uuid5(_uuid.NAMESPACE_URL, "idb-backend-spark/ingest")
+
+#: output row shape — one row per input record plus synthetic
+#: ``outcome='delete'`` rows for the member-level absence tombstones
+OUTCOME_SCHEMA = (
+    "rsid string, fname string, seq long, outcome string, uuid string, "
+    "etag string, ids string, siblings string, found boolean, "
+    "matched boolean, to_undelete boolean, ingested boolean"
+)
+
+#: lookup side of the cogroup: scope='rs' rows carry the recordset's
+#: children (rtype records/mediarecords, ident -> uuid, uuid -> latest
+#: etag; ident may be null for an id-less child), scope='global' rows
+#: carry the uuids_identifier table beyond the recordset (the
+#: db.get_uuid probe: parent + deleted flag)
+LOOKUP_SCHEMA = (
+    "rsid string, scope string, rtype string, ident string, uuid string, "
+    "etag string, parent string, deleted boolean"
+)
+
+#: rec is an ORDERED field list, not a map: Spark's map type does not
+#: preserve entry order, and record identity is order-sensitive below
+#: the top level (calcEtag sorts only top-level keys; a buffered
+#: extension row serializes nested in its file's column order, so
+#: reordering it changes the content hash)
+ROW_SCHEMA = (
+    "rsid string, file_order int, fname string, rowtype string, "
+    "seq long, rec array<struct<k: string, v: string>>"
+)
+
+
+def _munge(s: str) -> str:
+    return _BAD_CHAR_RE.sub("", s).strip()
+
+
+def _id_from_rr(rr, rsid):
+    """idFromRR (db_check.py:98-108): only the FIRST element is ever
+    consulted — the loop returns on every branch of iteration one."""
+    for idr in rr:
+        has = (
+            isinstance(idr, dict)
+            and "dwc:relatedResourceID" in idr
+            and "dwc:relationshipOfResource" in idr
+        )
+        if not has:
+            return None
+        rel = idr["dwc:relationshipOfResource"]
+        if rel == "representedIn":
+            return _munge(idr["dwc:relatedResourceID"])
+        if rsid is not None and rel == "sameAs":
+            return rsid + "\\" + _munge(idr["dwc:relatedResourceID"])
+        return None
+    return None
+
+
+def _identify(rowtype: str, rec: dict, rsid: str) -> list[str]:
+    """Candidate identifiers in TABLE order, lowercased
+    (identifier_fields db_check.py:64-87 + identifyRecord :152-168,
+    including the UConn providerManagedID skip :156-159). Returns the
+    ordered candidate list (the etag/field-name tuple elements of the
+    reference's triples carry no decision weight downstream)."""
+    out: list[str] = []
+
+    def emit(v):
+        if v is not None:
+            out.append(v.lower())
+
+    if rowtype == "dwc:Occurrence":
+        for f in ("idigbio:recordId", "idigbio:recordID"):
+            if f in rec:
+                emit(_munge(rec[f]))
+        if "dwc:ResourceRelationship" in rec:
+            emit(_id_from_rr(rec["dwc:ResourceRelationship"], rsid))
+        for f in ("dwc:occurrenceID", "id", "ID"):
+            if f in rec:
+                emit(rsid + "\\" + _munge(rec[f]))
+    elif rowtype in ("dwc:Multimedia", "dcterms"):
+        for f in ("idigbio:recordId", "idigbio:recordID"):
+            if f in rec:
+                emit(_munge(rec[f]))
+        if "ac:providerManagedID" in rec:
+            uconn = (
+                "dcterms:identifier" in rec
+                and rec["dcterms:identifier"].lower()
+                == rec["ac:providerManagedID"].lower()
+            )
+            if not uconn:
+                emit(_munge(rec["ac:providerManagedID"]))
+        if "dcterms:identifier" in rec:
+            emit(rsid + "\\media\\" + _munge(rec["dcterms:identifier"]))
+    return out
+
+
+def _strip_nuls(x):
+    if isinstance(x, str):
+        return x.replace("\x00", "")
+    if isinstance(x, dict):
+        return {k: _strip_nuls(v) for k, v in x.items()}
+    if isinstance(x, (list, tuple)):
+        return [_strip_nuls(v) for v in x]
+    return x
+
+
+class _RowFail(Exception):
+    def __init__(self, outcome: str):
+        self.outcome = outcome
+
+
+class _Store:
+    """The kernel's view of the uuid store — the in-run-visible slice of
+    uuids / uuids_identifier that process_subfile touches through its
+    db handle (get_uuid probe, set_record inserts, undelete)."""
+
+    def __init__(self):
+        self.probe: dict[str, tuple] = {}  # ident -> (uuid, parent, deleted)
+        self.uuids: set[str] = set()
+
+    def get_uuid(self, idents: Iterable[str], rsid: str, seed: str):
+        hits = {self.probe[i] for i in idents if i in self.probe}
+        if len(hits) > 1:
+            return None, None, False, "multi_uuid"
+        if len(hits) == 1:
+            u, parent, deleted = next(iter(hits))
+            return u, parent, deleted, None
+        return (
+            str(_uuid.uuid5(_CREATE_NS, rsid + "\0" + seed)),
+            None,
+            False,
+            None,
+        )
+
+    def insert(self, u: str, idents: Iterable[str], rsid: str):
+        self.uuids.add(u)
+        for i in idents:
+            self.probe.setdefault(i, (u, rsid, False))
+
+    def undelete(self, u: str):
+        for i, (pu, pp, pd_) in list(self.probe.items()):
+            if pu == u and pd_:
+                self.probe[i] = (pu, pp, False)
+
+    def resolve_asr(self, ref: str):
+        """get_item by uuid, else identifier suffix LIKE
+        (db_check.py:389-410)."""
+        if ref in self.uuids:
+            return ref
+        for i, (u, _, _) in self.probe.items():
+            if i.endswith(ref):
+                return u
+        return None
+
+
+def _process_group(
+    rows: pd.DataFrame,
+    lookup: pd.DataFrame,
+    ingest: bool,
+    nested_terms: tuple,
+) -> pd.DataFrame:
+    existing_ids = {"records": {}, "mediarecords": {}}
+    existing_etags = {"records": {}, "mediarecords": {}}
+    store = _Store()
+
+    for t in lookup.itertuples():
+        if t.scope == "rs":
+            rt = t.rtype
+            if isinstance(t.ident, str):
+                existing_ids[rt][t.ident] = t.uuid
+                store.probe.setdefault(t.ident, (t.uuid, t.rsid, False))
+            existing_etags[rt][t.uuid] = t.etag
+            store.uuids.add(t.uuid)
+        else:
+            store.probe[t.ident] = (t.uuid, t.parent, bool(t.deleted))
+            store.uuids.add(t.uuid)
+
+    # cross-member archive state (db_check.py:169-170; cleared per
+    # archive in process_file:548-550 — one cogroup group IS one archive)
+    unconsumed: dict = {}
+    core_sibs: dict = {}
+
+    out: list[dict] = []
+    rows = rows.sort_values(["file_order", "seq"])
+
+    for (fname, rowtype), member in rows.groupby(
+        ["fname", "rowtype"], sort=False
+    ):
+        rsid = member.iloc[0]["rsid"]
+        typ = INGESTION_TYPES.get(rowtype)
+        sub_ingest = ingest and typ is not None
+        ex_ids = existing_ids[typ] if typ else {}
+        ex_etags = existing_etags[typ] if typ else {}
+        seen_etags: set = set()
+        seen_ids: dict = {}
+        seen_uuids: dict = {}
+
+        for t in member.itertuples():
+            # rec arrives as an ordered (k, v) pair array (ROW_SCHEMA
+            # note); Arrow renders struct elements as dicts or tuples
+            if t.rec is None:
+                rec = {}
+            else:
+                pairs = [
+                    (p["k"], p["v"]) if isinstance(p, dict) else tuple(p)
+                    for p in t.rec
+                ]
+                rec = dict(pairs)
+            for nt in nested_terms:
+                if isinstance(rec.get(nt), str):
+                    try:
+                        rec[nt] = json.loads(rec[nt])
+                    except ValueError:
+                        pass
+            rec = _strip_nuls(rec)
+
+            res = {
+                "rsid": rsid, "fname": fname, "seq": t.seq,
+                "outcome": None, "uuid": None, "etag": None, "ids": "",
+                "siblings": "", "found": False, "matched": False,
+                "to_undelete": False, "ingested": False,
+            }
+            claims: dict = {}
+            row_uuids: dict = {}
+            try:
+                rid = rec.get("id")
+                siblings = []
+                if rid is not None:
+                    if rid in unconsumed:
+                        rec.update(unconsumed.pop(rid))
+                    if rid in core_sibs:
+                        siblings = core_sibs[rid]
+                if (
+                    rowtype == "dwc:Occurrence"
+                    and "dwc:occurrenceID" not in rec
+                    and "id" in rec
+                ):
+                    rec["dwc:occurrenceID"] = rec.pop("id")
+
+                etag = calc_etag(rec)
+                res["etag"] = etag
+                if etag in seen_etags:
+                    raise _RowFail("dup_etag")
+                seen_etags.add(etag)
+
+                idents = _identify(rowtype, rec, rsid)
+                if not idents and rowtype in INGESTION_TYPES:
+                    raise _RowFail("no_recordid")
+                for i in idents:
+                    if i in seen_ids:
+                        raise _RowFail("dup_id")
+                    claims[i] = True
+
+                u = None
+                for i in idents:
+                    if i not in ex_ids:
+                        continue
+                    if u is None:
+                        res["found"] = True
+                        u = ex_ids[i]
+                        if ex_etags[u] == etag:
+                            res["matched"] = True
+                    elif ex_ids[i] != u:
+                        raise _RowFail("conflict")
+
+                deleted = False
+                if u is None:
+                    u, parent, deleted, err = store.get_uuid(
+                        idents, rsid, idents[0] if idents else f"{fname}:{t.seq}"
+                    )
+                    if err:
+                        raise _RowFail(err)
+                    if parent is not None and parent != rsid:
+                        raise _RowFail("foreign_parent")
+                res["uuid"] = u
+                if deleted:
+                    res["to_undelete"] = True
+
+                for i in idents:
+                    claims[i] = u
+                row_uuids[u] = etag
+                # recorded at resolution time: a row that set_records and
+                # THEN raises (the ASR quirk) keeps the ids it claimed,
+                # exactly as the reference's set_record already consumed
+                # list(ids_to_add)
+                res["ids"] = ",".join(sorted(claims))
+
+                if sub_ingest and not deleted:
+                    if res["matched"]:
+                        # matched: only the sibling upserts run
+                        # (db_check.py:344-347)
+                        res["siblings"] = ",".join(siblings)
+                    else:
+                        store.insert(u, claims, rsid)
+                        res["ingested"] = True
+                        res["siblings"] = ",".join(siblings)
+                elif sub_ingest and deleted:
+                    store.undelete(u)
+                    store.insert(u, claims, rsid)
+                    res["ingested"] = True
+                    res["siblings"] = ",".join(siblings)
+                    res["outcome"] = "resurrect"
+
+                coreid = rec.get("coreid")
+                if coreid is not None:
+                    if rowtype in INGESTION_TYPES:
+                        core_sibs.setdefault(coreid, []).append(u)
+                    else:
+                        unconsumed.setdefault(coreid, {}).setdefault(
+                            rowtype, []
+                        ).append(rec)
+
+                asr = rec.get("ac:associatedSpecimenReference")
+                if asr:
+                    for ref in _UUID_RE.findall(asr):
+                        db_uuid = store.resolve_asr(ref.lower())
+                        if db_uuid is None:
+                            raise _RowFail("asr_unresolved")
+                        if sub_ingest:
+                            res["siblings"] = ",".join(
+                                filter(None, [res["siblings"], db_uuid])
+                            )
+
+                if res["outcome"] is None:
+                    if res["matched"]:
+                        res["outcome"] = "match"
+                    elif res["found"]:
+                        res["outcome"] = "update"
+                    else:
+                        res["outcome"] = "create"
+            except _RowFail as e:
+                # the reference zeroes the row's id/uuid claims on ANY
+                # exception (db_check.py:419-439) but keeps effects that
+                # already ran (seen_etags, an already-issued set_record,
+                # the coreid buffers)
+                res["outcome"] = e.outcome
+                claims = {}
+                row_uuids = {}
+            seen_ids.update(claims)
+            seen_uuids.update(row_uuids)
+            out.append(res)
+
+        # member-level absence deletes (db_check.py:441-454): scoped to
+        # the member's type, computed whether or not ingest ran
+        for gone in sorted(set(ex_etags) - set(seen_uuids)):
+            out.append(
+                {
+                    "rsid": rsid, "fname": fname, "seq": None,
+                    "outcome": "delete", "uuid": gone, "etag": None,
+                    "ids": "", "siblings": "", "found": False,
+                    "matched": False, "to_undelete": False,
+                    "ingested": False,
+                }
+            )
+
+    cols = [
+        "rsid", "fname", "seq", "outcome", "uuid", "etag", "ids",
+        "siblings", "found", "matched", "to_undelete", "ingested",
+    ]
+    return pd.DataFrame(out, columns=cols)
+
+
+def ingest_subfiles(
+    rows: DataFrame,
+    lookup: DataFrame,
+    ingest: bool = True,
+    nested_terms: tuple = ("dwc:ResourceRelationship",),
+) -> DataFrame:
+    """Run every recordset's archive members through the ingest row
+    loop. ``rows``: ROW_SCHEMA (rec as an ordered (k, v) pair array —
+    order-preserving, unlike Spark maps; terms named in ``nested_terms``
+    may carry JSON-encoded structures — the store's wire format for
+    nested DwC values). ``lookup``: LOOKUP_SCHEMA.
+    Returns OUTCOME_SCHEMA rows; feed to :func:`subfile_summary` for
+    the reference's per-member counter dict."""
+
+    def kernel(r: pd.DataFrame, lk: pd.DataFrame) -> pd.DataFrame:
+        if r.empty:
+            return pd.DataFrame(
+                columns=[f.split()[0] for f in OUTCOME_SCHEMA.split(", ")]
+            )
+        return _process_group(r, lk, ingest, nested_terms)
+
+    return (
+        rows.groupBy("rsid")
+        .cogroup(lookup.groupBy("rsid"))
+        .applyInPandas(kernel, OUTCOME_SCHEMA)
+    )
+
+
+def subfile_summary(outcomes: DataFrame) -> DataFrame:
+    """process_subfile's counter dict (db_check.py:456-475) as a native
+    aggregation over the kernel's outcome rows — create/update derive
+    from the found/matched FLAGS, not the terminal outcome, preserving
+    the reference's phantom-found arithmetic (a row that matched an
+    identifier and then raised still moved ``found``, so it still
+    shifts create/update; db_check.py:304-309 increment before the
+    :311-313 raise)."""
+    from pyspark.sql import functions as F
+
+    is_row = F.col("outcome") != "delete"
+    ok = F.col("outcome").isin("match", "update", "create", "resurrect")
+    return (
+        outcomes.groupBy("rsid", "fname")
+        .agg(
+            F.sum(ok.cast("long")).alias("processed_line_count"),
+            F.sum(is_row.cast("long")).alias("total_line_count"),
+            (
+                F.sum(ok.cast("long")) - F.sum(F.col("found").cast("long"))
+            ).alias("create"),
+            (
+                F.sum(F.col("found").cast("long"))
+                - F.sum(F.col("matched").cast("long"))
+            ).alias("update"),
+            F.sum((F.col("outcome") == "delete").cast("long")).alias(
+                "delete"
+            ),
+            F.sum(F.col("to_undelete").cast("long")).alias("to_undelete"),
+            # set_record fires BEFORE the coreid/ASR steps, so a row can
+            # ingest and still end in asr_unresolved — the reference's
+            # ingestions/resurrections counters moved anyway
+            # (db_check.py:349-356 precede the :389-410 probe); count by
+            # the ingested flag, not the terminal outcome
+            F.sum(
+                (F.col("ingested") & F.col("to_undelete")).cast("long")
+            ).alias("resurrections"),
+            F.sum(
+                (F.col("ingested") & ~F.col("to_undelete")).cast("long")
+            ).alias("ingestions"),
+            F.sum((F.col("outcome") == "no_recordid").cast("long")).alias(
+                "no_recordid_count"
+            ),
+            F.sum((F.col("outcome") == "dup_etag").cast("long")).alias(
+                "duplicate_record_count"
+            ),
+            F.sum((F.col("outcome") == "dup_id").cast("long")).alias(
+                "duplicate_id_count"
+            ),
+            F.sum(
+                F.col("outcome")
+                .isin(
+                    "no_recordid", "dup_etag", "dup_id", "conflict",
+                    "foreign_parent", "asr_unresolved",
+                )
+                .cast("long")
+            ).alias("record_exceptions"),
+            F.sum((F.col("outcome") == "multi_uuid").cast("long")).alias(
+                "exceptions"
+            ),
+        )
+    )

@@ -1,0 +1,640 @@
+"""Differential execution of the COMPOSED ingest row loop — the
+reference's ``db_check.process_subfile``
+(idigbio_ingestion/db_check.py:181-475) run for real as the oracle
+against the engine's cogrouped sequential kernel
+(operators/ingest.ingest_subfiles).
+
+Round 11 executed the loop's pieces (identifyRecord, strip_nuls, the
+suspects grid, etags); this module runs the WHOLE match/create/update
+decision loop head-to-head, including the parts only the composition
+exercises: the ``unconsumed_extensions`` / ``core_siblings`` cross-member
+buffers (:259-270,:365-378), the in-file duplicate discipline with its
+asymmetric rollback (etag claims survive a failed row, id claims do
+not, :271-276 vs :436-439), the phantom-found arithmetic (found/match
+move before a cross-record raise, :304-313), set-difference deletes
+(:441-454), the ingested-then-raised ``ac:associatedSpecimenReference``
+quirk (set_record at :349 precedes the probe at :389-410), and in-run
+identifier visibility through the db handle.
+
+The reference runs under the established auto-stub import hook with an
+in-memory PostgresDB fake that honors the loop's exact contract surface
+(get_uuid / set_record / _upsert_uuid_sibling / undelete_item /
+delete_item / get_item / fetchone-suffix-probe). Created-entity uuids
+are uuid4 in the reference and deterministic uuid5 in the engine
+(documented divergence, operators/ingest.py), so every comparison is by
+row/identifier identity, never by created-uuid value.
+"""
+
+from __future__ import annotations
+
+import copy
+import datetime
+import json
+import random
+import sys
+import types
+from unittest import mock
+
+import pytest
+
+from idb_backend_spark.functions.etags import calc_etag
+from idb_backend_spark.operators.ingest import (
+    LOOKUP_SCHEMA,
+    ROW_SCHEMA,
+    ingest_subfiles,
+    subfile_summary,
+)
+
+RSID = "00000000-0000-0000-0000-00000000rs01"
+
+
+# --------------------------------------------------------------------------
+# reference loading (the repo's standard auto-stub hook)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_db_check():
+    import importlib.abc
+    import importlib.util
+
+    roots = {
+        "gevent", "psycopg2", "boto3", "botocore", "requests",
+        "elasticsearch", "celery", "redis", "lxml", "pyproj", "shapely",
+        "fiona", "atomicfile", "magic",
+    }
+
+    class AutoStub(importlib.abc.MetaPathFinder, importlib.abc.Loader):
+        def find_spec(self, name, path=None, target=None):
+            if name.split(".")[0] in roots and name not in sys.modules:
+                return importlib.util.spec_from_loader(
+                    name, self, is_package=True
+                )
+            return None
+
+        def create_module(self, spec):
+            m = mock.MagicMock()
+            m.__name__ = spec.name
+            m.__path__ = []
+            m.__spec__ = spec
+            return m
+
+        def exec_module(self, module):
+            pass
+
+    sys.meta_path.insert(0, AutoStub())
+    import pandas  # noqa: F401 — initialize against the real pytz first
+
+    fake_pytz = types.ModuleType("pytz")
+    fake_pytz.utc = datetime.timezone.utc
+    sys.modules.setdefault("pytz", fake_pytz)
+    sys.path.insert(0, "/root/reference")
+    import botocore.exceptions
+    import psycopg2
+
+    psycopg2.DatabaseError = type("DatabaseError", (Exception,), {})
+    botocore.exceptions.ClientError = type("ClientError", (Exception,), {})
+    stor = mock.MagicMock()
+    stor.__name__ = "idb.helpers.storage"
+    sys.modules.setdefault("idb.helpers.storage", stor)
+    from idigbio_ingestion import db_check as DB
+
+    return DB
+
+
+class FakeRecordFile:
+    """The slice of DwcaRecordFile process_subfile touches: iteration
+    over row dicts plus rowtype / name / lineCount."""
+
+    def __init__(self, name, rowtype, rows):
+        self.name = name
+        self.rowtype = rowtype
+        self.rows = rows
+        self.lineCount = len(rows)
+
+    def __iter__(self):
+        # the loop mutates r in place (extension merge, occurrenceID
+        # promotion) — hand it copies so batteries stay reusable
+        return iter(copy.deepcopy(self.rows))
+
+
+class FakePostgresDB:
+    """In-memory stand-in for the PostgresDB surface the loop calls
+    (idb/postgres_backend/db.py:434-466 get_uuid/set_record and the
+    sibling/delete/undelete helpers), honoring in-run visibility:
+    set_record inserts become probe-able by later rows, exactly like
+    the reference's single transaction."""
+
+    def __init__(self, probe=None, uuids=()):
+        # ident -> (uuid, parent, deleted)
+        self.probe = dict(probe or {})
+        self.uuids = set(uuids) | {u for u, _, _ in self.probe.values()}
+        self.set_records = []
+        self.sibling_upserts = []
+        self.deleted_items = []
+        self.undeleted_items = []
+        self._n = 0
+
+    def get_uuid(self, ids):
+        hits = {self.probe[i] for i in ids if i in self.probe}
+        if len(hits) > 1:
+            raise ValueError("Identifiers have multiple uuids:", ids)
+        if len(hits) == 1:
+            return next(iter(hits))
+        self._n += 1
+        return ("ref-new-%04d" % self._n, None, False)
+
+    def set_record(self, u, t, p, d, ids, siblings):
+        self.set_records.append(
+            (u, t, p, copy.deepcopy(d), sorted(ids), list(siblings))
+        )
+        self.uuids.add(u)
+        for i in ids:
+            self.probe.setdefault(i, (u, p, False))
+
+    def _upsert_uuid_sibling(self, u, s):
+        self.sibling_upserts.append((u, s))
+
+    def undelete_item(self, u):
+        self.undeleted_items.append(u)
+        for i, (pu, pp, pdel) in list(self.probe.items()):
+            if pu == u and pdel:
+                self.probe[i] = (pu, pp, False)
+
+    def delete_item(self, u):
+        self.deleted_items.append(u)
+
+    def get_item(self, u):
+        return {"uuid": u} if u in self.uuids else None
+
+    def fetchone(self, sql, params, cursor_factory=None):
+        suffix = params[0].lstrip("%")
+        for i, (u, _, _) in self.probe.items():
+            if i.endswith(suffix):
+                return {"uuids_id": u}
+        return None
+
+
+#: summary keys compared 1:1 with the reference's returned dict
+SUMMARY_KEYS = [
+    "create", "update", "delete", "to_undelete", "ingestions",
+    "resurrections", "processed_line_count", "total_line_count",
+    "no_recordid_count", "duplicate_record_count", "duplicate_id_count",
+    "record_exceptions", "exceptions",
+]
+
+
+def run_reference(DB, members, rs_uuid_etag, rs_id_uuid, db, ingest=True):
+    """process_subfile per member, in the reference's member order,
+    with the module-level archive buffers reset first (process_file
+    clears them per archive, db_check.py:548-550)."""
+    DB.unconsumed_extensions.clear()
+    DB.core_siblings.clear()
+    out = {}
+    for rf in members:
+        out[rf.name] = DB.process_subfile(
+            rf, RSID, rs_uuid_etag, rs_id_uuid, ingest=ingest, db=db
+        )
+    return out
+
+
+def run_engine(spark, members, lookup_rows, ingest=True):
+    rows = []
+    for order, rf in enumerate(members):
+        for seq, rec in enumerate(rf.rows):
+            wire = [
+                (
+                    k,
+                    json.dumps(v, ensure_ascii=False)
+                    if not isinstance(v, str)
+                    else v,
+                )
+                for k, v in rec.items()
+            ]
+            rows.append((RSID, order, rf.name, rf.rowtype, seq, wire))
+    rows_df = spark.createDataFrame(rows, ROW_SCHEMA)
+    lookup_df = spark.createDataFrame(lookup_rows, LOOKUP_SCHEMA)
+    outcomes = ingest_subfiles(rows_df, lookup_df, ingest=ingest)
+    collected = outcomes.collect()
+    summaries = {
+        r["fname"]: r.asDict()
+        for r in subfile_summary(outcomes).collect()
+    }
+    return collected, summaries
+
+
+def seed_lookup(rs_uuid_etag, rs_id_uuid, global_probe):
+    """LOOKUP_SCHEMA rows from the same dicts the reference receives."""
+    rows = []
+    for rtype, id_map in rs_id_uuid.items():
+        uuid_idents = {}
+        for ident, u in id_map.items():
+            uuid_idents.setdefault(u, []).append(ident)
+        for u, etag in rs_uuid_etag[rtype].items():
+            idents = uuid_idents.get(u) or [None]
+            for ident in idents:
+                rows.append(
+                    (RSID, "rs", rtype, ident, u, etag, RSID, False)
+                )
+    for ident, (u, parent, deleted) in global_probe.items():
+        rows.append((RSID, "global", None, ident, u, None, parent, deleted))
+    return rows
+
+
+def uuid_key(u, seeded, created_ids):
+    """Stable cross-engine identity for a uuid: seeded uuids compare by
+    value; created uuids compare by the identifier set they claimed."""
+    if u in seeded:
+        return ("seed", u)
+    if u in created_ids:
+        return ("new", frozenset(created_ids[u]))
+    return ("opaque", u)
+
+
+def compare(DB, db, ref_summaries, eng_rows, eng_summaries, seeded):
+    # 1. per-member counters
+    for fname, ref in ref_summaries.items():
+        eng = eng_summaries[fname]
+        for k in SUMMARY_KEYS:
+            assert eng[k] == ref[k], (
+                f"{fname}.{k}: engine {eng[k]} != reference {ref[k]}\n"
+                f"ref: { {q: ref[q] for q in SUMMARY_KEYS} }\n"
+                f"eng: { {q: eng[q] for q in SUMMARY_KEYS} }"
+            )
+    assert set(eng_summaries) == set(ref_summaries)
+
+    # 2. absence deletes, by value (always seeded uuids)
+    eng_deletes = sorted(
+        r["uuid"] for r in eng_rows if r["outcome"] == "delete"
+    )
+    assert eng_deletes == sorted(db.deleted_items)
+
+    # 3. ingested rows: identifier sets claimed by set_record
+    ref_created = {u: ids for u, _, _, _, ids, _ in db.set_records}
+    eng_created = {
+        r["uuid"]: sorted(r["ids"].split(",")) if r["ids"] else []
+        for r in eng_rows
+        if r["ingested"] and r["outcome"] != "delete"
+    }
+    ref_idsets = sorted(map(tuple, ref_created.values()))
+    eng_idsets = sorted(map(tuple, eng_created.values()))
+    assert eng_idsets == ref_idsets
+
+    # 4. content parity of ingested records: the reference hashes the
+    # post-merge dict through its own calcEtag inside set_record; the
+    # kernel's etag column must render the same hash set
+    ref_etags = sorted(DB.calcEtag(d) for _, _, _, d, _, _ in db.set_records)
+    eng_etags = sorted(
+        r["etag"]
+        for r in eng_rows
+        if r["ingested"] and r["outcome"] != "delete"
+    )
+    assert eng_etags == ref_etags
+
+    # 5. sibling edges, translated through uuid_key
+    ref_ids_by_uuid = {u: ids for u, ids in ref_created.items()}
+    eng_ids_by_uuid = {u: ids for u, ids in eng_created.items()}
+    ref_edges = []
+    for u, _, _, _, _, sibs in db.set_records:
+        for s in sibs:
+            ref_edges.append(
+                (uuid_key(u, seeded, ref_ids_by_uuid),
+                 uuid_key(s, seeded, ref_ids_by_uuid))
+            )
+    for u, s in db.sibling_upserts:
+        ref_edges.append(
+            (uuid_key(u, seeded, ref_ids_by_uuid),
+             uuid_key(s, seeded, ref_ids_by_uuid))
+        )
+    eng_edges = []
+    for r in eng_rows:
+        if r["outcome"] == "delete" or not r["siblings"]:
+            continue
+        for s in r["siblings"].split(","):
+            eng_edges.append(
+                (uuid_key(r["uuid"], seeded, eng_ids_by_uuid),
+                 uuid_key(s, seeded, eng_ids_by_uuid))
+            )
+    assert sorted(eng_edges) == sorted(ref_edges)
+
+
+# --------------------------------------------------------------------------
+# battery 1 — randomized occurrence core: the match/create/update loop
+# --------------------------------------------------------------------------
+
+
+def _seeded_store(n=40):
+    """Existing recordset children whose etags come from REAL row dicts,
+    so 'match' rows can reproduce them byte-identically."""
+    uuid_etag = {"records": {}, "mediarecords": {}}
+    id_uuid = {"records": {}, "mediarecords": {}}
+    docs = {}
+    for i in range(n):
+        u = f"ex-rec-{i:04d}"
+        d = {"dwc:occurrenceID": f"occ-{i}", "dwc:recordedBy": f"col-{i}"}
+        docs[u] = d
+        uuid_etag["records"][u] = calc_etag(d)
+        id_uuid["records"][f"{RSID.lower()}\\occ-{i}".lower()] = u
+        if i % 4 == 0:
+            # a second, verbatim-style identifier for the same entity
+            id_uuid["records"][f"urn:rec:{i}"] = u
+    for i in range(8):
+        u = f"ex-med-{i:04d}"
+        d = {"ac:providerManagedID": f"PMID-{i}", "dc:format": "image/jpeg"}
+        uuid_etag["mediarecords"][u] = calc_etag(d)
+        id_uuid["mediarecords"][f"pmid-{i}"] = u
+    return uuid_etag, id_uuid, docs
+
+
+def _battery1_rows(rng):
+    """120 rows over every decision branch. Designed constraint (the
+    kernel and the loop agree by construction): a duplicate-id row never
+    itself holds the first claim on some OTHER identifier — the chain
+    case is pinned separately in test_dup_id_release_chain."""
+    rows = []
+    prior_success = []  # (row, idents-claiming) for dup targets
+    for k in range(120):
+        branch = rng.choice(
+            ["new", "match", "update", "noid", "dup_etag", "dup_id",
+             "conflict", "foreign", "deleted", "multi_uuid", "new_multi",
+             "promoted", "rr"]
+        )
+        i = rng.randrange(40)
+        if branch == "new":
+            r = {"dwc:occurrenceID": f"new-{k}", "dwc:recordedBy": f"p{k}"}
+            prior_success.append(r)
+        elif branch == "match":
+            r = {"dwc:occurrenceID": f"occ-{i}", "dwc:recordedBy": f"col-{i}"}
+        elif branch == "update":
+            r = {"dwc:occurrenceID": f"occ-{i}", "dwc:recordedBy": f"rev-{k}"}
+        elif branch == "noid":
+            r = {"dwc:recordedBy": f"anon-{k}"}
+        elif branch == "dup_etag" and prior_success:
+            r = dict(rng.choice(prior_success))
+        elif branch == "dup_id" and prior_success:
+            donor = rng.choice(prior_success)
+            r = dict(donor)
+            r["dwc:recordedBy"] = f"dupid-{k}"
+        elif branch == "conflict":
+            j = (i + 1) % 40
+            r = {
+                "idigbio:recordId": f"urn:rec:{(i // 4) * 4}",
+                "dwc:occurrenceID": f"occ-{j if j % 4 else (j + 1) % 40}",
+                "dwc:recordedBy": f"x-{k}",
+            }
+        elif branch == "foreign":
+            r = {"dwc:occurrenceID": f"foreign-{k % 3}",
+                 "dwc:recordedBy": f"f-{k}"}
+        elif branch == "deleted":
+            r = {"dwc:occurrenceID": f"gone-{k % 2}",
+                 "dwc:recordedBy": f"g-{k}"}
+        elif branch == "multi_uuid":
+            r = {"idigbio:recordId": "urn:global:a",
+                 "idigbio:recordID": "urn:global:b",
+                 "dwc:recordedBy": f"mu-{k}"}
+        elif branch == "new_multi":
+            r = {"idigbio:recordId": f"urn:new:{k}",
+                 "dwc:occurrenceID": f"nm-{k}",
+                 "dwc:recordedBy": f"n-{k}"}
+            prior_success.append(r)
+        elif branch == "promoted":
+            r = {"id": f"bare-{k}", "dwc:recordedBy": f"b-{k}"}
+        elif branch == "rr":
+            rel = rng.choice(["representedIn", "sameAs", "isRelatedTo"])
+            r = {
+                "dwc:ResourceRelationship": [
+                    {"dwc:relatedResourceID": f"RR-{k}",
+                     "dwc:relationshipOfResource": rel}
+                ],
+                "dwc:occurrenceID": f"rr-{k}",
+                "dwc:recordedBy": f"r-{k}",
+            }
+        else:  # dup branches with no prior target yet
+            r = {"dwc:occurrenceID": f"new-{k}", "dwc:recordedBy": f"p{k}"}
+            prior_success.append(r)
+        rows.append(r)
+    return rows
+
+
+def _battery1_global():
+    """The uuids_identifier probe beyond the recordset: foreign-parent
+    entities, deleted entities, and a multi-uuid pair."""
+    g = {}
+    for m in range(3):
+        g[f"{RSID.lower()}\\foreign-{m}"] = (
+            f"other-{m}", "11111111-1111-1111-1111-111111111111", False)
+    for m in range(2):
+        g[f"{RSID.lower()}\\gone-{m}"] = (f"dead-{m}", RSID, True)
+    g["urn:global:a"] = ("ga-uuid", RSID, False)
+    g["urn:global:b"] = ("gb-uuid", RSID, False)
+    return g
+
+
+@pytest.mark.parametrize("seed", [7, 101, 4242])
+def test_core_loop_randomized(ref_db_check, spark, seed):
+    DB = ref_db_check
+    rng = random.Random(seed)
+    uuid_etag, id_uuid, _ = _seeded_store()
+    rows = _battery1_rows(rng)
+    g = _battery1_global()
+
+    members = [FakeRecordFile("occurrence.txt", "dwc:Occurrence", rows)]
+    db = FakePostgresDB(probe=g)
+    ref = run_reference(DB, members, uuid_etag, id_uuid, db)
+
+    lookup = seed_lookup(uuid_etag, id_uuid, g)
+    eng_rows, eng_sum = run_engine(spark, members, lookup)
+
+    seeded = (
+        set(uuid_etag["records"]) | set(uuid_etag["mediarecords"])
+        | {u for u, _, _ in g.values()}
+    )
+    compare(DB, db, ref, eng_rows, eng_sum, seeded)
+
+
+# --------------------------------------------------------------------------
+# battery 2 — multi-member archive: extension + media + core buffering
+# --------------------------------------------------------------------------
+
+
+def test_archive_buffers(ref_db_check, spark):
+    DB = ref_db_check
+    uuid_etag, id_uuid, docs = _seeded_store(n=12)
+
+    # extension member (non-ingestion rowtype): buffered by coreid,
+    # merged into the core rows that carry the same bare id
+    ext_rows = [
+        {"coreid": f"core-{i}", "gbif:identifier": f"alt-{i}"}
+        for i in range(6)
+    ] + [
+        {"coreid": "core-2", "gbif:identifier": "alt-2b"},
+        {"coreid": "orphan-9", "gbif:identifier": "never-consumed"},
+    ]
+    # media member (ingestion rowtype, mediarecords): its uuids become
+    # the core rows' siblings through core_siblings; one UConn pair
+    media_rows = [
+        {"coreid": f"core-{i}", "ac:providerManagedID": f"PMID-{i}",
+         "dc:rights": "cc0"}
+        for i in range(4)
+    ] + [
+        {"coreid": "core-1",
+         "ac:providerManagedID": "SAME-X",
+         "dcterms:identifier": "same-x",
+         "dc:rights": "cc-by"},
+    ]
+    # core member: ids consume the buffers; row 0/1 match seeded
+    # entities, the rest create; row 5 carries no buffered extension
+    core_rows = []
+    for i in range(6):
+        r = {"id": f"core-{i}", "dwc:recordedBy": f"rec-{i}"}
+        if i < 2:
+            # reproduce the seeded content EXCEPT the merged extension
+            # payload, which changes the etag (a real reference effect:
+            # extension data is part of record identity)
+            r = {"id": f"core-{i}", "dwc:occurrenceID": f"occ-{i}",
+                 "dwc:recordedBy": f"col-{i}"}
+        core_rows.append(r)
+
+    members = [
+        FakeRecordFile("identifier.txt", "gbif:Identifier", ext_rows),
+        FakeRecordFile("multimedia.txt", "dwc:Multimedia", media_rows),
+        FakeRecordFile("occurrence.txt", "dwc:Occurrence", core_rows),
+    ]
+    db = FakePostgresDB()
+    ref = run_reference(DB, members, uuid_etag, id_uuid, db)
+
+    lookup = seed_lookup(uuid_etag, id_uuid, {})
+    eng_rows, eng_sum = run_engine(spark, members, lookup)
+
+    seeded = set(uuid_etag["records"]) | set(uuid_etag["mediarecords"])
+    compare(DB, db, ref, eng_rows, eng_sum, seeded)
+
+    # the buffers actually fired: core rows 0-4 carry media siblings /
+    # merged extension etags — at least one engine core-row sibling list
+    # is non-empty and references a media-created entity
+    core_sibs = [
+        r["siblings"]
+        for r in eng_rows
+        if r["fname"] == "occurrence.txt" and r["siblings"]
+    ]
+    assert core_sibs, "core_siblings buffer never fired"
+
+
+# --------------------------------------------------------------------------
+# battery 3 — ac:associatedSpecimenReference resolution
+# --------------------------------------------------------------------------
+
+
+ASR_SEED_UUID = "12345678-abcd-4ef0-9876-543210fedcba"
+ASR_SUFFIX = "0f0e0d0c-0b0a-4908-8706-050403020100"
+ASR_INRUN = "aaaabbbb-cccc-4ddd-8eee-ffff00001111"
+ASR_MISSING = "99999999-9999-4999-8999-999999999999"
+
+
+def test_specimen_reference_probe(ref_db_check, spark):
+    DB = ref_db_check
+    uuid_etag = {"records": {}, "mediarecords": {}}
+    id_uuid = {"records": {}, "mediarecords": {}}
+    # a known uuid (get_item hit) and an identifier whose SUFFIX is a
+    # uuid literal (the reverse-LIKE probe, db_check.py:397-404)
+    g = {f"urn:suffix:{ASR_SUFFIX}": ("suffix-owner", RSID, False)}
+
+    rows = [
+        # creates an entity whose identifier ends with ASR_INRUN —
+        # in-run visibility target for row 3's suffix probe
+        {"dwc:occurrenceID": f"donor-{ASR_INRUN}",
+         "dwc:recordedBy": "donor"},
+        # direct uuid hit
+        {"dwc:occurrenceID": "asr-1", "dwc:recordedBy": "a1",
+         "ac:associatedSpecimenReference": f"see {ASR_SEED_UUID}"},
+        # suffix hit on a seeded identifier
+        {"dwc:occurrenceID": "asr-2", "dwc:recordedBy": "a2",
+         "ac:associatedSpecimenReference": ASR_SUFFIX},
+        # suffix hit on the identifier INSERTED by row 0 this run
+        {"dwc:occurrenceID": "asr-3", "dwc:recordedBy": "a3",
+         "ac:associatedSpecimenReference": ASR_INRUN},
+        # unresolvable: the row was ALREADY set_record'ed when the probe
+        # raises — ingested-but-excepted, unprotected from deletion
+        {"dwc:occurrenceID": "asr-4", "dwc:recordedBy": "a4",
+         "ac:associatedSpecimenReference": ASR_MISSING},
+        # empty string: falsy, probe skipped entirely
+        {"dwc:occurrenceID": "asr-5", "dwc:recordedBy": "a5",
+         "ac:associatedSpecimenReference": ""},
+    ]
+    members = [FakeRecordFile("occurrence.txt", "dwc:Occurrence", rows)]
+    db = FakePostgresDB(probe=g, uuids={ASR_SEED_UUID})
+    ref = run_reference(DB, members, uuid_etag, id_uuid, db)
+
+    lookup = seed_lookup(uuid_etag, id_uuid, g)
+    # the get_item-only uuid (no identifier row): a bare global row
+    lookup.append((RSID, "global", None, "urn:item:seed", ASR_SEED_UUID,
+                   None, RSID, False))
+    eng_rows, eng_sum = run_engine(spark, members, lookup)
+
+    seeded = {ASR_SEED_UUID, "suffix-owner"}
+    compare(DB, db, ref, eng_rows, eng_sum, seeded)
+
+    # the quirk is pinned: the asr-4 row ingested AND raised
+    ref_sum = ref["occurrence.txt"]
+    assert ref_sum["record_exceptions"] == 1
+    # ALL six rows set_record'ed — asr-4 ingested before its probe raised
+    assert ref_sum["ingestions"] == 6
+    assert ref_sum["processed_line_count"] == 5
+    quirk = [
+        r for r in eng_rows
+        if r["outcome"] == "asr_unresolved" and r["ingested"]
+    ]
+    assert len(quirk) == 1
+
+
+# --------------------------------------------------------------------------
+# pinned divergence — the dup-id claim-release chain
+# --------------------------------------------------------------------------
+
+
+def test_dup_id_release_chain(ref_db_check):
+    """A row that fails the duplicate-id check releases its OTHER
+    identifier claims (ids_to_add reset, db_check.py:419-439), so a
+    third row can reuse them. The reference's sequential loop honors
+    the release; so does the engine kernel (claims are registered only
+    after a row survives). Executed here so the agreement is
+    machine-pinned rather than assumed."""
+    DB = ref_db_check
+    rows = [
+        {"dwc:occurrenceID": "alpha", "dwc:recordedBy": "one"},
+        # fails: occurrenceID 'alpha' already claimed; its recordId
+        # claim 'urn:beta' must be RELEASED
+        {"idigbio:recordId": "urn:beta", "dwc:occurrenceID": "alpha",
+         "dwc:recordedBy": "two"},
+        # succeeds ONLY if row 2's claim was released
+        {"idigbio:recordId": "urn:beta", "dwc:recordedBy": "three"},
+    ]
+    members = [FakeRecordFile("occurrence.txt", "dwc:Occurrence", rows)]
+    empty = {"records": {}, "mediarecords": {}}
+    db = FakePostgresDB()
+    ref = run_reference(
+        DB, members,
+        {"records": {}, "mediarecords": {}},
+        copy.deepcopy(empty), db,
+    )["occurrence.txt"]
+    assert ref["processed_line_count"] == 2
+    assert ref["duplicate_id_count"] == 1
+    assert ref["create"] == 2
+
+    from idb_backend_spark.operators.ingest import _process_group
+    import pandas as pd
+
+    rows_pdf = pd.DataFrame(
+        [
+            {"rsid": RSID, "file_order": 0, "fname": "occurrence.txt",
+             "rowtype": "dwc:Occurrence", "seq": i,
+             "rec": list(r.items())}
+            for i, r in enumerate(rows)
+        ]
+    )
+    lookup_pdf = pd.DataFrame(
+        columns=["rsid", "scope", "rtype", "ident", "uuid", "etag",
+                 "parent", "deleted"]
+    )
+    out = _process_group(rows_pdf, lookup_pdf, True, ())
+    assert list(out["outcome"]) == ["create", "dup_id", "create"]

@@ -57,6 +57,11 @@ PROBES = [
     # not a catalog entry: fixed-batch probe against the 1x and Nx
     # indexes (probe_neardup_scale) — the maintenance tier's claim
     "neardup_index_probe",
+    # not a catalog entry: the r12 cogrouped ingest row-loop kernel
+    # (operators/ingest.py) probed at N x recordsets, constant rows per
+    # recordset — the reference's own parallel grain (1 process per
+    # recordset, db_check.py:743) re-expressed as cogroup groups
+    "ingest_subfiles",
 ]
 
 
@@ -201,6 +206,7 @@ PROBE_TABLES = {
     "stats_rollup_nested": {"events"},
     "collection_counts_pivot": {"events"},
     "datasets_index_codes": {"events"},
+    "ingest_subfiles": set(),  # rows synthesized natively in its probe
 }
 
 
@@ -295,6 +301,104 @@ def probe_discovery_scale(spark, f1_dir: str, fN_dir: str, factor: int) -> dict:
     )
     print(
         f"  media_url_discovery(op): {out['t1']}s -> {out[f't{factor}']}s "
+        f"(x{out['ratio']})",
+        file=sys.stderr,
+    )
+    return out
+
+
+def probe_ingest_scale(spark, factor: int) -> dict:
+    """operators/ingest.ingest_subfiles at 1x vs Nx RECORDSETS (constant
+    600 rows + 180 seeded children per recordset): growth adds GROUPS,
+    not group size — the real corpus shape (db_check parallelizes one
+    process per recordset) — so wall clock should track total rows while
+    the per-group sequential kernel stays constant. Rows are built
+    natively (range -> ordered (k,v) pair array) with a match/update/
+    create/dup branch mix; timed = full outcome materialization through
+    the noop sink, warm min-of-2."""
+    from idb_backend_spark.operators.ingest import (
+        LOOKUP_SCHEMA,
+        ingest_subfiles,
+    )
+
+    base_rs = 24  # factor-1 recordset count
+
+    def build(n_rs: int):
+        rows = (
+            spark.range(n_rs * 600)
+            .select(
+                F.concat(F.lit("rs-"), (F.col("id") % n_rs).cast("string"))
+                .alias("rsid"),
+                F.lit(0).alias("file_order"),
+                F.lit("occurrence.txt").alias("fname"),
+                F.lit("dwc:Occurrence").alias("rowtype"),
+                (F.col("id") / n_rs).cast("long").alias("seq"),
+                F.array(
+                    F.struct(
+                        F.lit("dwc:occurrenceID").alias("k"),
+                        # ~3% in-file duplicate ids (seq folded), the
+                        # rest unique per recordset
+                        F.concat(
+                            F.lit("occ-"),
+                            F.when(
+                                (F.col("id") / n_rs).cast("long") % 31 == 30,
+                                ((F.col("id") / n_rs).cast("long") - 1),
+                            )
+                            .otherwise((F.col("id") / n_rs).cast("long"))
+                            .cast("string"),
+                        ).alias("v"),
+                    ),
+                    F.struct(
+                        F.lit("dwc:recordedBy").alias("k"),
+                        F.concat(
+                            F.lit("rec-"), F.col("id").cast("string")
+                        ).alias("v"),
+                    ),
+                ).alias("rec"),
+            )
+        )
+        # 180 existing children per recordset: rows 0-179 probe as
+        # updates (etag never matches the synthetic content), the rest
+        # create; ~30 absentees per recordset become deletes
+        lk = (
+            spark.range(n_rs * 180)
+            .select(
+                F.concat(F.lit("rs-"), (F.col("id") % n_rs).cast("string"))
+                .alias("rsid"),
+                F.lit("rs").alias("scope"),
+                F.lit("records").alias("rtype"),
+                F.concat(
+                    F.lit("rs-"), (F.col("id") % n_rs).cast("string"),
+                    F.lit("\\occ-"),
+                    (F.col("id") / n_rs).cast("long").cast("string"),
+                ).alias("ident"),
+                F.concat(F.lit("ex-"), F.col("id").cast("string"))
+                .alias("uuid"),
+                F.concat(F.lit("etag-"), F.col("id").cast("string"))
+                .alias("etag"),
+                F.concat(F.lit("rs-"), (F.col("id") % n_rs).cast("string"))
+                .alias("parent"),
+                F.lit(False).alias("deleted"),
+            )
+        )
+        return rows, lk
+
+    out = {}
+    for tag, n_rs in (("1", base_rs), (str(factor), base_rs * factor)):
+        rows, lk = build(n_rs)
+        res = ingest_subfiles(rows, lk)
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            res.write.format("noop").mode("overwrite").save()
+            runs.append(round(time.time() - t0, 3))
+        out[f"t{tag}"] = min(runs)
+        out[f"rows{tag}"] = res.count()
+    out["ratio"] = (
+        round(out[f"t{factor}"] / out["t1"], 2) if out["t1"] > 0 else None
+    )
+    print(
+        f"  ingest_subfiles: {out['t1']}s -> {out[f't{factor}']}s "
         f"(x{out['ratio']})",
         file=sys.stderr,
     )
@@ -398,6 +502,9 @@ def main() -> int:
         results["neardup_index_probe"] = probe_neardup_scale(
             spark, base, big, scratch, factor
         )
+    if "ingest_subfiles" in only:
+        only = [n for n in only if n != "ingest_subfiles"]
+        results["ingest_subfiles"] = probe_ingest_scale(spark, factor)
 
     for name in only:
         fn = entries[name]
