@@ -1,0 +1,153 @@
+"""Engine-internal pins for operators/ingest (the cogrouped ingest
+row-loop kernel) beyond the reference differential:
+
+1. the kernel and the RELATIONAL scale path (operators/store.
+   apply_harvest_batch — the documented giant-recordset fallback) agree
+   on clean data: same create/update counters and the same tombstone
+   set. The fallback claim in operators/ingest.py's docstring is a
+   contract, not prose.
+2. created-entity uuids are deterministic across re-runs (the uuid5
+   divergence note): re-ingesting the same archive yields the same
+   uuids — the idempotency property the divergence buys.
+3. multi-recordset isolation: groups do not leak state (a duplicate
+   etag in rs A must not trip rs B's seen set).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from idb_backend_spark.functions.etags import calc_etag
+from idb_backend_spark.operators.ingest import (
+    LOOKUP_SCHEMA,
+    ROW_SCHEMA,
+    ingest_subfiles,
+    subfile_summary,
+)
+
+
+def _mk_rows(spark, rsid, recs, fname="occurrence.txt",
+             rowtype="dwc:Occurrence"):
+    data = [
+        (rsid, 0, fname, rowtype, i, list(r.items()))
+        for i, r in enumerate(recs)
+    ]
+    return spark.createDataFrame(data, ROW_SCHEMA)
+
+
+def _mk_lookup(spark, rsid, children):
+    """children: list of (ident, uuid, etag)."""
+    rows = [
+        (rsid, "rs", "records", ident, u, etag, rsid, False)
+        for ident, u, etag in children
+    ]
+    return spark.createDataFrame(rows, LOOKUP_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def clean_batch(spark):
+    """60 rows / 40 seeded children: 15 match (byte-identical content),
+    15 update, 30 create, 10 absentees -> deletes. No dups, no
+    extensions, no ASR — the regime where the relational path is
+    exact."""
+    rsid = "rs-clean"
+    recs, children = [], []
+    for i in range(40):
+        d = {"dwc:occurrenceID": f"occ-{i}", "dwc:recordedBy": f"p-{i}"}
+        children.append((f"{rsid}\\occ-{i}", f"ex-{i:03d}", calc_etag(d)))
+    for i in range(15):  # matches
+        recs.append(
+            {"dwc:occurrenceID": f"occ-{i}", "dwc:recordedBy": f"p-{i}"}
+        )
+    for i in range(15, 30):  # updates
+        recs.append(
+            {"dwc:occurrenceID": f"occ-{i}", "dwc:recordedBy": f"rev-{i}"}
+        )
+    for i in range(30):  # creates
+        recs.append(
+            {"dwc:occurrenceID": f"new-{i}", "dwc:recordedBy": f"n-{i}"}
+        )
+    return rsid, recs, children
+
+
+def test_kernel_agrees_with_relational_path(spark, clean_batch):
+    from idb_backend_spark.operators import store as st
+
+    rsid, recs, children = clean_batch
+    out = ingest_subfiles(
+        _mk_rows(spark, rsid, recs), _mk_lookup(spark, rsid, children)
+    )
+    ksum = subfile_summary(out).collect()[0].asDict()
+
+    # the relational twin: seeded history + the batch's (uuid, etag)
+    # resolved the same way the kernel resolves them (existing ident ->
+    # its uuid; else the row's own deterministic identity)
+    krows = {r["seq"]: r for r in out.collect() if r["outcome"] != "delete"}
+    history = spark.createDataFrame(
+        [
+            (u, "records", rsid, etag, 0, None)
+            for _, u, etag in children
+        ],
+        "uuid string, type string, parent string, etag string, "
+        "version int, modified timestamp",
+    )
+    batch = spark.createDataFrame(
+        [
+            (krows[i]["uuid"], "records", rsid, krows[i]["etag"], "d")
+            for i in range(len(recs))
+        ],
+        "uuid string, type string, parent string, etag string, data string",
+    )
+    res = st.apply_harvest_batch(
+        history, batch, modified=F.to_timestamp(F.lit("2024-02-01"))
+    )
+    rsum = {r["status"]: r["n"] for r in res.summary.collect()}
+
+    # apply_harvest_batch's 'update' = CHANGED rows only (matched rows
+    # don't re-version) — identical to the loop's found-minus-match
+    assert rsum.get("create", 0) == ksum["create"] == 30
+    assert rsum.get("update", 0) == ksum["update"] == 15
+    assert rsum.get("delete", 0) == ksum["delete"] == 10
+    tomb = sorted(r["uuid"] for r in res.tombstones.collect())
+    kdel = sorted(
+        r["uuid"] for r in out.collect() if r["outcome"] == "delete"
+    )
+    assert tomb == kdel
+
+
+def test_created_uuids_deterministic(spark, clean_batch):
+    rsid, recs, children = clean_batch
+    runs = []
+    for _ in range(2):
+        out = ingest_subfiles(
+            _mk_rows(spark, rsid, recs), _mk_lookup(spark, rsid, children)
+        ).collect()
+        runs.append(
+            sorted(
+                (r["seq"], r["uuid"])
+                for r in out
+                if r["outcome"] == "create"
+            )
+        )
+    assert runs[0] == runs[1]
+    assert len(runs[0]) == 30
+
+
+def test_recordset_isolation(spark):
+    """A duplicate etag inside rs-a must not mark the identical content
+    in rs-b as a duplicate — group state is per recordset."""
+    d = {"dwc:occurrenceID": "x", "dwc:recordedBy": "same"}
+    rows = []
+    for rsid in ("rs-a", "rs-b"):
+        rows.append((rsid, 0, "f.txt", "dwc:Occurrence", 0,
+                     list(d.items())))
+    # rs-a gets the dup; rs-b does not
+    rows.append(("rs-a", 0, "f.txt", "dwc:Occurrence", 1, list(d.items())))
+    rows_df = spark.createDataFrame(rows, ROW_SCHEMA)
+    lookup = spark.createDataFrame([], LOOKUP_SCHEMA)
+    out = ingest_subfiles(rows_df, lookup).collect()
+    by = {(r["rsid"], r["seq"]): r["outcome"] for r in out}
+    assert by[("rs-a", 0)] == "create"
+    assert by[("rs-a", 1)] == "dup_etag"
+    assert by[("rs-b", 0)] == "create"
