@@ -79,9 +79,9 @@ _CREATE_NS = _uuid.uuid5(_uuid.NAMESPACE_URL, "idb-backend-spark/ingest")
 #: output row shape — one row per input record plus synthetic
 #: ``outcome='delete'`` rows for the member-level absence tombstones
 OUTCOME_SCHEMA = (
-    "rsid string, fname string, seq long, outcome string, uuid string, "
-    "etag string, ids string, siblings string, found boolean, "
-    "matched boolean, to_undelete boolean, ingested boolean"
+    "rsid string, fname string, rowtype string, seq long, outcome string, "
+    "uuid string, etag string, ids string, siblings string, "
+    "found boolean, matched boolean, to_undelete boolean, ingested boolean"
 )
 
 #: lookup side of the cogroup: scope='rs' rows carry the recordset's
@@ -288,10 +288,10 @@ def _process_group(
             rec = _strip_nuls(rec)
 
             res = {
-                "rsid": rsid, "fname": fname, "seq": t.seq,
-                "outcome": None, "uuid": None, "etag": None, "ids": "",
-                "siblings": "", "found": False, "matched": False,
-                "to_undelete": False, "ingested": False,
+                "rsid": rsid, "fname": fname, "rowtype": rowtype,
+                "seq": t.seq, "outcome": None, "uuid": None, "etag": None,
+                "ids": "", "siblings": "", "found": False,
+                "matched": False, "to_undelete": False, "ingested": False,
             }
             claims: dict = {}
             row_uuids: dict = {}
@@ -418,17 +418,17 @@ def _process_group(
         for gone in sorted(set(ex_etags) - set(seen_uuids)):
             out.append(
                 {
-                    "rsid": rsid, "fname": fname, "seq": None,
-                    "outcome": "delete", "uuid": gone, "etag": None,
-                    "ids": "", "siblings": "", "found": False,
-                    "matched": False, "to_undelete": False,
-                    "ingested": False,
+                    "rsid": rsid, "fname": fname, "rowtype": rowtype,
+                    "seq": None, "outcome": "delete", "uuid": gone,
+                    "etag": None, "ids": "", "siblings": "",
+                    "found": False, "matched": False,
+                    "to_undelete": False, "ingested": False,
                 }
             )
 
     cols = [
-        "rsid", "fname", "seq", "outcome", "uuid", "etag", "ids",
-        "siblings", "found", "matched", "to_undelete", "ingested",
+        "rsid", "fname", "rowtype", "seq", "outcome", "uuid", "etag",
+        "ids", "siblings", "found", "matched", "to_undelete", "ingested",
     ]
     return pd.DataFrame(out, columns=cols)
 
@@ -474,7 +474,7 @@ def subfile_summary(outcomes: DataFrame) -> DataFrame:
     is_row = F.col("outcome") != "delete"
     ok = F.col("outcome").isin("match", "update", "create", "resurrect")
     return (
-        outcomes.groupBy("rsid", "fname")
+        outcomes.groupBy("rsid", "fname", "rowtype")
         .agg(
             F.sum(ok.cast("long")).alias("processed_line_count"),
             F.sum(is_row.cast("long")).alias("total_line_count"),
@@ -521,4 +521,86 @@ def subfile_summary(outcomes: DataFrame) -> DataFrame:
                 "exceptions"
             ),
         )
+    )
+
+
+def archive_summary(member_summaries: DataFrame, meta: DataFrame) -> DataFrame:
+    """The per-archive digest (metadataToSummaryJSON, db_check.py:
+    568-630) as a native second-level rollup over
+    :func:`subfile_summary` rows.
+
+    ``meta``: one row per archive — (rsid, filename, filemd5,
+    harvest_date, commited, paused). Reference semantics preserved:
+
+    * only ingestion-type members contribute to the records_*/
+      mediarecords_* counters (the ``t["type"] in ingestion_types``
+      gate, :606-612); csv_line_count / no_recordid_count and the two
+      duplicate counters sum over ALL members;
+    * the output keeps the reference's own misspelled field names
+      (``duplicate_occurence_count``, ``dublicate_occurence_ids``,
+      :615-617) — they are the wire format downstream consumers read;
+    * a null filemd5 short-circuits (:588-595): datafile_ok false,
+      zeroed counters, and the csv-level fields NULL (the reference
+      OMITS those keys entirely — dict-key absence maps to null in a
+      fixed relational schema; pinned in the differential test).
+    """
+    from pyspark.sql import functions as F
+
+    typ_map = F.create_map(
+        *[F.lit(x) for kv in INGESTION_TYPES.items() for x in kv]
+    )
+    m = member_summaries.withColumn("typ", typ_map[F.col("rowtype")])
+
+    def typed(t, col):
+        return F.sum(
+            F.when(F.col("typ") == t, F.col(col)).otherwise(F.lit(0))
+        )
+
+    rolled = m.groupBy("rsid").agg(
+        *[
+            typed(t, src).alias(f"{t}_{dst}")
+            for t in ("records", "mediarecords")
+            for src, dst in (
+                ("processed_line_count", "count"),
+                ("create", "create"),
+                ("update", "update"),
+                ("delete", "delete"),
+            )
+        ],
+        F.sum("total_line_count").alias("csv_line_count"),
+        F.sum("no_recordid_count").alias("no_recordid_count"),
+        F.sum("duplicate_record_count").alias("duplicate_occurence_count"),
+        F.sum("duplicate_id_count").alias("dublicate_occurence_ids"),
+    )
+    out = meta.join(rolled, "rsid", "left")
+    ok = F.col("filemd5").isNotNull()
+    zero = F.lit(0).cast("long")
+    nul = F.lit(None).cast("long")
+    gated = {
+        f"{t}_{c}": F.when(ok, F.coalesce(F.col(f"{t}_{c}"), zero))
+        .otherwise(zero)
+        for t in ("records", "mediarecords")
+        for c in ("count", "create", "update", "delete")
+    }
+    gated.update(
+        {
+            c: F.when(ok, F.coalesce(F.col(c), zero)).otherwise(nul)
+            for c in (
+                "csv_line_count", "no_recordid_count",
+                "duplicate_occurence_count", "dublicate_occurence_ids",
+            )
+        }
+    )
+    gated["datafile_ok"] = ok
+    return out.withColumns(gated).select(
+        F.col("rsid").alias("recordset_id"), "filename", "filemd5",
+        "harvest_date",
+        *[
+            f"{t}_{c}"
+            for t in ("records", "mediarecords")
+            for c in ("count", "create", "update", "delete")
+        ],
+        "datafile_ok", "commited", "paused", "csv_line_count",
+        "no_recordid_count", "duplicate_occurence_count",
+        "dublicate_occurence_ids",
     )

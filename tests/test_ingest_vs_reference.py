@@ -638,3 +638,132 @@ def test_dup_id_release_chain(ref_db_check):
     )
     out = _process_group(rows_pdf, lookup_pdf, True, ())
     assert list(out["outcome"]) == ["create", "dup_id", "create"]
+
+
+# --------------------------------------------------------------------------
+# battery 4 — the archive digest (metadataToSummaryJSON)
+# --------------------------------------------------------------------------
+
+
+def _ref_digest(DB, counts, filemd5="md5-abc"):
+    metadata = {
+        "name": "harvest.zip",
+        "filemd5": filemd5,
+        "recordset_id": RSID,
+        "processing_start_datetime": "2026-08-16T00:00:00",
+        "commited": True,
+        "paused": False,
+        "counts": counts,
+    }
+    # writeFile/doStats off: no AtomicFile, no stats ES — the pure fold
+    return DB.metadataToSummaryJSON(
+        RSID, metadata, writeFile=False, doStats=False
+    )
+
+
+def test_archive_digest_vs_reference(ref_db_check, spark):
+    """metadataToSummaryJSON (db_check.py:568-630) executed over REAL
+    process_subfile outputs (battery 2's archive) vs the engine's
+    archive_summary rollup — including the per-type counter gate, the
+    all-members csv/no-recordid/duplicate sums, and the reference's own
+    misspelled output keys, which are the downstream wire format."""
+    from idb_backend_spark.operators.ingest import archive_summary
+
+    DB = ref_db_check
+    uuid_etag, id_uuid, _ = _seeded_store(n=12)
+    ext_rows = [
+        {"coreid": f"core-{i}", "gbif:identifier": f"alt-{i}"}
+        for i in range(6)
+    ]
+    media_rows = [
+        {"coreid": f"core-{i}", "ac:providerManagedID": f"PMID-{i}",
+         "dc:rights": "cc0"}
+        for i in range(4)
+    ]
+    core_rows = [
+        {"id": f"core-{i}", "dwc:recordedBy": f"rec-{i}"} for i in range(6)
+    ] + [
+        {"dwc:recordedBy": "no-id-row"},  # no_recordid
+        {"id": "core-3", "dwc:recordedBy": "rec-3"},  # dup id+etag
+    ]
+    members = [
+        FakeRecordFile("identifier.txt", "gbif:Identifier", ext_rows),
+        FakeRecordFile("multimedia.txt", "dwc:Multimedia", media_rows),
+        FakeRecordFile("occurrence.txt", "dwc:Occurrence", core_rows),
+    ]
+    db = FakePostgresDB()
+    counts = run_reference(DB, members, uuid_etag, id_uuid, db)
+    ref = _ref_digest(DB, counts)
+
+    from idb_backend_spark.operators.ingest import (
+        ingest_subfiles,
+        subfile_summary,
+    )
+
+    rows = []
+    for order, rf in enumerate(members):
+        for seq, rec in enumerate(rf.rows):
+            rows.append(
+                (RSID, order, rf.name, rf.rowtype, seq, list(rec.items()))
+            )
+    rows_df = spark.createDataFrame(rows, ROW_SCHEMA)
+    lookup_df = spark.createDataFrame(
+        seed_lookup(uuid_etag, id_uuid, {}), LOOKUP_SCHEMA
+    )
+    meta = spark.createDataFrame(
+        [(RSID, "harvest.zip", "md5-abc", "2026-08-16T00:00:00", True,
+          False)],
+        "rsid string, filename string, filemd5 string, "
+        "harvest_date string, commited boolean, paused boolean",
+    )
+    eng = (
+        archive_summary(
+            subfile_summary(ingest_subfiles(rows_df, lookup_df)), meta
+        )
+        .collect()[0]
+        .asDict()
+    )
+    for k in (
+        "recordset_id", "filename", "filemd5", "harvest_date",
+        "records_count", "records_create", "records_update",
+        "records_delete", "mediarecords_count", "mediarecords_create",
+        "mediarecords_update", "mediarecords_delete", "datafile_ok",
+        "commited", "paused", "csv_line_count", "no_recordid_count",
+        "duplicate_occurence_count", "dublicate_occurence_ids",
+    ):
+        assert eng[k] == ref[k], f"{k}: engine {eng[k]} != ref {ref[k]}"
+    # the misspelled keys really are the reference's wire format
+    assert "dublicate_occurence_ids" in ref
+
+
+def test_archive_digest_null_filemd5(ref_db_check, spark):
+    """The filemd5-None short-circuit (db_check.py:588-595): datafile_ok
+    false, zeroed counters, and the csv-level keys ABSENT from the
+    reference dict — mapped to NULL in the engine's fixed schema."""
+    from idb_backend_spark.operators.ingest import archive_summary
+
+    DB = ref_db_check
+    ref = _ref_digest(DB, counts={}, filemd5=None)
+    assert ref["datafile_ok"] is False
+    assert "csv_line_count" not in ref
+    assert ref["records_count"] == 0
+
+    empty = spark.createDataFrame(
+        [],
+        "rsid string, fname string, rowtype string, "
+        "processed_line_count long, total_line_count long, create long, "
+        "update long, delete long, to_undelete long, resurrections long, "
+        "ingestions long, no_recordid_count long, "
+        "duplicate_record_count long, duplicate_id_count long, "
+        "record_exceptions long, exceptions long",
+    )
+    meta = spark.createDataFrame(
+        [(RSID, "harvest.zip", None, "2026-08-16T00:00:00", False, False)],
+        "rsid string, filename string, filemd5 string, "
+        "harvest_date string, commited boolean, paused boolean",
+    )
+    eng = archive_summary(empty, meta).collect()[0].asDict()
+    assert eng["datafile_ok"] is False
+    assert eng["csv_line_count"] is None
+    assert eng["records_count"] == 0
+    assert eng["commited"] is False
