@@ -80,7 +80,8 @@ _CREATE_NS = _uuid.uuid5(_uuid.NAMESPACE_URL, "idb-backend-spark/ingest")
 #: ``outcome='delete'`` rows for the member-level absence tombstones
 OUTCOME_SCHEMA = (
     "rsid string, fname string, rowtype string, seq long, outcome string, "
-    "uuid string, etag string, ids string, siblings string, "
+    "uuid string, etag string, ids array<string>, "
+    "siblings array<string>, "
     "found boolean, matched boolean, to_undelete boolean, ingested boolean"
 )
 
@@ -290,7 +291,7 @@ def _process_group(
             res = {
                 "rsid": rsid, "fname": fname, "rowtype": rowtype,
                 "seq": t.seq, "outcome": None, "uuid": None, "etag": None,
-                "ids": "", "siblings": "", "found": False,
+                "ids": [], "siblings": [], "found": False,
                 "matched": False, "to_undelete": False, "ingested": False,
             }
             claims: dict = {}
@@ -356,22 +357,22 @@ def _process_group(
                 # THEN raises (the ASR quirk) keeps the ids it claimed,
                 # exactly as the reference's set_record already consumed
                 # list(ids_to_add)
-                res["ids"] = ",".join(sorted(claims))
+                res["ids"] = sorted(claims)
 
                 if sub_ingest and not deleted:
                     if res["matched"]:
                         # matched: only the sibling upserts run
                         # (db_check.py:344-347)
-                        res["siblings"] = ",".join(siblings)
+                        res["siblings"] = list(siblings)
                     else:
                         store.insert(u, claims, rsid)
                         res["ingested"] = True
-                        res["siblings"] = ",".join(siblings)
+                        res["siblings"] = list(siblings)
                 elif sub_ingest and deleted:
                     store.undelete(u)
                     store.insert(u, claims, rsid)
                     res["ingested"] = True
-                    res["siblings"] = ",".join(siblings)
+                    res["siblings"] = list(siblings)
                     res["outcome"] = "resurrect"
 
                 coreid = rec.get("coreid")
@@ -390,9 +391,7 @@ def _process_group(
                         if db_uuid is None:
                             raise _RowFail("asr_unresolved")
                         if sub_ingest:
-                            res["siblings"] = ",".join(
-                                filter(None, [res["siblings"], db_uuid])
-                            )
+                            res["siblings"] = res["siblings"] + [db_uuid]
 
                 if res["outcome"] is None:
                     if res["matched"]:
@@ -409,6 +408,15 @@ def _process_group(
                 res["outcome"] = e.outcome
                 claims = {}
                 row_uuids = {}
+            except Exception:  # noqa: BLE001 — mirrors db_check.py:432-436
+                # the reference's bare `except Exception` bucket: a
+                # malformed value (None where a string is required, a
+                # non-list ResourceRelationship, …) counts as one
+                # exception row and the loop continues — a row-level
+                # data defect must not kill a whole executor task
+                res["outcome"] = "exception"
+                claims = {}
+                row_uuids = {}
             seen_ids.update(claims)
             seen_uuids.update(row_uuids)
             out.append(res)
@@ -420,7 +428,7 @@ def _process_group(
                 {
                     "rsid": rsid, "fname": fname, "rowtype": rowtype,
                     "seq": None, "outcome": "delete", "uuid": gone,
-                    "etag": None, "ids": "", "siblings": "",
+                    "etag": None, "ids": [], "siblings": [],
                     "found": False, "matched": False,
                     "to_undelete": False, "ingested": False,
                 }
@@ -517,9 +525,13 @@ def subfile_summary(outcomes: DataFrame) -> DataFrame:
                 )
                 .cast("long")
             ).alias("record_exceptions"),
-            F.sum((F.col("outcome") == "multi_uuid").cast("long")).alias(
-                "exceptions"
-            ),
+            # multi_uuid = get_uuid's ValueError; exception = the bare
+            # except-Exception bucket — both land in the reference's
+            # generic counter (db_check.py:432-436)
+            F.sum(
+                F.col("outcome").isin("multi_uuid", "exception")
+                .cast("long")
+            ).alias("exceptions"),
         )
     )
 

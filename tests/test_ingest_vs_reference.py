@@ -205,9 +205,9 @@ def run_engine(spark, members, lookup_rows, ingest=True):
             wire = [
                 (
                     k,
-                    json.dumps(v, ensure_ascii=False)
-                    if not isinstance(v, str)
-                    else v,
+                    v
+                    if isinstance(v, str) or v is None
+                    else json.dumps(v, ensure_ascii=False),
                 )
                 for k, v in rec.items()
             ]
@@ -272,7 +272,7 @@ def compare(DB, db, ref_summaries, eng_rows, eng_summaries, seeded):
     # 3. ingested rows: identifier sets claimed by set_record
     ref_created = {u: ids for u, _, _, _, ids, _ in db.set_records}
     eng_created = {
-        r["uuid"]: sorted(r["ids"].split(",")) if r["ids"] else []
+        r["uuid"]: sorted(r["ids"] or [])
         for r in eng_rows
         if r["ingested"] and r["outcome"] != "delete"
     }
@@ -310,7 +310,7 @@ def compare(DB, db, ref_summaries, eng_rows, eng_summaries, seeded):
     for r in eng_rows:
         if r["outcome"] == "delete" or not r["siblings"]:
             continue
-        for s in r["siblings"].split(","):
+        for s in r["siblings"]:
             eng_edges.append(
                 (uuid_key(r["uuid"], seeded, eng_ids_by_uuid),
                  uuid_key(s, seeded, eng_ids_by_uuid))
@@ -767,3 +767,101 @@ def test_archive_digest_null_filemd5(ref_db_check, spark):
     assert eng["csv_line_count"] is None
     assert eng["records_count"] == 0
     assert eng["commited"] is False
+
+
+# --------------------------------------------------------------------------
+# battery 5 — property fuzz: arbitrary rows from a collision-prone pool
+# --------------------------------------------------------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+FUZZ_UUID_KNOWN = "11111111-2222-4333-8444-555566667777"
+FUZZ_UUID_MISS = "deadbeef-dead-4bad-8bad-deaddeadbeef"
+
+#: values chosen to collide and to hit the munge/fold edges: BOM, NULs,
+#: whitespace-only, case twins, empty, a uuid literal, and None (the
+#: reference's bare except-Exception bucket when an identifier rule
+#: concatenates it)
+_FUZZ_VALUES = [
+    "a", "A", " a ", "﻿b", "x\x00y", "", "  ", "occ-1", "OCC-1",
+    "urn:1", "urn:2", f"ref {FUZZ_UUID_KNOWN}", FUZZ_UUID_MISS, None,
+]
+
+_FUZZ_FIELDS = [
+    "idigbio:recordId", "idigbio:recordID", "dwc:occurrenceID", "id",
+    "ID", "ac:providerManagedID", "dcterms:identifier", "coreid",
+    "dwc:recordedBy", "ac:associatedSpecimenReference",
+]
+
+_FUZZ_RR = [
+    [{"dwc:relatedResourceID": "urn:1",
+      "dwc:relationshipOfResource": "representedIn"}],
+    [{"dwc:relatedResourceID": "urn:2",
+      "dwc:relationshipOfResource": "sameAs"}],
+    [{"dwc:relationshipOfResource": "isRelatedTo"}],  # missing key arm
+    [],
+    "not-a-list",  # iterates char-by-char in idFromRR -> no dict -> None
+]
+
+
+def _fuzz_rows():
+    rec = st.dictionaries(
+        st.sampled_from(_FUZZ_FIELDS),
+        st.sampled_from(_FUZZ_VALUES),
+        min_size=0,
+        max_size=5,
+    ).flatmap(
+        lambda d: st.one_of(
+            st.just(d),
+            st.sampled_from(_FUZZ_RR).map(
+                lambda rr: {**d, "dwc:ResourceRelationship": rr}
+            ),
+        )
+    )
+    return st.lists(rec, min_size=3, max_size=18)
+
+
+@pytest.mark.skipif(not _HAVE_HYP, reason="hypothesis unavailable")
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    rows=_fuzz_rows(),
+    rowtype=st.sampled_from(
+        ["dwc:Occurrence", "dwc:Multimedia", "dcterms", "gbif:Identifier"]
+    ),
+)
+def test_fuzz_core_loop(ref_db_check, spark, rows, rowtype):
+    """Arbitrary rows from a collision-prone value pool through BOTH
+    loops — the strongest form of the differential: no designed
+    branches, every agreement (counters, ingested id-sets, content
+    hashes, deletes, sibling edges) must hold for whatever the
+    generator produces, including rows the reference can only handle
+    through its bare except-Exception bucket (None identifiers, a
+    string-valued ResourceRelationship)."""
+    DB = ref_db_check
+    # deep-copy: process_subfile mutates rows in place
+    members = [FakeRecordFile("fuzz.txt", rowtype, copy.deepcopy(rows))]
+    g = {
+        "urn:1": (FUZZ_UUID_KNOWN, RSID, False),
+        "urn:2": ("other-uuid", "99999999-9999-4999-8999-000000000001",
+                  False),
+    }
+    uuid_etag = {"records": {}, "mediarecords": {}}
+    id_uuid = {"records": {}, "mediarecords": {}}
+    db = FakePostgresDB(probe=g)
+    ref = run_reference(DB, members, uuid_etag, id_uuid, db)
+
+    lookup = seed_lookup(uuid_etag, id_uuid, g)
+    eng_rows, eng_sum = run_engine(spark, members, lookup)
+
+    seeded = {FUZZ_UUID_KNOWN, "other-uuid"}
+    compare(DB, db, ref, eng_rows, eng_sum, seeded)
