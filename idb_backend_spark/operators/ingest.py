@@ -616,3 +616,61 @@ def archive_summary(member_summaries: DataFrame, meta: DataFrame) -> DataFrame:
         "no_recordid_count", "duplicate_occurence_count",
         "dublicate_occurence_ids",
     )
+
+
+def archive_rows(spark, archive, rsid: str) -> DataFrame:
+    """ROW_SCHEMA rows from an extracted DwC-A (sources/dwca.
+    DwcaArchive): extensions FIRST, core LAST — process_file's member
+    order (db_check.py:489-498), which the cross-member buffers depend
+    on. Each member's columns (id/coreid + CURIE terms, blanks already
+    nulled by read_member) become the ordered (k, v) pair array; null
+    values drop out, matching the reference reader's key-absence for
+    blank fields.
+
+    ``seq`` is ``monotonically_increasing_id`` — its (partition, offset)
+    layout sorts identically to file order for a single-file CSV member,
+    which is what the kernel's in-file first-wins discipline needs.
+
+    Row types are folded to the reference's CURIE shortnames
+    (fieldnames.rowtype_shortname — the ``types`` map the reference's
+    DelimitedFile consults); an unmapped rowType URI passes through
+    verbatim and the kernel treats the member as non-ingestion, where
+    the reference raises TypeError and loses the whole archive
+    (delimited.py:205-208 — lenient-pass-through divergence, pinned in
+    the e2e differential's docstring)."""
+    from pyspark.sql import functions as F
+
+    from idb_backend_spark.sources.fieldnames import rowtype_shortname
+
+    parts = []
+    members = list(archive.extensions) + [archive.core]
+    for order, desc in enumerate(members):
+        df = archive.read_member(spark, desc)
+        pairs = F.array_compact(
+            F.array(
+                *[
+                    F.when(
+                        F.col(f"`{c}`").isNotNull(),
+                        F.struct(
+                            F.lit(c).alias("k"), F.col(f"`{c}`").alias("v")
+                        ),
+                    )
+                    for c in df.columns
+                ]
+            )
+        )
+        shortname = rowtype_shortname(desc.row_type) or desc.row_type
+        parts.append(
+            df.select(
+                F.lit(rsid).alias("rsid"),
+                F.lit(order).cast("int").alias("file_order"),
+                F.lit(desc.location).alias("fname"),
+                F.lit(shortname).alias("rowtype"),
+                F.monotonically_increasing_id().alias("seq"),
+                pairs.alias("rec"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -865,3 +865,164 @@ def test_fuzz_core_loop(ref_db_check, spark, rows, rowtype):
 
     seeded = {FUZZ_UUID_KNOWN, "other-uuid"}
     compare(DB, db, ref, eng_rows, eng_sum, seeded)
+
+
+# --------------------------------------------------------------------------
+# battery 6 — real archive bytes through BOTH systems (S1 + J9 e2e)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_dwca_reader():
+    """The reference's own DwC-A reader (DwcaRecordFile + xml2d), loaded
+    under the same hook — battery 6 feeds it the engine-written zip."""
+    import importlib  # the ref_db_check hook is already installed by use
+
+    sys.path.insert(0, "/root/reference")
+    from idb.helpers.fieldnames import NO_CLASS__UNKNOWN_FIELD
+    from idigbio_ingestion.lib import delimited as RDEL
+    from idigbio_ingestion.lib import dwca as RD
+    from idigbio_ingestion.lib.xmlDictTools import xml2d
+
+    # shipped defect: delimited.py never imports this constant
+    # (machine-pinned in test_delimited_vs_reference)
+    RDEL.NO_CLASS__UNKNOWN_FIELD = NO_CLASS__UNKNOWN_FIELD
+    return RD, xml2d
+
+
+def test_archive_bytes_e2e(ref_db_check, ref_dwca_reader, spark, tmp_path):
+    """One zip, two systems: the engine writes a DwC-A (occurrence core
+    + multimedia extension, edge values included), the REFERENCE opens
+    it with its own xml2d + DwcaRecordFile and runs process_subfile per
+    member, the ENGINE opens it with DwcaArchive + archive_rows and
+    runs the kernel — store mutations must agree. This composes S1
+    (reader), S10 (writer), F19 (etag), F22/F23 (identify) and J9/U2
+    into one bytes-level differential."""
+    import os
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    DB = ref_db_check
+    RD, xml2d = ref_dwca_reader
+
+    from idb_backend_spark.export.writers import write_dwca
+    from idb_backend_spark.operators.ingest import (
+        archive_rows,
+        ingest_subfiles,
+        subfile_summary,
+    )
+    from idb_backend_spark.sources.dwca import DwcaArchive
+
+    core = spark.createDataFrame(
+        [
+            # ids seeded to match/update/create; values with commas,
+            # quotes, padding, unicode
+            (1, "occ-1", "Rosa, the 'first'"),
+            (2, "occ-2", ' padded "quoted" '),
+            (3, "occ-3", "Ĝenus"),
+            (4, "occ-4", ""),          # blank -> key absent both sides
+            (5, "occ-5", "plain"),
+            (5, "occ-5", "plain"),     # exact dup row -> dup_etag
+        ],
+        "id int, `dwc:occurrenceID` string, `dwc:recordedBy` string",
+    )
+    ext = spark.createDataFrame(
+        [
+            (1, "PMID-1", "http://img/1"),
+            (3, "PMID-3", "http://img/3"),
+            (9, "PMID-9", "http://img/9"),  # orphan coreid
+        ],
+        "coreid int, `ac:providerManagedID` string, `ac:accessURI` string",
+    )
+    zip_path = str(tmp_path / "e2e.zip")
+    write_dwca(
+        zip_path,
+        (core, "id", ["dwc:occurrenceID", "dwc:recordedBy"], "records"),
+        extensions=[
+            (ext, "coreid", ["ac:providerManagedID", "ac:accessURI"],
+             "mediarecords")
+        ],
+    )
+
+    # seeded store: occ-1 matches nothing (content differs), occ-2's
+    # entity exists -> update; a never-sent child -> delete
+    uuid_etag = {"records": {}, "mediarecords": {}}
+    id_uuid = {"records": {}, "mediarecords": {}}
+    rsl = RSID.lower()
+    for i in (1, 2, 7):
+        uuid_etag["records"][f"ex-{i}"] = f"old-etag-{i}"
+        id_uuid["records"][f"{rsl}\\occ-{i}"] = f"ex-{i}"
+
+    # ---- reference: its own reader over the engine's zip
+    exdir = tmp_path / "ex"
+    with zipfile.ZipFile(zip_path) as z:
+        z.extractall(exdir)
+
+    # minimal lxml surface for xml2d over an ET root (the pattern from
+    # test_dwca_vs_reference: reconstruct the root nsmap from ET's
+    # Clark-notation tag)
+    class _NsEl:
+        def __init__(self, el, nsmap=None):
+            self._el = el
+            self.nsmap = nsmap if nsmap is not None else {}
+
+        tag = property(lambda self: self._el.tag)
+        attrib = property(lambda self: self._el.attrib)
+        text = property(lambda self: self._el.text)
+
+        def __iter__(self):
+            for c in self._el:
+                yield _NsEl(c, self.nsmap)
+
+    def _wrap_root(el):
+        tag = el.tag
+        if tag.startswith("{"):
+            return _NsEl(el, {None: tag[1:].split("}")[0]})
+        return _NsEl(el)
+
+    meta_root = ET.parse(os.path.join(exdir, "meta.xml")).getroot()
+    arch = xml2d(_wrap_root(meta_root))["archive"]
+    ext_blocks = arch.get("extension", [])
+    if isinstance(ext_blocks, dict):
+        ext_blocks = [ext_blocks]
+    members = []
+    for block in ext_blocks + [arch["core"]]:
+        loc = block["files"]["location"]
+        members.append(RD.DwcaRecordFile(block, str(exdir / loc),
+                                         logname="t"))
+    db = FakePostgresDB()
+    DB.unconsumed_extensions.clear()
+    DB.core_siblings.clear()
+    ref = {}
+    for rf in members:
+        ref[os.path.basename(rf.name)] = DB.process_subfile(
+            rf, RSID, uuid_etag, id_uuid, ingest=True, db=db
+        )
+
+    # ---- engine: DwcaArchive + the adapter + the kernel
+    a = DwcaArchive(zip_path)
+    rows = archive_rows(spark, a, RSID)
+    lookup = spark.createDataFrame(
+        seed_lookup(uuid_etag, id_uuid, {}), LOOKUP_SCHEMA
+    )
+    outcomes = ingest_subfiles(rows, lookup)
+    eng_rows = outcomes.collect()
+    eng_sum = {
+        r["fname"]: r.asDict() for r in subfile_summary(outcomes).collect()
+    }
+    a.close()
+
+    ref = {k: v for k, v in ref.items()}
+    # fname keys: reference uses the extracted path basename; engine the
+    # meta.xml location — identical for the engine-written archive
+    seeded = {"ex-1", "ex-2", "ex-7"}
+    compare(DB, db, ref, eng_rows, eng_sum, seeded)
+
+    # sanity on the designed branches: occ-2 updated, ex-7 deleted,
+    # the dup row flagged, the orphan extension row still created
+    occ = ref["occurrence.csv"]
+    assert occ["update"] == 2            # occ-1 and occ-2 both differ
+    assert occ["delete"] == 1            # ex-7 absent
+    assert occ["duplicate_record_count"] == 1
+    med = ref["multimedia.csv"]
+    assert med["create"] == 3
