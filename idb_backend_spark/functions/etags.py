@@ -93,6 +93,23 @@ def etag_udf(data: pd.Series) -> pd.Series:
     return data.map(one)
 
 
+def _json_str(c: Column) -> Column:
+    """Full json.dumps string escaping (ensure_ascii=False): backslash
+    first, then quote, the five two-char control escapes, and every
+    remaining U+0000-U+001F as \\u00xx — literal (non-regex) replaces
+    so the whole chain stays a flat StringReplace pipeline in codegen."""
+    c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+    c = F.replace(c, F.lit('"'), F.lit('\\"'))
+    for ch, esc in (("\b", "\\b"), ("\f", "\\f"), ("\n", "\\n"),
+                    ("\r", "\\r"), ("\t", "\\t")):
+        c = F.replace(c, F.lit(ch), F.lit(esc))
+    for cp in range(0x20):
+        if chr(cp) in "\b\f\n\r\t":
+            continue
+        c = F.replace(c, F.lit(chr(cp)), F.lit("\\u%04x" % cp))
+    return F.concat(F.lit('"'), c, F.lit('"'))
+
+
 def etag_expr(colmap: dict[str, Column | str]) -> Column:
     """Native-expression etag for a *flat, all-string* record.
 
@@ -101,22 +118,6 @@ def etag_expr(colmap: dict[str, Column | str]) -> Column:
     ``colmap`` maps field name -> string Column; null fields are dropped
     from the record, matching dict-absence in `calc_etag`.
     """
-    def _json_str(c: Column) -> Column:
-        # Full json.dumps string escaping (ensure_ascii=False): backslash
-        # first, then quote, the five two-char control escapes, and every
-        # remaining U+0000-U+001F as \u00xx — literal (non-regex) replaces
-        # so the whole chain stays a flat StringReplace pipeline in codegen.
-        c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
-        c = F.replace(c, F.lit('"'), F.lit('\\"'))
-        for ch, esc in (("\b", "\\b"), ("\f", "\\f"), ("\n", "\\n"),
-                        ("\r", "\\r"), ("\t", "\\t")):
-            c = F.replace(c, F.lit(ch), F.lit(esc))
-        for cp in range(0x20):
-            if chr(cp) in "\b\f\n\r\t":
-                continue
-            c = F.replace(c, F.lit(chr(cp)), F.lit("\\u%04x" % cp))
-        return F.concat(F.lit('"'), c, F.lit('"'))
-
     pieces = []
     for name in sorted(colmap):
         c = colmap[name]
@@ -129,3 +130,36 @@ def etag_expr(colmap: dict[str, Column | str]) -> Column:
         )
     body = F.concat_ws(",", *[p for p in pieces])
     return F.sha1(F.concat(F.lit("["), body, F.lit("]")).cast("binary"))
+
+
+def etag_pairs_expr(pairs: Column) -> Column:
+    """Native-expression etag for an ordered (k, v) PAIR-ARRAY record —
+    the ingest wire format (operators/ingest.ROW_SCHEMA) — identical
+    bytes to ``calc_etag(dict(pairs))`` for flat string records, fully
+    JVM-side (array_sort + transform + sha1; no Python in the giant-
+    recordset hot path).
+
+    Semantics matched to calc_etag:
+
+    * keys sort in code-point order — Spark's UTF8 binary string order
+      coincides with Python's code-point comparison because UTF-8 is
+      order-preserving (array_sort on the struct sorts (k, v); with a
+      record's keys unique that equals sorting by k alone);
+    * a PRESENT pair with a null value renders JSON ``null`` (a dict
+      key holding None), unlike etag_expr's colmap where null means the
+      field is absent;
+    * a null array hashes to null (no record, no etag).
+    """
+    item = F.transform(
+        F.array_sort(pairs),
+        lambda p: F.concat(
+            _json_str(p["k"]),
+            F.lit(","),
+            F.coalesce(_json_str(p["v"]), F.lit("null")),
+        ),
+    )
+    return F.sha1(
+        F.concat(
+            F.lit("["), F.array_join(item, ","), F.lit("]")
+        ).cast("binary")
+    )

@@ -112,3 +112,110 @@ def test_etag_expr_control_chars(spark):
     ]
     for g, (a, b) in zip(got, tricky):
         assert g == calc_etag({"f:a": a, "f:b": b})
+
+
+def test_etag_pairs_expr_matches_python(spark):
+    """The pair-array native etag must render calc_etag's exact bytes:
+    unsorted input pairs, unicode, embedded quotes/backslashes/controls,
+    empty strings, an empty record, and a present-but-null value (a
+    dict key holding None — rendered as JSON null, NOT dropped)."""
+    from idb_backend_spark.functions.etags import calc_etag, etag_pairs_expr
+
+    recs = [
+        {"b:z": "v1", "a:y": "v2"},                      # unsorted keys
+        {"dwc:genus": "Ĝenus", "x": 'say "hi" \\ done'},
+        {"t": "tab\there", "n": "line\nbreak", "c": "\x01ctl"},
+        {"empty": "", "": "empty-key"},
+        {},
+        {"Z": "upper sorts before lower", "a": "x"},
+    ]
+    rows = [(i, [(k, v) for k, v in r.items()]) for i, r in enumerate(recs)]
+    # the present-but-null value case (no dict equivalent in `recs`
+    # because calc_etag is called with an explicit None below)
+    rows.append((len(recs), [("k1", None), ("k0", "v")]))
+    df = spark.createDataFrame(
+        rows, "i int, rec array<struct<k: string, v: string>>"
+    )
+    got = {
+        r["i"]: r["e"]
+        for r in df.select("i", etag_pairs_expr(F.col("rec")).alias("e"))
+        .collect()
+    }
+    for i, rec in enumerate(recs):
+        assert got[i] == calc_etag(rec), rec
+    assert got[len(recs)] == calc_etag({"k1": None, "k0": "v"})
+
+
+def test_etag_pairs_expr_matches_ingest_kernel(spark):
+    """The native pair etag and the ingest kernel's calc_etag agree on
+    the SAME wire rows — the giant-recordset relational path can hash
+    JVM-side and still join the kernel's outcomes on etag."""
+    from idb_backend_spark.functions.etags import etag_pairs_expr
+    from idb_backend_spark.operators.ingest import (
+        LOOKUP_SCHEMA,
+        ROW_SCHEMA,
+        ingest_subfiles,
+    )
+
+    recs = [
+        {"dwc:occurrenceID": f"o-{i}", "dwc:recordedBy": f"p {i}\ttab"}
+        for i in range(8)
+    ]
+    rows = spark.createDataFrame(
+        [
+            ("rs-x", 0, "f.txt", "dwc:Occurrence", i, list(r.items()))
+            for i, r in enumerate(recs)
+        ],
+        ROW_SCHEMA,
+    )
+    lookup = spark.createDataFrame([], LOOKUP_SCHEMA)
+    kernel_etags = {
+        r["seq"]: r["etag"]
+        for r in ingest_subfiles(rows, lookup).collect()
+        if r["outcome"] != "delete"
+    }
+    native = {
+        r["seq"]: r["e"]
+        for r in rows.select(
+            "seq", etag_pairs_expr(F.col("rec")).alias("e")
+        ).collect()
+    }
+    assert native == kernel_etags
+
+
+def test_etag_pairs_expr_randomized_batch(spark):
+    """200 random unicode records through the full escaping chain in ONE
+    Spark job (a per-example property run costs a job each — same
+    coverage, two orders of magnitude faster)."""
+    import random
+
+    from idb_backend_spark.functions.etags import calc_etag, etag_pairs_expr
+
+    rng = random.Random(20260816)
+    pool = (
+        [chr(c) for c in range(0x20, 0x7F)]
+        + ["\u0142", "\u4e2d", "\U0001f600", "\\", '"', "\t", "\n",
+           "\r", "\x01", "\x1f", "\x7f", ""]
+    )
+
+    def rnd_str():
+        return "".join(
+            rng.choice(pool) for _ in range(rng.randrange(0, 10))
+        )
+
+    recs = []
+    for _ in range(200):
+        n = rng.randrange(0, 6)
+        recs.append({rnd_str(): rnd_str() for _ in range(n)})
+    df = spark.createDataFrame(
+        [(i, list(r.items())) for i, r in enumerate(recs)],
+        "i int, rec array<struct<k: string, v: string>>",
+    )
+    got = {
+        r["i"]: r["e"]
+        for r in df.select(
+            "i", etag_pairs_expr(F.col("rec")).alias("e")
+        ).collect()
+    }
+    for i, rec in enumerate(recs):
+        assert got[i] == calc_etag(rec), repr(rec)
