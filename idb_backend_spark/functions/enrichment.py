@@ -480,8 +480,20 @@ def strip_nuls(c: Column) -> Column:
 
 
 def munge_identifier(c: Column) -> Column:
-    """BOM strip + trim + lowercase (db_check.py:60-61)."""
-    return F.lower(F.trim(F.regexp_replace(c, "﻿", "")))
+    """BOM strip + trim + lowercase (db_check.py:60-61).
+
+    The trim is Python str.strip()'s FULL whitespace class, not just
+    spaces — mungeid receives raw DwC-A values (the archive reader does
+    not pre-strip, unlike the delimited CSV path), so a tab- or
+    CR-padded identifier must still fold to its bare form (r12
+    differential finding, test_reference_differential_etl::
+    test_identify_record_vs_reference with the widened padding pool;
+    same class as the r11 delimited value-strip fix)."""
+    from idb_backend_spark.functions.grabbers import _PY_STRIP_CHARS
+
+    return F.lower(
+        F.btrim(F.regexp_replace(c, "﻿", ""), F.lit(_PY_STRIP_CHARS))
+    )
 
 
 # --------------------------------------------------------------------------

@@ -743,7 +743,10 @@ def test_identify_record_vs_reference(ref_db_check, spark):
     DB = ref_db_check
     rng = random.Random(60606)
     rsid = "rs-99"
-    vals = ["ABC-1", "  PadDed ", "﻿BOMID", "", "urn:x:Y"]
+    # r12: tab/CR/NBSP padding added — mungeid is Python str.strip()
+    # (the FULL isspace class); space-only padding masked a trim gap
+    vals = ["ABC-1", "  PadDed ", "﻿BOMID", "", "urn:x:Y",
+            "\tTabbed\t", "CR\r", "\u00a0nb\u00a0"]
 
     rec_cases = []
     for i in range(40):
