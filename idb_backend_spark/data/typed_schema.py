@@ -265,9 +265,13 @@ def _getfield_expr(raw: Column, rawfield: str, reftype: str) -> Column:
     ).otherwise(raw[rawfield])
     if reftype == "list":
         arr = F.from_json(v, T.ArrayType(T.StringType()))
-        return F.transform(arr, lambda x: F.lower(F.trim(x)))
+        from idb_backend_spark.functions.grabbers import py_strip
+
+        return F.transform(arr, lambda x: F.lower(py_strip(x)))
     if reftype in ("text", "longtext"):
-        return F.lower(F.trim(v))
+        from idb_backend_spark.functions.grabbers import py_strip
+
+        return F.lower(py_strip(v))
     # non-string types pass through verbatim at projection time; the typed
     # grabbers (functions.grabbers F3-F5, F8) do the coercion downstream
     return v

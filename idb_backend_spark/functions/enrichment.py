@@ -321,7 +321,10 @@ def media_type(format_col: Column) -> tuple[Column, Column]:
     unrecognized format buckets to NULL — spelled try_element_at to make
     the missing-key->NULL contract explicit (provider formats are
     open-world)."""
-    fmt = F.lower(F.trim(format_col))
+    from idb_backend_spark.functions.grabbers import py_strip
+
+    # conversions.py:730 form.strip().lower() — full whitespace class
+    fmt = F.lower(py_strip(format_col))
     alias_map = F.create_map(
         *[F.lit(x) for kv in _MIME_ALIASES.items() for x in kv]
     )

@@ -46,16 +46,29 @@ def blank_to_null(c: Column | str) -> Column:
     return F.nullif(F.btrim(c, F.lit(_PY_STRIP_CHARS)), F.lit(""))
 
 
-def getfield(c: Column | str) -> Column:
-    """F1 — canonical string read: lowercased + trimmed (conversions.py:274-287)."""
+def py_strip(c: "Column | str") -> Column:
+    """Python ``str.strip()`` as one native expression: btrim over the
+    full isspace character set. Every engine fold that mirrors a
+    reference ``.strip()`` must use this, not F.trim — F.trim removes
+    ONLY U+0020 (the r11 delimited finding and the r12 identifier-munge
+    finding are both this class)."""
     c = F.col(c) if isinstance(c, str) else c
-    return F.lower(F.trim(c))
+    return F.btrim(c, F.lit(_PY_STRIP_CHARS))
+
+
+def getfield(c: Column | str) -> Column:
+    """F1 — canonical string read: lowercased + stripped
+    (conversions.py:274-287 ``d[f].lower().strip()`` — the full
+    whitespace class, py_strip)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.lower(py_strip(c))
 
 
 def getfield_list(c: Column | str) -> Column:
-    """F1 for array columns: element-wise lowercase+trim."""
+    """F1 for array columns: element-wise lowercase+strip
+    (conversions.py:280)."""
     c = F.col(c) if isinstance(c, str) else c
-    return F.transform(c, lambda x: F.lower(F.trim(x)))
+    return F.transform(c, lambda x: F.lower(py_strip(x)))
 
 
 def grab_first_number(c: Column | str) -> Column:

@@ -355,7 +355,10 @@ def true_ic(ic: Column) -> Column:
     ic_replacement_table is empty in the reference (:24) — a no-op kept
     out of the engine."""
     code = F.regexp_extract(ic, r"^.*\(([a-zA-Z]+)\)$", 1)
-    return F.lower(F.trim(F.when(code != "", code).otherwise(ic)))
+    from idb_backend_spark.functions.grabbers import py_strip
+
+    # get_true_ic's v.lower().strip() — full whitespace class
+    return F.lower(py_strip(F.when(code != "", code).otherwise(ic)))
 
 
 def dominant_collection_codes(

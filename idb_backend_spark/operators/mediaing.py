@@ -54,7 +54,9 @@ def clean_media_url(url: Column) -> Column:
     the empty string (the F11 '' resolution, conversions.py:711-723)
     stays '' — the reference's ``url is None`` gate ran BEFORE this
     cleanup, so an '' url survives discovery and is inserted verbatim."""
-    return F.trim(F.regexp_replace(url, "&amp;", "&"))
+    from idb_backend_spark.functions.grabbers import py_strip
+
+    return py_strip(F.regexp_replace(url, "&amp;", "&"))
 
 
 def _truthy(c: Column) -> Column:

@@ -331,34 +331,50 @@ class DwcaArchive:
                     df = df.filter(~cond)
         else:
             df = reader.csv(path)
-        # every value read from a member is NUL-stripped, like the
-        # reference strips each row dict before any processing
-        # (db_check.py:170-179, :253 — NUL bytes leak from upstream DB
-        # dumps and poison downstream storage/JSON)
+        # Reference value contract, exactly (delimited.py:255-268, which
+        # DwcaRecordFile inherits): every value is ``.strip()``-ed — the
+        # FULL Python whitespace class — and a blank-after-strip value
+        # is DROPPED from the row dict (null here). r12 fix: this read
+        # path previously nulled only space-blank values and KEPT the
+        # padding on non-blank ones; engine-written archives never
+        # showed it (the writer pre-strips) but a foreign archive's
+        # tab-padded values diverged (test_dwca_vs_reference::
+        # test_foreign_archive_value_strip_vs_reference). NULs are
+        # removed AFTER the blank rule, like db_check's later
+        # strip_nuls pass (:170-179): a value of NUL+whitespace strips
+        # to the bare NUL (not blank — NUL is not isspace), survives
+        # the reader, and THEN loses its NUL — an empty-string value
+        # with its key present, on both sides.
         from idb_backend_spark.functions.enrichment import strip_nuls
+        from idb_backend_spark.functions.grabbers import py_strip
+
+        def stripped(src: Column) -> Column:
+            return strip_nuls(F.nullif(py_strip(src), F.lit("")))
 
         cols = []
         if desc.id_index is not None:
+            # the id/coreid column goes through the same loop (the
+            # descriptor maps it into ``fields``, dwca.py:200-201): a
+            # blank id leaves the key ABSENT from the row dict
             cols.append(
-                strip_nuls(F.col(f"_c{desc.id_index}")).alias(
+                stripped(F.col(f"_c{desc.id_index}")).alias(
                     "coreid" if desc.id_is_coreid else "id"
                 )
             )
         for idx in sorted(desc.term_by_index):
             # (desc.term_by_index never holds id_index — the descriptor
             # drops a field sharing the id's index, reference parity)
-            src = strip_nuls(F.col(f"_c{idx}"))
+            src = stripped(F.col(f"_c{idx}"))
             term = desc.term_by_index[idx]
             d_val = desc.defaults.get(term)
             if d_val is not None:
                 # a <field> with BOTH index and default: blank/missing
                 # values take the declared default (DwC-A text guide),
-                # instead of nulling and never applying it
-                expr = F.when(
-                    F.trim(F.coalesce(src, F.lit(""))) == "", F.lit(d_val)
-                ).otherwise(src)
+                # instead of nulling and never applying it — documented
+                # divergence (the reference never APPLIES defaults)
+                expr = F.coalesce(src, F.lit(d_val))
             else:
-                expr = F.when(F.trim(src) == "", None).otherwise(src)
+                expr = src
             cols.append(expr.alias(term))
         for term, default in desc.defaults.items():
             if term not in desc.term_by_index.values():

@@ -405,3 +405,84 @@ def test_meta_writer_vs_reference(ref_dwca, tmp_path):
     assert curie_to_uri("dwc:b:c") == "http://rs.tdwg.org/dwc/terms/b"
     assert curie_to_uri("a:b:c") == "a:b:c"
     assert 'term="a:b:c"' in RM.make_field(index=0, term="a:b:c")
+
+
+def test_foreign_archive_value_strip_vs_reference(ref_dwca, spark, tmp_path):
+    """A FOREIGN archive (not engine-written, so the writer's
+    pre-stripping never ran) with tab/CR/NBSP-padded and
+    blank-after-strip values: the reference reader strips every value
+    with Python's full whitespace class and DROPS blank-after-strip
+    keys (delimited.py:255-268, inherited by DwcaRecordFile) — the r12
+    read-path fix makes the engine's read_member match. Also pins the
+    NUL+whitespace corner: ' \\x00 ' strips to the bare NUL (not
+    blank), survives the reader, and db_check's later strip_nuls
+    leaves an empty-string VALUE with the key present."""
+    RD, xml2d = ref_dwca
+
+    from idb_backend_spark.sources.dwca import DwcaArchive
+
+    meta = (
+        '<archive xmlns="http://rs.tdwg.org/dwc/text/">'
+        '<core rowType="http://rs.tdwg.org/dwc/terms/Occurrence"'
+        ' fieldsTerminatedBy="," linesTerminatedBy="\\n"'
+        ' fieldsEnclosedBy="&quot;" encoding="UTF-8" ignoreHeaderLines="1">'
+        "<files><location>occurrence.csv</location></files>"
+        '<id index="0"/>'
+        '<field index="1" term="http://rs.tdwg.org/dwc/terms/genus"/>'
+        '<field index="2" term="http://rs.tdwg.org/dwc/terms/country"/>'
+        "</core></archive>"
+    )
+    csv = (
+        "id,genus,country\n"
+        '1,"\tRosa\t","\t"\n'          # tab padding / tab-only -> drop
+        '2," x ",us\n'                 # space padding
+        '"\t", nb ,"\r\n"\n'  # blank id -> key absent; NBSP pad
+        '4," \x00 ",ok\n'              # NUL+whitespace corner
+    )
+    zp = str(tmp_path / "foreign.zip")
+    with zipfile.ZipFile(zp, "w") as z:
+        z.writestr("meta.xml", meta)
+        z.writestr("occurrence.csv", csv)
+
+    # reference
+    exdir = tmp_path / "fx"
+    with zipfile.ZipFile(zp) as z:
+        z.extractall(exdir)
+    meta_root = ET.parse(os.path.join(exdir, "meta.xml")).getroot()
+    arch = xml2d(_wrap_root(meta_root))["archive"]
+    rf = RD.DwcaRecordFile(
+        arch["core"], str(exdir / "occurrence.csv"), logname="t"
+    )
+    ref_rows = []
+    while True:
+        try:
+            ref_rows.append(rf.readline())
+        except StopIteration:
+            break
+
+    a = DwcaArchive(zp)
+    eng_rows = [r.asDict() for r in a.read_core(spark).collect()]
+    a.close()
+
+    assert len(ref_rows) == len(eng_rows) == 4
+    # row order: engine rows carry no seq here — align by position via
+    # the genus value (unique per row)
+    eng_by_genus = {r["dwc:genus"]: r for r in eng_rows}
+    for row in ref_rows:
+        if row.get("dwc:genus") == "\x00":
+            continue  # the NUL corner aligns by id below (values differ
+            # by design: engine folds db_check's strip_nuls into the read)
+        e = eng_by_genus[row.get("dwc:genus")]
+        for key in ("id", "dwc:genus", "dwc:country"):
+            assert row.get(key) == e.get(key), (key, row, e)
+    # the designed pins, explicitly:
+    assert ref_rows[0]["dwc:genus"] == "Rosa"       # tabs stripped
+    assert "dwc:country" not in ref_rows[0]          # tab-only dropped
+    assert ref_rows[1]["dwc:genus"] == "x"           # spaces stripped
+    assert "id" not in ref_rows[2]                   # blank id -> absent
+    assert ref_rows[3]["dwc:genus"] == "\x00"        # reader keeps the NUL
+    # the engine reader removes NULs at read (db_check's strip_nuls pass
+    # folded in): key present, value empty string
+    assert eng_by_genus.get("\x00") is None
+    eng_r4 = [r for r in eng_rows if r["id"] == "4"][0]
+    assert eng_r4["dwc:genus"] == ""

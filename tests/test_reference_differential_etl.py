@@ -278,7 +278,12 @@ def test_verbatim_projection_vs_reference(ref, spark):
         d = {}
         for name, rawfield, reftype in rng.sample(str_fields, rng.randint(3, 10)):
             key = rawfield if rng.random() < 0.5 else rawfield.upper()
-            d[key] = rng.choice(["  Acer Rubrum ", "X", "", " mixed CASE "])
+            # r12: tab/CR/NBSP padding added — getfield is .lower().strip()
+            # (the FULL isspace class); space-only padding masked F.trim
+            d[key] = rng.choice(
+                ["  Acer Rubrum ", "X", "", " mixed CASE ",
+                 "\tTabbed\t", "CR\r", "\u00a0nb\u00a0"]
+            )
         cases.append(d)
     df = spark.createDataFrame(
         [(i, d) for i, d in enumerate(cases)],
