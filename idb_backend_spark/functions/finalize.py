@@ -175,7 +175,12 @@ def wkt_polygon_ring(wkt: Column) -> Column:
         wkt, r"(?i)\bMULTIPOLYGON\s*\(\s*\(\s*\(([^)]*)\)", 1
     )
     body = F.when(inner != "", inner).when(multi != "", multi)
-    pairs = F.split(F.trim(body), r"\s*,\s*")
+    from idb_backend_spark.functions.grabbers import py_strip
+
+    # py_strip, not F.trim: shapely tolerates tab/CR padding inside the
+    # parens; a space-only trim left the first pair regex-anchored
+    # against a leading tab (the r12 whitespace-class sweep)
+    pairs = F.split(py_strip(body), r"\s*,\s*")
     ring = F.transform(
         pairs,
         lambda p: F.struct(
@@ -198,8 +203,12 @@ def wkt_polygon_ring(wkt: Column) -> Column:
         (F.size(valid) >= 3) & (F.size(valid) == F.size(pairs)), valid
     )
     # reference bare fallback: flat comma-separated floats, evens = x/lon
-    toks = F.split(F.trim(F.when(~wkt.rlike("[A-Za-z()]"), wkt)), r"\s*,\s*")
-    nums = F.transform(toks, lambda t: t.try_cast("double"))
+    toks = F.split(
+        py_strip(F.when(~wkt.rlike("[A-Za-z()]"), wkt)), r"\s*,\s*"
+    )
+    # per-token strip before the cast: Python float() accepts unicode
+    # whitespace padding that Spark's cast trimAll (<= 0x20 only) rejects
+    nums = F.transform(toks, lambda t: py_strip(t).try_cast("double"))
     n = F.size(nums)
     bare_ok = (
         (n >= 6)
