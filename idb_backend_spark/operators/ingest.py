@@ -674,3 +674,338 @@ def archive_rows(spark, archive, rsid: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --------------------------------------------------------------------------
+# The giant-recordset RELATIONAL path + the size router
+# --------------------------------------------------------------------------
+
+
+def _field(rec, key: str):
+    """First value for ``key`` in the ordered pair array (keys are
+    unique on the wire, like dict keys)."""
+    from pyspark.sql import functions as F
+
+    # try_element_at: null (not an ANSI error) when the key is absent
+    return F.try_element_at(
+        F.filter(rec, lambda p: p["k"] == F.lit(key)), F.lit(1)
+    )["v"]
+
+
+def _has(rec, key: str):
+    from pyspark.sql import functions as F
+
+    return F.exists(rec, lambda p: p["k"] == F.lit(key))
+
+
+def ingest_outcomes_relational(
+    rows: DataFrame, lookup: DataFrame, ingest: bool = True
+) -> DataFrame:
+    """The ingest row loop's decisions computed FULLY RELATIONALLY —
+    the scale path for recordsets too large for one cogroup group
+    (the kernel holds a recordset's rows and lookup dicts in one pandas
+    frame, exactly like the reference's per-recordset process; a
+    100 M-row recordset needs the shuffle-and-join formulation).
+    Everything stays JVM-side: etag_pairs_expr for content identity,
+    record_identifiers/media_identifiers for the candidate rules,
+    uuid5_expr for created-entity ids (the same derivation as the
+    kernel, so both paths mint identical uuids), windows for the
+    in-file duplicate discipline, and an anti-join for the absence
+    deletes.
+
+    SCOPE (the clean subset — exact for the archive shapes that
+    actually get giant: single-member well-formed delimited feeds; the
+    kernel is authoritative elsewhere, agreement on the shared subset
+    pinned in tests/test_ingest_kernel.py):
+
+    * no cross-member buffers (unconsumed_extensions / core_siblings),
+      no ac:associatedSpecimenReference probes, no in-run identifier
+      visibility, no nested ResourceRelationship terms;
+    * ONE-PASS duplicate-id claims: a row that fails the dup-id check
+      does not release its other identifier claims, and a row that
+      fails at the MATCH stage (conflict / foreign parent / multi-uuid)
+      keeps its claims — the sequential loop releases both (the
+      divergence is machine-pinned in
+      tests/test_ingest_kernel.py::test_relational_path_chain_divergence).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from idb_backend_spark.functions.etags import etag_pairs_expr
+    from idb_backend_spark.functions.enrichment import uuid5_expr
+    from idb_backend_spark.functions.finalize import (
+        media_identifiers,
+        record_identifiers,
+    )
+
+    typ_map = F.create_map(
+        *[F.lit(x) for kv in INGESTION_TYPES.items() for x in kv]
+    )
+
+    rec = F.col("rec")
+    is_occ = F.col("rowtype") == "dwc:Occurrence"
+    promote = is_occ & ~_has(rec, "dwc:occurrenceID") & _has(rec, "id")
+    promoted = F.when(
+        promote,
+        F.transform(
+            rec,
+            lambda p: F.when(
+                p["k"] == "id",
+                F.struct(
+                    F.lit("dwc:occurrenceID").alias("k"), p["v"].alias("v")
+                ),
+            ).otherwise(p),
+        ),
+    ).otherwise(rec)
+
+    base = rows.select(
+        "rsid", "fname", "rowtype", "seq",
+        promoted.alias("rec"),
+        typ_map[F.col("rowtype")].alias("typ"),
+    )
+    rec = F.col("rec")
+    rec_ids = record_identifiers(
+        F.col("rsid"),
+        _field(rec, "dwc:occurrenceID"),
+        _field(rec, "idigbio:recordId"),
+        _field(rec, "id"),
+        record_id_cap=_field(rec, "idigbio:recordID"),
+        bare_id_cap=_field(rec, "ID"),
+    )
+    med_ids = media_identifiers(
+        F.col("rsid"),
+        _field(rec, "idigbio:recordId"),
+        _field(rec, "ac:providerManagedID"),
+        _field(rec, "dcterms:identifier"),
+        record_id_cap=_field(rec, "idigbio:recordID"),
+    )
+    base = base.withColumns(
+        {
+            "etag": etag_pairs_expr(rec),
+            "idents": F.when(is_occ, rec_ids)
+            .when(F.col("rowtype").isin("dwc:Multimedia", "dcterms"),
+                  med_ids)
+            .otherwise(F.array().cast("array<string>")),
+        }
+    ).drop("rec")
+
+    member = ["rsid", "fname", "rowtype"]
+    w_etag = Window.partitionBy(*member, "etag").orderBy("seq")
+    base = base.withColumn(
+        "dup_etag", F.row_number().over(w_etag) > 1
+    ).withColumn(
+        "no_recordid",
+        ~F.col("dup_etag")
+        & (F.size("idents") == 0)
+        & F.col("rowtype").isin(*INGESTION_TYPES),
+    )
+    gate1 = ~F.col("dup_etag") & ~F.col("no_recordid")
+
+    # one-pass first-claim per identifier among gate1 survivors
+    claims = (
+        base.filter(gate1)
+        .select(*member, "seq", F.explode_outer("idents").alias("ident"))
+        .filter(F.col("ident").isNotNull())
+    )
+    w_claim = Window.partitionBy(*member, "ident").orderBy("seq")
+    first_claim = (
+        claims.withColumn("rk", F.row_number().over(w_claim))
+        .groupBy(*member, "ident")
+        .agg(F.min("seq").alias("claim_seq"))
+    )
+    dup_id_rows = (
+        claims.join(first_claim, member + ["ident"])
+        .filter(F.col("seq") > F.col("claim_seq"))
+        .select(*member, "seq")
+        .distinct()
+        .withColumn("dup_id", F.lit(True))
+    )
+    base = base.join(dup_id_rows, member + ["seq"], "left").fillna(
+        {"dup_id": False}
+    )
+
+    # match stage: idents in TABLE order against the recordset children
+    survivors = base.filter(gate1 & ~F.col("dup_id"))
+    probe = survivors.select(
+        *member, "seq", "typ", "etag",
+        F.posexplode_outer("idents").alias("pos", "ident"),
+    )
+    rs_ids = lookup.filter(
+        (F.col("scope") == "rs") & F.col("ident").isNotNull()
+    ).select(
+        "rsid",
+        F.col("rtype").alias("typ"),
+        "ident",
+        F.col("uuid").alias("ex_uuid"),
+        F.col("etag").alias("ex_etag"),
+    )
+    hits = probe.join(rs_ids, ["rsid", "typ", "ident"]).groupBy(
+        *member, "seq"
+    ).agg(
+        F.min_by("ex_uuid", "pos").alias("u_found"),
+        F.min_by("ex_etag", "pos").alias("etag_found"),
+        F.countDistinct("ex_uuid").alias("n_uuids"),
+    )
+    matched = survivors.join(hits, member + ["seq"], "left")
+
+    # get_uuid stage for unmatched rows: the global identifier probe
+    # (scope='global' PLUS the recordset's own idents, db_check.py
+    # queries the whole uuids_identifier table)
+    glob = lookup.filter(
+        (F.col("scope") == "global") & F.col("ident").isNotNull()
+    ).select(
+        "rsid", "ident", "uuid",
+        F.col("parent"), F.coalesce("deleted", F.lit(False)).alias("del_"),
+    ).unionByName(
+        lookup.filter(
+            (F.col("scope") == "rs") & F.col("ident").isNotNull()
+        ).select(
+            "rsid", "ident", "uuid",
+            F.col("rsid").alias("parent"), F.lit(False).alias("del_"),
+        )
+    ).distinct()
+    unmatched_probe = matched.filter(F.col("u_found").isNull()).select(
+        *member, "seq", F.explode_outer("idents").alias("ident")
+    )
+    gprobe = unmatched_probe.join(glob, ["rsid", "ident"], "left").groupBy(
+        *member, "seq"
+    ).agg(
+        # countDistinct skips nulls — a no-hit row (all-null struct
+        # members from the left join) must count 0, not 1
+        F.countDistinct(
+            F.when(
+                F.col("uuid").isNotNull(),
+                F.struct("uuid", "parent", "del_"),
+            )
+        ).alias("n_hits"),
+        F.first("uuid", ignorenulls=True).alias("g_uuid"),
+        F.first("parent", ignorenulls=True).alias("g_parent"),
+        F.max(F.coalesce("del_", F.lit(False))).alias("g_deleted"),
+    )
+    full = matched.join(gprobe, member + ["seq"], "left")
+
+    found = F.col("u_found").isNotNull()
+    is_match = found & (F.col("etag_found") == F.col("etag"))
+    conflict = found & (F.col("n_uuids") > 1)
+    multi = ~found & (F.coalesce("n_hits", F.lit(0)) > 1)
+    foreign = (
+        ~found
+        & (F.col("n_hits") == 1)
+        & F.col("g_parent").isNotNull()
+        & (F.col("g_parent") != F.col("rsid"))
+    )
+    hit_one = ~found & (F.col("n_hits") == 1) & ~foreign
+    deleted = hit_one & F.col("g_deleted")
+    first_ident = F.try_element_at("idents", F.lit(1))
+    minted = uuid5_expr(
+        F.concat(
+            F.col("rsid"), F.lit("\0"),
+            F.coalesce(
+                first_ident,
+                F.concat("fname", F.lit(":"), F.col("seq").cast("string")),
+            ),
+        ),
+        namespace=_CREATE_NS,
+    )
+    u = F.when(found, F.col("u_found")).when(hit_one, F.col("g_uuid")).otherwise(minted)
+    sub_ingest = F.lit(ingest) & F.col("typ").isNotNull()
+    outcome = (
+        F.when(conflict, "conflict")
+        .when(multi, "multi_uuid")
+        .when(foreign, "foreign_parent")
+        .when(is_match, "match")
+        .when(found, "update")
+        .when(deleted & sub_ingest, "resurrect")
+        .otherwise("create")
+    )
+    ok = outcome.isin("match", "update", "create", "resurrect")
+    decided = full.select(
+        "rsid", "fname", "rowtype", "seq",
+        outcome.alias("outcome"),
+        F.when(~conflict & ~multi & ~foreign, u).alias("uuid"),
+        "etag",
+        F.sort_array(F.array_distinct("idents")).alias("ids"),
+        F.array().cast("array<string>").alias("siblings"),
+        found.alias("found"),
+        is_match.alias("matched"),
+        (deleted & ~conflict & ~multi & ~foreign).alias("to_undelete"),
+        (sub_ingest & ok & ~is_match).alias("ingested"),
+    )
+
+    failed_rows = base.filter(~(gate1 & ~F.col("dup_id"))).select(
+        "rsid", "fname", "rowtype", "seq",
+        F.when(F.col("dup_etag"), "dup_etag")
+        .when(F.col("no_recordid"), "no_recordid")
+        .otherwise("dup_id")
+        .alias("outcome"),
+        F.lit(None).cast("string").alias("uuid"),
+        "etag",
+        F.array().cast("array<string>").alias("ids"),
+        F.array().cast("array<string>").alias("siblings"),
+        F.lit(False).alias("found"),
+        F.lit(False).alias("matched"),
+        F.lit(False).alias("to_undelete"),
+        F.lit(False).alias("ingested"),
+    )
+
+    # member-level absence deletes: rs children of the member's type
+    # minus the member's successful uuids
+    members = rows.select("rsid", "fname", "rowtype").distinct().withColumn(
+        "typ", typ_map[F.col("rowtype")]
+    )
+    ex = lookup.filter(F.col("scope") == "rs").select(
+        "rsid", F.col("rtype").alias("typ"), "uuid"
+    ).distinct()
+    seen = decided.filter(
+        F.col("outcome").isin("match", "update", "create", "resurrect")
+    ).select("rsid", "fname", "rowtype", "uuid")
+    deletes = (
+        members.join(ex, ["rsid", "typ"])
+        .join(
+            seen,
+            ["rsid", "fname", "rowtype", "uuid"],
+            "left_anti",
+        )
+        .select(
+            "rsid", "fname", "rowtype",
+            F.lit(None).cast("long").alias("seq"),
+            F.lit("delete").alias("outcome"),
+            "uuid",
+            F.lit(None).cast("string").alias("etag"),
+            F.array().cast("array<string>").alias("ids"),
+            F.array().cast("array<string>").alias("siblings"),
+            F.lit(False).alias("found"),
+            F.lit(False).alias("matched"),
+            F.lit(False).alias("to_undelete"),
+            F.lit(False).alias("ingested"),
+        )
+    )
+    return decided.unionByName(failed_rows).unionByName(deletes)
+
+
+def ingest_subfiles_routed(
+    rows: DataFrame,
+    lookup: DataFrame,
+    ingest: bool = True,
+    kernel_max_rows: int = 5_000_000,
+    nested_terms: tuple = ("dwc:ResourceRelationship",),
+) -> DataFrame:
+    """Skew-aware routing: recordsets whose row count fits one cogroup
+    group run the faithful sequential kernel; giants take the
+    relational path (ingest_outcomes_relational — same uuids, same
+    counters on the clean subset). The reference has no giant-recordset
+    answer at all (one process per recordset, memory-bound the same
+    way the kernel is); the router is what makes the 100 TB shape
+    work: a handful of mega-recordsets no longer pin one executor."""
+    from pyspark.sql import functions as F
+
+    sizes = rows.groupBy("rsid").agg(F.count(F.lit(1)).alias("__n"))
+    tagged = rows.join(F.broadcast(sizes), "rsid")
+    small = tagged.filter(F.col("__n") <= kernel_max_rows).drop("__n")
+    big = tagged.filter(F.col("__n") > kernel_max_rows).drop("__n")
+    big_rs = big.select("rsid").distinct()
+    lk_small = lookup.join(F.broadcast(big_rs), "rsid", "left_anti")
+    lk_big = lookup.join(F.broadcast(big_rs), "rsid", "leftsemi")
+    return ingest_subfiles(
+        small, lk_small, ingest=ingest, nested_terms=nested_terms
+    ).unionByName(ingest_outcomes_relational(big, lk_big, ingest=ingest))

@@ -151,3 +151,99 @@ def test_recordset_isolation(spark):
     assert by[("rs-a", 0)] == "create"
     assert by[("rs-a", 1)] == "dup_etag"
     assert by[("rs-b", 0)] == "create"
+
+
+def _outcome_key(r):
+    return (
+        r["rsid"], r["fname"],
+        -1 if r["seq"] is None else r["seq"],  # delete rows sort first
+        r["outcome"], r["uuid"] or "", r["etag"] or "",
+        tuple(r["ids"] or []), r["found"], r["matched"],
+        r["to_undelete"], r["ingested"],
+    )
+
+
+def test_relational_path_agrees_with_kernel(spark, clean_batch):
+    """On the clean subset the giant-recordset relational path must
+    reproduce the kernel's outcome rows EXACTLY — including created
+    uuids (both mint uuid5 over rsid + first claimed identifier), the
+    failure classes (dup_etag / no_recordid / dup_id), and the absence
+    deletes."""
+    from idb_backend_spark.operators.ingest import (
+        ingest_outcomes_relational,
+    )
+
+    rsid, recs, children = clean_batch
+    recs = list(recs) + [
+        dict(recs[0]),                                # dup_etag
+        {"dwc:recordedBy": "anon"},                   # no_recordid
+        {"dwc:occurrenceID": "occ-3",
+         "dwc:recordedBy": "x"},                      # dup_id (occ-3 claimed)
+        {"id": "bare-1", "dwc:recordedBy": "b"},      # promotion
+    ]
+    rows = _mk_rows(spark, rsid, recs)
+    lk = _mk_lookup(spark, rsid, children)
+    kernel = sorted(
+        map(_outcome_key, ingest_subfiles(rows, lk).collect())
+    )
+    relational = sorted(
+        map(_outcome_key, ingest_outcomes_relational(rows, lk).collect())
+    )
+    assert kernel == relational
+
+
+def test_routed_equals_kernel_on_mixed_sizes(spark):
+    """The router splits by recordset size; with the threshold between
+    the two recordsets' sizes, one goes to each path — the union must
+    equal the kernel's output over everything (clean data)."""
+    from idb_backend_spark.operators.ingest import ingest_subfiles_routed
+
+    data = []
+    for rsid, n in (("rs-small", 5), ("rs-giant", 40)):
+        for i in range(n):
+            data.append(
+                (rsid, 0, "f.txt", "dwc:Occurrence", i,
+                 [("dwc:occurrenceID", f"{rsid}-o{i}"),
+                  ("dwc:recordedBy", f"p{i}")])
+            )
+    rows = spark.createDataFrame(data, ROW_SCHEMA)
+    lk = spark.createDataFrame([], LOOKUP_SCHEMA)
+    routed = sorted(
+        map(
+            _outcome_key,
+            ingest_subfiles_routed(rows, lk, kernel_max_rows=10).collect(),
+        )
+    )
+    kernel = sorted(map(_outcome_key, ingest_subfiles(rows, lk).collect()))
+    assert routed == kernel
+    assert len(routed) == 45
+
+
+def test_relational_path_chain_divergence(spark):
+    """MACHINE-PINNED divergence: the sequential loop RELEASES a failed
+    row's other identifier claims (ids_to_add reset), so row 3 reuses
+    'urn:beta'; the one-pass relational path keeps row 2's claim and
+    flags row 3 dup_id. Exact only on the clean subset — the router's
+    threshold keeps chain-bearing (normal-size) recordsets on the
+    kernel."""
+    from idb_backend_spark.operators.ingest import (
+        ingest_outcomes_relational,
+    )
+
+    recs = [
+        {"dwc:occurrenceID": "alpha", "dwc:recordedBy": "one"},
+        {"idigbio:recordId": "urn:beta", "dwc:occurrenceID": "alpha",
+         "dwc:recordedBy": "two"},
+        {"idigbio:recordId": "urn:beta", "dwc:recordedBy": "three"},
+    ]
+    rows = _mk_rows(spark, "rs-chain", recs)
+    lk = spark.createDataFrame([], LOOKUP_SCHEMA)
+    kern = {
+        r["seq"]: r["outcome"] for r in ingest_subfiles(rows, lk).collect()
+    }
+    rel = {
+        r["seq"]: r["outcome"]
+        for r in ingest_outcomes_relational(rows, lk).collect()
+    }
+    assert kern == {0: "create", 1: "dup_id", 2: "create"}
+    assert rel == {0: "create", 1: "dup_id", 2: "dup_id"}  # the pin
