@@ -21,6 +21,8 @@ per-batch inner function.
 
 from __future__ import annotations
 
+import re
+
 import math
 
 import pandas as pd
@@ -478,7 +480,16 @@ def normalize_datum_expr(datum_raw: Column) -> Column:
     The alias table is a single literal map lookup — NOT a per-alias CASE
     chain, which would re-inline the regexp subtree once per alias and
     blow the 64 KB codegen method limit when composed into the shift."""
-    mangled = F.upper(F.regexp_replace(datum_raw, "[^A-Za-z0-9]", ""))
+    # the reference's mangler is r"[\W]+" (conversions.py:311-316):
+    # UNDERSCORES and unicode letters/digits SURVIVE the fold — so
+    # 'NAD_83' stays 'NAD_83' (an UNKNOWN datum there, never shifted),
+    # where an ASCII-only [^A-Za-z0-9] fold would alias it to NAD83 and
+    # apply a shift the reference refuses (r12 differential finding,
+    # test_reference_differential_etl::test_mangle_string_vs_reference).
+    # \p{L}\p{N}_ is Python \w's exact class (isalnum + underscore).
+    mangled = F.upper(
+        F.regexp_replace(datum_raw, r"[^\p{L}\p{N}_]+", "")
+    )
     pairs = []
     for verbose, short in sorted(DATUM_ALIASES.items()):
         pairs.extend([F.lit(verbose), F.lit(short)])
@@ -489,8 +500,10 @@ def normalize_datum_expr(datum_raw: Column) -> Column:
 
 
 def mangle_string(s: str) -> str:
-    """Uppercase and strip non-alphanumerics (conversions.py:312-316)."""
-    return "".join(ch for ch in s.upper() if ch.isalnum())
+    """The reference's mangleString exactly (conversions.py:311-316):
+    strip ``[\W]+`` — keeping underscores and unicode alnums — then
+    uppercase."""
+    return re.sub(r"[\W]+", "", s).upper()
 
 
 _transform_schema = StructType(

@@ -1158,3 +1158,39 @@ def test_render_query_text_vs_reference():
             ref_render(_json.dumps(q))
         # the engine's py2-intent reading still renders them
         assert "genus" in render_query_text(_json.dumps(q))
+
+
+def test_mangle_string_vs_reference(ref, spark):
+    """mangleString (conversions.py:311-316, the datum-normalization
+    fold) executed over a pool that exercises the exact character
+    class: the reference's ``[\\W]+`` keeps UNDERSCORES and unicode
+    letters/digits — 'NAD_83' must stay 'NAD_83' (an unknown datum
+    there; an ASCII-only fold would alias it to NAD83 and shift
+    coordinates the reference refuses to touch). Runs the engine's
+    Column fold and its Python twin against the real function."""
+    from idb_backend_spark.functions.geo import mangle_string
+
+    CONV = ref
+    vals = [
+        "NAD_83", "D_WGS_1984", "World Geodetic System 1984",
+        "wgs 84", "EPSG:4326", "WGS-84ü", "токио84", "NAD83(HARN)",
+        "étag", "ß-datum", "٣datum", " WGS84 ", "__", "", "——",
+    ]
+    expect = {v: CONV.mangleString(v) for v in vals}
+    for v in vals:
+        assert mangle_string(v) == expect[v], v
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {
+        r["v"]: r["m"]
+        for r in df.select(
+            "v",
+            F.upper(
+                F.regexp_replace("v", r"[^\p{L}\p{N}_]+", "")
+            ).alias("m"),
+        ).collect()
+    }
+    for v in vals:
+        assert got[v] == expect[v], (v, got[v], expect[v])
