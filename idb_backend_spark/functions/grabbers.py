@@ -142,7 +142,14 @@ def float_grabber(c: Column | str) -> Column:
 #: a string decimal.Decimal() accepts (sign, int/frac digits, optional
 #: exponent) — the reference's getExponent returns 0 for anything else
 #: (its bare except); shared with the SQL twin (synth.decimal_exponent_sql)
-DECIMAL_RE = r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$"
+#: mantissa digits are \p{Nd} — Python Decimal accepts ANY unicode
+#: decimal digit ('٣.٤٥' parses, exponent 2); the scientific-notation
+#: exponent stays ASCII (the '1e٣' corner is a pinned boundary: the
+#: engine returns 0 where Decimal reads an exponent — the only
+#: consumer is the <=2 low-precision gate, where both sides flag)
+DECIMAL_RE = (
+    r"^[+-]?(\p{Nd}+(\.\p{Nd}*)?|\.\p{Nd}+)([eE][+-]?[0-9]+)?$"
+)
 
 
 #: NaN/Infinity spellings Decimal() ACCEPTS (nan, snan, inf, infinity,
@@ -168,8 +175,11 @@ def decimal_exponent(verbatim: Column | str) -> Column:
     crash). Modeled as NULL here: the flag's when() treats NULL as
     false, reproducing the py2 outcome natively."""
     c = F.col(verbatim) if isinstance(verbatim, str) else verbatim
-    s = F.trim(c.cast("string"))
-    frac = F.length(F.regexp_extract(s, r"\.(\d+)", 1))
+    # Decimal(str) strips the FULL whitespace class (r12: a tab-padded
+    # verbatim coordinate still reads its true precision — F.trim left
+    # it unparsed, mis-flagging it low-precision)
+    s = py_strip(c.cast("string"))
+    frac = F.length(F.regexp_extract(s, r"\.(\p{Nd}+)", 1))
     # try_cast + coalesce, never a bare cast: ANSI mode throws casting
     # '' to int, and an absurd exponent ('1e99999999999') would overflow
     # — both fold to 0, exactly what the SQL twin's try_cast does (the
@@ -199,9 +209,15 @@ def grab_first_uuid(c: Column | str) -> Column:
 
 def genbank_accessions(c: Column | str) -> Column:
     """F15 — GenBank accession extraction, regex ``[a-zA-Z]{1,2}-?_?\\d{5,6}``
-    findall over associatedSequences (conversions.py:838-853)."""
+    findall over associatedSequences (conversions.py:838-853). ``\\d``
+    there is Python's — the Unicode Nd category — where Java's is
+    ASCII-only, so the engine spells ``\\p{Nd}`` (r12 differential
+    finding: an accession written with Arabic-Indic digits extracts in
+    the reference)."""
     c = F.col(c) if isinstance(c, str) else c
-    return F.regexp_extract_all(c, F.lit(r"([a-zA-Z]{1,2}-?_?\d{5,6})"), 1)
+    return F.regexp_extract_all(
+        c, F.lit(r"([a-zA-Z]{1,2}-?_?\p{Nd}{5,6})"), 1
+    )
 
 
 def collect_common_names(

@@ -92,9 +92,12 @@ def test_number_grabbers_vs_reference(ref, spark):
 
 
 def test_decimal_exponent_vs_reference(ref, spark):
+    # r12 additions: padded (Decimal strips the FULL whitespace class)
+    # and unicode-digit mantissas (Decimal accepts any Nd digit)
     vals = [
         "12.3450", "1.2e-3", "1E2", "-0.5", "7", "7.", ".25", "abc",
         "", "12,5", "+3.14159", "0.00", "2e0", "-1.5E+2", "nan", "Infinity",
+        " 3.45\t", "\u00a03.4", "٣.٤٥", "۳.۴4", "\t.5",
     ]
     df = spark.createDataFrame([(s,) for s in vals], "v string")
     got = {r["v"]: r["o"] for r in df.select(
@@ -898,8 +901,11 @@ def test_collect_common_names_and_genbank_vs_reference(ref, spark):
         if rng.random() < 0.6:
             d["gbif:vernacularname"] = [f"g{j}" for j in range(rng.randint(0, 3))]
         if rng.random() < 0.7:
+            # r12: a unicode-digit accession added — Python \d is the
+            # Nd category, Java \d is ASCII-only
             d["dwc:associatedSequences"] = rng.choice(
-                ["AB123456; KX-98765", "nothing", "x1234567 yz_12345 q99999"]
+                ["AB123456; KX-98765", "nothing", "x1234567 yz_12345 q99999",
+                 "AB\u0663\u0664\u0665\u0666\u0667 mixed kx12345"]
             )
         cases.append(d)
     rows = [
@@ -1194,3 +1200,20 @@ def test_mangle_string_vs_reference(ref, spark):
     }
     for v in vals:
         assert got[v] == expect[v], (v, got[v], expect[v])
+
+
+def test_decimal_exponent_unicode_exponent_boundary(ref, spark):
+    """PINNED BOUNDARY: Decimal accepts unicode digits in the
+    scientific-notation EXPONENT ('1e٣' -> exponent -3); the engine has
+    no native digit-value conversion for arbitrary Nd scripts, so the
+    string fails DECIMAL_RE and reads 0. The only consumer is the <=2
+    low-precision gate, where BOTH values flag — asserted here so the
+    boundary stays machine-visible rather than assumed."""
+    v = "1e٣"
+    assert ref.getExponent(v) == -3
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(v,)], "v string")
+    got = df.select(G.decimal_exponent("v").alias("o")).first()["o"]
+    assert got == 0
+    assert got <= 2 and ref.getExponent(v) <= 2  # same downstream flag
