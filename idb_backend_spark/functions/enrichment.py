@@ -46,10 +46,16 @@ def geo_normalize(lat_raw: Column, lon_raw: Column) -> dict[str, Column]:
 
     Returns {"lat", "lon", "flag_pre_flip", "flag_bounds", "flag_low_precision"}.
     """
-    # try_cast: unparseable coordinate -> null point, no exception — the
-    # reference's bare-except contract (conversions.py:478-480)
-    lat0 = getfield(lat_raw).try_cast("double")
-    lon0 = getfield(lon_raw).try_cast("double")
+    # py_double, not a bare try_cast (r12): the reference's float() call
+    # (conversions.py:454-455) accepts unicode Nd digits and rejects
+    # Java literal suffixes — Spark's cast does the opposite on both
+    # counts, so '٣٤.٥' lost its point and '12.5f' minted one the
+    # reference refuses; unparseable still -> null point, no exception
+    # (the bare-except contract, conversions.py:478-480)
+    from idb_backend_spark.functions.grabbers import py_double
+
+    lat0 = py_double(getfield(lat_raw))
+    lon0 = py_double(getfield(lon_raw))
     have = lat0.isNotNull() & lon0.isNotNull()
 
     flip = (

@@ -56,6 +56,65 @@ def py_strip(c: "Column | str") -> Column:
     return F.btrim(c, F.lit(_PY_STRIP_CHARS))
 
 
+# --------------------------------------------------------------------------
+# Python numeric-literal parity (r12): the reference coerces provider
+# strings with float()/int()/Decimal(), which accept EVERY unicode
+# decimal digit (the Nd category, 650 non-ASCII chars), full-class
+# whitespace padding, and (strictly, for float/int) underscores between
+# digits — while Spark's string casts are ASCII-only AND over-accept
+# Java literal suffixes ('12.5f', '1d') that Python rejects. These
+# primitives mirror Python exactly: validate with the Python grammar,
+# translate Nd digits to ASCII (a 1:1 char map — one native translate),
+# then cast.
+# --------------------------------------------------------------------------
+
+import unicodedata as _ud
+
+_ND_SRC = "".join(
+    chr(c)
+    for c in range(0x110000)
+    if _ud.category(chr(c)) == "Nd" and not "0" <= chr(c) <= "9"
+)
+_ND_DST = "".join(str(_ud.decimal(ch)) for ch in _ND_SRC)
+
+#: a float()/int() digit run: underscores only BETWEEN digits
+_PY_D = r"\p{Nd}(?:_?\p{Nd})*"
+
+PY_FLOAT_RE = (
+    rf"(?i)^[+-]?(?:{_PY_D}(?:\.(?:{_PY_D})?)?(?:e[+-]?{_PY_D})?"
+    rf"|\.{_PY_D}(?:e[+-]?{_PY_D})?|inf(?:inity)?|nan)$"
+)
+PY_INT_RE = rf"^[+-]?{_PY_D}$"
+
+
+def normalize_py_number(c: Column, drop_underscores: bool = True) -> Column:
+    """Unicode Nd digits -> ASCII (1:1), optionally deleting
+    underscores (translate drops chars with no replacement)."""
+    src = _ND_SRC + ("_" if drop_underscores else "")
+    return F.translate(c, src, _ND_DST)
+
+
+def py_double(c: Column | str) -> Column:
+    """``float(str)`` exactly: full-class strip, the Python float
+    grammar (incl. inf/infinity/nan and between-digit underscores;
+    Java's '12.5f'/'1d' suffixes REJECTED), Nd digits accepted."""
+    c = F.col(c) if isinstance(c, str) else c
+    s = py_strip(c.cast("string"))
+    return F.when(
+        s.rlike(PY_FLOAT_RE), normalize_py_number(s).try_cast("double")
+    )
+
+
+def py_long(c: Column | str) -> Column:
+    """``int(str)`` exactly (base 10): full-class strip, Nd digits,
+    between-digit underscores; anything else null."""
+    c = F.col(c) if isinstance(c, str) else c
+    s = py_strip(c.cast("string"))
+    return F.when(
+        s.rlike(PY_INT_RE), normalize_py_number(s).try_cast("long")
+    )
+
+
 def getfield(c: Column | str) -> Column:
     """F1 — canonical string read: lowercased + stripped
     (conversions.py:274-287 ``d[f].lower().strip()`` — the full
@@ -142,14 +201,10 @@ def float_grabber(c: Column | str) -> Column:
 #: a string decimal.Decimal() accepts (sign, int/frac digits, optional
 #: exponent) — the reference's getExponent returns 0 for anything else
 #: (its bare except); shared with the SQL twin (synth.decimal_exponent_sql)
-#: mantissa digits are \p{Nd} — Python Decimal accepts ANY unicode
-#: decimal digit ('٣.٤٥' parses, exponent 2); the scientific-notation
-#: exponent stays ASCII (the '1e٣' corner is a pinned boundary: the
-#: engine returns 0 where Decimal reads an exponent — the only
-#: consumer is the <=2 low-precision gate, where both sides flag)
-DECIMAL_RE = (
-    r"^[+-]?(\p{Nd}+(\.\p{Nd}*)?|\.\p{Nd}+)([eE][+-]?[0-9]+)?$"
-)
+#: validated AFTER normalize_py_number (Nd digits -> ASCII, every
+#: underscore deleted — Decimal strips underscores ANYWHERE, unlike
+#: float's between-digits rule), so plain ASCII classes suffice here
+DECIMAL_RE = r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$"
 
 
 #: NaN/Infinity spellings Decimal() ACCEPTS (nan, snan, inf, infinity,
@@ -177,9 +232,11 @@ def decimal_exponent(verbatim: Column | str) -> Column:
     c = F.col(verbatim) if isinstance(verbatim, str) else verbatim
     # Decimal(str) strips the FULL whitespace class (r12: a tab-padded
     # verbatim coordinate still reads its true precision — F.trim left
-    # it unparsed, mis-flagging it low-precision)
-    s = py_strip(c.cast("string"))
-    frac = F.length(F.regexp_extract(s, r"\.(\p{Nd}+)", 1))
+    # it unparsed, mis-flagging it low-precision), accepts any unicode
+    # Nd digit anywhere including the exponent, and deletes underscores
+    # wherever they appear — normalize first, then ASCII parsing
+    s = normalize_py_number(py_strip(c.cast("string")))
+    frac = F.length(F.regexp_extract(s, r"\.(\d+)", 1))
     # try_cast + coalesce, never a bare cast: ANSI mode throws casting
     # '' to int, and an absurd exponent ('1e99999999999') would overflow
     # — both fold to 0, exactly what the SQL twin's try_cast does (the

@@ -98,6 +98,7 @@ def test_decimal_exponent_vs_reference(ref, spark):
         "12.3450", "1.2e-3", "1E2", "-0.5", "7", "7.", ".25", "abc",
         "", "12,5", "+3.14159", "0.00", "2e0", "-1.5E+2", "nan", "Infinity",
         " 3.45\t", "\u00a03.4", "٣.٤٥", "۳.۴4", "\t.5",
+        "1e٣", "1_0.5_5", "_1", "1__0", "12.5f", "1d",
     ]
     df = spark.createDataFrame([(s,) for s in vals], "v string")
     got = {r["v"]: r["o"] for r in df.select(
@@ -1203,17 +1204,71 @@ def test_mangle_string_vs_reference(ref, spark):
 
 
 def test_decimal_exponent_unicode_exponent_boundary(ref, spark):
-    """PINNED BOUNDARY: Decimal accepts unicode digits in the
-    scientific-notation EXPONENT ('1e٣' -> exponent -3); the engine has
-    no native digit-value conversion for arbitrary Nd scripts, so the
-    string fails DECIMAL_RE and reads 0. The only consumer is the <=2
-    low-precision gate, where BOTH values flag — asserted here so the
-    boundary stays machine-visible rather than assumed."""
-    v = "1e٣"
-    assert ref.getExponent(v) == -3
+    """r12 follow-up: the '1e٣' corner is no longer a boundary — the
+    normalize-first form translates Nd digits in the EXPONENT too, so
+    the engine reads -3 exactly like Decimal."""
     from pyspark.sql import functions as F
 
-    df = spark.createDataFrame([(v,)], "v string")
-    got = df.select(G.decimal_exponent("v").alias("o")).first()["o"]
-    assert got == 0
-    assert got <= 2 and ref.getExponent(v) <= 2  # same downstream flag
+    for v, want in (("1e٣", -3), ("1_0.5_5", 2), ("_1", 0)):
+        assert ref.getExponent(v) == want, v
+        df = spark.createDataFrame([(v,)], "v string")
+        got = df.select(G.decimal_exponent("v").alias("o")).first()["o"]
+        assert got == want, (v, got, want)
+
+
+def test_geo_grabber_vs_reference(ref, spark):
+    """geoGrabber's coordinate arm (conversions.py:446-480) EXECUTED —
+    rows carry no dwc:geodeticDatum so the pyproj section never runs
+    and the whole parse/flip/bounds/precision chain is pure python:
+    float() coercion (unicode digits accepted, Java suffixes rejected),
+    the auto-flip window, the bounds nulling, and the <=2 low-precision
+    gate fed by getExponent."""
+    from idb_backend_spark.functions.enrichment import geo_normalize
+    from pyspark.sql import functions as F
+
+    CONV = ref
+    coords = [
+        "12.345", "91.5", "-100.0", "179.9", "-91", "45", "0.01",
+        "٣٤.٥٦٧", " 12.5\t", "12.5f", "1d", "1_0.5", "abc", "", "inf",
+        "nan", "-0.004", "89.99999", "7,5",
+    ]
+    import random as _r
+
+    rng = _r.Random(777)
+    cases = []
+    for i in range(60):
+        cases.append(
+            {"dwc:decimalLatitude": rng.choice(coords),
+             "dwc:decimalLongitude": rng.choice(coords)}
+        )
+    df = spark.createDataFrame(
+        [(i, d["dwc:decimalLatitude"], d["dwc:decimalLongitude"])
+         for i, d in enumerate(cases)],
+        "i int, lat string, lon string",
+    )
+    g = geo_normalize(F.col("lat"), F.col("lon"))
+    got = {
+        r["i"]: r
+        for r in df.select(
+            "i", g["lat"].alias("la"), g["lon"].alias("lo"),
+            g["flag_pre_flip"].alias("ff"), g["flag_bounds"].alias("fb"),
+            g["flag_low_precision"].alias("fp"),
+        ).collect()
+    }
+    for i, d in enumerate(cases):
+        r = CONV.geoGrabber("records", dict(d))
+        e = got[i]
+        gp = r.get("geopoint")
+        if gp is None:
+            assert e["la"] is None and e["lo"] is None, (i, d, e, r)
+        else:
+            lon, lat = gp
+            assert e["la"] == pytest.approx(lat), (i, d, e, r)
+            assert e["lo"] == pytest.approx(lon), (i, d, e, r)
+        # flags: engine emits the flag string when set, null when not
+        assert bool(e["ff"]) == bool(r.get("flag_geopoint_pre_flip")), (
+            i, d, e, r)
+        assert bool(e["fb"]) == bool(r.get("flag_geopoint_bounds")), (
+            i, d, e, r)
+        assert bool(e["fp"]) == bool(
+            r.get("flag_geopoint_low_precision")), (i, d, e, r)
