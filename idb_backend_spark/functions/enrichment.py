@@ -110,7 +110,7 @@ def date_fallback(
     rather than cascading to a later arm, because the reference wraps
     the whole assembly in one try/except. All coercions are try_cast /
     try_to_date: a garbage part must yield NULL, never an ANSI runtime
-    error that kills the query (numeric parts only — dateutil's
+    error that kills the query (ASCII-numeric parts only — dateutil's
     month-NAME leniency is a documented non-goal of the native path).
 
     Documented modeling choice (r9): the reference's sdoy arm calls

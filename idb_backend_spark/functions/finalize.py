@@ -206,9 +206,12 @@ def wkt_polygon_ring(wkt: Column) -> Column:
     toks = F.split(
         py_strip(F.when(~wkt.rlike("[A-Za-z()]"), wkt)), r"\s*,\s*"
     )
-    # per-token strip before the cast: Python float() accepts unicode
-    # whitespace padding that Spark's cast trimAll (<= 0x20 only) rejects
-    nums = F.transform(toks, lambda t: py_strip(t).try_cast("double"))
+    # py_double per token: the reference float()s every element of the
+    # flat list (conversions.py:778) — unicode whitespace padding and
+    # Nd digits accepted, Java suffixes rejected
+    from idb_backend_spark.functions.grabbers import py_double
+
+    nums = F.transform(toks, py_double)
     n = F.size(nums)
     bare_ok = (
         (n >= 6)
