@@ -383,23 +383,35 @@ def probe_ingest_scale(spark, factor: int) -> dict:
         )
         return rows, lk
 
+    from idb_backend_spark.operators.ingest import (
+        ingest_outcomes_relational,
+    )
+
     out = {}
     for tag, n_rs in (("1", base_rs), (str(factor), base_rs * factor)):
         rows, lk = build(n_rs)
-        res = ingest_subfiles(rows, lk)
-        runs = []
-        for _ in range(2):
-            t0 = time.time()
-            res.write.format("noop").mode("overwrite").save()
-            runs.append(round(time.time() - t0, 3))
-        out[f"t{tag}"] = min(runs)
-        out[f"rows{tag}"] = res.count()
+        for pname, fn in (
+            ("", ingest_subfiles),
+            # the giant-recordset relational twin on the SAME shapes —
+            # reproducible source of SCALING.md round-12 addendum 3
+            ("_rel", ingest_outcomes_relational),
+        ):
+            res = fn(rows, lk)
+            runs = []
+            for _ in range(2):
+                t0 = time.time()
+                res.write.format("noop").mode("overwrite").save()
+                runs.append(round(time.time() - t0, 3))
+            out[f"t{tag}{pname}"] = min(runs)
+            if not pname:
+                out[f"rows{tag}"] = res.count()
     out["ratio"] = (
         round(out[f"t{factor}"] / out["t1"], 2) if out["t1"] > 0 else None
     )
     print(
         f"  ingest_subfiles: {out['t1']}s -> {out[f't{factor}']}s "
-        f"(x{out['ratio']})",
+        f"(x{out['ratio']}); relational {out['t1_rel']}s -> "
+        f"{out[f't{factor}_rel']}s",
         file=sys.stderr,
     )
     return out
