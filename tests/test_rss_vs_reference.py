@@ -1,0 +1,367 @@
+"""Differential execution of the RSS registry-sync decisions (S5) —
+the reference's ``update_publisher_recordset.py`` id_func (:61-95) and
+the per-entry loop ``_do_rss_entry`` (:199-349) run for real against
+the engine's sources/rss functions (recordid_for_entry, file_link_for,
+eml_link_for, clamp_pub_date, and the insert/update/conflict-skip
+decision).
+
+Previously a carried boundary ("feedparser import-blocked"): the module
+DOES load under the auto-stub hook — feedparser is only fabricated (its
+``__version__ >= "5.2.0"`` assert passes on a MagicMock comparison) and
+the decision functions consume plain dict-shaped entries, which is all
+FeedParserDict is to them. Only lib/eml (pyquery, called from the
+harvest functions this module does NOT execute) stays stubbed.
+
+Shipped reference defects machine-pinned here, not reproduced:
+
+* the first normalization pass ``entry["link"].encode('utf-8')``
+  (:220-225) converts the link to BYTES with no decode, so every
+  created/updated recordset's file_link is a bytes value on py3 — the
+  engine returns the string; the pin asserts the reference's param IS
+  the utf-8 encoding of the engine's value;
+* the same pass replaces a dict-valued ``links[0]`` with a list of its
+  ENCODED KEYS (iterating a dict yields keys), which the second pass
+  then skips (no longer a dict) — harmless downstream because links is
+  never read again, pinned by absence of effect.
+"""
+
+from __future__ import annotations
+
+import datetime
+import random
+import sys
+import time
+import types
+from unittest import mock
+
+import pytest
+
+from idb_backend_spark.sources.rss import (
+    FeedEntry,
+    clamp_pub_date,
+    eml_link_for,
+    file_link_for,
+    recordid_for_entry,
+)
+
+PORTAL = "http://portal.example.org/"
+PUB_UUID = "pub-uuid-1"
+
+
+@pytest.fixture(scope="module")
+def ref_rss():
+    import importlib.abc
+    import importlib.util
+
+    roots = {
+        "gevent", "psycopg2", "boto3", "botocore", "requests",
+        "elasticsearch", "celery", "redis", "lxml", "pyproj", "shapely",
+        "fiona", "atomicfile", "magic", "feedparser", "pyquery",
+    }
+
+    class AutoStub(importlib.abc.MetaPathFinder, importlib.abc.Loader):
+        def find_spec(self, name, path=None, target=None):
+            if name.split(".")[0] in roots and name not in sys.modules:
+                return importlib.util.spec_from_loader(
+                    name, self, is_package=True
+                )
+            return None
+
+        def create_module(self, spec):
+            m = mock.MagicMock()
+            m.__name__ = spec.name
+            m.__path__ = []
+            m.__spec__ = spec
+            return m
+
+        def exec_module(self, module):
+            pass
+
+    sys.meta_path.insert(0, AutoStub())
+    import pandas  # noqa: F401 — initialize against the real pytz first
+
+    fake_pytz = types.ModuleType("pytz")
+    fake_pytz.utc = datetime.timezone.utc
+    sys.modules.setdefault("pytz", fake_pytz)
+    sys.path.insert(0, "/root/reference")
+    import feedparser
+
+    # dunder attributes are "magic" to MagicMock and raise — the
+    # module-level version assert needs a real string
+    feedparser.__version__ = "6.0.0"
+    from idigbio_ingestion import update_publisher_recordset as UPR
+
+    return UPR
+
+
+class FakeRegistryDB:
+    def __init__(self):
+        self.calls = []
+
+    def execute(self, sql, params):
+        kind = "insert" if sql.lstrip().upper().startswith("INSERT") else \
+            "update"
+        self.calls.append((kind, params))
+
+
+# --------------------------------------------------------------------------
+# id_func
+# --------------------------------------------------------------------------
+
+
+def test_id_func_vs_reference(ref_rss):
+    """id_func (:61-95): guid/id precedence over the Symbiota collid
+    construction, the IPT version-suffix strip (both digit runs may be
+    empty; a two-dot version does NOT match), and the final lowercase
+    fold."""
+    UPR = ref_rss
+    ids = [
+        "http://ipt.x.org/resource?r=set1/v2.1",
+        "http://ipt.x.org/resource?r=set1/v2.1.3",  # two dots: no strip
+        "HTTP://IPT.X.ORG/R/v",                      # bare /v strips
+        "http://x/r/v42", "http://x/r/v.5", "urn:uuid:ABC",
+        "http://x/r/", "http://x/v1x",
+    ]
+    rng = random.Random(5150)
+    cases = []
+    for i in range(60):
+        e = {}
+        if rng.random() < 0.6:
+            e["id"] = rng.choice(ids)
+        if rng.random() < 0.5:
+            e["collid"] = str(rng.randrange(1, 99))
+        cases.append(e)
+    for e in cases:
+        expect = UPR.id_func(PORTAL, dict(e))
+        got = recordid_for_entry(
+            PORTAL,
+            FeedEntry(
+                title=None, link=None, pub_date=None,
+                guid=e.get("id"), collid=e.get("collid"),
+            ),
+        )
+        assert got == expect, e
+
+
+# --------------------------------------------------------------------------
+# the per-entry registry-sync loop
+# --------------------------------------------------------------------------
+
+
+def _registry(n=4):
+    """recordsets / existing_recordsets / file_links shaped like
+    get_db_dicts' consumers in _do_rss (:351-373)."""
+    recordsets, existing, file_links = {}, {}, {}
+    for i in range(n):
+        rid = f"http://reg.example.org/set{i}"
+        recordsets[i] = {
+            "id": i, "uuid": f"rs-uuid-{i}", "ingest": i % 2 == 0,
+            "recordids": [rid], "eml_link": f"http://reg/eml{i}",
+            "file_link": f"http://reg/dwca{i}", "name": f"set {i}",
+        }
+        existing[rid] = i
+        file_links[f"http://reg/dwca{i}"] = i
+    # a conflicting file_link registered under ANOTHER recordset id
+    file_links["http://reg/dwca-conflict"] = 999
+    return recordsets, existing, file_links
+
+
+def _entry_cases(rng):
+    cases = []
+    for i in range(50):
+        e = {}
+        known = rng.random() < 0.5
+        if known:
+            e["id"] = f"http://reg.example.org/set{rng.randrange(4)}"
+        elif rng.random() < 0.8:
+            e["id"] = f"http://new.example.org/n{i}"
+        # else: no id and maybe no collid -> recordid None path
+        if rng.random() < 0.3:
+            e["collid"] = str(i)
+        d = rng.choice(["struct", "string", "future", "none"])
+        if d == "struct":
+            e["published_parsed"] = time.localtime(1600000000 + i * 9999)
+        elif d == "string":
+            e["published"] = f"2021-03-{(i % 27) + 1:02d} 10:0{i % 9}:00"
+        elif d == "future":
+            e["published"] = "2096-01-01 00:00:00"
+        if rng.random() < 0.4:
+            e["ipt_eml"] = f"http://feed/eml{i}"
+        if rng.random() < 0.3:
+            e["emllink"] = f"http://feed/emllink{i}"
+        if rng.random() < 0.4:
+            e["ipt_dwca"] = f"http://feed/dwca{i}"
+        if rng.random() < 0.6:
+            e["link"] = rng.choice(
+                [f"http://feed/link{i}", " http://feed/pad ",
+                 "http://reg/dwca-conflict"]
+            )
+        if rng.random() < 0.6:
+            e["title"] = f"Feed Set {i}"
+        cases.append(e)
+    return cases
+
+
+def test_do_rss_entry_vs_reference(ref_rss):
+    """_do_rss_entry (:199-349) executed per randomized entry with a
+    captured registry db: recordid resolution, the pub-date arms
+    (struct / dateutil string / future-clamp / missing-clamp), the
+    eml/file link precedences with registered-recordset fallback, the
+    title fallback chain, insert-vs-update, the feed_recordids merge,
+    and the file_link conflict skip — each compared against the
+    engine's decision functions; the bytes-typed link defect pinned."""
+    UPR = ref_rss
+    rng = random.Random(616)
+    recordsets, existing, file_links = _registry()
+
+    for e in _entry_cases(rng):
+        db = FakeRegistryDB()
+        now = datetime.datetime.now()
+        UPR._do_rss_entry(
+            {k: (list(v) if isinstance(v, list) else v)
+             for k, v in e.items()},
+            PORTAL, db, recordsets, existing, PUB_UUID, file_links,
+        )
+
+        # ---- engine twin
+        entry = FeedEntry(
+            title=e.get("title"),
+            link=e.get("link", "").strip() or None
+            if "link" in e else None,
+            pub_date=None,
+            guid=e.get("id"),
+            eml_link=e.get("ipt_eml"),
+            dwca_link=e.get("ipt_dwca"),
+            emllink=e.get("emllink"),
+            collid=e.get("collid"),
+        )
+        rid = recordid_for_entry(PORTAL, entry)
+        rs = None
+        if rid in existing:
+            rs = recordsets[existing[rid]]
+        if "published_parsed" in e:
+            date = datetime.datetime.fromtimestamp(
+                time.mktime(e["published_parsed"])
+            )
+        elif e.get("published"):
+            import dateutil.parser
+
+            date = dateutil.parser.parse(e["published"])
+        else:
+            date = None
+        clamped = date is None or date > now
+        date = clamp_pub_date(date, now)
+        eml = eml_link_for(entry, rs["eml_link"] if rs else None)
+        flink = file_link_for(entry, rs["file_link"] if rs else None)
+        name = e.get("title") or (rs["name"] if rs else rid)
+
+        # the reference's link normalization produced BYTES (shipped
+        # defect) — compare through utf-8
+        def norm(v):
+            return v.decode("utf-8") if isinstance(v, bytes) else v
+
+        # the reference's duplicate-file_link guard compares
+        # ``file_link in file_links`` AFTER the encode pass — a plain
+        # <link> value is BYTES there and never matches the str-keyed
+        # dict, so the guard is silently DEFEATED except for ipt_dwca
+        # (unencoded) and registry-fallback links (r12 finding, pinned
+        # in test_conflict_guard_bytes_defeat)
+        guard_sees_str = "ipt_dwca" in e or "link" not in e
+        if rs is not None and guard_sees_str and flink in file_links \
+                and rs["id"] != file_links[flink]:
+            assert db.calls == [], (e, db.calls)  # conflict: skipped
+            continue
+
+        assert len(db.calls) == 1, (e, db.calls)
+        kind, params = db.calls[0]
+        if rs is None:
+            assert kind == "insert", e
+            (p_rsid, p_pub, p_name, p_rids, p_eml, p_flink, p_ingest,
+             p_date, p_rid2, p_date2) = params
+            assert p_rsid is None and p_pub == PUB_UUID
+            assert p_name == name
+            assert sorted(map(norm, p_rids)) == sorted(
+                [rid] if rid is not None else [None]
+            )
+            assert norm(p_eml) == eml
+            assert norm(p_flink) == flink
+            assert p_ingest is False
+            assert norm(p_rid2) == rid
+            if clamped:
+                # both sides clamp to their own now()-15min: seconds apart
+                assert abs((p_date - date).total_seconds()) < 30, e
+            else:
+                assert p_date == date, e
+            assert p_date2 == p_date
+        else:
+            assert kind == "update", e
+            assert params["publisher_uuid"] == PUB_UUID
+            assert norm(params["eml_link"]) == eml
+            assert norm(params["file_link"]) == flink
+            assert params["id"] == rs["id"]
+            assert sorted(map(norm, params["recordids"])) == sorted(
+                set([rid] + rs["recordids"])
+            )
+            if clamped:
+                assert abs(
+                    (params["pub_date"] - date).total_seconds()
+                ) < 30, e
+            else:
+                assert params["pub_date"] == date, e
+
+
+def test_link_bytes_defect_pinned(ref_rss):
+    """The shipped py3 defect, explicitly: a plain <link> entry reaches
+    the registry INSERT as BYTES (encode with no decode, :220-225), and
+    a dict-valued links[0] is silently replaced by its encoded key list
+    (iterating a dict yields keys) which the second pass then ignores."""
+    UPR = ref_rss
+    db = FakeRegistryDB()
+    entry = {
+        "id": "http://new.example.org/bytes-pin",
+        "link": " http://feed/the-archive ",
+        "links": [{"href": " http://feed/a ", "rel": "alternate"}],
+        "title": "t",
+    }
+    UPR._do_rss_entry(entry, PORTAL, db, *_registry()[0:1],
+                      *_registry()[1:2], PUB_UUID, _registry()[2])
+    (kind, params) = db.calls[0]
+    assert kind == "insert"
+    flink = params[5]
+    assert isinstance(flink, bytes)
+    assert flink == b"http://feed/the-archive"
+    # links[0] got replaced by the encoded KEYS of the dict
+    assert entry["links"][0] == [b"href", b"rel"]
+    # engine: the same entry yields the clean string
+    fe = FeedEntry(title="t", link="http://feed/the-archive",
+                   pub_date=None, guid=entry["id"])
+    assert file_link_for(fe) == "http://feed/the-archive"
+
+
+def test_conflict_guard_bytes_defeat(ref_rss):
+    """The duplicate-file_link guard (:322-328) fires ONLY for links
+    the encode pass did not touch: an ipt_dwca conflict is skipped, but
+    the SAME conflicting url arriving through plain <link> is bytes at
+    the comparison, misses the str-keyed dict, and the update proceeds
+    — the guard the comment promises is dead for the common case. The
+    engine's registry diff keeps string links, so its guard holds for
+    both."""
+    UPR = ref_rss
+    recordsets, existing, file_links = _registry()
+    base = {"id": "http://reg.example.org/set0", "title": "t"}
+
+    db = FakeRegistryDB()
+    UPR._do_rss_entry(
+        dict(base, ipt_dwca="http://reg/dwca-conflict"),
+        PORTAL, db, recordsets, existing, PUB_UUID, file_links,
+    )
+    assert db.calls == []  # guard fired: conflicting id 999 != 0
+
+    db = FakeRegistryDB()
+    UPR._do_rss_entry(
+        dict(base, link="http://reg/dwca-conflict"),
+        PORTAL, db, recordsets, existing, PUB_UUID, file_links,
+    )
+    assert len(db.calls) == 1  # guard defeated by the bytes defect
+    assert db.calls[0][0] == "update"
+    assert db.calls[0][1]["file_link"] == b"http://reg/dwca-conflict"
