@@ -1026,3 +1026,63 @@ def test_archive_bytes_e2e(ref_db_check, ref_dwca_reader, spark, tmp_path):
     assert occ["duplicate_record_count"] == 1
     med = ref["multimedia.csv"]
     assert med["create"] == 3
+
+
+@pytest.mark.skipif(not _HAVE_HYP, reason="hypothesis unavailable")
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    rows=_fuzz_rows(),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+def test_fuzz_seeded_store(ref_db_check, spark, rows, seed):
+    """Fuzz with a SEEDED recordset store: children whose identifiers
+    come from the same collision-prone pool, so the match/update/
+    conflict/foreign/resurrect arms fire under arbitrary inputs, not
+    only in the designed batteries. Etags for half the children are
+    derived from real row dicts (match-able); the rest are synthetic
+    (update-able)."""
+    DB = ref_db_check
+    rng = random.Random(seed)
+    uuid_etag = {"records": {}, "mediarecords": {}}
+    id_uuid = {"records": {}, "mediarecords": {}}
+    # seed children from a sample of the generated rows' own identifier
+    # material, plus fixed idents from the pool
+    pool_idents = [
+        "a", "occ-1", f"{RSID}\\a", f"{RSID}\\occ-1", f"{RSID}\\",
+        f"{RSID}\\urn:1",
+    ]
+    for i, ident in enumerate(rng.sample(pool_idents, 4)):
+        u = f"ex-fz-{i}"
+        id_uuid["records"][ident] = u
+        if i % 2 == 0 and rows:
+            uuid_etag["records"][u] = calc_etag(
+                dict(rng.choice(rows))
+            )
+        else:
+            uuid_etag["records"][u] = f"etag-fz-{i}"
+    g = {
+        "urn:1": ("g-known", RSID, False),
+        "urn:2": ("g-foreign", "99999999-9999-4999-8999-000000000001",
+                  False),
+        f"{RSID}\\occ-1": ("g-dup-of-rs", RSID, False),  # overlaps rs scope
+    }
+    # the global probe must be CONSISTENT with the rs scope (the same
+    # uuids_identifier table): idents the rs scope claims resolve to the
+    # rs child, like the reference's single table
+    for ident, u in id_uuid["records"].items():
+        g[ident] = (u, RSID, False)
+
+    members = [FakeRecordFile("fuzz.txt", "dwc:Occurrence",
+                              copy.deepcopy(rows))]
+    db = FakePostgresDB(probe=g)
+    ref = run_reference(DB, members, uuid_etag, id_uuid, db)
+
+    lookup = seed_lookup(uuid_etag, id_uuid, g)
+    eng_rows, eng_sum = run_engine(spark, members, lookup)
+
+    seeded = set(uuid_etag["records"]) | {u for u, _, _ in g.values()}
+    compare(DB, db, ref, eng_rows, eng_sum, seeded)
