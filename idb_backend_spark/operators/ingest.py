@@ -1009,3 +1009,35 @@ def ingest_subfiles_routed(
     return ingest_subfiles(
         small, lk_small, ingest=ingest, nested_terms=nested_terms
     ).unionByName(ingest_outcomes_relational(big, lk_big, ingest=ingest))
+
+
+def ingest_archive(
+    spark,
+    zip_path: str,
+    rsid: str,
+    lookup: DataFrame,
+    ingest: bool = True,
+    kernel_max_rows: int = 5_000_000,
+):
+    """The whole db_check flow for one archive, composed: open the
+    DwC-A (sources/dwca.DwcaArchive), adapt members to the wire format
+    (:func:`archive_rows`, extensions first), run the size-routed row
+    loop (:func:`ingest_subfiles_routed`), and derive both digest
+    levels. One call replaces ``process_file`` + ``process_subfile`` +
+    ``metadataToSummaryJSON`` (db_check.py:478-630) minus the IO the
+    engine does not own (S3 fetch, commit/rollback — the commit gate is
+    operators/store.commit_gate, fed from the member summaries).
+
+    Returns (outcomes, member_summaries, archive) — the caller applies
+    outcomes to the store (operators/store.apply_harvest_batch over the
+    successful rows, or directly from the outcome uuids/etags) and
+    closes the archive.
+    """
+    from idb_backend_spark.sources.dwca import DwcaArchive
+
+    archive = DwcaArchive(zip_path)
+    rows = archive_rows(spark, archive, rsid)
+    outcomes = ingest_subfiles_routed(
+        rows, lookup, ingest=ingest, kernel_max_rows=kernel_max_rows
+    )
+    return outcomes, subfile_summary(outcomes), archive

@@ -247,3 +247,27 @@ def test_relational_path_chain_divergence(spark):
     }
     assert kern == {0: "create", 1: "dup_id", 2: "create"}
     assert rel == {0: "create", 1: "dup_id", 2: "dup_id"}  # the pin
+
+
+def test_ingest_archive_composition(spark, tmp_path):
+    """The one-call composition: engine-written zip -> outcomes +
+    member summaries, equal to running the pieces by hand."""
+    from idb_backend_spark.export.writers import write_dwca
+    from idb_backend_spark.operators.ingest import ingest_archive
+
+    core = spark.createDataFrame(
+        [(i, f"n-{i}") for i in range(8)],
+        "id int, `dwc:recordedBy` string",
+    )
+    zp = str(tmp_path / "a.zip")
+    write_dwca(zp, (core, "id", ["dwc:recordedBy"], "records"))
+    lk = spark.createDataFrame([], LOOKUP_SCHEMA)
+    outcomes, summaries, archive = ingest_archive(spark, zp, "rs-c", lk)
+    try:
+        rows = outcomes.collect()
+        s = summaries.collect()[0].asDict()
+    finally:
+        archive.close()
+    assert len(rows) == 8
+    assert all(r["outcome"] == "create" for r in rows)
+    assert s["create"] == 8 and s["processed_line_count"] == 8
