@@ -287,6 +287,13 @@ def main():
             # yet reflected in HEADLINE must degrade to one failed row,
             # not a KeyError that kills the JSON line the driver parses
             df = runnable[name](spark, sf_dir)
+            # one UNTIMED warm-up materialization at the benchmark SF
+            # (r13, verdict r12 task 2): the sf0.001 loop above warms
+            # code paths but not this plan's sf-specific JIT/codegen —
+            # r12's etl samples were still descending across all three
+            # timed runs ([4.233, 3.669, 3.34]), i.e. the warm-up tail
+            # sat inside the measurement; discard it explicitly
+            materialize(df)
             runs = []
             for _ in range(TIMED_RUNS):
                 t0 = time.time()

@@ -148,7 +148,13 @@ def etag_pairs_expr(pairs: Column) -> Column:
     * a PRESENT pair with a null value renders JSON ``null`` (a dict
       key holding None), unlike etag_expr's colmap where null means the
       field is absent;
-    * a null array hashes to null (no record, no etag).
+    * a null array hashes to null (no record, no etag);
+    * a pair with a NULL KEY nulls the whole etag — calcEtag raises
+      there (sorting None against str), sending the reference's row to
+      the exception bucket; array_join would otherwise silently skip
+      the null item and hash the record as if the pair were absent,
+      silently diverging from the kernel. The relational ingest path
+      maps the null etag to the same exception outcome.
     """
     item = F.transform(
         F.array_sort(pairs),
@@ -158,8 +164,13 @@ def etag_pairs_expr(pairs: Column) -> Column:
             F.coalesce(_json_str(p["v"]), F.lit("null")),
         ),
     )
-    return F.sha1(
-        F.concat(
-            F.lit("["), F.array_join(item, ","), F.lit("]")
-        ).cast("binary")
+    return F.when(
+        ~F.coalesce(
+            F.exists(pairs, lambda p: p["k"].isNull()), F.lit(True)
+        ),
+        F.sha1(
+            F.concat(
+                F.lit("["), F.array_join(item, ","), F.lit("]")
+            ).cast("binary")
+        ),
     )

@@ -306,8 +306,13 @@ def record_identifiers(
 
     norm = munge_identifier
 
+    # identifyRecord's ``cid.lower()`` folds the WHOLE composed
+    # candidate — including the rsid prefix (db_check.py:161); norm
+    # lowers only the munged value, so the concat is wrapped again or a
+    # mixed-case rsid would mint different identifiers than the
+    # sequential kernel (which lowercases the composed string)
     ns = lambda c: F.when(  # noqa: E731
-        c.isNotNull(), F.concat(rsid, F.lit("\\"), norm(c))
+        c.isNotNull(), F.lower(F.concat(rsid, F.lit("\\"), norm(c)))
     )
     nul = F.lit(None).cast("string")
     return F.array_compact(
@@ -354,10 +359,14 @@ def media_identifiers(
             norm(record_id),
             norm(record_id_cap) if record_id_cap is not None else nul,
             F.when(~F.coalesce(uconn, F.lit(False)), norm(provider_managed_id)),
+            # cid.lower() covers the rsid prefix too (see
+            # record_identifiers) — wrap the whole composed candidate
             F.when(
                 dcterms_identifier.isNotNull(),
-                F.concat(
-                    rsid, F.lit("\\media\\"), norm(dcterms_identifier)
+                F.lower(
+                    F.concat(
+                        rsid, F.lit("\\media\\"), norm(dcterms_identifier)
+                    )
                 ),
             ),
         )

