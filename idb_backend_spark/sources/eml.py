@@ -15,10 +15,11 @@ The rights extraction follows the reference's FOUR-location precedence
    para).
 2. ``dataset > intellectualRights > para > ulink > citetitle`` — the
    dominant IPT shape (pyquery ``children()`` semantics: the dataset must
-   be a DIRECT child of the root, the rest an exact child chain); text is
-   whitespace-squashed and all matches joined with a single space, like
-   pyquery ``.text()``. An empty/self-closed ``<citetitle/>`` yields ''
-   and falls through.
+   be a DIRECT child of the root, the rest an exact child chain); text
+   rendered per pyquery 2.0.1 ``.text()`` (see :func:`_el_text` —
+   innerText semantics, block boundaries as newlines; the 2.0.1 pin is
+   the reference's Pipfile.lock). An empty/self-closed ``<citetitle/>``
+   yields '' and falls through.
 3. ``dataset > intellectualRights > section:last-child > para`` — the ALA
    shape (eml.py:86): sections titled Rights/Citation/License, the LAST
    section's para is the license. Here ``dataset`` may sit at any depth
@@ -64,16 +65,91 @@ def _path_all(root, *names):
     return cur
 
 
+#: pyquery 2.0 text.py INLINE_TAGS / SEPARATORS — HTML names. No EML
+#: term is in either set, so every EML element is a block boundary;
+#: kept complete in case a document embeds literally-HTML-named tags
+#: (pyquery applies the same sets in XML mode).
+_INLINE_TAGS = frozenset(
+    "a abbr acronym b bdo big br button cite code dfn em font i img "
+    "input kbd label map object q s samp select small span strike "
+    "strong sub sup textarea tt u var".split()
+)
+_SEPARATORS = frozenset(("br",))
+
+
+def _innertext_parts(el, out: list) -> None:
+    if callable(el.tag):  # comment/PI
+        return
+    block = el.tag not in _INLINE_TAGS or el.tag in _SEPARATORS
+    if block:
+        out.append(None)
+    if el.text is not None:
+        out.append(el.text)
+    for child in el:
+        _innertext_parts(child, out)
+        if child.tail is not None:
+            out.append(child.tail)
+    if block:
+        out.append(None)
+
+
+def _el_text(el) -> str:
+    """One element through pyquery 2.0.1 ``.text()`` (the version the
+    reference's Pipfile.lock pins): browser-innerText semantics — text
+    runs whitespace-squashed and stripped, element (block) boundaries
+    rendered as NEWLINES, edge boundaries stripped. pyquery 1.x
+    space-joined stripped segments instead; the r13 executed
+    differential (tests/test_eml_vs_reference.py) pinned the 2.0
+    behavior: ``<para>foo <ulink><citetitle>X</citetitle></ulink>
+    bar</para>`` renders ``'foo\\nX\\nbar'``, not ``'foo X bar'``."""
+    raw: list = []
+    _innertext_parts(el, raw)
+    # stage 1 — squash marker runs (consecutive Nones) to one
+    squashed: list = []
+    last_nl = False
+    for x in raw:
+        if x is not None:
+            squashed.append(x)
+            last_nl = False
+        elif not last_nl:
+            squashed.append(None)
+            last_nl = True
+    # stage 2 — strip edge markers
+    first = next(
+        (i for i, p in enumerate(squashed) if isinstance(p, str)), None
+    )
+    if first is None:
+        return ""
+    last = max(i for i, p in enumerate(squashed) if isinstance(p, str))
+    squashed = squashed[first:last + 1]
+    # stage 3 — merge consecutive text pieces: whitespace-squash +
+    # strip, EMPTY runs vanish (two markers separated only by
+    # whitespace therefore render as two newlines — the library's own
+    # staged order, pinned by the differential)
+    merged: list = []
+    buf: list[str] = []
+    for x in squashed:
+        if isinstance(x, str):
+            buf.append(x)
+        else:
+            run = " ".join("".join(buf).split())
+            buf.clear()
+            if run:
+                merged.append(run)
+            merged.append(None)
+    run = " ".join("".join(buf).split())
+    if run:
+        merged.append(run)
+    # stage 4 — markers render as newlines; final strip
+    return "".join("\n" if p is None else p for p in merged).strip()
+
+
 def _pq_text(els) -> str:
-    """pyquery ``.text()`` over a selection: each element's full text
-    content whitespace-squashed, non-empty parts joined with a single
-    space; '' for an empty selection (never None)."""
-    parts = []
-    for el in els:
-        t = " ".join("".join(el.itertext()).split())
-        if t:
-            parts.append(t)
-    return " ".join(parts)
+    """pyquery 2.0.1 ``.text()`` over a selection: each element rendered
+    by :func:`_el_text`, elements joined with a literal single space
+    (an empty element's '' participates in the join, like the
+    library's); '' for an empty selection (never None)."""
+    return " ".join(_el_text(el) for el in els)
 
 
 def _rights_text(root) -> str | None:
@@ -141,9 +217,10 @@ def _apply_contact_field(contact: dict, tag: str, text) -> None:
 def parse_eml(xml_bytes: bytes | str, id: str | None = None) -> dict:
     """EML -> recordset metadata dict (eml.py:13-172 shape):
     ``collection_name``, ``collection_description``, ``data_rights``,
-    ``logo_url``, ``institution_web_address``, ``contacts``,
-    ``other_guids`` (and ``id`` when supplied, like the reference's
-    first positional arg)."""
+    ``logo_url`` (key present only when a resourceLogoUrl element
+    exists), ``institution_web_address``, ``contacts``, ``other_guids``
+    (and ``id`` when supplied, like the reference's first positional
+    arg)."""
     if isinstance(xml_bytes, str):
         xml_bytes = xml_bytes.encode("utf-8")
     root = ET.fromstring(xml_bytes)
@@ -152,9 +229,13 @@ def parse_eml(xml_bytes: bytes | str, id: str | None = None) -> dict:
     if id is not None:
         out["id"] = id
 
-    # logo: first resourceLogoUrl anywhere, raw .text (eml.py:39-42)
+    # logo: first resourceLogoUrl anywhere, raw .text (eml.py:39-42).
+    # The KEY is only set when the element exists — the reference's
+    # `if rlu is not None` guard means key-absence, not None (r13
+    # executed-differential finding, tests/test_eml_vs_reference.py)
     logos = _find_all(root, "resourceLogoUrl")
-    out["logo_url"] = logos[0].text if logos else None
+    if logos:
+        out["logo_url"] = logos[0].text
 
     # dataset > title: ALL matches joined (pyquery text), '' when absent
     out["collection_name"] = _pq_text(_path_all(root, "dataset", "title"))

@@ -1,0 +1,331 @@
+"""S4 executed differential — the reference's ``lib/eml.py`` run FOR
+REAL against the engine's ``sources/eml.py`` (verdict r12 task 4: the
+last import-blocked module boundary).
+
+Previously pyquery blocked execution (its return values flow through
+the parse logic, unlike feedparser's in the RSS loop), so S4 carried
+golden-table coverage only. ``tests/fake_pyquery.py`` closes that: a
+functional pyquery implementing exactly the API lib/eml.py touches
+with pyquery==2.0.1 semantics (the reference's Pipfile.lock pin).
+
+Validation layering:
+
+1. the reference's OWN expectation table (19 corpus files,
+   ``tests/idigbio_ingestion/lib/test_eml.py:6-28``) and its LUC
+   contacts test are replayed through the REAL parseEml under the
+   fake — passing means the fake reproduces enough of pyquery 2.0.1
+   on real documents to serve as an oracle harness;
+2. full-dict differential over all corpus files: reference parseEml
+   vs engine parse_eml;
+3. randomized EML battery over the structural shapes the parser
+   branches on (rights locations, empty/broken citetitles, ALA
+   sections, contact nestings, abstract locations, lowercase
+   alternateidentifier quirk).
+
+Known boundary (documented, not asserted around): pyquery 2.0.1 joins
+MULTIPLE matched elements' texts with a literal single space including
+empty elements' '' — the generator avoids pairing empty and non-empty
+elements under one multi-element selection, because the fake's
+recollection of that micro-behavior cannot be validated without the
+real library. Everything else runs through layer-1 validation.
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+import random
+import sys
+import types
+from unittest import mock
+
+import pytest
+
+from idb_backend_spark.sources.eml import parse_eml
+
+REF_EML_DIR = "/root/reference/tests/data/eml"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_EML_DIR), reason="reference checkout absent"
+)
+
+# the reference's own expectation table (test_eml.py:6-28), verbatim
+EXPECTED_LICENSES = [
+    ("formatted.56e711e6-c847-4f99-915a-6894bb5c5dea_NHM_London.xml", "CC0"),
+    ("AEC-TTD-TCN_DwC-A20160308.eml", "CC4 BY"),
+    ("dr130.xml", "CC3 BY"),
+    ("dr367.xml", "CC4 BY-SA"),
+    ("dr90.xml", "CC3 BY"),
+    ("eml-bg_vascular-v4.66.xml", "CC4 BY"),
+    ("formatted.Bohart-Tardigrada_DwC-A.eml", "CC3 BY-NC"),
+    ("invertnet_osu.eml.xml", "No license, assume Public Domain"),
+    ("MNHN_Paris_el.xml", "No license, assume Public Domain"),
+    ("MNHN_Paris_RA.xml", "CC4 BY"),
+    (
+        "museu_paraense_emilio_goeldi_ornithology_collection.xml",
+        "Unknown License, assume Public Domain",
+    ),
+    ("nmnh_extant_dwc-a.xml", "CC0"),
+    ("tropicosspecimens.xml", "CC4 BY"),
+    ("UWZM-F_DwC-A.eml", "CC0"),
+    ("formatted.neherbaria.VT_DwC-A.eml", "CC3 BY-NC"),
+    ("formatted.mycoportal.VT_DwC-A.eml", "CC0"),
+    ("VT_DwC-A.eml", "CC3 BY-NC"),
+    ("rom_birdsnonpass.xml", "CC4 BY-NC"),
+    ("vertnet_sui_verts.xml", "CC0"),
+]
+
+
+@pytest.fixture(scope="module")
+def ref_eml():
+    import importlib.abc
+    import importlib.util
+
+    from tests import fake_pyquery
+
+    roots = {
+        "gevent", "psycopg2", "boto3", "botocore", "requests",
+        "elasticsearch", "celery", "redis", "lxml", "pyproj", "shapely",
+        "fiona", "atomicfile", "magic", "feedparser",
+    }
+
+    class AutoStub(importlib.abc.MetaPathFinder, importlib.abc.Loader):
+        def find_spec(self, name, path=None, target=None):
+            if name.split(".")[0] in roots and name not in sys.modules:
+                return importlib.util.spec_from_loader(
+                    name, self, is_package=True
+                )
+            return None
+
+        def create_module(self, spec):
+            m = mock.MagicMock()
+            m.__name__ = spec.name
+            m.__path__ = []
+            m.__spec__ = spec
+            return m
+
+        def exec_module(self, module):
+            pass
+
+    sys.meta_path.insert(0, AutoStub())
+
+    # the FUNCTIONAL fake must win over both the autostub and any
+    # MagicMock another differential module already fabricated — and
+    # an eml module imported against that MagicMock must be re-imported
+    fake_mod = types.ModuleType("pyquery")
+    fake_mod.PyQuery = fake_pyquery.PyQuery
+    fake_mod.__version__ = fake_pyquery.__version__
+    prior_pq = sys.modules.get("pyquery")
+    sys.modules["pyquery"] = fake_mod
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    if prior_pq is not None or "idigbio_ingestion.lib.eml" in sys.modules:
+        sys.modules.pop("idigbio_ingestion.lib.eml", None)
+    return importlib.import_module("idigbio_ingestion.lib.eml")
+
+
+def _read(fname: str) -> bytes:
+    with open(os.path.join(REF_EML_DIR, fname), "rb") as fh:
+        return fh.read()
+
+
+# --------------------------------------------------------------------------
+# Layer 1 — the fake is validated by the reference's own test suite
+# --------------------------------------------------------------------------
+
+
+def test_reference_expectation_table_under_fake(ref_eml):
+    for fname, expected in EXPECTED_LICENSES:
+        parsed = ref_eml.parseEml("id_placeholder_test_suite", _read(fname))
+        assert parsed["data_rights"] == expected, fname
+
+
+def test_reference_luc_contacts_under_fake(ref_eml):
+    parsed = ref_eml.parseEml(
+        "id_givenname_test_eml", _read("LUC_DwC-A.eml.xml")
+    )
+    assert len(parsed["contacts"]) > 0
+    for contact in parsed["contacts"]:
+        if "first_name" in contact:
+            assert contact["first_name"] is not None
+
+
+# --------------------------------------------------------------------------
+# Layer 2 — full-dict corpus differential
+# --------------------------------------------------------------------------
+
+
+def test_corpus_differential(ref_eml):
+    fnames = sorted(
+        f for f in os.listdir(REF_EML_DIR)
+        if not f.startswith(".")
+    )
+    assert len(fnames) >= 19
+    raised = []
+    for fname in fnames:
+        raw = _read(fname)
+        try:
+            ref = ref_eml.parseEml("diff-id", raw)
+        except Exception:
+            # the corpus ships one non-XML document (an HTML 404 page)
+            # that the reference's own suite notes "raising an
+            # untrapped Exception" — the engine must refuse it too
+            with pytest.raises(Exception):
+                parse_eml(raw, id="diff-id")
+            raised.append(fname)
+            continue
+        eng = parse_eml(raw, id="diff-id")
+        assert eng == ref, fname
+    assert raised == ["usgs_pwrc_northamerican_bees"]
+
+
+# --------------------------------------------------------------------------
+# Layer 3 — randomized structural battery
+# --------------------------------------------------------------------------
+
+
+def _rand_text(rng, allow_empty=False):
+    pool = [
+        "Plain words here",
+        "  padded  with   runs \n and a newline ",
+        "http://creativecommons.org/licenses/by/4.0/",
+        "Creative Commons CCZero License/Waiver text",
+        "mixed CASE Text",
+    ]
+    if allow_empty and rng.random() < 0.3:
+        return ""
+    return rng.choice(pool)
+
+
+def _rights_block(rng) -> str:
+    """One random rights shape at one of the parser's four locations."""
+    url = rng.choice(
+        [
+            "http://creativecommons.org/licenses/by/4.0/",
+            "http://creativecommons.org/publicdomain/zero/1.0/",
+            "http://example.org/not-a-license",
+            "CC0",
+        ]
+    )
+    shape = rng.randrange(7)
+    if shape == 0:  # citetitle, possibly empty/self-closed
+        cite = rng.choice([url, ""])
+        body = f"<citetitle>{cite}</citetitle>" if cite else "<citetitle/>"
+        return (
+            "<intellectualRights><para>This work is licensed under "
+            f"<ulink url='{url}'>{body}</ulink>.</para>"
+            "</intellectualRights>"
+        )
+    if shape == 1:  # ALA sections, license in the LAST section
+        return (
+            "<intellectualRights>"
+            "<section><title>Rights</title><para>irrelevant</para></section>"
+            f"<section><title>License</title><para>{url}</para></section>"
+            "</intellectualRights>"
+        )
+    if shape == 2:  # section NOT last -> bare-para fallback arm
+        return (
+            "<intellectualRights>"
+            "<section><title>License</title><para>in-section</para></section>"
+            f"<para>{url}</para>"
+            "</intellectualRights>"
+        )
+    if shape == 3:  # bare para
+        return f"<intellectualRights><para>{url}</para></intellectualRights>"
+    if shape == 4:  # bare element text
+        return f"<intellectualRights>{url}</intellectualRights>"
+    if shape == 5:  # para starting with a child: .text is None
+        return (
+            "<intellectualRights><para>"
+            f"<ulink url='{url}'>link</ulink>tail text</para>"
+            "</intellectualRights>"
+        )
+    return ""  # no rights at all
+
+
+def _contact_block(rng, tag: str) -> str:
+    inner = []
+    if rng.random() < 0.7:
+        if rng.random() < 0.5:  # nested individualName
+            given = _rand_text(rng, allow_empty=True)
+            sur = _rand_text(rng, allow_empty=True)
+            inner.append(
+                "<individualName>"
+                f"<givenName>{given}</givenName><surName>{sur}</surName>"
+                "</individualName>"
+            )
+        else:  # flat individualName with its own text
+            inner.append(f"<individualName>{_rand_text(rng)}</individualName>")
+    if rng.random() < 0.6:
+        inner.append(
+            f"<electronicMailAddress>user{rng.randrange(3)}@x.org"
+            "</electronicMailAddress>"
+        )
+    if rng.random() < 0.4:
+        inner.append(f"<positionName>{_rand_text(rng)}</positionName>")
+    if rng.random() < 0.4:  # ignored tag — must not leak into the dict
+        inner.append(f"<organizationName>{_rand_text(rng)}</organizationName>")
+    return f"<{tag}>{''.join(inner)}</{tag}>"
+
+
+def _random_eml(rng) -> bytes:
+    ds = [f"<title>{_rand_text(rng)}</title>"]
+    if rng.random() < 0.7:
+        # single para (multi-para with empties hits the undocumented
+        # multi-element join boundary — see module docstring); nested
+        # markup inside the para exercises pyquery 2.0's block-newline
+        # innerText rendering (r13 finding #2)
+        if rng.random() < 0.4:
+            body = (
+                f"{_rand_text(rng)} <ulink url='u'>"
+                f"<citetitle>{_rand_text(rng)}</citetitle></ulink>"
+                f" {_rand_text(rng)}"
+            )
+        else:
+            body = _rand_text(rng)
+        ds.append(f"<abstract><para>{body}</para></abstract>")
+    for tag in ("creator", "metadataProvider", "associatedParty", "contact"):
+        for _ in range(rng.randrange(3)):
+            ds.append(_contact_block(rng, tag))
+    if rng.random() < 0.5:
+        ds.append(
+            "<distribution><online>"
+            f"<url function='information'>http://portal{rng.randrange(9)}"
+            ".example.org</url></online></distribution>"
+        )
+    if rng.random() < 0.4:
+        ds.append(f"<alternateIdentifier>{rng.randrange(100)}</alternateIdentifier>")
+    if rng.random() < 0.2:  # literally-lowercase tag — the only one that counts
+        ds.append(f"<alternateidentifier>low-{rng.randrange(100)}</alternateidentifier>")
+    ds.append(_rights_block(rng))
+
+    extra = ""
+    if rng.random() < 0.3:  # symbiota location beats everything
+        extra = (
+            "<additionalMetadata><metadata><symbiota><collection>"
+            f"<intellectualRights>{_rand_text(rng)}</intellectualRights>"
+            f"<onlineUrl>http://sym{rng.randrange(9)}.example.org</onlineUrl>"
+            "</collection></symbiota></metadata></additionalMetadata>"
+        )
+    elif rng.random() < 0.3:  # additionalMetadata abstract location
+        extra = (
+            "<additionalMetadata><metadata>"
+            f"<abstract><para>{_rand_text(rng)}</para></abstract>"
+            "</metadata></additionalMetadata>"
+        )
+    if rng.random() < 0.3:
+        extra += f"<resourceLogoUrl>http://logo{rng.randrange(9)}.example.org</resourceLogoUrl>"
+
+    return (
+        '<eml:eml xmlns:eml="eml://ecoinformatics.org/eml-2.1.1">'
+        f"<dataset>{''.join(ds)}</dataset>{extra}</eml:eml>"
+    ).encode()
+
+
+def test_randomized_differential(ref_eml):
+    rng = random.Random(0xE71)
+    for i in range(150):
+        raw = _random_eml(rng)
+        ref = ref_eml.parseEml(f"rand-{i}", raw)
+        eng = parse_eml(raw, id=f"rand-{i}")
+        assert eng == ref, raw.decode()
