@@ -286,7 +286,11 @@ def test_verbatim_projection_vs_reference(ref, spark):
             # (the FULL isspace class); space-only padding masked F.trim
             d[key] = rng.choice(
                 ["  Acer Rubrum ", "X", "", " mixed CASE ",
-                 "\tTabbed\t", "CR\r", "\u00a0nb\u00a0"]
+                 "\tTabbed\t", "CR\r", "\u00a0nb\u00a0",
+            # r13 encoding-edge class: NFC/NFD twins (distinct bytes,
+            # no normalization in the chain), fullwidth digits/letters
+            # (str.lower maps Ａ->ａ), astral chars through the fold
+            "Café", "Café", "ＩＤ１２３", "😀x"]
             )
         cases.append(d)
     df = spark.createDataFrame(
@@ -418,10 +422,21 @@ def test_etag_vs_reference(spark):
 
     rng = random.Random(4242)
 
+    # r13 encoding-edge pool: NFC/NFD twins (é composed vs decomposed —
+    # DIFFERENT byte sequences, must hash differently and identically
+    # so on both engines), astral-plane chars (4-byte UTF-8 through the
+    # canonical JSON), fullwidth digits/letters
+    ENC = [
+        "café", "café", "\U0001f600snow", "\U0001d538math",
+        "１２３", "ＡBC",
+    ]
+
     def rand_val(depth=0):
         roll = rng.random()
         if roll < 0.3:
-            return rng.choice(["Acer", "", "ünïcødé ☃", "a\"b\\c", "x" * 50])
+            return rng.choice(
+                ["Acer", "", "ünïcødé ☃", "a\"b\\c", "x" * 50] + ENC
+            )
         if roll < 0.45:
             return rng.randint(-10**6, 10**6)
         if roll < 0.55:
@@ -437,7 +452,7 @@ def test_etag_vs_reference(spark):
 
     for _ in range(50):
         flat = {f"f{rng.randint(0, 20)}": rng.choice(
-            ["Acer", "ünïcødé", str(rng.random()), ""]
+            ["Acer", "ünïcødé", str(rng.random()), ""] + ENC
         ) for _ in range(rng.randint(1, 8))}
         assert calc_etag(flat) == ref_etags.calcEtag(flat), flat
         nested = {f"k{j}": rand_val() for j in range(rng.randint(1, 5))}
@@ -751,11 +766,18 @@ def test_identify_record_vs_reference(ref_db_check, spark):
 
     DB = ref_db_check
     rng = random.Random(60606)
-    rsid = "rs-99"
+    # r13: rsid itself mixed-case — identifyRecord's cid.lower() folds
+    # the COMPOSED candidate including the rsid prefix (advice finding;
+    # the engine previously lowered only the munged value)
+    rsid = "RS-MiXed-99"
     # r12: tab/CR/NBSP padding added — mungeid is Python str.strip()
     # (the FULL isspace class); space-only padding masked a trim gap
     vals = ["ABC-1", "  PadDed ", "﻿BOMID", "", "urn:x:Y",
-            "\tTabbed\t", "CR\r", "\u00a0nb\u00a0"]
+            "\tTabbed\t", "CR\r", "\u00a0nb\u00a0",
+            # r13 encoding-edge class: NFC/NFD twins (distinct bytes,
+            # no normalization in the chain), fullwidth digits/letters
+            # (str.lower maps Ａ->ａ), astral chars through the fold
+            "Café", "Café", "ＩＤ１２３", "😀x"]
 
     rec_cases = []
     for i in range(40):
@@ -1272,3 +1294,46 @@ def test_geo_grabber_vs_reference(ref, spark):
             i, d, e, r)
         assert bool(e["fp"]) == bool(
             r.get("flag_geopoint_low_precision")), (i, d, e, r)
+
+
+def test_case_fold_class_python_vs_spark(spark):
+    """r13 pin (verdict r12 task 6): every engine fold that composes
+    F.lower with a Python-mirrored rule assumes Spark lower() ==
+    str.lower(). Probed clean across the exotic classes — dotted
+    capital I (two-codepoint lowering), capital sharp S, Greek sigma
+    (BOTH non-contextual: no final-sigma special-casing on either
+    side), ligatures (unchanged — lower() does not decompose), fullwidth,
+    Cherokee, astral Deseret, titlecase digraphs. If a Spark upgrade
+    ever turns on contextual or locale-sensitive casing, this is the
+    alarm."""
+    vals = [
+        "İstanbul", "ẞIG", "ΟΔΟΣ", "ΣΙΓΜΑ Σ τέλος Σ", "ﬁle ﬂag",
+        "ＡＢＣ", "Ꭰ", "𐐀A", "ŉx", "ǅungla", "ĲSSEL", "ȺB",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {
+        r["v"]: r["l"]
+        for r in df.select("v", F.lower("v").alias("l")).collect()
+    }
+    for v in vals:
+        assert got[v] == v.lower(), (v, got[v], v.lower())
+
+
+def test_lone_surrogate_etag_raises_both_sides():
+    """r13 pin: a lone UTF-16 surrogate in a record value cannot be
+    UTF-8 encoded — the reference's calcEtag raises UnicodeEncodeError
+    at .encode('utf8') (the ingest loop's bare-except bucket); the
+    engine's calc_etag must raise identically, never hash a replacement
+    byte. (Spark columns cannot even carry a lone surrogate — Arrow
+    rejects it at transfer — so the boundary only exists in the
+    Python kernels.)"""
+    sys.path.insert(0, "/root/reference")
+    from idb.helpers import etags as ref_etags
+
+    from idb_backend_spark.functions.etags import calc_etag
+
+    bad = {"dwc:occurrenceID": "x\ud800y"}
+    with pytest.raises(UnicodeEncodeError):
+        ref_etags.calcEtag(dict(bad))
+    with pytest.raises(UnicodeEncodeError):
+        calc_etag(dict(bad))
