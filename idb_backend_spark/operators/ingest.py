@@ -1003,7 +1003,7 @@ def ingest_subfiles_routed(
     rows: DataFrame,
     lookup: DataFrame,
     ingest: bool = True,
-    kernel_max_rows: int = 5_000_000,
+    kernel_max_rows: int = 1_200_000,
     nested_terms: tuple = ("dwc:ResourceRelationship",),
 ) -> DataFrame:
     """Skew-aware routing: recordsets whose row count fits one cogroup
@@ -1013,6 +1013,14 @@ def ingest_subfiles_routed(
     answer at all (one process per recordset, memory-bound the same
     way the kernel is); the router is what makes the 100 TB shape
     work: a handful of mega-recordsets no longer pin one executor.
+
+    ``kernel_max_rows`` default comes from the MEASURED memory profile
+    (tools/probe_ingest_memory.py, SCALING.md r13 addendum 1): the
+    kernel's Python worker holds ~3.6 KB/row end-to-end (pandas group
+    + lookup dicts + outcome rows; linear 250 k → 5 M rows), so
+    1.2 M rows ≈ 4.1 GiB — a safe per-task budget on an 8–16 GiB
+    executor. Scale it with the executor's python-worker budget:
+    rows ≈ budget_bytes / 3600.
 
     The relational route is STRUCTURALLY gated, not just size-gated:
     it is exact only for single-member archives with none of the
@@ -1056,7 +1064,7 @@ def ingest_archive(
     rsid: str,
     lookup: DataFrame,
     ingest: bool = True,
-    kernel_max_rows: int = 5_000_000,
+    kernel_max_rows: int = 1_200_000,
 ):
     """The whole db_check flow for one archive, composed: open the
     DwC-A (sources/dwca.DwcaArchive), adapt members to the wire format

@@ -84,7 +84,22 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # The DwC-A reader intentionally reads header-bearing members under a
+    # positional _cN schema (terms come from meta.xml, never the file's
+    # header — sources/dwca.py read_member), which makes CSVHeaderChecker
+    # log a name-mismatch WARN per member. The check is advisory
+    # (enforceSchema=true semantics are exactly what the reader wants);
+    # silence just that logger, not the log level.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.catalyst.csv.CSVHeaderChecker",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:  # pragma: no cover — log4j internals are best-effort
+        pass
+    return spark
 
 
 _BYTE_SUFFIX = {
