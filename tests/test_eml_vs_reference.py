@@ -329,3 +329,141 @@ def test_randomized_differential(ref_eml):
         ref = ref_eml.parseEml(f"rand-{i}", raw)
         eng = parse_eml(raw, id=f"rand-{i}")
         assert eng == ref, raw.decode()
+
+
+# --------------------------------------------------------------------------
+# harvest_eml EXECUTED (upr.py:471-498) — unblocked by the functional
+# pyquery: the whole per-recordset EML harvest (download -> file hash ->
+# uuid resolution -> parseEml with recordids[0] -> doc assembly ->
+# set_record with publisher parent -> bookkeeping UPDATE) vs the
+# engine's parse_eml + recordset_document composition.
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_upr(ref_eml, tmp_path_factory):
+    """update_publisher_recordset imported AFTER the functional pyquery
+    is seeded, so its parseEml binding is the executable one (the RSS
+    differential's copy may have been imported against a MagicMock)."""
+    sys.modules.pop("idigbio_ingestion.update_publisher_recordset", None)
+    import feedparser
+
+    if not isinstance(getattr(feedparser, "__version__", None), str):
+        feedparser.__version__ = "6.0.0"
+    upr = importlib.import_module(
+        "idigbio_ingestion.update_publisher_recordset"
+    )
+    if upr.parseEml is not ref_eml.parseEml:
+        upr.parseEml = ref_eml.parseEml
+    return upr
+
+
+class _HarvestDB:
+    def __init__(self, resolved_uuid="uuid-from-get"):
+        self.resolved_uuid = resolved_uuid
+        self.set_records = []
+        self.executes = []
+
+    def get_uuid(self, recordids):
+        return self.resolved_uuid, True, False
+
+    def set_record(self, u, typ, parent, desc, recordids, siblings):
+        self.set_records.append((u, typ, parent, dict(desc), list(recordids),
+                                 list(siblings)))
+
+    def execute(self, sql, params):
+        self.executes.append((" ".join(sql.split()), params))
+
+
+def _run_harvest(upr, monkeypatch, raw, *, uuid, tmp_path):
+    import datetime as dt
+
+    r = {
+        "id": 77, "uuid": uuid, "name": "Test RS",
+        "eml_link": "http://pub.example.org/eml.do?r=x",
+        "file_link": "http://pub.example.org/archive.do?r=x",
+        "recordids": ["urn:rsid:abc", "urn:rsid:def"],
+        "ingest": True,
+        "pub_date": dt.datetime(2026, 8, 1, 3, 4, 5),
+        "publisher_uuid": "pub-uuid-9",
+    }
+
+    def fake_download(link, fname, timeout=None):
+        with open(fname, "wb") as fh:
+            fh.write(raw)
+        return True
+
+    monkeypatch.setattr(upr, "download_file", fake_download)
+    monkeypatch.chdir(tmp_path)  # harvest writes "<id>.eml" into cwd
+    db = _HarvestDB()
+    upr.harvest_eml(r, db)
+    return r, db
+
+
+def test_harvest_eml_executed_vs_engine(ref_upr, monkeypatch, tmp_path):
+    from idb_backend_spark.sources.eml import recordset_document
+
+    raw = (
+        '<eml:eml xmlns:eml="eml://ecoinformatics.org/eml-2.1.1">'
+        "<dataset><title>Harvest T</title>"
+        "<creator><individualName><givenName>A</givenName>"
+        "<surName>B</surName></individualName></creator>"
+        "<intellectualRights><para>"
+        "http://creativecommons.org/licenses/by/4.0/</para>"
+        "</intellectualRights></dataset></eml:eml>"
+    ).encode()
+
+    for preset_uuid in ("rs-uuid-1", None):
+        r, db = _run_harvest(
+            ref_upr, monkeypatch, raw, uuid=preset_uuid, tmp_path=tmp_path
+        )
+        assert len(db.set_records) == 1
+        u, typ, parent, desc, recordids, siblings = db.set_records[0]
+        # uuid: the row's own, else db.get_uuid over the recordids
+        assert u == (preset_uuid or "uuid-from-get")
+        assert typ == "recordset" and parent == "pub-uuid-9"
+        assert recordids == r["recordids"] and siblings == []
+
+        # engine composition: parseEml keyed by recordids[0], doc
+        # assembled with the FILE link under the literal key 'link'
+        from idb_backend_spark.sources.eml import parse_eml
+
+        eng = recordset_document(
+            parse_eml(raw, id=r["recordids"][0]),
+            ingest=r["ingest"],
+            file_link=r["file_link"],
+            eml_link=r["eml_link"],
+            pub_date=r["pub_date"],
+        )
+        assert desc == eng
+
+        # bookkeeping UPDATE carries calcFileHash etag + the uuid
+        assert len(db.executes) == 1
+        sql, params = db.executes[0]
+        assert "UPDATE recordsets" in sql
+        import hashlib
+
+        assert params[0] == hashlib.md5(raw).hexdigest()
+        assert params[2] == u and params[3] == r["id"]
+        # the temp file is unlinked even on success
+        assert not (tmp_path / "77.eml").exists()
+
+
+def test_harvest_eml_download_failure_writes_nothing(
+    ref_upr, monkeypatch, tmp_path
+):
+    monkeypatch.setattr(
+        ref_upr, "download_file", lambda link, fname, timeout=None: False
+    )
+    monkeypatch.chdir(tmp_path)
+    db = _HarvestDB()
+    ref_upr.harvest_eml(
+        {
+            "id": 5, "uuid": "u", "name": "n", "eml_link": "http://x",
+            "file_link": None, "recordids": ["a"], "ingest": True,
+            "pub_date": __import__("datetime").datetime(2026, 1, 1),
+            "publisher_uuid": "p",
+        },
+        db,
+    )
+    assert db.set_records == [] and db.executes == []
