@@ -80,6 +80,13 @@ plus the `dist_km` haversine projection, the same fold discipline as
 r10's shim_geo_polygon -> shim_geo_shape). Both retirements come from
 the r11 rotation front so the computed front stays at exactly 50.
 
+Round-13 rotation — `ingest_kernel_outcomes` registered (q_enrichment:
+driver-graded evidence for the r12 cogrouped ingest kernel + size
+router, both legs against one closed-form oracle; verdict r12 task 1),
+`versioned_merge` retired from the same rotation half (rationale at its
+former site in q_store.py — merge_batch stays value-hashed inside
+ingest_e2e). Catalog holds at exactly 100; the computed front stays 50.
+
 Round-8 registrations — the grading queue is now EMPTY: the last two
 queued operators, tfidf_top_terms (operators/tfidf.py, twin
 tfidf_top_terms_sql, rounded-score ranking with integer tie-break) and
