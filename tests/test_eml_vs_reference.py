@@ -193,7 +193,9 @@ def _rand_text(rng, allow_empty=False):
         "mixed CASE Text",
     ]
     if allow_empty and rng.random() < 0.3:
-        return ""
+        # '' and whitespace-only behave differently in the contact
+        # loop (None/'' skipped, whitespace KEPT raw) — cover both
+        return rng.choice(["", "  "])
     return rng.choice(pool)
 
 
@@ -283,7 +285,13 @@ def _random_eml(rng) -> bytes:
             )
         else:
             body = _rand_text(rng)
-        ds.append(f"<abstract><para>{body}</para></abstract>")
+        if rng.random() < 0.3:  # multiple NON-EMPTY paras (space-join)
+            ds.append(
+                f"<abstract><para>{body}</para>"
+                f"<para>{_rand_text(rng)}</para></abstract>"
+            )
+        else:
+            ds.append(f"<abstract><para>{body}</para></abstract>")
     for tag in ("creator", "metadataProvider", "associatedParty", "contact"):
         for _ in range(rng.randrange(3)):
             ds.append(_contact_block(rng, tag))
@@ -301,9 +309,14 @@ def _random_eml(rng) -> bytes:
 
     extra = ""
     if rng.random() < 0.3:  # symbiota location beats everything
+        # an EMPTY symbiota element still WINS the precedence: its raw
+        # .text is None -> "No license" even when dataset-level rights
+        # exist (the reference's `if rights is not None` keys on the
+        # ELEMENT, not its text)
+        sym_ir = "" if rng.random() < 0.25 else _rand_text(rng)
         extra = (
             "<additionalMetadata><metadata><symbiota><collection>"
-            f"<intellectualRights>{_rand_text(rng)}</intellectualRights>"
+            f"<intellectualRights>{sym_ir}</intellectualRights>"
             f"<onlineUrl>http://sym{rng.randrange(9)}.example.org</onlineUrl>"
             "</collection></symbiota></metadata></additionalMetadata>"
         )

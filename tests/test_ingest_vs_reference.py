@@ -807,6 +807,13 @@ _FUZZ_RR = [
     [{"dwc:relationshipOfResource": "isRelatedTo"}],  # missing key arm
     [],
     "not-a-list",  # iterates char-by-char in idFromRR -> no dict -> None
+    # r13 (advice): non-dict ELEMENTS inside the list — an int makes
+    # the membership test raise TypeError into the bare-except bucket;
+    # a str element substring-tests False and yields None, so the row
+    # proceeds on its other identifier fields. Both must agree with
+    # the real idFromRR, not an isinstance softening.
+    [1, 2],
+    ["strelem"],
 ]
 
 
