@@ -359,6 +359,14 @@ def ref_upr(ref_eml, tmp_path_factory):
     is seeded, so its parseEml binding is the executable one (the RSS
     differential's copy may have been imported against a MagicMock)."""
     sys.modules.pop("idigbio_ingestion.update_publisher_recordset", None)
+    # UPR pulls idb.helpers.storage, whose IDigBioStorage() raises
+    # without config at db_check's import — seed the same MagicMock the
+    # db_check fixtures setdefault, BEFORE the real module gets cached
+    # here and poisons them for the rest of the session
+    if "idb.helpers.storage" not in sys.modules:
+        stor = mock.MagicMock()
+        stor.__name__ = "idb.helpers.storage"
+        sys.modules["idb.helpers.storage"] = stor
     import feedparser
 
     if not isinstance(getattr(feedparser, "__version__", None), str):
