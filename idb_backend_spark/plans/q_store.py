@@ -37,7 +37,7 @@ from idb_backend_spark.query.shim import compile_shim, shim_to_sql  # noqa: F401
 # the version arithmetic (new keys at 0, changed at version+1). The
 # etag-gated merge also stays value-hashed in `store_compaction` and
 # `streaming_incremental_merge`'s latest-view arms. Unit coverage:
-# tests/test_versioning.py.
+# tests/test_store.py.
 
 
 # Catalog entry `tombstone_deletes` retired in round 7 to free a grading
