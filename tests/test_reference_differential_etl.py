@@ -318,6 +318,10 @@ _DATE_STRINGS = [
     "99-1-1", "3/4/5", "2020-02-30", "  1950-06-01  ",
     "1999-03-04 12:30:05.123456", "12:30", "circa 1900", "19990304",
     "not a date", "",
+    # r13 encoding-edge class: unicode Nd digits (dateutil's \d is
+    # unicode-aware), fullwidth digits, NBSP/tab padding — both sides
+    # share the installed dateutil, so this pins the SURROUNDING folds
+    "١٩٩٩-٠٣-٠٤", "２０２０-01-01", " 1950-06-01 ", "1999-03-04\t",
 ]
 
 
