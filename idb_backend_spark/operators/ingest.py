@@ -819,17 +819,16 @@ def ingest_outcomes_relational(
         ~F.col("bad_etag") & ~F.col("dup_etag") & ~F.col("no_recordid")
     )
 
-    # one-pass first-claim per identifier among gate1 survivors
-    claims = (
+    # one-pass first-claim per identifier among gate1 survivors: a
+    # min-over-window on the claim key needs ONE exchange; the earlier
+    # groupBy + self-join formulation shuffled the exploded claims a
+    # second time for the join (r13 simplification, advice follow-up)
+    w_claim = Window.partitionBy(*member, "ident")
+    dup_id_rows = (
         base.filter(gate1)
         .select(*member, "seq", F.explode_outer("idents").alias("ident"))
         .filter(F.col("ident").isNotNull())
-    )
-    first_claim = claims.groupBy(*member, "ident").agg(
-        F.min("seq").alias("claim_seq")
-    )
-    dup_id_rows = (
-        claims.join(first_claim, member + ["ident"])
+        .withColumn("claim_seq", F.min("seq").over(w_claim))
         .filter(F.col("seq") > F.col("claim_seq"))
         .select(*member, "seq")
         .distinct()
@@ -1039,15 +1038,29 @@ def ingest_subfiles_routed(
     has_special = F.coalesce(
         F.exists("rec", lambda p: p["k"].isin(*special)), F.lit(False)
     )
-    sizes = rows.groupBy("rsid").agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.countDistinct(F.struct("fname", "rowtype")).alias("__m"),
-        F.max(has_special.cast("int")).alias("__s"),
+    # Two-phase decision so the common no-giant case stays cheap: the
+    # size pass touches ONLY rsid (column-pruned at the scan — it never
+    # materializes the rec arrays), and the structural scan (F.exists
+    # over the pair arrays + member min/max) runs only over rows of
+    # SIZE-candidate recordsets, which is an empty or near-empty
+    # semi-join in the normal shape.
+    counts = rows.groupBy("rsid").agg(F.count(F.lit(1)).alias("__n"))
+    cand = counts.filter(F.col("__n") > kernel_max_rows).select("rsid")
+    member_key = F.struct("fname", "rowtype")
+    flags = (
+        rows.join(F.broadcast(cand), "rsid", "leftsemi")
+        .groupBy("rsid")
+        .agg(
+            # multi-member iff min(member) != max(member) — exact, and
+            # plain min/max partial-aggregate map-side where a
+            # countDistinct would carry per-group distinct sets
+            F.min(member_key).alias("__m0"),
+            F.max(member_key).alias("__m1"),
+            F.max(has_special.cast("int")).alias("__s"),
+        )
     )
-    big_rs = sizes.filter(
-        (F.col("__n") > kernel_max_rows)
-        & (F.col("__m") <= 1)
-        & (F.col("__s") == 0)
+    big_rs = flags.filter(
+        (F.col("__m0") == F.col("__m1")) & (F.col("__s") == 0)
     ).select("rsid")
     small = rows.join(F.broadcast(big_rs), "rsid", "left_anti")
     big = rows.join(F.broadcast(big_rs), "rsid", "leftsemi")
