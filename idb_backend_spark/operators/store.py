@@ -305,17 +305,21 @@ def commit_gate(
     db_check.py:695-697).
 
     DOCUMENTED DIVERGENCE from the reference's literal code
-    (db_check.py:516-530, r9 audit): as written there, the condition is
-    INVERTED — a type commits only when creates/processed >= 0.5 AND
-    deletes/processed >= 0.5 of the SAME batch (near-impossible
-    together), the ratios denominate on the batch's processed line
-    count rather than the existing store, and the ``commit_ok =
-    commit_force`` assignment at :516 is dead code (unconditionally
-    overwritten by ``all(type_commits)`` at :530, so the empty-store
-    force never reaches the decision). That literal gate would refuse
-    virtually every normal batch; this engine implements the evident
-    intent — abort on mass change relative to the existing store, let
-    the rest through, and honor the empty-store force."""
+    (db_check.py:516-538; r9 audit CORRECTED by the r13 EXECUTED run —
+    tests/test_ingest_vs_reference.py::test_process_file_commit_gate_executed):
+    the literal gate's entire threshold arithmetic is DEAD CODE.
+    ``counts`` is keyed by the member's FILE name (``DwcaRecordFile
+    .name`` — a location like 'occurrence.csv', re-set to the full
+    path by DelimitedFile.__init__), so ``if k not in ingestion_types:
+    continue`` skips EVERY member, ``type_commits`` stays empty, and
+    ``commit_ok = all([])`` is True: **the reference always commits**
+    (and the ``commit_ok = commit_force`` seed at :516 is overwritten
+    regardless). The r9 adjudication had transcribed counts as keyed
+    by type and read the condition as "inverted"; execution shows it
+    never runs at all. This engine implements the evident intent the
+    dead code was written for — abort on mass change relative to the
+    existing store, let the rest through, honor the empty-store
+    force."""
     if existing_count == 0:
         return True
     counts = {r["status"]: r["n"] for r in summary_rows}

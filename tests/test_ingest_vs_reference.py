@@ -1093,3 +1093,126 @@ def test_fuzz_seeded_store(ref_db_check, spark, rows, seed):
 
     seeded = set(uuid_etag["records"]) | {u for u, _, _ in g.values()}
     compare(DB, db, ref, eng_rows, eng_sum, seeded)
+
+
+def test_process_file_commit_gate_executed(
+    ref_db_check, ref_dwca_reader, spark, tmp_path, monkeypatch
+):
+    """r13 EXECUTED commit gate (db_check.py:476-560) — and a
+    transcription correction it forced: process_file keys ``counts`` by
+    the member's FILE LOCATION (DwcaRecordFile.name, dwca.py:170-177),
+    so the gate's ``if k not in ingestion_types: continue`` skips EVERY
+    member ('occurrence.csv' is not 'dwc:Occurrence'), type_commits
+    stays [], and ``all([]) is True`` — **the literal reference gate
+    always commits**; its 0.5-threshold arithmetic is fully dead code,
+    not merely inverted (the r9 transcription pin had modeled counts as
+    keyed by type). Proven here by running the REAL process_file over
+    an engine-written archive: a catastrophic all-churn batch commits.
+    The engine's commit_gate remains the documented intent-based
+    divergence (abort on mass change), now against the corrected
+    reference behavior."""
+    import os
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    DB = ref_db_check
+    RD, xml2d = ref_dwca_reader
+
+    from idb_backend_spark.export.writers import write_dwca
+    from idb_backend_spark.operators import store as st
+
+    # an all-new batch REPLACING a store whose every member vanishes —
+    # the exact mass-change shape the intent gate exists to refuse
+    core = spark.createDataFrame(
+        [(i, f"churn-{i}", f"p{i}") for i in range(6)],
+        "id int, `dwc:occurrenceID` string, `dwc:recordedBy` string",
+    )
+    zip_path = str(tmp_path / "churn.zip")
+    write_dwca(
+        zip_path, (core, "id", ["dwc:occurrenceID", "dwc:recordedBy"],
+                   "records")
+    )
+    exdir = tmp_path / "ex"
+    with zipfile.ZipFile(zip_path) as z:
+        z.extractall(exdir)
+
+    class _NsEl:
+        def __init__(self, el, nsmap=None):
+            self._el = el
+            self.nsmap = nsmap if nsmap is not None else {}
+
+        tag = property(lambda self: self._el.tag)
+        attrib = property(lambda self: self._el.attrib)
+        text = property(lambda self: self._el.text)
+
+        def __iter__(self):
+            for c in self._el:
+                yield _NsEl(c, self.nsmap)
+
+    meta_root = ET.parse(os.path.join(exdir, "meta.xml")).getroot()
+    nsmap = (
+        {None: meta_root.tag[1:].split("}")[0]}
+        if meta_root.tag.startswith("{")
+        else {}
+    )
+    arch = xml2d(_NsEl(meta_root, nsmap))["archive"]
+    loc = arch["core"]["files"]["location"]
+
+    class FakeDwca:
+        """db_check's Dwca surface for the zip branch: .extensions /
+        .core members + close(); members are the REAL DwcaRecordFile
+        over the extracted files, so counts keys are the REAL .name."""
+
+        def __init__(self, fname, skipeml=True, logname=None):
+            self.extensions = []
+            self.core = RD.DwcaRecordFile(
+                arch["core"], str(exdir / loc), logname="t"
+            )
+
+        def close(self):
+            pass
+
+    commits = []
+
+    class GateDB(FakePostgresDB):
+        def commit(self):
+            commits.append("commit")
+
+        def rollback(self):
+            commits.append("rollback")
+
+        def close(self):
+            pass
+
+    # seeded store: 5 existing children, all absent from the file ->
+    # 5 deletes against 6 creates over 6 lines
+    uuid_etag = {"records": {f"ex-{i}": f"et-{i}" for i in range(5)},
+                 "mediarecords": {}}
+    id_uuid = {
+        "records": {
+            f"{RSID.lower()}\\old-{i}": f"ex-{i}" for i in range(5)
+        },
+        "mediarecords": {},
+    }
+    monkeypatch.setattr(DB, "Dwca", FakeDwca)
+    monkeypatch.setattr(DB, "PostgresDB", GateDB)
+    meta = DB.process_file(
+        zip_path, "application/zip", RSID, uuid_etag, id_uuid,
+        ingest=True, commit_force=False,
+    )
+
+    # the member key is the member FILE (DelimitedFile.__init__ re-sets
+    # .name to the full extracted path — even further from a rowtype
+    # key), and the batch COMMITTED
+    keys = list(meta["counts"])
+    assert [os.path.basename(k) for k in keys] == [loc]
+    assert all(k not in DB.ingestion_types for k in keys)
+    assert meta["commited"] is True
+    assert commits == ["commit"]
+    c = meta["counts"][keys[0]]
+    assert c["create"] == 6 and c["delete"] == 5
+
+    # the engine's intent gate refuses the same batch (the documented
+    # divergence, now against the CORRECTED reference behavior)
+    summary = [{"status": "create", "n": 6}, {"status": "delete", "n": 5}]
+    assert st.commit_gate(summary, existing_count=5) is False

@@ -361,14 +361,29 @@ def test_null_etag_batch_row_survives_dedup(spark):
 
 def _reference_literal_gate(counts: dict, commit_force: bool) -> bool:
     """The reference's commit gate EXACTLY as written
-    (db_check.py:515-538), transcribed for the pin below: commit only
-    when every ingestion type's creates AND deletes each reach >= 0.5 of
-    that type's OWN processed_line_count; `commit_ok = commit_force` is
-    immediately overwritten by all(type_commits), so the force flag is
-    dead; an empty counts dict gives all([]) == True (commit)."""
+    (db_check.py:515-538) — r13 CORRECTION of the r9 transcription,
+    which omitted the ``if k not in ingestion_types: continue`` line:
+    ``counts`` is keyed by the member FILE name (DwcaRecordFile.name —
+    'occurrence.csv', actually the full extracted path after
+    DelimitedFile.__init__ re-sets it), which is NEVER an
+    ingestion-type key ('dwc:Occurrence', ...), so every member is
+    skipped, ``type_commits`` stays [], and ``all([])`` commits
+    UNCONDITIONALLY. The threshold arithmetic below is dead code; it
+    is kept verbatim (with the skip line) because this transcription
+    IS the pin. Proven by running the real process_file:
+    tests/test_ingest_vs_reference.py::test_process_file_commit_gate_executed."""
+    ingestion_types = {
+        "dwc:Occurrence": "records",
+        "dwc:Multimedia": "mediarecords",
+        "dcterms": "mediarecords",
+        "records": "records",
+        "mediarecords": "mediarecords",
+    }
     commit_ok = commit_force
     type_commits = []
     for k in counts:
+        if k not in ingestion_types:
+            continue
         c = counts[k]
         type_commits.append(
             c["create"] / float(c["processed_line_count"]) >= 0.5
@@ -379,35 +394,40 @@ def _reference_literal_gate(counts: dict, commit_force: bool) -> bool:
 
 
 def test_commit_gate_literal_vs_intent_divergence():
-    """A9 divergence pin (adjudicated r9, VERDICT r9 What's-wrong #3):
-    the engine's commit_gate implements the evident INTENT (abort on
-    mass change vs the existing store); the reference's literal gate
-    (db_check.py:515-538) is inverted and batch-denominated. Encode both
-    outcomes side by side so the deliberate divergence is machine-checked
+    """A9 divergence pin (adjudicated r9; CORRECTED r13 by executing
+    the real process_file): the reference's literal gate
+    (db_check.py:515-538) is DEAD CODE — counts are keyed by member
+    file name, never an ingestion-type key, so it commits every batch
+    unconditionally; the threshold arithmetic (itself inverted and
+    batch-denominated, had it ever run) never executes. The engine's
+    commit_gate implements the evident INTENT (abort on mass change vs
+    the existing store). Both behaviors machine-checked side by side
     like every preserved quirk."""
     from idb_backend_spark.operators import store as st
 
     # A perfectly normal incremental batch: 1000 lines, 30 creates,
-    # 5 deletes against a 10_000-record store.
-    normal = {"core": {"create": 30, "delete": 5,
-                       "processed_line_count": 1000}}
+    # 5 deletes against a 10_000-record store — keys are FILE names,
+    # as process_file actually builds them.
+    normal = {"occurrence.csv": {"create": 30, "delete": 5,
+                                 "processed_line_count": 1000}}
     normal_summary = [
         {"status": "create", "n": 30},
         {"status": "update", "n": 965},
         {"status": "delete", "n": 5},
     ]
-    # Literal reference gate REFUSES the normal batch (creates/lines
-    # 0.03 < 0.5) — regardless of commit_force, which is dead code.
-    assert _reference_literal_gate(normal, commit_force=False) is False
-    assert _reference_literal_gate(normal, commit_force=True) is False
-    # Engine intent gate commits it.
+    # The literal gate COMMITS it — and everything else: the file-name
+    # keys skip every member and all([]) is True (commit_force dead).
+    assert _reference_literal_gate(normal, commit_force=False) is True
+    assert _reference_literal_gate(normal, commit_force=True) is True
+    # Engine intent gate also commits the normal batch.
     assert st.commit_gate(normal_summary, existing_count=10_000) is True
 
-    # The ONLY batch shape the literal gate commits: creates AND deletes
-    # each >= 50% of the same batch — a churn pattern the intent gate
-    # treats as exactly the mass change to abort on.
-    churn = {"core": {"create": 500, "delete": 500,
-                      "processed_line_count": 1000}}
+    # A catastrophic churn batch: the literal gate STILL commits
+    # (there is no shape it refuses); the intent gate aborts — the
+    # engine's mass-change protection is strictly new behavior, not a
+    # re-derivation of a working reference rule.
+    churn = {"occurrence.csv": {"create": 500, "delete": 500,
+                                "processed_line_count": 1000}}
     churn_summary = [
         {"status": "create", "n": 500},
         {"status": "delete", "n": 500},
@@ -415,9 +435,18 @@ def test_commit_gate_literal_vs_intent_divergence():
     assert _reference_literal_gate(churn, commit_force=False) is True
     assert st.commit_gate(churn_summary, existing_count=600) is False
 
-    # No ingestion-type counts at all: all([]) == True -> the literal
-    # gate commits an empty run; the engine's empty-store arm is the
-    # (live) analog of the intended commit_force.
+    # Hypothetical type-keyed counts (what the dead arithmetic was
+    # evidently written against): even then the thresholds are inverted
+    # — a normal batch would be refused, only 50/50 churn would commit.
+    typed_normal = {"dwc:Occurrence": {"create": 30, "delete": 5,
+                                       "processed_line_count": 1000}}
+    typed_churn = {"dwc:Occurrence": {"create": 500, "delete": 500,
+                                      "processed_line_count": 1000}}
+    assert _reference_literal_gate(typed_normal, commit_force=False) is False
+    assert _reference_literal_gate(typed_churn, commit_force=False) is True
+
+    # No counts at all: all([]) == True -> commit; the engine's
+    # empty-store arm is the (live) analog of the intended commit_force.
     assert _reference_literal_gate({}, commit_force=False) is True
     assert st.commit_gate([], existing_count=0) is True
 
