@@ -48,15 +48,28 @@ def latest_per_key_agg(
 
     ``order_cols``: columns whose natural descending max order IS the
     "latest" order (e.g. modified, version, unique tie-breaker last).
+
+    Shape note (Catalyst convergence): the winning row's fields are
+    extracted INSIDE the Aggregate's result expressions
+    (``max_by(payload, order).getField(c)``) rather than through a
+    ``select(__row.c ...)`` projection above it. The extraction-Project
+    form put a nested-field Project directly under the store's
+    semi/anti joins, and ``PushDownLeftSemiAntiJoin`` vs
+    ``ColumnPruning``'s NestedColumnAliasing then ping-ponged the join
+    across that Project with fresh ``_extract_*`` aliases every
+    iteration — the optimizer hit ``Max iterations (100)`` without
+    reaching a fixpoint (probed: tools/probe_optimizer_convergence.py).
+    Row atomicity is preserved: the N ``max_by`` calls are structurally
+    identical, so PhysicalAggregation dedupes them to ONE aggregation
+    buffer — one winner row, fields torn from the same struct.
     """
     ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     payload = F.struct(*[F.col(c) for c in df.columns])
+    row = F.max_by(payload, F.struct(*ocols))
     picked = df.groupBy(*keys).agg(
-        F.max_by(payload, F.struct(*ocols)).alias("__row")
+        *[row.getField(c).alias(c) for c in df.columns if c not in keys]
     )
-    return picked.select(
-        *[F.col(f"__row.{c}").alias(c) for c in df.columns]
-    )
+    return picked.select(*df.columns)
 
 
 def with_version_numbers(
@@ -87,15 +100,18 @@ def _dedupe_batch(batch: DataFrame, key: str, etag_col: str) -> DataFrame:
     value is NULL, so a key whose only rows carry a null etag would
     otherwise collapse to an all-NULL row and the record would be lost
     ('' sorts before every real etag — a null-etag row wins the tie,
-    which is as deterministic as any other rule)."""
+    which is as deterministic as any other rule).
+
+    Fields are extracted inside the Aggregate's result expressions
+    (same single-buffer shape as latest_per_key_agg — see the Catalyst
+    convergence note there)."""
     payload = F.struct(*[F.col(c) for c in batch.columns])
     order = F.coalesce(F.col(etag_col).cast("string"), F.lit(""))
+    row = F.min_by(payload, order)
     picked = batch.groupBy(key).agg(
-        F.min_by(payload, order).alias("__row")
+        *[row.getField(c).alias(c) for c in batch.columns if c != key]
     )
-    return picked.select(
-        *[F.col(f"__row.{c}").alias(c) for c in batch.columns]
-    )
+    return picked.select(*batch.columns)
 
 
 def merge_batch(
