@@ -10,7 +10,10 @@ blank-string fields become nulls to match the reference's
 
 At scale the read is fully distributed: one task per input split,
 predicate/column pruning applies downstream, and the canonicalization is
-pure metadata (no data movement).
+pure metadata (no data movement) — for local single files it is a
+POSITIONAL fold from the raw header line, so several headers claiming
+one canonical term collapse to the reference's last-non-empty-wins
+value (delimited.py:265-268), duplicate literal headers included.
 """
 
 from __future__ import annotations
@@ -58,6 +61,30 @@ def file_contains_char(path: str, ch: str, encoding: str | None) -> bool:
             if needle in chunk:
                 return True
     return False
+
+
+def _raw_header(
+    path: str, sep: str, quote: str, encoding: str | None
+) -> list[str] | None:
+    """The file's verbatim header row, parsed with the same csv dialect
+    the reference's reader uses (csv.reader, doublequote, no
+    escapechar) — or None when the path is not a local single file we
+    can read exactly (directory/glob/URI). Only the header LINE is
+    read; the driver never scans data rows."""
+    import csv
+    import os
+
+    if not os.path.isfile(path):
+        return None
+    try:
+        with open(path, "r", encoding=encoding or "utf-8", newline="") as f:
+            if quote:
+                r = csv.reader(f, delimiter=sep, quotechar=quote)
+            else:
+                r = csv.reader(f, delimiter=sep, quoting=csv.QUOTE_NONE)
+            return next(r, None)
+    except (OSError, UnicodeDecodeError, LookupError, csv.Error):
+        return None
 
 
 def normalize_delimiter(d: str | None, default: str = ",") -> str:
@@ -186,28 +213,73 @@ def read_delimited(
             [StructField(f.name, StringType()) for f in df.schema.fields]
             + [StructField(CORRUPT_COL, StringType())]
         )
-        df = reader.schema(schema).csv(path)
+        # enforceSchema=true on the schema-bearing read: the schema IS
+        # the file's own header (plus the corrupt column), but Spark's
+        # header validation compares literal header tokens against
+        # schema names and duplicate headers were DEDUPED positionally
+        # by the first pass (genus,genus -> genus0,genus1) — validation
+        # would fail the read at runtime on exactly the files the
+        # duplicate-canonical fold exists for
+        df = reader.option("enforceSchema", "true").schema(schema).csv(path)
     if canonicalize and header:
-        renames, drops = {}, []
-        for c in df.columns:
-            if c == CORRUPT_COL:
-                continue
-            term, _cls = get_canonical_name(c)
-            if term is None:
-                # registry marks the column as provider bookkeeping — drop
-                drops.append(c)
-            elif (
-                term != c
-                and term not in df.columns
-                and term not in renames.values()
-            ):
-                # two verbatim headers canonicalizing to the SAME term
-                # ('Latitude' and 'DecimalLatitude'): first wins, the
-                # second keeps its verbatim name — renaming both would
-                # produce duplicate columns and an ambiguous-reference
-                # failure at the first select
-                renames[c] = term
-        df = df.drop(*drops).withColumnsRenamed(renames)
+        raw = _raw_header(path, normalize_delimiter(sep), quote, encoding)
+        data_cols = [c for c in df.columns if c != CORRUPT_COL]
+        if raw is not None and len(raw) == len(data_cols):
+            # Positional canonicalization from the RAW header — the
+            # reference's exact shape (delimited.py:176-189 builds
+            # fields{index: canonical} from the header line, and the row
+            # loop's dict assignment makes the LAST NON-EMPTY column win
+            # a term claimed by several headers, :265-268 — empty values
+            # never assign, so an earlier non-empty value survives a
+            # later blank duplicate). Working from the raw header also
+            # covers LITERAL duplicate headers, which Spark's reader
+            # renames positionally (genus, genus -> genus0, genus1) and
+            # a name-based rename could never reunite.
+            from idb_backend_spark.functions.grabbers import blank_to_null
+
+            groups: dict[str, list[str]] = {}
+            order: list[str] = []
+            for pos, verbatim in enumerate(raw):
+                term, _cls = get_canonical_name(verbatim)
+                if term is None:
+                    # registry marks the column as bookkeeping — drop
+                    continue
+                if term not in groups:
+                    groups[term] = []
+                    order.append(term)
+                groups[term].append(data_cols[pos])
+            sel = []
+            for term in order:
+                srcs = [F.col(f"`{c}`") for c in groups[term]]
+                if len(srcs) == 1:
+                    expr = srcs[0]
+                else:
+                    # last non-empty wins: blank-after-strip values are
+                    # skipped by the reference's fold, so coalesce the
+                    # blank-nulled columns in reverse file order
+                    expr = F.coalesce(
+                        *[blank_to_null(s) for s in reversed(srcs)]
+                    )
+                sel.append(expr.alias(term))
+            df = df.select(*sel, F.col(CORRUPT_COL))
+        else:
+            # no byte-exact raw header (directory/glob/remote path or a
+            # non-transparent encoding): name-based rename, no fold —
+            # a duplicate-canonical pair keeps the second column
+            # verbatim here (renaming both would produce duplicate
+            # columns and an ambiguous-reference failure)
+            renames, drops = {}, []
+            for c in data_cols:
+                term, _cls = get_canonical_name(c)
+                if term is None:
+                    drops.append(c)
+                elif (
+                    term != c
+                    and term not in df.columns
+                    and term not in renames.values()
+                ):
+                    renames[c] = term
+            df = df.drop(*drops).withColumnsRenamed(renames)
     out_cols = [c for c in df.columns if c != CORRUPT_COL]
     if blank_as_null:
         from idb_backend_spark.functions.grabbers import blank_to_null

@@ -361,11 +361,28 @@ class DwcaArchive:
                     "coreid" if desc.id_is_coreid else "id"
                 )
             )
-        for idx in sorted(desc.term_by_index):
+        # group indexes by term in DECLARATION order (term_by_index is
+        # insertion-ordered by the meta.xml field loop): the reference
+        # maps EVERY declared index into fields{index: term} and the row
+        # loop's dict assignment makes the LAST NON-EMPTY declaration
+        # win a term claimed twice (delimited.py:265-268 via
+        # DwcaRecordFile's header dict, dwca.py:241-243) — so a
+        # duplicate-term meta.xml folds here with a reverse-declaration
+        # coalesce over the blank-nulled columns, r14 pool class
+        # (executed: tests/test_dwca_vs_reference.py
+        # test_duplicate_term_meta_fold_vs_reference)
+        groups: dict[str, list[int]] = {}
+        for idx, term in desc.term_by_index.items():
             # (desc.term_by_index never holds id_index — the descriptor
             # drops a field sharing the id's index, reference parity)
-            src = stripped(F.col(f"_c{idx}"))
-            term = desc.term_by_index[idx]
+            groups.setdefault(term, []).append(idx)
+        for term, idxs in groups.items():
+            if len(idxs) == 1:
+                src = stripped(F.col(f"_c{idxs[0]}"))
+            else:
+                src = F.coalesce(
+                    *[stripped(F.col(f"_c{i}")) for i in reversed(idxs)]
+                )
             d_val = desc.defaults.get(term)
             if d_val is not None:
                 # a <field> with BOTH index and default: blank/missing

@@ -8,10 +8,12 @@ and the broken-iteration quirks, all on real files.
 Engine divergences, each documented at the kernel and machine-pinned
 here: mismatched-length rows are FLAGGED (flag_corrupt_row), not
 silently dropped; bad bytes decode to U+FFFD (the reference splices a
-recoverable hex marker); duplicate-canonical headers keep the second
-column verbatim (the reference's dict assignment makes the LAST column
-win the term); zero rowtype votes return the Occurrence default (the
-reference IndexErrors).
+recoverable hex marker); zero rowtype votes return the Occurrence
+default (the reference IndexErrors). r14: duplicate-canonical headers
+now FOLD like the reference (last non-empty column wins the term —
+positional raw-header fold in read_delimited) instead of keeping the
+second column verbatim; the DUP_HEADER_POOL below drives that executed
+differential.
 """
 
 from __future__ import annotations
@@ -234,27 +236,96 @@ def test_rowtype_fallback_vs_reference(ref_delimited, tmp_path):
     assert infer_row_type(["Annotations"]) == "dwc:Occurrence"
 
 
+DUP_HEADER_POOL = [
+    # (header, data row) — duplicate-canonical folds, r14 pool class
+    # (VERDICT r13 task 4): several headers claiming one term; the
+    # reference's dict assignment makes the LAST NON-EMPTY column win
+    # (empty-after-strip values never assign, delimited.py:265-268)
+    ("catalogNumber,dwc:decimalLatitude,DecimalLatitude", "c1,11.0,22.0"),
+    # later duplicate EMPTY: the earlier non-empty value must survive
+    ("catalogNumber,dwc:decimalLatitude,DecimalLatitude", "c1,11.0,"),
+    # later duplicate whitespace-only: strips to empty, never assigns
+    ("catalogNumber,dwc:decimalLatitude,DecimalLatitude", 'c1,11.0,"\t  "'),
+    # earlier empty, later wins
+    ("catalogNumber,dwc:decimalLatitude,DecimalLatitude", "c1,,22.0"),
+    # both empty: key absent from the record entirely
+    ("catalogNumber,dwc:decimalLatitude,DecimalLatitude", "c1,,"),
+    # LITERAL duplicate headers (Spark renames genus0/genus1 — the fold
+    # must reunite them by position)
+    ("genus,genus,catalogNumber", "Quercus,Betula,c1"),
+    ("genus,genus,catalogNumber", "Quercus,,c1"),
+    # three-way claim with mixed blanks: middle empty, last non-empty
+    ("dwc_decimalLatitude,dwc:decimalLatitude,DecimalLatitude,id",
+     "1.0,,3.0,r1"),
+    ("dwc_decimalLatitude,dwc:decimalLatitude,DecimalLatitude,id",
+     "1.0,2.0,,r1"),
+    # values that strip differently: the padded later value wins and is
+    # kept STRIPPED on both sides
+    ("genus,Genus", "Quercus,  Betula\t"),
+]
+
+
+@pytest.mark.parametrize("header,row", DUP_HEADER_POOL)
 def test_duplicate_canonical_header_vs_reference(ref_delimited, spark,
-                                                 tmp_path):
-    """Two headers canonicalizing to ONE term: the reference maps both
-    indexes to the term and the dict assignment makes the LAST column's
-    value win (delimited.py:275-277); the engine renames the FIRST and
-    keeps the second verbatim (read_delimited's first-wins note) — a
-    relational row cannot hold one name twice. Machine-pinned, both
-    behaviors."""
+                                                 tmp_path, header, row):
+    """Two+ headers canonicalizing to ONE term: the reference maps every
+    index to the term and the row loop's dict assignment makes the LAST
+    NON-EMPTY column win (delimited.py:265-268 — empty-after-strip
+    values never assign). r14: the engine's positional raw-header fold
+    (read_delimited) now reproduces that exactly — coalesce of the
+    blank-nulled duplicate columns in reverse file order — where it
+    previously kept the second column verbatim. EXECUTED record-dict
+    equality, not transcription."""
     p = tmp_path / "dup.csv"
-    p.write_text(
-        "catalogNumber,dwc:decimalLatitude,DecimalLatitude\nc1,11.0,22.0\n",
-        encoding="utf-8",
-    )
+    p.write_text(f"{header}\n{row}\n", encoding="utf-8")
     ref_rows = _read_all(ref_delimited.DelimitedFile(str(p), logname="t"))
-    assert ref_rows[0]["dwc:decimalLatitude"] == "22.0"  # last wins
 
     from idb_backend_spark.sources.delimited import read_delimited
 
-    row = read_delimited(spark, str(p)).collect()[0]
-    assert row["dwc:decimalLatitude"] == "11.0"  # first renamed
-    assert row["DecimalLatitude"] == "22.0"      # second verbatim
+    out = read_delimited(spark, str(p)).collect()[0]
+    got = {
+        k: v
+        for k, v in out.asDict().items()
+        if v is not None and not k.startswith("flag_")
+    }
+    assert got == ref_rows[0], (header, row)
+
+
+def test_duplicate_canonical_fold_reaches_etag(ref_delimited, spark,
+                                               tmp_path):
+    """The fold must land in content identity, not just projection: the
+    engine etag of the folded record equals calcEtag of the reference's
+    row dict — a record whose duplicate column diverged would version
+    differently forever."""
+    import importlib.util as _ilu
+
+    spec = _ilu.spec_from_file_location(
+        "ref_etags", "/root/reference/idb/helpers/etags.py"
+    )
+    ref_etags = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(ref_etags)
+
+    p = tmp_path / "dup_etag.csv"
+    p.write_text(
+        "genus,Genus,catalogNumber\nQuercus,Betula,c1\nAcer,,c2\n",
+        encoding="utf-8",
+    )
+    f = ref_delimited.DelimitedFile(str(p), logname="t")
+    ref_hashes = [ref_etags.calcEtag(r) for r in _read_all(f)]
+
+    from idb_backend_spark.functions.etags import calc_etag
+    from idb_backend_spark.sources.delimited import read_delimited
+
+    rows = read_delimited(spark, str(p)).orderBy("catalogNumber").collect()
+    got = [
+        calc_etag({
+            k: v
+            for k, v in r.asDict().items()
+            if v is not None and not k.startswith("flag_")
+        })
+        for r in rows
+    ]
+    assert got == ref_hashes
 
 
 def test_delimitedfile_iteration_is_broken(ref_delimited, tmp_path):

@@ -486,3 +486,77 @@ def test_foreign_archive_value_strip_vs_reference(ref_dwca, spark, tmp_path):
     assert eng_by_genus.get("\x00") is None
     eng_r4 = [r for r in eng_rows if r["id"] == "4"][0]
     assert eng_r4["dwc:genus"] == ""
+
+
+def test_duplicate_term_meta_fold_vs_reference(ref_dwca, spark, tmp_path):
+    """r14 pool class (VERDICT r13 task 4): a meta.xml declaring the
+    SAME term at TWO indexes. The reference maps both indexes into
+    fields{index: term} (dwca.py:241-243) and the row loop's dict
+    assignment makes the LAST NON-EMPTY declaration win
+    (delimited.py:265-268 — blank-after-strip values never assign). The
+    fields dict iterates in DECLARATION order, so the fold follows the
+    meta.xml field order even when the indexes are declared out of
+    numeric order — this meta declares index 3 BEFORE index 2, so a
+    non-empty column 2 beats a non-empty column 3. Executed row-dict
+    equality against the engine's read_core fold."""
+    RD, xml2d = ref_dwca
+
+    from idb_backend_spark.sources.dwca import DwcaArchive
+
+    meta = (
+        '<archive xmlns="http://rs.tdwg.org/dwc/text/">'
+        '<core rowType="http://rs.tdwg.org/dwc/terms/Occurrence"'
+        ' fieldsTerminatedBy="," linesTerminatedBy="\\n"'
+        ' fieldsEnclosedBy="" encoding="UTF-8" ignoreHeaderLines="0">'
+        "<files><location>occurrence.csv</location></files>"
+        '<id index="0"/>'
+        '<field index="1" term="http://rs.tdwg.org/dwc/terms/catalogNumber"/>'
+        '<field index="3" term="http://rs.tdwg.org/dwc/terms/genus"/>'
+        '<field index="2" term="http://rs.tdwg.org/dwc/terms/genus"/>'
+        "</core></archive>"
+    )
+    csv = (
+        "1,c1,Quercus,Betula\n"   # both non-empty: LAST DECLARED (idx 2!)
+        "2,c2,Acer,\n"            # later declaration (idx 2) non-empty
+        "3,c3,,Salix\n"           # idx 2 empty -> idx 3 survives
+        "4,c4,,\n"                # both empty: key absent
+        "5,c5, \t ,  \n"          # whitespace-only both: key absent
+    )
+    zp = str(tmp_path / "dupterm.zip")
+    with zipfile.ZipFile(zp, "w") as z:
+        z.writestr("meta.xml", meta)
+        z.writestr("occurrence.csv", csv)
+
+    exdir = tmp_path / "dx"
+    with zipfile.ZipFile(zp) as z:
+        z.extractall(exdir)
+    meta_root = ET.parse(os.path.join(exdir, "meta.xml")).getroot()
+    arch = xml2d(_wrap_root(meta_root))["archive"]
+    rf = RD.DwcaRecordFile(
+        arch["core"], str(exdir / "occurrence.csv"), logname="t"
+    )
+    ref_rows = []
+    while True:
+        try:
+            ref_rows.append(rf.readline())
+        except StopIteration:
+            break
+
+    # the designed pins on the ORACLE itself (the fold direction):
+    assert ref_rows[0]["dwc:genus"] == "Quercus"   # idx 2 declared last
+    assert ref_rows[1]["dwc:genus"] == "Acer"
+    assert ref_rows[2]["dwc:genus"] == "Salix"     # empty never assigns
+    assert "dwc:genus" not in ref_rows[3]
+    assert "dwc:genus" not in ref_rows[4]
+
+    a = DwcaArchive(zp)
+    eng_rows = {
+        r["id"]: {
+            k: v for k, v in r.asDict().items() if v is not None
+        }
+        for r in a.read_core(spark).collect()
+    }
+    a.close()
+    assert len(eng_rows) == len(ref_rows) == 5
+    for ref in ref_rows:
+        assert eng_rows[ref["id"]] == ref, (ref, eng_rows[ref["id"]])
