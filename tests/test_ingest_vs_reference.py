@@ -1216,3 +1216,122 @@ def test_process_file_commit_gate_executed(
     # divergence, now against the CORRECTED reference behavior)
     summary = [{"status": "create", "n": 6}, {"status": "delete", "n": 5}]
     assert st.commit_gate(summary, existing_count=5) is False
+
+
+def test_duplicate_term_archive_e2e(ref_db_check, ref_dwca_reader, spark,
+                                    tmp_path):
+    """r14 pool class (duplicate keys at the source): a FOREIGN archive
+    whose meta.xml declares dwc:genus at TWO indexes — the reference
+    reader folds both into one dict key (last non-empty declaration
+    wins) BEFORE calcEtag/identifyRecord ever run, so the fold is part
+    of content identity. The engine's read_member coalesce (r14) must
+    produce identical store mutations through the whole kernel. Rows
+    cover: both columns set (last declared wins), later-declared blank
+    (earlier survives), both blank (key absent), and a fold that makes
+    two rows IDENTICAL (duplicate-etag detection fires on content the
+    unfolded reader would have considered distinct)."""
+    import os
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    DB = ref_db_check
+    RD, xml2d = ref_dwca_reader
+
+    from idb_backend_spark.operators.ingest import (
+        archive_rows,
+        ingest_subfiles,
+        subfile_summary,
+    )
+    from idb_backend_spark.sources.dwca import DwcaArchive
+
+    meta = (
+        '<archive xmlns="http://rs.tdwg.org/dwc/text/">'
+        '<core rowType="http://rs.tdwg.org/dwc/terms/Occurrence"'
+        ' fieldsTerminatedBy="," linesTerminatedBy="\\n"'
+        ' fieldsEnclosedBy="" encoding="UTF-8" ignoreHeaderLines="1">'
+        "<files><location>occurrence.csv</location></files>"
+        '<id index="0"/>'
+        '<field index="1" term="http://rs.tdwg.org/dwc/terms/occurrenceID"/>'
+        '<field index="3" term="http://rs.tdwg.org/dwc/terms/genus"/>'
+        '<field index="2" term="http://rs.tdwg.org/dwc/terms/genus"/>'
+        "</core></archive>"
+    )
+    csv = (
+        "id,occurrenceID,genus2,genus3\n"
+        "1,occ-1,Quercus,Betula\n"   # idx 2 declared last -> Quercus
+        "2,occ-2,Acer,\n"            # later declaration non-empty
+        "3,occ-3,,Salix\n"           # idx 2 blank -> Salix survives
+        "4,occ-4,,\n"                # both blank -> genus absent
+        "5,occ-5,Pinus,ignored\n"    # fold collides with...
+        "5,occ-5,Pinus,shadowed\n"   # ...this row -> duplicate etag
+    )
+    zip_path = str(tmp_path / "dupterm_e2e.zip")
+    with zipfile.ZipFile(zip_path, "w") as z:
+        z.writestr("meta.xml", meta)
+        z.writestr("occurrence.csv", csv)
+
+    uuid_etag = {"records": {}, "mediarecords": {}}
+    id_uuid = {"records": {}, "mediarecords": {}}
+    rsl = RSID.lower()
+    # occ-2 exists with a stale etag -> update; occ-9 never sent -> delete
+    uuid_etag["records"]["ex-2"] = "old-etag-2"
+    id_uuid["records"][f"{rsl}\\occ-2"] = "ex-2"
+    uuid_etag["records"]["ex-9"] = "old-etag-9"
+    id_uuid["records"][f"{rsl}\\occ-9"] = "ex-9"
+
+    exdir = tmp_path / "dex"
+    with zipfile.ZipFile(zip_path) as z:
+        z.extractall(exdir)
+
+    class _NsEl:
+        def __init__(self, el, nsmap=None):
+            self._el = el
+            self.nsmap = nsmap if nsmap is not None else {}
+
+        tag = property(lambda self: self._el.tag)
+        attrib = property(lambda self: self._el.attrib)
+        text = property(lambda self: self._el.text)
+
+        def __iter__(self):
+            for c in self._el:
+                yield _NsEl(c, self.nsmap)
+
+    def _wrap_root(el):
+        tag = el.tag
+        if tag.startswith("{"):
+            return _NsEl(el, {None: tag[1:].split("}")[0]})
+        return _NsEl(el)
+
+    meta_root = ET.parse(os.path.join(exdir, "meta.xml")).getroot()
+    arch = xml2d(_wrap_root(meta_root))["archive"]
+    rf = RD.DwcaRecordFile(
+        arch["core"], str(exdir / "occurrence.csv"), logname="t"
+    )
+    db = FakePostgresDB()
+    DB.unconsumed_extensions.clear()
+    DB.core_siblings.clear()
+    ref = {
+        "occurrence.csv": DB.process_subfile(
+            rf, RSID, uuid_etag, id_uuid, ingest=True, db=db
+        )
+    }
+
+    a = DwcaArchive(zip_path)
+    rows = archive_rows(spark, a, RSID)
+    lookup = spark.createDataFrame(
+        seed_lookup(uuid_etag, id_uuid, {}), LOOKUP_SCHEMA
+    )
+    outcomes = ingest_subfiles(rows, lookup)
+    eng_rows = outcomes.collect()
+    eng_sum = {
+        r["fname"]: r.asDict() for r in subfile_summary(outcomes).collect()
+    }
+    a.close()
+
+    compare(DB, db, ref, eng_rows, eng_sum, {"ex-2", "ex-9"})
+
+    occ = ref["occurrence.csv"]
+    assert occ["create"] == 4            # occ-1/3/4/5 (occ-5 once)
+    assert occ["update"] == 1            # occ-2
+    assert occ["delete"] == 1            # ex-9 absent from the feed
+    assert occ["duplicate_record_count"] == 1   # the folded collision
