@@ -9,12 +9,13 @@ the engine's Column kernel through Spark on the same inputs.
 
 Locale note: the reference calls ``locale.setlocale(LC_ALL, '')`` and
 coerces numbers with locale.atoi/atof. This container has only the C
-locale, under which grouped numbers ('2,050') RAISE and coerce to None
-— production ran under en_US.UTF-8 where they parse, which is the
-behavior the engine pins (grabbers.py F3/F4 notes). The numeric
-differentials therefore exclude comma-grouped tokens; the grouping arm
-stays covered by the transcription-pinned goldens in
-tests/test_enrichment.py.
+locale DATA, under which grouped numbers ('2,050') RAISE and coerce to
+None — production ran under en_US.UTF-8 where they parse. r14 CLOSES
+that boundary: ``test_number_grabbers_grouping_vs_reference_en_us``
+executes the REAL locale.atof/atoi with en_US numeric data injected
+through CPython's ``locale._override_localeconv`` hook, driving the
+full comma/grouping-edge pool; the C-locale differential above stays
+as the no-grouping control arm.
 """
 
 from __future__ import annotations
@@ -1341,3 +1342,93 @@ def test_lone_surrogate_etag_raises_both_sides():
         ref_etags.calcEtag(dict(bad))
     with pytest.raises(UnicodeEncodeError):
         calc_etag(dict(bad))
+
+
+# --- r14: the locale boundary CLOSED (VERDICT r13 task 6) -------------
+
+_GROUPING_POOL = [
+    # comma/grouping edges through the full reference chain
+    # (grabFirstNumber token -> locale.atof/atoi under en_US data)
+    "2,050", "12,345", "1,234.5", "+1,000", "-1,000.25", "1,000,000",
+    "9,999.", "1,000.000", "999,999,999,999",
+    # malformed groupings: gfn stops at the first non-conforming comma
+    "1,23,4", "1,,000", "1,2345", "12,3456,789", "0,000", "00,123",
+    ",100", "100,", "1, 000", "-,5", "+,", "7,5", "12,34.5", "5.,5",
+    "0.5,6", "1.000,5", "3.222.111",
+    # embedded in text
+    "alt 1,500 m", "about 1,234.75 meters", "  1,000  ", "elev 2,050m",
+    # digits the ASCII-only grammar must skip entirely
+    "١٢٣", "1٬000", "１，０００", "۱۲۳,456",
+    # no grouping at all (control arm shared with the C-locale test)
+    "42", "-0.5", "", "x", "12.",
+]
+
+
+def test_number_grabbers_grouping_vs_reference_en_us(ref, spark):
+    """The grouping-separator semantics EXECUTED, closing SURVEY §5's
+    locale boundary: the container lacks en_US locale DATA (setlocale
+    succeeds off $LANG but localeconv carries C values — empty
+    thousands_sep), so grouped tokens could never be driven through
+    the real coercion here before. CPython's locale module exposes
+    ``_override_localeconv`` (the hook its own test_locale uses):
+    populating it with en_US numeric data (thousands_sep=',',
+    decimal_point='.' — glibc en_US, public locale data) makes the REAL
+    ``locale.atof``/``locale.atoi`` — the exact delocalize code path
+    production ran — execute with production semantics. Oracle = the
+    reference's grabFirstNumber token + real locale coercion under the
+    override, with elevGrabber/intGrabber's try/except-None; engine =
+    grab_first_number / int_grabber."""
+    import locale
+
+    df = spark.createDataFrame([(s,) for s in _GROUPING_POOL], "v string")
+    got = {
+        r["v"]: r
+        for r in df.select(
+            "v",
+            G.grab_first_number("v").alias("f"),
+            G.int_grabber("v").alias("i"),
+        ).collect()
+    }
+    assert not locale._override_localeconv  # nothing else is overriding
+    locale._override_localeconv.update(
+        {"thousands_sep": ",", "decimal_point": "."}
+    )
+    try:
+        for s in _GROUPING_POOL:
+            tok = ref.grabFirstNumber(s)
+            if tok is None:
+                exp_f = exp_i = None
+            else:
+                try:
+                    exp_f = locale.atof(tok)
+                except ValueError:
+                    exp_f = None
+                try:
+                    exp_i = locale.atoi(tok)
+                except ValueError:
+                    exp_i = None
+            assert got[s]["f"] == exp_f, (s, tok, got[s]["f"], exp_f)
+            assert got[s]["i"] == exp_i, (s, tok, got[s]["i"], exp_i)
+    finally:
+        locale._override_localeconv.clear()
+
+
+def test_en_us_locale_data_assumption_pinned():
+    """The override's values ARE the assumption — pin them against the
+    real locale when one is present so a container that gains en_US
+    promotes this from vendored data to installed-locale execution
+    (and would FAIL here if glibc's en_US ever disagreed)."""
+    import locale
+
+    try:
+        locale.setlocale(locale.LC_NUMERIC, "en_US.UTF-8")
+    except locale.Error:
+        import pytest
+
+        pytest.skip("en_US.UTF-8 locale data not installed")
+    try:
+        conv = locale.localeconv()
+        assert conv["thousands_sep"] == ","
+        assert conv["decimal_point"] == "."
+    finally:
+        locale.setlocale(locale.LC_NUMERIC, "C")
