@@ -352,15 +352,25 @@ class DwcaArchive:
             return strip_nuls(F.nullif(py_strip(src), F.lit("")))
 
         cols = []
+        id_name = "coreid" if desc.id_is_coreid else "id"
+        id_src = None
         if desc.id_index is not None:
             # the id/coreid column goes through the same loop (the
             # descriptor maps it into ``fields``, dwca.py:200-201): a
             # blank id leaves the key ABSENT from the row dict
-            cols.append(
-                stripped(F.col(f"_c{desc.id_index}")).alias(
-                    "coreid" if desc.id_is_coreid else "id"
-                )
-            )
+            id_src = stripped(F.col(f"_c{desc.id_index}"))
+            if id_name not in desc.term_by_index.values():
+                cols.append(id_src.alias(id_name))
+            # else: a <field> whose bare term is literally 'id'/'coreid'
+            # CLAIMS the same dict key — the reference seeds
+            # fields[id_index] = idtag BEFORE the field loop
+            # (dwca.py:199-201), so the later-declared field's non-empty
+            # value beats the id column in the row fold; the id column
+            # joins that term's coalesce group below instead of emitting
+            # a DUPLICATE column (two 'id' columns would be ambiguous to
+            # every downstream select and put duplicate keys on the
+            # ingest wire). Executed: tests/test_dwca_vs_reference.py
+            # test_id_term_collision_vs_reference.
         # group indexes by term in DECLARATION order (term_by_index is
         # insertion-ordered by the meta.xml field loop): the reference
         # maps EVERY declared index into fields{index: term} and the row
@@ -377,12 +387,16 @@ class DwcaArchive:
             # drops a field sharing the id's index, reference parity)
             groups.setdefault(term, []).append(idx)
         for term, idxs in groups.items():
-            if len(idxs) == 1:
-                src = stripped(F.col(f"_c{idxs[0]}"))
+            srcs = [stripped(F.col(f"_c{i}")) for i in idxs]
+            if term == id_name and id_src is not None:
+                # the id column is the FIRST claimant of this key (see
+                # the id_name note above) — later field declarations
+                # beat it when non-empty
+                srcs.insert(0, id_src)
+            if len(srcs) == 1:
+                src = srcs[0]
             else:
-                src = F.coalesce(
-                    *[stripped(F.col(f"_c{i}")) for i in reversed(idxs)]
-                )
+                src = F.coalesce(*reversed(srcs))
             d_val = desc.defaults.get(term)
             if d_val is not None:
                 # a <field> with BOTH index and default: blank/missing

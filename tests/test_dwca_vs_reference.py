@@ -560,3 +560,70 @@ def test_duplicate_term_meta_fold_vs_reference(ref_dwca, spark, tmp_path):
     assert len(eng_rows) == len(ref_rows) == 5
     for ref in ref_rows:
         assert eng_rows[ref["id"]] == ref, (ref, eng_rows[ref["id"]])
+
+
+def test_id_term_collision_vs_reference(ref_dwca, spark, tmp_path):
+    """A <field> whose bare term is literally ``id``: the reference
+    seeds fields[id_index] = 'id' BEFORE the field loop (dwca.py:199-201)
+    and the field's declaration lands in the same dict key — so in the
+    row fold the later-declared FIELD's non-empty value beats the id
+    column, and a blank field value lets the id column survive. The
+    engine previously emitted TWO ``id`` columns here (ambiguous to
+    every downstream select, duplicate keys on the ingest wire); r14
+    folds the id column into the term's coalesce group. Executed
+    row-dict equality."""
+    RD, xml2d = ref_dwca
+
+    from idb_backend_spark.sources.dwca import DwcaArchive
+
+    meta = (
+        '<archive xmlns="http://rs.tdwg.org/dwc/text/">'
+        '<core rowType="http://rs.tdwg.org/dwc/terms/Occurrence"'
+        ' fieldsTerminatedBy="," linesTerminatedBy="\\n"'
+        ' fieldsEnclosedBy="" encoding="UTF-8" ignoreHeaderLines="0">'
+        "<files><location>occurrence.csv</location></files>"
+        '<id index="0"/>'
+        '<field index="1" term="id"/>'
+        '<field index="2" term="http://rs.tdwg.org/dwc/terms/genus"/>'
+        "</core></archive>"
+    )
+    csv = (
+        "r1,other-id,Quercus\n"   # field non-empty -> beats id column
+        "r2,,Acer\n"              # field blank -> id column survives
+        "r3, \t ,Salix\n"         # whitespace-only field -> id survives
+    )
+    zp = str(tmp_path / "idterm.zip")
+    with zipfile.ZipFile(zp, "w") as z:
+        z.writestr("meta.xml", meta)
+        z.writestr("occurrence.csv", csv)
+
+    exdir = tmp_path / "ix"
+    with zipfile.ZipFile(zp) as z:
+        z.extractall(exdir)
+    meta_root = ET.parse(os.path.join(exdir, "meta.xml")).getroot()
+    arch = xml2d(_wrap_root(meta_root))["archive"]
+    rf = RD.DwcaRecordFile(
+        arch["core"], str(exdir / "occurrence.csv"), logname="t"
+    )
+    ref_rows = []
+    while True:
+        try:
+            ref_rows.append(rf.readline())
+        except StopIteration:
+            break
+
+    assert ref_rows[0]["id"] == "other-id"   # the field won
+    assert ref_rows[1]["id"] == "r2"         # blank field, id survived
+    assert ref_rows[2]["id"] == "r3"
+
+    a = DwcaArchive(zp)
+    df = a.read_core(spark)
+    assert df.columns.count("id") == 1       # no duplicate column
+    eng = {
+        r["dwc:genus"]: {k: v for k, v in r.asDict().items()
+                         if v is not None}
+        for r in df.collect()
+    }
+    a.close()
+    for ref_row in ref_rows:
+        assert eng[ref_row["dwc:genus"]] == ref_row, (ref_row, eng)
