@@ -272,6 +272,12 @@ def _contact_block(rng, tag: str) -> str:
 
 def _random_eml(rng) -> bytes:
     ds = [f"<title>{_rand_text(rng)}</title>"]
+    if rng.random() < 0.2:
+        # r14 duplicate-element arm: a SECOND non-empty dataset title —
+        # pyquery's multi-element .text() joins both with one space
+        # (same join class as the multi-para arm below, so inside the
+        # fake's validated surface)
+        ds.append(f"<title>{_rand_text(rng)}</title>")
     if rng.random() < 0.7:
         # single para (multi-para with empties hits the undocumented
         # multi-element join boundary — see module docstring); nested
@@ -301,6 +307,14 @@ def _random_eml(rng) -> bytes:
             f"<url function='information'>http://portal{rng.randrange(9)}"
             ".example.org</url></online></distribution>"
         )
+        if rng.random() < 0.25:
+            # r14 duplicate-element arm: a second distribution url —
+            # the descendant selector matches both, .text() space-joins
+            ds.append(
+                "<distribution><online>"
+                f"<url>http://mirror{rng.randrange(9)}"
+                ".example.org</url></online></distribution>"
+            )
     if rng.random() < 0.4:
         ds.append(f"<alternateIdentifier>{rng.randrange(100)}</alternateIdentifier>")
     if rng.random() < 0.2:  # literally-lowercase tag — the only one that counts
@@ -328,6 +342,11 @@ def _random_eml(rng) -> bytes:
         )
     if rng.random() < 0.3:
         extra += f"<resourceLogoUrl>http://logo{rng.randrange(9)}.example.org</resourceLogoUrl>"
+        if rng.random() < 0.3:
+            # r14 duplicate-element arm: a SECOND logo —
+            # `.find('.//resourceLogoUrl')` takes the FIRST in document
+            # order, the duplicate must be ignored
+            extra += "<resourceLogoUrl>http://dup.example.org</resourceLogoUrl>"
 
     return (
         '<eml:eml xmlns:eml="eml://ecoinformatics.org/eml-2.1.1">'
