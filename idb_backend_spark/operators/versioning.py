@@ -37,14 +37,20 @@ def latest_per_key_agg(
     keys: list[str],
     order_cols: list[Column | str],
 ) -> DataFrame:
-    """J1/W1 via hash aggregation instead of a window sort.
+    """J1/W1 via aggregation instead of a window sort.
 
-    ``max_by(struct(*), struct(order_cols))`` computes top-1-per-key with
-    map-side partial aggregation — no per-partition sort, and the shuffle
-    carries one row per (key, map-partition) instead of every row. At 100
-    TB this is the difference between a bounded agg and a full-data sort
-    exchange; the window form remains for orderings that cannot be
-    expressed as a struct max (mixed asc/desc on non-negatable types).
+    ``max_by(struct(*), struct(order_cols))`` computes top-1-per-key
+    with map-side partial aggregation: the shuffle carries one row per
+    (key, map-partition) instead of every row. Physical shape, honestly
+    (r14 audit): max_by's struct-typed buffer is a DECLARATIVE
+    aggregate with non-mutable buffer fields, so Spark plans
+    SortAggregate — each MAP partition is sorted by the grouping key
+    before the partial phase (local CPU, no extra IO or exchange).
+    That is still the scale-winning plan: the window form shuffles and
+    sorts EVERY row globally, while here the post-shuffle side touches
+    only the collapsed partials. The window form remains for orderings
+    that cannot be expressed as a struct max (mixed asc/desc on
+    non-negatable types).
 
     ``order_cols``: columns whose natural descending max order IS the
     "latest" order (e.g. modified, version, unique tie-breaker last).

@@ -97,8 +97,13 @@ def test_minhash_signature_partial_min(spark):
 
 
 def test_latest_per_key_agg_avoids_sort_exchange(spark):
-    """W1 hot path: max_by top-1-per-key must plan as hash aggregation —
-    no Window, no Sort over the full data."""
+    """W1 hot path: max_by top-1-per-key must plan as an aggregation
+    with a map-side partial phase — no Window (which would shuffle and
+    sort every row globally). The physical node is SortAggregate
+    (max_by's struct buffer is not hash-aggregable — see
+    latest_per_key_agg's shape note); its sorts are per-map-partition,
+    BEFORE the exchange, so the shuffle still carries only collapsed
+    partials."""
     ud = spark.createDataFrame(
         [(i % 100, i, f"e{i}") for i in range(1000)],
         "uuid int, version int, etag string",
