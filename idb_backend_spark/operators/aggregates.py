@@ -1,8 +1,12 @@
 """Aggregation patterns A1-A11 (SURVEY §2.4) as DataFrame builders.
 
-All are single-pass hash aggregations with map-side partial aggregation
+All are single-pass aggregations with map-side partial aggregation
 (Spark does the partial/final split automatically); top-N orderings ride on
-the agg output, which is tiny relative to the fact table.
+the agg output, which is tiny relative to the fact table. Primitive-buffer
+aggs (count/sum/min/max) plan as HashAggregate; the one struct-buffer
+min_by (datasets dominance pick) plans as SortAggregate but runs over an
+already-collapsed rollup, never the fact table (see
+versioning.latest_per_key_agg's shape note).
 """
 
 from __future__ import annotations

@@ -198,6 +198,7 @@ def read_delimited(
         multiline = bool(quote) and file_contains_char(path, quote, encoding)
     if multiline:
         reader = reader.option("multiLine", "true")
+    raw = _raw_header(path, normalize_delimiter(sep), quote, encoding)
     df = reader.csv(path)
     if CORRUPT_COL not in df.columns:
         # Spark only EMITS columnNameOfCorruptRecord when that column is
@@ -213,16 +214,20 @@ def read_delimited(
             [StructField(f.name, StringType()) for f in df.schema.fields]
             + [StructField(CORRUPT_COL, StringType())]
         )
-        # enforceSchema=true on the schema-bearing read: the schema IS
-        # the file's own header (plus the corrupt column), but Spark's
-        # header validation compares literal header tokens against
-        # schema names and duplicate headers were DEDUPED positionally
-        # by the first pass (genus,genus -> genus0,genus1) — validation
-        # would fail the read at runtime on exactly the files the
-        # duplicate-canonical fold exists for
-        df = reader.option("enforceSchema", "true").schema(schema).csv(path)
+        # enforceSchema=true on the schema-bearing read of a VERIFIED
+        # local single file: the schema IS that file's own header (plus
+        # the corrupt column), but Spark's header validation compares
+        # literal header tokens against schema names and duplicate
+        # headers were DEDUPED positionally by the first pass
+        # (genus,genus -> genus0,genus1) — validation would fail the
+        # read at runtime on exactly the files the duplicate-canonical
+        # fold exists for. Directory/glob reads keep the validation:
+        # there a mismatched second file's header SHOULD fail loudly
+        # rather than parse positionally.
+        if raw is not None:
+            reader = reader.option("enforceSchema", "true")
+        df = reader.schema(schema).csv(path)
     if canonicalize and header:
-        raw = _raw_header(path, normalize_delimiter(sep), quote, encoding)
         data_cols = [c for c in df.columns if c != CORRUPT_COL]
         if raw is not None and len(raw) == len(data_cols):
             # Positional canonicalization from the RAW header — the
