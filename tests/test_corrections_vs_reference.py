@@ -367,3 +367,49 @@ def test_guard_skips_whole_family_vs_reference(ref_corrector, spark):
     assert row["dwc:kingdom"] == "Animalia"
     assert row["dwc:country"] == "US"
     assert row["flag_dwc_country"] is None
+
+
+def test_removed_then_recorrected_field_crashes_reference(ref_corrector,
+                                                          spark):
+    """r14 soak finding (5,000-record soak of the 400-record CI
+    differential, fresh seed): when one rule REMOVES a field (correction
+    value None -> ``corrected_dict[cdk] = None``,
+    record_corrector.py:240-245) and a LATER key tuple carries a
+    correction for that same field, the reference calls
+    ``corrected_dict[cdk].lower()`` on the None (:239) and
+    ``correct_record`` raises AttributeError. At both production call
+    sites the record is LOST: index_helper.index_record has no local
+    catch, the full-reindex generators (index_from_postgres.py:65/164/
+    215) poison their stream, and index_specific_uuids' batch-level
+    catch (:278-280) aborts the whole 200k-record batch. The minimal
+    shape with the shared fixture table: {genus: Rosa, epithet: alba,
+    country: narnia} — narnia removes dwc:country, then (rosa, alba)
+    re-corrects it. The seeded CI pool happens to never draw the combo
+    (~1/120 per record); this pin keeps the oracle construction honest
+    about why.
+
+    The engine's chain is vectorized and cannot crash row-wise; its
+    pinned semantic is the evident intent: the removed field is ABSENT
+    for the later rule, which re-ADDS its value — both provenance flags
+    accumulate on the field's flag column. DOCUMENTED DIVERGENCE: the
+    engine keeps (and re-corrects) a record the reference destroys."""
+    RC, objectHasher = ref_corrector
+    rc = _make_corrector(RC, objectHasher, CORRECTIONS)
+
+    rec = {"dwc:genus": "Rosa", "dwc:specificepithet": "alba",
+           "dwc:country": "narnia"}
+    with pytest.raises(AttributeError):
+        rc.correct_record(dict(rec))
+
+    df = spark.createDataFrame(
+        [tuple(rec.get(f) for f in FIELDS) + (0,)],
+        ", ".join(f"`{f}` string" for f in FIELDS) + ", `__i` long",
+    )
+    from idb_backend_spark.operators.corrections import apply_corrections
+
+    out = apply_corrections(df, _engine_rule_sets(spark)).collect()[0]
+    assert out["dwc:country"] == "france"          # re-added by (rosa, alba)
+    assert out["dwc:kingdom"] == "plantae"
+    assert set(out["flag_dwc_country"].split(",")) == {
+        "dwc_country_removed", "dwc_country_added",
+    }
