@@ -351,6 +351,24 @@ class DwcaArchive:
         def stripped(src: Column) -> Column:
             return strip_nuls(F.nullif(py_strip(src), F.lit("")))
 
+        have = set(df.columns)
+
+        def src_col(idx: int) -> Column:
+            # a declared index past the member's actual width reads as
+            # NULL (key absent) instead of an unresolved-column crash —
+            # the reference MissingFieldsExceptions EVERY row there and
+            # the whole member reads as empty (delimited.py:250-253,
+            # executed: tests/test_dwca_vs_reference.py
+            # test_declared_index_beyond_width_vs_reference); the
+            # engine keeps the rows with the over-declared term absent,
+            # the same keep-and-flag stance as its short-row handling
+            # (r14 fuzz finding — the old F.col crash lost the ARCHIVE)
+            name = f"_c{idx}"
+            return (
+                F.col(name) if name in have
+                else F.lit(None).cast("string")
+            )
+
         cols = []
         id_name = "coreid" if desc.id_is_coreid else "id"
         id_src = None
@@ -358,8 +376,18 @@ class DwcaArchive:
             # the id/coreid column goes through the same loop (the
             # descriptor maps it into ``fields``, dwca.py:200-201): a
             # blank id leaves the key ABSENT from the row dict
-            id_src = stripped(F.col(f"_c{desc.id_index}"))
+            id_src = stripped(src_col(desc.id_index))
             if id_name not in desc.term_by_index.values():
+                # a default recorded for the id's own name (a <field
+                # term="id" default=...> whose index was a dropped
+                # duplicate — the descriptor keeps the default outside
+                # the dedup check) fills BLANK ids; emitting it as a
+                # constant column below would duplicate the id column
+                # (r14 fuzz finding — asDict() then shadowed every real
+                # id with the constant)
+                d_val = desc.defaults.get(id_name)
+                if d_val is not None:
+                    id_src = F.coalesce(id_src, F.lit(d_val))
                 cols.append(id_src.alias(id_name))
             # else: a <field> whose bare term is literally 'id'/'coreid'
             # CLAIMS the same dict key — the reference seeds
@@ -387,7 +415,7 @@ class DwcaArchive:
             # drops a field sharing the id's index, reference parity)
             groups.setdefault(term, []).append(idx)
         for term, idxs in groups.items():
-            srcs = [stripped(F.col(f"_c{i}")) for i in idxs]
+            srcs = [stripped(src_col(i)) for i in idxs]
             if term == id_name and id_src is not None:
                 # the id column is the FIRST claimant of this key (see
                 # the id_name note above) — later field declarations
@@ -408,7 +436,9 @@ class DwcaArchive:
                 expr = src
             cols.append(expr.alias(term))
         for term, default in desc.defaults.items():
-            if term not in desc.term_by_index.values():
+            if term not in desc.term_by_index.values() and not (
+                term == id_name and id_src is not None
+            ):  # the id binding already folded its own default in
                 cols.append(F.lit(default).alias(term))
         return df.select(*cols)
 

@@ -627,3 +627,119 @@ def test_id_term_collision_vs_reference(ref_dwca, spark, tmp_path):
     a.close()
     for ref_row in ref_rows:
         assert eng[ref_row["dwc:genus"]] == ref_row, (ref_row, eng)
+
+
+def test_declared_index_beyond_width_vs_reference(ref_dwca, spark,
+                                                  tmp_path):
+    """r14 fuzz finding: a meta.xml field declared at an index past the
+    member's actual width. The reference raises MissingFieldsException
+    for EVERY row (delimited.py:250-253 — `if k >= len(lineArr)`), each
+    caught-and-logged, so the whole member reads as EMPTY and the
+    recordset silently ingests nothing. The engine previously CRASHED
+    the archive (unresolved `_cN` AnalysisException); it now reads the
+    rows with the over-declared term ABSENT — the same keep-don't-drop
+    stance as its short-row handling, machine-pinned as a documented
+    divergence (keeping data beats both crashing and silently emptying
+    the feed)."""
+    RD, xml2d = ref_dwca
+
+    from idb_backend_spark.sources.dwca import DwcaArchive
+
+    meta = (
+        '<archive xmlns="http://rs.tdwg.org/dwc/text/">'
+        '<core rowType="http://rs.tdwg.org/dwc/terms/Occurrence"'
+        ' fieldsTerminatedBy="," linesTerminatedBy="\\n"'
+        ' fieldsEnclosedBy="" encoding="UTF-8" ignoreHeaderLines="0">'
+        "<files><location>occurrence.csv</location></files>"
+        '<id index="0"/>'
+        '<field index="1" term="http://rs.tdwg.org/dwc/terms/genus"/>'
+        '<field index="5" term="http://rs.tdwg.org/dwc/terms/country"/>'
+        "</core></archive>"
+    )
+    zp = str(tmp_path / "short.zip")
+    with zipfile.ZipFile(zp, "w") as z:
+        z.writestr("meta.xml", meta)
+        z.writestr("occurrence.csv", "r0,Rosa,x\nr1,Acer,y\n")
+
+    exdir = tmp_path / "sx"
+    with zipfile.ZipFile(zp) as z:
+        z.extractall(exdir)
+    meta_root = ET.parse(os.path.join(exdir, "meta.xml")).getroot()
+    arch = xml2d(_wrap_root(meta_root))["archive"]
+    rf = RD.DwcaRecordFile(
+        arch["core"], str(exdir / "occurrence.csv"), logname="t"
+    )
+    ref_rows = []
+    while True:
+        try:
+            ref_rows.append(rf.readline())
+        except StopIteration:
+            break
+    assert ref_rows == []          # the reference loses the entire member
+
+    a = DwcaArchive(zp)
+    eng = a.read_core(spark).orderBy("id").collect()
+    a.close()
+    assert [r["id"] for r in eng] == ["r0", "r1"]
+    assert [r["dwc:genus"] for r in eng] == ["Rosa", "Acer"]
+    assert all(r["dwc:country"] is None for r in eng)
+
+
+def test_id_default_on_dropped_duplicate_index_vs_reference(ref_dwca,
+                                                            spark,
+                                                            tmp_path):
+    """r14 fuzz finding #2: a ``<field term="id" default=...>`` whose
+    index was a dropped duplicate. The descriptor records the default
+    OUTSIDE the dedup check (reference parity, dwca.py:246-247), and
+    the engine's index-less-default loop then emitted a CONSTANT column
+    literally named ``id`` next to the real id binding — a duplicate
+    column that shadowed every real id in dict renderings. Now the id
+    binding owns its name: such a default fills BLANK ids (the engine's
+    documented defaults-applied divergence), never duplicates the
+    column. The reference never applies defaults at all — its rows keep
+    the plain column-0 id."""
+    RD, xml2d = ref_dwca
+
+    from idb_backend_spark.sources.dwca import DwcaArchive
+
+    meta = (
+        '<archive xmlns="http://rs.tdwg.org/dwc/text/">'
+        '<core rowType="http://rs.tdwg.org/dwc/terms/Occurrence"'
+        ' fieldsTerminatedBy="," linesTerminatedBy="\\n"'
+        ' fieldsEnclosedBy="" encoding="UTF-8" ignoreHeaderLines="0">'
+        "<files><location>occurrence.csv</location></files>"
+        '<id index="0"/>'
+        '<field index="1" term="http://rs.tdwg.org/dwc/terms/genus"/>'
+        '<field index="1" term="id" default="fallback-id"/>'
+        "</core></archive>"
+    )
+    zp = str(tmp_path / "iddef.zip")
+    with zipfile.ZipFile(zp, "w") as z:
+        z.writestr("meta.xml", meta)
+        z.writestr("occurrence.csv", "r0,Rosa\n,Acer\n")
+
+    exdir = tmp_path / "idx"
+    with zipfile.ZipFile(zp) as z:
+        z.extractall(exdir)
+    meta_root = ET.parse(os.path.join(exdir, "meta.xml")).getroot()
+    arch = xml2d(_wrap_root(meta_root))["archive"]
+    rf = RD.DwcaRecordFile(
+        arch["core"], str(exdir / "occurrence.csv"), logname="t"
+    )
+    ref_rows = []
+    while True:
+        try:
+            ref_rows.append(rf.readline())
+        except StopIteration:
+            break
+    # reference: defaults never applied; blank id -> key absent
+    assert ref_rows == [
+        {"id": "r0", "dwc:genus": "Rosa"}, {"dwc:genus": "Acer"},
+    ]
+
+    a = DwcaArchive(zp)
+    df = a.read_core(spark)
+    assert df.columns.count("id") == 1        # no duplicate column
+    eng = {r["dwc:genus"]: r["id"] for r in df.collect()}
+    a.close()
+    assert eng == {"Rosa": "r0", "Acer": "fallback-id"}
