@@ -48,13 +48,20 @@ def _random_archive(rng, tmpdir, it):
         fields.append(
             f'<field term="{rng.choice(TERMS)}" default="only{it}"/>'
         )
+    # sometimes interleave <id> BETWEEN field declarations: xml2d's
+    # sibling-merge then SCRAMBLES the field order (a singleton first
+    # run lands after a later multi-element run, xmlDictTools.py:37-39
+    # — mirrored by sources.dwca._xml2d_field_order), which flips the
+    # duplicate-index winner on exactly these metas
+    id_pos = rng.randrange(0, len(fields) + 1) if rng.random() < 0.4 else 0
+    decls = fields[:id_pos] + ['<id index="0"/>'] + fields[id_pos:]
     meta = (
         '<archive xmlns="http://rs.tdwg.org/dwc/text/">'
         '<core rowType="http://rs.tdwg.org/dwc/terms/Occurrence"'
         ' fieldsTerminatedBy="," linesTerminatedBy="\\n"'
         ' fieldsEnclosedBy="" encoding="UTF-8" ignoreHeaderLines="0">'
         "<files><location>occurrence.csv</location></files>"
-        '<id index="0"/>' + "".join(fields) + "</core></archive>"
+        + "".join(decls) + "</core></archive>"
     )
     lines = []
     for i in range(rng.randint(1, 4)):
