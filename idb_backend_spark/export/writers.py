@@ -98,7 +98,12 @@ def write_csv_member(
         )
         w.writerow(names)
         for part in sorted(glob.glob(os.path.join(tmp, "part-*"))):
-            with open(part, "r", encoding="utf-8") as pf:
+            # newline='' — universal-newline translation would rewrite a
+            # quoted value's embedded \r\n to \n DURING the copy,
+            # corrupting record bytes (r14 writer-interop fuzz finding:
+            # the reference's reader opens with newline='' and preserves
+            # them, so the round-trip changed content and etag)
+            with open(part, "r", encoding="utf-8", newline="") as pf:
                 shutil.copyfileobj(pf, out)
     shutil.rmtree(tmp, ignore_errors=True)
     return out_path
