@@ -44,7 +44,7 @@ def ref_etags():
 _KEYS = ["a", "A", "", "ключ", "né", "0", "dwc:genus", "z" * 40, "\t",
          "k.1", "idigbio:data"]
 _SCALARS = [
-    "", "x", "  padded  ", "ünïcode✓", "line\nbreak", 'q"uote',
+    "", "x", "  padded  ", "ünïcode✓", "😀𐐷🦕", "𝔘𝔫𝔦", "line\nbreak", 'q"uote',
     "back\\slash", "\x00nul", 0, -1, 2 ** 63, 1.0, -0.0, 0.1, 1e20,
     3.14159, True, False, None, "True", "None", "1.0",
 ]

@@ -25,7 +25,7 @@ from tests.test_dwca_vs_reference import _wrap_root, ref_dwca  # noqa: F401
 import idb_backend_spark.functions.grabbers as G
 
 VALS = ["plain", "with,comma", 'with"quote', 'both",and', "line\nbreak",
-        "crlf\r\nend", "tab\there", "Ünïcode✓", "", " ", "trail  ",
+        "crlf\r\nend", "tab\there", "Ünïcode✓", "😀 𐐷 🦕", "", " ", "trail  ",
         "  lead", "a" * 200, "'single'", '""', 'end"', " sep"]
 
 
