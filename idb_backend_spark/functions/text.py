@@ -118,10 +118,17 @@ def analyzer_tokens(c: Column | str) -> Column:
 
 
 def analyzer_tokenize(s: str) -> list[str]:
-    """Python-side twin of `analyzer_tokens` for query strings.
-
-    Query-side and document-side tokenization MUST agree or whole-token
-    fulltext matching (and token-index pruning) silently diverges.
+    """Pure-Python approximation of `analyzer_tokens` — the NO-ENGINE
+    fallback only. CPython's unicodedata and the JVM's tables track
+    different Unicode versions (CPython 3.11 = Unicode 14, JDK 17 =
+    Unicode 13), so for code points assigned in between (Vithkuqi
+    U+10570.., Toto, Cypro-Minoan, ...) this function produces tokens
+    the JVM document side can never emit. Query compilation therefore
+    goes through `query_tokens` below, which evaluates the engine's OWN
+    expression; this fallback is used only when no SparkSession is live
+    (and the two agree on every code point both Unicode versions assign
+    identically — tests/test_fulltext_prop.py pins that over the curated
+    pool).
     """
     import re
 
@@ -129,6 +136,70 @@ def analyzer_tokenize(s: str) -> list[str]:
         s.lower().replace(_FOLD_FROM[0], _FOLD_TO).replace(_FOLD_FROM[1], "")
     )
     return re.findall(r"\w+", folded, re.UNICODE)
+
+
+#: engine-evaluated query-token cache. Keyed by the raw query string;
+#: values are the token tuples the JVM itself produced, so repeated shim
+#: compiles of the same query cost zero jobs. Bounded: a query workload
+#: with >4096 distinct fulltext strings re-evaluates (one tiny local
+#: job), it never grows without limit on a long-lived driver.
+_ENGINE_TOKENS_CACHE: dict[str, tuple[str, ...]] = {}
+_ENGINE_TOKENS_CACHE_MAX = 4096
+
+
+def query_tokens_batch(strings: list[str]) -> list[list[str]]:
+    """Analyzer tokens for QUERY strings, derived through the engine.
+
+    The document side tokenizes with `analyzer_tokens` evaluated by the
+    JVM; a Python re-implementation can silently disagree wherever the
+    two runtimes ship different Unicode tables (found by the repo's own
+    hypothesis sweep: U+10570 VITHKUQI CAPITAL, assigned in Unicode 14,
+    tokenizes under CPython 3.11 but is unassigned to JDK 17 — a query
+    containing it matched nothing, and the token-skipping index pruned
+    every file). So the query side asks the engine itself: evaluate
+    `analyzer_tokens(lit(query))` on a one-row frame at compile time.
+    Agreement with the stored token arrays is then true by construction,
+    whatever Unicode version the JVM has. One tiny local job per batch
+    of uncached strings; results are cached per query string.
+
+    Falls back to the pure-Python `analyzer_tokenize` twin only when no
+    usable SparkSession exists (e.g. oracle-SQL rendering after the
+    session closed) — identical output for any string both Unicode
+    versions treat alike, which covers every catalog query.
+    """
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    missing = sorted({s for s in strings if s not in _ENGINE_TOKENS_CACHE})
+    fresh: dict[str, tuple[str, ...]] = {}
+    if spark is not None and missing:
+        try:
+            df = spark.createDataFrame(
+                list(enumerate(missing)), "i long, s string"
+            )
+            rows = df.select(
+                "i", analyzer_tokens("s").alias("t")
+            ).collect()
+            fresh = {missing[r["i"]]: tuple(r["t"]) for r in rows}
+        except Exception:  # stopped/broken session: engine unusable
+            spark = None
+    out: list[list[str]] = []
+    for s in strings:
+        t = _ENGINE_TOKENS_CACHE.get(s)
+        if t is None:
+            if spark is None:
+                out.append(analyzer_tokenize(s))
+                continue
+            t = fresh[s]
+            if len(_ENGINE_TOKENS_CACHE) < _ENGINE_TOKENS_CACHE_MAX:
+                _ENGINE_TOKENS_CACHE[s] = t
+        out.append(list(t))
+    return out
+
+
+def query_tokens(s: str) -> list[str]:
+    """`query_tokens_batch` for one string — the shim/index entry point."""
+    return query_tokens_batch([s])[0]
 
 
 def whole_token_match(c: Column | str, query: str) -> Column:
@@ -139,9 +210,11 @@ def whole_token_match(c: Column | str, query: str) -> Column:
     The single source of truth for whole-token matching — the shim's P7
     compiler (query/shim._fulltext) and the token-index residual filter
     (plans/skipping.token_match) both call this, so index pruning can
-    never diverge from shim filtering.
+    never diverge from shim filtering. Query tokens come from the
+    ENGINE (`query_tokens`), so they always agree with what
+    `analyzer_tokens` emits for documents on this JVM.
     """
-    toks = sorted(set(analyzer_tokenize(query)))
+    toks = sorted(set(query_tokens(query)))
     if not toks:
         return F.lit(True)
     tok_arr = analyzer_tokens(c)
@@ -171,8 +244,10 @@ def analyzer_contains_sql(col_expr: str, token_sql_lit: str) -> str:
 def whole_token_match_sql(col_expr: str, query: str) -> str:
     """DuckDB-SQL twin of `whole_token_match`: the AND-conjunction of
     `analyzer_contains_sql` over the query's analyzer tokens. Token
-    literals are escaped by quote-doubling."""
-    toks = sorted(set(analyzer_tokenize(query)))
+    literals are escaped by quote-doubling. Uses the same engine-derived
+    `query_tokens` as the Spark predicate (cached — both renderings of
+    one query embed the identical token list)."""
+    toks = sorted(set(query_tokens(query)))
     if not toks:
         return "TRUE"
     def lit(t: str) -> str:

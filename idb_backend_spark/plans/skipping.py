@@ -44,7 +44,7 @@ from operator import and_
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from idb_backend_spark.functions.text import analyzer_tokenize, analyzer_tokens
+from idb_backend_spark.functions.text import analyzer_tokens
 
 #: bucket space for token hashes — 2^20 buckets keeps per-file sets exact
 #: enough that collisions are rare while the index stays tiny
@@ -143,24 +143,34 @@ def update_token_index(
     return new
 
 
-def _buckets_of(tokens: list[str], spark: SparkSession) -> list[int]:
-    # must hash EXACTLY like the build side (JVM xxhash64 with Spark's
-    # seed) — one tiny local query beats reimplementing the hash in
-    # Python. ALL tokens are hashed as columns of a single-row select, so
-    # the probe costs ONE Spark job regardless of query length (a
-    # per-token job would mean 10 driver round-trips for a 10-token
-    # query before the scan even starts).
-    if not tokens:
+def _query_buckets(raws: list[str], spark: SparkSession) -> list[int]:
+    """Engine-tokenize the raw query strings AND hash every token to its
+    bucket in ONE single-row job.
+
+    Tokenization must go through the ENGINE's own `analyzer_tokens`
+    expression (not a Python twin — the JVM's Unicode tables decide what
+    a token is; a Python-side tokenizer produced query-only tokens for
+    post-Unicode-13 code points that pruned every file, the U+10570
+    class in tests/test_fulltext_prop.py), and hashing must match the
+    build side EXACTLY (JVM xxhash64 with Spark's seed). Fusing both
+    into one select keeps the probe at one driver round-trip regardless
+    of query length. Returns the sorted distinct bucket list (the P7
+    conjunction only needs the set)."""
+    raws = [r for r in raws if r]
+    if not raws:
         return []
     row = spark.range(1).select(
         *[
-            F.pmod(F.xxhash64(F.lit(t)), F.lit(N_BUCKETS))
-            .cast("int")
-            .alias(f"b{i}")
-            for i, t in enumerate(tokens)
+            F.transform(
+                analyzer_tokens(F.lit(r)),
+                lambda t: F.pmod(F.xxhash64(t), F.lit(N_BUCKETS)).cast(
+                    "int"
+                ),
+            ).alias(f"b{i}")
+            for i, r in enumerate(raws)
         ]
     ).first()
-    return [row[f"b{i}"] for i in range(len(tokens))]
+    return sorted({b for i in range(len(raws)) for b in row[f"b{i}"]})
 
 
 def prune_files(
@@ -184,15 +194,18 @@ def prune_files(
     guarantees the index exactly matches the table.
     """
     idx = spark.read.parquet(index_path)
-    # re-tokenize through the analyzer so a caller-supplied token like
-    # 'florida,' probes the bucket the build side actually recorded
-    toks = sorted({t for raw in query_tokens for t in analyzer_tokenize(raw)})
-    if not toks:
+    # tokenize + hash in one fused single-row job (_query_buckets):
+    # re-tokenizing through the ENGINE's analyzer means a caller-supplied
+    # token like 'florida,' probes the bucket the build side actually
+    # recorded, and a code point the JVM's Unicode tables don't know can
+    # never yield a query-only token that prunes every file (the U+10570
+    # class, tests/test_fulltext_prop.py)
+    buckets = _query_buckets(query_tokens, spark)
+    if not buckets:
         pred = F.lit(True)
     else:
         pred = reduce(
-            and_,
-            [F.array_contains("buckets", b) for b in _buckets_of(toks, spark)],
+            and_, [F.array_contains("buckets", b) for b in buckets]
         )
     # ONE collect of the KB-scale index: the (file, admitted) rows yield
     # both the admitted set and — when the caller passes the current
@@ -260,7 +273,7 @@ def fulltext_scan(
     if mode != "token":
         raise ValueError(f"unknown fulltext_scan mode: {mode!r}")
     files = prune_files(
-        spark, index_path, analyzer_tokenize(query),
+        spark, index_path, [query],
         all_files=base.inputFiles(),
     )
     if not files:

@@ -2,19 +2,35 @@
 must be the SAME function, or whole-token matching and token-index
 pruning silently diverge (SURVEY §7.7).
 
-`analyzer_tokens` (Spark: lower + regexp_extract_all `[\\p{L}\\p{N}_]+`)
-and `analyzer_tokenize` (Python: str.lower + `\\w+`) are twins by
-construction; these tests enforce the twin-ship over generated unicode —
-including the case-mapping traps (final sigma, Turkish dotted I, titlecase
-digraphs) where Java and Python lowercasing could plausibly drift — and
-pin the documented apostrophe divergence vs ES ("don't" -> don,t).
+Round-14 finding (the suite's own hypothesis sweep): CPython 3.11 ships
+Unicode 14 while JDK 17 ships Unicode 13, so a pure-Python query-side
+twin (`analyzer_tokenize`) tokenizes post-Unicode-13 code points —
+U+10570 VITHKUQI CAPITAL LETTER A was the falsifying example — that the
+JVM document side can never emit, and a fulltext query carrying one
+silently matched nothing (and the token-skipping index pruned every
+file). The fix: query tokens are now derived THROUGH the engine
+(`query_tokens` evaluates `analyzer_tokens` on a literal at compile
+time), so query/document agreement holds by construction on whatever
+Unicode version the JVM has. These tests enforce:
+
+- the engine-derivation invariant over hypothesis's full unicode space,
+  with U+10570 kept as a seeded regression;
+- the pure-Python fallback twin over the curated alphabet (code points
+  both Unicode versions treat identically), including the case-mapping
+  traps (final sigma, Turkish dotted I, titlecase digraphs);
+- the documented apostrophe divergence vs ES ("don't" -> don,t);
+- the DuckDB SQL twin by cross-engine execution.
 """
 
 from __future__ import annotations
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
-from idb_backend_spark.functions.text import analyzer_tokenize
+from idb_backend_spark.functions.text import (
+    analyzer_tokenize,
+    query_tokens,
+    query_tokens_batch,
+)
 
 # adversarial alphabet: ASCII word/punct, apostrophes (ASCII + typographic),
 # accents, combining marks, Greek capitals (final-sigma context rule),
@@ -62,12 +78,71 @@ def test_query_and_document_tokenizers_agree(spark, texts):
 
 @settings(max_examples=10, deadline=None)
 @given(st.lists(st.text(max_size=40), min_size=1, max_size=60))
+@example(["don\U00010570t", "\U00010570", "a \U00010570 b"])
 def test_tokenizers_agree_on_arbitrary_unicode(spark, texts):
-    """Same contract over hypothesis's full (surrogate-free) unicode
-    space, not just the curated alphabet."""
+    """The query/document contract over hypothesis's full
+    (surrogate-free) unicode space: `query_tokens` — the function every
+    shim compile and index probe actually uses — must equal the engine's
+    document-side tokenization for ANY string, including code points the
+    JVM's Unicode tables don't know (the seeded U+10570 regression, the
+    round-14 falsifying example). This fails if query-side tokenization
+    ever reverts to a Python re-implementation."""
     got = _spark_tokens(spark, texts)
+    qtoks = query_tokens_batch(texts)
     for i, t in enumerate(texts):
-        assert got[i] == analyzer_tokenize(t), repr(t)
+        assert got[i] == qtoks[i], repr(t)
+        # the single-string path (what whole_token_match calls) must
+        # agree with the batch path, cached or not
+        assert query_tokens(t) == qtoks[i], repr(t)
+
+
+def test_unicode_skew_example_is_consistent_end_to_end(spark):
+    """U+10570 pinned at the PREDICATE level: on this JVM (Unicode 13,
+    where the code point is unassigned) a query made only of such
+    characters analyzes to zero tokens and must behave exactly like any
+    other zero-token query (match-all), not silently match nothing; a
+    mixed query must match on its JVM-visible tokens. If a future JDK
+    assigns the block, `query_tokens` follows the engine automatically
+    and this test's branches stay consistent by construction."""
+    from idb_backend_spark.functions.text import (
+        analyzer_tokens,
+        whole_token_match,
+    )
+
+    docs = [
+        (1, "vithkuqi text a\U00010570b here"),
+        (2, "plain text here"),
+        (3, "unrelated row"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def ids(q):
+        return {
+            r["doc_id"] for r in df.filter(whole_token_match("text", q)).collect()
+        }
+
+    doc_toks = {
+        r["doc_id"]: r["t"]
+        for r in df.select(
+            "doc_id", analyzer_tokens("text").alias("t")
+        ).collect()
+    }
+    q_pure = "\U00010570"
+    q_mixed = "text \U00010570"
+    toks_pure = set(query_tokens(q_pure))
+    toks_mixed = set(query_tokens(q_mixed))
+    # whatever the JVM tokenizes the query to, the predicate must select
+    # exactly the docs whose ENGINE token arrays cover those tokens —
+    # the query side can never demand a token the doc side cannot emit
+    for q, toks in ((q_pure, toks_pure), (q_mixed, toks_mixed)):
+        expect = {i for i, dt in doc_toks.items() if toks <= set(dt)}
+        assert ids(q) == expect, (q, toks)
+    # and on a Unicode-13 JVM specifically: pure-astral query -> zero
+    # tokens -> match-all (doc 1's a𐕰b token contains no query token to
+    # miss), mixed query -> matches docs containing 'text'
+    if not toks_pure:
+        assert ids(q_pure) == {1, 2, 3}
+        assert ids(q_mixed) == {1, 2}
 
 
 def test_apostrophe_divergence_is_pinned(spark):
