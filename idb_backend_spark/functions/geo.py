@@ -486,9 +486,19 @@ def normalize_datum_expr(datum_raw: Column) -> Column:
     # where an ASCII-only [^A-Za-z0-9] fold would alias it to NAD83 and
     # apply a shift the reference refuses (r12 differential finding,
     # test_reference_differential_etl::test_mangle_string_vs_reference).
-    # \p{L}\p{N}_ is Python \w's exact class (isalnum + underscore).
-    mangled = F.upper(
-        F.regexp_replace(datum_raw, r"[^\p{L}\p{N}_]+", "")
+    # \p{L}\p{N}_ is Python \w's exact class (isalnum + underscore) —
+    # up to the JVM regex engine's Unicode version: letters assigned
+    # after its tables (Arabic-Ext-B, Toto, ... — new in Unicode 14 vs
+    # JDK 17's Unicode 13) are stripped here but survive Python's \W.
+    # Machine-pinned, not fixed (tests/test_unicode_skew_sweep.py):
+    # \p{L} cannot be spelled as an explicit class the way Nd can, and
+    # real-world datum strings are ASCII registry names. py_upper_delta
+    # closes the separate two-char case-mapping skew (the JVM's upper()
+    # is AHEAD of CPython on U+0264/U+019B's Unicode-16 pairs).
+    from idb_backend_spark.data.unicode_case_delta import py_upper_delta
+
+    mangled = py_upper_delta(
+        F.upper(F.regexp_replace(datum_raw, r"[^\p{L}\p{N}_]+", ""))
     )
     pairs = []
     for verbose, short in sorted(DATUM_ALIASES.items()):
@@ -500,7 +510,7 @@ def normalize_datum_expr(datum_raw: Column) -> Column:
 
 
 def mangle_string(s: str) -> str:
-    """The reference's mangleString exactly (conversions.py:311-316):
+    r"""The reference's mangleString exactly (conversions.py:311-316):
     strip ``[\W]+`` — keeping underscores and unicode alnums — then
     uppercase."""
     return re.sub(r"[\W]+", "", s).upper()

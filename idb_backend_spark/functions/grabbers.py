@@ -77,8 +77,16 @@ _ND_SRC = "".join(
 )
 _ND_DST = "".join(str(_ud.decimal(ch)) for ch in _ND_SRC)
 
-#: a float()/int() digit run: underscores only BETWEEN digits
-_PY_D = r"\p{Nd}(?:_?\p{Nd})*"
+#: a float()/int() digit run: underscores only BETWEEN digits. ASCII
+#: `\d` ON PURPOSE — the Python grammar is validated AFTER
+#: normalize_py_number has mapped every Nd digit to ASCII through the
+#: explicit CPython-derived _ND_SRC table, so the JVM regex engine's
+#: OWN Unicode tables (JDK 17 = Unicode 13) never decide what a digit
+#: is. The previous `\p{Nd}` spelling silently rejected digits Unicode
+#: assigned after the JVM's tables (Tangsa U+16AC0-16AC9, new in 14)
+#: that CPython's float()/int() accept — the r15 Unicode-skew sweep's
+#: finding in this file (tests/test_unicode_skew_sweep.py).
+_PY_D = r"\d(?:_?\d)*"
 
 PY_FLOAT_RE = (
     rf"(?i)^[+-]?(?:{_PY_D}(?:\.(?:{_PY_D})?)?(?:e[+-]?{_PY_D})?"
@@ -89,7 +97,10 @@ PY_INT_RE = rf"^[+-]?{_PY_D}$"
 
 def normalize_py_number(c: Column, drop_underscores: bool = True) -> Column:
     """Unicode Nd digits -> ASCII (1:1), optionally deleting
-    underscores (translate drops chars with no replacement)."""
+    underscores (translate drops chars with no replacement). The digit
+    inventory is CPython's own (unicodedata at import time), handed to
+    the JVM as an explicit 650-char translate map — no dependency on
+    the JVM's Unicode version."""
     src = _ND_SRC + ("_" if drop_underscores else "")
     return F.translate(c, src, _ND_DST)
 
@@ -97,21 +108,31 @@ def normalize_py_number(c: Column, drop_underscores: bool = True) -> Column:
 def py_double(c: Column | str) -> Column:
     """``float(str)`` exactly: full-class strip, the Python float
     grammar (incl. inf/infinity/nan and between-digit underscores;
-    Java's '12.5f'/'1d' suffixes REJECTED), Nd digits accepted."""
+    Java's '12.5f'/'1d' suffixes REJECTED), Nd digits accepted.
+
+    Normalize-THEN-validate: Nd digits fold to ASCII first (explicit
+    map, underscores kept for the grammar check), so the ASCII-class
+    grammar accepts exactly what CPython accepts on every JVM."""
     c = F.col(c) if isinstance(c, str) else c
-    s = py_strip(c.cast("string"))
+    s = normalize_py_number(
+        py_strip(c.cast("string")), drop_underscores=False
+    )
     return F.when(
-        s.rlike(PY_FLOAT_RE), normalize_py_number(s).try_cast("double")
+        s.rlike(PY_FLOAT_RE),
+        F.translate(s, "_", "").try_cast("double"),
     )
 
 
 def py_long(c: Column | str) -> Column:
     """``int(str)`` exactly (base 10): full-class strip, Nd digits,
-    between-digit underscores; anything else null."""
+    between-digit underscores; anything else null. Normalize-then-
+    validate, same as py_double."""
     c = F.col(c) if isinstance(c, str) else c
-    s = py_strip(c.cast("string"))
+    s = normalize_py_number(
+        py_strip(c.cast("string")), drop_underscores=False
+    )
     return F.when(
-        s.rlike(PY_INT_RE), normalize_py_number(s).try_cast("long")
+        s.rlike(PY_INT_RE), F.translate(s, "_", "").try_cast("long")
     )
 
 
@@ -264,16 +285,26 @@ def grab_first_uuid(c: Column | str) -> Column:
     return F.when(got != "", got)
 
 
+#: every Nd digit as an EXPLICIT Java-regex character class (ASCII +
+#: the CPython-derived _ND_SRC inventory — no chars needing class
+#: escapes exist in Nd). Spelling the inventory out keeps the match set
+#: CPython's even where the JVM's `\p{Nd}` tables lag a Unicode version
+#: (Tangsa digits, new in 14, are invisible to JDK 17's regex engine —
+#: the r15 skew sweep).
+_ND_CLASS = "[0-9" + _ND_SRC + "]"
+
+
 def genbank_accessions(c: Column | str) -> Column:
     """F15 — GenBank accession extraction, regex ``[a-zA-Z]{1,2}-?_?\\d{5,6}``
     findall over associatedSequences (conversions.py:838-853). ``\\d``
     there is Python's — the Unicode Nd category — where Java's is
-    ASCII-only, so the engine spells ``\\p{Nd}`` (r12 differential
-    finding: an accession written with Arabic-Indic digits extracts in
-    the reference)."""
+    ASCII-only, so the engine spells the Nd inventory as an explicit
+    class (r12 differential finding: an accession written with
+    Arabic-Indic digits extracts in the reference; r15: `\\p{Nd}` still
+    missed digits newer than the JVM's Unicode tables)."""
     c = F.col(c) if isinstance(c, str) else c
     return F.regexp_extract_all(
-        c, F.lit(r"([a-zA-Z]{1,2}-?_?\p{Nd}{5,6})"), 1
+        c, F.lit(rf"([a-zA-Z]{{1,2}}-?_?{_ND_CLASS}{{5,6}})"), 1
     )
 
 

@@ -47,6 +47,10 @@ _SCALARS = [
     "", "x", "  padded  ", "ünïcode✓", "😀𐐷🦕", "𝔘𝔫𝔦", "line\nbreak", 'q"uote',
     "back\\slash", "\x00nul", 0, -1, 2 ** 63, 1.0, -0.0, 0.1, 1e20,
     3.14159, True, False, None, "True", "None", "1.0",
+    # newly-assigned-in-Unicode-14 code points (r15 skew sweep): hashing
+    # is byte-level, so chars the JVM's Unicode-13 tables call
+    # unassigned must hash identically to the reference anyway
+    "\U00010570vithkuqi", "\U00016AC0\U00016AC1", "\U00000870\U0001E290",
 ]
 
 

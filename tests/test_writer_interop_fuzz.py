@@ -26,7 +26,12 @@ import idb_backend_spark.functions.grabbers as G
 
 VALS = ["plain", "with,comma", 'with"quote', 'both",and', "line\nbreak",
         "crlf\r\nend", "tab\there", "Ünïcode✓", "😀 𐐷 🦕", "", " ", "trail  ",
-        "  lead", "a" * 200, "'single'", '""', 'end"', " sep"]
+        "  lead", "a" * 200, "'single'", '""', 'end"', " sep",
+        # code points newly assigned in Unicode 14 (r15 skew sweep):
+        # Vithkuqi, Tangsa digit, Arabic Ext-B, Toto, Cypro-Minoan —
+        # bytes the JVM's Unicode-13 tables treat as unassigned must
+        # still round-trip verbatim through the writer/reader boundary
+        "\U00010570\U00016AC0\U00000870 new14", "\U0001E290\U00012F90"]
 
 
 def _read_all(rf):
