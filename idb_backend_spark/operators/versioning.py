@@ -69,11 +69,17 @@ def latest_per_key_agg(
     identical, so PhysicalAggregation dedupes them to ONE aggregation
     buffer — one winner row, fields torn from the same struct.
     """
+    non_keys = [c for c in df.columns if c not in keys]
+    if not non_keys:
+        # degenerate all-columns-are-keys call: agg() rejects an empty
+        # expression list, and with no payload beyond the key "latest
+        # per key" is just the distinct keys (ADVICE r14)
+        return df.dropDuplicates(keys).select(*df.columns)
     ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     payload = F.struct(*[F.col(c) for c in df.columns])
     row = F.max_by(payload, F.struct(*ocols))
     picked = df.groupBy(*keys).agg(
-        *[row.getField(c).alias(c) for c in df.columns if c not in keys]
+        *[row.getField(c).alias(c) for c in non_keys]
     )
     return picked.select(*df.columns)
 
@@ -111,11 +117,16 @@ def _dedupe_batch(batch: DataFrame, key: str, etag_col: str) -> DataFrame:
     Fields are extracted inside the Aggregate's result expressions
     (same single-buffer shape as latest_per_key_agg — see the Catalyst
     convergence note there)."""
+    non_keys = [c for c in batch.columns if c != key]
+    if not non_keys:
+        # key-only frame: nothing to pick an etag winner from (ADVICE
+        # r14 — agg() rejects an empty expression list)
+        return batch.dropDuplicates([key]).select(*batch.columns)
     payload = F.struct(*[F.col(c) for c in batch.columns])
     order = F.coalesce(F.col(etag_col).cast("string"), F.lit(""))
     row = F.min_by(payload, order)
     picked = batch.groupBy(key).agg(
-        *[row.getField(c).alias(c) for c in batch.columns if c != key]
+        *[row.getField(c).alias(c) for c in non_keys]
     )
     return picked.select(*batch.columns)
 

@@ -83,7 +83,10 @@ def _raw_header(
             else:
                 r = csv.reader(f, delimiter=sep, quoting=csv.QUOTE_NONE)
             return next(r, None)
-    except (OSError, UnicodeDecodeError, LookupError, csv.Error):
+    except (OSError, UnicodeDecodeError, LookupError, csv.Error, TypeError):
+        # TypeError: csv.reader rejects a multi-character or otherwise
+        # invalid quotechar — fall back to the name-based path instead
+        # of crashing the read (ADVICE r14)
         return None
 
 
@@ -274,16 +277,66 @@ def read_delimited(
             # verbatim here (renaming both would produce duplicate
             # columns and an ambiguous-reference failure)
             renames, drops = {}, []
+            claimed: dict[str, str] = {}
+            dup_pairs: list[tuple[str, str]] = []
             for c in data_cols:
                 term, _cls = get_canonical_name(c)
                 if term is None:
                     drops.append(c)
-                elif (
-                    term != c
-                    and term not in df.columns
-                    and term not in renames.values()
-                ):
+                    continue
+                if term in claimed or (term != c and term in df.columns):
+                    dup_pairs.append((c, term))
+                elif term != c:
                     renames[c] = term
+                    claimed[term] = c
+                else:
+                    claimed[term] = c
+            dup_terms = {t for _, t in dup_pairs}
+            if not dup_terms:
+                # literal/case-duplicate headers never reach this branch
+                # as duplicates: Spark's CSV reader already renamed them
+                # positionally (genus,Genus -> genus0,Genus1). Recover
+                # the verbatim headers of the LOCAL files the scan
+                # listed and check those — exact, header-line reads
+                # only; remote URIs stay undetectable and undetected.
+                from urllib.parse import unquote, urlparse
+
+                # header-line reads only, capped: a feed's files share
+                # one header shape, so probing a handful is enough —
+                # never an O(file-count) driver loop on a big directory
+                for uri in df.inputFiles()[:8]:
+                    if not uri.startswith("file:"):
+                        continue
+                    hdr = _raw_header(
+                        unquote(urlparse(uri).path),
+                        normalize_delimiter(sep),
+                        quote,
+                        encoding,
+                    )
+                    if not hdr:
+                        continue
+                    terms = [get_canonical_name(h)[0] for h in hdr]
+                    terms = [t for t in terms if t is not None]
+                    dup_terms |= {
+                        t for t in terms if terms.count(t) > 1
+                    }
+            if dup_terms:
+                # the same bytes read as a local single file would FOLD
+                # these columns (last non-empty wins, the positional
+                # branch above); here they silently stay separate and
+                # etags can differ by path spelling — surface it
+                # (ADVICE r14)
+                import warnings
+
+                warnings.warn(
+                    "duplicate canonical header(s) "
+                    f"{sorted(dup_terms)} in {path!r} read without a "
+                    "byte-exact raw header (directory/glob/URI path): "
+                    "columns kept verbatim instead of folded — the same "
+                    "file read as a local single path would fold them "
+                    "(last non-empty wins)",
+                    stacklevel=2,
+                )
             df = df.drop(*drops).withColumnsRenamed(renames)
     out_cols = [c for c in df.columns if c != CORRUPT_COL]
     if blank_as_null:

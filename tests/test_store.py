@@ -616,3 +616,24 @@ def test_deleted_recordset_digests(spark):
     assert row["records_count"] == 0 and row["mediarecords_delete"] == 0
     assert row["deleted"] is True and row["commited"] is True
     assert row["harvest_date"] == "2026-08-16T00:00:00"
+
+
+def test_latest_per_key_agg_all_columns_are_keys(spark):
+    """ADVICE r14: the degenerate call where every column is a grouping
+    key used to crash (agg() rejects an empty expression list); it now
+    reduces to the distinct keys — same contract, no payload to pick."""
+    from idb_backend_spark.operators import versioning
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2)], "k string, v int"
+    )
+    got = versioning.latest_per_key_agg(df, ["k", "v"], ["v"])
+    assert sorted((r["k"], r["v"]) for r in got.collect()) == [
+        ("a", 1), ("b", 2),
+    ]
+    assert got.columns == ["k", "v"]
+
+    ded = versioning._dedupe_batch(
+        df.select("k"), "k", "k"
+    )
+    assert sorted(r["k"] for r in ded.collect()) == ["a", "b"]
