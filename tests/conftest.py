@@ -19,3 +19,21 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+def soak_seeds(base_seed: int) -> list[int]:
+    """Soak scaling for the randomized differentials (SURVEY §5).
+
+    CI (default): just the pinned seed — deterministic regression net.
+    Soak (``IDB_SOAK=N``, N>1): the pinned seed plus N-1 FRESH seeds,
+    printed so any finding is reproducible by pinning the printed seed.
+    """
+    import os
+    import random as _random
+
+    n = int(os.environ.get("IDB_SOAK", "1"))
+    if n <= 1:
+        return [base_seed]
+    fresh = [_random.SystemRandom().randrange(2**32) for _ in range(n - 1)]
+    print(f"IDB_SOAK={n} fresh seeds: {fresh}")
+    return [base_seed] + fresh

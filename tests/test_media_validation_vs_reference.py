@@ -253,3 +253,98 @@ def test_inspect_html_response_vs_reference(ref_fetcher, spark):
     from idb_backend_spark.operators.mediaing import IGNORE_PREFIXES
 
     assert tuple(RMED.IGNORE_PREFIXES) == tuple(IGNORE_PREFIXES)
+
+
+def test_validate_mime_for_type_fuzz_vs_reference(ref_mv):
+    """r15 soak arm (SURVEY §5): the full-product grid above covers the
+    registry's own vocabulary; this arm fuzzes BEYOND it — random-case
+    variants, whitespace-padded forms, bare words, unicode subtypes,
+    multi-slash junk — to prove the table lookup (not a normalizer)
+    semantics agree everywhere, not just on clean keys. IDB_SOAK=N adds
+    fresh seeds."""
+    import random
+
+    from conftest import soak_seeds
+
+    from idb_backend_spark.functions.multimodal import (
+        MediaValidationError,
+        validate_mime_for_type,
+    )
+
+    pieces = ["image", "audio", "video", "model", "text", "application",
+              "IMAGE", "Image", " image", "nonsense", ""]
+    subs = ["jpeg", "jp2", "mpeg", "mpeg3", "mp4", "mesh", "plain", "csv",
+            "zip", "pdf", "JPEG", "jpeg ", "x-y", "☃", "jpeg/extra", ""]
+    bucket_pool = [None, "", "images", "sounds", "video", "models",
+                   "datasets", "debugfile", "guoda", "IMAGES", "Images",
+                   " images", "images ", "notabucket", "☃", "mp3"]
+    for seed in soak_seeds(0xF24):
+        rng = random.Random(seed)
+        for _ in range(300):
+            kind = rng.random()
+            if kind < 0.1:
+                mime = None
+            elif kind < 0.25:
+                mime = rng.choice(pieces + subs)  # slashless junk
+            else:
+                mime = f"{rng.choice(pieces)}/{rng.choice(subs)}"
+            bucket = rng.choice(bucket_pool)
+            try:
+                ref_out = ref_mv.validate_mime_for_type(mime, bucket)
+                ref_err = None
+            except ref_mv.MediaValidationError as e:
+                ref_out, ref_err = None, type(e).__name__
+            try:
+                eng_out = validate_mime_for_type(mime, bucket)
+                eng_err = None
+            except MediaValidationError as e:
+                eng_out, eng_err = None, e.code
+            assert (ref_out, ref_err) == (eng_out, eng_err), (
+                seed, mime, bucket,
+            )
+
+
+def test_inspect_html_response_fuzz_vs_reference(ref_fetcher, spark):
+    """r15 soak arm: randomized compositions of the BLOCKED/DENIED
+    vocabulary (variable spacing — the regex's mandatory-two-space
+    quirk — case variants, embedded filler, both patterns in one
+    content) through the real inspect_html_response vs the engine's
+    classifier, batch-executed in one Spark job per seed."""
+    import random
+
+    from conftest import soak_seeds
+    from pyspark.sql import functions as F
+
+    from idb_backend_spark.operators.mediaing import classify_html_response
+
+    RFETCH = ref_fetcher
+    words = ["ip", "address", "blocked", "blacklisted", "access",
+             "denied", "Access", "DENIED", "IP", "ADDRESS", "Blocked",
+             "filler", "the", "your", "", "ipaddress", "addressblocked"]
+    seps = ["", " ", "  ", "   ", "\t", "\n", " x "]
+    for seed in soak_seeds(0x509):
+        rng = random.Random(seed)
+        battery = []
+        for _ in range(400):
+            n = rng.randrange(1, 8)
+            parts = []
+            for k in range(n):
+                parts.append(rng.choice(words))
+                parts.append(rng.choice(seps))
+            battery.append("".join(parts))
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(battery)], "i long, c string"
+        )
+        got = {
+            r["i"]: r["s"]
+            for r in df.select(
+                "i",
+                classify_html_response(
+                    F.col("c"), F.lit("text/html")
+                ).alias("s"),
+            ).collect()
+        }
+        for i, c in enumerate(battery):
+            sc = RFETCH.inspect_html_response(c)
+            expect = sc.value if sc is not None else None
+            assert got[i] == expect, (seed, repr(c), got[i], expect)

@@ -1057,14 +1057,20 @@ def test_prep_for_es_vs_reference(ref_db_check, spark):
     skip-empty branch (basestring NameErrors into the bare except, so
     '' and empty lists all survive) — upgrading the transcribed pin in
     tests/test_finalize.py to a machine-derived one."""
-    import datetime as _dt
-
     from idb.indexing import indexer as RIX
 
     from idb_backend_spark.functions import finalize as FIN
+    from conftest import soak_seeds
 
-    rng = random.Random(80808)
-    texts = ["", "x", "  ", "Acer rubrum", None, "ABSENT"]
+    for seed in soak_seeds(80808):
+        _soak_prep_for_es(RIX, FIN, spark, random.Random(seed))
+
+
+def _soak_prep_for_es(RIX, FIN, spark, rng):
+    import datetime as _dt
+
+    texts = ["", "x", "  ", "Acer rubrum", None, "ABSENT",
+             "ünïcode✓", "\U00010570astral", "pad  "]
     docs = []
     for i in range(80):
         d = {"uuid": f"u{i}"}

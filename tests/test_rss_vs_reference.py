@@ -211,7 +211,13 @@ def test_do_rss_entry_vs_reference(ref_rss):
     and the file_link conflict skip — each compared against the
     engine's decision functions; the bytes-typed link defect pinned."""
     UPR = ref_rss
-    rng = random.Random(616)
+    from conftest import soak_seeds
+
+    for seed in soak_seeds(616):
+        _soak_do_rss_entry(UPR, random.Random(seed))
+
+
+def _soak_do_rss_entry(UPR, rng):
     recordsets, existing, file_links = _registry()
 
     for e in _entry_cases(rng):
