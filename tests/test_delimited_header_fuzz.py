@@ -28,8 +28,17 @@ VALS = [
 def test_random_header_fuzz_vs_reference(ref_delimited, spark, tmp_path):
     from idb_backend_spark.sources.delimited import read_delimited
 
-    rng = random.Random(0xDE11)
-    for it in range(25):
+    from conftest import soak_seeds
+
+    for s_i, seed in enumerate(soak_seeds(0xDE11)):
+        _fuzz_headers(ref_delimited, spark, tmp_path, random.Random(seed),
+                      s_i * 25)
+
+
+def _fuzz_headers(ref_delimited, spark, tmp_path, rng, base):
+    from idb_backend_spark.sources.delimited import read_delimited
+
+    for it in range(base, base + 25):
         ncols = rng.randint(1, 6)
         hdr = (rng.sample(HEADERS, ncols) if rng.random() < 0.5
                else [rng.choice(HEADERS) for _ in range(ncols)])

@@ -100,8 +100,17 @@ def test_random_meta_fuzz_vs_reference(ref_dwca, spark, tmp_path):
 
     from idb_backend_spark.sources.dwca import DwcaArchive
 
-    rng = random.Random(0xD3CA)
-    for it in range(25):
+    from conftest import soak_seeds
+
+    for s_i, seed in enumerate(soak_seeds(0xD3CA)):
+        rng = random.Random(seed)
+        _fuzz_archives(RD, xml2d, spark, tmp_path, rng, s_i * 25)
+
+
+def _fuzz_archives(RD, xml2d, spark, tmp_path, rng, base):
+    from idb_backend_spark.sources.dwca import DwcaArchive
+
+    for it in range(base, base + 25):
         zp, meta = _random_archive(rng, str(tmp_path), it)
         exdir = str(tmp_path / f"x{it}")
         with zipfile.ZipFile(zp) as z:

@@ -71,9 +71,20 @@ def test_writer_reference_reader_fuzz(ref_dwca, spark, tmp_path):
 
     from idb_backend_spark.export.writers import write_dwca
 
+    from conftest import soak_seeds
+
+    for s_i, seed in enumerate(soak_seeds(0x3017)):
+        _fuzz_writer(ref_dwca, spark, tmp_path, random.Random(seed),
+                     s_i * 15)
+
+
+def _fuzz_writer(ref_dwca, spark, tmp_path, rng, base):
+    RD, xml2d = ref_dwca
+
+    from idb_backend_spark.export.writers import write_dwca
+
     strip_class = G._PY_STRIP_CHARS
-    rng = random.Random(0x3017)
-    for it in range(15):
+    for it in range(base, base + 15):
         n = rng.randint(1, 8)
         recs = [(i, rng.choice(VALS), rng.choice(VALS)) for i in range(n)]
         df = spark.createDataFrame(
