@@ -72,6 +72,11 @@ def collection_counts(
         F.sum((F.col(type_col) == t).cast("long")).alias(f"{t}_count")
         for t in types
     ]
+    if not aggs:
+        # zero pivot types: agg() rejects an empty expression list
+        # (same degenerate class as versioning.latest_per_key_agg,
+        # ADVICE r14) — the pivot of nothing is just the parents
+        return df.select(parent).distinct()
     return df.groupBy(parent).agg(*aggs)
 
 

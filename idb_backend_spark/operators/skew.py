@@ -56,6 +56,12 @@ def salted_agg(
     """General two-level salted aggregation. ``partial_aggs`` run per
     (keys, salt); ``final_aggs`` must re-aggregate the partial columns
     (sum of counts, sum of sums, min of mins, ...)."""
+    if not partial_aggs or not final_aggs:
+        # fail with the contract, not GroupedData.agg's bare assert
+        # (the degenerate-agg class from ADVICE r14)
+        raise ValueError(
+            "salted_agg requires non-empty partial_aggs and final_aggs"
+        )
     salted = with_salt(df, n_salts)
     partial = salted.groupBy(*keys, "__salt").agg(*partial_aggs)
     return partial.groupBy(*keys).agg(*final_aggs)

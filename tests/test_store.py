@@ -637,3 +637,22 @@ def test_latest_per_key_agg_all_columns_are_keys(spark):
         df.select("k"), "k", "k"
     )
     assert sorted(r["k"] for r in ded.collect()) == ["a", "b"]
+
+
+def test_degenerate_agg_guards(spark):
+    """The rest of the ADVICE r14 degenerate-agg class, audited
+    repo-wide: every groupBy().agg(*list) whose list a caller could
+    empty either reduces sensibly or fails with its contract."""
+    import pytest as _pytest
+
+    from idb_backend_spark.operators.aggregates import collection_counts
+    from idb_backend_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("p1", "t1"), ("p1", "t2"), ("p2", "t1")], "p string, t string"
+    )
+    got = collection_counts(df, "p", "t", [])
+    assert sorted(r["p"] for r in got.collect()) == ["p1", "p2"]
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        salted_agg(df, ["p"], [], [])
