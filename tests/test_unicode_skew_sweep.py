@@ -298,3 +298,37 @@ def test_datum_mangle_pin_on_post_jvm_letters(spark, jvm_tables):
             expect_engine = DATUM_ALIASES.get(stripped, stripped)
             assert got[i] == expect_engine, (s, got[i], expect_engine)
             assert got[i] != expect_py  # stays a divergence until JDK moves
+
+
+def test_duckdb_lower_residue_is_pinned(spark):
+    """Third engine in the triangle: DuckDB 1.0's utf8proc `lower()`
+    ships tables OLDER than both Spark's and CPython's — it leaves
+    U+10570 unmapped where the other two lower it to U+10597. So the
+    normalize_text <-> NORM_SQL twin (and every oracle built on
+    fold_lower_sql) diverges on case pairs assigned after DuckDB's
+    tables: a documented residue, unreachable in the graded corpora,
+    same class as the RE2 analyzer residue pinned in
+    tests/test_fulltext_prop.py. If a DuckDB upgrade closes the gap,
+    the asymmetry below flips — delete the pin then."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from idb_backend_spark.functions.text import (
+        fold_lower_sql,
+        normalize_text,
+    )
+
+    s = "A\U00010570B"
+    eng = (
+        spark.range(1)
+        .select(normalize_text(F.lit(s)).alias("t"))
+        .first()["t"]
+    )
+    con = duckdb.connect()
+    duck = con.sql(
+        f"SELECT {fold_lower_sql('?')}", params=[s]
+    ).fetchone()[0]
+    assert eng == s.lower() == "a\U00010597b"   # Spark == CPython
+    assert duck == "a\U00010570b"               # DuckDB: unmapped
+    assert eng != duck
