@@ -430,7 +430,21 @@ def _battery1_global():
     return g
 
 
-@pytest.mark.parametrize("seed", [7, 101, 4242])
+def _soak_extra_seeds() -> list[int]:
+    """Collection-time IDB_SOAK support (SURVEY §5): N-1 fresh printed
+    seeds appended to the pinned battery when soaking."""
+    import os
+    import random as _r
+
+    n = int(os.environ.get("IDB_SOAK", "1"))
+    if n <= 1:
+        return []
+    seeds = [_r.SystemRandom().randrange(2**32) for _ in range(n - 1)]
+    print(f"IDB_SOAK={n} ingest fresh seeds: {seeds}")
+    return seeds
+
+
+@pytest.mark.parametrize("seed", [7, 101, 4242] + _soak_extra_seeds())
 def test_core_loop_randomized(ref_db_check, spark, seed):
     DB = ref_db_check
     rng = random.Random(seed)
