@@ -92,9 +92,20 @@ def test_parent_map_parity(ref_views):
     assert PARENT_MAP == CFG.PARENT_MAP
 
 
+#: the reference PARENT_MAP shape, for the collision arms below (the
+#: fixture's CFG carries the authoritative copy; parity is asserted by
+#: test_parent_map_parity)
+_PARENTS = {
+    "records": "recordsets",
+    "mediarecords": "recordsets",
+    "recordsets": "publishers",
+}
+
+
 def _cases(rng, n):
     types_pool = ["records", "mediarecords", "recordsets", "publishers"]
-    sib_types = ["record", "mediarecord", "recordset"]
+    sib_types = ["record", "mediarecord", "recordset", "publisher",
+                 "annotation"]
     out = []
     for i in range(n):
         t = rng.choice(types_pool)
@@ -105,6 +116,15 @@ def _cases(rng, n):
                 k: [f"s-{i}-{j}" for j in range(rng.randint(0, 3))]
                 for k in rng.sample(sib_types, rng.randint(1, 2))
             }
+            # r15 collision arms: a sibling group whose rendered key
+            # lands ON the parent link key — v2 pluralizes k+'s' onto
+            # the parent type, v1's de-pluralized parent meets the
+            # verbatim singular — exercising the dict.update overwrite
+            # the engine mirrors with map_filter + map_concat
+            if rng.random() < 0.3 and t in _PARENTS:
+                siblings[_PARENTS[t][:-1]] = [f"c-{i}"]
+            if rng.random() < 0.15 and t in _PARENTS:
+                siblings[_PARENTS[t]] = [f"cc-{i}"]
         out.append((t, f"u-{i}", parent, siblings))
     return out
 
@@ -140,24 +160,31 @@ def _engine_links(spark, cases, style):
 
 
 def test_v2_format_item_links_vs_reference(ref_views, spark):
+    from conftest import soak_seeds
+
     _, RV2, _ = ref_views
-    rng = random.Random(90909)
-    cases = _cases(rng, 60)
-    got = _engine_links(spark, cases, style="v2")
     mod = datetime.datetime(2020, 1, 1)
-    for t, u, parent, siblings in cases:
-        r = RV2.format_item(t, u, "etag", mod, 3, parent, {"d": 1},
-                            siblings, ["rid"])
-        assert got[u] == r["links"], (t, u, parent, siblings, got[u], r)
+    for seed in soak_seeds(90909):
+        cases = _cases(random.Random(seed), 60)
+        got = _engine_links(spark, cases, style="v2")
+        for t, u, parent, siblings in cases:
+            r = RV2.format_item(t, u, "etag", mod, 3, parent, {"d": 1},
+                                siblings, ["rid"])
+            assert got[u] == r["links"], (
+                seed, t, u, parent, siblings, got[u], r,
+            )
 
 
 def test_v1_format_item_links_vs_reference(ref_views, spark):
+    from conftest import soak_seeds
+
     RV1, _, _ = ref_views
-    rng = random.Random(91919)
-    cases = _cases(rng, 60)
-    got = _engine_links(spark, cases, style="v1")
     mod = datetime.datetime(2020, 1, 1)
-    for t, u, parent, siblings in cases:
-        r = RV1.format_item(t, u, "etag", mod, 3, parent, {"d": 1},
-                            siblings, ["rid"])
-        assert got[u] == r["idigbio:links"], (t, u, parent, siblings)
+    for seed in soak_seeds(91919):
+        cases = _cases(random.Random(seed), 60)
+        got = _engine_links(spark, cases, style="v1")
+        for t, u, parent, siblings in cases:
+            r = RV1.format_item(t, u, "etag", mod, 3, parent, {"d": 1},
+                                siblings, ["rid"])
+            assert got[u] == r["idigbio:links"], (seed, t, u, parent,
+                                                  siblings)
