@@ -5,6 +5,15 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# bind the REPO's `tests` (a namespace package — no __init__.py) into
+# sys.modules now, while /root/repo is at the head of sys.path: several
+# reference-differential fixtures later prepend /root/reference, whose
+# tests/ IS a regular package and would otherwise shadow this one in
+# subset runs where no module-level `from tests...` import ran at
+# collection time (full runs were immune by accident of collection
+# order — r15 finding)
+import tests  # noqa: F401  (self-import of the namespace package)
+
 from idb_backend_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")

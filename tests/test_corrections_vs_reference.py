@@ -205,12 +205,32 @@ def test_correct_record_vs_reference(ref_corrector, spark):
     RC, objectHasher = ref_corrector
     rc = _make_corrector(RC, objectHasher, CORRECTIONS)
 
-    records = _gen_records(400, seed=111)
+    from conftest import soak_seeds
 
-    expected = []
+    for seed in soak_seeds(111):
+        _run_correct_record(rc, spark, seed)
+
+
+def _run_correct_record(rc, spark, seed):
+    records = _gen_records(400, seed=seed)
+
+    expected, kept = [], []
     for d in records:
-        corrected, _keys = rc.correct_record(dict(d))
+        try:
+            corrected, _keys = rc.correct_record(dict(d))
+        except AttributeError:
+            # the r14-pinned removed-then-recorrected reference crash
+            # (test_removed_then_recorrected_field_crashes_reference):
+            # the reference DESTROYS such records, so the equality
+            # differential is only defined on the survivors. The pinned
+            # CI seed (111) never draws the combo; fresh-seed soaks hit
+            # it almost surely (~400 × 1/120 per record), which is how
+            # the r15 soak rediscovered it loop-side.
+            continue
+        kept.append(d)
         expected.append(corrected)
+    assert len(kept) > 350, (seed, len(kept))  # crash arm stays rare
+    records = kept
 
     rows = [tuple(d.get(f) for f in FIELDS) for d in records]
     df = spark.createDataFrame(

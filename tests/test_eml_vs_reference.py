@@ -355,12 +355,15 @@ def _random_eml(rng) -> bytes:
 
 
 def test_randomized_differential(ref_eml):
-    rng = random.Random(0xE71)
-    for i in range(150):
-        raw = _random_eml(rng)
-        ref = ref_eml.parseEml(f"rand-{i}", raw)
-        eng = parse_eml(raw, id=f"rand-{i}")
-        assert eng == ref, raw.decode()
+    from conftest import soak_seeds
+
+    for seed in soak_seeds(0xE71):
+        rng = random.Random(seed)
+        for i in range(150):
+            raw = _random_eml(rng)
+            ref = ref_eml.parseEml(f"rand-{i}", raw)
+            eng = parse_eml(raw, id=f"rand-{i}")
+            assert eng == ref, (seed, raw.decode())
 
 
 # --------------------------------------------------------------------------

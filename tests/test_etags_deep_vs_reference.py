@@ -72,16 +72,19 @@ def _gen(rng: random.Random, depth: int):
 def test_object_hash_deep_fuzz_vs_reference(ref_etags):
     """400 seeded deep structures × {sha1, sha256} × {sort_arrays
     on/off}: digest equality with the executed reference recursion."""
-    rng = random.Random(0xE7A65)
-    for i in range(400):
-        data = _gen(rng, 7)
-        for hash_type in ("sha1", "sha256"):
-            for sa in (False, True):
-                assert object_hash(
-                    data, hash_type, sort_arrays=sa
-                ) == ref_etags.objectHasher(
-                    hash_type, data, sort_arrays=sa
-                ), (i, sa, hash_type, data)
+    from conftest import soak_seeds
+
+    for seed in soak_seeds(0xE7A65):
+        rng = random.Random(seed)
+        for i in range(400):
+            data = _gen(rng, 7)
+            for hash_type in ("sha1", "sha256"):
+                for sa in (False, True):
+                    assert object_hash(
+                        data, hash_type, sort_arrays=sa
+                    ) == ref_etags.objectHasher(
+                        hash_type, data, sort_arrays=sa
+                    ), (seed, i, sa, hash_type, data)
 
 
 def test_object_hash_typed_corners_vs_reference(ref_etags):
@@ -131,14 +134,17 @@ def test_calc_etag_deep_values_vs_reference(ref_etags):
     """calcEtag with non-string values (the unconsumed-extension merge
     and flag bools put non-strings into the record dict): compact-JSON
     byte equality on nested values, executed."""
-    rng = random.Random(0xCA1C)
-    for _ in range(200):
-        rec = {
-            rng.choice(_KEYS) + str(i): _gen(rng, 4)
-            for i in range(rng.randrange(1, 6))
-        }
-        rec["flag_encoding_error"] = rng.random() < 0.5
-        assert calc_etag(rec) == ref_etags.calcEtag(rec), rec
+    from conftest import soak_seeds
+
+    for seed in soak_seeds(0xCA1C):
+        rng = random.Random(seed)
+        for _ in range(200):
+            rec = {
+                rng.choice(_KEYS) + str(i): _gen(rng, 4)
+                for i in range(rng.randrange(1, 6))
+            }
+            rec["flag_encoding_error"] = rng.random() < 0.5
+            assert calc_etag(rec) == ref_etags.calcEtag(rec), (seed, rec)
 
 
 def test_pair_array_duplicate_key_contract(spark, ref_etags):
