@@ -339,9 +339,22 @@ def hamming_pairs(fp: DataFrame, max_hamming: int = 3) -> DataFrame:
     banded = fp.select(
         "id", "fp", F.posexplode(F.array(*keys)).alias("chunk", "ckey")
     )
+    # SHUFFLE_HASH hint (r15, guide §3.1/§2.4): the planner's default for
+    # this self-join is a BroadcastHashJoin of one banded side — which
+    # re-executes the ENTIRE fingerprint subtree (the pandas-UDF hashing
+    # pass over the whole corpus) a second time to build the broadcast,
+    # because exchange reuse can only fire on identical Exchange nodes
+    # and the broadcast side has none. Forcing a shuffled hash join puts
+    # the SAME Exchange(hashpartitioning(chunk, ckey)) on both sides, so
+    # the second side becomes a ReusedExchange and the fingerprint UDF
+    # runs ONCE per materialization (plans/r15/simhash_pairs_after.txt:
+    # 2x ArrowEvalPython -> 1x + ReusedExchange; sf0.1 A/B min-of-3
+    # 1.445 s -> 1.046 s). At scale the broadcast was wrong anyway: the
+    # banded side IS the corpus, far over any broadcast cap, and the
+    # bucketed equi-join is exactly the shape AQE skew-split handles.
     return (
         banded.alias("a")
-        .join(banded.alias("b"), on=["chunk", "ckey"])
+        .join(banded.alias("b").hint("shuffle_hash"), on=["chunk", "ckey"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),

@@ -310,6 +310,33 @@ def test_typed_projection_is_single_stage_no_shuffle(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
+def test_hamming_pairs_single_fingerprint_evaluation(spark):
+    """The pigeonhole Hamming self-join evaluates the fingerprint
+    subtree ONCE per run (r15): the SHUFFLE_HASH hint puts the same
+    Exchange(chunk, ckey) on both sides so the second side plans as a
+    ReusedExchange. The former broadcast plan re-executed the whole
+    pandas-UDF hashing pass over the corpus to build the broadcast —
+    two ArrowEvalPython nodes, twice the dominant cost (and at scale
+    the banded side IS the corpus: never broadcastable anyway)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # AQE defers exchange reuse to runtime (the pre-execution adaptive
+    # plan never shows it); planning with AQE off runs the static
+    # ReuseExchange rule so the single-evaluation contract is visible
+    # without executing a job. At runtime with AQE on the same reuse
+    # happens via stage cache — verified by the sf0.1 A/B in
+    # OPTIMIZATION_r15.md.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        q = dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+        p = q._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert p.count("ArrowEvalPython") == 1, p
+    assert "ReusedExchange" in p, p
+    assert "ShuffledHashJoin" in p
+    assert "BroadcastHashJoin" not in p
+
+
 def test_sibling_symmetrize_no_pre_distinct_exchange(spark):
     """J3/U1 fused plan: symmetrize + count_distinct runs with exactly
     two data exchanges ((src,dst) dedup + final (src) aggregation) — the
