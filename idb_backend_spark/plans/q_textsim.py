@@ -452,7 +452,13 @@ def corpus_curation_pipeline(spark, sf_dir):
         T.token_count("text").alias("n_tok"),
     )
     filtered = enriched.filter((F.col("q") >= 0.3) & (F.col("n_tok") >= 5))
-    kept = exact_dedup_keep_first(filtered, "text", "doc_id")
+    # project-before-the-exchange (guide §2.3): the per-language rollup
+    # below reads only (lang, n_tok, q, doc_id) — the text column exists
+    # solely to compute the dedup fingerprint, so it must not ride the
+    # dedup shuffle (at corpus scale the text IS the bytes)
+    kept = exact_dedup_keep_first(
+        filtered, "text", "doc_id", keep_cols=["doc_id", "lang", "q", "n_tok"]
+    )
     return (
         kept.groupBy("lang")
         .agg(

@@ -211,6 +211,35 @@ def test_exact_dedup_identical_only(spark):
     assert groups == {1: 2, 3: 1}
 
 
+def test_keep_first_keep_cols_matches_default(spark):
+    """r15 keep_cols projection: same keeper rows as the all-columns
+    form (projected to the same columns), text provably absent from the
+    dedup exchange, and id_col membership enforced."""
+    df = spark.createDataFrame(
+        [
+            (1, "Same  Text here", "a"),
+            (2, "same text HERE", "b"),
+            (3, "different", "c"),
+        ],
+        "doc_id long, text string, tag string",
+    )
+    full = dedup.exact_dedup_keep_first(df, "text", "doc_id")
+    slim = dedup.exact_dedup_keep_first(
+        df, "text", "doc_id", keep_cols=["doc_id", "tag"]
+    )
+    assert slim.columns == ["doc_id", "tag"]
+    assert sorted(map(tuple, slim.collect())) == sorted(
+        (r["doc_id"], r["tag"]) for r in full.collect()
+    )
+    # the projection really precedes the exchange: no text attribute
+    # above the shuffle (only inside the md5 fingerprint below it)
+    plan = slim._jdf.queryExecution().executedPlan().toString()
+    exchange_and_up = plan.split("Exchange hashpartitioning")[0]
+    assert "text#" not in exchange_and_up
+    with pytest.raises(ValueError, match="keep_cols must include id_col"):
+        dedup.exact_dedup_keep_first(df, "text", "doc_id", keep_cols=["tag"])
+
+
 def test_minhash_band_validation(spark):
     import pytest as _pytest
 
