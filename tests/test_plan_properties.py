@@ -337,21 +337,29 @@ def test_hamming_pairs_single_fingerprint_evaluation(spark):
     assert "BroadcastHashJoin" not in p
 
 
-def test_sibling_symmetrize_no_pre_distinct_exchange(spark):
-    """J3/U1 fused plan: symmetrize + count_distinct runs with exactly
-    two data exchanges ((src,dst) dedup + final (src) aggregation) — the
-    former pre-`distinct` paid a third."""
+def test_sibling_symmetrize_single_data_exchange(spark):
+    """J3/U1 fused plan (r15): ONE hash exchange for the whole
+    symmetrize -> (src,dst) dedup -> per-src degree chain. The explicit
+    repartition on src satisfies both aggregations' clustering
+    requirement (HashPartitioning(src) clusters (src,dst) too), so
+    neither groupBy adds a shuffle — the former countDistinct rewrite
+    shuffled the full pair set twice."""
     from idb_backend_spark.operators.relations import symmetrize_edges
 
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     edges = li.select(
         F.col("l_orderkey").alias("r1"), F.col("l_partkey").alias("r2")
     )
-    q = symmetrize_edges(edges).groupBy("src").agg(
-        F.countDistinct("dst").alias("n")
+    q = (
+        symmetrize_edges(edges)
+        .repartition("src")
+        .groupBy("src", "dst")
+        .agg(F.lit(1))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     p = q._jdf.queryExecution().executedPlan().toString()
-    assert p.count("Exchange hashpartitioning") == 2
+    assert p.count("Exchange hashpartitioning") == 1, p
 
 
 def test_keyset_page_predicate_pushes_down(spark):
