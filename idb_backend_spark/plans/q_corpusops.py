@@ -117,7 +117,7 @@ def remove_repeated_spans_q(spark, sf_dir):
     document, protecting the global first occurrence (suffix-array-style
     substring dedup, windowed for a distributed engine); every doc comes
     back (clean_text, n_removed), fully string/integer exact."""
-    docs = _t_spread(spark, sf_dir, "documents", "doc_id")
+    docs = _t_spread(spark, sf_dir, "documents", "doc_id", by_range=True)
     return _rrs(docs, "text", "doc_id", window=8).orderBy("doc_id")
 
 
@@ -273,7 +273,7 @@ def nb_quality_score_q(spark, sf_dir):
     trained on lang=='en' as the positive class and scoring EVERY doc.
     Integer counts and the pred boolean are exact; score carries the
     repo's 6-dp float contract."""
-    docs = _t_spread(spark, sf_dir, "documents", "doc_id")
+    docs = _t_spread(spark, sf_dir, "documents", "doc_id", by_range=True)
     return classifier.nb_quality_score(
         docs, F.col("lang") == "en"
     ).orderBy("doc_id")
@@ -291,7 +291,7 @@ def bigram_lm_score_q(spark, sf_dir):
     down to an exactly-SQL-expressible bigram model with add-one
     smoothing): train on the corpus in one pass, score every document's
     average bigram log-probability. n_bigrams exact; avg_logp 6-dp."""
-    docs = _t_spread(spark, sf_dir, "documents", "doc_id")
+    docs = _t_spread(spark, sf_dir, "documents", "doc_id", by_range=True)
     return lm.bigram_lm_score(docs).orderBy("doc_id")
 
 

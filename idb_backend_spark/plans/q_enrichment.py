@@ -1080,7 +1080,7 @@ def text_quality_metrics(spark, sf_dir):
     ratio, stopword ratio."""
     from idb_backend_spark.functions.text import tokens
 
-    docs = _t_spread(spark, sf_dir, "documents", "doc_id").select(
+    docs = _t_spread(spark, sf_dir, "documents", "doc_id", by_range=True).select(
         "doc_id", "text", tokens("text").alias("toks")
     )
     stop = _TQ_STOP
@@ -1335,7 +1335,9 @@ def datum_shift_molodensky(spark, sf_dir):
     contract; 'Ocotepeque 1935' stays planted as the unknown-datum arm).
     Staged so the per-datum constants bind once — all trig is JVM-side
     builtin inside whole-stage codegen."""
-    g = _t_spread(spark, sf_dir, "customer", "c_custkey").select(
+    g = _t_spread(
+        spark, sf_dir, "customer", "c_custkey", by_range=True
+    ).select(
         "c_custkey",
         F.expr(_DATUM_LAT).alias("lat"),
         F.expr(_DATUM_LON).alias("lon"),

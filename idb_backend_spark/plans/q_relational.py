@@ -173,12 +173,19 @@ def latest_object_per_url(spark, sf_dir):
 
     Spread BY THE AGG KEYS: the keys are near-unique here, so the
     partial aggregate reduces nothing and the one-task scan of a
-    one-row-group file serializes the whole max_by build; hash-spreading
+    one-row-group file serializes the whole max_by build; key-spreading
     on the grouping keys satisfies the aggregate's distribution
     requirement, so Catalyst adds NO second exchange — the same single
     shuffle, parallel instead of serial (measured 3.3 s -> 1.2 s at
-    sf0.1 on local[32]; guarded no-op on wide scans)."""
-    li = _t_spread(spark, sf_dir, "lineitem", "l_partkey", "l_suppkey")
+    sf0.1 on local[32]; guarded no-op on wide scans). r15: the spread
+    is now RANGE placement on those keys — the SortAggregate leaves
+    each partition ordered by the group key, so the final
+    orderBy(l_partkey, l_suppkey) is satisfied for free and its whole
+    exchange + sort disappears (1.23 s -> 0.91 s, 2 exchanges -> 1,
+    plans/r15/latest_object_per_url_{before,after}.txt)."""
+    li = _t_spread(
+        spark, sf_dir, "lineitem", "l_partkey", "l_suppkey", by_range=True
+    )
     out = versioning.latest_per_key_agg(
         li, ["l_partkey", "l_suppkey"],
         ["l_shipdate", "l_orderkey", "l_linenumber"],

@@ -48,7 +48,7 @@ def exact_dedup_q(spark, sf_dir):
 )
 def token_count_quality(spark, sf_dir):
     """Text analysis — whitespace token counting."""
-    docs = _t_spread(spark, sf_dir, "documents", "doc_id")
+    docs = _t_spread(spark, sf_dir, "documents", "doc_id", by_range=True)
     return docs.select(
         "doc_id", text.token_count("text").alias("n_tokens")
     ).orderBy("doc_id")
@@ -77,7 +77,7 @@ def token_count_quality(spark, sf_dir):
 def lang_id_heuristic(spark, sf_dir):
     """Text analysis — marker-lexicon language ID (argmax, deterministic
     tie-break by language code)."""
-    docs = _t_spread(spark, sf_dir, "documents", "doc_id")
+    docs = _t_spread(spark, sf_dir, "documents", "doc_id", by_range=True)
     return docs.select(
         "doc_id", text.lang_id("text").alias("lang_pred")
     ).orderBy("doc_id")

@@ -106,21 +106,24 @@ _TABLE_PATHS_CACHE: dict[tuple[str, str], tuple[int, list[str]]] = {}
 
 
 def _t_spread(
-    spark: SparkSession, sf_dir: str, name: str, *by: str
+    spark: SparkSession, sf_dir: str, name: str, *by: str,
+    by_range: bool = False,
 ) -> DataFrame:
     """_t + spread_for_compute with a zero-cost local-path hint (the
     registry knows the path, so the guard is an os.stat + parquet
     footer read, not a Spark listing). For CPU-bound row-wise plans
     over registry tables. A path the local filesystem can't see is
     cluster scale: the frame is returned unspread with NO driver-side
-    file listing at all."""
+    file listing at all. ``by_range`` ranges instead of hashes the
+    placement — see spread_for_compute (for queries whose output is
+    ordered by the spread keys)."""
     from idb_backend_spark.session import spread_for_compute
 
     df = _t(spark, sf_dir, name)
     paths = _table_paths(sf_dir, name)
     if paths is None:
         return df
-    return spread_for_compute(df, *by, input_paths=paths)
+    return spread_for_compute(df, *by, input_paths=paths, by_range=by_range)
 
 
 def query(name: str, oracle: str | None = None, graded: bool = True):

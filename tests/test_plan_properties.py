@@ -310,6 +310,26 @@ def test_typed_projection_is_single_stage_no_shuffle(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
+def test_range_spread_elides_final_orderby_exchange(spark):
+    """r15 by_range spread: when a row-wise query's output ordering is
+    the spread key, range placement makes the final orderBy's
+    distribution requirement already satisfied — the plan holds exactly
+    ONE exchange (the spread itself) and the global sort runs as a
+    partition-local sort. The hash-spread form paid a second, full-data
+    range exchange (with its own sampling pass) just to order output."""
+    from idb_backend_spark.session import spread_for_compute
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = (
+        spread_for_compute(docs, "doc_id", by_range=True)
+        .select("doc_id", F.length("text").alias("n"))
+        .orderBy("doc_id")
+    )
+    p = q._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange rangepartitioning") == 1, p
+    assert p.count("Exchange hashpartitioning") == 0, p
+
+
 def test_hamming_pairs_single_fingerprint_evaluation(spark):
     """The pigeonhole Hamming self-join evaluates the fingerprint
     subtree ONCE per run (r15): the SHUFFLE_HASH hint puts the same
