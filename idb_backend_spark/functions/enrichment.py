@@ -34,28 +34,12 @@ from idb_backend_spark.functions.grabbers import decimal_exponent, getfield
 # --------------------------------------------------------------------------
 
 
-def geo_normalize(lat_raw: Column, lon_raw: Column) -> dict[str, Column]:
-    """Coordinate normalization with the reference's flag semantics:
-
-    * auto-flip when lat is out of ±90 but plausible as a lon while the
-      stated lon fits ±90 (flag ``geopoint_pre_flip``, conversions.py:460-465)
-    * bounds check after the flip → null point + ``geopoint_bounds`` flag
-      (conversions.py:467-475)
-    * ``geopoint_low_precision`` when either verbatim coordinate has ≤2
-      decimal places (conversions.py:457-477 via getExponent, :246-251)
-
-    Returns {"lat", "lon", "flag_pre_flip", "flag_bounds", "flag_low_precision"}.
-    """
-    # py_double, not a bare try_cast (r12): the reference's float() call
-    # (conversions.py:454-455) accepts unicode Nd digits and rejects
-    # Java literal suffixes — Spark's cast does the opposite on both
-    # counts, so '٣٤.٥' lost its point and '12.5f' minted one the
-    # reference refuses; unparseable still -> null point, no exception
-    # (the bare-except contract, conversions.py:478-480)
-    from idb_backend_spark.functions.grabbers import py_double
-
-    lat0 = py_double(getfield(lat_raw))
-    lon0 = py_double(getfield(lon_raw))
+def _geo_branch_logic(
+    lat0: Column, lon0: Column, exp_lat: Column, exp_lon: Column
+) -> dict[str, Column]:
+    """The flip/bounds/precision branch logic over ALREADY-PARSED
+    coordinates — shared by the expression form (geo_normalize) and the
+    staged form (with_geo_normalize) so the two can never drift."""
     have = lat0.isNotNull() & lon0.isNotNull()
 
     flip = (
@@ -71,9 +55,7 @@ def geo_normalize(lat_raw: Column, lon_raw: Column) -> dict[str, Column]:
         (lat1 < -90) | (lat1 > 90) | (lon1 < -180) | (lon1 > 180)
     )
     ok = have & ~oob
-    low_prec = ok & (
-        (decimal_exponent(lat_raw) <= 2) | (decimal_exponent(lon_raw) <= 2)
-    )
+    low_prec = ok & ((exp_lat <= 2) | (exp_lon <= 2))
     return {
         "lat": F.when(ok, lat1),
         "lon": F.when(ok, lon1),
@@ -81,6 +63,84 @@ def geo_normalize(lat_raw: Column, lon_raw: Column) -> dict[str, Column]:
         "flag_bounds": flag_when("geopoint_bounds", oob),
         "flag_low_precision": flag_when("geopoint_low_precision", low_prec),
     }
+
+
+def geo_normalize(lat_raw: Column, lon_raw: Column) -> dict[str, Column]:
+    """Coordinate normalization with the reference's flag semantics:
+
+    * auto-flip when lat is out of ±90 but plausible as a lon while the
+      stated lon fits ±90 (flag ``geopoint_pre_flip``, conversions.py:460-465)
+    * bounds check after the flip → null point + ``geopoint_bounds`` flag
+      (conversions.py:467-475)
+    * ``geopoint_low_precision`` when either verbatim coordinate has ≤2
+      decimal places (conversions.py:457-477 via getExponent, :246-251)
+
+    Returns {"lat", "lon", "flag_pre_flip", "flag_bounds", "flag_low_precision"}.
+
+    PERF: this inline-expression form re-inlines the py_double parse
+    subtree at every conditional reference (codegen subexpression
+    elimination skips CaseWhen branch contexts), so pipeline call sites
+    should use ``with_geo_normalize`` — the staged form that parses each
+    coordinate ONCE into an explicit column (r15 A/B on the 600k-row
+    enrichment frame: 1.53 s -> 0.94 s for the geo+flags+shift subtree,
+    tools/probe_geo_staged.py). This form stays for single-reference
+    expression contexts and as the semantics anchor.
+    """
+    # py_double, not a bare try_cast (r12): the reference's float() call
+    # (conversions.py:454-455) accepts unicode Nd digits and rejects
+    # Java literal suffixes — Spark's cast does the opposite on both
+    # counts, so '٣٤.٥' lost its point and '12.5f' minted one the
+    # reference refuses; unparseable still -> null point, no exception
+    # (the bare-except contract, conversions.py:478-480)
+    from idb_backend_spark.functions.grabbers import py_double
+
+    return _geo_branch_logic(
+        py_double(getfield(lat_raw)),
+        py_double(getfield(lon_raw)),
+        decimal_exponent(lat_raw),
+        decimal_exponent(lon_raw),
+    )
+
+
+def with_geo_normalize(df, lat_raw: Column, lon_raw: Column):
+    """Staged (DataFrame-level) F6 coordinate normalization — the form
+    for pipeline call sites, same rationale as geo.with_molodensky_shift:
+    the py_double parses and decimal exponents land ONCE as explicit
+    columns, and the flip/bounds/precision branches (which reference
+    each parse 4-8 times from CaseWhen contexts codegen CSE cannot
+    share) run over cheap double/int column reads. CollapseProject keeps
+    the stage boundary because the staged columns are referenced more
+    than once by non-cheap consumers.
+
+    Adds ``__geo_lat``, ``__geo_lon``, ``__flag_pre_flip``,
+    ``__flag_bounds``, ``__flag_low_precision``; the ``__geo_p_*`` parse
+    temporaries are dropped.
+    """
+    from idb_backend_spark.functions.grabbers import py_double
+
+    tmp = df.withColumns(
+        {
+            "__geo_p_lat0": py_double(getfield(lat_raw)),
+            "__geo_p_lon0": py_double(getfield(lon_raw)),
+            "__geo_p_explat": decimal_exponent(lat_raw),
+            "__geo_p_explon": decimal_exponent(lon_raw),
+        }
+    )
+    r = _geo_branch_logic(
+        F.col("__geo_p_lat0"),
+        F.col("__geo_p_lon0"),
+        F.col("__geo_p_explat"),
+        F.col("__geo_p_explon"),
+    )
+    return tmp.withColumns(
+        {
+            "__geo_lat": r["lat"],
+            "__geo_lon": r["lon"],
+            "__flag_pre_flip": r["flag_pre_flip"],
+            "__flag_bounds": r["flag_bounds"],
+            "__flag_low_precision": r["flag_low_precision"],
+        }
+    ).drop("__geo_p_lat0", "__geo_p_lon0", "__geo_p_explat", "__geo_p_explon")
 
 
 # --------------------------------------------------------------------------

@@ -172,13 +172,18 @@ def geo_normalize_flags(spark, sf_dir):
         .withColumn("lat_s", F.expr(_LAT_S))
         .withColumn("lon_s", F.expr(_LON_S))
     )
-    r = E.geo_normalize(F.col("lat_s"), F.col("lon_s"))
+    # staged form (r15): parse once per coordinate as explicit columns,
+    # branch logic over doubles — same result, no re-inlined parse
+    g = E.with_geo_normalize(g, F.col("lat_s"), F.col("lon_s"))
     return g.select(
         "c_custkey",
-        r["lat"].alias("lat"),
-        r["lon"].alias("lon"),
+        F.col("__geo_lat").alias("lat"),
+        F.col("__geo_lon").alias("lon"),
         F.concat_ws(
-            ",", r["flag_pre_flip"], r["flag_bounds"], r["flag_low_precision"]
+            ",",
+            F.col("__flag_pre_flip"),
+            F.col("__flag_bounds"),
+            F.col("__flag_low_precision"),
         ).alias("flags"),
     ).orderBy("c_custkey")
 

@@ -661,3 +661,36 @@ def test_nb_and_lm_scoring_stay_native(spark, sf_dir):
         p = plan_str(df, "simple")
         assert "EvalPython" not in p
         assert "CartesianProduct" not in p
+
+
+def test_staged_geo_normalize_parses_each_coordinate_once(spark):
+    """r15: with_geo_normalize must keep the py_double parse subtree
+    staged — ONE parse per coordinate in the optimized plan. The inline
+    expression form re-inlines the parse at every CaseWhen reference
+    (codegen subexpression elimination skips conditional contexts): the
+    pre-fix etl_enrichment_pipeline plan carried the float-grammar
+    regex 238 times; the staged plan carries it exactly twice (once per
+    coordinate). Pinned on the optimized logical plan because the
+    regression mode is expression duplication, not a physical-shape
+    change (controlled A/B: 3.02 s -> 1.82 s on the sf0.1 bench frame,
+    tools/probe_geo_staged.py)."""
+    from idb_backend_spark.functions.enrichment import with_geo_normalize
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet").select(
+        F.col("c_custkey"),
+        F.concat(
+            (F.col("c_custkey") % 160 - 80).cast("string"), F.lit(".125")
+        ).alias("lat_s"),
+        F.concat(
+            (F.col("c_custkey") % 360 - 180).cast("string"), F.lit(".25")
+        ).alias("lon_s"),
+    )
+    out = with_geo_normalize(cust, F.col("lat_s"), F.col("lon_s"))
+    # consume every staged output so nothing is pruned away
+    out = out.select(
+        "c_custkey", "__geo_lat", "__geo_lon",
+        "__flag_pre_flip", "__flag_bounds", "__flag_low_precision",
+    )
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    # the float-grammar regex is the signature of one py_double parse
+    assert optimized.count("inf(?:inity)?") == 2
