@@ -437,6 +437,7 @@ def corpus_curation_pipeline(spark, sf_dir):
     Sums go through decimal so cross-engine float ordering can't diverge."""
     from idb_backend_spark.functions import text as T
     from idb_backend_spark.operators.dedup import _spread, exact_dedup_keep_first
+    from idb_backend_spark.session import pushdown_barrier
 
     # _spread: a small single-file corpus otherwise runs the whole
     # enrichment serially in the one-split scan stage; at real scale the
@@ -451,6 +452,15 @@ def corpus_curation_pipeline(spark, sf_dir):
         T.quality_score("text").alias("q"),
         T.token_count("text").alias("n_tok"),
     )
+    # pushdown_barrier: without it PushDownPredicate substitutes the
+    # quality gate's q/n_tok DEFINITIONS into a filter below the spread
+    # exchange — the full quality-score regex stack ran serially in the
+    # one-split scan stage AND again in the post-spread projection
+    # (plans/r15/corpus_curation_pipeline_before.txt operator (2)). The
+    # barrier keeps the gate reading the staged columns: one parallel
+    # evaluation (guide §2.3/§4.4-class duplication, native-expression
+    # variant).
+    enriched = pushdown_barrier(enriched)
     filtered = enriched.filter((F.col("q") >= 0.3) & (F.col("n_tok") >= 5))
     # project-before-the-exchange (guide §2.3): the per-language rollup
     # below reads only (lang, n_tok, q, doc_id) — the text column exists

@@ -694,3 +694,26 @@ def test_staged_geo_normalize_parses_each_coordinate_once(spark):
     optimized = out._jdf.queryExecution().optimizedPlan().toString()
     # the float-grammar regex is the signature of one py_double parse
     assert optimized.count("inf(?:inity)?") == 2
+
+
+def test_pushdown_barrier_keeps_quality_gate_above_spread():
+    """r15: the corpus pipeline's quality gate embeds the full
+    quality-score regex stack; without a barrier PushDownPredicate
+    substitutes it through the enrichment projection AND the spread
+    repartition into the scan stage — serially evaluated in the
+    one-split local scan (sf0.1 A/B: 1.29 s -> 0.70 s min-of-5 with the
+    barrier). Pin: below the spread exchange there is no regexp work,
+    and the barrier's nondeterministic filter sits directly above the
+    exchange so deterministic predicates cannot cross it."""
+    from idb_backend_spark.plans.catalog import Q
+    from idb_backend_spark.session import get_spark
+
+    spark = get_spark("plan-props")
+    q = Q["corpus_curation_pipeline"](spark, SF)
+    p = q._jdf.queryExecution().executedPlan().toString()
+    assert "SPARK_PARTITION_ID() >= 0" in p, p
+    # everything below the first (bottom-most) Exchange must be free of
+    # regex evaluation: the scan stage only reads and prunes columns
+    bottom = p.rsplit("Exchange", 1)[-1]
+    assert "regexp_extract_all" not in bottom, bottom
+    assert "regexp_replace" not in bottom, bottom
