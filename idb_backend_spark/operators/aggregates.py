@@ -291,10 +291,19 @@ def usage_stats_rollup(
     collect.py:136 — pass ``F.to_json`` of a struct, whose field order
     is fixed by the schema, or a canonical string).
 
-    Shape: one kv-unpivot + two grouped aggs (fine per-key sums, then
-    map assembly) + one tiny totals agg joined on the group — every
-    shuffle is on the group key and the output is bounded by
-    (recordsets x types), not by traffic.
+    Shape (r15, guide §2.4 — ONE pass over the fact table): one
+    kv-unpivot + two grouped aggs (fine per-key sums, then map assembly).
+    The per-group ``count``/``total`` scalars ride the SAME cascade as
+    two synthetic dims with a constant key (``__count`` w=1, ``__total``
+    w=geo_w) — the previous shape computed them in a second groupBy over
+    a SECOND full scan of ``df`` and joined it back, so the fact table
+    was read twice at scale for two long columns. Every row emits a
+    ``__count`` entry, so every group the old totals leg produced still
+    appears (the old join was totals-LEFT-maps for exactly that reason).
+    Every shuffle is on the group key and the output is bounded by
+    (recordsets x types), not by traffic. sf0.1 A/B: identical 90 rows,
+    wall neutral locally (the scan is 2 MB here); the win is the
+    dropped second scan + join.
     """
     st = F.col(stats_type_col)
     is_view = st == "view"
@@ -313,7 +322,7 @@ def usage_stats_rollup(
     def dim(name, key, w):
         return F.struct(
             F.lit(name).alias("dim"),
-            F.col(key).cast("string").alias("key"),
+            key.cast("string").alias("key"),
             w.cast("long").alias("w"),
         )
 
@@ -322,9 +331,14 @@ def usage_stats_rollup(
             *group_cols,
             F.explode(
                 F.array(
-                    dim("items", term_col, item_w),
-                    dim("queries", query_hash_col, query_w),
-                    dim("geocodes", geocode_col, geo_w),
+                    dim("items", F.col(term_col), item_w),
+                    dim("queries", F.col(query_hash_col), query_w),
+                    dim("geocodes", F.col(geocode_col), geo_w),
+                    # totals as synthetic dims: constant non-null key so
+                    # the kv filter keeps them; __total's null-skipping
+                    # sum matches the old F.sum over record_count
+                    dim("__count", F.lit(""), F.lit(1)),
+                    dim("__total", F.lit(""), geo_w),
                 )
             ).alias("e"),
         )
@@ -343,16 +357,18 @@ def usage_stats_rollup(
             F.sort_array(F.collect_list(entry))
         ).alias(name)
 
-    maps = fine.groupBy(*group_cols).agg(
-        map_for("items"), map_for("queries"), map_for("geocodes")
+    out = fine.groupBy(*group_cols).agg(
+        # one fine row per group for each synthetic dim — max() is just
+        # "the value"; long type preserved
+        F.max(F.when(F.col("dim") == "__count", F.col("n"))).alias("count"),
+        F.max(F.when(F.col("dim") == "__total", F.col("n"))).alias("total"),
+        map_for("items"),
+        map_for("queries"),
+        map_for("geocodes"),
     )
-    totals = df.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("count"),
-        F.sum(
-            F.when(is_vs, F.lit(1)).otherwise(F.col(record_count_col))
-        ).alias("total"),
+    return out.select(
+        *group_cols, "count", "total", "items", "queries", "geocodes"
     )
-    return totals.join(maps, on=list(group_cols), how="left")
 
 
 def true_ic(ic: Column) -> Column:
