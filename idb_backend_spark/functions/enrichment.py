@@ -115,15 +115,34 @@ def with_geo_normalize(df, lat_raw: Column, lon_raw: Column):
     Adds ``__geo_lat``, ``__geo_lon``, ``__flag_pre_flip``,
     ``__flag_bounds``, ``__flag_low_precision``; the ``__geo_p_*`` parse
     temporaries are dropped.
+
+    Two stages below the parse stage (r15): the NORMALIZED input strings
+    (full-class strip + 650-char Nd->ASCII translate) land first as
+    their own columns — the validate/cast and exponent expressions
+    reference them from CaseWhen contexts 2-5 times each, and every
+    such reference re-inlined the whole translate chain (14 copies in
+    the etl plan; 4 after).
     """
-    from idb_backend_spark.functions.grabbers import py_double
+    from idb_backend_spark.functions.grabbers import (
+        decimal_exponent_from_norm,
+        decimal_exponent_norm,
+        py_double_from_norm,
+        py_double_norm,
+    )
 
     tmp = df.withColumns(
         {
-            "__geo_p_lat0": py_double(getfield(lat_raw)),
-            "__geo_p_lon0": py_double(getfield(lon_raw)),
-            "__geo_p_explat": decimal_exponent(lat_raw),
-            "__geo_p_explon": decimal_exponent(lon_raw),
+            "__geo_n_lat": py_double_norm(getfield(lat_raw)),
+            "__geo_n_lon": py_double_norm(getfield(lon_raw)),
+            "__geo_d_lat": decimal_exponent_norm(lat_raw),
+            "__geo_d_lon": decimal_exponent_norm(lon_raw),
+        }
+    ).withColumns(
+        {
+            "__geo_p_lat0": py_double_from_norm(F.col("__geo_n_lat")),
+            "__geo_p_lon0": py_double_from_norm(F.col("__geo_n_lon")),
+            "__geo_p_explat": decimal_exponent_from_norm(F.col("__geo_d_lat")),
+            "__geo_p_explon": decimal_exponent_from_norm(F.col("__geo_d_lon")),
         }
     )
     r = _geo_branch_logic(
@@ -140,7 +159,10 @@ def with_geo_normalize(df, lat_raw: Column, lon_raw: Column):
             "__flag_bounds": r["flag_bounds"],
             "__flag_low_precision": r["flag_low_precision"],
         }
-    ).drop("__geo_p_lat0", "__geo_p_lon0", "__geo_p_explat", "__geo_p_explon")
+    ).drop(
+        "__geo_n_lat", "__geo_n_lon", "__geo_d_lat", "__geo_d_lon",
+        "__geo_p_lat0", "__geo_p_lon0", "__geo_p_explat", "__geo_p_explon",
+    )
 
 
 # --------------------------------------------------------------------------

@@ -105,6 +105,29 @@ def normalize_py_number(c: Column, drop_underscores: bool = True) -> Column:
     return F.translate(c, src, _ND_DST)
 
 
+def py_double_norm(c: Column | str) -> Column:
+    """The normalized input string py_double validates and casts —
+    full-class strip + Nd->ASCII fold, underscores KEPT for the grammar
+    check. Split out so pipeline call sites can stage it ONCE as a
+    column: every reference from a CaseWhen context re-inlines the
+    650-char translate map otherwise (codegen CSE skips conditional
+    branch contexts — the with_geo_normalize rationale)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return normalize_py_number(
+        py_strip(c.cast("string")), drop_underscores=False
+    )
+
+
+def py_double_from_norm(s: Column) -> Column:
+    """``float(str)`` over an ALREADY-normalized string (py_double_norm
+    output). Kept trivially small so py_double == from_norm(norm) by
+    construction."""
+    return F.when(
+        s.rlike(PY_FLOAT_RE),
+        F.translate(s, "_", "").try_cast("double"),
+    )
+
+
 def py_double(c: Column | str) -> Column:
     """``float(str)`` exactly: full-class strip, the Python float
     grammar (incl. inf/infinity/nan and between-digit underscores;
@@ -113,14 +136,7 @@ def py_double(c: Column | str) -> Column:
     Normalize-THEN-validate: Nd digits fold to ASCII first (explicit
     map, underscores kept for the grammar check), so the ASCII-class
     grammar accepts exactly what CPython accepts on every JVM."""
-    c = F.col(c) if isinstance(c, str) else c
-    s = normalize_py_number(
-        py_strip(c.cast("string")), drop_underscores=False
-    )
-    return F.when(
-        s.rlike(PY_FLOAT_RE),
-        F.translate(s, "_", "").try_cast("double"),
-    )
+    return py_double_from_norm(py_double_norm(c))
 
 
 def py_long(c: Column | str) -> Column:
@@ -256,7 +272,23 @@ def decimal_exponent(verbatim: Column | str) -> Column:
     # it unparsed, mis-flagging it low-precision), accepts any unicode
     # Nd digit anywhere including the exponent, and deletes underscores
     # wherever they appear — normalize first, then ASCII parsing
-    s = normalize_py_number(py_strip(c.cast("string")))
+    return decimal_exponent_from_norm(decimal_exponent_norm(c))
+
+
+def decimal_exponent_norm(c: Column | str) -> Column:
+    """The normalized input string decimal_exponent parses — full-class
+    strip + Nd->ASCII fold, underscores DELETED (Decimal strips them
+    anywhere). Split out so pipeline call sites can stage it once as a
+    column (same conditional-context CSE rationale as py_double_norm:
+    the from_norm body references it 5 times)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return normalize_py_number(py_strip(c.cast("string")))
+
+
+def decimal_exponent_from_norm(s: Column) -> Column:
+    """getExponent over an ALREADY-normalized string
+    (decimal_exponent_norm output); decimal_exponent == from_norm(norm)
+    by construction."""
     frac = F.length(F.regexp_extract(s, r"\.(\d+)", 1))
     # try_cast + coalesce, never a bare cast: ANSI mode throws casting
     # '' to int, and an absurd exponent ('1e99999999999') would overflow

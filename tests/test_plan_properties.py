@@ -694,6 +694,13 @@ def test_staged_geo_normalize_parses_each_coordinate_once(spark):
     optimized = out._jdf.queryExecution().optimizedPlan().toString()
     # the float-grammar regex is the signature of one py_double parse
     assert optimized.count("inf(?:inity)?") == 2
+    # and the NORMALIZED input strings are themselves staged (r15 s3):
+    # exactly 4 Nd->ASCII translate maps — py_double_norm +
+    # decimal_exponent_norm per coordinate. The validate/cast/exponent
+    # consumers reference those staged columns 2-5 times each; without
+    # the norm stage every reference re-inlined the 650-char translate
+    # chain (14 copies in the etl plan).
+    assert optimized.count("٠١٢٣٤") == 4
 
 
 def test_pushdown_barrier_keeps_quality_gate_above_spread():
