@@ -314,8 +314,17 @@ def simhash_pairs(
     chunks; any pair within the radius agrees on >=1 chunk, so the
     self-join runs per chunk value — no cross product.
     """
+    # coalesce marks fp non-nullable (the UDF never returns null — an
+    # empty/None token list already fingerprints to 0), so the radius
+    # term in hamming_pairs' join condition cannot infer an
+    # isnotnull(fp) filter: that inferred filter pushes through the
+    # banded projection and the spread exchange and re-evaluates the
+    # whole hashing UDF a second time below it (guide §4.4's
+    # duplication, observed as 2x ArrowEvalPython when the radius
+    # filter moved ahead of the dedup).
     fp = _spread(df.select(F.col(id_col), F.col(text_col)), None).select(
-        F.col(id_col).alias("id"), simhash64(tokens(text_col)).alias("fp")
+        F.col(id_col).alias("id"),
+        F.coalesce(simhash64(tokens(text_col)), F.lit(0)).alias("fp"),
     )
     return hamming_pairs(fp, max_hamming)
 
@@ -383,8 +392,14 @@ def hamming_pairs(fp: DataFrame, max_hamming: int = 3) -> DataFrame:
             F.col("b.id").alias("id_b"),
             hamming64(F.col("a.fp"), F.col("b.fp")).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # Radius filter BEFORE the dedup exchange (r15, guide §2.3):
+        # hamming is a pure function of the pair, so filter-then-dedup
+        # == dedup-then-filter — but chunk collisions are overwhelmingly
+        # FAR pairs (sf0.1: 250,557 collision rows vs 902 within radius,
+        # 278x), and the old order shuffled all of them into the
+        # dropDuplicates aggregation just to discard them after.
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
