@@ -33,6 +33,11 @@ from idb_backend_spark.query.shim import compile_shim, shim_to_sql  # noqa: F401
 def latest_version_per_key(spark, sf_dir):
     """J1/W1 — LATERAL top-1-per-key (latest event per user)."""
     ev = _t(spark, sf_dir, "events")
+    # project before the kernel (r15 s3, guide §2.3): the max_by payload
+    # struct is opaque to column pruning — unprojected, the scan dragged
+    # events.value and the props MAP through the aggregation buffers to
+    # output 3 columns
+    ev = ev.select("user_id", "ts", "event_id", "event_type")
     out = versioning.latest_per_key_agg(ev, ["user_id"], ["ts", "event_id"])
     return out.select("user_id", "event_id", "event_type").orderBy("user_id")
 
@@ -185,6 +190,14 @@ def latest_object_per_url(spark, sf_dir):
     plans/r15/latest_object_per_url_{before,after}.txt)."""
     li = _t_spread(
         spark, sf_dir, "lineitem", "l_partkey", "l_suppkey", by_range=True
+    )
+    # project to the consumed columns BEFORE the kernel (r15 s3, guide
+    # §2.3): max_by's payload struct is opaque to column pruning, so
+    # without this the scan read and the spread exchange shuffled all
+    # 11 lineitem columns to extract 4 from the winner (ReadSchema
+    # 11 -> 5 columns, plans/r15/latest_object_per_url_after.txt)
+    li = li.select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate"
     )
     out = versioning.latest_per_key_agg(
         li, ["l_partkey", "l_suppkey"],
