@@ -74,6 +74,12 @@ def tokens(c: Column | str) -> Column:
     return F.split(normalize_text(c), " ")
 
 
+def tokens_from_norm(norm: Column) -> Column:
+    """tokens over an ALREADY-normalized string (normalize_text output);
+    tokens == from_norm(normalize_text) by construction."""
+    return F.split(norm, " ")
+
+
 #: DuckDB-SQL twins of normalize_text / tokens over a `text` column —
 #: defined HERE, next to the engine expressions they mirror, so any
 #: tokenizer change updates both renderings in one diff. plans.synth
@@ -261,8 +267,16 @@ def whole_token_match_sql(col_expr: str, query: str) -> str:
 
 def token_count(c: Column | str) -> Column:
     """Whitespace token count (the `wc -w` definition)."""
-    t = tokens(c)
-    return F.when(F.length(normalize_text(c)) == 0, F.lit(0)).otherwise(F.size(t))
+    return token_count_from_norm(normalize_text(c))
+
+
+def token_count_from_norm(norm: Column) -> Column:
+    """token_count over an ALREADY-normalized string — the expression
+    form evaluates the normalize chain twice (empty guard + split);
+    token_count == from_norm(normalize_text) by construction."""
+    return F.when(F.length(norm) == 0, F.lit(0)).otherwise(
+        F.size(F.split(norm, " "))
+    )
 
 
 def bpe_ish_token_count(c: Column | str) -> Column:
@@ -292,12 +306,24 @@ def marker_hits(c: Column | str, words: list[str]) -> Column:
     text yields NULL (callers' when-guards already treat that as zero
     hits, matching the old form's behavior through size()).
     """
+    return marker_hits_from_norm(normalize_text(c), words)
+
+
+def marker_hits_from_norm(norm: Column, words: list[str]) -> Column:
+    """marker_hits over an ALREADY-normalized string (normalize_text
+    output). Split out (r15, the py_double_norm rationale): lang_id runs
+    one marker scan per language and quality_score another, and each
+    expression-form call re-inlined the whole normalize chain (case
+    fold + whitespace-collapse regexp over the full document) — staging
+    the normalized text once as a column leaves only the semantic
+    regexp_count scans. marker_hits == from_norm(normalize_text) by
+    construction."""
     if not words:
         return F.lit(0)
     import re as _re
 
     pat = "[ ](" + "|".join(_re.escape(w) for w in words) + ")(?=[ ])"
-    padded = F.concat(F.lit(" "), normalize_text(c), F.lit(" "))
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
     return F.regexp_count(padded, F.lit(pat))
 
 
@@ -339,18 +365,41 @@ def quality_score_from_tokens(
     DuckDB, so the unguarded formula scored a null document 0.5 — above
     most keep-thresholds); the punctuation penalty is floored at 0 so
     the documented [0, 1] range actually holds for punctuation soup."""
-    col = F.col(c) if isinstance(c, str) else c
-    n = F.length(col)
-    len_score = F.least(n.cast("double") / F.lit(500.0), F.lit(1.0))
     # hits natively via marker_hits (t is tokens(c) per this function's
     # contract, so the text-derived count is the same value); the staged
     # t still carries the denominator without re-tokenizing
+    col = F.col(c) if isinstance(c, str) else c
     sw = stopwords or LANG_MARKERS["en"]
+    return _quality_core(col, t, marker_hits(c, sw))
+
+
+def quality_score_from_norm(
+    c: Column | str, norm: Column, stopwords: list[str] | None = None
+) -> Column:
+    """quality_score with the NORMALIZED text staged by the caller —
+    tokens(c) == split(norm, ' ') and the stopword scan counts on the
+    same norm, so the value is identical while the normalize chain
+    (case fold + whitespace-collapse regexp) is paid once per row
+    instead of per consumer. Raw ``c`` still feeds the length/punct
+    signals, which the heuristic defines over the verbatim text."""
+    col = F.col(c) if isinstance(c, str) else c
+    sw = stopwords or LANG_MARKERS["en"]
+    return _quality_core(
+        col, F.split(norm, " "), marker_hits_from_norm(norm, sw)
+    )
+
+
+def _quality_core(col: Column, t: Column, hits: Column) -> Column:
+    """The quality formula over (raw text, token array, stopword hits) —
+    one body shared by the tokens- and norm-staged forms so they cannot
+    drift."""
+    n = F.length(col)
+    len_score = F.least(n.cast("double") / F.lit(500.0), F.lit(1.0))
     sw_ratio = F.when(
-        F.size(t) > 0, marker_hits(c, sw).cast("double") / F.size(t)
+        F.size(t) > 0, hits.cast("double") / F.size(t)
     ).otherwise(F.lit(0.0))
     sw_score = F.least(sw_ratio * 5.0, F.lit(1.0))
-    p_penalty = F.least(punct_ratio(c) * 4.0, F.lit(1.0))
+    p_penalty = F.least(punct_ratio(col) * 4.0, F.lit(1.0))
     raw = 0.5 * len_score + 0.5 * sw_score - 0.25 * p_penalty
     return F.when(
         col.isNotNull(), F.round(F.greatest(raw, F.lit(0.0)), 6)
@@ -399,9 +448,20 @@ def _lang_argmax(hits_by_lang: dict[str, Column]) -> Column:
 def lang_id(c: Column | str, markers: dict[str, list[str]] | None = None) -> Column:
     """Argmax language by native whole-token marker hits (marker_hits);
     'und' when no marker matches, ties break by language code."""
+    return lang_id_from_norm(normalize_text(c), markers)
+
+
+def lang_id_from_norm(
+    norm: Column, markers: dict[str, list[str]] | None = None
+) -> Column:
+    """lang_id over an ALREADY-normalized string — the expression form
+    re-inlines the normalize chain once PER LANGUAGE (5 case-fold +
+    whitespace-collapse passes over the document per row); callers that
+    stage normalize_text as a column pay it once.
+    lang_id == from_norm(normalize_text) by construction."""
     markers = markers or LANG_MARKERS
     return _lang_argmax(
-        {lang: marker_hits(c, markers[lang]) for lang in markers}
+        {lang: marker_hits_from_norm(norm, markers[lang]) for lang in markers}
     )
 
 
@@ -437,7 +497,13 @@ def fulltext_column(*cols: Column | str) -> Column:
 def fingerprint(c: Column | str) -> Column:
     """Document fingerprint: md5 of the normalized text. Content-addressed
     identity for exact dedup (the text analog of the record etag, F19)."""
-    return F.md5(normalize_text(c).cast("binary"))
+    return fingerprint_from_norm(normalize_text(c))
+
+
+def fingerprint_from_norm(norm: Column) -> Column:
+    """fingerprint over an ALREADY-normalized string (normalize_text
+    output); fingerprint == from_norm(normalize_text) by construction."""
+    return F.md5(norm.cast("binary"))
 
 
 def shingles_from_tokens(

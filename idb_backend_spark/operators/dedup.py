@@ -84,6 +84,7 @@ def exact_dedup_keep_first(
     text_col: str,
     id_col: str,
     keep_cols: list[str] | None = None,
+    norm_col: str | None = None,
 ) -> DataFrame:
     """The filtered corpus: keep the min-id representative of each group.
 
@@ -101,15 +102,29 @@ def exact_dedup_keep_first(
     saving (the text is only needed to COMPUTE the fingerprint, never
     to pick or carry the keeper). sf0.1 A/B on the curation pipeline:
     1.521 s -> 1.290 s min-of-3, identical rows. Default None keeps
-    every column (the generic contract)."""
+    every column (the generic contract).
+
+    ``norm_col`` (r15 s3): a caller that already staged
+    ``normalize_text(text_col)`` as a column passes it here so the
+    fingerprint md5 reads it instead of re-running the normalize chain
+    (fingerprint == md5(normalize_text) by construction, and
+    normalize_text is idempotent, so the two spellings are
+    value-identical)."""
     from pyspark.sql import Window
+
+    from idb_backend_spark.functions.text import fingerprint_from_norm
 
     out_cols = list(df.columns) if keep_cols is None else list(keep_cols)
     if id_col not in out_cols:
         raise ValueError(f"keep_cols must include id_col {id_col!r}")
+    fp = (
+        fingerprint_from_norm(F.col(norm_col))
+        if norm_col is not None
+        else fingerprint(text_col)
+    )
     staged = df.select(
         *[c for c in df.columns if c in out_cols],
-        fingerprint(text_col).alias("__fp"),
+        fp.alias("__fp"),
     )
     w = Window.partitionBy("__fp")
     return (

@@ -310,13 +310,19 @@ def training_corpus_e2e(spark, sf_dir):
     from idb_backend_spark.operators.sampling import split_assignment
 
     docs = _t(spark, sf_dir, "documents")
+    # normalized text staged once (r15 s3): the gate + tokenization ran
+    # the normalize chain 3x per row in the expression forms
+    docs = docs.withColumn("__norm", text.normalize_text("text"))
+    from idb_backend_spark.session import barrier_filter
+
     chunks = (
-        docs.filter(text.token_count("text") >= 8)
+        barrier_filter(docs, text.token_count_from_norm(F.col("__norm")) >= 8)
         .select(
             "doc_id",
             F.explode(
                 text.chunks_from_tokens(
-                    text.tokens("text"), _E2E_CHUNK, _E2E_OVERLAP
+                    text.tokens_from_norm(F.col("__norm")),
+                    _E2E_CHUNK, _E2E_OVERLAP,
                 )
             ).alias("c"),
         )
@@ -415,8 +421,11 @@ def sequence_packing(spark, sf_dir):
     """
     from idb_backend_spark.functions import text
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", text.token_count("text").alias("n_tok")
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__norm", text.normalize_text("text")
+    ).select(
+        "doc_id",
+        text.token_count_from_norm(F.col("__norm")).alias("n_tok"),
     )
     packed = text.pack_sequences(
         docs, "n_tok", ["doc_id"],

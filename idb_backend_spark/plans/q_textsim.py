@@ -49,8 +49,12 @@ def exact_dedup_q(spark, sf_dir):
 def token_count_quality(spark, sf_dir):
     """Text analysis — whitespace token counting."""
     docs = _t_spread(spark, sf_dir, "documents", "doc_id", by_range=True)
+    # normalized text staged once (r15 s3): the expression form pays the
+    # case-fold + whitespace-collapse chain twice (empty guard + split)
+    docs = docs.withColumn("__norm", text.normalize_text("text"))
     return docs.select(
-        "doc_id", text.token_count("text").alias("n_tokens")
+        "doc_id",
+        text.token_count_from_norm(F.col("__norm")).alias("n_tokens"),
     ).orderBy("doc_id")
 
 
@@ -78,8 +82,12 @@ def lang_id_heuristic(spark, sf_dir):
     """Text analysis — marker-lexicon language ID (argmax, deterministic
     tie-break by language code)."""
     docs = _t_spread(spark, sf_dir, "documents", "doc_id", by_range=True)
+    # normalized text staged once (r15 s3): the expression form re-ran
+    # the normalize chain once PER LANGUAGE (5 full-document passes/row)
+    docs = docs.withColumn("__norm", text.normalize_text("text"))
     return docs.select(
-        "doc_id", text.lang_id("text").alias("lang_pred")
+        "doc_id",
+        text.lang_id_from_norm(F.col("__norm")).alias("lang_pred"),
     ).orderBy("doc_id")
 
 
@@ -437,7 +445,7 @@ def corpus_curation_pipeline(spark, sf_dir):
     Sums go through decimal so cross-engine float ordering can't diverge."""
     from idb_backend_spark.functions import text as T
     from idb_backend_spark.operators.dedup import _spread, exact_dedup_keep_first
-    from idb_backend_spark.session import pushdown_barrier
+    from idb_backend_spark.session import barrier_filter
 
     # _spread: a small single-file corpus otherwise runs the whole
     # enrichment serially in the one-split scan stage; at real scale the
@@ -445,29 +453,38 @@ def corpus_curation_pipeline(spark, sf_dir):
     docs = _spread(
         _t(spark, sf_dir, "documents").select("doc_id", "text"), None
     )
+    # normalized text staged once (r15 s3): lang (5 marker scans), q
+    # (stopword scan + token split) and n_tok each re-ran the full
+    # normalize chain per row in the expression forms — 9 case-fold +
+    # whitespace-collapse document passes collapse to 1
+    docs = docs.withColumn("__norm", T.normalize_text("text"))
     enriched = docs.select(
         "doc_id",
         "text",
-        T.lang_id("text").alias("lang"),
-        T.quality_score("text").alias("q"),
-        T.token_count("text").alias("n_tok"),
+        "__norm",
+        T.lang_id_from_norm(F.col("__norm")).alias("lang"),
+        T.quality_score_from_norm("text", F.col("__norm")).alias("q"),
+        T.token_count_from_norm(F.col("__norm")).alias("n_tok"),
     )
-    # pushdown_barrier: without it PushDownPredicate substitutes the
-    # quality gate's q/n_tok DEFINITIONS into a filter below the spread
-    # exchange — the full quality-score regex stack ran serially in the
-    # one-split scan stage AND again in the post-spread projection
-    # (plans/r15/corpus_curation_pipeline_before.txt operator (2)). The
-    # barrier keeps the gate reading the staged columns: one parallel
-    # evaluation (guide §2.3/§4.4-class duplication, native-expression
-    # variant).
-    enriched = pushdown_barrier(enriched)
-    filtered = enriched.filter((F.col("q") >= 0.3) & (F.col("n_tok") >= 5))
+    # barrier_filter, not a plain filter (r15 s3, upgraded from the
+    # standalone pushdown_barrier): PushDownPredicate substitutes the
+    # gate's q/n_tok DEFINITIONS through the enrichment and __norm
+    # staging projections (and before the barrier existed, below the
+    # spread exchange into the serial scan stage) — the full quality
+    # stack then evaluated per row in the pushed filter AND again in
+    # the projection. The nondeterministic conjunct makes the gate
+    # non-pushable, so it reads the staged columns: one evaluation,
+    # parallel (guide §2.3/§4.4-class duplication, native variant).
+    filtered = barrier_filter(
+        enriched, (F.col("q") >= 0.3) & (F.col("n_tok") >= 5)
+    )
     # project-before-the-exchange (guide §2.3): the per-language rollup
     # below reads only (lang, n_tok, q, doc_id) — the text column exists
     # solely to compute the dedup fingerprint, so it must not ride the
     # dedup shuffle (at corpus scale the text IS the bytes)
     kept = exact_dedup_keep_first(
-        filtered, "text", "doc_id", keep_cols=["doc_id", "lang", "q", "n_tok"]
+        filtered, "text", "doc_id",
+        keep_cols=["doc_id", "lang", "q", "n_tok"], norm_col="__norm"
     )
     return (
         kept.groupBy("lang")

@@ -294,6 +294,37 @@ def pushdown_barrier(df):
     return df.where(F.spark_partition_id() >= 0)
 
 
+def barrier_filter(df, cond):
+    """``df.filter(cond)`` that cannot be pushed below the projections
+    it reads from.
+
+    A standalone ``pushdown_barrier`` only pins the RELATIVE order of
+    filters, and a nondeterministic PREDICATE does not help either:
+    PushPredicateThroughNonJoin pushes ANY filter through a Project
+    whenever the PROJECT's fields are all deterministic (the
+    nondeterminism condition guards other plan nodes), so a gate over
+    staged expensive columns (``__norm``-class staging) still re-inlines
+    their definitions below the staging projection (observed r15 s3:
+    the corpus quality gate carried 6 normalize chains below the
+    staging projects, barrier intact beneath it — and the
+    spark_partition_id CONJUNCT sank with it).
+
+    What does block the transposition is a NONDETERMINISTIC FIELD in
+    the projection itself: the gate is rewritten to read a
+    ``spark_partition_id()`` column staged right below it, so (a) the
+    projection under the filter is nondeterministic -> the rule's
+    ``fields.forall(_.deterministic)`` guard fails and nothing pushes
+    through, and (b) the filter references the column, so ColumnPruning
+    cannot strip it and re-open the hole. Task-retry-stable (the
+    predicate is constant-true either way); cost one int comparison per
+    row. The helper column never escapes: it is dropped right above the
+    filter."""
+    from pyspark.sql import functions as F
+
+    staged = df.withColumn("__nopush", F.spark_partition_id())
+    return staged.where(cond & (F.col("__nopush") >= 0)).drop("__nopush")
+
+
 # (a load_tables helper used to live here — deleted as dead code: every
 # real path loads tables through plans/registry._t, which also owns the
 # events.ts nanos->timestamp conversion this raw read would skip)

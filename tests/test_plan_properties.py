@@ -709,18 +709,28 @@ def test_pushdown_barrier_keeps_quality_gate_above_spread():
     substitutes it through the enrichment projection AND the spread
     repartition into the scan stage — serially evaluated in the
     one-split local scan (sf0.1 A/B: 1.29 s -> 0.70 s min-of-5 with the
-    barrier). Pin: below the spread exchange there is no regexp work,
-    and the barrier's nondeterministic filter sits directly above the
-    exchange so deterministic predicates cannot cross it."""
+    barrier). r15 s3 upgrade (session.barrier_filter): the barrier is
+    now a NONDETERMINISTIC FIELD the gate reads — a standalone
+    nondeterministic filter still slid through the staging Projects
+    (PushPredicateThroughNonJoin only checks the PROJECT's fields), so
+    the gate re-inlined 6 normalize chains below the staging. Pins:
+    (a) the staged spark_partition_id column exists, (b) the scan stage
+    below the bottom exchange is free of regex work, (c) NO Filter in
+    the whole plan evaluates a regex — the gate reads the staged q /
+    n_tok attributes only."""
     from idb_backend_spark.plans.catalog import Q
     from idb_backend_spark.session import get_spark
 
     spark = get_spark("plan-props")
     q = Q["corpus_curation_pipeline"](spark, SF)
     p = q._jdf.queryExecution().executedPlan().toString()
-    assert "SPARK_PARTITION_ID() >= 0" in p, p
+    assert "SPARK_PARTITION_ID()" in p, p
     # everything below the first (bottom-most) Exchange must be free of
     # regex evaluation: the scan stage only reads and prunes columns
     bottom = p.rsplit("Exchange", 1)[-1]
     assert "regexp_extract_all" not in bottom, bottom
     assert "regexp_replace" not in bottom, bottom
+    # and no filter anywhere re-inlines the quality stack
+    for line in p.splitlines():
+        if line.lstrip("+- *(0123456789) ").startswith("Filter"):
+            assert "regexp" not in line, line
