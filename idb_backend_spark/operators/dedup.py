@@ -254,9 +254,16 @@ def _minhash_candidate_pairs(
     banded = sig.select(
         "id", F.explode(F.array(*_band_structs(num_hashes, bands))).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # SHUFFLE_HASH (r15 s3, the hamming_pairs rationale): the default
+    # broadcast of one banded side re-executes the ENTIRE signature
+    # subtree (a full shingle+minhash pass over the corpus) to build the
+    # broadcast — exchange reuse only fires when both sides plan the
+    # identical Exchange(band, key). With the hint the second side is a
+    # ReusedExchange; at scale the banded side IS the corpus and was
+    # never broadcastable anyway.
     return (
         banded.alias("a")
-        .join(banded.alias("b"), on=["band", "key"])
+        .join(banded.alias("b").hint("shuffle_hash"), on=["band", "key"])
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
@@ -562,11 +569,24 @@ def minhash_exact_verified_pairs(
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
+    # SHUFFLE_HASH on both shingle sides (r15 s3): broadcasting them
+    # re-evaluates the shingle pass once PER SIDE; as shuffle joins the
+    # two sh subplans share one Exchange (the second is a
+    # ReusedExchange), so the corpus is shingled once. At scale the
+    # shingle table is corpus-sized — never broadcastable.
     return (
         sig_cand.join(
-            sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a"
+            sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}).hint(
+                "shuffle_hash"
+            ),
+            "id_a",
         )
-        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .join(
+            sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}).hint(
+                "shuffle_hash"
+            ),
+            "id_b",
+        )
         # filter on the EXACT ratio, round only for display — matching
         # ngram_jaccard_pairs and the shared exact-Jaccard SQL oracle
         # (synth.EXACT_JACCARD_SQL); thresholding the rounded value
@@ -605,9 +625,21 @@ def simhash_exact_verified_pairs(
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
+    # SHUFFLE_HASH on both shingle sides — same single-shingle-pass
+    # rationale as minhash_exact_verified_pairs above
     return (
-        cand.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        cand.join(
+            sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}).hint(
+                "shuffle_hash"
+            ),
+            "id_a",
+        )
+        .join(
+            sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}).hint(
+                "shuffle_hash"
+            ),
+            "id_b",
+        )
         # filter on the EXACT ratio, round only for display — matching
         # ngram_jaccard_pairs and the shared exact-Jaccard SQL oracle
         # (synth.EXACT_JACCARD_SQL); thresholding the rounded value
