@@ -357,6 +357,37 @@ def test_hamming_pairs_single_fingerprint_evaluation(spark):
     assert "BroadcastHashJoin" not in p
 
 
+def test_latest_kernels_scan_only_consumed_columns():
+    """r15 s3: max_by's payload struct is opaque to column pruning, so
+    the latest-per-key call sites must project to the consumed columns
+    BEFORE the kernel — unprojected, latest_object_per_url scanned and
+    shuffled all 11 lineitem columns to output 4, and
+    latest_version_per_key dragged events.value and the props MAP
+    through its aggregation buffers to output 3. Pin: the parquet
+    ReadSchema carries exactly the key + order + output columns."""
+    import re
+
+    from idb_backend_spark.plans.catalog import Q, UNGRADED
+    from idb_backend_spark.session import get_spark
+
+    spark = get_spark("plan-props")
+    runnable = {**Q, **UNGRADED}
+    want = {
+        "latest_object_per_url": {
+            "l_partkey", "l_suppkey", "l_orderkey", "l_linenumber",
+            "l_shipdate",
+        },
+        "latest_version_per_key": {"user_id", "ts", "event_id", "event_type"},
+    }
+    for name, cols in want.items():
+        q = runnable[name](spark, SF)
+        p = q._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"ReadSchema: struct<([^>]*)", p)
+        assert m, p
+        got = {f.split(":")[0] for f in m.group(1).split(",")}
+        assert got == cols, (name, got)
+
+
 def test_sibling_symmetrize_single_data_exchange(spark):
     """J3/U1 fused plan (r15): ONE hash exchange for the whole
     symmetrize -> (src,dst) dedup -> per-src degree chain. The explicit
