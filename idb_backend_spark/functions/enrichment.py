@@ -475,6 +475,66 @@ def fix_basis_of_record(bor: Column) -> dict[str, Column]:
     }
 
 
+def bor_flags_from_staged(filled: Column, value: Column) -> dict[str, Column]:
+    """F13 flags derived from STAGED outputs — for call sites that land
+    ``fix_basis_of_record(...)['value']`` as a column anyway (etl): the
+    flag conditions then read the cheap staged column instead of
+    re-evaluating the contains-rule chain once per flag (guide §1.2;
+    r16: the etl flags fold carried 3 full chain evaluations per row
+    even after the fold_flags single-evaluation fix — 1 after this).
+
+    Equivalence to fix_basis_of_record's inline flags (``value`` is
+    ``when(filled, matched)`` with non-null ``filled``):
+    ``removed = filled & matched.isNull()`` — when filled,
+    value == matched, so ``filled & value.isNull()`` is identical; when
+    not filled both forms are false. ``invalid = removed | ~filled``
+    unchanged. Pinned by
+    tests/test_enrichment.py::test_staged_bor_rank_flags_match_inline."""
+    removed = filled & value.isNull()
+    return {
+        "flag_removed": flag_when("dwc_basisofrecord_removed", removed),
+        "flag_invalid": flag_when(
+            "dwc_basisofrecord_invalid", removed | ~filled
+        ),
+    }
+
+
+def taxon_rank_flags_from_staged(
+    v: Column, value: Column
+) -> dict[str, Column]:
+    """F14 flags derived from STAGED columns: ``v`` the folded input
+    (``getfield(rank)``, staged) and ``value`` the staged
+    ``fix_taxon_rank(...)['value']`` output. Avoids re-probing the
+    313-literal mapping once per flag condition (guide §1.2).
+
+    Equivalence (``value = when(filled & in_mapping, mapped)
+    .when(filled & acceptable, v)``, ``filled = v.isNotNull()``):
+
+    * ``replaced = filled & in_mapping & mapped.isNotNull() &
+      (mapped != v)`` — when filled & in_mapping, value == mapped, so
+      ``(value != v)`` is false/null exactly where the old conjuncts
+      were (a NULL mapped makes the comparison NULL, which flag_when's
+      ``when`` treats as false, matching the old isNotNull guard).
+    * ``removed`` fired on (in_mapping & mapped.isNull()) |
+      (~in_mapping & ~acceptable) — exactly the filled rows whose
+      ``value`` came out NULL (the two no-arm cases); the remaining
+      filled cases (mapped non-null; acceptable passthrough of a
+      non-null v) leave value non-null. So ``filled & value.isNull()``.
+
+    ``flag_invalid`` (same condition as removed) is included for parity
+    with fix_taxon_rank. Pinned by
+    tests/test_enrichment.py::test_staged_bor_rank_flags_match_inline."""
+    filled = v.isNotNull()
+    in_mapping = v.isin(list(TAXON_RANK_MAPPING.keys()))
+    replaced = filled & in_mapping & (value != v)
+    removed = filled & value.isNull()
+    return {
+        "flag_replaced": flag_when("dwc_taxonrank_replaced", replaced),
+        "flag_removed": flag_when("dwc_taxonrank_removed", removed),
+        "flag_invalid": flag_when("dwc_taxonrank_invalid", removed),
+    }
+
+
 # --------------------------------------------------------------------------
 # F14 — taxonrank normalization (conversions.py:895-913). The FULL
 # vocabulary (313 mapping rows incl. multilingual spellings, 38 GBIF

@@ -13,8 +13,20 @@ from pyspark.sql import functions as F
 
 
 def flag_when(name: str, cond: Column) -> Column:
-    """A single conditional flag: value `name` when cond else null."""
-    return F.when(cond, F.lit(name))
+    """A single conditional flag: value `name` when cond else null.
+
+    The (name, cond) pair is attached to the returned Column so that
+    ``fold_flags`` can rebuild the single-evaluation form
+    ``when(cond, array(name))`` instead of wrapping the opaque column in
+    ``when(c.isNotNull(), array(c))`` — which evaluates ``cond`` TWICE
+    per row (once in the null check, once re-inlined inside the array:
+    CaseWhen branch contexts defeat codegen subexpression elimination,
+    the r15 staging finding). Derived Columns (.alias(), boolean
+    combinations) drop the attribute and fold through the generic path,
+    which stays value-identical."""
+    c = F.when(cond, F.lit(name))
+    c._flag_spec = (name, cond)
+    return c
 
 
 def fold_flags(*flag_cols: Column) -> Column:
@@ -26,16 +38,29 @@ def fold_flags(*flag_cols: Column) -> Column:
     measured 2x on the full enrichment pipeline (the flags fold sits in
     its widest select). Concat of per-flag 0/1-element arrays computes
     the identical value inside codegen.
+
+    A ``flag_when``-built column folds as ``when(cond, array(name))`` —
+    one evaluation of ``cond`` per row instead of the two the generic
+    ``when(c.isNotNull(), array(c))`` form pays (r16: the etl flags fold
+    carried 5 full evaluations of the BOR contains-chain per row, 3
+    after; equivalence: ``when(cond, lit(name))`` is non-null exactly
+    when ``cond`` is true, since ``name`` is a non-null literal).
     """
     if not flag_cols:
         return F.array().cast("array<string>")
     empty = F.array().cast("array<string>")
-    return F.concat(
-        *[
-            F.when(c.isNotNull(), F.array(c)).otherwise(empty)
-            for c in flag_cols
-        ]
-    )
+
+    def one(c: Column) -> Column:
+        # instance-dict read, NOT getattr: Column.__getattr__ resolves
+        # unknown names as struct-field accesses, so getattr on a plain
+        # column would return a bogus Column instead of None
+        spec = c.__dict__.get("_flag_spec")
+        if spec is not None:
+            name, cond = spec
+            return F.when(cond, F.array(F.lit(name))).otherwise(empty)
+        return F.when(c.isNotNull(), F.array(c)).otherwise(empty)
+
+    return F.concat(*[one(c) for c in flag_cols])
 
 
 def raw_data_flags(data: Column) -> Column:

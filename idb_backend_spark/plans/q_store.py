@@ -287,35 +287,12 @@ def _etl_oracle_sql() -> str:
     )
 
 
-@query("etl_enrichment_pipeline", _etl_oracle_sql())
-def etl_enrichment_pipeline(spark, sf_dir):
-    """§3.3 composed — the full enrichment hot path over the fact table:
-    verbatim projection, typed grabbers, geo normalization + flags, date
-    fallback + bounds flag, BOR + taxon-rank vocabularies, license lookup,
-    F15 commonnames assembly (collect_common_names composed here the way
-    the reference's grabAll composes it, conversions.py:932-964 — raw
-    unfolded vernacularName seed + the lowercase-key gbif loop quirk),
-    flag folding, and dqs scoring — entirely native expressions (the
-    reference's 1.33 ms/record Python loop, conversions.py:915-930).
-
-    The DuckDB oracle replicates the numeric path (geo normalize +
-    Molodensky trig via the shared plans.synth chain) structurally and
-    states golden expectations for the vocabulary lookups (inputs are
-    pure functions of l_linenumber). Coordinates are rounded to 6
-    decimals on both engines for cross-libm hash stability. Throughput
-    comparison against the reference's 750 rec/s/core figure comes from
-    bench.py timing of this query at sf0.1 (~600k rows).
-    """
-    from idb_backend_spark.functions.flags import (
-        dqs_score,
-        fold_flags,
-        standard_coord_flags,
-    )
-    from idb_backend_spark.functions.grabbers import (
-        float_grabber,
-        int_grabber,
-    )
-
+def _etl_raw_frame(spark, sf_dir):
+    """The etl pipeline's shared input stage: synthesized verbatim
+    projection over the spread lineitem scan, staged geo normalization,
+    and the Molodensky shift. Factored out (r16) so the staged-flags A/B
+    probe (tools/probe_etl_flags_staged.py) builds the r15 form over the
+    identical input subtree."""
     # the enrichment stack costs ~10x its scan bytes; a narrow scan
     # strands every other core on the whole row-wise pipeline
     # (guarded: no exchange when the scan is wide)
@@ -420,13 +397,56 @@ def etl_enrichment_pipeline(spark, sf_dir):
     raw = with_molodensky_shift(
         raw, F.col("__geo_lat"), F.col("__geo_lon"), F.col("datum_s")
     )
+    return raw
+
+
+@query("etl_enrichment_pipeline", _etl_oracle_sql())
+def etl_enrichment_pipeline(spark, sf_dir):
+    """§3.3 composed — the full enrichment hot path over the fact table:
+    verbatim projection, typed grabbers, geo normalization + flags, date
+    fallback + bounds flag, BOR + taxon-rank vocabularies, license lookup,
+    F15 commonnames assembly (collect_common_names composed here the way
+    the reference's grabAll composes it, conversions.py:932-964 — raw
+    unfolded vernacularName seed + the lowercase-key gbif loop quirk),
+    flag folding, and dqs scoring — entirely native expressions (the
+    reference's 1.33 ms/record Python loop, conversions.py:915-930).
+
+    The DuckDB oracle replicates the numeric path (geo normalize +
+    Molodensky trig via the shared plans.synth chain) structurally and
+    states golden expectations for the vocabulary lookups (inputs are
+    pure functions of l_linenumber). Coordinates are rounded to 6
+    decimals on both engines for cross-libm hash stability. Throughput
+    comparison against the reference's 750 rec/s/core figure comes from
+    bench.py timing of this query at sf0.1 (~600k rows).
+    """
+    from idb_backend_spark.functions.flags import (
+        dqs_score,
+        fold_flags,
+        standard_coord_flags,
+    )
+    from idb_backend_spark.functions.grabbers import (
+        float_grabber,
+        int_grabber,
+    )
+
+    raw = _etl_raw_frame(spark, sf_dir)
     bor = E.fix_basis_of_record(F.col("bor_s"))
     rank = E.fix_taxon_rank(F.col("rank_s"))
     dc = E.date_fallback(
         F.col("eventdate"), F.col("year_s"), F.col("month_s"),
         F.lit(None), F.lit(None),
     )
-    enriched = raw.select(
+    # Two-stage value/flags split (r16, guide §1.2): the flag conditions
+    # below read the STAGED value columns (datecollected, basisofrecord,
+    # taxonrank — unconditional outputs computed once here) instead of
+    # re-inlining the date_fallback tree and the bor/rank vocab chains
+    # once per flag condition (the r15 single-stage form carried 3
+    # contains-chain + 2 date-tree copies even after the fold_flags fix;
+    # this one evaluates each exactly once). The extra staged inputs the
+    # flags still need are cheap: one bool (bor filled) and the folded
+    # rank string. CollapseProject keeps the boundary because the value
+    # columns are non-cheap and multi-referenced.
+    values = raw.select(
         "rowid",
         F.col("lat_wgs84").alias("lat"),
         F.col("lon_wgs84").alias("lon"),
@@ -442,16 +462,31 @@ def etl_enrichment_pipeline(spark, sf_dir):
         grabbers.collect_common_names(
             F.col("vern_s"), F.col("gbif_vern"), F.col("vern_lower_s")
         ).alias("commonnames"),
+        F.col("__flag_pre_flip"), F.col("__flag_bounds"),
+        F.col("__flag_low_precision"), F.col("datum_flag"),
+        grabbers.getfield(F.col("bor_s")).isNotNull().alias("__bor_filled"),
+        grabbers.getfield(F.col("rank_s")).alias("__rank_v"),
+    )
+    bor_f = E.bor_flags_from_staged(
+        F.col("__bor_filled"), F.col("basisofrecord")
+    )
+    rank_f = E.taxon_rank_flags_from_staged(
+        F.col("__rank_v"), F.col("taxonrank")
+    )
+    enriched = values.select(
+        "rowid", "lat", "lon", "datecollected", "minelevation", "version",
+        "basisofrecord", "taxonrank", "license", "commonnames",
         fold_flags(
             F.col("__flag_pre_flip"), F.col("__flag_bounds"),
             F.col("__flag_low_precision"), F.col("datum_flag"),
             # setFlags geopoint flags on the FINAL (shifted, rounded)
             # geopoint — F17 parity, conversions.py:235-246
             *standard_coord_flags(
-                F.round(F.col("lat_wgs84"), 6), F.round(F.col("lon_wgs84"), 6)
+                F.round(F.col("lat"), 6), F.round(F.col("lon"), 6)
             ),
-            E.date_bounds_flag(dc), bor["flag_removed"], bor["flag_invalid"],
-            rank["flag_replaced"], rank["flag_removed"],
+            E.date_bounds_flag(F.col("datecollected")),
+            bor_f["flag_removed"], bor_f["flag_invalid"],
+            rank_f["flag_replaced"], rank_f["flag_removed"],
         ).alias("flags"),
     )
     scored = enriched.withColumn(

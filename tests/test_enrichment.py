@@ -208,6 +208,70 @@ def test_fix_taxon_rank(spark):
         assert list(row.flags) == eflags, row
 
 
+def test_staged_bor_rank_flags_match_inline(spark):
+    """The staged-flag derivations (bor_flags_from_staged /
+    taxon_rank_flags_from_staged, r16 — flag conditions over the STAGED
+    value columns) must fold to exactly the inline fix_* flags on every
+    semantic arm: matched/unmatched/empty/NULL bor; mapped-different,
+    mapped-identical, mapped-to-None, acceptable-unmapped, unknown,
+    empty, NULL rank."""
+    from idb_backend_spark.functions.grabbers import getfield
+
+    bor_pool = [c[0] for c in BOR_CASES] + ["", "  "]
+    rank_pool = [c[0] for c in RANK_CASES] + [
+        "", "  ", "aberration",  # mapped to None -> removed+invalid
+        "class",                 # identity mapping -> no replaced flag
+        "var.",                  # mapped to 'variety' -> replaced
+    ]
+    n = max(len(bor_pool), len(rank_pool))
+    rows = [
+        Row(
+            i=i,
+            bor=bor_pool[i % len(bor_pool)],
+            tr=rank_pool[i % len(rank_pool)],
+        )
+        for i in range(n * 3)
+    ]
+    df = spark.createDataFrame(rows)
+
+    bor = E.fix_basis_of_record(F.col("bor"))
+    rank = E.fix_taxon_rank(F.col("tr"))
+    inline = df.select(
+        "i",
+        fold_flags(
+            bor["flag_removed"], bor["flag_invalid"],
+            rank["flag_replaced"], rank["flag_removed"],
+            rank["flag_invalid"],
+        ).alias("flags"),
+    )
+
+    staged = df.select(
+        "i",
+        bor["value"].alias("bor_value"),
+        rank["value"].alias("rank_value"),
+        getfield(F.col("bor")).isNotNull().alias("bor_filled"),
+        getfield(F.col("tr")).alias("rank_v"),
+    )
+    bor_f = E.bor_flags_from_staged(
+        F.col("bor_filled"), F.col("bor_value")
+    )
+    rank_f = E.taxon_rank_flags_from_staged(
+        F.col("rank_v"), F.col("rank_value")
+    )
+    derived = staged.select(
+        "i",
+        fold_flags(
+            bor_f["flag_removed"], bor_f["flag_invalid"],
+            rank_f["flag_replaced"], rank_f["flag_removed"],
+            rank_f["flag_invalid"],
+        ).alias("flags"),
+    )
+
+    a = [list(r.flags) for r in inline.orderBy("i").collect()]
+    b = [list(r.flags) for r in derived.orderBy("i").collect()]
+    assert a == b
+
+
 # --------------------------------------------------------------------------
 # F10/F11/F12 — license, media precedence, crossfill
 # --------------------------------------------------------------------------

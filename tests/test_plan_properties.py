@@ -734,6 +734,36 @@ def test_staged_geo_normalize_parses_each_coordinate_once(spark):
     assert optimized.count("٠١٢٣٤") == 4
 
 
+def test_etl_flag_kernels_evaluate_once(spark):
+    """r16: the etl flags/dqs subtree must evaluate each expensive
+    kernel exactly once per row. Two changes pin here: (a) fold_flags
+    rebuilds flag_when columns as ``when(cond, array(name))`` instead of
+    ``when(c.isNotNull(), array(c))`` — the latter evaluated every flag
+    condition twice (CaseWhen branch contexts defeat codegen CSE); (b)
+    the etl call site derives the bor/rank/date flag conditions from the
+    STAGED value columns (bor_flags_from_staged /
+    taxon_rank_flags_from_staged) instead of re-inlining the kernels.
+    Before: 5 evaluations of the 9-rule BOR contains-chain, 7 of the
+    date_fallback tree, 9 probes of the 313-literal rank map in the
+    optimized etl plan. After: exactly one BOR chain, one date tree
+    (2 try_to_date after constant folding of the absent day/sdoy arms),
+    3 literal-map probes (rank value + license + media alias)."""
+    from idb_backend_spark.plans.catalog import Q
+
+    df = Q["etl_enrichment_pipeline"](spark, SF)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    # one evaluation of the 9-rule BOR contains-chain
+    assert optimized.count("Contains(") == 9
+    # one date_fallback tree (2 try_to_date: month-first + bare-year
+    # arms; the day/startdayofyear arms constant-fold on lit(None))
+    assert optimized.count("try_to_date") == 2
+    # the 313-literal rank vocabulary appears exactly 3 times: the value
+    # column's create_map probe + its in_mapping isin guard, and the
+    # replaced-flag's isin over the staged __rank_v (a hash-set probe,
+    # not a map scan). Before the staged split: 9.
+    assert optimized.count("aberration") == 3
+
+
 def test_pushdown_barrier_keeps_quality_gate_above_spread():
     """r15: the corpus pipeline's quality gate embeds the full
     quality-score regex stack; without a barrier PushDownPredicate
