@@ -193,6 +193,12 @@ def _est_scan_tasks(spark, paths: list[str], cores: int) -> int:
     return min(byte_splits, max(row_groups, 1))
 
 
+#: default spread sizing: one task per 64 KiB of input (see
+#: spread_for_compute's docstring for the cost model); conf-overridable
+#: via spark.idb.spread.minBytesPerTask
+SPREAD_MIN_BYTES_PER_TASK = 64 << 10
+
+
 def spread_for_compute(
     df, *by: str, input_paths: list[str] | None = None, by_range: bool = False
 ):
@@ -224,6 +230,25 @@ def spread_for_compute(
     rows, which a downstream float aggregate would see as a different
     summation order (rounded floats absorb it — the repo's 6-dp
     contract — but exact replay of an ordered stream would not).
+
+    The spread width is DATA-PROPORTIONAL (r16): ``min(cores,
+    ceil(input_bytes / minBytesPerTask))`` rather than a flat
+    ``cores``. A fixed count pinned every tiny input to 32-way task
+    overhead (the r15 driver artifact has exact_dedup 2x FASTER on 8
+    cores than 32 at sf0.1 — pure scheduling cost), and
+    REPARTITION_BY_NUM also blocks AQE coalescing, so nothing could
+    undo it at runtime. AQE's own byte-based coalescing is NOT the
+    right tool here: the spread exists because downstream CPU cost is
+    ~10-100x the scan bytes, and AQE's 1 MB-floor parallelism rule
+    would coalesce a 600 KB corpus to one partition and serialize the
+    very work the spread parallelizes. ``minBytesPerTask`` defaults to
+    64 KiB (enrichment-class expression stacks cost ~1-4 us/byte, so a
+    64 KiB slice is ~0.1-0.3 s of compute — well above the ~10 ms task
+    overhead); override with spark conf
+    ``spark.idb.spread.minBytesPerTask`` for kernels with a very
+    different cost-per-byte. At cluster scale nothing changes: a wide
+    scan still short-circuits above, and a genuinely large narrow
+    input still spreads to every core.
     """
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
@@ -234,7 +259,17 @@ def spread_for_compute(
         # file-less plan (in-memory frame: partitioning already chosen
         # by its producer) — never add an exchange on a guess
         return df
-    if _est_scan_tasks(spark, input_paths, cores) >= cores:
+    total = 0
+    for p in input_paths:
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return df  # vanished/unreadable: don't add an exchange
+    floor = _bytes_conf(
+        spark, "spark.idb.spread.minBytesPerTask", SPREAD_MIN_BYTES_PER_TASK
+    )
+    n = min(cores, max(1, -(-total // max(floor, 1))))
+    if _est_scan_tasks(spark, input_paths, cores) >= n:
         return df
     if by:
         from pyspark.sql import functions as F
@@ -255,9 +290,9 @@ def spread_for_compute(
             # have paid anyway. Guard behavior unchanged: a wide scan
             # at cluster scale adds no exchange and the downstream sort
             # pays its own, as before.
-            return df.repartitionByRange(cores, *cols)
-        return df.repartition(cores, *cols)
-    return df.repartition(cores)
+            return df.repartitionByRange(n, *cols)
+        return df.repartition(n, *cols)
+    return df.repartition(n)
 
 
 def pushdown_barrier(df):

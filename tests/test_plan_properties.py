@@ -783,7 +783,18 @@ def test_pushdown_barrier_keeps_quality_gate_above_spread():
     from idb_backend_spark.session import get_spark
 
     spark = get_spark("plan-props")
-    q = Q["corpus_curation_pipeline"](spark, SF)
+    # the sf0.001 corpus sits under the r16 data-proportional spread's
+    # default 64 KiB/task floor; force the spread to fire so the
+    # barrier-vs-spread interaction this test pins actually exists
+    prev = spark.conf.get("spark.idb.spread.minBytesPerTask", None)
+    spark.conf.set("spark.idb.spread.minBytesPerTask", "4096")
+    try:
+        q = Q["corpus_curation_pipeline"](spark, SF)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.idb.spread.minBytesPerTask", prev)
+        else:
+            spark.conf.unset("spark.idb.spread.minBytesPerTask")
     p = q._jdf.queryExecution().executedPlan().toString()
     assert "SPARK_PARTITION_ID()" in p, p
     # everything below the first (bottom-most) Exchange must be free of

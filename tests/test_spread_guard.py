@@ -27,11 +27,34 @@ def _cores(spark):
 
 
 def test_narrow_single_file_spreads(spark, sf_dir):
+    """r16 contract: the spread width is DATA-PROPORTIONAL —
+    min(cores, ceil(bytes / minBytesPerTask)) — so a narrow scan widens
+    to one task per byte floor, not flat to machine width (a tiny input
+    pinned to 32 tasks was pure scheduling overhead: the r15 driver
+    artifact has exact_dedup 2x faster on 8 cores than 32)."""
+    import math
+    import os
+
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = spread_for_compute(df, "doc_id")
-    # the small fixture file cannot split to the machine width: the
-    # guard must widen it to default parallelism
-    assert out.rdd.getNumPartitions() == _cores(spark)
+    size = os.path.getsize(f"{sf_dir}/documents.parquet")
+
+    prev = spark.conf.get("spark.idb.spread.minBytesPerTask", None)
+    try:
+        spark.conf.set("spark.idb.spread.minBytesPerTask", "4096")
+        out = spread_for_compute(df, "doc_id")
+        expect = min(_cores(spark), math.ceil(size / 4096))
+        assert out.rdd.getNumPartitions() == expect
+        # and under the default 64 KiB floor a sub-floor file must NOT
+        # pay an exchange at all (the scan is already as wide as the
+        # data deserves)
+        spark.conf.unset("spark.idb.spread.minBytesPerTask")
+        if size <= 64 << 10:
+            assert spread_for_compute(df, "doc_id") is df
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.idb.spread.minBytesPerTask", prev)
+        else:
+            spark.conf.unset("spark.idb.spread.minBytesPerTask")
 
 
 def test_in_memory_frame_untouched(spark):
@@ -119,8 +142,18 @@ def test_spread_uri_decoding(spark, tmp_path):
     p = d / "t.parquet"
     pq.write_table(pa.table({"k": list(range(100))}), p)
     df = spark.read.parquet(str(p))
-    out = spread_for_compute(df, "k")
-    assert out.rdd.getNumPartitions() == _cores(spark)
+    prev = spark.conf.get("spark.idb.spread.minBytesPerTask", None)
+    try:
+        # floor of 1 byte/task: the data-proportional width saturates at
+        # cores, so the assertion stays about the URI decode, not sizing
+        spark.conf.set("spark.idb.spread.minBytesPerTask", "1")
+        out = spread_for_compute(df, "k")
+        assert out.rdd.getNumPartitions() == _cores(spark)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.idb.spread.minBytesPerTask", prev)
+        else:
+            spark.conf.unset("spark.idb.spread.minBytesPerTask")
 
 
 def test_registry_cache_invalidates_on_rewrite(spark, tmp_path):

@@ -124,22 +124,47 @@ def t(df, runs=5):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    scale = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
     stats = stats_frame(spark, sf_dir)
+    if scale > 1:
+        # poor-man's larger SF: k perturbed copies (distinct users per
+        # copy so the group/term cardinality scales with the volume)
+        from functools import reduce
+
+        copies = [
+            stats.withColumn(
+                "term", F.concat(F.col("term"), F.lit(f"_{i}"))
+            )
+            for i in range(scale)
+        ]
+        stats = reduce(lambda a, b: a.union(b), copies)
 
     new_df = render(agg.usage_stats_rollup(stats, ["day", "stats_type"]))
     old_df = render(old_rollup(stats, ["day", "stats_type"]))
 
-    spark.sparkContext.setJobDescription("stats_rollup A/B: old shape")
-    told = t(old_df)
-    spark.sparkContext.setJobDescription("stats_rollup A/B: new shape")
-    tnew = t(new_df)
+    for df in (old_df, new_df):  # warm twice
+        t(df, 2)
+
+    # sample-level interleave: pairwise deltas cancel this host's
+    # episodic drift, which block min-of-N cannot (r16 finding)
+    olds, news = [], []
+    for i in range(pairs):
+        spark.sparkContext.setJobDescription(f"stats_rollup:old:{i}")
+        olds += t(old_df, 1)
+        spark.sparkContext.setJobDescription(f"stats_rollup:new:{i}")
+        news += t(new_df, 1)
     spark.sparkContext.setJobDescription(None)
 
     o = [tuple(r) for r in old_df.collect()]
     n = [tuple(r) for r in new_df.collect()]
-    print(f"old: min {min(told)} {told}")
-    print(f"new: min {min(tnew)} {tnew}")
+    wins = sum(1 for a, b in zip(olds, news) if b < a)
+    print(f"old: min {min(olds)} {olds}")
+    print(f"new: min {min(news)} {news}")
+    print(f"pairwise: NEW faster in {wins}/{len(olds)}; median ratio "
+          f"{sorted(b / a for a, b in zip(olds, news))[len(olds) // 2]:.3f}")
     print(f"rows old={len(o)} new={len(n)} equal={o == n}")
 
 
