@@ -1582,21 +1582,17 @@ def media_serving_table(spark, sf_dir):
         (F.crc32(F.col("etag")) % 2 == 0).alias("derivatives"),
         F.lit("ingest").alias("owner"),
     ).dropDuplicates(["etag"])
-    v = media_serving_view(media, media_objects, objects)
-    # canonical sorted k=v; rendering of the response map — struct sort
-    # on (key, value) orders by key (keys are unique), matching the
-    # oracle's alphabetical concat_ws arms
-    resp = F.array_join(
-        F.transform(
-            F.array_sort(F.map_entries(F.col("response"))),
-            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
-        ),
-        ";",
-    )
+    # kv=True: the view renders the canonical sorted k=v; string
+    # natively (concat_ws over the fixed alphabetical key set) — the
+    # old map + array_sort/transform render pulled the whole response
+    # Project out of whole-stage codegen (map_filter/transform are
+    # CodegenFallback); value equality pinned by
+    # tests/test_views.py::test_media_api_record_kv_matches_map_render
+    v = media_serving_view(media, media_objects, objects, kv=True)
     return v.select(
         "url",
         "media_url",
         "preview_text",
         "cache_s",
-        resp.alias("response_kv"),
+        "response_kv",
     ).orderBy("url")

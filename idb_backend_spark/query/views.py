@@ -137,8 +137,26 @@ def media_api_record(
     ``modified`` is isoformatted (:50). Collapsing typed values to a
     string map is the engine-side stand-in for the heterogeneous JSON
     dict; last_status renders in decimal."""
+    entries = _media_api_entries(
+        url, media_url, type_or_bucket, etag, modified, owner, mime,
+        last_status, text,
+    )
+    m = F.map_from_arrays(
+        F.array(*[F.lit(k) for k, _ in entries]),
+        F.array(*[v for _, v in entries]),
+    )
+    return F.map_filter(m, lambda _, v: v.isNotNull())
+
+
+def _media_api_entries(
+    url, media_url, type_or_bucket, etag, modified, owner, mime,
+    last_status, text=None,
+) -> list[tuple[str, Column]]:
+    """get_json_for_record's (key, nullable value) table — shared by the
+    map form (media_api_record) and the rendered form
+    (media_api_record_kv) so the falsy-drop semantics cannot drift."""
     text_col = text if text is not None else F.lit(None).cast("string")
-    entries = [
+    return [
         ("filereference", F.nullif(url, F.lit(""))),
         ("url", F.nullif(media_url, F.lit(""))),
         ("type", F.nullif(type_or_bucket, F.lit(""))),
@@ -152,11 +170,34 @@ def media_api_record(
         ),
         ("text", F.nullif(text_col, F.lit(""))),
     ]
-    m = F.map_from_arrays(
-        F.array(*[F.lit(k) for k, _ in entries]),
-        F.array(*[v for _, v in entries]),
+
+
+def media_api_record_kv(*args, **kwargs) -> Column:
+    """The api record rendered directly as the canonical sorted
+    ``k=v;...`` string (what serving-table consumers hash/compare).
+
+    Value-identical to sorting + joining the media_api_record map —
+    keys are a fixed literal set, so alphabetical key order is known at
+    plan time, ``concat(k=, v)`` is NULL exactly when the map_filter
+    would drop the entry, and concat_ws skips NULLs. The point is
+    PHYSICAL (r16, guide §4.1 "prefer built-ins"): map_filter and the
+    consumer-side transform/array_sort are higher-order functions —
+    CodegenFallback expressions that knock the ENTIRE enclosing Project
+    (the whole response assembly, storage-URL and preview-state chains
+    included) out of whole-stage codegen into interpreted evaluation;
+    the same mechanism as the documented array_compact->ArrayFilter
+    rejection in functions/flags.py. The concat_ws form stays inside
+    codegen end to end (media_serving_table interleaved A/B at sf0.1:
+    see OPTIMIZATION_r16.md; equality pinned by
+    tests/test_views.py::test_media_api_record_kv_matches_map_render)."""
+    entries = _media_api_entries(*args, **kwargs)
+    return F.concat_ws(
+        ";",
+        *[
+            F.concat(F.lit(k + "="), v)
+            for k, v in sorted(entries, key=lambda kv: kv[0])
+        ],
     )
-    return F.map_filter(m, lambda _, v: v.isNotNull())
 
 
 def record_view_links(
@@ -265,6 +306,7 @@ def media_serving_view(
     objects,
     deriv: str | None = None,
     env: str = "prod",
+    kv: bool = False,
 ):
     """The full media-lookup serving table — MediaObject.fromurl's
     three-table join (db.py:618-656: media LEFT JOIN media_objects LEFT
@@ -311,12 +353,18 @@ def media_serving_view(
         F.col("__bucket"), F.col("__oetag"), F.col("__derivs"), deriv, env=env
     )
     state = preview_state(murl, eff_mime, tob, F.col("last_status"))
+    # ``kv=True`` renders the response as the canonical sorted k=v;
+    # string via media_api_record_kv — value-identical to sorting and
+    # joining the map, but free of the map_filter/transform
+    # higher-order functions whose CodegenFallback drops this whole
+    # Project (every chain above included) out of whole-stage codegen
+    record = media_api_record_kv if kv else media_api_record
     return j.select(
         "url",
         murl.alias("media_url"),
         state["text"].alias("preview_text"),
         state["cache"].alias("cache_s"),
-        media_api_record(
+        record(
             F.col("url"),
             murl,
             tob,
@@ -326,5 +374,5 @@ def media_serving_view(
             eff_mime,
             F.col("last_status"),
             text=state["text"],
-        ).alias("response"),
+        ).alias("response_kv" if kv else "response"),
     )

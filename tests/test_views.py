@@ -123,6 +123,46 @@ def test_media_api_record_iso_micros(spark):
     assert got["modified"] == "2026-08-01T12:30:05.250000"
 
 
+def test_media_api_record_kv_matches_map_render(spark):
+    """r16: media_api_record_kv (native concat_ws render, no
+    higher-order functions) must equal sorting + joining the
+    media_api_record map on every falsy/absent arm: NULL and '' values,
+    0 and nonzero last_status, micro and whole-second timestamps,
+    present and absent text."""
+    ts0 = datetime.datetime(2026, 8, 1, 12, 30, 5)
+    ts1 = datetime.datetime(2026, 8, 1, 12, 30, 5, 250000)
+    rows = [
+        ("http://f", None, "", "E1", ts0, "u1", "image/jpeg", 0, None),
+        ("", "http://m", "images", None, ts1, "", None, 200, "No Preview"),
+        ("f2", "", None, "E2", None, "o2", "", None, ""),
+        (None, None, None, None, None, None, None, 7, "Preview Pending"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "fr string, mu string, tob string, e string, m timestamp, o string, "
+        "mi string, st int, tx string",
+    )
+    args = [
+        F.col("fr"), F.col("mu"), F.col("tob"), F.col("e"), F.col("m"),
+        F.col("o"), F.col("mi"), F.col("st"),
+    ]
+    via_map = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.map_entries(V.media_api_record(*args, text=F.col("tx")))
+            ),
+            lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+        ),
+        ";",
+    )
+    out = df.select(
+        via_map.alias("a"),
+        V.media_api_record_kv(*args, text=F.col("tx")).alias("b"),
+    ).collect()
+    for r in out:
+        assert r.a == r.b, (r.a, r.b)
+
+
 # ---------------------------------------------------------------------------
 # resolve_deriv — v2_media.py:121-125
 # ---------------------------------------------------------------------------
