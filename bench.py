@@ -152,6 +152,21 @@ def compact_payload(
         "timing": TIMING_LABEL,
         "noise_canary": canary_min_max(canary),
         "noise_canary_pre": canary_min_max(canary_pre),
+        # r16 (additive, VERDICT r15 item 7): the canary FLOOR — the
+        # best the host could do on the fixed canary query across both
+        # canary passes — as one machine-readable number, so cross-round
+        # total deltas can be separated from host drift mechanically
+        # (r15's 11 "regressed" queries tracked a 0.26 -> 0.343 floor
+        # shift) instead of by narrative. Timing methodology unchanged.
+        "canary_floor": (
+            min(
+                x["min"]
+                for x in (canary_min_max(canary), canary_min_max(canary_pre))
+                if x
+            )
+            if (canary or canary_pre)
+            else None
+        ),
         # raw per-query samples + full canary arrays
         "detail": "BENCH_LOCAL.json",
         "sf": sf,

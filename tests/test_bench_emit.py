@@ -74,10 +74,14 @@ def test_compact_payload_core_fields():
         "timing",
         "sf",
         "detail",
+        "canary_floor",
     ):
         assert key in core, key
     assert core["methodology"] == bench.METHODOLOGY
     assert core["timing"] == bench.TIMING_LABEL
+    # r16 additive field: the machine-readable host-drift calibration —
+    # min of the pre/post canary minima
+    assert core["canary_floor"] == 9999.999
 
 
 def test_row_drift_detects_change(tmp_path):
