@@ -83,11 +83,18 @@ def lang_id_heuristic(spark, sf_dir):
     tie-break by language code)."""
     docs = _t_spread(spark, sf_dir, "documents", "doc_id", by_range=True)
     # normalized text staged once (r15 s3): the expression form re-ran
-    # the normalize chain once PER LANGUAGE (5 full-document passes/row)
+    # the normalize chain once PER LANGUAGE (5 full-document passes/row);
+    # marker hits staged once (r16): the 5 per-language regexp_count
+    # document scans collapse to one regexp_extract_all over the union
+    # alternation; the argmax tallies re-scan only the short extracted
+    # hits string (which satisfies the from_norm contract)
     docs = docs.withColumn("__norm", text.normalize_text("text"))
+    docs = docs.withColumn(
+        "__lhits_s", text.lang_marker_hits_string(F.col("__norm"))
+    )
     return docs.select(
         "doc_id",
-        text.lang_id_from_norm(F.col("__norm")).alias("lang_pred"),
+        text.lang_id_from_norm(F.col("__lhits_s")).alias("lang_pred"),
     ).orderBy("doc_id")
 
 
@@ -456,14 +463,29 @@ def corpus_curation_pipeline(spark, sf_dir):
     # normalized text staged once (r15 s3): lang (5 marker scans), q
     # (stopword scan + token split) and n_tok each re-ran the full
     # normalize chain per row in the expression forms — 9 case-fold +
-    # whitespace-collapse document passes collapse to 1
+    # whitespace-collapse document passes collapse to 1. Marker hits
+    # staged once more (r16): lang's 5 per-language regexp_count scans
+    # AND q's stopword scan (its default list IS the en marker list)
+    # all tally off ONE regexp_extract_all document scan, re-scanning
+    # only the short extracted hits string (locally neutral at this
+    # corpus's ~120-byte documents; document-scan count 6 -> 1 is what
+    # scales with document length)
     docs = docs.withColumn("__norm", T.normalize_text("text"))
+    docs = docs.withColumn(
+        "__lhits_s", T.lang_marker_hits_string(F.col("__norm"))
+    )
     enriched = docs.select(
         "doc_id",
         "text",
         "__norm",
-        T.lang_id_from_norm(F.col("__norm")).alias("lang"),
-        T.quality_score_from_norm("text", F.col("__norm")).alias("q"),
+        T.lang_id_from_norm(F.col("__lhits_s")).alias("lang"),
+        T.quality_score_from_norm(
+            "text",
+            F.col("__norm"),
+            hits=T.marker_hits_from_norm(
+                F.col("__lhits_s"), T.LANG_MARKERS["en"]
+            ),
+        ).alias("q"),
         T.token_count_from_norm(F.col("__norm")).alias("n_tok"),
     )
     # barrier_filter, not a plain filter (r15 s3, upgraded from the

@@ -35,6 +35,59 @@ def test_getfield_list_folds_elementwise_like_getfield(spark):
     assert via_list == via_scalar == ["a", "b", "c"]
 
 
+def test_fused_marker_scan_agrees_with_per_language_scans(spark):
+    """r16 fusion: lang_id over a staged lang_marker_hits_string column
+    (ONE regexp_extract_all document scan, tallies re-scan the short
+    hits string) must equal lang_id_from_norm over the full text (one
+    regexp_count scan per language), and the en tally off the same
+    string must equal marker_hits_from_norm — on the adversarial
+    shapes: prefix-shadow candidates ('de' vs 'der'/'des'), the
+    es/fr-shared 'la', adjacent and repeated markers, empty and NULL
+    text, marker-free text."""
+    from pyspark.sql import Row
+
+    from idb_backend_spark.functions.text import (
+        LANG_MARKERS,
+        lang_id_from_norm,
+        lang_marker_hits_string,
+        marker_hits_from_norm,
+        normalize_text,
+    )
+
+    texts = [
+        "the and is of a plain english text the the",
+        "der und die das der von",            # de only
+        "de la le les de des",                # fr/es mix with prefixes
+        "de de de der des la la",             # prefix + shared-word soup
+        "el la los las es un",                # es
+        "the der el le une el el",            # cross-language tie bait
+        "xyzzy plugh nothing",                # no markers
+        "",                                   # empty
+        None,                                 # NULL text
+        "the:de,la.der!des the",              # punctuation boundaries
+        "  the   der\t\tla  ",                # whitespace soup
+    ]
+    df = spark.createDataFrame(
+        [Row(i=i, text=t) for i, t in enumerate(texts)]
+    ).withColumn("__norm", normalize_text("text")).withColumn(
+        "__lhits_s", lang_marker_hits_string(F.col("__norm"))
+    )
+    en = LANG_MARKERS["en"]
+    out = df.select(
+        "i",
+        lang_id_from_norm(F.col("__norm")).alias("a"),
+        lang_id_from_norm(F.col("__lhits_s")).alias("b"),
+        marker_hits_from_norm(F.col("__norm"), en).alias("ha"),
+        marker_hits_from_norm(F.col("__lhits_s"), en).alias("hb"),
+    ).orderBy("i").collect()
+    for r in out:
+        assert r.a == r.b, (r.i, r.a, r.b)
+        assert r.ha == r.hb, (r.i, r.ha, r.hb)
+    # and no marker word contains a space — the single-token property
+    # the union alternation's count equivalence rests on
+    assert all(" " not in w for ws in LANG_MARKERS.values() for w in ws)
+
+
 def test_lang_scores_map_agrees_with_lang_id_argmax(spark):
     from idb_backend_spark.functions.text import lang_id, lang_scores
 
