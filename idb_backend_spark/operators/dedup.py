@@ -405,6 +405,13 @@ def hamming_pairs(fp: DataFrame, max_hamming: int = 3) -> DataFrame:
     # 1.445 s -> 1.046 s). At scale the broadcast was wrong anyway: the
     # banded side IS the corpus, far over any broadcast cap, and the
     # bucketed equi-join is exactly the shape AQE skew-split handles.
+    # Hot-key evidence (r16, SCALING.md round-16 addendum): measured at
+    # 4x the bench corpus with ONE chunk key holding 10%/30% of all
+    # rows — completes, wall tracks the inherent n^2 pair output, build
+    # memory is the hot group's (id, fp) rows; a group large enough to
+    # break the build is an exact-duplicate flood the upstream exact
+    # dedup tier removes (and its pair OUTPUT would be the real failure
+    # under any strategy). Salting fallback documented there.
     return (
         banded.alias("a")
         .join(banded.alias("b").hint("shuffle_hash"), on=["chunk", "ckey"])
