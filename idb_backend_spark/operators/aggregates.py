@@ -304,6 +304,13 @@ def usage_stats_rollup(
     (recordsets x types), not by traffic. sf0.1 A/B: identical 90 rows,
     wall neutral locally (the scan is 2 MB here); the win is the
     dropped second scan + join.
+
+    Output-type note (r16, ADVICE r15): a group whose term/query_hash/
+    geocode are NULL in every row yields EMPTY maps ``{}`` where the
+    old totals-LEFT-join shape produced NULL maps. The one call site
+    string-renders through a coalesce that absorbs the difference (and
+    ``{}`` is closer to the reference's empty dicts), but a future
+    caller comparing maps against NULL must account for it.
     """
     st = F.col(stats_type_col)
     is_view = st == "view"

@@ -117,6 +117,15 @@ def exact_dedup_keep_first(
     out_cols = list(df.columns) if keep_cols is None else list(keep_cols)
     if id_col not in out_cols:
         raise ValueError(f"keep_cols must include id_col {id_col!r}")
+    # fail loudly up front (r16, ADVICE r15): a keep_cols entry absent
+    # from the frame used to be silently dropped by the staged select
+    # and only surfaced as an opaque AnalysisException at the final
+    # select; a missing norm_col would likewise fail far from its cause
+    missing = [c for c in out_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"keep_cols not in df.columns: {missing}")
+    if norm_col is not None and norm_col not in df.columns:
+        raise ValueError(f"norm_col {norm_col!r} not in df.columns")
     fp = (
         fingerprint_from_norm(F.col(norm_col))
         if norm_col is not None

@@ -107,7 +107,13 @@ def sibling_symmetrize(spark, sf_dir):
     partition, but as a spillable HashAggregate hash map — not a
     per-key in-memory array (the collect_set one-exchange alternative,
     rejected for exactly that reason); for adversarial hot-node graphs
-    the two-exchange countDistinct form remains the salting fallback."""
+    the two-exchange countDistinct form remains the salting fallback.
+
+    Precondition (r16, ADVICE r15): the dedup groupBy counts a NULL dst
+    as a sibling group where the former countDistinct(dst) skipped
+    NULLs. Both edge endpoints here are non-null TPC-H keys
+    (l_orderkey/l_partkey), so the forms agree; a future caller feeding
+    a NULLABLE edge source must filter dst IS NOT NULL first."""
     li = _t(spark, sf_dir, "lineitem")
     edges = li.select(
         F.col("l_orderkey").alias("r1"), F.col("l_partkey").alias("r2")

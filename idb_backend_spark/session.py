@@ -295,45 +295,24 @@ def spread_for_compute(
     return df.repartition(n)
 
 
-def pushdown_barrier(df):
-    """Stop Catalyst from pushing deterministic filters below this point.
-
-    PushDownPredicate happily moves a filter through a
-    RepartitionByExpression, so a quality gate whose predicate embeds an
-    enrichment-grade expression (regex stacks, tokenizers) gets
-    SUBSTITUTED into the scan stage — below the `spread_for_compute`
-    exchange whose entire purpose is to parallelize that work. Locally
-    (narrow scan) the substituted filter then evaluates the whole
-    expression SERIALLY in the one-split scan task, and everywhere it is
-    evaluated twice (once in the pushed filter, once in the projection
-    that produces the column).
-
-    The barrier is a filter on a NONDETERMINISTIC expression that keeps
-    every row: deterministic predicates cannot be reordered across it,
-    and it cannot itself sink below the projection it guards, so a
-    filter placed above it reads the staged column attributes instead of
-    re-inlining their definitions. `spark_partition_id()` is chosen over
-    `rand()` because its value is stable under task retry (no
-    SPARK-38388-class replay hazard; the predicate is constant-true
-    either way, but plan hygiene matters). Cost: one int comparison per
-    row.
-
-    Place it BETWEEN the projection that computes the expensive columns
-    and the filter that consumes them (corpus_curation_pipeline's
-    quality gate: sf0.1 plan had the full quality-score regex stack in
-    the serial scan-stage filter AND again in the post-spread
-    projection; with the barrier the stack evaluates once, parallel).
-    """
-    from pyspark.sql import functions as F
-
-    return df.where(F.spark_partition_id() >= 0)
-
-
 def barrier_filter(df, cond):
     """``df.filter(cond)`` that cannot be pushed below the projections
     it reads from.
 
-    A standalone ``pushdown_barrier`` only pins the RELATIVE order of
+    Why a barrier at all: PushDownPredicate happily moves a filter
+    through a RepartitionByExpression, so a quality gate whose
+    predicate embeds an enrichment-grade expression (regex stacks,
+    tokenizers) gets SUBSTITUTED into the scan stage — below the
+    `spread_for_compute` exchange whose entire purpose is to
+    parallelize that work: evaluated SERIALLY in the narrow scan task,
+    and twice everywhere (pushed filter + the projection that produces
+    the column). The r15-s2 answer was a standalone nondeterministic
+    FILTER (`where(spark_partition_id() >= 0)` — deleted r16, ADVICE:
+    dead code once this helper superseded it; its rationale lives on
+    here and the historical A/B stays runnable in
+    tools/probe_corpus_barrier.py).
+
+    That predicate-only barrier pins the RELATIVE order of
     filters, and a nondeterministic PREDICATE does not help either:
     PushPredicateThroughNonJoin pushes ANY filter through a Project
     whenever the PROJECT's fields are all deterministic (the

@@ -345,12 +345,16 @@ def test_hamming_pairs_single_fingerprint_evaluation(spark):
     # without executing a job. At runtime with AQE on the same reuse
     # happens via stage cache — verified by the sf0.1 A/B in
     # OPTIMIZATION_r15.md.
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         q = dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=3)
         p = q._jdf.queryExecution().executedPlan().toString()
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        # restore the PRE-TEST value, not a hardcoded "true" (r16,
+        # ADVICE r15): a session configured differently must not have
+        # its setting clobbered for subsequent tests
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     assert p.count("ArrowEvalPython") == 1, p
     assert "ReusedExchange" in p, p
     assert "ShuffledHashJoin" in p

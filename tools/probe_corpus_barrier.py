@@ -13,7 +13,16 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F
 
 from idb_backend_spark.plans.registry import _t
-from idb_backend_spark.session import get_spark, pushdown_barrier
+from idb_backend_spark.session import get_spark
+
+
+def pushdown_barrier(df):
+    """The r15-s2 predicate-only barrier, inlined here after its
+    deletion from session.py (r16 ADVICE): a nondeterministic FILTER
+    pins only the relative order of filters — superseded by
+    barrier_filter, which stages a nondeterministic FIELD. Kept in this
+    probe so the historical A/B stays reproducible."""
+    return df.where(F.spark_partition_id() >= 0)
 
 
 def build(spark, sf_dir, barrier: bool):
